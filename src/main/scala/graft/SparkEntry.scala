@@ -1,13 +1,288 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.checks.Check
+import graft.errors.ValidationResult
+import graft.hypothesis.Hypothesis
+import graft.inference.InferSchema
+import graft.schema._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry exercises the graft validation engine (or an extension
+  * operator) end-to-end on the driver's parquet tables and emits a
+  * DataFrame whose values a DuckDB oracle (oracleSql) reproduces.
+  * All row-producing queries ORDER BY a deterministic key on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Run a single-check schema through the engine; emit its failure count. */
+  private def failCount(s: SparkSession, label: String, df: DataFrame,
+                        column: String, check: Check): DataFrame = {
+    val res = DataFrameSchema(column -> ColumnSchema(checks = Seq(check))).validate(df)
+    val n = res.errors.map(_.failureCount).sum
+    import s.implicits._
+    Seq((label, n)).toDF("check_name", "failure_count")
+  }
+
+  private def aggPassFail(s: SparkSession, label: String, res: ValidationResult): DataFrame = {
+    import s.implicits._
+    Seq((label, if (res.passed) 0L else 1L)).toDF("check_name", "failure_count")
+  }
+
+  /** Flagship: full lineitem contract at sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    val schema = DataFrameSchema(
+      "l_orderkey" -> ColumnSchema(Some(LongType), Seq(Check.ge(1L)), nullable = false),
+      "l_linenumber" -> ColumnSchema(Some(IntegerType), Seq(Check.ge(1)), nullable = false),
+      "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(1.0, 50.0))),
+      "l_extendedprice" -> ColumnSchema(Some(DoubleType), Seq(Check.gt(0.0))),
+      "l_discount" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.0, 0.2))),
+      "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.ge(0.0))),
+      "l_returnflag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "N", "R")))),
+      "l_linestatus" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("F", "O")))))
+      .copy(unique = Seq("l_orderkey", "l_linenumber"))
+    schema.validate(li).data
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.A built-in column checks, one per operator ----
+    "chk_equal_to" -> ((s, d) =>
+      failCount(s, "equal_to", t(s, d, "lineitem"), "l_linestatus", Check.equalTo("F"))),
+    "chk_not_equal_to" -> ((s, d) =>
+      failCount(s, "not_equal_to", t(s, d, "lineitem"), "l_returnflag", Check.notEqualTo("N"))),
+    "chk_greater_than" -> ((s, d) =>
+      failCount(s, "greater_than", t(s, d, "lineitem"), "l_quantity", Check.greaterThan(10.0))),
+    "chk_greater_than_or_equal_to" -> ((s, d) =>
+      failCount(s, "ge", t(s, d, "lineitem"), "l_extendedprice", Check.ge(0.0))),
+    "chk_less_than" -> ((s, d) =>
+      failCount(s, "less_than", t(s, d, "lineitem"), "l_discount", Check.lessThan(0.05))),
+    "chk_less_than_or_equal_to" -> ((s, d) =>
+      failCount(s, "le", t(s, d, "lineitem"), "l_tax", Check.le(0.05))),
+    "chk_in_range" -> ((s, d) =>
+      failCount(s, "in_range", t(s, d, "lineitem"), "l_quantity", Check.inRange(5.0, 45.0))),
+    "chk_isin" -> ((s, d) =>
+      failCount(s, "isin", t(s, d, "lineitem"), "l_returnflag", Check.isin(Seq("A", "R")))),
+    "chk_notin" -> ((s, d) =>
+      failCount(s, "notin", t(s, d, "orders"), "o_orderstatus", Check.notin(Seq("P")))),
+    "chk_str_matches" -> ((s, d) =>
+      failCount(s, "str_matches", t(s, d, "orders"), "o_orderpriority", Check.strMatches("[1-3]-"))),
+    "chk_str_contains" -> ((s, d) =>
+      failCount(s, "str_contains", t(s, d, "part"), "p_type", Check.strContains("ECO"))),
+    "chk_str_startswith" -> ((s, d) =>
+      failCount(s, "str_startswith", t(s, d, "customer"), "c_name", Check.strStartswith("Customer#"))),
+    "chk_str_endswith" -> ((s, d) =>
+      failCount(s, "str_endswith", t(s, d, "orders"), "o_orderpriority", Check.strEndswith("URGENT"))),
+    "chk_str_length" -> ((s, d) =>
+      failCount(s, "str_length", t(s, d, "part"), "p_name", Check.strLength(Some(5), Some(15)))),
+    "chk_unique_values_eq" -> ((s, d) =>
+      failCount(s, "unique_values_eq", t(s, d, "region"), "r_name",
+        Check.uniqueValuesEq(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))),
+    "chk_element_wise" -> ((s, d) =>
+      failCount(s, "element_wise", t(s, d, "lineitem"), "l_quantity",
+        Check.elementWise[java.lang.Double]("qty_int_ew")(v => v.doubleValue() == math.floor(v.doubleValue())))),
+
+    // ---- §2.B core structural / table-level checks ----
+    "core_nullable" -> ((s, d) => {
+      val res = DataFrameSchema("value" -> ColumnSchema(Some(DoubleType), nullable = false))
+        .validate(t(s, d, "events"))
+      import s.implicits._
+      Seq(("not_nullable", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
+    }),
+    "core_field_unique" -> ((s, d) => {
+      val res = DataFrameSchema("l_orderkey" -> ColumnSchema(Some(LongType), unique = true))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("field_uniqueness", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
+    }),
+    "core_table_unique" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType)),
+        "l_linenumber" -> ColumnSchema(Some(IntegerType)))
+        .copy(unique = Seq("l_orderkey", "l_linenumber"))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("multiple_fields_uniqueness", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+    "core_coerce_failures" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "o_orderstatus" -> ColumnSchema(Some(IntegerType), coerce = true))
+        .validate(t(s, d, "orders"))
+      import s.implicits._
+      Seq(("coerce_dtype", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
+    }),
+    "core_coerce_cast" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType)),
+        "l_linenumber" -> ColumnSchema(Some(LongType), coerce = true))
+        .copy(strict = Strict.Filter)
+        .validate(t(s, d, "lineitem"))
+      res.data.orderBy("l_orderkey", "l_linenumber")
+    }),
+    "core_strict_filter" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "c_custkey" -> ColumnSchema(Some(LongType)),
+        "c_name" -> ColumnSchema(Some(StringType)),
+        "c_acctbal" -> ColumnSchema(Some(DoubleType)))
+        .copy(strict = Strict.Filter)
+        .validate(t(s, d, "customer"))
+      res.data.orderBy("c_custkey")
+    }),
+    "core_add_missing" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "o_orderkey" -> ColumnSchema(Some(LongType)),
+        "o_bonus" -> ColumnSchema(Some(DoubleType), default = Some(1.5)))
+        .copy(addMissingColumns = true, strict = Strict.Filter)
+        .validate(t(s, d, "orders"))
+      res.data.select("o_orderkey", "o_bonus").orderBy("o_orderkey")
+    }),
+    "core_drop_invalid" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
+        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05))))
+        .copy(dropInvalidRows = true)
+        .validate(t(s, d, "lineitem"))
+      res.data.select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "core_wide_check" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType)))
+        .setChecks(Check.wide("price_ge_qty")(df => df("l_extendedprice") >= df("l_quantity")))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("price_ge_qty", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
+    }),
+    "core_groupby_check" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.groupbyAgg("mean_qty_by_flag_gt5", "l_returnflag", avg("l_quantity"))(
+          m => m.values.forall(_ > 5.0)))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "mean_qty_by_flag_gt5", res)
+    }),
+
+    // ---- §2.D hypothesis tests ----
+    "hyp_one_sample_ttest" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Hypothesis.oneSampleTtest(1.0, Hypothesis.GreaterThan, alpha = 0.01))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "one_sample_ttest", res)
+    }),
+    "hyp_two_sample_ttest" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Hypothesis.twoSampleTtest("l_linestatus", "O", "F",
+          Hypothesis.Equal, alpha = 1e-9, equalVar = false))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "two_sample_ttest", res)
+    }),
+    "hyp_group_stats" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_linestatus").isin("O", "F"))
+        .groupBy(col("l_linestatus").as("grp"))
+        .agg(count(lit(1)).as("n"), round(avg("l_quantity"), 3).as("mean_q"))
+        .orderBy("grp")),
+
+    // ---- §2.F inference ----
+    "infer_stats" -> ((s, d) => {
+      val stats = InferSchema.statistics(t(s, d, "lineitem"))
+      import s.implicits._
+      val numeric = stats.collect {
+        case (n, st) if st.min.isDefined && st.dataType.isInstanceOf[NumericType] =>
+          (n, st.nullCount,
+            st.min.map(v => v.toString.toDouble).get,
+            st.max.map(v => v.toString.toDouble).get)
+      }
+      numeric.toDF("column", "nulls", "min_v", "max_v").orderBy("column")
+    }),
+    "infer_roundtrip" -> ((s, d) => {
+      // inferred schema must validate the data it was inferred from
+      val df = t(s, d, "orders")
+      val res = InferSchema.infer(df).validate(df)
+      aggPassFail(s, "infer_roundtrip", res)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "chk_equal_to" ->
+      "SELECT 'equal_to' AS check_name, count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT (l_linestatus = 'F')) AS failure_count FROM lineitem",
+    "chk_not_equal_to" ->
+      "SELECT 'not_equal_to' AS check_name, count(*) FILTER (WHERE l_returnflag IS NOT NULL AND NOT (l_returnflag <> 'N')) AS failure_count FROM lineitem",
+    "chk_greater_than" ->
+      "SELECT 'greater_than' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity > 10.0)) AS failure_count FROM lineitem",
+    "chk_greater_than_or_equal_to" ->
+      "SELECT 'ge' AS check_name, count(*) FILTER (WHERE l_extendedprice IS NOT NULL AND NOT (l_extendedprice >= 0.0)) AS failure_count FROM lineitem",
+    "chk_less_than" ->
+      "SELECT 'less_than' AS check_name, count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount < 0.05)) AS failure_count FROM lineitem",
+    "chk_less_than_or_equal_to" ->
+      "SELECT 'le' AS check_name, count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS failure_count FROM lineitem",
+    "chk_in_range" ->
+      "SELECT 'in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
+    "chk_isin" ->
+      "SELECT 'isin' AS check_name, count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','R')) AS failure_count FROM lineitem",
+    "chk_notin" ->
+      "SELECT 'notin' AS check_name, count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus IN ('P')) AS failure_count FROM orders",
+    "chk_str_matches" ->
+      "SELECT 'str_matches' AS check_name, count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS failure_count FROM orders",
+    "chk_str_contains" ->
+      "SELECT 'str_contains' AS check_name, count(*) FILTER (WHERE p_type IS NOT NULL AND NOT regexp_matches(p_type, 'ECO')) AS failure_count FROM part",
+    "chk_str_startswith" ->
+      "SELECT 'str_startswith' AS check_name, count(*) FILTER (WHERE c_name IS NOT NULL AND NOT starts_with(c_name, 'Customer#')) AS failure_count FROM customer",
+    "chk_str_endswith" ->
+      "SELECT 'str_endswith' AS check_name, count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT ends_with(o_orderpriority, 'URGENT')) AS failure_count FROM orders",
+    "chk_str_length" ->
+      "SELECT 'str_length' AS check_name, count(*) FILTER (WHERE p_name IS NOT NULL AND NOT (length(p_name) >= 5 AND length(p_name) <= 15)) AS failure_count FROM part",
+    "chk_unique_values_eq" ->
+      "SELECT 'unique_values_eq' AS check_name, CAST(CASE WHEN (SELECT count(DISTINCT r_name) FROM region WHERE r_name IN ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST')) = 5 AND (SELECT count(*) FROM region WHERE r_name IS NOT NULL AND r_name NOT IN ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST')) = 0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
+    "chk_element_wise" ->
+      "SELECT 'element_wise' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity = floor(l_quantity))) AS failure_count FROM lineitem",
+    "core_nullable" ->
+      "SELECT 'not_nullable' AS check_name, count(*) FILTER (WHERE value IS NULL) AS failure_count FROM events",
+    "core_field_unique" ->
+      "SELECT 'field_uniqueness' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count",
+    "core_table_unique" ->
+      "SELECT 'multiple_fields_uniqueness' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count",
+    "core_coerce_failures" ->
+      "SELECT 'coerce_dtype' AS check_name, count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND TRY_CAST(o_orderstatus AS INTEGER) IS NULL) AS failure_count FROM orders",
+    "core_coerce_cast" ->
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "core_strict_filter" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "core_add_missing" ->
+      "SELECT o_orderkey, CAST(1.5 AS DOUBLE) AS o_bonus FROM orders ORDER BY o_orderkey",
+    "core_drop_invalid" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem WHERE (l_quantity IS NULL OR (l_quantity >= 5.0 AND l_quantity <= 45.0)) AND (l_tax IS NULL OR l_tax <= 0.05) ORDER BY l_orderkey, l_linenumber",
+    "core_wide_check" ->
+      "SELECT 'price_ge_qty' AS check_name, count(*) FILTER (WHERE NOT COALESCE(l_extendedprice >= l_quantity, TRUE)) AS failure_count FROM lineitem",
+    "core_groupby_check" ->
+      "SELECT 'mean_qty_by_flag_gt5' AS check_name, CAST(CASE WHEN (SELECT min(m) FROM (SELECT avg(l_quantity) AS m FROM lineitem GROUP BY l_returnflag) t) > 5.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
+    // one-sample t: engine decision (stat>0 and p/2<alpha) coincides with
+    // t >> t_crit on this data (t is in the hundreds); oracle checks the
+    // same decision via the t statistic computed in SQL.
+    "hyp_one_sample_ttest" ->
+      "SELECT 'one_sample_ttest' AS check_name, CAST(CASE WHEN (avg(l_quantity) - 1.0) / (stddev_samp(l_quantity) / sqrt(count(l_quantity))) > 10.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem WHERE l_quantity IS NOT NULL",
+    // two-sample Welch t between identically-distributed groups: decision
+    // Equal(alpha=1e-9) passes iff |t| below ~6.1; data keeps |t| < 3.
+    "hyp_two_sample_ttest" ->
+      "SELECT 'two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
+    "hyp_group_stats" ->
+      "SELECT l_linestatus AS grp, count(*) AS n, round(avg(l_quantity), 3) AS mean_q FROM lineitem WHERE l_linestatus IN ('O','F') GROUP BY l_linestatus ORDER BY grp",
+    "infer_stats" ->
+      ("SELECT * FROM (" +
+        "SELECT 'l_discount' AS \"column\", count(*) FILTER (WHERE l_discount IS NULL) AS nulls, CAST(min(l_discount) AS DOUBLE) AS min_v, CAST(max(l_discount) AS DOUBLE) AS max_v FROM lineitem UNION ALL " +
+        "SELECT 'l_extendedprice', count(*) FILTER (WHERE l_extendedprice IS NULL), CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_linenumber', count(*) FILTER (WHERE l_linenumber IS NULL), CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_orderkey', count(*) FILTER (WHERE l_orderkey IS NULL), CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_partkey', count(*) FILTER (WHERE l_partkey IS NULL), CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_quantity', count(*) FILTER (WHERE l_quantity IS NULL), CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_suppkey', count(*) FILTER (WHERE l_suppkey IS NULL), CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE) FROM lineitem UNION ALL " +
+        "SELECT 'l_tax', count(*) FILTER (WHERE l_tax IS NULL), CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem" +
+        ") u ORDER BY \"column\""),
+    "infer_roundtrip" ->
+      "SELECT 'infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count"
+  )
 }

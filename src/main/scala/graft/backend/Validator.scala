@@ -1,0 +1,360 @@
+package graft.backend
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.checks._
+import graft.errors._
+import graft.errors.SchemaErrorReason._
+import graft.errors.ErrorCategory.{SCHEMA, DATA}
+import graft.schema._
+
+/** The validation engine.
+  *
+  * The reference's pyspark backend runs ONE Spark action per data check
+  * (`filter(~cond).limit(1).count()`, pandera/backends/pyspark/
+  * builtin_checks.py:48-49) — O(#checks) jobs, its documented perf weakness
+  * (docs/source/pyspark_sql.md:226-233). This engine instead compiles every
+  * row-level check of every column into ONE fused aggregate:
+  *
+  *   df.agg(sum(when(fail_1,1)), sum(when(fail_2,1)), ..., count(*))
+  *
+  * — a single whole-stage-codegen'd pass over the data, independent of the
+  * number of checks. Additional jobs are incurred only for:
+  *   - uniqueness (needs a shuffle: groupBy keys),
+  *   - aggregate-class checks (set equality, groupby, hypothesis tests),
+  *   - failure-case sampling, and only for checks that actually failed.
+  *
+  * At 100 TB this means validation cost ≈ one scan + K small shuffles,
+  * versus the reference's (#checks × scan).
+  *
+  * Lifecycle order mirrors backends/pyspark/container.py:39-151:
+  * metadata checks → strict/filter → add-missing/defaults/parsers →
+  * coercion → subsample → data checks → error report.
+  */
+object Validator {
+
+  private val OrigPrefix = "__graft_orig__"
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** A pending row-level failure to count in the fused pass. */
+  private final case class Pending(
+      id: String,
+      failCond: Column,
+      sampleExpr: Column, // value to show in failure cases
+      mkError: (Long, Seq[String]) => SchemaError,
+      nFailureCases: Int,
+      passCond: Column) // for drop_invalid_rows
+
+  def validate(
+      schema: DataFrameSchema,
+      df: DataFrame,
+      sample: Option[(Double, Long)] = None,
+      head: Option[Int] = None,
+      depth: GraftConfig.Depth = GraftConfig.validationDepth): ValidationResult = {
+
+    if (!GraftConfig.validationEnabled) return ValidationResult(df, Nil)
+
+    val errs = scala.collection.mutable.ArrayBuffer.empty[SchemaError]
+    val doSchema = depth != GraftConfig.DataOnly
+    val doData = depth != GraftConfig.SchemaOnly
+
+    // ---- 1. metadata (SCHEMA-category) checks: zero data jobs ----------
+    val dfCols = df.columns.toSeq
+
+    if (doSchema && schema.uniqueColumnNames) {
+      val dups = dfCols.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      if (dups.nonEmpty)
+        errs += SchemaError("DataFrameSchema", None, "column_names_are_unique",
+          DUPLICATE_COLUMN_LABELS, SCHEMA, dups.size.toLong, dups.toSeq,
+          s"duplicate column labels: ${dups.mkString(", ")}")
+    }
+
+    val resolved = schema.resolveColumns(dfCols) // (dfName, (declName, cs))
+    val resolvedNames = resolved.map(_._1)
+
+    if (doSchema) {
+      // column presence (backends/pyspark/container.py:607)
+      schema.columns.foreach { case (n, cs) =>
+        val found = if (cs.regex) resolved.exists(_._2._1 == n) else dfCols.contains(n)
+        if (!found && cs.required && !(schema.addMissingColumns && (cs.default.isDefined || cs.nullable)))
+          errs += SchemaError("DataFrameSchema", Some(n), "column_in_dataframe",
+            COLUMN_NOT_IN_DATAFRAME, SCHEMA, 1L, Seq(n),
+            s"column '$n' not in dataframe")
+      }
+      // ordered (errors.py:145 COLUMN_NOT_ORDERED)
+      if (schema.ordered) {
+        val expected = resolvedNames.filter(dfCols.contains)
+        val actual = dfCols.filter(expected.contains)
+        expected.zip(actual).collect { case (e, a) if e != a => e }.foreach { c =>
+          errs += SchemaError("DataFrameSchema", Some(c), "column_ordered",
+            COLUMN_NOT_ORDERED, SCHEMA, 1L, Seq(c), s"column '$c' out of order")
+        }
+      }
+      // strict (container.py:549 / pyspark :329)
+      if (schema.strict == Strict.Error) {
+        dfCols.filterNot(resolvedNames.contains).foreach { c =>
+          errs += SchemaError("DataFrameSchema", Some(c), "column_in_schema",
+            COLUMN_NOT_IN_SCHEMA, SCHEMA, 1L, Seq(c),
+            s"column '$c' not in schema (strict)")
+        }
+      }
+      // dtype (WRONG_DATATYPE; coerced columns are cast instead)
+      resolved.foreach { case (dn, (decl, cs)) =>
+        if (dfCols.contains(dn)) cs.dtype.foreach { dt =>
+          val actual = df.schema(dn).dataType
+          if (actual != dt && !(cs.coerce || schema.coerce))
+            errs += SchemaError("Column", Some(dn), s"dtype('${dt.sql}')",
+              WRONG_DATATYPE, SCHEMA, 1L, Seq(actual.sql),
+              s"column '$dn' has type ${actual.sql}, expected ${dt.sql} " +
+                s"(declared as '$decl')")
+        }
+      }
+    }
+
+    // ---- 2. parse/transform stage (mutates data; lazily planned) -------
+    var work: DataFrame = df
+
+    // strict="filter": drop extra columns (pyspark container.py:329)
+    if (schema.strict == Strict.Filter)
+      work = work.select(resolvedNames.filter(dfCols.contains).map(q): _*)
+
+    // add_missing_columns (pandas container.py:418)
+    if (schema.addMissingColumns) {
+      resolved.filterNot { case (dn, _) => dfCols.contains(dn) }.foreach {
+        case (dn, (_, cs)) =>
+          val dt = cs.dtype.getOrElse(org.apache.spark.sql.types.StringType)
+          cs.default match {
+            case Some(d) => work = work.withColumn(dn, lit(d).cast(dt))
+            case None if cs.nullable =>
+              work = work.withColumn(dn, lit(null).cast(dt))
+            case None =>
+              errs += SchemaError("DataFrameSchema", Some(dn), "add_missing_columns",
+                ADD_MISSING_COLUMN_NO_DEFAULT, SCHEMA, 1L, Seq(dn),
+                s"column '$dn' is missing, non-nullable and has no default")
+          }
+      }
+    }
+
+    val workCols = work.columns.toSeq
+    val present = resolved.filter { case (dn, _) => workCols.contains(dn) }
+
+    // df-level then column-level parsers (backends/pandas/container.py:81)
+    schema.parsers.foreach(p => work = p.transform(work))
+    present.foreach { case (dn, (_, cs)) =>
+      cs.parsers.foreach(p => work = work.withColumn(dn, p.transform(q(dn))))
+    }
+
+    // coercion via try_cast semantics (SURVEY §7 hard part (a): the
+    // reference disables ANSI; we use try_cast so un-coercible values
+    // become null and are COUNTED in the same fused pass).
+    val coerced = present.collect {
+      case (dn, (_, cs)) if (cs.coerce || schema.coerce) && cs.dtype.isDefined &&
+        work.schema(dn).dataType != cs.dtype.get => (dn, cs.dtype.get)
+    }
+    coerced.foreach { case (dn, dt) =>
+      work = work
+        .withColumn(OrigPrefix + dn, q(dn))
+        .withColumn(dn, expr(s"try_cast(`${dn.replace("`", "``")}` AS ${dt.sql})"))
+    }
+
+    // set_defaults (container.py:626): fill nulls with the column default
+    present.foreach { case (dn, (_, cs)) =>
+      cs.default.foreach { d =>
+        val dt = cs.dtype.getOrElse(work.schema(dn).dataType)
+        work = work.withColumn(dn, coalesce(q(dn), lit(d).cast(dt)))
+      }
+    }
+
+    // ---- 3. subsample for data checks (backends/pyspark/base.py:55-69) --
+    var checkDf = sample.fold(work) { case (f, seed) => work.sample(false, f, seed) }
+    checkDf = head.fold(checkDf)(n => checkDf.limit(n))
+
+    // ---- 4. data checks: the fused aggregate ---------------------------
+    val pendings = scala.collection.mutable.ArrayBuffer.empty[Pending]
+    val aggChecks = scala.collection.mutable.ArrayBuffer.empty[(Option[String], AggregateCheck)]
+
+    if (doData) {
+      present.foreach { case (dn, (_, cs)) =>
+        val c = q(dn)
+        if (!cs.nullable)
+          pendings += Pending(s"nn__$dn", c.isNull, c.cast("string"),
+            (n, cases) => SchemaError("Column", Some(dn), "not_nullable",
+              SERIES_CONTAINS_NULLS, DATA, n, cases,
+              s"non-nullable column '$dn' contains $n null(s)"),
+            Check.DefaultNFailureCases, c.isNotNull)
+        if (coerced.exists(_._1 == dn)) {
+          val orig = q(OrigPrefix + dn)
+          val dt = cs.dtype.get
+          pendings += Pending(s"co__$dn", orig.isNotNull && c.isNull,
+            orig.cast("string"),
+            (n, cases) => SchemaError("Column", Some(dn), s"coerce_dtype('${dt.sql}')",
+              DATATYPE_COERCION, DATA, n, cases,
+              s"column '$dn': $n value(s) could not be coerced to ${dt.sql}"),
+            Check.DefaultNFailureCases, !(orig.isNotNull && c.isNull))
+        }
+        cs.checks.zipWithIndex.foreach {
+          case (cc: ColumnCheck, i) =>
+            pendings += Pending(s"ck${i}__$dn", cc.failCond(c), c.cast("string"),
+              (n, cases) => SchemaError("Column", Some(dn), cc.described,
+                DATAFRAME_CHECK, DATA, n, cases,
+                s"column '$dn' failed check ${cc.described}: $n failure(s)",
+                isWarning = cc.raiseWarning),
+              cc.nFailureCases, !cc.failCond(c))
+          case (wc: WideCheck, i) =>
+            pendings += Pending(s"wk${i}__$dn", wc.failCond(checkDf),
+              c.cast("string"),
+              (n, cases) => SchemaError("Column", Some(dn), wc.described,
+                DATAFRAME_CHECK, DATA, n, cases,
+                s"column '$dn' failed check ${wc.described}: $n failure(s)",
+                isWarning = wc.raiseWarning),
+              wc.nFailureCases, !wc.failCond(checkDf))
+          case (ac: AggregateCheck, _) => aggChecks += (Some(dn) -> ac)
+        }
+      }
+      schema.checks.zipWithIndex.foreach {
+        case (wc: WideCheck, i) =>
+          val sampleCols = checkDf.columns.take(4).map(q(_).cast("string"))
+          pendings += Pending(s"dfk$i", wc.failCond(checkDf),
+            concat_ws("|", sampleCols.toIndexedSeq: _*),
+            (n, cases) => SchemaError("DataFrameSchema", None, wc.described,
+              DATAFRAME_CHECK, DATA, n, cases,
+              s"dataframe failed check ${wc.described}: $n failure(s)",
+              isWarning = wc.raiseWarning),
+            wc.nFailureCases, !wc.failCond(checkDf))
+        case (ac: AggregateCheck, _) => aggChecks += (None -> ac)
+        case (cc: ColumnCheck, _) =>
+          sys.error(s"table-level checks must be WideCheck/AggregateCheck, got column check '${cc.name}'")
+      }
+    }
+
+    val uniqueCols = present.collect { case (dn, (_, cs)) if cs.unique => dn }
+    val multiJob = uniqueCols.nonEmpty || schema.unique.nonEmpty ||
+      aggChecks.nonEmpty || pendings.nonEmpty
+    val cached = GraftConfig.cacheDataFrame && doData && multiJob
+    if (cached) checkDf.persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      if (doData && schema.dropInvalidRows) {
+        // drop_invalid_rows (SURVEY §2.B): Spark has no row index, so we
+        // conjoin all row-level pass-conditions and filter — one job, no
+        // error bookkeeping for dropped rows (they are handled, not raised).
+        val pass = pendings.map(_.passCond)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        runAggChecks(checkDf, aggChecks.toSeq, errs)
+        uniquenessErrors(checkDf, uniqueCols, schema, errs)
+        val kept = work.filter(pass).drop(coerced.map(c => OrigPrefix + c._1): _*)
+        return ValidationResult(kept, errs.toSeq)
+      }
+
+      if (doData && pendings.nonEmpty) {
+        val aggExprs = pendings.map(p =>
+          coalesce(sum(when(p.failCond, 1L)), lit(0L)).as(p.id)) :+
+          count(lit(1)).as("__graft_total")
+        val row = checkDf.agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
+        val failed = pendings.filter(p => row.getAs[Long](p.id) > 0L)
+        // failure-case sampling: one bounded job per FAILED check only
+        // (backends/pandas/checks.py:203-236 n_failure_cases semantics)
+        failed.foreach { p =>
+          val n = row.getAs[Long](p.id)
+          val cases =
+            if (p.nFailureCases <= 0) Seq.empty[String]
+            else checkDf.filter(p.failCond).select(p.sampleExpr.as("v"))
+              .limit(p.nFailureCases).collect()
+              .map(r => String.valueOf(r.get(0))).toSeq
+          errs += p.mkError(n, cases)
+        }
+      }
+
+      if (doData) {
+        runAggChecks(checkDf, aggChecks.toSeq, errs)
+        uniquenessErrors(checkDf, uniqueCols, schema, errs)
+      }
+
+      val out = work.drop(coerced.map(c => OrigPrefix + c._1): _*)
+      ValidationResult(out, errs.toSeq)
+    } finally {
+      if (cached && !GraftConfig.keepCachedDataFrame) checkDf.unpersist()
+    }
+  }
+
+  private def runAggChecks(
+      df: DataFrame,
+      aggChecks: Seq[(Option[String], AggregateCheck)],
+      errs: scala.collection.mutable.ArrayBuffer[SchemaError]): Unit =
+    aggChecks.foreach { case (colOpt, ac) =>
+      val outcomeOpt =
+        try Some(ac.eval(df, colOpt))
+        catch {
+          case e: Exception =>
+            errs += SchemaError("Check", colOpt, ac.described, CHECK_ERROR, DATA,
+              1L, Seq(String.valueOf(e.getMessage)),
+              s"check ${ac.described} raised: ${e.getMessage}")
+            None
+        }
+      outcomeOpt.filterNot(_.passed).foreach { outcome =>
+        errs += SchemaError(if (colOpt.isDefined) "Column" else "DataFrameSchema",
+          colOpt, ac.described, DATAFRAME_CHECK, DATA, 1L,
+          outcome.failureCases :+ outcome.observed,
+          s"${colOpt.fold("dataframe")(c => s"column '$c'")} failed " +
+            s"aggregate check ${ac.described}: ${outcome.observed}",
+          isWarning = ac.raiseWarning)
+      }
+    }
+
+  /** Uniqueness checks — the only row-level checks that genuinely need a
+    * shuffle. One groupBy job per key-set computes BOTH the duplicate-row
+    * count and a bounded sample of duplicated keys via a single
+    * aggregate-then-filter plan; report_duplicates ∈ {all, exclude_first,
+    * exclude_last} maps to n vs n-1 per duplicated key
+    * (backends/pyspark/container.py:532-540).
+    */
+  private def uniquenessErrors(
+      df: DataFrame,
+      uniqueCols: Seq[String],
+      schema: DataFrameSchema,
+      errs: scala.collection.mutable.ArrayBuffer[SchemaError]): Unit = {
+
+    def dupCount(cnt: Column): Column = schema.reportDuplicates match {
+      case ReportDuplicates.All => cnt
+      case _                    => cnt - 1L // order-insensitive n-1
+    }
+
+    uniqueCols.foreach { c =>
+      val grouped = df.filter(q(c).isNotNull).groupBy(q(c)).count()
+        .filter(col("count") > 1L)
+      val agg = grouped.agg(
+        coalesce(sum(dupCount(col("count"))), lit(0L)).as("dups"),
+        count(lit(1)).as("keys")).head()
+      val dups = agg.getAs[Long]("dups")
+      if (dups > 0L) {
+        val cases = grouped.select(q(c).cast("string"))
+          .limit(Check.DefaultNFailureCases).collect().map(r => r.getString(0)).toSeq
+        errs += SchemaError("Column", Some(c), "field_uniqueness",
+          SERIES_CONTAINS_DUPLICATES, DATA, dups, cases,
+          s"column '$c' contains ${agg.getAs[Long]("keys")} duplicated value(s) " +
+            s"($dups duplicate row(s))")
+      }
+    }
+
+    if (schema.unique.nonEmpty) {
+      val cols = schema.unique.map(q)
+      val grouped = df.groupBy(cols: _*).count().filter(col("count") > 1L)
+      val agg = grouped.agg(
+        coalesce(sum(dupCount(col("count"))), lit(0L)).as("dups"),
+        count(lit(1)).as("keys")).head()
+      val dups = agg.getAs[Long]("dups")
+      if (dups > 0L) {
+        val cases = grouped
+          .select(concat_ws("|", schema.unique.map(c => q(c).cast("string")): _*))
+          .limit(Check.DefaultNFailureCases).collect().map(_.getString(0)).toSeq
+        errs += SchemaError("DataFrameSchema", None,
+          s"multiple_fields_uniqueness(${schema.unique.mkString(",")})",
+          DUPLICATES, DATA, dups, cases,
+          s"columns (${schema.unique.mkString(", ")}) contain " +
+            s"${agg.getAs[Long]("keys")} duplicated key(s) ($dups duplicate row(s))")
+      }
+    }
+  }
+}

@@ -1,0 +1,259 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A named, serializable validation predicate.
+  *
+  * Reference model: pandera/api/checks.py:18-222 — a Check carries a name,
+  * serializable `statistics`, and modifiers (ignore_na, raise_warning,
+  * n_failure_cases, element_wise). On Spark every vectorized check compiles
+  * to a Catalyst `Column` so that ALL row-level checks of a schema fuse into
+  * ONE aggregate pass (see graft.backend.Validator), instead of the
+  * reference's one-Spark-action-per-check
+  * (pandera/backends/pyspark/builtin_checks.py:48-49).
+  */
+sealed trait Check {
+  def name: String
+  def statistics: Map[String, Any]
+  def ignoreNa: Boolean
+  def raiseWarning: Boolean
+  def nFailureCases: Int
+  def error: Option[String]
+  def described: String = error.getOrElse {
+    if (statistics.isEmpty) name
+    else s"$name(${statistics.toSeq.sortBy(_._1).map(_._2).mkString(", ")})"
+  }
+}
+
+/** Row-level check on a single column. `cond` maps the column to a boolean
+  * pass-condition. Null handling follows the reference's ignore_na semantics
+  * (pandera/backends/pandas/checks.py:83-118): with ignoreNa, nulls pass.
+  */
+final case class ColumnCheck(
+    name: String,
+    cond: Column => Column,
+    statistics: Map[String, Any] = Map.empty,
+    ignoreNa: Boolean = true,
+    raiseWarning: Boolean = false,
+    nFailureCases: Int = Check.DefaultNFailureCases,
+    error: Option[String] = None)
+    extends Check {
+  /** Per-row failure predicate for column `c`. */
+  def failCond(c: Column): Column =
+    if (ignoreNa) c.isNotNull && !coalesce(cond(c), lit(false))
+    else !coalesce(cond(c), lit(false))
+}
+
+/** Row-level check over the whole row (table-level "wide" check, the
+  * reference's dataframe-level Check / @dataframe_check). `cond` sees the
+  * DataFrame only to reference its columns; it must return a row predicate.
+  */
+final case class WideCheck(
+    name: String,
+    cond: DataFrame => Column,
+    statistics: Map[String, Any] = Map.empty,
+    ignoreNa: Boolean = true,
+    raiseWarning: Boolean = false,
+    nFailureCases: Int = Check.DefaultNFailureCases,
+    error: Option[String] = None)
+    extends Check {
+  def failCond(df: DataFrame): Column =
+    if (ignoreNa) !coalesce(cond(df), lit(true))
+    else !coalesce(cond(df), lit(false))
+}
+
+/** Outcome of an aggregate-class check. */
+final case class AggOutcome(passed: Boolean, observed: String,
+                            failureCases: Seq[String] = Nil)
+
+/** A check whose semantics need their own aggregation job (set equality,
+  * groupby comparisons, hypothesis tests). `eval` receives the validated
+  * DataFrame and the column under check (None for table-level).
+  * These cannot ride the fused row-level pass; the Validator runs each as a
+  * separate (still single) Spark job.
+  */
+final case class AggregateCheck(
+    name: String,
+    eval: (DataFrame, Option[String]) => AggOutcome,
+    statistics: Map[String, Any] = Map.empty,
+    raiseWarning: Boolean = false,
+    error: Option[String] = None)
+    extends Check {
+  val ignoreNa: Boolean = true
+  val nFailureCases: Int = Check.DefaultNFailureCases
+}
+
+/** Built-in check factories — the exhaustive list from
+  * pandera/api/checks.py (SURVEY.md §2.A). Each compiles to a codegen'd
+  * Catalyst expression; no UDFs in the hot path.
+  */
+object Check {
+  val DefaultNFailureCases = 10
+
+  // -- comparison checks -----------------------------------------------
+  /** reference: api/checks.py:263 equal_to / eq */
+  def equalTo(v: Any): ColumnCheck =
+    ColumnCheck("equal_to", _ === lit(v), Map("value" -> v))
+  def eq(v: Any): ColumnCheck = equalTo(v)
+
+  /** reference: api/checks.py:278 not_equal_to / ne */
+  def notEqualTo(v: Any): ColumnCheck =
+    ColumnCheck("not_equal_to", _ =!= lit(v), Map("value" -> v))
+  def ne(v: Any): ColumnCheck = notEqualTo(v)
+
+  /** reference: api/checks.py:292 greater_than / gt */
+  def greaterThan(v: Any): ColumnCheck =
+    ColumnCheck("greater_than", _ > lit(v), Map("min_value" -> v))
+  def gt(v: Any): ColumnCheck = greaterThan(v)
+
+  /** reference: api/checks.py:312 greater_than_or_equal_to / ge */
+  def greaterThanOrEqualTo(v: Any): ColumnCheck =
+    ColumnCheck("greater_than_or_equal_to", _ >= lit(v), Map("min_value" -> v))
+  def ge(v: Any): ColumnCheck = greaterThanOrEqualTo(v)
+
+  /** reference: api/checks.py:330 less_than / lt */
+  def lessThan(v: Any): ColumnCheck =
+    ColumnCheck("less_than", _ < lit(v), Map("max_value" -> v))
+  def lt(v: Any): ColumnCheck = lessThan(v)
+
+  /** reference: api/checks.py:348 less_than_or_equal_to / le */
+  def lessThanOrEqualTo(v: Any): ColumnCheck =
+    ColumnCheck("less_than_or_equal_to", _ <= lit(v), Map("max_value" -> v))
+  def le(v: Any): ColumnCheck = lessThanOrEqualTo(v)
+
+  /** reference: api/checks.py:366 in_range / between (inclusive flags). */
+  def inRange(min: Any, max: Any, includeMin: Boolean = true,
+              includeMax: Boolean = true): ColumnCheck = {
+    val lo = (c: Column) => if (includeMin) c >= lit(min) else c > lit(min)
+    val hi = (c: Column) => if (includeMax) c <= lit(max) else c < lit(max)
+    ColumnCheck("in_range", c => lo(c) && hi(c),
+      Map("min_value" -> min, "max_value" -> max,
+          "include_min" -> includeMin, "include_max" -> includeMax))
+  }
+  def between(min: Any, max: Any): ColumnCheck = inRange(min, max)
+
+  // -- membership checks -----------------------------------------------
+  /** reference: api/checks.py:475. Small literal lists stay in-expression
+    * (codegen'd hash-set probe); at 100 TB a huge allowed-set should instead
+    * be a broadcast semi-join — see graft.ext.SetMembership. */
+  def isin(values: Seq[Any]): ColumnCheck =
+    ColumnCheck("isin", _.isin(values: _*), Map("allowed_values" -> values))
+
+  /** reference: api/checks.py:532 */
+  def notin(values: Seq[Any]): ColumnCheck =
+    ColumnCheck("notin", c => !c.isin(values: _*),
+      Map("forbidden_values" -> values))
+
+  // -- string checks -----------------------------------------------------
+  /** reference: api/checks.py:588; pyspark impl anchors the pattern with `^`
+    * if absent (backends/pyspark/builtin_checks.py:280-301). */
+  def strMatches(pattern: String): ColumnCheck = {
+    val anchored = if (pattern.startsWith("^")) pattern else "^" + pattern
+    ColumnCheck("str_matches", _.rlike(anchored), Map("pattern" -> pattern))
+  }
+
+  /** reference: api/checks.py:610 — regex found anywhere. */
+  def strContains(pattern: String): ColumnCheck =
+    ColumnCheck("str_contains", _.rlike(pattern), Map("pattern" -> pattern))
+
+  /** reference: api/checks.py:634 — literal prefix. */
+  def strStartswith(prefix: String): ColumnCheck =
+    ColumnCheck("str_startswith", _.startsWith(prefix), Map("string" -> prefix))
+
+  /** reference: api/checks.py:650 — literal suffix. */
+  def strEndswith(suffix: String): ColumnCheck =
+    ColumnCheck("str_endswith", _.endsWith(suffix), Map("string" -> suffix))
+
+  /** reference: api/checks.py:665 — min <= length(x) <= max. */
+  def strLength(min: Option[Int] = None, max: Option[Int] = None): ColumnCheck = {
+    val cond = (c: Column) => (min, max) match {
+      case (Some(lo), Some(hi)) => length(c) >= lo && length(c) <= hi
+      case (Some(lo), None)     => length(c) >= lo
+      case (None, Some(hi))     => length(c) <= hi
+      case (None, None)         => lit(true)
+    }
+    ColumnCheck("str_length", cond,
+      Map("min_value" -> min.orNull, "max_value" -> max.orNull))
+  }
+
+  // -- aggregate-class builtin ------------------------------------------
+  /** reference: api/checks.py:731 unique_values_eq — SET EQUALITY between the
+    * column's distinct values and `values`. The reference collects distinct
+    * to the driver (backends/pyspark/builtin_checks.py:403-422); we instead
+    * compute two bounded aggregates in one job: |distinct ∩ set| == |set| and
+    * count(values ∉ set) == 0 — never materializing unbounded distincts.
+    */
+  def uniqueValuesEq(values: Seq[Any]): AggregateCheck =
+    AggregateCheck(
+      "unique_values_eq",
+      (df, colOpt) => {
+        val c = col(colOpt.getOrElse(
+          sys.error("unique_values_eq requires a column")))
+        val row = df
+          .select(
+            countDistinct(when(c.isin(values: _*), c)).as("in_set"),
+            count(when(c.isNotNull && !c.isin(values: _*), lit(1))).as("extra"))
+          .head()
+        val inSet = row.getLong(0)
+        val extra = row.getLong(1)
+        AggOutcome(inSet == values.distinct.size && extra == 0L,
+          s"distinct_in_set=$inSet expected=${values.distinct.size} extraneous_rows=$extra")
+      },
+      Map("values" -> values))
+
+  // -- custom checks ------------------------------------------------------
+  /** Vectorized custom check (the default custom-Check form,
+    * api/checks.py:21-124): user supplies Column => Column. */
+  def custom(name: String)(cond: Column => Column): ColumnCheck =
+    ColumnCheck(name, cond)
+
+  /** Element-wise escape hatch (api/checks.py:83-86) — a Scala lambda run
+    * per value through a UDF. Loses codegen; prefer `custom`. */
+  def elementWise[T](name: String)(f: T => Boolean)(
+      implicit enc: scala.reflect.runtime.universe.TypeTag[T]): ColumnCheck = {
+    val u = udf((v: T) => if (v == null) null.asInstanceOf[java.lang.Boolean]
+                          else java.lang.Boolean.valueOf(f(v)))
+    ColumnCheck(name, c => u(c))
+  }
+
+  /** Table-level custom check: row predicate over the whole DataFrame
+    * (the reference's dataframe-level Check). */
+  def wide(name: String)(cond: DataFrame => Column): WideCheck =
+    WideCheck(name, cond)
+
+  /** Groupby check (api/checks.py:148-154 doc example mean(A) > mean(B)):
+    * aggregates `aggExpr` per group of `groupbyCol` and passes the
+    * groupKey -> value map to `decide`. One groupBy job; the reference's
+    * pyspark backend raises NotImplementedError for groupby
+    * (backends/pyspark/checks.py:28-48) — this is a capability we add.
+    */
+  def groupbyAgg(name: String, groupbyCol: String, aggExpr: Column)(
+      decide: Map[String, Double] => Boolean): AggregateCheck =
+    AggregateCheck(
+      name,
+      (df, _) => {
+        val rows = df.groupBy(col(groupbyCol)).agg(aggExpr.as("agg")).collect()
+        val m = rows.map(r => String.valueOf(r.get(0)) -> (r.get(1) match {
+          case null => Double.NaN
+          case n: Number => n.doubleValue()
+          case o => o.toString.toDouble
+        })).toMap
+        AggOutcome(decide(m), m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(", "))
+      },
+      Map("groupby" -> groupbyCol))
+
+  /** Registry for user-defined named checks, mirroring
+    * Check.REGISTERED_CUSTOM_CHECKS (api/extensions.py:156-340). */
+  object registry {
+    private val checks =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[Any] => Check]
+    def register(name: String)(factory: Seq[Any] => Check): Unit =
+      checks.put(name, factory)
+    def apply(name: String, args: Any*): Check =
+      checks.getOrElse(name,
+        sys.error(s"no registered check named '$name'"))(args)
+    def contains(name: String): Boolean = checks.contains(name)
+  }
+}

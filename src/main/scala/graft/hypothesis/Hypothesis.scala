@@ -1,0 +1,123 @@
+package graft.hypothesis
+
+import org.apache.spark.sql.functions._
+import org.apache.commons.math3.distribution.TDistribution
+import graft.checks.{AggregateCheck, AggOutcome}
+
+/** Statistical hypothesis checks.
+  *
+  * Reference: pandera/api/hypotheses.py:15-381 — a Hypothesis wraps a test
+  * returning (stat, pvalue) and a `relationship` deciding pass/fail
+  * (backends/pandas/hypotheses.py:17-34). The reference delegates to
+  * scipy.stats; here the sufficient statistics (n, mean, variance per group)
+  * are computed distributed in ONE Spark aggregation and the t statistic +
+  * p-value (commons-math3 TDistribution, already on Spark's classpath) are
+  * evaluated on the driver — no data ever leaves the executors.
+  */
+object Hypothesis {
+
+  sealed trait Relationship
+  case object GreaterThan extends Relationship // stat > 0 and pvalue/2 < alpha
+  case object LessThan extends Relationship    // stat < 0 and pvalue/2 < alpha
+  case object NotEqual extends Relationship    // pvalue < alpha
+  case object Equal extends Relationship       // pvalue >= alpha
+
+  final case class TestResult(stat: Double, pvalue: Double, df: Double)
+
+  private def decide(rel: Relationship, stat: Double, pvalue: Double,
+                     alpha: Double): Boolean = rel match {
+    case GreaterThan => stat > 0 && pvalue / 2 < alpha
+    case LessThan    => stat < 0 && pvalue / 2 < alpha
+    case NotEqual    => pvalue < alpha
+    case Equal       => pvalue >= alpha
+  }
+
+  /** Two-sided p-value from a t statistic. */
+  def tPValue(stat: Double, degFreedom: Double): Double = {
+    if (degFreedom <= 0 || stat.isNaN) return Double.NaN
+    val dist = new TDistribution(degFreedom)
+    2.0 * (1.0 - dist.cumulativeProbability(math.abs(stat)))
+  }
+
+  /** t statistic from sufficient statistics; Welch when !equalVar
+    * (mirrors scipy.stats.ttest_ind used at api/hypotheses.py:182-292). */
+  def twoSampleT(n1: Long, m1: Double, v1: Double,
+                 n2: Long, m2: Double, v2: Double,
+                 equalVar: Boolean): TestResult = {
+    if (equalVar) {
+      val dof = (n1 + n2 - 2).toDouble
+      val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / dof
+      val se = math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+      val t = (m1 - m2) / se
+      TestResult(t, tPValue(t, dof), dof)
+    } else {
+      val a = v1 / n1; val b = v2 / n2
+      val se = math.sqrt(a + b)
+      val t = (m1 - m2) / se
+      val dof = math.pow(a + b, 2) /
+        (math.pow(a, 2) / (n1 - 1) + math.pow(b, 2) / (n2 - 1))
+      TestResult(t, tPValue(t, dof), dof)
+    }
+  }
+
+  /** Two-sample t-test on `valueCol`, groups selected from `groupbyCol`
+    * (reference: api/hypotheses.py:182-292 two_sample_ttest; sample1 vs
+    * sample2 with relationship + alpha + equal_var).
+    * One distributed aggregation computes (count, mean, var_samp) per group.
+    */
+  def twoSampleTtest(
+      groupbyCol: String,
+      sample1: String,
+      sample2: String,
+      relationship: Relationship = NotEqual,
+      alpha: Double = 0.01,
+      equalVar: Boolean = true): AggregateCheck =
+    AggregateCheck(
+      "two_sample_ttest",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("two_sample_ttest needs a column"))
+        val rows = df
+          .filter(col(groupbyCol).isin(sample1, sample2) && col(c).isNotNull)
+          .groupBy(col(groupbyCol))
+          .agg(count(col(c)).as("n"), avg(col(c)).as("m"),
+               var_samp(col(c)).as("v"))
+          .collect()
+        val byGroup = rows.map(r =>
+          String.valueOf(r.get(0)) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+        (byGroup.get(sample1), byGroup.get(sample2)) match {
+          case (Some((n1, m1, v1)), Some((n2, m2, v2))) =>
+            val res = twoSampleT(n1, m1, v1, n2, m2, v2, equalVar)
+            AggOutcome(decide(relationship, res.stat, res.pvalue, alpha),
+              f"t=${res.stat}%.6f p=${res.pvalue}%.6f df=${res.df}%.2f " +
+                f"mean($sample1)=$m1%.6f mean($sample2)=$m2%.6f")
+          case _ =>
+            AggOutcome(passed = false,
+              s"missing group(s): ${Seq(sample1, sample2).filterNot(byGroup.contains).mkString(",")}")
+        }
+      },
+      Map("groupby" -> groupbyCol, "sample1" -> sample1, "sample2" -> sample2,
+          "relationship" -> relationship.toString, "alpha" -> alpha,
+          "equal_var" -> equalVar))
+
+  /** One-sample t-test vs `popmean`
+    * (reference: api/hypotheses.py:293-381 one_sample_ttest). */
+  def oneSampleTtest(
+      popmean: Double,
+      relationship: Relationship = NotEqual,
+      alpha: Double = 0.01): AggregateCheck =
+    AggregateCheck(
+      "one_sample_ttest",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("one_sample_ttest needs a column"))
+        val r = df.filter(col(c).isNotNull)
+          .agg(count(col(c)).as("n"), avg(col(c)).as("m"),
+               stddev_samp(col(c)).as("s")).head()
+        val n = r.getLong(0); val m = r.getDouble(1); val s = r.getDouble(2)
+        val t = (m - popmean) / (s / math.sqrt(n.toDouble))
+        val p = tPValue(t, (n - 1).toDouble)
+        AggOutcome(decide(relationship, t, p, alpha),
+          f"t=$t%.6f p=$p%.6f n=$n mean=$m%.6f popmean=$popmean")
+      },
+      Map("popmean" -> popmean, "relationship" -> relationship.toString,
+          "alpha" -> alpha))
+}

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.checks.Check
+import graft.schema._
+import graft.errors.SchemaErrorReason
+import graft.hypothesis.Hypothesis
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "alpha", 10.0, "A"),
+    (2L, "beta", 20.0, "B"),
+    (3L, "gamma", -5.0, "A"),
+    (4L, "delta", 40.0, "B"),
+    (4L, null, 50.0, "A")
+  ).toDF("id", "name", "price", "grp")
+
+  test("passing schema yields no errors and returns the data") {
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema.of(LongType, Check.ge(1L)),
+      "price" -> ColumnSchema.of(DoubleType, Check.inRange(-100.0, 100.0)))
+    val res = schema.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    assert(res.data.count() == 5)
+  }
+
+  test("row-level check failures are counted and sampled") {
+    val schema = DataFrameSchema("price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)))
+    val res = schema.validate(df)
+    assert(!res.passed)
+    val e = res.hardErrors.head
+    assert(e.failureCount == 1L)
+    assert(e.failureCases == Seq("-5.0"))
+    assert(e.reason == SchemaErrorReason.DATAFRAME_CHECK)
+  }
+
+  test("ignore_na: nulls pass checks by default, fail with ignoreNa=false") {
+    val relaxed = DataFrameSchema("name" -> ColumnSchema.of(StringType, Check.strLength(Some(3))))
+    assert(relaxed.validate(df).passed)
+    val strict = DataFrameSchema("name" ->
+      ColumnSchema.of(StringType, Check.strLength(Some(3)).copy(ignoreNa = false)))
+    val res = strict.validate(df)
+    assert(res.hardErrors.head.failureCount == 1L)
+  }
+
+  test("nullable=false catches nulls") {
+    val schema = DataFrameSchema("name" -> ColumnSchema(Some(StringType), nullable = false))
+    val res = schema.validate(df)
+    assert(res.hardErrors.head.reason == SchemaErrorReason.SERIES_CONTAINS_NULLS)
+    assert(res.hardErrors.head.failureCount == 1L)
+  }
+
+  test("column uniqueness via shuffle") {
+    val schema = DataFrameSchema("id" -> ColumnSchema(Some(LongType), unique = true))
+    val res = schema.validate(df)
+    val e = res.hardErrors.head
+    assert(e.reason == SchemaErrorReason.SERIES_CONTAINS_DUPLICATES)
+    assert(e.failureCount == 2L) // report_duplicates=all: both rows of key 4
+    assert(e.failureCases == Seq("4"))
+  }
+
+  test("report_duplicates=exclude_first counts n-1 per key") {
+    val schema = DataFrameSchema("id" -> ColumnSchema(Some(LongType), unique = true))
+      .copy(reportDuplicates = ReportDuplicates.ExcludeFirst)
+    assert(schema.validate(df).hardErrors.head.failureCount == 1L)
+  }
+
+  test("table-level multi-column uniqueness") {
+    val schema = DataFrameSchema("id" -> ColumnSchema(Some(LongType)))
+      .copy(unique = Seq("id", "grp"))
+    assert(schema.validate(df).passed) // (4,B) vs (4,A) differ
+    val schema2 = schema.copy(unique = Seq("grp"))
+    assert(!schema2.validate(df).passed)
+  }
+
+  test("metadata: missing column, wrong dtype, strict, ordered") {
+    val schema = DataFrameSchema(
+      "nope" -> ColumnSchema(Some(StringType)),
+      "id" -> ColumnSchema(Some(IntegerType))) // actual is Long
+      .copy(strict = Strict.Error)
+    val res = schema.validate(df)
+    val reasons = res.hardErrors.map(_.reason).toSet
+    assert(reasons.contains(SchemaErrorReason.COLUMN_NOT_IN_DATAFRAME))
+    assert(reasons.contains(SchemaErrorReason.WRONG_DATATYPE))
+    assert(reasons.contains(SchemaErrorReason.COLUMN_NOT_IN_SCHEMA)) // name/price/grp extra
+  }
+
+  test("strict=filter drops extra columns") {
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType)),
+      "price" -> ColumnSchema(Some(DoubleType))).copy(strict = Strict.Filter)
+    val res = schema.validate(df)
+    assert(res.data.columns.toSeq == Seq("id", "price"))
+  }
+
+  test("coercion with try_cast counts un-coercible values") {
+    val d = Seq(("1", "x"), ("2", "y"), ("oops", "z")).toDF("num", "s")
+    val schema = DataFrameSchema(
+      "num" -> ColumnSchema(Some(IntegerType), coerce = true))
+    val res = schema.validate(d)
+    assert(res.data.schema("num").dataType == IntegerType)
+    val e = res.hardErrors.head
+    assert(e.reason == SchemaErrorReason.DATATYPE_COERCION)
+    assert(e.failureCount == 1L && e.failureCases == Seq("oops"))
+  }
+
+  test("add_missing_columns + set defaults") {
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType)),
+      "bonus" -> ColumnSchema(Some(DoubleType), default = Some(0.0)))
+      .copy(addMissingColumns = true)
+    val res = schema.validate(df)
+    assert(res.passed)
+    assert(res.data.columns.contains("bonus"))
+    assert(res.data.select("bonus").distinct().collect().map(_.getDouble(0)).toSeq == Seq(0.0))
+  }
+
+  test("drop_invalid_rows filters failing rows instead of erroring") {
+    val schema = DataFrameSchema(
+      "price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)),
+      "name" -> ColumnSchema(Some(StringType), nullable = false))
+      .copy(dropInvalidRows = true)
+    val res = schema.validate(df)
+    assert(res.data.count() == 3) // drops price=-5 and name=null rows
+    assert(res.errors.isEmpty)
+  }
+
+  test("wide check over multiple columns") {
+    val schema = DataFrameSchema("id" -> ColumnSchema(Some(LongType)))
+      .setChecks(Check.wide("id_lt_price")(d => d("id") < d("price")))
+    val res = schema.validate(df)
+    assert(!res.passed) // row (id=3, price=-5.0) violates id < price
+    assert(res.hardErrors.head.failureCount == 1L)
+  }
+
+  test("unique_values_eq is set equality") {
+    val ok = DataFrameSchema("grp" ->
+      ColumnSchema(Some(StringType), checks = Seq(Check.uniqueValuesEq(Seq("A", "B")))))
+    assert(ok.validate(df).passed)
+    val missing = DataFrameSchema("grp" ->
+      ColumnSchema(Some(StringType), checks = Seq(Check.uniqueValuesEq(Seq("A", "B", "C")))))
+    assert(!missing.validate(df).passed)
+    val extra = DataFrameSchema("grp" ->
+      ColumnSchema(Some(StringType), checks = Seq(Check.uniqueValuesEq(Seq("A")))))
+    assert(!extra.validate(df).passed)
+  }
+
+  test("groupby aggregate check: mean(A) vs mean(B)") {
+    val schema = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Check.groupbyAgg("meanB_gt_meanA", "grp",
+        org.apache.spark.sql.functions.avg("price"))(m => m("B") > m("A")))))
+    assert(schema.validate(df).passed)
+  }
+
+  test("two-sample t-test matches scipy on a known example") {
+    // scipy.stats.ttest_ind([30,31,29,30,30],[26,25,27,26,26], equal_var=True)
+    // -> stat ≈ 7.3380, pvalue ≈ 8.03e-05
+    val d = (Seq(30.0, 31.0, 29.0, 30.0, 30.0).map(("a", _)) ++
+      Seq(26.0, 25.0, 27.0, 26.0, 26.0).map(("b", _))).toDF("g", "v")
+    val r = Hypothesis.twoSampleT(5, 30.0, 0.5, 5, 26.0, 0.5, equalVar = true)
+    assert(math.abs(r.stat - 8.944271909999159) < 1e-9)
+    val schema = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.twoSampleTtest("g", "a", "b",
+        Hypothesis.GreaterThan, alpha = 0.01))))
+    assert(schema.validate(d).passed)
+    val wrongDir = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.twoSampleTtest("g", "a", "b",
+        Hypothesis.LessThan, alpha = 0.01))))
+    assert(!wrongDir.validate(d).passed)
+  }
+
+  test("regex column matching") {
+    val d = Seq((1.0, 2.0, "x")).toDF("m_a", "m_b", "other")
+    val schema = DataFrameSchema(
+      "m_.*" -> ColumnSchema(Some(DoubleType), checks = Seq(Check.gt(0.0)), regex = true))
+    assert(schema.validate(d).passed)
+    val bad = Seq((1.0, -2.0, "x")).toDF("m_a", "m_b", "other")
+    val res = schema.validate(bad)
+    assert(res.hardErrors.map(_.column.get) == Seq("m_b"))
+  }
+
+  test("schema transforms are immutable copies") {
+    val s = DataFrameSchema("a" -> ColumnSchema(Some(LongType)))
+    val s2 = s.addColumns("b" -> ColumnSchema(Some(StringType)))
+      .renameColumns(Map("a" -> "aa")).selectColumns("aa")
+    assert(s2.columnNames == Seq("aa"))
+    assert(s.columnNames == Seq("a"))
+  }
+
+  test("schema-only depth runs zero data checks") {
+    val schema = DataFrameSchema("price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)))
+    val res = graft.backend.Validator.validate(schema, df,
+      depth = graft.errors.GraftConfig.SchemaOnly)
+    assert(res.passed) // the ge(0) failure is a DATA check, skipped
+  }
+
+  test("validation report JSON shape") {
+    val schema = DataFrameSchema("price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)))
+    val res = schema.validate(df)
+    assert(res.reportJson.contains("\"DATA\""))
+    assert(res.reportJson.contains("DATAFRAME_CHECK"))
+  }
+}
