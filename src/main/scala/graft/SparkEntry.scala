@@ -204,7 +204,93 @@ object SparkEntry {
       val df = t(s, d, "orders")
       val res = InferSchema.infer(df).validate(df)
       aggPassFail(s, "infer_roundtrip", res)
-    })
+    }),
+
+    // ---- extensions: text analysis ----
+    "text_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        ext.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        ext.TextAnalysis.alphaCount(col("text")).cast("long").as("n_alpha"),
+        ext.TextAnalysis.digitCount(col("text")).cast("long").as("n_digit"),
+        ext.TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- extensions: dedup family ----
+    "dedup_exact" -> ((s, d) =>
+      ext.Dedup.exactStats(t(s, d, "documents"), Seq("text"))),
+    "dedup_minhash" -> ((s, d) =>
+      ext.Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ext.Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxDf = 100000L)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, d) =>
+      // no DuckDB xxhash64 → rows-only check; exactness covered in ExtSpec
+      ext.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      ext.Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, useLsh = false)
+        .orderBy("id_a", "id_b")),
+
+    // ---- extensions: similarity search ----
+    "sim_topk_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5).orderBy("query_id", "rank")
+    }),
+    "sim_topk_lsh" -> ((s, d) => {
+      // approximate path: rows-only check (recall asserted in ExtSpec)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, bits = 16, bands = 8)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_embedding_norm" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        round(ext.Similarity.l2Norm(col("embedding")), 4).as("norm"))
+        .orderBy("vec_id")),
+
+    // ---- extensions: multimodal plumbing (stub decode) ----
+    "mm_meta" -> ((s, d) => {
+      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
+      ext.Multimodal.extractMeta(withBin, "doc_id", "payload").orderBy("id")
+    }),
+    "mm_frames" -> ((s, d) => {
+      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
+      ext.Multimodal.sampleFrameIndices(withBin, "doc_id", "payload", frames = 4)
+        .orderBy("id", "frame_offset")
+    }),
+
+    // ---- streaming-shaped event analytics (batch plan; streaming variant
+    //      exercised in StreamingSpec with the same transformation) ----
+    "events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("ets", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+        .groupBy(date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))
+        .orderBy("hour", "event_type"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +369,67 @@ object SparkEntry {
         "SELECT 'l_tax', count(*) FILTER (WHERE l_tax IS NULL), CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem" +
         ") u ORDER BY \"column\""),
     "infer_roundtrip" ->
-      "SELECT 'infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count"
+      "SELECT 'infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+
+    // ---- extension oracles ----
+    "text_token_count" ->
+      "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id",
+    "text_quality" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) - length(regexp_replace(text, '[^0-9]', '', 'g')) - length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS BIGINT) AS n_punct FROM documents ORDER BY doc_id",
+    "text_langid" ->
+      ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sc AS (SELECT len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de, " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr, " +
+        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) AS s_zh FROM t), " +
+        "p AS (SELECT CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc) g) " +
+        "SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
+    "dedup_minhash" -> jaccardOracle(0.8),
+    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_embedding_cosine" ->
+      ("WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"round($cosineSql, 4) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45 ORDER BY id_a, id_b"),
+    "sim_topk_brute" ->
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
+        "sc AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id, " +
+        s"round($cosineSql, 4) AS cosine FROM embeddings a, q b), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank FROM sc) " +
+        "SELECT query_id, corpus_id, rank, cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "sim_embedding_norm" ->
+      "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm FROM embeddings ORDER BY vec_id",
+    "mm_meta" ->
+      "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width, CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'stub' AS format FROM documents ORDER BY id",
+    "mm_frames" ->
+      "SELECT doc_id AS id, CAST((f.fi * greatest(octet_length(encode(text)), 1)) // 4 AS BIGINT) AS frame_offset FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f ORDER BY id, frame_offset",
+    "events_hourly" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
   )
+
+  /** Double-precision cosine between embeddings a.embedding / b.embedding
+    * (list_sum folds in list order, matching Spark's aggregate). */
+  private val cosineSql: String =
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
+      "(sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) * " +
+      "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+
+  /** Exact word-3-gram Jaccard pairs >= threshold (brute in DuckDB; the
+    * engine side uses LSH/inverted-index candidate generation whose result
+    * set is provably identical on this data's separation). */
+  private def jaccardOracle(threshold: Double): String =
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM t), " +
+      "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+      s"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b"
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different text about spark distributed query processing engines"),
+    (3L, "another unrelated document mentioning parquet files and shuffle services"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("text: token counts, quality, fingerprint") {
+    val row = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.bpeTokenCount(col("text")).as("b"),
+      TextAnalysis.alphaCount(col("text")).as("a"),
+      TextAnalysis.fingerprintMd5(col("text")).as("f")).head()
+    assert(row.getAs[Int]("t") == 14)
+    assert(row.getAs[Int]("b") == 14)
+    assert(row.getAs[String]("f").length == 32)
+    // blank text → 0 tokens
+    val z = Seq(("  ")).toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).head().getInt(0)
+    assert(z == 0)
+  }
+
+  test("text: language id picks max-stopword language deterministically") {
+    val d = Seq(
+      ("the cat is in the house and it is big", "en"),
+      ("el perro es de la casa y un gato", "es"),
+      ("der hund ist nicht das problem und die katze", "de"),
+      ("xyzzy qwerty asdf", "de") // zero hits everywhere → tie → alphabetical first
+    ).toDF("text", "expected")
+    val got = d.select(TextAnalysis.languageId(col("text")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("dedup: exact stats and drop") {
+    val st = Dedup.exactStats(docs, Seq("text")).head()
+    assert(st.getAs[Long]("n_total") == 5)
+    assert(st.getAs[Long]("n_distinct") == 4)
+    assert(st.getAs[Long]("n_dup_rows") == 1)
+    assert(Dedup.dropExact(docs, Seq("text")).count() == 4)
+  }
+
+  test("dedup: minhash LSH finds planted near-dup and exact dup") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("dedup: simhash pairs for exact dup; distances order near vs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 4L)))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 4L).get._3 == 0L) // identical → hamming 0
+    assert(!keys.contains((2L, 3L)))
+    // raw distances: near-dup (0,1) must be closer than unrelated (0,2)
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("dedup: ngram jaccard inverted-index pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((0L, 4L))) == 1.0)
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("similarity: brute-force top-k self-query returns self as rank 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+    val self = topk.filter(col("rank") === 1)
+      .select("query_id", "corpus_id").collect()
+    self.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
+  test("similarity: LSH top-k recall >= 0.6 vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+      bits = 16, bands = 8)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("multimodal: binary payload + partition-wise stub decode") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text", "payload")
+    assert(withBin.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val meta = Multimodal.extractMeta(withBin, "doc_id", "payload")
+    val rows = meta.collect()
+    assert(rows.length == 5)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val n = r0.getLong(1)
+    assert(n == docs.filter(col("doc_id") === 0).head().getString(1).length.toLong)
+    assert(r0.getInt(2) == (64 + n % 512).toInt)
+    assert(r0.getString(5) == "stub")
+    val frames = Multimodal.sampleFrameIndices(withBin, "doc_id", "payload", 4)
+    assert(frames.count() == 20)
+  }
+}
