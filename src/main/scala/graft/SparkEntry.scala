@@ -206,6 +206,35 @@ object SparkEntry {
       aggPassFail(s, "infer_roundtrip", res)
     }),
 
+    // ---- §2.F schema IO + synthesis ----
+    "io_roundtrip" -> ((s, d) => {
+      // infer → YAML → parse → the round-tripped schema must still validate
+      // the source data AND carry identical (column, dtype) pairs.
+      val df = t(s, d, "lineitem")
+      val inferred = InferSchema.infer(df)
+      val back = graft.io.SchemaIO.fromYaml(graft.io.SchemaIO.toYaml(inferred))
+      val ok = back.validate(df).passed &&
+        graft.io.SchemaIO.toYaml(back) == graft.io.SchemaIO.toYaml(inferred)
+      import s.implicits._
+      back.columns.map { case (n, c) =>
+        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
+      }.toDF("column", "dtype", "failure_count").orderBy("column")
+    }),
+    "synth_roundtrip" -> ((s, d) => {
+      // synthesized data from a constrained schema must validate against it
+      val schema = DataFrameSchema(
+        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false, unique = true),
+        "qty" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(1.0, 50.0))),
+        "flag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "N", "R")))),
+        "name" -> ColumnSchema(Some(StringType),
+          Seq(Check.strStartswith("doc-"), Check.strLength(Some(5), Some(24)))))
+      val df = graft.synth.Synthesize.dataFrame(s, schema, 10000, seed = 42)
+      val res = schema.validate(df)
+      import s.implicits._
+      Seq(("synthesis_roundtrip", if (res.passed && df.count() == 10000) 0L else 1L))
+        .toDF("check_name", "failure_count")
+    }),
+
     // ---- extensions: text analysis ----
     "text_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -370,6 +399,16 @@ object SparkEntry {
         ") u ORDER BY \"column\""),
     "infer_roundtrip" ->
       "SELECT 'infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+
+    "io_roundtrip" ->
+      ("SELECT \"column\", dtype, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('l_orderkey','int64',0), ('l_partkey','int64',0), ('l_suppkey','int64',0), " +
+        "('l_linenumber','int32',0), ('l_quantity','float64',0), ('l_extendedprice','float64',0), " +
+        "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
+        "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
+        ") v(\"column\", dtype, fc) ORDER BY \"column\""),
+    "synth_roundtrip" ->
+      "SELECT 'synthesis_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
 
     // ---- extension oracles ----
     "text_token_count" ->

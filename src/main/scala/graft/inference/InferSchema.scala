@@ -30,8 +30,8 @@ object InferSchema {
   private def q(n: String) = col("`" + n.replace("`", "``") + "`")
 
   private def isMinMaxable(dt: DataType): Boolean = dt match {
-    case _: NumericType | DateType | TimestampType => true
-    case _                                         => false
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _                                                            => false
   }
 
   /** One fused pass computing every column's statistics. */

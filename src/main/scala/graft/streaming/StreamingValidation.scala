@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+import graft.errors.ValidationResult
+import graft.schema.DataFrameSchema
+
+/** Structured Streaming validation — an extension beyond the reference
+  * (which is batch-only; SURVEY.md §1.3 note). The batch engine is reused
+  * per micro-batch via foreachBatch: schema checks compile once, each batch
+  * pays exactly the fused single-pass cost, and `drop_invalid_rows`
+  * becomes a streaming quarantine filter.
+  */
+object StreamingValidation {
+
+  /** Wrap a streaming DataFrame into a validated foreachBatch writer.
+    * `onBatch` receives (validatedData, batchId, result) — route clean rows
+    * to the sink and the error report to monitoring from there. */
+  def validatedWriter(
+      stream: DataFrame,
+      schema: DataFrameSchema)(
+      onBatch: (DataFrame, Long, ValidationResult) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val res = schema.validate(batch)
+      onBatch(res.data, id, res)
+    }
+
+  /** Split each micro-batch into (valid, invalid) using the schema's
+    * row-level conditions (dropInvalidRows on a copy), calling the two
+    * sinks separately — the classic quarantine pattern. */
+  def quarantineWriter(
+      stream: DataFrame,
+      schema: DataFrameSchema)(
+      validSink: (DataFrame, Long) => Unit)(
+      invalidSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val dropping = schema.copy(dropInvalidRows = true)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.persist()
+      try {
+        val valid = dropping.validate(batch).data
+        validSink(valid, id)
+        invalidSink(batch.exceptAll(valid), id)
+      } finally batch.unpersist()
+    }
+  }
+
+  /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
+    * mode; in streaming mode add a watermark and run it incrementally. */
+  def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {
+    val withTs = events.withColumn("__ets",
+      timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+    val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
+    wm.groupBy(window(col("__ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+}

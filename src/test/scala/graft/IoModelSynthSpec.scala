@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.checks.Check
+import graft.io.SchemaIO
+import graft.model.{DataFrameModel, Decorators}
+import graft.schema._
+import graft.synth.Synthesize
+
+case class Item(id: Long, name: String, price: Double, active: Boolean)
+
+class IoModelSynthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = DataFrameSchema(
+    "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false, unique = true),
+    "name" -> ColumnSchema(Some(StringType),
+      Seq(Check.strStartswith("item-"), Check.strLength(Some(6), Some(20)))),
+    "price" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.5, 99.5))),
+    "flag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "B", "C"))), coerce = true),
+    "ts" -> ColumnSchema(Some(TimestampType)))
+    .copy(unique = Seq("id"), strict = Strict.Filter, ordered = false,
+      name = Some("items"), reportDuplicates = ReportDuplicates.ExcludeFirst)
+
+  test("YAML round trip preserves the full schema document") {
+    val yaml = SchemaIO.toYaml(schema)
+    val back = SchemaIO.fromYaml(yaml)
+    assert(back.columnNames == schema.columnNames)
+    assert(back.strict == Strict.Filter)
+    assert(back.unique == Seq("id"))
+    assert(back.reportDuplicates == ReportDuplicates.ExcludeFirst)
+    assert(back.column("id").get.unique)
+    assert(!back.column("id").get.nullable)
+    assert(back.column("id").get.dtype.contains(LongType))
+    assert(back.column("flag").get.coerce)
+    val names = back.column("name").get.checks.map(_.name).toSet
+    assert(names == Set("str_startswith", "str_length"))
+    // and round-trip again: stable fixpoint
+    assert(SchemaIO.toYaml(back) == yaml)
+  }
+
+  test("JSON round trip") {
+    val back = SchemaIO.fromJson(SchemaIO.toJson(schema))
+    assert(back.columnNames == schema.columnNames)
+    assert(back.column("price").get.checks.head.name == "in_range")
+  }
+
+  test("pandera dtype spellings parse") {
+    assert(SchemaIO.nameToDtype("int64") == LongType)
+    assert(SchemaIO.nameToDtype("datetime64[ns]") == TimestampType)
+    assert(SchemaIO.nameToDtype("str") == StringType)
+    assert(SchemaIO.nameToDtype("decimal(10,2)") == DecimalType(10, 2))
+    assert(SchemaIO.dtypeToName(DoubleType) == "float64")
+  }
+
+  test("toScript emits compilable-looking schema code") {
+    val code = SchemaIO.toScript(schema)
+    assert(code.contains("Check.inRange(0.5, 99.5)"))
+    assert(code.contains("\"id\" -> ColumnSchema"))
+  }
+
+  test("model DSL: derive from case class, attach checks, validate Dataset") {
+    val ds = Seq(Item(1, "a", 5.0, true), Item(2, "b", 6.0, false)).toDS()
+    val m = DataFrameModel.of[Item]
+      .field("price", Check.gt(0.0))
+      .unique("id").notNullable("name")
+    assert(m.schema.columnNames == Seq("id", "name", "price", "active"))
+    assert(m.schema.column("id").get.dtype.contains(LongType))
+    val res = m.validate(ds)
+    assert(res.passed)
+    assert(res.orThrow.collect().length == 2)
+    val bad = Seq(Item(1, "a", -5.0, true)).toDS()
+    assert(!m.validate(bad).passed)
+  }
+
+  test("decorators: checkInput / checkOutput / checkIo wrap function boundaries") {
+    val in = DataFrameSchema("v" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))))
+    val out = DataFrameSchema("v2" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))))
+    val f = Decorators.checkIo(in, out)(df => df.selectExpr("v * 2 AS v2"))
+    val good = Seq(1L, 2L).toDF("v")
+    assert(f(good).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    val bad = Seq(-1L).toDF("v")
+    intercept[graft.errors.SchemaErrorException] { f(bad) }
+  }
+
+  test("synthesis invariant: generated data validates against its schema") {
+    val df = Synthesize.dataFrame(spark, schema, 2000, seed = 7)
+    assert(df.count() == 2000)
+    val res = schema.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+  }
+
+  test("synthesis is deterministic in (seed, n) and partition-independent") {
+    val a = Synthesize.dataFrame(spark, schema, 100, seed = 7).collect().map(_.toString).sorted
+    val b = Synthesize.dataFrame(spark, schema, 100, seed = 7)
+      .repartition(13).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val c = Synthesize.dataFrame(spark, schema, 100, seed = 8).collect().map(_.toString).sorted
+    assert(!a.sameElements(c))
+  }
+
+  test("synthesis honors eq, isin, unique and nullable") {
+    val s = DataFrameSchema(
+      "k" -> ColumnSchema(Some(LongType), Seq(Check.equalTo(5L)), nullable = false),
+      "cat" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("x", "y")))),
+      "u" -> ColumnSchema(Some(LongType), nullable = false, unique = true))
+    val df = Synthesize.dataFrame(spark, s, 500, seed = 1)
+    val res = s.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    assert(df.select("k").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import graft.checks.Check
+import graft.schema._
+import graft.streaming.StreamingValidation
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = DataFrameSchema(
+    "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))),
+    "v" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.0, 100.0))))
+
+  test("foreachBatch validation reuses the batch engine per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("id", "v")
+
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val q = StreamingValidation.validatedWriter(stream, schema) { (data, id, res) =>
+      reports += ((id, res.passed, data.count()))
+    }.start()
+    try {
+      mem.addData((1L, 5.0), (2L, 7.5))
+      q.processAllAvailable()
+      mem.addData((3L, -4.0)) // fails in_range
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(reports.size == 2)
+    assert(reports(0) == ((0L, true, 2L)))
+    assert(reports(1)._2 == false)
+  }
+
+  test("quarantine writer splits valid and invalid rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("id", "v")
+
+    val valid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val invalid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingValidation.quarantineWriter(stream, schema) { (df, _) =>
+      valid ++= df.select("id").collect().map(_.getLong(0))
+    } { (df, _) =>
+      invalid ++= df.select("id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData((1L, 5.0), (2L, 200.0), (3L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(valid.sorted == Seq(1L, 3L))
+    assert(invalid.sorted == Seq(2L))
+  }
+
+  test("hourly rollup matches between batch mode and streaming mode") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = StreamingValidation.hourlyRollup(events, "ts", watermark = None)
+    assert(batch.count() > 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val rows = events.select("ts", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingValidation.hourlyRollup(stream, "ts", watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("rollup").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM rollup").collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}|${r.getDouble(3)}").sorted
+      val batched = batch.collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}|${r.getDouble(3)}").sorted
+      assert(streamed.sameElements(batched))
+    } finally q.stop()
+  }
+}
