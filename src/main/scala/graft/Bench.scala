@@ -1,9 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.checks.Check
+import graft.errors.GraftConfig
+import graft.schema._
+
+/** Benchmark main (driver contract): prints ONE JSON line with headline
+  * timings on SPARK_GRAFT_SF_DIR (default sf0.1).
+  *
+  * The key comparison is validate_full (graft's ONE fused aggregate pass)
+  * vs validate_ref_style (the reference pyspark backend's execution model:
+  * one `filter(!cond).limit(1).count()` Spark action PER CHECK —
+  * pandera/backends/pyspark/builtin_checks.py:48-49 — plus a groupBy
+  * action for uniqueness), measured on identical checks and data.
+  * validate_full_jobs counts Spark jobs during the fused run.
+  */
 object Bench {
+
+  /** The full lineitem contract: every §2.A builtin check kind + nullable +
+    * dtype + table-level uniqueness. */
+  def lineitemSchema: DataFrameSchema = DataFrameSchema(
+    "l_orderkey" -> ColumnSchema(Some(LongType), Seq(Check.ge(1L)), nullable = false),
+    "l_partkey" -> ColumnSchema(Some(LongType), Seq(Check.greaterThan(0L)), nullable = false),
+    "l_suppkey" -> ColumnSchema(Some(LongType), Seq(Check.notEqualTo(-1L))),
+    "l_linenumber" -> ColumnSchema(Some(IntegerType), Seq(Check.inRange(1, 7))),
+    "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(1.0, 50.0))),
+    "l_extendedprice" -> ColumnSchema(Some(DoubleType), Seq(Check.greaterThan(0.0), Check.lessThan(1e9))),
+    "l_discount" -> ColumnSchema(Some(DoubleType), Seq(Check.ge(0.0), Check.le(0.1))),
+    "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.08))),
+    "l_returnflag" -> ColumnSchema(Some(StringType),
+      Seq(Check.isin(Seq("A", "N", "R")), Check.strLength(Some(1), Some(1)),
+        Check.strMatches("[ANR]")), nullable = false),
+    "l_linestatus" -> ColumnSchema(Some(StringType),
+      Seq(Check.notin(Seq("X", "Y")), Check.strContains("[FO]"),
+        Check.strStartswith(""), Check.strEndswith(""))),
+    "l_shipdate" -> ColumnSchema(None, Nil, nullable = false))
+    .copy(unique = Seq("l_orderkey", "l_linenumber"))
+
+  /** Reference execution model: one Spark action per check. */
+  def refStyleValidate(df: DataFrame): Long = {
+    var failures = 0L
+    lineitemSchema.columns.foreach { case (name, cs) =>
+      val c = col(name)
+      if (!cs.nullable)
+        failures += df.filter(c.isNull).limit(1).count()
+      cs.checks.foreach {
+        case cc: graft.checks.ColumnCheck =>
+          failures += df.filter(cc.failCond(c)).limit(1).count()
+        case _ =>
+      }
+    }
+    failures += df.groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      .filter(col("count") > 1).limit(1).count()
+    failures
+  }
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,15 +76,70 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val jobCounter = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    })
+
+    def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // warm up file listing + JIT on a cheap pass
+    li.count(); docs.count(); emb.count()
+    lineitemSchema.validate(li) // JIT/codegen warmup for the fused path
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    jobCounter.set(0)
+    val (tFull, resFull) = time(lineitemSchema.validate(li))
+    results += "validate_full" -> tFull
+    val fullJobs = jobCounter.get()
+    val nErrors = resFull.errors.size.toLong // sf0.1 carries dirty rows by design
+
+    val (tRef, _) = time(refStyleValidate(li))
+    results += "validate_ref_style" -> tRef
+
+    val (tSchemaOnly, _) = time(
+      graft.backend.Validator.validate(lineitemSchema, li, depth = GraftConfig.SchemaOnly))
+    results += "validate_schema_only" -> tSchemaOnly
+
+    val (tInfer, _) = time(graft.inference.InferSchema.infer(li))
+    results += "infer_schema" -> tInfer
+
+    val (tDrop, _) = time(
+      lineitemSchema.copy(dropInvalidRows = true).validate(li).data.count())
+    results += "drop_invalid_rows" -> tDrop
+
+    val (tDedup, nPairs) = time(
+      ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
+    results += "dedup_minhash" -> tDedup
+
+    val (tSim, _) = time {
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5).count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    results += "sim_topk_brute" -> tSim
+
+    val (tText, _) = time(
+      docs.select(ext.TextAnalysis.qualityScore(col("text")),
+        ext.TextAnalysis.languageId(col("text")),
+        ext.TextAnalysis.fingerprint64(col("text"))).count())
+    results += "text_analysis" -> tText
+
+    val (tSynth, _) = time(
+      graft.synth.Synthesize.dataFrame(spark, lineitemSchema.removeColumns("l_shipdate"), 1000000).count())
+    results += "synthesize_1m" -> tSynth
+
+    val qs = (results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" } ++
+      Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
+        s""""dedup_pairs":$nPairs"""))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

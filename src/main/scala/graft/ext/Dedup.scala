@@ -35,22 +35,20 @@ object Dedup {
   def dropExact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** Word k-shingles of a text column, distinct. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val sh = when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    array_distinct(sh)
-  }
+  /** Word k-shingles of a text column, distinct, space-joined. Native
+    * Catalyst expression (graft.functions.WordShingles) over the codegen'd
+    * tokenizer — one loop per row. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.HashFunctions.wordShingles(TextAnalysis.tokens(text), k)
 
-  /** MinHash signature: numHashes permutations approximated by seeded
-    * xxhash64; sig[i] = min over shingles of hash_i(shingle). Pure
-    * expression — computed in the scan, no UDF, no shuffle. */
+  /** MinHash signature: numHashes universal-hash permutations over a single
+    * xxhash64 per shingle; sig[j] = min over shingles of a_j*h(s)+b_j.
+    * Native Catalyst expression (graft.functions.MinHashSig) — the nested
+    * higher-order-function formulation evaluated interpretively at ~10µs
+    * per inner element and was ~1000× slower at equal output. Computed in
+    * the scan, no UDF boxing, no shuffle. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+    graft.functions.HashFunctions.minhashSignature(shingleCol, numHashes)
 
   /** LSH band keys from a signature: bands × rowsPerBand = numHashes;
     * near-dup pairs agree on at least one full band whp. */
@@ -78,18 +76,22 @@ object Dedup {
     val base = df.select(q(idCol).as("id"),
         shingles(q(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Only (id, band, bucket) flows through the self-join shuffle — the
+    // (heavy) shingle arrays are re-attached to the deduped candidate
+    // pairs afterwards. At scale this is the difference between shuffling
+    // ids and shuffling whole documents.
     val banded = base
-      .select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
@@ -98,20 +100,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a text column: per-token hash bits vote ±1, sign of
-    * each bit-sum becomes the bit. Pure expressions (aggregate/zip_with). */
-  def simhash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (x, y) => x + y))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, i) => acc +
-        when(element_at(votes, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L))
-  }
+    * each bit-sum becomes the bit. Native Catalyst expression
+    * (graft.functions.SimHash64) — one tight loop per row. */
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextAnalysis.tokens(text))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4):
     * 4 × 16-bit chunk bucketing guarantees candidates share a chunk

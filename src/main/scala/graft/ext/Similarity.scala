@@ -28,21 +28,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Deterministic pseudo-random hyperplane component m[bit][dim]:
-    * xxhash64(bit, dim) folded into [-1, 1]. No training, no stored model —
-    * every executor recomputes the same planes from the expression. */
-  private def planeComponent(bit: Column, dim: Column): Column =
-    (pmod(xxhash64(bit, dim), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-
-  /** bitsCount-bit random-hyperplane signature of an embedding. */
+  /** bitsCount-bit random-hyperplane signature of an embedding. Plane
+    * components are derived deterministically from xxhash64(bit, dim) —
+    * no training, no stored model — and the whole signature is a native
+    * Catalyst expression (graft.functions.HyperplaneSig): one tight loop
+    * per row instead of bits×dims interpreted lambda evals. */
   def hyperplaneSignature(v: Column, bitsCount: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bitsCount - 1)),
-      lit(0L),
-      (acc, bit) => acc + when(
-        aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * planeComponent(bit, d)), lit(0.0), (s, x) => s + x) > 0,
-        call_function("shiftleft", lit(1L), bit)).otherwise(0L))
+    graft.functions.HashFunctions.hyperplaneSignature(v, bitsCount)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by corpus id). The query side is
