@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.checks.Check
+import graft.checks.{Check, ColumnCheck}
 import graft.errors.ValidationResult
 import graft.hypothesis.Hypothesis
 import graft.inference.InferSchema
@@ -16,6 +16,10 @@ import graft.schema._
   * DataFrame whose values a DuckDB oracle (oracleSql) reproduces.
   * All row-producing queries ORDER BY a deterministic key on both sides.
   */
+/** Typed carrier for the model_dsl query (DataFrameModel derivation). */
+case class LineitemQty(l_orderkey: Option[Long], l_linenumber: Option[Int],
+                       l_quantity: Option[Double])
+
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -311,6 +315,144 @@ object SparkEntry {
         .orderBy("id", "frame_offset")
     }),
 
+    // ---- §2.A custom vectorized check (api/checks.py:21-124) ----
+    "chk_custom_fn" -> ((s, d) =>
+      failCount(s, "custom_name_nonempty", t(s, d, "customer"), "c_name",
+        ColumnCheck("name_nonempty", c => length(c) > 0))),
+
+    // ---- §2.B remaining structural operators ----
+    "core_regex_columns" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_(quantity|discount|tax)" -> ColumnSchema(checks = Seq(Check.ge(0.0)), regex = true))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("regex_columns_ge0", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+    "core_ordered" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val inOrder = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType)),
+        "l_partkey" -> ColumnSchema(Some(LongType)))
+        .copy(ordered = true).validate(li)
+      val outOfOrder = DataFrameSchema(
+        "l_partkey" -> ColumnSchema(Some(LongType)),
+        "l_orderkey" -> ColumnSchema(Some(LongType)))
+        .copy(ordered = true).validate(li)
+      import s.implicits._
+      Seq(("ordered_in_order", inOrder.errors.size.toLong),
+        ("ordered_out_of_order", outOfOrder.errors.size.toLong))
+        .toDF("check_name", "failure_count").orderBy("check_name")
+    }),
+    "core_unique_colnames" -> ((s, d) => {
+      val dup = t(s, d, "lineitem")
+        .select(col("l_tax").as("x"), col("l_quantity").as("x"))
+      val res = DataFrameSchema()
+        .copy(uniqueColumnNames = true).validate(dup)
+      import s.implicits._
+      Seq(("unique_column_names",
+        res.errors.count(_.check == "column_names_are_unique").toLong))
+        .toDF("check_name", "failure_count")
+    }),
+    "core_set_defaults" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "event_id" -> ColumnSchema(Some(LongType)),
+        "value" -> ColumnSchema(Some(DoubleType), default = Some(0.0)))
+        .validate(t(s, d, "events"))
+      res.data.select("event_id", "value").orderBy("event_id", "value")
+    }),
+    "core_parser" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType)),
+        "l_linenumber" -> ColumnSchema(Some(IntegerType)),
+        "l_discount" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05)),
+          parsers = Seq(Parser("clip_le_005", c => least(c, lit(0.05))))))
+        .copy(strict = Strict.Filter)
+        .validate(t(s, d, "lineitem"))
+      res.data.orderBy("l_orderkey", "l_linenumber", "l_discount")
+    }),
+    "core_report_dup_excl" -> ((s, d) => {
+      def dups(mode: ReportDuplicates): Long =
+        DataFrameSchema(
+          "l_orderkey" -> ColumnSchema(Some(LongType)),
+          "l_linenumber" -> ColumnSchema(Some(IntegerType)))
+          .copy(unique = Seq("l_orderkey", "l_linenumber"), reportDuplicates = mode)
+          .validate(t(s, d, "lineitem"))
+          .errors.map(_.failureCount).sum
+      import s.implicits._
+      Seq(("report_duplicates_all", dups(ReportDuplicates.All)),
+        ("report_duplicates_exclude_first", dups(ReportDuplicates.ExcludeFirst)))
+        .toDF("check_name", "failure_count").orderBy("check_name")
+    }),
+    "core_series_schema" -> ((s, d) => {
+      val res = SeriesSchema("c_acctbal",
+        ColumnSchema(Some(DoubleType), Seq(Check.ge(-999.99))))
+        .validate(t(s, d, "customer"))
+      import s.implicits._
+      Seq(("series_ge", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+    "core_validate_sample" -> ((s, d) => {
+      // sample path: tautological check so the expected count is
+      // deterministic regardless of which rows the sample draws
+      val res = DataFrameSchema(
+        "c_custkey" -> ColumnSchema(Some(LongType),
+          Seq(ColumnCheck("tautology", c => c.isNotNull || c.isNull))))
+        .validateSample(t(s, d, "customer"), fraction = 0.5, seed = 42L)
+      import s.implicits._
+      Seq(("sampled_tautology", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+
+    // ---- §2.E schema-transform operators (pure metadata) ----
+    "schema_transform_ops" -> ((s, d) => {
+      val s2 = DataFrameSchema(
+        "a" -> ColumnSchema.of(LongType), "b" -> ColumnSchema.of(StringType),
+        "c" -> ColumnSchema.of(DoubleType))
+        .addColumns("d" -> ColumnSchema.of(IntegerType))
+        .removeColumns("b")
+        .renameColumns(Map("c" -> "c2"))
+        .updateColumn("c2")(_.copy(nullable = false))
+        .selectColumns("a", "c2", "d")
+      import s.implicits._
+      s2.columns.map { case (n, cs) =>
+        (n, graft.io.SchemaIO.dtypeToName(cs.dtype.get), cs.nullable)
+      }.toDF("column", "dtype", "nullable").orderBy("column")
+    }),
+
+    // ---- §2.F JSON IO + model DSL + decorators ----
+    "io_json_roundtrip" -> ((s, d) => {
+      val df = t(s, d, "lineitem")
+      val inferred = InferSchema.infer(df)
+      val back = graft.io.SchemaIO.fromJson(graft.io.SchemaIO.toJson(inferred))
+      val ok = back.validate(df).passed &&
+        graft.io.SchemaIO.toJson(back) == graft.io.SchemaIO.toJson(inferred)
+      import s.implicits._
+      back.columns.map { case (n, c) =>
+        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
+      }.toDF("column", "dtype", "failure_count").orderBy("column")
+    }),
+    "model_dsl" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity").as[LineitemQty]
+      val res = graft.model.DataFrameModel.of[LineitemQty]
+        .field("l_quantity", Check.inRange(5.0, 45.0))
+        .validate(ds)
+      Seq(("model_in_range",
+        res.errors.filter(_.check.startsWith("in_range")).map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+    "decorator_check_io" -> ((s, d) => {
+      val in = DataFrameSchema("l_returnflag" -> ColumnSchema(Some(StringType)))
+      val out = DataFrameSchema(
+        "grp" -> ColumnSchema(Some(StringType)),
+        "n" -> ColumnSchema(Some(LongType), Seq(Check.gt(0L)), nullable = false))
+      val f = graft.model.Decorators.checkIo(in, out)(df =>
+        df.groupBy(col("l_returnflag").as("grp")).agg(count(lit(1)).as("n")))
+      f(t(s, d, "lineitem")).orderBy("grp")
+    }),
+
     // ---- streaming-shaped event analytics (batch plan; streaming variant
     //      exercised in StreamingSpec with the same transformation) ----
     "events_hourly" -> ((s, d) =>
@@ -449,7 +591,52 @@ object SparkEntry {
     "mm_frames" ->
       "SELECT doc_id AS id, CAST((f.fi * greatest(octet_length(encode(text)), 1)) // 4 AS BIGINT) AS frame_offset FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f ORDER BY id, frame_offset",
     "events_hourly" ->
-      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+
+    // ---- §2.A custom check / §2.B structural / §2.E / §2.F additions ----
+    "chk_custom_fn" ->
+      "SELECT 'custom_name_nonempty' AS check_name, count(*) FILTER (WHERE c_name IS NOT NULL AND NOT (length(c_name) > 0)) AS failure_count FROM customer",
+    "core_regex_columns" ->
+      ("SELECT 'regex_columns_ge0' AS check_name, (" +
+        "count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 0.0)) + " +
+        "count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0.0)) + " +
+        "count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax >= 0.0))" +
+        ") AS failure_count FROM lineitem"),
+    "core_ordered" ->
+      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('ordered_in_order', 0), ('ordered_out_of_order', 2)" +
+        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
+    "core_unique_colnames" ->
+      "SELECT 'unique_column_names' AS check_name, CAST(1 AS BIGINT) AS failure_count",
+    "core_set_defaults" ->
+      "SELECT event_id, coalesce(value, 0.0) AS value FROM events ORDER BY event_id, value",
+    "core_parser" ->
+      "SELECT l_orderkey, l_linenumber, least(l_discount, 0.05) AS l_discount FROM lineitem ORDER BY 1, 2, 3",
+    "core_report_dup_excl" ->
+      ("SELECT * FROM (" +
+        "SELECT 'report_duplicates_all' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count " +
+        "UNION ALL " +
+        "SELECT 'report_duplicates_exclude_first', CAST(COALESCE((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT)" +
+        ") u ORDER BY check_name"),
+    "core_series_schema" ->
+      "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
+    "core_validate_sample" ->
+      "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "schema_transform_ops" ->
+      ("SELECT \"column\", dtype, nullable FROM (VALUES " +
+        "('a', 'int64', true), ('c2', 'float64', false), ('d', 'int32', true)" +
+        ") v(\"column\", dtype, nullable) ORDER BY \"column\""),
+    "io_json_roundtrip" ->
+      ("SELECT \"column\", dtype, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('l_orderkey','int64',0), ('l_partkey','int64',0), ('l_suppkey','int64',0), " +
+        "('l_linenumber','int32',0), ('l_quantity','float64',0), ('l_extendedprice','float64',0), " +
+        "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
+        "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
+        ") v(\"column\", dtype, fc) ORDER BY \"column\""),
+    "model_dsl" ->
+      "SELECT 'model_in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
+    "decorator_check_io" ->
+      "SELECT l_returnflag AS grp, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY grp"
   )
 
   /** Double-precision cosine between embeddings a.embedding / b.embedding
