@@ -254,16 +254,27 @@ object Validator {
           count(lit(1)).as("__graft_total")
         val row = checkDf.agg(aggExprs.head, aggExprs.tail.toIndexedSeq: _*).head()
         val failed = pendings.filter(p => row.getAs[Long](p.id) > 0L)
-        // failure-case sampling: one bounded job per FAILED check only
-        // (backends/pandas/checks.py:203-236 n_failure_cases semantics)
+        // failure-case sampling (n_failure_cases semantics,
+        // backends/pandas/checks.py:203-236): ONE job for ALL failed checks
+        // — filter to rows failing anything, then a hard-capped
+        // BoundedCollect per failed check. Memory is O(n_failure_cases) per
+        // check regardless of how many rows failed; clean data never pays
+        // this job at all.
+        val sampled = failed.filter(_.nFailureCases > 0)
+        val cases: Map[String, Seq[String]] =
+          if (sampled.isEmpty) Map.empty
+          else {
+            val anyFail = sampled.map(_.failCond).reduce(_ || _)
+            val caseExprs = sampled.map(p =>
+              graft.functions.BoundedCollect.of(
+                when(p.failCond, p.sampleExpr), p.nFailureCases).as(p.id))
+            val caseRow = checkDf.filter(anyFail)
+              .agg(caseExprs.head, caseExprs.tail.toIndexedSeq: _*).head()
+            sampled.map(p =>
+              p.id -> caseRow.getSeq[String](caseRow.fieldIndex(p.id)).toSeq).toMap
+          }
         failed.foreach { p =>
-          val n = row.getAs[Long](p.id)
-          val cases =
-            if (p.nFailureCases <= 0) Seq.empty[String]
-            else checkDf.filter(p.failCond).select(p.sampleExpr.as("v"))
-              .limit(p.nFailureCases).collect()
-              .map(r => String.valueOf(r.get(0))).toSeq
-          errs += p.mkError(n, cases)
+          errs += p.mkError(row.getAs[Long](p.id), cases.getOrElse(p.id, Nil))
         }
       }
 
@@ -321,19 +332,27 @@ object Validator {
       case _                    => cnt - 1L // order-insensitive n-1
     }
 
+    // one action per key-set: duplicate-row count, duplicated-key count AND
+    // a hard-capped key sample come out of a single aggregate-then-aggregate
+    // plan (BoundedCollect keeps the sample O(n_failure_cases) in memory).
+    def dupStats(grouped: DataFrame, keyStr: Column): (Long, Long, Seq[String]) = {
+      val agg = grouped.agg(
+        coalesce(sum(dupCount(col("count"))), lit(0L)).as("dups"),
+        count(lit(1)).as("keys"),
+        graft.functions.BoundedCollect.of(keyStr, Check.DefaultNFailureCases)
+          .as("cases")).head()
+      (agg.getAs[Long]("dups"), agg.getAs[Long]("keys"),
+        agg.getSeq[String](agg.fieldIndex("cases")).toSeq)
+    }
+
     uniqueCols.foreach { c =>
       val grouped = df.filter(q(c).isNotNull).groupBy(q(c)).count()
         .filter(col("count") > 1L)
-      val agg = grouped.agg(
-        coalesce(sum(dupCount(col("count"))), lit(0L)).as("dups"),
-        count(lit(1)).as("keys")).head()
-      val dups = agg.getAs[Long]("dups")
+      val (dups, keys, cases) = dupStats(grouped, q(c).cast("string"))
       if (dups > 0L) {
-        val cases = grouped.select(q(c).cast("string"))
-          .limit(Check.DefaultNFailureCases).collect().map(r => r.getString(0)).toSeq
         errs += SchemaError("Column", Some(c), "field_uniqueness",
           SERIES_CONTAINS_DUPLICATES, DATA, dups, cases,
-          s"column '$c' contains ${agg.getAs[Long]("keys")} duplicated value(s) " +
+          s"column '$c' contains $keys duplicated value(s) " +
             s"($dups duplicate row(s))")
       }
     }
@@ -341,19 +360,14 @@ object Validator {
     if (schema.unique.nonEmpty) {
       val cols = schema.unique.map(q)
       val grouped = df.groupBy(cols: _*).count().filter(col("count") > 1L)
-      val agg = grouped.agg(
-        coalesce(sum(dupCount(col("count"))), lit(0L)).as("dups"),
-        count(lit(1)).as("keys")).head()
-      val dups = agg.getAs[Long]("dups")
+      val (dups, keys, cases) = dupStats(grouped,
+        concat_ws("|", schema.unique.map(c => q(c).cast("string")): _*))
       if (dups > 0L) {
-        val cases = grouped
-          .select(concat_ws("|", schema.unique.map(c => q(c).cast("string")): _*))
-          .limit(Check.DefaultNFailureCases).collect().map(_.getString(0)).toSeq
         errs += SchemaError("DataFrameSchema", None,
           s"multiple_fields_uniqueness(${schema.unique.mkString(",")})",
           DUPLICATES, DATA, dups, cases,
           s"columns (${schema.unique.mkString(", ")}) contain " +
-            s"${agg.getAs[Long]("keys")} duplicated key(s) ($dups duplicate row(s))")
+            s"$keys duplicated key(s) ($dups duplicate row(s))")
       }
     }
   }
