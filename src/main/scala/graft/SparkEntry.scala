@@ -314,6 +314,20 @@ object SparkEntry {
       ext.Multimodal.sampleFrameIndices(withBin, "doc_id", "payload", frames = 4)
         .orderBy("id", "frame_offset")
     }),
+    "mm_features" -> ((s, d) => {
+      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
+      ext.Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 8)
+        .select(col("id"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("feature"), 2).cast("double"), 4).as("f1"),
+          round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
+        .orderBy("id")
+    }),
+    "mm_resize" -> ((s, d) => {
+      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
+      ext.Multimodal.resizePayload(withBin, "doc_id", "payload", maxBytes = 128)
+        .select("id", "n_bytes", "width", "height").orderBy("id")
+    }),
 
     // ---- §2.A custom vectorized check (api/checks.py:21-124) ----
     "chk_custom_fn" -> ((s, d) =>
@@ -590,6 +604,15 @@ object SparkEntry {
       "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width, CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'stub' AS format FROM documents ORDER BY id",
     "mm_frames" ->
       "SELECT doc_id AS id, CAST((f.fi * greatest(octet_length(encode(text)), 1)) // 4 AS BIGINT) AS frame_offset FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f ORDER BY id, frame_offset",
+    "mm_features" ->
+      ("WITH b AS (SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
+        "SELECT id, round(CAST(CAST((n*1)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f0, " +
+        "round(CAST(CAST((n*2)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f1, " +
+        "round(CAST(CAST((n*8)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f7 FROM b ORDER BY id"),
+    "mm_resize" ->
+      ("WITH b AS (SELECT doc_id AS id, CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS nb FROM documents) " +
+        "SELECT id, nb AS n_bytes, CAST(64 + nb % 512 AS INTEGER) AS width, " +
+        "CAST(64 + (nb*7) % 512 AS INTEGER) AS height FROM b ORDER BY id"),
     "events_hourly" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
 

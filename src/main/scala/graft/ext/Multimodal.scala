@@ -61,6 +61,50 @@ object Multimodal {
       }(enc)
   }
 
+  /** Feature extraction partition-wise (the shape an image/audio embedder
+    * takes): one model instance per partition, payload → fixed-dim vector.
+    * The STUB derives components deterministically from the byte length so
+    * the pipeline (schema array<float>, batch boundary, partitioning) is
+    * verifiable; a real extractor replaces the inner function only.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                      dim: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        // real embedder would load weights once here, per partition
+        rows.map { r =>
+          val n = r.getAs[Array[Byte]](1).length.toLong
+          val f = Array.tabulate(dim)(j => ((n * (j + 1)) % 97L).toFloat / 97.0f)
+          Row(r.getLong(0), f.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Resize partition-wise (STUB: byte-truncate to maxBytes and re-derive
+    * metadata — a real implementation decodes, scales, re-encodes). Output
+    * keeps the payload column so resize chains with extractMeta/
+    * extractFeatures. */
+  def resizePayload(df: DataFrame, idCol: String, payloadCol: String,
+                    maxBytes: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)) ++ metaSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val resized = payload.take(maxBytes)
+          val (w, h, ch, fmt) = stubDecode(resized)
+          Row(r.getLong(0), resized, resized.length.toLong, w, h, ch, fmt)
+        }
+      }(enc)
+  }
+
   /** Deterministic frame sampling plan for (fake) video payloads: emit
     * `frames` evenly spaced frame indices per row — the explode pattern a
     * real frame extractor would follow (explode THEN decode keeps the heavy
