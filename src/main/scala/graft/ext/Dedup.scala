@@ -144,7 +144,12 @@ object Dedup {
       threshold: Double = 0.5,
       maxDf: Long = 1000L): DataFrame = {
     val base = df.select(q(idCol).as("id"), shingles(q(textCol), shingleK).as("sh"))
+    // Candidate generation shuffles (id, xxhash64(shingle)) — 16 bytes/row
+    // instead of the shingle text. A hash collision can only ADD a false
+    // candidate pair, which the exact-Jaccard verify below removes, so the
+    // result set is identical to joining on the strings.
     val inverted = base.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("s"))
     val filtered = inverted.join(
       inverted.groupBy("s").agg(count(lit(1)).as("df_count"))
         .filter(col("df_count") <= maxDf && col("df_count") > 1),
