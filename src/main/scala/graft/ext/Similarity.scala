@@ -26,7 +26,11 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — native codegen'd expression (one fused loop for
+    * dot + norms; graft.functions.CosineSim) with the same accumulation
+    * order as the dot/l2Norm composition above. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** bitsCount-bit random-hyperplane signature of an embedding. Plane
     * components are derived deterministically from xxhash64(bit, dim) —
