@@ -185,6 +185,13 @@ object SparkEntry {
         .validate(t(s, d, "lineitem"))
       aggPassFail(s, "two_sample_ttest", res)
     }),
+    "hyp_custom_relationship" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Hypothesis.oneSampleTtest(1.0,
+          Hypothesis.Custom((stat, _) => stat > 10.0), alpha = 0.05))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "custom_relationship", res)
+    }),
     "hyp_group_stats" -> ((s, d) =>
       t(s, d, "lineitem").filter(col("l_linestatus").isin("O", "F"))
         .groupBy(col("l_linestatus").as("grp"))
@@ -333,6 +340,26 @@ object SparkEntry {
     "chk_custom_fn" -> ((s, d) =>
       failCount(s, "custom_name_nonempty", t(s, d, "customer"), "c_name",
         ColumnCheck("name_nonempty", c => length(c) > 0))),
+
+    // ---- §2.A check modifiers ----
+    "chk_raise_warning" -> ((s, d) => {
+      val res = DataFrameSchema("l_tax" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.le(0.05).copy(raiseWarning = true))))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("raise_warning_failures", res.warnings.map(_.failureCount).sum),
+        ("raise_warning_passed", if (res.passed) 0L else 1L))
+        .toDF("check_name", "failure_count").orderBy("check_name")
+    }),
+    "chk_n_failure_cases" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.inRange(5.0, 45.0).copy(nFailureCases = 7))))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("n_failure_cases_sample",
+        res.errors.headOption.fold(0L)(_.failureCases.size.toLong)))
+        .toDF("check_name", "failure_count")
+    }),
 
     // ---- §2.B remaining structural operators ----
     "core_regex_columns" -> ((s, d) => {
@@ -617,6 +644,15 @@ object SparkEntry {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
 
     // ---- §2.A custom check / §2.B structural / §2.E / §2.F additions ----
+    "chk_raise_warning" ->
+      ("SELECT * FROM (" +
+        "SELECT 'raise_warning_failures' AS check_name, count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS failure_count FROM lineitem " +
+        "UNION ALL SELECT 'raise_warning_passed', CAST(0 AS BIGINT)" +
+        ") u ORDER BY check_name"),
+    "chk_n_failure_cases" ->
+      "SELECT 'n_failure_cases_sample' AS check_name, least(count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)), 7) AS failure_count FROM lineitem",
+    "hyp_custom_relationship" ->
+      "SELECT 'custom_relationship' AS check_name, CAST(CASE WHEN (avg(l_quantity) - 1.0) / (stddev_samp(l_quantity) / sqrt(count(l_quantity))) > 10.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem WHERE l_quantity IS NOT NULL",
     "chk_custom_fn" ->
       "SELECT 'custom_name_nonempty' AS check_name, count(*) FILTER (WHERE c_name IS NOT NULL AND NOT (length(c_name) > 0)) AS failure_count FROM customer",
     "core_regex_columns" ->

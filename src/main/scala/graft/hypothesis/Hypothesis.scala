@@ -21,6 +21,9 @@ object Hypothesis {
   case object LessThan extends Relationship    // stat < 0 and pvalue/2 < alpha
   case object NotEqual extends Relationship    // pvalue < alpha
   case object Equal extends Relationship       // pvalue >= alpha
+  /** Callable relationship (reference: api/hypotheses.py:15-100 allows a
+    * custom (stat, pvalue) => decision function). */
+  final case class Custom(fn: (Double, Double) => Boolean) extends Relationship
 
   final case class TestResult(stat: Double, pvalue: Double, df: Double)
 
@@ -30,6 +33,7 @@ object Hypothesis {
     case LessThan    => stat < 0 && pvalue / 2 < alpha
     case NotEqual    => pvalue < alpha
     case Equal       => pvalue >= alpha
+    case Custom(fn)  => fn(stat, pvalue)
   }
 
   /** Two-sided p-value from a t statistic. */
