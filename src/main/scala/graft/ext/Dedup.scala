@@ -70,7 +70,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Long = 10000L): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val base = df.select(q(idCol).as("id"),
@@ -80,9 +81,20 @@ object Dedup {
     // (heavy) shingle arrays are re-attached to the deduped candidate
     // pairs afterwards. At scale this is the difference between shuffling
     // ids and shuffling whole documents.
-    val banded = base
+    val allBanded = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // Skew guard: a bucket of m members emits m² candidate pairs, and on
+    // web-scale corpora mass-duplicated (or empty) documents land whole
+    // clusters in one bucket. Buckets above maxBucketSize are dropped —
+    // standard LSH practice (oversized buckets carry little information;
+    // run exact dedup on fingerprints FIRST to collapse exact duplicates).
+    // The size join keys on (band, bucket) like the self-join, so it reuses
+    // the same exchange.
+    val okBuckets = allBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val banded = allBanded.join(okBuckets, Seq("band", "bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
