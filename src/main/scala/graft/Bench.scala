@@ -134,6 +134,19 @@ object Bench {
       graft.synth.Synthesize.dataFrame(spark, lineitemSchema.removeColumns("l_shipdate"), 1000000).count())
     results += "synthesize_1m" -> tSynth
 
+    // scaling probe: the same contract on 10M synthesized rows across
+    // `cpus` in-memory partitions — shows the fused pass + uniqueness
+    // shuffle parallelize with cores once input isn't a single parquet
+    // row group (the sf files have one row group, which floors the
+    // file-based timings above at single-threaded decode).
+    val big = graft.synth.Synthesize
+      .dataFrame(spark, lineitemSchema.removeColumns("l_shipdate"), 10000000)
+      .persist()
+    big.count()
+    val (tBig, _) = time(lineitemSchema.removeColumns("l_shipdate").validate(big))
+    results += "validate_10m_inmem" -> tBig
+    big.unpersist()
+
     val qs = (results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" } ++
       Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
         s""""dedup_pairs":$nPairs"""))
