@@ -89,12 +89,12 @@ object Dedup {
     // clusters in one bucket. Buckets above maxBucketSize are dropped —
     // standard LSH practice (oversized buckets carry little information;
     // run exact dedup on fingerprints FIRST to collapse exact duplicates).
-    // The size join keys on (band, bucket) like the self-join, so it reuses
-    // the same exchange.
-    val okBuckets = allBanded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val banded = allBanded.join(okBuckets, Seq("band", "bucket"))
+    // A window count filters in the SAME shuffle that partitions the rows
+    // by (band, bucket) — no second scan of the signature branch.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val banded = allBanded
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
