@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.GraftFunctions
+
+/** The native expressions must be reachable from SQL text, with results
+  * identical to the Column API. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.registerAll(spark)
+
+  test("SQL and Column API agree for shingles/minhash/simhash/cosine") {
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "spark catalyst tungsten codegen"),
+      (2L, "one two")
+    ).toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_word_shingles(split(trim(text), '\\s+'), 3) AS sh,
+        |  graft_simhash64(split(trim(text), '\\s+')) AS sim
+        |FROM sql_docs""".stripMargin)
+      .select(col("doc_id"),
+        element_at(graft.functions.HashFunctions.minhashSignature(col("sh"), 16), 1).as("m0"),
+        col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val viaApi = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "spark catalyst tungsten codegen"),
+      (2L, "one two")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        element_at(graft.functions.HashFunctions.minhashSignature(
+          Dedup.shingles(col("text"), 3), 16), 1).as("m0"),
+        Dedup.simhash64(col("text")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(viaSql == viaApi)
+  }
+
+  test("SQL minhash_sig, cosine_sim and bounded_collect evaluate") {
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array('a b c', 'b c d'), 8) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.size == 8)
+
+    val cos = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    spark.range(0, 100).createOrReplaceTempView("sql_range")
+    val collected = spark.sql(
+      "SELECT graft_bounded_collect(CAST(id AS STRING), 5) AS c FROM sql_range")
+      .head().getSeq[String](0)
+    assert(collected.size == 5)
+  }
+}
