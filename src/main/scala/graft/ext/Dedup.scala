@@ -124,14 +124,23 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing covers hamming <= 3")
     val base = df.select(q(idCol).as("id"), simhash64(q(textCol)).as("sh"))
-    val chunked = base.select(col("id"), col("sh"),
+    val allChunked = base.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(3)),
           j => struct(j.as("cid"),
             call_function("shiftright", col("sh"), j * 16).bitwiseAND(0xFFFFL).as("ck")))).as("c"))
       .select(col("id"), col("sh"), col("c.cid").as("cid"), col("c.ck").as("ck"))
+    // Skew guard (same rationale as minhashPairs): chunk values shared by
+    // more than maxBucketSize docs would emit O(m²) candidates; dropping
+    // them trades recall on degenerate hot chunks for bounded work. The
+    // window count rides the same (cid, ck) shuffle as the self-join.
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid", "ck")
+    val chunked = allChunked
+      .withColumn("__bsz", count(lit(1)).over(wc))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
@@ -191,12 +200,16 @@ object Dedup {
       embCol: String,
       threshold: Double = 0.95,
       useLsh: Boolean = true,
-      lshBits: Int = 12): DataFrame = {
+      lshBits: Int = 12,
+      maxBucketSize: Long = 10000L): DataFrame = {
     val base = df.select(q(idCol).as("id"), q(embCol).as("v"))
     val pairs =
       if (useLsh) {
+        val ws = org.apache.spark.sql.expressions.Window.partitionBy("sig")
         val sigd = base.withColumn("sig",
           Similarity.hyperplaneSignature(col("v"), lshBits))
+          .withColumn("__bsz", count(lit(1)).over(ws))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
         sigd.as("a").join(sigd.as("b"),
             col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
