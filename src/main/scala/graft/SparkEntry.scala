@@ -306,6 +306,15 @@ object SparkEntry {
         queries, "qid", "qv", k = 5, bits = 16, bands = 8)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivf" -> ((s, d) => {
+      // approximate path: rows-only check (recall asserted in ExtSpec)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "sim_embedding_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
         round(ext.Similarity.l2Norm(col("embedding")), 4).as("norm"))

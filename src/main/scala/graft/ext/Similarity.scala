@@ -59,6 +59,61 @@ object Similarity {
       .select("query_id", "corpus_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * k-means centroids partition the corpus ONCE (Spark ML KMeans, seeded,
+    * few iterations); each query probes its `nProbe` nearest centroids and
+    * ranks only those cells by exact cosine.
+    *
+    * Scale shape: centroid training on a bounded sample; one corpus pass
+    * for assignment; the probe join is corpus-cell × query (centroids are
+    * broadcast — nCentroids × dim doubles). Cell sizes are ~|corpus|/k
+    * with k-means balancing, so no O(n²) anywhere.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int, nCentroids: Int = 64, nProbe: Int = 4,
+      trainSampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
+      .withColumn("fv", toVec(col("cv")))
+    val train = if (trainSampleFraction >= 1.0) c
+                else c.sample(withReplacement = false, trainSampleFraction, seed)
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+    val assigned = model.transform(c).select("corpus_id", "cv", "cell")
+
+    // probe: nProbe nearest centroids per query (centroids are tiny →
+    // literal broadcast table; exact L2 like the assignment step)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (v: Vector, i) => (i, v.toArray.toSeq)
+    }.toSeq
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+    val qs = queries.select(q(queryId).as("query_id"), q(queryEmb).as("qv"))
+    val l2 = aggregate(zip_with(col("qv"), col("centroid"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)
+    val probes = qs.crossJoin(centDf)
+      .withColumn("d2", l2)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "cell")
+
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a signature band with
     * the query; exact cosine ranks candidates. multiProbe widens recall by
     * also probing buckets at Hamming distance 1 on the band (flip one bit).

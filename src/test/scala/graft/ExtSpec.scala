@@ -106,6 +106,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("similarity: IVF top-k recall >= 0.6 vs brute force, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+      nCentroids = 16, nProbe = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run()
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    assert(run() == ivf) // seeded k-means → stable results
+  }
+
   test("multimodal: binary payload + partition-wise stub decode") {
     val withBin = Multimodal.withBinaryPayload(docs, "text", "payload")
     assert(withBin.schema("payload").dataType ==
