@@ -454,6 +454,27 @@ object SparkEntry {
         .toDF("check_name", "failure_count")
     }),
 
+    "core_dtype_nested" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ok = DataFrameSchema(
+        "embedding" -> ColumnSchema(Some(ArrayType(FloatType)))).validate(emb)
+      val wrong = DataFrameSchema(
+        "embedding" -> ColumnSchema(Some(ArrayType(DoubleType)))).validate(emb)
+      import s.implicits._
+      Seq(("array_dtype_ok", if (ok.passed) 0L else 1L),
+        ("array_dtype_wrong_detected",
+          wrong.errors.count(_.check.startsWith("dtype")).toLong))
+        .toDF("check_name", "failure_count").orderBy("check_name")
+    }),
+    "core_coerce_decimal" -> ((s, d) => {
+      val res = DataFrameSchema(
+        "l_extendedprice" -> ColumnSchema(Some(DecimalType(12, 2)), coerce = true))
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("decimal_coerce_failures", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
+
     // ---- §2.E schema-transform operators (pure metadata) ----
     "schema_transform_ops" -> ((s, d) => {
       val s2 = DataFrameSchema(
@@ -690,6 +711,12 @@ object SparkEntry {
       "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
     "core_validate_sample" ->
       "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "core_dtype_nested" ->
+      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('array_dtype_ok', 0), ('array_dtype_wrong_detected', 1)" +
+        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
+    "core_coerce_decimal" ->
+      "SELECT 'decimal_coerce_failures' AS check_name, count(*) FILTER (WHERE l_extendedprice IS NOT NULL AND TRY_CAST(l_extendedprice AS DECIMAL(12,2)) IS NULL) AS failure_count FROM lineitem",
     "schema_transform_ops" ->
       ("SELECT \"column\", dtype, nullable FROM (VALUES " +
         "('a', 'int64', true), ('c2', 'float64', false), ('d', 'int32', true)" +
