@@ -265,9 +265,13 @@ object Validator {
           if (sampled.isEmpty) Map.empty
           else {
             val anyFail = sampled.map(_.failCond).reduce(_ || _)
+            // coalesce to the literal "null": a failing row whose sample
+            // VALUE is null (e.g. the not_nullable check) must still be
+            // collected (BoundedCollect skips null inputs by design)
             val caseExprs = sampled.map(p =>
               graft.functions.BoundedCollect.of(
-                when(p.failCond, p.sampleExpr), p.nFailureCases).as(p.id))
+                when(p.failCond, coalesce(p.sampleExpr, lit("null"))),
+                p.nFailureCases).as(p.id))
             val caseRow = checkDf.filter(anyFail)
               .agg(caseExprs.head, caseExprs.tail.toIndexedSeq: _*).head()
             sampled.map(p =>

@@ -36,6 +36,23 @@ class ValidatorSpec extends SparkSpec {
     assert(e.reason == SchemaErrorReason.DATAFRAME_CHECK)
   }
 
+  test("multiple failed checks sample their cases in one fused job") {
+    // three distinct failing checks → ONE BoundedCollect sampling job;
+    // each error must still carry only ITS failing values
+    val schema = DataFrameSchema(
+      "price" -> ColumnSchema.of(DoubleType, Check.ge(0.0), Check.le(45.0)),
+      "name" -> ColumnSchema(Some(StringType), nullable = false))
+    val res = schema.validate(df)
+    val byCheck = res.hardErrors.map(e => e.check -> e).toMap
+    assert(byCheck.keys.exists(_.startsWith("greater_than_or_equal_to")))
+    val ge = byCheck.collectFirst { case (k, e) if k.startsWith("greater_than_or_equal_to") => e }.get
+    val le = byCheck.collectFirst { case (k, e) if k.startsWith("less_than_or_equal_to") => e }.get
+    val nn = byCheck("not_nullable")
+    assert(ge.failureCount == 1L && ge.failureCases == Seq("-5.0"))
+    assert(le.failureCount == 1L && le.failureCases == Seq("50.0"))
+    assert(nn.failureCount == 1L && nn.failureCases == Seq("null"))
+  }
+
   test("ignore_na: nulls pass checks by default, fail with ignoreNa=false") {
     val relaxed = DataFrameSchema("name" -> ColumnSchema.of(StringType, Check.strLength(Some(3))))
     assert(relaxed.validate(df).passed)
