@@ -475,6 +475,18 @@ object SparkEntry {
         .toDF("check_name", "failure_count")
     }),
 
+    "config_depth_schema_only" -> ((s, d) => {
+      // the le(0.0) data check fails on virtually every row, but
+      // SCHEMA_ONLY depth must prune data checks entirely (zero data jobs)
+      val schema = DataFrameSchema(
+        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.0))))
+      val res = graft.backend.Validator.validate(schema, t(s, d, "lineitem"),
+        depth = graft.errors.GraftConfig.SchemaOnly)
+      import s.implicits._
+      Seq(("schema_only_skips_data_checks", if (res.passed) 0L else 1L))
+        .toDF("check_name", "failure_count")
+    }),
+
     // ---- §2.E schema-transform operators (pure metadata) ----
     "schema_transform_ops" -> ((s, d) => {
       val s2 = DataFrameSchema(
@@ -711,6 +723,8 @@ object SparkEntry {
       "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
     "core_validate_sample" ->
       "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "config_depth_schema_only" ->
+      "SELECT 'schema_only_skips_data_checks' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "core_dtype_nested" ->
       ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
         "('array_dtype_ok', 0), ('array_dtype_wrong_detected', 1)" +

@@ -53,6 +53,44 @@ class ValidatorSpec extends SparkSpec {
     assert(nn.failureCount == 1L && nn.failureCases == Seq("null"))
   }
 
+  test("job-count invariants: 1 job clean, 2 jobs with failures, 0 schema-only") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    val data = df.cache(); data.count() // materialize outside the window
+    // AQE materializes query stages as separate jobs; disable it here so
+    // one action == one job and the counts below mean "passes over data"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    def jobsDuring(f: => Unit): Int = {
+      Thread.sleep(300) // drain in-flight listener events
+      counter.set(0)
+      f
+      Thread.sleep(300)
+      counter.get()
+    }
+    try {
+      // clean data, no uniqueness → exactly the ONE fused aggregate job
+      val clean = DataFrameSchema("id" -> ColumnSchema.of(LongType, Check.ge(0L)))
+      assert(jobsDuring(clean.validate(data)) == 1)
+      // failing checks → fused pass + ONE sampling job, regardless of how
+      // many checks failed
+      val failing = DataFrameSchema(
+        "price" -> ColumnSchema.of(DoubleType, Check.ge(0.0), Check.le(45.0)),
+        "name" -> ColumnSchema(Some(StringType), nullable = false))
+      assert(jobsDuring(failing.validate(data)) == 2)
+      // schema-only depth → zero data jobs
+      assert(jobsDuring(graft.backend.Validator.validate(
+        failing, data, depth = graft.errors.GraftConfig.SchemaOnly)) == 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+      data.unpersist()
+    }
+  }
+
   test("ignore_na: nulls pass checks by default, fail with ignoreNa=false") {
     val relaxed = DataFrameSchema("name" -> ColumnSchema.of(StringType, Check.strLength(Some(3))))
     assert(relaxed.validate(df).passed)
