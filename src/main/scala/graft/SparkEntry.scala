@@ -475,6 +475,19 @@ object SparkEntry {
         .toDF("check_name", "failure_count")
     }),
 
+    "chk_approx_distinct" -> ((s, d) => {
+      // n_name cardinality (25) is deep in HLL sparse mode → exact estimate
+      val res = DataFrameSchema("n_name" -> ColumnSchema(Some(StringType),
+        Seq(Check.approxDistinctBetween(20L, 30L))))
+        .validate(t(s, d, "nation"))
+      aggPassFail(s, "approx_distinct_between", res)
+    }),
+    "chk_quantile" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.quantileBetween(0.5, 10.0, 40.0))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "quantile_between", res)
+    }),
     "config_depth_schema_only" -> ((s, d) => {
       // the le(0.0) data check fails on virtually every row, but
       // SCHEMA_ONLY depth must prune data checks entirely (zero data jobs)
@@ -723,6 +736,10 @@ object SparkEntry {
       "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
     "core_validate_sample" ->
       "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "chk_approx_distinct" ->
+      "SELECT 'approx_distinct_between' AS check_name, CAST(CASE WHEN count(DISTINCT n_name) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM nation",
+    "chk_quantile" ->
+      "SELECT 'quantile_between' AS check_name, CAST(CASE WHEN quantile_disc(l_quantity, 0.5) BETWEEN 10.0 AND 40.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
     "config_depth_schema_only" ->
       "SELECT 'schema_only_skips_data_checks' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "core_dtype_nested" ->

@@ -202,6 +202,40 @@ object Check {
       },
       Map("values" -> values))
 
+  // -- sketch-based checks (beyond reference; the 100 TB-native variants
+  // of cardinality/quantile constraints — one bounded aggregate each,
+  // never a distinct materialization) -----------------------------------
+  /** Distinct-count bounds via HyperLogLog (approx_count_distinct; exact in
+    * sparse mode at low cardinality, rsd error bound above). */
+  def approxDistinctBetween(min: Long, max: Long, rsd: Double = 0.05): AggregateCheck =
+    AggregateCheck(
+      "approx_distinct_between",
+      (df, colOpt) => {
+        val c = col(colOpt.getOrElse(
+          sys.error("approx_distinct_between requires a column")))
+        val est = df.select(approx_count_distinct(c, rsd)).head().getLong(0)
+        AggOutcome(est >= min && est <= max,
+          s"approx_distinct=$est expected_in=[$min,$max]")
+      },
+      Map("min_value" -> min, "max_value" -> max, "rsd" -> rsd))
+
+  /** Quantile bounds via the positional-error quantile sketch
+    * (percentile_approx): the `prob` quantile must lie in [lo, hi]. */
+  def quantileBetween(prob: Double, lo: Double, hi: Double,
+                      accuracy: Int = 10000): AggregateCheck =
+    AggregateCheck(
+      "quantile_between",
+      (df, colOpt) => {
+        val c = col(colOpt.getOrElse(
+          sys.error("quantile_between requires a column")))
+        val qv = df.select(percentile_approx(c.cast("double"), lit(prob),
+          lit(accuracy)).cast("double")).head().getDouble(0)
+        AggOutcome(qv >= lo && qv <= hi,
+          s"quantile($prob)=$qv expected_in=[$lo,$hi]")
+      },
+      Map("prob" -> prob, "min_value" -> lo, "max_value" -> hi,
+        "accuracy" -> accuracy))
+
   // -- custom checks ------------------------------------------------------
   /** Vectorized custom check (the default custom-Check form,
     * api/checks.py:21-124): user supplies Column => Column. */
