@@ -475,6 +475,16 @@ object SparkEntry {
         .toDF("check_name", "failure_count")
     }),
 
+    "core_uint_widening" -> ((s, d) => {
+      // §1.3: unsigned dtype = widened signed type + ge(0); l_linenumber
+      // declared uint16 → IntegerType + non-negativity
+      val res = DataFrameSchema(
+        "l_linenumber" -> ColumnSchema.uint16())
+        .validate(t(s, d, "lineitem"))
+      import s.implicits._
+      Seq(("uint16_widening", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
     "chk_approx_distinct" -> ((s, d) => {
       // n_name cardinality (25) is deep in HLL sparse mode → exact estimate
       val res = DataFrameSchema("n_name" -> ColumnSchema(Some(StringType),
@@ -736,6 +746,8 @@ object SparkEntry {
       "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
     "core_validate_sample" ->
       "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "core_uint_widening" ->
+      "SELECT 'uint16_widening' AS check_name, count(*) FILTER (WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber >= 0)) AS failure_count FROM lineitem",
     "chk_approx_distinct" ->
       "SELECT 'approx_distinct_between' AS check_name, CAST(CASE WHEN count(DISTINCT n_name) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM nation",
     "chk_quantile" ->

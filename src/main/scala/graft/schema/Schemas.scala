@@ -58,6 +58,19 @@ final case class ColumnSchema(
 object ColumnSchema {
   def of(dt: DataType, cs: Check*): ColumnSchema =
     ColumnSchema(dtype = Some(dt), checks = cs)
+
+  /** Unsigned integer columns — Spark has no unsigned physical types, so
+    * (SURVEY §1.3) each widens to the next signed type plus a ge(0) check
+    * (pandera's UInt8/16/32/64, engines/pandas_engine.py:422-451). */
+  def uint8(cs: Check*): ColumnSchema =
+    ColumnSchema(dtype = Some(ShortType), checks = Check.ge(0) +: cs)
+  def uint16(cs: Check*): ColumnSchema =
+    ColumnSchema(dtype = Some(IntegerType), checks = Check.ge(0) +: cs)
+  def uint32(cs: Check*): ColumnSchema =
+    ColumnSchema(dtype = Some(LongType), checks = Check.ge(0L) +: cs)
+  /** uint64 has no wider signed host; LongType + ge(0) covers [0, 2^63). */
+  def uint64(cs: Check*): ColumnSchema =
+    ColumnSchema(dtype = Some(LongType), checks = Check.ge(0L) +: cs)
 }
 
 /** Declarative table contract.
