@@ -77,13 +77,20 @@ object Synthesize {
             (pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(vs.size)) + 1).cast("int"))
         case None => dt match {
           case _: NumericType =>
-            val lo = m.lo.getOrElse(0.0)
+            // default the missing bound RELATIVE to the present one — a
+            // le(-451) alone must not default lo to 0 (span would clamp
+            // to 0 and emit the out-of-range constant 0)
+            val lo = m.lo.getOrElse(m.hi.map(_ - 1000.0).getOrElse(0.0))
             val hi = m.hi.getOrElse(lo + 1000.0)
-            val span = math.max(hi - lo, 0.0)
-            val v = lit(lo) + u01(seed, salt) * lit(span)
             dt match {
-              case DoubleType | FloatType | _: DecimalType => v.cast(dt)
-              case _ => floor(v).cast(dt) // int family: floor keeps within [lo,hi]
+              case DoubleType | FloatType | _: DecimalType =>
+                (lit(lo) + u01(seed, salt) * lit(math.max(hi - lo, 0.0))).cast(dt)
+              case _ =>
+                // int family: uniform integer in [ceil(lo), floor(hi)] —
+                // naive floor(lo + u*span) dips below a fractional lo
+                val l = math.ceil(lo)
+                val h = math.max(math.floor(hi), l)
+                (lit(l) + floor(u01(seed, salt) * lit(h - l + 1.0))).cast(dt)
             }
           case BooleanType => (u01(seed, salt) < 0.5).cast(dt)
           case DateType =>
