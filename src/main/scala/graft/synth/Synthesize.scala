@@ -29,6 +29,7 @@ object Synthesize {
       hi: Option[Double] = None,       // inclusive upper
       eq: Option[Any] = None,
       isin: Option[Seq[Any]] = None,
+      notin: Seq[Any] = Nil,
       prefix: Option[String] = None,
       suffix: Option[String] = None,
       lenMin: Option[Int] = None,
@@ -50,6 +51,7 @@ object Synthesize {
             val hi = d("max_value") - (if (st("include_max") == false) 1e-6 else 0)
             m.copy(lo = Some(lo), hi = Some(hi))
           case "isin" => m.copy(isin = Some(st("allowed_values").asInstanceOf[Seq[Any]]))
+          case "notin" => m.copy(notin = m.notin ++ st("forbidden_values").asInstanceOf[Seq[Any]])
           case "str_startswith" => m.copy(prefix = Some(st("string").toString))
           case "str_endswith" => m.copy(suffix = Some(st("string").toString))
           case "str_length" => m.copy(
@@ -71,7 +73,9 @@ object Synthesize {
     val m = mergeConstraints(cs.checks)
     val base: Column = m.eq match {
       case Some(v) => lit(v).cast(dt)
-      case None => m.isin match {
+      case None => m.isin.map(_.filterNot(m.notin.contains)) match {
+        case Some(vs) if vs.isEmpty =>
+          sys.error(s"column '$name': isin minus notin leaves no legal values")
         case Some(vs) =>
           element_at(array(vs.map(v => lit(v).cast(dt)): _*),
             (pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(vs.size)) + 1).cast("int"))

@@ -31,22 +31,34 @@ class SynthPropertySpec extends SparkSpec {
   }
 
   private val genStringCol: Gen[ColumnSchema] = for {
-    kind <- Gen.oneOf(0, 1)
-    values <- Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.take(5))
+    kind <- Gen.oneOf(0, 1, 2, 3)
+    values <- Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+      .map(_.distinct.take(5)).suchThat(_.size >= 2)
     prefix <- Gen.alphaStr.suchThat(s => s.nonEmpty && s.length <= 6)
     nullable <- Gen.oneOf(true, false)
   } yield kind match {
-    case 0 => ColumnSchema(Some(StringType), Seq(Check.isin(values.distinct)),
+    case 0 => ColumnSchema(Some(StringType), Seq(Check.isin(values)),
       nullable = nullable)
     case 1 => ColumnSchema(Some(StringType),
       Seq(Check.strStartswith(prefix),
         Check.strLength(Some(prefix.length), Some(prefix.length + 12))),
       nullable = nullable)
+    case 2 => // notin carves values out of isin
+      ColumnSchema(Some(StringType),
+        Seq(Check.isin(values), Check.notin(values.tail)), nullable = nullable)
+    case 3 => ColumnSchema(Some(StringType), Seq(Check.equalTo(values.head)),
+      nullable = nullable)
   }
+
+  private val genUniqueCol: Gen[ColumnSchema] = for {
+    lo <- Gen.choose(-1000L, 1000L)
+  } yield ColumnSchema(Some(LongType), Seq(Check.ge(lo.toDouble)),
+    nullable = false, unique = true)
 
   private val genSchema: Gen[DataFrameSchema] = for {
     n <- Gen.choose(1, 4)
-    cols <- Gen.listOfN(n, Gen.oneOf(genNumericCol, genStringCol))
+    cols <- Gen.listOfN(n, Gen.frequency(
+      4 -> genNumericCol, 4 -> genStringCol, 1 -> genUniqueCol))
   } yield new DataFrameSchema(
     columns = cols.zipWithIndex.map { case (c, i) => s"c$i" -> c })
 
