@@ -485,6 +485,12 @@ object SparkEntry {
       Seq(("uint16_widening", res.errors.map(_.failureCount).sum))
         .toDF("check_name", "failure_count")
     }),
+    "chk_mean_stddev" -> ((s, d) => {
+      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.meanBetween(20.0, 30.0), Check.stddevBetween(5.0, 25.0))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "mean_stddev_between", res)
+    }),
     "chk_approx_distinct" -> ((s, d) => {
       // n_name cardinality (25) is deep in HLL sparse mode → exact estimate
       val res = DataFrameSchema("n_name" -> ColumnSchema(Some(StringType),
@@ -748,6 +754,8 @@ object SparkEntry {
       "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "core_uint_widening" ->
       "SELECT 'uint16_widening' AS check_name, count(*) FILTER (WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber >= 0)) AS failure_count FROM lineitem",
+    "chk_mean_stddev" ->
+      "SELECT 'mean_stddev_between' AS check_name, CAST(CASE WHEN avg(l_quantity) BETWEEN 20.0 AND 30.0 AND stddev_samp(l_quantity) BETWEEN 5.0 AND 25.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
     "chk_approx_distinct" ->
       "SELECT 'approx_distinct_between' AS check_name, CAST(CASE WHEN count(DISTINCT n_name) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM nation",
     "chk_quantile" ->

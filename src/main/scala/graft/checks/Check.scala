@@ -236,6 +236,28 @@ object Check {
       Map("prob" -> prob, "min_value" -> lo, "max_value" -> hi,
         "accuracy" -> accuracy))
 
+  /** Column mean must lie in [lo, hi] — one aggregate. */
+  def meanBetween(lo: Double, hi: Double): AggregateCheck =
+    AggregateCheck(
+      "mean_between",
+      (df, colOpt) => {
+        val c = col(colOpt.getOrElse(sys.error("mean_between requires a column")))
+        val m = df.select(avg(c.cast("double"))).head().getDouble(0)
+        AggOutcome(m >= lo && m <= hi, s"mean=$m expected_in=[$lo,$hi]")
+      },
+      Map("min_value" -> lo, "max_value" -> hi))
+
+  /** Sample standard deviation must lie in [lo, hi] — one aggregate. */
+  def stddevBetween(lo: Double, hi: Double): AggregateCheck =
+    AggregateCheck(
+      "stddev_between",
+      (df, colOpt) => {
+        val c = col(colOpt.getOrElse(sys.error("stddev_between requires a column")))
+        val s = df.select(stddev_samp(c.cast("double"))).head().getDouble(0)
+        AggOutcome(s >= lo && s <= hi, s"stddev=$s expected_in=[$lo,$hi]")
+      },
+      Map("min_value" -> lo, "max_value" -> hi))
+
   // -- custom checks ------------------------------------------------------
   /** Vectorized custom check (the default custom-Check form,
     * api/checks.py:21-124): user supplies Column => Column. */
