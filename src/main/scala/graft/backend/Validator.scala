@@ -176,10 +176,15 @@ object Validator {
     val aggChecks = scala.collection.mutable.ArrayBuffer.empty[(Option[String], AggregateCheck)]
 
     if (doData) {
-      present.foreach { case (dn, (_, cs)) =>
+      // Pending ids carry the declaration index `di` so they stay globally
+      // unique when a regex column overlaps an explicit declaration (or a
+      // duplicate column name appears): two declarations over one resolved
+      // column must count into two separate aggregate slots, not collide in
+      // Row.getAs.
+      present.zipWithIndex.foreach { case ((dn, (_, cs)), di) =>
         val c = q(dn)
         if (!cs.nullable)
-          pendings += Pending(s"nn__$dn", c.isNull, c.cast("string"),
+          pendings += Pending(s"nn${di}__$dn", c.isNull, c.cast("string"),
             (n, cases) => SchemaError("Column", Some(dn), "not_nullable",
               SERIES_CONTAINS_NULLS, DATA, n, cases,
               s"non-nullable column '$dn' contains $n null(s)"),
@@ -187,7 +192,7 @@ object Validator {
         if (coerced.exists(_._1 == dn)) {
           val orig = q(OrigPrefix + dn)
           val dt = cs.dtype.get
-          pendings += Pending(s"co__$dn", orig.isNotNull && c.isNull,
+          pendings += Pending(s"co${di}__$dn", orig.isNotNull && c.isNull,
             orig.cast("string"),
             (n, cases) => SchemaError("Column", Some(dn), s"coerce_dtype('${dt.sql}')",
               DATATYPE_COERCION, DATA, n, cases,
@@ -196,14 +201,14 @@ object Validator {
         }
         cs.checks.zipWithIndex.foreach {
           case (cc: ColumnCheck, i) =>
-            pendings += Pending(s"ck${i}__$dn", cc.failCond(c), c.cast("string"),
+            pendings += Pending(s"ck${di}_${i}__$dn", cc.failCond(c), c.cast("string"),
               (n, cases) => SchemaError("Column", Some(dn), cc.described,
                 DATAFRAME_CHECK, DATA, n, cases,
                 s"column '$dn' failed check ${cc.described}: $n failure(s)",
                 isWarning = cc.raiseWarning),
               cc.nFailureCases, !cc.failCond(c))
           case (wc: WideCheck, i) =>
-            pendings += Pending(s"wk${i}__$dn", wc.failCond(checkDf),
+            pendings += Pending(s"wk${di}_${i}__$dn", wc.failCond(checkDf),
               c.cast("string"),
               (n, cases) => SchemaError("Column", Some(dn), wc.described,
                 DATAFRAME_CHECK, DATA, n, cases,

@@ -1,15 +1,21 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * one scan over the corpus, per-query top-k via window. Scale path:
-  * random-hyperplane LSH — signatures are pure expressions computed in the
-  * scan; the candidate join is bucket-equality (ONE shuffle, no O(n²)).
+  * one scan over the corpus. Scale path: random-hyperplane LSH — signatures
+  * are pure expressions computed in the scan; the candidate join is
+  * bucket-equality (ONE shuffle, no O(n²)).
+  *
+  * Ranking everywhere is a bounded k-heap aggregate
+  * (graft.functions.TopKByScore) that folds map-side: each task forwards at
+  * most k entries per query through the shuffle. The earlier
+  * `row_number().over(Window.partitionBy(query_id))` pattern — which pulled
+  * every scored row of a query into one partition and sorted |corpus| rows
+  * there — is gone from all plans (asserted in ExtSpec).
   */
 object Similarity {
 
@@ -40,9 +46,22 @@ object Similarity {
   def hyperplaneSignature(v: Column, bitsCount: Int): Column =
     graft.functions.HashFunctions.hyperplaneSignature(v, bitsCount)
 
+  /** Rank scored (query_id, corpus_id, cosine) rows to per-query top-k via
+    * the bounded k-heap aggregate; rank = 1-based position in the
+    * (cosine desc, corpus_id asc) order. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("cosine"), col("corpus_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.item").as("corpus_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by corpus id). The query side is
-    * broadcast — the corpus is scanned exactly once regardless of k.
+    * broadcast — the corpus is scanned exactly once regardless of k — and
+    * the k-heap folds in the same stage as the scan, so the only shuffle
+    * carries ≤ k×|partitions| rows per query.
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusEmb: String,
@@ -52,11 +71,7 @@ object Similarity {
     val qs = queries.select(q(queryId).as("query_id"), q(queryEmb).as("qv"))
     val scored = c.crossJoin(broadcast(qs))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "cosine")
+    rankTopK(scored.select("query_id", "corpus_id", "cosine"), k)
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
@@ -87,7 +102,8 @@ object Similarity {
     val assigned = model.transform(c).select("corpus_id", "cv", "cell")
 
     // probe: nProbe nearest centroids per query (centroids are tiny →
-    // literal broadcast table; exact L2 like the assignment step)
+    // literal broadcast table; exact L2 like the assignment step). The
+    // k-heap keeps the nProbe best cells — score is negated distance.
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (v: Vector, i) => (i, v.toArray.toSeq)
     }.toSeq
@@ -98,56 +114,60 @@ object Similarity {
     val l2 = aggregate(zip_with(col("qv"), col("centroid"),
       (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)
     val probes = qs.crossJoin(centDf)
-      .withColumn("d2", l2)
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select("query_id", "qv", "cell")
+      .withColumn("negd2", -l2)
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore.of(col("negd2"), col("cell"), nProbe).as("pk"))
+      .select(col("query_id"), col("qv"), explode(col("pk.item")).as("cell"))
 
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "cosine")
+    rankTopK(cand.select("query_id", "corpus_id", "cosine"), k)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a signature band with
-    * the query; exact cosine ranks candidates. multiProbe widens recall by
-    * also probing buckets at Hamming distance 1 on the band (flip one bit).
+    * the query; exact cosine ranks candidates. `multiProbe` widens recall
+    * by also probing, per band, every bucket at Hamming distance 1 from the
+    * query's bucket (flip each of the band's bits) — (bandBits+1)× more
+    * query-side probe rows (the query side is small and broadcast), zero
+    * extra corpus work.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusEmb: String,
       queries: DataFrame, queryId: String, queryEmb: String,
-      k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+      k: Int, bits: Int = 16, bands: Int = 4,
+      multiProbe: Boolean = false): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
 
     def banded(df: DataFrame, idAlias: String, embAlias: String,
-               idC: String, embC: String): DataFrame = {
+               idC: String, embC: String, probe: Boolean): DataFrame = {
       val sig = hyperplaneSignature(q(embC), bits)
-      df.select(q(idC).as(idAlias), q(embC).as(embAlias), sig.as("sig"))
+      val withBucket = df
+        .select(q(idC).as(idAlias), q(embC).as(embAlias), sig.as("sig"))
         .select(col(idAlias), col(embAlias),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.as("band"),
               call_function("shiftright", col("sig"), b * bandBits).bitwiseAND(mask).as("bucket")))).as("bk"))
         .select(col(idAlias), col(embAlias),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      if (!probe) withBucket
+      else withBucket
+        .select(col(idAlias), col(embAlias), col("band"),
+          explode(transform(sequence(lit(0), lit(bandBits)),
+            j => when(j === 0, col("bucket"))
+              .otherwise(col("bucket").bitwiseXOR(
+                call_function("shiftleft", lit(1L), j - 1))))).as("bucket"))
     }
 
-    val c = banded(corpus, "corpus_id", "cv", corpusId, corpusEmb)
-    val qs = banded(queries, "query_id", "qv", queryId, queryEmb)
+    val c = banded(corpus, "corpus_id", "cv", corpusId, corpusEmb, probe = false)
+    val qs = banded(queries, "query_id", "qv", queryId, queryEmb, probe = multiProbe)
     val cand = c.join(broadcast(qs), Seq("band", "bucket"))
       .select("query_id", "corpus_id", "qv", "cv")
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "rank", "cosine")
+    rankTopK(cand.select("query_id", "corpus_id", "cosine"), k)
   }
 }

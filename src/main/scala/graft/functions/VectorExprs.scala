@@ -61,6 +61,10 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val n2a = ctx.freshName("n2a")
       val n2b = ctx.freshName("n2b"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // loop-local accumulators must be freshName'd too: Java forbids
+      // shadowing an enclosing local, so a bare `x` would fail to compile
+      // if any enclosing whole-stage-codegen scope declares one
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |double $dot = 0.0; double $n2a = 0.0; double $n2b = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
@@ -68,10 +72,10 @@ case class CosineSim(left: Expression, right: Expression)
          |  $dot += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
          |}
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double x = (double) $a.$getA($i); $n2a += x * x;
+         |  double $x = (double) $a.$getA($i); $n2a += $x * $x;
          |}
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double y = (double) $b.$getB($i); $n2b += y * y;
+         |  double $y = (double) $b.$getB($i); $n2b += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($n2a) * java.lang.Math.sqrt($n2b));
        """.stripMargin

@@ -82,10 +82,21 @@ object SchemaIO {
     case _ => false
   }
 
-  /** Custom checks that will NOT survive serialization. */
-  def unserializable(schema: DataFrameSchema): Seq[String] =
-    (schema.columns.flatMap(_._2.checks) ++ schema.checks)
-      .filterNot(serializableCheck).map(_.name)
+  /** Checks that will NOT survive serialization: custom lambda checks, plus
+    * same-name siblings beyond the first on one column (the document format
+    * keys checks by name per column — reference format — so a second
+    * `str_contains` on the same column cannot round-trip; it is reported
+    * here instead of silently dropped). */
+  def unserializable(schema: DataFrameSchema): Seq[String] = {
+    def dropped(cs: Seq[Check]): Seq[String] = {
+      val ser = cs.filter(serializableCheck)
+      val custom = cs.filterNot(serializableCheck).map(_.name)
+      val dups = ser.groupBy(_.name).values.flatMap(_.drop(1))
+        .map(c => s"${c.name} (duplicate name, dropped by document format)")
+      custom ++ dups
+    }
+    schema.columns.flatMap(c => dropped(c._2.checks)) ++ dropped(schema.checks)
+  }
 
   // ---- to/from nested maps ----------------------------------------------
   def toMap(schema: DataFrameSchema): Map[String, Any] = {
