@@ -283,13 +283,25 @@ object Check {
     * groupKey -> value map to `decide`. One groupBy job; the reference's
     * pyspark backend raises NotImplementedError for groupby
     * (backends/pyspark/checks.py:28-48) — this is a capability we add.
+    *
+    * Driver memory is HARD-BOUNDED: at most `maxGroups` group aggregates
+    * are collected; past the cap the check errors (CHECK_ERROR) instead of
+    * OOM-ing the driver on a high-cardinality key (user_id, url_host...).
+    * For unbounded-cardinality keys use [[groupbyHaving]], whose decision
+    * never leaves the executors.
     */
-  def groupbyAgg(name: String, groupbyCol: String, aggExpr: Column)(
+  def groupbyAgg(name: String, groupbyCol: String, aggExpr: Column,
+                 maxGroups: Int = 10000)(
       decide: Map[String, Double] => Boolean): AggregateCheck =
     AggregateCheck(
       name,
       (df, _) => {
-        val rows = df.groupBy(col(groupbyCol)).agg(aggExpr.as("agg")).collect()
+        val rows = df.groupBy(col(groupbyCol)).agg(aggExpr.as("agg"))
+          .limit(maxGroups + 1).collect()
+        if (rows.length > maxGroups)
+          sys.error(s"groupby check '$name' on '$groupbyCol' exceeds " +
+            s"maxGroups=$maxGroups groups; use groupbyHaving (executor-side " +
+            s"decision) or raise maxGroups")
         val m = rows.map(r => String.valueOf(r.get(0)) -> (r.get(1) match {
           case null => Double.NaN
           case n: Number => n.doubleValue()
@@ -297,6 +309,35 @@ object Check {
         })).toMap
         AggOutcome(decide(m), m.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(", "))
+      },
+      Map("groupby" -> groupbyCol))
+
+  /** Groupby check whose decision is an EXPRESSION over the per-group
+    * aggregate (`having`-style): every group must satisfy
+    * `having(aggValue)`. Scales to arbitrary group cardinality — the plan
+    * is groupBy → aggregate → one global count + bounded sample, so no
+    * per-group data ever reaches the driver. Prefer this over
+    * [[groupbyAgg]] for keys like user_id/url_host at 100 TB.
+    */
+  def groupbyHaving(name: String, groupbyCol: String, aggExpr: Column)(
+      having: Column => Column): AggregateCheck =
+    AggregateCheck(
+      name,
+      (df, _) => {
+        val bad = !coalesce(having(col("agg")), lit(false))
+        val row = df.groupBy(col(groupbyCol)).agg(aggExpr.as("agg"))
+          .agg(
+            count(when(bad, lit(1))).as("n_bad"),
+            count(lit(1)).as("n_groups"),
+            graft.functions.BoundedCollect.of(
+              when(bad, concat(col(groupbyCol).cast("string"), lit("="),
+                coalesce(col("agg").cast("string"), lit("null")))),
+              DefaultNFailureCases).as("cases"))
+          .head()
+        val nBad = row.getLong(0); val nGroups = row.getLong(1)
+        AggOutcome(nBad == 0L,
+          s"groups_failing_having=$nBad of $nGroups",
+          row.getSeq[String](2).toSeq)
       },
       Map("groupby" -> groupbyCol))
 

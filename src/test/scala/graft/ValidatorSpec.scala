@@ -209,6 +209,49 @@ class ValidatorSpec extends SparkSpec {
     assert(schema.validate(df).passed)
   }
 
+  test("groupbyAgg caps collected groups; groupbyHaving stays executor-side") {
+    // cap: 4 distinct ids > maxGroups=2 → CHECK_ERROR, not a driver OOM path
+    val capped = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Check.groupbyAgg("mean_by_id", "id",
+        org.apache.spark.sql.functions.avg("price"), maxGroups = 2)(_ => true))))
+    val res = capped.validate(df)
+    assert(res.hardErrors.exists(e =>
+      e.reason == SchemaErrorReason.CHECK_ERROR &&
+        e.message.contains("maxGroups")))
+    // having-style: every group's mean must be < 100 (passes) / > 15 (fails
+    // for grp A) with the violating groups in the bounded sample
+    def having(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+        checks = Seq(Check.groupbyHaving("grp_mean", "grp",
+          org.apache.spark.sql.functions.avg("price"))(f)))).validate(df)
+    assert(having(_ < 100.0).passed)
+    val bad = having(_ > 25.0)
+    assert(!bad.passed)
+    // grp A mean = (10-5+50)/3 ≈ 18.33 fails; grp B mean = 30 passes
+    assert(bad.hardErrors.head.failureCases.exists(_.startsWith("A=")))
+  }
+
+  test("isinLarge/notinLarge: broadcast join membership for 100k-value sets") {
+    val allowed: Seq[Any] = (0L until 200000L by 2L).map(x => x: Any)
+    // ids 1..4: odds 1,3 violate the even-allowed set
+    val viol = graft.ext.SetMembership.violations(df, "id", allowed, semi = false)
+    assert(viol.count() == 2)
+    val plan = viol.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$plan")
+    val schemaIsin = DataFrameSchema("id" -> ColumnSchema(Some(LongType),
+      checks = Seq(graft.ext.SetMembership.isinLarge(allowed))))
+    val res = schemaIsin.validate(df)
+    assert(!res.passed)
+    assert(res.hardErrors.head.message.contains("violations=2"))
+    // notin: forbidden set hits ids 2,4 (4 twice)
+    val schemaNotin = DataFrameSchema("id" -> ColumnSchema(Some(LongType),
+      checks = Seq(graft.ext.SetMembership.notinLarge(Seq(2L, 4L)))))
+    val res2 = schemaNotin.validate(df)
+    assert(!res2.passed)
+    assert(res2.hardErrors.head.message.contains("violations=3"))
+  }
+
   test("two-sample t-test matches scipy on a known example") {
     // scipy.stats.ttest_ind([30,31,29,30,30],[26,25,27,26,26], equal_var=True)
     // -> stat ≈ 7.3380, pvalue ≈ 8.03e-05
