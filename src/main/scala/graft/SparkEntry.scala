@@ -267,6 +267,28 @@ object SparkEntry {
         .toDF("check_name", "failure_count")
     }),
 
+    "synth_regex_roundtrip" -> ((s, d) => {
+      // round-2: regex / contains / ne / standalone-notin constrained
+      // synthesis must validate against its own schema (the invariant
+      // from tests/strategies/test_strategies.py:128-160)
+      val schema = DataFrameSchema(
+        "code" -> ColumnSchema(Some(StringType),
+          Seq(Check.strMatches("[A-Z]{2}-\\d{3}")), nullable = false),
+        "email" -> ColumnSchema(Some(StringType),
+          Seq(Check.strContains("@[a-z]{3}\\.(com|org)")), nullable = false),
+        "status" -> ColumnSchema(Some(StringType),
+          Seq(Check.notin(Seq("BAD", "VOID"))), nullable = false),
+        "qty" -> ColumnSchema(Some(LongType),
+          Seq(Check.inRange(0L, 100L), Check.ne(13L))),
+        "uid" -> ColumnSchema(Some(LongType),
+          Seq(Check.inRange(0L, 20000L)), nullable = false, unique = true))
+      val df = graft.synth.Synthesize.dataFrame(s, schema, 5000, seed = 42)
+      val res = schema.validate(df)
+      import s.implicits._
+      Seq(("synth_regex_roundtrip", if (res.passed && df.count() == 5000) 0L else 1L))
+        .toDF("check_name", "failure_count")
+    }),
+
     // ---- extensions: text analysis ----
     "text_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -688,6 +710,8 @@ object SparkEntry {
         ") v(\"column\", dtype, fc) ORDER BY \"column\""),
     "synth_roundtrip" ->
       "SELECT 'synthesis_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "synth_regex_roundtrip" ->
+      "SELECT 'synth_regex_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
 
     // ---- extension oracles ----
     "text_token_count" ->
