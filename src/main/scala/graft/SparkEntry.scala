@@ -598,6 +598,18 @@ object SparkEntry {
         res.errors.filter(_.check.startsWith("in_range")).map(_.failureCount).sum))
         .toDF("check_name", "failure_count")
     }),
+    "model_parser" -> ((s, d) => {
+      // typed-DSL parser hook (@parser analog): clip l_quantity before the
+      // le check; the PARSED data is the query result
+      import s.implicits._
+      val ds = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity").as[LineitemQty]
+      val res = graft.model.DataFrameModel.of[LineitemQty]
+        .parser("l_quantity", "clip_le_30")(c => least(c, lit(30.0)))
+        .field("l_quantity", Check.le(30.0))
+        .validate(ds)
+      res.orThrow.toDF().orderBy("l_orderkey", "l_linenumber")
+    }),
     "decorator_check_io" -> ((s, d) => {
       val in = DataFrameSchema("l_returnflag" -> ColumnSchema(Some(StringType)))
       val out = DataFrameSchema(
@@ -830,6 +842,8 @@ object SparkEntry {
         ") v(\"column\", dtype, fc) ORDER BY \"column\""),
     "model_dsl" ->
       "SELECT 'model_in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
+    "model_parser" ->
+      "SELECT l_orderkey, l_linenumber, least(l_quantity, 30.0) AS l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "decorator_check_io" ->
       "SELECT l_returnflag AS grp, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY grp"
   )

@@ -167,6 +167,25 @@ object Validator {
       }
     }
 
+    // check/dtype input restrictions (reference:
+    // @register_input_datatypes, backends/pyspark/decorators.py:42-105):
+    // a str_* check on an int column is a SCHEMA error here, and the check
+    // is excluded from the fused pass — never a silent implicit cast or a
+    // runtime analysis exception. Keyed by (declaration idx, check idx).
+    val incompatible: Set[(Int, Int)] = present.zipWithIndex.flatMap {
+      case ((dn, (_, cs)), di) =>
+        val eff = work.schema(dn).dataType // post-coercion dtype
+        cs.checks.zipWithIndex.collect {
+          case (c, i) if !Check.acceptsInputDtype(c.name, eff) =>
+            if (doSchema)
+              errs += SchemaError("Column", Some(dn), c.described,
+                INVALID_CHECK_INPUT_TYPE, SCHEMA, 1L, Seq(eff.sql),
+                s"check '${c.name}' cannot apply to column '$dn' of type " +
+                  s"${eff.sql} (invalid input datatype)")
+            (di, i)
+        }
+    }.toSet
+
     // ---- 3. subsample for data checks (backends/pyspark/base.py:55-69) --
     var checkDf = sample.fold(work) { case (f, seed) => work.sample(false, f, seed) }
     checkDf = head.fold(checkDf)(n => checkDf.limit(n))
@@ -199,7 +218,7 @@ object Validator {
               s"column '$dn': $n value(s) could not be coerced to ${dt.sql}"),
             Check.DefaultNFailureCases, !(orig.isNotNull && c.isNull))
         }
-        cs.checks.zipWithIndex.foreach {
+        cs.checks.zipWithIndex.filterNot(ci => incompatible((di, ci._2))).foreach {
           case (cc: ColumnCheck, i) =>
             pendings += Pending(s"ck${di}_${i}__$dn", cc.failCond(c), c.cast("string"),
               (n, cases) => SchemaError("Column", Some(dn), cc.described,

@@ -341,6 +341,35 @@ object Check {
       },
       Map("groupby" -> groupbyCol))
 
+  /** Per-check input dtype restrictions, mirroring the reference's
+    * `@register_input_datatypes` (backends/pyspark/decorators.py:42-105):
+    * e.g. `str_contains` on an int column is rejected with a clear
+    * SchemaError at validation-plan time instead of surfacing as a silent
+    * implicit cast or a runtime analysis error. Returns true when `dt` is
+    * an acceptable input for the builtin check `name`; unrecognized
+    * (custom) names are unrestricted.
+    */
+  def acceptsInputDtype(name: String,
+                        dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def ordered(d: DataType): Boolean = d match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           StringType => true
+      case _ => false
+    }
+    name match {
+      case "str_matches" | "str_contains" | "str_startswith" |
+           "str_endswith" | "str_length" => dt == StringType
+      case "greater_than" | "greater_than_or_equal_to" | "less_than" |
+           "less_than_or_equal_to" | "in_range" => ordered(dt)
+      case "mean_between" | "stddev_between" | "quantile_between" =>
+        dt.isInstanceOf[NumericType]
+      case "equal_to" | "not_equal_to" | "isin" | "notin" =>
+        !dt.isInstanceOf[MapType] // Spark cannot compare maps for equality
+      case _ => true
+    }
+  }
+
   /** Registry for user-defined named checks, mirroring
     * Check.REGISTERED_CUSTOM_CHECKS (api/extensions.py:156-340). */
   object registry {

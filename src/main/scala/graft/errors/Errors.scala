@@ -12,7 +12,11 @@ object SchemaErrorReason extends Enumeration {
       COLUMN_NOT_IN_SCHEMA, COLUMN_NOT_ORDERED, DUPLICATE_COLUMN_LABELS,
       SERIES_CONTAINS_NULLS, SERIES_CONTAINS_DUPLICATES, DUPLICATES,
       WRONG_DATATYPE, DATAFRAME_CHECK, CHECK_ERROR, SCHEMA_COMPONENT_CHECK,
-      ADD_MISSING_COLUMN_NO_DEFAULT, INVALID_COLUMN_NAME = Value
+      ADD_MISSING_COLUMN_NO_DEFAULT, INVALID_COLUMN_NAME,
+      // check applied to a column whose dtype it cannot accept — the
+      // Spark-side rendering of @register_input_datatypes rejection
+      // (reference: backends/pyspark/decorators.py:42-105)
+      INVALID_CHECK_INPUT_TYPE = Value
 }
 import SchemaErrorReason._
 

@@ -1,16 +1,19 @@
 package graft.model
 
 import scala.reflect.runtime.universe.TypeTag
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import graft.checks.Check
 import graft.errors.{SchemaError, ValidationResult}
-import graft.schema.{ColumnSchema, DataFrameSchema}
+import graft.schema.{ColumnSchema, DataFrameParser, DataFrameSchema, Parser}
 
 /** Class-based schema definition — the Scala counterpart of the reference's
   * DataFrameModel (pandera/api/dataframe/model.py:256): the typed carrier is
   * a case class + `Dataset[T]`, the schema is derived from the encoder at
   * compile time (no runtime annotation walking), and per-field constraints
   * attach through a builder, replacing `Field(...)`/`@check` methods
+  * (model_components.py:114-157). Parser hooks mirror
+  * `@parser`/`@dataframe_parser` (api/dataframe/model.py:397,413); `alias`
+  * and `regexField` mirror Field(alias=...)/Field(regex=...)
   * (model_components.py:114-157).
   */
 object DataFrameModel {
@@ -26,13 +29,16 @@ object DataFrameModel {
     * val schema = DataFrameModel.of[Item]
     *   .field("id", Check.ge(0L)).unique("id")
     *   .field("price", Check.gt(0.0))
+    *   .parser("price", "clip")(c => least(c, lit(100.0)))
     *   .schema
     * }}}
     */
-  def of[T <: Product: TypeTag]: TypedSchema[T] = TypedSchema[T](derive[T])
+  def of[T <: Product: TypeTag]: TypedSchema[T] =
+    TypedSchema[T](derive[T])(Encoders.product[T])
 }
 
-final case class TypedSchema[T](schema: DataFrameSchema) {
+final case class TypedSchema[T](schema: DataFrameSchema)(
+    implicit enc: Encoder[T]) {
   def field(name: String, checks: Check*): TypedSchema[T] =
     copy(schema = schema.updateColumn(name)(_.withChecks(checks: _*)))
   def unique(name: String): TypedSchema[T] =
@@ -46,11 +52,41 @@ final case class TypedSchema[T](schema: DataFrameSchema) {
   def tableUnique(cols: String*): TypedSchema[T] =
     copy(schema = schema.copy(unique = cols))
 
-  /** Validate a typed Dataset; the data comes back AS the same type. */
+  /** Column-level pre-validation transform — the reference's `@parser`
+    * (api/dataframe/model.py:397): rewrites the field before checks run. */
+  def parser(field: String, name: String)(fn: Column => Column): TypedSchema[T] =
+    copy(schema = schema.updateColumn(field)(cs =>
+      cs.copy(parsers = cs.parsers :+ Parser(name, fn))))
+
+  /** DataFrame-level pre-validation transform — the reference's
+    * `@dataframe_parser` (api/dataframe/model.py:413). */
+  def dataframeParser(name: String)(fn: DataFrame => DataFrame): TypedSchema[T] =
+    copy(schema = schema.copy(parsers = schema.parsers :+ DataFrameParser(name, fn)))
+
+  /** Validate field `field` under the dataframe column name `columnName` —
+    * the reference's Field(alias=...). The carrier for aliased schemas is a
+    * DataFrame (the case-class field names no longer match); use
+    * [[validateDf]]. */
+  def alias(field: String, columnName: String): TypedSchema[T] =
+    copy(schema = schema.renameColumns(Map(field -> columnName)))
+
+  /** Add a regex-name column constraint beyond the typed fields — the
+    * reference's Field(regex=True) on an annotated pattern attribute. */
+  def regexField(pattern: String, checks: Check*): TypedSchema[T] =
+    copy(schema = schema.addColumns(
+      pattern -> ColumnSchema(checks = checks, regex = true)))
+
+  /** Validate a typed Dataset; the PARSED/validated data comes back typed
+    * (requires field names unchanged — with `alias`/`regexField` use
+    * [[validateDf]]). */
   def validate(ds: Dataset[T]): TypedValidationResult[T] = {
     val res = schema.validate(ds.toDF())
-    TypedValidationResult(ds, res.errors)
+    TypedValidationResult(res.data.as[T](enc), res.errors)
   }
+
+  /** Validate an untyped DataFrame against the derived schema (the path
+    * for alias / regexField, where names diverge from the case class). */
+  def validateDf(df: DataFrame): ValidationResult = schema.validate(df)
 }
 
 final case class TypedValidationResult[T](data: Dataset[T], errors: Seq[SchemaError]) {

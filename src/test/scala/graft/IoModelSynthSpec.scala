@@ -73,6 +73,37 @@ class IoModelSynthSpec extends SparkSpec {
     assert(!m.validate(bad).passed)
   }
 
+  test("model DSL: parser hooks transform before checks; alias and regex fields") {
+    import org.apache.spark.sql.functions._
+    val ds = Seq(Item(1, "a", 150.0, true), Item(2, "b", 6.0, false)).toDS()
+    // column parser clips price BEFORE the le check → passes, data parsed
+    val m = DataFrameModel.of[Item]
+      .parser("price", "clip_le_100")(c => least(c, lit(100.0)))
+      .field("price", Check.le(100.0))
+    val res = m.validate(ds)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    assert(res.data.collect().map(_.price).max == 100.0)
+    // dataframe parser runs first too
+    val m2 = DataFrameModel.of[Item]
+      .dataframeParser("abs_price")(df => df.withColumn("price", abs(col("price"))))
+      .field("price", Check.ge(0.0))
+    val neg = Seq(Item(1, "a", -5.0, true)).toDS()
+    assert(m2.validate(neg).passed)
+    // alias: the field validates under the dataframe column name
+    val aliased = DataFrameModel.of[Item].alias("price", "unit_price")
+      .field("unit_price", Check.ge(0.0))
+    val df = ds.toDF().withColumnRenamed("price", "unit_price")
+    assert(aliased.validateDf(df).passed)
+    assert(!aliased.validateDf(
+      neg.toDF().withColumnRenamed("price", "unit_price")).passed)
+    // regex field constrains columns beyond the typed ones
+    val withExtra = ds.toDF()
+      .withColumn("m_a", lit(1.0)).withColumn("m_b", lit(-2.0))
+    val rx = DataFrameModel.of[Item].regexField("m_.*", Check.gt(0.0))
+    val rxRes = rx.validateDf(withExtra)
+    assert(rxRes.hardErrors.map(_.column.get) == Seq("m_b"))
+  }
+
   test("decorators: checkInput / checkOutput / checkIo wrap function boundaries") {
     val in = DataFrameSchema("v" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))))
     val out = DataFrameSchema("v2" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))))

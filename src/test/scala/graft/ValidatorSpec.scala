@@ -252,6 +252,39 @@ class ValidatorSpec extends SparkSpec {
     assert(res2.hardErrors.head.message.contains("violations=3"))
   }
 
+  test("check/dtype input restrictions reject mismatched checks at schema time") {
+    // 1. str_* on a numeric column
+    val strOnNum = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Check.strContains("abc")))).validate(df)
+    assert(strOnNum.hardErrors.map(_.reason) ==
+      Seq(SchemaErrorReason.INVALID_CHECK_INPUT_TYPE))
+    assert(strOnNum.hardErrors.head.message.contains("str_contains"))
+    // 2. ordered comparison on a boolean column
+    val b = df.withColumn("flag", org.apache.spark.sql.functions.lit(true))
+    val cmpOnBool = DataFrameSchema("flag" -> ColumnSchema(Some(BooleanType),
+      checks = Seq(Check.gt(false)))).validate(b)
+    assert(cmpOnBool.hardErrors.map(_.reason) ==
+      Seq(SchemaErrorReason.INVALID_CHECK_INPUT_TYPE))
+    // 3. statistical bound on a string column
+    val meanOnStr = DataFrameSchema("name" -> ColumnSchema(Some(StringType),
+      checks = Seq(Check.meanBetween(0.0, 1.0)))).validate(df)
+    assert(meanOnStr.hardErrors.map(_.reason) ==
+      Seq(SchemaErrorReason.INVALID_CHECK_INPUT_TYPE))
+    // the rejected check is EXCLUDED from the fused pass (one schema error,
+    // no data-side failure), and valid sibling checks still run
+    val mixed = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Check.strContains("x"), Check.ge(0.0)))).validate(df)
+    assert(mixed.hardErrors.map(_.reason).sorted ==
+      Seq(SchemaErrorReason.DATAFRAME_CHECK, SchemaErrorReason.INVALID_CHECK_INPUT_TYPE).sorted)
+    // restriction follows the POST-COERCION dtype: string→double coercion
+    // makes ge legal even though the raw column is a string
+    val s = df.withColumn("pstr",
+      org.apache.spark.sql.functions.col("price").cast("string"))
+    val coerced = DataFrameSchema("pstr" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Check.ge(-100.0)), coerce = true)).validate(s)
+    assert(coerced.passed, coerced.errors.map(_.message).mkString("; "))
+  }
+
   test("two-sample t-test matches scipy on a known example") {
     // scipy.stats.ttest_ind([30,31,29,30,30],[26,25,27,26,26], equal_var=True)
     // -> stat ≈ 7.3380, pvalue ≈ 8.03e-05
