@@ -384,8 +384,32 @@ object SparkEntry {
     }),
     "mm_resize" -> ((s, d) => {
       val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
-      ext.Multimodal.resizePayload(withBin, "doc_id", "payload", maxBytes = 128)
+      ext.Multimodal.resizePayload(withBin, "doc_id", "payload", bound = 128)
         .select("id", "n_bytes", "width", "height").orderBy("id")
+    }),
+
+    // ---- extensions: multimodal with the REAL image codec (javax.imageio)
+    //      over deterministic synthetic PNGs whose decoded properties are
+    //      closed-form in doc_id (so DuckDB pins the codec round trip) ----
+    "mm_image_meta" -> ((s, d) => {
+      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.extractMeta(imgs, "id", "payload", ext.ImageIODecoder)
+        .select("id", "width", "height", "channels", "format").orderBy("id")
+    }),
+    "mm_image_resize" -> ((s, d) => {
+      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.resizePayload(imgs, "id", "payload", 16, ext.ImageIODecoder)
+        .select("id", "width", "height").orderBy("id")
+    }),
+    "mm_image_features" -> ((s, d) => {
+      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.extractFeatures(imgs, "id", "payload", dim = 3,
+          ext.ImageIODecoder)
+        .select(col("id"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f_r"),
+          round(element_at(col("feature"), 2).cast("double"), 4).as("f_g"),
+          round(element_at(col("feature"), 3).cast("double"), 4).as("f_b"))
+        .orderBy("id")
     }),
 
     // ---- §2.A custom vectorized check (api/checks.py:21-124) ----
@@ -772,6 +796,20 @@ object SparkEntry {
       ("WITH b AS (SELECT doc_id AS id, CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS nb FROM documents) " +
         "SELECT id, nb AS n_bytes, CAST(64 + nb % 512 AS INTEGER) AS width, " +
         "CAST(64 + (nb*7) % 512 AS INTEGER) AS height FROM b ORDER BY id"),
+    "mm_image_meta" ->
+      "SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS width, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'png' AS format FROM documents ORDER BY id",
+    "mm_image_resize" ->
+      ("WITH b AS (SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS w0, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS h0 FROM documents) " +
+        "SELECT id, " +
+        "CASE WHEN greatest(w0, h0) <= 16 THEN w0 ELSE greatest(1, CAST(round(w0 * 16.0 / greatest(w0, h0)) AS INTEGER)) END AS width, " +
+        "CASE WHEN greatest(w0, h0) <= 16 THEN h0 ELSE greatest(1, CAST(round(h0 * 16.0 / greatest(w0, h0)) AS INTEGER)) END AS height " +
+        "FROM b ORDER BY id"),
+    "mm_image_features" ->
+      ("SELECT doc_id AS id, " +
+        "round(CAST(CAST((doc_id % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_r, " +
+        "round(CAST(CAST(((doc_id * 7) % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_g, " +
+        "round(CAST(CAST(((doc_id * 13) % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_b " +
+        "FROM documents ORDER BY id"),
     "events_hourly" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
 

@@ -1,5 +1,9 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,12 +11,115 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video payloads are opaque
   * `binary` columns with typed metadata, processed partition-wise.
   *
-  * The Spark-side plumbing — schema, partition-preserving mapPartitions,
-  * batch shape — is real and tested. The actual media decode is a
-  * deterministic STUB (this container ships no image/audio codecs); swap
-  * `stubDecode` for a real decoder (e.g. javacv / a Python worker via
-  * Arrow) without touching the pipeline shape.
+  * The decode step is PLUGGABLE ([[MediaDecoder]]): [[ImageIODecoder]] is a
+  * real PNG/JPEG/GIF/BMP codec (javax.imageio — in the JDK, zero extra
+  * deps); [[StubDecoder]] remains the deterministic placeholder for media
+  * the container has no codecs for (video/audio). The Spark-side plumbing —
+  * schema, partition-preserving mapPartitions, one decoder instance per
+  * partition, column pruning before the imperative boundary — is identical
+  * for both.
   */
+final case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
+
+trait MediaDecoder extends Serializable {
+  /** Read metadata (for real codecs: from the header where possible). */
+  def decodeMeta(payload: Array[Byte]): MediaMeta
+  /** Fixed-dim feature vector from the decoded content. */
+  def features(payload: Array[Byte], dim: Int): Array[Float]
+  /** Downscale and re-encode. `bound` is format-specific: for images the
+    * max edge length in pixels, for the stub a byte cap. */
+  def resize(payload: Array[Byte], bound: Int): Array[Byte]
+}
+
+/** Deterministic placeholder decoder: derives fake dimensions/features from
+  * the payload length so the full pipeline is verifiable end-to-end where
+  * no real codec exists (video/audio in this container). */
+object StubDecoder extends MediaDecoder {
+  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta((64L + n % 512L).toInt, (64L + (n * 7L) % 512L).toInt, 3, "stub")
+  }
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    val n = payload.length.toLong
+    Array.tabulate(dim)(j => ((n * (j + 1)) % 97L).toFloat / 97.0f)
+  }
+  def resize(payload: Array[Byte], bound: Int): Array[Byte] =
+    payload.take(bound)
+}
+
+/** Real image codec on javax.imageio (PNG/JPEG/GIF/BMP — whatever the JDK
+  * registry carries). Metadata reads the header via an ImageReader without
+  * decoding the raster; features/resize decode fully. */
+object ImageIODecoder extends MediaDecoder {
+
+  private def withReader[A](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => A): A = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("no ImageIO codec recognizes payload")
+      val r = readers.next()
+      r.setInput(iis)
+      try f(r) finally r.dispose()
+    } finally iis.close()
+  }
+
+  def decodeMeta(payload: Array[Byte]): MediaMeta = withReader(payload) { r =>
+    val w = r.getWidth(0); val h = r.getHeight(0)
+    val fmt = r.getFormatName.toLowerCase
+    val channels = Option(r.getRawImageType(0))
+      .map(_.getNumComponents)
+      .getOrElse(r.read(0).getRaster.getNumBands)
+    MediaMeta(w, h, channels, fmt)
+  }
+
+  private def readImage(payload: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException("no ImageIO codec recognizes payload")
+    img
+  }
+
+  /** Per-band mean pixel value scaled to [0,1]; component j samples band
+    * (j mod bands) — a deterministic, codec-exact baseline embedder. */
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img = readImage(payload)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val sums = new Array[Double](bands)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var b = 0
+        while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    Array.tabulate(dim)(j => (sums(j % bands) / n / 255.0).toFloat)
+  }
+
+  /** Proportional downscale so max(w, h) <= bound (no-op when already
+    * within), re-encoded as PNG (lossless, deterministic). */
+  def resize(payload: Array[Byte], bound: Int): Array[Byte] = {
+    val img = readImage(payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (math.max(w, h) <= bound) return payload
+    val scale = bound.toDouble / math.max(w, h)
+    val nw = math.max(1, math.round(w * scale).toInt)
+    val nh = math.max(1, math.round(h * scale).toInt)
+    val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+}
+
 object Multimodal {
 
   /** Metadata emitted per decoded payload. */
@@ -23,73 +130,85 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decoder: derives fake-but-deterministic dimensions from the
-    * payload length so the full pipeline is verifiable end-to-end.
-    * A real decoder reads the actual header here.
-    */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
-    val n = payload.length.toLong
-    val width = (64L + n % 512L).toInt
-    val height = (64L + (n * 7L) % 512L).toInt
-    (width, height, 3, "stub")
-  }
-
   /** Attach a binary payload column derived from a string column (for
     * pipelines whose media arrive embedded as encoded text/bytes). */
   def withBinaryPayload(df: DataFrame, srcCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(srcCol), "UTF-8"))
 
+  /** Deterministic synthetic PNG fixtures keyed on an id column: a
+    * (8+id%32) × (8+3·id%32) RGB image uniformly filled with
+    * (id%256, 7·id%256, 13·id%256) — real encoded PNGs whose decoded
+    * properties are closed-form in the id, so a SQL oracle can pin the
+    * whole codec round trip. Encoding happens partition-wise in the scan. */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 32).toInt; val h = (8 + (id * 3) % 32).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
   /** Decode payloads partition-wise: one decoder instance per partition
-    * (the mapPartitions boundary is where a real codec would be opened
-    * once and reused), emitting the original row + metadata struct.
-    * Column pruning still applies upstream because only (id, payload) are
-    * selected before the imperative boundary.
+    * (the mapPartitions boundary is where a real codec is opened once and
+    * reused), emitting the original row + metadata struct. Column pruning
+    * still applies upstream because only (id, payload) are selected before
+    * the imperative boundary.
     */
-  def extractMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def extractMeta(df: DataFrame, idCol: String, payloadCol: String,
+                  decoder: MediaDecoder = StubDecoder): DataFrame = {
     val out = StructType(Seq(
       StructField("id", LongType, nullable = false)) ++ metaSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(out)
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
-        // real decoder would init once here, per partition
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, ch, fmt) = stubDecode(payload)
-          Row(id, payload.length.toLong, w, h, ch, fmt)
+          val m = decoder.decodeMeta(payload)
+          Row(id, payload.length.toLong, m.width, m.height, m.channels, m.format)
         }
       }(enc)
   }
 
   /** Feature extraction partition-wise (the shape an image/audio embedder
     * takes): one model instance per partition, payload → fixed-dim vector.
-    * The STUB derives components deterministically from the byte length so
-    * the pipeline (schema array<float>, batch boundary, partitioning) is
-    * verifiable; a real extractor replaces the inner function only.
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
-                      dim: Int): DataFrame = {
+                      dim: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val out = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(out)
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
-        // real embedder would load weights once here, per partition
         rows.map { r =>
-          val n = r.getAs[Array[Byte]](1).length.toLong
-          val f = Array.tabulate(dim)(j => ((n * (j + 1)) % 97L).toFloat / 97.0f)
-          Row(r.getLong(0), f.toSeq)
+          Row(r.getLong(0), decoder.features(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }(enc)
   }
 
-  /** Resize partition-wise (STUB: byte-truncate to maxBytes and re-derive
-    * metadata — a real implementation decodes, scales, re-encodes). Output
-    * keeps the payload column so resize chains with extractMeta/
-    * extractFeatures. */
+  /** Resize partition-wise (images: proportional downscale + re-encode;
+    * stub: byte cap). Output keeps the payload column so resize chains with
+    * extractMeta/extractFeatures. */
   def resizePayload(df: DataFrame, idCol: String, payloadCol: String,
-                    maxBytes: Int): DataFrame = {
+                    bound: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
     val out = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)) ++ metaSchema.fields)
@@ -98,9 +217,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](1)
-          val resized = payload.take(maxBytes)
-          val (w, h, ch, fmt) = stubDecode(resized)
-          Row(r.getLong(0), resized, resized.length.toLong, w, h, ch, fmt)
+          val resized = decoder.resize(payload, bound)
+          val m = decoder.decodeMeta(resized)
+          Row(r.getLong(0), resized, resized.length.toLong,
+            m.width, m.height, m.channels, m.format)
         }
       }(enc)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, ImageIODecoder, Multimodal, Similarity, TextAnalysis}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -187,5 +187,39 @@ class ExtSpec extends SparkSpec {
     assert(r0.getString(5) == "stub")
     val frames = Multimodal.sampleFrameIndices(withBin, "doc_id", "payload", 4)
     assert(frames.count() == 20)
+  }
+
+  test("multimodal: real javax.imageio codec decodes PNG and JPEG payloads") {
+    // driver-side codec sanity on hand-built images
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val m = ImageIODecoder.decodeMeta(png(20, 10, 0x112233))
+    assert(m == graft.ext.MediaMeta(20, 10, 3, "png"))
+    // JPEG path through the same codec registry
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(6, 4, 0)))
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    assert(ImageIODecoder.decodeMeta(jb.toByteArray).format == "jpeg")
+    // resize: proportional downscale, max edge 8 → 20x10 becomes 8x4
+    val resized = ImageIODecoder.resize(png(20, 10, 0x112233), 8)
+    assert(ImageIODecoder.decodeMeta(resized) == graft.ext.MediaMeta(8, 4, 3, "png"))
+    // features: uniform color → exact channel means
+    val f = ImageIODecoder.features(png(5, 5, 0x406080), 3)
+    assert(f.toSeq == Seq(0x40 / 255.0f, 0x60 / 255.0f, 0x80 / 255.0f))
+
+    // distributed path: synthetic PNG fixtures → partition-wise decode
+    val imgs = Multimodal.syntheticPngs(docs, "doc_id")
+    val meta = Multimodal.extractMeta(imgs, "id", "payload", ImageIODecoder)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    (0L to 4L).foreach { id =>
+      assert(meta(id) == (((8 + id % 32).toInt, (8 + id * 3 % 32).toInt, 3, "png")))
+    }
   }
 }
