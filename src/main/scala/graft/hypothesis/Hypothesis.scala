@@ -103,6 +103,71 @@ object Hypothesis {
           "relationship" -> relationship.toString, "alpha" -> alpha,
           "equal_var" -> equalVar))
 
+  /** Black-box grouped hypothesis — the reference's
+    * `Hypothesis(test=fn, samples=[...], groupby=...)` executing an
+    * arbitrary test over per-group sample vectors
+    * (backends/pandas/hypotheses.py:78-130). This closes the round-1
+    * restriction to aggregate-expressible forms: the per-group vectors are
+    * collected through a HARD-CAPPED BoundedCollect (O(maxSamplePerGroup)
+    * driver memory however large the data); a group larger than the cap
+    * fails fast with a clear error instead of silently testing a partial
+    * sample. `test` receives the vectors in `samples` order and returns
+    * (stat, pvalue).
+    */
+  def grouped(
+      name: String,
+      groupbyCol: String,
+      samples: Seq[String],
+      relationship: Relationship = NotEqual,
+      alpha: Double = 0.01,
+      maxSamplePerGroup: Int = 100000)(
+      test: Seq[IndexedSeq[Double]] => (Double, Double)): AggregateCheck =
+    AggregateCheck(
+      name,
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error(s"$name needs a column"))
+        val rows = df
+          .filter(col(groupbyCol).isin(samples: _*) && col(c).isNotNull)
+          .groupBy(col(groupbyCol))
+          .agg(count(col(c)).as("n"),
+            graft.functions.BoundedCollect.of(col(c).cast("string"),
+              maxSamplePerGroup).as("vals"))
+          .collect() // ≤ |samples| rows, each capped at maxSamplePerGroup
+        val byGroup = rows.map { r =>
+          String.valueOf(r.get(0)) ->
+            ((r.getLong(1), r.getSeq[String](r.fieldIndex("vals"))))
+        }.toMap
+        val missing = samples.filterNot(byGroup.contains)
+        if (missing.nonEmpty)
+          AggOutcome(passed = false, s"missing group(s): ${missing.mkString(",")}")
+        else {
+          byGroup.foreach { case (g, (n, vals)) =>
+            if (n > vals.size)
+              sys.error(s"grouped hypothesis '$name': group '$g' has $n " +
+                s"values, exceeding maxSamplePerGroup=$maxSamplePerGroup; " +
+                s"raise the cap or use an aggregate-form hypothesis")
+          }
+          val vectors = samples.map(g => byGroup(g)._2.map(_.toDouble).toIndexedSeq)
+          val (stat, pvalue) = test(vectors)
+          AggOutcome(decide(relationship, stat, pvalue, alpha),
+            f"stat=$stat%.6f p=$pvalue%.6f " +
+              samples.zip(vectors).map { case (g, v) => s"n($g)=${v.size}" }.mkString(" "))
+        }
+      },
+      Map("groupby" -> groupbyCol, "samples" -> samples,
+        "relationship" -> relationship.toString, "alpha" -> alpha,
+        "max_sample_per_group" -> maxSamplePerGroup))
+
+  /** Exact median of a sample vector (sorted midpoint / mean of the two
+    * midpoints) — matches SQL `median`/`quantile_cont(0.5)`. */
+  def median(v: IndexedSeq[Double]): Double = {
+    val s = v.sorted
+    val n = s.size
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** One-sample t-test vs `popmean`
     * (reference: api/hypotheses.py:293-381 one_sample_ttest). */
   def oneSampleTtest(

@@ -302,6 +302,30 @@ class ValidatorSpec extends SparkSpec {
     assert(!wrongDir.validate(d).passed)
   }
 
+  test("grouped black-box hypothesis: capped per-group vectors") {
+    // custom test fn over raw group vectors (reference: Hypothesis(test=fn,
+    // samples=[...])): mean(B) - mean(A) = 30 - 18.33 > 0
+    val schema = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.grouped("meanB_minus_meanA_pos", "grp", Seq("B", "A"),
+        Hypothesis.Custom((stat, _) => stat > 0)) { vs =>
+        (vs(0).sum / vs(0).size - vs(1).sum / vs(1).size, 0.0)
+      })))
+    assert(schema.validate(df).passed)
+    // group exceeding the cap → CHECK_ERROR, never a silent partial test
+    val capped = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.grouped("overflow", "grp", Seq("B", "A"),
+        maxSamplePerGroup = 2) { vs => (0.0, 1.0) })))
+    val res = capped.validate(df)
+    assert(res.hardErrors.exists(e =>
+      e.reason == SchemaErrorReason.CHECK_ERROR &&
+        e.message.contains("maxSamplePerGroup")))
+    // missing sample group → failed outcome with the group named
+    val missing = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.grouped("missing", "grp", Seq("A", "Z")) {
+        vs => (0.0, 1.0) })))
+    assert(missing.validate(df).hardErrors.exists(_.message.contains("Z")))
+  }
+
   test("regex column matching") {
     val d = Seq((1.0, 2.0, "x")).toDF("m_a", "m_b", "other")
     val schema = DataFrameSchema(
