@@ -344,26 +344,6 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // ---- extensions: similarity search ----
-    // Golden pins for the three approximate operators: the pipelines are
-    // fully deterministic (seeded xxhash64 signatures, seeded k-means,
-    // ties broken by corpus id, k-heap with a total order), so the exact
-    // result at each gate scale is a constant — pinned per SF (probed by
-    // lineitem row count), recall-vs-brute additionally asserted in ExtSpec.
-    "dedup_simhash" ->
-      ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
-        "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
-        ") u ORDER BY id_a, id_b"),
-    "sim_topk_lsh" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
-        ") u ORDER BY query_id, \"rank\""),
-    "sim_topk_ivf" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 212, 4, 0.2814), (0, 225, 2, 0.3151), (0, 299, 5, 0.2687), (0, 483, 3, 0.3005), (1, 1, 1, 1.0), (1, 247, 5, 0.2615), (1, 257, 2, 0.3918), (1, 376, 3, 0.3048), (1, 455, 4, 0.2824), (2, 2, 1, 1.0), (2, 234, 3, 0.2777), (2, 246, 2, 0.2898), (2, 309, 5, 0.2523), (2, 441, 4, 0.254), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 343, 4, 0.3124), (4, 345, 2, 0.3749), (4, 357, 5, 0.2954)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 320, 5, 0.2879), (0, 365, 2, 0.37), (0, 387, 3, 0.3311), (0, 423, 4, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 188, 2, 0.2633), (2, 320, 3, 0.255), (2, 418, 4, 0.254), (2, 471, 5, 0.2472), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 174, 4, 0.3035), (3, 207, 5, 0.2917), (3, 343, 3, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
-        ") u ORDER BY query_id, \"rank\""),
     "sim_topk_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -687,6 +667,26 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Golden pins for the three approximate operators: the pipelines are
+    // fully deterministic (seeded xxhash64 signatures, seeded k-means,
+    // ties broken by corpus id, k-heap with a total order), so the exact
+    // result at each gate scale is a constant — pinned per SF (probed by
+    // lineitem row count), recall-vs-brute additionally asserted in ExtSpec.
+    "dedup_simhash" ->
+      ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
+        "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY id_a, id_b"),
+    "sim_topk_lsh" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
+    "sim_topk_ivf" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 212, 4, 0.2814), (0, 225, 2, 0.3151), (0, 299, 5, 0.2687), (0, 483, 3, 0.3005), (1, 1, 1, 1.0), (1, 247, 5, 0.2615), (1, 257, 2, 0.3918), (1, 376, 3, 0.3048), (1, 455, 4, 0.2824), (2, 2, 1, 1.0), (2, 234, 3, 0.2777), (2, 246, 2, 0.2898), (2, 309, 5, 0.2523), (2, 441, 4, 0.254), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 343, 4, 0.3124), (4, 345, 2, 0.3749), (4, 357, 5, 0.2954)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 320, 5, 0.2879), (0, 365, 2, 0.37), (0, 387, 3, 0.3311), (0, 423, 4, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 188, 2, 0.2633), (2, 320, 3, 0.255), (2, 418, 4, 0.254), (2, 471, 5, 0.2472), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 174, 4, 0.3035), (3, 207, 5, 0.2917), (3, 343, 3, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
     "chk_equal_to" ->
       "SELECT 'equal_to' AS check_name, count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT (l_linestatus = 'F')) AS failure_count FROM lineitem",
     "chk_not_equal_to" ->
