@@ -342,6 +342,23 @@ object SparkEntry {
       ext.Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, useLsh = false)
         .orderBy("id_a", "id_b")),
+    "dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxDf = 100000L)
+      val comp = ext.Dedup.clusterPairs(pairs)
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "dedup_drop_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxDf = 100000L)
+      ext.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // ---- extensions: similarity search ----
     "sim_topk_brute" -> ((s, d) => {
@@ -803,6 +820,8 @@ object SparkEntry {
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_cluster" -> clusterOracle(0.5),
+    "dedup_drop_neardup" -> dropNearDupOracle(0.5),
     "dedup_embedding_cosine" ->
       ("WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round($cosineSql, 4) AS cosine " +
@@ -929,13 +948,37 @@ object SparkEntry {
   /** Exact word-3-gram Jaccard pairs >= threshold (brute in DuckDB; the
     * engine side uses LSH/inverted-index candidate generation whose result
     * set is provably identical on this data's separation). */
-  private def jaccardOracle(threshold: Double): String =
-    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+  private def jaccardPairCtes: String =
+    "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
       "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
       "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
       "ELSE [array_to_string(toks, ' ')] END) AS sh FROM t), " +
       "j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard " +
-      "FROM s a JOIN s b ON a.doc_id < b.doc_id) " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id)"
+
+  private def jaccardOracle(threshold: Double): String =
+    s"WITH $jaccardPairCtes " +
       s"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b"
+
+  /** Connected components over the jaccard pair list via transitive closure
+    * (recursive CTE) + per-node min reachable id — the same min-of-component
+    * labeling clusterPairs converges to. */
+  private def componentCtes(threshold: Double): String =
+    s"$jaccardPairCtes, " +
+      s"p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $threshold), " +
+      "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+      "reach(u, v) AS (SELECT u, v FROM edges " +
+      "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+      "comp AS (SELECT u AS id, least(u, min(v)) AS cid FROM reach GROUP BY u)"
+
+  private def clusterOracle(threshold: Double): String =
+    s"WITH RECURSIVE ${componentCtes(threshold)} " +
+      "SELECT d.doc_id AS doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id " +
+      "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id ORDER BY d.doc_id"
+
+  private def dropNearDupOracle(threshold: Double): String =
+    s"WITH RECURSIVE ${componentCtes(threshold)} " +
+      "SELECT doc_id FROM documents " +
+      "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"
 }

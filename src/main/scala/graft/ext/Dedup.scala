@@ -189,6 +189,73 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair list — the clustering
+    * stage a dedup pipeline needs AFTER candidate pairs (minhashPairs /
+    * simhashPairs / ngramJaccardPairs / embeddingCosinePairs all emit pair
+    * lists; transitive closure turns them into groups). Returns
+    * (id, cluster_id) for every node appearing in `pairs`, cluster_id being
+    * the minimum node id of its component (deterministic representative).
+    *
+    * Algorithm: iterative min-label propagation. Each round is ONE
+    * shuffle — the (node, label) table joins the symmetric edge list and
+    * re-aggregates by min — so O(E) bytes move per round and nothing lands
+    * on the driver but a changed-label count (the same per-superstep action
+    * GraphX/Pregel issues). Rounds needed ≈ component diameter; near-dup
+    * clusters are dense (diameter 2–4), so this converges in a handful of
+    * rounds even on web-scale corpora. Lineage is cut with localCheckpoint
+    * each round so the plan stays O(1) deep.
+    */
+  def clusterPairs(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(q(idA).as("u"), q(idB).as("v"))
+      .union(pairs.select(q(idB).as("u"), q(idA).as("v")))
+      .dropDuplicates("u", "v")
+      .localCheckpoint() // reused every round: materialize once, drop lineage
+    // label(u) starts at min(u, min neighbor); every round each node takes
+    // the min of its own label and its neighbors' labels.
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val received = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("lbl"))
+      val next = labels.union(received)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged)
+      sys.error(s"clusterPairs: not converged after $maxIterations rounds " +
+        "(component diameter exceeds the cap); raise maxIterations")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Near-duplicate removal end-to-end: given a pair list, keep one
+    * representative (the minimum id) per connected component and every row
+    * that appears in no pair. The loser set is only as large as the number
+    * of duplicate rows, and the final step is a left-anti hash join — no
+    * full-table shuffle of `df` beyond that join. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val losers = clusterPairs(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser_id"))
+    df.join(losers, q(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
     * Scale path: random-hyperplane LSH bucketing (Similarity.lshBuckets)

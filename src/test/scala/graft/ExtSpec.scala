@@ -49,6 +49,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.dropExact(docs, Seq("text")).count() == 4)
   }
 
+  test("dedup: clusterPairs labels components with min id; drop keeps reps") {
+    // components: {0,1,4} (chained near-dups) and a planted chain 5-6, 6-7
+    // (transitivity: 5 and 7 never co-occur in a pair but share a cluster)
+    val pairs = Seq((0L, 1L), (1L, 4L), (5L, 6L), (6L, 7L), (0L, 4L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    val all = (0L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(all, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reps 0 and 5 survive; unpaired 2 and 3 survive untouched
+    assert(kept == Set(0L, 2L, 3L, 5L))
+  }
+
+  test("dedup: clusterPairs converges on a long path (diameter > 2)") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 13 && comp.values.forall(_ == 0L))
+  }
+
   test("dedup: minhash LSH finds planted near-dup and exact dup") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
