@@ -322,6 +322,17 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         ext.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "text_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
+        ext.TextAnalysis.bulletLineFraction(col("text")).as("bullet_frac"),
+        ext.TextAnalysis.ellipsisLineFraction(col("text")).as("ellipsis_frac"),
+        ext.TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+        ext.TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"))
+        .orderBy("doc_id")),
+    "text_top_bigram" -> ((s, d) =>
+      ext.TextAnalysis.topNgramFraction(t(s, d, "documents"), "doc_id", "text", 2)
+        .orderBy("doc_id")),
 
     // ---- extensions: dedup family ----
     "dedup_exact" -> ((s, d) =>
@@ -816,6 +827,24 @@ object SparkEntry {
         "SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "text_repetition" ->
+      ("WITH l AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls, " +
+        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_line_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ellipsis_frac, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks), 4) END AS mean_word_len, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS symbol_ratio " +
+        "FROM l ORDER BY doc_id"),
+    "text_top_bigram" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 " +
+        "THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS gram FROM t), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "a AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM gc GROUP BY 1) " +
+        "SELECT d.doc_id, round(coalesce(a.frac, 0.0), 4) AS top_ngram_frac " +
+        "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
     "dedup_exact" ->
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),

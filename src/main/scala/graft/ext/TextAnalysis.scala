@@ -91,6 +91,83 @@ object TextAnalysis {
     round(lit(0.4) * alphaRatio + lit(0.3) * lenScore + lit(0.3) * tokLenScore, 4)
   }
 
+  // ---- repetition / structure signals (Gopher-style filter rules) -------
+  // Rahimi et al.-lineage quality rules as used by Gopher/MassiveText and
+  // C4: repetitious or list-like documents are low-value training data.
+  // All pure Catalyst array expressions — one scan, no shuffle, no UDF.
+
+  /** Non-blank lines of a document. */
+  def lines(c: Column): Column =
+    filter(split(c, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-blank lines that duplicate another line — the Gopher
+    * "duplicate line fraction" rule. 0.0 for empty documents. */
+  def duplicateLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    when(size(ls) === 0, lit(0.0)).otherwise(round(
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"), 4))
+  }
+
+  /** Fraction of non-blank lines starting with a bullet marker (-, *, •). */
+  def bulletLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    val bullets = Seq("-", "*", "•")
+    when(size(ls) === 0, lit(0.0)).otherwise(round(
+      size(filter(ls, l => bullets.map(b => trim(l).startsWith(b)).reduce(_ || _)))
+        .cast("double") / size(ls).cast("double"), 4))
+  }
+
+  /** Fraction of non-blank lines ending in an ellipsis ("..." or "…"). */
+  def ellipsisLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    when(size(ls) === 0, lit(0.0)).otherwise(round(
+      size(filter(ls, l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+        .cast("double") / size(ls).cast("double"), 4))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanWordLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"), 4))
+  }
+
+  /** Symbol-to-word ratio: occurrences of '#' and '...' per token (the
+    * Gopher symbol rule). Non-overlapping left-to-right '...' counting
+    * matches SQL replace() semantics on both engines. */
+  def symbolWordRatio(c: Column): Column = {
+    val nToks = size(tokens(c))
+    val hashes = length(c) - length(translate(c, "#", ""))
+    val ellipses = (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    when(nToks === 0, lit(0.0)).otherwise(round(
+      (hashes + ellipses).cast("double") / nToks.cast("double"), 4))
+  }
+
+  /** Per-document fraction of n-gram occurrences claimed by the single most
+    * frequent n-gram (Gopher "top n-gram fraction"). A DataFrame operator,
+    * not a Column: the count needs a per-(doc, gram) aggregation — one
+    * explode + two hash aggregations partitioned by `idCol`, partial
+    * aggregation map-side, nothing to the driver. Documents shorter than n
+    * tokens get 0.0. Returns (idCol, top_ngram_frac). */
+  def topNgramFraction(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n >= 1")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val toks = tokens(col("`" + textCol.replace("`", "``") + "`"))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val perGram = df.select(id.as("__id"), explode(grams).as("gram"))
+      .groupBy("__id", "gram").agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy("__id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("frac"))
+    df.select(id.as("__id")).distinct()
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        round(coalesce(col("frac"), lit(0.0)), 4).as("top_ngram_frac"))
+  }
+
   // ---- schema-attachable checks ----------------------------------------
   def minTokens(n: Int): ColumnCheck =
     ColumnCheck("min_tokens", c => tokenCount(c) >= n, Map("min" -> n))
@@ -101,4 +178,13 @@ object TextAnalysis {
   def languageIn(langs: Seq[String]): ColumnCheck =
     ColumnCheck("language_in", c => languageId(c).isin(langs: _*),
       Map("allowed" -> langs))
+  def maxDuplicateLineFraction(x: Double): ColumnCheck =
+    ColumnCheck("max_duplicate_line_fraction",
+      c => duplicateLineFraction(c) <= x, Map("max" -> x))
+  def maxSymbolWordRatio(x: Double): ColumnCheck =
+    ColumnCheck("max_symbol_word_ratio",
+      c => symbolWordRatio(c) <= x, Map("max" -> x))
+  def meanWordLengthBetween(lo: Double, hi: Double): ColumnCheck =
+    ColumnCheck("mean_word_length_between",
+      c => meanWordLength(c).between(lo, hi), Map("min" -> lo, "max" -> hi))
 }

@@ -49,6 +49,33 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.dropExact(docs, Seq("text")).count() == 4)
   }
 
+  test("text: repetition and structure signals (Gopher-style)") {
+    val d = Seq(
+      (0L, "alpha beta\nalpha beta\ngamma delta"),           // 1 dup line of 3
+      (1L, "- item one\n- item two\nplain line..."),         // bullets + ellipsis
+      (2L, "spark spark spark spark"),                       // repeated bigram
+      (3L, "   ")                                            // blank → all zeros
+    ).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+      TextAnalysis.duplicateLineFraction(col("text")).as("dl"),
+      TextAnalysis.bulletLineFraction(col("text")).as("bu"),
+      TextAnalysis.ellipsisLineFraction(col("text")).as("el"),
+      TextAnalysis.meanWordLength(col("text")).as("mw"),
+      TextAnalysis.symbolWordRatio(col("text")).as("sy"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("dl") == 0.3333)
+    assert(rows(1).getAs[Double]("bu") == 0.6667)
+    assert(rows(1).getAs[Double]("el") == 0.3333)
+    assert(rows(2).getAs[Double]("mw") == 5.0)
+    assert(rows(1).getAs[Double]("sy") == 0.125) // one '...' over 8 tokens
+    assert(rows(3).toSeq.drop(1) == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    val top = TextAnalysis.topNgramFraction(d, "doc_id", "text", 2)
+      .orderBy("doc_id").collect().map(_.getAs[Double]("top_ngram_frac"))
+    assert(top(2) == 1.0) // "spark spark" is every bigram
+    assert(top(0) == 0.4) // "alpha beta" twice over 5 bigrams
+    assert(top(3) == 0.0)
+  }
+
   test("dedup: clusterPairs labels components with min id; drop keeps reps") {
     // components: {0,1,4} (chained near-dups) and a planted chain 5-6, 6-7
     // (transitivity: 5 and 7 never co-occur in a pair but share a cluster)
