@@ -117,6 +117,12 @@ object Bench {
       ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
     results += "dedup_minhash" -> tDedup
 
+    val (tCluster, _) = time {
+      val pairs = ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      ext.Dedup.clusterPairs(pairs).count()
+    }
+    results += "dedup_cluster" -> tCluster
+
     val (tSim, _) = time {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
