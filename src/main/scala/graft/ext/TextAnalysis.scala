@@ -158,14 +158,17 @@ object TextAnalysis {
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-    val perGram = df.select(id.as("__id"), explode(grams).as("gram"))
+    // explode_outer keeps gram-less documents as a null-gram row, so the
+    // result covers every input id without a distinct + re-join (which
+    // would cost two extra shuffles of the id space at scale).
+    df.select(id.as("__id"), explode_outer(grams).as("gram"))
       .groupBy("__id", "gram").agg(count(lit(1)).as("c"))
-    val perDoc = perGram.groupBy("__id")
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("frac"))
-    df.select(id.as("__id")).distinct()
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        round(coalesce(col("frac"), lit(0.0)), 4).as("top_ngram_frac"))
+      .groupBy("__id")
+      .agg(round(coalesce(
+        max(when(col("gram").isNotNull, col("c"))).cast("double") /
+          sum(when(col("gram").isNotNull, col("c"))).cast("double"),
+        lit(0.0)), 4).as("top_ngram_frac"))
+      .select(col("__id").as(idCol), col("top_ngram_frac"))
   }
 
   // ---- schema-attachable checks ----------------------------------------

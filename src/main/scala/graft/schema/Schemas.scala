@@ -92,10 +92,17 @@ final case class DataFrameSchema(
     reportDuplicates: ReportDuplicates = ReportDuplicates.All,
     name: Option[String] = None,
     title: Option[String] = None,
-    description: Option[String] = None) {
+    description: Option[String] = None,
+    metadata: Map[String, String] = Map.empty) {
 
   def columnNames: Seq[String] = columns.map(_._1)
   def column(n: String): Option[ColumnSchema] = columns.find(_._1 == n).map(_._2)
+
+  /** Column- and schema-level metadata in one structure (reference:
+    * get_metadata, api/dataframe/container.py:265-272). */
+  def getMetadata: Map[String, Any] = Map(
+    "columns" -> columns.map { case (n, c) => n -> c.metadata }.toMap,
+    "dataframe" -> metadata)
 
   /** Validate `df` (lazy/accumulating, like the pyspark reference which
     * never raises: backends/pyspark/container.py). */

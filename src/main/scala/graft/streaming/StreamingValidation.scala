@@ -46,6 +46,29 @@ object StreamingValidation {
     }
   }
 
+  /** Streaming exact dedup on a key set: fingerprint the keys, watermark on
+    * event time, and let Spark's stateful dropDuplicatesWithinWatermark
+    * bound the dedup state — the state store holds one fingerprint per key
+    * seen inside the watermark horizon, so memory is O(arrival rate ×
+    * watermark), not O(stream history). The fingerprint (xxhash64) keeps
+    * per-key state to 8 bytes however wide the dedup columns are.
+    * `tsCol` is an epoch-nanos LONG column (the events table shape under
+    * nanosAsLong, same convention as hourlyRollup). */
+  def dedupStream(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame = {
+    val key = if (keyCols.size == 1) col(keyCols.head)
+              else xxhash64(keyCols.map(col): _*)
+    stream
+      .withColumn("__ets", timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      .withColumn("__dk", key)
+      .withWatermark("__ets", watermark)
+      .dropDuplicatesWithinWatermark("__dk")
+      .drop("__dk", "__ets")
+  }
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     assert(invalid.sorted == Seq(2L))
   }
 
+  test("streaming exact dedup drops repeat keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (ts nanos, user, event)
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val deduped = StreamingValidation.dedupStream(
+      stream, Seq("user_id", "event_type"), "ts", watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val h = 3600L * 1000 * 1000 * 1000 // one hour of nanos
+      mem.addData((0L, 1L, "click"), (1000L, 1L, "click"), (2000L, 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((h / 2, 1L, "click"), (h / 2, 1L, "view")) // dup inside horizon + new key
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
   test("hourly rollup matches between batch mode and streaming mode") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val batch = StreamingValidation.hourlyRollup(events, "ts", watermark = None)

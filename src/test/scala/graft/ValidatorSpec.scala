@@ -344,6 +344,17 @@ class ValidatorSpec extends SparkSpec {
     assert(s.columnNames == Seq("a"))
   }
 
+  test("getMetadata exposes column- and schema-level metadata") {
+    val s = DataFrameSchema(
+      "a" -> ColumnSchema(Some(LongType), metadata = Map("pii" -> "false")),
+      "b" -> ColumnSchema(Some(StringType)))
+      .copy(metadata = Map("owner" -> "data-eng"))
+    val m = s.getMetadata
+    assert(m("dataframe") == Map("owner" -> "data-eng"))
+    assert(m("columns").asInstanceOf[Map[String, Map[String, String]]]("a") ==
+      Map("pii" -> "false"))
+  }
+
   test("schema-only depth runs zero data checks") {
     val schema = DataFrameSchema("price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)))
     val res = graft.backend.Validator.validate(schema, df,
