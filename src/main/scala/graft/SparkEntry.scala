@@ -650,6 +650,17 @@ object SparkEntry {
         (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
       }.toDF("column", "dtype", "failure_count").orderBy("column")
     }),
+    "io_validated_read" -> ((s, d) => {
+      // validate-on-read source boundary: the l_tax contract has a known
+      // failure count; the reader path goes through ValidatedIO.
+      val schema = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05))))
+      val res = graft.io.ValidatedIO.read(s, schema, s"$d/lineitem.parquet")
+      import s.implicits._
+      Seq(("io_validated_read", res.errors.map(_.failureCount).sum))
+        .toDF("check_name", "failure_count")
+    }),
     "model_dsl" -> ((s, d) => {
       import s.implicits._
       val ds = t(s, d, "lineitem")
@@ -749,6 +760,8 @@ object SparkEntry {
       "SELECT 'element_wise' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity = floor(l_quantity))) AS failure_count FROM lineitem",
     "core_nullable" ->
       "SELECT 'not_nullable' AS check_name, count(*) FILTER (WHERE value IS NULL) AS failure_count FROM events",
+    "io_validated_read" ->
+      "SELECT 'io_validated_read' AS check_name, CAST(count(*) FILTER (WHERE l_orderkey IS NULL) + count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS BIGINT) AS failure_count FROM lineitem",
     "core_field_unique" ->
       "SELECT 'field_uniqueness' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count",
     "core_table_unique" ->

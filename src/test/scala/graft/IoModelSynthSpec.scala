@@ -59,6 +59,38 @@ class IoModelSynthSpec extends SparkSpec {
     assert(code.contains("\"id\" -> ColumnSchema"))
   }
 
+  test("ValidatedIO: validate-on-read and validate-then-write boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vio").toString
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
+      "v" -> ColumnSchema(Some(DoubleType), Seq(Check.le(10.0))))
+    val good = Seq((1L, 5.0), (2L, 7.5)).toDF("id", "v")
+    val bad = Seq((1L, 5.0), (2L, 99.0)).toDF("id", "v")
+
+    // passing write lands data; read-back validates clean
+    val wres = graft.io.ValidatedIO.write(schema, good, s"$dir/ok", "parquet")
+    assert(wres.passed)
+    val rres = graft.io.ValidatedIO.read(spark, schema, s"$dir/ok")
+    assert(rres.passed && rres.data.count() == 2)
+
+    // failing write is withheld from the sink
+    val fres = graft.io.ValidatedIO.write(schema, bad, s"$dir/blocked", "parquet")
+    assert(!fres.passed)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/blocked")))
+
+    // dropInvalidRows turns the sink into a quarantine: survivors land
+    val dres = graft.io.ValidatedIO.write(
+      schema.copy(dropInvalidRows = true), bad, s"$dir/quarantined", "parquet")
+    assert(spark.read.parquet(s"$dir/quarantined").count() == 1)
+
+    // csv read uses the declared schema (no inference) and flags bad rows
+    good.write.option("header", "true").csv(s"$dir/csv")
+    val cres = graft.io.ValidatedIO.read(spark, schema, s"$dir/csv", "csv",
+      Map("header" -> "true"))
+    assert(cres.passed && cres.data.schema("id").dataType == LongType)
+  }
+
   test("model DSL: derive from case class, attach checks, validate Dataset") {
     val ds = Seq(Item(1, "a", 5.0, true), Item(2, "b", 6.0, false)).toDS()
     val m = DataFrameModel.of[Item]
