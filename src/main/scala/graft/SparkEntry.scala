@@ -451,6 +451,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "mm_audio_meta" -> ((s, d) => {
+      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.extractMeta(wavs, "id", "payload", ext.WavDecoder)
+        .select(col("id"), col("width").as("sample_rate"),
+          col("height").as("n_frames"), col("channels"), col("format"))
+        .orderBy("id")
+    }),
+    "mm_audio_features" -> ((s, d) => {
+      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.extractFeatures(wavs, "id", "payload", dim = 4,
+          ext.WavDecoder)
+        .select(col("id"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("rms_1"),
+          round(element_at(col("feature"), 4).cast("double"), 4).as("rms_4"))
+        .orderBy("id")
+    }),
+    "mm_audio_resize" -> ((s, d) => {
+      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
+      ext.Multimodal.resizePayload(wavs, "id", "payload", 512, ext.WavDecoder)
+        .select(col("id"), col("width").as("sample_rate"),
+          col("height").as("n_frames"))
+        .orderBy("id")
+    }),
+
     // ---- §2.A custom vectorized check (api/checks.py:21-124) ----
     "chk_custom_fn" -> ((s, d) =>
       failCount(s, "custom_name_nonempty", t(s, d, "customer"), "c_name",
@@ -892,6 +916,15 @@ object SparkEntry {
         "CAST(64 + (nb*7) % 512 AS INTEGER) AS height FROM b ORDER BY id"),
     "mm_image_meta" ->
       "SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS width, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'png' AS format FROM documents ORDER BY id",
+    "mm_audio_meta" ->
+      "SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate, CAST(800 + (doc_id * 3) % 160 AS INTEGER) AS n_frames, CAST(1 AS INTEGER) AS channels, 'wav' AS format FROM documents ORDER BY id",
+    "mm_audio_features" ->
+      ("SELECT doc_id AS id, " +
+        "round(CAST(CAST(((doc_id * 37) % 1000 + 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS rms_1, " +
+        "round(CAST(CAST(((doc_id * 37) % 1000 + 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS rms_4 " +
+        "FROM documents ORDER BY id"),
+    "mm_audio_resize" ->
+      "SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate, CAST(512 AS INTEGER) AS n_frames FROM documents ORDER BY id",
     "mm_image_resize" ->
       ("WITH b AS (SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS w0, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS h0 FROM documents) " +
         "SELECT id, " +

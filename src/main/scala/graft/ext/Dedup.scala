@@ -232,9 +232,11 @@ object Dedup {
     while (!converged && it < maxIterations) {
       val received = edges.join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("lbl"))
+      // lazy checkpoint: the changed-count action below materializes it,
+      // so each round costs ONE job instead of checkpoint-job + count-job.
       val next = labels.union(received)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") < col("old")).limit(1).count()
       labels = next

@@ -120,6 +120,67 @@ object ImageIODecoder extends MediaDecoder {
   }
 }
 
+/** Real WAV (RIFF/PCM) audio codec on javax.sound.sampled — in the JDK,
+  * zero extra deps. The image-shaped [[MediaMeta]] is reinterpreted for
+  * audio: width = sample rate in Hz, height = frame count,
+  * channels = channels, format = "wav". Video remains on [[StubDecoder]]
+  * (no container codec available). */
+object WavDecoder extends MediaDecoder {
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+    val ff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+    val f = ff.getFormat
+    MediaMeta(f.getSampleRate.toInt, ff.getFrameLength, f.getChannels, "wav")
+  }
+
+  /** Per-segment RMS energy over 16-bit PCM samples (all channels pooled),
+    * normalized to [0,1] by 1/32768 — the classic fixed-dim audio energy
+    * profile. Segments with no frames yield 0. */
+  def features(payload: Array[Byte], dim: Int): Array[Float] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16, "16-bit PCM expected")
+      val bytes = ais.readAllBytes()
+      val nSamples = bytes.length / 2
+      val le = !f.isBigEndian
+      val sumSq = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var i = 0
+      while (i < nSamples) {
+        val lo = bytes(2 * i) & 0xFF; val hi = bytes(2 * i + 1) & 0xFF
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toDouble
+        val seg = math.min(dim - 1, (i.toLong * dim / math.max(nSamples, 1)).toInt)
+        sumSq(seg) += s * s; cnt(seg) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(j =>
+        if (cnt(j) == 0) 0f
+        else (math.sqrt(sumSq(j) / cnt(j)) / 32768.0).toFloat)
+    } finally ais.close()
+  }
+
+  /** Clip to the first `bound` frames and re-encode as WAV (no-op when the
+    * clip is already within the bound) — the audio analog of an image
+    * downscale. */
+  def resize(payload: Array[Byte], bound: Int): Array[Byte] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      val total = ais.getFrameLength
+      if (total <= bound) return payload
+      val frameSize = f.getFrameSize
+      val buf = ais.readNBytes(bound * frameSize)
+      val clipped = new AudioInputStream(
+        new ByteArrayInputStream(buf), f, buf.length / frameSize)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(clipped, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    } finally ais.close()
+  }
+}
+
 object Multimodal {
 
   /** Metadata emitted per decoded payload. */
@@ -160,6 +221,40 @@ object Multimodal {
           }
           val bos = new ByteArrayOutputStream()
           ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic WAV fixtures keyed on an id column: mono
+    * 16-bit 8 kHz PCM, 800 + 3·id mod 160 frames, every sample the constant
+    * id·37 mod 1000 + 100 — real encoded WAVs whose decoded properties
+    * (frame count, and RMS = amp/32768 exactly, amp² being a perfect
+    * square) are closed-form in the id, so a SQL oracle can pin the whole
+    * codec round trip. */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("id"))
+      .mapPartitions { rows =>
+        val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM LE
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (800 + (id * 3) % 160).toInt
+          val amp = ((id * 37) % 1000 + 100).toInt
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            data(2 * i) = (amp & 0xFF).toByte
+            data(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
           Row(id, bos.toByteArray)
         }
       }(enc)

@@ -49,6 +49,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.dropExact(docs, Seq("text")).count() == 4)
   }
 
+  test("multimodal: WAV codec round trip (meta, RMS features, clip)") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val wavs = Multimodal.syntheticWavs(ids, "doc_id")
+    val meta = Multimodal.extractMeta(wavs, "id", "payload", ext.WavDecoder)
+      .orderBy("id").collect()
+    meta.zip(Seq(0L, 7L, 123L)).foreach { case (r, id) =>
+      assert(r.getAs[Int]("width") == 8000)            // sample rate
+      assert(r.getAs[Int]("height") == (800 + (id * 3) % 160).toInt)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[String]("format") == "wav")
+    }
+    val feats = Multimodal.extractFeatures(wavs, "id", "payload", 4, ext.WavDecoder)
+      .orderBy("id").collect()
+    feats.zip(Seq(0L, 7L, 123L)).foreach { case (r, id) =>
+      val expect = (((id * 37) % 1000 + 100) / 32768.0).toFloat
+      assert(r.getSeq[Float](1).forall(_ == expect)) // constant signal: RMS exact
+    }
+    val clipped = Multimodal.resizePayload(wavs, "id", "payload", 512, ext.WavDecoder)
+      .orderBy("id").collect()
+    clipped.foreach(r => assert(r.getAs[Int]("height") == 512))
+  }
+
   test("text: repetition and structure signals (Gopher-style)") {
     val d = Seq(
       (0L, "alpha beta\nalpha beta\ngamma delta"),           // 1 dup line of 3
