@@ -34,9 +34,10 @@ object SparkEntry {
     Seq((label, n)).toDF("check_name", "failure_count")
   }
 
-  private def aggPassFail(s: SparkSession, label: String, res: ValidationResult): DataFrame = {
+  private def aggPassFail(s: SparkSession, label: String, res: ValidationResult,
+                          extraOk: Boolean = true): DataFrame = {
     import s.implicits._
-    Seq((label, if (res.passed) 0L else 1L)).toDF("check_name", "failure_count")
+    Seq((label, if (res.passed && extraOk) 0L else 1L)).toDF("check_name", "failure_count")
   }
 
   /** Flagship: full lineitem contract at sf0.001; driver smoke-checks rows>0. */
@@ -298,6 +299,36 @@ object SparkEntry {
       import s.implicits._
       Seq(("synth_regex_roundtrip", if (res.passed && df.count() == 5000) 0L else 1L))
         .toDF("check_name", "failure_count")
+    }),
+
+    "synth_infer_roundtrip" -> ((s, d) => {
+      // round-4: the full infer → synthesize → validate loop on a table
+      // WITH temporal columns (lineitem carries l_shipdate) — r3 verdict
+      // item 1: temporal ge/le bounds used to crash constraint merging
+      val src = t(s, d, "lineitem")
+      val inferred = InferSchema.infer(src)
+      val df = graft.synth.Synthesize.dataFrame(s, inferred, 10000, seed = 42)
+      val res = inferred.validate(df)
+      aggPassFail(s, "synth_infer_roundtrip",
+        res, extraOk = df.count() == 10000)
+    }),
+
+    "synth_joint_unique" -> ((s, d) => {
+      // round-4: table-level joint uniqueness honored by synthesis
+      // (reference dataframe_strategy, strategies/pandas_strategies.py:1539)
+      val schema = new DataFrameSchema(
+        columns = Seq(
+          "region" -> ColumnSchema(Some(StringType),
+            Seq(Check.isin(Seq("NA", "EU", "APAC", "LATAM"))), nullable = false),
+          "bucket" -> ColumnSchema(Some(LongType),
+            Seq(Check.inRange(0L, 24L)), nullable = false),
+          "label" -> ColumnSchema(Some(StringType), Nil, nullable = false),
+          "score" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.0, 1.0)))),
+        unique = Seq("region", "bucket", "label"))
+      val df = graft.synth.Synthesize.dataFrame(s, schema, 8000, seed = 42)
+      val res = schema.validate(df)
+      aggPassFail(s, "synth_joint_unique",
+        res, extraOk = df.count() == 8000)
     }),
 
     // ---- extensions: text analysis ----
@@ -846,6 +877,10 @@ object SparkEntry {
       "SELECT 'synthesis_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "synth_regex_roundtrip" ->
       "SELECT 'synth_regex_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "synth_infer_roundtrip" ->
+      "SELECT 'synth_infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "synth_joint_unique" ->
+      "SELECT 'synth_joint_unique' AS check_name, CAST(0 AS BIGINT) AS failure_count",
 
     // ---- extension oracles ----
     "text_token_count" ->

@@ -146,6 +146,106 @@ class SynthPropertySpec extends SparkSpec {
     assert(dbl.validate(Synthesize.dataFrame(spark, dbl, 500, seed = 1)).passed)
   }
 
+  test("temporal bounds: infer → synthesize → validate round-trips (r3 verdict #1)") {
+    import spark.implicits._
+    // a frame with Date, Timestamp and numeric columns; infer attaches
+    // ge(min)/le(max) with TEMPORAL statistic values — synthesis used to
+    // throw NumberFormatException on them
+    val src = Seq(
+      (java.sql.Date.valueOf("2021-03-01"), java.sql.Timestamp.valueOf("2021-03-01 10:00:00"), 5.0),
+      (java.sql.Date.valueOf("2022-07-15"), java.sql.Timestamp.valueOf("2022-07-15 23:59:59"), 9.5),
+      (java.sql.Date.valueOf("2023-11-30"), java.sql.Timestamp.valueOf("2023-11-30 00:00:01"), 1.25)
+    ).toDF("d", "ts", "v")
+    val inferred = graft.inference.InferSchema.infer(src)
+    val synth = Synthesize.dataFrame(spark, inferred, 2000, seed = 3)
+    val res = inferred.validate(synth)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    // bounds genuinely respected, not vacuously (values span inside [min,max])
+    val row = synth.agg(
+      org.apache.spark.sql.functions.min($"d"), org.apache.spark.sql.functions.max($"d"),
+      org.apache.spark.sql.functions.min($"ts"), org.apache.spark.sql.functions.max($"ts")).head()
+    assert(!row.getDate(0).before(java.sql.Date.valueOf("2021-03-01")))
+    assert(!row.getDate(1).after(java.sql.Date.valueOf("2023-11-30")))
+    assert(!row.getTimestamp(2).before(java.sql.Timestamp.valueOf("2021-03-01 10:00:00")))
+    assert(!row.getTimestamp(3).after(java.sql.Timestamp.valueOf("2023-11-30 00:00:01")))
+  }
+
+  test("temporal checks: explicit gt/lt and unique date/timestamp columns") {
+    val loD = java.sql.Date.valueOf("2020-06-01")
+    val hiD = java.sql.Date.valueOf("2020-06-30")
+    val schema = DataFrameSchema(
+      "d" -> ColumnSchema(Some(DateType),
+        Seq(Check.gt(loD), Check.lt(hiD)), nullable = false),
+      "ts" -> ColumnSchema(Some(TimestampType),
+        Seq(Check.ge(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+          Check.le(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))), nullable = false),
+      "ud" -> ColumnSchema(Some(DateType),
+        Seq(Check.inRange(java.sql.Date.valueOf("2019-01-01"),
+          java.sql.Date.valueOf("2019-12-31"))), nullable = false, unique = true))
+    val df = Synthesize.dataFrame(spark, schema, 300, seed = 11)
+    val res = schema.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    // strict bounds: gt excludes the bound day itself
+    assert(df.filter(org.apache.spark.sql.functions.col("d") <= loD).count() == 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("d") >= hiD).count() == 0)
+    // unique date refuses n > span
+    val e = intercept[RuntimeException] {
+      Synthesize.dataFrame(spark, schema, 400, seed = 11)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("gate shape: infer(lineitem) incl. timestamp_ntz synthesizes and validates") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val inferred = graft.inference.InferSchema.infer(li)
+    val df = Synthesize.dataFrame(spark, inferred, 2000, seed = 42)
+    val res = inferred.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    assert(df.count() == 2000)
+  }
+
+  test("joint uniqueness: schema.unique tuples are distinct by construction") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // finite×finite×unbounded: 3 regions × 10 buckets = 30 < 2000 rows →
+    // the free string column absorbs the quotient
+    val schema = new DataFrameSchema(
+      columns = Seq(
+        "region" -> ColumnSchema(Some(StringType),
+          Seq(Check.isin(Seq("NA", "EU", "APAC"))), nullable = false),
+        "bucket" -> ColumnSchema(Some(LongType),
+          Seq(Check.inRange(0L, 9L)), nullable = false),
+        "label" -> ColumnSchema(Some(StringType), Nil, nullable = false),
+        "score" -> ColumnSchema(Some(DoubleType),
+          Seq(Check.inRange(0.0, 1.0)))),
+      unique = Seq("region", "bucket", "label"))
+    val df = Synthesize.dataFrame(spark, schema, 2000, seed = 5)
+    val res = schema.validate(df)
+    assert(res.passed, res.errors.map(_.message).mkString("; "))
+    // all three key columns genuinely vary (no degenerate single-value fix)
+    val r = df.agg(countDistinct(col("region")), countDistinct(col("bucket")),
+      countDistinct(col("label"))).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 10 && r.getLong(2) >= 2000 / 30)
+
+    // finite-only domain large enough: no unbounded column needed
+    val finite = new DataFrameSchema(
+      columns = Seq(
+        "a" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0L, 49L)), nullable = false),
+        "b" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0L, 19L)), nullable = false)),
+      unique = Seq("a", "b"))
+    assert(finite.validate(Synthesize.dataFrame(spark, finite, 1000, seed = 5)).passed)
+
+    // impossible joint domain errors out instead of silently violating
+    val tooSmall = new DataFrameSchema(
+      columns = Seq(
+        "a" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0L, 4L)), nullable = false),
+        "b" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0L, 4L)), nullable = false)),
+      unique = Seq("a", "b"))
+    val e = intercept[RuntimeException] {
+      Synthesize.dataFrame(spark, tooSmall, 100, seed = 5)
+    }
+    assert(e.getMessage.contains("joint domain"))
+  }
+
   test("unsupported regex constructs fail fast, not silently") {
     val neg = DataFrameSchema("s" -> ColumnSchema(Some(StringType),
       Seq(Check.strMatches("[^a-z]+")), nullable = false))
