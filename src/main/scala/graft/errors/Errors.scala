@@ -114,8 +114,13 @@ object GraftConfig {
     case _                                            => SchemaAndData
   }
 
-  def cacheDataFrame: Boolean =
-    env("CACHE_DATAFRAME").exists(v => v.equalsIgnoreCase("true") || v == "1")
-  def keepCachedDataFrame: Boolean =
-    env("KEEP_CACHED_DATAFRAME").exists(v => v.equalsIgnoreCase("true") || v == "1")
+  // programmatic overrides (primarily for tests — env vars cannot change
+  // after JVM start); None falls through to the env knobs
+  @volatile private[graft] var cacheOverride: Option[Boolean] = None
+  @volatile private[graft] var keepCachedOverride: Option[Boolean] = None
+
+  def cacheDataFrame: Boolean = cacheOverride.getOrElse(
+    env("CACHE_DATAFRAME").exists(v => v.equalsIgnoreCase("true") || v == "1"))
+  def keepCachedDataFrame: Boolean = keepCachedOverride.getOrElse(
+    env("KEEP_CACHED_DATAFRAME").exists(v => v.equalsIgnoreCase("true") || v == "1"))
 }

@@ -43,9 +43,19 @@ object ValidatedIO {
 
   /** Validate-then-write: run the fused validation, and write the validated
     * data (post drop_invalid_rows / coercion / defaults) only when it
-    * passed — or unconditionally when the schema drops invalid rows, which
-    * makes this a quarantining sink. Returns the validation result either
-    * way; on a failed non-dropping validation nothing is written. */
+    * passed — or, when the schema drops invalid rows, when every remaining
+    * non-warning error is a row-level DATA failure that the dropping cures
+    * (a quarantining sink). SCHEMA-category failures (missing column, wrong
+    * dtype, …) always withhold the write: row-dropping cannot cure a
+    * structural mismatch, so letting it through would land malformed data
+    * in the sink. Returns the validation result either way.
+    *
+    * When the cache knob (GraftConfig.cacheDataFrame) is on, the source is
+    * persisted across the validate + write pair so the sink write replays
+    * from cache instead of re-scanning (or recomputing) the source — at
+    * 100 TB the second scan is the dominant cost of this operator. With the
+    * knob off, callers pay validate + write as two scans (document/persist
+    * upstream if the source is expensive). */
   def write(
       schema: DataFrameSchema,
       df: DataFrame,
@@ -54,11 +64,19 @@ object ValidatedIO {
       mode: String = "error",
       partitionBy: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): ValidationResult = {
-    val res = schema.validate(df)
-    if (res.passed || schema.dropInvalidRows) {
-      val w = res.data.write.format(format).mode(mode).options(options)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    val doCache = graft.errors.GraftConfig.cacheDataFrame
+    if (doCache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val res = schema.validate(df)
+      val rowLevelOnly = res.errors.filterNot(_.isWarning)
+        .forall(_.category == graft.errors.ErrorCategory.DATA)
+      if (res.passed || (schema.dropInvalidRows && rowLevelOnly)) {
+        val w = res.data.write.format(format).mode(mode).options(options)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+      }
+      res
+    } finally {
+      if (doCache && !graft.errors.GraftConfig.keepCachedDataFrame) df.unpersist()
     }
-    res
   }
 }

@@ -98,11 +98,14 @@ final case class DataFrameSchema(
   def columnNames: Seq[String] = columns.map(_._1)
   def column(n: String): Option[ColumnSchema] = columns.find(_._1 == n).map(_._2)
 
-  /** Column- and schema-level metadata in one structure (reference:
-    * get_metadata, api/dataframe/container.py:265-272). */
-  def getMetadata: Map[String, Any] = Map(
-    "columns" -> columns.map { case (n, c) => n -> c.metadata }.toMap,
-    "dataframe" -> metadata)
+  /** Column- and schema-level metadata in one structure, wrapped under the
+    * schema's name like the reference (get_metadata,
+    * api/dataframe/container.py:265-276 returns {name: {columns…,
+    * dataframe…}}; an unnamed schema keys on null there, here on ""). */
+  def getMetadata: Map[String, Map[String, Any]] = Map(
+    name.getOrElse("") -> Map(
+      "columns" -> columns.map { case (n, c) => n -> c.metadata }.toMap,
+      "dataframe" -> metadata))
 
   /** Validate `df` (lazy/accumulating, like the pyspark reference which
     * never raises: backends/pyspark/container.py). */

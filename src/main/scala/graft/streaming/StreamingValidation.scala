@@ -28,45 +28,53 @@ object StreamingValidation {
     }
 
   /** Split each micro-batch into (valid, invalid) using the schema's
-    * row-level conditions (dropInvalidRows on a copy), calling the two
-    * sinks separately — the classic quarantine pattern. */
+    * conjoined row-level pass predicate, calling the two sinks separately —
+    * the classic quarantine pattern. Each side is ONE codegen'd filter over
+    * the persisted batch: no aggregation, no shuffle, no re-validation (the
+    * earlier `batch.exceptAll(valid)` formulation was an aggregation-based
+    * set difference that shuffled the full micro-batch twice per batch). */
   def quarantineWriter(
       stream: DataFrame,
       schema: DataFrameSchema)(
       validSink: (DataFrame, Long) => Unit)(
-      invalidSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val dropping = schema.copy(dropInvalidRows = true)
+      invalidSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       batch.persist()
       try {
-        val valid = dropping.validate(batch).data
+        val (valid, invalid) = graft.backend.Validator.splitByRowChecks(schema, batch)
         validSink(valid, id)
-        invalidSink(batch.exceptAll(valid), id)
+        invalidSink(invalid, id)
       } finally batch.unpersist()
     }
-  }
 
-  /** Streaming exact dedup on a key set: fingerprint the keys, watermark on
-    * event time, and let Spark's stateful dropDuplicatesWithinWatermark
-    * bound the dedup state — the state store holds one fingerprint per key
-    * seen inside the watermark horizon, so memory is O(arrival rate ×
-    * watermark), not O(stream history). The fingerprint (xxhash64) keeps
-    * per-key state to 8 bytes however wide the dedup columns are.
+  /** Streaming exact dedup on a key set: watermark on event time and let
+    * Spark's stateful dropDuplicatesWithinWatermark bound the dedup state —
+    * the state store holds one entry per key seen inside the watermark
+    * horizon, so memory is O(arrival rate × watermark), not O(stream
+    * history). The RAW key columns are the state key by default, so the
+    * dedup is exact. `fingerprintKeys = true` opts very wide keys into an
+    * 8-byte xxhash64 state entry instead — smaller state at the cost of a
+    * 2^-64-per-pair collision chance silently dropping a distinct event
+    * (probabilistic, not exact — only opt in when the key tuple is large).
     * `tsCol` is an epoch-nanos LONG column (the events table shape under
     * nanosAsLong, same convention as hourlyRollup). */
   def dedupStream(
       stream: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      watermark: String): DataFrame = {
-    val key = if (keyCols.size == 1) col(keyCols.head)
-              else xxhash64(keyCols.map(col): _*)
-    stream
+      watermark: String,
+      fingerprintKeys: Boolean = false): DataFrame = {
+    val withTs = stream
       .withColumn("__ets", timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
-      .withColumn("__dk", key)
       .withWatermark("__ets", watermark)
-      .dropDuplicatesWithinWatermark("__dk")
-      .drop("__dk", "__ets")
+    if (fingerprintKeys) {
+      withTs
+        .withColumn("__dk", xxhash64(keyCols.map(col): _*))
+        .dropDuplicatesWithinWatermark("__dk")
+        .drop("__dk", "__ets")
+    } else {
+      withTs.dropDuplicatesWithinWatermark(keyCols).drop("__ets")
+    }
   }
 
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch

@@ -91,6 +91,45 @@ class IoModelSynthSpec extends SparkSpec {
     assert(cres.passed && cres.data.schema("id").dataType == LongType)
   }
 
+  test("ValidatedIO.write: schema-level failures withhold the quarantine write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vio2").toString
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
+      "missing_col" -> ColumnSchema(Some(DoubleType)))
+      .copy(dropInvalidRows = true)
+    // a structural failure (required column absent) cannot be cured by
+    // row-dropping: even with dropInvalidRows, nothing may land in the sink
+    val df = Seq((1L, 5.0), (2L, 7.5)).toDF("id", "v")
+    val res = graft.io.ValidatedIO.write(schema, df, s"$dir/blocked", "parquet")
+    assert(!res.passed)
+    assert(res.errors.exists(_.category == graft.errors.ErrorCategory.SCHEMA))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/blocked")))
+  }
+
+  test("ValidatedIO.write: cache knob persists the source across validate+write") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vio3").toString
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
+      "v" -> ColumnSchema(Some(DoubleType)))
+    val df = Seq((1L, 5.0), (2L, 7.5), (3L, 1.0)).toDF("id", "v")
+    graft.errors.GraftConfig.cacheOverride = Some(true)
+    graft.errors.GraftConfig.keepCachedOverride = Some(true)
+    try {
+      val res = graft.io.ValidatedIO.write(schema, df, s"$dir/cached", "parquet")
+      assert(res.passed)
+      // the write-side plan replays from the persisted source — the
+      // validated frame resolves to an InMemoryRelation, not a re-scan
+      assert(res.data.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+      assert(spark.read.parquet(s"$dir/cached").count() == 3)
+    } finally {
+      graft.errors.GraftConfig.cacheOverride = None
+      graft.errors.GraftConfig.keepCachedOverride = None
+      df.unpersist()
+    }
+  }
+
   test("model DSL: derive from case class, attach checks, validate Dataset") {
     val ds = Seq(Item(1, "a", 5.0, true), Item(2, "b", 6.0, false)).toDS()
     val m = DataFrameModel.of[Item]

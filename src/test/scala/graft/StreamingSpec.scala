@@ -41,9 +41,11 @@ class StreamingSpec extends SparkSpec {
 
     val valid = scala.collection.mutable.ArrayBuffer.empty[Long]
     val invalid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val invalidPlans = scala.collection.mutable.ArrayBuffer.empty[String]
     val q = StreamingValidation.quarantineWriter(stream, schema) { (df, _) =>
       valid ++= df.select("id").collect().map(_.getLong(0))
     } { (df, _) =>
+      invalidPlans += df.queryExecution.optimizedPlan.toString
       invalid ++= df.select("id").collect().map(_.getLong(0))
     }.start()
     try {
@@ -53,6 +55,12 @@ class StreamingSpec extends SparkSpec {
 
     assert(valid.sorted == Seq(1L, 3L))
     assert(invalid.sorted == Seq(2L))
+    // r3 verdict wrong #1: the invalid side must be a pure filter — no
+    // exceptAll (aggregation-based set difference shuffling the batch)
+    invalidPlans.foreach { p =>
+      assert(!p.contains("Except") && !p.contains("Aggregate"),
+        s"invalid-side plan must be shuffle-free:\n$p")
+    }
   }
 
   test("streaming exact dedup drops repeat keys within the watermark") {
@@ -72,6 +80,24 @@ class StreamingSpec extends SparkSpec {
       val got = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
         .map(r => (r.getLong(0), r.getString(1))).sorted
       assert(got.toSeq == Seq((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup fingerprint opt-in behaves like the raw-key path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("ts", "user_id", "event_type")
+    val deduped = StreamingValidation.dedupStream(
+      stream, Seq("user_id", "event_type"), "ts", watermark = "1 hour",
+      fingerprintKeys = true)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_fp_out").start()
+    try {
+      mem.addData((0L, 1L, "click"), (1000L, 1L, "click"), (2000L, 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type FROM dedup_fp_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq == Seq((1L, "click"), (2L, "click")))
     } finally q.stop()
   }
 

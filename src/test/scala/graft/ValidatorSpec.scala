@@ -344,15 +344,19 @@ class ValidatorSpec extends SparkSpec {
     assert(s.columnNames == Seq("a"))
   }
 
-  test("getMetadata exposes column- and schema-level metadata") {
+  test("getMetadata exposes column- and schema-level metadata under the schema name") {
     val s = DataFrameSchema(
       "a" -> ColumnSchema(Some(LongType), metadata = Map("pii" -> "false")),
       "b" -> ColumnSchema(Some(StringType)))
-      .copy(metadata = Map("owner" -> "data-eng"))
-    val m = s.getMetadata
+      .copy(metadata = Map("owner" -> "data-eng"), name = Some("orders_schema"))
+    // reference get_metadata wraps under the schema name
+    // (api/dataframe/container.py:265-276)
+    val m = s.getMetadata("orders_schema")
     assert(m("dataframe") == Map("owner" -> "data-eng"))
     assert(m("columns").asInstanceOf[Map[String, Map[String, String]]]("a") ==
       Map("pii" -> "false"))
+    // unnamed schema keys on ""
+    assert(s.copy(name = None).getMetadata.keySet == Set(""))
   }
 
   test("schema-only depth runs zero data checks") {
