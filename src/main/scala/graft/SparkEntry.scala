@@ -419,6 +419,17 @@ object SparkEntry {
         queries, "qid", "qv", k = 5, bits = 16, bands = 8)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_lsh_multiprobe" -> ((s, d) => {
+      // oracle: golden pin; multi-probe ≥ single-probe recall asserted in
+      // ExtSpec (probing all Hamming-1 buckets per band widens candidates
+      // on the broadcast query side only — zero extra corpus work)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, bits = 16, bands = 8, multiProbe = true)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_ivf" -> ((s, d) => {
       // oracle: golden pin; recall + determinism asserted in ExtSpec
       val emb = t(s, d, "embeddings")
@@ -775,6 +786,11 @@ object SparkEntry {
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
+    "sim_topk_lsh_multiprobe" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 12, 4, 0.311), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 246, 4, 0.2898), (2, 185, 5, 0.2829), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 365, 2, 0.37), (0, 334, 3, 0.3627), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 174, 5, 0.3035), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_ivf" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +

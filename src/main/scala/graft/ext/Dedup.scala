@@ -18,6 +18,30 @@ object Dedup {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
+  /** Skew guard shared by every LSH-style candidate generator: a bucket of
+    * m members emits m² candidate pairs, and on web-scale corpora
+    * mass-duplicated (or empty) documents land whole clusters in one
+    * bucket. Buckets above maxBucketSize are dropped — standard LSH
+    * practice (oversized buckets carry little information; run exact dedup
+    * on fingerprints FIRST to collapse exact duplicates).
+    *
+    * The oversized-key set is found with one aggregation whose map-side
+    * partial counts mean only DISTINCT bucket keys cross the wire, then
+    * removed with a broadcast LEFT ANTI join — the bucketed branch itself
+    * is never shuffled or sorted for the guard. (The round-3 formulation
+    * counted per-row with a window over the bucket key, which forced a
+    * full sort of every banded row inside the self-join exchange; measured
+    * +28% on dedup_minhash. The oversized set is at most
+    * |corpus|/maxBucketSize keys — trivially broadcastable.) */
+  private def dropOversizedBuckets(
+      banded: DataFrame, keyCols: Seq[String], maxBucketSize: Long): DataFrame = {
+    val oversized = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    banded.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
   /** Exact duplicate statistics on a key set: one hash-aggregate pass.
     * Returns a 1-row DataFrame (n_total, n_distinct, n_dup_rows). */
   def exactStats(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -84,17 +108,7 @@ object Dedup {
     val allBanded = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // Skew guard: a bucket of m members emits m² candidate pairs, and on
-    // web-scale corpora mass-duplicated (or empty) documents land whole
-    // clusters in one bucket. Buckets above maxBucketSize are dropped —
-    // standard LSH practice (oversized buckets carry little information;
-    // run exact dedup on fingerprints FIRST to collapse exact duplicates).
-    // A window count filters in the SAME shuffle that partitions the rows
-    // by (band, bucket) — no second scan of the signature branch.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val banded = allBanded
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val banded = dropOversizedBuckets(allBanded, Seq("band", "bucket"), maxBucketSize)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -150,12 +164,8 @@ object Dedup {
       .select(col("id"), col("sh"), col("c.cid").as("cid"), col("c.ck").as("ck"))
     // Skew guard (same rationale as minhashPairs): chunk values shared by
     // more than maxBucketSize docs would emit O(m²) candidates; dropping
-    // them trades recall on degenerate hot chunks for bounded work. The
-    // window count rides the same (cid, ck) shuffle as the self-join.
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid", "ck")
-    val chunked = allChunked
-      .withColumn("__bsz", count(lit(1)).over(wc))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    // them trades recall on degenerate hot chunks for bounded work.
+    val chunked = dropOversizedBuckets(allChunked, Seq("cid", "ck"), maxBucketSize)
     val a = chunked.as("a"); val b = chunked.as("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
@@ -282,11 +292,9 @@ object Dedup {
     val base = df.select(q(idCol).as("id"), q(embCol).as("v"))
     val pairs =
       if (useLsh) {
-        val ws = org.apache.spark.sql.expressions.Window.partitionBy("sig")
-        val sigd = base.withColumn("sig",
-          Similarity.hyperplaneSignature(col("v"), lshBits))
-          .withColumn("__bsz", count(lit(1)).over(ws))
-          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        val sigd = dropOversizedBuckets(
+          base.withColumn("sig", Similarity.hyperplaneSignature(col("v"), lshBits)),
+          Seq("sig"), maxBucketSize)
         sigd.as("a").join(sigd.as("b"),
             col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
