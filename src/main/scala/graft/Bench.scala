@@ -113,6 +113,14 @@ object Bench {
       lineitemSchema.copy(dropInvalidRows = true).validate(li).data.count())
     results += "drop_invalid_rows" -> tDrop
 
+    // JIT/codegen warmup for the sketch expressions (MinHashSig, band
+    // explode, TopK) on a tiny slice — same treatment the fused validate
+    // path gets above, so the timed runs measure steady-state throughput
+    // (the quantity that extrapolates to a long-running 100 TB job), not
+    // first-call whole-stage-codegen compilation.
+    ext.Dedup.clusterPairs(
+      ext.Dedup.minhashPairs(docs.limit(200), "doc_id", "text", 3, 64, 16, 0.8)).count()
+
     val (tDedup, nPairs) = time(
       ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
     results += "dedup_minhash" -> tDedup
@@ -122,6 +130,34 @@ object Bench {
       ext.Dedup.clusterPairs(pairs).count()
     }
     results += "dedup_cluster" -> tCluster
+
+    // 10× scaling probes (round-3 verdict next #8): replicate documents
+    // with a per-replica vowel rotation (rep 0 is identity) — each replica
+    // is isomorphic to the original corpus, so its near-dup structure is
+    // preserved WITHIN the replica while cross-replica shingles diverge.
+    // Pair volume therefore scales ~linearly with rows, giving the
+    // O(candidates) claims a measured curve (1× vs 10× wall-clock) instead
+    // of plan inspection alone.
+    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
+    val docs10 = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(rotations.size - 1))).as("rep"))
+      .select((col("doc_id") * 16 + col("rep")).as("doc_id"),
+        rotations.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (rot, r)) =>
+            when(col("rep") === r, translate(col("text"), "aeiou", rot)).otherwise(acc)
+        }.as("text"))
+
+    val (tDedup10, nPairs10) = time(
+      ext.Dedup.minhashPairs(docs10, "doc_id", "text", 3, 64, 16, 0.8).count())
+    results += "dedup_minhash_10x" -> tDedup10
+
+    val (tCluster10, _) = time {
+      val pairs = ext.Dedup.minhashPairs(docs10, "doc_id", "text", 3, 64, 16, 0.8)
+      ext.Dedup.clusterPairs(pairs).count()
+    }
+    results += "dedup_cluster_10x" -> tCluster10
 
     val (tSim, _) = time {
       val queries = emb.filter(col("vec_id") < 5)
@@ -155,7 +191,7 @@ object Bench {
 
     val qs = (results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" } ++
       Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
-        s""""dedup_pairs":$nPairs"""))
+        s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
