@@ -234,23 +234,35 @@ object Dedup {
       .localCheckpoint() // reused every round: materialize once, drop lineage
     // label(u) starts at min(u, min neighbor); every round each node takes
     // the min of its own label and its neighbors' labels.
+    //
+    // Convergence: labels only ever DECREASE and the node set is fixed
+    // after init, so the label sum is strictly decreasing while any node
+    // changed — an unchanged sum IS the fixed point. The sum rides the
+    // same action that materializes the round's lazy checkpoint, making
+    // each round exactly ONE job (join + re-aggregate); the earlier
+    // formulation paid a second shuffle per round joining next against
+    // the previous labels for a changed-count. decimal(38,0) keeps the
+    // sum exact for arbitrary 64-bit ids (a Double sum could miss a
+    // ±1 label change in the low bits at web scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s")).head().getDecimal(0)
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var prevSum = labelSum(labels) // materializes the init checkpoint too
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
       val received = edges.join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("lbl"))
-      // lazy checkpoint: the changed-count action below materializes it,
-      // so each round costs ONE job instead of checkpoint-job + count-job.
       val next = labels.union(received)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(false)
-      val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") < col("old")).limit(1).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     if (!converged)

@@ -91,10 +91,35 @@ class SynthPropertySpec extends SparkSpec {
     ColumnSchema(Some(LongType), checks, nullable = false, unique = true)
   }
 
+  // round-4 generator: temporal columns with drawn bounds — gt/ge/lt/le/
+  // in_range over Date (epoch-day domain) and Timestamp (epoch-micro)
+  private val genTemporalCol: Gen[ColumnSchema] = for {
+    startDay <- Gen.choose(15000L, 20000L) // ~2011..2024 epoch days
+    spanDays <- Gen.choose(30L, 2000L)
+    isDate <- Gen.oneOf(true, false)
+    kind <- Gen.oneOf(0, 1, 2, 3)
+    nullable <- Gen.oneOf(true, false)
+  } yield {
+    def day(d: Long) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+    def ts(d: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(d).atStartOfDay)
+    val (lo, hi): (Any, Any) =
+      if (isDate) (day(startDay), day(startDay + spanDays))
+      else (ts(startDay), ts(startDay + spanDays))
+    val checks = kind match {
+      case 0 => Seq(Check.inRange(lo, hi))
+      case 1 => Seq(Check.ge(lo), Check.le(hi))
+      case 2 => Seq(Check.gt(lo), Check.lt(hi))
+      case 3 => Seq(Check.ge(lo))
+    }
+    ColumnSchema(Some(if (isDate) DateType else TimestampType), checks,
+      nullable = nullable)
+  }
+
   private val genSchema: Gen[DataFrameSchema] = for {
     n <- Gen.choose(1, 4)
     cols <- Gen.listOfN(n, Gen.frequency(
-      4 -> genNumericCol, 4 -> genStringCol, 1 -> genUniqueCol))
+      4 -> genNumericCol, 4 -> genStringCol, 2 -> genTemporalCol, 1 -> genUniqueCol))
   } yield new DataFrameSchema(
     columns = cols.zipWithIndex.map { case (c, i) => s"c$i" -> c })
 
