@@ -364,6 +364,23 @@ object SparkEntry {
     "text_top_bigram" -> ((s, d) =>
       ext.TextAnalysis.topNgramFraction(t(s, d, "documents"), "doc_id", "text", 2)
         .orderBy("doc_id")),
+    "text_gopher_filter" -> ((s, d) =>
+      // round-4: the composite Gopher keep predicate as one boolean per doc
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.gopherKeep(col("text")).cast("int").as("keep"))
+        .orderBy("doc_id")),
+    "text_c4_clean" -> ((s, d) => {
+      // round-4: C4 line cleaning. The documents table is single-line, so
+      // the gate builds a deterministic 3-line input (line 1 ends in '.',
+      // line 2 in '!', line 3 unterminated) — the cleaner must keep
+      // exactly the first two lines.
+      val multi = concat(col("text"), lit("."), lit("\n"),
+        col("text"), lit(" extra!"), lit("\n"),
+        substring(col("text"), 1, 20))
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.c4CleanLines(multi).as("clean_text"))
+        .orderBy("doc_id")
+    }),
 
     // ---- extensions: dedup family ----
     "dedup_exact" -> ((s, d) =>
@@ -933,6 +950,32 @@ object SparkEntry {
         "a AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM gc GROUP BY 1) " +
         "SELECT d.doc_id, round(coalesce(a.frac, 0.0), 4) AS top_ngram_frac " +
         "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
+    "text_gopher_filter" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS sym, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
+        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t) " +
+        "SELECT doc_id, CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
+        "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
+        "AND alpha_frac >= 0.8 AND hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+        "FROM s ORDER BY doc_id"),
+    "text_c4_clean" ->
+      ("WITH m AS (SELECT doc_id, text || '.' || chr(10) || text || ' extra!' || chr(10) || substr(text, 1, 20) AS multi FROM documents) " +
+        "SELECT doc_id, array_to_string(list_filter(string_split(multi, chr(10)), " +
+        "x -> (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR ends_with(trim(x), '?') OR ends_with(trim(x), '\"')) " +
+        "AND len(string_split_regex(trim(x), '\\s+')) >= 3), chr(10)) AS clean_text " +
+        "FROM m ORDER BY doc_id"),
     "dedup_exact" ->
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),

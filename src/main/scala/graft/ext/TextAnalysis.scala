@@ -171,7 +171,56 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("top_ngram_frac"))
   }
 
+  /** Gopher/MassiveText composite keep predicate — the full document-level
+    * quality filter as ONE codegen'd boolean Column (token-count window,
+    * mean-word-length window, symbol ratio, duplicate/bullet/ellipsis line
+    * fractions, alphabetic-word fraction, stopword floor), with the
+    * published defaults as parameters. Attach with `df.filter` (one scan,
+    * no shuffle) or as a schema check via `gopherQuality`. The stopword
+    * floor takes the BEST hit count across the supported language lists so
+    * multilingual corpora aren't filtered to English only. */
+  def gopherKeep(c: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxDupLineFrac: Double = 0.3,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val alphaWordFrac = when(n === 0, lit(0.0)).otherwise(round(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n.cast("double"), 4))
+    val hits = greatest(stopwords.map { case (_, ws) => stopwordHits(toks, ws) }: _*)
+    n.between(minTokens, maxTokens) &&
+      meanWordLength(c).between(minMeanWordLen, maxMeanWordLen) &&
+      symbolWordRatio(c) <= maxSymbolRatio &&
+      duplicateLineFraction(c) <= maxDupLineFrac &&
+      bulletLineFraction(c) <= maxBulletFrac &&
+      ellipsisLineFraction(c) <= maxEllipsisFrac &&
+      alphaWordFrac >= minAlphaWordFrac &&
+      hits >= minStopwordHits
+  }
+
+  /** C4-style line cleaning: keep only lines that end in a terminal
+    * punctuation mark and carry at least `minLineWords` whitespace tokens
+    * (the C4 "terminal punctuation" + short-line rules), re-joined with
+    * newlines. Pure array expression — cleaning 100 TB is one scan. */
+  def c4CleanLines(c: Column, minLineWords: Int = 3): Column = {
+    val terminal = Seq(".", "!", "?", "\"")
+    array_join(
+      filter(split(c, "\n"), l =>
+        terminal.map(p => trim(l).endsWith(p)).reduce(_ || _) &&
+          size(split(trim(l), "\\s+")) >= minLineWords),
+      "\n")
+  }
+
   // ---- schema-attachable checks ----------------------------------------
+  def gopherQuality(minTokens: Int = 50, maxTokens: Int = 100000): ColumnCheck =
+    ColumnCheck("gopher_quality",
+      c => gopherKeep(c, minTokens = minTokens, maxTokens = maxTokens),
+      Map("min_tokens" -> minTokens, "max_tokens" -> maxTokens))
   def minTokens(n: Int): ColumnCheck =
     ColumnCheck("min_tokens", c => tokenCount(c) >= n, Map("min" -> n))
   def maxTokens(n: Int): ColumnCheck =

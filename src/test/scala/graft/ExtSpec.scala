@@ -228,6 +228,25 @@ class ExtSpec extends SparkSpec {
     assert(!ivfPlan.contains("Window"))
   }
 
+  test("text: gopher composite keep predicate and C4 line cleaning") {
+    val good = ("the excellent document contains many meaningful words and it is quite wonderful indeed " * 5).trim
+    val short = "too few words here"
+    val symbols = (("### " * 30) + "the of and to in is it a").trim
+    val repeated = Seq.fill(10)("the same line of and the it is").mkString("\n") +
+      "\nthe only unique line here of and it"
+    val d = Seq((0L, good), (1L, short), (2L, symbols), (3L, repeated))
+      .toDF("doc_id", "text")
+    val kept = d.filter(TextAnalysis.gopherKeep(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L),
+      s"expected only doc 0 to survive (short/symbol/repetition rules), got $kept")
+
+    val multi = "A proper sentence ends with a period.\nshort.\nno terminal punct here\nAnother good line stays!"
+    val cleaned = Seq((0L, multi)).toDF("doc_id", "text")
+      .select(TextAnalysis.c4CleanLines(col("text")).as("c")).head().getString(0)
+    assert(cleaned == "A proper sentence ends with a period.\nAnother good line stays!")
+  }
+
   test("LSH skew guard: mass-duplicate buckets dropped via anti-join, no window sort") {
     // 400 identical docs land whole bands in one bucket (size 400 > cap 50):
     // the guard must drop those buckets so no candidate pair among them
