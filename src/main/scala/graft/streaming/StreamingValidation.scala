@@ -77,6 +77,27 @@ object StreamingValidation {
     }
   }
 
+  /** Streaming NEAR-duplicate dedup: key the watermark-bounded state on
+    * the document's 64-bit SimHash. Token-vote hashing makes the sketch
+    * order-independent and whitespace-insensitive, so reshuffled or
+    * re-wrapped copies of a document collapse to the same 8-byte state
+    * entry and are dropped inside the watermark horizon. Hamming > 0
+    * matching (small edits) needs the batch pair pipeline
+    * (ext.Dedup.simhashPairs) — this is the streaming-compatible
+    * approximation: O(arrival rate × watermark) state, 8 bytes per
+    * distinct sketch, no shuffle beyond the stateful operator's own. */
+  def nearDedupStream(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("__ets", timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      .withWatermark("__ets", watermark)
+      .withColumn("__sh", graft.ext.Dedup.simhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__sh")
+      .drop("__sh", "__ets")
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup collapses reordered copies via simhash state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (ts nanos, text)
+    val stream = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingValidation.nearDedupStream(
+      stream, "text", "ts", watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("neardedup_out").start()
+    try {
+      mem.addData(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        // reordered copy — token-vote simhash is order-independent
+        (1000L, "over the lazy dog jumps the quick brown fox"),
+        (2000L, "a completely different document about spark engines"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT text FROM neardedup_out").collect().map(_.getString(0))
+      assert(got.length == 2, s"expected reordered copy dropped, got ${got.toSeq}")
+      assert(got.exists(_.contains("different document")))
+    } finally q.stop()
+  }
+
   test("hourly rollup matches between batch mode and streaming mode") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val batch = StreamingValidation.hourlyRollup(events, "ts", watermark = None)
