@@ -359,6 +359,31 @@ class ValidatorSpec extends SparkSpec {
     assert(s.copy(name = None).getMetadata.keySet == Set(""))
   }
 
+  test("splitByRowChecks: complementary halves, nulls to invalid, coercion applied") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", 5.0),    // valid
+      ("2", 200.0),  // fails in_range
+      ("x", 5.0),    // un-coercible id
+      (null, 5.0)    // null id: cmp is null, ignoreNa=false → invalid (3VL)
+    ).toDF("id", "v")
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Nil, coerce = true),
+      "v" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.0, 100.0))))
+      .setChecks(graft.checks.WideCheck("id_lt_100",
+        d => org.apache.spark.sql.functions.expr("id < 100"), ignoreNa = false))
+    val (valid, invalid) = graft.backend.Validator.splitByRowChecks(schema, df)
+    val v = valid.collect(); val inv = invalid.collect()
+    // exhaustive + disjoint partition of the batch
+    assert(v.length + inv.length == 4)
+    assert(v.length == 1 && v.head.getLong(0) == 1L)
+    // coercion applied on both sides (id is LongType, not the raw string)
+    assert(valid.schema("id").dataType == LongType)
+    assert(invalid.schema("id").dataType == LongType)
+    // no helper columns leak
+    assert(valid.columns.toSeq == Seq("id", "v"))
+  }
+
   test("schema-only depth runs zero data checks") {
     val schema = DataFrameSchema("price" -> ColumnSchema.of(DoubleType, Check.ge(0.0)))
     val res = graft.backend.Validator.validate(schema, df,
