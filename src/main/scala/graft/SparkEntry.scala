@@ -411,6 +411,11 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .orderBy("doc_id")
     }),
+    "dedup_pipeline" -> ((s, d) =>
+      // round-4: exact-collapse → ngram-jaccard pairs → cluster → keep reps
+      ext.Dedup.nearDupPipeline(t(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxDf = 100000L)
+        .select("doc_id").orderBy("doc_id")),
     "dedup_drop_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -982,6 +987,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_cluster" -> clusterOracle(0.5),
     "dedup_drop_neardup" -> dropNearDupOracle(0.5),
+    "dedup_pipeline" -> pipelineOracle(0.5),
     "dedup_embedding_cosine" ->
       ("WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round($cosineSql, 4) AS cosine " +
@@ -1117,8 +1123,8 @@ object SparkEntry {
   /** Exact word-3-gram Jaccard pairs >= threshold (brute in DuckDB; the
     * engine side uses LSH/inverted-index candidate generation whose result
     * set is provably identical on this data's separation). */
-  private def jaccardPairCtes: String =
-    "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+  private def jaccardPairCtes(src: String = "documents"): String =
+    s"t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src), " +
       "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
       "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
       "ELSE [array_to_string(toks, ' ')] END) AS sh FROM t), " +
@@ -1127,14 +1133,14 @@ object SparkEntry {
       "FROM s a JOIN s b ON a.doc_id < b.doc_id)"
 
   private def jaccardOracle(threshold: Double): String =
-    s"WITH $jaccardPairCtes " +
+    s"WITH ${jaccardPairCtes()} " +
       s"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b"
 
   /** Connected components over the jaccard pair list via transitive closure
     * (recursive CTE) + per-node min reachable id — the same min-of-component
     * labeling clusterPairs converges to. */
-  private def componentCtes(threshold: Double): String =
-    s"$jaccardPairCtes, " +
+  private def componentCtes(threshold: Double, src: String = "documents"): String =
+    s"${jaccardPairCtes(src)}, " +
       s"p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $threshold), " +
       "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
       "reach(u, v) AS (SELECT u, v FROM edges " +
@@ -1149,5 +1155,15 @@ object SparkEntry {
   private def dropNearDupOracle(threshold: Double): String =
     s"WITH RECURSIVE ${componentCtes(threshold)} " +
       "SELECT doc_id FROM documents " +
+      "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"
+
+  /** Full pipeline oracle: exact collapse on the normalized text (min id
+    * per group), then the jaccard closure over the survivors only. */
+  private def pipelineOracle(threshold: Double): String =
+    "WITH RECURSIVE r AS (SELECT min(doc_id) AS id FROM (SELECT doc_id, " +
+      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS f FROM documents) t0 GROUP BY f), " +
+      "docs2 AS (SELECT d.* FROM documents d JOIN r ON d.doc_id = r.id), " +
+      s"${componentCtes(threshold, "docs2")} " +
+      "SELECT doc_id FROM docs2 " +
       "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"
 }

@@ -288,6 +288,34 @@ object Dedup {
     df.join(losers, q(idCol) === col("__loser_id"), "left_anti")
   }
 
+  /** End-to-end near-duplicate removal pipeline — the composition a
+    * training-data pipeline actually runs, in the order the skew guard's
+    * own advice prescribes:
+    *  1. exact collapse: keep min(id) per whitespace/case-normalized text
+    *     (one hash aggregation) — mass-duplicated documents collapse to a
+    *     single representative BEFORE LSH, so they can't flood buckets;
+    *  2. near-dup candidate pairs among the survivors (n-gram Jaccard
+    *     inverted index — exact pair semantics, oracle-verifiable);
+    *  3. connected-component clustering + representative keep.
+    * Returns the surviving rows of `df`. The exact-collapse key is the
+    * normalized text itself (exact semantics); at extreme scale swap in
+    * `TextAnalysis.fingerprint64` and accept the 2^-64 collision risk. */
+  def nearDupPipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Long = 1000L): DataFrame = {
+    val reps = df
+      .select(q(idCol).as("__nid"), TextAnalysis.normalized(q(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col("__nid")).as("__rep"))
+      .select(col("__rep"))
+    val survivors = df.join(reps, q(idCol) === col("__rep"), "left_semi")
+    val pairs = ngramJaccardPairs(survivors, idCol, textCol, shingleK, threshold, maxDf)
+    dropNearDuplicates(survivors, idCol, pairs)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
     * Scale path: random-hyperplane LSH bucketing (Similarity.lshBuckets)

@@ -228,6 +228,16 @@ class ExtSpec extends SparkSpec {
     assert(!ivfPlan.contains("Window"))
   }
 
+  test("dedup: nearDupPipeline collapses exact dups then near-dups, keeps min-id reps") {
+    // docs fixture: 0≈1 near-dups, 4 exact dup of 0, 2 and 3 distinct.
+    // exact collapse keeps {0,1,2,3}; near-dup stage then drops 1 (dup of
+    // 0 with rep min-id 0) → {0,2,3}.
+    val kept = Dedup.nearDupPipeline(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxDf = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L), s"got $kept")
+  }
+
   test("text: gopher composite keep predicate and C4 line cleaning") {
     val good = ("the excellent document contains many meaningful words and it is quite wonderful indeed " * 5).trim
     val short = "too few words here"
