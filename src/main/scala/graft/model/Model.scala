@@ -52,6 +52,31 @@ final case class TypedSchema[T](schema: DataFrameSchema)(
   def tableUnique(cols: String*): TypedSchema[T] =
     copy(schema = schema.copy(unique = cols))
 
+  /** Schema-wide options in one call — the counterpart of the reference
+    * model's `class Config` (api/pyspark/model_config.py:12-66: name,
+    * coerce, strict, ordered, unique, unique_column_names, dtype,
+    * metadata). Unspecified options are left unchanged. */
+  def config(
+      name: Option[String] = None,
+      coerce: Option[Boolean] = None,
+      strict: Option[graft.schema.Strict] = None,
+      ordered: Option[Boolean] = None,
+      uniqueColumnNames: Option[Boolean] = None,
+      unique: Option[Seq[String]] = None,
+      dtype: Option[org.apache.spark.sql.types.DataType] = None,
+      metadata: Option[Map[String, String]] = None): TypedSchema[T] = {
+    var s = schema
+    name.foreach(v => s = s.copy(name = Some(v)))
+    coerce.foreach(v => s = s.copy(coerce = v))
+    strict.foreach(v => s = s.copy(strict = v))
+    ordered.foreach(v => s = s.copy(ordered = v))
+    uniqueColumnNames.foreach(v => s = s.copy(uniqueColumnNames = v))
+    unique.foreach(v => s = s.copy(unique = v))
+    dtype.foreach(v => s = s.withDtype(v))
+    metadata.foreach(v => s = s.copy(metadata = v))
+    copy(schema = s)
+  }
+
   /** Column-level pre-validation transform — the reference's `@parser`
     * (api/dataframe/model.py:397): rewrites the field before checks run. */
   def parser(field: String, name: String)(fn: Column => Column): TypedSchema[T] =

@@ -155,6 +155,13 @@ final case class DataFrameSchema(
   def getDtypes: Map[String, DataType] =
     columns.collect { case (n, c) if c.dtype.isDefined => n -> c.dtype.get }.toMap
   def coerceDtype(on: Boolean = true): DataFrameSchema = copy(coerce = on)
+
+  /** Schema-wide uniform dtype — the reference's DataFrameSchema.dtype
+    * setter (api/pyspark/container.py:54-57) and model Config.dtype
+    * ("overrides the data types specified in any of the fields",
+    * api/pyspark/model_config.py:19-21): stamps every column's dtype. */
+  def withDtype(dt: DataType): DataFrameSchema =
+    copy(columns = columns.map { case (n, c) => n -> c.copy(dtype = Some(dt)) })
   def setChecks(cs: Check*): DataFrameSchema = copy(checks = cs)
 
   /** Resolve regex-named columns against actual df columns

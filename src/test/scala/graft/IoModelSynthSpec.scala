@@ -144,6 +144,21 @@ class IoModelSynthSpec extends SparkSpec {
     assert(!m.validate(bad).passed)
   }
 
+  test("model DSL: config applies schema-wide options incl. uniform dtype") {
+    val m = DataFrameModel.of[Item]
+      .config(name = Some("items"), coerce = Some(true),
+        ordered = Some(true), unique = Some(Seq("id", "name")))
+    assert(m.schema.name.contains("items"))
+    assert(m.schema.coerce && m.schema.ordered)
+    assert(m.schema.unique == Seq("id", "name"))
+    // uniform dtype override stamps every column (Config.dtype semantics)
+    val all = DataFrameModel.of[Item].config(dtype = Some(StringType)).schema
+    assert(all.getDtypes.values.toSet == Set(StringType))
+    // coercing uniform-string schema validates the typed data
+    val ds = Seq(Item(1, "a", 5.0, true)).toDS()
+    assert(all.coerceDtype().validate(ds.toDF()).passed)
+  }
+
   test("model DSL: parser hooks transform before checks; alias and regex fields") {
     import org.apache.spark.sql.functions._
     val ds = Seq(Item(1, "a", 150.0, true), Item(2, "b", 6.0, false)).toDS()
