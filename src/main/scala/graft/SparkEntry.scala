@@ -382,6 +382,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_pii_redact" -> ((s, d) => {
+      // round-4: PII scrub. The corpus has no real PII, so the gate plants
+      // a deterministic email/ip/ssn/phone on every 5th document and the
+      // operator must count and redact exactly those.
+      val withPii = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 ssn 123-45-6789 tel 555-867-5309")))
+        .otherwise(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.piiCount(withPii, "email").cast("long").as("n_email"),
+        ext.TextAnalysis.piiCount(withPii, "ipv4").cast("long").as("n_ipv4"),
+        ext.TextAnalysis.piiCount(withPii, "ssn").cast("long").as("n_ssn"),
+        ext.TextAnalysis.piiCount(withPii, "phone").cast("long").as("n_phone"),
+        ext.TextAnalysis.redactPii(withPii).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- extensions: dedup family ----
     "dedup_exact" -> ((s, d) =>
       ext.Dedup.exactStats(t(s, d, "documents"), Seq("text"))),
@@ -423,6 +441,41 @@ object SparkEntry {
       ext.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_lines" -> ((s, d) => {
+      // round-4: C4/RefinedWeb cross-document line dedup. The documents
+      // table is single-line, so the gate first reflows each text into
+      // deterministic 10-token lines; boilerplate lines shared across
+      // documents must survive only at their first (doc_id, pos).
+      val toks = ext.TextAnalysis.tokens(col("text"))
+      val nChunks = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
+      val lined = array_join(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
+      val reflowed = t(s, d, "documents").select(col("doc_id"), lined.as("text"))
+      ext.Dedup.dedupLinesAcross(reflowed, "doc_id", "text").orderBy("doc_id")
+    }),
+    "dedup_decontaminate" -> ((s, d) => {
+      // round-4: benchmark decontamination — every 50th document plays the
+      // benchmark; corpus docs sharing any word 3-gram with it are removed
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0).select(col("text"))
+      ext.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", ngram = 3)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- extensions: deterministic sampling / split assignment ----
+    "sample_hash" -> ((s, d) =>
+      ext.Sampling.sampleByKey(t(s, d, "documents"), "doc_id", 0.25, seed = 7)
+        .select("doc_id").orderBy("doc_id")),
+    "sample_stratified" -> ((s, d) =>
+      ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_split" -> ((s, d) =>
+      // weights 0.5/0.25/0.25 — cumulative thresholds exact in binary so
+      // the oracle's literals compare identically
+      ext.Sampling.assignSplits(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 7)
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
 
     // ---- extensions: similarity search ----
     "sim_topk_brute" -> ((s, d) => {
@@ -981,6 +1034,45 @@ object SparkEntry {
         "x -> (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR ends_with(trim(x), '?') OR ends_with(trim(x), '\"')) " +
         "AND len(string_split_regex(trim(x), '\\s+')) >= 3), chr(10)) AS clean_text " +
         "FROM m ORDER BY doc_id"),
+    "text_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact user', doc_id, '@example.com ip 10.0.', doc_id % 256, '.7 ssn 123-45-6789 tel 555-867-5309') ELSE text END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted " +
+        "FROM p ORDER BY doc_id"),
+    "dedup_lines" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "ln AS (SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line " +
+        "FROM tk, LATERAL unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) r(i)), " +
+        "nb AS (SELECT * FROM ln WHERE trim(line) <> ''), " +
+        "k AS (SELECT doc_id, pos, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM nb) " +
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
+    "dedup_decontaminate" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ') ELSE array_to_string(t, ' ') END AS gram " +
+        "FROM tk, LATERAL unnest(range(1, greatest(len(t)-2, 1)+1)) r(i)), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+    "sample_hash" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 < 0.25 " +
+        "ORDER BY doc_id"),
+    "sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
+        "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
+        "ORDER BY doc_id"),
+    "sample_split" ->
+      ("WITH b AS (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 AS h FROM documents) " +
+        "SELECT doc_id, CASE WHEN h < 0.5 THEN 'train' WHEN h < 0.75 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
     "dedup_exact" ->
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),

@@ -316,6 +316,68 @@ object Dedup {
     dropNearDuplicates(survivors, idCol, pairs)
   }
 
+  /** Cross-document line-level dedup (the C4 / RefinedWeb corpus-cleaning
+    * step): every non-blank line that occurs anywhere else in the corpus is
+    * kept only at its FIRST occurrence — ordered by (id, line position) —
+    * and each document is reassembled from its surviving lines in original
+    * order. Documents whose lines are all removed (or all blank) drop out.
+    *
+    * Shape at 100 TB: lines are exploded in the scan; the winner per line
+    * is one hash aggregation whose map-side partial `min(struct(id, pos))`
+    * combines locally, so a boilerplate line duplicated a billion times
+    * crosses the wire once per task — a window(row_number over line)
+    * formulation would instead sort the full explosion and put the hot
+    * line's every copy in one partition. Winners then left-semi join back
+    * on (id, pos) — uniform keys — and reassembly is one aggregation by id.
+    */
+  def dedupLinesAcross(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(q(idCol).as("__id"), posexplode(split(q(textCol), "\n")).as(Seq("__pos", "__line")))
+      .filter(length(trim(col("__line"))) > 0)
+    val winners = lines
+      .groupBy(col("__line").as("__l"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__pos").as("__pos"))
+    lines.join(winners, Seq("__id", "__pos"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s("__line")), "\n").as("__text"))
+      .select(col("__id").as(idCol), col("__text").as(textCol))
+  }
+
+  /** Benchmark decontamination: ids of corpus documents sharing at least
+    * one word n-gram with any benchmark text — the standard test-set-leak
+    * scrub (WiMBD / GPT-3 appendix style, typically n = 13 on real
+    * corpora). Benchmarks are MB-scale next to a 100 TB corpus, so the
+    * benchmark's distinct gram hashes BROADCAST and the corpus side is
+    * never shuffled for the membership probe: grams are generated in the
+    * scan (WordShingles — distinct per document), hashed to 8 bytes, and
+    * probed against the broadcast set map-side. The only shuffle is the
+    * distinct on contaminated ids. Documents shorter than n tokens
+    * contribute their whole text as a single gram (WordShingles semantics),
+    * so tiny benchmark items still match verbatim copies. */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, ngram: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(q(benchTextCol), ngram)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
+    corpus
+      .select(q(idCol).as("id"), explode(shingles(q(textCol), ngram)).as("__g"))
+      .select(col("id"), xxhash64(col("__g")).as("__gh"))
+      .join(broadcast(benchGrams), Seq("__gh"), "left_semi")
+      .select("id").distinct()
+  }
+
+  /** Remove contaminated documents from the corpus (left-anti on the
+    * contaminated id set — ids only through the join). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, ngram: Int = 13): DataFrame = {
+    val bad = contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, ngram)
+      .select(col("id").as("__bad_id"))
+    corpus.join(bad, q(idCol) === col("__bad_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
     * Scale path: random-hyperplane LSH bucketing (Similarity.lshBuckets)

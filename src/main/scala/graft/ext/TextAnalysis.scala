@@ -216,7 +216,45 @@ object TextAnalysis {
       "\n")
   }
 
+  // ---- PII detection / redaction ----------------------------------------
+  // Training corpora are routinely scrubbed of personally identifiable
+  // information before use. Patterns are deliberately RE2-compatible (no
+  // backreferences/lookaround) so the same regex runs identically in Spark,
+  // DuckDB and most scrubbing tools; all detection/redaction is
+  // regexp_extract_all / regexp_replace — codegen'd, one scan at any scale.
+
+  /** PII kinds in REDACTION ORDER (earlier patterns are replaced first;
+    * the patterns are mutually non-overlapping on digit shape: ssn is
+    * 3-2-4, phone 3-3-4, ipv4 ≤3-per-octet with a trailing word boundary). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+
+  /** Occurrences of one PII kind. */
+  def piiCount(c: Column, kind: String): Column = {
+    val pat = piiPatterns.toMap.getOrElse(kind,
+      sys.error(s"unknown PII kind '$kind' (known: ${piiPatterns.map(_._1).mkString(",")})"))
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+  }
+
+  /** Total PII occurrences across all kinds. */
+  def piiTotal(c: Column): Column =
+    piiPatterns.map { case (k, _) => piiCount(c, k) }.reduce(_ + _)
+
+  /** Replace every PII occurrence with `<KIND>` tokens, applied in
+    * `piiPatterns` order. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
   // ---- schema-attachable checks ----------------------------------------
+  /** No PII of any kind — attachable scrub gate for a text column. */
+  def noPii(): ColumnCheck =
+    ColumnCheck("no_pii", c => piiTotal(c) === 0, Map.empty)
+
   def gopherQuality(minTokens: Int = 50, maxTokens: Int = 100000): ColumnCheck =
     ColumnCheck("gopher_quality",
       c => gopherKeep(c, minTokens = minTokens, maxTokens = maxTokens),

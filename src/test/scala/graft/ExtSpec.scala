@@ -345,4 +345,109 @@ class ExtSpec extends SparkSpec {
       assert(meta(id) == (((8 + id % 32).toInt, (8 + id * 3 % 32).toInt, 3, "png")))
     }
   }
+
+  test("text: PII counts and redaction per kind, in declaration order") {
+    val d = Seq(
+      (0L, "mail alice@example.org or bob.smith+x@sub.domain.co then done"),
+      (1L, "server at 192.168.0.1 and 10.0.255.7 no mail"),
+      (2L, "ssn 123-45-6789 phone 555-867-5309 mixed"),
+      (3L, "clean text with no identifiers at all")
+    ).toDF("id", "text")
+    val got = d.select(col("id"),
+      TextAnalysis.piiCount(col("text"), "email").as("e"),
+      TextAnalysis.piiCount(col("text"), "ipv4").as("i"),
+      TextAnalysis.piiCount(col("text"), "ssn").as("s"),
+      TextAnalysis.piiCount(col("text"), "phone").as("p"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(got(0L)._1 == 2 && got(0L)._5 ==
+      "mail <EMAIL> or <EMAIL> then done")
+    assert(got(1L)._2 == 2 && got(1L)._5 == "server at <IPV4> and <IPV4> no mail")
+    assert(got(2L)._3 == 1 && got(2L)._4 == 1 &&
+      got(2L)._5 == "ssn <SSN> phone <PHONE> mixed")
+    assert(got(3L) == ((0, 0, 0, 0, "clean text with no identifiers at all")))
+    // noPii check fails on PII rows only
+    val res = graft.schema.DataFrameSchema(
+      "text" -> graft.schema.ColumnSchema(checks = Seq(TextAnalysis.noPii())))
+      .validate(d)
+    assert(!res.passed && res.errors.map(_.failureCount).sum == 3)
+  }
+
+  test("dedup: cross-document line dedup keeps first (id, pos) occurrence") {
+    val d = Seq(
+      (0L, "shared boilerplate line\nunique alpha line"),
+      (1L, "unique beta line\nshared boilerplate line\n  \nunique gamma line"),
+      (2L, "shared boilerplate line") // all lines duplicated → doc drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcross(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      0L -> "shared boilerplate line\nunique alpha line",
+      1L -> "unique beta line\nunique gamma line"))
+    // the hot-line aggregation must be a partial-agg groupBy, not a window
+    val plan = Dedup.dedupLinesAcross(d, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window in plan:\n$plan")
+  }
+
+  test("dedup: decontamination removes docs sharing an n-gram with benchmark") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "beta gamma delta something else"),   // shares 3-gram "beta gamma delta"
+      (2L, "totally disjoint words only here"),
+      (3L, "tiny doc")                           // shorter than n → whole-text gram
+    ).toDF("doc_id", "text")
+    val bench = Seq("zzz alpha beta gamma delta yyy", "tiny doc").toDF("text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", ngram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L))
+    val bad = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text", ngram = 3)
+      .collect().map(_.getLong(0)).sorted
+    assert(bad.toSeq == Seq(0L, 1L, 3L))
+    // benchmark gram set must broadcast: no shuffle on the corpus probe side
+    val plan = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text", 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast semi join:\n$plan")
+  }
+
+  test("sampling: deterministic, partition-independent, append-stable") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = graft.ext.Sampling.sampleByKey(ids, "id", 0.3, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    // fraction lands near 0.3 (binomial 3σ ≈ 0.031)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05, s"got ${a.size}")
+    // repartitioning must not change membership (df.sample would)
+    val b = graft.ext.Sampling.sampleByKey(ids.repartition(7), "id", 0.3, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // append-stability: verdicts on the original keys survive corpus growth
+    val c = graft.ext.Sampling.sampleByKey((0L until 4000L).toDF("id"), "id", 0.3, seed = 11)
+      .collect().map(_.getLong(0)).toSet
+    assert(c.filter(_ < 2000L) == a)
+    // different seed → different sample
+    val d2 = graft.ext.Sampling.sampleByKey(ids, "id", 0.3, seed = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(a != d2)
+  }
+
+  test("sampling: stratified fractions and exhaustive split assignment") {
+    val d = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = graft.ext.Sampling.stratifiedSampleByKey(
+      d, "id", "lang", Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.0, seed = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 1000 && kept.forall(_._2 == "en"))
+    val splits = graft.ext.Sampling.assignSplits(d, "id",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 5)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == 3000L) // exhaustive — no null split
+    assert(math.abs(splits("train") / 3000.0 - 0.5) < 0.05)
+    // the decision is one scan: no exchange in the plan
+    val plan = graft.ext.Sampling.sampleByKey(d, "id", 0.5, 5)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free sampling:\n$plan")
+  }
 }
