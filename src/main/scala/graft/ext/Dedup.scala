@@ -18,28 +18,39 @@ object Dedup {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
-  /** Skew guard shared by every LSH-style candidate generator: a bucket of
-    * m members emits m² candidate pairs, and on web-scale corpora
-    * mass-duplicated (or empty) documents land whole clusters in one
-    * bucket. Buckets above maxBucketSize are dropped — standard LSH
-    * practice (oversized buckets carry little information; run exact dedup
-    * on fingerprints FIRST to collapse exact duplicates).
+  /** Candidate generation shared by every LSH-style pair generator: group
+    * ids by bucket key with a HARD-CAPPED collect (BoundedCollectItems,
+    * cap = maxBucketSize + 1), drop over-cap buckets, and explode each
+    * surviving bucket's in-bucket pairs (sorted, id_a < id_b). ONE shuffle
+    * does all three jobs — bucket formation, skew guard, pair emission:
     *
-    * The oversized-key set is found with one aggregation whose map-side
-    * partial counts mean only DISTINCT bucket keys cross the wire, then
-    * removed with a broadcast LEFT ANTI join — the bucketed branch itself
-    * is never shuffled or sorted for the guard. (The round-3 formulation
-    * counted per-row with a window over the bucket key, which forced a
-    * full sort of every banded row inside the self-join exchange; measured
-    * +28% on dedup_minhash. The oversized set is at most
-    * |corpus|/maxBucketSize keys — trivially broadcastable.) */
-  private def dropOversizedBuckets(
-      banded: DataFrame, keyCols: Seq[String], maxBucketSize: Long): DataFrame = {
-    val oversized = banded.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucketSize)
-      .select(keyCols.map(col): _*)
-    banded.join(broadcast(oversized), keyCols, "left_anti")
+    *  - the (expensive) signature scan upstream is evaluated exactly once.
+    *    Earlier formulations evaluated it 2-3×: once for a guard pass
+    *    (round-3: per-row window count, +28% on dedup_minhash; round-4a:
+    *    count-aggregate + broadcast anti join, better but still a pass)
+    *    and once per self-join side;
+    *  - skew is bounded at every hop: map-side partial aggregation caps a
+    *    task's contribution to a hot key at cap+1 ids, so a degenerate
+    *    bucket (mass-duplicated or empty documents) moves O(tasks × cap),
+    *    never O(rows), and its group buffer is O(cap) — then the
+    *    size filter drops it, standard LSH practice (oversized buckets
+    *    carry little signal; collapse exact duplicates FIRST);
+    *  - nothing heavier than (key, id) ever crosses the wire.
+    *
+    * Under the cap the collected membership is complete, so emitted pairs
+    * are deterministic and identical to the self-join formulation's. */
+  private[graft] def bucketedPairs(rows: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucketSize: Long): DataFrame = {
+    val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.BoundedCollectItems.of(col(idCol), cap + 1).as("__ids"))
+      .filter(size(col("__ids")).between(2, cap))
+      // pair emission is a native streaming Generator: sort once per
+      // bucket, O(1) per pair, no m²-materialization. (A higher-order
+      // `transform`/`flatten` formulation was measured ~4× slower than
+      // even the old self-join — interpreted per-element lambdas.)
+      .select(graft.functions.SortedPairs.of(col("__ids")))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact duplicate statistics on a key set: one hash-aggregate pass.
@@ -101,20 +112,14 @@ object Dedup {
     val base = df.select(q(idCol).as("id"),
         shingles(q(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // Only (id, band, bucket) flows through the self-join shuffle — the
+    // Only (id, band, bucket) reaches the bucket-forming shuffle — the
     // (heavy) shingle arrays are re-attached to the deduped candidate
     // pairs afterwards. At scale this is the difference between shuffling
     // ids and shuffling whole documents.
-    val allBanded = base
+    val banded = base
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val banded = dropOversizedBuckets(allBanded, Seq("band", "bucket"), maxBucketSize)
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketedPairs(banded, Seq("band", "bucket"), "id", maxBucketSize)
     verifyJaccard(base, candidates, threshold)
   }
 
@@ -157,21 +162,20 @@ object Dedup {
       maxBucketSize: Long = 10000L): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing covers hamming <= 3")
     val base = df.select(q(idCol).as("id"), simhash64(q(textCol)).as("sh"))
-    val allChunked = base.select(col("id"), col("sh"),
+    val chunked = base.select(col("id"),
         explode(transform(sequence(lit(0), lit(3)),
           j => struct(j.as("cid"),
             call_function("shiftright", col("sh"), j * 16).bitwiseAND(0xFFFFL).as("ck")))).as("c"))
-      .select(col("id"), col("sh"), col("c.cid").as("cid"), col("c.ck").as("ck"))
-    // Skew guard (same rationale as minhashPairs): chunk values shared by
-    // more than maxBucketSize docs would emit O(m²) candidates; dropping
-    // them trades recall on degenerate hot chunks for bounded work.
-    val chunked = dropOversizedBuckets(allChunked, Seq("cid", "ck"), maxBucketSize)
-    val a = chunked.as("a"); val b = chunked.as("b")
-    a.join(b, col("a.cid") === col("b.cid") && col("a.ck") === col("b.ck") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("c.cid").as("cid"), col("c.ck").as("ck"))
+    val candidates = bucketedPairs(chunked, Seq("cid", "ck"), "id", maxBucketSize)
+    // exact-hamming verify: re-attach the 8-byte fingerprints, pruned to
+    // candidate ids first (same O(candidates) shape as verifyJaccard)
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val fp = base.join(candIds, Seq("id"), "left_semi")
+    candidates
+      .join(fp.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(fp.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -195,15 +199,12 @@ object Dedup {
     // candidate pair, which the exact-Jaccard verify below removes, so the
     // result set is identical to joining on the strings.
     val inverted = base.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("s"))
-    val filtered = inverted.join(
-      inverted.groupBy("s").agg(count(lit(1)).as("df_count"))
-        .filter(col("df_count") <= maxDf && col("df_count") > 1),
-      "s")
-    val cand = filtered.as("a").join(filtered.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(xxhash64(col("s")).as("s"), col("id"))
+    // one bucket-forming aggregation subsumes the document-frequency cut:
+    // singleton shingles emit nothing (size < 2) and stop-shingles with
+    // df > maxDf are dropped by the cap — the previous formulation spent
+    // a df-count aggregate + a re-join + a self-join on the same semantics
+    val cand = bucketedPairs(inverted, Seq("s"), "id", maxDf)
     verifyJaccard(base, cand, threshold)
   }
 
@@ -394,13 +395,17 @@ object Dedup {
     val base = df.select(q(idCol).as("id"), q(embCol).as("v"))
     val pairs =
       if (useLsh) {
-        val sigd = dropOversizedBuckets(
-          base.withColumn("sig", Similarity.hyperplaneSignature(col("v"), lshBits)),
-          Seq("sig"), maxBucketSize)
-        sigd.as("a").join(sigd.as("b"),
-            col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.v").as("va"), col("b.v").as("vb"))
+        // candidates from (sig, id) only — embedding vectors never enter
+        // the bucket shuffle; they re-attach below, pruned to candidates
+        val sigd = base
+          .select(Similarity.hyperplaneSignature(col("v"), lshBits).as("sig"), col("id"))
+        val cand = bucketedPairs(sigd, Seq("sig"), "id", maxBucketSize)
+        val candIds = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        val vecs = base.join(candIds, Seq("id"), "left_semi")
+        cand
+          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       } else {
         base.as("a").crossJoin(base.as("b"))
           .filter(col("a.id") < col("b.id"))

@@ -48,19 +48,37 @@ object MicroBench {
       .select(col("id"), explode(Dedup.bandKeys(col("sig"), 16, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     time("banded scan") { allBanded.count() }
-    time("guard agg alone") {
-      allBanded.groupBy("band", "bucket").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 10000L).count()
+    time("bucket agg (collect ids)") {
+      allBanded.groupBy("band", "bucket")
+        .agg(graft.functions.BoundedCollectItems.of(col("id"), 10001).as("ids"))
+        .filter(size(col("ids")).between(2, 10000)).count()
     }
-    val a = allBanded.as("a"); val b = allBanded.as("b")
-    time("selfjoin no guard") {
-      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+    time("pairs full (bucketed)") {
+      Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
+    }
+    time("ngram pairs full") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 100000L).count()
+    }
+    // candidates only — apples-to-apples with the selfjoin(old) stage below
+    time("ngram cand (bucketed)") {
+      val base = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val inverted = base.select(col("id"), explode(col("sh")).as("s"))
+        .select(xxhash64(col("s")).as("s"), col("id"))
+      Dedup.bucketedPairs(inverted, Seq("s"), "id", 100000L).count()
+    }
+    // pre-round-4 inverted-index formulation (df-count + re-join +
+    // self-join) for comparison against the bucket-collect path above
+    time("ngram pairs selfjoin(old)") {
+      val base = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val inverted = base.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("s"))
+      val filtered = inverted.join(
+        inverted.groupBy("s").agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= 100000L && col("df_count") > 1), "s")
+      filtered.as("a").join(filtered.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .dropDuplicates("id_a", "id_b").count()
-    }
-    time("pairs full (guarded)") {
-      Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count()
     }
     spark.stop()
   }

@@ -257,12 +257,13 @@ class ExtSpec extends SparkSpec {
     assert(cleaned == "A proper sentence ends with a period.\nAnother good line stays!")
   }
 
-  test("LSH skew guard: mass-duplicate buckets dropped via anti-join, no window sort") {
+  test("LSH skew guard rides the bucket-forming aggregation; no window, no self-join") {
     // 400 identical docs land whole bands in one bucket (size 400 > cap 50):
-    // the guard must drop those buckets so no candidate pair among them
-    // survives — and must do it without a window sort of the banded rows
-    // (round-3 verdict tuning item: aggregated oversized-key set,
-    // broadcast-anti-joined)
+    // the bounded collect caps the bucket and the size filter drops it, so
+    // no candidate pair among them survives — in the SAME aggregation that
+    // forms buckets (round-4: the earlier guard formulations — window
+    // count, then count-agg + broadcast anti join — each re-evaluated the
+    // signature scan as a separate pass)
     val dup = (0 until 400).map(i =>
       (i.toLong, "the same exact document text repeated verbatim across the corpus"))
     val distinct = (400 until 420).map(i =>
@@ -271,8 +272,14 @@ class ExtSpec extends SparkSpec {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", shingleK = 3,
       numHashes = 64, bands = 16, threshold = 0.8, maxBucketSize = 50)
     val plan = pairs.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftAnti"), s"guard must be an anti-join:\n$plan")
+    assert(plan.contains("graft_bounded_collect_items"),
+      s"bucket former must be the bounded collect:\n$plan")
     assert(!plan.contains("Window"), s"guard must not window-sort the banded rows:\n$plan")
+    // at most one evaluation of the minhash signature in the whole plan —
+    // the guard and candidate generation share it (on a LocalRelation
+    // input Catalyst constant-folds the scan away entirely, hence <= 1)
+    assert("graft_minhash_sig".r.findAllIn(plan).size <= 1,
+      s"signature scan must be evaluated at most once:\n$plan")
     assert(pairs.filter(col("id_a") < 400 && col("id_b") < 400).count() == 0)
     // with a permissive cap the identical docs pair up normally
     val unguarded = Dedup.minhashPairs(corpus, "doc_id", "text", shingleK = 3,
