@@ -379,6 +379,85 @@ object Dedup {
     corpus.join(bad, q(idCol) === col("__bad_id"), "left_anti")
   }
 
+  /** Incremental EXACT dedup against an existing corpus: drop rows of
+    * `incoming` whose whitespace-normalized lowercased text already appears
+    * in `corpus` — the membership probe a continuously-ingesting pipeline
+    * runs on every new crawl batch so the cleaned corpus never re-admits a
+    * document it already holds.
+    *
+    * Both sides reduce to 8-byte fingerprints before the anti join, so the
+    * shuffle moves hashes, never documents, and the corpus side is
+    * pre-shrunk with a distinct (partial-agg: each corpus partition emits
+    * its distinct fingerprints once). Between batches a pipeline would
+    * persist the corpus fingerprint column and anti-join against that
+    * table directly rather than re-fingerprinting 100 TB per batch. */
+  def dropExistingExact(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      corpusTextCol: String = ""): DataFrame = {
+    val ctc = if (corpusTextCol.isEmpty) textCol else corpusTextCol
+    val seen = corpus
+      .select(TextAnalysis.fingerprint64(q(ctc)).as("__fp")).distinct()
+    incoming.join(seen,
+      TextAnalysis.fingerprint64(q(textCol)) === col("__fp"), "left_anti")
+  }
+
+  /** Incremental NEAR-dup candidates: (incoming id, corpus id) pairs whose
+    * minhash band signatures collide, verified by exact Jaccard — the
+    * cross-set counterpart of [[minhashPairs]]. The corpus side's bucket
+    * membership is formed with the same hard-capped collect as
+    * [[bucketedPairs]] (skew guard rides the aggregation), then the
+    * (typically much smaller) incoming batch joins it on the bucket key and
+    * explodes corpus ids — incoming×corpus pairs only, never corpus×corpus.
+    * Shuffles carry (band, bucket, id); shingles re-attach pruned to
+    * candidates for the Jaccard verify. */
+  def minhashPairsAgainst(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Long = 10000L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame) = df
+      .select(q(idCol).as("id"), shingles(q(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"), col("sh"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
+    val corpusBuckets = banded(corpus).groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectItems.of(col("id"), cap + 1).as("__ids"))
+      .filter(size(col("__ids")) <= cap)
+    val cand = banded(incoming)
+      .select(col("id").as("id_new"), col("band"), col("bucket"))
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .select(col("id_new"), explode(col("__ids")).as("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+    // exact Jaccard verify: shingle sets re-attached pruned to candidates
+    def sh(df: DataFrame, side: String) = df
+      .select(q(idCol).as(s"id_$side"), shingles(q(textCol), shingleK).as(s"sh_$side"))
+      .join(cand.select(col(s"id_$side")).distinct(), Seq(s"id_$side"), "left_semi")
+    cand
+      .join(sh(incoming, "new"), "id_new")
+      .join(sh(corpus, "corpus"), "id_corpus")
+      .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_corpus"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corpus", "jaccard")
+  }
+
+  /** Incremental near-dup dedup: drop incoming rows that near-duplicate
+    * ANY existing corpus document (exact-or-near membership = anti join on
+    * the matched incoming-id set). Compose after [[dropExistingExact]] for
+    * the full incremental-ingest scrub. */
+  def dropExistingNearDup(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Long = 10000L): DataFrame = {
+    val matched = minhashPairsAgainst(incoming, corpus, idCol, textCol,
+      shingleK, numHashes, bands, threshold, maxBucketSize)
+      .select(col("id_new").as("__hit")).distinct()
+    incoming.join(matched, q(idCol) === col("__hit"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
     * Scale path: random-hyperplane LSH bucketing (Similarity.lshBuckets)

@@ -27,13 +27,29 @@ object Sampling {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
-  /** Deterministic uniform double in [0,1) from (key, seed): the first 8
-    * hex chars of md5 over "keyseed" as a 32-bit integer, scaled.
-    * 32 bits gives fraction resolution of 2.3e-10 — far below any sampling
-    * noise that matters. */
+  /** Field separator inside hashed keys: chr(1) — effectively absent from
+    * real keys, and replicable as chr(1) in any SQL engine. */
+  private[ext] val Sep = "\u0001"
+
+  /** The shared 32-bit key hash: first 8 hex chars of
+    * md5(key + chr(1) + seed) as a long in [0, 2^32). */
+  private[ext] def hash32(key: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws(Sep, key.cast("string"), lit(seed.toString))),
+      1, 8), 16, 10).cast("long")
+
+  /** Deterministic uniform double in [0,1) from (key, seed): [[hash32]]
+    * scaled. 32 bits gives fraction resolution of 2.3e-10 — far below any
+    * sampling noise that matters. */
   def hashBucket(key: Column, seed: Long): Column =
-    conv(substring(md5(concat_ws("", key.cast("string"), lit(seed.toString))),
-      1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+    hash32(key, seed).cast("double") / 4294967296.0
+
+  /** Deterministic bucket index in [0, buckets) from (key, seed) — the
+    * shard assignment for operators that parallelize a sequential scan
+    * (e.g. [[Packing.packGreedy]]). */
+  def hashBucketInt(key: Column, buckets: Int, seed: Long): Column = {
+    require(buckets > 0, "buckets > 0")
+    (hash32(key, seed) % buckets).cast("int")
+  }
 
   /** Keep each row with probability `fraction`, decided by the key hash. */
   def sampleByKey(df: DataFrame, keyCol: String, fraction: Double,
@@ -78,5 +94,41 @@ object Sampling {
       case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
     }
     df.withColumn(splitCol, assigned)
+  }
+
+  /** Mix several corpora into one training stream at given sampling rates —
+    * the "data mixture" step of a pretraining pipeline (e.g. 3 parts web,
+    * 1 part code, upsampled books). Each source is downsampled to its rate
+    * by the same deterministic key-hash as [[sampleByKey]] — so the mixture
+    * is reproducible, append-stable, and re-derivable in any engine — then
+    * tagged with its source name and unioned BY NAME (sources may disagree
+    * on column order; columns missing from a source come back null only if
+    * allowMissingColumns).
+    *
+    * The source name participates in the hash, so the same key sampled in
+    * two sources makes independent decisions (a document present in two
+    * crawls is not all-or-nothing across the mixture).
+    *
+    * Rates may exceed 1: rate 2.5 emits every row twice plus a 0.5-rate
+    * sampled third copy — deterministic upsampling for high-quality
+    * sources, matching how mixture weights > 1 are applied in practice.
+    * A `copy` ordinal distinguishes the replicas (0-based) so downstream
+    * shuffles/splits still have a unique key: hash on (key, source, copy).
+    *
+    * One scan per source, zero shuffles. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+      seed: Long = 42L, sourceCol: String = "source",
+      copyCol: String = "copy"): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.foreach { case (n, _, r) => require(r >= 0, s"source '$n' rate >= 0, got $r") }
+    val parts = sources.map { case (name, df, rate) =>
+      val full = math.floor(rate).toInt
+      val frac = rate - full
+      val h = hashBucket(concat_ws(Sep, lit(name), q(keyCol)), seed)
+      val copies = (0 until full).map(i => df.withColumn(copyCol, lit(i))) ++
+        (if (frac > 0) Seq(df.filter(h < frac).withColumn(copyCol, lit(full))) else Nil)
+      copies.map(_.withColumn(sourceCol, lit(name)))
+    }
+    parts.flatten.reduce(_.unionByName(_))
   }
 }

@@ -171,6 +171,42 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("top_ngram_frac"))
   }
 
+  /** Corpus-unigram language-model score per document: the mean natural-log
+    * probability of the document's (normalized) tokens under the corpus's
+    * own unigram distribution — the cheap CCNet-style "perplexity" quality
+    * signal (docs full of rare gibberish score very negative; boilerplate
+    * scores near the corpus mode).
+    *
+    * Two passes over the text, no driver loops:
+    *   1. vocabulary: token counts (one hash-agg shuffle of 8-byte-ish
+    *      tokens with map-side partials), capped to the top `vocabSize` by
+    *      (count desc, token asc) — a TakeOrdered, deterministic;
+    *   2. scoring: tokens left-join the BROADCAST vocabulary (out-of-vocab
+    *      tokens get the 1/N floor), then one aggregation keyed by doc id.
+    * The vocabulary cap is what makes the join broadcast-able at 100 TB —
+    * the full distinct-token table (billions of entries on web text) never
+    * reaches the scoring side. Total token count N rides a 1-row broadcast
+    * cross join so the whole thing stays one lazy plan.
+    *
+    * Returns (idCol, n_tokens, unigram_logprob) — documents with zero
+    * tokens are absent (no tokens to score). */
+  def unigramLogProbs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, "vocabSize > 0")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val toks = df.select(id.as("__id"), explode(tokens(normalized(text))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+    val total = df.agg(sum(tokenCount(normalized(text))).cast("double").as("N"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp", log(coalesce(col("cnt"), lit(1L)).cast("double") / col("N")))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), avg("__lp").as("unigram_logprob"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("unigram_logprob"))
+  }
+
   /** Gopher/MassiveText composite keep predicate — the full document-level
     * quality filter as ONE codegen'd boolean Column (token-count window,
     * mean-word-length window, symbol ratio, duplicate/bullet/ellipsis line

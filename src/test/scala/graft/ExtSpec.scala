@@ -457,4 +457,89 @@ class ExtSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Exchange"), s"expected shuffle-free sampling:\n$plan")
   }
+
+  test("sampling: mixCorpora rates, upsampling replicas, determinism") {
+    val web = (0L until 2000L).map(i => (i, s"web doc $i")).toDF("id", "text")
+    val code = (0L until 1000L).map(i => (i, s"code doc $i")).toDF("id", "text")
+    val mixed = graft.ext.Sampling.mixCorpora(
+      Seq(("web", web, 0.5), ("code", code, 2.5)), "id", seed = 7)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("web") / 2000.0 - 0.5) < 0.05)
+    // rate 2.5 → two full copies + a ~half sample
+    assert(bySrc("code") >= 2400 && bySrc("code") <= 2600, s"got ${bySrc("code")}")
+    // replicas are distinguished by the copy ordinal → (id, source, copy) unique
+    assert(mixed.select("id", "source", "copy").distinct().count() == mixed.count())
+    // deterministic: same inputs → identical multiset
+    val again = graft.ext.Sampling.mixCorpora(
+      Seq(("web", web, 0.5), ("code", code, 2.5)), "id", seed = 7)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // the same id makes independent decisions in different sources
+    val webKept = mixed.filter(col("source") === "web").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val codeHalf = mixed.filter(col("source") === "code" && col("copy") === 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(webKept != codeHalf)
+  }
+
+  test("dedup: incremental exact + near-dup membership against a corpus") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "completely different text about spark distributed query processing engines")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (0L, "THE quick   brown fox jumps over the lazy dog near the river bank today"), // exact mod case/ws
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 100
+      (2L, "a genuinely novel document about alpine meadows and goats")
+    ).toDF("doc_id", "text")
+    val afterExact = Dedup.dropExistingExact(incoming, corpus, "doc_id", "text")
+    assert(afterExact.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val pairs = Dedup.minhashPairsAgainst(incoming, corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+    val hit = pairs.select("id_new", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit.contains((1L, 100L)) && hit.contains((0L, 100L)))
+    assert(!hit.exists(_._1 == 2L))
+    val scrubbed = Dedup.dropExistingNearDup(afterExact, corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+    assert(scrubbed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("text: unigram log-prob matches hand computation incl. OOV floor") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbs(d, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts: a=2 b=2 c=1, N=5; vocab(top2 by cnt desc, tok asc) = {a, b}; OOV floor 1/5
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - math.log(0.4)) < 1e-9)
+    assert(got(2L)._1 == 2 &&
+      math.abs(got(2L)._2 - (math.log(0.4) + math.log(0.2)) / 2) < 1e-9)
+    // empty doc absent
+    val e = Seq((1L, "x y"), (2L, "   ")).toDF("doc_id", "text")
+    assert(TextAnalysis.unigramLogProbs(e, "doc_id", "text").count() == 1)
+  }
+
+  test("packing: greedy per-bucket packs respect budget, determinism, oversize") {
+    val d = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 12L), (5L, 3L)).toDF("doc_id", "ntok")
+    val packed = graft.ext.Packing.packGreedy(d, "doc_id", "ntok",
+        maxTokens = 10, numBuckets = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack"), r.getAs[Int]("pack_pos"), r.getAs[Long]("pack_offset"))))
+      .toMap
+    // id order in the single bucket: 1,2 pack0; 3 pack1; 4 (oversize) pack2 alone; 5 pack3
+    assert(packed(1L) == ((0L, 0, 0L)) && packed(2L) == ((0L, 1, 4L)))
+    assert(packed(3L) == ((1L, 0, 0L)))
+    assert(packed(4L) == ((2L, 0, 0L)))
+    assert(packed(5L) == ((3L, 0, 0L)))
+    // multi-bucket: every pack stays within budget unless a single doc overflows
+    val big = (0L until 500L).map(i => (i, 1L + i % 7)).toDF("doc_id", "ntok")
+    val p2 = graft.ext.Packing.packGreedy(big, "doc_id", "ntok",
+      maxTokens = 16, numBuckets = 8)
+    val packSums = p2.join(big, "doc_id").groupBy("bucket", "pack")
+      .agg(sum("ntok").as("s"), count(lit(1)).as("n"))
+    assert(packSums.filter(col("s") > 16 && col("n") > 1).count() == 0)
+    // deterministic across partitionings
+    val p3 = graft.ext.Packing.packGreedy(big.repartition(13), "doc_id", "ntok",
+      maxTokens = 16, numBuckets = 8)
+    assert(p2.exceptAll(p3).isEmpty && p3.exceptAll(p2).isEmpty)
+  }
 }
