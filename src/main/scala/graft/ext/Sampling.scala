@@ -102,8 +102,9 @@ object Sampling {
     * by the same deterministic key-hash as [[sampleByKey]] — so the mixture
     * is reproducible, append-stable, and re-derivable in any engine — then
     * tagged with its source name and unioned BY NAME (sources may disagree
-    * on column order; columns missing from a source come back null only if
-    * allowMissingColumns).
+    * on column order; with `allowMissingColumns` columns absent from a
+    * source come back null, otherwise heterogeneous schemas are an
+    * AnalysisException).
     *
     * The source name participates in the hash, so the same key sampled in
     * two sources makes independent decisions (a document present in two
@@ -118,7 +119,8 @@ object Sampling {
     * One scan per source, zero shuffles. */
   def mixCorpora(sources: Seq[(String, DataFrame, Double)], keyCol: String,
       seed: Long = 42L, sourceCol: String = "source",
-      copyCol: String = "copy"): DataFrame = {
+      copyCol: String = "copy",
+      allowMissingColumns: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "at least one source")
     sources.foreach { case (n, _, r) => require(r >= 0, s"source '$n' rate >= 0, got $r") }
     val parts = sources.map { case (name, df, rate) =>
@@ -128,7 +130,12 @@ object Sampling {
       val copies = (0 until full).map(i => df.withColumn(copyCol, lit(i))) ++
         (if (frac > 0) Seq(df.filter(h < frac).withColumn(copyCol, lit(full))) else Nil)
       copies.map(_.withColumn(sourceCol, lit(name)))
-    }
-    parts.flatten.reduce(_.unionByName(_))
+    }.flatten
+    // all rates may floor to zero copies (e.g. every rate == 0): the mixture
+    // is a valid empty stream with the output schema, not a reduce() crash
+    if (parts.isEmpty) {
+      val (_, df0, _) = sources.head
+      df0.withColumn(copyCol, lit(0)).withColumn(sourceCol, lit("")).limit(0)
+    } else parts.reduce(_.unionByName(_, allowMissingColumns))
   }
 }

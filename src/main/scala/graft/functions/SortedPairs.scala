@@ -62,14 +62,25 @@ case class SortedPairs(child: Expression)
     if (n < 2) return Nil
     java.util.Arrays.sort(items.asInstanceOf[Array[AnyRef]], 0, n,
       ordering.asInstanceOf[Ordering[AnyRef]])
+    // Compact equal runs: a duplicate id in one bucket array (possible when
+    // two distinct shingles of a document hash-collide into the same bucket)
+    // must not emit an id==id self-pair or a repeated pair.
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (ordering.compare(items(i), items(w - 1)) != 0) { items(w) = items(i); w += 1 }
+      i += 1
+    }
+    val nd = w
+    if (nd < 2) return Nil
     new Iterator[InternalRow] {
       private var a = 0
       private var b = 1
-      override def hasNext: Boolean = a < n - 1
+      override def hasNext: Boolean = a < nd - 1
       override def next(): InternalRow = {
         val row = new GenericInternalRow(Array[Any](items(a), items(b)))
         b += 1
-        if (b >= n) { a += 1; b = a + 1 }
+        if (b >= nd) { a += 1; b = a + 1 }
         row
       }
     }

@@ -482,6 +482,28 @@ class ExtSpec extends SparkSpec {
     assert(webKept != codeHalf)
   }
 
+  test("sampling: mixCorpora edge cases — all-zero rates and missing columns") {
+    val web = (0L until 10L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val code = (0L until 10L).map(i => (i, s"code $i", "scala"))
+      .toDF("id", "text", "lang")
+    // every rate 0 → valid empty mixture with the output schema, not a crash
+    val empty = graft.ext.Sampling.mixCorpora(
+      Seq(("web", web, 0.0), ("code", code, 0.0)), "id")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("id", "text", "copy", "source"))
+    // heterogeneous schemas: explicit opt-in nulls the missing columns
+    val mixed = graft.ext.Sampling.mixCorpora(
+      Seq(("web", web, 1.0), ("code", code, 1.0)), "id",
+      allowMissingColumns = true)
+    assert(mixed.count() == 20)
+    assert(mixed.filter(col("source") === "web" && col("lang").isNull).count() == 10)
+    // without the opt-in, schema disagreement is an explicit error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.ext.Sampling.mixCorpora(Seq(("web", web, 1.0), ("code", code, 1.0)), "id")
+        .count()
+    }
+  }
+
   test("dedup: incremental exact + near-dup membership against a corpus") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),

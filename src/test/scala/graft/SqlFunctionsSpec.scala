@@ -59,4 +59,15 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(collected.size == 5)
   }
+
+  test("sorted_pairs dedupes equal ids: no self-pairs, no repeated pairs") {
+    val rows = Seq(Tuple1(Array(3L, 1L, 3L, 2L, 1L, 1L)), Tuple1(Array(7L, 7L)))
+      .toDF("ids")
+      .select(graft.functions.SortedPairs.of(col("ids")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // [3,1,3,2,1,1] compacts to [1,2,3]; [7,7] compacts to a single id → no pairs
+    assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(rows.length == 3, "duplicate values must not repeat pairs")
+    assert(rows.forall { case (a, b) => a < b }, "strictly ordered, no self-pairs")
+  }
 }
