@@ -229,8 +229,12 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
-    val edges = pairs.select(q(idA).as("u"), q(idB).as("v"))
-      .union(pairs.select(q(idB).as("u"), q(idA).as("v")))
+    // materialize the pair list FIRST: the symmetric union below references
+    // it twice, and without this checkpoint the whole upstream candidate-
+    // generation DAG (LSH agg + pair generator + verify joins) would run
+    // twice — exchange reuse across union branches is not guaranteed
+    val p = pairs.select(q(idA).as("u"), q(idB).as("v")).localCheckpoint()
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
       .dropDuplicates("u", "v")
       .localCheckpoint() // reused every round: materialize once, drop lineage
     // label(u) starts at min(u, min neighbor); every round each node takes
