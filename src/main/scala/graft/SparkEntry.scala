@@ -364,6 +364,29 @@ object SparkEntry {
     "text_top_bigram" -> ((s, d) =>
       ext.TextAnalysis.topNgramFraction(t(s, d, "documents"), "doc_id", "text", 2)
         .orderBy("doc_id")),
+    "text_vocab_topk" -> ((s, d) =>
+      // round-5: corpus vocabulary, top 20 tokens by (count desc, token)
+      ext.TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 20)),
+    "text_url_ops" -> ((s, d) => {
+      // round-5: URL canonicalization/domain extraction. The corpus has no
+      // URL column, so the gate builds three deterministic URL shapes
+      // (tracking params + fragment + default port / non-default port +
+      // multi-part TLD / userinfo) that the canonicalizer must normalize.
+      val m = pmod(col("doc_id"), lit(3))
+      val url = when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/Path/"), col("doc_id").cast("string"),
+          lit("/?utm_source=x&b=2&a=1&gclid=g#frag")))
+        .when(m === 1, concat(lit("http://"), col("source"),
+          lit(".example.co.uk:8080/a//b/?z=9&utm_medium=m&ref=r")))
+        .otherwise(concat(lit("https://User:pw@"), col("source"),
+          lit(".Example.com/x?fbclid=f")))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          ext.UrlOps.canonicalize(col("url")).as("url_canon"),
+          ext.UrlOps.domain(col("url")).as("domain"),
+          ext.UrlOps.registeredDomain(col("url")).as("reg_domain"))
+        .orderBy("doc_id")
+    }),
     "text_gopher_filter" -> ((s, d) =>
       // round-4: the composite Gopher keep predicate as one boolean per doc
       t(s, d, "documents").select(col("doc_id"),
@@ -461,6 +484,16 @@ object SparkEntry {
       ext.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", ngram = 3)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_spans" -> ((s, d) =>
+      // round-5: span-level cross-doc duplicate ranges (hash-based
+      // suffix-array re-expression), 8-token spans in ≥ 2 documents
+      ext.Dedup.duplicatedSpanRanges(t(s, d, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2).orderBy("doc_id", "start_pos")),
+    "dedup_semantic" -> ((s, d) =>
+      // round-5: SemDeDup-style embedding-space dedup (brute pair path so
+      // the oracle is exact; the LSH path is the scale default)
+      ext.Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, useLsh = false).select("vec_id").orderBy("vec_id")),
 
     // ---- extensions: deterministic sampling / split assignment ----
     "sample_hash" -> ((s, d) =>
@@ -476,6 +509,28 @@ object SparkEntry {
       ext.Sampling.assignSplits(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 7)
         .select(col("doc_id"), col("split")).orderBy("doc_id")),
+    "sample_shuffle" -> ((s, d) =>
+      // round-5: deterministic global shuffle — the ORDER ITSELF is the
+      // contract, so the gate emits the first 200 rows in shuffled order
+      ext.Sampling.shuffleByKey(t(s, d, "documents"), "doc_id", seed = 7)
+        .select("doc_id").limit(200)),
+    "sample_mix" -> ((s, d) => {
+      // round-5: corpus mixture — en downsampled to 0.5, de upsampled 2.25×
+      val docs = t(s, d, "documents")
+      ext.Sampling.mixCorpora(Seq(
+        ("en", docs.filter(col("lang") === "en").select("doc_id"), 0.5),
+        ("de", docs.filter(col("lang") === "de").select("doc_id"), 2.25)),
+        "doc_id")
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("source", "copy", "doc_id")
+    }),
+    "pack_greedy" -> ((s, d) => {
+      // round-5: sequence packing into 200-token packs over 8 hash buckets
+      val withTok = t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      ext.Packing.packGreedy(withTok, "doc_id", "ntok", maxTokens = 200,
+        numBuckets = 8, seed = 42).orderBy("doc_id")
+    }),
 
     // ---- extensions: similarity search ----
     "sim_topk_brute" -> ((s, d) => {
@@ -1008,6 +1063,33 @@ object SparkEntry {
         "a AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM gc GROUP BY 1) " +
         "SELECT d.doc_id, round(coalesce(a.frac, 0.0), 4) AS top_ngram_frac " +
         "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
+    "text_vocab_topk" ->
+      ("WITH tk AS (SELECT CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
+        "tok AS (SELECT unnest(t) AS token FROM tk) " +
+        "SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "text_url_ops" ->
+      ("WITH u AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id || '/?utm_source=x&b=2&a=1&gclid=g#frag' " +
+        "WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.co.uk:8080/a//b/?z=9&utm_medium=m&ref=r' " +
+        "ELSE 'https://User:pw@' || source || '.Example.com/x?fbclid=f' END AS url FROM documents), " +
+        "p AS (SELECT doc_id, " +
+        "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme, " +
+        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''), '^[^@]*@', '') AS hostport, " +
+        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS path, " +
+        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query FROM u), " +
+        "h AS (SELECT doc_id, scheme, path, " +
+        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host, " +
+        "coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port, " +
+        "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
+        "x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&'), '') AS q FROM p), " +
+        "c AS (SELECT doc_id, host AS domain, scheme || '://' || host || " +
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END || " +
+        "path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon FROM h), " +
+        "d AS (SELECT doc_id, url_canon, domain, string_split(domain, '.') AS ls FROM c) " +
+        "SELECT doc_id, url_canon, domain, " +
+        "CASE WHEN len(ls) >= 3 AND array_to_string(ls[-2:], '.') IN ('co.uk','org.uk','gov.uk','ac.uk','co.jp','com.au','com.br','co.in','com.cn') " +
+        "THEN array_to_string(ls[-3:], '.') ELSE array_to_string(ls[-2:], '.') END AS reg_domain " +
+        "FROM d ORDER BY doc_id"),
     "text_gopher_filter" ->
       ("WITH t AS (SELECT doc_id, text, " +
         "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
@@ -1073,6 +1155,32 @@ object SparkEntry {
     "sample_split" ->
       ("WITH b AS (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 AS h FROM documents) " +
         "SELECT doc_id, CASE WHEN h < 0.5 THEN 'train' WHEN h < 0.75 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
+    "sample_shuffle" ->
+      ("SELECT doc_id FROM documents " +
+        "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id LIMIT 200"),
+    "sample_mix" ->
+      ("WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
+        "de AS (SELECT doc_id FROM documents WHERE lang = 'de'), " +
+        "parts AS (" +
+        "SELECT doc_id, 'en' AS source, 0 AS copy FROM en " +
+        "WHERE ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < 0.5 " +
+        "UNION ALL SELECT doc_id, 'de', 0 FROM de " +
+        "UNION ALL SELECT doc_id, 'de', 1 FROM de " +
+        "UNION ALL SELECT doc_id, 'de', 2 FROM de " +
+        "WHERE ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < 0.25) " +
+        "SELECT doc_id, source, copy FROM parts ORDER BY source, copy, doc_id"),
+    "pack_greedy" ->
+      ("WITH RECURSIVE tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
+        "o AS (SELECT doc_id, ntok, CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT % 8 AS INTEGER) AS bucket FROM tk), " +
+        "r AS (SELECT doc_id, ntok, bucket, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM o), " +
+        "s AS (SELECT bucket, rn, doc_id, ntok, 0::BIGINT AS pack, 0 AS pos, 0::BIGINT AS poff, ntok::BIGINT AS acc FROM r WHERE rn = 1 " +
+        "UNION ALL SELECT r2.bucket, r2.rn, r2.doc_id, r2.ntok, " +
+        "CASE WHEN s.acc > 200 - r2.ntok THEN s.pack + 1 ELSE s.pack END, " +
+        "CASE WHEN s.acc > 200 - r2.ntok THEN 0 ELSE s.pos + 1 END, " +
+        "CASE WHEN s.acc > 200 - r2.ntok THEN 0::BIGINT ELSE s.acc END, " +
+        "CASE WHEN s.acc > 200 - r2.ntok THEN r2.ntok::BIGINT ELSE s.acc + r2.ntok END " +
+        "FROM s JOIN r r2 ON r2.bucket = s.bucket AND r2.rn = s.rn + 1) " +
+        "SELECT doc_id, bucket, pack, pos AS pack_pos, poff AS pack_offset FROM s ORDER BY doc_id"),
     "dedup_exact" ->
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),
@@ -1080,6 +1188,24 @@ object SparkEntry {
     "dedup_cluster" -> clusterOracle(0.5),
     "dedup_drop_neardup" -> dropNearDupOracle(0.5),
     "dedup_pipeline" -> pipelineOracle(0.5),
+    "dedup_spans" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "occ AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS span " +
+        "FROM tk, LATERAL unnest(range(1, len(t) - 8 + 2)) r(i) WHERE len(t) >= 8), " +
+        "dup AS (SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
+        "d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (span)), " +
+        "w AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -2147483648) + 8 THEN 1 ELSE 0 END AS nw FROM d), " +
+        "isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM w) " +
+        "SELECT doc_id, min(pos) AS start_pos, CAST(max(pos) + 7 AS INTEGER) AS end_pos " +
+        "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_pos"),
+    "dedup_semantic" ->
+      (s"WITH RECURSIVE sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 4) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
+        "p AS (SELECT id_a, id_b FROM sc WHERE cosine >= 0.45), " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+        "comp AS (SELECT u AS id, least(u, min(v)) AS cid FROM reach GROUP BY u) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY vec_id"),
     "dedup_embedding_cosine" ->
       ("WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         s"round($cosineSql, 4) AS cosine " +

@@ -462,10 +462,72 @@ object Dedup {
     incoming.join(matched, q(idCol) === col("__hit"), "left_anti")
   }
 
+  /** Span-level cross-document duplicate detection — the hash-based
+    * re-expression of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * occurrence of a k-token span whose text appears in at least `minDocs`
+    * DISTINCT documents. Returns (idCol, pos, n_docs), pos the 1-based
+    * token position of the span start; documents shorter than k tokens
+    * emit nothing; a span repeated only within one document is NOT flagged
+    * (that is [[TextAnalysis.duplicateLineFraction]]'s job).
+    *
+    * Shape at 100 TB: spans are hashed to 8 bytes in the scan, so the two
+    * wide ops — the distinct-doc count per span hash and the hash join
+    * marking occurrences — move (hash, id, pos) ≈ 24 bytes per token,
+    * never span text. Both aggregate partially map-side; the span-hash key
+    * space is uniform (xxhash64) so neither shuffle skews. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, minDocs: Long = 2L): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    val toks = TextAnalysis.tokens(q(textCol))
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val occ = df
+      .select(q(idCol).as("id"), toks.as("__t"), explode(starts).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("__t"), col("pos"), lit(k)))).as("__h"))
+    val dup = occ.groupBy("__h")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    occ.join(dup, Seq("__h"))
+      .select(col("id").as(idCol), col("pos"), col("n_docs"))
+  }
+
+  /** [[duplicatedSpans]] collapsed to per-document token ranges: merge
+    * overlapping/adjacent duplicated spans into (idCol, start_pos,
+    * end_pos) — end_pos inclusive, in tokens — the "cut these ranges"
+    * output a span-dedup pass feeds to the rewrite step. Gaps-and-islands
+    * over a window PARTITIONED BY DOCUMENT (per-partition data is bounded
+    * by document length, so the window is skew-safe at any corpus size). */
+  def duplicatedSpanRanges(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
+    val byDoc = Window.partitionBy(q(idCol)).orderBy(col("pos"))
+    spans
+      .withColumn("__new", when(
+        col("pos") > coalesce(lag(col("pos"), 1).over(byDoc), lit(Int.MinValue))
+          + k, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(q(idCol), col("__island"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + k - 1).as("end_pos"))
+      .select(q(idCol), col("start_pos"), col("end_pos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
-    * Scale path: random-hyperplane LSH bucketing (Similarity.lshBuckets)
-    * then exact cosine verify within buckets.
+    * Scale path: BANDED random-hyperplane LSH — `lshBands` independent
+    * `lshBits`-bit signatures (slices of one `lshBits·lshBands`-bit
+    * signature), candidates = pairs agreeing on at least one full band,
+    * then exact cosine verify. Banding is the standard OR-amplification:
+    * per-pair recall 1−(1−p^bits)^bands for hyperplane agreement
+    * probability p = 1−θ/π, so near-dups (p→1) are found whp while random
+    * pairs (p≈0.5) collide at ~bands/2^bits — the knob that keeps the
+    * candidate set linear at 100 TB. A single unbanded signature (the
+    * round-3 formulation) had recall p^bits, which decays to ~0 for any
+    * pair that is near but not identical.
     */
   def embeddingCosinePairs(
       df: DataFrame,
@@ -474,15 +536,26 @@ object Dedup {
       threshold: Double = 0.95,
       useLsh: Boolean = true,
       lshBits: Int = 12,
-      maxBucketSize: Long = 10000L): DataFrame = {
+      maxBucketSize: Long = 10000L,
+      lshBands: Int = 4): DataFrame = {
+    require(lshBits >= 1 && lshBands >= 1 && lshBits * lshBands <= 63,
+      "lshBits*lshBands must fit a long signature")
     val base = df.select(q(idCol).as("id"), q(embCol).as("v"))
     val pairs =
       if (useLsh) {
-        // candidates from (sig, id) only — embedding vectors never enter
-        // the bucket shuffle; they re-attach below, pruned to candidates
+        // candidates from (band, bucket, id) only — embedding vectors never
+        // enter the bucket shuffle; they re-attach below, pruned to
+        // candidates
+        val mask = (1L << lshBits) - 1
         val sigd = base
-          .select(Similarity.hyperplaneSignature(col("v"), lshBits).as("sig"), col("id"))
-        val cand = bucketedPairs(sigd, Seq("sig"), "id", maxBucketSize)
+          .select(col("id"),
+            Similarity.hyperplaneSignature(col("v"), lshBits * lshBands).as("__sig"))
+          .select(col("id"), explode(transform(sequence(lit(0), lit(lshBands - 1)),
+            b => struct(b.as("band"),
+              call_function("shiftright", col("__sig"), b * lshBits)
+                .bitwiseAND(lit(mask)).as("bucket")))).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        val cand = bucketedPairs(sigd, Seq("band", "bucket"), "id", maxBucketSize)
         val candIds = cand.select(col("id_a").as("id"))
           .union(cand.select(col("id_b").as("id"))).distinct()
         val vecs = base.join(candIds, Seq("id"), "left_semi")
@@ -499,5 +572,25 @@ object Dedup {
       .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic dedup over an embedding column: cosine
+    * near-dup pairs ([[embeddingCosinePairs]], LSH-bucketed on the scale
+    * path) → connected components → keep the minimum-id representative per
+    * component. Returns the surviving rows of `df`. Same template as the
+    * text [[nearDupPipeline]], with the embedding space as the similarity
+    * signal. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double = 0.95,
+      useLsh: Boolean = true,
+      lshBits: Int = 12,
+      maxBucketSize: Long = 10000L,
+      lshBands: Int = 4): DataFrame = {
+    val pairs = embeddingCosinePairs(df, idCol, embCol, threshold, useLsh,
+      lshBits, maxBucketSize, lshBands)
+    dropNearDuplicates(df, idCol, pairs)
   }
 }

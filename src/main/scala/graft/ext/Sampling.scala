@@ -96,6 +96,18 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic global shuffle: order the corpus by the key hash — the
+    * "shuffle the training data" step, reproducible in (key, seed) and
+    * re-derivable in any engine (unlike `orderBy(rand())`, whose order
+    * changes with partitioning and retries). Spark plans this as a range
+    * partition on the hash + per-partition sort; the 32-bit hash is
+    * uniform, so the range partitions are balanced by construction — the
+    * canonical distributed sort, no skew, no driver involvement. The key
+    * itself is the tie-break so equal hashes (2^-32 of pairs) stay
+    * deterministic. */
+  def shuffleByKey(df: DataFrame, keyCol: String, seed: Long = 42L): DataFrame =
+    df.orderBy(hash32(q(keyCol), seed), q(keyCol))
+
   /** Mix several corpora into one training stream at given sampling rates —
     * the "data mixture" step of a pretraining pipeline (e.g. 3 parts web,
     * 1 part code, upsampled books). Each source is downsampled to its rate

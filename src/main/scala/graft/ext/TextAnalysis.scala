@@ -207,6 +207,21 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("unigram_logprob"))
   }
 
+  /** Corpus vocabulary: the `k` most frequent tokens with their counts,
+    * deterministic tie-break (count desc, token asc). One hash aggregation
+    * with map-side partials over exploded tokens, then a TakeOrdered —
+    * per-partition top-k merged on the driver, k·partitions rows moved,
+    * never a global sort. The full distinct-token table (billions of
+    * entries on web text) stays distributed. */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int,
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k > 0")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    df.select(explode(tokens(if (normalize) normalized(text) else text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
   /** Gopher/MassiveText composite keep predicate — the full document-level
     * quality filter as ONE codegen'd boolean Column (token-count window,
     * mean-word-length window, symbol ratio, duplicate/bullet/ellipsis line

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain extraction — the normalization step a
+  * web-crawl training pipeline runs before URL-level dedup and domain
+  * filtering (beyond-reference addition; the reference has no URL surface).
+  *
+  * Everything here is a composition of codegen'd string/regexp/array
+  * expressions over one scan: no UDF, no shuffle, no state. At 100 TB the
+  * cost is the scan itself; canonicalization rides whatever pass already
+  * reads the column. The rules are deliberately engine-portable (regexp +
+  * list ops that exist in any SQL engine) so a downstream system can
+  * re-derive the canonical form and verify joins against it.
+  *
+  * Canonical form:
+  *   - scheme and host lowercased; userinfo dropped; leading `www.` dropped
+  *   - default ports removed (http:80, https:443), others kept
+  *   - fragment dropped
+  *   - tracking params removed (`utm_*`, `fbclid`, `gclid`, `msclkid`,
+  *     `ref`), remaining params sorted byte-wise
+  *   - trailing slashes stripped from the path
+  * Strings without a `scheme://` prefix canonicalize to null (not-a-URL).
+  */
+object UrlOps {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val TrackingRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]] — the
+    * high-traffic subset; a production deployment would load the full
+    * public-suffix list into [[SetMembership]] the same way. */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "co.jp", "com.au", "com.br",
+    "co.in", "com.cn")
+
+  private def hostport(url: Column): Column =
+    regexp_replace(regexp_extract(url, HostRe, 1), "^[^@]*@", "")
+
+  /** Lowercased registrable host: userinfo, port and leading `www.`
+    * removed. */
+  def domain(url: Column): Column =
+    regexp_replace(lower(regexp_replace(hostport(url), ":[0-9]+$", "")),
+      "^www\\.", "")
+
+  /** eTLD+1 of [[domain]] under the [[MultiPartTlds]] suffix table:
+    * `a.b.example.co.uk` → `example.co.uk`, `a.example.com` →
+    * `example.com`. */
+  def registeredDomain(url: Column): Column = {
+    val ls = split(domain(url), "\\.")
+    val n = size(ls)
+    val last2 = concat_ws(".", element_at(ls, -2), element_at(ls, -1))
+    val last3 = concat_ws(".", element_at(ls, -3), last2)
+    when(n >= 3 && last2.isin(MultiPartTlds: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(domain(url))
+  }
+
+  /** Canonical URL (see object doc); null when `url` has no scheme. */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val host = domain(url)
+    val port = regexp_extract(hostport(url), ":([0-9]+)$", 1)
+    val path = regexp_replace(regexp_extract(url, PathRe, 1), "/+$", "")
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val q = array_join(array_sort(filter(split(rawQ, "&"),
+      x => x =!= "" && !x.rlike(TrackingRe))), "&")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Drop rows whose registered domain is on `blocked` — the blocklist
+    * filter of a crawl pipeline. Small lists fold into the scan as an
+    * `isin` predicate; large lists become a broadcast anti-join (the
+    * blocklist ships to executors once; `df` is never shuffled). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String], inlineThreshold: Int = 256): DataFrame = {
+    val rd = registeredDomain(col("`" + urlCol.replace("`", "``") + "`"))
+    if (blocked.isEmpty) df
+    else if (blocked.size <= inlineThreshold) df.filter(!rd.isin(blocked: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(blocked.toDF("__blocked_rd")),
+        rd === col("__blocked_rd"), "left_anti")
+    }
+  }
+}

@@ -564,4 +564,93 @@ class ExtSpec extends SparkSpec {
       maxTokens = 16, numBuckets = 8)
     assert(p2.exceptAll(p3).isEmpty && p3.exceptAll(p2).isEmpty)
   }
+
+  test("url: canonicalization rules, registered domain, blocklist paths") {
+    import graft.ext.UrlOps
+    val d = Seq(
+      (1L, "HTTPS://WWW.News.Example.COM:443/Path/x/?utm_source=a&b=2&a=1&gclid=g#frag"),
+      (2L, "http://sub.example.co.uk:8080/a//b/?z=9&ref=r"),
+      (3L, "https://user:pw@Example.com/x?fbclid=f"),
+      (4L, "not a url"),
+      (5L, "http://example.com:80/")
+    ).toDF("id", "url")
+    val got = d.select(col("id"), UrlOps.canonicalize(col("url")).as("c"),
+        UrlOps.domain(col("url")).as("dm"), UrlOps.registeredDomain(col("url")).as("rd"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) == (("https://news.example.com/Path/x?a=1&b=2", "news.example.com", "example.com")))
+    assert(got(2L) == (("http://sub.example.co.uk:8080/a//b?z=9", "sub.example.co.uk", "example.co.uk")))
+    assert(got(3L) == (("https://example.com/x", "example.com", "example.com")))
+    assert(got(4L)._1 == null) // no scheme → not a URL
+    assert(got(5L) == (("http://example.com", "example.com", "example.com")))
+    // blocklist: inline predicate path and broadcast anti-join path agree
+    val inline = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"))
+    assert(inline.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    val broad = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"), inlineThreshold = 0)
+    assert(broad.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    assert(broad.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "large blocklist must be a broadcast anti-join")
+  }
+
+  test("dedup: duplicated spans and collapsed ranges semantics") {
+    import graft.ext.Dedup
+    // docs 1/2 share tokens 1..5 ("a b c d e"); doc 3 disjoint; doc 4 repeats
+    // a span only within itself (must NOT be flagged at minDocs=2)
+    val d = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "a b c d e x2 y2 z2"),
+      (3L, "p q r s t u v w"),
+      (4L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // shared 5-token run → 3-token span starts 1,2,3 in both docs
+    assert(spans == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (2L, 3)))
+    val ranges = Dedup.duplicatedSpanRanges(d, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // starts 1..3 with k=3 merge into tokens 1..5
+    assert(ranges == Set((1L, 1, 5), (2L, 1, 5)))
+    // a doc shorter than k emits nothing
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(short, "doc_id", "text", k = 3).count() == 0)
+  }
+
+  test("dedup: semanticDedup LSH path keeps a superset of brute survivors' reps") {
+    import graft.ext.Dedup
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45, useLsh = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 0.45 is far below the 0.95 design regime (hyperplane agreement
+    // p ≈ 0.65), so recall needs heavy OR-amplification: short bands, many
+    // of them — 1-(1-.65^4)^12 ≈ 0.91 per pair
+    val lsh = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45,
+      useLsh = true, lshBits = 4, lshBands = 12)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // LSH finds a subset of true pairs → drops a subset of docs → survivors
+    // are a superset; and everything brute kept must survive LSH too
+    assert(brute.subsetOf(lsh))
+    // recall sanity: LSH should drop at least half of what brute drops
+    val n = emb.count()
+    assert(n - lsh.size >= (n - brute.size) / 2,
+      s"LSH dropped ${n - lsh.size} vs brute ${n - brute.size}")
+  }
+
+  test("text: vocabTopK deterministic top-k via TakeOrdered, no global sort") {
+    val d = Seq((1L, "b b a a"), (2L, "a c C")).toDF("doc_id", "text")
+    val v = graft.ext.TextAnalysis.vocabTopK(d, "text", k = 2)
+    val rows = v.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 2L))) // c=2 loses tie to b
+    assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("sampling: shuffleByKey is deterministic and partition-independent") {
+    val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val a = graft.ext.Sampling.shuffleByKey(d, "id", seed = 3).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    val b = graft.ext.Sampling.shuffleByKey(d.repartition(17), "id", seed = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "order must not depend on input partitioning")
+    assert(a != a.sorted, "hash order must differ from id order")
+    assert(a.toSet == (0L until 2000L).toSet)
+  }
 }
