@@ -409,11 +409,14 @@ object SparkEntry {
       // round-4: PII scrub. The corpus has no real PII, so the gate plants
       // a deterministic email/ip/ssn/phone on every 5th document and the
       // operator must count and redact exactly those.
+      // coalesce: Spark concat null-propagates while DuckDB concat skips
+      // NULLs — empty-string both sides so null text can't diverge
+      val txt = coalesce(col("text"), lit(""))
       val withPii = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        concat(txt, lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 ssn 123-45-6789 tel 555-867-5309")))
-        .otherwise(col("text"))
+        .otherwise(txt)
       t(s, d, "documents").select(col("doc_id"),
         ext.TextAnalysis.piiCount(withPii, "email").cast("long").as("n_email"),
         ext.TextAnalysis.piiCount(withPii, "ipv4").cast("long").as("n_ipv4"),
@@ -1117,7 +1120,7 @@ object SparkEntry {
         "AND len(string_split_regex(trim(x), '\\s+')) >= 3), chr(10)) AS clean_text " +
         "FROM m ORDER BY doc_id"),
     "text_pii_redact" ->
-      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' contact user', doc_id, '@example.com ip 10.0.', doc_id % 256, '.7 ssn 123-45-6789 tel 555-867-5309') ELSE text END AS t FROM documents) " +
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(coalesce(text, ''), ' contact user', doc_id, '@example.com ip 10.0.', doc_id % 256, '.7 ssn 123-45-6789 tel 555-867-5309') ELSE coalesce(text, '') END AS t FROM documents) " +
         "SELECT doc_id, " +
         "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
         "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +

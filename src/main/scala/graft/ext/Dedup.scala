@@ -442,8 +442,11 @@ object Dedup {
       .join(sh(incoming, "new"), "id_new")
       .join(sh(corpus, "corpus"), "id_corpus")
       .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_corpus"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")))
+      // round(_, 4) before the threshold filter, same as verifyJaccard, so
+      // boundary pairs classify identically on the in-corpus and
+      // incremental paths
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_corpus", "jaccard")
   }
