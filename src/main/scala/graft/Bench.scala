@@ -172,6 +172,20 @@ object Bench {
         ext.TextAnalysis.fingerprint64(col("text"))).count())
     results += "text_analysis" -> tText
 
+    // round-5 additions: PQ ANN (train + encode + ADC + exact re-rank) and
+    // the real BPE merge loop over the document corpus
+    val (tPq, _) = time {
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5).count()
+    }
+    results += "sim_topk_pq" -> tPq
+
+    val (tBpe, _) = time(
+      docs.select(explode(ext.TextAnalysis.bpeTokens(col("text"))).as("t"))
+        .groupBy("t").count().count())
+    results += "text_bpe" -> tBpe
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     val (tSynth, _) = time(

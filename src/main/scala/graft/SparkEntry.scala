@@ -367,6 +367,33 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, d) =>
       // round-5: corpus vocabulary, top 20 tokens by (count desc, token)
       ext.TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 20)),
+    "text_classifier" -> ((s, d) =>
+      // round-5: fasttext-shaped linear classifier (token weights → mean →
+      // sigmoid); weights table mimics a tiny trained quality model
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.linearClassifierScore(col("text"), Map(
+          "the" -> 0.8, "and" -> 0.5, "science" -> 2.0, "data" -> 1.5,
+          "der" -> -1.0, "el" -> -0.7, "click" -> -2.0), bias = -0.2)
+          .as("clf_score"))
+        .orderBy("doc_id")),
+    "text_bpe" -> ((s, d) =>
+      // round-5: REAL merge-table BPE (multi-step merges, not the regex
+      // approximation) — gate pins the top-5 BPE tokens by (count desc,
+      // token asc) over the corpus; algorithm verified in ExtSpec against
+      // hand-computed merges + the detokenization invariant
+      t(s, d, "documents")
+        .select(explode(ext.TextAnalysis.bpeTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(5)),
+    "text_chunks" -> ((s, d) =>
+      // round-5: context-window chunking, 32-token windows / stride 24
+      // (8-token overlap), snap-back tail; chunk content verified by md5
+      // so the gate doesn't ship the text
+      ext.TextAnalysis.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_chunk_tokens"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
     "text_url_ops" -> ((s, d) => {
       // round-5: URL canonicalization/domain extraction. The corpus has no
       // URL column, so the gate builds three deterministic URL shapes
@@ -487,6 +514,22 @@ object SparkEntry {
       ext.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", ngram = 3)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_incremental_bloom" -> ((s, d) => {
+      // round-5: incremental ingest — a synthetic "next crawl batch" built
+      // from the corpus: exact re-crawls (same id), re-crawls under new ids
+      // (same content), and genuinely new content. The Bloom-prefiltered
+      // path must drop everything whose normalized text the corpus already
+      // holds — row-for-row the plain anti-join semantics.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" graft batch-2 tail")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      ext.Dedup.dropExistingExactBloom(incoming, docs, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_spans" -> ((s, d) =>
       // round-5: span-level cross-doc duplicate ranges (hash-based
       // suffix-array re-expression), 8-token spans in ≥ 2 documents
@@ -505,6 +548,11 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) =>
       ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_cap_per_group" -> ((s, d) =>
+      // round-5: domain balancing — ≤ 40 docs per language, chosen by
+      // ascending key hash via the map-side k-heap (no window sort)
+      ext.Sampling.capPerGroup(t(s, d, "documents"), "doc_id", "lang", 40, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
     "sample_split" -> ((s, d) =>
       // weights 0.5/0.25/0.25 — cumulative thresholds exact in binary so
@@ -570,6 +618,16 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_pq" -> ((s, d) => {
+      // round-5: product-quantization ADC + exact re-rank. oracle: golden
+      // pin; recall-vs-brute and compression shape asserted in ExtSpec
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4)
         .orderBy("query_id", "rank")
     }),
     "sim_embedding_norm" -> ((s, d) =>
@@ -915,6 +973,16 @@ object SparkEntry {
         "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY id_a, id_b"),
+    "text_bpe" ->
+      ("SELECT CAST(token AS VARCHAR) AS token, CAST(cnt AS BIGINT) AS cnt FROM (" +
+        "SELECT * FROM (VALUES ('a', 6438), ('e', 5610), ('s', 5610), ('l', 5563), ('t', 4688)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES ('a', 6286), ('l', 5531), ('s', 5481), ('e', 5441), ('o', 4645)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY cnt DESC, token"),
+    "sim_topk_pq" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 225, 2, 0.3151), (0, 260, 3, 0.2987), (0, 73, 4, 0.2972), (0, 232, 5, 0.2673), (1, 1, 1, 1.0), (1, 209, 2, 0.3815), (1, 129, 3, 0.3515), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 91, 4, 0.2789), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 205, 2, 0.3366), (3, 156, 3, 0.3111), (3, 72, 4, 0.3089), (3, 278, 5, 0.2694), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 357, 3, 0.2954), (4, 62, 4, 0.2886), (4, 229, 5, 0.2678)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 388, 3, 0.2763), (0, 483, 4, 0.2567), (0, 344, 5, 0.2525), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 450, 2, 0.2663), (2, 145, 3, 0.2635), (2, 320, 4, 0.255), (2, 128, 5, 0.2234), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 192, 3, 0.2908), (3, 463, 4, 0.2609), (3, 201, 5, 0.2326), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 3, 0.3228), (4, 482, 4, 0.3139), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
     "sim_topk_lsh" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
@@ -1070,6 +1138,23 @@ object SparkEntry {
       ("WITH tk AS (SELECT CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
         "tok AS (SELECT unnest(t) AS token FROM tk) " +
         "SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "text_classifier" ->
+      ("WITH w(token, wt) AS (SELECT * FROM (VALUES ('the', 0.8), ('and', 0.5), ('science', 2.0), ('data', 1.5), ('der', -1.0), ('el', -0.7), ('click', -2.0))), " +
+        "tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(t) AS token FROM tk), " +
+        "sums AS (SELECT g.doc_id, sum(coalesce(w.wt, 0)) AS raw, count(*) AS n FROM g LEFT JOIN w USING (token) GROUP BY g.doc_id) " +
+        "SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(sums.raw / sums.n, 0.0) - 0.2))), 4) AS clf_score " +
+        "FROM documents d LEFT JOIN sums USING (doc_id) ORDER BY d.doc_id"),
+    "text_chunks" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "p AS (SELECT doc_id, t, len(t) AS n, greatest(len(t) - 31, 1) AS lastfull FROM tk WHERE len(t) > 0), " +
+        "b AS (SELECT doc_id, t, n, CASE WHEN base[-1] + 31 < n THEN list_append(base, lastfull) ELSE base END AS starts " +
+        "FROM (SELECT doc_id, t, n, lastfull, range(1, lastfull + 1, 24) AS base FROM p)), " +
+        "c AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx, CAST(starts[i] AS INTEGER) AS start_tok, " +
+        "t[starts[i]:starts[i] + 31] AS ch " +
+        "FROM b, LATERAL unnest(range(1, len(starts) + 1)) r(i)) " +
+        "SELECT doc_id, chunk_idx, start_tok, CAST(len(ch) AS INTEGER) AS n_chunk_tokens, " +
+        "md5(array_to_string(ch, ' ')) AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx"),
     "text_url_ops" ->
       ("WITH u AS (SELECT doc_id, CASE " +
         "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id || '/?utm_source=x&b=2&a=1&gclid=g#frag' " +
@@ -1155,6 +1240,10 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
         "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
         "ORDER BY doc_id"),
+    "sample_cap_per_group" ->
+      ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +
+        "SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id"),
     "sample_split" ->
       ("WITH b AS (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 AS h FROM documents) " +
         "SELECT doc_id, CASE WHEN h < 0.5 THEN 'train' WHEN h < 0.75 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
@@ -1191,6 +1280,14 @@ object SparkEntry {
     "dedup_cluster" -> clusterOracle(0.5),
     "dedup_drop_neardup" -> dropNearDupOracle(0.5),
     "dedup_pipeline" -> pipelineOracle(0.5),
+    "dedup_incremental_bloom" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text || ' graft batch-2 tail' FROM docs WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 5 = 2), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs) " +
+        "SELECT doc_id FROM inc WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
+        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
     "dedup_spans" ->
       ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
         "occ AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS span " +

@@ -405,6 +405,51 @@ object Dedup {
       TextAnalysis.fingerprint64(q(textCol)) === col("__fp"), "left_anti")
   }
 
+  /** [[dropExistingExact]] with a Bloom-filter prefilter — the shape for
+    * the common incremental case where `incoming` (one crawl batch) is
+    * orders of magnitude smaller than `corpus` (the accumulated 100 TB).
+    *
+    * The plain anti join shuffles BOTH sides on the fingerprint — including
+    * the full corpus fingerprint set, every batch. Here the corpus is
+    * instead folded ONCE into a Bloom filter (`df.stat.bloomFilter`: a
+    * per-partition sketch merged on the driver — one scan, no shuffle),
+    * which splits `incoming` into definitely-new rows (bloom negative — no
+    * false negatives, so they're exact) and maybe-seen candidates. Only the
+    * candidates' fingerprints (a batch-bounded set) are verified: they
+    * broadcast into a left-semi probe of the corpus — again one corpus scan
+    * with NO corpus shuffle — and the confirmed hits broadcast back to
+    * anti-filter `incoming`. Total: two corpus scans, zero corpus shuffles,
+    * and at 1% fpp the verified candidate set is ≈ |true dups| + 1% of the
+    * batch. Between batches a pipeline would persist the filter itself
+    * (`BloomFilter.writeTo`) and skip the build scan entirely.
+    *
+    * Result is row-for-row identical to [[dropExistingExact]] (false
+    * positives are exactly verified; false negatives don't exist).
+    * `expectedItems` sizes the filter (defaults to a corpus count — one
+    * cheap metadata-ish job); at 1% fpp the filter costs ~1.2 bytes/item,
+    * so size it (or shard the corpus and use several filters) so it fits
+    * comfortably in executor memory. The membership probe is a UDF — the
+    * sanctioned escape hatch, as sketch probes have no Column form. */
+  def dropExistingExactBloom(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      corpusTextCol: String = "", expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val ctc = if (corpusTextCol.isEmpty) textCol else corpusTextCol
+    val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(ctc)).as("__fp"))
+    val items = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
+    val bloom = corpusFps.stat.bloomFilter("__fp", items, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
+    val fpIn = TextAnalysis.fingerprint64(q(textCol))
+    // batch-bounded candidate fingerprints; broadcast into a semi probe of
+    // the corpus (no corpus shuffle), confirmed hits broadcast back
+    val maybeFps = incoming.filter(mightContain(fpIn))
+      .select(fpIn.as("__fp")).distinct()
+    val confirmed = corpusFps
+      .join(broadcast(maybeFps), Seq("__fp"), "left_semi").distinct()
+    incoming.join(broadcast(confirmed), fpIn === col("__fp"), "left_anti")
+  }
+
   /** Incremental NEAR-dup candidates: (incoming id, corpus id) pairs whose
     * minhash band signatures collide, verified by exact Jaccard — the
     * cross-set counterpart of [[minhashPairs]]. The corpus side's bucket

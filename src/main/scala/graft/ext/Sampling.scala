@@ -150,4 +150,35 @@ object Sampling {
       df0.withColumn(copyCol, lit(0)).withColumn(sourceCol, lit("")).limit(0)
     } else parts.reduce(_.unionByName(_, allowMissingColumns))
   }
+
+  /** Cap each group at `n` rows — the "domain balancing" step of a corpus
+    * pipeline (no single domain/site/source may contribute more than n
+    * documents). The survivors are the n rows with the SMALLEST key hash
+    * (ties by key asc), so the selection is deterministic in (key, seed),
+    * append-stable while a group is under its cap, and re-derivable in any
+    * engine (`row_number() OVER (PARTITION BY group ORDER BY md5-hash)`).
+    *
+    * Scale shape: a `row_number` window would shuffle EVERY row of a group
+    * to one partition and sort it — a straggler on skewed domains (one
+    * giant site is exactly the case balancing exists for). Instead the
+    * kept keys are found with the bounded k-heap aggregate
+    * ([[graft.functions.TopKByScore]]) which folds map-side — at most n
+    * keys per group per task cross the shuffle, regardless of skew — and
+    * survivors re-attach by a left-semi join on (group, key) that AQE
+    * broadcasts when groups×n is small (it usually is: caps are small by
+    * construction).
+    *
+    * Keys are assumed unique per group (they're document ids); duplicate
+    * keys occupy one heap slot each and all rows of a kept key survive. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0, "n > 0")
+    val kept = df
+      .select(q(groupCol).as("__g"), q(keyCol).as("__k"))
+      .groupBy("__g")
+      .agg(graft.functions.TopKByScore.of(
+        -hash32(col("__k"), seed).cast("double"), col("__k"), n).as("__tk"))
+      .select(col("__g"), explode(col("__tk.item")).as("__k"))
+    df.join(kept, q(groupCol) <=> col("__g") && q(keyCol) === col("__k"), "left_semi")
+  }
 }

@@ -140,6 +140,111 @@ object Similarity {
     rankTopK(cand.select("query_id", "corpus_id", "cosine"), k)
   }
 
+  /** Product-quantization (PQ) approximate top-k — the ANN compression
+    * path (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): the embedding space splits into `m` subspaces, each with its
+    * own `ksub`-centroid codebook (seeded Spark-ML KMeans on a bounded
+    * sample); every corpus vector encodes to `m` small codes (m bytes at
+    * ksub ≤ 256 vs 4·dim bytes raw — 32× less to scan at dim=64, which is
+    * the point at 100 TB: the ADC scan reads codes, never raw vectors).
+    * Each query precomputes an m×ksub table of exact subspace distances
+    * (asymmetric distance, ADC); a corpus row scores with m table lookups.
+    * The `k·refineFactor` best ADC candidates per query re-rank by EXACT
+    * cosine against the raw vectors (pruned semi-join), yielding the same
+    * output shape as the other topK operators.
+    *
+    * Everything after KMeans is pure codegen'd Column expressions — the
+    * codebooks and query tables ride literals/broadcasts, encode is argmin
+    * over `ksub` literal centroids, ADC is `element_at` lookups — and both
+    * ranking stages use the map-side k-heap (≤ k·refineFactor rows per
+    * query per task through the shuffle; no window, no global sort). */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int, m: Int = 8, ksub: Int = 16, refineFactor: Int = 4,
+      trainSampleFraction: Double = Double.NaN, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    require(m > 0 && ksub > 1 && refineFactor >= 1, "m > 0, ksub > 1, refine >= 1")
+
+    val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
+    val dim = c.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+
+    // --- train m subspace codebooks on a bounded sample (one collect of
+    // ≤ IvfMaxTrainRows × dim floats equivalent work stays in Spark ML) ---
+    val train0 =
+      if (trainSampleFraction.isNaN) {
+        val total = c.count()
+        if (total <= IvfMaxTrainRows) c
+        else c.sample(withReplacement = false, IvfMaxTrainRows.toDouble / total, seed)
+      }
+      else if (trainSampleFraction >= 1.0) c
+      else c.sample(withReplacement = false, trainSampleFraction, seed)
+    val subVec = (0 until m).map { j =>
+      udf((a: Seq[Float]) =>
+        Vectors.dense(a.slice(j * dsub, (j + 1) * dsub).map(_.toDouble).toArray))
+    }
+    val train = train0.select(col("corpus_id") +:
+      (0 until m).map(j => subVec(j)(col("cv")).as(s"fv$j")): _*).persist()
+    // the m subspace fits are independent and seeded — submit them from
+    // parallel threads so their Spark jobs interleave (results identical;
+    // sequential fits pay m× the per-job scheduling latency)
+    val codebooks: IndexedSeq[Seq[Seq[Double]]] =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.traverse((0 until m).toIndexedSeq) { j => Future {
+          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+            .setFeaturesCol(s"fv$j").setPredictionCol("cell").fit(train)
+            .clusterCenters.map(_.toArray.toSeq).toSeq
+        }}, Duration.Inf)
+      } finally train.unpersist()
+
+    // --- pure-expression helpers over the literal codebooks ---
+    def sqDist(sub: Column, cents: Column): Column =
+      transform(cents, cent => aggregate(
+        zip_with(sub, cent, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x))
+    def subSlice(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    val bookLits = (0 until m).map(j => typedlit(codebooks(j)))
+
+    // encode: per subspace, the index of the nearest centroid (first index
+    // wins exact ties — deterministic)
+    val codes = array((0 until m).map { j =>
+      val d = sqDist(subSlice(col("cv"), j), bookLits(j))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+    val encoded = c.select(col("corpus_id"), codes.as("codes"))
+
+    // query ADC tables: exact distance from the query's subvector to every
+    // centroid, flattened to one array<double> of length m·ksub
+    val qs = queries.select(q(queryId).as("query_id"), q(queryEmb).as("qv"))
+    val table = concat((0 until m).map(j => sqDist(subSlice(col("qv"), j), bookLits(j))): _*)
+    val qTables = qs.select(col("query_id"), table.as("tbl"))
+
+    // ADC scan: m lookups per (corpus row, query); k-heap keeps the
+    // k·refineFactor best (smallest distance → highest -adc) map-side
+    val adc = (0 until m).map(j =>
+      element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
+      .reduce(_ + _)
+    val shortlist = encoded.crossJoin(broadcast(qTables))
+      .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
+        k * refineFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk.item")).as("corpus_id"))
+
+    // exact re-rank of the shortlist: raw vectors re-attach via a pruned
+    // join (shortlist is queries × k·refine rows — broadcastable)
+    val rescored = c.join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
+    rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a signature band with
     * the query; exact cosine ranks candidates. `multiProbe` widens recall
     * by also probing, per band, every bucket at Hamming distance 1 from the

@@ -26,6 +26,14 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** REAL byte-pair encoding with a merge table — see
+    * [[graft.functions.BpeEncode]]. Default merges are the small built-in
+    * English table; pass a trained vocabulary's merge list in production. */
+  def bpeTokens(c: Column,
+      merges: Seq[(String, String)] = graft.functions.BpeEncode.EnglishMerges,
+      lowercase: Boolean = true): Column =
+    graft.functions.BpeEncode.of(c, merges, lowercase)
+
   /** Character-class counts for quality scoring. */
   def alphaCount(c: Column): Column = length(regexp_replace(c, "[^a-zA-Z]", ""))
   def digitCount(c: Column): Column = length(regexp_replace(c, "[^0-9]", ""))
@@ -207,6 +215,44 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"), col("unigram_logprob"))
   }
 
+  /** Split documents into fixed-size token chunks — the context-window
+    * chunker every training pipeline runs before packing/tokenization.
+    * Chunks start every `stride` tokens (stride < chunkSize ⇒ overlapping
+    * windows); if the last strided window leaves tail tokens uncovered, one
+    * final window "snaps back" to end exactly at the last token (the
+    * sliding-window convention, so every token appears in ≥ 1 chunk and
+    * full-length chunks are preferred over a ragged tail). Documents
+    * shorter than `chunkSize` yield one chunk with all their tokens;
+    * documents with zero tokens yield none.
+    *
+    * Pure array expressions (sequence / slice / posexplode) — chunking
+    * 100 TB is one scan, no shuffle, no UDF; output rows carry the chunk
+    * text plus (doc, chunk_idx, start_tok, n_chunk_tokens) lineage.
+    * Returns (idCol, chunk_idx, start_tok, n_chunk_tokens, chunk). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0, "chunkSize > 0")
+    require(stride > 0 && stride <= chunkSize, "0 < stride <= chunkSize")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val toks = tokens(col("`" + textCol.replace("`", "``") + "`"))
+    val n = size(toks)
+    val lastFull = greatest(n - (chunkSize - 1), lit(1))
+    val base = sequence(lit(1), lastFull, lit(stride))
+    // snap-back: the final strided window ends before the last token →
+    // append the window ending exactly at token n (never duplicates a base
+    // start: covered < n implies n-chunkSize+1 > the last base start)
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(when(element_at(base, -1) + (chunkSize - 1) < n,
+        concat(base, array(lastFull))).otherwise(base))
+    df.select(id.as(idCol), posexplode(starts).as(Seq("chunk_idx", "start_tok")),
+        toks.as("__t"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        slice(col("__t"), col("start_tok"), lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__c")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk"))
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with their counts,
     * deterministic tie-break (count desc, token asc). One hash aggregation
     * with map-side partials over exploded tokens, then a TakeOrdered —
@@ -220,6 +266,29 @@ object TextAnalysis {
     df.select(explode(tokens(if (normalize) normalized(text) else text)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /** Linear text classifier score — the fasttext-shaped quality/domain
+    * classifier every modern corpus pipeline runs (e.g. the "educational
+    * value" / "wiki-like" filters): mean of per-token weights from a
+    * trained vocabulary, squashed by a sigmoid. `weights` is the trained
+    * (token → weight) table; out-of-vocabulary tokens contribute 0.
+    *
+    * The weight table rides the plan as a literal map (classifier vocabs
+    * are 10⁴-10⁵ entries — executor-memory-trivial), lookup is
+    * `element_at` per token inside one codegen'd scan: scoring 100 TB
+    * shuffles nothing and reads each document once. Tokens are matched on
+    * the whitespace-normalized lowercased form. */
+  def linearClassifierScore(c: Column, weights: Map[String, Double],
+      bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val toks = tokens(normalized(c))
+    val w = typedlit(weights)
+    val n = size(toks)
+    val raw = aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(w, t), lit(0.0)))
+    val mean = when(n === 0, lit(0.0)).otherwise(raw / n.cast("double"))
+    round(lit(1.0) / (lit(1.0) + exp(-(mean + bias))), 4)
   }
 
   /** Gopher/MassiveText composite keep predicate — the full document-level

@@ -192,6 +192,49 @@ class ExtSpec extends SparkSpec {
     assert(run() == ivf) // seeded k-means → stable results
   }
 
+  test("similarity: PQ top-k recall >= 0.6 vs brute force, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+      m = 8, ksub = 16, refineFactor = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run()
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+    assert(run() == pq) // seeded subspace k-means → stable results
+    // the exact re-rank means rank-1 for a self-query is the query itself
+    val self = Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 1,
+      m = 8, ksub = 16, refineFactor = 4).filter(col("rank") === 1)
+      .select("query_id", "corpus_id").collect()
+    assert(self.nonEmpty && self.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("text: BPE merge loop matches hand computation; detokenization invariant") {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r")
+    val d = Seq((1L, "the thinking brother!")).toDF("doc_id", "text")
+    val toks = d.select(TextAnalysis.bpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    // lowest-rank adjacent merge first, word at a time (ranks: th=0,
+    // the=1, in=2, ing=3, er=4):
+    //   the:      t h e → th e → the
+    //   thinking: t h i n k i n g → th i n k i n g → th in k in g → th in k ing
+    //   brother:  b r o t h e r → b r o th e r → b r o the r (the=1 beats er=4)
+    //   "!" is an isolated punctuation token
+    assert(toks == Seq("the", "th", "in", "k", "ing", "b", "r", "o", "the", "r", "!"))
+    // detokenization invariant on real corpus text: the pre-tokenizer keeps
+    // every non-space char, so concatenating a doc's BPE tokens must equal
+    // its lowercased text with whitespace removed
+    val docs5 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val bad = docs5.select(
+      concat_ws("", ext.TextAnalysis.bpeTokens(col("text"))).as("joined"),
+      regexp_replace(lower(col("text")), "\\s+", "").as("expected"))
+      .filter(col("joined") =!= col("expected")).count()
+    assert(bad == 0, "BPE must re-segment, never rewrite")
+  }
+
   test("similarity: k-heap ranking matches window formulation, no Window in plan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
@@ -641,6 +684,91 @@ class ExtSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("a", 3L), ("b", 2L))) // c=2 loses tie to b
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("sampling: capPerGroup keeps n smallest-hash keys, no Window in plan") {
+    val d = (0L until 300L).map(i => (i, if (i % 3 == 0) "big" else "small"))
+      .toDF("id", "grp")
+    val capped = graft.ext.Sampling.capPerGroup(d, "id", "grp", 10, seed = 7)
+    // per-group caps hold and selection matches an independent rank-by-hash
+    val got = capped.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "big") == 10 && got.count(_._2 == "small") == 10)
+    val expected = d.withColumn("h", graft.ext.Sampling.hashBucket(col("id"), 7))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).take(10).toSeq }.map(r => (r._1, r._2)).toSet
+    assert(got.toSet == expected)
+    // scale guard: the plan must use the bounded k-heap aggregate, never a
+    // per-group window sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "capPerGroup must not plan a Window")
+    assert(plan.contains("graft_top_k_by_score"))
+    // determinism under repartitioning
+    val again = graft.ext.Sampling.capPerGroup(d.repartition(13), "id", "grp", 10, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.toSet)
+  }
+
+  test("dedup: bloom-prefiltered incremental exact equals the anti-join path") {
+    val corpus = (0L until 400L).map(i => (i, s"corpus document number $i with shared phrasing"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1000L, "corpus Document   number 7 with shared phrasing"), // exact mod case/ws
+      (1001L, "corpus document number 399 with shared phrasing"), // exact
+      (1002L, "a genuinely novel document about alpine meadows"),
+      (1003L, "another novel document that the corpus has never seen")
+    ).toDF("doc_id", "text")
+    val bloomDf = Dedup.dropExistingExactBloom(incoming, corpus, "doc_id", "text")
+    // scale guard: the verify joins must both be broadcast — the corpus is
+    // scanned but never shuffled on this path
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"bloom path must broadcast-verify, got:\n$plan")
+    val viaBloom = bloomDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAnti = Dedup.dropExistingExact(incoming, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == Set(1002L, 1003L) && viaBloom == viaAnti)
+    // a saturated filter (tiny expectedItems → high fp rate) still gives
+    // exact results: false positives are verified, negatives can't exist
+    val saturated = Dedup.dropExistingExactBloom(incoming, corpus, "doc_id", "text",
+      expectedItems = 2L, fpp = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(saturated == viaAnti)
+  }
+
+  test("text: linear classifier score matches hand computation, OOV = 0") {
+    val w = Map("the" -> 0.8, "cat" -> -0.4)
+    val d = Seq((1L, "The cat AND the dog"), (2L, "zzz qqq"), (3L, "  ")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextAnalysis.linearClassifierScore(col("text"), w, bias = -0.1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    // doc 1: (0.8 - 0.4 + 0.8) / 5 tokens = 0.24; doc 2: all OOV → 0
+    assert(got(1L) == math.rint(sig(0.24 - 0.1) * 1e4) / 1e4)
+    assert(got(2L) == math.rint(sig(-0.1) * 1e4) / 1e4)
+    assert(got(3L) == math.rint(sig(-0.1) * 1e4) / 1e4) // empty → mean 0
+  }
+
+  test("text: chunkDocuments strided windows with snap-back tail") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 1, 5(snap-back to 7→ no; see below)
+      (2L, "a b c"),                                  // shorter than chunk → one chunk
+      (3L, "   ")                                     // zero toks → no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(d, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // doc 1: n=10, lastFull=7 → base starts 1,4,7; 7+3=10 covers → no snap-back
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((1, 4), (4, 4), (7, 4)))
+    assert(d1.head._5 == "t1 t2 t3 t4" && d1.last._5 == "t7 t8 t9 t10")
+    // doc 2: one short chunk, all tokens
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 3, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+    // snap-back case: n=9, size=4, stride=4 → base 1,5 covers 8 < 9 →
+    // final window starts at 6 and ends exactly at token 9
+    val e = Seq((1L, (1 to 9).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val ec = TextAnalysis.chunkDocuments(e, "doc_id", "text", chunkSize = 4, stride = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(ec.toSeq == Seq((0, 1, 4), (1, 5, 4), (2, 6, 4)))
   }
 
   test("sampling: shuffleByKey is deterministic and partition-independent") {
