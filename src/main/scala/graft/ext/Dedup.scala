@@ -435,9 +435,28 @@ object Dedup {
       corpusTextCol: String = "", expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
     val ctc = if (corpusTextCol.isEmpty) textCol else corpusTextCol
-    val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(ctc)).as("__fp"))
+    val bloom = corpusFingerprintBloom(corpus, ctc, expectedItems, fpp)
+    dropExistingWithBloom(incoming, corpus, textCol, ctc, bloom)
+  }
+
+  /** Fold the corpus's normalized-text fingerprints into a Bloom filter —
+    * one scan, no shuffle (per-partition sketches merge on the driver).
+    * Build ONCE and reuse across incremental batches (e.g. every
+    * micro-batch of a streaming ingest); persist with
+    * `BloomFilter.writeTo` between runs to skip even the build scan. */
+  def corpusFingerprintBloom(corpus: DataFrame, textCol: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(textCol)).as("__fp"))
     val items = if (expectedItems > 0) expectedItems else math.max(corpus.count(), 1L)
-    val bloom = corpusFps.stat.bloomFilter("__fp", items, fpp)
+    corpusFps.stat.bloomFilter("__fp", items, fpp)
+  }
+
+  /** The per-batch scrub behind [[dropExistingExactBloom]], taking a
+    * prebuilt filter. */
+  def dropExistingWithBloom(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, corpusTextCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(corpusTextCol)).as("__fp"))
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
     val fpIn = TextAnalysis.fingerprint64(q(textCol))

@@ -56,6 +56,10 @@ object GraftSparkExtensions {
     "graft_cosine_sim" -> (
       info("graft_cosine_sim", "_FUNC_(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "graft_bpe_encode" -> (
+      info("graft_bpe_encode", "_FUNC_(text) - BPE tokens (built-in English merge table, lowercased)"),
+      (args: Seq[Expression]) =>
+        BpeEncode(args(0), BpeEncode.EnglishMerges, lowercase = true)),
     "graft_bounded_collect" -> (
       info("graft_bounded_collect", "_FUNC_(expr, limit) - collect at most limit non-null strings"),
       (args: Seq[Expression]) =>

@@ -77,6 +77,31 @@ object StreamingValidation {
     }
   }
 
+  /** Streaming incremental-ingest scrub against a STATIC corpus: every
+    * micro-batch drops rows whose normalized text the corpus already holds
+    * before reaching the sink — the continuous form of
+    * [[graft.ext.Dedup.dropExistingExactBloom]]. The corpus Bloom filter
+    * is built ONCE here (one corpus scan, no shuffle) and reused by every
+    * batch; per batch only bloom-positive candidates broadcast-verify
+    * against the corpus fingerprints, so batch cost is O(batch) + one
+    * corpus scan pruned to a broadcast semi join — the corpus is never
+    * shuffled, at any batch rate. Compose with [[dedupStream]] upstream to
+    * also dedup WITHIN the stream across batches. */
+  def incrementalScrubWriter(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      corpusTextCol: String = "",
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val ctc = if (corpusTextCol.isEmpty) textCol else corpusTextCol
+    val bloom = graft.ext.Dedup.corpusFingerprintBloom(corpus, ctc, expectedItems, fpp)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.ext.Dedup.dropExistingWithBloom(batch, corpus, textCol, ctc, bloom), id)
+    }
+  }
+
   /** Streaming NEAR-duplicate dedup: key the watermark-bounded state on
     * the document's 64-bit SimHash. Token-vote hashing makes the sketch
     * order-independent and whitespace-insensitive, so reshuffled or

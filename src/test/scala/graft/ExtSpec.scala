@@ -771,6 +771,34 @@ class ExtSpec extends SparkSpec {
     assert(ec.toSeq == Seq((0, 1, 4), (1, 5, 4), (2, 6, 4)))
   }
 
+  test("text: chunk invariants hold over the real corpus") {
+    // every token index covered ≥ once; starts strictly increasing; all
+    // chunks full-size except when the whole doc is shorter than a chunk
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (size, stride) = (32, 24)
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", size, stride)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nToks = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = nToks(id)
+      // contiguous coverage: first chunk starts at 1, last ends at n
+      assert(sorted.head._3 == 1 && sorted.last._3 + sorted.last._4 - 1 == n)
+      // starts strictly increase and no gap exceeds a chunk
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._3 && b._3 <= a._3 + a._4, s"gap in doc $id")
+        case _ =>
+      }
+      // full-size chunks unless the doc itself is shorter
+      assert(sorted.forall(c => c._4 == size) || n < size)
+    }
+  }
+
   test("sampling: shuffleByKey is deterministic and partition-independent") {
     val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val a = graft.ext.Sampling.shuffleByKey(d, "id", seed = 3).select("id")

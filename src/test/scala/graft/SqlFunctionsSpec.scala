@@ -58,6 +58,13 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT graft_bounded_collect(CAST(id AS STRING), 5) AS c FROM sql_range")
       .head().getSeq[String](0)
     assert(collected.size == 5)
+
+    // BPE from SQL text == Column API with the default merges
+    val viaSql = spark.sql("SELECT graft_bpe_encode('The thinking era') AS t")
+      .head().getSeq[String](0)
+    val viaApi = Seq("The thinking era").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"))).head().getSeq[String](0)
+    assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
   test("sorted_pairs dedupes equal ids: no self-pairs, no repeated pairs") {

@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental scrub writer drops corpus-known texts every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "a known corpus document about rivers"),
+      (101L, "another known corpus document about mountains")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+
+    val arrived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingValidation.incrementalScrubWriter(stream, corpus, "text") {
+      (df, _) => arrived ++= df.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      mem.addData((1L, "A known  corpus document about rivers"), // dup mod case/ws
+        (2L, "a brand new document"))
+      q.processAllAvailable()
+      mem.addData((3L, "another known corpus document about mountains"), // dup
+        (4L, "yet another new document"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(arrived.sorted == Seq(2L, 4L))
+  }
+
   test("streaming exact dedup drops repeat keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)] // (ts nanos, user, event)
