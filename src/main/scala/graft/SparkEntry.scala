@@ -549,6 +549,17 @@ object SparkEntry {
       ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_top_fraction" -> ((s, d) =>
+      // round-5: global quality cut — keep the top 25% of docs by n_chars
+      // (exact interpolated percentile threshold == SQL quantile_cont)
+      ext.Sampling.keepTopFraction(t(s, d, "documents"), "n_chars", 0.25)
+        .select("doc_id").orderBy("doc_id")),
+    "events_sessions" -> ((s, d) =>
+      // round-5: gap-timeout sessionization via native session_window
+      // (one user-keyed shuffle; streaming-compatible shape)
+      ext.Sessions.sessionize(t(s, d, "events"), "user_id", "ts", "value",
+        gap = "30 minutes")
+        .orderBy("user_id", "session_start_us")),
     "sample_cap_per_group" -> ((s, d) =>
       // round-5: domain balancing — ≤ 40 docs per language, chosen by
       // ascending key hash via the map-side k-heap (no window sort)
@@ -955,7 +966,7 @@ object SparkEntry {
     //      exercised in StreamingSpec with the same transformation) ----
     "events_hourly" -> ((s, d) =>
       t(s, d, "events")
-        .withColumn("ets", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+        .withColumn("ets", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
         .groupBy(date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))
@@ -1240,6 +1251,18 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
         "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
         "ORDER BY doc_id"),
+    "sample_top_fraction" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +
+        "ORDER BY doc_id"),
+    "events_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
+        "w AS (SELECT user_id, us, value, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
+        "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "s AS (SELECT user_id, us, value, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
+        "SELECT user_id, min(us) AS session_start_us, CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us, " +
+        "count(*) AS n_events, round(sum(value), 3) AS total_value " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
     "sample_cap_per_group" ->
       ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
         "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +

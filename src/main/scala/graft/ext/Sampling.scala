@@ -151,6 +151,25 @@ object Sampling {
     } else parts.reduce(_.unionByName(_, allowMissingColumns))
   }
 
+  /** Keep the top `fraction` of rows by `scoreCol` — the "take the best X%
+    * by quality score" corpus cut. The threshold is ONE aggregation job
+    * (exact interpolated percentile by default — identical semantics to
+    * SQL `quantile_cont`, so the cut is re-derivable in any engine;
+    * `approximate = true` switches to `percentile_approx`, the
+    * bounded-memory sketch for 100 TB corpora where an exact percentile
+    * would sort the score column), then the cut itself is a pure filter —
+    * one scan, no shuffle. Ties at the threshold are all kept (>=). */
+  def keepTopFraction(df: DataFrame, scoreCol: String, fraction: Double,
+      approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    if (fraction == 1.0) return df
+    val p = lit(1.0 - fraction)
+    val thrCol = if (approximate) percentile_approx(q(scoreCol), p, lit(accuracy))
+                 else percentile(q(scoreCol), p)
+    val thr = df.agg(thrCol.cast("double")).head().getDouble(0)
+    df.filter(q(scoreCol) >= lit(thr))
+  }
+
   /** Cap each group at `n` rows — the "domain balancing" step of a corpus
     * pipeline (no single domain/site/source may contribute more than n
     * documents). The survivors are the n rows with the SMALLEST key hash

@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event sessionization — the gap-timeout grouping every behavioral /
+  * clickstream pipeline runs before building per-session training
+  * examples.
+  *
+  * Spark-first shape: `session_window` (native Catalyst session
+  * aggregation) rather than the lag/running-sum window-function idiom —
+  * one shuffle keyed by user, sessions merge inside the aggregation
+  * (works identically under Structured Streaming with a watermark, where
+  * the window-function formulation is unusable). A session extends while
+  * consecutive events arrive at most `gap` apart (touching windows merge;
+  * a split needs a strictly larger silence); its end is last_event + gap
+  * (the session_window contract).
+  *
+  * `tsCol` is an epoch-NANOS long (the events-table shape under
+  * `spark.sql.legacy.parquet.nanosAsLong`, same convention as
+  * StreamingValidation.hourlyRollup). Bounds are emitted as epoch micros
+  * so results are timezone-independent and engine-portable.
+  */
+object Sessions {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Per-session aggregate: (userCol, session_start_us, session_end_us,
+    * n_events, total_value·10³-rounded). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String = "30 minutes"): DataFrame =
+    events
+      // integer `div`, not `/`: the SQL slash promotes the epoch-nanos
+      // long to double (53-bit mantissa < 2^60-scale nanos → ±µs drift)
+      .withColumn("__ets", timestamp_micros(call_function("div", q(tsCol), lit(1000L))))
+      .groupBy(q(userCol), session_window(col("__ets"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(q(valueCol)), 3).as("total_value"))
+      .select(q(userCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+}

@@ -65,7 +65,7 @@ object StreamingValidation {
       watermark: String,
       fingerprintKeys: Boolean = false): DataFrame = {
     val withTs = stream
-      .withColumn("__ets", timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      .withColumn("__ets", timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
       .withWatermark("__ets", watermark)
     if (fingerprintKeys) {
       withTs
@@ -117,7 +117,7 @@ object StreamingValidation {
       tsCol: String,
       watermark: String): DataFrame =
     stream
-      .withColumn("__ets", timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      .withColumn("__ets", timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
       .withWatermark("__ets", watermark)
       .withColumn("__sh", graft.ext.Dedup.simhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("__sh")
@@ -127,7 +127,7 @@ object StreamingValidation {
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {
     val withTs = events.withColumn("__ets",
-      timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
     wm.groupBy(window(col("__ets"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))

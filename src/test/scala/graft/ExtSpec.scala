@@ -799,6 +799,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sessions: gap-timeout grouping incl. exact-boundary split") {
+    val us = 1000000L // 1s in micros
+    def ns(sec: Long) = sec * 1000000000L
+    val ev = Seq(
+      (1L, ns(0), 1.0), (1L, ns(10), 2.0),   // session A: 0..10s
+      (1L, ns(10 + 60), 4.0),                // EXACTLY gap later → touching
+                                             // windows MERGE (session_window
+                                             // contract: split needs > gap)
+      (1L, ns(10 + 60 + 61), 8.0),           // 61s later → NEW session
+      (2L, ns(5), 16.0)                      // other user
+    ).toDF("user_id", "ts", "value")
+    val got = graft.ext.Sessions.sessionize(ev, "user_id", "ts", "value", gap = "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, (10 + 60 + 60) * us, 3L, 7.0),
+      (1L, 131L * us, (131 + 60) * us, 1L, 8.0),
+      (2L, 5L * us, (5 + 60) * us, 1L, 16.0)))
+  }
+
+  test("sampling: keepTopFraction exact and approximate paths") {
+    val d = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val exact = graft.ext.Sampling.keepTopFraction(d, "score", 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // quantile_cont(0.75) over 1..100 = 75.25 → keep 76..100
+    assert(exact == (76L to 100L).toSet)
+    val approx = graft.ext.Sampling.keepTopFraction(d, "score", 0.25, approximate = true)
+      .count()
+    assert(approx >= 20 && approx <= 30) // sketch tolerance
+    assert(graft.ext.Sampling.keepTopFraction(d, "score", 1.0).count() == 100)
+  }
+
   test("sampling: shuffleByKey is deterministic and partition-independent") {
     val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val a = graft.ext.Sampling.shuffleByKey(d, "id", seed = 3).select("id")
