@@ -385,6 +385,16 @@ object SparkEntry {
         .select(explode(ext.TextAnalysis.bpeTokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(5)),
+    "text_bpe_train" -> ((s, d) => {
+      // round-5: BPE merge TRAINING — one corpus scan to a word-frequency
+      // table, one vocab-table job per merge, deterministic argmax
+      // tie-break. oracle: golden pin; algorithm verified in ExtSpec
+      // against a hand-computed corpus.
+      val merges = ext.BpeTrain.learnMerges(t(s, d, "documents"), "text", numMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("merge_rank", "lhs", "rhs").orderBy("merge_rank")
+    }),
     "text_chunks" -> ((s, d) =>
       // round-5: context-window chunking, 32-token windows / stride 24
       // (8-token overlap), snap-back tail; chunk content verified by md5
@@ -984,6 +994,11 @@ object SparkEntry {
         "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY id_a, id_b"),
+    "text_bpe_train" ->
+      ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
+        "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY merge_rank"),
     "text_bpe" ->
       ("SELECT CAST(token AS VARCHAR) AS token, CAST(cnt AS BIGINT) AS cnt FROM (" +
         "SELECT * FROM (VALUES ('a', 6438), ('e', 5610), ('s', 5610), ('l', 5563), ('t', 4688)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) < 10000 " +

@@ -166,8 +166,9 @@ object Sampling {
     val p = lit(1.0 - fraction)
     val thrCol = if (approximate) percentile_approx(q(scoreCol), p, lit(accuracy))
                  else percentile(q(scoreCol), p)
-    val thr = df.agg(thrCol.cast("double")).head().getDouble(0)
-    df.filter(q(scoreCol) >= lit(thr))
+    val row = df.agg(thrCol.cast("double")).head()
+    if (row.isNullAt(0)) df // no non-null scores → nothing to cut
+    else df.filter(q(scoreCol) >= lit(row.getDouble(0)))
   }
 
   /** Cap each group at `n` rows — the "domain balancing" step of a corpus

@@ -234,7 +234,9 @@ object TextAnalysis {
     require(chunkSize > 0, "chunkSize > 0")
     require(stride > 0 && stride <= chunkSize, "0 < stride <= chunkSize")
     val id = col("`" + idCol.replace("`", "``") + "`")
-    val toks = tokens(col("`" + textCol.replace("`", "``") + "`"))
+    // null text behaves as empty (yields no chunks) — without the coalesce
+    // a null propagates size() = -1 and emits one garbage row
+    val toks = tokens(coalesce(col("`" + textCol.replace("`", "``") + "`"), lit("")))
     val n = size(toks)
     val lastFull = greatest(n - (chunkSize - 1), lit(1))
     val base = sequence(lit(1), lastFull, lit(stride))
@@ -282,7 +284,9 @@ object TextAnalysis {
   def linearClassifierScore(c: Column, weights: Map[String, Double],
       bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
-    val toks = tokens(normalized(c))
+    // null text scores like an empty document (mean 0 → sigmoid(bias)),
+    // matching SQL engines where the token join simply finds no rows
+    val toks = tokens(normalized(coalesce(c, lit(""))))
     val w = typedlit(weights)
     val n = size(toks)
     val raw = aggregate(toks, lit(0.0),

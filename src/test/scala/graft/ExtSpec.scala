@@ -748,6 +748,23 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == math.rint(sig(-0.1) * 1e4) / 1e4) // empty → mean 0
   }
 
+  test("text: BPE training learns hand-computable merges; round-trips into encode") {
+    val d = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val merges = graft.ext.BpeTrain.learnMerges(d, "text", numMerges = 4)
+    // words each ×1. pairs: (l,o)×3 (o,w)×3 (w,e)×2 (e,r) (e,s) (s,t)
+    //   tie 3=3 → pair-asc: "l o" < "o w" → (l,o); then (lo,w)×3; then
+    //   (low,e)×2; then ties at 1 → "lowe r" < "lowe s" < "s t" → (lowe,r)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "low" -> "e", "lowe" -> "r"))
+    // learned merges drive the encoder: low→[low], lower→[lower],
+    // lowest→[lowe, s, t]
+    val toks = d.select(TextAnalysis.bpeTokens(col("text"), merges))
+      .head().getSeq[String](0)
+    assert(toks == Seq("low", "lower", "lowe", "s", "t"))
+    // a merge budget beyond the pair supply stops early instead of looping
+    val all = graft.ext.BpeTrain.learnMerges(d, "text", numMerges = 100)
+    assert(all.size < 100 && all.startsWith(merges))
+  }
+
   test("text: chunkDocuments strided windows with snap-back tail") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 1, 5(snap-back to 7→ no; see below)
