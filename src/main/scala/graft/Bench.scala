@@ -186,6 +186,19 @@ object Bench {
         .groupBy("t").count().count())
     results += "text_bpe" -> tBpe
 
+    // incremental ingest at 10×: the 1× corpus arrives as a "batch" against
+    // the 10× corpus (replica 0 is identical text, so every row is a dup);
+    // timing covers bloom build + broadcast verify, corpus never shuffled
+    val (tBloomInc, nNew) = time(
+      ext.Dedup.dropExistingExactBloom(docs, docs10, "doc_id", "text").count())
+    results += "dedup_bloom_inc_10x" -> tBloomInc
+    require(nNew == 0, s"10x corpus holds all 1x texts, got $nNew survivors")
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val (tSess, _) = time(
+      ext.Sessions.sessionize(ev, "user_id", "ts", "value").count())
+    results += "events_sessions" -> tSess
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     val (tSynth, _) = time(

@@ -188,8 +188,9 @@ object Sampling {
     * broadcasts when groups×n is small (it usually is: caps are small by
     * construction).
     *
-    * Keys are assumed unique per group (they're document ids); duplicate
-    * keys occupy one heap slot each and all rows of a kept key survive. */
+    * Keys are assumed unique per group and NON-NULL (they're document
+    * ids); duplicate keys occupy one heap slot each and all rows of a kept
+    * key survive, null keys never match the re-attach join. */
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, n: Int,
       seed: Long = 42L): DataFrame = {
     require(n > 0, "n > 0")

@@ -26,13 +26,17 @@ object Sessions {
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
   /** Per-session aggregate: (userCol, session_start_us, session_end_us,
-    * n_events, total_value·10³-rounded). */
+    * n_events, total_value·10³-rounded). Pass `watermark` when `events` is
+    * a stream — session_window state then closes (and emits) once the
+    * watermark passes a session's end, bounding state to open sessions. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String, gap: String = "30 minutes"): DataFrame =
-    events
+      valueCol: String, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val withTs = events
       // integer `div`, not `/`: the SQL slash promotes the epoch-nanos
       // long to double (53-bit mantissa < 2^60-scale nanos → ±µs drift)
       .withColumn("__ets", timestamp_micros(call_function("div", q(tsCol), lit(1000L))))
+    watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
       .groupBy(q(userCol), session_window(col("__ets"), gap))
       .agg(count(lit(1)).as("n_events"),
         round(sum(q(valueCol)), 3).as("total_value"))
@@ -40,4 +44,5 @@ object Sessions {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("total_value"))
+  }
 }

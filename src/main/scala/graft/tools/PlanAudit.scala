@@ -24,6 +24,31 @@ object PlanAudit {
     graft.ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
       .explain("formatted")
 
+    println("==== capPerGroup ====")
+    graft.ext.Sampling.capPerGroup(docs, "doc_id", "lang", 40, seed = 7)
+      .explain("formatted")
+
+    println("==== dropExistingExactBloom ====")
+    val inc = docs.select(col("doc_id") + 1000000, col("text"))
+    graft.ext.Dedup.dropExistingExactBloom(inc, docs, "doc_id", "text")
+      .explain("formatted")
+
+    println("==== chunkDocuments ====")
+    graft.ext.TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 24)
+      .explain("formatted")
+
+    println("==== sessionize ====")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.ext.Sessions.sessionize(events, "user_id", "ts", "value")
+      .explain("formatted")
+
+    println("==== pqTopK ====")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.ext.Similarity.pqTopK(emb, "vec_id", "embedding", qs, "qid", "qv", 5)
+      .explain("formatted")
+
     println("==== splitByRowChecks valid side ====")
     val schema = graft.schema.DataFrameSchema(
       "l_orderkey" -> graft.schema.ColumnSchema(None, Seq(graft.checks.Check.ge(1L)), nullable = false),

@@ -147,6 +147,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization matches between batch mode and streaming mode") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(300)
+    val batch = graft.ext.Sessions.sessionize(events, "user_id", "ts", "value")
+    assert(batch.count() > 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+    val rows = events.select("user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q = graft.ext.Sessions.sessionize(stream, "user_id", "ts", "value",
+      watermark = Some("12 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("sessions").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      def fmt(r: org.apache.spark.sql.Row) =
+        s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|${r.getLong(3)}|${r.getDouble(4)}"
+      val streamed = spark.sql("SELECT * FROM sessions").collect().map(fmt).sorted
+      val batched = batch.collect().map(fmt).sorted
+      assert(streamed.sameElements(batched))
+    } finally q.stop()
+  }
+
   test("hourly rollup matches between batch mode and streaming mode") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val batch = StreamingValidation.hourlyRollup(events, "ts", watermark = None)
