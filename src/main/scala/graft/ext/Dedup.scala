@@ -452,12 +452,20 @@ object Dedup {
   }
 
   /** The per-batch scrub behind [[dropExistingExactBloom]], taking a
-    * prebuilt filter. */
+    * prebuilt filter. Broadcasts the filter per call — for repeated
+    * batches (streaming), broadcast once and use the `Broadcast`
+    * overload so a multi-GB filter isn't re-shipped every micro-batch. */
   def dropExistingWithBloom(incoming: DataFrame, corpus: DataFrame,
       textCol: String, corpusTextCol: String,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    dropExistingWithBloom(incoming, corpus, textCol, corpusTextCol,
+      incoming.sparkSession.sparkContext.broadcast(bloom))
+
+  /** [[dropExistingWithBloom]] with an already-broadcast filter. */
+  def dropExistingWithBloom(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, corpusTextCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(corpusTextCol)).as("__fp"))
-    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
     val fpIn = TextAnalysis.fingerprint64(q(textCol))
     // batch-bounded candidate fingerprints; broadcast into a semi probe of

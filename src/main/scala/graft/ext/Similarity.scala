@@ -84,10 +84,26 @@ object Similarity {
     * broadcast — nCentroids × dim doubles). Cell sizes are ~|corpus|/k
     * with k-means balancing, so no O(n²) anywhere.
     */
-  /** Rows the auto-bounded IVF training sample targets: k-means centroid
+  /** Rows the auto-bounded ANN training sample targets: k-means centroid
     * quality saturates long before 1e6 training vectors, so training cost
     * stays flat while the corpus grows 100×. */
   val IvfMaxTrainRows: Long = 1000000L
+
+  /** Shared bounded-training-sample rule for the ANN trainers (IVF, PQ):
+    * NaN = auto (sample down to ~[[IvfMaxTrainRows]]); an explicit
+    * positive fraction overrides; >= 1.0 trains on the full corpus. */
+  private def boundedTrainSample(c: DataFrame, trainSampleFraction: Double,
+      seed: Long): DataFrame = {
+    require(trainSampleFraction.isNaN || trainSampleFraction > 0,
+      s"trainSampleFraction must be NaN (auto) or > 0, got $trainSampleFraction")
+    if (trainSampleFraction.isNaN) {
+      val total = c.count()
+      if (total <= IvfMaxTrainRows) c
+      else c.sample(withReplacement = false, IvfMaxTrainRows.toDouble / total, seed)
+    }
+    else if (trainSampleFraction >= 1.0) c
+    else c.sample(withReplacement = false, trainSampleFraction, seed)
+  }
 
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusEmb: String,
@@ -101,16 +117,8 @@ object Similarity {
     val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
       .withColumn("fv", toVec(col("cv")))
     // bounded-by-default training (round-3 verdict wrong #4: a 1.0 default
-    // trained k-means on the full corpus): NaN = auto — sample down to
-    // ~IvfMaxTrainRows vectors; an explicit fraction overrides.
-    val train =
-      if (trainSampleFraction.isNaN) {
-        val total = c.count()
-        if (total <= IvfMaxTrainRows) c
-        else c.sample(withReplacement = false, IvfMaxTrainRows.toDouble / total, seed)
-      }
-      else if (trainSampleFraction >= 1.0) c
-      else c.sample(withReplacement = false, trainSampleFraction, seed)
+    // trained k-means on the full corpus)
+    val train = boundedTrainSample(c, trainSampleFraction, seed)
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
     val assigned = model.transform(c).select("corpus_id", "cv", "cell")
@@ -168,20 +176,14 @@ object Similarity {
     require(m > 0 && ksub > 1 && refineFactor >= 1, "m > 0, ksub > 1, refine >= 1")
 
     val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
-    val dim = c.select(size(col("cv"))).head().getInt(0)
+    val dimRow = c.select(size(col("cv"))).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTopK: corpus is empty — nothing to index")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
 
-    // --- train m subspace codebooks on a bounded sample (one collect of
-    // ≤ IvfMaxTrainRows × dim floats equivalent work stays in Spark ML) ---
-    val train0 =
-      if (trainSampleFraction.isNaN) {
-        val total = c.count()
-        if (total <= IvfMaxTrainRows) c
-        else c.sample(withReplacement = false, IvfMaxTrainRows.toDouble / total, seed)
-      }
-      else if (trainSampleFraction >= 1.0) c
-      else c.sample(withReplacement = false, trainSampleFraction, seed)
+    // --- train m subspace codebooks on a bounded sample ---
+    val train0 = boundedTrainSample(c, trainSampleFraction, seed)
     val subVec = (0 until m).map { j =>
       udf((a: Seq[Float]) =>
         Vectors.dense(a.slice(j * dsub, (j + 1) * dsub).map(_.toDouble).toArray))

@@ -276,21 +276,20 @@ object TextAnalysis {
     * trained vocabulary, squashed by a sigmoid. `weights` is the trained
     * (token → weight) table; out-of-vocabulary tokens contribute 0.
     *
-    * The weight table rides the plan as a literal map (classifier vocabs
-    * are 10⁴-10⁵ entries — executor-memory-trivial), lookup is
-    * `element_at` per token inside one codegen'd scan: scoring 100 TB
-    * shuffles nothing and reads each document once. Tokens are matched on
-    * the whitespace-normalized lowercased form. */
+    * The weight table rides the plan inside a native expression holding a
+    * per-executor hash table (classifier vocabs are 10⁴-10⁵ entries —
+    * executor-memory-trivial; a literal-map `element_at` would be a LINEAR
+    * key scan per token at that size): scoring 100 TB shuffles nothing and
+    * reads each document once. Tokens are matched on the
+    * whitespace-normalized lowercased form. */
   def linearClassifierScore(c: Column, weights: Map[String, Double],
       bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
     // null text scores like an empty document (mean 0 → sigmoid(bias)),
     // matching SQL engines where the token join simply finds no rows
     val toks = tokens(normalized(coalesce(c, lit(""))))
-    val w = typedlit(weights)
     val n = size(toks)
-    val raw = aggregate(toks, lit(0.0),
-      (acc, t) => acc + coalesce(element_at(w, t), lit(0.0)))
+    val raw = graft.functions.TokenWeightSum.of(toks, weights)
     val mean = when(n === 0, lit(0.0)).otherwise(raw / n.cast("double"))
     round(lit(1.0) / (lit(1.0) + exp(-(mean + bias))), 4)
   }

@@ -97,8 +97,11 @@ object StreamingValidation {
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val ctc = if (corpusTextCol.isEmpty) textCol else corpusTextCol
     val bloom = graft.ext.Dedup.corpusFingerprintBloom(corpus, ctc, expectedItems, fpp)
+    // broadcast ONCE — a per-batch broadcast would re-ship the (potentially
+    // multi-GB) filter to every executor on every micro-batch
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      sink(graft.ext.Dedup.dropExistingWithBloom(batch, corpus, textCol, ctc, bloom), id)
+      sink(graft.ext.Dedup.dropExistingWithBloom(batch, corpus, textCol, ctc, bc), id)
     }
   }
 
