@@ -559,6 +559,14 @@ object SparkEntry {
       ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "drift_psi" -> ((s, d) =>
+      // round-5: distribution-drift monitoring — PSI of l_extendedprice
+      // between the full lineitem snapshot (reference) and the returned-
+      // goods slice (current), 10 reference-quantile bins
+      ext.Drift.psi(t(s, d, "lineitem"),
+        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
+        "l_extendedprice", bins = 10)
+        .orderBy("bin")),
     "sample_top_fraction" -> ((s, d) =>
       // round-5: global quality cut — keep the top 25% of docs by n_chars
       // (exact interpolated percentile threshold == SQL quantile_cont)
@@ -1266,6 +1274,18 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
         "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
         "ORDER BY doc_id"),
+    "drift_psi" ->
+      ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
+        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
+        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
+        "j AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+        "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+        "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
+        "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
+        "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin"),
     "sample_top_fraction" ->
       ("SELECT doc_id FROM documents " +
         "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +

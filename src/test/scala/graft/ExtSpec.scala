@@ -816,6 +816,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("drift: PSI matches hand computation, zero for identical data") {
+    val ref = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("x")
+    val cur = (1 to 5).map(i => Tuple1(i.toDouble)).toDF("x")
+      .union(Seq(Tuple1(6.0)).toDF("x"))
+    val rows = graft.ext.Drift.psi(ref, cur, "x", bins = 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // edges = [median 5.5]; ref 5/5 → .5/.5; cur 5 ≤ 5.5, 1 > 5.5 → 5/6, 1/6
+    // PSI = (5/6−.5)ln(5/3) + (1/6−.5)ln(1/3) = .170275 + .366204 = .536479
+    assert(rows.map(_._1).toSeq == Seq(0, 1))
+    assert(rows(0)._2 == 0.5 && math.abs(rows(0)._3 - 0.833333) < 1e-6)
+    assert(math.abs(rows(0)._5 - 0.536479) < 1e-6)
+    // identical data → PSI 0
+    val same = graft.ext.Drift.psi(ref, ref, "x", bins = 5).collect()
+    assert(same.forall(_.getDouble(4) == 0.0))
+    // an empty bin on one side is eps-floored, not a crash
+    val far = Seq(Tuple1(100.0), Tuple1(101.0)).toDF("x")
+    val psiFar = graft.ext.Drift.psi(ref, far, "x", bins = 2).head().getDouble(4)
+    assert(psiFar > 1.0, s"gross drift must score large, got $psiFar")
+  }
+
   test("sessions: gap-timeout grouping incl. exact-boundary split") {
     val us = 1000000L // 1s in micros
     def ns(sec: Long) = sec * 1000000000L
