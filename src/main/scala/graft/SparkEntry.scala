@@ -567,6 +567,13 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         "l_extendedprice", bins = 10)
         .orderBy("bin")),
+    "drift_psi_categorical" -> ((s, d) =>
+      // round-5: categorical drift on language mix — top-3 reference
+      // categories + __other__ bucket (the unbounded-cardinality guard)
+      ext.Drift.psiCategorical(t(s, d, "documents"),
+        t(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
+        "lang", maxCategories = 3)
+        .orderBy("cell")),
     "sample_top_fraction" -> ((s, d) =>
       // round-5: global quality cut — keep the top 25% of docs by n_chars
       // (exact interpolated percentile threshold == SQL quantile_cont)
@@ -1286,6 +1293,19 @@ object SparkEntry {
         "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
         "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
         "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin"),
+    "drift_psi_categorical" ->
+      ("WITH cat AS (SELECT coalesce(lang, '__null__') AS c, doc_id FROM documents), " +
+        "top3 AS (SELECT c AS cell FROM (SELECT c, count(*) AS n FROM cat GROUP BY c ORDER BY n DESC, c LIMIT 3)), " +
+        "refx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat), " +
+        "curx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat WHERE doc_id % 2 = 0), " +
+        "refc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM refx) AS ref_frac FROM refx GROUP BY cell), " +
+        "curc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM curx) AS cur_frac FROM curx GROUP BY cell), " +
+        "cells AS (SELECT cell FROM top3 UNION ALL SELECT '__other__'), " +
+        "j AS (SELECT cell, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+        "FROM cells LEFT JOIN refc USING (cell) LEFT JOIN curc USING (cell)), " +
+        "k AS (SELECT cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
+        "SELECT cell, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
+        "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY cell"),
     "sample_top_fraction" ->
       ("SELECT doc_id FROM documents " +
         "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +

@@ -73,4 +73,45 @@ object Drift {
         sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
       .select("bin", "ref_frac", "cur_frac", "psi_contrib", "psi_total")
   }
+
+  /** PSI for a CATEGORICAL column: one cell per reference category, with
+    * everything outside the `maxCategories` most frequent reference
+    * categories (count desc, value asc — deterministic) collapsed into an
+    * `__other__` cell. The cap is what keeps this sane on unbounded-
+    * cardinality columns (user agents, URLs): the category table is one
+    * TakeOrdered on the reference, then each side is one codegen'd
+    * aggregation against the broadcast category set. Categories new in
+    * `current` also land in `__other__` — appearing mass there IS the
+    * drift signal. Null category is its own cell (`__null__`). */
+  def psiCategorical(reference: DataFrame, current: DataFrame, column: String,
+      maxCategories: Int = 100, eps: Double = 1e-6): DataFrame = {
+    require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
+    val cat = coalesce(q(column).cast("string"), lit("__null__"))
+    val top = reference.groupBy(cat.as("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).limit(maxCategories)
+      .select("cell").collect().map(_.getString(0)).toSeq
+
+    def fractions(df: DataFrame, frac: String): DataFrame = {
+      val cell = when(cat.isin(top: _*), cat).otherwise(lit("__other__"))
+      val counts = df.groupBy(cell.as("cell")).agg(count(lit(1)).as("n"))
+      counts.withColumn(frac, col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("cell"), col(frac))
+    }
+    val spark0 = reference.sparkSession
+    import spark0.implicits._
+    val cells = (top :+ "__other__").toDF("cell")
+    cells
+      .join(fractions(reference, "ref_frac"), Seq("cell"), "left")
+      .join(fractions(current, "cur_frac"), Seq("cell"), "left")
+      .withColumn("ref_frac", greatest(coalesce(col("ref_frac"), lit(0.0)), lit(eps)))
+      .withColumn("cur_frac", greatest(coalesce(col("cur_frac"), lit(0.0)), lit(eps)))
+      .withColumn("psi_contrib", round(
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")), 6))
+      .withColumn("ref_frac", round(col("ref_frac"), 6))
+      .withColumn("cur_frac", round(col("cur_frac"), 6))
+      .withColumn("psi_total", round(
+        sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .select("cell", "ref_frac", "cur_frac", "psi_contrib", "psi_total")
+  }
 }

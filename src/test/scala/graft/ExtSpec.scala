@@ -837,6 +837,27 @@ class ExtSpec extends SparkSpec {
     assert(psiFar > 1.0, s"gross drift must score large, got $psiFar")
   }
 
+  test("drift: categorical PSI caps categories and routes new values to __other__") {
+    val ref = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("v")
+    val cur = Seq("a", "b", "b", "z", "z", "z").map(Tuple1(_)).toDF("v")
+    val rows = graft.ext.Drift.psiCategorical(ref, cur, "v", maxCategories = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(4)))
+      .sortBy(_._1)
+    // cells: top-2 of ref = a, b; c (ref) and z (cur, unseen) → __other__
+    assert(rows.map(_._1).toSeq == Seq("__other__", "a", "b"))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6 // output fracs are 6-dp
+    val byCell = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byCell("a") == ((0.5, r6(1.0 / 6))))
+    assert(byCell("b") == ((r6(1.0 / 3), r6(1.0 / 3))))
+    assert(byCell("__other__") == ((r6(1.0 / 6), 0.5))) // z mass lands here
+    assert(rows.head._4 > 0.3, "mix shift must register as drift")
+    // null category is its own cell, not a crash
+    val refN = Seq(Some("a"), None, Some("a")).map(Tuple1(_)).toDF("v")
+    val cells = graft.ext.Drift.psiCategorical(refN, refN, "v", maxCategories = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(cells.contains("__null__"))
+  }
+
   test("sessions: gap-timeout grouping incl. exact-boundary split") {
     val us = 1000000L // 1s in micros
     def ns(sec: Long) = sec * 1000000000L
