@@ -559,6 +559,25 @@ object SparkEntry {
       ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "pipeline_corpus" -> ((s, d) => {
+      // round-5: the END-TO-END corpus pipeline as one lazy plan — Gopher
+      // quality filter → exact dedup (min doc_id per normalized text; at
+      // corpus scale the group key would be fingerprint64, here the
+      // normalized string so the oracle re-derives it) → per-language cap
+      // (domain balancing) → split assignment. Different seeds for cap vs
+      // split: reusing one hash would bias the capped (small-hash) sample
+      // into 'train'.
+      val docs = t(s, d, "documents")
+      val kept = docs.filter(ext.TextAnalysis.gopherKeep(col("text")))
+      val first = kept
+        .groupBy(ext.TextAnalysis.normalized(col("text")).as("__nt"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = kept.join(first.select("doc_id"), Seq("doc_id"), "left_semi")
+      val capped = ext.Sampling.capPerGroup(deduped, "doc_id", "lang", 30, seed = 7)
+      ext.Sampling.assignSplits(capped, "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 11)
+        .select("doc_id", "lang", "split").orderBy("doc_id")
+    }),
     "drift_psi" -> ((s, d) =>
       // round-5: distribution-drift monitoring — PSI of l_extendedprice
       // between the full lineitem snapshot (reference) and the returned-
@@ -1281,6 +1300,32 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
         "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
         "ORDER BY doc_id"),
+    "pipeline_corpus" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
+        "s AS (SELECT doc_id, len(toks) AS n, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS sym, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
+        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
+        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
+        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t), " +
+        "g AS (SELECT doc_id FROM s WHERE n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
+        "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
+        "AND alpha_frac >= 0.8 AND hits >= 2), " +
+        "kd AS (SELECT d.doc_id, d.lang, lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS nt FROM documents d JOIN g USING (doc_id)), " +
+        "fd AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY nt), " +
+        "dd AS (SELECT kd.doc_id, kd.lang FROM kd JOIN fd USING (doc_id)), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM dd), " +
+        "c AS (SELECT doc_id, lang FROM r WHERE rn <= 30), " +
+        "h AS (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '11'), 1, 8))::BIGINT / 4294967296.0 AS hh FROM c) " +
+        "SELECT doc_id, lang, CASE WHEN hh < 0.5 THEN 'train' WHEN hh < 0.75 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
     "drift_psi" ->
       ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
         "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +

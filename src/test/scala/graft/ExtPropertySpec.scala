@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ext.{Drift, Sampling, TextAnalysis}
+
+/** Randomized invariants for the round-5 pipeline operators (fixed seeds —
+  * failures reproduce). Complements the example-based ExtSpec tests the
+  * way SynthPropertySpec complements IoModelSynthSpec. */
+class ExtPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val genText: Gen[String] = for {
+    words <- Gen.listOfN(12, Gen.oneOf(
+      "the", "thing", "other", "and", "bandit", "ing", "a", "?!", "Ärger",
+      "中文", "mixed42", "under_score", "", "   "))
+  } yield words.mkString(" ")
+
+  private val genMerges: Gen[Seq[(String, String)]] = Gen.listOfN(8, for {
+    a <- Gen.oneOf("t", "h", "th", "i", "n", "in", "e", "r", "a", "d")
+    b <- Gen.oneOf("h", "e", "n", "g", "r", "d", "t", "a")
+  } yield (a, b))
+
+  test("property: BPE re-segments but never rewrites, for random merge tables") {
+    val texts = sample(genText, 10, 11L)
+    val merges = sample(genMerges, 10, 23L)
+    for ((txt, ms) <- texts.zip(merges)) {
+      val row = Seq(Tuple1(txt)).toDF("text").select(
+        concat_ws("", TextAnalysis.bpeTokens(col("text"), ms)).as("joined"),
+        regexp_replace(lower(col("text")), "\\s+", "").as("expected")).head()
+      assert(row.getString(0) == row.getString(1),
+        s"detokenization broke for text='$txt' merges=$ms")
+    }
+  }
+
+  test("property: capPerGroup caps hold and selection is partition-independent") {
+    val cases = sample(for {
+      n <- Gen.choose(1, 25)
+      groups <- Gen.choose(1, 6)
+      rows <- Gen.choose(30, 120)
+    } yield (n, groups, rows), 6, 31L)
+    for (((n, groups, rows), i) <- cases.zipWithIndex) {
+      val d = (0L until rows.toLong).map(k => (k, s"g${k % groups}")).toDF("id", "grp")
+      val capped = Sampling.capPerGroup(d, "id", "grp", n, seed = 100L + i)
+      val byGroup = capped.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (0 until groups).foreach { g =>
+        val total = (0 until rows).count(_ % groups == g)
+        assert(byGroup.getOrElse(s"g$g", 0L) == math.min(n, total).toLong,
+          s"case $i: group g$g wrong size")
+      }
+      val again = Sampling.capPerGroup(d.repartition(7), "id", "grp", n, seed = 100L + i)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(again == capped.select("id").collect().map(_.getLong(0)).toSet,
+        s"case $i: selection depends on partitioning")
+    }
+  }
+
+  test("property: chunk coverage/size invariants across random geometries") {
+    val cases = sample(for {
+      size <- Gen.choose(2, 40)
+      stride <- Gen.choose(1, size)
+      nTok <- Gen.choose(0, 100)
+    } yield (size, stride, nTok), 12, 47L)
+    for (((size, stride, nTok), i) <- cases.zipWithIndex) {
+      val text = (1 to nTok).map(k => s"t$k").mkString(" ")
+      val chunks = TextAnalysis.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sortBy(_._1)
+      if (nTok == 0) assert(chunks.isEmpty, s"case $i: empty doc must yield no chunks")
+      else {
+        assert(chunks.head._2 == 1 && chunks.last._2 + chunks.last._3 - 1 == nTok,
+          s"case $i: coverage ends wrong")
+        chunks.sliding(2).foreach {
+          case Array(a, b) => assert(b._2 > a._2 && b._2 <= a._2 + a._3,
+            s"case $i: gap or non-increasing starts")
+          case _ =>
+        }
+        assert(chunks.forall(_._3 == size) || nTok < size,
+          s"case $i: short chunk despite snap-back")
+      }
+    }
+  }
+
+  test("property: PSI is zero on identical data and non-negative on any split") {
+    val cases = sample(Gen.choose(2, 10), 5, 59L)
+    val d = (1 to 500).map(i => Tuple1((i * 37 % 211).toDouble)).toDF("x")
+    for ((bins, i) <- cases.zipWithIndex) {
+      assert(Drift.psi(d, d, "x", bins).head().getDouble(4) == 0.0,
+        s"case $i: identical data must score 0")
+      val cur = d.filter(col("x") > (i * 20))
+      val total = Drift.psi(d, cur, "x", bins).head().getDouble(4)
+      assert(total >= 0.0 && !total.isNaN, s"case $i: PSI must be finite, >= 0")
+    }
+  }
+
+  test("property: keepTopFraction keeps exactly the top set for distinct scores") {
+    val fracs = sample(Gen.choose(0.05, 0.95), 6, 71L)
+    val scores = (1 to 200).map(i => (i.toLong, (i * 131 % 997).toDouble))
+    val d = scores.toDF("id", "score")
+    for (f <- fracs) {
+      val kept = Sampling.keepTopFraction(d, "score", f)
+        .select("score").collect().map(_.getDouble(0)).toSet
+      val minKept = kept.min
+      val excluded = scores.map(_._2).filterNot(kept)
+      assert(excluded.forall(_ < minKept), s"frac $f: kept set is not top-aligned")
+      val expected = math.ceil(scores.size * f).toInt
+      assert(math.abs(kept.size - expected) <= 1, s"frac $f: size ${kept.size} vs ~$expected")
+    }
+  }
+}
