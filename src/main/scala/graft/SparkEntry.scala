@@ -675,6 +675,18 @@ object SparkEntry {
         queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    "sim_text_hash_ann" -> ((s, d) => {
+      // round-5: model-free text ANN — feature-hashed token vectors feed
+      // the same brute top-k used for embeddings. Exact-duplicate docs in
+      // the corpus must surface at cosine 1.0. oracle: golden pin; vector
+      // algebra verified in ExtSpec.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("hv"))
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("hv").as("qv"))
+      ext.Similarity.bruteForceTopK(docs, "doc_id", "hv", queries, "qid", "qv", k = 3)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_pq" -> ((s, d) => {
       // round-5: product-quantization ADC + exact re-rank. oracle: golden
       // pin; recall-vs-brute and compression shape asserted in ExtSpec
@@ -1038,6 +1050,11 @@ object SparkEntry {
         "SELECT * FROM (VALUES ('a', 6438), ('e', 5610), ('s', 5610), ('l', 5563), ('t', 4688)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES ('a', 6286), ('l', 5531), ('s', 5481), ('e', 5441), ('o', 4645)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY cnt DESC, token"),
+    "sim_text_hash_ann" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9871), (0, 50, 3, 0.9856), (1, 1, 1, 1.0), (1, 6, 2, 0.9098), (1, 144, 3, 0.898), (2, 2, 1, 1.0), (2, 201, 2, 0.9048), (2, 409, 3, 0.9007), (3, 3, 1, 1.0), (3, 90, 2, 0.8807), (3, 106, 3, 0.8796), (4, 4, 1, 1.0), (4, 419, 2, 0.8309), (4, 97, 3, 0.813)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 192, 2, 0.7904), (0, 445, 3, 0.7475), (1, 1, 1, 1.0), (1, 218, 2, 0.9053), (1, 351, 3, 0.8917), (2, 2, 1, 1.0), (2, 163, 2, 0.8497), (2, 458, 3, 0.8362), (3, 3, 1, 1.0), (3, 328, 2, 0.9009), (3, 251, 3, 0.8808), (4, 4, 1, 1.0), (4, 149, 2, 0.922), (4, 251, 3, 0.8815)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 225, 2, 0.3151), (0, 260, 3, 0.2987), (0, 73, 4, 0.2972), (0, 232, 5, 0.2673), (1, 1, 1, 1.0), (1, 209, 2, 0.3815), (1, 129, 3, 0.3515), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 91, 4, 0.2789), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 205, 2, 0.3366), (3, 156, 3, 0.3111), (3, 72, 4, 0.3089), (3, 278, 5, 0.2694), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 357, 3, 0.2954), (4, 62, 4, 0.2886), (4, 229, 5, 0.2678)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +

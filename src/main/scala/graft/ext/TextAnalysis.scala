@@ -34,6 +34,14 @@ object TextAnalysis {
       lowercase: Boolean = true): Column =
     graft.functions.BpeEncode.of(c, merges, lowercase)
 
+  /** Feature-hashed vector of the normalized whitespace tokens — see
+    * [[graft.functions.FeatureHashVector]]. Plugs raw text straight into
+    * the embedding-column operators (Similarity.*TopK, Dedup.semanticDedup)
+    * with no trained model. */
+  def hashVector(c: Column, dim: Int = 256): Column =
+    graft.functions.HashFunctions.featureHashVector(
+      tokens(normalized(coalesce(c, lit("")))), dim)
+
   /** Character-class counts for quality scoring. */
   def alphaCount(c: Column): Column = length(regexp_replace(c, "[^a-zA-Z]", ""))
   def digitCount(c: Column): Column = length(regexp_replace(c, "[^0-9]", ""))

@@ -56,6 +56,10 @@ object GraftSparkExtensions {
     "graft_cosine_sim" -> (
       info("graft_cosine_sim", "_FUNC_(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "graft_feature_hash_vector" -> (
+      info("graft_feature_hash_vector", "_FUNC_(tokens, dim) - signed hashed-count float vector"),
+      (args: Seq[Expression]) =>
+        FeatureHashVector(args(0), intArg(args(1), "graft_feature_hash_vector", 2))),
     "graft_bpe_encode" -> (
       info("graft_bpe_encode", "_FUNC_(text) - BPE tokens (built-in English merge table, lowercased)"),
       (args: Seq[Expression]) =>

@@ -206,6 +206,42 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Feature-hashing vectorizer (the "hashing trick", Weinberger et al.
+  * 2009): a token array becomes a dense `dim`-float vector where each
+  * token adds ±1 at index xx64(token) mod dim, the sign drawn from an
+  * independent hash bit (debiases collisions, so E[<v(a), v(b)>] equals
+  * the true token-count dot product). Bridges raw text into the
+  * embedding-column operators — cosine similarity, LSH/IVF/PQ ANN and
+  * semantic dedup run on hashed vectors with no trained model, which is
+  * exactly what a first-pass 100 TB near-dup sweep wants. One tight loop
+  * per row, no shuffle; output: array<float> of length `dim`. */
+case class FeatureHashVector(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, "dim > 0")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_feature_hash_vector"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+        // bit 63 (independent of the low mod-bits) carries the sign
+        if ((h >>> 63) == 1L) v(idx) += 1f else v(idx) -= 1f
+      }
+      i += 1
+    }
+    new GenericArrayData(v.map(Float.box).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashVector =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native sketch expressions. */
 object HashFunctions {
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -221,4 +257,7 @@ object HashFunctions {
 
   def wordShingles(tokens: Column, k: Int): Column =
     Bridge.column(WordShingles(expr(tokens), k))
+
+  def featureHashVector(tokens: Column, dim: Int): Column =
+    Bridge.column(FeatureHashVector(expr(tokens), dim))
 }

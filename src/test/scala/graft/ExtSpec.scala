@@ -212,6 +212,23 @@ class ExtSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("text: feature-hash vectors — counts, sign trick, duplicate identity") {
+    import graft.ext.{Similarity => Sim}
+    val d = Seq((1L, "a a b"), (2L, "A  a b"), (3L, "x y z w")).toDF("doc_id", "text")
+    val v = d.select(col("doc_id"), TextAnalysis.hashVector(col("text"), 64).as("hv"))
+    val rows = v.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // |v|^2 = sum of squared token counts when no collisions (64 dims, 2-4 toks)
+    assert(rows(1L).map(x => x * x).sum == 5.0f) // a:±2, b:±1
+    // normalization (lowercase, whitespace) makes doc 2 an exact duplicate
+    assert(rows(1L) == rows(2L))
+    // duplicates rank at cosine 1.0 through the embedding ANN path
+    val qs = v.filter(col("doc_id") === 1L).select(col("doc_id").as("qid"), col("hv").as("qv"))
+    val top = Sim.bruteForceTopK(v, "doc_id", "hv", qs, "qid", "qv", 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(top.take(2).forall(_._2 == 1.0) &&
+      top.map(_._1).toSet == Set(1L, 2L)) // self + normalized dup, both 1.0
+  }
+
   test("text: BPE merge loop matches hand computation; detokenization invariant") {
     val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r")
     val d = Seq((1L, "the thinking brother!")).toDF("doc_id", "text")
