@@ -559,6 +559,31 @@ object SparkEntry {
       ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "schema_diff" -> ((s, d) => {
+      // round-5: schema-evolution compatibility report (pure metadata,
+      // zero data jobs — (s, d) signature for gate uniformity only)
+      val v1 = DataFrameSchema(
+        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
+        "qty" -> ColumnSchema(Some(IntegerType), Seq(Check.inRange(0, 100))),
+        "old_note" -> ColumnSchema(Some(StringType)))
+        .copy(unique = Seq("id"))
+      val v2 = DataFrameSchema(
+        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
+        "qty" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0, 100)), nullable = false),
+        "added_flag" -> ColumnSchema(Some(BooleanType)))
+        .copy(unique = Seq("id", "qty"))
+      SchemaDiff.report(s, v1, v2).orderBy("column", "change")
+    }),
+    "outlier_iqr" -> ((s, d) => {
+      // round-5: Tukey-fence outlier detection on order totals — exact
+      // quartile fences (== quantile_cont), then a pure flag filter
+      val orders = t(s, d, "orders")
+      val (lo, hi) = ext.Outliers.iqrFences(orders, "o_totalprice")
+      ext.Outliers.flagOutliers(orders, "o_totalprice")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          lit(lo).as("lo"), lit(hi).as("hi"))
+    }),
     "pipeline_corpus" -> ((s, d) => {
       // round-5: the END-TO-END corpus pipeline as one lazy plan — Gopher
       // quality filter → exact dedup (min doc_id per normalized text; at
@@ -1317,6 +1342,17 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
         "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
         "ORDER BY doc_id"),
+    "schema_diff" ->
+      ("SELECT * FROM (VALUES ('', 'unique_key_changed', 'id', 'id+qty'), " +
+        "('added_flag', 'added', '', 'boolean'), ('old_note', 'removed', 'string', ''), " +
+        "('qty', 'dtype_changed', 'int', 'bigint'), ('qty', 'nullable_changed', 'true', 'false')) " +
+        "v(\"column\", change, from_value, to_value) ORDER BY \"column\", change"),
+    "outlier_iqr" ->
+      ("WITH f AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), " +
+        "b AS (SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM f) " +
+        "SELECT (SELECT count(*) FROM orders) AS n_total, " +
+        "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
+        "lo, hi FROM b"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +
         "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tukey-fence (IQR) outlier handling — the robust univariate outlier rule
+  * (Tukey 1977): a value is an outlier when it falls outside
+  * [q1 − k·iqr, q3 + k·iqr], k = 1.5 classic / 3.0 "far out".
+  *
+  * Scale shape mirrors Sampling.keepTopFraction: the fences are ONE
+  * aggregation (exact interpolated quartiles by default — `quantile_cont`
+  * semantics, re-derivable in any engine; `approximate = true` opts into
+  * the `percentile_approx` sketch at 100 TB), then flagging or dropping is
+  * a pure codegen'd filter — one scan, no shuffle. Fences are rounded to
+  * 6 decimals so re-derivations agree bit-for-bit on boundary rows. */
+object Outliers {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** (lo, hi) Tukey fences for `column`. */
+  def iqrFences(df: DataFrame, column: String, k: Double = 1.5,
+      approximate: Boolean = false, accuracy: Int = 10000): (Double, Double) = {
+    require(k >= 0, s"k >= 0, got $k")
+    val ps = array(lit(0.25), lit(0.75))
+    val qCol = if (approximate) percentile_approx(q(column), ps, lit(accuracy))
+               else percentile(q(column), ps)
+    val row = df.agg(qCol.cast("array<double>")).head()
+    require(!row.isNullAt(0), s"iqrFences: no non-null values in '$column'")
+    val Seq(q1, q3) = row.getSeq[Double](0).toSeq
+    val iqr = q3 - q1
+    (math.rint((q1 - k * iqr) * 1e6) / 1e6, math.rint((q3 + k * iqr) * 1e6) / 1e6)
+  }
+
+  /** Add a boolean `flagCol` marking outliers (null values are not
+    * flagged — nullability is the schema's business, not the fence's). */
+  def flagOutliers(df: DataFrame, column: String, k: Double = 1.5,
+      flagCol: String = "is_outlier", approximate: Boolean = false): DataFrame = {
+    val (lo, hi) = iqrFences(df, column, k, approximate)
+    df.withColumn(flagCol,
+      q(column).isNotNull && (q(column) < lo || q(column) > hi))
+  }
+
+  /** Keep only rows inside the fences (nulls pass through). */
+  def dropOutliers(df: DataFrame, column: String, k: Double = 1.5,
+      approximate: Boolean = false): DataFrame = {
+    val (lo, hi) = iqrFences(df, column, k, approximate)
+    df.filter(q(column).isNull || (q(column) >= lo && q(column) <= hi))
+  }
+}

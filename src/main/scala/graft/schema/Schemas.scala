@@ -178,6 +178,55 @@ final case class DataFrameSchema(
     }
 }
 
+/** One schema-evolution finding from [[SchemaDiff.report]]. */
+final case class SchemaChange(column: String, change: String,
+    from: String, to: String)
+
+/** Schema-evolution diff — the compatibility report a pipeline consults
+  * before swapping contract versions: which columns appeared, vanished,
+  * changed dtype/nullability, or changed their check set. Pure metadata
+  * (zero Spark jobs); emitted as a DataFrame so it gates and stores like
+  * any other result. */
+object SchemaDiff {
+  def changes(from: DataFrameSchema, to: DataFrameSchema): Seq[SchemaChange] = {
+    def dt(c: ColumnSchema) = c.dtype.map(_.simpleString).getOrElse("any")
+    def checks(c: ColumnSchema) =
+      c.checks.map(_.name).sorted.mkString(",") match { case "" => "none"; case s => s }
+    val fromCols = from.columns.toMap
+    val toCols = to.columns.toMap
+    val removed = from.columns.collect { case (n, c) if !toCols.contains(n) =>
+      SchemaChange(n, "removed", dt(c), "") }
+    val added = to.columns.collect { case (n, c) if !fromCols.contains(n) =>
+      SchemaChange(n, "added", "", dt(c)) }
+    val common = from.columns.collect { case (n, a) if toCols.contains(n) =>
+      val b = toCols(n)
+      Seq(
+        if (dt(a) != dt(b)) Some(SchemaChange(n, "dtype_changed", dt(a), dt(b))) else None,
+        if (a.nullable != b.nullable)
+          Some(SchemaChange(n, "nullable_changed", a.nullable.toString, b.nullable.toString))
+        else None,
+        if (checks(a) != checks(b))
+          Some(SchemaChange(n, "checks_changed", checks(a), checks(b))) else None
+      ).flatten
+    }.flatten
+    val table =
+      (if (from.unique != to.unique)
+        Seq(SchemaChange("", "unique_key_changed",
+          from.unique.mkString("+"), to.unique.mkString("+"))) else Nil) ++
+      (if (from.strict != to.strict)
+        Seq(SchemaChange("", "strict_changed",
+          from.strict.toString, to.strict.toString)) else Nil)
+    (removed ++ added ++ common ++ table)
+      .sortBy(c => (c.column, c.change))
+  }
+
+  def report(spark: org.apache.spark.sql.SparkSession,
+      from: DataFrameSchema, to: DataFrameSchema): DataFrame = {
+    import spark.implicits._
+    changes(from, to).toDF("column", "change", "from_value", "to_value")
+  }
+}
+
 object DataFrameSchema {
   def apply(cols: (String, ColumnSchema)*): DataFrameSchema =
     new DataFrameSchema(columns = cols)

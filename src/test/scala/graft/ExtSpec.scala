@@ -833,6 +833,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("outliers: IQR fences match hand computation; nulls pass through") {
+    import graft.ext.Outliers
+    // 1..100 plus two extremes; sorted = -1000, 1..100, 1000 (102 values);
+    // quantile_cont rank 0.25*101 = 25.25 → sorted[25..26] = 25..26 →
+    // q1 = 25.25; rank 75.75 → sorted[75..76] = 75..76 → q3 = 75.75
+    val base = (1 to 100).map(_.toDouble) ++ Seq(1000.0, -1000.0)
+    val d = base.map(Tuple1(_)).toDF("x")
+    val (lo, hi) = Outliers.iqrFences(d, "x", k = 1.5)
+    val q1 = 25.25; val q3 = 75.75
+    assert(math.abs(lo - (q1 - 1.5 * (q3 - q1))) < 1e-9)
+    assert(math.abs(hi - (q3 + 1.5 * (q3 - q1))) < 1e-9)
+    assert(Outliers.dropOutliers(d, "x").count() == 100) // the two extremes go
+    assert(Outliers.flagOutliers(d, "x").filter(col("is_outlier")).count() == 2)
+    // nulls are neither flagged nor dropped
+    val withNull = base.map(Option(_)).appended(None).map(Tuple1(_)).toDF("x")
+    assert(Outliers.dropOutliers(withNull, "x").count() == 101)
+    assert(Outliers.flagOutliers(withNull, "x")
+      .filter(col("x").isNull && col("is_outlier")).count() == 0)
+  }
+
+  test("schema diff reports add/remove/dtype/nullable/checks/unique changes") {
+    import org.apache.spark.sql.types._
+    import graft.schema.{ColumnSchema, DataFrameSchema, SchemaDiff}
+    import graft.checks.Check
+    val a = DataFrameSchema(
+      "k" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L))),
+      "v" -> ColumnSchema(Some(DoubleType)))
+    val b = DataFrameSchema(
+      "k" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L), Check.le(9L))),
+      "w" -> ColumnSchema(Some(StringType)))
+    val ch = SchemaDiff.changes(a, b).map(c => (c.column, c.change)).toSet
+    assert(ch == Set(("k", "checks_changed"), ("v", "removed"), ("w", "added")))
+    // identical schemas → empty report
+    assert(SchemaDiff.changes(a, a).isEmpty)
+  }
+
   test("drift: PSI matches hand computation, zero for identical data") {
     val ref = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("x")
     val cur = (1 to 5).map(i => Tuple1(i.toDouble)).toDF("x")
