@@ -524,6 +524,16 @@ object SparkEntry {
       ext.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", ngram = 3)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_semantic_text" -> ((s, d) => {
+      // round-5: model-free semantic dedup on raw text (feature-hashed
+      // vectors → cosine pairs → cluster → keep representatives). Gate
+      // emits the DROPPED ids (small, pinnable); brute pair path so the
+      // result is exact. oracle: golden pin; semantics in ExtSpec.
+      val docs = t(s, d, "documents")
+      val kept = ext.Dedup.semanticDedupText(docs, "doc_id", "text",
+        dim = 256, threshold = 0.9, useLsh = false).select("doc_id")
+      docs.join(kept, Seq("doc_id"), "left_anti").select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental_bloom" -> ((s, d) => {
       // round-5: incremental ingest — a synthetic "next crawl batch" built
       // from the corpus: exact re-crawls (same id), re-crawls under new ids
@@ -1456,6 +1466,11 @@ object SparkEntry {
     "dedup_cluster" -> clusterOracle(0.5),
     "dedup_drop_neardup" -> dropNearDupOracle(0.5),
     "dedup_pipeline" -> pipelineOracle(0.5),
+    "dedup_semantic_text" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (" +
+        "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY doc_id"),
     "dedup_incremental_bloom" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +

@@ -668,4 +668,23 @@ object Dedup {
       lshBits, maxBucketSize, lshBands)
     dropNearDuplicates(df, idCol, pairs)
   }
+
+  /** [[semanticDedup]] over RAW TEXT with no trained model: documents are
+    * vectorized by the feature-hashing trick
+    * ([[TextAnalysis.hashVector]] — signed hashed token counts, whose dot
+    * products estimate true token-count inner products), then deduped in
+    * embedding space. Catches bag-of-words near-duplicates (reordered /
+    * lightly edited copies) that exact fingerprints miss, without the
+    * shingle machinery — one extra column in the scan, the pair stage is
+    * the same LSH-bucketed path as embedding dedup. */
+  def semanticDedupText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 256,
+      threshold: Double = 0.9,
+      useLsh: Boolean = true): DataFrame = {
+    val withVec = df.withColumn("__hv", TextAnalysis.hashVector(q(textCol), dim))
+    semanticDedup(withVec, idCol, "__hv", threshold, useLsh).drop("__hv")
+  }
 }

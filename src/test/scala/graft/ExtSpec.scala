@@ -212,6 +212,15 @@ class ExtSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("dedup: semanticDedupText drops exact and bag-of-words near-dups") {
+    // docs: 4 = exact dup of 0; 1 = one-word edit of 0 (high cosine);
+    // 2, 3 unrelated. Representative (min id) survives per cluster.
+    val kept = Dedup.semanticDedupText(docs, "doc_id", "text",
+      dim = 256, threshold = 0.9, useLsh = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L), s"got $kept")
+  }
+
   test("text: feature-hash vectors — counts, sign trick, duplicate identity") {
     import graft.ext.{Similarity => Sim}
     val d = Seq((1L, "a a b"), (2L, "A  a b"), (3L, "x y z w")).toDF("doc_id", "text")
