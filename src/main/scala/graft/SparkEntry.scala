@@ -589,7 +589,7 @@ object SparkEntry {
       // quartile fences (== quantile_cont), then a pure flag filter
       val orders = t(s, d, "orders")
       val (lo, hi) = ext.Outliers.iqrFences(orders, "o_totalprice")
-      ext.Outliers.flagOutliers(orders, "o_totalprice")
+      ext.Outliers.flagOutliers(orders, "o_totalprice", fences = Some((lo, hi)))
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
           lit(lo).as("lo"), lit(hi).as("hi"))
@@ -1087,8 +1087,8 @@ object SparkEntry {
         ") u ORDER BY cnt DESC, token"),
     "sim_text_hash_ann" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9871), (0, 50, 3, 0.9856), (1, 1, 1, 1.0), (1, 6, 2, 0.9098), (1, 144, 3, 0.898), (2, 2, 1, 1.0), (2, 201, 2, 0.9048), (2, 409, 3, 0.9007), (3, 3, 1, 1.0), (3, 90, 2, 0.8807), (3, 106, 3, 0.8796), (4, 4, 1, 1.0), (4, 419, 2, 0.8309), (4, 97, 3, 0.813)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 192, 2, 0.7904), (0, 445, 3, 0.7475), (1, 1, 1, 1.0), (1, 218, 2, 0.9053), (1, 351, 3, 0.8917), (2, 2, 1, 1.0), (2, 163, 2, 0.8497), (2, 458, 3, 0.8362), (3, 3, 1, 1.0), (3, 328, 2, 0.9009), (3, 251, 3, 0.8808), (4, 4, 1, 1.0), (4, 149, 2, 0.922), (4, 251, 3, 0.8815)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9857), (0, 50, 3, 0.9837), (1, 1, 1, 1.0), (1, 6, 2, 0.8952), (1, 127, 3, 0.8414), (2, 2, 1, 1.0), (2, 450, 2, 0.8923), (2, 5, 3, 0.8852), (3, 3, 1, 1.0), (3, 332, 2, 0.8091), (3, 109, 3, 0.7916), (4, 4, 1, 1.0), (4, 110, 2, 0.7733), (4, 467, 3, 0.7715)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +

@@ -684,7 +684,11 @@ object Dedup {
       dim: Int = 256,
       threshold: Double = 0.9,
       useLsh: Boolean = true): DataFrame = {
-    val withVec = df.withColumn("__hv", TextAnalysis.hashVector(q(textCol), dim))
-    semanticDedup(withVec, idCol, "__hv", threshold, useLsh).drop("__hv")
+    // collision-proof temp column: never clobber (then silently drop) a
+    // caller column that happens to be named like our scratch vector
+    val hv = Iterator.from(0).map(i => s"__graft_hv$i")
+      .find(n => !df.columns.contains(n)).get
+    val withVec = df.withColumn(hv, TextAnalysis.hashVector(q(textCol), dim))
+    semanticDedup(withVec, idCol, hv, threshold, useLsh).drop(hv)
   }
 }

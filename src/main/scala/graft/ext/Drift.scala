@@ -27,6 +27,21 @@ object Drift {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
+  /** Shared PSI tail: eps-floor the fractions, per-cell contribution,
+    * 6-dp display rounding, and the total (a Window over the cell frame,
+    * which is bins/categories-sized — never data-sized). */
+  private def finalizePsi(joined: DataFrame, keyCol: String, eps: Double): DataFrame =
+    joined
+      .withColumn("ref_frac", greatest(coalesce(col("ref_frac"), lit(0.0)), lit(eps)))
+      .withColumn("cur_frac", greatest(coalesce(col("cur_frac"), lit(0.0)), lit(eps)))
+      .withColumn("psi_contrib", round(
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")), 6))
+      .withColumn("ref_frac", round(col("ref_frac"), 6))
+      .withColumn("cur_frac", round(col("cur_frac"), 6))
+      .withColumn("psi_total", round(
+        sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .select(keyCol, "ref_frac", "cur_frac", "psi_contrib", "psi_total")
+
   /** Per-bin detail: (bin, ref_frac, cur_frac, psi_contrib) + the total in
     * every row (psi_total) — callers gate on `psi_total`, inspect bins to
     * see WHERE the drift sits. Edges are rounded to 6 decimals before
@@ -59,19 +74,9 @@ object Drift {
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allBins = (0 until bins).toDF("bin")
-    val joined = allBins
+    finalizePsi(allBins
       .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left")
-      .withColumn("ref_frac", greatest(coalesce(col("ref_frac"), lit(0.0)), lit(eps)))
-      .withColumn("cur_frac", greatest(coalesce(col("cur_frac"), lit(0.0)), lit(eps)))
-      .withColumn("psi_contrib", round(
-        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")), 6))
-      .withColumn("ref_frac", round(col("ref_frac"), 6))
-      .withColumn("cur_frac", round(col("cur_frac"), 6))
-    joined
-      .withColumn("psi_total", round(
-        sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
-      .select("bin", "ref_frac", "cur_frac", "psi_contrib", "psi_total")
+      .join(binned(current, "cur_frac"), Seq("bin"), "left"), "bin", eps)
   }
 
   /** PSI for a CATEGORICAL column: one cell per reference category, with
@@ -100,18 +105,13 @@ object Drift {
     }
     val spark0 = reference.sparkSession
     import spark0.implicits._
-    val cells = (top :+ "__other__").toDF("cell")
-    cells
+    // distinct: a LITERAL "__other__" category in the top-K would
+    // otherwise appear twice and double-count psi_total (its real mass is
+    // then conflated with the overflow cell — acceptable for a sentinel
+    // chosen to be improbable, a duplicated row is not)
+    val cells = (top :+ "__other__").distinct.toDF("cell")
+    finalizePsi(cells
       .join(fractions(reference, "ref_frac"), Seq("cell"), "left")
-      .join(fractions(current, "cur_frac"), Seq("cell"), "left")
-      .withColumn("ref_frac", greatest(coalesce(col("ref_frac"), lit(0.0)), lit(eps)))
-      .withColumn("cur_frac", greatest(coalesce(col("cur_frac"), lit(0.0)), lit(eps)))
-      .withColumn("psi_contrib", round(
-        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")), 6))
-      .withColumn("ref_frac", round(col("ref_frac"), 6))
-      .withColumn("cur_frac", round(col("cur_frac"), 6))
-      .withColumn("psi_total", round(
-        sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
-      .select("cell", "ref_frac", "cur_frac", "psi_contrib", "psi_total")
+      .join(fractions(current, "cur_frac"), Seq("cell"), "left"), "cell", eps)
   }
 }

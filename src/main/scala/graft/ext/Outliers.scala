@@ -32,18 +32,22 @@ object Outliers {
   }
 
   /** Add a boolean `flagCol` marking outliers (null values are not
-    * flagged — nullability is the schema's business, not the fence's). */
+    * flagged — nullability is the schema's business, not the fence's).
+    * Pass precomputed `fences` to reuse one quartile job across several
+    * flag/drop calls on the same column. */
   def flagOutliers(df: DataFrame, column: String, k: Double = 1.5,
-      flagCol: String = "is_outlier", approximate: Boolean = false): DataFrame = {
-    val (lo, hi) = iqrFences(df, column, k, approximate)
+      flagCol: String = "is_outlier", approximate: Boolean = false,
+      fences: Option[(Double, Double)] = None): DataFrame = {
+    val (lo, hi) = fences.getOrElse(iqrFences(df, column, k, approximate))
     df.withColumn(flagCol,
       q(column).isNotNull && (q(column) < lo || q(column) > hi))
   }
 
   /** Keep only rows inside the fences (nulls pass through). */
   def dropOutliers(df: DataFrame, column: String, k: Double = 1.5,
-      approximate: Boolean = false): DataFrame = {
-    val (lo, hi) = iqrFences(df, column, k, approximate)
+      approximate: Boolean = false,
+      fences: Option[(Double, Double)] = None): DataFrame = {
+    val (lo, hi) = fences.getOrElse(iqrFences(df, column, k, approximate))
     df.filter(q(column).isNull || (q(column) >= lo && q(column) <= hi))
   }
 }

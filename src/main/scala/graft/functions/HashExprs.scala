@@ -230,8 +230,10 @@ case class FeatureHashVector(child: Expression, dim: Int)
       if (!arr.isNullAt(i)) {
         val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
-        // bit 63 (independent of the low mod-bits) carries the sign
-        if ((h >>> 63) == 1L) v(idx) += 1f else v(idx) -= 1f
+        // sign from a SECOND mix of the hash: floorMod over a non-power-
+        // of-two dim consumes all bits of h, so any raw bit of h would
+        // correlate sign with bucket and bias the dot-product estimate
+        if ((Hashing.splitmix64(h) >>> 63) == 1L) v(idx) += 1f else v(idx) -= 1f
       }
       i += 1
     }

@@ -51,7 +51,12 @@ case class CosineSim(left: Expression, right: Expression)
     while (i < na) { val x = if (af) a.getFloat(i).toDouble else a.getDouble(i); n2a += x * x; i += 1 }
     i = 0
     while (i < nb) { val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i); n2b += y * y; i += 1 }
-    dot / (math.sqrt(n2a) * math.sqrt(n2b))
+    // zero-norm vectors (e.g. a hashed empty document) define cosine 0,
+    // not NaN — NaN compares ABOVE every double in Spark orderings, so a
+    // single NaN row would rank first in every top-k and pass every
+    // >= threshold filter, poisoning dedup with false clusters
+    val denom = math.sqrt(n2a) * math.sqrt(n2b)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -77,7 +82,8 @@ case class CosineSim(left: Expression, right: Expression)
          |for (int $i = 0; $i < $b.numElements(); $i++) {
          |  double $y = (double) $b.$getB($i); $n2b += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($n2a) * java.lang.Math.sqrt($n2b));
+         |double ${dot}_den = java.lang.Math.sqrt($n2a) * java.lang.Math.sqrt($n2b);
+         |${ev.value} = ${dot}_den == 0.0 ? 0.0 : $dot / ${dot}_den;
        """.stripMargin
     })
   }
