@@ -65,6 +65,15 @@ class SqlFunctionsSpec extends SparkSpec {
     val viaApi = Seq("The thinking era").toDF("text")
       .select(TextAnalysis.bpeTokens(col("text"))).head().getSeq[String](0)
     assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    // feature-hash vector from SQL == Column API on the same tokens
+    val hvSql = spark.sql(
+      "SELECT graft_feature_hash_vector(array('a', 'a', 'b'), 32) AS v")
+      .head().getSeq[Float](0)
+    val hvApi = Seq(Tuple1(Seq("a", "a", "b"))).toDF("toks")
+      .select(graft.functions.HashFunctions.featureHashVector(col("toks"), 32))
+      .head().getSeq[Float](0)
+    assert(hvSql == hvApi && hvSql.map(x => x * x).sum == 5.0f)
   }
 
   test("sorted_pairs dedupes equal ids: no self-pairs, no repeated pairs") {
