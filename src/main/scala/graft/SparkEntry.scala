@@ -1009,6 +1009,45 @@ object SparkEntry {
         (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
       }.toDF("column", "dtype", "failure_count").orderBy("column")
     }),
+    "io_pandera_yaml" -> ((s, d) => {
+      // cross-compat gate: a VERBATIM reference-format document — minimal
+      // serialization (absent default keys, io/pandas_io.py:190-205), flat
+      // Field-style check keys (io/_flat_checks.py), no column_order — must
+      // parse and drive validation with reference semantics: columns with
+      // no `nullable` key are NON-nullable (the reference constructor
+      // default), absent `required`/`strict`/... take their defaults.
+      val doc =
+        """schema_type: dataframe
+          |columns:
+          |  l_quantity:
+          |    dtype: float64
+          |    nullable: true
+          |    in_range:
+          |      min_value: 1
+          |      max_value: 50
+          |  l_discount:
+          |    dtype: float64
+          |    nullable: true
+          |    greater_than_or_equal_to: 0
+          |  l_returnflag:
+          |    dtype: str
+          |    isin:
+          |    - A
+          |    - N
+          |    - R
+          |  l_orderkey:
+          |    dtype: int64
+          |    greater_than: 0
+          |""".stripMargin
+      val schema = graft.io.SchemaIO.fromYaml(doc)
+      val res = schema.validate(t(s, d, "lineitem"))
+      val byCol = res.errors.groupBy(_.column.getOrElse(""))
+        .view.mapValues(_.map(_.failureCount).sum).toMap
+      import s.implicits._
+      schema.columnNames.sorted
+        .map(n => (n, byCol.getOrElse(n, 0L)))
+        .toDF("col_name", "failure_count").orderBy("col_name")
+    }),
     "io_validated_read" -> ((s, d) => {
       // validate-on-read source boundary: the l_tax contract has a known
       // failure count; the reader path goes through ValidatedIO.
@@ -1614,6 +1653,13 @@ object SparkEntry {
         "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
         "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
         ") v(\"column\", dtype, fc) ORDER BY \"column\""),
+    "io_pandera_yaml" ->
+      ("SELECT col_name, CAST(fc AS BIGINT) AS failure_count FROM (" +
+        "SELECT 'l_discount' AS col_name, count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0)) AS fc FROM lineitem UNION ALL " +
+        "SELECT 'l_orderkey', count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT (l_orderkey > 0)) + count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem UNION ALL " +
+        "SELECT 'l_quantity', count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50)) FROM lineitem UNION ALL " +
+        "SELECT 'l_returnflag', count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) + count(*) FILTER (WHERE l_returnflag IS NULL) FROM lineitem" +
+        ") u ORDER BY col_name"),
     "model_dsl" ->
       "SELECT 'model_in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
     "model_parser" ->

@@ -35,7 +35,12 @@ object SchemaIO {
   def nameToDtype(s: String): DataType = {
     val alias = Map("string" -> StringType, "int" -> LongType,
       "float" -> FloatType, "double" -> DoubleType, "timestamp" -> TimestampType,
-      "datetime" -> TimestampType, "bigint" -> LongType)
+      "datetime" -> TimestampType, "bigint" -> LongType,
+      // pandera-pandas spellings seen in reference documents
+      // (engines/pandas_engine.py): object/category → string surface,
+      // timedelta64[ns] → day-time interval (§1.3 mapping)
+      "object" -> StringType, "category" -> StringType,
+      "timedelta64[ns]" -> DayTimeIntervalType())
     dtypeNames.collectFirst { case (d, n) if n == s => d }
       .orElse(alias.get(s.toLowerCase))
       .getOrElse(DataType.fromDDL(s))
@@ -73,6 +78,113 @@ object SchemaIO {
       case other =>
         throw new IllegalArgumentException(s"cannot deserialize check '$other'")
     }
+  }
+
+  // ---- reference-document (pandera) check shapes ---------------------------
+  /** Keys that may appear on a serialized column dict that are NOT flat
+    * check names (reference: io/_flat_checks.py:17-41
+    * COMPONENT_RESERVED_KEYS). */
+  private val componentReservedKeys: Set[String] = Set(
+    "title", "description", "dtype", "nullable", "checks", "name", "unique",
+    "coerce", "required", "regex", "default", "report_duplicates",
+    "drop_invalid_rows", "dims", "alias", "ordered_dims", "sizes", "shape",
+    "coords", "schema_type", "version")
+
+  /** Check OPTION keys that may ride inside a serialized stats dict
+    * (reference: io/_flat_checks.py:43-50 CHECK_OPTION_KEYS). */
+  private val checkOptionKeys: Set[String] =
+    Set("check_name", "ignore_na", "raise_warning", "n_failure_cases")
+
+  private val checkAliases: Map[String, String] = Map(
+    "eq" -> "equal_to", "ne" -> "not_equal_to", "gt" -> "greater_than",
+    "ge" -> "greater_than_or_equal_to", "lt" -> "less_than",
+    "le" -> "less_than_or_equal_to", "between" -> "in_range")
+
+  /** Check name → the statistic key a bare scalar value maps to — the
+    * reference's "unary check function signature" deserialization
+    * (io/pandas_io.py:299-305: a non-dict serialized stat is passed as the
+    * check factory's single positional arg). */
+  private val unaryStatKey: Map[String, String] = Map(
+    "equal_to" -> "value", "not_equal_to" -> "value",
+    "greater_than" -> "min_value", "greater_than_or_equal_to" -> "min_value",
+    "less_than" -> "max_value", "less_than_or_equal_to" -> "max_value",
+    "isin" -> "allowed_values", "notin" -> "forbidden_values",
+    "str_matches" -> "pattern", "str_contains" -> "pattern",
+    "str_startswith" -> "string", "str_endswith" -> "string",
+    "str_length" -> "min_value", "unique_values_eq" -> "values")
+
+  private def isKnownCheckName(n: String): Boolean =
+    unaryStatKey.contains(checkAliases.getOrElse(n, n)) ||
+      checkAliases.getOrElse(n, n) == "in_range" || Check.registry.contains(n)
+
+  /** Build a check from any serialized payload shape the reference emits or
+    * accepts (io/_flat_checks.py flat_value_to_list_entry /
+    * io/pandas_io.py:_deserialize_check_stats):
+    *   - bare scalar / list  → the check's unary statistic;
+    *   - dict                → named statistics, possibly carrying option
+    *     keys (ignore_na / raise_warning / n_failure_cases) and the
+    *     `{value: x}` unary special case;
+    *   - null                → no statistics (registry zero-arg checks).
+    * Options are applied to the rebuilt check. */
+  private def checkFromDocument(rawName: String, payload: Any): Check = {
+    val name = checkAliases.getOrElse(rawName, rawName)
+    val (stats0, opts) = payload match {
+      case null => (Map.empty[String, Any], Map.empty[String, Any])
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        (mm.filter(kv => !checkOptionKeys.contains(kv._1)),
+          mm.filter(kv => checkOptionKeys.contains(kv._1)))
+      case scalar =>
+        (Map(unaryStatKey.getOrElse(name, "value") -> scalar),
+          Map.empty[String, Any])
+    }
+    // `{value: x}` alone is the dict spelling of the unary form
+    // (io/pandas_io.py:291-296); str_length's `exact_value` pins both ends
+    val stats1 =
+      if (stats0.keySet == Set("value"))
+        Map(unaryStatKey.getOrElse(name, "value") -> stats0("value"))
+      else stats0
+    val stats = stats1.get("exact_value") match {
+      case Some(e) if e != null && name == "str_length" =>
+        Map("min_value" -> e, "max_value" -> e)
+      case _ => stats1 - "exact_value"
+    }
+    val built = checkFromStats(name, stats)
+    built match {
+      case cc: ColumnCheck if opts.nonEmpty =>
+        cc.copy(
+          ignoreNa = opts.get("ignore_na").map(_ == true).getOrElse(cc.ignoreNa),
+          raiseWarning = opts.get("raise_warning").map(_ == true).getOrElse(cc.raiseWarning),
+          nFailureCases = opts.get("n_failure_cases")
+            .collect { case n: Number => n.intValue }.getOrElse(cc.nFailureCases))
+      case other => other
+    }
+  }
+
+  /** Parse a serialized `checks` slot in ANY of the reference's three
+    * shapes: null, the legacy `{name: stats}` dict (io/_check_io.py:4), or
+    * the list form `[{...stats, options: {check_name: ...}}]`. */
+  private def checksFromDocument(raw: Any): Seq[Check] = raw match {
+    case null => Nil
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (n, payload) => checkFromDocument(n, payload) }
+    case l: Seq[_] =>
+      l.map {
+        case entry: Map[_, _] =>
+          val em = entry.asInstanceOf[Map[String, Any]]
+          val opts = em.getOrElse("options", Map.empty[String, Any]) match {
+            case null => Map.empty[String, Any]
+            case o: Map[_, _] => o.asInstanceOf[Map[String, Any]]
+            case _ => Map.empty[String, Any]
+          }
+          val name = opts.getOrElse("check_name",
+            sys.error("serialized check entry missing options.check_name")).toString
+          checkFromDocument(name, (em - "options") ++ (opts - "check_name"))
+        case other =>
+          sys.error(s"cannot parse serialized check entry: $other")
+      }
+    case other => sys.error(s"cannot parse serialized checks: $other")
   }
 
   private def serializableCheck(c: Check): Boolean = c match {
@@ -145,38 +257,74 @@ object SchemaIO {
       }))
   }
 
+  /** Parse a schema document map. Accepts BOTH this engine's own dump shape
+    * and verbatim reference (pandera) documents, including `minimal=True`
+    * output (io/pandas_io.py:190-205: keys equal to constructor defaults
+    * are OMITTED — every lookup below defaults accordingly), flat
+    * Field-style check keys on columns (io/_flat_checks.py), the legacy
+    * `checks:` dict, the list form with `options.check_name`, explicit
+    * nulls, and the pandas-only `index`/`dataframe_library` keys (ignored:
+    * Spark has no row index). */
   def fromMap(m: Map[String, Any]): DataFrameSchema = {
     def str(a: Any): String = String.valueOf(a)
     def boolOf(a: Any): Boolean = a match {
       case b: Boolean => b; case s: String => s.toBoolean; case _ => false
     }
-    val colsRaw = m.getOrElse("columns", Map.empty).asInstanceOf[Map[String, Any]]
-    val order = m.get("column_order").map(_.asInstanceOf[Seq[Any]].map(str))
-      .getOrElse(colsRaw.keys.toSeq.sorted)
+    def bool(o: Option[Any], default: Boolean): Boolean =
+      o.filter(_ != null).map(boolOf).getOrElse(default)
+    val colsRaw = m.getOrElse("columns", null) match {
+      case null => Map.empty[String, Any]
+      case cm: Map[_, _] => cm.asInstanceOf[Map[String, Any]]
+      case other => sys.error(s"cannot parse columns: $other " +
+        "(list-form tuple column names are a pandas MultiIndex feature)")
+    }
+    val order = m.get("column_order").filter(_ != null)
+      .map(_.asInstanceOf[Seq[Any]].map(str))
+      .getOrElse(colsRaw.keys.toSeq) // document order (reference semantics)
     val columns = order.filter(colsRaw.contains).map { n =>
-      val cm = colsRaw(n).asInstanceOf[Map[String, Any]]
-      val checks = cm.getOrElse("checks", Map.empty).asInstanceOf[Map[String, Any]]
-        .toSeq.sortBy(_._1)
-        .map { case (cn, st) => checkFromStats(cn, st.asInstanceOf[Map[String, Any]]) }
+      val cm = colsRaw(n) match {
+        case null => Map.empty[String, Any]
+        case x: Map[_, _] => x.asInstanceOf[Map[String, Any]]
+        case other => sys.error(s"cannot parse column '$n': $other")
+      }
+      // flat Field-style check keys (greater_than: 0) live alongside the
+      // reserved column properties; the `checks:` slot wins if present
+      // (reference: unflatten_component_checks_dict returns early when
+      // `checks` is non-null)
+      val flat = cm.toSeq
+        .filter { case (k, _) => !componentReservedKeys.contains(k) && isKnownCheckName(k) }
+        .sortBy(_._1)
+        .map { case (k, v) => checkFromDocument(k, v) }
+      val checks = cm.getOrElse("checks", null) match {
+        case null => flat
+        case slot => checksFromDocument(slot)
+      }
       n -> ColumnSchema(
         dtype = Option(cm.getOrElse("dtype", null)).map(d => nameToDtype(str(d))),
         checks = checks,
-        nullable = cm.get("nullable").forall(boolOf),
-        unique = cm.get("unique").exists(boolOf),
-        coerce = cm.get("coerce").exists(boolOf),
-        required = cm.get("required").forall(boolOf),
-        regex = cm.get("regex").exists(boolOf),
+        // absent key = the reference Column constructor default FALSE
+        // (io/_minimal.py COLUMN_DEFAULTS) — a minimal pandera doc omits
+        // `nullable` exactly when the column is non-nullable
+        nullable = bool(cm.get("nullable"), default = false),
+        unique = bool(cm.get("unique"), default = false),
+        coerce = bool(cm.get("coerce"), default = false),
+        required = bool(cm.get("required"), default = true),
+        regex = bool(cm.get("regex"), default = false),
         default = Option(cm.getOrElse("default", null)),
         title = Option(cm.getOrElse("title", null)).map(str),
         description = Option(cm.getOrElse("description", null)).map(str))
     }
-    val tableChecks = m.getOrElse("checks", Map.empty).asInstanceOf[Map[String, Any]]
-      .toSeq.sortBy(_._1)
-      .map { case (cn, st) => checkFromStats(cn, st.asInstanceOf[Map[String, Any]]) }
-    DataFrameSchema(
+    val tableChecks = checksFromDocument(m.getOrElse("checks", null))
+    val parsed = DataFrameSchema(
       columns = columns,
       checks = tableChecks,
-      unique = m.get("unique").map(_.asInstanceOf[Seq[Any]].map(str)).getOrElse(Nil),
+      unique = m.getOrElse("unique", null) match {
+        // pandera's table-level `unique` accepts one column name or a list
+        case null => Nil
+        case s: String => Seq(s)
+        case l: Seq[_] => l.map(str)
+        case other => Seq(str(other))
+      },
       coerce = m.get("coerce").exists(boolOf),
       strict = m.getOrElse("strict", false) match {
         case "filter" => Strict.Filter
@@ -195,6 +343,10 @@ object SchemaIO {
       name = Option(m.getOrElse("name", null)).map(str),
       title = Option(m.getOrElse("title", null)).map(str),
       description = Option(m.getOrElse("description", null)).map(str))
+    // schema-level `dtype` (reference: DataFrameSchema.dtype) stamps every
+    // column, same as the withDtype setter
+    Option(m.getOrElse("dtype", null))
+      .fold(parsed)(d => parsed.withDtype(nameToDtype(str(d))))
   }
 
   // ---- scala ⇄ java for snakeyaml/jackson --------------------------------
@@ -212,7 +364,11 @@ object SchemaIO {
   }
   private def toScala(a: Any): Any = a match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, v) => String.valueOf(k) -> toScala(v) }.toMap
+      // insertion-ordered: snakeyaml/jackson preserve document order, and a
+      // reference document's column order IS its map order (no column_order
+      // key) — required for ordered=true schemas
+      scala.collection.immutable.ListMap(
+        m.asScala.toSeq.map { case (k, v) => String.valueOf(k) -> toScala(v) }: _*)
     case l: java.util.List[_] => l.asScala.map(toScala).toSeq
     case o => o
   }

@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.checks.{Check, ColumnCheck}
+import graft.io.SchemaIO
+import graft.schema._
+
+/** Cross-compat with verbatim reference-produced schema documents.
+  *
+  * The fixtures below mirror the reference's own document shapes
+  * (tests/io/test_pandas_io.py YAML_SCHEMA, tests/io/test_serdes_minimal.py):
+  *  - FULL format: every column property explicit, checks as flat
+  *    Field-style keys (io/_flat_checks.py), an `index:` section, the
+  *    pandera version header;
+  *  - MINIMAL format (serialize_schema(minimal=True),
+  *    io/pandas_io.py:190-205): keys equal to constructor defaults OMITTED;
+  *  - LEGACY `checks:` list entries with `options.check_name`
+  *    (io/pandas_io.py:267-305) and the older `{name: stats}` dict
+  *    (io/_check_io.py:4-21).
+  * A migrating user's first act is from_yaml(existing_doc); all of these
+  * must load without errors and with reference semantics.
+  */
+class PanderaCompatSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Adapted verbatim from tests/io/test_pandas_io.py YAML_SCHEMA (the
+    * timedelta column's dtype maps to a day-time interval; its checks are
+    * dropped here since interval literals are out of the v1 check surface). */
+  private val fullDoc =
+    """schema_type: dataframe
+      |version: 0.26.1
+      |columns:
+      |  int_column:
+      |    title: integer_col
+      |    description: Integer column with title
+      |    dtype: int64
+      |    nullable: false
+      |    unique: false
+      |    coerce: false
+      |    required: true
+      |    regex: false
+      |    greater_than: 0
+      |    less_than: 10
+      |    in_range:
+      |      min_value: 0
+      |      max_value: 10
+      |      include_min: true
+      |      include_max: true
+      |  float_column:
+      |    title: null
+      |    description: Float col no title
+      |    dtype: float64
+      |    nullable: false
+      |    unique: false
+      |    coerce: false
+      |    required: true
+      |    regex: false
+      |    greater_than: -10
+      |    less_than: 20
+      |  str_column:
+      |    title: null
+      |    description: null
+      |    dtype: str
+      |    nullable: false
+      |    unique: false
+      |    coerce: false
+      |    required: true
+      |    regex: false
+      |    isin:
+      |    - foo
+      |    - bar
+      |    - x
+      |    - xy
+      |    str_length:
+      |      min_value: 1
+      |      max_value: 3
+      |      exact_value: null
+      |  datetime_column:
+      |    title: null
+      |    description: null
+      |    dtype: datetime64[ns]
+      |    nullable: false
+      |    unique: false
+      |    coerce: false
+      |    required: true
+      |    regex: false
+      |    greater_than: '2010-01-01 00:00:00'
+      |    less_than: '2020-01-01 00:00:00'
+      |  timedelta_column:
+      |    title: null
+      |    description: null
+      |    dtype: timedelta64[ns]
+      |    nullable: false
+      |    unique: false
+      |    coerce: false
+      |    required: true
+      |    regex: false
+      |checks: null
+      |index:
+      |- title: null
+      |  description: null
+      |  dtype: int64
+      |  nullable: false
+      |  checks: null
+      |  name: null
+      |  unique: false
+      |  coerce: false
+      |dtype: null
+      |coerce: false
+      |strict: true
+      |name: null
+      |ordered: false
+      |unique: null
+      |report_duplicates: all
+      |unique_column_names: false
+      |add_missing_columns: false
+      |title: null
+      |description: null
+      |drop_invalid_rows: false
+      |""".stripMargin
+
+  test("full reference document: flat checks, index section, null checks") {
+    val s = SchemaIO.fromYaml(fullDoc)
+    assert(s.columnNames == Seq("int_column", "float_column", "str_column",
+      "datetime_column", "timedelta_column"))
+    assert(s.strict == Strict.Error)
+    assert(s.checks.isEmpty) // checks: null
+    val ic = s.column("int_column").get
+    assert(ic.dtype.contains(LongType))
+    assert(!ic.nullable)
+    assert(ic.title.contains("integer_col"))
+    assert(ic.checks.map(_.name).sorted == Seq("greater_than", "in_range", "less_than"))
+    val sc = s.column("str_column").get
+    assert(sc.dtype.contains(StringType))
+    assert(sc.checks.map(_.name).toSet == Set("isin", "str_length"))
+    val isinStats = sc.checks.collectFirst {
+      case c: ColumnCheck if c.name == "isin" => c.statistics }.get
+    assert(isinStats("allowed_values") == Seq("foo", "bar", "x", "xy"))
+    assert(s.column("datetime_column").get.dtype.contains(TimestampType))
+    assert(s.column("timedelta_column").get.dtype.contains(DayTimeIntervalType()))
+  }
+
+  test("full reference document drives validation with reference semantics") {
+    val s = SchemaIO.fromYaml(fullDoc)
+      .removeColumns("datetime_column", "timedelta_column")
+    val good = Seq((5L, 1.5, "foo"), (7L, 12.0, "bar"))
+      .toDF("int_column", "float_column", "str_column")
+    assert(s.copy(strict = Strict.NotStrict).validate(good).passed)
+    val bad = Seq((11L, 1.5, "foo"), (5L, -20.0, "wrong"))
+      .toDF("int_column", "float_column", "str_column")
+    val res = s.copy(strict = Strict.NotStrict).validate(bad)
+    val failed = res.errors.map(_.check).toSet
+    assert(failed.exists(_.contains("less_than")))    // 11 >= 10
+    assert(failed.exists(_.contains("greater_than"))) // -20 <= -10
+    assert(failed.exists(_.contains("isin")))         // "wrong"
+  }
+
+  test("minimal document: absent keys take reference constructor defaults") {
+    // serialize_schema(minimal=True) on a schema with one non-nullable int
+    // column + flat scalar checks omits version/nullable/required/strict...
+    val doc =
+      """schema_type: dataframe
+        |columns:
+        |  a:
+        |    dtype: int64
+        |    greater_than_or_equal_to: 1
+        |  b:
+        |    dtype: str
+        |    nullable: true
+        |""".stripMargin
+    val s = SchemaIO.fromYaml(doc)
+    val a = s.column("a").get
+    assert(!a.nullable)  // absent = reference default FALSE
+    assert(a.required)   // absent = reference default TRUE
+    assert(!a.coerce && !a.unique && !a.regex)
+    assert(s.column("b").get.nullable)
+    assert(s.strict == Strict.NotStrict && !s.ordered && s.unique.isEmpty)
+    // and the absent-nullable column actually REJECTS nulls
+    val df = Seq(Some(3L), None).toDF("a")
+      .withColumn("b", org.apache.spark.sql.functions.lit("x"))
+    val res = s.validate(df)
+    assert(!res.passed)
+    assert(res.errors.exists(_.check.contains("not_nullable")) ||
+      res.errors.exists(_.check.toLowerCase.contains("null")))
+  }
+
+  test("legacy checks list with options.check_name and check options") {
+    val doc =
+      """schema_type: dataframe
+        |columns:
+        |  a:
+        |    dtype: int64
+        |    checks:
+        |    - value: 0
+        |      options:
+        |        check_name: greater_than
+        |        ignore_na: false
+        |        raise_warning: true
+        |        n_failure_cases: 3
+        |    - min_value: 0
+        |      max_value: 100
+        |      options:
+        |        check_name: in_range
+        |""".stripMargin
+    val s = SchemaIO.fromYaml(doc)
+    val cs = s.column("a").get.checks
+    assert(cs.map(_.name) == Seq("greater_than", "in_range"))
+    val gt = cs.head.asInstanceOf[ColumnCheck]
+    assert(!gt.ignoreNa && gt.raiseWarning && gt.nFailureCases == 3)
+    assert(gt.statistics("min_value") == 0)
+  }
+
+  test("legacy dict checks and flat keys parse identically") {
+    val dictDoc =
+      """schema_type: dataframe
+        |columns:
+        |  a:
+        |    dtype: float64
+        |    checks:
+        |      greater_than: 0
+        |      less_than_or_equal_to: 10.5
+        |""".stripMargin
+    val flatDoc =
+      """schema_type: dataframe
+        |columns:
+        |  a:
+        |    dtype: float64
+        |    greater_than: 0
+        |    less_than_or_equal_to: 10.5
+        |""".stripMargin
+    val (d, f) = (SchemaIO.fromYaml(dictDoc), SchemaIO.fromYaml(flatDoc))
+    def stats(s: DataFrameSchema) = s.column("a").get.checks
+      .collect { case c: ColumnCheck => c.name -> c.statistics }.toMap
+    assert(stats(d) == stats(f))
+    assert(stats(f).keySet == Set("greater_than", "less_than_or_equal_to"))
+  }
+
+  test("unary dict spelling {value: x} and check-name aliases") {
+    val doc =
+      """schema_type: dataframe
+        |columns:
+        |  a:
+        |    dtype: int64
+        |    checks:
+        |      greater_than:
+        |        value: 5
+        |      eq: 7
+        |unique: a
+        |""".stripMargin
+    val s = SchemaIO.fromYaml(doc)
+    val byName = s.column("a").get.checks
+      .collect { case c: ColumnCheck => c.name -> c.statistics }.toMap
+    assert(byName("greater_than") == Map("min_value" -> 5))
+    assert(byName("equal_to") == Map("value" -> 7)) // alias canonicalized
+    assert(s.unique == Seq("a")) // scalar table-level unique
+  }
+
+  test("reference document round-trips through our dump format") {
+    val s = SchemaIO.fromYaml(fullDoc)
+    val again = SchemaIO.fromYaml(SchemaIO.toYaml(s))
+    assert(again.columnNames == s.columnNames)
+    def allStats(x: DataFrameSchema) = x.columns.map { case (n, c) =>
+      n -> c.checks.collect { case cc: ColumnCheck => cc.name -> cc.statistics }.toMap
+    }.toMap
+    assert(allStats(again) == allStats(s))
+    assert(SchemaIO.toYaml(again) == SchemaIO.toYaml(s)) // stable fixpoint
+  }
+}
