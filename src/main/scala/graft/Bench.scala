@@ -65,6 +65,13 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
+  /** Drop cached blocks left behind by clusterPairs' localCheckpoints
+    * (lineage-cut RDDs stay in the block manager until GC'd). Freed between
+    * timed sections so one query's leftovers can't pressure the next —
+    * bench hygiene, not part of any timed path. */
+  private def dropLeftoverBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +127,7 @@ object Bench {
     // first-call whole-stage-codegen compilation.
     ext.Dedup.clusterPairs(
       ext.Dedup.minhashPairs(docs.limit(200), "doc_id", "text", 3, 64, 16, 0.8)).count()
+    dropLeftoverBlocks(spark)
 
     val (tDedup, nPairs) = time(
       ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
@@ -130,6 +138,7 @@ object Bench {
       ext.Dedup.clusterPairs(pairs).count()
     }
     results += "dedup_cluster" -> tCluster
+    dropLeftoverBlocks(spark)
 
     // 10× scaling probes (round-3 verdict next #8): replicate documents
     // with a per-replica vowel rotation (rep 0 is identity) — each replica
@@ -158,6 +167,7 @@ object Bench {
       ext.Dedup.clusterPairs(pairs).count()
     }
     results += "dedup_cluster_10x" -> tCluster10
+    dropLeftoverBlocks(spark)
 
     val (tSim, _) = time {
       val queries = emb.filter(col("vec_id") < 5)
