@@ -207,6 +207,24 @@ object SparkEntry {
         .validate(t(s, d, "lineitem"))
       aggPassFail(s, "two_sample_ttest", res)
     }),
+    "hyp_registered_yaml" -> ((s, d) => {
+      // round-7: named-hypothesis registry (verdict r6 #3, mirroring
+      // register_builtin_hypothesis, api/extensions.py:107) — the
+      // hypothesis is built BY NAME from serialized statistics, the schema
+      // round-trips through a YAML document, and the reloaded schema must
+      // still run the test (the registry shares the check registry's
+      // statistics-driven serialization)
+      val byName = Hypothesis.registry("two_sample_ttest", Map(
+        "groupby" -> "l_linestatus", "sample1" -> "O", "sample2" -> "F",
+        "relationship" -> "Equal", "alpha" -> 1e-9, "equal_var" -> false))
+      val schema = DataFrameSchema(
+        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(byName)))
+      val reloaded = graft.io.SchemaIO.fromYaml(graft.io.SchemaIO.toYaml(schema))
+      val res = reloaded.validate(t(s, d, "lineitem"))
+      val roundTripped =
+        graft.io.SchemaIO.toYaml(reloaded) == graft.io.SchemaIO.toYaml(schema)
+      aggPassFail(s, "registered_two_sample_ttest", res, extraOk = roundTripped)
+    }),
     "hyp_custom_relationship" -> ((s, d) => {
       val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
         Seq(Hypothesis.oneSampleTtest(1.0,
@@ -638,6 +656,14 @@ object SparkEntry {
       // (one user-keyed shuffle; streaming-compatible shape)
       ext.Sessions.sessionize(t(s, d, "events"), "user_id", "ts", "value",
         gap = "30 minutes")
+        .orderBy("user_id", "session_start_us")),
+    "events_sessions_stream" -> ((s, d) =>
+      // round-7: batch ≡ streaming — replay the events table as
+      // micro-batches through sessionize(watermark=...) in APPEND mode;
+      // the emitted union must match the SAME DuckDB oracle as the batch
+      // events_sessions gate
+      streaming.StreamingValidation.sessionizeReplay(
+        t(s, d, "events"), "user_id", "ts", "value", gap = "30 minutes")
         .orderBy("user_id", "session_start_us")),
     "sample_cap_per_group" -> ((s, d) =>
       // round-5: domain balancing — ≤ 40 docs per language, chosen by
@@ -1103,6 +1129,18 @@ object SparkEntry {
         .orderBy("hour", "event_type"))
   )
 
+  /** Shared by events_sessions (batch) and events_sessions_stream (replay):
+    * the two gates must answer to one oracle — that IS the batch ≡ streaming
+    * claim. */
+  private val sessionsOracleSql: String =
+    "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
+      "w AS (SELECT user_id, us, value, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
+      "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+      "s AS (SELECT user_id, us, value, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
+      "SELECT user_id, min(us) AS session_start_us, CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us, " +
+      "count(*) AS n_events, round(sum(value), 3) AS total_value " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
+
   def oracleSql: Map[String, String] = Map(
     // Golden pins for the three approximate operators: the pipelines are
     // fully deterministic (seeded xxhash64 signatures, seeded k-means,
@@ -1131,8 +1169,8 @@ object SparkEntry {
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 225, 2, 0.3151), (0, 260, 3, 0.2987), (0, 73, 4, 0.2972), (0, 232, 5, 0.2673), (1, 1, 1, 1.0), (1, 209, 2, 0.3815), (1, 129, 3, 0.3515), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 91, 4, 0.2789), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 205, 2, 0.3366), (3, 156, 3, 0.3111), (3, 72, 4, 0.3089), (3, 278, 5, 0.2694), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 357, 3, 0.2954), (4, 62, 4, 0.2886), (4, 229, 5, 0.2678)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 388, 3, 0.2763), (0, 483, 4, 0.2567), (0, 344, 5, 0.2525), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 450, 2, 0.2663), (2, 145, 3, 0.2635), (2, 320, 4, 0.255), (2, 128, 5, 0.2234), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 192, 3, 0.2908), (3, 463, 4, 0.2609), (3, 201, 5, 0.2326), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 3, 0.3228), (4, 482, 4, 0.3139), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 7, 4, 0.2928), (0, 190, 5, 0.2818), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 124, 4, 0.3028), (1, 402, 5, 0.2923), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 320, 5, 0.255), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 207, 3, 0.2917), (3, 315, 4, 0.2852), (3, 463, 5, 0.2609), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 257, 4, 0.2724), (4, 384, 5, 0.2404)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_lsh" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
@@ -1146,8 +1184,8 @@ object SparkEntry {
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_ivf" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 212, 4, 0.2814), (0, 225, 2, 0.3151), (0, 299, 5, 0.2687), (0, 483, 3, 0.3005), (1, 1, 1, 1.0), (1, 247, 5, 0.2615), (1, 257, 2, 0.3918), (1, 376, 3, 0.3048), (1, 455, 4, 0.2824), (2, 2, 1, 1.0), (2, 234, 3, 0.2777), (2, 246, 2, 0.2898), (2, 309, 5, 0.2523), (2, 441, 4, 0.254), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 343, 4, 0.3124), (4, 345, 2, 0.3749), (4, 357, 5, 0.2954)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 320, 5, 0.2879), (0, 365, 2, 0.37), (0, 387, 3, 0.3311), (0, 423, 4, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 188, 2, 0.2633), (2, 320, 3, 0.255), (2, 418, 4, 0.254), (2, 471, 5, 0.2472), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 174, 4, 0.3035), (3, 207, 5, 0.2917), (3, 343, 3, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 234, 4, 0.2777), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
     "chk_equal_to" ->
       "SELECT 'equal_to' AS check_name, count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT (l_linestatus = 'F')) AS failure_count FROM lineitem",
@@ -1216,6 +1254,10 @@ object SparkEntry {
     // Equal(alpha=1e-9) passes iff |t| below ~6.1; data keeps |t| < 3.
     "hyp_two_sample_ttest" ->
       "SELECT 'two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
+    // same Welch decision as hyp_two_sample_ttest — the registry gate only
+    // changes HOW the check is constructed (by name, via a YAML round-trip)
+    "hyp_registered_yaml" ->
+      "SELECT 'registered_two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
     "hyp_custom_grouped" ->
       "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
     "hyp_group_stats" ->
@@ -1457,14 +1499,9 @@ object SparkEntry {
       ("SELECT doc_id FROM documents " +
         "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +
         "ORDER BY doc_id"),
-    "events_sessions" ->
-      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
-        "w AS (SELECT user_id, us, value, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
-        "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
-        "s AS (SELECT user_id, us, value, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
-        "SELECT user_id, min(us) AS session_start_us, CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us, " +
-        "count(*) AS n_events, round(sum(value), 3) AS total_value " +
-        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
+    "events_sessions" -> sessionsOracleSql,
+    // batch ≡ streaming: the replay gate answers to the SAME oracle
+    "events_sessions_stream" -> sessionsOracleSql,
     "sample_cap_per_group" ->
       ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
         "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +

@@ -29,8 +29,11 @@ object Drift {
 
   /** Shared PSI tail: eps-floor the fractions, per-cell contribution,
     * 6-dp display rounding, and the total (a Window over the cell frame,
-    * which is bins/categories-sized — never data-sized). */
-  private def finalizePsi(joined: DataFrame, keyCol: String, eps: Double): DataFrame =
+    * which is bins/categories-sized — never data-sized). `totalBy` keys the
+    * total: empty for the single-column operators, `Seq("column")` for the
+    * batch ones (one psi_total per analyzed column). */
+  private def finalizePsi(joined: DataFrame, keyCols: Seq[String], eps: Double,
+      totalBy: Seq[String] = Nil): DataFrame =
     joined
       .withColumn("ref_frac", greatest(coalesce(col("ref_frac"), lit(0.0)), lit(eps)))
       .withColumn("cur_frac", greatest(coalesce(col("cur_frac"), lit(0.0)), lit(eps)))
@@ -39,8 +42,10 @@ object Drift {
       .withColumn("ref_frac", round(col("ref_frac"), 6))
       .withColumn("cur_frac", round(col("cur_frac"), 6))
       .withColumn("psi_total", round(
-        sum(col("psi_contrib")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
-      .select(keyCol, "ref_frac", "cur_frac", "psi_contrib", "psi_total")
+        sum(col("psi_contrib")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(totalBy.map(col): _*)), 6))
+      .select((keyCols ++ Seq("ref_frac", "cur_frac", "psi_contrib", "psi_total"))
+        .map(col): _*)
 
   /** Per-bin detail: (bin, ref_frac, cur_frac, psi_contrib) + the total in
     * every row (psi_total) — callers gate on `psi_total`, inspect bins to
@@ -76,7 +81,67 @@ object Drift {
     val allBins = (0 until bins).toDF("bin")
     finalizePsi(allBins
       .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left"), "bin", eps)
+      .join(binned(current, "cur_frac"), Seq("bin"), "left"), Seq("bin"), eps)
+  }
+
+  /** Batch numeric PSI over several columns in TWO jobs total (r5/r6
+    * verdict: the per-call `psi` issues its reference-percentile action
+    * eagerly, so monitoring N columns paid 3·N jobs): job 1 computes every
+    * column's bin edges in ONE fused reference aggregation (the validator's
+    * fusion trick); job 2 bins BOTH sides of every column in ONE pass over
+    * `reference UNION ALL current` — each row explodes to its (column, bin)
+    * cells, nulls excluded per column, and one aggregation counts all
+    * (side, column, bin) cells. Output = `psi`'s schema plus a leading
+    * `column` key; psi_total is per column. */
+  def psiMulti(reference: DataFrame, current: DataFrame, columns: Seq[String],
+      bins: Int = 10, eps: Double = 1e-6,
+      approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins >= 2, got $bins")
+    require(columns.nonEmpty, "psiMulti: no columns given")
+    val percentages = (1 until bins).map(_.toDouble / bins)
+    val pArr = array(percentages.map(lit): _*)
+    // job 1: one fused aggregation → every column's edge array
+    val edgesRow = reference.agg(
+      (if (approximate) percentile_approx(q(columns.head), pArr, lit(accuracy))
+       else percentile(q(columns.head), pArr)).cast("array<double>"),
+      columns.tail.map(c =>
+        (if (approximate) percentile_approx(q(c), pArr, lit(accuracy))
+         else percentile(q(c), pArr)).cast("array<double>")): _*).head()
+    val edgesByCol: Seq[(String, Seq[Double])] = columns.zipWithIndex.map {
+      case (c, i) =>
+        require(!edgesRow.isNullAt(i), s"psiMulti: reference has no non-null '$c'")
+        c -> edgesRow.getSeq[Double](i).map(e => math.rint(e * 1e6) / 1e6)
+    }
+
+    // job 2: one pass over both sides — explode each row into its
+    // (column, bin) cells, count by (side, column, bin)
+    def cells(df: DataFrame, side: String): DataFrame = {
+      val entries = edgesByCol.map { case (c, edges) =>
+        val bin = edges.foldLeft(lit(0))((acc, e) =>
+          acc + when(q(c) > e, 1).otherwise(0))
+        struct(lit(c).as("column"), bin.as("bin"), q(c).isNotNull.as("ok"))
+      }
+      df.select(lit(side).as("side"), explode(array(entries: _*)).as("e"))
+        .filter(col("e.ok"))
+        .select(col("side"), col("e.column").as("column"), col("e.bin").as("bin"))
+    }
+    val counts = cells(reference, "ref").unionAll(cells(current, "cur"))
+      .groupBy("side", "column", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("side", "column")))
+    def side(s: String, frac: String): DataFrame =
+      counts.filter(col("side") === s)
+        .select(col("column"), col("bin"), col("frac").as(frac))
+
+    val spark0 = reference.sparkSession
+    import spark0.implicits._
+    val allCells = columns.flatMap(c => (0 until bins).map(b => (c, b)))
+      .toDF("column", "bin")
+    finalizePsi(allCells
+      .join(side("ref", "ref_frac"), Seq("column", "bin"), "left")
+      .join(side("cur", "cur_frac"), Seq("column", "bin"), "left"),
+      Seq("column", "bin"), eps, totalBy = Seq("column"))
   }
 
   /** PSI for a CATEGORICAL column: one cell per reference category, with
@@ -87,7 +152,14 @@ object Drift {
     * TakeOrdered on the reference, then each side is one codegen'd
     * aggregation against the broadcast category set. Categories new in
     * `current` also land in `__other__` — appearing mass there IS the
-    * drift signal. Null category is its own cell (`__null__`). */
+    * drift signal. Null category is its own cell (`__null__`).
+    *
+    * Sentinel caveat: a column whose REAL string values include the literal
+    * `"__null__"` (or `"__other__"`) conflates that value's mass with the
+    * sentinel cell — the fractions stay a valid partition of the data (no
+    * double counting, psi_total is still well-defined), but the two sources
+    * are indistinguishable in the per-cell report. Rename such values
+    * upstream if the distinction matters. */
   def psiCategorical(reference: DataFrame, current: DataFrame, column: String,
       maxCategories: Int = 100, eps: Double = 1e-6): DataFrame = {
     require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
@@ -112,6 +184,66 @@ object Drift {
     val cells = (top :+ "__other__").distinct.toDF("cell")
     finalizePsi(cells
       .join(fractions(reference, "ref_frac"), Seq("cell"), "left")
-      .join(fractions(current, "cur_frac"), Seq("cell"), "left"), "cell", eps)
+      .join(fractions(current, "cur_frac"), Seq("cell"), "left"), Seq("cell"), eps)
+  }
+
+  /** Batch categorical PSI over several columns in TWO jobs total
+    * (cf. [[psiMulti]]): job 1 derives every column's top-`maxCategories`
+    * reference category table in ONE aggregation — rows explode to
+    * (column, cell) pairs, one count aggregation, then a per-column k-heap
+    * (graft.functions.TopKByScore on count desc, cell asc) instead of N
+    * TakeOrdered actions; job 2 counts both sides' cells in one pass over
+    * `reference UNION ALL current`. Same `__other__` / `__null__` sentinel
+    * semantics as [[psiCategorical]]. */
+  def psiCategoricalMulti(reference: DataFrame, current: DataFrame,
+      columns: Seq[String], maxCategories: Int = 100,
+      eps: Double = 1e-6): DataFrame = {
+    require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
+    require(columns.nonEmpty, "psiCategoricalMulti: no columns given")
+    def catCells(df: DataFrame): DataFrame =
+      df.select(explode(array(columns.map(c => struct(lit(c).as("column"),
+        coalesce(q(c).cast("string"), lit("__null__")).as("cell"))): _*)).as("e"))
+        .select(col("e.column").as("column"), col("e.cell").as("cell"))
+    // job 1: per-column top-K categories via the map-side k-heap — the
+    // heap key mirrors (count desc, value asc): primary score n, ties
+    // broken by the item ordering inside the heap is ascending on the
+    // payload, so pack the cell itself as the payload
+    val topByCol: Map[String, Seq[String]] = catCells(reference)
+      .groupBy("column", "cell").agg(count(lit(1)).as("n"))
+      .groupBy("column")
+      .agg(graft.functions.TopKByScore.of(col("n").cast("double"), col("cell"),
+        maxCategories).as("tk"))
+      .select(col("column"), col("tk.item").as("cells"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    columns.foreach(c => require(topByCol.contains(c),
+      s"psiCategoricalMulti: reference has no rows for '$c'"))
+
+    // job 2: one pass over both sides; the per-column top-K membership is
+    // one chained literal predicate (≤ columns × maxCategories literals),
+    // so the collapse to __other__ stays a single codegen'd expression —
+    // no per-column re-scan
+    val inTop = columns.map(c =>
+      col("column") === c && col("cell").isin(topByCol(c): _*)).reduce(_ || _)
+    val collapsed = catCells(reference).withColumn("side", lit("ref"))
+      .unionAll(catCells(current).withColumn("side", lit("cur")))
+      .withColumn("cell", when(inTop, col("cell")).otherwise(lit("__other__")))
+      .groupBy("side", "column", "cell").agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("side", "column")))
+    def side(s: String, frac: String): DataFrame =
+      collapsed.filter(col("side") === s)
+        .select(col("column"), col("cell"), col("frac").as(frac))
+
+    val spark0 = reference.sparkSession
+    import spark0.implicits._
+    val allCells = columns.flatMap(c =>
+      (topByCol(c) :+ "__other__").distinct.map(cell => (c, cell)))
+      .toDF("column", "cell")
+    finalizePsi(allCells
+      .join(side("ref", "ref_frac"), Seq("column", "cell"), "left")
+      .join(side("cur", "cur_frac"), Seq("column", "cell"), "left"),
+      Seq("column", "cell"), eps, totalBy = Seq("column"))
   }
 }

