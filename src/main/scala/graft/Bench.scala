@@ -65,12 +65,29 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
+  /** 1-minute load average read at each metric's start — BENCH_r05/r06 were
+    * both contaminated by concurrent machine load and cost a round of
+    * reconciliation each (r6 verdict #8); emitting the load alongside every
+    * timing makes a contaminated run self-identifying. -1 if unreadable. */
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
   /** Drop cached blocks left behind by clusterPairs' localCheckpoints
     * (lineage-cut RDDs stay in the block manager until GC'd). Freed between
     * timed sections so one query's leftovers can't pressure the next —
-    * bench hygiene, not part of any timed path. */
-  private def dropLeftoverBlocks(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    * bench hygiene, not part of any timed path. Scoped to the RDD ids that
+    * appeared since `before` (r6 ADVICE: the unscoped form also unpersisted
+    * anything a future section had deliberately cached). */
+  private def dropNewBlocks(spark: SparkSession, before: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+
+  private def persistedIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,46 +116,48 @@ object Bench {
     lineitemSchema.validate(li) // JIT/codegen warmup for the fused path
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
+      loads += name -> loadavg()
+      val (t, a) = time(f)
+      results += name -> t
+      a
+    }
 
     jobCounter.set(0)
-    val (tFull, resFull) = time(lineitemSchema.validate(li))
-    results += "validate_full" -> tFull
+    val resFull = timed("validate_full")(lineitemSchema.validate(li))
     val fullJobs = jobCounter.get()
     val nErrors = resFull.errors.size.toLong // sf0.1 carries dirty rows by design
 
-    val (tRef, _) = time(refStyleValidate(li))
-    results += "validate_ref_style" -> tRef
+    timed("validate_ref_style")(refStyleValidate(li))
 
-    val (tSchemaOnly, _) = time(
+    timed("validate_schema_only")(
       graft.backend.Validator.validate(lineitemSchema, li, depth = GraftConfig.SchemaOnly))
-    results += "validate_schema_only" -> tSchemaOnly
 
-    val (tInfer, _) = time(graft.inference.InferSchema.infer(li))
-    results += "infer_schema" -> tInfer
+    timed("infer_schema")(graft.inference.InferSchema.infer(li))
 
-    val (tDrop, _) = time(
+    timed("drop_invalid_rows")(
       lineitemSchema.copy(dropInvalidRows = true).validate(li).data.count())
-    results += "drop_invalid_rows" -> tDrop
 
     // JIT/codegen warmup for the sketch expressions (MinHashSig, band
     // explode, TopK) on a tiny slice — same treatment the fused validate
     // path gets above, so the timed runs measure steady-state throughput
     // (the quantity that extrapolates to a long-running 100 TB job), not
     // first-call whole-stage-codegen compilation.
+    val snapWarm = persistedIds(spark)
     ext.Dedup.clusterPairs(
       ext.Dedup.minhashPairs(docs.limit(200), "doc_id", "text", 3, 64, 16, 0.8)).count()
-    dropLeftoverBlocks(spark)
+    dropNewBlocks(spark, snapWarm)
 
-    val (tDedup, nPairs) = time(
+    val nPairs = timed("dedup_minhash")(
       ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
-    results += "dedup_minhash" -> tDedup
 
-    val (tCluster, _) = time {
+    val snap1 = persistedIds(spark)
+    timed("dedup_cluster") {
       val pairs = ext.Dedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
       ext.Dedup.clusterPairs(pairs).count()
     }
-    results += "dedup_cluster" -> tCluster
-    dropLeftoverBlocks(spark)
+    dropNewBlocks(spark, snap1)
 
     // 10× scaling probes (round-3 verdict next #8): replicate documents
     // with a per-replica vowel rotation (rep 0 is identity) — each replica
@@ -158,62 +177,59 @@ object Bench {
             when(col("rep") === r, translate(col("text"), "aeiou", rot)).otherwise(acc)
         }.as("text"))
 
-    val (tDedup10, nPairs10) = time(
+    val nPairs10 = timed("dedup_minhash_10x")(
       ext.Dedup.minhashPairs(docs10, "doc_id", "text", 3, 64, 16, 0.8).count())
-    results += "dedup_minhash_10x" -> tDedup10
 
-    val (tCluster10, _) = time {
+    val snap2 = persistedIds(spark)
+    timed("dedup_cluster_10x") {
       val pairs = ext.Dedup.minhashPairs(docs10, "doc_id", "text", 3, 64, 16, 0.8)
       ext.Dedup.clusterPairs(pairs).count()
     }
-    results += "dedup_cluster_10x" -> tCluster10
-    dropLeftoverBlocks(spark)
+    dropNewBlocks(spark, snap2)
 
-    val (tSim, _) = time {
+    timed("sim_topk_brute") {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5).count()
     }
-    results += "sim_topk_brute" -> tSim
 
-    val (tText, _) = time(
+    timed("text_analysis")(
       docs.select(ext.TextAnalysis.qualityScore(col("text")),
         ext.TextAnalysis.languageId(col("text")),
         ext.TextAnalysis.fingerprint64(col("text"))).count())
-    results += "text_analysis" -> tText
 
     // round-5 additions: PQ ANN (train + encode + ADC + exact re-rank) and
     // the real BPE merge loop over the document corpus
-    val (tPq, _) = time {
+    timed("sim_topk_pq") {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       ext.Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5).count()
     }
-    results += "sim_topk_pq" -> tPq
 
-    val (tBpe, _) = time(
+    timed("text_bpe")(
       docs.select(explode(ext.TextAnalysis.bpeTokens(col("text"))).as("t"))
         .groupBy("t").count().count())
-    results += "text_bpe" -> tBpe
 
     // incremental ingest at 10×: the 1× corpus arrives as a "batch" against
     // the 10× corpus (replica 0 is identical text, so every row is a dup);
     // timing covers bloom build + broadcast verify, corpus never shuffled
-    val (tBloomInc, nNew) = time(
+    val nNew = timed("dedup_bloom_inc_10x")(
       ext.Dedup.dropExistingExactBloom(docs, docs10, "doc_id", "text").count())
-    results += "dedup_bloom_inc_10x" -> tBloomInc
     require(nNew == 0, s"10x corpus holds all 1x texts, got $nNew survivors")
 
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val (tSess, _) = time(
+    timed("events_sessions")(
       ext.Sessions.sessionize(ev, "user_id", "ts", "value").count())
-    results += "events_sessions" -> tSess
+
+    // round-7: fused multi-column drift — three columns' PSI in 2 actions
+    timed("drift_psi_multi")(
+      ext.Drift.psiMulti(li, li.filter(col("l_returnflag") === "A"),
+        Seq("l_extendedprice", "l_quantity", "l_discount")).count())
 
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
-    val (tSynth, _) = time(
+    timed("synthesize_1m")(
       graft.synth.Synthesize.dataFrame(spark, lineitemSchema, 1000000).count())
-    results += "synthesize_1m" -> tSynth
 
     // scaling probe: the same contract on 10M synthesized rows across
     // `cpus` in-memory partitions — shows the fused pass + uniqueness
@@ -224,16 +240,18 @@ object Bench {
       .dataFrame(spark, lineitemSchema, 10000000)
       .persist()
     big.count()
-    val (tBig, _) = time(lineitemSchema.validate(big))
-    results += "validate_10m_inmem" -> tBig
+    timed("validate_10m_inmem")(lineitemSchema.validate(big))
     big.unpersist()
 
     val qs = (results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" } ++
       Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
         s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
       .mkString("{", ",", "}")
+    val loadJson = loads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
+      .mkString("{", ",", "}")
+    val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"load_1m_max":${"%.2f".format(loadMax)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

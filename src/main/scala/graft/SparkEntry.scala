@@ -639,6 +639,14 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         "l_extendedprice", bins = 10)
         .orderBy("bin")),
+    "drift_psi_multi" -> ((s, d) =>
+      // round-7: fused multi-column drift (verdict r6 #4) — all three
+      // columns' edges in ONE reference aggregation, both sides binned in
+      // ONE union pass: 2 jobs total instead of 3 per column
+      ext.Drift.psiMulti(t(s, d, "lineitem"),
+        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
+        Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 10)
+        .orderBy("column", "bin")),
     "drift_psi_categorical" -> ((s, d) =>
       // round-5: categorical drift on language mix — top-3 reference
       // categories + __other__ bucket (the unbounded-cardinality guard)
@@ -746,6 +754,18 @@ object SparkEntry {
       val queries = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("hv").as("qv"))
       ext.Similarity.bruteForceTopK(docs, "doc_id", "hv", queries, "qid", "qv", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_topk_ivfpq" -> ((s, d) => {
+      // round-7: IVF coarse quantizer + residual PQ codes — the composed
+      // 100 TB ANN deployment shape (verdict r6 #7). oracle: golden pin;
+      // recall >= standalone PQ asserted in ExtSpec
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
+        m = 8, ksub = 16, refineFactor = 4)
         .orderBy("query_id", "rank")
     }),
     "sim_topk_pq" -> ((s, d) => {
@@ -1141,6 +1161,24 @@ object SparkEntry {
       "count(*) AS n_events, round(sum(value), 3) AS total_value " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
 
+  /** One column's worth of the drift_psi_multi oracle: the same DuckDB
+    * pipeline as the drift_psi oracle, CTE-suffixed so three columns can
+    * share one WITH clause, tagged with the column name. */
+  private def psiMultiOracleCol(c: String, i: Int): String = {
+    val s = i.toString
+    s"edges$s AS (SELECT list_transform(quantile_cont($c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
+      s"refb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL), " +
+      s"curb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL AND l_returnflag = 'A'), " +
+      s"refc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb$s) AS ref_frac FROM refb$s GROUP BY bin), " +
+      s"curc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb$s) AS cur_frac FROM curb$s GROUP BY bin), " +
+      s"bins$s AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
+      s"j$s AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+      s"FROM bins$s LEFT JOIN refc$s USING (bin) LEFT JOIN curc$s USING (bin)), " +
+      s"k$s AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j$s), " +
+      s"out$s AS (SELECT '$c' AS \"column\", bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
+      s"(SELECT round(sum(psi_contrib), 6) FROM k$s) AS psi_total FROM k$s)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     // Golden pins for the three approximate operators: the pipelines are
     // fully deterministic (seeded xxhash64 signatures, seeded k-means,
@@ -1166,6 +1204,11 @@ object SparkEntry {
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9857), (0, 50, 3, 0.9837), (1, 1, 1, 1.0), (1, 6, 2, 0.8952), (1, 127, 3, 0.8414), (2, 2, 1, 1.0), (2, 450, 2, 0.8923), (2, 5, 3, 0.8852), (3, 3, 1, 1.0), (3, 332, 2, 0.8091), (3, 109, 3, 0.7916), (4, 4, 1, 1.0), (4, 110, 2, 0.7733), (4, 467, 3, 0.7715)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\""),
+    "sim_topk_ivfpq" ->
+      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
@@ -1482,6 +1525,12 @@ object SparkEntry {
         "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
         "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
         "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin"),
+    "drift_psi_multi" ->
+      ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
+        .zipWithIndex.map { case (c, i) => psiMultiOracleCol(c, i) }
+        .mkString(", ") +
+        " SELECT * FROM out0 UNION ALL SELECT * FROM out1 UNION ALL SELECT * FROM out2" +
+        " ORDER BY \"column\", bin"),
     "drift_psi_categorical" ->
       ("WITH cat AS (SELECT coalesce(lang, '__null__') AS c, doc_id FROM documents), " +
         "top3 AS (SELECT c AS cell FROM (SELECT c, count(*) AS n FROM cat GROUP BY c ORDER BY n DESC, c LIMIT 3)), " +

@@ -21,10 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  /** Separator for pair keys: chr(1) never occurs inside a symbol (symbols
-    * are substrings of `\w+` words or single punctuation chars). */
-  private val Sep = "\u0001"
-
   /** Learn `numMerges` merges. `maxVocab` caps the frequency table (by
     * count desc, word asc) so a pathological corpus can't blow the
     * training table; merges are then learned over the most frequent words,
@@ -46,9 +42,14 @@ object BpeTrain {
         // symbols of each word under the merges learned so far (the text is
         // already lowercased/pre-tokenized, so encode verbatim)
         val syms = graft.functions.BpeEncode.of(col("w"), merges, lowercase = false)
-        val pairs = when(size(syms) < 2, array().cast("array<string>"))
+        // pairs aggregate as struct<l,r> — no separator encoding, so a
+        // symbol containing ANY char (control chars included) stays exact;
+        // struct ordering gives the same (count desc, pair asc) tie-break
+        // the string key gave (r6 ADVICE: a U+0001 pre-token corrupted the
+        // split and burned the remaining merge budget on a no-op merge)
+        val pairs = when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
           .otherwise(transform(sequence(lit(1), size(syms) - 1),
-            i => concat(element_at(syms, i), lit(Sep), element_at(syms, i + 1))))
+            i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
         val top = words
           .select(col("cnt"), explode(pairs).as("p"))
           .groupBy("p").agg(sum(col("cnt")).as("c"))
@@ -56,8 +57,8 @@ object BpeTrain {
           .collect()
         if (top.isEmpty) exhausted = true
         else {
-          val parts = top.head.getString(0).split(Sep, 2)
-          merges = merges :+ (parts(0) -> parts(1))
+          val p = top.head.getStruct(0)
+          merges = merges :+ (p.getString(0) -> p.getString(1))
         }
       }
       merges

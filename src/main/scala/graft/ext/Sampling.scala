@@ -158,17 +158,25 @@ object Sampling {
     * `approximate = true` switches to `percentile_approx`, the
     * bounded-memory sketch for 100 TB corpora where an exact percentile
     * would sort the score column), then the cut itself is a pure filter —
-    * one scan, no shuffle. Ties at the threshold are all kept (>=). */
+    * one scan, no shuffle. Ties at the threshold are all kept (>=).
+    *
+    * A NULL score is never "in the top fraction" — null-score rows are
+    * dropped at EVERY fraction, including 1.0, so the operator is
+    * continuous in `fraction` (r6 ADVICE: fraction == 1.0 previously
+    * returned the input verbatim, so null-score rows discontinuously
+    * reappeared at exactly 1.0). `keepTopFraction(df, c, 1.0)` ≡
+    * `df.filter(c IS NOT NULL)`. */
   def keepTopFraction(df: DataFrame, scoreCol: String, fraction: Double,
       approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
-    if (fraction == 1.0) return df
+    val scored = df.filter(q(scoreCol).isNotNull)
+    if (fraction == 1.0) return scored
     val p = lit(1.0 - fraction)
     val thrCol = if (approximate) percentile_approx(q(scoreCol), p, lit(accuracy))
                  else percentile(q(scoreCol), p)
     val row = df.agg(thrCol.cast("double")).head()
-    if (row.isNullAt(0)) df // no non-null scores → nothing to cut
-    else df.filter(q(scoreCol) >= lit(row.getDouble(0)))
+    if (row.isNullAt(0)) scored // no non-null scores → empty, consistently
+    else scored.filter(q(scoreCol) >= lit(row.getDouble(0)))
   }
 
   /** Cap each group at `n` rows — the "domain balancing" step of a corpus

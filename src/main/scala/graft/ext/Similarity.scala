@@ -252,6 +252,118 @@ object Similarity {
     rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
   }
 
+  /** IVF-PQ composition — the actual 100 TB ANN deployment shape (FAISS
+    * IndexIVFPQ, Jégou et al. §IV): an IVF coarse quantizer routes each
+    * vector to a cell, and product quantization encodes the RESIDUAL
+    * (vector − cell centroid) in m-byte codes. Residuals concentrate near
+    * zero, so the shared residual codebooks quantize far more accurately
+    * than raw-vector PQ at the same code size; queries probe their
+    * `nProbe` nearest cells and ADC-scan only those cells' codes — at
+    * scale the scan touches |corpus|·nProbe/nCentroids rows of m bytes
+    * each, never a raw vector until the exact re-rank.
+    *
+    * Both quantizers train driver-locally ([[LocalKMeans]]) on ONE bounded
+    * sample collect (cells + residuals are derived on the driver from the
+    * same sample — no second pass). Everything downstream is pure
+    * codegen'd expressions over literal codebooks + k-heap aggregates,
+    * like [[pqTopK]]; the per-(query, cell) ADC tables ride the broadcast
+    * probe table. */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int, nCentroids: Int = 64, nProbe: Int = 8,
+      m: Int = 8, ksub: Int = 16, refineFactor: Int = 4,
+      trainSampleFraction: Double = Double.NaN, seed: Long = 42L): DataFrame = {
+    require(m > 0 && ksub > 1 && refineFactor >= 1 && nProbe >= 1,
+      "m > 0, ksub > 1, refine >= 1, nProbe >= 1")
+    val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
+    // ONE sample collect feeds both trainings
+    val sample = collectTrainVectors(c,
+      math.max(nCentroids, ksub), trainSampleFraction, seed)
+    require(sample.nonEmpty, "ivfPqTopK: corpus is empty — nothing to index")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val centers = LocalKMeans.fit(sample, nCentroids, seed)
+    // driver-side residuals of the SAME sample train the shared residual
+    // codebooks (FAISS by_residual): assign each sample point to its
+    // nearest center, subtract
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < centers.length) {
+        var s = 0.0; var t = 0
+        while (t < dim) { val d = v(t) - centers(j)(t); s += d * d; t += 1 }
+        if (s < bd) { bd = s; best = j }
+        j += 1
+      }
+      best
+    }
+    val residuals = sample.map { v =>
+      val ctr = centers(nearest(v))
+      Array.tabulate(dim)(t => v(t) - ctr(t))
+    }
+    val codebooks: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      LocalKMeans.fit(sub, ksub, seed + j).map(_.toSeq).toSeq
+    }
+    val bookLits = (0 until m).map(j => typedlit(codebooks(j)))
+    val centLit = typedlit(centers.map(_.toSeq).toSeq)
+
+    // corpus encode: cell = argmin over centroid table; codes = per
+    // subspace argmin of the RESIDUAL slice against the residual codebook
+    val cellD = sqDistToEach(col("cv"), centLit)
+    val cellCol = (array_position(cellD, array_min(cellD)) - 1).cast("int")
+    val resid = zip_with(col("cv"), element_at(centLit, col("cell") + 1),
+      (x, y) => x.cast("double") - y)
+    def subSlice(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    val codes = array((0 until m).map { j =>
+      val d = sqDistToEach(subSlice(col("res"), j), bookLits(j))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+    val encoded = c.withColumn("cell", cellCol).withColumn("res", resid)
+      .select(col("corpus_id"), col("cell"), codes.as("codes"))
+
+    // query probes: nProbe nearest cells via the k-heap (as ivfTopK), then
+    // a per-(query, cell) ADC table over the QUERY residual for that cell
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val centDf = broadcast(centers.zipWithIndex.map {
+      case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid"))
+    val qs = queries.select(q(queryId).as("query_id"), q(queryEmb).as("qv"))
+    val l2 = aggregate(zip_with(col("qv"), col("centroid"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val qres = zip_with(col("qv"), element_at(centLit, col("cell") + 1),
+      (x, y) => x.cast("double") - y)
+    val table = concat((0 until m).map(j =>
+      sqDistToEach(subSlice(col("qres"), j), bookLits(j))): _*)
+    val probes = qs.crossJoin(centDf)
+      .withColumn("negd2", -l2)
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore.of(col("negd2"), col("cell"), nProbe).as("pk"))
+      .select(col("query_id"), col("qv"), explode(col("pk.item")).as("cell"))
+      .withColumn("qres", qres)
+      .select(col("query_id"), col("cell"), table.as("tbl"))
+
+    // ADC scan over probed cells only; k-heap keeps k·refine per query
+    val adc = (0 until m).map(j =>
+      element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
+      .reduce(_ + _)
+    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
+        k * refineFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk.item")).as("corpus_id"))
+
+    // exact cosine re-rank of the shortlist
+    val rescored = c.join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
+    rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a signature band with
     * the query; exact cosine ranks candidates. `multiProbe` widens recall
     * by also probing, per band, every bucket at Hamming distance 1 from the

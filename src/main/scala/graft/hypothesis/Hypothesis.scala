@@ -200,20 +200,24 @@ object Hypothesis {
       factories.getOrElse(name,
         sys.error(s"no registered hypothesis named '$name'"))(stats)
     def contains(name: String): Boolean = factories.contains(name)
-  }
 
-  registry.register("two_sample_ttest") { st =>
-    twoSampleTtest(
-      st("groupby").toString, st("sample1").toString, st("sample2").toString,
-      relationshipFromString(st("relationship").toString),
-      st("alpha").toString.toDouble,
-      st.get("equal_var").forall(_ == true))
-  }
-  registry.register("one_sample_ttest") { st =>
-    oneSampleTtest(
-      st("popmean").toString.toDouble,
-      relationshipFromString(st("relationship").toString),
-      st("alpha").toString.toDouble)
+    // built-in registrations live INSIDE the registry object: accessing a
+    // nested Scala object does NOT initialize its enclosing object, so
+    // registrations in the Hypothesis body would be invisible to a caller
+    // whose first touch of this module is the registry itself
+    register("two_sample_ttest") { st =>
+      twoSampleTtest(
+        st("groupby").toString, st("sample1").toString, st("sample2").toString,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble,
+        st.get("equal_var").forall(_ == true))
+    }
+    register("one_sample_ttest") { st =>
+      oneSampleTtest(
+        st("popmean").toString.toDouble,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble)
+    }
   }
 
   /** One-sample t-test vs `popmean`

@@ -73,6 +73,24 @@ object SchemaIO {
         opt("max_value").map(x => x.toString.toDouble.toInt))
       case "unique_values_eq" =>
         Check.uniqueValuesEq(v("values").asInstanceOf[Seq[Any]])
+      // statistical aggregate checks (beyond-reference, Check.scala
+      // sketch-based family) — statistics-driven like everything else, so
+      // they YAML round-trip (pre-r7 these deserialized but were never
+      // serialized: serializableCheck only admitted ColumnCheck)
+      case "approx_distinct_between" =>
+        Check.approxDistinctBetween(v("min_value").toString.toLong,
+          v("max_value").toString.toLong,
+          opt("rsd").map(_.toString.toDouble).getOrElse(0.05))
+      case "quantile_between" =>
+        Check.quantileBetween(v("prob").toString.toDouble,
+          v("min_value").toString.toDouble, v("max_value").toString.toDouble,
+          opt("accuracy").map(_.toString.toDouble.toInt).getOrElse(10000))
+      case "mean_between" =>
+        Check.meanBetween(v("min_value").toString.toDouble,
+          v("max_value").toString.toDouble)
+      case "stddev_between" =>
+        Check.stddevBetween(v("min_value").toString.toDouble,
+          v("max_value").toString.toDouble)
       case other if graft.hypothesis.Hypothesis.registry.contains(other) =>
         // registered hypotheses rebuild from their statistics, exactly like
         // registered checks (verdict r6 #3: the register_builtin_hypothesis
@@ -118,9 +136,14 @@ object SchemaIO {
     "str_startswith" -> "string", "str_endswith" -> "string",
     "str_length" -> "min_value", "unique_values_eq" -> "values")
 
+  private val aggBetweenNames: Set[String] = Set(
+    "approx_distinct_between", "quantile_between", "mean_between",
+    "stddev_between")
+
   private def isKnownCheckName(n: String): Boolean =
     unaryStatKey.contains(checkAliases.getOrElse(n, n)) ||
-      checkAliases.getOrElse(n, n) == "in_range" || Check.registry.contains(n) ||
+      checkAliases.getOrElse(n, n) == "in_range" ||
+      aggBetweenNames.contains(n) || Check.registry.contains(n) ||
       graft.hypothesis.Hypothesis.registry.contains(n)
 
   /** Build a check from any serialized payload shape the reference emits or
@@ -193,18 +216,14 @@ object SchemaIO {
     case other => sys.error(s"cannot parse serialized checks: $other")
   }
 
-  private def serializableCheck(c: Check): Boolean = c match {
-    case cc: ColumnCheck =>
-      try { checkFromStats(cc.name, cc.statistics); true }
-      catch { case _: Exception => false }
-    // a registered hypothesis round-trips iff its factory can rebuild it
-    // from its own statistics (a Custom relationship, e.g., cannot)
-    case ac: graft.checks.AggregateCheck
-        if graft.hypothesis.Hypothesis.registry.contains(ac.name) =>
-      try { checkFromStats(ac.name, ac.statistics); true }
-      catch { case _: Exception => false }
-    case _ => false
-  }
+  /** A check round-trips iff checkFromStats can rebuild it from its own
+    * (name, statistics) — uniformly for builtin column checks, builtin
+    * aggregate checks, registered checks, and registered hypotheses.
+    * Custom lambdas (unknown name) and hypotheses with a Custom
+    * relationship fail the probe and are reported by unserializable(). */
+  private def serializableCheck(c: Check): Boolean =
+    try { checkFromStats(c.name, c.statistics); true }
+    catch { case _: Exception => false }
 
   /** Checks that will NOT survive serialization: custom lambda checks, plus
     * same-name siblings beyond the first on one column (the document format

@@ -29,6 +29,9 @@ object PinGen {
         queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4))
       fmt("pq", graft.ext.Similarity.pqTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4))
+      fmt("ivfpq", graft.ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
+        m = 8, ksub = 16, refineFactor = 4))
     }
     spark.stop()
   }

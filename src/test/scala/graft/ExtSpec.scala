@@ -212,6 +212,32 @@ class ExtSpec extends SparkSpec {
     assert(self.nonEmpty && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("similarity: IVF-PQ recall >= plain PQ recall, deterministic, window-free") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+      m = 8, ksub = 16, refineFactor = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+      nCentroids = 16, nProbe = 12, m = 8, ksub = 16, refineFactor = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = run()
+    val pqRecall = (brute intersect pq).size.toDouble / brute.size
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    // residual codebooks quantize tighter than raw-vector PQ — composition
+    // must not cost recall vs the standalone PQ gate (r6 verdict #7)
+    assert(recall >= pqRecall - 1e-9, s"IVF-PQ recall $recall < PQ recall $pqRecall")
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
+    assert(run() == ivfpq) // seeded local k-means → stable results
+    val plan = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, nCentroids = 8, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "IVF-PQ plan must be window-free")
+  }
+
   test("dedup: semanticDedupText drops exact and bag-of-words near-dups") {
     // docs: 4 = exact dup of 0; 1 = one-word edit of 0 (high cosine);
     // 2, 3 unrelated. Representative (min id) survives per cluster.
@@ -920,6 +946,80 @@ class ExtSpec extends SparkSpec {
     assert(cells.contains("__null__"))
   }
 
+  test("dedup: clusterPairs converges in O(log n) rounds on a 200-node path") {
+    // the worst case for plain min-label propagation: a path graph of
+    // diameter 199 (199 rounds without shortcutting). Pointer doubling
+    // must close it within 12 rounds — maxIterations = 12 errors otherwise.
+    val pathPairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = graft.ext.Dedup.clusterPairs(pathPairs, maxIterations = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "all nodes must label to the component min")
+  }
+
+  test("drift: psiMulti == per-column psi, in exactly 2 actions for 3 columns") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cur = li.filter(col("l_returnflag") === "A")
+    val cols = Seq("l_extendedprice", "l_quantity", "l_discount")
+    // count ACTIONS (SQL executions — AQE may split one action into many
+    // jobs, so job counts are the wrong metric)
+    val execs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val multi =
+      try {
+        val m = graft.ext.Drift.psiMulti(li, cur, cols, bins = 10)
+        val rows = m.collect()
+        // listener delivery is async — wait for the expected 2, then a
+        // grace beat to catch overshoot
+        val deadline = System.currentTimeMillis() + 10000
+        while (execs.get() < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        Thread.sleep(500)
+        assert(execs.get() == 2,
+          s"psiMulti must cost 2 actions (fused edges + fused binning), got ${execs.get()}")
+        rows
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // value equivalence: each column's slice == the single-column operator
+    for (c <- cols) {
+      val single = graft.ext.Drift.psi(li, cur, c, bins = 10).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      val slice = multi.filter(_.getString(0) == c)
+        .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(_._1).toSeq
+      assert(slice == single, s"psiMulti diverges from psi on $c")
+    }
+  }
+
+  test("drift: psiCategoricalMulti == per-column psiCategorical; fencesMulti == fences") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cur = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val multi = graft.ext.Drift.psiCategoricalMulti(docs, cur,
+      Seq("lang", "source"), maxCategories = 3).collect()
+    for (c <- Seq("lang", "source")) {
+      val single = graft.ext.Drift.psiCategorical(docs, cur, c, maxCategories = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      val slice = multi.filter(_.getString(0) == c)
+        .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      assert(slice == single, s"psiCategoricalMulti diverges on $c")
+    }
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val fm = graft.ext.Outliers.iqrFencesMulti(li, Seq("l_quantity", "l_tax"))
+    assert(fm("l_quantity") == graft.ext.Outliers.iqrFences(li, "l_quantity"))
+    assert(fm("l_tax") == graft.ext.Outliers.iqrFences(li, "l_tax"))
+  }
+
   test("sessions: gap-timeout grouping incl. exact-boundary split") {
     val us = 1000000L // 1s in micros
     def ns(sec: Long) = sec * 1000000000L
@@ -950,6 +1050,13 @@ class ExtSpec extends SparkSpec {
       .count()
     assert(approx >= 20 && approx <= 30) // sketch tolerance
     assert(graft.ext.Sampling.keepTopFraction(d, "score", 1.0).count() == 100)
+    // null scores are never "in the top fraction" — dropped at EVERY
+    // fraction including 1.0 (continuity; r6 ADVICE)
+    val withNull = d.select(col("id"),
+      when(col("id") <= 10, col("score")).otherwise(lit(null)).as("score"))
+    assert(graft.ext.Sampling.keepTopFraction(withNull, "score", 1.0).count() == 10)
+    // quantile_cont(0.5) over 1..10 = 5.5 → keep 6..10
+    assert(graft.ext.Sampling.keepTopFraction(withNull, "score", 0.5).count() == 5)
   }
 
   test("sampling: shuffleByKey is deterministic and partition-independent") {

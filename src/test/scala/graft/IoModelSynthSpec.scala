@@ -53,6 +53,57 @@ class IoModelSynthSpec extends SparkSpec {
     assert(SchemaIO.dtypeToName(DoubleType) == "float64")
   }
 
+  test("hypothesis registry: YAML round trip, Custom unserializable, unknown flat key errors") {
+    import graft.hypothesis.Hypothesis
+    // registered hypothesis survives the round trip and rebuilds BY NAME
+    val hyp = Hypothesis.registry("one_sample_ttest",
+      Map("popmean" -> 5.0, "relationship" -> "GreaterThan", "alpha" -> 0.05))
+    val s = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType), Seq(hyp)))
+    assert(SchemaIO.unserializable(s).isEmpty)
+    val back = SchemaIO.fromYaml(SchemaIO.toYaml(s))
+    val bc = back.column("price").get.checks.head
+    assert(bc.name == "one_sample_ttest")
+    assert(bc.statistics("popmean") == 5.0)
+    assert(bc.statistics("relationship") == "GreaterThan")
+    assert(SchemaIO.toYaml(back) == SchemaIO.toYaml(s))
+    // reference snake-case relationship spellings parse too
+    assert(Hypothesis.relationshipFromString("not_equal") == Hypothesis.NotEqual)
+    // a Custom relationship cannot round-trip → reported unserializable
+    val custom = Hypothesis.oneSampleTtest(1.0,
+      Hypothesis.Custom((stat, _) => stat > 0), alpha = 0.05)
+    val s2 = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType), Seq(custom)))
+    assert(SchemaIO.unserializable(s2).nonEmpty)
+    // unknown registry name fails fast
+    intercept[RuntimeException](Hypothesis.registry("no_such_hypothesis", Map.empty))
+    // r7: an unrecognized flat check key is an ERROR, not a silent skip
+    val doc =
+      """schema_type: dataframe
+        |columns:
+        |  x:
+        |    dtype: float64
+        |    greater_thann: 0
+        |""".stripMargin
+    val err = intercept[IllegalArgumentException](SchemaIO.fromYaml(doc))
+    assert(err.getMessage.contains("greater_thann"))
+  }
+
+  test("aggregate builtin checks round-trip through YAML (r7: previously dropped)") {
+    val s = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType), Seq(
+      Check.uniqueValuesEq(Seq("A", "B")),
+      Check.approxDistinctBetween(2L, 100L),
+      Check.quantileBetween(0.5, 1.0, 50.0),
+      Check.meanBetween(0.0, 10.0),
+      Check.stddevBetween(0.0, 5.0))))
+    assert(SchemaIO.unserializable(s).isEmpty)
+    val back = SchemaIO.fromYaml(SchemaIO.toYaml(s))
+    val names = back.column("price").get.checks.map(_.name).toSet
+    assert(names == Set("unique_values_eq", "approx_distinct_between",
+      "quantile_between", "mean_between", "stddev_between"))
+    assert(SchemaIO.toYaml(back) == SchemaIO.toYaml(s))
+    val q = back.column("price").get.checks.find(_.name == "quantile_between").get
+    assert(q.statistics("prob") == 0.5 && q.statistics("accuracy") == 10000)
+  }
+
   test("toScript emits compilable-looking schema code") {
     val code = SchemaIO.toScript(schema)
     assert(code.contains("Check.inRange(0.5, 99.5)"))
