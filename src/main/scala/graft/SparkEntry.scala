@@ -385,6 +385,13 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, d) =>
       // round-5: corpus vocabulary, top 20 tokens by (count desc, token)
       ext.TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 20)),
+    "text_perplexity" -> ((s, d) =>
+      // round-7: CCNet-shaped quality signal — add-k unigram LM fit on the
+      // corpus itself, each doc scored by cross-entropy/perplexity;
+      // vocabSize=20 of the corpus's 31 distinct tokens so the OOV mass
+      // path is exercised
+      ext.TextAnalysis.unigramPerplexity(t(s, d, "documents"), "doc_id",
+        "text", vocabSize = 20, addK = 0.5).orderBy("doc_id")),
     "text_classifier" -> ((s, d) =>
       // round-5: fasttext-shaped linear classifier (token weights → mean →
       // sigmoid); weights table mimics a tiny trained quality model
@@ -578,6 +585,22 @@ object SparkEntry {
       // the oracle is exact; the LSH path is the scale default)
       ext.Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, useLsh = false).select("vec_id").orderBy("vec_id")),
+    "cluster_kmeans" -> ((s, d) =>
+      // round-7: distributed Lloyd's over the full embedding table —
+      // fixed-point centroid accumulation makes the fit bit-deterministic
+      // under any partitioning (oracle: golden pin, 8 rows)
+      ext.Clustering.kMeansSummary(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 5, seed = 42).orderBy("cluster")),
+    "dedup_semantic_kmeans" -> ((s, d) => {
+      // round-7: SemDeDup as published (k-means blocking, within-cluster
+      // cosine pairs only). Gate output = the REMOVED ids (tiny exact pin);
+      // survivors = embeddings minus these
+      val emb = t(s, d, "embeddings")
+      val kept = ext.Clustering.semanticDedupKMeans(emb, "vec_id", "embedding",
+        k = 8, threshold = 0.45, iters = 5, seed = 42)
+      emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id").orderBy("vec_id")
+    }),
 
     // ---- extensions: deterministic sampling / split assignment ----
     "sample_hash" -> ((s, d) =>
@@ -601,6 +624,21 @@ object SparkEntry {
         "added_flag" -> ColumnSchema(Some(BooleanType)))
         .copy(unique = Seq("id", "qty"))
       SchemaDiff.report(s, v1, v2).orderBy("column", "change")
+    }),
+    "corpus_diff" -> ((s, d) => {
+      // round-7: row-level snapshot diff (added/removed/changed/unchanged).
+      // The "new" snapshot is derived from documents deterministically so
+      // the DuckDB oracle can rebuild the identical pair of inputs:
+      // doc_id%7==0 dropped, doc_id%5==0 text-edited, doc_id%11==0
+      // re-added under doc_id+1000000
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     }),
     "outlier_iqr" -> ((s, d) => {
       // round-5: Tukey-fence outlier detection on order totals — exact
@@ -1205,6 +1243,16 @@ object SparkEntry {
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9857), (0, 50, 3, 0.9837), (1, 1, 1, 1.0), (1, 6, 2, 0.8952), (1, 127, 3, 0.8414), (2, 2, 1, 1.0), (2, 450, 2, 0.8923), (2, 5, 3, 0.8852), (3, 3, 1, 1.0), (3, 332, 2, 0.8091), (3, 109, 3, 0.7916), (4, 4, 1, 1.0), (4, 110, 2, 0.7733), (4, 467, 3, 0.7715)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
+    "cluster_kmeans" ->
+      ("SELECT CAST(cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n, CAST(centroid_norm AS DOUBLE) AS centroid_norm FROM (" +
+        "SELECT * FROM (VALUES (0, 80, 0.2544), (1, 67, 0.2625), (2, 63, 0.2597), (3, 55, 0.2832), (4, 52, 0.2919), (5, 62, 0.2562), (6, 61, 0.266), (7, 60, 0.2725)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 61, 0.261), (1, 70, 0.2404), (2, 76, 0.2512), (3, 64, 0.2679), (4, 64, 0.2563), (5, 59, 0.2935), (6, 49, 0.2888), (7, 57, 0.2888)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY cluster"),
+    "dedup_semantic_kmeans" ->
+      ("SELECT CAST(vec_id AS BIGINT) AS vec_id FROM (" +
+        "SELECT * FROM (VALUES (358), (454)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (256), (287), (298), (388)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY vec_id"),
     "sim_topk_ivfpq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
@@ -1374,6 +1422,16 @@ object SparkEntry {
       ("WITH tk AS (SELECT CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
         "tok AS (SELECT unnest(t) AS token FROM tk) " +
         "SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "text_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
+        "cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token), " +
+        "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnts), " +
+        "vocab AS (SELECT token, cnt FROM cnts ORDER BY cnt DESC, token LIMIT 20), " +
+        "sc AS (SELECT tk.doc_id, count(*) AS n, sum(ln((coalesce(v.cnt, 0) + 0.5) / ((SELECT t FROM tot) + 0.5 * 21))) AS s " +
+        "FROM toks tk LEFT JOIN vocab v USING (token) GROUP BY tk.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens, " +
+        "round(-sc.s / sc.n, 4) AS cross_entropy, round(exp(-sc.s / sc.n), 2) AS perplexity " +
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"),
     "text_classifier" ->
       ("WITH w(token, wt) AS (SELECT * FROM (VALUES ('the', 0.8), ('and', 0.5), ('science', 2.0), ('data', 1.5), ('der', -1.0), ('el', -0.7), ('click', -2.0))), " +
         "tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
@@ -1481,6 +1539,14 @@ object SparkEntry {
         "('added_flag', 'added', '', 'boolean'), ('old_note', 'removed', 'string', ''), " +
         "('qty', 'dtype_changed', 'int', 'bigint'), ('qty', 'nullable_changed', 'true', 'false')) " +
         "v(\"column\", change, from_value, to_value) ORDER BY \"column\", change"),
+    "corpus_diff" ->
+      ("WITH oldsnap AS (SELECT doc_id, text FROM documents), " +
+        "newsnap AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' ELSE 'changed' END AS status " +
+        "FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id ORDER BY doc_id"),
     "outlier_iqr" ->
       ("WITH f AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), " +
         "b AS (SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM f) " +

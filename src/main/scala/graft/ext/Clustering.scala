@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over an embedding column — the domain-clustering /
+  * data-mixing workhorse (cluster the corpus, then weight, cap, inspect, or
+  * dedup per cluster). Complements [[LocalKMeans]]: that fits on a BOUNDED
+  * driver-side sample (the right call for ANN quantizer codebooks, where
+  * centroid quality saturates at ~O(100) points/centroid); this runs
+  * Lloyd's iterations over the FULL distributed corpus, for when cluster
+  * masses and assignments must reflect every row (SemDeDup per-cluster
+  * budgets, mixture weights).
+  *
+  * Scale shape: each iteration is ONE distributed job — assignment is a
+  * codegen'd argmin over the literal centroid table fused into the scan
+  * (no ML transform, no UDF), the update is a (k·dim)-cell aggregation
+  * with map-side partials, and only k·dim cells (not data) reach the
+  * driver. Total cost: `iters` scans of (id, vec); nothing data-sized is
+  * ever collected or broadcast besides the centroid table itself.
+  *
+  * Determinism (the oracle/golden-pin contract): centroid updates
+  * accumulate in FIXED-POINT — each component contributes
+  * round(v·10⁶) as a long, and long addition is exact and
+  * order-independent, so the fit is bit-identical under any partitioning
+  * or scheduling. (A double sum would drift in the last ulp with merge
+  * order and poison downstream argmin ties.) Long capacity bounds the
+  * corpus at ~9·10¹² rows per cluster for unit-scale components
+  * (9.2·10¹⁸ / 10⁶) — comfortably past 100 TB of embeddings; components
+  * must be ≲10³ in magnitude for the same headroom.
+  */
+object Clustering {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Seeded deterministic init: the k rows with the smallest
+    * xxhash64(id, seed) — a partition-independent pseudo-random draw
+    * (TakeOrderedAndProject, so the selected set and order never depend on
+    * parallelism). */
+  private def initCentroids(base: DataFrame, k: Int, seed: Long): Array[Array[Double]] =
+    base.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** transform-based squared-L2 to every centroid in a literal table (cf.
+    * Similarity.sqDistToEach — duplicated at private scope to keep the two
+    * modules independently evolvable). */
+  private def sqDistToEach(v: Column, cents: Column): Column =
+    transform(cents, cent => aggregate(
+      zip_with(v, cent, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def argminCluster(cents: Array[Array[Double]]): Column = {
+    val d = sqDistToEach(col("v"), typedlit(cents.map(_.toSeq).toSeq))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  private val Scale = 1e6
+
+  /** Full-corpus Lloyd's fit: `iters` fixed rounds (fixed job count — no
+    * convergence action; k-means improvement is monotone, extra rounds are
+    * wasted work not wrong answers). Empty clusters keep their previous
+    * centroid. Returns the k centroids (components quantized to the 10⁻⁶
+    * fixed-point grid — the determinism contract above). */
+  def kMeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1, "k >= 1")
+    require(iters >= 1, "iters >= 1")
+    val base = df.select(q(idCol).as("id"), q(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    var cents = initCentroids(base, k, seed)
+    require(cents.nonEmpty, "kMeansFit: no non-null vectors")
+    for (_ <- 1 to iters) {
+      // one job: argmin-assign in the scan, fixed-point component sums
+      val cells = base
+        .select(argminCluster(cents).as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * Scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      cells.foreach { r =>
+        val (cl, pos) = (r.getInt(0), r.getInt(1))
+        next(cl)(pos) = math.rint(r.getLong(2).toDouble / r.getLong(3)) / Scale
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Assign every row to its nearest centroid — one codegen'd scan, the
+    * centroid table rides as a literal. Output: input row id + `cluster`. */
+  def kMeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select(q(idCol).as(idCol), q(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col(idCol), argminCluster(centroids).as("cluster"))
+
+  /** Fit + assign. */
+  def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 10, seed: Long = 42L): DataFrame =
+    kMeansAssign(df, idCol, vecCol, kMeansFit(df, idCol, vecCol, k, iters, seed))
+
+  /** Cluster report — the inspection surface: one row per non-empty
+    * cluster with its mass and centroid L2 norm (norm drift across
+    * snapshots is a cheap domain-shift signal). */
+  def kMeansSummary(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val cents = kMeansFit(df, idCol, vecCol, k, iters, seed)
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val normDf = norms.zipWithIndex.map { case (nm, i) => (i, nm) }.toSeq
+      .toDF("cluster", "nm")
+    kMeansAssign(df, idCol, vecCol, cents)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .join(broadcast(normDf), Seq("cluster"))
+      .select(col("cluster"), col("n"), round(col("nm"), 4).as("centroid_norm"))
+  }
+
+  /** SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * the embedding space, then find cosine near-duplicates WITHIN each
+    * cluster only, keep the minimum-id representative per duplicate group.
+    * The cluster IS the blocking key — candidate pairs are per-cluster
+    * (capped by `maxClusterPairs` ids per cluster through the shared
+    * bucketed-pair generator), so the pair stage is Σ|cluster|² bounded
+    * instead of n², and cross-cluster pairs are never generated (the
+    * paper's accepted recall trade). Alternative blocking (hyperplane LSH
+    * instead of k-means) is [[Dedup.semanticDedup]]; this variant buys
+    * interpretable clusters and a tunable k for the same pipeline slot. */
+  def semanticDedupKMeans(df: DataFrame, idCol: String, embCol: String,
+      k: Int, threshold: Double = 0.95, iters: Int = 10, seed: Long = 42L,
+      maxClusterPairs: Long = 10000L): DataFrame = {
+    val assigned = kMeans(df, idCol, embCol, k, iters, seed)
+    val withVec = assigned.join(
+      df.select(q(idCol).as(idCol), q(embCol).as("__v")), Seq(idCol))
+    val cand = Dedup.bucketedPairs(
+      withVec.select(col("cluster"), col(idCol)), Seq("cluster"), idCol,
+      maxClusterPairs)
+    val vecs = withVec.select(col(idCol), col("__v"))
+    val pairs = cand
+      .join(vecs.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    Dedup.dropNearDuplicates(df, idCol, pairs)
+  }
+}

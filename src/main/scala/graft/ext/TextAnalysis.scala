@@ -278,6 +278,59 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token")).limit(k)
   }
 
+  /** Unigram language-model scoring — the model-free shape of CCNet-style
+    * perplexity filtering (documents far from the corpus's own token
+    * distribution score high and get filtered/bucketed): fit an add-k
+    * smoothed unigram LM on the corpus itself, then score every document's
+    * cross-entropy H = −(1/n)·Σ ln p(token) and perplexity e^H.
+    *
+    *   p(token) = (count(token) + k) / (total + k·(V+1))
+    *
+    * with counts from the top-`vocabSize` tokens (deterministic count
+    * desc / token asc cut, like [[vocabTopK]]) and everything rarer
+    * sharing the out-of-vocabulary mass (the +1 cell).
+    *
+    * Scale shape: the model is ONE token-count aggregation (map-side
+    * partials over exploded tokens) read by two bounded actions — a
+    * TakeOrdered for the vocab cut and one sum for the total — and the
+    * scoring pass is one scan: explode + broadcast-hash-join against the
+    * V-row vocab + per-document re-aggregation, where each document's
+    * partial lives in its input partition (the explode never crosses
+    * partitions before the doc-id re-group). Nothing data-sized ever
+    * reaches the driver; 100 TB scoring is one shuffle-free-ish pass (the
+    * doc-id re-group shuffles (id, n, Σln p) partials, 24 bytes/doc).
+    *
+    * Output: one row per input row — (idCol, n_tokens, cross_entropy,
+    * perplexity); empty/blank documents keep n_tokens = 0 with NULL
+    * entropy/perplexity (no tokens → no distribution to be far from). */
+  def unigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 10000,
+      addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, "vocabSize > 0")
+    require(addK > 0, "addK > 0 (unsmoothed OOV would be ln 0)")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val toks = df.select(id.as("__id"),
+      explode(tokens(normalized(text))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // two bounded driver actions over the (distinct-token-sized) count
+    // frame: the V-row vocab and the scalar total
+    val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val denom = total + addK * (math.min(vocabSize, Int.MaxValue).toDouble + 1.0)
+    val scored = toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((coalesce(col("cnt"), lit(0L)) + addK) / denom)).as("__s"))
+    // left join restores blank documents (explode dropped them)
+    df.select(id.as("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(-col("__s") / col("n_tokens"), 4).as("cross_entropy"),
+        round(exp(-col("__s") / col("n_tokens")), 2).as("perplexity"))
+  }
+
   /** Linear text classifier score — the fasttext-shaped quality/domain
     * classifier every modern corpus pipeline runs (e.g. the "educational
     * value" / "wiki-like" filters): mean of per-token weights from a

@@ -32,6 +32,19 @@ object PinGen {
       fmt("ivfpq", graft.ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
         m = 8, ksub = 16, refineFactor = 4))
+      // cluster_kmeans pin: (cluster, n, centroid_norm) rows
+      val km = graft.ext.Clustering.kMeansSummary(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 42).orderBy("cluster").collect().map { r =>
+        val nm = BigDecimal(r.getDouble(2)).underlying.stripTrailingZeros.toPlainString
+        s"(${r.getInt(0)}, ${r.getLong(1)}, ${if (nm.contains('.')) nm else nm + ".0"})"
+      }
+      println(s"PIN kmeans $sf " + km.mkString(", "))
+      // dedup_semantic_kmeans pin: removed vec_ids
+      val kept = graft.ext.Clustering.semanticDedupKMeans(emb, "vec_id",
+        "embedding", k = 8, threshold = 0.45, iters = 5, seed = 42)
+      val removed = emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id").orderBy("vec_id").collect().map(r => s"(${r.getLong(0)})")
+      println(s"PIN semkm $sf " + removed.mkString(", "))
     }
     spark.stop()
   }

@@ -1059,6 +1059,91 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Sampling.keepTopFraction(withNull, "score", 0.5).count() == 5)
   }
 
+  test("clustering: kMeans deterministic under repartition, assigns all rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = graft.ext.Clustering.kMeansFit(emb, "vec_id", "embedding", k = 4,
+      iters = 3, seed = 7)
+    val c2 = graft.ext.Clustering.kMeansFit(emb.repartition(13), "vec_id",
+      "embedding", k = 4, iters = 3, seed = 7)
+    // fixed-point accumulation ⇒ bit-identical centroids at any parallelism
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val assigned = graft.ext.Clustering.kMeansAssign(emb, "vec_id", "embedding", c1)
+    assert(assigned.count() == 500)
+    assert(assigned.select("cluster").distinct().count() <= 4)
+    // every cluster centroid should be strictly better than random: the
+    // within-cluster dispersion after 3 rounds < initial single-centroid fit
+    val k1 = graft.ext.Clustering.kMeansFit(emb, "vec_id", "embedding", k = 1,
+      iters = 1, seed = 7)
+    def sse(cents: Array[Array[Double]]): Double = {
+      val a = graft.ext.Clustering.kMeansAssign(emb, "vec_id", "embedding", cents)
+        .join(emb, Seq("vec_id"))
+        .select(col("cluster"), col("embedding"))
+        .collect()
+      a.map { r =>
+        val c = cents(r.getInt(0))
+        r.getSeq[Float](1).zipWithIndex.map { case (x, i) =>
+          val d = x - c(i); d * d
+        }.sum
+      }.sum
+    }
+    assert(sse(c1) < sse(k1), "4 clusters must fit tighter than 1")
+  }
+
+  test("clustering: semanticDedupKMeans keeps min-id representative per near-dup group") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kept = graft.ext.Clustering.semanticDedupKMeans(emb, "vec_id",
+      "embedding", k = 8, threshold = 0.45, iters = 5, seed = 42)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.size < 500, "threshold 0.45 must remove something at sf0.001")
+    // within-cluster blocking can only MISS pairs vs the brute path — the
+    // removed set must be a subset of brute SemDeDup's removals
+    val bruteKept = graft.ext.Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.45, useLsh = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val removedKm = (0L until 500L).toSet -- keptIds
+    val removedBrute = (0L until 500L).toSet -- bruteKept
+    assert(removedKm.subsetOf(removedBrute),
+      s"k-means blocking removed ids not in the brute removal set: ${removedKm -- removedBrute}")
+  }
+
+  test("corpus diff: status partition and summary counts") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d"), (5L, "e"))
+      .toDF("id", "text")
+    val got = graft.ext.CorpusDiff.diff(oldSnap, newSnap, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "unchanged"), (5L, "added")))
+    val sm = graft.ext.CorpusDiff.summary(oldSnap, newSnap, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sm == Map("removed" -> 1L, "unchanged" -> 2L, "changed" -> 1L,
+      "added" -> 1L))
+    // compareCols subset: ignoring text ⇒ content changes invisible
+    val byId = graft.ext.CorpusDiff.diff(
+      oldSnap.withColumn("meta", lit("x")), newSnap.withColumn("meta", lit("x")),
+      "id", Seq("meta"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(byId(3L) == "unchanged")
+  }
+
+  test("text: unigramPerplexity matches a hand-computed tiny LM") {
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "  "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // corpus tokens: a,a,b,c → total 4; vocab(top-2 by cnt desc, tok asc) =
+    // a(2), b(1); c is OOV. addK=0.5, denom = 4 + 0.5*3 = 5.5
+    val got = graft.ext.TextAnalysis.unigramPerplexity(docs, "doc_id", "text",
+      vocabSize = 2, addK = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    val pa = (2 + 0.5) / 5.5; val pb = (1 + 0.5) / 5.5; val poov = 0.5 / 5.5
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(0) == ((1L, 3L, Some(r4(-(2 * math.log(pa) + math.log(pb)) / 3)))))
+    assert(got(1) == ((2L, 1L, Some(r4(-math.log(poov))))))
+    assert(got(2) == ((3L, 0L, None)), "blank doc: zero tokens, null entropy")
+    assert(got(3) == ((4L, 0L, None)), "null doc: zero tokens, null entropy")
+  }
+
   test("sampling: shuffleByKey is deterministic and partition-independent") {
     val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val a = graft.ext.Sampling.shuffleByKey(d, "id", seed = 3).select("id")
