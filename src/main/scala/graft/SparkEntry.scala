@@ -392,6 +392,17 @@ object SparkEntry {
       // path is exercised
       ext.TextAnalysis.unigramPerplexity(t(s, d, "documents"), "doc_id",
         "text", vocabSize = 20, addK = 0.5).orderBy("doc_id")),
+    "text_classifier_train" -> ((s, d) =>
+      // round-7: distributed logistic-regression TRAINING for the quality
+      // classifier (linearClassifierScore is the scoring half) — one job
+      // per GD iteration, fixed-point gradient-vector aggregation ⇒
+      // bit-deterministic weights (oracle: golden pin). Label: document
+      // mentions "spark" (text-derived, so actually learnable — the
+      // synthetic `lang` column is uncorrelated with text)
+      ext.ClassifierTrain.trainReport(t(s, d, "documents"), "text",
+        array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"),
+        dim = 1024, iters = 60, lr = 8.0, momentum = 0.95, topK = 8)
+        .orderBy("rank")),
     "text_classifier" -> ((s, d) =>
       // round-5: fasttext-shaped linear classifier (token weights → mean →
       // sigmoid); weights table mimics a tiny trained quality model
@@ -1253,6 +1264,11 @@ object SparkEntry {
         "SELECT * FROM (VALUES (358), (454)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (256), (287), (298), (388)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY vec_id"),
+    "text_classifier_train" ->
+      ("SELECT CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(pos AS INTEGER) AS pos, CAST(weight AS DOUBLE) AS weight, CAST(train_accuracy AS DOUBLE) AS train_accuracy FROM (" +
+        "SELECT * FROM (VALUES (1, 978, -62.682023, 1.0), (2, 1024, -13.851124, 1.0), (3, 254, 4.978852, 1.0), (4, 998, -4.233958, 1.0), (5, 581, 4.073221, 1.0), (6, 705, -3.608663, 1.0), (7, 175, 3.567947, 1.0), (8, 533, 3.561704, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (1, 978, -64.164679, 1.0), (2, 1024, -14.176952, 1.0), (3, 533, 5.529552, 1.0), (4, 693, 4.434215, 1.0), (5, 818, -4.370129, 1.0), (6, 23, -4.187551, 1.0), (7, 456, 4.022876, 1.0), (8, 499, 3.9171, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY \"rank\""),
     "sim_topk_ivfpq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +

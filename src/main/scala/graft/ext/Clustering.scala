@@ -71,17 +71,25 @@ object Clustering {
     var cents = initCentroids(base, k, seed)
     require(cents.nonEmpty, "kMeansFit: no non-null vectors")
     for (_ <- 1 to iters) {
-      // one job: argmin-assign in the scan, fixed-point component sums
+      // one job: argmin-assign in the scan (once per ROW — the grouping
+      // key), then the per-cluster component sums as ONE fixed-point array
+      // aggregate each (no explode: k·dim cells at the exchange, rows
+      // never multiply)
       val cells = base
-        .select(argminCluster(cents).as("cl"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cl"), col("pos"))
-        .agg(sum(round(col("x").cast("double") * Scale).cast("long")).as("s"),
+        .groupBy(argminCluster(cents).as("cl"))
+        .agg(graft.functions.VectorSumFixedPoint.of(
+          transform(col("v"), x => x.cast("double")), Scale).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       cells.foreach { r =>
-        val (cl, pos) = (r.getInt(0), r.getInt(1))
-        next(cl)(pos) = math.rint(r.getLong(2).toDouble / r.getLong(3)) / Scale
+        val (cl, n) = (r.getInt(0), r.getLong(2))
+        val s = r.getSeq[Long](1)
+        var j = 0
+        while (j < s.length) {
+          next(cl)(j) = math.rint(s(j).toDouble / n) / Scale
+          j += 1
+        }
       }
       cents = next
     }

@@ -1,0 +1,210 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Element-wise sum of an `array<double>` column in FIXED-POINT: each
+  * component contributes round(x·scale) as a long, and long addition is
+  * exact and order-independent, so the aggregate is bit-deterministic
+  * under any partitioning / merge order — the accumulation primitive
+  * behind the deterministic distributed trainers
+  * ([[graft.ext.Clustering]] Lloyd's updates, [[graft.ext.ClassifierTrain]]
+  * gradient sums).
+  *
+  * Why not `posexplode` + `groupBy(pos)` + `sum`: exploding multiplies the
+  * row count by dim, and every expression in the projection above the
+  * generator is re-evaluated per OUTPUT row — a per-row O(dim) margin
+  * computation silently becomes O(dim²). This aggregate keeps rows intact:
+  * one O(dim) buffer per partition, map-side partials, dim cells moved at
+  * the exchange regardless of row count.
+  *
+  * Output: `array<long>` of the scaled sums (caller divides by `scale`);
+  * null/empty input arrays are skipped; ragged lengths are an error (a
+  * vector column must be rectangular). NaN components are an error rather
+  * than a silent 0 (round(NaN) would quietly drop the row's contribution).
+  */
+case class VectorSumFixedPoint(
+    child: Expression,
+    scale: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  require(scale > 0, "scale must be > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vector_sum_fixed_point"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return buffer
+    val buf = if (buffer.length == 0) new Array[Long](n) else buffer
+    require(buf.length == n,
+      s"$prettyName: ragged vector column (${buf.length} vs $n elements)")
+    var i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      require(!x.isNaN, s"$prettyName: NaN component at index $i")
+      buf(i) += math.rint(x * scale).toLong
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buffer
+    if (buffer.length == 0) return other
+    require(buffer.length == other.length,
+      s"$prettyName: ragged vector column (${buffer.length} vs ${other.length})")
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.map(java.lang.Long.valueOf).toArray[Any])
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumFixedPoint =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumFixedPoint =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumFixedPoint =
+    copy(child = newChild)
+}
+
+object VectorSumFixedPoint {
+  /** Element-wise fixed-point sum of an array<double> column; returns
+    * array<long> of round(x·scale) sums. */
+  def of(c: Column, scale: Double = 1e6): Column =
+    Bridge.column(VectorSumFixedPoint(Bridge.expression(c), scale)
+      .toAggregateExpression())
+}
+
+/** Σ weight·vec — [[VectorSumFixedPoint]] with a per-row scalar
+  * multiplier: each row contributes round(weight·vec(i)·scale) per
+  * component. The point of taking `weight` as a SEPARATE child (rather
+  * than `transform(vec, x => w * x)` in the caller): a lambda body is
+  * re-evaluated per ELEMENT, so an O(dim) weight expression (a logistic
+  * margin, a distance) would silently cost O(dim²) per row — here it is
+  * evaluated exactly once per row. Rows with a null/NaN weight or null
+  * vector are skipped (consistent with SQL aggregate null semantics). */
+case class VectorWeightedSumFixedPoint(
+    weight: Expression,
+    vec: Expression,
+    scale: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(scale > 0, "scale must be > 0")
+
+  override def children: Seq[Expression] = Seq(weight, vec)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vector_weighted_sum_fixed_point"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val wv = weight.eval(input)
+    val v = vec.eval(input)
+    if (wv == null || v == null) return buffer
+    val w = wv.asInstanceOf[Double]
+    if (w.isNaN) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return buffer
+    val buf = if (buffer.length == 0) new Array[Long](n) else buffer
+    require(buf.length == n,
+      s"$prettyName: ragged vector column (${buf.length} vs $n elements)")
+    var i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      require(!x.isNaN, s"$prettyName: NaN component at index $i")
+      buf(i) += math.rint(w * x * scale).toLong
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buffer
+    if (buffer.length == 0) return other
+    require(buffer.length == other.length,
+      s"$prettyName: ragged vector column (${buffer.length} vs ${other.length})")
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.map(java.lang.Long.valueOf).toArray[Any])
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.length)
+    buffer.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorWeightedSumFixedPoint =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorWeightedSumFixedPoint =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorWeightedSumFixedPoint =
+    copy(weight = newChildren(0), vec = newChildren(1))
+}
+
+object VectorWeightedSumFixedPoint {
+  /** Element-wise fixed-point sum of weight·vec; returns array<long> of
+    * round(w·x·scale) sums. */
+  def of(weight: Column, vec: Column, scale: Double = 1e6): Column =
+    Bridge.column(VectorWeightedSumFixedPoint(
+      Bridge.expression(weight), Bridge.expression(vec), scale)
+      .toAggregateExpression())
+}

@@ -45,6 +45,19 @@ object PinGen {
       val removed = emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
         .select("vec_id").orderBy("vec_id").collect().map(r => s"(${r.getLong(0)})")
       println(s"PIN semkm $sf " + removed.mkString(", "))
+      // text_classifier_train pin: (pos, weight, train_accuracy)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val tr = graft.ext.ClassifierTrain.trainReport(docs, "text",
+        array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"),
+        dim = 1024, iters = 60, lr = 8.0, momentum = 0.95, topK = 8)
+        .orderBy("rank").collect().map { r =>
+        def fd(x: Double) = {
+          val s0 = BigDecimal(x).underlying.stripTrailingZeros.toPlainString
+          if (s0.contains('.')) s0 else s0 + ".0"
+        }
+        s"(${r.getInt(0)}, ${r.getInt(1)}, ${fd(r.getDouble(2))}, ${fd(r.getDouble(3))})"
+      }
+      println(s"PIN clstrain $sf " + tr.mkString(", "))
     }
     spark.stop()
   }

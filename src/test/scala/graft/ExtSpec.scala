@@ -1106,6 +1106,31 @@ class ExtSpec extends SparkSpec {
       s"k-means blocking removed ids not in the brute removal set: ${removedKm -- removedBrute}")
   }
 
+  test("classifier train: separable synthetic set reaches high accuracy, deterministic") {
+    // two disjoint vocabularies ⇒ linearly separable in hashed space
+    val docs = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "good clean prose text quality writing", 1)
+      else (i.toLong, "spam junk click buy cheap pills", 0)
+    }.toDF("id", "text", "y")
+    val w = graft.ext.ClassifierTrain.trainLogistic(docs, "text",
+      col("y") === 1, dim = 64, iters = 30, lr = 10.0, momentum = 0.9)
+    val acc = docs.select(
+        graft.ext.ClassifierTrain.score(col("text"), w).as("p"), col("y"))
+      .collect().map(r => if ((r.getDouble(0) >= 0.5) == (r.getInt(1) == 1)) 1 else 0)
+      .sum / 200.0
+    assert(acc == 1.0, s"separable data must fit exactly, got $acc")
+    // fixed-point gradient sums ⇒ identical weights at any parallelism
+    val w2 = graft.ext.ClassifierTrain.trainLogistic(docs.repartition(13),
+      "text", col("y") === 1, dim = 64, iters = 30, lr = 10.0, momentum = 0.9)
+    assert(w.toSeq == w2.toSeq)
+    // null labels are excluded, not zero-filled
+    val withNull = docs.withColumn("y",
+      when(col("id") < 100, col("y")).otherwise(lit(null)))
+    val w3 = graft.ext.ClassifierTrain.trainLogistic(withNull, "text",
+      when(col("y").isNotNull, col("y") === 1), dim = 64, iters = 5, lr = 10.0)
+    assert(w3.length == 65)
+  }
+
   test("corpus diff: status partition and summary counts") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("id", "text")
