@@ -591,6 +591,12 @@ object SparkEntry {
       // suffix-array re-expression), 8-token spans in ≥ 2 documents
       ext.Dedup.duplicatedSpanRanges(t(s, d, "documents"), "doc_id", "text",
         k = 8, minDocs = 2).orderBy("doc_id", "start_pos")),
+    "dedup_span_rewrite" -> ((s, d) =>
+      // round-7: the ExactSubstr REWRITE step — every duplicated 8-token
+      // span keeps its first (doc, pos) occurrence corpus-wide; all other
+      // occurrences are cut from their documents
+      ext.Dedup.cutDuplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2).orderBy("doc_id")),
     "dedup_semantic" -> ((s, d) =>
       // round-5: SemDeDup-style embedding-space dedup (brute pair path so
       // the oracle is exact; the LSH path is the scale default)
@@ -696,6 +702,16 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 10)
         .orderBy("column", "bin")),
+    "drift_psi_windowed" -> ((s, d) => {
+      // round-7: streaming drift — PSI of the event value per event-time
+      // hour window vs the full-table reference profile; the SAME
+      // transformation runs append-mode streaming (one stateful windowed
+      // agg carrying the bin counters; StreamingSpec replays it)
+      val ev = t(s, d, "events")
+      val (edges, fracs) = ext.Drift.referenceNumericProfile(ev, "value", bins = 5)
+      streaming.StreamingValidation.windowedPsi(ev, "ts", "value", edges,
+        fracs, windowDur = "1 hour").orderBy("window_start", "bin")
+    }),
     "drift_psi_categorical" -> ((s, d) =>
       // round-5: categorical drift on language mix — top-3 reference
       // categories + __other__ bucket (the unbounded-cardinality guard)
@@ -1607,6 +1623,20 @@ object SparkEntry {
         "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
         "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
         "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin"),
+    "drift_psi_windowed" ->
+      ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
+        "curb AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
+        "curc AS (SELECT window_start, bin, count(*) AS n FROM curb GROUP BY 1, 2), " +
+        "tot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
+        "grid AS (SELECT w.window_start, b.bin FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)) b), " +
+        "j AS (SELECT g.window_start, g.bin, greatest(coalesce(rc.ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cc.n, 0)::DOUBLE / tt.t, 1e-6) AS cf " +
+        "FROM grid g LEFT JOIN refc rc ON rc.bin = g.bin LEFT JOIN curc cc ON cc.window_start = g.window_start AND cc.bin = g.bin JOIN tot tt ON tt.window_start = g.window_start), " +
+        "k AS (SELECT window_start, bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j), " +
+        "ptot AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
+        "SELECT k.window_start, k.bin, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, ptot.psi_total " +
+        "FROM k JOIN ptot USING (window_start) ORDER BY window_start, bin"),
     "drift_psi_multi" ->
       ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
         .zipWithIndex.map { case (c, i) => psiMultiOracleCol(c, i) }
@@ -1696,6 +1726,20 @@ object SparkEntry {
         "isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM w) " +
         "SELECT doc_id, min(pos) AS start_pos, CAST(max(pos) + 7 AS INTEGER) AS end_pos " +
         "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_pos"),
+    "dedup_span_rewrite" ->
+      ("WITH tk AS (SELECT doc_id, text, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "occ AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS span " +
+        "FROM tk, LATERAL unnest(range(1, len(t) - 8 + 2)) r(i) WHERE len(t) >= 8), " +
+        "dup AS (SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
+        "cut AS (SELECT doc_id, pos FROM (SELECT o.doc_id, o.pos, row_number() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn FROM occ o JOIN dup USING (span)) WHERE rn > 1), " +
+        "toks AS (SELECT doc_id, CAST(j AS INTEGER) AS j, t[j] AS tok FROM tk, LATERAL unnest(range(1, len(t) + 1)) u(j)), " +
+        "cov AS (SELECT DISTINCT c.doc_id, CAST(j AS INTEGER) AS j FROM cut c, LATERAL unnest(range(c.pos, c.pos + 8)) u(j)), " +
+        "kept AS (SELECT toks.doc_id, toks.j, toks.tok, cov.j IS NOT NULL AS covered FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.j = cov.j), " +
+        "rm AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS tokens_removed FROM kept WHERE covered GROUP BY doc_id), " +
+        "nt AS (SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS text2 FROM kept WHERE NOT covered GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(rm.tokens_removed, 0) AS tokens_removed, " +
+        "CASE WHEN rm.doc_id IS NOT NULL THEN coalesce(nt.text2, '') ELSE d.text END AS text " +
+        "FROM documents d LEFT JOIN rm USING (doc_id) LEFT JOIN nt USING (doc_id) ORDER BY doc_id"),
     "dedup_semantic" ->
       (s"WITH RECURSIVE sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 4) AS cosine " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +

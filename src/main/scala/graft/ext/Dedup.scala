@@ -604,6 +604,68 @@ object Dedup {
       .select(q(idCol), col("start_pos"), col("end_pos"))
   }
 
+  /** The REWRITE step of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass their released tool applies after detection): every
+    * duplicated k-token span keeps exactly ONE occurrence corpus-wide (the
+    * lexicographically first (id, pos) — deterministic) and all other
+    * occurrences are cut from their documents. Returns one row per input
+    * row: (idCol, tokens_removed, textCol), textCol rewritten with the cut
+    * tokens removed (single-space re-joined — whitespace normalizes only
+    * in documents that were actually cut; untouched documents pass through
+    * byte-identical, tokens_removed = 0).
+    *
+    * Shape at 100 TB, on top of [[duplicatedSpans]]' hash-only wide ops:
+    * the canonical occurrence rides the SAME span-hash aggregate
+    * (min(struct(id, pos)) next to the distinct-doc count — no extra job);
+    * cut positions collapse to merged ranges per document (gaps-and-
+    * islands over the per-document window, skew-safe because a partition
+    * is one document); the corpus joins the tiny (id, ranges) side once on
+    * id, and the rewrite itself is a pure codegen'd array expression —
+    * token text never shuffles. */
+  def cutDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    val toks = TextAnalysis.tokens(q(textCol))
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val occ = df
+      .select(q(idCol).as("id"), toks.as("__t"), explode(starts).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("__t"), col("pos"), lit(k)))).as("__h"))
+    val dup = occ.groupBy("__h")
+      .agg(count_distinct(col("id")).as("n_docs"),
+        min(struct(col("id").as("id"), col("pos").as("pos"))).as("__first"))
+      .filter(col("n_docs") >= minDocs)
+    val cuts = occ.join(dup, Seq("__h"))
+      .filter(struct(col("id").as("id"), col("pos").as("pos")) =!= col("__first"))
+      .select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val ranges = cuts
+      .withColumn("__new", when(
+        col("pos") > coalesce(lag(col("pos"), 1).over(byDoc), lit(Int.MinValue))
+          + k, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("s").as("s"), col("e").as("e"))).as("__rng"))
+    val joined = df.join(ranges, q(idCol) === col("id"), "left").drop("id")
+    val withIdx = transform(toks, (t, i) => struct(t.as("t"), (i + 1).as("i")))
+    val keptToks = transform(
+      filter(withIdx, p => !exists(col("__rng"),
+        r => p.getField("i") >= r.getField("s") && p.getField("i") <= r.getField("e"))),
+      p => p.getField("t"))
+    joined.select(
+      q(idCol),
+      when(col("__rng").isNotNull, size(toks) - size(keptToks))
+        .otherwise(lit(0)).cast("int").as("tokens_removed"),
+      when(col("__rng").isNotNull, concat_ws(" ", keptToks))
+        .otherwise(q(textCol)).as(textCol))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold.
     * Baseline: block-nested cross join (only for bounded corpora).
     * Scale path: BANDED random-hyperplane LSH — `lshBands` independent

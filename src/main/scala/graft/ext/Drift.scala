@@ -52,6 +52,35 @@ object Drift {
     * see WHERE the drift sits. Edges are rounded to 6 decimals before
     * binning so engines that re-derive the cut agree bit-for-bit on
     * boundary rows. */
+  /** Batch-side reference profile for
+    * [[graft.streaming.StreamingValidation.windowedPsi]]: the interior
+    * percentile bin edges (6-dp rounded, same convention as [[psi]]) and
+    * the reference bin fractions. Two jobs, run ONCE when a monitor
+    * starts; the profile then rides every micro-batch as plain literals —
+    * no reference scan, no join per trigger. */
+  def referenceNumericProfile(reference: DataFrame, column: String,
+      bins: Int = 10, approximate: Boolean = false,
+      accuracy: Int = 10000): (Seq[Double], Seq[Double]) = {
+    require(bins >= 2, s"bins >= 2, got $bins")
+    val percentages = (1 until bins).map(_.toDouble / bins)
+    val pArr = array(percentages.map(lit): _*)
+    val edgesCol =
+      if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
+      else percentile(q(column), pArr)
+    val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
+    require(!edgesRow.isNullAt(0),
+      s"referenceNumericProfile: reference has no non-null '$column'")
+    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(q(column) > e, 1).otherwise(0))
+    val counts = reference.filter(q(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val fracs = (0 until bins).map(i => counts.getOrElse(i, 0L) / total)
+    (edges, fracs)
+  }
+
   def psi(reference: DataFrame, current: DataFrame, column: String,
       bins: Int = 10, eps: Double = 1e-6,
       approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {

@@ -194,6 +194,61 @@ object StreamingValidation {
     out
   }
 
+  /** Streaming drift monitoring: PSI of a value column per EVENT-TIME
+    * window against a fixed reference profile (from
+    * [[graft.ext.Drift.referenceNumericProfile]]) — the continuous
+    * counterpart of the batch `Drift.psi` monitor, same eps-floor/6-dp
+    * math, one output row per (window, bin) plus the per-window psi_total
+    * in every row. Runs identically on a batch DataFrame (the correctness
+    * oracle) and a streaming one (add a watermark, append or complete
+    * mode).
+    *
+    * Streaming-safe by construction: the ONLY stateful operator is a
+    * single `groupBy(window)` whose aggregate carries the `bins` counters
+    * as separate cells (conditional sums), so state is one short row per
+    * open window, bounded by the watermark; the fractions, PSI
+    * contributions, and the per-window total are pure row-local
+    * expressions over those cells (an `aggregate` over the cell array —
+    * NO second stateful aggregation, no window function), and the
+    * reference profile rides as literals. At 100 TB/day the plan is: scan
+    * → map-side partial counts → one shuffle keyed by time window →
+    * codegen'd arithmetic. */
+  def windowedPsi(events: DataFrame, tsCol: String, valueCol: String,
+      refEdges: Seq[Double], refFracs: Seq[Double],
+      windowDur: String = "1 hour", watermark: Option[String] = None,
+      eps: Double = 1e-6): DataFrame = {
+    val bins = refEdges.length + 1
+    require(refFracs.length == bins, "refFracs must have one entry per bin (edges + 1)")
+    val withTs = events.withColumn("__ets",
+      timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
+    val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
+    val bin = refEdges.foldLeft(lit(0))((acc, e) =>
+      acc + when(col(valueCol) > e, 1).otherwise(0))
+    val counts = (0 until bins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = wm.filter(col(valueCol).isNotNull)
+      .groupBy(window(col("__ets"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until bins).map(i => col(s"__n$i")).reduce(_ + _)
+    val cells = array((0 until bins).map { i =>
+      val rf = greatest(lit(refFracs(i)), lit(eps))
+      val cf = greatest(col(s"__n$i").cast("double") / total.cast("double"), lit(eps))
+      struct(lit(i).as("bin"),
+        round(rf, 6).as("ref_frac"),
+        round(cf, 6).as("cur_frac"),
+        round((cf - rf) * log(cf / rf), 6).as("psi_contrib"))
+    }: _*)
+    agged
+      .withColumn("__cells", cells)
+      .withColumn("psi_total", round(aggregate(col("__cells"), lit(0.0),
+        (a, c) => a + c.getField("psi_contrib")), 6))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("__cells")).as("c"), col("psi_total"))
+      .select(col("window_start"), col("c.bin").as("bin"),
+        col("c.ref_frac").as("ref_frac"), col("c.cur_frac").as("cur_frac"),
+        col("c.psi_contrib").as("psi_contrib"), col("psi_total"))
+  }
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -709,6 +709,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(short, "doc_id", "text", k = 3).count() == 0)
   }
 
+  test("dedup: cutDuplicatedSpans keeps first occurrence, cuts the rest") {
+    import graft.ext.Dedup
+    val d = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lazy dog saw the quick brown fox today"),
+      (3L, "unrelated words only here"),
+      (4L, "a b c"),
+      (5L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    // doc 1 is canonical for the shared "the quick brown fox" run — untouched,
+    // original text byte-identical (incl. its whitespace)
+    assert(out(1L) == ((0, "the quick brown fox jumps high")))
+    // doc 2 cuts span starts 4,5 → tokens 4..7 removed
+    assert(out(2L) == ((4, "lazy dog saw today")))
+    assert(out(3L) == ((0, "unrelated words only here")))
+    // exact-duplicate pair: doc 4 (smaller id) keeps, doc 5 empties
+    assert(out(4L) == ((0, "a b c")))
+    assert(out(5L) == ((3, "")))
+  }
+
   test("dedup: semanticDedup LSH path keeps a superset of brute survivors' reps") {
     import graft.ext.Dedup
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed PSI matches between batch mode and streaming mode") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val (edges, fracs) =
+      graft.ext.Drift.referenceNumericProfile(events, "value", bins = 5)
+    val batch = StreamingValidation.windowedPsi(events, "ts", "value",
+      edges, fracs, windowDur = "1 hour", watermark = None)
+    assert(batch.count() > 0)
+    // every window's psi_total is finite and bins are complete
+    assert(batch.groupBy("window_start").count().filter(org.apache.spark.sql.functions.col("count") =!= 5).count() == 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val rows = events.select("ts", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val q = StreamingValidation.windowedPsi(stream, "ts", "value",
+      edges, fracs, windowDur = "1 hour", watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("wpsi").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      def fmt(r: org.apache.spark.sql.Row) =
+        s"${r.getString(0)}|${r.getInt(1)}|${r.getDouble(2)}|${r.getDouble(3)}|${r.getDouble(4)}|${r.getDouble(5)}"
+      val streamed = spark.sql("SELECT * FROM wpsi").collect().map(fmt).sorted
+      val batched = batch.collect().map(fmt).sorted
+      assert(streamed.sameElements(batched))
+    } finally q.stop()
+  }
+
   test("hourly rollup matches between batch mode and streaming mode") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val batch = StreamingValidation.hourlyRollup(events, "ts", watermark = None)
