@@ -217,6 +217,32 @@ object Bench {
       ext.Dedup.dropExistingExactBloom(docs, docs10, "doc_id", "text").count())
     require(nNew == 0, s"10x corpus holds all 1x texts, got $nNew survivors")
 
+    // round-7: ExactSubstr span REWRITE at 1× and 10× — the wide ops move
+    // only (hash, id, pos) from the native SpanHashes scan; the 10×/1×
+    // ratio is the linearity evidence (the corpus is scanned twice —
+    // span-hash agg + occurrence join — by design: recompute beats
+    // caching a tokens-sized intermediate at corpus scale)
+    timed("dedup_span_rewrite")(
+      ext.Dedup.cutDuplicatedSpans(docs, "doc_id", "text", k = 8)
+        .agg(sum(col("tokens_removed"))).head())
+    timed("dedup_span_rewrite_10x")(
+      ext.Dedup.cutDuplicatedSpans(docs10, "doc_id", "text", k = 8)
+        .agg(sum(col("tokens_removed"))).head())
+
+    // round-7: distributed Lloyd's — one job per round; measures the
+    // fixed-point argmin+array-sum aggregate's per-iteration cost
+    timed("cluster_kmeans")(
+      ext.Clustering.kMeansSummary(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 42).count())
+
+    // round-7: distributed logistic-regression training — 20 GD
+    // iterations = 20 jobs over the persisted feature frame; measures the
+    // iteration round-trip that dominates distributed training
+    timed("classifier_train")(
+      ext.ClassifierTrain.trainLogistic(docs, "text",
+        array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"),
+        dim = 1024, iters = 20, lr = 8.0, momentum = 0.95))
+
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     timed("events_sessions")(
       ext.Sessions.sessionize(ev, "user_id", "ts", "value").count())

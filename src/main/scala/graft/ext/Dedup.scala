@@ -550,6 +550,22 @@ object Dedup {
     incoming.join(matched, q(idCol) === col("__hit"), "left_anti")
   }
 
+  /** (id, pos, span-hash) for every k-token span of every document — the
+    * shared scan of the span-dedup family, via the native
+    * [[graft.functions.SpanHashes]] loop (tokenize once per row, O(k)
+    * per span). The obvious formulations are quadratic traps: aliasing the
+    * token array in a projection below the explode lets CollapseProject
+    * inline the split into the per-span slice, and referencing the token
+    * EXPRESSION inside a per-span lambda re-evaluates it per element —
+    * both re-split the whole document per span, O(tokens²·regex) per doc
+    * (measured ~25 µs/span on the 10× corpus before this shape). */
+  private def spanOcc(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(q(idCol).as("id"), posexplode(
+        graft.functions.HashFunctions.spanHashes(
+          TextAnalysis.tokens(q(textCol)), k)).as(Seq("__p0", "__h")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("__h"))
+
   /** Span-level cross-document duplicate detection — the hash-based
     * re-expression of suffix-array substring dedup (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"): every
@@ -568,13 +584,7 @@ object Dedup {
       k: Int = 16, minDocs: Long = 2L): DataFrame = {
     require(k >= 1, "k >= 1")
     require(minDocs >= 2, "minDocs >= 2")
-    val toks = TextAnalysis.tokens(q(textCol))
-    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val occ = df
-      .select(q(idCol).as("id"), toks.as("__t"), explode(starts).as("pos"))
-      .select(col("id"), col("pos"),
-        xxhash64(concat_ws(" ", slice(col("__t"), col("pos"), lit(k)))).as("__h"))
+    val occ = spanOcc(df, idCol, textCol, k)
     val dup = occ.groupBy("__h")
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -628,13 +638,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k >= 1")
     require(minDocs >= 2, "minDocs >= 2")
-    val toks = TextAnalysis.tokens(q(textCol))
-    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val occ = df
-      .select(q(idCol).as("id"), toks.as("__t"), explode(starts).as("pos"))
-      .select(col("id"), col("pos"),
-        xxhash64(concat_ws(" ", slice(col("__t"), col("pos"), lit(k)))).as("__h"))
+    val occ = spanOcc(df, idCol, textCol, k)
     val dup = occ.groupBy("__h")
       .agg(count_distinct(col("id")).as("n_docs"),
         min(struct(col("id").as("id"), col("pos").as("pos"))).as("__first"))
@@ -653,6 +657,7 @@ object Dedup {
       .groupBy(col("id"))
       .agg(collect_list(struct(col("s").as("s"), col("e").as("e"))).as("__rng"))
     val joined = df.join(ranges, q(idCol) === col("id"), "left").drop("id")
+    val toks = TextAnalysis.tokens(q(textCol))
     val withIdx = transform(toks, (t, i) => struct(t.as("t"), (i + 1).as("i")))
     val keptToks = transform(
       filter(withIdx, p => !exists(col("__rng"),

@@ -206,6 +206,51 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** xx64 hash of every k-token span of a token array: output element i is
+  * `xxhash64(concat_ws(' ', tokens[i..i+k-1]))` (seed 42, identical bytes
+  * and seed to the SQL formulation, so results are interchangeable with
+  * it); arrays shorter than k yield an EMPTY array — span semantics, NOT
+  * [[WordShingles]]' collapse-to-one-shingle, because a position-addressed
+  * span must not invent a span that covers fewer than k tokens. One native
+  * loop per row; positions recover as `posexplode` index + 1. Replaces the
+  * lambda formulation in the span-dedup scan, where per-element
+  * interpreted dispatch (and, before that, a CollapseProject-induced
+  * re-split of the document per span) dominated the corpus scan. */
+case class SpanHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      out(i) = XxHash64Function.hash(
+        UTF8String.concatWs(space, parts: _*), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
 /** Feature-hashing vectorizer (the "hashing trick", Weinberger et al.
   * 2009): a token array becomes a dense `dim`-float vector where each
   * token adds ±1 at index xx64(token) mod dim, the sign drawn from an
@@ -259,6 +304,9 @@ object HashFunctions {
 
   def wordShingles(tokens: Column, k: Int): Column =
     Bridge.column(WordShingles(expr(tokens), k))
+
+  def spanHashes(tokens: Column, k: Int): Column =
+    Bridge.column(SpanHashes(expr(tokens), k))
 
   def featureHashVector(tokens: Column, dim: Int): Column =
     Bridge.column(FeatureHashVector(expr(tokens), dim))

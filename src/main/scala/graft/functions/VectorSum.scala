@@ -4,8 +4,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -207,4 +208,79 @@ object VectorWeightedSumFixedPoint {
     Bridge.column(VectorWeightedSumFixedPoint(
       Bridge.expression(weight), Bridge.expression(vec), scale)
       .toAggregateExpression())
+}
+
+/** x / ‖x‖₂ with a trailing bias-1 component — the featurization step of
+  * [[graft.ext.ClassifierTrain]] as ONE native O(dim) loop. The
+  * `aggregate`/`transform` higher-order-function formulation it replaces
+  * is evaluated interpreted (HOFs are CodegenFallback) with a lambda
+  * dispatch per ELEMENT — ~1 ms/row at dim=1024, which multiplied by rows
+  * × GD iterations dominated training wall-clock. Sum-of-squares
+  * accumulates left-to-right exactly like the old fold, so results are
+  * bit-identical and golden pins survive. All-zero input stays zero
+  * (bias-only row); expects `array<double>` (cast upstream). */
+case class VectorL2NormalizeBias(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_vector_l2_normalize_bias"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n + 1)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getDouble(i); ss += x * x; i += 1 }
+    if (ss > 0) {
+      val nrm = math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) = arr.getDouble(i) / nrm; i += 1 }
+    }
+    out(n) = 1.0
+    new GenericArrayData(out.map(java.lang.Double.valueOf).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorL2NormalizeBias =
+    copy(child = newChild)
+}
+
+object VectorL2NormalizeBias {
+  def of(vec: Column): Column =
+    Bridge.column(VectorL2NormalizeBias(Bridge.expression(vec)))
+}
+
+/** w · x against a LITERAL weight vector in one native O(dim) loop —
+  * the margin evaluation of [[graft.ext.ClassifierTrain]] (and any
+  * scoring scan with a trained model riding as a literal). Replaces the
+  * interpreted `aggregate(zip_with(...))` formulation for the same reason
+  * as [[VectorL2NormalizeBias]]; accumulation order is the same
+  * left-to-right fold, so scores are bit-identical. Input length must
+  * equal the weight length (a model/feature dim mismatch is a bug —
+  * fail loudly, not a silent truncation). */
+case class VectorDotLiteral(child: Expression, weights: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_vector_dot_literal"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n == weights.length,
+      s"$prettyName: vector length $n != weights length ${weights.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += arr.getDouble(i) * weights(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorDotLiteral =
+    copy(child = newChild)
+}
+
+object VectorDotLiteral {
+  def of(vec: Column, weights: Array[Double]): Column =
+    Bridge.column(VectorDotLiteral(Bridge.expression(vec), weights.clone()))
 }
