@@ -42,18 +42,11 @@ object Clustering {
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  /** transform-based squared-L2 to every centroid in a literal table (cf.
-    * Similarity.sqDistToEach — duplicated at private scope to keep the two
-    * modules independently evolvable). */
-  private def sqDistToEach(v: Column, cents: Column): Column =
-    transform(cents, cent => aggregate(
-      zip_with(v, cent, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x))
-
-  private def argminCluster(cents: Array[Array[Double]]): Column = {
-    val d = sqDistToEach(col("v"), typedlit(cents.map(_.toSeq).toSeq))
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  /** Native k×dim argmin per row ([[graft.functions.NearestCentroid]]) —
+    * same distances, same first-index tie-break as the HOF formulation it
+    * replaced, without the interpreted per-element lambda dispatch. */
+  private def argminCluster(cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid.of(col("v"), cents)
 
   private val Scale = 1e6
 
@@ -78,7 +71,7 @@ object Clustering {
       val cells = base
         .groupBy(argminCluster(cents).as("cl"))
         .agg(graft.functions.VectorSumFixedPoint.of(
-          transform(col("v"), x => x.cast("double")), Scale).as("s"),
+          col("v").cast("array<double>"), Scale).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())

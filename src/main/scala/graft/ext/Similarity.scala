@@ -138,13 +138,12 @@ object Similarity {
     val centers: Array[Array[Double]] =
       LocalKMeans.fit(collectTrainVectors(c, nCentroids, trainSampleFraction, seed),
         nCentroids, seed)
-    // assignment is a pure expression: argmin over the literal centroid
-    // table (first index wins exact ties — deterministic), fused into the
-    // corpus scan by codegen — no ML transform, no UDF
-    val centLit = typedlit(centers.map(_.toSeq).toSeq)
-    val cellD = sqDistToEach(col("cv"), centLit)
+    // assignment is a pure expression: native k×dim argmin over the
+    // literal centroid table (first index wins exact ties —
+    // deterministic), fused into the corpus scan — no ML transform, no
+    // UDF, no per-element interpreted lambda
     val assigned = c.withColumn("cell",
-      (array_position(cellD, array_min(cellD)) - 1).cast("int"))
+      graft.functions.NearestCentroid.of(col("cv"), centers))
 
     // probe: nProbe nearest centroids per query (centroids are tiny →
     // literal broadcast table; exact L2 like the assignment step). The
@@ -219,10 +218,10 @@ object Similarity {
     val bookLits = (0 until m).map(j => typedlit(codebooks(j)))
 
     // encode: per subspace, the index of the nearest centroid (first index
-    // wins exact ties — deterministic)
+    // wins exact ties — deterministic); native ksub×dsub loop per subspace
+    val bookArrs = (0 until m).map(j => codebooks(j).map(_.toArray).toArray)
     val codes = array((0 until m).map { j =>
-      val d = sqDist(subSlice(col("cv"), j), bookLits(j))
-      (array_position(d, array_min(d)) - 1).cast("int")
+      graft.functions.NearestCentroid.of(subSlice(col("cv"), j), bookArrs(j))
     }: _*)
     val encoded = c.select(col("corpus_id"), codes.as("codes"))
 
@@ -309,16 +308,16 @@ object Similarity {
     val bookLits = (0 until m).map(j => typedlit(codebooks(j)))
     val centLit = typedlit(centers.map(_.toSeq).toSeq)
 
-    // corpus encode: cell = argmin over centroid table; codes = per
-    // subspace argmin of the RESIDUAL slice against the residual codebook
-    val cellD = sqDistToEach(col("cv"), centLit)
-    val cellCol = (array_position(cellD, array_min(cellD)) - 1).cast("int")
+    // corpus encode: cell = native argmin over the centroid table; codes =
+    // per subspace native argmin of the RESIDUAL slice against the
+    // residual codebook
+    val cellCol = graft.functions.NearestCentroid.of(col("cv"), centers)
     val resid = zip_with(col("cv"), element_at(centLit, col("cell") + 1),
       (x, y) => x.cast("double") - y)
     def subSlice(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    val bookArrs = (0 until m).map(j => codebooks(j).map(_.toArray).toArray)
     val codes = array((0 until m).map { j =>
-      val d = sqDistToEach(subSlice(col("res"), j), bookLits(j))
-      (array_position(d, array_min(d)) - 1).cast("int")
+      graft.functions.NearestCentroid.of(subSlice(col("res"), j), bookArrs(j))
     }: _*)
     val encoded = c.withColumn("cell", cellCol).withColumn("res", resid)
       .select(col("corpus_id"), col("cell"), codes.as("codes"))

@@ -284,3 +284,62 @@ object VectorDotLiteral {
   def of(vec: Column, weights: Array[Double]): Column =
     Bridge.column(VectorDotLiteral(Bridge.expression(vec), weights.clone()))
 }
+
+/** Index of the squared-L2-nearest centroid in a LITERAL centroid table —
+  * the assignment step of Lloyd's ([[graft.ext.Clustering]]) and the
+  * cell/code assignment of IVF and PQ ([[graft.ext.Similarity]]) as one
+  * native k×dim loop per row. The `transform(cents, c =>
+  * aggregate(zip_with(v, c, ...)))` + `array_position(array_min)`
+  * formulation it replaces pays an interpreted lambda dispatch per CELL
+  * of the k×dim distance computation — the dominant per-row cost of every
+  * corpus-side quantizer at scale. Parity with the HOF shape: distances
+  * accumulate left-to-right in double (float inputs upcast per element),
+  * strict `<` keeps the FIRST index on exact ties — identical argmin,
+  * golden pins survive. Null elements read as 0.0 (embedding columns are
+  * rectangular non-null; this mirrors the hyperplane-signature
+  * convention). */
+case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centers.nonEmpty, "centers must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best = Double.PositiveInfinity
+    var bestI = 0
+    var c = 0
+    while (c < centers.length) {
+      val cent = centers(c)
+      require(cent.length == n,
+        s"$prettyName: vector length $n != centroid length ${cent.length}")
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x =
+          if (arr.isNullAt(i)) 0.0
+          else if (elemIsFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)
+        val diff = x - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < best) { best = d; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def of(vec: Column, centers: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), centers.map(_.clone())))
+}
