@@ -39,8 +39,11 @@ object Clustering {
     * parallelism). */
   private def initCentroids(base: DataFrame, k: Int, seed: Long): Array[Array[Double]] =
     base.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(k)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // cast, don't getSeq[Float]: float vectors widen exactly (same init
+      // as before), and array<double> embedding columns work instead of
+      // throwing ClassCastException on collect
+      .select(col("v").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /** Native k×dim argmin per row ([[graft.functions.NearestCentroid]]) —
     * same distances, same first-index tie-break as the HOF formulation it
@@ -122,22 +125,39 @@ object Clustering {
   /** SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540): k-means
     * the embedding space, then find cosine near-duplicates WITHIN each
     * cluster only, keep the minimum-id representative per duplicate group.
-    * The cluster IS the blocking key — candidate pairs are per-cluster
-    * (capped by `maxClusterPairs` ids per cluster through the shared
-    * bucketed-pair generator), so the pair stage is Σ|cluster|² bounded
-    * instead of n², and cross-cluster pairs are never generated (the
-    * paper's accepted recall trade). Alternative blocking (hyperplane LSH
-    * instead of k-means) is [[Dedup.semanticDedup]]; this variant buys
-    * interpretable clusters and a tunable k for the same pipeline slot. */
+    * The cluster IS the blocking key — candidate pairs are per-cluster,
+    * so the pair stage is Σ|shard|² bounded instead of n², and
+    * cross-cluster pairs are never generated (the paper's accepted recall
+    * trade). Clusters larger than `maxClusterPairs` ids are SHARDED by a
+    * seeded id hash into sub-blocks of ~maxClusterPairs/2 expected ids
+    * (k-means clusters are ~n/k sized, so at corpus scale most clusters
+    * exceed any fixed cap — dropping them, the LSH-bucket convention of
+    * [[Dedup.bucketedPairs]], would silently no-op the dedup exactly where
+    * most duplicates live; sharding keeps the work bounded and only
+    * forfeits cross-shard pairs). Costs one tiny extra job: the k-row
+    * cluster-size aggregate that decides each cluster's shard count.
+    * Alternative blocking (hyperplane LSH instead of k-means) is
+    * [[Dedup.semanticDedup]]; this variant buys interpretable clusters
+    * and a tunable k for the same pipeline slot. */
   def semanticDedupKMeans(df: DataFrame, idCol: String, embCol: String,
       k: Int, threshold: Double = 0.95, iters: Int = 10, seed: Long = 42L,
       maxClusterPairs: Long = 10000L): DataFrame = {
     val assigned = kMeans(df, idCol, embCol, k, iters, seed)
     val withVec = assigned.join(
       df.select(q(idCol).as(idCol), q(embCol).as("__v")), Seq(idCol))
+    // shard oversized clusters: nshards = ceil(2n/cap) puts the expected
+    // shard at cap/2 ids — hash imbalance past 2× expected is negligible
+    // at cap ≥ 100s, so shards stay under bucketedPairs' hard cap
+    val shardCounts = assigned.groupBy("cluster")
+      .agg(ceil(count(lit(1)) * 2 / maxClusterPairs)
+        .cast("int").as("__nshards"))
+    val sharded = withVec
+      .join(broadcast(shardCounts), Seq("cluster"))
+      .withColumn("__shard", when(col("__nshards") <= 1, lit(0)).otherwise(
+        pmod(xxhash64(col(idCol), lit(seed)), col("__nshards")).cast("int")))
     val cand = Dedup.bucketedPairs(
-      withVec.select(col("cluster"), col(idCol)), Seq("cluster"), idCol,
-      maxClusterPairs)
+      sharded.select(col("cluster"), col("__shard"), col(idCol)),
+      Seq("cluster", "__shard"), idCol, maxClusterPairs)
     val vecs = withVec.select(col(idCol), col("__v"))
     val pairs = cand
       .join(vecs.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")

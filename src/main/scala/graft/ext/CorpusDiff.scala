@@ -47,9 +47,16 @@ object CorpusDiff {
       else oldSnap.columns.toSeq.filter(c =>
         c != idCol && newSnap.columns.contains(c))
     require(cols.nonEmpty, s"corpus diff: no comparable columns besides '$idCol'")
-    // hash the compare columns on each side; the join carries 16 bytes/row
+    // hash the compare columns on each side; the join carries 16 bytes/row.
+    // Each column is prefixed with its null flag: xxhash64 SKIPS null
+    // fields (the running hash passes through unchanged), so without the
+    // flags a value migrating between columns — old (null, "x") vs new
+    // ("x", null) — would hash identically and a changed row would report
+    // "unchanged". The flag cell is never null, so column positions stay
+    // anchored in the hash input.
     def keyed(df: DataFrame, h: String): DataFrame =
-      df.select(q(idCol).as("id"), xxhash64(cols.map(q): _*).as(h))
+      df.select(q(idCol).as("id"),
+        xxhash64(cols.flatMap(c => Seq(q(c).isNull, q(c))): _*).as(h))
     keyed(oldSnap, "__h_old").join(keyed(newSnap, "__h_new"), Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("__h_old").isNull, lit("added"))

@@ -656,7 +656,12 @@ object Dedup {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
       .groupBy(col("id"))
       .agg(collect_list(struct(col("s").as("s"), col("e").as("e"))).as("__rng"))
-    val joined = df.join(ranges, q(idCol) === col("id"), "left").drop("id")
+      // reserved-name the join key: if the caller's idCol is literally
+      // "id", a bare col("id") in the join condition is ambiguous between
+      // the two sides and the analyzer rejects it
+      .withColumnRenamed("id", "__cut_id")
+    val joined = df.join(ranges, q(idCol) === col("__cut_id"), "left")
+      .drop("__cut_id")
     val toks = TextAnalysis.tokens(q(textCol))
     val withIdx = transform(toks, (t, i) => struct(t.as("t"), (i + 1).as("i")))
     val keptToks = transform(

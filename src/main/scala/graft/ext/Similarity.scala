@@ -96,10 +96,14 @@ object Similarity {
     * ([[LocalKMeans]]): NaN = auto (sample down to ~cap·1.2, then take the
     * first `cap` rows in corpus-id order); an explicit positive fraction
     * overrides the sampling rate (the collect stays capped either way —
-    * the local trainer never pulls more than `cap` rows). The
-    * `orderBy.limit` pair compiles to TakeOrderedAndProject, so the
-    * collected set and order are independent of partitioning → the seeded
-    * fit is bit-stable across parallelism. */
+    * the local trainer never pulls more than `cap` rows). A fraction
+    * >= 1.0 takes a seeded pseudo-random capped draw (smallest
+    * xxhash64(corpus_id, seed)) rather than the raw lowest-id prefix —
+    * corpus ids are often time-ordered, and training centroids on the
+    * oldest `cap` rows would silently skew every cell toward the earliest
+    * slice of the corpus. The `orderBy.limit` pairs compile to
+    * TakeOrderedAndProject, so the collected set and order are independent
+    * of partitioning → the seeded fit is bit-stable across parallelism. */
   private def collectTrainVectors(c: DataFrame, numCentroids: Int,
       trainSampleFraction: Double, seed: Long): Array[Array[Double]] = {
     require(trainSampleFraction.isNaN || trainSampleFraction > 0,
@@ -112,11 +116,14 @@ object Similarity {
         else c.sample(withReplacement = false,
           math.min(1.0, cap.toDouble * 1.2 / total), seed)
       }
-      else if (trainSampleFraction >= 1.0) c
+      else if (trainSampleFraction >= 1.0)
+        c.orderBy(xxhash64(col("corpus_id"), lit(seed)), col("corpus_id"))
+          .limit(cap)
       else c.sample(withReplacement = false, trainSampleFraction, seed)
-    sampled.select(col("corpus_id"), col("cv")).orderBy("corpus_id")
+    sampled.select(col("corpus_id"), col("cv").cast("array<double>"))
+      .orderBy("corpus_id")
       .limit(cap).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](1).toArray)
   }
 
   /** transform-based squared-L2 from a vector column to every centroid in a

@@ -316,7 +316,10 @@ object TextAnalysis {
     // two bounded driver actions over the (distinct-token-sized) count
     // frame: the V-row vocab and the scalar total
     val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // coalesce: sum over an EMPTY count frame (all-blank/null corpus) is
+    // null — every document then scores n_tokens=0 / null entropy as
+    // documented, instead of an NPE here
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     val denom = total + addK * (math.min(vocabSize, Int.MaxValue).toDouble + 1.0)
     val scored = toks
       .join(broadcast(vocab), Seq("token"), "left")

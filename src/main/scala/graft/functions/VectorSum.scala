@@ -12,46 +12,29 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-/** Element-wise sum of an `array<double>` column in FIXED-POINT: each
-  * component contributes round(x·scale) as a long, and long addition is
-  * exact and order-independent, so the aggregate is bit-deterministic
-  * under any partitioning / merge order — the accumulation primitive
-  * behind the deterministic distributed trainers
-  * ([[graft.ext.Clustering]] Lloyd's updates, [[graft.ext.ClassifierTrain]]
-  * gradient sums).
-  *
-  * Why not `posexplode` + `groupBy(pos)` + `sum`: exploding multiplies the
-  * row count by dim, and every expression in the projection above the
-  * generator is re-evaluated per OUTPUT row — a per-row O(dim) margin
-  * computation silently becomes O(dim²). This aggregate keeps rows intact:
-  * one O(dim) buffer per partition, map-side partials, dim cells moved at
-  * the exchange regardless of row count.
-  *
-  * Output: `array<long>` of the scaled sums (caller divides by `scale`);
-  * null/empty input arrays are skipped; ragged lengths are an error (a
-  * vector column must be rectangular). NaN components are an error rather
-  * than a silent 0 (round(NaN) would quietly drop the row's contribution).
-  */
-case class VectorSumFixedPoint(
-    child: Expression,
-    scale: Double,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]]
-    with UnaryLike[Expression] {
+/** Shared buffer semantics of the fixed-point vector-sum aggregates: an
+  * `Array[Long]` of scaled component sums, sized lazily from the first
+  * row. The two concrete aggregates differ ONLY in the per-row scaled
+  * contribution; merge/eval/wire-format live here once so the
+  * bit-determinism contract cannot silently diverge between them. */
+private[functions] trait FixedPointArrayAggregate
+    extends TypedImperativeAggregate[Array[Long]] {
 
-  require(scale > 0, "scale must be > 0")
+  def scale: Double
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_vector_sum_fixed_point"
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
-  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v == null) return buffer
-    val arr = v.asInstanceOf[ArrayData]
+  /** Accumulate one row's vector, each component pre-multiplied by
+    * `factor` (1.0 for the unweighted sum). `rint` then a finite check:
+    * a ±Infinity component, an infinite×0 NaN product, or a product past
+    * Long range would otherwise saturate/wrap the buffer cell
+    * bit-deterministically wrong — fail loudly instead, same contract as
+    * the NaN rejection. */
+  protected final def accumulate(buffer: Array[Long], arr: ArrayData,
+      factor: Double): Array[Long] = {
     val n = arr.numElements()
     if (n == 0) return buffer
     val buf = if (buffer.length == 0) new Array[Long](n) else buffer
@@ -59,13 +42,15 @@ case class VectorSumFixedPoint(
       s"$prettyName: ragged vector column (${buf.length} vs $n elements)")
     var i = 0
     while (i < n) {
-      val x = arr.getDouble(i)
-      require(!x.isNaN, s"$prettyName: NaN component at index $i")
-      buf(i) += math.rint(x * scale).toLong
+      val p = math.rint(factor * arr.getDouble(i) * scale)
+      require(java.lang.Double.isFinite(p) && math.abs(p) <= MaxExact,
+        s"$prettyName: non-finite or out-of-range scaled component at index $i")
+      buf(i) += p.toLong
       i += 1
     }
     buf
   }
+  private val MaxExact = Long.MaxValue.toDouble
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
     if (other.length == 0) return buffer
@@ -96,6 +81,46 @@ case class VectorSumFixedPoint(
     var i = 0
     while (i < n) { buf(i) = in.readLong(); i += 1 }
     buf
+  }
+}
+
+/** Element-wise sum of an `array<double>` column in FIXED-POINT: each
+  * component contributes round(x·scale) as a long, and long addition is
+  * exact and order-independent, so the aggregate is bit-deterministic
+  * under any partitioning / merge order — the accumulation primitive
+  * behind the deterministic distributed trainers
+  * ([[graft.ext.Clustering]] Lloyd's updates, [[graft.ext.ClassifierTrain]]
+  * gradient sums).
+  *
+  * Why not `posexplode` + `groupBy(pos)` + `sum`: exploding multiplies the
+  * row count by dim, and every expression in the projection above the
+  * generator is re-evaluated per OUTPUT row — a per-row O(dim) margin
+  * computation silently becomes O(dim²). This aggregate keeps rows intact:
+  * one O(dim) buffer per partition, map-side partials, dim cells moved at
+  * the exchange regardless of row count.
+  *
+  * Output: `array<long>` of the scaled sums (caller divides by `scale`);
+  * null/empty input arrays are skipped; ragged lengths are an error (a
+  * vector column must be rectangular). NaN/±Infinity components are an
+  * error rather than a silent 0 or a saturated Long.MaxValue (either
+  * would quietly corrupt the sum).
+  */
+case class VectorSumFixedPoint(
+    child: Expression,
+    scale: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FixedPointArrayAggregate
+    with UnaryLike[Expression] {
+
+  require(scale > 0, "scale must be > 0")
+
+  override def prettyName: String = "graft_vector_sum_fixed_point"
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    accumulate(buffer, v.asInstanceOf[ArrayData], 1.0)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumFixedPoint =
@@ -121,23 +146,21 @@ object VectorSumFixedPoint {
   * re-evaluated per ELEMENT, so an O(dim) weight expression (a logistic
   * margin, a distance) would silently cost O(dim²) per row — here it is
   * evaluated exactly once per row. Rows with a null/NaN weight or null
-  * vector are skipped (consistent with SQL aggregate null semantics). */
+  * vector are skipped (consistent with SQL aggregate null semantics); an
+  * infinite weight, like an infinite component, is an error (its products
+  * are ±Inf or NaN — either silently corrupts the fixed-point buffer). */
 case class VectorWeightedSumFixedPoint(
     weight: Expression,
     vec: Expression,
     scale: Double,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends FixedPointArrayAggregate {
 
   require(scale > 0, "scale must be > 0")
 
   override def children: Seq[Expression] = Seq(weight, vec)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "graft_vector_weighted_sum_fixed_point"
-
-  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val wv = weight.eval(input)
@@ -145,51 +168,7 @@ case class VectorWeightedSumFixedPoint(
     if (wv == null || v == null) return buffer
     val w = wv.asInstanceOf[Double]
     if (w.isNaN) return buffer
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return buffer
-    val buf = if (buffer.length == 0) new Array[Long](n) else buffer
-    require(buf.length == n,
-      s"$prettyName: ragged vector column (${buf.length} vs $n elements)")
-    var i = 0
-    while (i < n) {
-      val x = arr.getDouble(i)
-      require(!x.isNaN, s"$prettyName: NaN component at index $i")
-      buf(i) += math.rint(w * x * scale).toLong
-      i += 1
-    }
-    buf
-  }
-
-  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
-    if (other.length == 0) return buffer
-    if (buffer.length == 0) return other
-    require(buffer.length == other.length,
-      s"$prettyName: ragged vector column (${buffer.length} vs ${other.length})")
-    var i = 0
-    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
-    buffer
-  }
-
-  override def eval(buffer: Array[Long]): Any =
-    new GenericArrayData(buffer.map(java.lang.Long.valueOf).toArray[Any])
-
-  override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buffer.length)
-    buffer.foreach(out.writeLong)
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new Array[Long](n)
-    var i = 0
-    while (i < n) { buf(i) = in.readLong(); i += 1 }
-    buf
+    accumulate(buffer, v.asInstanceOf[ArrayData], w)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorWeightedSumFixedPoint =

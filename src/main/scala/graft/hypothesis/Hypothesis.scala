@@ -210,7 +210,10 @@ object Hypothesis {
         st("groupby").toString, st("sample1").toString, st("sample2").toString,
         relationshipFromString(st("relationship").toString),
         st("alpha").toString.toDouble,
-        st.get("equal_var").forall(_ == true))
+        // tolerate string-typed booleans like every other field here
+        // (alpha/popmean accept "0.01" via toString): a JSON-emitted
+        // equal_var: "true" must not silently flip pooled → Welch
+        st.get("equal_var").forall(_.toString.toBoolean))
     }
     register("one_sample_ttest") { st =>
       oneSampleTtest(

@@ -321,24 +321,27 @@ object SchemaIO {
       // flat Field-style check keys (greater_than: 0) live alongside the
       // reserved column properties; the `checks:` slot wins if present
       // (reference: unflatten_component_checks_dict returns early when
-      // `checks` is non-null)
-      // an unrecognized flat key is an ERROR, not a silent skip — the
-      // legacy checks-dict path raises for unknown names, and silently
-      // loading a schema that enforces fewer checks than its document
-      // specifies would weaken a validation contract (reference behavior:
-      // deserialization raises on undeserializable checks)
-      val unknownFlat = cm.keys
-        .filterNot(k => componentReservedKeys.contains(k) || isKnownCheckName(k))
-      if (unknownFlat.nonEmpty)
-        throw new IllegalArgumentException(s"column '$n': unrecognized flat " +
-          s"check key(s) ${unknownFlat.toSeq.sorted.mkString("'", "', '", "'")} " +
-          "— not a built-in check, registered check, or registered hypothesis")
-      val flat = cm.toSeq
-        .filter { case (k, _) => !componentReservedKeys.contains(k) && isKnownCheckName(k) }
-        .sortBy(_._1)
-        .map { case (k, v) => checkFromDocument(k, v) }
+      // `checks` is non-null — extra keys are then NOT check candidates,
+      // so they must not error; a producer extension key next to a full
+      // checks: slot is a loadable document).
+      // In a FLAT document (no checks: slot) an unrecognized key IS an
+      // error, not a silent skip — the legacy checks-dict path raises for
+      // unknown names, and silently loading a schema that enforces fewer
+      // checks than its document specifies would weaken a validation
+      // contract (reference behavior: deserialization raises on
+      // undeserializable checks)
       val checks = cm.getOrElse("checks", null) match {
-        case null => flat
+        case null =>
+          val unknownFlat = cm.keys
+            .filterNot(k => componentReservedKeys.contains(k) || isKnownCheckName(k))
+          if (unknownFlat.nonEmpty)
+            throw new IllegalArgumentException(s"column '$n': unrecognized flat " +
+              s"check key(s) ${unknownFlat.toSeq.sorted.mkString("'", "', '", "'")} " +
+              "— not a built-in check, registered check, or registered hypothesis")
+          cm.toSeq
+            .filter { case (k, _) => !componentReservedKeys.contains(k) && isKnownCheckName(k) }
+            .sortBy(_._1)
+            .map { case (k, v) => checkFromDocument(k, v) }
         case slot => checksFromDocument(slot)
       }
       n -> ColumnSchema(

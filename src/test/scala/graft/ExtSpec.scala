@@ -1201,4 +1201,83 @@ class ExtSpec extends SparkSpec {
     assert(a != a.sorted, "hash order must differ from id order")
     assert(a.toSet == (0L until 2000L).toSet)
   }
+
+  test("dedup: cutDuplicatedSpans works when the id column is named 'id'") {
+    // regression: the range join used a bare col("id") that collided with
+    // an input column of the same name (AMBIGUOUS_REFERENCE)
+    val d = Seq((1L, "a b c d e"), (2L, "x y a b c d w z")).toDF("id", "text")
+    val out = Dedup.cutDuplicatedSpans(d, "id", "text", k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "a b c d e")
+    assert(out(2L) == "x y w z")
+  }
+
+  test("clustering: kMeansFit accepts array<double> vectors") {
+    // regression: centroid init collected with getSeq[Float] and threw
+    // ClassCastException on a double-typed embedding column
+    val d = Seq((1L, Array(0.0, 0.0)), (2L, Array(0.1, 0.0)),
+      (3L, Array(9.0, 9.0)), (4L, Array(9.1, 9.0))).toDF("id", "v")
+    assert(d.schema("v").dataType.simpleString == "array<double>")
+    val cents = graft.ext.Clustering.kMeansFit(d, "id", "v", k = 2, iters = 3)
+    assert(cents.length == 2)
+    val sorted = cents.sortBy(_.sum)
+    assert(math.abs(sorted(0)(0) - 0.05) < 1e-6)
+    assert(math.abs(sorted(1)(0) - 9.05) < 1e-6)
+  }
+
+  test("clustering: semanticDedupKMeans shards clusters larger than the cap") {
+    // regression: bucketedPairs DROPS over-cap buckets, so a cluster
+    // bigger than maxClusterPairs silently skipped dedup entirely —
+    // exactly where most duplicates live at corpus scale
+    val d = (0L until 60L).map(i => (i, Array(1.0f, 0.0f, (i % 3) * 1e-4f)))
+      .toDF("id", "v")
+    val kept = graft.ext.Clustering.semanticDedupKMeans(
+      d, "id", "v", k = 1, threshold = 0.99, iters = 2, maxClusterPairs = 10L)
+    val n = kept.count()
+    assert(n < 60L, s"sharded blocking must still dedup inside a 60-id cluster (kept $n)")
+    assert(n >= 1L)
+  }
+
+  test("corpus diff: a value moving between columns reports changed") {
+    // regression: xxhash64 skips null fields, so (null, x) and (x, null)
+    // hashed identically and a moved value read as "unchanged"
+    val oldSnap = Seq((1L, null.asInstanceOf[String], "x"), (2L, "k", "v"))
+      .toDF("id", "title", "subtitle")
+    val newSnap = Seq((1L, "x", null.asInstanceOf[String]), (2L, "k", "v"))
+      .toDF("id", "title", "subtitle")
+    val got = graft.ext.CorpusDiff.diff(oldSnap, newSnap, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "changed")
+    assert(got(2L) == "unchanged")
+  }
+
+  test("text: unigramPerplexity on an all-blank corpus returns zero-token rows") {
+    // regression: sum over the empty token-count frame is null → NPE
+    val docs = Seq((1L, "   "), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.unigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, true), (2L, 0L, true)))
+  }
+
+  test("vector sums: non-finite components and weights fail loudly") {
+    import graft.functions.{VectorSumFixedPoint, VectorWeightedSumFixedPoint}
+    // an Inf component would silently saturate the fixed-point cell
+    val inf = Seq(Tuple1(Array(1.0, Double.PositiveInfinity))).toDF("v")
+    val e1 = intercept[Exception] {
+      inf.agg(VectorSumFixedPoint.of(col("v"))).collect()
+    }
+    assert(e1.getMessage.contains("non-finite"))
+    // Inf weight × 0 component is NaN AFTER the old checks → silent 0
+    val wv = Seq((Double.PositiveInfinity, Array(0.0, 1.0))).toDF("w", "v")
+    val e2 = intercept[Exception] {
+      wv.agg(VectorWeightedSumFixedPoint.of(col("w"), col("v"))).collect()
+    }
+    assert(e2.getMessage.contains("non-finite"))
+    // NaN weight still means "skip row" (SQL aggregate null semantics)
+    val nanW = Seq((Double.NaN, Array(1.0, 2.0)), (2.0, Array(1.0, 2.0)))
+      .toDF("w", "v")
+    val s = nanW.agg(VectorWeightedSumFixedPoint.of(col("w"), col("v")))
+      .head().getSeq[Long](0)
+    assert(s == Seq(2000000L, 4000000L))
+  }
 }

@@ -85,6 +85,26 @@ class IoModelSynthSpec extends SparkSpec {
         |""".stripMargin
     val err = intercept[IllegalArgumentException](SchemaIO.fromYaml(doc))
     assert(err.getMessage.contains("greater_thann"))
+    // ...but only for FLAT documents: when a checks: slot is present it
+    // wins (reference returns early), so a producer-extension key next to
+    // it is NOT a check candidate and must not error
+    val docWithSlot =
+      """schema_type: dataframe
+        |columns:
+        |  x:
+        |    dtype: float64
+        |    vendor_extension_key: whatever
+        |    checks:
+        |      greater_than: 0
+        |""".stripMargin
+    val loaded = SchemaIO.fromYaml(docWithSlot)
+    assert(loaded.column("x").get.checks.map(_.name) == Seq("greater_than"))
+    // string-typed equal_var parses like the other string-tolerant fields
+    // (regression: "true" == true is false → silently flipped to Welch)
+    val pooled = Hypothesis.registry("two_sample_ttest", Map(
+      "groupby" -> "g", "sample1" -> "a", "sample2" -> "b",
+      "relationship" -> "not_equal", "alpha" -> "0.01", "equal_var" -> "true"))
+    assert(pooled.statistics("equal_var") == true)
   }
 
   test("aggregate builtin checks round-trip through YAML (r7: previously dropped)") {
