@@ -252,6 +252,20 @@ object Bench {
       ext.Drift.psiMulti(li, li.filter(col("l_returnflag") === "A"),
         Seq("l_extendedprice", "l_quantity", "l_discount")).count())
 
+    // round-7: exact bigram heavy hitters on the 10× corpus — the two-pass
+    // Misra-Gries pipeline (bounded sketch + exact recount of ≤ capacity
+    // candidates). The comparison that matters at 100 TB is state: the
+    // sketch pass carries O(capacity)=1334 entries per task regardless of
+    // vocabulary size, where a groupBy would shuffle every distinct bigram.
+    timed("heavy_hitters_10x") {
+      val toks = ext.TextAnalysis.tokens(ext.TextAnalysis.normalized(col("text")))
+      val grams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      ext.HeavyHitters.frequentItems(
+        docs10.select(explode(grams).as("bigram")), "bigram", phi = 0.0015).count()
+    }
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     timed("synthesize_1m")(

@@ -385,6 +385,26 @@ object SparkEntry {
     "text_vocab_topk" -> ((s, d) =>
       // round-5: corpus vocabulary, top 20 tokens by (count desc, token)
       ext.TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 20)),
+    "text_tfidf" -> ((s, d) =>
+      // round-7: TF-IDF keyword extraction — top-5 tokens per document by
+      // smoothed-idf weight, ranked at 6-dp precision via the map-side
+      // k-heap aggregate
+      ext.TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+    "text_heavy_hitters" -> ((s, d) => {
+      // round-7: exact phi-heavy hitters over token BIGRAMS via the
+      // two-pass Misra-Gries pipeline — candidates from one bounded-state
+      // sketch job (the billion-entry tail vocabulary never shuffles),
+      // exact recount of the <= capacity survivors. phi=0.0015 keeps
+      // ~4% of the bigram space, so the threshold genuinely bites.
+      val toks = ext.TextAnalysis.tokens(
+        ext.TextAnalysis.normalized(col("text")))
+      val grams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      val bg = t(s, d, "documents").select(explode(grams).as("bigram"))
+      ext.HeavyHitters.frequentItems(bg, "bigram", phi = 0.0015)
+    }),
     "text_perplexity" -> ((s, d) =>
       // round-7: CCNet-shaped quality signal — add-k unigram LM fit on the
       // corpus itself, each doc scored by cross-entropy/perplexity;
@@ -702,6 +722,14 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 10)
         .orderBy("column", "bin")),
+    "drift_ks" -> ((s, d) =>
+      // round-7: grid Kolmogorov-Smirnov — max empirical-CDF gap at the
+      // reference's 20-quantile grid; same two-scan plan shape as PSI
+      // (exact KS would need a global sort of both datasets)
+      ext.Drift.ks(t(s, d, "lineitem"),
+        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
+        "l_extendedprice", bins = 20)
+        .orderBy("bin")),
     "drift_psi_windowed" -> ((s, d) => {
       // round-7: streaming drift — PSI of the event value per event-time
       // hour window vs the full-table reference profile; the SAME
@@ -738,6 +766,45 @@ object SparkEntry {
       streaming.StreamingValidation.sessionizeReplay(
         t(s, d, "events"), "user_id", "ts", "value", gap = "30 minutes")
         .orderBy("user_id", "session_start_us")),
+    "stream_quarantine" -> ((s, d) =>
+      // round-7: batch ≡ streaming quarantine — replay lineitem as
+      // micro-batches through quarantineWriter (per-batch codegen'd
+      // predicate split); the tagged union of both sinks must equal the
+      // batch split computed by the SQL oracle
+      streaming.StreamingValidation.quarantineReplay(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"),
+        DataFrameSchema(
+          "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
+          "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05)))))
+        .select("side", "l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the value columns complete the deterministic sort key
+        .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity", "l_tax")),
+    "stream_dedup" -> ((s, d) =>
+      // round-7: batch ≡ streaming exact dedup — replay events through
+      // dropDuplicatesWithinWatermark keyed on (user_id, event_type) with
+      // the watermark spanning the full event-time range; the emitted key
+      // set must equal SELECT DISTINCT
+      streaming.StreamingValidation.dedupReplay(
+        t(s, d, "events").select("user_id", "event_type", "ts"),
+        Seq("user_id", "event_type"), "ts")
+        .orderBy("user_id", "event_type")),
+    "stream_scrub" -> ((s, d) => {
+      // round-7: batch ≡ streaming incremental-ingest scrub — the SAME
+      // synthetic crawl batch as dedup_incremental_bloom, replayed as
+      // micro-batches against the static corpus's Bloom+fingerprint
+      // filter; the union of kept rows must equal the batch anti-join
+      // (same oracle SQL, doc_id projection)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" graft batch-2 tail")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      streaming.StreamingValidation.scrubReplay(incoming, docs, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "sample_cap_per_group" -> ((s, d) =>
       // round-5: domain balancing — ≤ 40 docs per language, chosen by
       // ascending key hash via the map-side k-heap (no window sort)
@@ -1454,6 +1521,22 @@ object SparkEntry {
       ("WITH tk AS (SELECT CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
         "tok AS (SELECT unnest(t) AS token FROM tk) " +
         "SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
+        "tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY doc_id, token), " +
+        "tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM tf GROUP BY doc_id), " +
+        "dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token), " +
+        "nd AS (SELECT count(*) AS nn FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.token, round((CAST(cnt AS DOUBLE) / n) * (ln((nn + 1.0) / (dfc + 1.0)) + 1.0), 6) AS score FROM tf JOIN tot USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd), " +
+        "rk AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc) " +
+        "SELECT doc_id, rank, token, score FROM rk WHERE rank <= 5 ORDER BY doc_id, rank"),
+    "text_heavy_hitters" ->
+      ("WITH tk AS (SELECT string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
+        "bg AS (SELECT t[i] || ' ' || t[i+1] AS bigram FROM tk, unnest(range(1, len(t))) AS u(i)), " +
+        "tot AS (SELECT count(*) AS n FROM bg), " +
+        "c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram) " +
+        "SELECT bigram, cnt FROM c CROSS JOIN tot WHERE cnt >= 0.0015 * n " +
+        "ORDER BY cnt DESC, bigram"),
     "text_perplexity" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
         "cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token), " +
@@ -1611,6 +1694,17 @@ object SparkEntry {
         "c AS (SELECT doc_id, lang FROM r WHERE rn <= 30), " +
         "h AS (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '11'), 1, 8))::BIGINT / 4294967296.0 AS hh FROM c) " +
         "SELECT doc_id, lang, CASE WHEN hh < 0.5 THEN 'train' WHEN hh < 0.75 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
+    "drift_ks" ->
+      ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
+        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
+        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
+        "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+        "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
+        "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
+        "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin"),
     "drift_psi" ->
       ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
         "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
@@ -1663,6 +1757,21 @@ object SparkEntry {
     "events_sessions" -> sessionsOracleSql,
     // batch ≡ streaming: the replay gate answers to the SAME oracle
     "events_sessions_stream" -> sessionsOracleSql,
+    "stream_quarantine" ->
+      ("SELECT CASE WHEN (l_quantity IS NULL OR (l_quantity >= 5.0 AND l_quantity <= 45.0)) " +
+        "AND (l_tax IS NULL OR l_tax <= 0.05) THEN 'valid' ELSE 'quarantined' END AS side, " +
+        "l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem " +
+        "ORDER BY side, l_orderkey, l_linenumber, l_quantity NULLS FIRST, l_tax NULLS FIRST"),
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "stream_scrub" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text || ' graft batch-2 tail' FROM docs WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 5 = 2), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs) " +
+        "SELECT doc_id FROM inc WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
+        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
     "sample_cap_per_group" ->
       ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
         "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +

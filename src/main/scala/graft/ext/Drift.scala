@@ -275,4 +275,59 @@ object Drift {
       .join(side("cur", "cur_frac"), Seq("column", "cell"), "left"),
       Seq("column", "cell"), eps, totalBy = Seq("column"))
   }
+
+  /** Grid Kolmogorov–Smirnov drift statistic: the maximum gap between the
+    * two empirical CDFs, evaluated at the reference's `bins`-quantile
+    * edges — KS's sup over the full real line needs a global sort of both
+    * datasets (the classic two-sample test is O(n log n) and single-node
+    * in every stats package), which is exactly the plan you can't run at
+    * 100 TB. Evaluating at the quantile grid keeps the same two-scan shape
+    * as [[psi]] (edges = one reference aggregation; both sides binned by
+    * codegen'd edge comparisons) and under-estimates true KS by at most
+    * the reference mass of one bin (≈ 1/bins) — raise `bins` for a finer
+    * grid at unchanged plan shape.
+    *
+    * Output: per-bin rows (bin, ref_cum, cur_cum, gap) + `ks_stat` (the
+    * max gap) repeated on every row, all 6-dp rounded; the cumulative and
+    * max windows run over the `bins`-row cell frame, never the data. */
+  def ks(reference: DataFrame, current: DataFrame, column: String,
+      bins: Int = 20, approximate: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins >= 2, got $bins")
+    val percentages = (1 until bins).map(_.toDouble / bins)
+    val pArr = array(percentages.map(lit): _*)
+    val edgesCol =
+      if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
+      else percentile(q(column), pArr)
+    val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
+    require(!edgesRow.isNullAt(0), s"ks: reference has no non-null '$column'")
+    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+
+    def binned(df: DataFrame, frac: String): DataFrame = {
+      val bin = edges.foldLeft(lit(0))((acc, e) =>
+        acc + when(q(column) > e, 1).otherwise(0))
+      df.filter(q(column).isNotNull)
+        .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+        .withColumn(frac, col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("bin"), col(frac))
+    }
+    val spark0 = reference.sparkSession
+    import spark0.implicits._
+    val allBins = (0 until bins).toDF("bin")
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    allBins
+      .join(binned(reference, "ref_frac"), Seq("bin"), "left")
+      .join(binned(current, "cur_frac"), Seq("bin"), "left")
+      .withColumn("ref_cum", sum(coalesce(col("ref_frac"), lit(0.0))).over(cum))
+      .withColumn("cur_cum", sum(coalesce(col("cur_frac"), lit(0.0))).over(cum))
+      .withColumn("gap", abs(col("ref_cum") - col("cur_cum")))
+      .withColumn("ks_stat", round(
+        max(col("gap")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .select(col("bin"), round(col("ref_cum"), 6).as("ref_cum"),
+        round(col("cur_cum"), 6).as("cur_cum"),
+        round(col("gap"), 6).as("gap"), col("ks_stat"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesSketch
+
+/** Exact frequency-threshold mining ("heavy hitters") without ever
+  * shuffling the full key space — the standard two-pass sketch pipeline:
+  *
+  *  1. ONE aggregation job computes a [[graft.functions.MisraGriesSketch]]
+  *     candidate summary AND the total item count N. Misra–Gries
+  *     guarantees every item with frequency > N/(capacity+1) is a
+  *     candidate, so with capacity ≥ 1/phi the candidate set provably
+  *     contains ALL true phi-heavy hitters (plus bounded false
+  *     positives).
+  *  2. A second exact pass counts ONLY rows matching the ≤ capacity
+  *     candidates (a broadcast hash-set semi-filter pushed to the scan)
+  *     and applies the exact `count ≥ phi·N` cut.
+  *
+  * The result is EXACT — identical to `groupBy(col).count().filter(...)`
+  * — but the distinct-key set never materializes: state per task is
+  * O(capacity), the first shuffle moves O(tasks·capacity) entries and the
+  * second only the candidates' partial counts. On web-scale text the full
+  * vocabulary (billions of tail tokens) would dominate the naive plan's
+  * shuffle; here the tail never leaves the map side.
+  *
+  * Reference analogue: pandera has no sketch machinery; this generalizes
+  * the `value_counts`-style checks (`checks/Check.scala` unique_values_eq)
+  * to corpus scale.
+  */
+object HeavyHitters {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Items of `column` with exact frequency ≥ phi·N (N = non-null count),
+    * as (item, cnt) sorted (cnt desc, item asc). `capacity` defaults to
+    * ceil(2/phi) — twice the guarantee bound, halving sketch error and
+    * false-positive recount work. The candidate collect is bounded by
+    * capacity (≤ a few thousand entries), never by data size. */
+  def frequentItems(df: DataFrame, column: String, phi: Double,
+      capacity: Int = 0): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    val cap = if (capacity > 0) capacity
+      else math.max(math.ceil(2.0 / phi).toInt, 16)
+    // MG keeps items with freq > N/(cap+1); an item AT the phi·N threshold
+    // must also survive, so the inequality is strict: cap+1 > 1/phi
+    require(cap.toDouble + 1.0 > 1.0 / phi,
+      s"capacity $cap too small for phi=$phi: heavy hitters could be missed")
+
+    // pass 1: sketch + N in one job
+    val first = df.agg(
+      MisraGriesSketch.of(q(column), cap).as("cand"),
+      count(q(column)).as("n")).head()
+    val n = first.getLong(1)
+    if (n == 0L) {
+      // empty input: zero-row frame with the output schema
+      return df.select(q(column).as(column)).limit(0)
+        .withColumn("cnt", lit(0L))
+    }
+    val candidates = first.getSeq[org.apache.spark.sql.Row](0).map(_.get(0))
+
+    // pass 2: exact recount of candidates only; isin broadcasts the
+    // bounded candidate list into the scan filter
+    df.filter(q(column).isin(candidates: _*))
+      .groupBy(q(column)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(phi) * lit(n))
+      .orderBy(col("cnt").desc, q(column))
+  }
+
+  /** Sketch-only variant: the Misra–Gries candidates with their
+    * (undercounted, within N/(capacity+1)) estimates — one job, no second
+    * pass. For monitoring/triage where exactness doesn't matter. */
+  def frequentItemsApprox(df: DataFrame, column: String,
+      capacity: Int): DataFrame = {
+    df.agg(MisraGriesSketch.of(q(column), capacity).as("cand"))
+      .select(explode(col("cand")).as("e"))
+      .select(col("e.item").as(column), col("e.est").as("est"))
+  }
+}

@@ -278,6 +278,51 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token")).limit(k)
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-weighted tokens per
+    * document, weight = (cnt/n_doc_tokens) · (ln((N+1)/(df+1)) + 1) — the
+    * smoothed-idf form (no division by zero, never negative), tokens on
+    * the whitespace-normalized lowercased form shared by the other text
+    * operators. Scores are REPORTED AND RANKED at 6-decimal precision:
+    * ranking on the rounded score (ties → token asc) keeps the top-k cut
+    * reproducible across engines whose `ln` differs in the last ulp.
+    *
+    * Scale shape: one (doc, token) count aggregation; document frequency
+    * re-aggregates THAT frame (never re-reads the corpus); doc lengths are
+    * a window sum over the per-doc partitions of the same frame (distinct
+    * tokens per doc — bounded by doc length, no skew); N is one count
+    * action. The per-doc top-k is the map-side k-heap aggregate
+    * ([[graft.functions.TopKByScore]]) — k rows per doc cross the final
+    * shuffle, never a global sort. The distinct-token df table (billions
+    * of entries on web text) stays distributed end to end.
+    *
+    * Output: (idCol, rank, token, score), rank 1-based; documents with no
+    * tokens (blank/null) are absent. `minDf` drops tokens appearing in
+    * fewer documents (noise/typos) BEFORE scoring. */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, minDf: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k > 0")
+    require(minDf >= 1L, "minDf >= 1")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val nDocs = df.count() // bounded action: one scalar
+    val tf = df.select(id.as("__id"), explode(tokens(normalized(text))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    val scored = tf
+      .withColumn("__n", sum(col("cnt")).over(w))
+      .join(docFreq, Seq("token")) // inner: minDf-dropped tokens vanish
+      .withColumn("score", round(
+        (col("cnt").cast("double") / col("__n")) *
+          (log((lit(nDocs) + 1.0) / (col("__df") + 1.0)) + 1.0), 6))
+    scored.groupBy(col("__id"))
+      .agg(graft.functions.TopKByScore.of(col("score"), col("token"), k).as("__top"))
+      .select(col("__id").as(idCol), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(id, (col("__r") + 1).cast("long").as("rank"),
+        col("__e.item").as("token"), col("__e.score").as("score"))
+  }
+
   /** Unigram language-model scoring — the model-free shape of CCNet-style
     * perplexity filtering (documents far from the corpus's own token
     * distribution score high and get filtered/bucketed): fit an add-k

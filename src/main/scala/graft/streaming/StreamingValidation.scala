@@ -194,6 +194,93 @@ object StreamingValidation {
     out
   }
 
+  /** Batch ≡ streaming proof harness for [[quarantineWriter]]: replay a
+    * STATIC table as a file-source micro-batch stream, quarantine-split
+    * every batch with the schema's conjoined row predicate, and return the
+    * union both sinks received, tagged `side` ∈ {valid, quarantined}.
+    * Row-level validation is batch-size-independent (each row's verdict is
+    * a pure function of the row), so the union across ANY micro-batch
+    * split equals the batch split — that equality against the batch-SQL
+    * oracle is the `stream_quarantine` correctness gate. Everything stays
+    * distributed: parquet replay in, per-batch codegen'd filters, parquet
+    * sinks out; no driver-side row handling. */
+  def quarantineReplay(df: DataFrame, schema: DataFrameSchema,
+      numFiles: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_quar_").toString
+    val (inDir, vDir, qDir) = (s"$dir/in", s"$dir/valid", s"$dir/quar")
+    df.repartition(numFiles).write.parquet(inDir)
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = quarantineWriter(stream, schema) {
+      (valid, _) => valid.write.mode("append").parquet(vDir)
+    } {
+      (invalid, _) => invalid.write.mode("append").parquet(qDir)
+    }.option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.read.parquet(vDir).withColumn("side", lit("valid"))
+      .unionByName(spark.read.parquet(qDir).withColumn("side", lit("quarantined")))
+  }
+
+  /** Batch ≡ streaming proof harness for [[dedupStream]]: replay a STATIC
+    * events table as micro-batches, exact-dedup on `keyCols` with the
+    * watermark delay sized to the full event-time span — the state never
+    * expires and no event is ever late regardless of which micro-batch
+    * carries it, so exactly the FIRST arrival per distinct key emits. The
+    * returned frame projects the key columns only (which arrival wins is
+    * replay-order-dependent; the key set is not), so the result equals
+    * `SELECT DISTINCT keyCols` — the `stream_dedup` gate's oracle.
+    * `tsCol` is epoch-nanos (the events convention). */
+  def dedupReplay(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      numFiles: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = events.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    val (inDir, outDir) = (s"$dir/in", s"$dir/out")
+    val mm = events.agg(min(col(tsCol)), max(col(tsCol))).head()
+    require(!mm.isNullAt(0), "dedupReplay: events table is empty")
+    val delayUs = (mm.getLong(1) - mm.getLong(0)) / 1000L + 1000000L
+    events.repartition(numFiles).write.parquet(inDir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val deduped = dedupStream(stream, keyCols, tsCol, s"$delayUs microseconds")
+      .select(keyCols.map(col): _*)
+    val query = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Batch ≡ streaming proof harness for [[incrementalScrubWriter]]:
+    * replay a STATIC "incoming crawl batch" as micro-batches, scrub each
+    * against the static corpus's Bloom+fingerprint filter, and return the
+    * union the sink received. Each row's keep/drop verdict is a pure
+    * function of (row, static corpus) — the Bloom filter is built once
+    * before the stream starts and bloom-positive rows are verified against
+    * the exact corpus fingerprints — so the union across ANY micro-batch
+    * split equals the batch [[graft.ext.Dedup.dropExistingExactBloom]]
+    * anti-join, which is what the `stream_scrub` gate asserts against the
+    * same DuckDB oracle as the batch `dedup_incremental_bloom` gate. */
+  def scrubReplay(incoming: DataFrame, corpus: DataFrame, textCol: String,
+      corpusTextCol: String = "", numFiles: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = incoming.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub_").toString
+    val (inDir, outDir) = (s"$dir/in", s"$dir/out")
+    incoming.repartition(numFiles).write.parquet(inDir)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = incrementalScrubWriter(stream, corpus, textCol, corpusTextCol) {
+      (kept, _) => kept.write.mode("append").parquet(outDir)
+    }.option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming drift monitoring: PSI of a value column per EVENT-TIME
     * window against a fixed reference profile (from
     * [[graft.ext.Drift.referenceNumericProfile]]) — the continuous

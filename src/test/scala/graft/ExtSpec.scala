@@ -947,6 +947,31 @@ class ExtSpec extends SparkSpec {
     assert(psiFar > 1.0, s"gross drift must score large, got $psiFar")
   }
 
+  test("drift: grid KS matches hand computation, zero for identical data") {
+    val ref = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("x")
+    val cur = (1 to 5).map(i => Tuple1(i.toDouble)).toDF("x")
+      .union(Seq(Tuple1(6.0)).toDF("x"))
+    val rows = graft.ext.Drift.ks(ref, cur, "x", bins = 2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // edge = median 5.5; ref cum (.5, 1); cur cum (5/6, 1)
+    // gaps (1/3, 0) → ks = .333333
+    assert(rows.map(_._1).toSeq == Seq(0, 1))
+    assert(math.abs(rows(0)._2 - 0.5) < 1e-9 && math.abs(rows(0)._3 - 0.833333) < 1e-6)
+    assert(math.abs(rows(0)._4 - 0.333333) < 1e-6)
+    assert(rows.forall(r => math.abs(r._5 - 0.333333) < 1e-6))
+    assert(rows(1)._2 == 1.0 && rows(1)._3 == 1.0)
+    // identical data → KS 0
+    val same = graft.ext.Drift.ks(ref, ref, "x", bins = 5).collect()
+    assert(same.forall(_.getDouble(4) == 0.0))
+    // disjoint supports: every cur value sits above the last edge, so the
+    // max grid gap is F_ref(last edge) = 7/10 (edge 7.75 via interpolated
+    // 75th percentile) — the documented 1/bins under-estimate vs true KS=1
+    val far = Seq(Tuple1(100.0), Tuple1(101.0)).toDF("x")
+    val ksFar = graft.ext.Drift.ks(ref, far, "x", bins = 4).head().getDouble(4)
+    assert(ksFar == 0.7, s"gross drift must score F_ref(last edge), got $ksFar")
+  }
+
   test("drift: categorical PSI caps categories and routes new values to __other__") {
     val ref = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("v")
     val cur = Seq("a", "b", "b", "z", "z", "z").map(Tuple1(_)).toDF("v")
@@ -1279,5 +1304,65 @@ class ExtSpec extends SparkSpec {
     val s = nanW.agg(VectorWeightedSumFixedPoint.of(col("w"), col("v")))
       .head().getSeq[Long](0)
     assert(s == Seq(2000000L, 4000000L))
+  }
+
+  test("text: tfidfTopK ranks by smoothed-idf weight, blank docs absent") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // N=3; idf(a)=ln(4/3)+1, idf(b)=idf(c)=ln(2)+1; doc1 n=3, doc2 n=2
+    assert(got.toSeq == Seq(
+      (1L, 1L, "a", 0.858455), (1L, 2L, "b", 0.564382),
+      (2L, 1L, "c", 0.846574), (2L, 2L, "a", 0.643841)))
+    // minDf=2 drops the singleton tokens b and c
+    val rare = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 5, minDf = 2L)
+      .select("token").distinct().collect().map(_.getString(0))
+    assert(rare.toSeq == Seq("a"))
+  }
+
+  test("heavy hitters: two-pass result equals the exact groupBy plan") {
+    import graft.ext.HeavyHitters
+    // zipfian-ish: item i appears (40 - i) times, i = 0..39 → N = 820
+    val rows = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"w$i"))
+    val df = new scala.util.Random(7).shuffle(rows).toDF("w")
+      .repartition(13) // partial sketches must merge correctly
+    for (phi <- Seq(0.01, 0.03); cap <- Seq(0, 8, 300)) {
+      // cap=8 < 1/phi must be rejected, not silently lossy
+      if (cap == 8) {
+        intercept[IllegalArgumentException] {
+          HeavyHitters.frequentItems(df, "w", phi, cap)
+        }
+      } else {
+        val got = HeavyHitters.frequentItems(df, "w", phi, cap)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val want = df.groupBy("w").count()
+          .filter(col("count") >= lit(phi) * lit(820L))
+          .orderBy(col("count").desc, col("w"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        assert(got.toSeq == want.toSeq, s"phi=$phi cap=$cap")
+        assert(got.nonEmpty)
+      }
+    }
+    // empty / all-null input → zero rows, not a crash
+    val empty = Seq.empty[String].toDF("w")
+    assert(HeavyHitters.frequentItems(empty, "w", 0.1).count() == 0L)
+  }
+
+  test("misra-gries sketch: guarantee holds under tight capacity") {
+    import graft.functions.MisraGriesSketch
+    // one hitter (freq 500 of N=1500) in a sea of 1000 singletons; the
+    // sketch guarantees presence of any item with freq > N/(cap+1):
+    // cap=15 → bound 93.75 < 500
+    val rows = Seq.fill(500)("hot") ++ (0 until 1000).map(i => s"t$i")
+    val df = new scala.util.Random(3).shuffle(rows).toDF("w").repartition(7)
+    val cand = df.agg(MisraGriesSketch.of(col("w"), 15).as("c"))
+      .select(explode(col("c")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(cand.length <= 15)
+    val hot = cand.find(_._1 == "hot")
+    assert(hot.isDefined, "heavy item must survive the sketch")
+    assert(hot.get._2 <= 500L && hot.get._2 >= 500L - 1500L / 16L)
   }
 }

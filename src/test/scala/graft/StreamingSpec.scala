@@ -224,4 +224,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sameElements(batched))
     } finally q.stop()
   }
+
+  test("quarantine replay equals the batch predicate split") {
+    import org.apache.spark.sql.functions.lit
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+    val sch = DataFrameSchema(
+      "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
+      "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05))))
+    val streamed = StreamingValidation.quarantineReplay(li, sch)
+    val (v, q) = graft.backend.Validator.splitByRowChecks(sch, li)
+    val batch = v.withColumn("side", lit("valid"))
+      .unionByName(q.withColumn("side", lit("quarantined")))
+    assert(streamed.count() == li.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("scrub replay equals the batch bloom anti-join") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // half the corpus re-crawled (must all drop) + shifted ids with new
+    // text (must all survive)
+    val incoming = docs.filter(col("doc_id") % 2 === 0)
+      .unionByName(docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" novel suffix")).as("text")))
+    val streamed = StreamingValidation.scrubReplay(incoming, docs, "text")
+    val batch = graft.ext.Dedup.dropExistingExactBloom(incoming, docs, "doc_id", "text")
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("doc_id").exceptAll(batch.select("doc_id")).isEmpty)
+    assert(batch.select("doc_id").exceptAll(streamed.select("doc_id")).isEmpty)
+  }
+
+  test("dedup replay emits exactly the distinct key set") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_type", "ts")
+    val got = StreamingValidation.dedupReplay(ev, Seq("user_id", "event_type"), "ts")
+    val want = ev.select("user_id", "event_type").distinct()
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
