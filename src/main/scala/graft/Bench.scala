@@ -259,11 +259,10 @@ object Bench {
     // vocabulary size, where a groupBy would shuffle every distinct bigram.
     timed("heavy_hitters_10x") {
       val toks = ext.TextAnalysis.tokens(ext.TextAnalysis.normalized(col("text")))
-      val grams = when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
       ext.HeavyHitters.frequentItems(
-        docs10.select(explode(grams).as("bigram")), "bigram", phi = 0.0015).count()
+        docs10.select(explode(
+          functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram")),
+        "bigram", phi = 0.0015).count()
     }
 
     // full schema incl. the temporal column and the joint-unique

@@ -399,10 +399,8 @@ object SparkEntry {
       // ~4% of the bigram space, so the threshold genuinely bites.
       val toks = ext.TextAnalysis.tokens(
         ext.TextAnalysis.normalized(col("text")))
-      val grams = when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
-      val bg = t(s, d, "documents").select(explode(grams).as("bigram"))
+      val bg = t(s, d, "documents").select(
+        explode(functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram"))
       ext.HeavyHitters.frequentItems(bg, "bigram", phi = 0.0015)
     }),
     "text_perplexity" -> ((s, d) =>
@@ -828,6 +826,20 @@ object SparkEntry {
         ("en", docs.filter(col("lang") === "en").select("doc_id"), 0.5),
         ("de", docs.filter(col("lang") === "de").select("doc_id"), 2.25)),
         "doc_id")
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("source", "copy", "doc_id")
+    }),
+    "sample_mix_budget" -> ((s, d) => {
+      // round-7: token-budget mixture — "20k tokens, 70% en / 30% de";
+      // per-source rates derive from ONE fused token-total job, then the
+      // one-scan-per-source epoch explode emits floor(rate) full epochs +
+      // a hash-drawn fractional epoch per document
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", ext.TextAnalysis.tokenCount(col("text")))
+      ext.Sampling.mixToTokenBudget(Seq(
+        ("en", docs.filter(col("lang") === "en").select("doc_id", "n_tok"), 0.7),
+        ("de", docs.filter(col("lang") === "de").select("doc_id", "n_tok"), 0.3)),
+        "doc_id", "n_tok", budget = 20000L)
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy("source", "copy", "doc_id")
     }),
@@ -1793,6 +1805,17 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 'de', 2 FROM de " +
         "WHERE ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < 0.25) " +
         "SELECT doc_id, source, copy FROM parts ORDER BY source, copy, doc_id"),
+    "sample_mix_budget" ->
+      ("WITH en AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'en'), " +
+        "de AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'de'), " +
+        "r AS (SELECT (20000.0 * (0.7 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM en) AS DOUBLE) AS r_en, " +
+        "(20000.0 * (0.3 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM de) AS DOUBLE) AS r_de), " +
+        "enp AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'en' AS source FROM en, r, " +
+        "unnest(range(0, CAST(floor(r_en) AS BIGINT) + CASE WHEN ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_en - floor(r_en) THEN 1 ELSE 0 END)) u(i)), " +
+        "dep AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'de' AS source FROM de, r, " +
+        "unnest(range(0, CAST(floor(r_de) AS BIGINT) + CASE WHEN ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_de - floor(r_de) THEN 1 ELSE 0 END)) u(i)) " +
+        "SELECT doc_id, source, copy FROM (SELECT * FROM enp UNION ALL SELECT * FROM dep) " +
+        "ORDER BY source, copy, doc_id"),
     "pack_greedy" ->
       ("WITH RECURSIVE tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
         "o AS (SELECT doc_id, ntok, CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT % 8 AS INTEGER) AS bucket FROM tk), " +

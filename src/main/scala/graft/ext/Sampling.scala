@@ -135,20 +135,79 @@ object Sampling {
       allowMissingColumns: Boolean = false): DataFrame = {
     require(sources.nonEmpty, "at least one source")
     sources.foreach { case (n, _, r) => require(r >= 0, s"source '$n' rate >= 0, got $r") }
-    val parts = sources.map { case (name, df, rate) =>
+    // rate-0 sources contribute nothing and are not unioned at all (their
+    // schema never constrains the mixture)
+    val active = sources.filter(_._3 > 0)
+    if (active.isEmpty) {
+      // every rate == 0: a valid empty stream with the output schema
+      val (_, df0, _) = sources.head
+      return df0.withColumn(copyCol, lit(0)).withColumn(sourceCol, lit("")).limit(0)
+    }
+    val parts = active.map { case (name, df, rate) =>
       val full = math.floor(rate).toInt
       val frac = rate - full
       val h = hashBucket(concat_ws(Sep, lit(name), q(keyCol)), seed)
-      val copies = (0 until full).map(i => df.withColumn(copyCol, lit(i))) ++
-        (if (frac > 0) Seq(df.filter(h < frac).withColumn(copyCol, lit(full))) else Nil)
-      copies.map(_.withColumn(sourceCol, lit(name)))
-    }.flatten
-    // all rates may floor to zero copies (e.g. every rate == 0): the mixture
-    // is a valid empty stream with the output schema, not a reduce() crash
-    if (parts.isEmpty) {
-      val (_, df0, _) = sources.head
-      df0.withColumn(copyCol, lit(0)).withColumn(sourceCol, lit("")).limit(0)
-    } else parts.reduce(_.unionByName(_, allowMissingColumns))
+      // ONE scan per source at ANY rate: each row explodes to its copy
+      // ordinals 0..nCopies-1 (nCopies = floor(rate) + the fractional
+      // hash draw) — rate 12.5 used to be 13 scans of the source, now the
+      // generate runs inside the same scan. slice(, 1, 0) → empty array →
+      // explode drops the row, so a lost fractional draw emits nothing.
+      val nCopies = (lit(full) + when(h < frac, 1).otherwise(0)).cast("int")
+      df.withColumn(copyCol,
+          explode(slice(sequence(lit(0), lit(full)), lit(1), nCopies)))
+        .withColumn(sourceCol, lit(name))
+    }
+    parts.reduce(_.unionByName(_, allowMissingColumns))
+  }
+
+  /** Mix corpora to hit a TOKEN budget — the practical form of the data-
+    * mixture step: "2T tokens total, 70% web / 20% code / 10% books" is
+    * how pretraining mixtures are actually specified, with under-sized
+    * high-quality sources repeated over multiple epochs (weights give the
+    * budget SHARE, not a sampling rate). Per source s with (normalized)
+    * weight w_s and total tokens N_s, the sampling rate is
+    * budget·w_s / N_s — below 1 a deterministic downsample, above 1
+    * floor(rate) full epochs plus a hash-drawn fractional epoch — then
+    * the whole mixture is ONE [[mixCorpora]] pass (one scan per source,
+    * zero shuffles; every decision re-derivable from (key, source, seed)).
+    *
+    * The per-source token totals are ONE fused aggregation job over the
+    * union of all sources (a bounded sources-row collect — the
+    * validator's fusion trick, not a job per source). Expected realized
+    * tokens per source = budget·w_s exactly; the variance comes only from
+    * which documents the fractional-epoch hash admits.
+    *
+    * `tokensCol` is a per-row token count column (e.g.
+    * [[TextAnalysis.tokenCount]] materialized by the caller). Sources
+    * with zero tokens and positive weight are an error (their share is
+    * unfillable), weight-0 sources are dropped. */
+  def mixToTokenBudget(sources: Seq[(String, DataFrame, Double)],
+      keyCol: String, tokensCol: String, budget: Long, seed: Long = 42L,
+      sourceCol: String = "source", copyCol: String = "copy",
+      allowMissingColumns: Boolean = false): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(budget > 0, s"budget > 0, got $budget")
+    sources.foreach { case (n, _, w) =>
+      require(w >= 0, s"source '$n' weight >= 0, got $w") }
+    val wsum = sources.map(_._3).sum
+    require(wsum > 0, "at least one positive weight")
+    // one fused job: every source's token total in a single aggregation
+    val totals: Map[String, Long] = sources
+      .map { case (n, df, _) =>
+        df.select(lit(n).as("__src"), q(tokensCol).cast("long").as("__tok")) }
+      .reduce(_.unionByName(_))
+      .groupBy("__src").agg(sum("__tok").as("__n"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val rated = sources.filter(_._3 > 0).map { case (name, df, w) =>
+      val n = totals.getOrElse(name, 0L)
+      require(n > 0L,
+        s"mixToTokenBudget: source '$name' has weight $w but zero tokens")
+      // evaluation order fixed (budget · w̄) / N so any engine re-deriving
+      // the rate from the same inputs lands on the same IEEE double
+      (name, df, budget.toDouble * (w / wsum) / n.toDouble)
+    }
+    mixCorpora(rated, keyCol, seed, sourceCol, copyCol, allowMissingColumns)
   }
 
   /** Keep the top `fraction` of rows by `scoreCol` — the "take the best X%

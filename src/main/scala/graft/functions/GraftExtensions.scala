@@ -68,6 +68,15 @@ object GraftSparkExtensions {
       info("graft_bounded_collect", "_FUNC_(expr, limit) - collect at most limit non-null strings"),
       (args: Seq[Expression]) =>
         BoundedCollect(args(0), intArg(args(1), "graft_bounded_collect", 2))
+          .toAggregateExpression()),
+    "graft_token_ngrams" -> (
+      info("graft_token_ngrams", "_FUNC_(tokens, n) - ordered n-grams with repeats, space-joined"),
+      (args: Seq[Expression]) =>
+        TokenNgrams(args(0), intArg(args(1), "graft_token_ngrams", 2))),
+    "graft_misra_gries" -> (
+      info("graft_misra_gries", "_FUNC_(item, capacity) - Misra-Gries frequent-item candidates"),
+      (args: Seq[Expression]) =>
+        MisraGriesSketch(args(0), intArg(args(1), "graft_misra_gries", 2))
           .toAggregateExpression()))
 }
 

@@ -206,6 +206,51 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Every n-gram of a token array IN ORDER WITH REPEATS: output element i
+  * is `concat_ws(' ', tokens[i..i+n-1])`; arrays shorter than n yield an
+  * EMPTY array (explode then drops the row). The counting counterpart of
+  * [[WordShingles]] (which dedups for set-similarity signatures) — n-gram
+  * FREQUENCY pipelines (heavy hitters, LM statistics) need the multiset.
+  * One native O(tokens) loop per row; the HOF formulation
+  * `transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`
+  * re-evaluates the token split per ELEMENT once CollapseProject inlines
+  * the alias (O(tokens²·regex) per doc — measured 76 s of the 146 s
+  * heavy_hitters_10x bench section before this expression existed; same
+  * trap as [[SpanHashes]]). */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_ngrams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](cnt - n + 1)
+    i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
 /** xx64 hash of every k-token span of a token array: output element i is
   * `xxhash64(concat_ws(' ', tokens[i..i+k-1]))` (seed 42, identical bytes
   * and seed to the SQL formulation, so results are interchangeable with
@@ -304,6 +349,9 @@ object HashFunctions {
 
   def wordShingles(tokens: Column, k: Int): Column =
     Bridge.column(WordShingles(expr(tokens), k))
+
+  def tokenNgrams(tokens: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(expr(tokens), n))
 
   def spanHashes(tokens: Column, k: Int): Column =
     Bridge.column(SpanHashes(expr(tokens), k))

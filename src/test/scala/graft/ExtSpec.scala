@@ -577,6 +577,36 @@ class ExtSpec extends SparkSpec {
     assert(webKept != codeHalf)
   }
 
+  test("sampling: mixToTokenBudget derives epoch rates from the token shares") {
+    // web: 100 tokens over 10 docs; code: 20 tokens over 5 docs.
+    // budget 60 at 50/50 → 30 tokens each → rate_web 0.3, rate_code 1.5
+    val web = (0L until 10L).map(i => (i, 10L)).toDF("id", "n_tok")
+    val code = (100L until 105L).map(i => (i, 4L)).toDF("id", "n_tok")
+    val mixed = graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", web, 0.5), ("code", code, 0.5)), "id", "n_tok", budget = 60L)
+    val codeRows = mixed.filter(col("source") === "code")
+    // rate 1.5: every code doc gets copy 0, a hash-drawn subset gets copy 1
+    assert(codeRows.filter(col("copy") === 0).count() == 5)
+    assert(codeRows.filter(col("copy") === 1).count() < 5)
+    val webRows = mixed.filter(col("source") === "web")
+    // rate 0.3: a strict subset of web docs, single copy
+    assert(webRows.count() < 10 && webRows.agg(max(col("copy"))).head().getInt(0) == 0)
+    // deterministic
+    val again = graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", web, 0.5), ("code", code, 0.5)), "id", "n_tok", budget = 60L)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // a weighted source with zero tokens is an unfillable share → error
+    val hollow = Seq((1L, 0L)).toDF("id", "n_tok")
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.mixToTokenBudget(
+        Seq(("web", web, 0.5), ("hollow", hollow, 0.5)), "id", "n_tok", 60L)
+    }
+    // weight-0 sources are dropped, not scanned into the mixture
+    val noCode = graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", web, 1.0), ("code", code, 0.0)), "id", "n_tok", budget = 30L)
+    assert(noCode.filter(col("source") === "code").count() == 0)
+  }
+
   test("sampling: mixCorpora edge cases — all-zero rates and missing columns") {
     val web = (0L until 10L).map(i => (i, s"doc $i")).toDF("id", "text")
     val code = (0L until 10L).map(i => (i, s"code $i", "scala"))
@@ -1347,6 +1377,27 @@ class ExtSpec extends SparkSpec {
     // empty / all-null input → zero rows, not a crash
     val empty = Seq.empty[String].toDF("w")
     assert(HeavyHitters.frequentItems(empty, "w", 0.1).count() == 0L)
+  }
+
+  test("token ngrams: native expression equals the HOF formulation") {
+    import graft.functions.HashFunctions
+    val docs = Seq("a b c d", "x y", "solo", "", "a  b").toDF("text")
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+    val native = docs.select(explode(HashFunctions.tokenNgrams(toks, 2)).as("g"))
+      .collect().map(_.getString(0)).sorted
+    val hof = docs.select(explode(
+        when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))).as("g"))
+      .collect().map(_.getString(0)).sorted
+    assert(native.toSeq == hof.toSeq)
+    assert(native.toSeq == Seq("a b", "a b", "b c", "c d", "x y"))
+    // trigrams keep repeats (multiset, unlike WordShingles)
+    val tri = Seq("p q p q p").toDF("text")
+      .select(explode(HashFunctions.tokenNgrams(
+        TextAnalysis.tokens(col("text")), 3)).as("g"))
+      .collect().map(_.getString(0))
+    assert(tri.toSeq == Seq("p q p", "q p q", "p q p"))
   }
 
   test("misra-gries sketch: guarantee holds under tight capacity") {

@@ -76,6 +76,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(hvSql == hvApi && hvSql.map(x => x * x).sum == 5.0f)
   }
 
+  test("SQL token_ngrams and misra_gries agree with the Column API") {
+    val ngSql = spark.sql(
+      "SELECT graft_token_ngrams(array('a', 'b', 'a', 'b'), 2) AS g")
+      .head().getSeq[String](0)
+    assert(ngSql == Seq("a b", "b a", "a b"))
+
+    spark.range(0, 300).createOrReplaceTempView("sql_mg")
+    // id % 3 → three items with count 100 each; capacity 8 keeps them all
+    val cand = spark.sql(
+      "SELECT graft_misra_gries(CAST(id % 3 AS STRING), 8) AS c FROM sql_mg")
+      .select(explode(col("c")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cand == Map("0" -> 100L, "1" -> 100L, "2" -> 100L))
+  }
+
   test("sorted_pairs dedupes equal ids: no self-pairs, no repeated pairs") {
     val rows = Seq(Tuple1(Array(3L, 1L, 3L, 2L, 1L, 1L)), Tuple1(Array(7L, 7L)))
       .toDF("ids")
