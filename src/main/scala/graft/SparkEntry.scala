@@ -403,6 +403,17 @@ object SparkEntry {
         explode(functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram"))
       ext.HeavyHitters.frequentItems(bg, "bigram", phi = 0.0015)
     }),
+    "text_heavy_hitters_by_lang" -> ((s, d) => {
+      // round-7: per-group heavy hitters — the MG sketch composes with
+      // groupBy directly (one job for every language's candidates + N_g),
+      // then the broadcast candidate frame prunes the exact recount; each
+      // language gets its own phi·N_g cut
+      val toks = ext.TextAnalysis.tokens(
+        ext.TextAnalysis.normalized(col("text")))
+      val bg = t(s, d, "documents").select(col("lang"),
+        explode(functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram"))
+      ext.HeavyHitters.frequentItemsByGroup(bg, "lang", "bigram", phi = 0.002)
+    }),
     "text_perplexity" -> ((s, d) =>
       // round-7: CCNet-shaped quality signal — add-k unigram LM fit on the
       // corpus itself, each doc scored by cross-entropy/perplexity;
@@ -1549,6 +1560,13 @@ object SparkEntry {
         "c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram) " +
         "SELECT bigram, cnt FROM c CROSS JOIN tot WHERE cnt >= 0.0015 * n " +
         "ORDER BY cnt DESC, bigram"),
+    "text_heavy_hitters_by_lang" ->
+      ("WITH tk AS (SELECT lang, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
+        "bg AS (SELECT lang, t[i] || ' ' || t[i+1] AS bigram FROM tk, unnest(range(1, len(t))) AS u(i)), " +
+        "tot AS (SELECT lang, count(*) AS n FROM bg GROUP BY lang), " +
+        "c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram) " +
+        "SELECT c.lang, bigram, cnt, n AS n_group FROM c JOIN tot USING (lang) " +
+        "WHERE cnt >= 0.002 * n ORDER BY lang, cnt DESC, bigram"),
     "text_perplexity" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
         "cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token), " +

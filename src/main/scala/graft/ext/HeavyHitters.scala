@@ -68,6 +68,51 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, q(column))
   }
 
+  /** Per-group exact heavy hitters — [[frequentItems]] with an independent
+    * phi threshold inside every `groupCol` partition (per-language /
+    * per-domain frequency mining). Same two passes, nothing per-group on
+    * the driver:
+    *
+    *  1. ONE aggregation computes every group's Misra–Gries candidates AND
+    *     its item count N_g (the sketch is an ordinary aggregate, so
+    *     `groupBy(group)` composes with it directly; map-side partials
+    *     stay O(capacity) per group).
+    *  2. The exploded (group, item) candidate frame — ≤ groups·capacity
+    *     rows — BROADCASTS into an inner join that prunes the corpus to
+    *     candidate rows, which recount exactly and cut at `phi · N_g`
+    *     (N_g rides the broadcast, no extra join).
+    *
+    * The candidate frame must fit a broadcast (groups·capacity entries —
+    * fine for the thousands-of-groups regime this targets; the corpus
+    * itself is never collected anywhere and only candidate rows cross the
+    * recount shuffle). Groups whose N_g = 0 (all-null items) emit
+    * nothing. Output: (groupCol, item-column, cnt, n_group) sorted
+    * (group asc, cnt desc, item asc). */
+  def frequentItemsByGroup(df: DataFrame, groupCol: String, column: String,
+      phi: Double, capacity: Int = 0): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    val cap = if (capacity > 0) capacity
+      else math.max(math.ceil(2.0 / phi).toInt, 16)
+    require(cap.toDouble + 1.0 > 1.0 / phi,
+      s"capacity $cap too small for phi=$phi: heavy hitters could be missed")
+
+    // pass 1: every group's sketch + N_g in one job; stays a DataFrame
+    val cand = df.groupBy(q(groupCol))
+      .agg(MisraGriesSketch.of(q(column), cap).as("__cand"),
+        count(q(column)).as("__n"))
+      .select(q(groupCol), explode(col("__cand")).as("__e"), col("__n"))
+      .select(q(groupCol), col("__e.item").as(column), col("__n"))
+
+    // pass 2: candidate-pruned exact recount; the ≤ groups·capacity
+    // candidate frame broadcasts, so corpus rows never shuffle unless
+    // they match a candidate
+    df.join(broadcast(cand), Seq(groupCol, column))
+      .groupBy(q(groupCol), q(column))
+      .agg(count(lit(1)).as("cnt"), first(col("__n")).as("n_group"))
+      .filter(col("cnt") >= lit(phi) * col("n_group"))
+      .orderBy(q(groupCol), col("cnt").desc, q(column))
+  }
+
   /** Sketch-only variant: the Misra–Gries candidates with their
     * (undercounted, within N/(capacity+1)) estimates — one job, no second
     * pass. For monitoring/triage where exactness doesn't matter. */

@@ -1400,6 +1400,28 @@ class ExtSpec extends SparkSpec {
     assert(tri.toSeq == Seq("p q p", "q p q", "p q p"))
   }
 
+  test("heavy hitters by group: per-group thresholds match the exact plan") {
+    import graft.ext.HeavyHitters
+    // group a: w0 hot (30/60), tail uniform; group b: different hot item
+    val rows = Seq.fill(30)(("a", "hot_a")) ++ (0 until 30).map(i => ("a", s"t$i")) ++
+      Seq.fill(10)(("b", "hot_b")) ++ (0 until 40).map(i => ("b", s"u$i"))
+    val df = new scala.util.Random(11).shuffle(rows).toDF("g", "w").repartition(9)
+    val got = HeavyHitters.frequentItemsByGroup(df, "g", "w", phi = 0.1, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a: N=60, cut 6 → only hot_a(30); b: N=50, cut 5 → only hot_b(10)
+    assert(got.toSeq == Seq(("a", "hot_a", 30L, 60L), ("b", "hot_b", 10L, 50L)))
+    // agrees with the exact groupBy plan at a finer phi
+    val phi = 0.02
+    val exact = df.groupBy("g", "w").count()
+      .join(df.groupBy("g").count().withColumnRenamed("count", "n"), Seq("g"))
+      .filter(col("count") >= lit(phi) * col("n"))
+      .orderBy(col("g"), col("count").desc, col("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fine = HeavyHitters.frequentItemsByGroup(df, "g", "w", phi, capacity = 256)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(fine.toSeq == exact.toSeq)
+  }
+
   test("misra-gries sketch: guarantee holds under tight capacity") {
     import graft.functions.MisraGriesSketch
     // one hitter (freq 500 of N=1500) in a sea of 1000 singletons; the
