@@ -739,6 +739,14 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         "l_extendedprice", bins = 20)
         .orderBy("bin")),
+    "drift_ks_multi" -> ((s, d) =>
+      // round-7: fused multi-column KS — all three columns' edges in ONE
+      // reference aggregation, both sides binned in ONE union pass (2 jobs
+      // total, the psiMulti fusion), per-column cumulative-gap tail
+      ext.Drift.ksMulti(t(s, d, "lineitem"),
+        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
+        Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 20)
+        .orderBy("column", "bin")),
     "drift_psi_windowed" -> ((s, d) => {
       // round-7: streaming drift — PSI of the event value per event-time
       // hour window vs the full-table reference profile; the SAME

@@ -315,19 +315,80 @@ object Drift {
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allBins = (0 until bins).toDF("bin")
-    val cum = org.apache.spark.sql.expressions.Window.orderBy("bin")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    allBins
+    finalizeKs(allBins
       .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left")
+      .join(binned(current, "cur_frac"), Seq("bin"), "left"))
+  }
+
+  /** Shared KS tail (cf. [[finalizePsi]]): cumulative CDFs over the
+    * bin-ordered cell frame, per-key max gap, 6-dp display rounding. The
+    * windows run over bins (× columns) rows — never the data. */
+  private def finalizeKs(joined: DataFrame,
+      totalBy: Seq[String] = Nil): DataFrame = {
+    val keys = totalBy.map(col)
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+      .orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
       .withColumn("ref_cum", sum(coalesce(col("ref_frac"), lit(0.0))).over(cum))
       .withColumn("cur_cum", sum(coalesce(col("cur_frac"), lit(0.0))).over(cum))
       .withColumn("gap", abs(col("ref_cum") - col("cur_cum")))
       .withColumn("ks_stat", round(
         max(col("gap")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
-      .select(col("bin"), round(col("ref_cum"), 6).as("ref_cum"),
+          org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)), 6))
+      .select(keys ++ Seq(col("bin"), round(col("ref_cum"), 6).as("ref_cum"),
         round(col("cur_cum"), 6).as("cur_cum"),
-        round(col("gap"), 6).as("gap"), col("ks_stat"))
+        round(col("gap"), 6).as("gap"), col("ks_stat")): _*)
+  }
+
+  /** Batch grid-KS over several columns in TWO jobs total — the same
+    * fusion as [[psiMulti]] (job 1: every column's quantile edges in one
+    * reference aggregation; job 2: both sides' (column, bin) cells in one
+    * union pass) with [[ks]]'s cumulative-gap tail per column. Output =
+    * [[ks]]'s schema plus a leading `column` key; ks_stat is per column. */
+  def ksMulti(reference: DataFrame, current: DataFrame, columns: Seq[String],
+      bins: Int = 20, approximate: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(bins >= 2, s"bins >= 2, got $bins")
+    require(columns.nonEmpty, "ksMulti: no columns given")
+    val percentages = (1 until bins).map(_.toDouble / bins)
+    val pArr = array(percentages.map(lit): _*)
+    val edgesRow = reference.agg(
+      (if (approximate) percentile_approx(q(columns.head), pArr, lit(accuracy))
+       else percentile(q(columns.head), pArr)).cast("array<double>"),
+      columns.tail.map(c =>
+        (if (approximate) percentile_approx(q(c), pArr, lit(accuracy))
+         else percentile(q(c), pArr)).cast("array<double>")): _*).head()
+    val edgesByCol: Seq[(String, Seq[Double])] = columns.zipWithIndex.map {
+      case (c, i) =>
+        require(!edgesRow.isNullAt(i), s"ksMulti: reference has no non-null '$c'")
+        c -> edgesRow.getSeq[Double](i).map(e => math.rint(e * 1e6) / 1e6)
+    }
+    def cells(df: DataFrame, side: String): DataFrame = {
+      val entries = edgesByCol.map { case (c, edges) =>
+        val bin = edges.foldLeft(lit(0))((acc, e) =>
+          acc + when(q(c) > e, 1).otherwise(0))
+        struct(lit(c).as("column"), bin.as("bin"), q(c).isNotNull.as("ok"))
+      }
+      df.select(lit(side).as("side"), explode(array(entries: _*)).as("e"))
+        .filter(col("e.ok"))
+        .select(col("side"), col("e.column").as("column"), col("e.bin").as("bin"))
+    }
+    val counts = cells(reference, "ref").unionAll(cells(current, "cur"))
+      .groupBy("side", "column", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("side", "column")))
+    def side(s: String, frac: String): DataFrame =
+      counts.filter(col("side") === s)
+        .select(col("column"), col("bin"), col("frac").as(frac))
+    val spark0 = reference.sparkSession
+    import spark0.implicits._
+    val allCells = columns.flatMap(c => (0 until bins).map(b => (c, b)))
+      .toDF("column", "bin")
+    finalizeKs(allCells
+      .join(side("ref", "ref_frac"), Seq("column", "bin"), "left")
+      .join(side("cur", "cur_frac"), Seq("column", "bin"), "left"),
+      totalBy = Seq("column"))
   }
 }
