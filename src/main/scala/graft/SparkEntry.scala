@@ -1303,13 +1303,15 @@ object SparkEntry {
 
     // ---- streaming-shaped event analytics (batch plan; streaming variant
     //      exercised in StreamingSpec with the same transformation) ----
-    "events_hourly" -> ((s, d) =>
-      t(s, d, "events")
-        .withColumn("ets", timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    "events_hourly" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev
+        .withColumn("ets", graft.functions.EventTime.eventTime(ev, "ts"))
         .groupBy(date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))
-        .orderBy("hour", "event_type"))
+        .orderBy("hour", "event_type")
+    })
   )
 
   /** Shared by events_sessions (batch) and events_sessions_stream (replay):
@@ -1323,6 +1325,25 @@ object SparkEntry {
       "SELECT user_id, min(us) AS session_start_us, CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us, " +
       "count(*) AS n_events, round(sum(value), 3) AS total_value " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
+
+  /** One column's worth of the drift_ks_multi oracle: the same DuckDB
+    * pipeline as the drift_ks oracle (20-bin quantile grid, cumulative
+    * CDFs, per-column max gap), CTE-suffixed so three columns can share
+    * one WITH clause, tagged with the column name. */
+  private def ksMultiOracleCol(c: String, i: Int): String = {
+    val s = i.toString
+    val ps = (1 until 20).map(p => (p * 0.05).formatted("%.2f")).mkString(", ")
+    s"edges$s AS (SELECT list_transform(quantile_cont($c, [$ps]), e -> round(e, 6)) AS es FROM lineitem), " +
+      s"refb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL), " +
+      s"curb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL AND l_returnflag = 'A'), " +
+      s"refc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb$s) AS rf FROM refb$s GROUP BY bin), " +
+      s"curc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb$s) AS cf FROM curb$s GROUP BY bin), " +
+      s"bins$s AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
+      s"j$s AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins$s LEFT JOIN refc$s USING (bin) LEFT JOIN curc$s USING (bin)), " +
+      s"cum$s AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j$s), " +
+      s"g$s AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM cum$s), " +
+      s"kout$s AS (SELECT '$c' AS \"column\", bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g$s)"
+  }
 
   /** One column's worth of the drift_psi_multi oracle: the same DuckDB
     * pipeline as the drift_psi oracle, CTE-suffixed so three columns can
@@ -1769,6 +1790,12 @@ object SparkEntry {
         "ptot AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
         "SELECT k.window_start, k.bin, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, ptot.psi_total " +
         "FROM k JOIN ptot USING (window_start) ORDER BY window_start, bin"),
+    "drift_ks_multi" ->
+      ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
+        .zipWithIndex.map { case (c, i) => ksMultiOracleCol(c, i) }
+        .mkString(", ") +
+        " SELECT * FROM kout0 UNION ALL SELECT * FROM kout1 UNION ALL SELECT * FROM kout2" +
+        " ORDER BY \"column\", bin"),
     "drift_psi_multi" ->
       ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
         .zipWithIndex.map { case (c, i) => psiMultiOracleCol(c, i) }

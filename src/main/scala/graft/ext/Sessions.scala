@@ -16,10 +16,9 @@ import org.apache.spark.sql.functions._
   * a split needs a strictly larger silence); its end is last_event + gap
   * (the session_window contract).
   *
-  * `tsCol` is an epoch-NANOS long (the events-table shape under
-  * `spark.sql.legacy.parquet.nanosAsLong`, same convention as
-  * StreamingValidation.hourlyRollup). Bounds are emitted as epoch micros
-  * so results are timezone-independent and engine-portable.
+  * `tsCol` resolves through [[graft.functions.EventTime]] (epoch-nanos
+  * long, TIMESTAMP, or TIMESTAMP_NTZ all accepted). Bounds are emitted as
+  * epoch micros so results are timezone-independent and engine-portable.
   */
 object Sessions {
 
@@ -33,9 +32,7 @@ object Sessions {
       valueCol: String, gap: String = "30 minutes",
       watermark: Option[String] = None): DataFrame = {
     val withTs = events
-      // integer `div`, not `/`: the SQL slash promotes the epoch-nanos
-      // long to double (53-bit mantissa < 2^60-scale nanos → ±µs drift)
-      .withColumn("__ets", timestamp_micros(call_function("div", q(tsCol), lit(1000L))))
+      .withColumn("__ets", graft.functions.EventTime.eventTime(events, tsCol))
     watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
       .groupBy(q(userCol), session_window(col("__ets"), gap))
       .agg(count(lit(1)).as("n_events"),

@@ -56,8 +56,8 @@ object StreamingValidation {
     * 8-byte xxhash64 state entry instead — smaller state at the cost of a
     * 2^-64-per-pair collision chance silently dropping a distinct event
     * (probabilistic, not exact — only opt in when the key tuple is large).
-    * `tsCol` is an epoch-nanos LONG column (the events table shape under
-    * nanosAsLong, same convention as hourlyRollup). */
+    * `tsCol` resolves through [[graft.functions.EventTime]] (epoch-nanos
+    * long, TIMESTAMP, or TIMESTAMP_NTZ). */
   def dedupStream(
       stream: DataFrame,
       keyCols: Seq[String],
@@ -65,7 +65,7 @@ object StreamingValidation {
       watermark: String,
       fingerprintKeys: Boolean = false): DataFrame = {
     val withTs = stream
-      .withColumn("__ets", timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
+      .withColumn("__ets", graft.functions.EventTime.eventTime(stream, tsCol))
       .withWatermark("__ets", watermark)
     if (fingerprintKeys) {
       withTs
@@ -120,7 +120,7 @@ object StreamingValidation {
       tsCol: String,
       watermark: String): DataFrame =
     stream
-      .withColumn("__ets", timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
+      .withColumn("__ets", graft.functions.EventTime.eventTime(stream, tsCol))
       .withWatermark("__ets", watermark)
       .withColumn("__sh", graft.ext.Dedup.simhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("__sh")
@@ -153,25 +153,31 @@ object StreamingValidation {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
     val (inDir, outDir, ckDir) = (s"$dir/in", s"$dir/out", s"$dir/ck")
 
-    val src = events.select(col(tsCol).as("ts"),
+    // normalize event time to TimestampType up front so the replayed
+    // parquet, the sentinels, and the span math share one representation
+    // regardless of the source column's physical shape
+    val src = events.select(
+      graft.functions.EventTime.eventTime(events, tsCol).as("ts"),
       col(userCol).as("user_id"), col(valueCol).as("value"))
     val gapUs = spark.range(1)
       .select(expr(s"unix_micros(timestamp_micros(0) + interval '$gap')"))
       .head().getLong(0)
-    val mm = src.agg(min("ts"), max("ts")).head()
+    val mm = src.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     require(!mm.isNullAt(0), "sessionizeReplay: events table is empty")
-    val (minNs, maxNs) = (mm.getLong(0), mm.getLong(1))
-    val delayUs = (maxNs - minNs) / 1000L + 2L * gapUs
-    val sentinelNs = maxNs + (delayUs + 10L * gapUs) * 1000L
+    val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+    val delayUs = (maxUs - minUs) + 2L * gapUs
+    val sentinelUs = maxUs + delayUs + 10L * gapUs
 
     // real events across 8 files → 8+ micro-batches splitting users/sessions
     src.repartition(8).write.parquet(inDir)
     // sentinel files must be LAST in the file source's (modification-time,
     // path) processing order — stamp them into the future
-    Seq((sentinelNs, -1L, 0.0), (sentinelNs + 200L * gapUs * 1000L, -1L, 0.0))
-      .zipWithIndex.foreach { case (row, i) =>
+    Seq(sentinelUs, sentinelUs + 200L * gapUs)
+      .zipWithIndex.foreach { case (us, i) =>
         val sDir = s"$dir/sentinel$i"
-        Seq(row).toDF("ts", "user_id", "value").coalesce(1).write.parquet(sDir)
+        Seq((us, -1L, 0.0)).toDF("us", "user_id", "value")
+          .select(timestamp_micros(col("us")).as("ts"), col("user_id"), col("value"))
+          .coalesce(1).write.parquet(sDir)
         new java.io.File(sDir).listFiles().filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
             val dst = new java.io.File(inDir, s"zz_sentinel$i.parquet")
@@ -231,17 +237,17 @@ object StreamingValidation {
     * carries it, so exactly the FIRST arrival per distinct key emits. The
     * returned frame projects the key columns only (which arrival wins is
     * replay-order-dependent; the key set is not), so the result equals
-    * `SELECT DISTINCT keyCols` — the `stream_dedup` gate's oracle.
-    * `tsCol` is epoch-nanos (the events convention). */
+    * `SELECT DISTINCT keyCols` — the `stream_dedup` gate's oracle. */
   def dedupReplay(events: DataFrame, keyCols: Seq[String], tsCol: String,
       numFiles: Int = 6): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = events.sparkSession
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
     val (inDir, outDir) = (s"$dir/in", s"$dir/out")
-    val mm = events.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val us = graft.functions.EventTime.eventMicros(events, tsCol)
+    val mm = events.agg(min(us), max(us)).head()
     require(!mm.isNullAt(0), "dedupReplay: events table is empty")
-    val delayUs = (mm.getLong(1) - mm.getLong(0)) / 1000L + 1000000L
+    val delayUs = (mm.getLong(1) - mm.getLong(0)) + 1000000L
     events.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -307,7 +313,7 @@ object StreamingValidation {
     val bins = refEdges.length + 1
     require(refFracs.length == bins, "refFracs must have one entry per bin (edges + 1)")
     val withTs = events.withColumn("__ets",
-      timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
+      graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
     val bin = refEdges.foldLeft(lit(0))((acc, e) =>
       acc + when(col(valueCol) > e, 1).otherwise(0))
@@ -340,7 +346,7 @@ object StreamingValidation {
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {
     val withTs = events.withColumn("__ets",
-      timestamp_micros(call_function("div", col(tsCol), lit(1000L))))
+      graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
     wm.groupBy(window(col("__ets"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))

@@ -156,7 +156,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
     val stream = mem.toDF().toDF("user_id", "ts", "value")
-    val rows = events.select("user_id", "ts", "value")
+    // epoch-nanos longs for the stream side — EventTime resolves both the
+    // parquet timestamp (batch) and the long (stream) to the same instant
+    val rows = events.select(org.apache.spark.sql.functions.col("user_id"),
+        (graft.functions.EventTime.eventMicros(events, "ts") * 1000L).as("ts"),
+        org.apache.spark.sql.functions.col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val q = graft.ext.Sessions.sessionize(stream, "user_id", "ts", "value",
       watermark = Some("12 hours"))
@@ -185,7 +189,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
     val stream = mem.toDF().toDF("ts", "value")
-    val rows = events.select("ts", "value")
+    val rows = events.select(
+        (graft.functions.EventTime.eventMicros(events, "ts") * 1000L).as("ts"),
+        org.apache.spark.sql.functions.col("value"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val q = StreamingValidation.windowedPsi(stream, "ts", "value",
       edges, fracs, windowDur = "1 hour", watermark = Some("2 hours"))
@@ -209,7 +215,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
     val stream = mem.toDF().toDF("ts", "event_type", "value")
-    val rows = events.select("ts", "event_type", "value")
+    val rows = events.select(
+        (graft.functions.EventTime.eventMicros(events, "ts") * 1000L).as("ts"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val got = scala.collection.mutable.ArrayBuffer.empty[String]
     val q = StreamingValidation.hourlyRollup(stream, "ts", watermark = Some("2 hours"))
