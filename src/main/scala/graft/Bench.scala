@@ -265,6 +265,30 @@ object Bench {
         "bigram", phi = 0.0015).count()
     }
 
+    // round-8: BPE training at a realistic merge count — the merge loop is
+    // driver-local over the capped frequency table (ONE Spark job total),
+    // vs the r7 one-job-per-merge shape (64 driver round-trips here, tens
+    // of thousands at a production 32k vocab)
+    timed("bpe_train_64")(
+      ext.BpeTrain.learnMerges(docs, "text", numMerges = 64))
+
+    // round-8: ANN serve-only path — quantizers trained ONCE and corpus
+    // codes materialized ONCE outside the timer (the AnnIndex deployment
+    // shape); the timed section is what a query batch actually costs
+    // against the stored codes. Compare with sim_topk_pq (train + encode
+    // + serve every call).
+    val annIdx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 64, m = 8, ksub = 16)
+    val annCodes = ext.Similarity.encode(emb, "vec_id", "embedding", annIdx).persist()
+    annCodes.count()
+    timed("sim_ivfpq_serve") {
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      ext.Similarity.ivfPqTopKIndexed(annCodes, emb, "vec_id", "embedding",
+        queries, "qid", "qv", annIdx, k = 5, nProbe = 8).count()
+    }
+    annCodes.unpersist()
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     timed("synthesize_1m")(
@@ -282,15 +306,20 @@ object Bench {
     timed("validate_10m_inmem")(lineitemSchema.validate(big))
     big.unpersist()
 
-    val qs = (results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" } ++
+    // Locale.ROOT: default-locale %f emits comma decimals under e.g.
+    // de_DE and corrupts the JSON line (same bug class as the r7 ADVICE
+    // ksMultiOracleCol item)
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qs = (results.map { case (k, v) => s""""$k":${num("%.4f", v)}""" } ++
       Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
         s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
       .mkString("{", ",", "}")
-    val loadJson = loads.map { case (k, v) => s""""$k":${"%.2f".format(v)}""" }
+    val loadJson = loads.map { case (k, v) => s""""$k":${num("%.2f", v)}""" }
       .mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"load_1m_max":${"%.2f".format(loadMax)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

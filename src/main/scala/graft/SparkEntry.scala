@@ -20,6 +20,12 @@ import graft.schema._
 case class LineitemQty(l_orderkey: Option[Long], l_linenumber: Option[Int],
                        l_quantity: Option[Double])
 
+/** Typed carrier for the model_typed query: mixed primitive (non-nullable
+  * by construction) and Option (nullable) fields — the encoder-derived
+  * nullability is part of the gate's pinned output. */
+case class OrderRow(o_orderkey: Long, o_custkey: Option[Long],
+                    o_totalprice: Option[Double], o_orderstatus: String)
+
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -451,11 +457,32 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(5)),
     "text_bpe_train" -> ((s, d) => {
-      // round-5: BPE merge TRAINING — one corpus scan to a word-frequency
-      // table, one vocab-table job per merge, deterministic argmax
-      // tie-break. oracle: golden pin; algorithm verified in ExtSpec
-      // against a hand-computed corpus.
+      // round-5 (reshaped r8): BPE merge TRAINING — one corpus scan to a
+      // capped word-frequency table, then a driver-local incremental merge
+      // loop (zero jobs per merge), deterministic argmax tie-break.
+      // oracle: golden pin (unchanged from the job-per-merge formulation —
+      // exact equivalence asserted in ExtSpec); algorithm verified in
+      // ExtSpec against a hand-computed corpus.
       val merges = ext.BpeTrain.learnMerges(t(s, d, "documents"), "text", numMerges = 8)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("merge_rank", "lhs", "rhs").orderBy("merge_rank")
+    }),
+    "text_bpe_train_64" -> ((s, d) => {
+      // round-8 (r7 verdict #2): a REAL vocab's worth of merges must not
+      // cost one Spark job per merge (tens of thousands of sequential
+      // driver round-trips at 32k-64k). The merge loop is driver-local
+      // over the capped frequency table; the ONLY distributed work is the
+      // word-count scan — asserted in-gate via a job group: 64 merges in
+      // ≤ 4 jobs, not 64+.
+      val sc = s.sparkContext
+      sc.setJobGroup("bpe_train_64", "bpe training job-count probe", false)
+      val merges =
+        try ext.BpeTrain.learnMerges(t(s, d, "documents"), "text", numMerges = 64)
+        finally sc.clearJobGroup()
+      val jobs = sc.statusTracker.getJobIdsForGroup("bpe_train_64").length
+      require(jobs <= 4, s"BPE training ran $jobs Spark jobs for 64 merges " +
+        "(the merge loop must be driver-local, not job-per-merge)")
       import s.implicits._
       merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
         .toDF("merge_rank", "lhs", "rhs").orderBy("merge_rank")
@@ -757,6 +784,20 @@ object SparkEntry {
       streaming.StreamingValidation.windowedPsi(ev, "ts", "value", edges,
         fracs, windowDur = "1 hour").orderBy("window_start", "bin")
     }),
+    "drift_psi_cat_windowed" -> ((s, d) => {
+      // round-8 (r7 verdict #6): streaming CATEGORICAL drift — the
+      // language/domain-mix monitor. PSI of the event_type mix per
+      // event-time hour vs the full-table reference profile (top-2
+      // categories + __other__, so the overflow cell carries real mass);
+      // the SAME transformation runs append-mode streaming (one stateful
+      // windowed agg carrying per-cell counters; StreamingSpec replays it)
+      val ev = t(s, d, "events")
+      val (cells, fracs) =
+        ext.Drift.referenceCategoricalProfile(ev, "event_type", maxCategories = 2)
+      streaming.StreamingValidation.windowedPsiCategorical(ev, "ts",
+        "event_type", cells, fracs, windowDur = "1 hour")
+        .orderBy("window_start", "cell")
+    }),
     "drift_psi_categorical" -> ((s, d) =>
       // round-5: categorical drift on language mix — top-3 reference
       // categories + __other__ bucket (the unbounded-cardinality guard)
@@ -931,6 +972,27 @@ object SparkEntry {
         m = 8, ksub = 16, refineFactor = 4)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivfpq_persisted" -> ((s, d) => {
+      // round-8: train-once/encode-once/serve-many (r7 verdict #1) — the
+      // quantizers train ONCE, persist as JSON (AnnIndex.save/load), the
+      // corpus codes materialize ONCE to parquet, and the query batch runs
+      // against the stored codes. Must be HASH-IDENTICAL to the one-shot
+      // sim_topk_ivfpq — the oracle is the same golden pin.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-gate").toString
+      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16)
+      idx.save(s"$tmp/index.json")
+      val loaded = ext.AnnIndex.load(s"$tmp/index.json")
+      ext.Similarity.encode(emb, "vec_id", "embedding", loaded)
+        .write.mode("overwrite").parquet(s"$tmp/codes.parquet")
+      val codes = s.read.parquet(s"$tmp/codes.parquet")
+      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+        queries, "qid", "qv", loaded, k = 5, nProbe = 12, refineFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_pq" -> ((s, d) => {
       // round-5: product-quantization ADC + exact re-rank. oracle: golden
       // pin; recall-vs-brute and compression shape asserted in ExtSpec
@@ -940,6 +1002,45 @@ object SparkEntry {
       ext.Similarity.pqTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4)
         .orderBy("query_id", "rank")
+    }),
+    "sim_ann_recall" -> ((s, d) => {
+      // round-8 (r7 verdict #5): determinism was pinned but recall was not —
+      // a probe-parameter regression (e.g. nProbe default too low) would
+      // pass every golden gate while silently degrading answer quality.
+      // Recall@5 vs bruteForceTopK is computed IN-GATE for each ANN family
+      // at gate params and asserted against a floor; the oracle then pins
+      // the measured values, so any change is visible, not just a collapse.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(ext.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "qid", "qv", k = 5))
+      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "ivf" -> ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4),
+        "ivfpq" -> ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
+          m = 8, ksub = 16, refineFactor = 4),
+        "lsh" -> ext.Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, bits = 16, bands = 8),
+        "pq" -> ext.Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4))
+      // Floors are per-method: the cell-probing families must clear 0.6;
+      // standalone PQ at gate params (m=8, ksub=16, k=5) honestly measures
+      // ~0.5 — its floor documents that, and the golden pin catches ANY
+      // drift either way. (IVF-PQ > PQ is separately asserted in ExtSpec.)
+      val floors = Map("ivf" -> 0.6, "ivfpq" -> 0.6, "lsh" -> 0.6, "pq" -> 0.4)
+      val measured = methods.map { case (name, df) =>
+        val r = (brute intersect pairs(df)).size.toDouble / brute.size
+        require(r >= floors(name),
+          s"ANN recall regression: $name recall@5 $r < ${floors(name)}")
+        (name, math.round(r * 10000).toDouble / 10000.0)
+      }
+      import s.implicits._
+      measured.toDF("method", "recall_at_5").orderBy("method")
     }),
     "sim_embedding_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
@@ -1257,6 +1358,39 @@ object SparkEntry {
         .map(n => (n, byCol.getOrElse(n, 0L)))
         .toDF("col_name", "failure_count").orderBy("col_name")
     }),
+    "io_pandera_emit" -> ((s, d) => {
+      // round-8 (r7 verdict #3): write-side compat — emit a document in the
+      // reference's OWN minimal+flat dump shape (serialize_schema default,
+      // io/pandas_io.py:190-265), prove it is a fixpoint of our verbatim
+      // parser, and pin every emitted line. The schema exercises flat
+      // scalar checks, multi-stat dicts, list values, strict="filter" and
+      // table-level unique.
+      import graft.schema._
+      import org.apache.spark.sql.types._
+      val schema = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType),
+          Seq(graft.checks.Check.greaterThan(0L)), nullable = false, unique = false),
+        "l_quantity" -> ColumnSchema(Some(DoubleType),
+          Seq(graft.checks.Check.inRange(1.0, 50.0)), nullable = true),
+        "l_returnflag" -> ColumnSchema(Some(StringType),
+          Seq(graft.checks.Check.isin(Seq("A", "N", "R"))), nullable = false))
+        .copy(name = Some("lineitem_contract"), strict = Strict.Filter,
+          unique = Seq("l_orderkey"))
+      val emitted = graft.io.SchemaIO.toPanderaYaml(schema)
+      // the emitted document must load back (verbatim parser) to a schema
+      // that emits the SAME document — a migration-stable fixpoint
+      val back = graft.io.SchemaIO.fromYaml(emitted)
+      require(graft.io.SchemaIO.toPanderaYaml(back) == emitted,
+        "pandera emit is not a parse fixpoint")
+      // and actually drive validation on the real table
+      require(back.validate(t(s, d, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")).errors
+        .forall(_.failureCount >= 0), "round-tripped schema failed to run")
+      import s.implicits._
+      emitted.split("\n", -1).toSeq.zipWithIndex
+        .map { case (line, i) => (i.toLong, line) }
+        .toDF("line_no", "line").orderBy("line_no")
+    }),
     "io_validated_read" -> ((s, d) => {
       // validate-on-read source boundary: the l_tax contract has a known
       // failure count; the reader path goes through ValidatedIO.
@@ -1278,6 +1412,43 @@ object SparkEntry {
       Seq(("model_in_range",
         res.errors.filter(_.check.startsWith("in_range")).map(_.failureCount).sum))
         .toDF("check_name", "failure_count")
+    }),
+    "model_typed" -> ((s, d) => {
+      // round-8 (r7 verdict #4): the full typed Dataset[T] path end-to-end
+      // — encoder-derived schema (dtype AND nullability come from the case
+      // class: primitives non-nullable, Option[_] nullable), builder-
+      // attached field/table checks, Config analog, a checkTypes-decorated
+      // typed function boundary, and a typed result you can .map over.
+      // Output pins the derived (field, dtype, nullable) triples plus the
+      // check outcomes — the whole compile-time-derivation contract.
+      import s.implicits._
+      val ds = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .as[OrderRow]
+      val typed = graft.model.DataFrameModel.of[OrderRow]
+        .field("o_orderkey", Check.ge(0L)) // synthetic orders include key 0
+        .field("o_totalprice", Check.gt(0.0))
+        .field("o_orderstatus", Check.isin(Seq("F", "O", "P")))
+        .tableChecks(Check.wide("key_nonneg_or_priceless")(_ =>
+          col("o_orderkey") >= 0 || col("o_totalprice").isNull))
+        .config(name = Some("orders_typed"), strict = Some(graft.schema.Strict.Error))
+      val res = typed.validate(ds)
+      // checkTypes decorator: a typed function whose input contract is the
+      // model — validates, then the body runs on the TYPED carrier (an
+      // exact long sum, stable under any partitioning)
+      val keySum: org.apache.spark.sql.Dataset[OrderRow] => Long =
+        graft.model.Decorators.checkTypes[OrderRow, Long]()(
+          _.map(_.o_orderkey).reduce(_ + _))
+      val derived = typed.schema.columns.map { case (n, c) =>
+        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), c.nullable, 0L)
+      }
+      val outcomes = Seq(
+        ("__passed__", "bool", true, if (res.passed) 0L else 1L),
+        ("__check_failures__", "int64", false,
+          res.errors.filterNot(_.isWarning).map(_.failureCount).sum),
+        ("__boundary_orderkey_sum__", "int64", false, keySum(ds)))
+      (derived ++ outcomes)
+        .toDF("field", "dtype", "nullable", "failure_count").orderBy("field")
     }),
     "model_parser" -> ((s, d) => {
       // typed-DSL parser hook (@parser analog): clip l_quantity before the
@@ -1332,7 +1503,11 @@ object SparkEntry {
     * one WITH clause, tagged with the column name. */
   private def ksMultiOracleCol(c: String, i: Int): String = {
     val s = i.toString
-    val ps = (1 until 20).map(p => (p * 0.05).formatted("%.2f")).mkString(", ")
+    // Locale.ROOT: default-locale %.2f under e.g. de_DE emits "0,05" and
+    // breaks the generated DuckDB list literal (r7 ADVICE).
+    val ps = (1 until 20)
+      .map(p => String.format(java.util.Locale.ROOT, "%.2f", Double.box(p * 0.05)))
+      .mkString(", ")
     s"edges$s AS (SELECT list_transform(quantile_cont($c, [$ps]), e -> round(e, 6)) AS es FROM lineitem), " +
       s"refb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL), " +
       s"curb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL AND l_returnflag = 'A'), " +
@@ -1363,6 +1538,15 @@ object SparkEntry {
       s"(SELECT round(sum(psi_contrib), 6) FROM k$s) AS psi_total FROM k$s)"
   }
 
+  /** Golden pin for the IVF-PQ top-k — shared by `sim_topk_ivfpq` (one-shot)
+    * and `sim_topk_ivfpq_persisted` (save/load + materialized codes), which
+    * must be hash-identical by construction. */
+  private val ivfPqOracleSql: String =
+    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+      "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+      ") u ORDER BY query_id, \"rank\"")
+
   def oracleSql: Map[String, String] = Map(
     // Golden pins for the three approximate operators: the pipelines are
     // fully deterministic (seeded xxhash64 signatures, seeded k-means,
@@ -1374,6 +1558,11 @@ object SparkEntry {
         "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY id_a, id_b"),
+    "text_bpe_train_64" ->
+      ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
+        "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar'), (8, 'm', 'er'), (9, 'a', 't'), (10, 'a', 'n'), (11, 'c', 'an'), (12, 's', 'can'), (13, 'c', 'o'), (14, 'co', 'lu'), (15, 'colu', 'm'), (16, 'colum', 'n'), (17, 'd', 'ow'), (18, 'in', 'dow'), (19, 'w', 'indow'), (20, 'd', 'er'), (21, 'or', 'der'), (22, 'or', 't'), (23, 's', 'ort'), (24, 'par', 't'), (25, 'u', 'p'), (26, 'a', 'g'), (27, 'ag', 'g'), (28, 'a', 'lu'), (29, 'alu', 'e'), (30, 'v', 'alue'), (31, 'in', 'e'), (32, 'l', 'ine'), (33, 'e', 'y'), (34, 'k', 'ey'), (35, 'j', 'o'), (36, 'jo', 'in'), (37, 'g', 'e'), (38, 'mer', 'ge'), (39, 'er', 'y'), (40, 'g', 'r'), (41, 'gr', 'o'), (42, 'gro', 'up'), (43, 'q', 'u'), (44, 'qu', 'ery'), (45, 'c', 't'), (46, 'ct', 'or'), (47, 'e', 'ctor'), (48, 'v', 'ector'), (49, 'a', 's'), (50, 'as', 'h'), (51, 'h', 'ash'), (52, 'l', 'ow'), (53, 's', 'low'), (54, 'a', 'm'), (55, 'e', 'am'), (56, 'r', 'eam'), (57, 'st', 'ream'), (58, 'f', 'i'), (59, 'fi', 'l'), (60, 'fil', 't'), (61, 'filt', 'er'), (62, 'a', 'st'), (63, 'f', 'ast')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'j', 'o'), (11, 'jo', 'in'), (12, 'a', 's'), (13, 'as', 'h'), (14, 'h', 'ash'), (15, 'r', 'ow'), (16, 'at', 'c'), (17, 'atc', 'h'), (18, 'b', 'atch'), (19, 'a', 'n'), (20, 'c', 'an'), (21, 's', 'can'), (22, 'c', 'o'), (23, 'c', 'u'), (24, 'co', 'lu'), (25, 'colu', 'm'), (26, 'colum', 'n'), (27, 'cu', 'st'), (28, 'cust', 'o'), (29, 'custo', 'mer'), (30, 'f', 'i'), (31, 'fi', 'l'), (32, 'fil', 't'), (33, 'filt', 'er'), (34, 'a', 'l'), (35, 'al', 'l'), (36, 'm', 'all'), (37, 's', 'mall'), (38, 'g', 'e'), (39, 'l', 'ow'), (40, 'mer', 'ge'), (41, 's', 'low'), (42, 'c', 't'), (43, 'ct', 'or'), (44, 'd', 'er'), (45, 'e', 'ctor'), (46, 'or', 'der'), (47, 'v', 'ector'), (48, 'in', 'e'), (49, 'l', 'ine'), (50, 'a', 'b'), (51, 'ab', 'l'), (52, 'abl', 'e'), (53, 'at', 'a'), (54, 'd', 'ata'), (55, 't', 'able'), (56, 'u', 'p'), (57, 'a', 'g'), (58, 'ag', 'g'), (59, 'a', 'lu'), (60, 'alu', 'e'), (61, 'v', 'alue'), (62, 'e', 'y'), (63, 'k', 'ey')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY merge_rank"),
     "text_bpe_train" ->
       ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
         "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
@@ -1404,11 +1593,15 @@ object SparkEntry {
         "SELECT * FROM (VALUES (1, 978, -62.682023, 1.0), (2, 1024, -13.851124, 1.0), (3, 254, 4.978852, 1.0), (4, 998, -4.233958, 1.0), (5, 581, 4.073221, 1.0), (6, 705, -3.608663, 1.0), (7, 175, 3.567947, 1.0), (8, 533, 3.561704, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (1, 978, -64.164679, 1.0), (2, 1024, -14.176952, 1.0), (3, 533, 5.529552, 1.0), (4, 693, 4.434215, 1.0), (5, 818, -4.370129, 1.0), (6, 23, -4.187551, 1.0), (7, 456, 4.022876, 1.0), (8, 499, 3.9171, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY \"rank\""),
-    "sim_topk_ivfpq" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
-        ") u ORDER BY query_id, \"rank\""),
+    "sim_ann_recall" ->
+      ("SELECT method, CAST(recall_at_5 AS DOUBLE) AS recall_at_5 FROM (" +
+        "SELECT * FROM (VALUES ('ivf', 0.88), ('ivfpq', 0.76), ('lsh', 0.96), ('pq', 0.48)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.6), ('ivfpq', 0.76), ('lsh', 1.0), ('pq', 0.56)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY method"),
+    "sim_topk_ivfpq" -> ivfPqOracleSql,
+    // persisted path is hash-identical to the one-shot by construction —
+    // same golden pin (r8: train-once/encode-once/serve-many)
+    "sim_topk_ivfpq_persisted" -> ivfPqOracleSql,
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
@@ -1790,6 +1983,23 @@ object SparkEntry {
         "ptot AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
         "SELECT k.window_start, k.bin, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, ptot.psi_total " +
         "FROM k JOIN ptot USING (window_start) ORDER BY window_start, bin"),
+    "drift_psi_cat_windowed" ->
+      ("WITH cat AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, coalesce(CAST(event_type AS VARCHAR), '__null__') AS cell FROM events), " +
+        "tot0 AS (SELECT count(*) AS t FROM cat), " +
+        "refc AS (SELECT cell, count(*) AS n FROM cat GROUP BY 1), " +
+        "topk AS (SELECT cell FROM refc ORDER BY n DESC, cell LIMIT 2), " +
+        "refp AS (SELECT cell, n::DOUBLE / (SELECT t FROM tot0) AS rf FROM refc WHERE cell IN (SELECT cell FROM topk) " +
+        "UNION ALL SELECT '__other__', coalesce(sum(n), 0)::DOUBLE / (SELECT t FROM tot0) FROM refc WHERE cell NOT IN (SELECT cell FROM topk)), " +
+        "curb AS (SELECT window_start, CASE WHEN cell IN (SELECT cell FROM topk) THEN cell ELSE '__other__' END AS cell FROM cat), " +
+        "curc AS (SELECT window_start, cell, count(*) AS n FROM curb GROUP BY 1, 2), " +
+        "wtot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
+        "grid AS (SELECT w.window_start, p.cell, p.rf FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN refp p), " +
+        "j AS (SELECT g.window_start, g.cell, greatest(g.rf, 1e-6) AS rf, greatest(coalesce(c.n, 0)::DOUBLE / t.t, 1e-6) AS cf " +
+        "FROM grid g LEFT JOIN curc c ON c.window_start = g.window_start AND c.cell = g.cell JOIN wtot t ON t.window_start = g.window_start), " +
+        "k AS (SELECT window_start, cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j), " +
+        "pt AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
+        "SELECT k.window_start, k.cell, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, pt.psi_total " +
+        "FROM k JOIN pt USING (window_start) ORDER BY window_start, cell"),
     "drift_ks_multi" ->
       ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
         .zipWithIndex.map { case (c, i) => ksMultiOracleCol(c, i) }
@@ -2050,6 +2260,10 @@ object SparkEntry {
         "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
         "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
         ") v(\"column\", dtype, fc) ORDER BY \"column\""),
+    "io_pandera_emit" ->
+      ("SELECT CAST(line_no AS BIGINT) AS line_no, CAST(line AS VARCHAR) AS line FROM (VALUES " +
+        "(0, 'schema_type: dataframe'), (1, 'columns:'), (2, '  l_orderkey:'), (3, '    dtype: int64'), (4, '    greater_than: 0'), (5, '  l_quantity:'), (6, '    dtype: float64'), (7, '    nullable: true'), (8, '    in_range:'), (9, '      include_max: true'), (10, '      include_min: true'), (11, '      max_value: 50.0'), (12, '      min_value: 1.0'), (13, '  l_returnflag:'), (14, '    dtype: str'), (15, '    isin:'), (16, '    - A'), (17, '    - N'), (18, '    - R'), (19, 'strict: filter'), (20, 'name: lineitem_contract'), (21, 'unique:'), (22, '- l_orderkey'), (23, 'drop_invalid_rows: false'), (24, '')" +
+        ") v(line_no, line) ORDER BY line_no"),
     "io_pandera_yaml" ->
       ("SELECT col_name, CAST(fc AS BIGINT) AS failure_count FROM (" +
         "SELECT 'l_discount' AS col_name, count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0)) AS fc FROM lineitem UNION ALL " +
@@ -2059,6 +2273,13 @@ object SparkEntry {
         ") u ORDER BY col_name"),
     "model_dsl" ->
       "SELECT 'model_in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
+    "model_typed" ->
+      ("SELECT field, dtype, nullable, CAST(failure_count AS BIGINT) AS failure_count FROM (" +
+        "SELECT * FROM (VALUES ('__check_failures__', 'int64', false, 0), ('__passed__', 'bool', true, 0), " +
+        "('o_custkey', 'int64', true, 0), ('o_orderkey', 'int64', false, 0), " +
+        "('o_orderstatus', 'str', true, 0), ('o_totalprice', 'float64', true, 0)) v(field, dtype, nullable, failure_count) " +
+        "UNION ALL SELECT '__boundary_orderkey_sum__', 'int64', false, (SELECT sum(o_orderkey) FROM orders)" +
+        ") u ORDER BY field"),
     "model_parser" ->
       "SELECT l_orderkey, l_linenumber, least(l_quantity, 30.0) AS l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "decorator_check_io" ->

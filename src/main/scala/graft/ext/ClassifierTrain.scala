@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE distributed job per GD iteration — the margin w·x is a
   * codegen'd expression over the literal weight vector (no model object,
-  * no ML transform), and the gradient is a (dim+1)-cell aggregation with
-  * map-side partials (posexplode of the feature array, groupBy component).
-  * Only dim+1 cells reach the driver per iteration; rows never do. Full
+  * no ML transform), and the gradient is ONE fused
+  * [[graft.functions.VectorWeightedSumFixedPoint]] aggregate over the
+  * feature arrays (rows never explode; map-side partial vectors merge
+  * cell-wise). Only dim+1 cells reach the driver per iteration. Full
   * batch (not minibatch SGD) because on a cluster the whole corpus costs
   * one scan anyway — the classic tradeoff inverts at scale.
   *

@@ -189,6 +189,29 @@ object Drift {
     * double counting, psi_total is still well-defined), but the two sources
     * are indistinguishable in the per-cell report. Rename such values
     * upstream if the distinction matters. */
+  /** Reference profile for a categorical column, for the streaming
+    * windowed-PSI monitor ([[graft.streaming.StreamingValidation
+    * .windowedPsiCategorical]]): the top-`maxCategories` categories
+    * (count desc, value asc — the same deterministic order
+    * [[psiCategorical]] uses) and the reference fraction of each, with the
+    * trailing entry the `__other__` overflow mass. Null is its own
+    * `__null__` category. ONE job; the collect is ≤ maxCategories+1
+    * cells. */
+  def referenceCategoricalProfile(reference: DataFrame, column: String,
+      maxCategories: Int = 100): (Seq[String], Seq[Double]) = {
+    require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
+    val cat = coalesce(q(column).cast("string"), lit("__null__"))
+    val counted = reference.groupBy(cat.as("cell")).agg(count(lit(1)).as("n"))
+    // top-K via TakeOrdered — the collect is capped at maxCategories rows
+    // no matter the column's cardinality (the whole point of the cap)
+    val top = counted.orderBy(col("n").desc, col("cell")).limit(maxCategories)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(top.nonEmpty, "referenceCategoricalProfile: reference is empty")
+    val total = reference.count().toDouble
+    val otherMass = (total - top.map(_._2).sum) / total
+    (top.map(_._1).toSeq, top.map(_._2 / total).toSeq :+ otherMass)
+  }
+
   def psiCategorical(reference: DataFrame, current: DataFrame, column: String,
       maxCategories: Int = 100, eps: Double = 1e-6): DataFrame = {
     require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")

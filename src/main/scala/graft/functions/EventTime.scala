@@ -20,7 +20,14 @@ object EventTime {
     * long to double (53-bit mantissa < 2^60-scale nanos → ±µs drift). */
   def eventTime(df: DataFrame, tsCol: String): Column = {
     val c = col("`" + tsCol.replace("`", "``") + "`")
-    df.schema(tsCol).dataType match {
+    // Case-insensitive field lookup to match Spark's default column
+    // resolution — df.schema(name) alone is exact-match and would reject
+    // "TS" for a column named "ts" that col() happily resolves (r7 ADVICE).
+    val field = df.schema.fields.find(_.name == tsCol)
+      .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(tsCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"eventTime: no column named '$tsCol' in [${df.columns.mkString(", ")}]"))
+    field.dataType match {
       case LongType => timestamp_micros(call_function("div", c, lit(1000L)))
       case TimestampType => c
       case TimestampNTZType => c.cast(TimestampType) // exact under UTC session tz

@@ -394,6 +394,146 @@ object SchemaIO {
       .fold(parsed)(d => parsed.withDtype(nameToDtype(str(d))))
   }
 
+  // ---- reference-format EMIT (write-side compat, r7 verdict #3) ----------
+  // Mirrors serialize_schema(minimal=True) — the reference's DEFAULT dump
+  // shape (io/pandas_io.py:190-265): keys equal to constructor defaults are
+  // omitted (io/_minimal.py DF_SCHEMA_DEFAULTS / COLUMN_DEFAULTS; `version`
+  // is popped in minimal mode), and column checks flatten to Field-style
+  // `check_name: value` keys (io/_flat_checks.py flatten_check_list_entry)
+  // — falling back to the `checks:` list form exactly when the reference
+  // would (a zero-payload entry or a duplicate name aborts flattening).
+  // A document emitted here loads verbatim in the reference AND in this
+  // engine's own fromYaml (golden-tested in PanderaCompatSpec).
+
+  /** Check names that exist as `pandera.Check` factory methods — the only
+    * ones the reference's flat-key loader recognizes
+    * (io/_flat_checks.py:146 `getattr(Check, k)`). */
+  private val panderaCheckNames: Set[String] =
+    unaryStatKey.keySet + "in_range"
+
+  /** Checks / column features a reference-format document CANNOT carry:
+    * graft-only statistical checks, registered checks/hypotheses, custom
+    * lambdas, and column `default` values (the reference's deserializer
+    * ignores `default` — io/pandas_io.py:333-351). Reported, not silently
+    * dropped, mirroring [[unserializable]]. */
+  def panderaUnserializable(schema: DataFrameSchema): Seq[String] = {
+    def bad(cs: Seq[Check], where: String): Seq[String] =
+      cs.filterNot(c => panderaCheckNames.contains(c.name) && serializableCheck(c))
+        .map(c => s"$where: check '${c.name}' has no pandera.Check factory")
+    schema.columns.flatMap { case (n, c) =>
+      bad(c.checks, s"column '$n'") ++
+        c.default.map(_ => s"column '$n': default is not representable " +
+          "in the reference document format").toSeq
+    } ++ bad(schema.checks, "table")
+  }
+
+  /** One serialized check as (statistics, non-default options) — the
+    * reference's _serialize_check_stats + option pruning
+    * (io/_minimal.py CHECK_OPTION_DEFAULTS: ignore_na=true,
+    * raise_warning=false are defaults; n_failure_cases has none). */
+  private def panderaCheckPayload(c: Check): (Map[String, Any], Map[String, Any]) = {
+    val stats = scala.collection.immutable.ListMap(
+      c.statistics.toSeq.sortBy(_._1): _*)
+    val opts = c match {
+      case cc: ColumnCheck =>
+        (if (!cc.ignoreNa) Seq("ignore_na" -> false) else Nil) ++
+          (if (cc.raiseWarning) Seq("raise_warning" -> true) else Nil) ++
+          (if (cc.nFailureCases != Check.DefaultNFailureCases)
+            Seq("n_failure_cases" -> cc.nFailureCases) else Nil)
+      case _ => Nil
+    }
+    (stats, scala.collection.immutable.ListMap(opts: _*))
+  }
+
+  /** Flat `check_name -> value` map for a column, or None when the
+    * reference would keep the list form. */
+  private def flattenChecks(cs: Seq[Check]): Option[Map[String, Any]] = {
+    val entries = cs.map { c =>
+      val (stats, opts) = panderaCheckPayload(c)
+      val value: Any =
+        if (stats.isEmpty && opts.isEmpty) null // not flattenable
+        else if (stats.size == 1 && opts.isEmpty) stats.head._2
+        else stats ++ opts
+      c.name -> value
+    }
+    val names = entries.map(_._1)
+    if (entries.exists(_._2 == null) || names.distinct.size != names.size) None
+    else Some(scala.collection.immutable.ListMap(entries: _*))
+  }
+
+  /** `checks:` list form: `[{...stats, options: {check_name, ...}}]`. */
+  private def checksListForm(cs: Seq[Check]): Seq[Map[String, Any]] =
+    cs.map { c =>
+      val (stats, opts) = panderaCheckPayload(c)
+      stats ++ Map("options" ->
+        (scala.collection.immutable.ListMap[String, Any]("check_name" -> c.name) ++ opts))
+    }
+
+  /** The reference-shaped document as a nested map (minimal mode). Checks
+    * the reference cannot express are SKIPPED — call
+    * [[panderaUnserializable]] first to audit what a migration loses. */
+  def toPanderaMap(schema: DataFrameSchema): Map[String, Any] = {
+    import scala.collection.immutable.ListMap
+    def columnMap(c: ColumnSchema): Map[String, Any] = {
+      val serializable =
+        c.checks.filter(ch => panderaCheckNames.contains(ch.name) && serializableCheck(ch))
+      // reference key order: title, description, dtype, nullable, unique,
+      // coerce, required, regex (defaults pruned), then flat check keys
+      val base = ListMap[String, Any]() ++
+        c.title.map("title" -> (_: Any)) ++
+        c.description.map("description" -> (_: Any)) ++
+        c.dtype.map(d => "dtype" -> (dtypeToName(d): Any)) ++
+        (if (c.nullable) Seq("nullable" -> true) else Nil) ++
+        (if (c.unique) Seq("unique" -> true) else Nil) ++
+        (if (c.coerce) Seq("coerce" -> true) else Nil) ++
+        (if (!c.required) Seq("required" -> false) else Nil) ++
+        (if (c.regex) Seq("regex" -> true) else Nil)
+      if (serializable.isEmpty) base
+      else flattenChecks(serializable) match {
+        case Some(flat) => base ++ flat
+        case None => base + ("checks" -> checksListForm(serializable))
+      }
+    }
+    val tableChecks =
+      schema.checks.filter(ch => panderaCheckNames.contains(ch.name) && serializableCheck(ch))
+    ListMap[String, Any](
+      "schema_type" -> "dataframe",
+      "columns" -> ListMap(schema.columns.map { case (n, c) => n -> (columnMap(c): Any) }: _*)) ++
+      (if (tableChecks.nonEmpty) Seq("checks" -> checksListForm(tableChecks)) else Nil) ++
+      (if (schema.coerce) Seq("coerce" -> true) else Nil) ++
+      (schema.strict match {
+        case Strict.NotStrict => Nil
+        case Strict.Error     => Seq("strict" -> true)
+        case Strict.Filter    => Seq("strict" -> "filter")
+      }) ++
+      schema.name.map("name" -> (_: Any)) ++
+      (if (schema.ordered) Seq("ordered" -> true) else Nil) ++
+      (if (schema.unique.nonEmpty) Seq("unique" -> (schema.unique: Any)) else Nil) ++
+      (schema.reportDuplicates match {
+        case ReportDuplicates.All          => Nil
+        case ReportDuplicates.ExcludeFirst => Seq("report_duplicates" -> "exclude_first")
+        case ReportDuplicates.ExcludeLast  => Seq("report_duplicates" -> "exclude_last")
+      }) ++
+      (if (schema.uniqueColumnNames) Seq("unique_column_names" -> true) else Nil) ++
+      (if (schema.addMissingColumns) Seq("add_missing_columns" -> true) else Nil) ++
+      schema.title.map("title" -> (_: Any)) ++
+      schema.description.map("description" -> (_: Any)) ++
+      // the reference always emits drop_invalid_rows (it is not in
+      // DF_SCHEMA_DEFAULTS, so minimal mode never prunes it)
+      Seq("drop_invalid_rows" -> schema.dropInvalidRows)
+  }
+
+  /** Reference-loadable YAML (serialize_schema(minimal=True) shape). */
+  def toPanderaYaml(schema: DataFrameSchema): String = {
+    val opts = new org.yaml.snakeyaml.DumperOptions
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(toJava(toPanderaMap(schema)))
+  }
+
+  /** Reference-loadable JSON (same document as [[toPanderaYaml]]). */
+  def toPanderaJson(schema: DataFrameSchema): String =
+    jackson.writerWithDefaultPrettyPrinter().writeValueAsString(toJava(toPanderaMap(schema)))
+
   // ---- scala ⇄ java for snakeyaml/jackson --------------------------------
   private def toJava(a: Any): Any = a match {
     case m: Map[_, _] => m.map { case (k, v) => String.valueOf(k) -> toJava(v) }.asJava

@@ -342,6 +342,66 @@ object StreamingValidation {
         col("c.psi_contrib").as("psi_contrib"), col("psi_total"))
   }
 
+  /** Streaming CATEGORICAL drift: PSI of a category column per event-time
+    * window against a fixed reference profile
+    * ([[graft.ext.Drift.referenceCategoricalProfile]]) — the continuous
+    * counterpart of the batch [[graft.ext.Drift.psiCategorical]] monitor
+    * and the categorical sibling of [[windowedPsi]] (r7 verdict #6:
+    * language/domain mix shift is THE drift a crawl pipeline watches).
+    * Cells are the reference's top-K categories plus `__other__` (all
+    * overflow and never-seen categories — mass appearing there IS the
+    * signal); nulls map to `__null__`, a real cell iff it is in the
+    * reference top-K, otherwise `__other__`.
+    *
+    * Same streaming-safe shape as [[windowedPsi]]: the ONLY stateful
+    * operator is one `groupBy(window)` carrying a conditional-sum counter
+    * per cell (state = one short row per open window, bounded by the
+    * watermark); fractions / PSI contributions / the per-window total are
+    * pure row-local expressions, and the reference profile rides as
+    * literals. Identical plan in batch mode (the correctness oracle) and
+    * streaming mode (StreamingSpec replays it). */
+  def windowedPsiCategorical(events: DataFrame, tsCol: String, column: String,
+      refCells: Seq[String], refFracs: Seq[Double],
+      windowDur: String = "1 hour", watermark: Option[String] = None,
+      eps: Double = 1e-6): DataFrame = {
+    require(refCells.nonEmpty, "refCells must be non-empty")
+    require(refCells.distinct.size == refCells.size, "refCells must be distinct")
+    require(!refCells.contains("__other__"),
+      "__other__ is the reserved overflow cell — not a reference category")
+    require(refFracs.length == refCells.length + 1,
+      "refFracs must carry one entry per reference cell plus the __other__ mass")
+    val cells = refCells :+ "__other__"
+    val withTs = events.withColumn("__ets",
+      graft.functions.EventTime.eventTime(events, tsCol))
+    val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
+    val cat = coalesce(col("`" + column.replace("`", "``") + "`").cast("string"),
+      lit("__null__"))
+    val cellCol = when(cat.isin(refCells: _*), cat).otherwise(lit("__other__"))
+    val counts = cells.indices.map(i =>
+      sum(when(cellCol === cells(i), 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = wm
+      .groupBy(window(col("__ets"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val total = cells.indices.map(i => col(s"__n$i")).reduce(_ + _)
+    val cellStructs = array(cells.indices.map { i =>
+      val rf = greatest(lit(refFracs(i)), lit(eps))
+      val cf = greatest(col(s"__n$i").cast("double") / total.cast("double"), lit(eps))
+      struct(lit(cells(i)).as("cell"),
+        round(rf, 6).as("ref_frac"),
+        round(cf, 6).as("cur_frac"),
+        round((cf - rf) * log(cf / rf), 6).as("psi_contrib"))
+    }: _*)
+    agged
+      .withColumn("__cells", cellStructs)
+      .withColumn("psi_total", round(aggregate(col("__cells"), lit(0.0),
+        (a, c) => a + c.getField("psi_contrib")), 6))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("__cells")).as("c"), col("psi_total"))
+      .select(col("window_start"), col("c.cell").as("cell"),
+        col("c.ref_frac").as("ref_frac"), col("c.cur_frac").as("cur_frac"),
+        col("c.psi_contrib").as("psi_contrib"), col("psi_total"))
+  }
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -12,6 +12,24 @@ object PinGen {
       .config("spark.ui.enabled", "false")
       .appName("pingen").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // io_pandera_emit pin (SF-independent): the emitted document's lines
+    locally {
+      import graft.schema._
+      import org.apache.spark.sql.types._
+      val schema = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType),
+          Seq(graft.checks.Check.greaterThan(0L)), nullable = false, unique = false),
+        "l_quantity" -> ColumnSchema(Some(DoubleType),
+          Seq(graft.checks.Check.inRange(1.0, 50.0)), nullable = true),
+        "l_returnflag" -> ColumnSchema(Some(StringType),
+          Seq(graft.checks.Check.isin(Seq("A", "N", "R"))), nullable = false))
+        .copy(name = Some("lineitem_contract"), strict = Strict.Filter,
+          unique = Seq("l_orderkey"))
+      val y = graft.io.SchemaIO.toPanderaYaml(schema)
+      val rows = y.split("\n", -1).zipWithIndex
+        .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }
+      println("PIN panderaemit " + rows.mkString(", "))
+    }
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val d = s"/root/testdata/$sf"
       val emb = spark.read.parquet(s"$d/embeddings.parquet")
@@ -58,6 +76,15 @@ object PinGen {
         s"(${r.getInt(0)}, ${r.getInt(1)}, ${fd(r.getDouble(2))}, ${fd(r.getDouble(3))})"
       }
       println(s"PIN clstrain $sf " + tr.mkString(", "))
+      // text_bpe_train_64 pin: (merge_rank, lhs, rhs) — SQL-escape quotes
+      def sq(x: String) = "'" + x.replace("'", "''") + "'"
+      val m64 = graft.ext.BpeTrain.learnMerges(docs, "text", numMerges = 64)
+        .zipWithIndex.map { case ((a, b), i) => s"($i, ${sq(a)}, ${sq(b)})" }
+      println(s"PIN bpe64 $sf " + m64.mkString(", "))
+      // sim_ann_recall pin: (method, recall_at_5)
+      val recall = graft.SparkEntry.queries("sim_ann_recall")(spark, d)
+        .collect().map(r => s"('${r.getString(0)}', ${r.getDouble(1)})")
+      println(s"PIN annrecall $sf " + recall.mkString(", "))
     }
     spark.stop()
   }

@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off 100× / skew scale probe for the dedup pipeline (r7 verdict #8):
+  * the per-round Bench 10× probes established linearity; this pins the two
+  * behaviors that only show up PAST 10× —
+  *
+  *  1. **100× volume**: pairs-vs-wall growth for `minhashPairs` +
+  *     `clusterPairs` on a corpus replicated 100× (per-replica vowel
+  *     rotation, so near-dup structure is preserved within a replica and
+  *     shingles diverge across replicas — pair volume must grow ~linearly
+  *     with rows, never quadratically).
+  *  2. **Adversarial skew**: one text owning 10% of all rows (the
+  *     pathological crawl case — boilerplate pages). Without the
+  *     `maxBucketSize` cap this is a |cluster|² pair explosion
+  *     (50k rows → 2.5e9 pairs); with the cap, pair output stays bounded
+  *     and the wall-clock sane. The probe also reports the
+  *     pointer-doubling round count for the giant star-shaped cluster
+  *     (must stay O(log diameter), here ≤ a handful of rounds).
+  *
+  * Results are recorded in BASELINE.md; this main is NOT part of the
+  * driver's Bench contract (it is a one-off evidence run, rerunnable).
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** documents × n with per-replica vowel rotation (replica 0 = identity);
+    * same construction as Bench's 10× probe, extended to n replicas by
+    * cycling the 10 rotations and salting the shingle space with a
+    * replica-group token so rotation-equal replicas don't cross-match. */
+  private def replicate(docs: DataFrame, n: Int): DataFrame = {
+    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(n - 1))).as("rep"))
+      .select((col("doc_id") * 128 + col("rep")).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("repgrp"), (col("rep") / rotations.size).cast("int").cast("string")),
+          rotations.zipWithIndex.foldLeft(lit(null).cast("string")) {
+            case (acc, (rot, r)) =>
+              when(pmod(col("rep"), lit(rotations.size)) === r,
+                translate(col("text"), "aeiou", rot)).otherwise(acc)
+          }).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n1 = docs.count()
+
+    def probe(name: String, d: DataFrame): Unit = {
+      val rows = d.count()
+      val (tp, pairs) = time(
+        graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 3, 64, 16, 0.8).count())
+      val (tc, clusters) = time {
+        val p = graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 3, 64, 16, 0.8)
+        graft.ext.Dedup.clusterPairs(p).select("cluster").distinct().count()
+      }
+      println(f"PROBE $name rows=$rows pairs=$pairs pairs_per_row=${pairs.toDouble / rows}%.2f " +
+        f"minhash_sec=$tp%.1f cluster_sec=$tc%.1f clusters=$clusters")
+    }
+
+    probe("1x", docs)
+    probe("10x", replicate(docs, 10))
+    probe("100x", replicate(docs, 100))
+
+    // adversarial skew: ~10% of a 10× corpus is ONE boilerplate text (the
+    // pathological crawl case). Two behaviors to pin:
+    //  (a) the raw LSH path with a bucket cap below the skew cluster size
+    //      stays BOUNDED — the over-cap bucket is skipped (documented
+    //      maxBucketSize semantics), so wall-clock does not explode and
+    //      pair volume stays ~base-corpus-sized (a |cluster|² emission
+    //      here would be ~n1²/2 pairs);
+    //  (b) the production path (nearDupPipeline shape) collapses exact
+    //      duplicates BEFORE minhash — the boilerplate mass reduces to ONE
+    //      representative in one hash-aggregate pass, so the LSH stage
+    //      never sees the skew at all.
+    val base10 = replicate(docs, 9)
+    val boiler = docs
+      .select((col("doc_id") * 128 + lit(100)).as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog " * 8).as("text"))
+    val skewed = base10.unionAll(boiler)
+    val rows = skewed.count()
+    val (ts, pairsSkew) = time(
+      graft.ext.Dedup.minhashPairs(skewed, "doc_id", "text", 3, 64, 16, 0.8,
+        maxBucketSize = 100L).count())
+    val (te, collapsed) = time(
+      graft.ext.Dedup.dropExact(skewed, Seq("text")).count())
+    println(f"PROBE skew10pct rows=$rows boiler_rows=$n1 " +
+      f"capped_pairs=$pairsSkew minhash_sec=$ts%.1f " +
+      f"exact_collapse_rows=$collapsed exact_sec=$te%.1f " +
+      f"quadratic_would_be=${n1 * (n1 - 1) / 2}")
+    spark.stop()
+  }
+}

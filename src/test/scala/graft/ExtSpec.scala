@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, ImageIODecoder, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{BpeTrain, Dedup, ImageIODecoder, Multimodal, Similarity, TextAnalysis}
 
 class ExtSpec extends SparkSpec {
   import spark.implicits._
@@ -285,6 +285,27 @@ class ExtSpec extends SparkSpec {
       regexp_replace(lower(col("text")), "\\s+", "").as("expected"))
       .filter(col("joined") =!= col("expected")).count()
     assert(bad == 0, "BPE must re-segment, never rewrite")
+  }
+
+  test("bpe training: driver-local incremental loop ≡ job-per-merge reference") {
+    // r8: the merge loop moved off the cluster (zero jobs per merge); it
+    // must learn the EXACT same merges as the r7 one-job-per-merge
+    // formulation, including argmax tie-breaks and rank-order re-encoding
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val local = BpeTrain.learnMerges(docs, "text", numMerges = 24)
+    val ref = BpeTrain.learnMergesJobPerMerge(docs, "text", numMerges = 24)
+    assert(local == ref, s"local=$local\nref=$ref")
+    // repeated-symbol runs (aa|aa vs a|aa overlap bookkeeping) and
+    // punctuation pre-tokens exercise the incremental count maintenance
+    val tricky = Seq((1L, "aaaa aaaa aab!"), (2L, "baab aaaa a.a.a."),
+      (3L, "ababab bababa !!")).toDF("doc_id", "text")
+    val tl = BpeTrain.learnMerges(tricky, "text", numMerges = 10)
+    val tr = BpeTrain.learnMergesJobPerMerge(tricky, "text", numMerges = 10)
+    assert(tl == tr, s"local=$tl\nref=$tr")
+    // exhaustion: asking for more merges than exist terminates cleanly
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(BpeTrain.learnMerges(tiny, "text", 50) ==
+      BpeTrain.learnMergesJobPerMerge(tiny, "text", 50))
   }
 
   test("similarity: k-heap ranking matches window formulation, no Window in plan") {

@@ -265,4 +265,97 @@ class PanderaCompatSpec extends SparkSpec {
     assert(allStats(again) == allStats(s))
     assert(SchemaIO.toYaml(again) == SchemaIO.toYaml(s)) // stable fixpoint
   }
+
+  test("pandera-format EMIT matches the reference's minimal+flat dump shape") {
+    // r8 (r7 verdict #3): write-side compat — a graft-authored schema must
+    // serialize into a document the reference loads. The golden fixture
+    // below is the exact minimal-mode shape serialize_schema emits
+    // (io/pandas_io.py:190-265 + _minimal.py pruning + _flat_checks.py
+    // flattening): defaults omitted, no version key, flat check keys,
+    // drop_invalid_rows always present.
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Seq(Check.greaterThan(0L)),
+        nullable = false, unique = true),
+      "name" -> ColumnSchema(Some(StringType),
+        Seq(Check.isin(Seq("foo", "bar")), Check.strLength(Some(1), Some(8))),
+        nullable = true, title = Some("customer name")),
+      "score" -> ColumnSchema(Some(DoubleType),
+        // meanBetween is graft-only: it must be SKIPPED in the emit and
+        // REPORTED by panderaUnserializable, not silently lost
+        Seq(Check.inRange(0.0, 1.0), Check.meanBetween(0.2, 0.8))))
+      .copy(name = Some("scores"), strict = Strict.Filter, unique = Seq("id"))
+    val golden =
+      """schema_type: dataframe
+        |columns:
+        |  id:
+        |    dtype: int64
+        |    unique: true
+        |    greater_than: 0
+        |  name:
+        |    title: customer name
+        |    dtype: str
+        |    nullable: true
+        |    isin:
+        |    - foo
+        |    - bar
+        |    str_length:
+        |      max_value: 8
+        |      min_value: 1
+        |  score:
+        |    dtype: float64
+        |    nullable: true
+        |    in_range:
+        |      include_max: true
+        |      include_min: true
+        |      max_value: 1.0
+        |      min_value: 0.0
+        |strict: filter
+        |name: scores
+        |unique:
+        |- id
+        |drop_invalid_rows: false
+        |""".stripMargin
+    val emitted = SchemaIO.toPanderaYaml(schema)
+    assert(emitted == golden, s"emitted:\n$emitted")
+    // our own verbatim parser loads it back with identical semantics for
+    // the reference-expressible subset
+    val back = SchemaIO.fromYaml(emitted)
+    assert(back.columnNames == Seq("id", "name", "score"))
+    assert(back.strict == Strict.Filter && back.unique == Seq("id"))
+    def stats(x: DataFrameSchema, c: String) = x.column(c).get.checks
+      .collect { case cc: ColumnCheck => cc.name -> cc.statistics }.toMap
+    assert(stats(back, "id") == Map("greater_than" -> Map("min_value" -> 0L)))
+    assert(stats(back, "name").keySet == Set("isin", "str_length"))
+    // emit is a fixpoint: emitting the parsed-back schema reproduces it
+    assert(SchemaIO.toPanderaYaml(back) == golden)
+    // the graft-only check and nothing else is reported as lost
+    val lost = SchemaIO.panderaUnserializable(schema)
+    assert(lost == Seq("column 'score': check 'mean_between' has no pandera.Check factory"))
+  }
+
+  test("pandera EMIT falls back to checks: list form exactly when the reference would") {
+    // duplicate check names on one column abort flattening in the
+    // reference (flatten_component_checks_dict returns early) — the emit
+    // must produce the list form with options.check_name, which both
+    // loaders accept
+    val schema = DataFrameSchema(
+      "s" -> ColumnSchema(Some(StringType),
+        Seq(Check.strContains("a"), Check.strContains("b"))))
+    val emitted = SchemaIO.toPanderaYaml(schema)
+    assert(emitted.contains("checks:") && emitted.contains("check_name: str_contains"),
+      s"expected list-form fallback:\n$emitted")
+    val back = SchemaIO.fromYaml(emitted)
+    val pats = back.column("s").get.checks
+      .collect { case cc: ColumnCheck => cc.statistics("pattern") }.toSet
+    assert(pats == Set("a", "b"))
+    // non-default check options ride the flat value dict
+    val withOpts = DataFrameSchema(
+      "x" -> ColumnSchema(Some(LongType),
+        Seq(Check.greaterThan(0L).copy(ignoreNa = false, raiseWarning = true))))
+    val y = SchemaIO.toPanderaYaml(withOpts)
+    assert(y.contains("ignore_na: false") && y.contains("raise_warning: true"), y)
+    val backOpts = SchemaIO.fromYaml(y).column("x").get.checks.head
+      .asInstanceOf[ColumnCheck]
+    assert(!backOpts.ignoreNa && backOpts.raiseWarning)
+  }
 }

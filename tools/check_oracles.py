@@ -1,8 +1,13 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's correctness gate: for each SparkEntry
 query, run its DuckDB oracle SQL over the same parquet tables and compare
-with the Verify parquet dump (columns sorted by name, rows compared as
-sorted multisets, floats to 1e-9)."""
+with the Verify parquet dump.
+
+Deliberately WEAKER than the driver gate in two ways (r7 ADVICE, documented):
+columns are sorted by name and rows are compared as sorted multisets, so an
+ORDER BY regression passes here but can fail the real gate; and floats are
+normalized to 9 significant digits ('%.9g', a relative tolerance), not an
+absolute 1e-9."""
 import json, sys, glob, math
 import duckdb
 
