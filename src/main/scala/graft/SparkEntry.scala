@@ -993,6 +993,28 @@ object SparkEntry {
         queries, "qid", "qv", loaded, k = 5, nProbe = 12, refineFactor = 4)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivfpq_pruned" -> ((s, d) => {
+      // round-8: cell-partitioned code storage + partition-pruned serving —
+      // codes write partitionBy(cell); the serve collects the query
+      // batch's probe cells (bounded: |queries|·nProbe ints) and
+      // pre-filters, so parquet PARTITION PRUNING skips every non-probed
+      // cell's files (at deployment params that is ~99.6% of the stored
+      // bytes). Hash-identical to sim_topk_ivfpq — same golden pin;
+      // PartitionFilters asserted in AnnIndexSpec.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-part").toString
+      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16)
+      ext.Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding",
+        idx, s"$tmp/codes")
+      val codes = s.read.parquet(s"$tmp/codes")
+      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+        queries, "qid", "qv", idx, k = 5, nProbe = 12, refineFactor = 4,
+        pruneCells = true)
+        .orderBy("query_id", "rank")
+    }),
     "sim_topk_pq" -> ((s, d) => {
       // round-5: product-quantization ADC + exact re-rank. oracle: golden
       // pin; recall-vs-brute and compression shape asserted in ExtSpec
@@ -1602,6 +1624,8 @@ object SparkEntry {
     // persisted path is hash-identical to the one-shot by construction —
     // same golden pin (r8: train-once/encode-once/serve-many)
     "sim_topk_ivfpq_persisted" -> ivfPqOracleSql,
+    // cell-partitioned + partition-pruned serve: also hash-identical
+    "sim_topk_ivfpq_pruned" -> ivfPqOracleSql,
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +

@@ -325,12 +325,24 @@ object Similarity {
     * with per-(query, cell) RESIDUAL distance tables riding the broadcast
     * probe table, k-heap shortlist, exact cosine re-rank. At scale the scan
     * touches |corpus|·nProbe/nCentroids rows of m small ints each — never
-    * a raw vector until the re-rank. */
+    * a raw vector until the re-rank.
+    *
+    * `pruneCells = true` additionally collects the query batch's distinct
+    * probe cells (bounded: ≤ |queries|·nProbe ints) and pre-filters the
+    * codes table with `cell ISIN (...)` — when `encoded` was written
+    * `partitionBy("cell")` ([[encodeAndWritePartitioned]]), parquet
+    * PARTITION PRUNING then skips every non-probed cell's files entirely:
+    * at deployment scale (nCentroids=4096, nProbe=16) the serve reads
+    * ~0.4% of the stored bytes instead of scanning all codes. Results are
+    * identical either way (the cell-equality join already discards
+    * non-probed cells — the filter only moves that discard into the file
+    * listing). */
   def ivfPqTopKIndexed(
       encoded: DataFrame,
       corpus: DataFrame, corpusId: String, corpusEmb: String,
       queries: DataFrame, queryId: String, queryEmb: String,
-      index: AnnIndex, k: Int, nProbe: Int = 8, refineFactor: Int = 4): DataFrame = {
+      index: AnnIndex, k: Int, nProbe: Int = 8, refineFactor: Int = 4,
+      pruneCells: Boolean = false): DataFrame = {
     require(index.kind == "ivfpq", s"expected an 'ivfpq' index, got '${index.kind}'")
     require(refineFactor >= 1 && nProbe >= 1, "refine >= 1, nProbe >= 1")
     val m = index.m; val ksub = index.ksub; val dsub = index.dsub
@@ -349,7 +361,17 @@ object Similarity {
     val adc = (0 until m).map(j =>
       element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
       .reduce(_ + _)
-    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+    // the probe-cell set is bounded (≤ |queries|·nProbe ints) — collecting
+    // it turns the cell-equality join's discard into a pushed-down scan
+    // filter, which prunes whole partitions of a cell-partitioned store
+    val scanSide =
+      if (!pruneCells) encoded
+      else {
+        val probedCells = probes.select("cell").distinct()
+          .collect().map(r => Int.box(r.getInt(0))).toSeq
+        encoded.filter(col("cell").isin(probedCells: _*))
+      }
+    val shortlist = scanSide.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
@@ -359,6 +381,19 @@ object Similarity {
       .join(broadcast(qs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
     rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
+  }
+
+  /** Encode the corpus and write the codes CELL-PARTITIONED — the storage
+    * layout that makes [[ivfPqTopKIndexed]]'s `pruneCells` serve skip
+    * every non-probed cell at the FILE level (parquet partition pruning).
+    * One corpus scan + one cell-keyed shuffle-free write (each task writes
+    * its rows into per-cell directories). */
+  def encodeAndWritePartitioned(corpus: DataFrame, corpusId: String,
+      corpusEmb: String, index: AnnIndex, path: String): Unit = {
+    require(index.kind == "ivf" || index.kind == "ivfpq",
+      s"cell-partitioned layout needs an IVF index, got '${index.kind}'")
+    encode(corpus, corpusId, corpusEmb, index)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   // ===================== one-shot compositions ============================

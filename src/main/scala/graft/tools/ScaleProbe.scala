@@ -71,7 +71,7 @@ object ScaleProbe {
         graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 3, 64, 16, 0.8).count())
       val (tc, clusters) = time {
         val p = graft.ext.Dedup.minhashPairs(d, "doc_id", "text", 3, 64, 16, 0.8)
-        graft.ext.Dedup.clusterPairs(p).select("cluster").distinct().count()
+        graft.ext.Dedup.clusterPairs(p).select("cluster_id").distinct().count()
       }
       println(f"PROBE $name rows=$rows pairs=$pairs pairs_per_row=${pairs.toDouble / rows}%.2f " +
         f"minhash_sec=$tp%.1f cluster_sec=$tc%.1f clusters=$clusters")

@@ -98,6 +98,26 @@ class AnnIndexSpec extends SparkSpec {
       s"codes scan reads raw vectors:\n${codeScans.mkString("\n")}")
   }
 
+  test("cell-partitioned store: pruned serve ≡ unpruned, PartitionFilters in scan") {
+    // r8: partitionBy(cell) storage + probe-cell isin pre-filter — parquet
+    // must skip non-probed cells at the FILE level, with identical results
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann4").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding", idx, s"$tmp/codes")
+    val codes = spark.read.parquet(s"$tmp/codes")
+    val unpruned = rows(Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+      queries, "qid", "qv", idx, k = 5, nProbe = 4, refineFactor = 4))
+    val prunedDf = Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+      queries, "qid", "qv", idx, k = 5, nProbe = 4, refineFactor = 4,
+      pruneCells = true)
+    assert(rows(prunedDf) == unpruned)
+    val scan = prunedDf.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains(s"codes") && l.contains("PartitionFilters")).toSeq
+    assert(scan.exists(_.matches(".*PartitionFilters: \\[.*cell.*IN.*\\].*")),
+      s"no pushed partition filter on cell:\n${scan.mkString("\n")}")
+  }
+
   test("kind mismatch and malformed documents are rejected") {
     val idx = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 8)
     intercept[IllegalArgumentException] {
