@@ -31,24 +31,38 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, a)
   }
 
-  /** documents × n with per-replica vowel rotation (replica 0 = identity);
-    * same construction as Bench's 10× probe, extended to n replicas by
-    * cycling the 10 rotations and salting the shingle space with a
-    * replica-group token so rotation-equal replicas don't cross-match. */
+  /** The `k`-th permutation of "aeiou" in lexicographic (factorial number
+    * system) order — 120 DISTINCT vowel substitutions, k ∈ [0, 120). */
+  private def vowelPerm(k: Int): String = {
+    val pool = scala.collection.mutable.ArrayBuffer('a', 'e', 'i', 'o', 'u')
+    var n = k
+    val out = new StringBuilder
+    for (d <- 4 to 0 by -1) {
+      val f = (1 to d).product
+      out += pool.remove(n / f)
+      n %= f
+    }
+    out.toString
+  }
+
+  /** documents × n with a DISTINCT vowel permutation per replica (replica
+    * 0 = identity) — same construction as Bench's 10× probe. Distinctness
+    * matters: an early version cycled 10 rotations with a one-token salt,
+    * and rotation-equal replicas cross-matched (one prepended token barely
+    * moves Jaccard on a long doc), which measures the synthetic corpus's
+    * duplicate density, not the engine. 5! = 120 permutations bound n. */
   private def replicate(docs: DataFrame, n: Int): DataFrame = {
-    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
+    require(n <= 120, "at most 120 distinct vowel permutations")
+    val rotations = (0 until n).map(vowelPerm)
     docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(n - 1))).as("rep"))
+      // translate with a per-row replacement column (rotation picked by
+      // array lookup — no n-deep CASE WHEN chain)
+      .withColumn("rot",
+        element_at(array(rotations.map(lit): _*), col("rep") + 1))
       .select((col("doc_id") * 128 + col("rep")).as("doc_id"),
-        concat_ws(" ",
-          concat(lit("repgrp"), (col("rep") / rotations.size).cast("int").cast("string")),
-          rotations.zipWithIndex.foldLeft(lit(null).cast("string")) {
-            case (acc, (rot, r)) =>
-              when(pmod(col("rep"), lit(rotations.size)) === r,
-                translate(col("text"), "aeiou", rot)).otherwise(acc)
-          }).as("text"))
+        expr("translate(text, 'aeiou', rot)").as("text"))
   }
 
   def main(args: Array[String]): Unit = {
