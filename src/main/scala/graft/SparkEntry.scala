@@ -868,6 +868,17 @@ object SparkEntry {
       // ascending key hash via the map-side k-heap (no window sort)
       ext.Sampling.capPerGroup(t(s, d, "documents"), "doc_id", "lang", 40, seed = 7)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "sample_weighted_wor" -> ((s, d) => {
+      // round-8: Efraimidis–Spirakis weighted sampling without replacement,
+      // weight = token count (longer docs proportionally likelier). The
+      // md5-derived uniform makes the draw engine-portable, so the oracle
+      // recomputes the exact same ln(u)/w top-k in SQL.
+      val withW = t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).cast("double").as("w"))
+      ext.Sampling.weightedSampleWOR(withW, "doc_id", "w", k = 50, seed = 42)
+        .select(col("doc_id"), col("w").cast("long").as("ntok"))
+        .orderBy("doc_id")
+    }),
     "sample_split" -> ((s, d) =>
       // weights 0.5/0.25/0.25 — cumulative thresholds exact in binary so
       // the oracle's literals compare identically
@@ -909,6 +920,16 @@ object SparkEntry {
         ext.TextAnalysis.tokenCount(col("text")).as("ntok"))
       ext.Packing.packGreedy(withTok, "doc_id", "ntok", maxTokens = 200,
         numBuckets = 8, seed = 42).orderBy("doc_id")
+    }),
+    "pack_sequences" -> ((s, d) => {
+      // round-8: concat-and-chunk packing (docs straddle sequence cuts) on
+      // an exact two-pass distributed prefix sum — the oracle recomputes
+      // the prefix sum as one DuckDB window, so any bucketing/offset error
+      // hash-fails
+      val withTok = t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).as("ntok"))
+      ext.Packing.packSequences(withTok, "doc_id", "ntok", seqLen = 512,
+        numBuckets = 8).orderBy("doc_id", "seq_id")
     }),
 
     // ---- extensions: similarity search ----
@@ -2075,6 +2096,10 @@ object SparkEntry {
       ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
         "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +
         "SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id"),
+    "sample_weighted_wor" ->
+      ("WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
+        "es AS (SELECT doc_id, ntok, ln((('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT + 0.5) / 4294967296.0) / ntok AS k FROM tk WHERE ntok > 0) " +
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS ntok FROM (SELECT * FROM es ORDER BY k DESC, doc_id LIMIT 50) ORDER BY doc_id"),
     "sample_split" ->
       ("WITH b AS (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 AS h FROM documents) " +
         "SELECT doc_id, CASE WHEN h < 0.5 THEN 'train' WHEN h < 0.75 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
@@ -2115,6 +2140,11 @@ object SparkEntry {
         "CASE WHEN s.acc > 200 - r2.ntok THEN r2.ntok::BIGINT ELSE s.acc + r2.ntok END " +
         "FROM s JOIN r r2 ON r2.bucket = s.bucket AND r2.rn = s.rn + 1) " +
         "SELECT doc_id, bucket, pack, pos AS pack_pos, poff AS pack_offset FROM s ORDER BY doc_id"),
+    "pack_sequences" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
+        "o AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ntok AS BIGINT) AS ntok, CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM tk WHERE ntok > 0), " +
+        "s AS (SELECT doc_id, ntok, off, unnest(range(off // 512, (off + ntok - 1) // 512 + 1)) AS seq_id FROM o) " +
+        "SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, CAST(greatest(seq_id * 512 - off, 0) AS BIGINT) AS doc_start, CAST(least(ntok, (seq_id + 1) * 512 - off) AS BIGINT) AS doc_end, CAST(greatest(off - seq_id * 512, 0) AS BIGINT) AS seq_start FROM s ORDER BY doc_id, seq_id"),
     "dedup_exact" ->
       "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
     "dedup_minhash" -> jaccardOracle(0.8),

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing: assign documents to fixed token-budget "packs" (the
@@ -67,5 +68,69 @@ object Packing {
       }
     }.toDF("id", "bucket", "pack", "pack_pos", "pack_offset")
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Concat-and-chunk packing (GPT-pretraining style): conceptually, every
+    * document's tokens are CONCATENATED in id order into one corpus-wide
+    * stream, and the stream is cut into fixed `seqLen`-token training
+    * sequences — documents MAY straddle a cut (unlike [[packGreedy]],
+    * which never splits a document and wastes the pack tails).
+    *
+    * Returns one row per (document × overlapped sequence):
+    * (idCol, seq_id, doc_start, doc_end, seq_start) — the document's
+    * token range [doc_start, doc_end) lands in sequence `seq_id` at
+    * position `seq_start`. Concatenating a document's spans in seq_id
+    * order reconstructs it exactly; every sequence except the final one
+    * is exactly `seqLen` tokens. Zero-token documents produce no rows.
+    * Ids must be unique (they define the global order).
+    *
+    * The only global state is each document's exclusive prefix sum of
+    * token counts, computed scale-correctly in TWO passes instead of a
+    * single-partition window: (1) bucket ids monotonically by
+    * approx-quantile range boundaries and aggregate one token sum per
+    * bucket (≤ `numBuckets` rows to the driver); (2) per-bucket window
+    * cumsum + the driver-side exclusive bucket offsets as a literal map.
+    * Bucket boundaries affect PARALLELISM ONLY — offsets are exact for
+    * any monotone bucketing, so approxQuantile's error bound and
+    * run-to-run sampling variance never touch the result. Per-row state
+    * through the one shuffle is 16 bytes (id, ntok); the span explosion
+    * emits ceil(ntok/seqLen)+1 rows max per document. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long, numBuckets: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen > 0")
+    require(numBuckets > 0, "numBuckets > 0")
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    val base = df
+      .select(q(idCol).cast("long").as("id"),
+        q(tokensCol).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    // monotone bucketing: #boundaries strictly below id. relativeError
+    // 0.01 only skews bucket sizes, never offsets.
+    val bounds = base.stat
+      .approxQuantile("id", (1 until numBuckets).map(_.toDouble / numBuckets).toArray, 0.01)
+      .distinct.sorted
+    val bucket: Column =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(typedLit(bounds.toSeq), lit(0),
+        (acc, b) => acc + when(col("id") > b, 1).otherwise(0))
+    val withB = base.withColumn("bucket", bucket)
+    val perBucket = withB.groupBy("bucket").agg(sum("ntok").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val exclusive = perBucket.map(_._1)
+      .zip(perBucket.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy("bucket").orderBy("id")
+    val off = (if (exclusive.isEmpty) lit(0L)
+               else element_at(typedLit(exclusive), col("bucket"))) +
+      sum("ntok").over(w) - col("ntok")
+    withB.withColumn("off", off)
+      // integer DIV, not floor(double /): exact at any corpus token count
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off DIV $seqLen"),
+          expr(s"(off + ntok - 1) DIV $seqLen"))))
+      .select(col("id").as(idCol),
+        col("seq_id").cast("long").as("seq_id"),
+        greatest(col("seq_id") * seqLen - col("off"), lit(0L)).as("doc_start"),
+        least(col("ntok"), (col("seq_id") + 1) * seqLen - col("off")).as("doc_end"),
+        greatest(col("off") - col("seq_id") * seqLen, lit(0L)).as("seq_start"))
   }
 }

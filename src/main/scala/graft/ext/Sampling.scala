@@ -269,4 +269,37 @@ object Sampling {
       .select(col("__g"), explode(col("__tk.item")).as("__k"))
     df.join(kept, q(groupCol) <=> col("__g") && q(keyCol) === col("__k"), "left_semi")
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis (2006,
+    * "Weighted random sampling with a reservoir"): each row draws a
+    * deterministic uniform u from (key, seed) and the k largest values of
+    * u^(1/w) win; selection probabilities match sequential weighted
+    * draws-without-replacement exactly. Ranking by ln(u)/w (monotone in
+    * u^(1/w), no underflow for tiny weights) through the map-side k-heap
+    * aggregate — ONE job, no window sort, candidate set ≤ groups·k rows
+    * broadcast into the semi join. u derives from the engine-portable md5
+    * key hash, so the draw is reproducible anywhere (and in the DuckDB
+    * oracle). Rows with weight ≤ 0 or null never win; with `groupCol`,
+    * an independent k-sample per group (quality-weighted selection per
+    * domain/language — the data-mixing primitive). Keys are assumed
+    * unique per group (duplicates occupy one heap slot). */
+  def weightedSampleWOR(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: Long = 42L, groupCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k > 0")
+    // u in (0,1): +0.5 keeps ln finite at hash 0 and unbiased overall
+    val u = (hash32(q(keyCol), seed).cast("double") + 0.5) / 4294967296.0
+    val es = log(u) / q(weightCol).cast("double")
+    val slim = df.filter(q(weightCol) > 0).select(
+      groupCol.map(g => q(g)).getOrElse(lit(0)).as("__g"),
+      q(keyCol).as("__k"), es.as("__es"))
+    val kept = slim.groupBy("__g")
+      .agg(graft.functions.TopKByScore.of(col("__es"), col("__k"), k).as("__tk"))
+      .select(col("__g"), explode(col("__tk.item")).as("__k"))
+    groupCol match {
+      case Some(g) =>
+        df.join(kept, q(g) <=> col("__g") && q(keyCol) === col("__k"), "left_semi")
+      case None =>
+        df.join(kept.select("__k"), q(keyCol) === col("__k"), "left_semi")
+    }
+  }
 }

@@ -711,6 +711,88 @@ class ExtSpec extends SparkSpec {
     assert(p2.exceptAll(p3).isEmpty && p3.exceptAll(p2).isEmpty)
   }
 
+  test("packing: concat-and-chunk spans reconstruct docs, fill sequences, match sequential reference") {
+    // irregular token counts incl. one doc spanning several sequences
+    val counts = Seq(1L -> 7L, 2L -> 3L, 3L -> 25L, 4L -> 1L, 5L -> 10L,
+      6L -> 9L, 8L -> 2L, 9L -> 13L)
+    val L = 8L
+    val d = counts.toDF("doc_id", "ntok")
+    val got = graft.ext.Packing.packSequences(d, "doc_id", "ntok", seqLen = L,
+        numBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    // sequential reference: walk docs in id order, cut every L tokens
+    var off = 0L
+    val want = counts.flatMap { case (id, n) =>
+      val spans = (off / L to (off + n - 1) / L).map { s =>
+        (id, s, math.max(s * L - off, 0L), math.min(n, (s + 1) * L - off),
+          math.max(off - s * L, 0L))
+      }
+      off += n
+      spans
+    }
+    assert(got.toSeq == want)
+    // invariants: spans of a doc are contiguous and sum to ntok; every
+    // sequence but the last carries exactly L tokens
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum)
+    assert(counts.forall { case (id, n) => perDoc(id) == n })
+    val perSeq = got.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == L))
+    // deterministic across input partitionings (prefix sum is exact, not
+    // partitioning-dependent); zero-token docs emit nothing
+    val shuffled = graft.ext.Packing.packSequences(d.repartition(7), "doc_id",
+      "ntok", seqLen = L, numBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(shuffled.toSeq == want)
+    val withEmpty = (counts :+ (7L -> 0L)).toDF("doc_id", "ntok")
+    assert(graft.ext.Packing.packSequences(withEmpty, "doc_id", "ntok",
+      seqLen = L, numBuckets = 4).filter(col("doc_id") === 7L).count() == 0)
+  }
+
+  test("sampling: weighted WOR matches local E-S reference, per-group, weight guards") {
+    import graft.ext.Sampling
+    def h32(key: String, seed: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key\u0001$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def es(id: Long, w: Double, seed: Long): Double =
+      math.log((h32(id.toString, seed) + 0.5) / 4294967296.0) / w
+    val rows = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble, if (i % 2 == 0) "a" else "b"))
+    val d = rows.toDF("id", "w", "g")
+    // global: exact agreement with the sequential reference top-k
+    val got = Sampling.weightedSampleWOR(d, "id", "w", k = 20, seed = 42)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = rows.sortBy { case (id, w, _) => (-es(id, w, 42), id) }
+      .take(20).map(_._1).sorted
+    assert(got == want)
+    // per-group: independent k per group, same reference within each group
+    val byG = Sampling.weightedSampleWOR(d, "id", "w", k = 10, seed = 42,
+        groupCol = Some("g"))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id")))
+    assert(byG.groupBy(_._1).view.mapValues(_.length).toMap == Map("a" -> 10, "b" -> 10))
+    for ((gv, ids) <- byG.groupBy(_._1)) {
+      val ref = rows.filter(_._3 == gv)
+        .sortBy { case (id, w, _) => (-es(id, w, 42), id) }.take(10).map(_._1).sorted
+      assert(ids.map(_._2).sorted.toSeq == ref)
+    }
+    // zero/negative/null weights never win; k >= population returns all positive-weight rows
+    val guarded = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("id", "w"))
+    assert(Sampling.weightedSampleWOR(guarded, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // weighting is real: with weights 1000 vs 1, heavy keys dominate across seeds
+    val skewed = (1L to 100L).map(i => (i, if (i <= 10) 1000.0 else 1.0)).toDF("id", "w")
+    val heavyWins = (1 to 20).map { s =>
+      Sampling.weightedSampleWOR(skewed, "id", "w", k = 10, seed = s)
+        .filter(col("id") <= 10).count()
+    }.sum
+    assert(heavyWins > 150, s"heavy keys won only $heavyWins/200 slots")
+  }
+
   test("url: canonicalization rules, registered domain, blocklist paths") {
     import graft.ext.UrlOps
     val d = Seq(
