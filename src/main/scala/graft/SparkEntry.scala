@@ -1036,6 +1036,43 @@ object SparkEntry {
         pruneCells = true)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivfpq_append" -> ((s, d) => {
+      // round-8: INCREMENTAL ingest into the cell-partitioned code store —
+      // encode half the corpus, append the other half against the same
+      // frozen index, serve pruned over the union. Hash-identical to the
+      // one-shot path: appending encode output is pure file addition.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-app").toString
+      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16)
+      ext.Similarity.encodeAndWritePartitioned(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        idx, s"$tmp/codes")
+      ext.Similarity.encodeAndWritePartitioned(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        idx, s"$tmp/codes", mode = "append")
+      val codes = s.read.parquet(s"$tmp/codes")
+      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+        queries, "qid", "qv", idx, k = 5, nProbe = 12, refineFactor = 4,
+        pruneCells = true)
+        .orderBy("query_id", "rank")
+    }),
+    "sim_encode_stream" -> ((s, d) => {
+      // round-8: streaming encode sink — micro-batch replay through the
+      // stateless encode projection appended to the cell-partitioned
+      // store must be row-identical to the one-shot batch encode
+      val emb = t(s, d, "embeddings")
+      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16)
+      val streamed = ext.Similarity.encodeReplay(emb, "vec_id", "embedding", idx)
+      val batch = ext.Similarity.encode(emb, "vec_id", "embedding", idx)
+      val nDiff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      val nRows = streamed.count()
+      s.range(1).select(lit(nDiff).as("n_diff"), lit(nRows).as("n_rows"))
+    }),
     "sim_topk_pq" -> ((s, d) => {
       // round-5: product-quantization ADC + exact re-rank. oracle: golden
       // pin; recall-vs-brute and compression shape asserted in ExtSpec
@@ -1647,6 +1684,10 @@ object SparkEntry {
     "sim_topk_ivfpq_persisted" -> ivfPqOracleSql,
     // cell-partitioned + partition-pruned serve: also hash-identical
     "sim_topk_ivfpq_pruned" -> ivfPqOracleSql,
+    // half-encode + append ingest serves identically to one-shot
+    "sim_topk_ivfpq_append" -> ivfPqOracleSql,
+    "sim_encode_stream" ->
+      "SELECT CAST(0 AS BIGINT) AS n_diff, (SELECT count(*) FROM embeddings) AS n_rows",
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +

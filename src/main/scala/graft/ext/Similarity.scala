@@ -389,11 +389,49 @@ object Similarity {
     * One corpus scan + one cell-keyed shuffle-free write (each task writes
     * its rows into per-cell directories). */
   def encodeAndWritePartitioned(corpus: DataFrame, corpusId: String,
-      corpusEmb: String, index: AnnIndex, path: String): Unit = {
+      corpusEmb: String, index: AnnIndex, path: String,
+      mode: String = "overwrite"): Unit = {
     require(index.kind == "ivf" || index.kind == "ivfpq",
       s"cell-partitioned layout needs an IVF index, got '${index.kind}'")
     encode(corpus, corpusId, corpusEmb, index)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
+  }
+
+  /** Streaming encode — the incremental-ingest path of the persisted-index
+    * deployment: new embeddings arrive continuously, each micro-batch is
+    * encoded against the FROZEN index (encode is a stateless per-row
+    * projection — no watermark, no state store) and appended to the
+    * cell-partitioned code store; history is never retrained or
+    * re-encoded, and the serve path picks new rows up on its next file
+    * listing. This helper replays a static corpus as file-source
+    * micro-batches through exactly that pipeline and returns the sink
+    * contents read back; the gate diffs them against the one-shot batch
+    * [[encode]] (must be row-identical — micro-batching a stateless
+    * projection cannot change it). */
+  def encodeReplay(corpus: DataFrame, corpusId: String, corpusEmb: String,
+      index: AnnIndex): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = corpus.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc_replay_").toString
+    val src = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
+    src.repartition(8).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val writer = encode(stream, "corpus_id", "cv", index)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).format("parquet")
+    val query = (if (index.kind == "pq") writer else writer.partitionBy("cell"))
+      .start(s"$dir/out")
+    query.awaitTermination()
+    // partition columns come back LAST from a partitioned read — restore
+    // the batch-encode column order
+    val cols = index.kind match {
+      case "ivf"   => Seq("corpus_id", "cell", "cv")
+      case "pq"    => Seq("corpus_id", "codes")
+      case _       => Seq("corpus_id", "cell", "codes")
+    }
+    spark.read.parquet(s"$dir/out").select(cols.map(col): _*)
   }
 
   // ===================== one-shot compositions ============================

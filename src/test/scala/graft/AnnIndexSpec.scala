@@ -118,6 +118,13 @@ class AnnIndexSpec extends SparkSpec {
       s"no pushed partition filter on cell:\n${scan.mkString("\n")}")
   }
 
+  test("streaming encode replay ≡ batch encode for a pq index (no cell partitioning)") {
+    val idx = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val streamed = Similarity.encodeReplay(emb, "vec_id", "embedding", idx)
+    val batch = Similarity.encode(emb, "vec_id", "embedding", idx)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("kind mismatch and malformed documents are rejected") {
     val idx = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 8)
     intercept[IllegalArgumentException] {
