@@ -427,6 +427,14 @@ object SparkEntry {
       // path is exercised
       ext.TextAnalysis.unigramPerplexity(t(s, d, "documents"), "doc_id",
         "text", vocabSize = 20, addK = 0.5).orderBy("doc_id")),
+    "text_stupid_backoff" -> ((s, d) =>
+      // round-8: Brants et al. 2007 stupid-backoff bigram LM — bigram
+      // ratio when seen, alpha-discounted smoothed unigram otherwise; the
+      // model is two count DataFrames that never leave the cluster
+      // minBigramCount=2 prunes singleton bigrams from the model (standard
+      // web-scale count cutoff) so the backoff branch is exercised in-gate
+      ext.TextAnalysis.stupidBackoff(t(s, d, "documents"), "doc_id",
+        "text", alpha = 0.4, addK = 0.5, minBigramCount = 2).orderBy("doc_id")),
     "text_classifier_train" -> ((s, d) =>
       // round-7: distributed logistic-regression TRAINING for the quality
       // classifier (linearClassifierScore is the scoring half) — one job
@@ -1885,6 +1893,24 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens, " +
         "round(-sc.s / sc.n, 4) AS cross_entropy, round(exp(-sc.s / sc.n), 2) AS perplexity " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"),
+    "text_stupid_backoff" ->
+      ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
+        "toks AS (SELECT unnest(t) AS token FROM docs), " +
+        "uni AS (SELECT token, count(*) AS ucnt FROM toks GROUP BY token), " +
+        "tot AS (SELECT CAST(coalesce(sum(ucnt), 0) AS DOUBLE) + 0.5 * (count(*) + 1) AS denom FROM uni), " +
+        "bi0 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM docs WHERE len(t) >= 2), " +
+        "bic AS (SELECT w1, w2, count(*) AS bcnt FROM bi0 GROUP BY w1, w2 HAVING count(*) >= 2), " +
+        "allpos AS (SELECT doc_id, NULL AS w1, t[1] AS w2 FROM docs UNION ALL SELECT doc_id, w1, w2 FROM bi0), " +
+        "sc AS (SELECT p.doc_id, CASE " +
+        "WHEN p.w1 IS NULL THEN ln((coalesce(u2.ucnt, 0) + 0.5) / (SELECT denom FROM tot)) " +
+        "WHEN b.bcnt IS NOT NULL THEN ln(b.bcnt / CAST(u1.ucnt AS DOUBLE)) " +
+        "ELSE ln(0.4 * (coalesce(u2.ucnt, 0) + 0.5) / (SELECT denom FROM tot)) END AS s " +
+        "FROM allpos p LEFT JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2 " +
+        "LEFT JOIN uni u1 ON p.w1 = u1.token LEFT JOIN uni u2 ON p.w2 = u2.token), " +
+        "agg AS (SELECT doc_id, count(*) AS n, sum(s) AS s FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, " +
+        "round(-a.s / a.n, 4) AS cross_entropy, round(exp(-a.s / a.n), 2) AS perplexity " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
     "text_classifier" ->
       ("WITH w(token, wt) AS (SELECT * FROM (VALUES ('the', 0.8), ('and', 0.5), ('science', 2.0), ('data', 1.5), ('der', -1.0), ('el', -0.7), ('click', -2.0))), " +
         "tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +

@@ -379,6 +379,74 @@ object TextAnalysis {
         round(exp(-col("__s") / col("n_tokens")), 2).as("perplexity"))
   }
 
+  /** Stupid-backoff bigram LM scoring — Brants et al. 2007 ("Large
+    * Language Models in Machine Translation"): the score of token w_i
+    * after w_{i-1} is count(w_{i-1} w_i)/count(w_{i-1}) when the bigram
+    * was seen, else alpha · S_uni(w_i); the first token and the unigram
+    * fallback use the add-k smoothed relative frequency
+    * (c + k)/(N + k·(V+1)) (the [[unigramPerplexity]] shape, so unseen
+    * tokens stay finite). Stupid backoff deliberately does NOT normalize —
+    * it is a score, not a distribution — which is exactly what makes it
+    * the published web-scale choice: the model is nothing but two count
+    * tables.
+    *
+    * Scale shape: the model is two DataFrames (unigram and bigram counts)
+    * that NEVER leave the cluster — no vocab cap, no driver collect (one
+    * 2-scalar action for N and V). Scoring is one scan producing
+    * (first-token ∪ bigram-position) rows plus three hash joins against
+    * the count frames — at gate size AQE broadcasts them, at 100 TB they
+    * shuffle-join on token keys, both correct. Per-doc re-aggregation
+    * ships 24-byte partials.
+    *
+    * Output mirrors [[unigramPerplexity]]: (idCol, n_tokens,
+    * cross_entropy, perplexity), blank docs n_tokens=0 with NULLs. */
+  def stupidBackoff(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4, addK: Double = 0.5,
+      minBigramCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    require(addK > 0, "addK > 0 (unsmoothed OOV would be ln 0)")
+    require(minBigramCount >= 1, "minBigramCount >= 1")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    val docs = df.select(id.as("__id"), tokens(normalized(text)).as("__t"))
+    val toks = docs.select(explode(col("__t")).as("token"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("ucnt"))
+    val nv = uni.agg(coalesce(sum("ucnt"), lit(0L)), count(lit(1))).head()
+    val denomU = nv.getLong(0) + addK * (nv.getLong(1) + 1.0)
+    val pairs = docs.filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(2, size(__t)), i -> " +
+          "struct(element_at(__t, i - 1) AS w1, element_at(__t, i) AS w2))")).as("p"))
+      .select(col("__id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // count pruning (Brants et al. §4: web-scale models drop rare
+    // n-grams): bigrams below the cutoff leave the model entirely and
+    // their positions take the backoff path
+    val bic = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= minBigramCount)
+    val firstTok = docs.filter(size(col("__t")) >= 1)
+      .select(col("__id"), lit(null).cast("string").as("w1"),
+        element_at(col("__t"), 1).as("w2"))
+    val uni1 = uni.select(col("token").as("w1"), col("ucnt").as("u1"))
+    val uni2 = uni.select(col("token").as("w2"), col("ucnt").as("u2"))
+    val backoff = log(lit(alpha) * (coalesce(col("u2"), lit(0L)) + addK) / denomU)
+    val rowScore =
+      when(col("w1").isNull,
+        log((coalesce(col("u2"), lit(0L)) + addK) / denomU))
+      .when(col("bcnt").isNotNull, log(col("bcnt").cast("double") / col("u1")))
+      .otherwise(backoff)
+    val scored = firstTok.unionByName(pairs)
+      .join(bic, Seq("w1", "w2"), "left")
+      .join(uni1, Seq("w1"), "left")
+      .join(uni2, Seq("w2"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum(rowScore).as("__s"))
+    df.select(id.as("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(-col("__s") / col("n_tokens"), 4).as("cross_entropy"),
+        round(exp(-col("__s") / col("n_tokens")), 2).as("perplexity"))
+  }
+
   /** Linear text classifier score — the fasttext-shaped quality/domain
     * classifier every modern corpus pipeline runs (e.g. the "educational
     * value" / "wiki-like" filters): mean of per-token weights from a

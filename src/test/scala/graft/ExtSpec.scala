@@ -711,6 +711,34 @@ class ExtSpec extends SparkSpec {
     assert(p2.exceptAll(p3).isEmpty && p3.exceptAll(p2).isEmpty)
   }
 
+  test("text: stupid-backoff bigram scores match hand computation incl. pruned-bigram backoff") {
+    // corpus: d1 = "a b a b c", d2 = "a b"
+    // uni: a=3 b=3 c=1, N=7, V=3, denomU = 7 + 0.5*4 = 9
+    // bigrams: (a,b)=3, (b,a)=1, (b,c)=1 → minCount=2 keeps only (a,b)
+    val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.stupidBackoff(d, "doc_id", "text",
+        alpha = 0.4, addK = 0.5, minBigramCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val lnFirstA = math.log(3.5 / 9)
+    val backoff = (u: Long) => math.log(0.4 * (u + 0.5) / 9)
+    // d1: first a + (a,b) seen ln(3/3)=0 + (b,a) backoff(u(a)=3)
+    //     + (a,b) 0 + (b,c) backoff(u(c)=1)
+    val s1 = lnFirstA + 0 + backoff(3) + 0 + backoff(1)
+    val s2 = lnFirstA + 0
+    assert(got(1L)._1 == 5 &&
+      math.abs(got(1L)._2.get - math.floor(-s1 / 5 * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(got(2L)._1 == 2 &&
+      math.abs(got(2L)._2.get - math.floor(-s2 / 2 * 1e4 + 0.5) / 1e4) < 1e-9)
+    // blank doc: zero tokens, null entropy
+    assert(got(3L)._1 == 0 && got(3L)._2.isEmpty)
+    // without pruning, every self-scored bigram is seen: d1 = first + ln(1/3)+ln(1/3)
+    val full = graft.ext.TextAnalysis.stupidBackoff(d, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head()
+    val sFull = lnFirstA + math.log(1.0 / 3) * 2
+    assert(math.abs(full.getDouble(2) - math.floor(-sFull / 5 * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
+
   test("packing: concat-and-chunk spans reconstruct docs, fill sequences, match sequential reference") {
     // irregular token counts incl. one doc spanning several sequences
     val counts = Seq(1L -> 7L, 2L -> 3L, 3L -> 25L, 4L -> 1L, 5L -> 10L,
