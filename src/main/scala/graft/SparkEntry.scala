@@ -650,6 +650,24 @@ object SparkEntry {
       ext.Dedup.dropExistingExactBloom(incoming, docs, "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_incremental_store" -> ((s, d) => {
+      // round-8: near-dup scrub served from the PERSISTED MinHash store —
+      // corpus shingles/band-rows materialized once, the batch joins the
+      // store without ever reading corpus text. Incoming: near-dup
+      // re-crawls (tail appended, dropped when J >= 0.8) + genuinely new
+      // short docs (kept). Oracle recomputes exact cross-Jaccard in SQL.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft r8 incremental tail")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("fresh graft content "), col("doc_id")).as("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mhs").toString
+      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", tmp)
+      ext.Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", tmp)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_spans" -> ((s, d) =>
       // round-5: span-level cross-doc duplicate ranges (hash-based
       // suffix-array re-expression), 8-token spans in ≥ 2 documents
@@ -2224,6 +2242,21 @@ object SparkEntry {
         "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY doc_id"),
+    "dedup_incremental_store" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r8 incremental tail' AS text FROM docs WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 2000000, 'fresh graft content ' || doc_id::VARCHAR FROM docs WHERE doc_id % 5 = 3), " +
+        "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
+        "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs), " +
+        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+        "matched AS (SELECT DISTINCT a.doc_id FROM sa a JOIN sb b ON " +
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8) " +
+        "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id"),
     "dedup_incremental_bloom" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +

@@ -550,6 +550,127 @@ object Dedup {
     incoming.join(matched, q(idCol) === col("__hit"), "left_anti")
   }
 
+  // ============ persisted MinHash signature store (round 8) ==============
+  // The dedup counterpart of the AnnIndex encode-once deployment: a 100 TB
+  // corpus's shingle sets and LSH band rows are computed ONCE, materialized
+  // to parquet, and every subsequent crawl batch scrubs against the store
+  // without touching corpus text again. Layout under `path`:
+  //   shingles/      (id, sh)            — append-only, one row per doc
+  //   rows/          (band, bucket, id)  — append-only LSH band rows
+  //   bucket_counts/ (band, bucket, n)   — append-only COUNT DELTAS; serve
+  //                  sums them (distinct-bucket-sized, ≪ corpus) so the
+  //                  oversized-bucket skip never aggregates the rows table
+  //   params.json    shingleK / numHashes / bands — serve-time validation
+  // Appending a batch appends to all three and never rewrites history.
+
+  private def minhashStoreParams(path: String): (Int, Int, Int) = {
+    val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = jackson.readValue(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/params.json")),
+        java.nio.charset.StandardCharsets.UTF_8),
+      classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-minhash-store",
+      s"not a MinHash store: $path")
+    def num(k: String) = root.get(k).asInstanceOf[java.lang.Number].intValue()
+    (num("shingle_k"), num("num_hashes"), num("bands"))
+  }
+
+  private def minhashStoreWrite(docs: DataFrame, idCol: String,
+      textCol: String, path: String, shingleK: Int, numHashes: Int,
+      bands: Int, mode: String): Unit = {
+    val spark = docs.sparkSession
+    docs.select(q(idCol).cast("long").as("id"),
+        shingles(q(textCol), shingleK).as("sh"))
+      .write.mode(mode).parquet(s"$path/shingles")
+    // derive band rows from the just-written shingles (no re-shingling; for
+    // append mode, restrict to the new ids)
+    val shp = spark.read.parquet(s"$path/shingles")
+      .join(docs.select(q(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+    val rows = shp
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
+    rows.write.mode(mode).parquet(s"$path/rows")
+    rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/bucket_counts")
+  }
+
+  /** Build a persisted MinHash store from a corpus (one corpus scan plus
+    * one scan of the materialized shingles). */
+  def buildMinHashStore(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    minhashStoreWrite(corpus, idCol, textCol, path, shingleK, numHashes,
+      bands, "overwrite")
+    val json = s"""{"format":"graft-minhash-store","shingle_k":$shingleK,"num_hashes":$numHashes,"bands":$bands}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/params.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Append a new batch to an existing store — pure file additions under
+    * the store's frozen parameters; ids must be new. */
+  def appendToMinHashStore(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val (k, h, b) = minhashStoreParams(path)
+    minhashStoreWrite(batch, idCol, textCol, path, k, h, b, "append")
+  }
+
+  /** [[minhashPairsAgainst]] served from a persisted store: corpus text is
+    * never read — band rows join the incoming batch's band keys, the
+    * oversized-bucket skip reads only the summed count deltas, and the
+    * exact-Jaccard verify joins the stored shingle sets. Row-identical to
+    * the direct path (spec-asserted). */
+  def minhashPairsAgainstStore(incoming: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double = 0.8,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val spark = incoming.sparkSession
+    val (shingleK, numHashes, bands) = minhashStoreParams(path)
+    val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
+    val okBuckets = spark.read.parquet(s"$path/bucket_counts")
+      .groupBy("band", "bucket").agg(sum("n").as("n"))
+      .filter(col("n") <= cap).select("band", "bucket")
+    val corpusRows = spark.read.parquet(s"$path/rows")
+      .join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
+    val incomingBanded = incoming
+      .select(q(idCol).as("id_new"), shingles(q(textCol), shingleK).as("sh_new"))
+      .withColumn("sig", minhashSignature(col("sh_new"), numHashes))
+      .select(col("id_new"), col("sh_new"),
+        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("id_new"), col("sh_new"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = incomingBanded.select("id_new", "band", "bucket")
+      .join(corpusRows, Seq("band", "bucket"))
+      .select(col("id_new"), col("id").as("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+    val shNew = incoming
+      .select(q(idCol).as("id_new"), shingles(q(textCol), shingleK).as("sh_new"))
+      .join(cand.select("id_new").distinct(), Seq("id_new"), "left_semi")
+    val shCorpus = spark.read.parquet(s"$path/shingles")
+      .select(col("id").as("id_corpus"), col("sh").as("sh_corpus"))
+      .join(cand.select("id_corpus").distinct(), Seq("id_corpus"), "left_semi")
+    cand
+      .join(shNew, "id_new")
+      .join(shCorpus, "id_corpus")
+      .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_corpus"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corpus", "jaccard")
+  }
+
+  /** [[dropExistingNearDup]] against a persisted store. */
+  def dropExistingNearDupStore(incoming: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double = 0.8,
+      maxBucketSize: Long = 10000L): DataFrame = {
+    val matched = minhashPairsAgainstStore(incoming, idCol, textCol, path,
+      threshold, maxBucketSize)
+      .select(col("id_new").as("__hit")).distinct()
+    incoming.join(matched, q(idCol) === col("__hit"), "left_anti")
+  }
+
   /** (id, pos, span-hash) for every k-token span of every document — the
     * shared scan of the span-dedup family, via the native
     * [[graft.functions.SpanHashes]] loop (tokenize once per row, O(k)

@@ -673,6 +673,40 @@ class ExtSpec extends SparkSpec {
     assert(scrubbed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("dedup: persisted MinHash store ≡ direct path, append ≡ build-once, params enforced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" store spec tail")).as("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("fresh spec content "), col("doc_id")).as("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhstore").toString
+    Dedup.buildMinHashStore(docs, "doc_id", "text", s"$tmp/full")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val direct = rows(Dedup.minhashPairsAgainst(incoming, docs, "doc_id", "text"))
+    val stored = rows(Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text", s"$tmp/full"))
+    assert(stored == direct && direct.nonEmpty)
+    // append half the corpus to a store built from the other half
+    Dedup.buildMinHashStore(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", s"$tmp/half")
+    Dedup.appendToMinHashStore(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", s"$tmp/half")
+    assert(rows(Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text", s"$tmp/half")) == direct)
+    // scrub wrapper equals the direct scrub
+    val scrubStore = Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", s"$tmp/full")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val scrubDirect = Dedup.dropExistingNearDup(incoming, docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(scrubStore == scrubDirect)
+    // a non-store path is rejected
+    intercept[Exception] {
+      Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text", tmp)
+    }
+  }
+
   test("text: unigram log-prob matches hand computation incl. OOV floor") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProbs(d, "doc_id", "text", vocabSize = 2)
