@@ -289,6 +289,38 @@ object Bench {
     }
     annCodes.unpersist()
 
+    // round-8: concat-and-chunk packing over the 10× corpus — the exact
+    // two-pass distributed prefix sum (quantile bucketing + per-bucket
+    // sums + per-bucket window) plus span explosion; no single-partition
+    // window at any scale
+    timed("pack_sequences_10x") {
+      // persist the 16-byte slim frame so the tokenizer runs once, not in
+      // every pass (the operator's documented caller contract)
+      val withTok = docs10.select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).as("ntok")).persist()
+      try ext.Packing.packSequences(withTok, "doc_id", "ntok", seqLen = 2048).count()
+      finally withTok.unpersist()
+    }
+
+    // round-8: persisted MinHash store — build once over the 10× corpus
+    // (the one-time cost), then scrub the 1× batch against the store
+    // without touching corpus text (the recurring per-crawl cost; compare
+    // dedup_bloom_inc_10x, the exact-dup analog)
+    val mhsDir = java.nio.file.Files.createTempDirectory("graft-bench-mhs").toString
+    timed("dedup_store_build_10x")(
+      ext.Dedup.buildMinHashStore(docs10, "doc_id", "text", mhsDir))
+    timed("dedup_store_scrub_10x")(
+      ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
+
+    // round-8: stupid-backoff bigram scoring at 10× — two count
+    // aggregations + two token-keyed serve joins over the internally
+    // cached tokenized frame (dropNewBlocks clears it after the section)
+    val snapSb = persistedIds(spark)
+    timed("text_backoff_10x")(
+      ext.TextAnalysis.stupidBackoff(docs10, "doc_id", "text",
+        minBigramCount = 2).agg(sum("n_tokens")).head())
+    dropNewBlocks(spark, snapSb)
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     timed("synthesize_1m")(

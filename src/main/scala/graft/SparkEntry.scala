@@ -427,6 +427,14 @@ object SparkEntry {
       // path is exercised
       ext.TextAnalysis.unigramPerplexity(t(s, d, "documents"), "doc_id",
         "text", vocabSize = 20, addK = 0.5).orderBy("doc_id")),
+    "text_ccnet_normalize" -> ((s, d) =>
+      // round-8: CCNet normalization (Wenzek et al. 2020) — lowercase +
+      // whitespace collapse + NFD accent strip + digit fold; the oracle
+      // recomputes it with DuckDB's utf8proc strip_accents, proving the
+      // cross-engine agreement the dedup fingerprints rely on
+      t(s, d, "documents").select(col("doc_id"),
+        ext.TextAnalysis.ccnetNormalized(col("text")).as("ntext"))
+        .orderBy("doc_id")),
     "text_stupid_backoff" -> ((s, d) =>
       // round-8: Brants et al. 2007 stupid-backoff bigram LM — bigram
       // ratio when seen, alpha-discounted smoothed unigram otherwise; the
@@ -1911,6 +1919,9 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens, " +
         "round(-sc.s / sc.n, 4) AS cross_entropy, round(exp(-sc.s / sc.n), 2) AS perplexity " +
         "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"),
+    "text_ccnet_normalize" ->
+      ("SELECT doc_id, regexp_replace(strip_accents(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), " +
+        "'[0-9]', '0', 'g') AS ntext FROM documents ORDER BY doc_id"),
     "text_stupid_backoff" ->
       ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
         "toks AS (SELECT unnest(t) AS token FROM docs), " +

@@ -94,7 +94,11 @@ object Packing {
     * any monotone bucketing, so approxQuantile's error bound and
     * run-to-run sampling variance never touch the result. Per-row state
     * through the one shuffle is 16 bytes (id, ntok); the span explosion
-    * emits ceil(ntok/seqLen)+1 rows max per document. */
+    * emits ceil(ntok/seqLen)+1 rows max per document.
+    *
+    * `tokensCol` is evaluated in both the bucket-sum pass and the final
+    * pass — if it is expensive (a tokenizer over raw text), persist the
+    * slim (id, tokens) projection before calling. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Long, numBuckets: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen > 0")

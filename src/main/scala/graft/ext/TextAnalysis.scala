@@ -92,6 +92,17 @@ object TextAnalysis {
   def fingerprintMd5(c: Column): Column = md5(normalized(c))
   def fingerprint64(c: Column): Column = xxhash64(normalized(c))
 
+  /** Full CCNet normalization (Wenzek et al. 2020): [[normalized]]
+    * (trim + whitespace collapse + lowercase) then NFD accent strip +
+    * digit fold ([[graft.functions.CcnetStrip]]) — the canonical
+    * pre-dedup key of the CCNet pipeline ("muller 000" ≡ "Müller 123").
+    * Matches DuckDB `strip_accents` + digit regexp cross-engine. */
+  def ccnetNormalized(c: Column): Column =
+    graft.functions.Normalize.ccnetStrip(normalized(c))
+
+  /** 64-bit dedup key over the CCNet-normalized text. */
+  def ccnetFingerprint64(c: Column): Column = xxhash64(ccnetNormalized(c))
+
   /** Composite quality score in [0,1]: weighted mix of length, alpha ratio,
     * stopword ratio and mean token length sanity (heuristics in the spirit
     * of Gopher/C4 quality rules). */
@@ -408,16 +419,30 @@ object TextAnalysis {
     require(minBigramCount >= 1, "minBigramCount >= 1")
     val id = col("`" + idCol.replace("`", "``") + "`")
     val text = col("`" + textCol.replace("`", "``") + "`")
+    // the tokenized frame feeds four plan branches (unigram counts,
+    // bigram counts, first-token rows, pair rows) — persist it so the
+    // regex tokenizer runs one pass, not four (MEMORY_AND_DISK: spills,
+    // never recomputes; stays cached for the lazy result and is evicted
+    // LRU — callers wanting deterministic cleanup can unpersist via
+    // spark.sharedState or pre-tokenize themselves)
     val docs = df.select(id.as("__id"), tokens(normalized(text)).as("__t"))
+      .persist()
     val toks = docs.select(explode(col("__t")).as("token"))
     val uni = toks.groupBy("token").agg(count(lit(1)).as("ucnt"))
     val nv = uni.agg(coalesce(sum("ucnt"), lit(0L)), count(lit(1))).head()
     val denomU = nv.getLong(0) + addK * (nv.getLong(1) + 1.0)
+    // arrays_zip over two slices, NOT transform(sequence(...)): a lambda
+    // referencing __t re-evaluates the tokenize expression PER ELEMENT
+    // once CollapseProject inlines it (the documented SpanHashes trap,
+    // O(tokens²·regex) per doc — measured 13.9 s vs 3.5 s on the 10×
+    // bench); slice is an ordinary codegen'd expression, so the worst
+    // case is tokenizing twice per row, linear either way
+    val nm1 = size(col("__t")) - 1
     val pairs = docs.filter(size(col("__t")) >= 2)
-      .select(col("__id"), explode(expr(
-        "transform(sequence(2, size(__t)), i -> " +
-          "struct(element_at(__t, i - 1) AS w1, element_at(__t, i) AS w2))")).as("p"))
-      .select(col("__id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("__id"), explode(arrays_zip(
+        slice(col("__t"), lit(1), nm1), slice(col("__t"), lit(2), nm1))).as("p"))
+      .select(col("__id"), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
     // count pruning (Brants et al. §4: web-scale models drop rare
     // n-grams): bigrams below the cutoff leave the model entirely and
     // their positions take the backoff path
@@ -426,17 +451,22 @@ object TextAnalysis {
     val firstTok = docs.filter(size(col("__t")) >= 1)
       .select(col("__id"), lit(null).cast("string").as("w1"),
         element_at(col("__t"), 1).as("w2"))
-    val uni1 = uni.select(col("token").as("w1"), col("ucnt").as("u1"))
+    // fold the w1-denominator join into the MODEL (bigram-table-sized,
+    // once) so serving joins the token rows twice, not three times
+    val bicScored = bic
+      .join(uni.select(col("token").as("w1"), col("ucnt").as("u1")), "w1")
+      .select(col("w1"), col("w2"),
+        log(col("bcnt").cast("double") / col("u1")).as("__bscore"))
     val uni2 = uni.select(col("token").as("w2"), col("ucnt").as("u2"))
-    val backoff = log(lit(alpha) * (coalesce(col("u2"), lit(0L)) + addK) / denomU)
+    val uniScore = log((coalesce(col("u2"), lit(0L)) + addK) / denomU)
     val rowScore =
-      when(col("w1").isNull,
-        log((coalesce(col("u2"), lit(0L)) + addK) / denomU))
-      .when(col("bcnt").isNotNull, log(col("bcnt").cast("double") / col("u1")))
-      .otherwise(backoff)
+      when(col("w1").isNull, uniScore)
+      .when(col("__bscore").isNotNull, col("__bscore"))
+      // product INSIDE the ln, matching the oracle bit-for-bit (ln a + ln x
+      // differs in final ulps and could flip the 4-decimal rounding)
+      .otherwise(log(lit(alpha) * (coalesce(col("u2"), lit(0L)) + addK) / denomU))
     val scored = firstTok.unionByName(pairs)
-      .join(bic, Seq("w1", "w2"), "left")
-      .join(uni1, Seq("w1"), "left")
+      .join(bicScored, Seq("w1", "w2"), "left")
       .join(uni2, Seq("w2"), "left")
       .groupBy("__id")
       .agg(count(lit(1)).as("n_tokens"), sum(rowScore).as("__s"))

@@ -77,7 +77,10 @@ object GraftSparkExtensions {
       info("graft_misra_gries", "_FUNC_(item, capacity) - Misra-Gries frequent-item candidates"),
       (args: Seq[Expression]) =>
         MisraGriesSketch(args(0), intArg(args(1), "graft_misra_gries", 2))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    "graft_ccnet_strip" -> (
+      info("graft_ccnet_strip", "_FUNC_(text) - NFD accent strip + digit fold (CCNet normalization)"),
+      (args: Seq[Expression]) => CcnetStrip(args(0))))
 }
 
 object GraftFunctions {

@@ -745,6 +745,34 @@ class ExtSpec extends SparkSpec {
     assert(p2.exceptAll(p3).isEmpty && p3.exceptAll(p2).isEmpty)
   }
 
+  test("text: ccnet normalization strips accents, folds digits, survives non-Latin") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      (1L, "  Müller   café 123 "),
+      (2L, "ÉLÈVE naïve über"),
+      (3L, "ø ß straße"),        // no decomposition: pass through
+      (4L, "中文 文本 42"),       // CJK untouched, digits folded
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.ccnetNormalized(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "muller cafe 000")
+    assert(got(2L) == "eleve naive uber")
+    assert(got(3L) == "ø ß straße")
+    assert(got(4L) == "中文 文本 00")
+    assert(got(5L) == "")
+    // SQL registration parity
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = d.selectExpr("graft_ccnet_strip(lower(text)) AS n")
+      .filter(col("n").contains("muller")).count()
+    assert(viaSql == 1L)
+    // fingerprints of normalization-equal docs collide
+    val fp = Seq((1L, "Müller  123"), (2L, "muller 999")).toDF("doc_id", "text")
+      .select(TextAnalysis.ccnetFingerprint64(col("text")).as("f"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+  }
+
   test("text: stupid-backoff bigram scores match hand computation incl. pruned-bigram backoff") {
     // corpus: d1 = "a b a b c", d2 = "a b"
     // uni: a=3 b=3 c=1, N=7, V=3, denomU = 7 + 0.5*4 = 9
