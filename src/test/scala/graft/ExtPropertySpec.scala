@@ -37,6 +37,60 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences reconstructs docs and fills sequences for random geometries") {
+    val genCase = for {
+      n <- Gen.choose(1, 60)
+      counts <- Gen.listOfN(n, Gen.choose(0L, 40L))
+      seqLen <- Gen.choose(1L, 17L)
+      buckets <- Gen.choose(1, 9)
+    } yield (counts, seqLen, buckets)
+    for (((counts, seqLen, buckets), i) <- sample(genCase, 12, 77L).zipWithIndex) {
+      val rows = counts.zipWithIndex.map { case (c, j) => (j.toLong * 3 + 1, c) }
+      val d = rows.toDF("doc_id", "ntok").repartition(1 + i % 5)
+      val got = graft.ext.Packing.packSequences(d, "doc_id", "ntok",
+          seqLen, numBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2)).toSeq
+      var off = 0L
+      val want = rows.filter(_._2 > 0).flatMap { case (id, n) =>
+        val spans = (off / seqLen to (off + n - 1) / seqLen).map { s =>
+          (id, s, math.max(s * seqLen - off, 0L), math.min(n, (s + 1) * seqLen - off),
+            math.max(off - s * seqLen, 0L))
+        }
+        off += n
+        spans
+      }
+      assert(got == want, s"case $i: counts=$counts seqLen=$seqLen buckets=$buckets")
+    }
+  }
+
+  test("property: weightedSampleWOR matches the sequential E-S reference for random weights") {
+    def h32(key: String, seed: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key\u0001$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val genCase = for {
+      n <- Gen.choose(1, 80)
+      ws <- Gen.listOfN(n, Gen.oneOf(0.1, 1.0, 2.5, 13.0, 1000.0))
+      k <- Gen.choose(1, 25)
+      seed <- Gen.choose(1L, 999L)
+    } yield (ws, k, seed)
+    for (((ws, k, seed), i) <- sample(genCase, 12, 99L).zipWithIndex) {
+      val rows = ws.zipWithIndex.map { case (w, j) => (j.toLong + 10, w) }
+      val d = rows.toDF("id", "w").repartition(1 + i % 4)
+      val got = Sampling.weightedSampleWOR(d, "id", "w", k, seed)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = rows
+        .sortBy { case (id, w) =>
+          (-math.log((h32(id.toString, seed) + 0.5) / 4294967296.0) / w, id)
+        }
+        .take(k).map(_._1).sorted
+      assert(got == want, s"case $i: n=${ws.size} k=$k seed=$seed")
+    }
+  }
+
   test("property: capPerGroup caps hold and selection is partition-independent") {
     val cases = sample(for {
       n <- Gen.choose(1, 25)

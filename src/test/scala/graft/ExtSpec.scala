@@ -841,6 +841,33 @@ class ExtSpec extends SparkSpec {
       seqLen = L, numBuckets = 4).filter(col("doc_id") === 7L).count() == 0)
   }
 
+  test("plans: packSequences and weightedSampleWOR stay distributed (no single-partition stage)") {
+    val d = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("doc_id", "ntok")
+    // prep cost: the quantile probe + the per-bucket sums — bounded jobs,
+    // never one per bucket
+    val sc = spark.sparkContext
+    sc.setJobGroup("pack_probe", "packSequences prep job probe", false)
+    val packed =
+      try graft.ext.Packing.packSequences(d, "doc_id", "ntok", seqLen = 16)
+      finally sc.clearJobGroup()
+    val prepJobs = sc.statusTracker.getJobIdsForGroup("pack_probe").length
+    // quantile probe + bucket-sum collect; AQE materializes shuffle stages
+    // as extra jobs — the bound is a small CONSTANT, never O(buckets)
+    assert(prepJobs <= 5, s"packSequences prep ran $prepJobs jobs (expected <= 5)")
+    packed.count()
+    val pplan = packed.queryExecution.executedPlan.toString
+    assert(!pplan.contains("SinglePartition"),
+      s"packSequences funnels through one partition:\n$pplan")
+    // WOR: one partial-aggregated k-heap + a semi join — no window sort
+    val wor = graft.ext.Sampling.weightedSampleWOR(
+      d.select(col("doc_id"), col("ntok").cast("double").as("w")),
+      "doc_id", "w", k = 10)
+    wor.count()
+    val wplan = wor.queryExecution.executedPlan.toString
+    assert(!wplan.contains("WindowExec") && !wplan.contains("Window "),
+      s"weightedSampleWOR uses a window sort:\n$wplan")
+  }
+
   test("sampling: weighted WOR matches local E-S reference, per-group, weight guards") {
     import graft.ext.Sampling
     def h32(key: String, seed: Long): Long = {
