@@ -499,41 +499,54 @@ object Dedup {
     * explodes corpus ids — incoming×corpus pairs only, never corpus×corpus.
     * Shuffles carry (band, bucket, id); shingles re-attach pruned to
     * candidates for the Jaccard verify. */
-  def minhashPairsAgainst(incoming: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucketSize: Long = 10000L): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame) = df
-      .select(q(idCol).as("id"), shingles(q(textCol), shingleK).as("sh"))
+  /** (idAlias, sh, band, bucket) LSH band rows for one side — the shared
+    * banding of the direct incremental path and the persisted store, so
+    * "store ≡ direct" holds by construction. */
+  private def bandedSide(df: DataFrame, idCol: String, textCol: String,
+      idAlias: String, shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(q(idCol).as(idAlias), shingles(q(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
-    val corpusBuckets = banded(corpus).groupBy(col("band"), col("bucket"))
-      .agg(graft.functions.BoundedCollectItems.of(col("id"), cap + 1).as("__ids"))
-      .filter(size(col("__ids")) <= cap)
-    val cand = banded(incoming)
-      .select(col("id").as("id_new"), col("band"), col("bucket"))
-      .join(corpusBuckets, Seq("band", "bucket"))
-      .select(col("id_new"), explode(col("__ids")).as("id_corpus"))
-      .dropDuplicates("id_new", "id_corpus")
-    // exact Jaccard verify: shingle sets re-attached pruned to candidates
-    def sh(df: DataFrame, side: String) = df
-      .select(q(idCol).as(s"id_$side"), shingles(q(textCol), shingleK).as(s"sh_$side"))
-      .join(cand.select(col(s"id_$side")).distinct(), Seq(s"id_$side"), "left_semi")
+      .select(col(idAlias), col("sh"),
+        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col(idAlias), col("sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** Exact-Jaccard verify of (id_new, id_corpus) candidates against
+    * (id_new, sh_new) / (id_corpus, sh_corpus) shingle frames. round(_, 4)
+    * BEFORE the threshold filter, same as verifyJaccard, so boundary pairs
+    * classify identically on every incremental path. */
+  private def crossJaccardVerify(cand: DataFrame, shNew: DataFrame,
+      shCorpus: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(sh(incoming, "new"), "id_new")
-      .join(sh(corpus, "corpus"), "id_corpus")
+      .join(shNew, "id_new")
+      .join(shCorpus, "id_corpus")
       .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_corpus"))))
-      // round(_, 4) before the threshold filter, same as verifyJaccard, so
-      // boundary pairs classify identically on the in-corpus and
-      // incremental paths
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_corpus", "jaccard")
+
+  def minhashPairsAgainst(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Long = 10000L): DataFrame = {
+    val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
+    val corpusBuckets =
+      bandedSide(corpus, idCol, textCol, "id", shingleK, numHashes, bands)
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.BoundedCollectItems.of(col("id"), cap + 1).as("__ids"))
+        .filter(size(col("__ids")) <= cap)
+    val cand =
+      bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)
+        .select(col("id_new"), col("band"), col("bucket"))
+        .join(corpusBuckets, Seq("band", "bucket"))
+        .select(col("id_new"), explode(col("__ids")).as("id_corpus"))
+        .dropDuplicates("id_new", "id_corpus")
+    // exact Jaccard verify: shingle sets re-attached pruned to candidates
+    def sh(df: DataFrame, side: String) = df
+      .select(q(idCol).as(s"id_$side"), shingles(q(textCol), shingleK).as(s"sh_$side"))
+      .join(cand.select(col(s"id_$side")).distinct(), Seq(s"id_$side"), "left_semi")
+    crossJaccardVerify(cand, sh(incoming, "new"), sh(corpus, "corpus"), threshold)
   }
 
   /** Incremental near-dup dedup: drop incoming rows that near-duplicate
@@ -580,21 +593,27 @@ object Dedup {
       textCol: String, path: String, shingleK: Int, numHashes: Int,
       bands: Int, mode: String): Unit = {
     val spark = docs.sparkSession
-    docs.select(q(idCol).cast("long").as("id"),
-        shingles(q(textCol), shingleK).as("sh"))
+    // ids keep their ORIGINAL type (string url keys included) — a cast
+    // would null them out and silently empty the store
+    docs.select(q(idCol).as("id"), shingles(q(textCol), shingleK).as("sh"))
       .write.mode(mode).parquet(s"$path/shingles")
     // derive band rows from the just-written shingles (no re-shingling; for
-    // append mode, restrict to the new ids)
+    // append mode, restrict to the new ids). persist: the band rows feed
+    // BOTH the rows write and the count-delta write — without it the
+    // signature+explode pass runs twice.
     val shp = spark.read.parquet(s"$path/shingles")
-      .join(docs.select(q(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+      .join(docs.select(q(idCol).as("id")), Seq("id"), "left_semi")
     val rows = shp
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"),
         explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
-    rows.write.mode(mode).parquet(s"$path/rows")
-    rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .write.mode(mode).parquet(s"$path/bucket_counts")
+      .persist()
+    try {
+      rows.write.mode(mode).parquet(s"$path/rows")
+      rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .write.mode(mode).parquet(s"$path/bucket_counts")
+    } finally rows.unpersist()
   }
 
   /** Build a persisted MinHash store from a corpus (one corpus scan plus
@@ -629,36 +648,28 @@ object Dedup {
     val spark = incoming.sparkSession
     val (shingleK, numHashes, bands) = minhashStoreParams(path)
     val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
-    val okBuckets = spark.read.parquet(s"$path/bucket_counts")
+    // the bounded set is the OVER-cap buckets (rare by design: skew/
+    // boilerplate keys) — broadcast those and anti-join; the under-cap set
+    // is ~bands·|corpus| for a mostly-unique corpus and must never be a
+    // broadcast side
+    val overCap = spark.read.parquet(s"$path/bucket_counts")
       .groupBy("band", "bucket").agg(sum("n").as("n"))
-      .filter(col("n") <= cap).select("band", "bucket")
+      .filter(col("n") > cap).select("band", "bucket")
     val corpusRows = spark.read.parquet(s"$path/rows")
-      .join(broadcast(okBuckets), Seq("band", "bucket"), "left_semi")
-    val incomingBanded = incoming
-      .select(q(idCol).as("id_new"), shingles(q(textCol), shingleK).as("sh_new"))
-      .withColumn("sig", minhashSignature(col("sh_new"), numHashes))
-      .select(col("id_new"), col("sh_new"),
-        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("id_new"), col("sh_new"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cand = incomingBanded.select("id_new", "band", "bucket")
-      .join(corpusRows, Seq("band", "bucket"))
-      .select(col("id_new"), col("id").as("id_corpus"))
-      .dropDuplicates("id_new", "id_corpus")
+      .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
+    val cand =
+      bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)
+        .select(col("id_new"), col("band"), col("bucket"))
+        .join(corpusRows, Seq("band", "bucket"))
+        .select(col("id_new"), col("id").as("id_corpus"))
+        .dropDuplicates("id_new", "id_corpus")
     val shNew = incoming
       .select(q(idCol).as("id_new"), shingles(q(textCol), shingleK).as("sh_new"))
       .join(cand.select("id_new").distinct(), Seq("id_new"), "left_semi")
     val shCorpus = spark.read.parquet(s"$path/shingles")
       .select(col("id").as("id_corpus"), col("sh").as("sh_corpus"))
       .join(cand.select("id_corpus").distinct(), Seq("id_corpus"), "left_semi")
-    cand
-      .join(shNew, "id_new")
-      .join(shCorpus, "id_corpus")
-      .withColumn("inter", size(array_intersect(col("sh_new"), col("sh_corpus"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_new")) + size(col("sh_corpus")) - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("id_new", "id_corpus", "jaccard")
+    crossJaccardVerify(cand, shNew, shCorpus, threshold)
   }
 
   /** [[dropExistingNearDup]] against a persisted store. */

@@ -173,22 +173,6 @@ object Drift {
       Seq("column", "bin"), eps, totalBy = Seq("column"))
   }
 
-  /** PSI for a CATEGORICAL column: one cell per reference category, with
-    * everything outside the `maxCategories` most frequent reference
-    * categories (count desc, value asc — deterministic) collapsed into an
-    * `__other__` cell. The cap is what keeps this sane on unbounded-
-    * cardinality columns (user agents, URLs): the category table is one
-    * TakeOrdered on the reference, then each side is one codegen'd
-    * aggregation against the broadcast category set. Categories new in
-    * `current` also land in `__other__` — appearing mass there IS the
-    * drift signal. Null category is its own cell (`__null__`).
-    *
-    * Sentinel caveat: a column whose REAL string values include the literal
-    * `"__null__"` (or `"__other__"`) conflates that value's mass with the
-    * sentinel cell — the fractions stay a valid partition of the data (no
-    * double counting, psi_total is still well-defined), but the two sources
-    * are indistinguishable in the per-cell report. Rename such values
-    * upstream if the distinction matters. */
   /** Reference profile for a categorical column, for the streaming
     * windowed-PSI monitor ([[graft.streaming.StreamingValidation
     * .windowedPsiCategorical]]): the top-`maxCategories` categories
@@ -212,6 +196,22 @@ object Drift {
     (top.map(_._1).toSeq, top.map(_._2 / total).toSeq :+ otherMass)
   }
 
+  /** PSI for a CATEGORICAL column: one cell per reference category, with
+    * everything outside the `maxCategories` most frequent reference
+    * categories (count desc, value asc — deterministic) collapsed into an
+    * `__other__` cell. The cap is what keeps this sane on unbounded-
+    * cardinality columns (user agents, URLs): the category table is one
+    * TakeOrdered on the reference, then each side is one codegen'd
+    * aggregation against the broadcast category set. Categories new in
+    * `current` also land in `__other__` — appearing mass there IS the
+    * drift signal. Null category is its own cell (`__null__`).
+    *
+    * Sentinel caveat: a column whose REAL string values include the literal
+    * `"__null__"` (or `"__other__"`) conflates that value's mass with the
+    * sentinel cell — the fractions stay a valid partition of the data (no
+    * double counting, psi_total is still well-defined), but the two sources
+    * are indistinguishable in the per-cell report. Rename such values
+    * upstream if the distinction matters. */
   def psiCategorical(reference: DataFrame, current: DataFrame, column: String,
       maxCategories: Int = 100, eps: Double = 1e-6): DataFrame = {
     require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")

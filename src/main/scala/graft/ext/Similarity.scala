@@ -361,17 +361,21 @@ object Similarity {
     val adc = (0 until m).map(j =>
       element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
       .reduce(_ + _)
-    // the probe-cell set is bounded (≤ |queries|·nProbe ints) — collecting
-    // it turns the cell-equality join's discard into a pushed-down scan
-    // filter, which prunes whole partitions of a cell-partitioned store
-    val scanSide =
-      if (!pruneCells) encoded
+    // the probe table is bounded (≤ |queries|·nProbe rows — it IS the
+    // broadcast side). For the pruned serve, collect it ONCE and derive
+    // BOTH the pushed-down cell filter and the broadcast side from the
+    // same rows, so the probe aggregation never runs twice.
+    val (scanSide, probeSide) =
+      if (!pruneCells) (encoded, probes)
       else {
-        val probedCells = probes.select("cell").distinct()
-          .collect().map(r => Int.box(r.getInt(0))).toSeq
-        encoded.filter(col("cell").isin(probedCells: _*))
+        val rows = probes.collect()
+        val cellIdx = probes.schema.fieldIndex("cell")
+        val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
+        val local = encoded.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probes.schema)
+        (encoded.filter(col("cell").isin(cells: _*)), local)
       }
-    val shortlist = scanSide.join(broadcast(probes), Seq("cell"))
+    val shortlist = scanSide.join(broadcast(probeSide), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
@@ -424,6 +428,16 @@ object Similarity {
     val query = (if (index.kind == "pq") writer else writer.partitionBy("cell"))
       .start(s"$dir/out")
     query.awaitTermination()
+    // the replay input and checkpoint are dead once the sink has drained —
+    // delete them (about a corpus-copy of disk per call otherwise); only
+    // out/ stays, backing the returned DataFrame
+    Seq(s"$dir/in", s"$dir/ck").foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     // partition columns come back LAST from a partitioned read — restore
     // the batch-encode column order
     val cols = index.kind match {

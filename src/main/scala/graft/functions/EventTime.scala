@@ -19,7 +19,6 @@ object EventTime {
     * epoch-NANOS long: integer `div`, not `/` — the SQL slash promotes the
     * long to double (53-bit mantissa < 2^60-scale nanos → ±µs drift). */
   def eventTime(df: DataFrame, tsCol: String): Column = {
-    val c = col("`" + tsCol.replace("`", "``") + "`")
     // Case-insensitive field lookup to match Spark's default column
     // resolution — df.schema(name) alone is exact-match and would reject
     // "TS" for a column named "ts" that col() happily resolves (r7 ADVICE).
@@ -27,6 +26,11 @@ object EventTime {
       .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(tsCol)))
       .getOrElse(throw new IllegalArgumentException(
         s"eventTime: no column named '$tsCol' in [${df.columns.mkString(", ")}]"))
+    // build the expression over the RESOLVED field's name (not the caller's
+    // spelling): under spark.sql.caseSensitive=true, col("TS") would fail
+    // to analyze — or resolve a DIFFERENT column than the one whose dtype
+    // drove the dispatch below
+    val c = col("`" + field.name.replace("`", "``") + "`")
     field.dataType match {
       case LongType => timestamp_micros(call_function("div", c, lit(1000L)))
       case TimestampType => c

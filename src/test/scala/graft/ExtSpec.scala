@@ -705,6 +705,15 @@ class ExtSpec extends SparkSpec {
     intercept[Exception] {
       Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text", tmp)
     }
+    // string ids (crawl URL keys) survive the store round-trip — a cast
+    // to long would null them out and silently empty the store
+    val sdocs = docs.select(concat(lit("url://"), col("doc_id")).as("url"), col("text"))
+    val sinc = incoming.select(concat(lit("url://"), col("doc_id")).as("url"), col("text"))
+    Dedup.buildMinHashStore(sdocs, "url", "text", s"$tmp/str")
+    val sGot = Dedup.minhashPairsAgainstStore(sinc, "url", "text", s"$tmp/str")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val sWant = direct.map { case (a, b, j) => (s"url://$a", s"url://$b", j) }.sorted
+    assert(sGot == sWant && sGot.nonEmpty)
   }
 
   test("text: unigram log-prob matches hand computation incl. OOV floor") {
