@@ -1003,6 +1003,21 @@ object SparkEntry {
         queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    "sim_topk_ivf_pruned" -> ((s, d) => {
+      // round-8: the IVF (raw-vector cells) counterpart of the pruned
+      // IVF-PQ serve — partition pruning skips whole files of full-width
+      // embeddings here, not just code bytes. Same pin as sim_topk_ivf.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-part").toString
+      val idx = ext.Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 16)
+      ext.Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding",
+        idx, s"$tmp/codes")
+      ext.Similarity.ivfTopKIndexed(s.read.parquet(s"$tmp/codes"),
+        queries, "qid", "qv", idx, k = 5, nProbe = 4, pruneCells = true)
+        .orderBy("query_id", "rank")
+    }),
     "sim_text_hash_ann" -> ((s, d) => {
       // round-5: model-free text ANN — feature-hashed token vectors feed
       // the same brute top-k used for embeddings. Exact-duplicate docs in
@@ -1652,6 +1667,15 @@ object SparkEntry {
       s"(SELECT round(sum(psi_contrib), 6) FROM k$s) AS psi_total FROM k$s)"
   }
 
+  /** Golden pin for the IVF top-k — shared by `sim_topk_ivf` (one-shot)
+    * and `sim_topk_ivf_pruned` (train + cell-partitioned store +
+    * partition-pruned serve), hash-identical by construction. */
+  private val ivfOracleSql: String =
+    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 234, 4, 0.2777), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        ") u ORDER BY query_id, \"rank\"")
+
   /** Golden pin for the IVF-PQ top-k — shared by `sim_topk_ivfpq` (one-shot)
     * and `sim_topk_ivfpq_persisted` (save/load + materialized codes), which
     * must be hash-identical by construction. */
@@ -1737,11 +1761,8 @@ object SparkEntry {
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 12, 4, 0.311), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 246, 4, 0.2898), (2, 185, 5, 0.2829), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 365, 2, 0.37), (0, 334, 3, 0.3627), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 174, 5, 0.3035), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY query_id, \"rank\""),
-    "sim_topk_ivf" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 234, 4, 0.2777), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
-        ") u ORDER BY query_id, \"rank\""),
+    "sim_topk_ivf" -> ivfOracleSql,
+    "sim_topk_ivf_pruned" -> ivfOracleSql,
     "chk_equal_to" ->
       "SELECT 'equal_to' AS check_name, count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT (l_linestatus = 'F')) AS failure_count FROM lineitem",
     "chk_not_equal_to" ->

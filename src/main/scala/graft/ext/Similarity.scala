@@ -277,11 +277,25 @@ object Similarity {
   def ivfTopKIndexed(
       encoded: DataFrame,
       queries: DataFrame, queryId: String, queryEmb: String,
-      index: AnnIndex, k: Int, nProbe: Int = 4): DataFrame = {
+      index: AnnIndex, k: Int, nProbe: Int = 4,
+      pruneCells: Boolean = false): DataFrame = {
     require(index.kind == "ivf", s"expected an 'ivf' index, got '${index.kind}'")
     val qs = queries.select(q(queryId).as("query_id"), q(queryEmb).as("qv"))
     val probes = probeCells(qs, index.centers, nProbe)
-    val cand = encoded.join(broadcast(probes), Seq("cell"))
+    // same collected-probe pruning as ivfPqTopKIndexed — for the IVF store
+    // it matters MORE: cells hold raw vectors, so partition pruning skips
+    // whole files of full-width embeddings, not just code bytes
+    val (scanSide, probeSide) =
+      if (!pruneCells) (encoded, probes)
+      else {
+        val rows = probes.collect()
+        val cellIdx = probes.schema.fieldIndex("cell")
+        val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
+        val local = encoded.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), probes.schema)
+        (encoded.filter(col("cell").isin(cells: _*)), local)
+      }
+    val cand = scanSide.join(broadcast(probeSide), Seq("cell"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
     rankTopK(cand.select("query_id", "corpus_id", "cosine"), k)
   }
