@@ -121,6 +121,29 @@ object ScaleProbe {
       f"capped_pairs=$pairsSkew minhash_sec=$ts%.1f " +
       f"exact_collapse_rows=$collapsed exact_sec=$te%.1f " +
       f"quadratic_would_be=${n1 * (n1 - 1) / 2}")
+
+    // round-8 additions: packing prefix-sum and stupid-backoff at 1×/10×/
+    // 100× — wall must track rows ~linearly (the prefix sum's driver state
+    // is O(buckets), the LM model is count-table-sized)
+    def probePack(name: String, d: DataFrame): Unit = {
+      val slim = d.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("ntok")).persist()
+      slim.count()
+      val (tp, spans) = time(
+        graft.ext.Packing.packSequences(slim, "doc_id", "ntok", seqLen = 2048).count())
+      slim.unpersist()
+      println(f"PROBE pack_$name spans=$spans pack_sec=$tp%.1f")
+    }
+    def probeBackoff(name: String, d: DataFrame): Unit = {
+      val (tb, toks) = time(
+        graft.ext.TextAnalysis.stupidBackoff(d, "doc_id", "text", minBigramCount = 2)
+          .agg(sum("n_tokens")).head().getLong(0))
+      println(f"PROBE backoff_$name tokens=$toks backoff_sec=$tb%.1f")
+    }
+    probePack("1x", docs); probePack("10x", replicate(docs, 10))
+    probePack("100x", replicate(docs, 100))
+    probeBackoff("1x", docs); probeBackoff("10x", replicate(docs, 10))
+    probeBackoff("100x", replicate(docs, 100))
     spark.stop()
   }
 }
