@@ -443,6 +443,13 @@ object SparkEntry {
       // web-scale count cutoff) so the backoff branch is exercised in-gate
       ext.TextAnalysis.stupidBackoff(t(s, d, "documents"), "doc_id",
         "text", alpha = 0.4, addK = 0.5, minBigramCount = 2).orderBy("doc_id")),
+    "text_kneser_ney" -> ((s, d) =>
+      // round-8: interpolated Kneser–Ney bigram LM (the KenLM smoothing
+      // CCNet's quality filter runs) — absolute discount + continuation-
+      // count interpolation; minBigramCount=2 prunes singleton bigrams so
+      // the zero-numerator (interpolation-only) branch is exercised in-gate
+      ext.TextAnalysis.kneserNey(t(s, d, "documents"), "doc_id", "text",
+        discount = 0.75, addK = 0.5, minBigramCount = 2).orderBy("doc_id")),
     "text_classifier_train" -> ((s, d) =>
       // round-7: distributed logistic-regression TRAINING for the quality
       // classifier (linearClassifierScore is the scoring half) — one job
@@ -1943,6 +1950,26 @@ object SparkEntry {
     "text_ccnet_normalize" ->
       ("SELECT doc_id, regexp_replace(strip_accents(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), " +
         "'[0-9]', '0', 'g') AS ntext FROM documents ORDER BY doc_id"),
+    "text_kneser_ney" ->
+      ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
+        "toks AS (SELECT unnest(t) AS token FROM docs), " +
+        "vv AS (SELECT count(DISTINCT token) AS v FROM toks), " +
+        "bi0 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM docs WHERE len(t) >= 2), " +
+        "bic AS (SELECT w1, w2, count(*) AS bcnt FROM bi0 GROUP BY w1, w2 HAVING count(*) >= 2), " +
+        "dc AS (SELECT (SELECT count(*) FROM bic) + 0.5 * (v + 1) AS dc FROM vv), " +
+        "ctx AS (SELECT w1, sum(bcnt) AS ctx, count(*) AS nfol FROM bic GROUP BY w1), " +
+        "pre AS (SELECT w2, count(*) AS npre FROM bic GROUP BY w2), " +
+        "allpos AS (SELECT doc_id, NULL AS w1, t[1] AS w2 FROM docs UNION ALL SELECT doc_id, w1, w2 FROM bi0), " +
+        "sc AS (SELECT p.doc_id, CASE " +
+        "WHEN p.w1 IS NULL THEN ln((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc)) " +
+        "WHEN c.ctx IS NOT NULL THEN ln(coalesce((b.bcnt - 0.75) / c.ctx, 0) + 0.75 * c.nfol / c.ctx * ((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc))) " +
+        "ELSE ln((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc)) END AS s " +
+        "FROM allpos p LEFT JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2 " +
+        "LEFT JOIN ctx c ON p.w1 = c.w1 LEFT JOIN pre ON p.w2 = pre.w2), " +
+        "agg AS (SELECT doc_id, count(*) AS n, sum(s) AS s FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, " +
+        "round(-a.s / a.n, 4) AS cross_entropy, round(exp(-a.s / a.n), 2) AS perplexity " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
     "text_stupid_backoff" ->
       ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
         "toks AS (SELECT unnest(t) AS token FROM docs), " +

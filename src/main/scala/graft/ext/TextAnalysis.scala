@@ -478,6 +478,99 @@ object TextAnalysis {
         round(exp(-col("__s") / col("n_tokens")), 2).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §3 — the smoothing family KenLM implements, which CCNet
+    * uses for its perplexity-bucketed quality filter). Where
+    * [[stupidBackoff]] discounts by a constant factor only on the backoff
+    * path, KN subtracts an absolute discount `d` from every seen bigram and
+    * redistributes that mass over the CONTINUATION distribution — P_cont
+    * ranks a word by how many distinct contexts it follows, not how often
+    * it occurs ("Francisco" is frequent but only ever follows "San", so its
+    * continuation probability is tiny):
+    *
+    *   P(w2|w1) = (c(w1,w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · Pc(w2)
+    *   Pc(w2)   = (N1+(·w2) + k) / (N1+(··) + k·(V+1))
+    *
+    * with N1+ counting distinct bigram TYPES in the (count-pruned) model
+    * and add-k smoothing on Pc so OOV tokens stay finite. A first token
+    * scores ln Pc(w2); a position whose bigram was pruned below
+    * `minBigramCount` keeps only the interpolation term (the standard
+    * zero-numerator form); a context absent from the model entirely backs
+    * off to Pc(w2).
+    *
+    * Scale shape mirrors [[stupidBackoff]]: the model is three
+    * bigram-table-sized DataFrames — (w1,w2) discounted parts, per-context
+    * (ctx, λ), per-word continuation counts — that never leave the cluster
+    * (two bounded scalar actions: vocab size V, bigram type count T).
+    * Serving is one corpus scan + three model-keyed hash joins
+    * (AQE-broadcast at gate size, shuffle joins at 100 TB) and a per-doc
+    * re-aggregation shipping 24-byte partials.
+    *
+    * Output mirrors [[unigramPerplexity]]: (idCol, n_tokens,
+    * cross_entropy, perplexity), blank docs n_tokens=0 with NULLs. */
+  def kneserNey(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75, addK: Double = 0.5,
+      minBigramCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0,1)")
+    require(addK > 0, "addK > 0 (unsmoothed OOV would be ln 0)")
+    require(minBigramCount >= 1, "minBigramCount >= 1")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val text = col("`" + textCol.replace("`", "``") + "`")
+    // tokenized frame feeds three plan branches (vocab count, pair rows,
+    // first-token rows) — persist so the tokenizer runs once (the same
+    // measured trap stupidBackoff documents); reclaimed by LRU/clearCache
+    val docs = df.select(id.as("__id"), tokens(normalized(text)).as("__t"))
+      .persist()
+    val nm1 = size(col("__t")) - 1
+    // arrays_zip over two slices, not transform(sequence(...)) — see the
+    // stupidBackoff comment (lambda re-evaluates the tokenizer per element)
+    val pairs = docs.filter(size(col("__t")) >= 2)
+      .select(col("__id"), explode(arrays_zip(
+        slice(col("__t"), lit(1), nm1), slice(col("__t"), lit(2), nm1))).as("p"))
+      .select(col("__id"), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+    // count pruning before N1+ statistics: pruned types vanish from the
+    // model, so both the context totals and the continuation counts see
+    // only surviving bigrams (how pruned KenLM models renormalize)
+    val bic = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= minBigramCount)
+    // two bounded scalar actions: V (unigram vocab) and T (bigram types)
+    val vocabV = docs.select(explode(col("__t")).as("token"))
+      .agg(count_distinct(col("token"))).head().getLong(0)
+    val typesT = bic.count()
+    val denomC = typesT + addK * (vocabV + 1.0)
+    // model tables, all bigram-table-sized; expression shapes are kept
+    // IDENTICAL to the DuckDB oracle so the doubles agree bit-for-bit
+    val ctxTab = bic.groupBy("w1")
+      .agg(sum("bcnt").as("ctx"), count(lit(1)).as("nfol"))
+      .select(col("w1"), col("ctx"),
+        (lit(discount) * col("nfol") / col("ctx")).as("__lam"))
+    val bicPart = bic.join(ctxTab.select("w1", "ctx"), "w1")
+      .select(col("w1"), col("w2"),
+        ((col("bcnt") - lit(discount)) / col("ctx")).as("__part"))
+    val preTab = bic.groupBy("w2").agg(count(lit(1)).as("npre"))
+    val firstTok = docs.filter(size(col("__t")) >= 1)
+      .select(col("__id"), lit(null).cast("string").as("w1"),
+        element_at(col("__t"), 1).as("w2"))
+    val pcSm = (coalesce(col("npre"), lit(0L)) + lit(addK)) / lit(denomC)
+    val rowScore =
+      when(col("w1").isNull, log(pcSm))
+      .when(col("__lam").isNotNull,
+        log(coalesce(col("__part"), lit(0.0)) + col("__lam") * pcSm))
+      .otherwise(log(pcSm))
+    val scored = firstTok.unionByName(pairs)
+      .join(bicPart, Seq("w1", "w2"), "left")
+      .join(ctxTab.select("w1", "__lam"), Seq("w1"), "left")
+      .join(preTab, Seq("w2"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"), sum(rowScore).as("__s"))
+    df.select(id.as("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(-col("__s") / col("n_tokens"), 4).as("cross_entropy"),
+        round(exp(-col("__s") / col("n_tokens")), 2).as("perplexity"))
+  }
+
   /** Linear text classifier score — the fasttext-shaped quality/domain
     * classifier every modern corpus pipeline runs (e.g. the "educational
     * value" / "wiki-like" filters): mean of per-token weights from a

@@ -810,6 +810,34 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(full.getDouble(2) - math.floor(-sFull / 5 * 1e4 + 0.5) / 1e4) < 1e-9)
   }
 
+  test("text: Kneser-Ney bigram scores match hand computation incl. pruned and unseen-context branches") {
+    // corpus: d1 = "a b a b c", d2 = "a b"; bigrams (a,b)=3 (b,a)=1 (b,c)=1
+    val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    // pruned model (minCount=2): bic={(a,b):3}, V=3, T=1, denomC=1+0.5*4=3
+    // ctx(a)=3 nfol=1 lam=0.25; npre(b)=1; Pc(b)=1.5/3, Pc(a)=Pc(c)=0.5/3
+    val got = graft.ext.TextAnalysis.kneserNey(d, "doc_id", "text",
+        discount = 0.75, addK = 0.5, minBigramCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val lnPcA = math.log(0.5 / 3)                        // unseen-w2 Pc
+    val lnAB = math.log((3 - 0.75) / 3.0 + 0.25 * (1.5 / 3))
+    // d1: first a (Pc) + (a,b) + (b,a) unseen CONTEXT b (Pc) + (a,b) + (b,c)
+    val s1 = lnPcA + lnAB + lnPcA + lnAB + lnPcA
+    val s2 = lnPcA + lnAB
+    assert(got(1L)._1 == 5 &&
+      math.abs(got(1L)._2.get - math.floor(-s1 / 5 * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(got(2L)._1 == 2 &&
+      math.abs(got(2L)._2.get - math.floor(-s2 / 2 * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(got(3L)._1 == 0 && got(3L)._2.isEmpty)
+    // unpruned model: T=3, denomC=5, every Pc=1.5/5=0.3; lam(b)=0.75
+    // d1 = lnPc(a) + 2*ln(0.75+0.25*0.3) + 2*ln(0.125+0.75*0.3)
+    val full = graft.ext.TextAnalysis.kneserNey(d, "doc_id", "text")
+      .filter(col("doc_id") === 1L).head()
+    val sFull = math.log(0.3) + 2 * math.log((3 - 0.75) / 3.0 + 0.25 * 0.3) +
+      2 * math.log((1 - 0.75) / 2.0 + 0.75 * 0.3)
+    assert(math.abs(full.getDouble(2) - math.floor(-sFull / 5 * 1e4 + 0.5) / 1e4) < 1e-9)
+  }
+
   test("packing: concat-and-chunk spans reconstruct docs, fill sequences, match sequential reference") {
     // irregular token counts incl. one doc spanning several sequences
     val counts = Seq(1L -> 7L, 2L -> 3L, 3L -> 25L, 4L -> 1L, 5L -> 10L,
