@@ -754,6 +754,22 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "layout_zorder" -> ((s, d) => {
+      // round-8: Z-order (Morton) multi-column clustering key — the Delta/
+      // Iceberg OPTIMIZE ZORDER BY layout primitive. zval interleaves two
+      // bounded key columns bit-by-bit; zrank goes through boundedRank
+      // (clamp + IEEE-portable floor scaling) first. Pure codegen'd
+      // builtins; cross-engine agreement is the whole point of the oracle
+      // (DuckDB re-derives both with unrolled shift/mask arithmetic). The
+      // file-skipping effect of clustering on this key is asserted in
+      // ZOrderSpec (non-leading-column pruning vs a linear sort).
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        ext.ZOrder.interleave(
+          Seq(col("l_partkey") % 1024, col("l_suppkey") % 1024), 10).as("zval"),
+        ext.ZOrder.zValue(Seq((col("l_quantity"), 1L, 50L),
+          (col("l_partkey"), 0L, 1048576L)), 10).as("zrank"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "outlier_iqr" -> ((s, d) => {
       // round-5: Tukey-fence outlier detection on order totals — exact
       // quartile fences (== quantile_cont), then a pure flag filter
@@ -1692,7 +1708,22 @@ object SparkEntry {
       "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Unrolled Morton-interleave SQL mirroring ZOrder.interleave: bit i of
+    * column j lands at position i*n + j. */
+  private def zInterleaveSql(cols: Seq[String], bits: Int): String =
+    (for { (c, j) <- cols.zipWithIndex; i <- 0 until bits }
+      yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
+
   def oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      ("WITH r AS (SELECT l_orderkey, l_linenumber, " +
+        "CAST(floor((least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 1023 / 49) AS BIGINT) AS r1, " +
+        "CAST(floor((least(greatest(l_partkey, 0), 1048576) - 0) * 1023 / 1048576) AS BIGINT) AS r2, " +
+        "(l_partkey % 1024) AS x, (l_suppkey % 1024) AS y FROM lineitem) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        s"CAST(${zInterleaveSql(Seq("x", "y"), 10)} AS BIGINT) AS zval, " +
+        s"CAST(${zInterleaveSql(Seq("r1", "r2"), 10)} AS BIGINT) AS zrank " +
+        "FROM r ORDER BY l_orderkey, l_linenumber"),
     // Golden pins for the three approximate operators: the pipelines are
     // fully deterministic (seeded xxhash64 signatures, seeded k-means,
     // ties broken by corpus id, k-heap with a total order), so the exact
