@@ -754,6 +754,15 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "er_fuzzy_dedup" -> ((s, d) =>
+      // round-8: blocked fuzzy entity resolution — Jaro-Winkler (native
+      // codegen'd expression, semantics pinned to DuckDB's
+      // jaro_winkler_similarity so the oracle is a true cross-engine
+      // check) inside nation-key blocks; the full cross product never
+      // materializes and over-popular blocks are guarded by maxBlockPairs
+      ext.EntityResolution.fuzzyDedup(t(s, d, "customer"), "c_custkey",
+        "c_name", col("c_nationkey"), threshold = 0.97)
+        .orderBy("id_a", "id_b")),
     "layout_zorder" -> ((s, d) => {
       // round-8: Z-order (Morton) multi-column clustering key — the Delta/
       // Iceberg OPTIMIZE ZORDER BY layout primitive. zval interleaves two
@@ -1715,6 +1724,13 @@ object SparkEntry {
       yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
 
   def oracleSql: Map[String, String] = Map(
+    "er_fuzzy_dedup" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS similarity " +
+        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_custkey < b.c_custkey " +
+        "WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97 " +
+        "ORDER BY id_a, id_b"),
     "layout_zorder" ->
       ("WITH r AS (SELECT l_orderkey, l_linenumber, " +
         "CAST(floor((least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 1023 / 49) AS BIGINT) AS r1, " +

@@ -56,6 +56,9 @@ object GraftSparkExtensions {
     "graft_cosine_sim" -> (
       info("graft_cosine_sim", "_FUNC_(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "graft_jaro_winkler" -> (
+      info("graft_jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler similarity (DuckDB-compatible semantics)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))),
     "graft_feature_hash_vector" -> (
       info("graft_feature_hash_vector", "_FUNC_(tokens, dim) - signed hashed-count float vector"),
       (args: Seq[Expression]) =>
