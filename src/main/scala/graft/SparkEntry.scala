@@ -864,6 +864,36 @@ object SparkEntry {
         "event_type", cells, fracs, windowDur = "1 hour")
         .orderBy("window_start", "cell")
     }),
+    "drift_psi_profile" -> ((s, d) => {
+      // round-8: drift-profile PERSISTENCE serve path — fit the reference
+      // profile once, save/load the JSON document, score the batch against
+      // the LOADED profile without re-reading the reference. Same oracle
+      // SQL as drift_psi: exact double round-trip + serve equivalence is
+      // the gate
+      val li = t(s, d, "lineitem")
+      val prof = ext.DriftProfile.fit(li,
+        numericCols = Seq("l_extendedprice"), bins = 10)
+      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
+        .resolve("profile.json").toString
+      prof.save(path)
+      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
+      ext.Drift.psiAgainstProfile(li.filter(col("l_returnflag") === "A"),
+        "l_extendedprice", n.edges, n.fracs).orderBy("bin")
+    }),
+    "drift_psi_cat_profile" -> ((s, d) => {
+      // round-8: categorical sibling of drift_psi_profile (language-mix
+      // monitor served from the stored document)
+      val docs = t(s, d, "documents")
+      val prof = ext.DriftProfile.fit(docs,
+        categoricalCols = Seq("lang"), maxCategories = 3)
+      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
+        .resolve("profile.json").toString
+      prof.save(path)
+      val c = ext.DriftProfile.load(path).categoricalFor("lang")
+      ext.Drift.psiCategoricalAgainstProfile(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang",
+        c.cells, c.fracs).orderBy("cell")
+    }),
     "drift_psi_categorical" -> ((s, d) =>
       // round-5: categorical drift on language mix — top-3 reference
       // categories + __other__ bucket (the unbounded-cardinality guard)
@@ -1717,6 +1747,35 @@ object SparkEntry {
       "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Shared by drift_psi and its profile-persistence twin (the serve path
+    * is hash-identical to the direct computation by construction). */
+  private val driftPsiOracle: String =
+    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
+      "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+      "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
+      "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
+      "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
+      "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
+      "j AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+      "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+      "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
+      "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
+      "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin")
+
+  private val driftPsiCategoricalOracle: String =
+    ("WITH cat AS (SELECT coalesce(lang, '__null__') AS c, doc_id FROM documents), " +
+      "top3 AS (SELECT c AS cell FROM (SELECT c, count(*) AS n FROM cat GROUP BY c ORDER BY n DESC, c LIMIT 3)), " +
+      "refx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat), " +
+      "curx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat WHERE doc_id % 2 = 0), " +
+      "refc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM refx) AS ref_frac FROM refx GROUP BY cell), " +
+      "curc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM curx) AS cur_frac FROM curx GROUP BY cell), " +
+      "cells AS (SELECT cell FROM top3 UNION ALL SELECT '__other__'), " +
+      "j AS (SELECT cell, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+      "FROM cells LEFT JOIN refc USING (cell) LEFT JOIN curc USING (cell)), " +
+      "k AS (SELECT cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
+      "SELECT cell, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
+      "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY cell")
+
   /** Unrolled Morton-interleave SQL mirroring ZOrder.interleave: bit i of
     * column j lands at position i*n + j. */
   private def zInterleaveSql(cols: Seq[String], bits: Int): String =
@@ -2193,18 +2252,11 @@ object SparkEntry {
         "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
         "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
         "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin"),
-    "drift_psi" ->
-      ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
-        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
-        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
-        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
-        "j AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-        "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-        "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
-        "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
-        "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin"),
+    "drift_psi" -> driftPsiOracle,
+    // profile-persistence serve path is hash-identical to the direct
+    // two-sided computation by construction — same oracle
+    "drift_psi_profile" -> driftPsiOracle,
+    "drift_psi_cat_profile" -> driftPsiCategoricalOracle,
     "drift_psi_windowed" ->
       ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +
         "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
@@ -2248,19 +2300,7 @@ object SparkEntry {
         .mkString(", ") +
         " SELECT * FROM out0 UNION ALL SELECT * FROM out1 UNION ALL SELECT * FROM out2" +
         " ORDER BY \"column\", bin"),
-    "drift_psi_categorical" ->
-      ("WITH cat AS (SELECT coalesce(lang, '__null__') AS c, doc_id FROM documents), " +
-        "top3 AS (SELECT c AS cell FROM (SELECT c, count(*) AS n FROM cat GROUP BY c ORDER BY n DESC, c LIMIT 3)), " +
-        "refx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat), " +
-        "curx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat WHERE doc_id % 2 = 0), " +
-        "refc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM refx) AS ref_frac FROM refx GROUP BY cell), " +
-        "curc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM curx) AS cur_frac FROM curx GROUP BY cell), " +
-        "cells AS (SELECT cell FROM top3 UNION ALL SELECT '__other__'), " +
-        "j AS (SELECT cell, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-        "FROM cells LEFT JOIN refc USING (cell) LEFT JOIN curc USING (cell)), " +
-        "k AS (SELECT cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
-        "SELECT cell, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
-        "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY cell"),
+    "drift_psi_categorical" -> driftPsiCategoricalOracle,
     "sample_top_fraction" ->
       ("SELECT doc_id FROM documents " +
         "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +

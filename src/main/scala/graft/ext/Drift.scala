@@ -414,4 +414,60 @@ object Drift {
       .join(side("cur", "cur_frac"), Seq("column", "bin"), "left"),
       totalBy = Seq("column"))
   }
+
+  /** Numeric PSI of a batch against a STORED reference profile
+    * ([[referenceNumericProfile]] / [[DriftProfile]]): bins the current
+    * side in one pass; the reference fractions ride as literals — the
+    * reference corpus is never re-read (the batch sibling of
+    * [[graft.streaming.StreamingValidation.windowedPsi]], and the serve
+    * half of the profile-persistence deployment shape: profile a 100 TB
+    * reference ONCE, monitor every subsequent crawl batch against the
+    * saved document). Output and arithmetic are identical to [[psi]] run
+    * with the profile's reference — gated hash-identical. */
+  def psiAgainstProfile(current: DataFrame, column: String,
+      edges: Seq[Double], refFracs: Seq[Double],
+      eps: Double = 1e-6): DataFrame = {
+    val bins = refFracs.length
+    require(bins >= 2, s"profile needs >= 2 bins, got $bins")
+    require(edges.length == bins - 1,
+      s"profile inconsistent: ${edges.length} edges for $bins bins")
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(q(column) > e, 1).otherwise(0))
+    val cur = current.filter(q(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("cur_frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"), col("cur_frac"))
+    val spark0 = current.sparkSession
+    import spark0.implicits._
+    val allBins = refFracs.zipWithIndex.map { case (f, i) => (i, f) }
+      .toDF("bin", "ref_frac")
+    finalizePsi(allBins.join(cur, Seq("bin"), "left"), Seq("bin"), eps)
+  }
+
+  /** Categorical PSI against a stored profile
+    * ([[referenceCategoricalProfile]] / [[DriftProfile]]): `cells` are the
+    * reference top-K categories, `refFracs` one fraction per cell PLUS the
+    * trailing `__other__` mass. Same semantics as [[psiCategorical]] with
+    * the reference side replaced by literals. */
+  def psiCategoricalAgainstProfile(current: DataFrame, column: String,
+      cells: Seq[String], refFracs: Seq[Double],
+      eps: Double = 1e-6): DataFrame = {
+    require(cells.nonEmpty, "profile has no cells")
+    require(cells.distinct.size == cells.size, "profile cells must be distinct")
+    require(!cells.contains("__other__"),
+      "__other__ is the reserved overflow cell — not a profile category")
+    require(refFracs.length == cells.length + 1,
+      s"profile inconsistent: ${refFracs.length} fracs for ${cells.length} cells + __other__")
+    val cat = coalesce(q(column).cast("string"), lit("__null__"))
+    val cellCol = when(cat.isin(cells: _*), cat).otherwise(lit("__other__"))
+    val cur = current.groupBy(cellCol.as("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("cur_frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("cell"), col("cur_frac"))
+    val spark0 = current.sparkSession
+    import spark0.implicits._
+    val all = ((cells :+ "__other__") zip refFracs).toDF("cell", "ref_frac")
+    finalizePsi(all.join(cur, Seq("cell"), "left"), Seq("cell"), eps)
+  }
 }
