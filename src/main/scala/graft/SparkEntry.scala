@@ -754,6 +754,33 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "stats_distinct_store" -> ((s, d) => {
+      // round-8: incremental distinct-count store — each batch reduces to
+      // one (key, n_rows, HLL sketch) parquet row; later questions union
+      // the stored sketches without touching the corpora. At fixture
+      // cardinalities the sketches stay in the DataSketches coupon phase,
+      // where the union estimate is EXACTLY the true count (probed at both
+      // SFs) — so the oracle is a genuine cross-engine exact compare, and
+      // the in-gate assert pins union-from-store == one-shot estimate
+      val ev = t(s, d, "events")
+      val dir = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
+      ext.SketchStore.append(ext.SketchStore.distinctSketch(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id"),
+        dir, "batch_a")
+      ext.SketchStore.append(ext.SketchStore.distinctSketch(
+        ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "user_id"),
+        dir, "batch_b")
+      val served = ext.SketchStore.estimate(s, dir, Seq("event_type"))
+      val oneShot = ext.SketchStore.distinctSketch(ev, Seq("event_type"), "user_id")
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sketch")).as("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      served.collect().foreach { r =>
+        require(r.getLong(2) == oneShot(r.getString(0)),
+          s"store union diverged from one-shot for ${r.getString(0)}")
+      }
+      served.orderBy("event_type")
+    }),
     "er_fuzzy_dedup" -> ((s, d) =>
       // round-8: blocked fuzzy entity resolution — Jaro-Winkler (native
       // codegen'd expression, semantics pinned to DuckDB's
@@ -1783,6 +1810,10 @@ object SparkEntry {
       yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
 
   def oracleSql: Map[String, String] = Map(
+    "stats_distinct_store" ->
+      ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "er_fuzzy_dedup" ->
       ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
         "round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS similarity " +

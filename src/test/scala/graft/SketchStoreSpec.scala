@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.SketchStore
+
+class SketchStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sketchstore").toString
+
+  test("sparse-phase store union equals the single-pass estimate exactly; dense union stays in the error class") {
+    // sparse phase (few hundred distinct per key): union == one-shot == truth
+    val small = spark.range(2000)
+      .select((col("id") % 4).cast("string").as("k"), (col("id") % 500).as("v"))
+    val sDir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(
+      small.filter(col("id") % 2 === 0), Seq("k"), "v"), sDir, "a")
+    SketchStore.append(SketchStore.distinctSketch(
+      small.filter(col("id") % 2 === 1), Seq("k"), "v"), sDir, "b")
+    val sServed = SketchStore.estimate(spark, sDir, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sServed.toSeq == Seq(("0", 500L, 125L), ("1", 500L, 125L),
+      ("2", 500L, 125L), ("3", 500L, 125L)))
+    // dense phase: a merged sketch loses the HIP estimator, so union and
+    // one-shot agree only to the lgK error class — but the union itself
+    // is deterministic (recomputing from the store reproduces it)
+    val big = spark.range(20000)
+      .select((col("id") % 4).cast("string").as("k"), (col("id") % 3777).as("v"))
+    val dir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(
+      big.filter(col("id") % 3 === 0), Seq("k"), "v"), dir, "a")
+    SketchStore.append(SketchStore.distinctSketch(
+      big.filter(col("id") % 3 === 1), Seq("k"), "v"), dir, "b")
+    SketchStore.append(SketchStore.distinctSketch(
+      big.filter(col("id") % 3 === 2), Seq("k"), "v"), dir, "c")
+    def served() = SketchStore.estimate(spark, dir, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = served()
+    assert(a.toSeq == served().toSeq)                    // deterministic
+    val oneShot = SketchStore.distinctSketch(big, Seq("k"), "v")
+      .select(col("k"), col("n_rows"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    a.zip(oneShot).foreach { case ((k, nr, est), (k2, nr2, est2)) =>
+      assert(k == k2 && nr == nr2)
+      assert(math.abs(est - est2).toDouble / est2 < 0.02,
+        s"key $k: union $est vs one-shot $est2 outside the error class")
+      assert(math.abs(est - 3777.0) / 3777.0 < 0.02, s"key $k: union $est far from truth")
+    }
+  }
+
+  test("re-appending an already-covered batch never changes the estimate (register max is idempotent)") {
+    val df = spark.range(5000).select(col("id").as("v"))
+    val dir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(df, Nil, "v"), dir, "full")
+    val before = SketchStore.estimate(spark, dir, Nil).head().getLong(1)
+    SketchStore.append(SketchStore.distinctSketch(
+      df.filter(col("v") < 100), Nil, "v"), dir, "subset")
+    val after = SketchStore.estimate(spark, dir, Nil).head()
+    assert(after.getLong(1) == before)     // distinct unchanged
+    assert(after.getLong(0) == 5100L)      // n_rows honestly sums batches
+  }
+
+  test("coupon-phase exactness at small cardinality; bounded error at large") {
+    val small = spark.range(1000).select(col("id").as("v"))
+    val sEst = SketchStore.distinctSketch(small, Nil, "v")
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    assert(sEst == 1000L)
+    val big = spark.range(300000).select(col("id").as("v"))
+    val bEst = SketchStore.distinctSketch(big, Nil, "v", lgK = 14)
+      .select(hll_sketch_estimate(col("sketch"))).head().getLong(0)
+    assert(math.abs(bEst - 300000.0) / 300000.0 < 0.02,
+      s"lgK=14 estimate $bEst off by more than 2%")
+  }
+
+  test("null values: counted by neither n_rows nor the sketch") {
+    val df = Seq(Some(1L), Some(2L), None, Some(2L)).toDF("v")
+    val r = SketchStore.distinctSketch(df, Nil, "v")
+      .select(col("n_rows"), hll_sketch_estimate(col("sketch"))).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+  }
+}
