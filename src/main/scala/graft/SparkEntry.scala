@@ -1609,6 +1609,41 @@ object SparkEntry {
         .map { case (line, i) => (i.toLong, line) }
         .toDF("line_no", "line").orderBy("line_no")
     }),
+    "io_csv_quarantine" -> ((s, d) => {
+      // round-8: quarantining CSV source boundary — orders (4-column
+      // projection) round-trips through CSV text; two hand-corrupted lines
+      // (wrong arity / unparseable struct) land in the quarantine frame
+      // RAW, never as silent nulls; the good side revalidates and must
+      // reproduce the original table exactly (key sum + row count are the
+      // cross-engine checks, CSV double round-trip included via the
+      // totalprice sum)
+      val proj = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-csvq").toString
+      proj.coalesce(1).write.mode("overwrite").option("header", "false")
+        .csv(s"$dir/data")
+      // corrupt part file: wrong column count + non-numeric key
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data/part-corrupt.csv"),
+        "only,three,columns\nnot_a_number,12,O,5.5,extra,fields,here\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val schema = DataFrameSchema(
+        "o_orderkey" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "o_custkey" -> ColumnSchema(Some(LongType)),
+        "o_orderstatus" -> ColumnSchema(Some(StringType), nullable = false),
+        "o_totalprice" -> ColumnSchema(Some(DoubleType)))
+      val (res, bad) = graft.io.ValidatedIO.readQuarantined(
+        s, schema, s"$dir/data", "csv")
+      require(res.passed, s"validation failed: ${res.errors}")
+      val agg = res.data.agg(
+        count(lit(1)).as("n_good"),
+        sum("o_orderkey").as("key_sum"),
+        round(sum("o_totalprice"), 3).as("price_sum")).head()
+      import s.implicits._
+      Seq((agg.getLong(0), bad.count(), agg.getLong(1),
+        agg.getDouble(2))).toDF("n_good", "n_bad", "key_sum", "price_sum")
+    }),
     "io_validated_read" -> ((s, d) => {
       // validate-on-read source boundary: the l_tax contract has a known
       // failure count; the reader path goes through ValidatedIO.
@@ -1810,6 +1845,11 @@ object SparkEntry {
       yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
 
   def oracleSql: Map[String, String] = Map(
+    "io_csv_quarantine" ->
+      ("SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_good, " +
+        "CAST(2 AS BIGINT) AS n_bad, " +
+        "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
+        "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
     "stats_distinct_store" ->
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +

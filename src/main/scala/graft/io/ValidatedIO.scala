@@ -41,6 +41,48 @@ object ValidatedIO {
     schema.validate(withSchema.load(path))
   }
 
+  /** Quarantining read for text formats (csv/json): malformed records —
+    * lines the parser cannot map onto the schema at all — are captured via
+    * Spark's corrupt-record column and returned RAW as the second frame
+    * (for a reject-file sink / triage), never silently nulled into the
+    * data; well-formed rows flow into the fused validation. This is the
+    * read-side counterpart of the quarantine sink: nothing is dropped on
+    * the floor at either boundary.
+    *
+    * The parsed batch is persisted once: Spark refuses plans that
+    * reference ONLY the corrupt-record column of a text scan (the parser
+    * would need a second pushdown schema), and the cache also makes the
+    * good/bad split one scan instead of two. The block stays cached behind
+    * the two returned lazy frames and is reclaimed by LRU eviction or
+    * `spark.sqlContext.clearCache()` (the stupidBackoff convention); a
+    * long-lived service materializes both sides and clears between
+    * batches. */
+  def readQuarantined(
+      spark: SparkSession,
+      schema: DataFrameSchema,
+      path: String,
+      format: String,
+      options: Map[String, String] = Map.empty): (ValidationResult, DataFrame) = {
+    require(format == "csv" || format == "json",
+      s"readQuarantined is for text formats (csv/json), got '$format'")
+    val corrupt = "__corrupt_record"
+    val st = org.apache.spark.sql.types.StructType(
+      schema.toStructType.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField(corrupt,
+          org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.format(format).options(options)
+      .schema(st)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .load(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = raw.filter(org.apache.spark.sql.functions.col(corrupt).isNotNull)
+      .select(org.apache.spark.sql.functions.col(corrupt).as("raw_record"))
+    val good = raw.filter(org.apache.spark.sql.functions.col(corrupt).isNull)
+      .drop(corrupt)
+    (schema.validate(good), bad)
+  }
+
   /** Validate-then-write: run the fused validation, and write the validated
     * data (post drop_invalid_rows / coercion / defaults) only when it
     * passed — or, when the schema drops invalid rows, when every remaining

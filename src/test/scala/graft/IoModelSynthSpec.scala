@@ -297,4 +297,45 @@ class IoModelSynthSpec extends SparkSpec {
     assert(res.passed, res.errors.map(_.message).mkString("; "))
     assert(df.select("k").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
+
+  test("ValidatedIO.readQuarantined: malformed csv/json records surface raw, good rows validate") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+      "name" -> ColumnSchema(Some(StringType)))
+    // csv: one arity-mismatch line, one unparseable id
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "1,alpha\n2,beta\nonly_one_field\nnope,gamma\n3,delta\n".getBytes("UTF-8"))
+    val (cres, cbad) = graft.io.ValidatedIO.readQuarantined(
+      spark, schema, s"$dir/a.csv", "csv")
+    assert(cres.passed)
+    assert(cres.data.count() == 3L)
+    assert(cbad.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("nope,gamma", "only_one_field"))
+    // json: a syntactically-broken line is quarantined raw
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"id": 1, "name": "alpha"}
+        |{"id": 2 "name": "broken"}
+        |{"id": 3, "name": "gamma"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val (jres, jbad) = graft.io.ValidatedIO.readQuarantined(
+      spark, schema, s"$dir/b.json", "json")
+    assert(jres.passed)
+    assert(jres.data.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(jbad.count() == 1L &&
+      jbad.head().getString(0).contains("\"broken\""))
+    // parquet is rejected: corrupt-record capture is a text-format concept
+    intercept[IllegalArgumentException] {
+      graft.io.ValidatedIO.readQuarantined(spark, schema, dir, "parquet")
+    }
+    // nullable=false violations in WELL-FORMED rows are validation
+    // failures, not quarantine rows
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
+      "1,alpha\n,beta\n".getBytes("UTF-8"))
+    val (nres, nbad) = graft.io.ValidatedIO.readQuarantined(
+      spark, schema, s"$dir/c.csv", "csv")
+    assert(nbad.count() == 0L)
+    assert(!nres.passed && nres.errors.exists(_.check.contains("not_nullable")))
+  }
 }
