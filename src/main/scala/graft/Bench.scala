@@ -321,6 +321,50 @@ object Bench {
         minBigramCount = 2).agg(sum("n_tokens")).head())
     dropNewBlocks(spark, snapSb)
 
+    // round-8b: interpolated Kneser-Ney at 10× — same serve shape as the
+    // backoff (three model-keyed joins) plus the N1+ continuation stats
+    val snapKn = persistedIds(spark)
+    timed("text_kneser_ney_10x")(
+      ext.TextAnalysis.kneserNey(docs10, "doc_id", "text",
+        minBigramCount = 2).agg(sum("n_tokens")).head())
+    dropNewBlocks(spark, snapKn)
+
+    // round-8b: blocked fuzzy entity resolution — nation-key blocks over
+    // the full customer table (sf0.1: ~15k names, ~4.5M codegen'd
+    // Jaro-Winkler evaluations inside the blocks; the cross product is
+    // never materialized)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    timed("er_fuzzy_dedup")(
+      ext.EntityResolution.fuzzyDedup(cust, "c_custkey", "c_name",
+        col("c_nationkey"), threshold = 0.97).count())
+
+    // round-8b: Z-order layout — one range shuffle + in-partition sort on
+    // the interleaved key, written once; the selective read then touches a
+    // fraction of files via ordinary parquet min/max stats (the pruning
+    // itself is asserted in ZOrderSpec; here we pay the honest write cost)
+    val zDir = java.nio.file.Files.createTempDirectory("graft-bench-z").toString
+    timed("layout_zorder_write")(
+      ext.ZOrder.clusterBy(li, Seq(("l_partkey", 0L, 1048576L),
+          ("l_suppkey", 0L, 65536L)), bits = 16, numPartitions = 32)
+        .write.mode("overwrite").parquet(s"$zDir/z"))
+    timed("layout_zorder_read_box")(
+      spark.read.parquet(s"$zDir/z")
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30))
+        .agg(count(lit(1))).head())
+
+    // round-8b: HLL sketch store — reduce two event batches to sketch rows
+    // (build), answer merged per-type distinct-user counts from the store
+    // alone (serve; corpus not re-read)
+    val evStore = spark.read.parquet(s"$sfDir/events.parquet")
+    val hllDir = java.nio.file.Files.createTempDirectory("graft-bench-hll").toString
+    timed("stats_sketch_build")(Seq(0, 1).foreach(h =>
+      ext.SketchStore.append(ext.SketchStore.distinctSketch(
+        evStore.filter(col("event_id") % 2 === h), Seq("event_type"), "user_id"),
+        hllDir, s"batch_$h")))
+    timed("stats_sketch_serve")(
+      ext.SketchStore.estimate(spark, hllDir, Seq("event_type")).count())
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     timed("synthesize_1m")(

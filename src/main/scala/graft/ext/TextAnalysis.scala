@@ -531,9 +531,15 @@ object TextAnalysis {
         col("p").getField("1").as("w2"))
     // count pruning before N1+ statistics: pruned types vanish from the
     // model, so both the context totals and the continuation counts see
-    // only surviving bigrams (how pruned KenLM models renormalize)
+    // only surviving bigrams (how pruned KenLM models renormalize).
+    // The bigram table feeds FOUR plan branches (T action, context
+    // totals, continuation counts, discounted parts) — persist it so the
+    // pairs shuffle (the model's dominant job) runs once, not four times;
+    // the table is model-sized (bigram types), cache-trivial, and the T
+    // action below materializes it eagerly
     val bic = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") >= minBigramCount)
+      .persist()
     // two bounded scalar actions: V (unigram vocab) and T (bigram types)
     val vocabV = docs.select(explode(col("__t")).as("token"))
       .agg(count_distinct(col("token"))).head().getLong(0)

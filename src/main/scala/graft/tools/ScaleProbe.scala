@@ -144,6 +144,33 @@ object ScaleProbe {
     probePack("100x", replicate(docs, 100))
     probeBackoff("1x", docs); probeBackoff("10x", replicate(docs, 10))
     probeBackoff("100x", replicate(docs, 100))
+
+    // round-8b: fuzzy-ER hot-block guard — one blocking key owning 10% of
+    // a replicated corpus (an "unknown city" key). Unguarded, that block
+    // alone is n²≈25M Jaro-Winkler evaluations; with maxBlockPairs the
+    // block drops whole after two count aggregations, so wall tracks the
+    // well-blocked mass only. Also the unguarded run for the honest
+    // comparison (it must still finish — JW is codegen'd — just pay the
+    // quadratic block).
+    val names = docs.select(col("doc_id"),
+      concat(lit("name "), col("doc_id")).as("name"),
+      (col("doc_id") % 500).as("blk"))
+    val base = names.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("hot dweller "), col("doc_id")).as("name"),
+        lit(9999L).as("blk")))
+    val erCorpus = (0 until 10).map(i =>
+        base.select((col("doc_id") * 16 + i).as("doc_id"), col("name"), col("blk")))
+      .reduce(_ unionAll _)
+    val (tg, guardedPairs) = time(
+      graft.ext.EntityResolution.fuzzyDedup(erCorpus, "doc_id", "name",
+        col("blk"), threshold = 0.9, maxBlockPairs = 40000L).count())
+    val (tu, unguardedPairs) = time(
+      graft.ext.EntityResolution.fuzzyDedup(erCorpus, "doc_id", "name",
+        col("blk"), threshold = 0.9, maxBlockPairs = Long.MaxValue >> 8).count())
+    println(f"PROBE er_hotblock rows=${erCorpus.count()} " +
+      f"guarded_pairs=$guardedPairs guarded_sec=$tg%.1f " +
+      f"unguarded_pairs=$unguardedPairs unguarded_sec=$tu%.1f")
     spark.stop()
   }
 }

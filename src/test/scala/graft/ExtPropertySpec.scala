@@ -166,4 +166,47 @@ class ExtPropertySpec extends SparkSpec {
       assert(math.abs(kept.size - expected) <= 1, s"frac $f: size ${kept.size} vs ~$expected")
     }
   }
+
+  test("property: Jaro-Winkler is symmetric, bounded, and 1 iff equal (non-empty)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val genWord = Gen.listOfN(8, Gen.oneOf(('a' to 'e') ++ Seq('Ä', '中')))
+      .map(_.mkString).flatMap(w => Gen.choose(0, 8).map(w.take))
+    val pairs = sample(Gen.zip(genWord, genWord), 200, 41L)
+    for ((a, b) <- pairs) {
+      val ab = graft.functions.JaroWinkler.sim(u8(a), u8(b))
+      val ba = graft.functions.JaroWinkler.sim(u8(b), u8(a))
+      assert(ab == ba, s"asymmetric for '$a' '$b'")
+      assert(ab >= 0.0 && ab <= 1.0, s"out of range for '$a' '$b': $ab")
+      if (a.nonEmpty && a == b) assert(ab == 1.0)
+      if (ab == 1.0) assert(a == b && a.nonEmpty, s"'$a' vs '$b' scored 1.0")
+      if (a.isEmpty || b.isEmpty) assert(ab == 0.0)
+    }
+  }
+
+  test("property: z-order interleave is a bijection and order-embeds each axis") {
+    import graft.ext.ZOrder
+    val geoms = sample(Gen.zip(Gen.choose(1, 3), Gen.choose(1, 4)), 6, 57L)
+    for ((nCols, bits) <- geoms.distinct) {
+      val side = 1 << bits
+      val total = math.pow(side, nCols).toLong
+      val coords = (0 until nCols).map(j =>
+        (col("id") / lit(math.pow(side, j).toLong)).cast("long") % side)
+      val zs = spark.range(total)
+        .select(ZOrder.interleave(coords, bits).as("z"))
+        .collect().map(_.getLong(0))
+      // bijection onto [0, side^n)
+      assert(zs.sorted.toSeq == (0L until total), s"n=$nCols bits=$bits not a bijection")
+      // fixing all other axes, z is strictly increasing along any one axis
+      val byOthers = spark.range(total)
+        .select((col("id") % side).as("x0"),
+          (col("id") / side).cast("long").as("rest"),
+          ZOrder.interleave(coords, bits).as("z"))
+        .collect().groupBy(_.getLong(1))
+      byOthers.values.foreach { rows =>
+        val ord = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+        assert(ord.zip(ord.tail).forall { case (p, q) => p < q },
+          s"n=$nCols bits=$bits: z not monotone in x0")
+      }
+    }
+  }
 }
