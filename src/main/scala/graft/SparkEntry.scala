@@ -754,6 +754,28 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "join_asof" -> ((s, d) => {
+      // round-8: as-of join (pandas merge_asof / DuckDB ASOF JOIN) — for
+      // every click, the latest view at-or-before it by the same user.
+      // Spark-first union-window plan: ONE shuffle on the key + a running
+      // last(ignoreNulls) frame — no range join, no pair explosion; the
+      // oracle is DuckDB's NATIVE ASOF LEFT JOIN, a true cross-engine
+      // semantic check. Timestamps compare as epoch micros on both sides
+      // (unix_micros == epoch_us; the fixture's ts is timestamp[us]).
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      ext.AsOfJoin.asOfJoin(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          // ts is TIMESTAMP_NTZ; the cast is exact under the UTC session tz
+          unix_micros(col("ts").cast("timestamp")).as("click_us"),
+          unix_micros(col("asof_ts").cast("timestamp")).as("view_us"),
+          round(col("asof_value"), 3).as("view_value"))
+        .orderBy("event_id")
+    }),
     "stats_distinct_store" -> ((s, d) => {
       // round-8: incremental distinct-count store — each batch reduces to
       // one (key, n_rows, HLL sketch) parquet row; later questions union
@@ -1850,6 +1872,12 @@ object SparkEntry {
         "CAST(2 AS BIGINT) AS n_bad, " +
         "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
         "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
+    "join_asof" ->
+      ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, " +
+        "epoch_us(r.ts) AS view_us, round(r.value, 3) AS view_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"),
     "stats_distinct_store" ->
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +

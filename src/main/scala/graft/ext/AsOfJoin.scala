@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal nearest-predecessor) join — pandas `merge_asof` /
+  * DuckDB `ASOF JOIN` semantics: for every left row, the single right row
+  * with the same keys and the greatest right timestamp ≤ the left
+  * timestamp (backward; inclusive), or the least right timestamp ≥ it
+  * (forward). The feature-store / event-enrichment workhorse: "attach the
+  * most recent profile snapshot / model score / exchange rate known at
+  * event time".
+  *
+  * Spark-first plan: the classic union-window formulation, NOT a range
+  * join —
+  *
+  *   1. tag right rows 0 and left rows 1, union on (keys, ts, tag,
+  *      right-payload-as-struct);
+  *   2. one window over (keys) ordered by (ts, tag):
+  *      `last(payload, ignoreNulls)` with an unbounded-preceding frame
+  *      carries the latest right payload forward onto each left row
+  *      (right sorts before left at equal ts, which is exactly the
+  *      inclusive `>=`);
+  *   3. keep the left rows, unpack the payload, apply the optional
+  *      tolerance.
+  *
+  * Cost: ONE shuffle of |left|+|right| rows on the join keys plus an
+  * in-partition sort — linear state, no per-row range scan, no
+  * key×key(time-overlap) pair explosion, skew bounded by the biggest
+  * single key's row count (same bound any keyed join has). An
+  * inequality-join formulation would be O(|left|·|right|) per key;
+  * Spark's own broadcast-range strategies cap out far below 100 TB.
+  * The running-frame `last(..., ignoreNulls)` window is evaluated
+  * incrementally (running frame), not re-scanned per row.
+  *
+  * Determinism: ties inside the RIGHT side on (keys, ts) are resolved by
+  * the union sort's tie-break, which is not a total order — callers with
+  * duplicate right timestamps per key should pre-aggregate (the gate
+  * data has none; DuckDB leaves the same case undefined). */
+object AsOfJoin {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** @param direction  "backward" (right.ts <= left.ts, the default and
+    *                   the DuckDB/pandas default) or "forward"
+    *                   (right.ts >= left.ts)
+    * @param tolerance  max |left.ts − right.ts| in the ts column's own
+    *                   units; matches farther away resolve to null
+    * @param rightPrefix prefix for the attached right columns (the right
+    *                   ts lands as `<prefix><rightTs>`)
+    * Output: every left row/column, plus each right value column (and the
+    * right ts) prefixed — null when no right row qualifies (left join). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      direction: String = "backward", tolerance: Option[Long] = None,
+      rightPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin: at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(rightValues.nonEmpty, "asOfJoin: no right value columns to attach")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__ts") && !leftCols.contains("__tag"),
+      "asOfJoin: left may not contain reserved __ts/__tag columns")
+    // ts normalized to long ordering via cast("long") only if numeric?
+    // keep the column as-is: window ORDER BY handles any orderable type
+    val payload = struct(
+      (q(rightTs).as("__rts") +: rightValues.map(c => q(c).as(c))): _*)
+    val rTagged = right
+      .filter(q(rightTs).isNotNull)
+      .select(keys.map(q) ++ Seq(q(rightTs).as("__ts"), lit(0).as("__tag"),
+        payload.as("__payload")): _*)
+    val lTagged = left.select(
+      keys.map(q) ++ Seq(q(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          q(c).as(s"__l_$c")): _*)
+    // forward = backward on the reversed time axis: flip the sort and let
+    // the same running `last` pick the nearest following right row
+    val ord =
+      if (direction == "backward") Seq(col("__ts").asc, col("__tag").asc)
+      else Seq(col("__ts").desc, col("__tag").asc)
+    val w = Window.partitionBy(keys.map(q): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedCol = last(col("__payload"), ignoreNulls = true).over(w)
+    // allowMissingColumns fills the left-only __l_* columns with nulls on
+    // the right rows — no per-column scaffolding needed
+    val withMatch = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__match", matchedCol)
+      .filter(col("__tag") === 1)
+    val gap = abs(col("__ts").cast("long") -
+      col("__match.__rts").cast("long"))
+    val inTol = tolerance.map(t => gap <= t).getOrElse(lit(true))
+    // null left ts never matches (it sorts to one end of the window frame,
+    // which would otherwise hand it a bogus neighbor in forward mode)
+    val matched = when(col("__ts").isNotNull && col("__match").isNotNull &&
+      inTol, col("__match"))
+    withMatch.select(
+      keys.map(q) ++
+        Seq(col("__ts").as(leftTs)) ++
+        leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(c =>
+          col(s"__l_$c").as(c)) ++
+        Seq(matched.getField("__rts").as(s"$rightPrefix$rightTs")) ++
+        rightValues.map(c => matched.getField(c).as(s"$rightPrefix$c")): _*)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (key, ts, label) / right: (key, ts, value)
+  private val left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 5L, "l3"),
+    ("b", 10L, "l4"), ("c", 10L, "l5")).toDF("k", "ts", "label")
+  private val right = Seq(
+    ("a", 8L, 1.0), ("a", 10L, 2.0), ("a", 15L, 3.0),
+    ("b", 30L, 4.0)).toDF("k", "ts", "v")
+
+  private def run(direction: String, tol: Option[Long] = None) =
+    AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        direction = direction, tolerance = tol)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).sortBy(x => (x._1, x._2))
+
+  test("backward: greatest right ts <= left ts, inclusive; unmatched -> nulls") {
+    assert(run("backward").toSeq == Seq(
+      ("a", 5L, "l3", None, None),              // nothing at or before 5
+      ("a", 10L, "l1", Some(10L), Some(2.0)),   // inclusive: 10 beats 8
+      ("a", 20L, "l2", Some(15L), Some(3.0)),
+      ("b", 10L, "l4", None, None),             // right exists only later
+      ("c", 10L, "l5", None, None)))            // key absent on the right
+  }
+
+  test("forward: least right ts >= left ts, inclusive") {
+    assert(run("forward").toSeq == Seq(
+      ("a", 5L, "l3", Some(8L), Some(1.0)),
+      ("a", 10L, "l1", Some(10L), Some(2.0)),
+      ("a", 20L, "l2", None, None),
+      ("b", 10L, "l4", Some(30L), Some(4.0)),
+      ("c", 10L, "l5", None, None)))
+  }
+
+  test("tolerance: matches farther than the bound resolve to null") {
+    assert(run("backward", tol = Some(3L)).toSeq == Seq(
+      ("a", 5L, "l3", None, None),
+      ("a", 10L, "l1", Some(10L), Some(2.0)),
+      ("a", 20L, "l2", None, None),             // gap 5 > 3
+      ("b", 10L, "l4", None, None),
+      ("c", 10L, "l5", None, None)))
+    assert(run("forward", tol = Some(3L)).toSeq == Seq(
+      ("a", 5L, "l3", Some(8L), Some(1.0)),
+      ("a", 10L, "l1", Some(10L), Some(2.0)),
+      ("a", 20L, "l2", None, None),
+      ("b", 10L, "l4", None, None),             // gap 20 > 3
+      ("c", 10L, "l5", None, None)))
+  }
+
+  test("null timestamps: right nulls excluded, left nulls never match in either direction") {
+    val l = Seq(("a", Some(10L)), ("a", None)).toDF("k", "ts")
+    val r = Seq(("a", Some(5L), 1.0), ("a", None, 9.0)).toDF("k", "ts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("v"),
+          direction = dir)
+        .collect().map(x => (Option(x.getAs[Any]("ts")),
+          Option(x.getAs[Any]("asof_ts")))).toSet
+      val expected = dir match {
+        case "backward" => Set((Some(10L), Some(5L)), (None, None))
+        case _          => Set((Some(10L), None), (None, None))
+      }
+      assert(got.map { case (a, b) =>
+        (a.map(_.asInstanceOf[Long]), b.map(_.asInstanceOf[Long])) } == expected, dir)
+    }
+  }
+
+  test("matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val lRows = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, s"l$i"))
+    val rRows = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toDouble))
+    // de-dup right (key, ts) — ties there are documented as undefined
+    val rDistinct = rRows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val got = AsOfJoin.asOfJoin(lRows.toDF("k", "ts", "label"),
+        rDistinct.toDF("k", "ts", "v"), Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(x => (x._1, x._2, x._3))
+    val want = lRows.map { case (k, ts, lab) =>
+      val cands = rDistinct.filter(r => r._1 == k && r._2 <= ts)
+      (k, ts, lab, cands.sortBy(_._2).lastOption.map(_._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == want)
+  }
+
+  test("plan shape: one shuffle on the keys, no join node") {
+    val plan = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange hashpartitioning").length == 2, plan) // exactly one
+  }
+}
