@@ -754,6 +754,27 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "join_range" -> ((s, d) => {
+      // round-8: bucketized range join — purchases attributed to every
+      // click by the same user within the preceding hour. The inequality
+      // join is re-expressed as a hash EQUI-join on (user, time-bucket)
+      // with interval replication bounded at 2 buckets (binWidth = window
+      // length) — Spark's native plan for the same predicate is a
+      // nested-loop; the oracle runs the plain inequality join in DuckDB
+      val ev = t(s, d, "events")
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          us(col("ts")).as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          us(col("ts")).as("lo"), (us(col("ts")) + lit(3600000000L)).as("hi"))
+      ext.RangeJoin.pointInInterval(purchases, "pts", clicks, "lo", "hi",
+          Seq("user_id" -> "c_user"), binWidth = 3600000000L)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (col("pts") - col("lo")).as("lag_us"))
+        .orderBy("purchase_id", "click_id")
+    }),
     "join_asof" -> ((s, d) => {
       // round-8: as-of join (pandas merge_asof / DuckDB ASOF JOIN) — for
       // every click, the latest view at-or-before it by the same user.
@@ -1872,6 +1893,14 @@ object SparkEntry {
         "CAST(2 AS BIGINT) AS n_bad, " +
         "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
         "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
+    "join_range" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
+        "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts) " +
+        "AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 " +
+        "ORDER BY purchase_id, click_id"),
     "join_asof" ->
       ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, " +
         "epoch_us(r.ts) AS view_us, round(r.value, 3) AS view_value " +

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable point-in-interval (range) join via bucketization — the
+  * standard re-expression of `p.x BETWEEN i.lo AND i.hi` as an EQUI-join:
+  * Spark's own planner turns a bare inequality join into a broadcast
+  * nested loop (or a full cartesian per key), O(|points|·|intervals|) —
+  * unpayable at 100 TB. Here every interval replicates to the ⌈len/bin⌉+1
+  * buckets it overlaps, every point maps to exactly ONE bucket, and the
+  * join runs as an ordinary hash equi-join on (equi-keys, bucket) followed
+  * by the exact containment filter. Because a point owns a single bucket,
+  * no output dedup is needed.
+  *
+  * Cost: shuffle of |points| + Σ⌈len/bin⌉ interval replicas; pick
+  * `binWidth` near the TYPICAL interval length so replication stays O(1)
+  * per interval (the attribution-window / IP-range / session-overlap
+  * cases all have near-constant lengths). `maxBinsPerInterval` guards the
+  * degenerate whole-axis interval — replication is refused, not silently
+  * exploded.
+  *
+  * Used with time columns: convert to epoch micros first (`unix_micros`);
+  * the operator is unit-agnostic over longs. */
+object RangeJoin {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Inner join: one output row per (point, interval) pair with equal
+    * equi-keys and `lo <= x <= hi` (inclusive both ends). `equiKeys` maps
+    * point-side name → interval-side name; output carries the point
+    * columns plus the interval columns (interval-side equi-keys dropped —
+    * they equal the point side's). Null x / lo / hi never match. */
+  def pointInInterval(points: DataFrame, xCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      equiKeys: Seq[(String, String)], binWidth: Long,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    val x = q(xCol).cast("long")
+    val lo = q(loCol).cast("long")
+    val hi = q(hiCol).cast("long")
+    // floorDiv semantics for negative axes: pmod-corrected integer div
+    def bucket(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    val pB = points.filter(x.isNotNull).withColumn("__bucket", bucket(x))
+    val nBins = (bucket(hi) - bucket(lo) + 1).cast("int")
+    val iB = intervals
+      .filter(lo.isNotNull && hi.isNotNull && lo <= hi)
+      .withColumn("__nbins", nBins)
+      .withColumn("__bucket", explode(sequence(bucket(lo), bucket(hi))))
+    // refuse silent explosion: a degenerate interval spanning the axis
+    // would replicate without bound. The guard is a plan-time constant
+    // check per row, enforced inside the scan (raise_error short-circuits
+    // the job), costing nothing when all intervals are sane.
+    val iGuarded = iB.withColumn("__nbins",
+      when(col("__nbins") > maxBinsPerInterval,
+        raise_error(concat(lit(s"pointInInterval: interval spans more than " +
+          s"$maxBinsPerInterval bins of width $binWidth — widen binWidth " +
+          s"or pre-split the interval (interval bins: "),
+          col("__nbins").cast("string"), lit(")"))))
+        .otherwise(col("__nbins")))
+      .filter(col("__nbins") >= 1)
+    val joinCond = equiKeys.map { case (pk, ik) =>
+      pB(pk) === iGuarded(ik) }.foldLeft(
+        pB("__bucket") === iGuarded("__bucket"))(_ && _) &&
+      pB(xCol).cast("long").between(
+        iGuarded(loCol).cast("long"), iGuarded(hiCol).cast("long"))
+    val dropCols = iGuarded("__bucket") +: iGuarded("__nbins") +:
+      equiKeys.map { case (_, ik) => iGuarded(ik) }
+    dropCols.foldLeft(
+        pB.join(iGuarded, joinCond, "inner"))((df, c) => df.drop(c))
+      .drop("__bucket", "__nbins")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("point-in-interval equals brute force across bin widths, incl. boundaries and negatives") {
+    val rnd = new scala.util.Random(13)
+    val points = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(2000).toLong - 500))
+    val ivs = (1 to 120).map { i =>
+      val lo = rnd.nextInt(2000).toLong - 500
+      (i.toLong, s"k${rnd.nextInt(4)}", lo, lo + rnd.nextInt(120))
+    }
+    val want = (for {
+      (pid, pk, x) <- points; (iid, ik, lo, hi) <- ivs
+      if pk == ik && x >= lo && x <= hi
+    } yield (pid, iid)).sorted
+    for (bin <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(
+          points.toDF("pid", "k", "x"),
+          "x", ivs.toDF("iid", "ik", "lo", "hi"), "lo", "hi",
+          Seq("k" -> "ik"), binWidth = bin)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == want, s"binWidth=$bin")
+    }
+  }
+
+  test("inclusive boundaries, null axis values never match") {
+    val p = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None))
+      .toDF("pid", "x")
+    val iv = Seq((100L, Some(10L), Some(20L)), (200L, None, Some(50L)))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil, 16L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("degenerate whole-axis interval is refused, not exploded") {
+    val p = Seq((1L, 5L)).toDF("pid", "x")
+    val iv = Seq((9L, 0L, 100000000L)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil,
+        binWidth = 10L, maxBinsPerInterval = 100).count()
+    }
+    assert(e.getMessage.contains("pointInInterval") ||
+      Option(e.getCause).exists(_.getMessage.contains("pointInInterval")), e.getMessage)
+  }
+
+  test("plan shape: hash equi-join on bucket, no nested loop / cartesian") {
+    val p = spark.range(100).select(col("id").as("pid"), (col("id") * 3).as("x"))
+    val iv = spark.range(30).select(col("id").as("iid"),
+      (col("id") * 10).as("lo"), (col("id") * 10 + 5).as("hi"))
+    val plan = RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil, 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}
