@@ -649,6 +649,31 @@ object SparkEntry {
         dim = 256, threshold = 0.9, useLsh = false).select("doc_id")
       docs.join(kept, Seq("doc_id"), "left_anti").select("doc_id").orderBy("doc_id")
     }),
+    "dedup_fp_store" -> ((s, d) => {
+      // round-8: persisted fingerprint store — corpus reduces once to
+      // (fps parquet + bloom.bin + meta); batch 2 APPENDS its novel
+      // fingerprints; batch 3 scrubs against the store WITHOUT reading any
+      // corpus text and must drop batch-1 AND batch-2 content. The oracle
+      // recomputes membership as plain normalized-text NOT IN over the
+      // union — exact row semantics survive both persistence and the
+      // bloom prefilter (FP confirmation is exact by construction).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore").toString
+      ext.FingerprintStore.build(docs, "text", dir)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft fp-store tail")).as("text"))
+      ext.FingerprintStore.append(batch2, "text", dir)
+      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)          // corpus re-crawl
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)        // batch-2 re-crawl
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" graft fp-store tail")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)        // genuinely new
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" fresh crawl content")).as("text")))
+      ext.FingerprintStore.scrub(batch3, "text", dir)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental_bloom" -> ((s, d) => {
       // round-5: incremental ingest — a synthetic "next crawl batch" built
       // from the corpus: exact re-crawls (same id), re-crawls under new ids
@@ -2531,6 +2556,15 @@ object SparkEntry {
         "matched AS (SELECT DISTINCT a.doc_id FROM sa a JOIN sb b ON " +
         "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8) " +
         "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id"),
+    "dedup_fp_store" ->
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "b2 AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft fp-store tail' AS text FROM docs WHERE doc_id % 5 = 1), " +
+        "b3 AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 3000000, text || ' graft fp-store tail' FROM docs WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id + 4000000, text || ' fresh crawl content' FROM docs WHERE doc_id % 5 = 2), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM (SELECT text FROM docs UNION ALL SELECT text FROM b2)) " +
+        "SELECT doc_id FROM b3 WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
+        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
     "dedup_incremental_bloom" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +

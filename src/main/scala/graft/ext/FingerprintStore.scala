@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted EXACT-duplicate membership store — the exact-dedup sibling of
+  * the MinHash store and the missing half of
+  * [[Dedup.corpusFingerprintBloom]]'s "persist with writeTo between runs"
+  * contract. The corpus reduces ONCE to
+  *
+  *   - `fps/`       parquet of distinct 64-bit normalized-text
+  *                  fingerprints (the exact membership set — 8 bytes/doc,
+  *                  ~0.1% of corpus text bytes),
+  *   - `bloom.bin`  a Bloom filter over those fingerprints
+  *                  (`BloomFilter.writeTo`), the cheap prefilter,
+  *   - `meta.json`  the filter's (expectedItems, fpp) so appended
+  *                  increments build BIT-COMPATIBLE filters for
+  *                  `mergeInPlace`.
+  *
+  * Every later crawl batch scrubs against the store without reading any
+  * corpus text: the loaded filter drops almost everything new executor-
+  * side, the few candidate fingerprints join the stored fps parquet for
+  * EXACT confirmation (Bloom false positives cannot drop a fresh doc),
+  * and the confirmed set anti-joins the batch. Append-only growth:
+  * increments add fps files and OR into the filter — nothing rewrites
+  * except the (MB-sized) filter binary. */
+object FingerprintStore {
+
+  private def fp(textCol: String) =
+    TextAnalysis.fingerprint64(col("`" + textCol.replace("`", "``") + "`"))
+
+  private def metaPath(path: String) = s"$path/meta.json"
+  private def bloomPath(path: String) = s"$path/bloom.bin"
+  private def fpsPath(path: String) = s"$path/fps"
+
+  /** Build the store from a corpus: one scan to distinct fingerprints
+    * (written as parquet), one driver-side filter build over that bounded
+    * frame. `expectedItems` sizes the filter for FUTURE growth — size it
+    * for the corpus you expect after appends (default: 4× the current
+    * distinct count). */
+  def build(corpus: DataFrame, textCol: String, path: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
+    val fps = corpus.select(fp(textCol).as("fp")).distinct()
+    fps.write.mode("errorifexists").parquet(fpsPath(path))
+    val spark = corpus.sparkSession
+    val stored = spark.read.parquet(fpsPath(path))
+    val n = stored.count()
+    val items = if (expectedItems > 0) expectedItems else math.max(4L * n, 1024L)
+    val bloom = stored.stat.bloomFilter("fp", items, fpp)
+    writeBloom(bloom, path)
+    val meta = s"""{"format": "graft-fingerprint-store", "version": 1, """ +
+      s""""expected_items": $items, "fpp": $fpp}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath(path)),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Append a batch: its NEW distinct fingerprints land as additional fps
+    * files, and a bit-compatible increment filter ORs into the stored one. */
+  def append(batch: DataFrame, textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val (items, fpp) = readMeta(path)
+    val stored = spark.read.parquet(fpsPath(path))
+    val fresh = batch.select(fp(textCol).as("fp")).distinct()
+      .join(stored, Seq("fp"), "left_anti")
+      .persist()
+    try {
+      if (!fresh.isEmpty) {
+        // increment-only filter with the META's (items, fpp) — identical
+        // bit geometry, so mergeInPlace is a bitwise OR. Cost:
+        // O(increment) + the filter bits, NOT a rescan of the whole fps
+        // table per crawl. This is why `build` sizes expectedItems for
+        // future growth: past that capacity the fpp degrades (more
+        // candidates confirm against the fps parquet — correctness never
+        // depends on the filter), and a re-`build` re-sizes it.
+        // Built BEFORE the parquet append: writing to fps/ refreshes
+        // Spark's caches for that path, which would re-plan the anti-join
+        // against the just-appended files and evaluate `fresh` as empty.
+        val inc = fresh.stat.bloomFilter("fp", items, fpp)
+        fresh.write.mode("append").parquet(fpsPath(path))
+        val merged = loadBloom(path).mergeInPlace(inc)
+        writeBloom(merged, path)
+      }
+    } finally fresh.unpersist()
+  }
+
+  /** Scrub a batch against the store: drop every row whose normalized
+    * text the store has seen. Corpus text is never read — the filter
+    * prefilters executor-side, candidates confirm EXACTLY against the
+    * stored fingerprints (batch-bounded broadcast both ways). */
+  def scrub(incoming: DataFrame, textCol: String, path: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val bloom = loadBloom(path)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((f: Long) => bc.value.mightContainLong(f))
+    val fpIn = fp(textCol)
+    val maybe = incoming.filter(mightContain(fpIn))
+      .select(fpIn.as("fp")).distinct()
+    val confirmed = spark.read.parquet(fpsPath(path))
+      .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
+    incoming.join(broadcast(confirmed), fpIn === col("fp"), "left_anti")
+  }
+
+  def loadBloom(path: String): BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(bloomPath(path)))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  private def writeBloom(bloom: BloomFilter, path: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(bloomPath(path)))
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def readMeta(path: String): (Long, Double) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath(path))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(s, classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-fingerprint-store",
+      s"not a fingerprint store at $path")
+    (root.get("expected_items").asInstanceOf[Number].longValue(),
+      root.get("fpp").asInstanceOf[Number].doubleValue())
+  }
+}
