@@ -779,6 +779,31 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "events_funnel" -> ((s, d) =>
+      // round-8: ordered-step funnel (earliest-completion semantics) —
+      // one keyed aggregation per step over the type-filtered scan, the
+      // per-user completion frame persisted between steps; no window sort
+      // over the full log, no per-user event collection
+      ext.Funnel.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase")).orderBy("step")),
+    "events_rolling" -> ((s, d) => {
+      // round-8: rolling event-time features — per event, the count and
+      // value-sum of the same user's events in the trailing hour
+      // (inclusive). A RANGE window frame over epoch micros: ONE shuffle
+      // on the user key + an incrementally-slid frame (no per-row rescan,
+      // no self-join) — the classic online-feature backfill. RANGE peers
+      // make ties deterministic in both engines; the oracle runs the
+      // identical frame in DuckDB.
+      val ev = t(s, d, "events")
+      val usec = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("event_id"), col("user_id"), usec.as("ts_us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum("value").over(w), 3))
+        .orderBy("event_id")
+    }),
     "join_range" -> ((s, d) => {
       // round-8: bucketized range join — purchases attributed to every
       // click by the same user within the preceding hour. The inequality
@@ -1918,6 +1943,24 @@ object SparkEntry {
         "CAST(2 AS BIGINT) AS n_bad, " +
         "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
         "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
+    "events_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+        "WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id) " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_users " +
+        "UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) ORDER BY step"),
+    "events_rolling" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
+        "round(sum(value) OVER w, 3) AS sum_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "join_range" ->
       ("SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
         "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us " +

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis — "how many users signed up, then viewed,
+  * then purchased, in that order?" A user completes step k when an event
+  * of step k's type exists at-or-after their completion time of step k−1
+  * (the earliest such event becomes the completion time, the standard
+  * earliest-completion semantics).
+  *
+  * Plan shape: one keyed aggregation per step — step k filters the event
+  * scan to its type, joins the (user, t_{k-1}) frame from the previous
+  * step (user-count-sized, broadcastable; at 100 TB a hash join on the
+  * user key), and takes min(ts ≥ t_{k-1}) per user. k small and fixed, so
+  * the whole funnel is k passes over the (type-filtered, column-pruned)
+  * events scan — no per-user event collection, no unbounded state, no
+  * window sort over the full event log. */
+object Funnel {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Returns one row per step: (step [1-based], step_name, n_users =
+    * users who completed steps 1..k in order). Null timestamps and null
+    * users never participate. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    require(steps.distinct.size == steps.size, "funnel: steps must be distinct")
+    val base = events
+      .filter(q(userCol).isNotNull && q(tsCol).isNotNull &&
+        q(typeCol).isin(steps: _*))
+      .select(q(userCol).as("__u"), q(typeCol).as("__t"), q(tsCol).as("__ts"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    // each step's (user, completion-ts) frame is persisted so step k+1
+    // reads it from cache instead of replaying steps 1..k — k scans of the
+    // events data total, and the cached frames are user-count-sized
+    var prev: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      val stepEvents = base.filter(col("__t") === step)
+      val next =
+        (if (i == 0)
+          stepEvents.groupBy("__u").agg(min("__ts").as("__prev"))
+        else
+          stepEvents.join(prev, "__u")
+            .filter(col("__ts") >= col("__prev"))
+            .groupBy("__u").agg(min("__ts").as("__prev"))).persist()
+      val n = next.count()
+      if (prev != null) prev.unpersist()
+      prev = next
+      (i + 1, step, n)
+    }
+    prev.unpersist()
+    counts.toDF("step", "step_name", "n_users")
+  }
+}

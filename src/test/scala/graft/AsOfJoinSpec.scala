@@ -91,6 +91,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("funnel: ordered completion, out-of-order steps do not count, ties count via >=") {
+    // u1 completes all three; u2 viewed BEFORE signup (view must not
+    // count, so no purchase either); u3 signup+view only; u4 ties:
+    // signup and view at the same ts -> view counts (inclusive)
+    val ev = Seq(
+      ("u1", "signup", 10L), ("u1", "view", 20L), ("u1", "purchase", 30L),
+      ("u2", "view", 5L), ("u2", "signup", 10L), ("u2", "purchase", 20L),
+      ("u3", "signup", 1L), ("u3", "view", 2L),
+      ("u4", "signup", 7L), ("u4", "view", 7L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.ext.Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "signup", 4L), (2, "view", 3L),
+      (3, "purchase", 1L)))
+  }
+
   test("plan shape: one shuffle on the keys, no join node") {
     val plan = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
       .queryExecution.executedPlan.toString
