@@ -674,6 +674,30 @@ object SparkEntry {
       ext.FingerprintStore.scrub(batch3, "text", dir)
         .select("doc_id").orderBy("doc_id")
     }),
+    "stream_scrub_store" -> ((s, d) => {
+      // round-8: batch ≡ streaming for the persisted fingerprint store —
+      // the SAME store construction and crawl batch as dedup_fp_store,
+      // replayed as file-source micro-batches through scrubWriter (filter
+      // loaded+broadcast once, per-batch confirm against the fps parquet);
+      // union across any batch split must equal the batch scrub (same
+      // oracle SQL)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore-s").toString
+      ext.FingerprintStore.build(docs, "text", dir)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft fp-store tail")).as("text"))
+      ext.FingerprintStore.append(batch2, "text", dir)
+      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" graft fp-store tail")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" fresh crawl content")).as("text")))
+      ext.FingerprintStore.scrubReplay(batch3, "text", dir)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental_bloom" -> ((s, d) => {
       // round-5: incremental ingest — a synthetic "next crawl batch" built
       // from the corpus: exact re-crawls (same id), re-crawls under new ids
@@ -1902,6 +1926,18 @@ object SparkEntry {
       "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Shared by dedup_fp_store and its streaming replay twin (batch ≡
+    * stream by construction — same store, same crawl batch). */
+  private val fpStoreOracle: String =
+    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "b2 AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft fp-store tail' AS text FROM docs WHERE doc_id % 5 = 1), " +
+        "b3 AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 3000000, text || ' graft fp-store tail' FROM docs WHERE doc_id % 5 = 1 " +
+        "UNION ALL SELECT doc_id + 4000000, text || ' fresh crawl content' FROM docs WHERE doc_id % 5 = 2), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM (SELECT text FROM docs UNION ALL SELECT text FROM b2)) " +
+        "SELECT doc_id FROM b3 WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
+        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id")
+
   /** Shared by drift_psi and its profile-persistence twin (the serve path
     * is hash-identical to the direct computation by construction). */
   private val driftPsiOracle: String =
@@ -2599,15 +2635,8 @@ object SparkEntry {
         "matched AS (SELECT DISTINCT a.doc_id FROM sa a JOIN sb b ON " +
         "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8) " +
         "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id"),
-    "dedup_fp_store" ->
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "b2 AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft fp-store tail' AS text FROM docs WHERE doc_id % 5 = 1), " +
-        "b3 AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 3000000, text || ' graft fp-store tail' FROM docs WHERE doc_id % 5 = 1 " +
-        "UNION ALL SELECT doc_id + 4000000, text || ' fresh crawl content' FROM docs WHERE doc_id % 5 = 2), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM (SELECT text FROM docs UNION ALL SELECT text FROM b2)) " +
-        "SELECT doc_id FROM b3 WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
-        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
+    "stream_scrub_store" -> fpStoreOracle,
+    "dedup_fp_store" -> fpStoreOracle,
     "dedup_incremental_bloom" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +

@@ -101,6 +101,51 @@ object FingerprintStore {
     incoming.join(broadcast(confirmed), fpIn === col("fp"), "left_anti")
   }
 
+  /** Streaming form of [[scrub]]: every micro-batch of an ingest stream
+    * is scrubbed against the PERSISTED store before reaching the sink —
+    * the filter binary loads and broadcasts ONCE when the writer is
+    * built; each batch pays only its own prefilter plus a candidate-
+    * bounded confirm join against the fps parquet. The store is the only
+    * corpus artifact the streaming job ever opens. */
+  def scrubWriter(stream: DataFrame, textCol: String, path: String)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    val bc = spark.sparkContext.broadcast(loadBloom(path))
+    val mightContain = udf((f: Long) => bc.value.mightContainLong(f))
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val fpIn = fp(textCol)
+      val maybe = batch.filter(mightContain(fpIn))
+        .select(fpIn.as("fp")).distinct()
+      val confirmed = spark.read.parquet(fpsPath(path))
+        .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
+      sink(batch.join(broadcast(confirmed), fpIn === col("fp"), "left_anti"), id)
+    }
+  }
+
+  /** Batch ≡ streaming proof harness for [[scrubWriter]] (the store
+    * sibling of StreamingValidation.scrubReplay): replay a static batch
+    * as file-source micro-batches, scrub each against the store, return
+    * the union the sink received. Each row's verdict is a pure function
+    * of (row, store), so the union across ANY micro-batch split equals
+    * the batch [[scrub]] — gated against the same oracle. */
+  def scrubReplay(incoming: DataFrame, textCol: String, path: String,
+      numFiles: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = incoming.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpstore_replay_").toString
+    val (inDir, outDir) = (s"$dir/in", s"$dir/out")
+    incoming.repartition(numFiles).write.parquet(inDir)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = scrubWriter(stream, textCol, path) { (kept, _) =>
+      kept.write.mode("append").parquet(outDir)
+    }.option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   def loadBloom(path: String): BloomFilter = {
     val in = java.nio.file.Files.newInputStream(
       java.nio.file.Paths.get(bloomPath(path)))
