@@ -45,8 +45,9 @@ object AsOfJoin {
   /** @param direction  "backward" (right.ts <= left.ts, the default and
     *                   the DuckDB/pandas default) or "forward"
     *                   (right.ts >= left.ts)
-    * @param tolerance  max |left.ts − right.ts| in the ts column's own
-    *                   units; matches farther away resolve to null
+    * @param tolerance  max |left.ts − right.ts|: epoch MICROS for
+    *                   timestamp columns, the column's own units for
+    *                   numeric ones; matches farther away resolve to null
     * @param rightPrefix prefix for the attached right columns (the right
     *                   ts lands as `<prefix><rightTs>`)
     * Output: every left row/column, plus each right value column (and the
@@ -62,12 +63,15 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__ts") && !leftCols.contains("__tag"),
       "asOfJoin: left may not contain reserved __ts/__tag columns")
-    // ts normalized to long ordering via cast("long") only if numeric?
-    // keep the column as-is: window ORDER BY handles any orderable type
     val payload = struct(
       (q(rightTs).as("__rts") +: rightValues.map(c => q(c).as(c))): _*)
+    // equi-join semantics: a NULL key never equals anything, so null-key
+    // right rows can match no left row — drop them up front (the window's
+    // partitionBy would otherwise group the NULL keys together and hand
+    // null-key left rows a neighbor no real join would produce)
     val rTagged = right
-      .filter(q(rightTs).isNotNull)
+      .filter(q(rightTs).isNotNull &&
+        keys.map(q(_).isNotNull).reduce(_ && _))
       .select(keys.map(q) ++ Seq(q(rightTs).as("__ts"), lit(0).as("__tag"),
         payload.as("__payload")): _*)
     val lTagged = left.select(
@@ -87,13 +91,28 @@ object AsOfJoin {
     val withMatch = lTagged.unionByName(rTagged, allowMissingColumns = true)
       .withColumn("__match", matchedCol)
       .filter(col("__tag") === 1)
-    val gap = abs(col("__ts").cast("long") -
-      col("__match.__rts").cast("long"))
+    // tolerance compares in the ts column's native fine granularity:
+    // epoch MICROS for timestamp columns (a bare cast("long") would be
+    // whole seconds), the raw value for numeric columns
+    def tsAsLong(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val gap = abs(
+      tsAsLong(col("__ts"), left.schema(leftTs).dataType) -
+      tsAsLong(col("__match.__rts"), right.schema(rightTs).dataType))
     val inTol = tolerance.map(t => gap <= t).getOrElse(lit(true))
     // null left ts never matches (it sorts to one end of the window frame,
-    // which would otherwise hand it a bogus neighbor in forward mode)
-    val matched = when(col("__ts").isNotNull && col("__match").isNotNull &&
-      inTol, col("__match"))
+    // which would otherwise hand it a bogus neighbor in forward mode);
+    // null left KEYS never match either (equi-join semantics — null-key
+    // right rows are already filtered, but a null-key LEFT row would
+    // otherwise read the null-key partition's frame)
+    val keysNotNull = keys.map(q(_).isNotNull).reduce(_ && _)
+    val matched = when(keysNotNull && col("__ts").isNotNull &&
+      col("__match").isNotNull && inTol, col("__match"))
     withMatch.select(
       keys.map(q) ++
         Seq(col("__ts").as(leftTs)) ++

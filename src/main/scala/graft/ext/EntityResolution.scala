@@ -52,9 +52,13 @@ object EntityResolution {
       rightBlock.as("__blk"))
     val lc = l.groupBy("__blk").agg(count(lit(1)).as("__ln"))
     val rc = r.groupBy("__blk").agg(count(lit(1)).as("__rn"))
-    // blocks small enough to compare; block-count-sized, broadcast below
+    // blocks small enough to compare; block-count-sized, broadcast below.
+    // Division form of ln·rn <= max (equivalent for positive integers):
+    // the product would overflow Long exactly for the giant degenerate
+    // blocks this guard exists to refuse
     val ok = lc.join(rc, "__blk")
-      .filter(col("__ln") * col("__rn") <= maxBlockPairs)
+      .filter(col("__ln") <=
+        call_function("div", lit(maxBlockPairs), greatest(col("__rn"), lit(1L))))
       .select("__blk")
     l.join(broadcast(ok), "__blk")
       .join(r, "__blk")

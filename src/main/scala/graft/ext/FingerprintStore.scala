@@ -77,9 +77,14 @@ object FingerprintStore {
         // Spark's caches for that path, which would re-plan the anti-join
         // against the just-appended files and evaluate `fresh` as empty.
         val inc = fresh.stat.bloomFilter("fp", items, fpp)
-        fresh.write.mode("append").parquet(fpsPath(path))
+        // bloom FIRST, fps second: a crash in between leaves a SUPERSET
+        // filter (extra candidates confirm against fps and are kept —
+        // correct). The reverse order would leave fps rows the filter
+        // misses, and a bloom miss short-circuits the exact confirm, so
+        // those duplicates would silently re-enter on every future crawl.
         val merged = loadBloom(path).mergeInPlace(inc)
         writeBloom(merged, path)
+        fresh.write.mode("append").parquet(fpsPath(path))
       }
     } finally fresh.unpersist()
   }
@@ -96,9 +101,11 @@ object FingerprintStore {
     val fpIn = fp(textCol)
     val maybe = incoming.filter(mightContain(fpIn))
       .select(fpIn.as("fp")).distinct()
+    // qualified column, not a bare col("fp"): an incoming frame with its
+    // own `fp` column would otherwise make the condition ambiguous
     val confirmed = spark.read.parquet(fpsPath(path))
       .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
-    incoming.join(broadcast(confirmed), fpIn === col("fp"), "left_anti")
+    incoming.join(broadcast(confirmed), fpIn === confirmed("fp"), "left_anti")
   }
 
   /** Streaming form of [[scrub]]: every micro-batch of an ingest stream
@@ -119,7 +126,8 @@ object FingerprintStore {
         .select(fpIn.as("fp")).distinct()
       val confirmed = spark.read.parquet(fpsPath(path))
         .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
-      sink(batch.join(broadcast(confirmed), fpIn === col("fp"), "left_anti"), id)
+      sink(batch.join(broadcast(confirmed), fpIn === confirmed("fp"),
+        "left_anti"), id)
     }
   }
 

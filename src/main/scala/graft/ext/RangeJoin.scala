@@ -40,27 +40,34 @@ object RangeJoin {
     val x = q(xCol).cast("long")
     val lo = q(loCol).cast("long")
     val hi = q(hiCol).cast("long")
-    // floorDiv semantics for negative axes: pmod-corrected integer div
+    // floorDiv semantics for negative axes: pmod-corrected INTEGER `div`
+    // — the double-valued `/` operator would round the numerator to an
+    // IEEE double first and mis-bucket axes past 2^53 (epoch nanos,
+    // 64-bit ids), silently dropping true matches
     def bucket(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
     val pB = points.filter(x.isNotNull).withColumn("__bucket", bucket(x))
-    val nBins = (bucket(hi) - bucket(lo) + 1).cast("int")
-    val iB = intervals
-      .filter(lo.isNotNull && hi.isNotNull && lo <= hi)
-      .withColumn("__nbins", nBins)
-      .withColumn("__bucket", explode(sequence(bucket(lo), bucket(hi))))
+    val nBins = bucket(hi) - bucket(lo) + 1
     // refuse silent explosion: a degenerate interval spanning the axis
-    // would replicate without bound. The guard is a plan-time constant
-    // check per row, enforced inside the scan (raise_error short-circuits
-    // the job), costing nothing when all intervals are sane.
-    val iGuarded = iB.withColumn("__nbins",
-      when(col("__nbins") > maxBinsPerInterval,
-        raise_error(concat(lit(s"pointInInterval: interval spans more than " +
-          s"$maxBinsPerInterval bins of width $binWidth — widen binWidth " +
-          s"or pre-split the interval (interval bins: "),
-          col("__nbins").cast("string"), lit(")"))))
-        .otherwise(col("__nbins")))
+    // would replicate without bound. The guard projection is computed
+    // BELOW the explode (the sequence() argument reads the already-
+    // checked row), so raise_error fires per interval row before any
+    // bucket array is materialized — an interval of 1e9 buckets would
+    // otherwise allocate its whole array (or overflow sequence's length
+    // limit) before the refusal could run; RangeJoinSpec pins this with a
+    // 1e12-bin interval that must fail fast, not OOM.
+    val iGuarded = intervals
+      .filter(lo.isNotNull && hi.isNotNull && lo <= hi)
+      .withColumn("__nbins",
+        when(nBins > maxBinsPerInterval,
+          raise_error(concat(lit(s"pointInInterval: interval spans more than " +
+            s"$maxBinsPerInterval bins of width $binWidth — widen binWidth " +
+            s"or pre-split the interval (interval bins: "),
+            nBins.cast("string"), lit(")"))))
+          .otherwise(nBins))
       .filter(col("__nbins") >= 1)
+      .withColumn("__bucket",
+        explode(sequence(bucket(lo), bucket(lo) + col("__nbins") - 1)))
     val joinCond = equiKeys.map { case (pk, ik) =>
       pB(pk) === iGuarded(ik) }.foldLeft(
         pB("__bucket") === iGuarded("__bucket"))(_ && _) &&

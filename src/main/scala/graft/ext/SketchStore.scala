@@ -60,9 +60,13 @@ object SketchStore {
     val grouped =
       if (keyCols.isEmpty) store.groupBy()
       else store.groupBy(keyCols.map(q): _*)
+    // allowDifferentLgConfigK=true: batches appended at different lgK
+    // settings union by downgrading to the smallest lgK present (that
+    // batch's error class bounds the merged estimate) instead of failing
+    // the whole serve — the store itself never validates lgK on append
     grouped.agg(
       sum("n_rows").as("n_rows"),
-      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("n_distinct"))
   }
 }

@@ -91,6 +91,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("null join keys never match (equi-join semantics), either side") {
+    val l = Seq((Some("a"), 10L, "l1"), (None: Option[String], 10L, "l2"))
+      .toDF("k", "ts", "label")
+    val r = Seq((Some("a"), 5L, 1.0), (None: Option[String], 5L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(x => (Option(x.getAs[String]("k")),
+        Option(x.getAs[Any]("asof_v")))).toSet
+    // the null-key left row gets NO match even though a null-key right
+    // row exists at an earlier ts
+    assert(got == Set((Some("a"), Some(1.0)), (None, None)))
+  }
+
+  test("tolerance on timestamp columns compares in epoch MICROS, not seconds") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMicros: Long) = new java.sql.Timestamp(base.getTime + plusMicros / 1000)
+    val l = Seq(("a", ts(900000L), "l1")).toDF("k", "ts", "label") // +900ms
+    val r = Seq(("a", ts(0L), 1.0)).toDF("k", "ts", "v")
+    def run(tol: Long) = AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "ts",
+        Seq("v"), tolerance = Some(tol))
+      .head().getAs[Any]("asof_v")
+    assert(run(1000000L) == 1.0)        // 1s tolerance: 900ms gap passes
+    assert(run(500000L) == null)        // 0.5s tolerance: 900ms gap fails
+    // a bare seconds cast would have made the gap 0 and passed both
+  }
+
   test("funnel: ordered completion, out-of-order steps do not count, ties count via >=") {
     // u1 completes all three; u2 viewed BEFORE signup (view must not
     // count, so no purchase either); u3 signup+view only; u4 ties:

@@ -63,6 +63,16 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(kept == 41L)
   }
 
+  test("incoming frame with its own `fp` column scrubs without ambiguity") {
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    val incoming = Seq((10L, "the quick brown fox", 111L),
+      (11L, "brand new content", 222L)).toDF("doc_id", "text", "fp")
+    val got = FingerprintStore.scrub(incoming, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L))
+  }
+
   test("meta sentinel: a non-store directory is refused on append") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),

@@ -39,15 +39,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 100L)))
   }
 
-  test("degenerate whole-axis interval is refused, not exploded") {
+  test("degenerate whole-axis interval is refused FAST, not exploded") {
     val p = Seq((1L, 5L)).toDF("pid", "x")
-    val iv = Seq((9L, 0L, 100000000L)).toDF("iid", "lo", "hi")
+    // 1e12 bins: materializing this interval's bucket array would OOM/
+    // overflow long before a post-explode guard could run — the raise must
+    // fire below the generator, per row, in O(1)
+    val iv = Seq((9L, 0L, 10000000000000L)).toDF("iid", "lo", "hi")
+    val t0 = System.nanoTime()
     val e = intercept[Exception] {
       RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil,
         binWidth = 10L, maxBinsPerInterval = 100).count()
     }
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "refusal was not fast")
     assert(e.getMessage.contains("pointInInterval") ||
       Option(e.getCause).exists(_.getMessage.contains("pointInInterval")), e.getMessage)
+  }
+
+  test("axis values beyond 2^53 bucket exactly (integer div, no double rounding)") {
+    // two points one apart straddling a bucket boundary near 2^62; a
+    // double-rounded bucket id would collapse or shift them
+    val big = 4611686018427387904L // 2^62
+    val p = Seq((1L, big - 1L), (2L, big)).toDF("pid", "x")
+    val iv = Seq((10L, big - 1000L, big - 1L), (20L, big, big + 999L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil,
+        binWidth = 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
   }
 
   test("plan shape: hash equi-join on bucket, no nested loop / cartesian") {
