@@ -803,6 +803,21 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "agg_salted" -> ((s, d) =>
+      // round-8: two-stage salted aggregation — the skewed-groupBy-key
+      // defense (hot key spreads over 32 salt buckets in stage 1, tiny
+      // partials re-merge in stage 2). Must equal the plain GROUP BY.
+      ext.Salting.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq(
+          "sum_qty" -> ("sum", "l_quantity"),
+          "n_rows" -> ("count", ""),
+          "avg_price" -> ("avg", "l_extendedprice"),
+          "min_disc" -> ("min", "l_discount"),
+          "max_disc" -> ("max", "l_discount")))
+        .select(col("l_returnflag"), round(col("sum_qty"), 3).as("sum_qty"),
+          col("n_rows"), round(col("avg_price"), 3).as("avg_price"),
+          col("min_disc"), col("max_disc"))
+        .orderBy("l_returnflag")),
     "events_funnel" -> ((s, d) =>
       // round-8: ordered-step funnel (earliest-completion semantics) —
       // one keyed aggregation per step over the type-filtered scan, the
@@ -1979,6 +1994,12 @@ object SparkEntry {
         "CAST(2 AS BIGINT) AS n_bad, " +
         "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
         "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
+    "agg_salted" ->
+      ("SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "round(avg(l_extendedprice), 3) AS avg_price, " +
+        "min(l_discount) AS min_disc, max(l_discount) AS max_disc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "events_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
         "WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +

@@ -167,6 +167,32 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted aggregation equals plain groupBy under heavy skew, deterministically") {
+    import graft.ext.Salting
+    // one key owns 90% of rows
+    val df = spark.range(20000).select(
+      when(col("id") % 10 =!= 0, lit("hot")).otherwise(
+        concat(lit("k"), (col("id") % 7).cast("string"))).as("k"),
+      (col("id") % 997).cast("double").as("v"),
+      when(col("id") % 13 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 31).cast("double")).as("w"))
+    def norm(r: org.apache.spark.sql.Row) = (r.getString(0),
+      math.rint(r.getDouble(1) * 1e6) / 1e6, r.getLong(2),
+      math.rint(r.getDouble(3) * 1e6) / 1e6, r.getDouble(4), r.getDouble(5))
+    val aggs = Seq(
+      "sv" -> ("sum", "v"), "n" -> ("count", ""), "aw" -> ("avg", "w"),
+      "mn" -> ("min", "v"), "mx" -> ("max", "v"))
+    val salted = Salting.saltedAggregate(df, Seq("k"), aggs, saltBuckets = 16)
+      .orderBy("k").collect().map(norm)
+    val salted2 = Salting.saltedAggregate(df, Seq("k"), aggs, saltBuckets = 16)
+      .orderBy("k").collect().map(norm)
+    val plain = df.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"),
+        avg("w").as("aw"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("k").collect().map(norm)
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.toSeq == salted2.toSeq) // deterministic salt
+  }
+
   test("property: Jaro-Winkler is symmetric, bounded, and 1 iff equal (non-empty)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     val genWord = Gen.listOfN(8, Gen.oneOf(('a' to 'e') ++ Seq('Ä', '中')))
