@@ -365,6 +365,35 @@ object Bench {
     timed("stats_sketch_serve")(
       ext.SketchStore.estimate(spark, hllDir, Seq("event_type")).count())
 
+    // round-8c: as-of + range joins over the full event log — both are
+    // single-key-shuffle plans (union-window / bucket equi-join); the
+    // range join's interval replication is bounded at 2 buckets
+    def usec(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val clicksB = evStore.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val viewsB = evStore.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    timed("join_asof")(
+      ext.AsOfJoin.asOfJoin(clicksB, viewsB, Seq("user_id"), "ts", "ts",
+        Seq("value")).count())
+    val purchB = evStore.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        usec(col("ts")).as("pts"))
+    val clickIv = evStore.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        usec(col("ts")).as("lo"), (usec(col("ts")) + lit(3600000000L)).as("hi"))
+    timed("join_range")(
+      ext.RangeJoin.pointInInterval(purchB, "pts", clickIv, "lo", "hi",
+        Seq("user_id" -> "c_user"), binWidth = 3600000000L).count())
+
+    // round-8c: persisted fingerprint store on the 10× corpus — one-time
+    // build vs the recurring per-crawl scrub that never reads corpus text
+    val fpsDir = java.nio.file.Files.createTempDirectory("graft-bench-fps").toString
+    timed("dedup_fpstore_build_10x")(
+      ext.FingerprintStore.build(docs10, "text", fpsDir))
+    timed("dedup_fpstore_scrub_10x")(
+      ext.FingerprintStore.scrub(docs, "text", fpsDir).count())
+
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
     timed("synthesize_1m")(
