@@ -803,6 +803,37 @@ object SparkEntry {
       ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    "model_store_roundtrip" -> ((s, d) => {
+      // round-8: trained-artifact persistence — BPE merges and classifier
+      // weights save/load as JSON with exact string/double round-trip; the
+      // LOADED copies must re-encode / re-score IDENTICALLY to the
+      // in-memory artifacts (asserted here on the corpus; the oracle pins
+      // the shape, the asserts carry the semantics)
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-modelstore").toString
+      val merges = ext.BpeTrain.learnMerges(docs, "text", numMerges = 8)
+      ext.ModelStore.saveBpeMerges(merges, s"$dir/merges.json")
+      val loadedM = ext.ModelStore.loadBpeMerges(s"$dir/merges.json")
+      require(loadedM == merges, "BPE merge table changed through the store")
+      val encDirect = docs.select(ext.TextAnalysis.bpeTokens(col("text"),
+        merges).as("t")).collect().map(_.getSeq[String](0))
+      val encLoaded = docs.select(ext.TextAnalysis.bpeTokens(col("text"),
+        loadedM).as("t")).collect().map(_.getSeq[String](0))
+      require(encDirect.zip(encLoaded).forall(p => p._1 == p._2),
+        "loaded merges encode differently")
+      val label = array_contains(split(lower(trim(col("text"))), "\\s+"), "spark")
+      val w = ext.ClassifierTrain.trainLogistic(docs, "text", label,
+        dim = 256, iters = 10, lr = 2.0)
+      ext.ModelStore.saveLinearWeights(w, s"$dir/weights.json")
+      val loadedW = ext.ModelStore.loadLinearWeights(s"$dir/weights.json")
+      require(java.util.Arrays.equals(w, loadedW),
+        "weights changed through the store (double round-trip broken)")
+      import s.implicits._
+      Seq(("bpe_merges", merges.length, loadedM == merges),
+        ("classifier_weights", loadedW.length,
+          java.util.Arrays.equals(w, loadedW)))
+        .toDF("artifact", "n_items", "roundtrip_exact").orderBy("artifact")
+    }),
     "agg_salted" -> ((s, d) =>
       // round-8: two-stage salted aggregation — the skewed-groupBy-key
       // defense (hot key spreads over 32 salt buckets in stage 1, tiny
@@ -1994,6 +2025,10 @@ object SparkEntry {
         "CAST(2 AS BIGINT) AS n_bad, " +
         "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
         "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
+    "model_store_roundtrip" ->
+      ("SELECT * FROM (VALUES ('bpe_merges', 8, true), " +
+        "('classifier_weights', 257, true)) " +
+        "v(artifact, n_items, roundtrip_exact) ORDER BY artifact"),
     "agg_salted" ->
       ("SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, " +
         "CAST(count(*) AS BIGINT) AS n_rows, " +

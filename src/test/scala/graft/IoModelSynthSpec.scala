@@ -298,6 +298,21 @@ class IoModelSynthSpec extends SparkSpec {
     assert(df.select("k").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("ModelStore: merges and weights round-trip exactly, incl. unicode and extreme doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-modelstore-spec").toString
+    val merges = Seq("t" -> "h", "Ä" -> "中", "\"q\"" -> "\\b", "a b" -> "\t")
+    graft.ext.ModelStore.saveBpeMerges(merges, s"$dir/m.json")
+    assert(graft.ext.ModelStore.loadBpeMerges(s"$dir/m.json") == merges)
+    val w = Array(0.1 + 0.2, -1.7976931348623157e308, 4.9e-324, 0.0, -0.0, 42.0)
+    graft.ext.ModelStore.saveLinearWeights(w, s"$dir/w.json")
+    val l = graft.ext.ModelStore.loadLinearWeights(s"$dir/w.json")
+    assert(w.zip(l).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) })
+    intercept[IllegalArgumentException] {
+      graft.ext.ModelStore.loadBpeMerges(s"$dir/w.json") // wrong format sentinel
+    }
+  }
+
   test("ValidatedIO.readQuarantined: malformed csv/json records surface raw, good rows validate") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
