@@ -895,6 +895,24 @@ object SparkEntry {
           (col("pts") - col("lo")).as("lag_us"))
         .orderBy("purchase_id", "click_id")
     }),
+    "stream_asof" -> ((s, d) => {
+      // round-8: batch ≡ streaming as-of enrichment — the SAME clicks
+      // replayed as file-source micro-batches, each enriched against the
+      // static views dimension; union equals the batch join (same oracle
+      // as join_asof: DuckDB's native ASOF LEFT JOIN)
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      ext.AsOfJoin.enrichReplay(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("click_us"),
+          unix_micros(col("asof_ts").cast("timestamp")).as("view_us"),
+          round(col("asof_value"), 3).as("view_value"))
+        .orderBy("event_id")
+    }),
     "join_asof" -> ((s, d) => {
       // round-8: as-of join (pandas merge_asof / DuckDB ASOF JOIN) — for
       // every click, the latest view at-or-before it by the same user.
@@ -1972,6 +1990,16 @@ object SparkEntry {
       "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Shared by join_asof and its streaming enrichment twin (batch ≡
+    * stream by construction — per-row verdicts are pure functions of
+    * (row, static right side)). */
+  private val asofOracle: String =
+    ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, " +
+        "epoch_us(r.ts) AS view_us, round(r.value, 3) AS view_value " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id")
+
   /** Shared by dedup_fp_store and its streaming replay twin (batch ≡
     * stream by construction — same store, same crawl batch). */
   private val fpStoreOracle: String =
@@ -2061,12 +2089,8 @@ object SparkEntry {
         "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts) " +
         "AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 " +
         "ORDER BY purchase_id, click_id"),
-    "join_asof" ->
-      ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, " +
-        "epoch_us(r.ts) AS view_us, round(r.value, 3) AS view_value " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
-        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r " +
-        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"),
+    "stream_asof" -> asofOracle,
+    "join_asof" -> asofOracle,
     "stats_distinct_store" ->
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +

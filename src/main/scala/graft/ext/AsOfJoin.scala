@@ -121,4 +121,45 @@ object AsOfJoin {
         Seq(matched.getField("__rts").as(s"$rightPrefix$rightTs")) ++
         rightValues.map(c => matched.getField(c).as(s"$rightPrefix$c")): _*)
   }
+
+  /** Streaming as-of enrichment against a STATIC right side: every
+    * micro-batch of the left stream is [[asOfJoin]]ed to the fixed
+    * dimension (profile snapshots, rate tables, model scores) — each
+    * row's match is a pure function of (row, right), so the union across
+    * ANY micro-batch split equals the batch join. The right side should
+    * be cached by the caller when it is expensive; the per-batch cost is
+    * one (batch + right) key shuffle. */
+  def enrichWriter(stream: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      direction: String = "backward", tolerance: Option[Long] = None,
+      rightPrefix: String = "asof_")(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(asOfJoin(batch, right, keys, leftTs, rightTs, rightValues,
+        direction, tolerance, rightPrefix), id)
+    }
+
+  /** Batch ≡ streaming proof harness for [[enrichWriter]]: replay a
+    * static left table as file-source micro-batches, enrich each against
+    * the static right, return the union the sink received — gated equal
+    * to the batch [[asOfJoin]] on the same oracle. */
+  def enrichReplay(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      numFiles: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = left.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_replay_").toString
+    val (inDir, outDir) = (s"$dir/in", s"$dir/out")
+    left.repartition(numFiles).write.parquet(inDir)
+    val stream = spark.readStream.schema(left.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = enrichWriter(stream, right, keys, leftTs, rightTs,
+        rightValues) { (enriched, _) =>
+      enriched.write.mode("append").parquet(outDir)
+    }.option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }
