@@ -171,6 +171,40 @@ object ScaleProbe {
     println(f"PROBE er_hotblock rows=${erCorpus.count()} " +
       f"guarded_pairs=$guardedPairs guarded_sec=$tg%.1f " +
       f"unguarded_pairs=$unguardedPairs unguarded_sec=$tu%.1f")
+
+    // round-8c: as-of + range join growth — replicate the event log with
+    // shifted user ids (key space grows with the data, per-key history
+    // constant, the realistic crawl shape). Both plans are single-shuffle;
+    // wall must track rows ~linearly.
+    val events = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01") +
+        "/events.parquet")
+    def evRep(k: Int): DataFrame =
+      (0 until k).map(i => events.select(
+        (col("event_id") * 128 + i).as("event_id"),
+        (col("user_id") + i * 1000000L).as("user_id"),
+        col("event_type"), col("ts"), col("value")))
+        .reduce(_ unionAll _)
+    for ((name, k) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+      val ev = evRep(k)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val (ta, nA) = time(graft.ext.AsOfJoin.asOfJoin(
+        clicks, views, Seq("user_id"), "ts", "ts", Seq("value")).count())
+      def usec(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), usec(col("ts")).as("pts"))
+      val iv = clicks.select(col("event_id").as("cid"),
+        col("user_id").as("cu"), usec(col("ts")).as("lo"),
+        (usec(col("ts")) + lit(3600000000L)).as("hi"))
+      val (tr, nR) = time(graft.ext.RangeJoin.pointInInterval(
+        purch, "pts", iv, "lo", "hi", Seq("user_id" -> "cu"),
+        binWidth = 3600000000L).count())
+      println(f"PROBE joins_$name rows=${ev.count()} asof_rows=$nA asof_sec=$ta%.1f " +
+        f"range_pairs=$nR range_sec=$tr%.1f")
+    }
     spark.stop()
   }
 }
