@@ -386,6 +386,32 @@ object Bench {
       ext.RangeJoin.pointInInterval(purchB, "pts", clickIv, "lo", "hi",
         Seq("user_id" -> "c_user"), binWidth = 3600000000L).count())
 
+    // round-8d: bucketed co-located join — the layout is paid ONCE
+    // (bucketBy(32, orderkey) on both tables), then the lineitem⋈orders
+    // join plans with zero Exchange; the comparator runs the identical
+    // merge join on the raw parquet, paying both sides' shuffle every
+    // call. At 100 TB the serve/comparator gap is the whole fact-join
+    // shuffle, the single biggest recurring cost a warehouse pays.
+    val ordersB = spark.read.parquet(s"$sfDir/orders.parquet")
+    val bktDir = java.nio.file.Files.createTempDirectory("graft-bench-bkt").toString
+    timed("join_bucketed_layout") {
+      ext.Bucketing.writeBucketed(li, "bench_bkt_li", s"$bktDir/li",
+        Seq("l_orderkey"), 32)
+      ext.Bucketing.writeBucketed(ordersB, "bench_bkt_ord", s"$bktDir/ord",
+        Seq("o_orderkey"), 32)
+    }
+    timed("join_bucketed_serve") {
+      val j = ext.Bucketing.colocatedJoin(spark, "bench_bkt_li",
+        "bench_bkt_ord", Seq("l_orderkey"), Seq("o_orderkey"))
+      require(ext.Bucketing.shuffleExchangeCount(j) == 0,
+        "bucketed join planned a shuffle")
+      j.groupBy("o_orderpriority").agg(sum("l_extendedprice")).count()
+    }
+    timed("join_shuffled_comparator")(
+      li.hint("merge")
+        .join(ordersB.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_extendedprice")).count())
+
     // round-8c: persisted fingerprint store on the 10× corpus — one-time
     // build vs the recurring per-crawl scrub that never reads corpus text
     val fpsDir = java.nio.file.Files.createTempDirectory("graft-bench-fps").toString

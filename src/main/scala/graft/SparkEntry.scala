@@ -254,6 +254,25 @@ object SparkEntry {
         .groupBy(col("l_linestatus").as("grp"))
         .agg(count(lit(1)).as("n"), round(avg("l_quantity"), 3).as("mean_q"))
         .orderBy("grp")),
+    "hyp_chi_square" -> ((s, d) =>
+      // chi-squared independence statistic as a fully-distributed plan
+      // (contingency-sized intermediates, nothing on the driver); the
+      // oracle recomputes the identical textbook formula in SQL —
+      // cell counts are exact integers, so the only float drift is the
+      // ~1e-14 sum-order term the 4-decimal round absorbs
+      Hypothesis.chiSquareStatDF(t(s, d, "orders"),
+          "o_orderstatus", "o_orderpriority")
+        .select(lit("chi_square_independence").as("test_name"),
+          col("chi2"), col("dof"), col("n"))),
+    "hyp_mann_whitney" -> ((s, d) =>
+      // Mann-Whitney U via the per-distinct-value histogram: midranks are
+      // exact halves and counts exact integers, so U and every intermediate
+      // sum are exactly representable doubles — both engines produce
+      // bit-identical values at any summation order
+      Hypothesis.mannWhitneyStatDF(t(s, d, "lineitem"),
+          "l_quantity", "l_linestatus", "O", "F")
+        .select(lit("mann_whitney_u").as("test_name"),
+          col("u1"), col("z"), col("n1"), col("n2"))),
 
     // ---- §2.F inference ----
     "infer_stats" -> ((s, d) => {
@@ -894,6 +913,29 @@ object SparkEntry {
         .select(col("purchase_id"), col("user_id"), col("click_id"),
           (col("pts") - col("lo")).as("lag_us"))
         .orderBy("purchase_id", "click_id")
+    }),
+    "join_bucketed" -> ((s, d) => {
+      // round-8: bucketed co-located join — orders and customer are laid
+      // out bucketBy(8, custkey) ONCE, then the sort-merge join plans with
+      // ZERO Exchange nodes (the 100 TB shape: the fact table's join
+      // shuffle is paid at ingest, never per query). Broadcast is
+      // suppressed via merge hints so the gate proves the bucketed
+      // property, not a small-side fallback; the shuffle-freeness itself
+      // is part of the oracle-checked row (join_shuffle_free = 1).
+      // Integer aggregates (count + key sum) keep the compare float-free.
+      val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      ext.Bucketing.writeBucketed(t(s, d, "orders"), "graft_bkt_orders",
+        s"$dir/orders", Seq("o_custkey"), 8)
+      ext.Bucketing.writeBucketed(t(s, d, "customer"), "graft_bkt_customer",
+        s"$dir/customer", Seq("c_custkey"), 8)
+      val joined = ext.Bucketing.colocatedJoin(s, "graft_bkt_orders",
+        "graft_bkt_customer", Seq("o_custkey"), Seq("c_custkey"))
+      val shuffleFree = ext.Bucketing.shuffleExchangeCount(joined) == 0
+      joined.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("key_sum"))
+        .withColumn("join_shuffle_free", lit(if (shuffleFree) 1L else 0L))
+        .orderBy("segment")
     }),
     "stream_asof" -> ((s, d) => {
       // round-8: batch ≡ streaming as-of enrichment — the SAME clicks
@@ -2091,6 +2133,14 @@ object SparkEntry {
         "ORDER BY purchase_id, click_id"),
     "stream_asof" -> asofOracle,
     "join_asof" -> asofOracle,
+    // plain join in DuckDB; the Spark side's zero-Exchange co-located plan
+    // must produce the same rows AND report join_shuffle_free = 1
+    "join_bucketed" ->
+      ("SELECT c_mktsegment AS segment, count(*) AS n_orders, " +
+       "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+       "CAST(1 AS BIGINT) AS join_shuffle_free " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey " +
+       "GROUP BY 1 ORDER BY 1"),
     "stats_distinct_store" ->
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
@@ -2263,6 +2313,25 @@ object SparkEntry {
       "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
     "hyp_group_stats" ->
       "SELECT l_linestatus AS grp, count(*) AS n, round(avg(l_quantity), 3) AS mean_q FROM lineitem WHERE l_linestatus IN ('O','F') GROUP BY l_linestatus ORDER BY grp",
+    // identical textbook chi-squared-independence formula, cell counts are
+    // exact integers; dv*dv (not pow) on both sides so every per-cell term
+    // is correctly rounded identically
+    "hyp_chi_square" ->
+      ("WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(count(*) AS DOUBLE) AS c FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2), " +
+       "rt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1), " +
+       "ct AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1), " +
+       "tot AS (SELECT sum(c) AS n, CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS DOUBLE) AS dof FROM cells), " +
+       "terms AS (SELECT (coalesce(cells.c, 0) - rt.ra * ct.cb / tot.n) AS dv, rt.ra * ct.cb / tot.n AS e, tot.dof AS dof, tot.n AS n FROM rt CROSS JOIN ct CROSS JOIN tot LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b) " +
+       "SELECT 'chi_square_independence' AS test_name, round(sum(dv * dv / e), 4) AS chi2, any_value(dof) AS dof, any_value(n) AS n FROM terms"),
+    // Mann-Whitney U over the per-distinct-value histogram: counts are
+    // exact integers and midranks exact halves, so U / z are bit-identical
+    // across engines at any summation order (z's divides and sqrt are
+    // correctly rounded on identical inputs)
+    "hyp_mann_whitney" ->
+      ("WITH h AS (SELECT CAST(l_quantity AS DOUBLE) AS v, CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS n1, CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS n2 FROM lineitem WHERE l_linestatus IN ('O','F') AND l_quantity IS NOT NULL GROUP BY 1), " +
+       "r AS (SELECT n1, n2, n1 + n2 AS t, coalesce(sum(n1 + n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM h), " +
+       "s AS (SELECT sum(n1) AS bn1, sum(n2) AS bn2, sum(n1 * (cum + (t + 1) / 2)) AS r1, sum(t * t * t - t) AS t3, sum(t) AS nn FROM r) " +
+       "SELECT 'mann_whitney_u' AS test_name, round(r1 - bn1 * (bn1 + 1) / 2, 4) AS u1, round((r1 - bn1 * (bn1 + 1) / 2 - bn1 * bn2 / 2) / sqrt(bn1 * bn2 / 12 * ((nn + 1) - t3 / (nn * (nn - 1)))), 6) AS z, CAST(bn1 AS BIGINT) AS n1, CAST(bn2 AS BIGINT) AS n2 FROM s"),
     "infer_stats" ->
       ("SELECT * FROM (" +
         "SELECT 'l_discount' AS \"column\", count(*) FILTER (WHERE l_discount IS NULL) AS nulls, CAST(min(l_discount) AS DOUBLE) AS min_v, CAST(max(l_discount) AS DOUBLE) AS max_v FROM lineitem UNION ALL " +

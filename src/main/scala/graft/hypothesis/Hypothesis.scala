@@ -1,7 +1,9 @@
 package graft.hypothesis
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.commons.math3.distribution.TDistribution
+import org.apache.commons.math3.distribution.{ChiSquaredDistribution, NormalDistribution, TDistribution}
 import graft.checks.{AggregateCheck, AggOutcome}
 
 /** Statistical hypothesis checks.
@@ -221,6 +223,237 @@ object Hypothesis {
         relationshipFromString(st("relationship").toString),
         st("alpha").toString.toDouble)
     }
+    register("mann_whitney_u") { st =>
+      mannWhitneyU(
+        st("groupby").toString, st("sample1").toString, st("sample2").toString,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble,
+        st.get("max_distinct").map(_.toString.toDouble.toInt).getOrElse(1000000))
+    }
+    register("chi_square_independence") { st =>
+      chiSquareIndependence(
+        st("other_column").toString,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble,
+        st.get("max_cells").map(_.toString.toDouble.toInt).getOrElse(100000))
+    }
+  }
+
+  /** Two-sided p-value from a chi-squared statistic. */
+  def chiSquarePValue(stat: Double, degFreedom: Double): Double = {
+    if (degFreedom <= 0 || stat.isNaN) return Double.NaN
+    1.0 - new ChiSquaredDistribution(degFreedom).cumulativeProbability(stat)
+  }
+
+  /** Chi-squared test of independence between the schema column and
+    * `otherCol` — the categorical-association hypothesis the reference
+    * reaches via `Hypothesis(test=scipy.stats.chi2_contingency, ...)`
+    * (api/hypotheses.py:15-100 accepts any callable test). The
+    * contingency table is built in ONE distributed aggregation; only
+    * cell counts reach the driver, hard-capped at `maxCells` (a table
+    * bigger than that is a misuse of a chi-squared test, not a scale
+    * problem to engineer around). Zero-observed (row, col) combinations
+    * contribute their full expected count, as in the textbook statistic.
+    * `Equal` relationship reads "independent": pass iff p >= alpha. */
+  def chiSquareIndependence(
+      otherCol: String,
+      relationship: Relationship = Equal,
+      alpha: Double = 0.01,
+      maxCells: Int = 100000): AggregateCheck =
+    AggregateCheck(
+      "chi_square_independence",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("chi_square_independence needs a column"))
+        val rows = df
+          .filter(col(c).isNotNull && col(otherCol).isNotNull)
+          .groupBy(col(c).cast("string").as("a"),
+                   col(otherCol).cast("string").as("b"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .limit(maxCells + 1)
+          .collect()
+        if (rows.length > maxCells)
+          sys.error(s"chi_square_independence: contingency table exceeds " +
+            s"maxCells=$maxCells cells; a test this fragmented is " +
+            s"uninterpretable — reduce cardinality first")
+        val cells = rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val rowT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val colT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        val n = cells.map(_._3).sum
+        val obs = cells.map(t => (t._1, t._2) -> t._3).toMap
+        // keys.toSeq, NOT keys: a for-comprehension over Sets yields a Set,
+        // which would collapse equal cell contributions into one
+        val stat = (for (a <- rowT.keys.toSeq; b <- colT.keys.toSeq) yield {
+          val exp = rowT(a) * colT(b) / n
+          val o = obs.getOrElse((a, b), 0.0)
+          (o - exp) * (o - exp) / exp
+        }).sum
+        val dof = ((rowT.size - 1) * (colT.size - 1)).toDouble
+        val p = chiSquarePValue(stat, dof)
+        AggOutcome(decide(relationship, stat, p, alpha),
+          f"chi2=$stat%.6f p=$p%.6f df=$dof%.0f r=${rowT.size} c=${colT.size} n=$n%.0f")
+      },
+      Map("other_column" -> otherCol, "relationship" -> relationship.toString,
+          "alpha" -> alpha, "max_cells" -> maxCells))
+
+  /** Chi-squared goodness-of-fit of the schema column's category
+    * frequencies against `expected` proportions (which must sum to ~1;
+    * categories observed outside `expected` fail fast — they make the
+    * statistic undefined). One distributed count aggregation, bounded by
+    * |expected| driver cells. `Equal`: pass iff p >= alpha ("the data
+    * follows the stated distribution"). */
+  def chiSquareGof(
+      expected: Map[String, Double],
+      relationship: Relationship = Equal,
+      alpha: Double = 0.01): AggregateCheck =
+    AggregateCheck(
+      "chi_square_gof",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("chi_square_gof needs a column"))
+        require(math.abs(expected.values.sum - 1.0) < 1e-6,
+          s"chi_square_gof: expected proportions sum to ${expected.values.sum}, not 1")
+        val rows = df.filter(col(c).isNotNull)
+          .groupBy(col(c).cast("string").as("a"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .collect()
+        val obs = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val unknown = obs.keySet -- expected.keySet
+        if (unknown.nonEmpty)
+          sys.error(s"chi_square_gof: observed categories absent from the " +
+            s"expected distribution: ${unknown.toSeq.sorted.take(5).mkString(",")}")
+        val n = obs.values.sum
+        val stat = expected.map { case (k, p) =>
+          val e = n * p
+          val o = obs.getOrElse(k, 0.0)
+          (o - e) * (o - e) / e
+        }.sum
+        val dof = (expected.size - 1).toDouble
+        val pv = chiSquarePValue(stat, dof)
+        AggOutcome(decide(relationship, stat, pv, alpha),
+          f"chi2=$stat%.6f p=$pv%.6f df=$dof%.0f n=$n%.0f")
+      },
+      Map("expected" -> expected, "relationship" -> relationship.toString,
+          "alpha" -> alpha))
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    * distribution-free alternative to [[twoSampleTtest]] (the reference
+    * reaches it via `Hypothesis(test=scipy.stats.mannwhitneyu, ...)`).
+    *
+    * Distributed shape: the samples reduce to a per-distinct-VALUE
+    * histogram `(value, n1, n2)` in one aggregation — midranks, tie
+    * correction, U and the normal-approximation z are all functions of
+    * that histogram, so the driver sees O(distinct values) cells
+    * (hard-capped at `maxDistinct`; a continuous column at 100 TB should
+    * be rounded/binned first, which changes the test by less than the
+    * measurement noise that motivates rounding). No continuity
+    * correction (both engines in the gate share the exact formula).
+    * z > 0 when group `sample1` stochastically dominates. */
+  def mannWhitneyU(
+      groupbyCol: String,
+      sample1: String,
+      sample2: String,
+      relationship: Relationship = NotEqual,
+      alpha: Double = 0.01,
+      maxDistinct: Int = 1000000): AggregateCheck =
+    AggregateCheck(
+      "mann_whitney_u",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("mann_whitney_u needs a column"))
+        val rows = df
+          .filter(col(groupbyCol).isin(sample1, sample2) && col(c).isNotNull)
+          .groupBy(col(c).cast("double").as("v"))
+          .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
+               sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+          .limit(maxDistinct + 1)
+          .collect()
+        if (rows.length > maxDistinct)
+          sys.error(s"mann_whitney_u: more than maxDistinct=$maxDistinct " +
+            s"distinct values; round/bin the column first")
+        val hist = rows.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val n1 = hist.map(_._2).sum
+        val n2 = hist.map(_._3).sum
+        if (n1 == 0 || n2 == 0)
+          AggOutcome(passed = false, s"empty group(s): n1=$n1 n2=$n2")
+        else {
+          var cum = 0.0; var r1 = 0.0; var ties = 0.0
+          hist.foreach { case (_, a, b) =>
+            val t = a + b
+            r1 += a * (cum + (t + 1) / 2) // midrank of this value block
+            ties += t * t * t - t
+            cum += t
+          }
+          val nn = n1 + n2
+          val u1 = r1 - n1 * (n1 + 1) / 2
+          val mu = n1 * n2 / 2
+          val sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1))))
+          val z = (u1 - mu) / sigma
+          val p = 2.0 * (1.0 - new NormalDistribution(0, 1)
+            .cumulativeProbability(math.abs(z)))
+          AggOutcome(decide(relationship, z, p, alpha),
+            f"U=$u1%.1f z=$z%.6f p=$p%.6f n1=$n1%.0f n2=$n2%.0f distinct=${hist.length}")
+        }
+      },
+      Map("groupby" -> groupbyCol, "sample1" -> sample1, "sample2" -> sample2,
+          "relationship" -> relationship.toString, "alpha" -> alpha,
+          "max_distinct" -> maxDistinct))
+
+  /** [[chiSquareIndependence]]'s statistic as a fully-distributed PLAN —
+    * nothing reaches the driver; intermediates are contingency-sized.
+    * Returns one row `(chi2, dof, n)`; `chi2` rounded to 4 decimals so a
+    * cross-engine oracle can match it exactly despite summation-order
+    * float drift. Zero-observed combos enter via the (row-totals ×
+    * col-totals) cross join — both factors are category-sized, so the
+    * cross join is a broadcast of scalars, not a data-sized product. */
+  def chiSquareStatDF(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+               col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val rt = cells.groupBy("a").agg(sum("c").as("ra"))
+    val ct = cells.groupBy("b").agg(sum("c").as("cb"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      (count_distinct(col("a")) - 1) * (count_distinct(col("b")) - 1)
+        cast "double" as "dof")
+    // dv*dv rather than pow(dv, 2): a single multiply is correctly rounded
+    // in both engines, pow may not be
+    val expCount = col("ra") * col("cb") / col("n")
+    val dv = coalesce(col("c"), lit(0.0)) - expCount
+    rt.crossJoin(ct).crossJoin(tot)
+      .join(cells, Seq("a", "b"), "left")
+      .agg(
+        round(sum(dv * dv / expCount), 4).as("chi2"),
+        first(col("dof")).as("dof"),
+        first(col("n")).as("n"))
+  }
+
+  /** [[mannWhitneyU]]'s (U, z) as a fully-distributed PLAN over the
+    * per-value histogram. The cumulative-rank window runs over DISTINCT
+    * values (one ordered pass, distinct-value-sized — the same bound the
+    * driver form caps). Returns one row `(u1, z, n1, n2)` rounded for
+    * cross-engine matching. */
+  def mannWhitneyStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
+      sample1: String, sample2: String): DataFrame = {
+    val hist = df
+      .filter(col(groupbyCol).isin(sample1, sample2) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
+           sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0.0)))
+    ranked.agg(
+        sum(col("n1")).as("N1"), sum(col("n2")).as("N2"),
+        sum(col("n1") * (col("cum") + (col("t") + 1) / 2)).as("R1"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("T3"),
+        sum(col("t")).as("NN"))
+      .select(
+        round(col("R1") - col("N1") * (col("N1") + 1) / 2, 4).as("u1"),
+        round((col("R1") - col("N1") * (col("N1") + 1) / 2 - col("N1") * col("N2") / 2)
+          / sqrt(col("N1") * col("N2") / 12.0
+            * ((col("NN") + 1) - col("T3") / (col("NN") * (col("NN") - 1)))), 6).as("z"),
+        col("N1").cast("long").as("n1"), col("N2").cast("long").as("n2"))
   }
 
   /** One-sample t-test vs `popmean`

@@ -1,0 +1,117 @@
+package graft
+
+import graft.hypothesis.Hypothesis
+import graft.checks.AggregateCheck
+
+class HypothesisStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(chk: AggregateCheck,
+      df: org.apache.spark.sql.DataFrame, c: String) = chk.eval(df, Some(c))
+
+  // 2x2 contingency [[10,20],[30,40]]: chi2 = 4/12+4/18+4/28+4/42 = 0.793651
+  private def table2x2 = {
+    val rows =
+      Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    rows.toDF("a", "b")
+  }
+
+  test("chi-square independence: statistic matches the hand-computed table") {
+    val got = Hypothesis.chiSquareStatDF(table2x2, "a", "b")
+      .as[(Double, Double, Double)].head()
+    assert(got._1 == 0.7937, s"chi2=$got") // 0.79365079 rounded to 4
+    assert(got._2 == 1.0 && got._3 == 100.0)
+  }
+
+  test("chi-square independence check: weak association passes Equal, perfect fails") {
+    val weak = run(Hypothesis.chiSquareIndependence("b", alpha = 0.01), table2x2, "a")
+    assert(weak.passed, weak.observed) // p ~ 0.373 >= 0.01
+    val dep = (Seq.fill(50)(("x", "u")) ++ Seq.fill(50)(("y", "v"))).toDF("a", "b")
+    val strong = run(Hypothesis.chiSquareIndependence("b", alpha = 0.01), dep, "a")
+    assert(!strong.passed, strong.observed) // chi2 ~ 100, p ~ 0
+  }
+
+  test("chi-square independence: zero-observed combos enter the statistic") {
+    // [[10,0],[10,10]]: exp r1c2 = 20*10/30 = 6.667 — the missing cell
+    // contributes (0-3.333)^2/3.333; statDF and the check must agree
+    val df = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c1")) ++
+      Seq.fill(10)(("r2", "c2"))).toDF("a", "b")
+    val stat = Hypothesis.chiSquareStatDF(df, "a", "b")
+      .as[(Double, Double, Double)].head()._1
+    // exp: r1c1=6.6667, r1c2=3.3333, r2c1=13.3333, r2c2=6.6667
+    val want = math.pow(10 - 20.0 / 3, 2) / (20.0 / 3) +
+      math.pow(0 - 10.0 / 3, 2) / (10.0 / 3) +
+      math.pow(10 - 40.0 / 3, 2) / (40.0 / 3) +
+      math.pow(10 - 20.0 / 3, 2) / (20.0 / 3)
+    assert(math.abs(stat - want) < 5e-4, s"stat=$stat want=$want")
+    val msg = run(Hypothesis.chiSquareIndependence("b"), df, "a").observed
+    assert(msg.contains(f"chi2=$want%.4f".take(9)), msg)
+  }
+
+  test("chi-square GoF: exact fit passes, bad fit fails, unknown category raises") {
+    val exact = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c")).toDF("v")
+    val exp = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    assert(run(Hypothesis.chiSquareGof(exp), exact, "v").passed)
+    val off = (Seq.fill(90)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c")).toDF("v")
+    assert(!run(Hypothesis.chiSquareGof(exp, alpha = 0.01), off, "v").passed)
+    val rogue = (Seq.fill(10)("a") ++ Seq.fill(10)("zzz")).toDF("v")
+    val e = intercept[RuntimeException](run(Hypothesis.chiSquareGof(exp), rogue, "v"))
+    assert(e.getMessage.contains("zzz"))
+  }
+
+  test("mann-whitney statDF: hand example with ties, no continuity correction") {
+    // g1=[1,2,3] g2=[2,3,4]: midranks 1, 2.5, 4.5, 6 -> R1=8, U1=2
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+                 ("g2", 2.0), ("g2", 3.0), ("g2", 4.0)).toDF("g", "v")
+    val (u1, z, n1, n2) = Hypothesis.mannWhitneyStatDF(df, "v", "g", "g1", "g2")
+      .as[(Double, Double, Long, Long)].head()
+    assert(u1 == 2.0 && n1 == 3 && n2 == 3)
+    val sigma = math.sqrt(9.0 / 12 * (7 - 12.0 / 30))
+    val wantZ = BigDecimal((2.0 - 4.5) / sigma)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(z == wantZ, s"z=$z want=$wantZ")
+  }
+
+  test("mann-whitney check: separated samples reject equality, identical ones don't") {
+    val sep = ((1 to 100).map(i => ("lo", i.toDouble)) ++
+               (1 to 100).map(i => ("hi", 1000.0 + i))).toDF("g", "v")
+    val r1 = run(Hypothesis.mannWhitneyU("g", "lo", "hi",
+      Hypothesis.NotEqual, alpha = 0.01), sep, "v")
+    assert(r1.passed, r1.observed) // p ~ 0 < alpha -> "not equal" confirmed
+    val same = ((1 to 100).map(i => ("x", (i % 10).toDouble)) ++
+                (1 to 100).map(i => ("y", (i % 10).toDouble))).toDF("g", "v")
+    val r2 = run(Hypothesis.mannWhitneyU("g", "x", "y",
+      Hypothesis.Equal, alpha = 0.01), same, "v")
+    assert(r2.passed, r2.observed) // z = 0, p = 1 -> equality stands
+  }
+
+  test("mann-whitney: driver check agrees with the distributed statDF") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map { i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextInt(40).toDouble)
+    }.toDF("g", "v")
+    val (u1, z, _, _) = Hypothesis.mannWhitneyStatDF(df, "v", "g", "a", "b")
+      .as[(Double, Double, Long, Long)].head()
+    val msg = run(Hypothesis.mannWhitneyU("g", "a", "b"), df, "v").observed
+    val gotU = "U=([-0-9.]+)".r.findFirstMatchIn(msg).get.group(1).toDouble
+    val gotZ = "z=([-0-9.]+)".r.findFirstMatchIn(msg).get.group(1).toDouble
+    assert(gotU == u1, s"$msg vs U=$u1")
+    assert(math.abs(gotZ - z) < 1e-5, s"$msg vs z=$z")
+  }
+
+  test("mann-whitney: distinct-value cap raises, registry builds by name") {
+    val df = (1 to 100).map(i => ("a", i.toDouble)).toDF("g", "v")
+      .union((1 to 100).map(i => ("b", i + 0.5)).toDF("g", "v"))
+    val e = intercept[RuntimeException](
+      run(Hypothesis.mannWhitneyU("g", "a", "b", maxDistinct = 10), df, "v"))
+    assert(e.getMessage.contains("maxDistinct"))
+    val byName = Hypothesis.registry("mann_whitney_u", Map(
+      "groupby" -> "g", "sample1" -> "a", "sample2" -> "b",
+      "relationship" -> "NotEqual", "alpha" -> 0.01))
+    assert(run(byName, df, "v").observed.contains("U="))
+    val chiByName = Hypothesis.registry("chi_square_independence", Map(
+      "other_column" -> "b", "relationship" -> "Equal", "alpha" -> 0.01))
+    assert(run(chiByName, table2x2, "a").observed.contains("chi2="))
+  }
+}
