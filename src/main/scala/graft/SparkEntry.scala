@@ -868,6 +868,22 @@ object SparkEntry {
           col("n_rows"), round(col("avg_price"), 3).as("avg_price"),
           col("min_disc"), col("max_disc"))
         .orderBy("l_returnflag")),
+    "join_salted" -> ((s, d) => {
+      // round-8: salted (hot-key-replicated) equi-join — lineitem joins
+      // orders with hotKeyThreshold=5, so multi-line orders (up to 7
+      // lineitems) go through the hot path: salted left rows meet
+      // replicated right rows, single-line orders ride salt 0. Must equal
+      // the plain join (DuckDB oracle); quantities are integral doubles,
+      // so the sums compare exactly at any addition order.
+      val joined = ext.Salting.saltedJoin(
+        t(s, d, "lineitem"), t(s, d, "orders"),
+        Seq("l_orderkey"), Seq("o_orderkey"),
+        saltFactor = 4, hotKeyThreshold = 5)
+      joined.groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 3).as("sum_qty"))
+        .orderBy("priority")
+    }),
     "events_funnel" -> ((s, d) =>
       // round-8: ordered-step funnel (earliest-completion semantics) —
       // one keyed aggregation per step over the type-filtered scan, the
@@ -2105,6 +2121,13 @@ object SparkEntry {
         "round(avg(l_extendedprice), 3) AS avg_price, " +
         "min(l_discount) AS min_disc, max(l_discount) AS max_disc " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // plain join in DuckDB — the salted plan's hot-key replication must
+    // change nothing about the result
+    "join_salted" ->
+      ("SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_items, " +
+        "round(sum(l_quantity), 3) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "events_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
         "WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +

@@ -69,4 +69,86 @@ object Salting {
     }
     stage1.groupBy(keys.map(q): _*).agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted (hot-key-replicated) equi-join — the skew defense for a join
+    * whose RIGHT side is too big to broadcast and whose LEFT key
+    * distribution has hot keys that would pin whole partitions on single
+    * reducers. The classic recipe:
+    *
+    *   1. ONE count aggregation over the left keys finds keys with more
+    *      than `hotKeyThreshold` rows — O(#hot keys) reaches the driver
+    *      (guarded by `maxHotKeys`; millions of hot keys means the
+    *      threshold is mis-set, not that the driver should eat them);
+    *   2. hot left rows get a deterministic salt in [0, saltFactor) — the
+    *      hot key's mass spreads over saltFactor reducers;
+    *   3. right rows for hot keys REPLICATE saltFactor times (one per
+    *      salt), everything else carries salt 0 and replicates once —
+    *      replication cost is #hot-right-rows x saltFactor, paid exactly
+    *      where it buys reducer parallelism;
+    *   4. ordinary equi-join on (keys, salt).
+    *
+    * Hot-key tagging rides a broadcast join against a LOCAL relation of
+    * the collected hot keys — never an isin literal list (which would
+    * inline up to maxHotKeys literals into the plan). Inner and
+    * left-outer joins only: each left row owns exactly ONE salt, so it
+    * matches exactly the right rows the plain join would give it and no
+    * output dedup is needed. Complements AQE's skew-split, which
+    * rebalances partition SIZES after the fact but cannot spread one
+    * gigantic key's matches across reducers when the right side must
+    * co-locate. Row-identical to the plain join (property-tested under
+    * 90% skew). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      saltFactor: Int = 16, hotKeyThreshold: Long = 1000000L,
+      maxHotKeys: Int = 100000,
+      joinType: String = "inner"): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "saltedJoin: leftKeys/rightKeys must pair up")
+    require(saltFactor >= 1, "saltFactor >= 1")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer", s"saltedJoin: unsupported joinType '$joinType'")
+    val reserved = Seq("__salt", "__hot")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      "saltedJoin: __salt/__hot are reserved column names")
+    val spark = left.sparkSession
+    // step 1: hot LEFT keys in one aggregation, bounded collect (null
+    // keys never equi-join, so they are excluded from hotness outright)
+    val notNullL = leftKeys.map(q(_).isNotNull).reduce(_ && _)
+    val hotRows = left.filter(notNullL)
+      .groupBy(leftKeys.map(q): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotKeyThreshold)
+      .select(leftKeys.map(q): _*)
+      .limit(maxHotKeys + 1)
+      .collect()
+    require(hotRows.length <= maxHotKeys,
+      s"saltedJoin: more than $maxHotKeys hot keys at threshold " +
+        s"$hotKeyThreshold - raise the threshold")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      leftKeys.map(k => left.schema(k)).toArray)
+    val hotL = spark.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), keySchema)
+      .withColumn("__hot", lit(true))
+    val hotR = rightKeys.zip(leftKeys).foldLeft(hotL) {
+      case (df, (rk, lk)) => df.withColumnRenamed(lk, rk)
+    }
+    // step 2: deterministic per-row salt for hot left rows (xxhash64 of
+    // the original row - retried tasks salt identically, no rand())
+    val lSalt = when(coalesce(col("__hot"), lit(false)),
+      pmod(xxhash64(left.columns.map(q).toSeq :+ lit(0x5a17e): _*),
+        lit(saltFactor.toLong))).otherwise(lit(0L))
+    val lSalted = left.join(broadcast(hotL), leftKeys.toSeq, "left")
+      .withColumn("__salt", lSalt).drop("__hot")
+    // step 3: right rows replicate saltFactor ways for hot keys only
+    val rSalts = when(coalesce(col("__hot"), lit(false)),
+      sequence(lit(0L), lit((saltFactor - 1).toLong)))
+      .otherwise(array(lit(0L)))
+    val rSalted = right.join(broadcast(hotR), rightKeys.toSeq, "left")
+      .withColumn("__salt", explode(rSalts)).drop("__hot")
+    // step 4: plain equi-join on (keys, salt)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => lSalted(lk) === rSalted(rk) }
+      .reduce(_ && _) && lSalted("__salt") === rSalted("__salt")
+    lSalted.join(rSalted, cond, joinType)
+      .drop("__salt")
+  }
 }

@@ -193,6 +193,40 @@ class ExtPropertySpec extends SparkSpec {
     assert(salted.toSeq == salted2.toSeq) // deterministic salt
   }
 
+  test("property: salted join equals plain join under 90% skew (inner + left)") {
+    import graft.ext.Salting
+    // one key owns 90% of left rows; right has 0-3 rows per key incl. none
+    val left = spark.range(8000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 23).as("lk"),
+      col("id").as("lv"))
+    val right = spark.range(60).select(
+      (col("id") % 25).as("rk"), concat(lit("p"), col("id")).as("pay"))
+    def runNorm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lk"), col("lv"), col("pay"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3))
+    for (jt <- Seq("inner", "left")) {
+      val plain = runNorm(left.join(right, col("lk") === col("rk"), jt))
+      val salted = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        saltFactor = 8, hotKeyThreshold = 100, joinType = jt))
+      assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+      // deterministic: same result twice
+      val salted2 = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        saltFactor = 8, hotKeyThreshold = 100, joinType = jt))
+      assert(salted.toSeq == salted2.toSeq, s"joinType=$jt determinism")
+    }
+    // no hot keys at a huge threshold: still exactly the plain join
+    val plain = runNorm(left.join(right, col("lk") === col("rk")))
+    val cold = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+      saltFactor = 8, hotKeyThreshold = 1000000))
+    assert(cold.toSeq == plain.toSeq)
+    // hot-key cap: threshold 0 makes every key hot; cap must refuse
+    val e = intercept[IllegalArgumentException](
+      Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        saltFactor = 4, hotKeyThreshold = 0, maxHotKeys = 3))
+    assert(e.getMessage.contains("hot keys"))
+  }
+
   test("property: Jaro-Winkler is symmetric, bounded, and 1 iff equal (non-empty)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     val genWord = Gen.listOfN(8, Gen.oneOf(('a' to 'e') ++ Seq('Ä', '中')))
