@@ -1276,6 +1276,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy("source", "copy", "doc_id")
     }),
+    "sample_mix_temperature" -> ((s, d) => {
+      // round-8: temperature-weighted mixing — alpha = 0.5 gives each
+      // language a budget share ∝ sqrt(its token total): the smaller
+      // source is up-weighted above natural proportions but below the
+      // equal-share extreme (the XLM-R/mT5 recipe). Same hash-draw
+      // machinery as sample_mix_budget, so the oracle re-derives every
+      // copy; pow(x, 0.5) is exactly sqrt(x) in both engines.
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", ext.TextAnalysis.tokenCount(col("text")))
+      ext.Sampling.mixByTemperature(Seq(
+        ("en", docs.filter(col("lang") === "en").select("doc_id", "n_tok")),
+        ("de", docs.filter(col("lang") === "de").select("doc_id", "n_tok"))),
+        "doc_id", "n_tok", budget = 20000L, alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("source", "copy", "doc_id")
+    }),
     "pack_greedy" -> ((s, d) => {
       // round-5: sequence packing into 200-token packs over 8 hash buckets
       val withTok = t(s, d, "documents").select(col("doc_id"),
@@ -2757,6 +2773,20 @@ object SparkEntry {
         "de AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'de'), " +
         "r AS (SELECT (20000.0 * (0.7 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM en) AS DOUBLE) AS r_en, " +
         "(20000.0 * (0.3 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM de) AS DOUBLE) AS r_de), " +
+        "enp AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'en' AS source FROM en, r, " +
+        "unnest(range(0, CAST(floor(r_en) AS BIGINT) + CASE WHEN ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_en - floor(r_en) THEN 1 ELSE 0 END)) u(i)), " +
+        "dep AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'de' AS source FROM de, r, " +
+        "unnest(range(0, CAST(floor(r_de) AS BIGINT) + CASE WHEN ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_de - floor(r_de) THEN 1 ELSE 0 END)) u(i)) " +
+        "SELECT doc_id, source, copy FROM (SELECT * FROM enp UNION ALL SELECT * FROM dep) " +
+        "ORDER BY source, copy, doc_id"),
+    // identical draw machinery to sample_mix_budget; only the rate
+    // derivation changes — shares ∝ sqrt(per-source token totals)
+    "sample_mix_temperature" ->
+      ("WITH en AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'en'), " +
+        "de AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'de'), " +
+        "t AS (SELECT CAST((SELECT sum(n_tok) FROM en) AS DOUBLE) AS ne, CAST((SELECT sum(n_tok) FROM de) AS DOUBLE) AS nd), " +
+        "r AS (SELECT 20000.0 * (sqrt(ne) / (sqrt(ne) + sqrt(nd))) / ne AS r_en, " +
+        "20000.0 * (sqrt(nd) / (sqrt(ne) + sqrt(nd))) / nd AS r_de FROM t), " +
         "enp AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'en' AS source FROM en, r, " +
         "unnest(range(0, CAST(floor(r_en) AS BIGINT) + CASE WHEN ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_en - floor(r_en) THEN 1 ELSE 0 END)) u(i)), " +
         "dep AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'de' AS source FROM de, r, " +

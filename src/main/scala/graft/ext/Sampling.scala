@@ -191,14 +191,7 @@ object Sampling {
       require(w >= 0, s"source '$n' weight >= 0, got $w") }
     val wsum = sources.map(_._3).sum
     require(wsum > 0, "at least one positive weight")
-    // one fused job: every source's token total in a single aggregation
-    val totals: Map[String, Long] = sources
-      .map { case (n, df, _) =>
-        df.select(lit(n).as("__src"), q(tokensCol).cast("long").as("__tok")) }
-      .reduce(_.unionByName(_))
-      .groupBy("__src").agg(sum("__tok").as("__n"))
-      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .toMap
+    val totals = tokenTotals(sources.map { case (n, df, _) => (n, df) }, tokensCol)
     val rated = sources.filter(_._3 > 0).map { case (name, df, w) =>
       val n = totals.getOrElse(name, 0L)
       require(n > 0L,
@@ -206,6 +199,56 @@ object Sampling {
       // evaluation order fixed (budget · w̄) / N so any engine re-deriving
       // the rate from the same inputs lands on the same IEEE double
       (name, df, budget.toDouble * (w / wsum) / n.toDouble)
+    }
+    mixCorpora(rated, keyCol, seed, sourceCol, copyCol, allowMissingColumns)
+  }
+
+  /** One fused job: every source's token total in a single aggregation
+    * (a bounded sources-row collect — the validator's fusion trick, not a
+    * job per source). Shared by [[mixToTokenBudget]] and
+    * [[mixByTemperature]]. */
+  private def tokenTotals(sources: Seq[(String, DataFrame)],
+      tokensCol: String): Map[String, Long] = sources
+    .map { case (n, df) =>
+      df.select(lit(n).as("__src"), q(tokensCol).cast("long").as("__tok")) }
+    .reduce(_.unionByName(_))
+    .groupBy("__src").agg(sum("__tok").as("__n"))
+    .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    .toMap
+
+  /** Temperature-weighted corpus mixing — the multilingual/multi-domain
+    * pretraining recipe (XLM-R, mT5, LLaMA data mixtures): a source's
+    * budget SHARE is proportional to N_s^alpha, where N_s is its token
+    * total. alpha = 1 reproduces natural proportions (every source
+    * sampled at the same uniform rate), alpha = 0 gives every source an
+    * equal share regardless of size, and the usual 0.2-0.7 range
+    * up-weights small high-value sources without letting them dominate.
+    *
+    * The token totals come from the SAME single fused aggregation as
+    * [[mixToTokenBudget]]; the share exponentiation is driver-side
+    * O(#sources); the mixture itself is one [[mixCorpora]] pass — one
+    * scan per source, zero shuffles, every draw re-derivable from
+    * (key, source, seed). */
+  def mixByTemperature(sources: Seq[(String, DataFrame)], keyCol: String,
+      tokensCol: String, budget: Long, alpha: Double = 0.3, seed: Long = 42L,
+      sourceCol: String = "source", copyCol: String = "copy",
+      allowMissingColumns: Boolean = false): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(budget > 0, s"budget > 0, got $budget")
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val totals = tokenTotals(sources, tokensCol)
+    sources.foreach { case (name, _) =>
+      require(totals.getOrElse(name, 0L) > 0L,
+        s"mixByTemperature: source '$name' has zero tokens") }
+    val weights = sources.map { case (name, _) =>
+      name -> math.pow(totals(name).toDouble, alpha) }.toMap
+    // sum in SOURCES order (not Map iteration order) so the realized
+    // double is re-derivable by an oracle summing in the declared order
+    val wsum = sources.map { case (name, _) => weights(name) }.sum
+    val rated = sources.map { case (name, df) =>
+      // same fixed evaluation order as mixToTokenBudget: (budget · w̄) / N
+      (name, df,
+        budget.toDouble * (weights(name) / wsum) / totals(name).toDouble)
     }
     mixCorpora(rated, keyCol, seed, sourceCol, copyCol, allowMissingColumns)
   }

@@ -628,6 +628,45 @@ class ExtSpec extends SparkSpec {
     assert(noCode.filter(col("source") === "code").count() == 0)
   }
 
+  test("sampling: mixByTemperature limits — alpha=1 natural, alpha=0 equal shares") {
+    // web: 100 tokens over 10 docs; code: 20 tokens over 5 docs
+    val web = (0L until 10L).map(i => (i, 10L)).toDF("id", "n_tok")
+    val code = (100L until 105L).map(i => (i, 4L)).toDF("id", "n_tok")
+    val srcs = Seq(("web", web), ("code", code))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "source", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    // alpha = 1: shares ∝ N → every source samples at the SAME uniform
+    // rate budget/N_total — identical to mixToTokenBudget with w = N
+    val nat = rows(graft.ext.Sampling.mixByTemperature(srcs, "id", "n_tok",
+      budget = 60L, alpha = 1.0))
+    val natRef = rows(graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", web, 100.0), ("code", code, 20.0)), "id", "n_tok", 60L))
+    assert(nat == natRef)
+    // alpha = 0: equal shares regardless of size — identical to equal
+    // weights in mixToTokenBudget
+    val eq = rows(graft.ext.Sampling.mixByTemperature(srcs, "id", "n_tok",
+      budget = 60L, alpha = 0.0))
+    val eqRef = rows(graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", web, 0.5), ("code", code, 0.5)), "id", "n_tok", 60L))
+    assert(eq == eqRef)
+    // 0 < alpha < 1 sits strictly between: the small source's expected
+    // share rises above natural (20/120 of 60 = 10 tokens) toward equal
+    // (30); with alpha=0.5, w_code/w_sum = sqrt(20)/(sqrt(100)+sqrt(20))
+    // ≈ 0.309 → 18.5 tokens ≈ rate 0.93 — so SOME code docs drop (rate<1)
+    // while at alpha=0 all survive with upsampling (rate 1.5)
+    val mid = graft.ext.Sampling.mixByTemperature(srcs, "id", "n_tok",
+      budget = 60L, alpha = 0.5)
+    assert(mid.filter(col("source") === "code").agg(max("copy"))
+      .head().getInt(0) == 0) // rate < 1: no second epoch
+    // zero-token source refused
+    val hollow = Seq((1L, 0L)).toDF("id", "n_tok")
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.mixByTemperature(Seq(("web", web), ("hollow", hollow)),
+        "id", "n_tok", 60L)
+    }
+  }
+
   test("sampling: mixCorpora edge cases — all-zero rates and missing columns") {
     val web = (0L until 10L).map(i => (i, s"doc $i")).toDF("id", "text")
     val code = (0L until 10L).map(i => (i, s"code $i", "scala"))
