@@ -231,6 +231,18 @@ object SparkEntry {
         graft.io.SchemaIO.toYaml(reloaded) == graft.io.SchemaIO.toYaml(schema)
       aggPassFail(s, "registered_two_sample_ttest", res, extraOk = roundTripped)
     }),
+    "hyp_chi_square_gof" -> ((s, d) => {
+      // goodness-of-fit of l_returnflag against its own observed
+      // proportions rounded to 2 decimals — a deliberately-close null
+      // hypothesis the test must NOT reject at alpha=1e-6; the oracle
+      // recomputes the decision from the same statistic in SQL
+      val res = DataFrameSchema("l_returnflag" -> ColumnSchema(Some(StringType),
+        Seq(Hypothesis.chiSquareGof(
+          Map("A" -> 0.25, "N" -> 0.5, "R" -> 0.25),
+          Hypothesis.Custom((stat, _) => stat < 1000.0), alpha = 1e-6))))
+        .validate(t(s, d, "lineitem"))
+      aggPassFail(s, "chi_square_gof", res)
+    }),
     "hyp_custom_relationship" -> ((s, d) => {
       val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
         Seq(Hypothesis.oneSampleTtest(1.0,
@@ -2348,6 +2360,15 @@ object SparkEntry {
     // changes HOW the check is constructed (by name, via a YAML round-trip)
     "hyp_registered_yaml" ->
       "SELECT 'registered_two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
+    // same Custom(stat < 1000) decision recomputed from the SQL statistic —
+    // the oracle tracks the data's actual fit, so the gate is SF-robust
+    "hyp_chi_square_gof" ->
+      ("SELECT 'chi_square_gof' AS check_name, CAST(CASE WHEN chi2 < 1000.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM " +
+        "(SELECT (oa - n * 0.25) * (oa - n * 0.25) / (n * 0.25) + (onn - n * 0.5) * (onn - n * 0.5) / (n * 0.5) + (orr - n * 0.25) * (orr - n * 0.25) / (n * 0.25) AS chi2 FROM " +
+        "(SELECT CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS oa, " +
+        "CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS onn, " +
+        "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS orr, " +
+        "CAST(count(*) AS DOUBLE) AS n FROM lineitem WHERE l_returnflag IS NOT NULL) t) s"),
     "hyp_custom_grouped" ->
       "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
     "hyp_group_stats" ->
