@@ -400,6 +400,10 @@ object Bench {
       ext.Bucketing.writeBucketed(ordersB, "bench_bkt_ord", s"$bktDir/ord",
         Seq("o_orderkey"), 32)
     }
+    // writeBucketed guarantees single-file buckets, so the legacy
+    // ordering flag is safe here and the serve is a pure zip-merge
+    // (no Exchange AND no Sort; see Bucketing.writeBucketed scaladoc)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     timed("join_bucketed_serve") {
       val j = ext.Bucketing.colocatedJoin(spark, "bench_bkt_li",
         "bench_bkt_ord", Seq("l_orderkey"), Seq("o_orderkey"))
@@ -407,6 +411,7 @@ object Bench {
         "bucketed join planned a shuffle")
       j.groupBy("o_orderpriority").agg(sum("l_extendedprice")).count()
     }
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     timed("join_shuffled_comparator")(
       li.hint("merge")
         .join(ordersB.hint("merge"), col("l_orderkey") === col("o_orderkey"))

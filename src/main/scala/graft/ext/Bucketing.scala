@@ -36,14 +36,27 @@ object Bucketing {
   /** Write `df` as an external bucketed parquet table `name` at `path`,
     * hash-bucketed into `numBuckets` by `bucketCols` (and bucket-sorted
     * by them, so downstream sort-merge joins skip their Sort too).
-    * Replaces any previous registration of `name`. */
+    * Replaces any previous registration of `name`.
+    *
+    * The pre-write `repartition(numBuckets, bucketCols)` uses the SAME
+    * Murmur3 hash as the bucket assignment, so every bucket lands in
+    * exactly ONE file — the precondition for Spark to trust the
+    * per-bucket sort order. Sort-order trust itself sits behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+    * default since 3.0 because MULTI-file buckets would be read as
+    * falsely-sorted); with the flag on and this writer's single-file
+    * buckets, the co-located join is a pure zip-merge with NO Sort
+    * nodes at all (spec-asserted). Without the flag the Exchange still
+    * vanishes — the scale-dominant win — and each side re-sorts its
+    * partitions locally. */
   def writeBucketed(df: DataFrame, name: String, path: String,
       bucketCols: Seq[String], numBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed: at least one bucket column")
     require(numBuckets > 0, s"writeBucketed: numBuckets must be > 0, got $numBuckets")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write
+    df.repartition(numBuckets, bucketCols.map(q): _*)
+      .write
       .format("parquet")
       .option("path", path)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

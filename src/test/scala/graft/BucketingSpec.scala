@@ -53,6 +53,28 @@ class BucketingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("single-file buckets + legacy ordering flag elide the join Sorts entirely") {
+    val facts = (1 to 2000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
+    val dims = (0 to 96).map(i => (i.toLong, s"d$i")).toDF("dk", "label")
+    val dir = tmp("graft-bkt-sorted")
+    Bucketing.writeBucketed(facts, "bspec_sf", s"$dir/f", Seq("k"), 4)
+    Bucketing.writeBucketed(dims, "bspec_sd", s"$dir/d", Seq("dk"), 4)
+    // writeBucketed's pre-write repartition guarantees ONE file per bucket
+    assert(new java.io.File(s"$dir/f").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = Bucketing.colocatedJoin(spark, "bspec_sf", "bspec_sd",
+        Seq("k"), Seq("dk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Sort ["), plan) // zip-merge: no Sort nodes
+      assert(Bucketing.shuffleExchangeCount(j) == 0, plan)
+      // and the sorted-scan fast path must still produce the right rows
+      assert(j.count() == 2000)
+    } finally
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+  }
+
   test("writeBucketed replaces a previous registration") {
     val dir = tmp("graft-bkt-re")
     Bucketing.writeBucketed(Seq((1L, "a")).toDF("k", "s"),
