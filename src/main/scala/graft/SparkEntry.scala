@@ -1994,6 +1994,13 @@ object SparkEntry {
 
     // ---- streaming-shaped event analytics (batch plan; streaming variant
     //      exercised in StreamingSpec with the same transformation) ----
+    "events_trending" -> ((s, d) =>
+      // round-8: exact heavy hitters per event-time window — "trending
+      // users per day": one windowed Misra-Gries + count aggregation,
+      // then a broadcast-pruned exact recount cut at phi·N_window; the
+      // oracle recomputes the exact per-window cut in SQL
+      ext.HeavyHitters.frequentItemsByWindow(t(s, d, "events"), "ts",
+        "user_id", phi = 0.015, windowDur = "1 day")),
     "events_hourly" -> ((s, d) => {
       val ev = t(s, d, "events")
       ev
@@ -2951,6 +2958,13 @@ object SparkEntry {
         "FROM documents ORDER BY id"),
     "events_hourly" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
+    // exact per-window heavy-hitter cut recomputed in SQL; Spark's tumbling
+    // 1-day window and date_trunc('day') share UTC midnight boundaries
+    "events_trending" ->
+      ("WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT window_start, CAST(sum(cnt) AS BIGINT) AS n_group FROM w GROUP BY 1) " +
+        "SELECT w.window_start, user_id, cnt, n_group FROM w JOIN t USING(window_start) " +
+        "WHERE cnt >= 0.015 * n_group ORDER BY window_start, cnt DESC, user_id"),
 
     // ---- §2.A custom check / §2.B structural / §2.E / §2.F additions ----
     "chk_raise_warning" ->

@@ -68,6 +68,27 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, q(column))
   }
 
+  /** Exact heavy hitters per EVENT-TIME window — "trending items per
+    * hour/day", the crawl-monitoring form of [[frequentItemsByGroup]]
+    * (which it composes directly: the tumbling window start IS the
+    * group). Same two jobs at any window count: one windowed
+    * Misra–Gries + per-window N aggregation, then the broadcast-pruned
+    * exact recount cut at `phi · N_window`. Output:
+    * (window_start "yyyy-MM-dd HH:mm:ss", item column, cnt, n_group),
+    * sorted (window asc, cnt desc, item asc). The streaming counterpart
+    * with bounded estimates (no recount pass exists mid-stream) is
+    * [[graft.streaming.StreamingValidation.windowedHeavyHitters]]. */
+  def frequentItemsByWindow(df: DataFrame, tsCol: String, column: String,
+      phi: Double, windowDur: String = "1 hour",
+      capacity: Int = 0): DataFrame = {
+    val ets = graft.functions.EventTime.eventTime(df, tsCol)
+    val withW = df.withColumn("__wstart",
+      date_format(window(ets, windowDur).getField("start"),
+        "yyyy-MM-dd HH:mm:ss"))
+    frequentItemsByGroup(withW, "__wstart", column, phi, capacity)
+      .withColumnRenamed("__wstart", "window_start")
+  }
+
   /** Per-group exact heavy hitters — [[frequentItems]] with an independent
     * phi threshold inside every `groupCol` partition (per-language /
     * per-domain frequency mining). Same two passes, nothing per-group on

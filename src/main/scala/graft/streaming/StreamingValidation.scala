@@ -402,6 +402,51 @@ object StreamingValidation {
         col("c.psi_contrib").as("psi_contrib"), col("psi_total"))
   }
 
+  /** Streaming heavy hitters per event-time window — the trending-items
+    * monitor ([[graft.ext.HeavyHitters.frequentItemsByWindow]]'s
+    * streaming sibling). One stateful windowed aggregation carries a
+    * Misra–Gries sketch (O(capacity) state per open window, bounded by
+    * the watermark) plus the window's item count; candidates emit with
+    * their MG bounds when the window closes.
+    *
+    * Mid-stream there is NO second exact-recount pass, so the output is
+    * a bounded SANDWICH rather than an exact set (spec-asserted against
+    * the batch-exact form):
+    *   - rows with `guaranteed = true` (est_min >= phi·N) are certainly
+    *     heavy hitters (MG estimates are lower bounds);
+    *   - every true heavy hitter appears among the emitted rows (an item
+    *     with count >= phi·N has est >= phi·N − N/(cap+1), and the emit
+    *     cut keeps everything with est + N/(cap+1) >= phi·N).
+    * Sketch merge order varies with micro-batch splits, so `est_min`/
+    * `est_max` are run-dependent within those bounds — which is why the
+    * exact gate rides the batch form and this one is property-gated. */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String, column: String,
+      phi: Double, windowDur: String = "1 hour",
+      watermark: Option[String] = None, capacity: Int = 0): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, "phi must be in (0, 1]")
+    val cap = if (capacity > 0) capacity
+      else math.max(math.ceil(2.0 / phi).toInt, 16)
+    require(cap.toDouble + 1.0 > 1.0 / phi,
+      s"capacity $cap too small for phi=$phi: heavy hitters could be missed")
+    val withTs = events.withColumn("__ets",
+      graft.functions.EventTime.eventTime(events, tsCol))
+    val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
+    val agged = wm.filter(col(column).isNotNull)
+      .groupBy(window(col("__ets"), windowDur))
+      .agg(graft.functions.MisraGriesSketch.of(col(column), cap).as("__cand"),
+        count(col(column)).as("__n"))
+    val err = col("n_window").cast("double") / (cap + 1.0)
+    agged
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("__cand")).as("c"), col("__n").as("n_window"))
+      .filter(col("c.est") + err >= lit(phi) * col("n_window"))
+      .select(col("window_start"), col("c.item").as(column),
+        col("c.est").as("est_min"),
+        round(col("c.est") + err, 3).as("est_max"),
+        col("n_window"),
+        (col("c.est").cast("double") >= lit(phi) * col("n_window")).as("guaranteed"))
+  }
+
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {

@@ -270,6 +270,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: streaming candidates sandwich the batch-exact set") {
+    // the streaming form has no exact-recount pass, so its contract is a
+    // two-sided bound (MG estimates are lower bounds; the emit cut keeps
+    // everything within N/(cap+1) of the threshold):
+    //   guaranteed rows ⊆ exact heavy hitters ⊆ emitted candidates
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val phi = 0.03
+    val exact = graft.ext.HeavyHitters
+      .frequentItemsByWindow(events, "ts", "user_id", phi, "1 day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty)
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id")
+    val rows = events.select(
+        (graft.functions.EventTime.eventMicros(events, "ts") * 1000L).as("ts"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q = StreamingValidation.windowedHeavyHitters(stream, "ts", "user_id",
+        phi, "1 day", watermark = Some("2 days"))
+      .writeStream.outputMode("complete").format("memory").queryName("whh").start()
+    try {
+      // several micro-batches so sketch MERGE paths (not just update) run
+      rows.grouped(math.max(rows.length / 7, 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val cand = spark.sql("SELECT * FROM whh").collect()
+      val candSet = cand.map(r => (r.getString(0), r.getLong(1))).toSet
+      val guaranteed = cand.filter(_.getBoolean(5))
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(exactSet.subsetOf(candSet),
+        s"missed heavy hitters: ${(exactSet -- candSet).take(5)}")
+      assert(guaranteed.subsetOf(exactSet),
+        s"false guarantees: ${(guaranteed -- exactSet).take(5)}")
+      // and per-row MG bounds hold against the exact counts
+      val exactCnt = exact.map(t => (t._1, t._2) -> t._3).toMap
+      cand.foreach { r =>
+        val k = (r.getString(0), r.getLong(1))
+        exactCnt.get(k).foreach { c =>
+          assert(r.getLong(2) <= c && c <= r.getDouble(3) + 1e-9,
+            s"$k: est_min=${r.getLong(2)} est_max=${r.getDouble(3)} true=$c")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("quarantine replay equals the batch predicate split") {
     import org.apache.spark.sql.functions.lit
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
