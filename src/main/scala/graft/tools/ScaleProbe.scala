@@ -66,6 +66,10 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional args: leg names to run ("dedup", "pack", "backoff", "er",
+    // "joins", "saltedjoin") — empty runs everything
+    val only: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -91,9 +95,11 @@ object ScaleProbe {
         f"minhash_sec=$tp%.1f cluster_sec=$tc%.1f clusters=$clusters")
     }
 
-    probe("1x", docs)
-    probe("10x", replicate(docs, 10))
-    probe("100x", replicate(docs, 100))
+    if (only("dedup")) {
+      probe("1x", docs)
+      probe("10x", replicate(docs, 10))
+      probe("100x", replicate(docs, 100))
+    }
 
     // adversarial skew: ~10% of a 10× corpus is ONE boilerplate text (the
     // pathological crawl case). Two behaviors to pin:
@@ -106,6 +112,7 @@ object ScaleProbe {
     //      duplicates BEFORE minhash — the boilerplate mass reduces to ONE
     //      representative in one hash-aggregate pass, so the LSH stage
     //      never sees the skew at all.
+    if (only("dedup")) {
     val base10 = replicate(docs, 9)
     val boiler = docs
       .select((col("doc_id") * 128 + lit(100)).as("doc_id"),
@@ -121,6 +128,7 @@ object ScaleProbe {
       f"capped_pairs=$pairsSkew minhash_sec=$ts%.1f " +
       f"exact_collapse_rows=$collapsed exact_sec=$te%.1f " +
       f"quadratic_would_be=${n1 * (n1 - 1) / 2}")
+    }
 
     // round-8 additions: packing prefix-sum and stupid-backoff at 1×/10×/
     // 100× — wall must track rows ~linearly (the prefix sum's driver state
@@ -140,10 +148,14 @@ object ScaleProbe {
           .agg(sum("n_tokens")).head().getLong(0))
       println(f"PROBE backoff_$name tokens=$toks backoff_sec=$tb%.1f")
     }
-    probePack("1x", docs); probePack("10x", replicate(docs, 10))
-    probePack("100x", replicate(docs, 100))
-    probeBackoff("1x", docs); probeBackoff("10x", replicate(docs, 10))
-    probeBackoff("100x", replicate(docs, 100))
+    if (only("pack")) {
+      probePack("1x", docs); probePack("10x", replicate(docs, 10))
+      probePack("100x", replicate(docs, 100))
+    }
+    if (only("backoff")) {
+      probeBackoff("1x", docs); probeBackoff("10x", replicate(docs, 10))
+      probeBackoff("100x", replicate(docs, 100))
+    }
 
     // round-8b: fuzzy-ER hot-block guard — one blocking key owning 10% of
     // a replicated corpus (an "unknown city" key). Unguarded, that block
@@ -152,6 +164,7 @@ object ScaleProbe {
     // well-blocked mass only. Also the unguarded run for the honest
     // comparison (it must still finish — JW is codegen'd — just pay the
     // quadratic block).
+    if (only("er")) {
     val names = docs.select(col("doc_id"),
       concat(lit("name "), col("doc_id")).as("name"),
       (col("doc_id") % 500).as("blk"))
@@ -171,11 +184,13 @@ object ScaleProbe {
     println(f"PROBE er_hotblock rows=${erCorpus.count()} " +
       f"guarded_pairs=$guardedPairs guarded_sec=$tg%.1f " +
       f"unguarded_pairs=$unguardedPairs unguarded_sec=$tu%.1f")
+    }
 
     // round-8c: as-of + range join growth — replicate the event log with
     // shifted user ids (key space grows with the data, per-key history
     // constant, the realistic crawl shape). Both plans are single-shuffle;
     // wall must track rows ~linearly.
+    if (only("joins")) {
     val events = spark.read.parquet(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01") +
         "/events.parquet")
@@ -204,6 +219,31 @@ object ScaleProbe {
         binWidth = 3600000000L).count())
       println(f"PROBE joins_$name rows=${ev.count()} asof_rows=$nA asof_sec=$ta%.1f " +
         f"range_pairs=$nR range_sec=$tr%.1f")
+    }
+    }
+
+    // round-8d: salted-join skew probe — one key owns 50% of a 5M-row
+    // left; the right is a 100k-key dimension treated as too big to
+    // broadcast (merge hints on the plain comparator). The plain
+    // sort-merge join co-locates the hot key's 2.5M rows on ONE reducer;
+    // saltedJoin spreads them over 32 salt buckets while replicating only
+    // the hot key's single right row 32 ways. Outputs must be identical.
+    if (only("saltedjoin")) {
+      val leftSkew = spark.range(5000000L).select(
+        when(col("id") % 2 === 0, lit(77L))
+          .otherwise(col("id") % 100000L).as("k"),
+        col("id").as("v"))
+      val rightDim = spark.range(100000L)
+        .select(col("id").as("rk"), (col("id") * 2).as("payload"))
+      val (tplain, nPlain) = time(
+        leftSkew.hint("merge").join(rightDim.hint("merge"),
+          col("k") === col("rk")).count())
+      val (tsalt, nSalt) = time(
+        graft.ext.Salting.saltedJoin(leftSkew, rightDim, Seq("k"), Seq("rk"),
+          saltFactor = 32, hotKeyThreshold = 100000L).count())
+      require(nPlain == nSalt, s"salted join changed rows: $nPlain vs $nSalt")
+      println(f"PROBE salted_join rows=5000000 hot_share=0.5 " +
+        f"plain_sec=$tplain%.1f salted_sec=$tsalt%.1f matches=$nPlain")
     }
     spark.stop()
   }
