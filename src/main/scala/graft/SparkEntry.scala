@@ -1158,6 +1158,21 @@ object SparkEntry {
       ext.Drift.psiAgainstProfile(li.filter(col("l_returnflag") === "A"),
         "l_extendedprice", n.edges, n.fracs).orderBy("bin")
     }),
+    "drift_ks_profile" -> ((s, d) => {
+      // round-8: KS served from the persisted profile — fit once (20
+      // bins), save/load the JSON document, score the batch against the
+      // stored CDF; hash-identical to the two-sided drift_ks, so it
+      // shares that oracle
+      val li = t(s, d, "lineitem")
+      val prof = ext.DriftProfile.fit(li,
+        numericCols = Seq("l_extendedprice"), bins = 20)
+      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
+        .resolve("profile.json").toString
+      prof.save(path)
+      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
+      ext.Drift.ksAgainstProfile(li.filter(col("l_returnflag") === "A"),
+        "l_extendedprice", n.edges, n.fracs).orderBy("bin")
+    }),
     "drift_psi_cat_profile" -> ((s, d) => {
       // round-8: categorical sibling of drift_psi_profile (language-mix
       // monitor served from the stored document)
@@ -2107,6 +2122,18 @@ object SparkEntry {
 
   /** Shared by drift_psi and its profile-persistence twin (the serve path
     * is hash-identical to the direct computation by construction). */
+  private val driftKsOracle: String =
+    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
+        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
+        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
+        "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+        "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
+        "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
+        "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin")
+
   private val driftPsiOracle: String =
     ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
       "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
@@ -2689,21 +2716,12 @@ object SparkEntry {
         "c AS (SELECT doc_id, lang FROM r WHERE rn <= 30), " +
         "h AS (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '11'), 1, 8))::BIGINT / 4294967296.0 AS hh FROM c) " +
         "SELECT doc_id, lang, CASE WHEN hh < 0.5 THEN 'train' WHEN hh < 0.75 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
-    "drift_ks" ->
-      ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
-        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
-        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
-        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
-        "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-        "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
-        "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
-        "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin"),
+    "drift_ks" -> driftKsOracle,
     "drift_psi" -> driftPsiOracle,
-    // profile-persistence serve path is hash-identical to the direct
-    // two-sided computation by construction — same oracle
+    // profile-persistence serve paths are hash-identical to the direct
+    // two-sided computations by construction — same oracles
     "drift_psi_profile" -> driftPsiOracle,
+    "drift_ks_profile" -> driftKsOracle,
     "drift_psi_cat_profile" -> driftPsiCategoricalOracle,
     "drift_psi_windowed" ->
       ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +

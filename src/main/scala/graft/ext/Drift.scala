@@ -445,6 +445,33 @@ object Drift {
     finalizePsi(allBins.join(cur, Seq("bin"), "left"), Seq("bin"), eps)
   }
 
+  /** Grid-KS against a stored profile ([[referenceNumericProfile]] /
+    * [[DriftProfile]]) — the KS sibling of [[psiAgainstProfile]]: the
+    * reference CDF rides as literals from the saved document (exact
+    * double round-trip), so monitoring a batch costs ONE scan of the
+    * batch and never re-reads the 100 TB reference. Hash-identical to
+    * the two-sided [[ks]] on the same reference by construction (the
+    * profile's fracs are the same exact count/total doubles `ks` bins). */
+  def ksAgainstProfile(current: DataFrame, column: String,
+      edges: Seq[Double], refFracs: Seq[Double]): DataFrame = {
+    val bins = refFracs.length
+    require(bins >= 2, s"profile needs >= 2 bins, got $bins")
+    require(edges.length == bins - 1,
+      s"profile inconsistent: ${edges.length} edges for $bins bins")
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(q(column) > e, 1).otherwise(0))
+    val cur = current.filter(q(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("cur_frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"), col("cur_frac"))
+    val spark0 = current.sparkSession
+    import spark0.implicits._
+    val allBins = refFracs.zipWithIndex.map { case (f, i) => (i, f) }
+      .toDF("bin", "ref_frac")
+    finalizeKs(allBins.join(cur, Seq("bin"), "left"))
+  }
+
   /** Categorical PSI against a stored profile
     * ([[referenceCategoricalProfile]] / [[DriftProfile]]): `cells` are the
     * reference top-K categories, `refFracs` one fraction per cell PLUS the
