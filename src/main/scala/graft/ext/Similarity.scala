@@ -83,6 +83,95 @@ object Similarity {
     rankTopK(scored.select("query_id", "corpus_id", "cosine"), k)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): retrieve `k · oversample` nearest candidates, then greedily
+    * re-rank them so each pick maximizes
+    * `lambda·cos(q,c) − (1−lambda)·max_{s∈selected} cos(c,s)` — the
+    * retrieval-diversity step RAG pipelines run after ANN. lambda = 1
+    * reproduces the plain top-k; lower lambda trades relevance for
+    * spread (dedups near-identical passages in the result list).
+    *
+    * Scale shape: candidate generation is the (already scale-shaped)
+    * [[bruteForceTopK]] — swap in any `*TopKIndexed` serve for the 100 TB
+    * path; the greedy loop runs EXECUTOR-side once per query over its
+    * ≤ k·oversample candidates (a bounded `collect_list` per query — the
+    * one place a Scala closure beats an expression, since it executes
+    * per QUERY, not per corpus row; same escape-hatch rationale as
+    * element_wise checks). Deterministic at any partitioning: candidates
+    * sort (cosine desc, id asc) before selection and ties keep the
+    * first-seen (highest-relevance, smallest-id) candidate. */
+  def mmrTopK(corpus: DataFrame, corpusId: String, corpusEmb: String,
+      queries: DataFrame, queryId: String, queryEmb: String,
+      k: Int, lambda: Double = 0.7, oversample: Int = 4): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    require(oversample >= 1, s"oversample >= 1, got $oversample")
+    val cand = bruteForceTopK(corpus, corpusId, corpusEmb,
+      queries, queryId, queryEmb, k * oversample)
+    val withVec = cand.join(
+      corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("__cv")),
+      Seq("corpus_id"))
+    mmrRerank(withVec, k, lambda)
+  }
+
+  /** The re-rank half of [[mmrTopK]]: `candidates` must carry
+    * (query_id, corpus_id, cosine, __cv vector); emits
+    * (query_id, corpus_id, rank, mmr_score rounded to 4). */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val selectMmr = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      // sort first: collect_list order is partitioning-dependent
+      val arr = cands.map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Float](2).toArray))
+        .sortBy(t => (-t._2, t._1)).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+      }
+      val n = arr.length
+      // maxSimTo(i) = max cosine from candidate i to anything selected so
+      // far, updated incrementally — O(n·k) cosine evals total
+      val maxSimTo = Array.fill(n)(0.0)
+      val used = Array.fill(n)(false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      while (out.length < math.min(k, n)) {
+        var best = -1; var bestObj = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!used(i)) {
+            val penalty = if (out.isEmpty) 0.0 else maxSimTo(i)
+            val obj = lambda * arr(i)._2 - (1.0 - lambda) * penalty
+            // strict >: ties keep the earliest candidate in the
+            // (cosine desc, id asc) order — deterministic
+            if (obj > bestObj) { bestObj = obj; best = i }
+          }
+          i += 1
+        }
+        used(best) = true
+        out += ((arr(best)._1, out.length + 1, math.rint(bestObj * 1e4) / 1e4))
+        var j = 0
+        while (j < n) {
+          if (!used(j)) {
+            val s = cos(arr(j)._3, arr(best)._3)
+            if (s > maxSimTo(j)) maxSimTo(j) = s
+          }
+          j += 1
+        }
+      }
+      out.toSeq
+    }
+    candidates
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("corpus_id").cast("long"),
+        col("cosine").cast("double"), col("__cv"))).as("cands"))
+      .select(col("query_id"), explode(selectMmr(col("cands"))).as("s"))
+      .select(col("query_id"), col("s._1").as("corpus_id"),
+        col("s._2").as("rank"), col("s._3").as("mmr_score"))
+  }
+
   /** FAISS-style training bound: centroid quality saturates at ~O(100)
     * points per centroid, so the quantizer trainers collect at most
     * `max(k·256, 4096)` sample rows to the driver — a constant while the

@@ -164,6 +164,56 @@ class ExtSpec extends SparkSpec {
     assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("similarity: MMR lambda=1 equals plain top-k; lower lambda diversifies") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // lambda = 1: penalty term vanishes, selection = relevance order
+    val plain = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    val mmr1 = rows(Similarity.mmrTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, lambda = 1.0, oversample = 4))
+    assert(mmr1 == plain)
+    // deterministic under repartitioning (collect_list order must not leak)
+    val mmrA = Similarity.mmrTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, lambda = 0.3, oversample = 4)
+    val mmrB = Similarity.mmrTopK(emb.repartition(13), "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, lambda = 0.3, oversample = 4)
+    val a = mmrA.collect().map(_.toString).sorted.toSeq
+    assert(a == mmrB.collect().map(_.toString).sorted.toSeq)
+    // rank 1 is always the plain nearest neighbor; picks are distinct and
+    // drawn from the candidate pool
+    val byQ = mmrA.collect().groupBy(_.getLong(0))
+    val top1 = plain.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length)
+      assert(rs.find(_.getInt(2) == 1).get.getLong(1) == top1(qid))
+    }
+    // diversification: mean pairwise cosine within the lambda=0.3 pick set
+    // must not exceed the plain top-k's (it trades relevance for spread)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosL(x: Array[Float], y: Array[Float]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      dot / math.sqrt(x.map(v => v.toDouble * v).sum) /
+        math.sqrt(y.map(v => v.toDouble * v).sum)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cosL(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val plainByQ = plain.groupBy(_._1)
+    byQ.keys.foreach { qid =>
+      val dMmr = meanPairSim(byQ(qid).map(_.getLong(1)).toSeq)
+      val dPlain = meanPairSim(plainByQ(qid).map(_._2).toSeq)
+      assert(dMmr <= dPlain + 1e-9, s"q=$qid mmr=$dMmr plain=$dPlain")
+    }
+  }
+
   test("similarity: LSH top-k recall >= 0.6 vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
