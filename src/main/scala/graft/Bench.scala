@@ -80,11 +80,15 @@ object Bench {
     * timed sections so one query's leftovers can't pressure the next —
     * bench hygiene, not part of any timed path. Scoped to the RDD ids that
     * appeared since `before` (r6 ADVICE: the unscoped form also unpersisted
-    * anything a future section had deliberately cached). */
+    * anything a future section had deliberately cached). BLOCKING (r9): a
+    * lazy unpersist lets a 10×-corpus cached frame linger into the next
+    * timed section's heap — the r8 verdict's prime suspect for the LM
+    * sections' in-suite 2× variance; these calls sit OUTSIDE the timed
+    * regions, so the synchronous free costs untimed wall clock only. */
   private def dropNewBlocks(spark: SparkSession, before: Set[Int]): Unit =
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !before.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
+      .values.foreach(_.unpersist(blocking = true))
 
   private def persistedIds(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -117,10 +121,21 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-section JVM GC time (ms) — separates heap/GC pressure from plan
+    // regressions when a section is slower in-suite than isolated (the r8
+    // kneser-ney reconciliation needed a judge rerun to tell them apart)
+    val gcs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     def timed[A](name: String)(f: => A): A = {
       loads += name -> loadavg()
+      val g0 = gcMillis()
       val (t, a) = time(f)
       results += name -> t
+      gcs += name -> (gcMillis() - g0)
       a
     }
 
@@ -312,6 +327,25 @@ object Bench {
     timed("dedup_store_scrub_10x")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
 
+    // round-9: store COMPACTION — 8 more crawl appends fragment the store
+    // (3 dirs × 8 file generations); the same scrub is timed fragmented,
+    // then compacted. On an object store the gap is the per-file LIST/GET
+    // overhead; locally it is smaller but still measures the collapse.
+    timed("dedup_store_append_8") {
+      for (i <- 0 until 8) {
+        val b = docs.select(
+          (col("doc_id") + lit(20000000L + i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" r9 crawl batch $i")).as("text"))
+        ext.Dedup.appendToMinHashStore(b, "doc_id", "text", mhsDir)
+      }
+    }
+    timed("dedup_store_scrub_fragmented")(
+      ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
+    timed("dedup_store_compact")(
+      ext.Dedup.compactMinHashStore(spark, mhsDir))
+    timed("dedup_store_scrub_compacted")(
+      ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
+
     // round-8: stupid-backoff bigram scoring at 10× — two count
     // aggregations + two token-keyed serve joins over the internally
     // cached tokenized frame (dropNewBlocks clears it after the section)
@@ -403,15 +437,20 @@ object Bench {
     // writeBucketed guarantees single-file buckets, so the legacy
     // ordering flag is safe here and the serve is a pure zip-merge
     // (no Exchange AND no Sort; see Bucketing.writeBucketed scaladoc)
+    // try/finally: if the shuffle-free require or the serve job throws,
+    // the legacy flag must not leak into every subsequent section's plans
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    timed("join_bucketed_serve") {
-      val j = ext.Bucketing.colocatedJoin(spark, "bench_bkt_li",
-        "bench_bkt_ord", Seq("l_orderkey"), Seq("o_orderkey"))
-      require(ext.Bucketing.shuffleExchangeCount(j) == 0,
-        "bucketed join planned a shuffle")
-      j.groupBy("o_orderpriority").agg(sum("l_extendedprice")).count()
+    try {
+      timed("join_bucketed_serve") {
+        val j = ext.Bucketing.colocatedJoin(spark, "bench_bkt_li",
+          "bench_bkt_ord", Seq("l_orderkey"), Seq("o_orderkey"))
+        require(ext.Bucketing.shuffleExchangeCount(j) == 0,
+          "bucketed join planned a shuffle")
+        j.groupBy("o_orderpriority").agg(sum("l_extendedprice")).count()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
-    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     timed("join_shuffled_comparator")(
       li.hint("merge")
         .join(ordersB.hint("merge"), col("l_orderkey") === col("o_orderkey"))
@@ -453,9 +492,19 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson = loads.map { case (k, v) => s""""$k":${num("%.2f", v)}""" }
       .mkString("{", ",", "}")
+    val gcJson = gcs.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
+    // ALSO write the metrics to a file: the driver's BENCH_r08.json tail
+    // cap truncated the stdout line's head and lost total/validate_full —
+    // a file can't be cut by a log tail (r8 verdict What's-wrong #4)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH_LOCAL.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -319,6 +319,42 @@ object SparkEntry {
         (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
       }.toDF("column", "dtype", "failure_count").orderBy("column")
     }),
+    "io_script_roundtrip" -> ((s, d) => {
+      // round-9 (r8 verdict #8): toScript was only string-spec-tested —
+      // here the emitted code COMPILES (Scala ToolBox) into a live schema
+      // whose per-check failure counts must equal the source schema's
+      // (required in-gate); the DuckDB oracle then recomputes the counts
+      // from scratch, so the compiled checks' semantics are pinned
+      // cross-engine, not just self-consistent.
+      val df = t(s, d, "lineitem")
+      val src = DataFrameSchema(
+        "l_orderkey" -> ColumnSchema(Some(LongType), Seq(Check.ge(1L)), nullable = false),
+        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
+        "l_returnflag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "R")))),
+        "l_linestatus" -> ColumnSchema(Some(StringType), Seq(Check.notin(Seq("F")))))
+      val compiled = graft.io.SchemaIO.evalScript(graft.io.SchemaIO.toScript(src))
+      def sig(r: ValidationResult): Seq[(String, String, Long)] =
+        r.errors.map(e => (e.column.getOrElse(""), e.check, e.failureCount))
+          .sortBy(x => (x._1, x._2))
+      val a = sig(src.validate(df))
+      val b = sig(compiled.validate(df))
+      require(a == b, s"compiled-script schema verdicts diverged:\n$a\nvs\n$b")
+      // fixed output rows (0 when a check passed) so the oracle is a pure
+      // recomputation, independent of which checks happen to fail at a SF;
+      // matched on the check's full described name (ge's described form is
+      // greater_than_or_equal_to — a short-label substring would miss it)
+      val wanted = Seq(
+        ("l_orderkey", "ge", "greater_than_or_equal_to"),
+        ("l_linestatus", "notin", "notin"),
+        ("l_quantity", "in_range", "in_range"),
+        ("l_returnflag", "isin", "isin"))
+      import s.implicits._
+      wanted.map { case (cn, label, described) =>
+        (cn, label, b.collectFirst {
+          case (c, chk, n) if c == cn && chk.contains(described) => n
+        }.getOrElse(0L))
+      }.toDF("column", "check_name", "failure_count").orderBy("column")
+    }),
     "synth_roundtrip" -> ((s, d) => {
       // synthesized data from a constrained schema must validate against it
       val schema = DataFrameSchema(
@@ -705,6 +741,34 @@ object SparkEntry {
       ext.FingerprintStore.scrub(batch3, "text", dir)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_fp_compacted" -> ((s, d) => {
+      // round-9: fingerprint-store compaction — same store construction,
+      // crawl batch and oracle as dedup_fp_store, with compact() between
+      // the append and the scrub: fps files collapse to size-targeted
+      // ones and the Bloom filter rebuilds at the meta geometry.
+      // Membership is untouched (the oracle pins it); the in-gate require
+      // pins the file collapse.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore-c").toString
+      ext.FingerprintStore.build(docs, "text", dir)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft fp-store tail")).as("text"))
+      ext.FingerprintStore.append(batch2, "text", dir)
+      val filesBefore = ext.StoreFiles.dataFileCount(s, s"$dir/fps")
+      ext.FingerprintStore.compact(s, dir)
+      require(ext.StoreFiles.dataFileCount(s, s"$dir/fps") < filesBefore,
+        "fps compaction did not collapse files")
+      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" graft fp-store tail")).as("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(col("text"), lit(" fresh crawl content")).as("text")))
+      ext.FingerprintStore.scrub(batch3, "text", dir)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "stream_scrub_store" -> ((s, d) => {
       // round-8: batch ≡ streaming for the persisted fingerprint store —
       // the SAME store construction and crawl batch as dedup_fp_store,
@@ -762,6 +826,47 @@ object SparkEntry {
       ext.Dedup.buildMinHashStore(docs, "doc_id", "text", tmp)
       ext.Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", tmp)
         .select("doc_id").orderBy("doc_id")
+    }),
+    "dedup_store_compacted" -> ((s, d) => {
+      // round-9: store COMPACTION — same corpus/batch/oracle as
+      // dedup_incremental_store, but the store accumulates three file
+      // generations (build + 2 appends), then compact() collapses the
+      // count-delta files into one snapshot and rewrites rows/shingles.
+      // In-gate requires pin (a) the file collapse actually happened and
+      // (b) the compacted serve is row-identical to an uncompacted
+      // single-build store; the DuckDB oracle then pins the absolute
+      // semantics. This is the append-heavy deployment's answer to the
+      // object-store small-files listing cost.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft r8 incremental tail")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 3)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(lit("fresh graft content "), col("doc_id")).as("text")))
+      val dir = java.nio.file.Files.createTempDirectory("graft-mhsc").toString
+      ext.Dedup.buildMinHashStore(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", dir)
+      ext.Dedup.appendToMinHashStore(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", dir)
+      ext.Dedup.appendToMinHashStore(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", dir)
+      def files() = Seq("bucket_counts", "rows", "shingles")
+        .map(sub => ext.StoreFiles.dataFileCount(s, s"$dir/$sub")).sum
+      val filesBefore = files()
+      ext.Dedup.compactMinHashStore(s, dir)
+      require(files() < filesBefore,
+        s"compaction did not collapse files: $filesBefore -> ${files()}")
+      val served = ext.Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", dir)
+        .select("doc_id")
+      val ref = java.nio.file.Files.createTempDirectory("graft-mhsc-ref").toString
+      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", ref)
+      val uncompacted = ext.Dedup
+        .dropExistingNearDupStore(incoming, "doc_id", "text", ref).select("doc_id")
+      require(served.collect().map(_.getLong(0)).sorted.toSeq ==
+        uncompacted.collect().map(_.getLong(0)).sorted.toSeq,
+        "compacted serve diverged from the uncompacted store")
+      served.orderBy("doc_id")
     }),
     "dedup_spans" -> ((s, d) =>
       // round-5: span-level cross-doc duplicate ranges (hash-based
@@ -1031,6 +1136,27 @@ object SparkEntry {
           s"store union diverged from one-shot for ${r.getString(0)}")
       }
       served.orderBy("event_type")
+    }),
+    "stats_distinct_compacted" -> ((s, d) => {
+      // round-9: sketch-store compaction — five per-batch appends merge
+      // to ONE row per key (register-max union, associative+idempotent),
+      // and the coupon-phase estimates must stay EXACTLY the one-shot
+      // values, so the same DuckDB exact-count oracle still pins the
+      // result. In-gate requires pin the row/file collapse and that a
+      // post-compaction append still serves.
+      val ev = t(s, d, "events")
+      val dir = java.nio.file.Files.createTempDirectory("graft-hllstore-c").toString
+      for (b <- 0 to 4)
+        ext.SketchStore.append(ext.SketchStore.distinctSketch(
+          ev.filter(pmod(col("event_id"), lit(5)) === b), Seq("event_type"),
+          "user_id"), dir, s"batch_$b")
+      val rowsBefore = s.read.parquet(dir).count()
+      val filesBefore = ext.StoreFiles.dataFileCount(s, dir)
+      ext.SketchStore.compact(s, dir)
+      val nKeys = s.read.parquet(dir).count()
+      require(nKeys < rowsBefore && ext.StoreFiles.dataFileCount(s, dir) < filesBefore,
+        s"sketch compaction did not collapse: $rowsBefore rows/$filesBefore files")
+      ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
     }),
     "er_fuzzy_dedup" -> ((s, d) =>
       // round-8: blocked fuzzy entity resolution — Jaro-Winkler (native
@@ -1542,6 +1668,37 @@ object SparkEntry {
       import s.implicits._
       measured.toDF("method", "recall_at_5").orderBy("method")
     }),
+    "sim_ann_lifecycle" -> ((s, d) => {
+      // round-9 (r8 verdict #3): index LIFECYCLE — build-time recall
+      // asserts say nothing about a persisted store after corpus drift.
+      // Construct the drifted shape directly: quantizers trained on a
+      // 32-vector sliver, the FULL corpus encoded against them
+      // (production after heavy drift). The recall probe must flag the
+      // degradation; migrate() re-trains on the full corpus, re-encodes
+      // as v2 alongside v1 and atomically flips the pointer; the healed
+      // serve must improve recall AND be hash-identical to the one-shot
+      // golden pin (same trained index by determinism).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-life").toString
+      val stale = ext.Similarity.trainIvfPq(emb.filter(col("vec_id") < 32),
+        "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16)
+      ext.AnnStore.create(emb, "vec_id", "embedding", stale, dir)
+      val probeQs = emb.filter(pmod(col("vec_id"), lit(7)) === 3).limit(40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val rStale = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
+        probeQs, "qid", "qv", k = 5, nProbe = 12)
+      val good = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        nCentroids = 16, m = 8, ksub = 16)
+      require(ext.AnnStore.migrate(emb, "vec_id", "embedding", good, dir) == 2)
+      val rHealed = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
+        probeQs, "qid", "qv", k = 5, nProbe = 12)
+      require(rHealed > rStale && rHealed >= 0.55,
+        f"migration did not heal recall: stale=$rStale%.4f healed=$rHealed%.4f")
+      ext.AnnStore.serve(dir, emb, "vec_id", "embedding", queries,
+        "qid", "qv", k = 5, nProbe = 12).orderBy("query_id", "rank")
+    }),
     "sim_embedding_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
         round(ext.Similarity.l2Norm(col("embedding")), 4).as("norm"))
@@ -2013,8 +2170,13 @@ object SparkEntry {
       // round-8: exact heavy hitters per event-time window — "trending
       // users per day": one windowed Misra-Gries + count aggregation,
       // then a broadcast-pruned exact recount cut at phi·N_window; the
-      // oracle recomputes the exact per-window cut in SQL
-      ext.HeavyHitters.frequentItemsByWindow(t(s, d, "events"), "ts",
+      // oracle recomputes the exact per-window cut in SQL. Explicit
+      // null-ts filter on BOTH engines: Spark's window() silently drops
+      // null event times while DuckDB's date_trunc would emit a NULL
+      // window_start group — pin the shared semantics instead of relying
+      // on the data having no null ts (r8 ADVICE).
+      ext.HeavyHitters.frequentItemsByWindow(
+        t(s, d, "events").filter(col("ts").isNotNull), "ts",
         "user_id", phi = 0.015, windowDur = "1 day")),
     "events_hourly" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -2107,6 +2269,25 @@ object SparkEntry {
         "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id")
+
+  /** Shared by dedup_incremental_store and dedup_store_compacted (r9):
+    * compaction must serve the exact same rows, so both gates pin the
+    * same DuckDB exact cross-Jaccard recomputation. */
+  private val mhStoreOracle: String =
+    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+      "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r8 incremental tail' AS text FROM docs WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id + 2000000, 'fresh graft content ' || doc_id::VARCHAR FROM docs WHERE doc_id % 5 = 3), " +
+      "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
+      "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+      "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs), " +
+      "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+      "matched AS (SELECT DISTINCT a.doc_id FROM sa a JOIN sb b ON " +
+      "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8) " +
+      "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id")
 
   /** Shared by dedup_fp_store and its streaming replay twin (batch ≡
     * stream by construction — same store, same crawl batch). */
@@ -2304,6 +2485,10 @@ object SparkEntry {
     "sim_topk_ivfpq_pruned" -> ivfPqOracleSql,
     // half-encode + append ingest serves identically to one-shot
     "sim_topk_ivfpq_append" -> ivfPqOracleSql,
+    // migrated (re-train → re-encode v2 → atomic pointer flip) store
+    // serves hash-identically to the one-shot — same golden pin; the
+    // recall degradation/heal is required in-gate
+    "sim_ann_lifecycle" -> ivfPqOracleSql,
     "sim_encode_stream" ->
       "SELECT CAST(0 AS BIGINT) AS n_diff, (SELECT count(*) FROM embeddings) AS n_rows",
     "sim_topk_pq" ->
@@ -2449,6 +2634,15 @@ object SparkEntry {
         ") v(\"column\", dtype, fc) ORDER BY \"column\""),
     "synth_roundtrip" ->
       "SELECT 'synthesis_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    // compiled-script schema's failure counts, recomputed from scratch —
+    // semantics identical to the chk_* oracles for the same checks
+    "io_script_roundtrip" ->
+      ("SELECT \"column\", check_name, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('l_orderkey', 'ge', (SELECT count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT (l_orderkey >= 1)) FROM lineitem)), " +
+        "('l_linestatus', 'notin', (SELECT count(*) FILTER (WHERE l_linestatus IS NOT NULL AND l_linestatus IN ('F')) FROM lineitem)), " +
+        "('l_quantity', 'in_range', (SELECT count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) FROM lineitem)), " +
+        "('l_returnflag', 'isin', (SELECT count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','R')) FROM lineitem))" +
+        ") v(\"column\", check_name, fc) ORDER BY \"column\""),
     "synth_regex_roundtrip" ->
       "SELECT 'synth_regex_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "synth_infer_roundtrip" ->
@@ -2868,21 +3062,13 @@ object SparkEntry {
         "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
         "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
         ") u ORDER BY doc_id"),
-    "dedup_incremental_store" ->
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r8 incremental tail' AS text FROM docs WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 2000000, 'fresh graft content ' || doc_id::VARCHAR FROM docs WHERE doc_id % 5 = 3), " +
-        "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
-        "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs), " +
-        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-        "matched AS (SELECT DISTINCT a.doc_id FROM sa a JOIN sb b ON " +
-        "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8) " +
-        "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id"),
+    "dedup_incremental_store" -> mhStoreOracle,
+    "dedup_store_compacted" -> mhStoreOracle,
+    "dedup_fp_compacted" -> fpStoreOracle,
+    "stats_distinct_compacted" ->
+      ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "stream_scrub_store" -> fpStoreOracle,
     "dedup_fp_store" -> fpStoreOracle,
     "dedup_incremental_bloom" ->
@@ -2979,7 +3165,7 @@ object SparkEntry {
     // exact per-window heavy-hitter cut recomputed in SQL; Spark's tumbling
     // 1-day window and date_trunc('day') share UTC midnight boundaries
     "events_trending" ->
-      ("WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2), " +
+      ("WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
         "t AS (SELECT window_start, CAST(sum(cnt) AS BIGINT) AS n_group FROM w GROUP BY 1) " +
         "SELECT w.window_start, user_id, cnt, n_group FROM w JOIN t USING(window_start) " +
         "WHERE cnt >= 0.015 * n_group ORDER BY window_start, cnt DESC, user_id"),

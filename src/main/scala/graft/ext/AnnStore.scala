@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned, migratable deployment wrapper around a persisted ANN index —
+  * the LIFECYCLE half of the train-once/encode-once story ([[AnnIndex]] +
+  * [[Similarity.encodeAndWritePartitioned]] cover the build; this covers
+  * what a team operating the store against a LIVE corpus needs next):
+  *
+  *   - '''recall monitoring''': build-time recall asserts say nothing
+  *     about a store six months of corpus drift later — the quantizers
+  *     were trained on the OLD distribution, so appended batches land in
+  *     ill-fitting cells and serve recall decays silently.
+  *     [[recallProbe]] measures recall@k of the PERSISTED store against
+  *     brute force on a bounded query sample — cheap enough to run per
+  *     crawl batch, and the trigger for…
+  *   - '''migration''': [[migrate]] re-encodes the corpus against a newly
+  *     trained index into a NEW version directory alongside the live one,
+  *     then flips an atomic `current.json` pointer. Serves read whichever
+  *     version the pointer names — a reader mid-migration sees the old
+  *     store in full, never a mix; a crash before the flip leaves the old
+  *     version live and the half-written one invisible (re-run to heal).
+  *
+  * Layout under `path`:
+  * {{{
+  *   current.json   {"format":"graft-ann-store","current":N}
+  *   v1/index.json  quantizers (AnnIndex JSON)
+  *   v1/codes/      cell-partitioned parquet codes
+  *   v2/...         next version, created by migrate()
+  * }}}
+  *
+  * The pointer flip is `Files.move(..., ATOMIC_MOVE)` of a sibling temp
+  * file — atomic on POSIX and HDFS-style stores; object stores fall back
+  * to copy-then-replace of a KB-sized file, the narrowest practical
+  * window. */
+object AnnStore {
+
+  private def currentPath(path: String) = s"$path/current.json"
+  private def indexPath(path: String, v: Int) = s"$path/v$v/index.json"
+  private def codesPath(path: String, v: Int) = s"$path/v$v/codes"
+
+  /** The live version number named by the pointer. */
+  def currentVersion(path: String): Int = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(currentPath(path))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(s, classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-ann-store",
+      s"not an ANN store at $path")
+    root.get("current").asInstanceOf[Number].intValue()
+  }
+
+  private def writePointer(path: String, v: Int): Unit = {
+    val json = s"""{"format":"graft-ann-store","current":$v}"""
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(".current.json.tmp")
+    java.nio.file.Files.write(tmp,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve("current.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeVersion(corpus: DataFrame, idCol: String, embCol: String,
+      index: AnnIndex, path: String, v: Int): Unit = {
+    index.save(indexPath(path, v))
+    Similarity.encodeAndWritePartitioned(corpus, idCol, embCol, index,
+      codesPath(path, v))
+  }
+
+  /** Create the store at version 1: quantizers + cell-partitioned codes +
+    * pointer. The pointer is written LAST — a crash mid-create leaves no
+    * pointer, i.e. no store. */
+  def create(corpus: DataFrame, idCol: String, embCol: String,
+      index: AnnIndex, path: String): Unit = {
+    writeVersion(corpus, idCol, embCol, index, path, 1)
+    writePointer(path, 1)
+  }
+
+  def loadIndex(path: String): AnnIndex =
+    AnnIndex.load(indexPath(path, currentVersion(path)))
+
+  def codes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(codesPath(path, currentVersion(path)))
+
+  /** Encode a new batch against the CURRENT (frozen) index and append its
+    * codes — the steady-state ingest path. History is never re-encoded;
+    * if the batch's distribution has drifted off the trained quantizers,
+    * [[recallProbe]] is how that shows up. */
+  def append(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit = {
+    val v = currentVersion(path)
+    val index = AnnIndex.load(indexPath(path, v))
+    Similarity.encodeAndWritePartitioned(batch, idCol, embCol, index,
+      codesPath(path, v), mode = "append")
+  }
+
+  /** Serve a query batch from the current version (partition-pruned —
+    * only probed cells' files are read). `corpus` supplies raw vectors
+    * for the exact re-rank, exactly as the underlying `*TopKIndexed`. */
+  def serve(path: String, corpus: DataFrame, corpusId: String,
+      corpusEmb: String, queries: DataFrame, queryId: String,
+      queryEmb: String, k: Int, nProbe: Int = 8,
+      refineFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val index = loadIndex(path)
+    val enc = codes(spark, path)
+    index.kind match {
+      case "ivf" => Similarity.ivfTopKIndexed(enc, queries, queryId,
+        queryEmb, index, k, nProbe, pruneCells = true)
+      case "ivfpq" => Similarity.ivfPqTopKIndexed(enc, corpus, corpusId,
+        corpusEmb, queries, queryId, queryEmb, index, k, nProbe,
+        refineFactor, pruneCells = true)
+      case other => sys.error(s"AnnStore.serve: unsupported kind '$other'")
+    }
+  }
+
+  /** Recall@k of the PERSISTED store against exact brute force, measured
+    * on a bounded query sample: |ANN ∩ exact| / |exact| over the sample's
+    * top-k sets. Cost: one partition-pruned serve + one corpus scan for
+    * the brute-force side — run it per crawl batch on a few hundred
+    * sampled queries and alert when it dips below the build-time floor;
+    * that dip is the re-train → [[migrate]] trigger. */
+  def recallProbe(path: String, corpus: DataFrame, corpusId: String,
+      corpusEmb: String, sampleQueries: DataFrame, queryId: String,
+      queryEmb: String, k: Int, nProbe: Int = 8,
+      refineFactor: Int = 4): Double = {
+    val ann = serve(path, corpus, corpusId, corpusEmb, sampleQueries,
+        queryId, queryEmb, k, nProbe, refineFactor)
+      .select("query_id", "corpus_id")
+    val exact = Similarity.bruteForceTopK(corpus, corpusId, corpusEmb,
+        sampleQueries, queryId, queryEmb, k)
+      .select("query_id", "corpus_id")
+    // both sides are ≤ |sample|·k rows; the intersection join is tiny
+    val hit = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi").count()
+    val total = exact.count()
+    if (total == 0L) 1.0 else hit.toDouble / total
+  }
+
+  /** Compact the current version's code store: every [[append]] adds its
+    * own files INSIDE each cell partition, so after N crawl batches a
+    * probed cell reads N small files — the same object-store listing cost
+    * the other stores' compact() addresses. One shuffle on `cell` lands
+    * each cell's rows in a single task → one file per cell directory; the
+    * swap is rename-based and the serve (which reads whatever the cell
+    * directories hold) is hash-identical before and after. */
+  def compactCodes(spark: SparkSession, path: String): Unit = {
+    val v = currentVersion(path)
+    val dir = codesPath(path, v)
+    val tmp = dir + ".compacting"
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    StoreFiles.swapDir(spark, tmp, dir)
+  }
+
+  /** Delete all non-current version directories — run once migrated
+    * readers have drained. The pointer is never touched. */
+  def dropOldVersions(spark: SparkSession, path: String): Unit = {
+    val cur = currentVersion(path)
+    val f = StoreFiles.fs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    f.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v") &&
+          n.drop(1).forall(_.isDigit) && n.drop(1).toInt != cur)
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Re-encode the corpus against a NEWLY trained index as version
+    * current+1, then atomically flip the pointer. The old version's files
+    * stay on disk for readers that already resolved the pointer (delete
+    * them out-of-band once drained). Serving from the migrated store is
+    * byte-equivalent to a fresh [[create]] with the same index — the gate
+    * asserts hash-identity against the one-shot golden pin. */
+  def migrate(corpus: DataFrame, idCol: String, embCol: String,
+      newIndex: AnnIndex, path: String): Int = {
+    val next = currentVersion(path) + 1
+    writeVersion(corpus, idCol, embCol, newIndex, path, next)
+    writePointer(path, next)
+    next
+  }
+}

@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   * incrementally (running frame), not re-scanned per row.
   *
   * Determinism: ties inside the RIGHT side on (keys, ts) are resolved by
-  * the union sort's tie-break, which is not a total order — callers with
-  * duplicate right timestamps per key should pre-aggregate (the gate
-  * data has none; DuckDB leaves the same case undefined). */
+  * the union sort's tie-break, which is not a total order — DuckDB leaves
+  * the same case undefined. Callers with duplicate right timestamps per
+  * key pass `tieBreak` (r9): the right side pre-aggregates to ONE row per
+  * (keys, ts) — the row with the LARGEST tieBreak tuple — making the
+  * result total-order deterministic at the cost of one extra right-side
+  * aggregation (which shuffles on the same keys the join already
+  * shuffles on, so AQE typically plans it into the same exchange). */
 object AsOfJoin {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
@@ -50,16 +54,33 @@ object AsOfJoin {
     *                   numeric ones; matches farther away resolve to null
     * @param rightPrefix prefix for the attached right columns (the right
     *                   ts lands as `<prefix><rightTs>`)
+    * @param tieBreak   right columns resolving duplicate (keys, ts) right
+    *                   rows: the row with the LARGEST tieBreak tuple wins
+    *                   (supply a column that totally orders each
+    *                   duplicate group — e.g. a sequence number — for a
+    *                   fully deterministic result). Empty = legacy
+    *                   undefined-on-ties behavior, zero extra cost.
     * Output: every left row/column, plus each right value column (and the
     * right ts) prefixed — null when no right row qualifies (left join). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
       direction: String = "backward", tolerance: Option[Long] = None,
-      rightPrefix: String = "asof_"): DataFrame = {
+      rightPrefix: String = "asof_", tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "asOfJoin: at least one key column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     require(rightValues.nonEmpty, "asOfJoin: no right value columns to attach")
+    // tieBreak: collapse duplicate (keys, ts) right rows to the max-by
+    // winner BEFORE the union — the window then sees at most one right
+    // row per (keys, ts), so the running `last` is total-order defined
+    val right0 =
+      if (tieBreak.isEmpty) right
+      else right
+        .groupBy((keys.map(q) :+ q(rightTs).as(rightTs)): _*)
+        .agg(max_by(struct(rightValues.map(c => q(c).as(c)): _*),
+          struct(tieBreak.map(q): _*)).as("__tb"))
+        .select((keys.map(q) :+ q(rightTs)) ++
+          rightValues.map(c => col(s"__tb.`${c.replace("`", "``")}`").as(c)): _*)
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__ts") && !leftCols.contains("__tag"),
       "asOfJoin: left may not contain reserved __ts/__tag columns")
@@ -69,7 +90,7 @@ object AsOfJoin {
     // right rows can match no left row — drop them up front (the window's
     // partitionBy would otherwise group the NULL keys together and hand
     // null-key left rows a neighbor no real join would produce)
-    val rTagged = right
+    val rTagged = right0
       .filter(q(rightTs).isNotNull &&
         keys.map(q(_).isNotNull).reduce(_ && _))
       .select(keys.map(q) ++ Seq(q(rightTs).as("__ts"), lit(0).as("__tag"),

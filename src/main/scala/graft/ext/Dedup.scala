@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (beyond-reference
@@ -441,8 +441,9 @@ object Dedup {
     * `expectedItems` sizes the filter (defaults to a corpus count — one
     * cheap metadata-ish job); at 1% fpp the filter costs ~1.2 bytes/item,
     * so size it (or shard the corpus and use several filters) so it fits
-    * comfortably in executor memory. The membership probe is a UDF — the
-    * sanctioned escape hatch, as sketch probes have no Column form. */
+    * comfortably in executor memory. The membership probe is a native
+    * codegen'd expression ([[graft.functions.BloomMightContain]]) over
+    * the broadcast filter — no ScalaUDF on the ingest scan. */
   def dropExistingExactBloom(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       corpusTextCol: String = "", expectedItems: Long = 0L,
@@ -479,11 +480,13 @@ object Dedup {
       textCol: String, corpusTextCol: String,
       bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     val corpusFps = corpus.select(TextAnalysis.fingerprint64(q(corpusTextCol)).as("__fp"))
-    val mightContain = udf((fp: Long) => bc.value.mightContainLong(fp))
     val fpIn = TextAnalysis.fingerprint64(q(textCol))
     // batch-bounded candidate fingerprints; broadcast into a semi probe of
-    // the corpus (no corpus shuffle), confirmed hits broadcast back
-    val maybeFps = incoming.filter(mightContain(fpIn))
+    // the corpus (no corpus shuffle), confirmed hits broadcast back. The
+    // membership probe is a native codegen'd expression (r9) — no ScalaUDF
+    // on the full-width ingest scan.
+    val maybeFps = incoming
+      .filter(graft.functions.BloomMightContain(bc, fpIn))
       .select(fpIn.as("__fp")).distinct()
     val confirmed = corpusFps
       .join(broadcast(maybeFps), Seq("__fp"), "left_semi").distinct()
@@ -670,6 +673,42 @@ object Dedup {
       .select(col("id").as("id_corpus"), col("sh").as("sh_corpus"))
       .join(cand.select("id_corpus").distinct(), Seq("id_corpus"), "left_semi")
     crossJaccardVerify(cand, shNew, shCorpus, threshold)
+  }
+
+  /** Compact a MinHash store after N appends: the per-append
+    * `bucket_counts` COUNT DELTAS collapse into one summed snapshot
+    * (distinct-bucket-sized), and `rows/` / `shingles/` rewrite into
+    * size-targeted files (default ~128 MB). Served results are UNCHANGED —
+    * the serve already sums the deltas and unions the row files, so
+    * compaction only removes the per-file LIST/GET overhead that
+    * accumulates with crawl appends (the object-store small-files killer).
+    * Hash-identity vs the uncompacted store is gate-asserted.
+    *
+    * Crash safety: the three directory swaps are independent and each
+    * replaces content with an EQUIVALENT re-aggregation, so a crash
+    * between swaps leaves a mixed — but still correct — store; re-running
+    * compact completes it. */
+  def compactMinHashStore(spark: SparkSession, path: String,
+      targetFiles: Int = 0): Unit = {
+    minhashStoreParams(path) // sentinel: refuse non-store directories
+    def target(dir: String): Int =
+      if (targetFiles > 0) targetFiles
+      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
+    // 1. count deltas -> one summed snapshot (semantically what every
+    //    serve computes on the fly)
+    val bcDir = s"$path/bucket_counts"
+    spark.read.parquet(bcDir)
+      .groupBy("band", "bucket").agg(sum("n").as("n"))
+      .coalesce(target(bcDir)).write.mode("overwrite")
+      .parquet(bcDir + ".compacting")
+    StoreFiles.swapDir(spark, bcDir + ".compacting", bcDir)
+    // 2-3. band rows and shingles: pure file-count rewrites
+    Seq(s"$path/rows", s"$path/shingles").foreach { dir =>
+      spark.read.parquet(dir)
+        .coalesce(target(dir)).write.mode("overwrite")
+        .parquet(dir + ".compacting")
+      StoreFiles.swapDir(spark, dir + ".compacting", dir)
+    }
   }
 
   /** [[dropExistingNearDup]] against a persisted store. */

@@ -97,9 +97,12 @@ object FingerprintStore {
     val spark = incoming.sparkSession
     val bloom = loadBloom(path)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((f: Long) => bc.value.mightContainLong(f))
     val fpIn = fp(textCol)
-    val maybe = incoming.filter(mightContain(fpIn))
+    // native codegen'd probe (r9): the prefilter sits on the full-width
+    // ingest scan, so a ScalaUDF here would break whole-stage codegen on
+    // exactly the scan it exists to keep cheap
+    val maybe = incoming
+      .filter(graft.functions.BloomMightContain(bc, fpIn))
       .select(fpIn.as("fp")).distinct()
     // qualified column, not a bare col("fp"): an incoming frame with its
     // own `fp` column would otherwise make the condition ambiguous
@@ -119,10 +122,10 @@ object FingerprintStore {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = stream.sparkSession
     val bc = spark.sparkContext.broadcast(loadBloom(path))
-    val mightContain = udf((f: Long) => bc.value.mightContainLong(f))
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val fpIn = fp(textCol)
-      val maybe = batch.filter(mightContain(fpIn))
+      val maybe = batch
+        .filter(graft.functions.BloomMightContain(bc, fpIn))
         .select(fpIn.as("fp")).distinct()
       val confirmed = spark.read.parquet(fpsPath(path))
         .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
@@ -152,6 +155,45 @@ object FingerprintStore {
       .trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
     spark.read.parquet(outDir)
+  }
+
+  /** Compact the store after N appends: rewrite the accumulated fps files
+    * into `targetFiles` size-targeted ones (default ~128 MB each) and
+    * rebuild the Bloom filter from the compacted set — membership is
+    * UNCHANGED (compaction gate asserts scrub hash-identity), only the
+    * file count collapses. Optional `expectedItems`/`fpp` re-size the
+    * filter geometry (the escape from a saturating filter after growth
+    * past `build`'s sizing); 0 keeps the meta's geometry.
+    *
+    * Crash windows, in order: before the fps swap → store untouched;
+    * after the swap, before the bloom write → OLD filter over the SAME
+    * membership (superset-or-equal bits — extra candidates confirm
+    * against fps, correct); after the bloom write, before the meta write
+    * (re-size only) → filter geometry differs from meta, so the next
+    * append's `mergeInPlace` fails LOUDLY (incompatible merge) rather
+    * than corrupting — re-run compact to heal. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 0,
+      expectedItems: Long = 0L, fpp: Double = 0.0): Unit = {
+    val (metaItems, metaFpp) = readMeta(path)
+    val nItems = if (expectedItems > 0) expectedItems else metaItems
+    val nFpp = if (fpp > 0) fpp else metaFpp
+    val nf = if (targetFiles > 0) targetFiles
+      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, fpsPath(path)))
+    val tmp = fpsPath(path) + ".compacting"
+    // distinct is a no-op by the append contract (anti-joined before
+    // write) — kept as cheap insurance so a crashed half-append can
+    // never make compaction amplify duplicates
+    spark.read.parquet(fpsPath(path)).distinct()
+      .coalesce(nf).write.mode("overwrite").parquet(tmp)
+    val bloom = spark.read.parquet(tmp).stat.bloomFilter("fp", nItems, nFpp)
+    StoreFiles.swapDir(spark, tmp, fpsPath(path))
+    writeBloom(bloom, path)
+    if (nItems != metaItems || nFpp != metaFpp) {
+      val meta = s"""{"format": "graft-fingerprint-store", "version": 1, """ +
+        s""""expected_items": $nItems, "fpp": $nFpp}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(metaPath(path)),
+        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   def loadBloom(path: String): BloomFilter = {

@@ -35,23 +35,33 @@ object Funnel {
     import spark.implicits._
     // each step's (user, completion-ts) frame is persisted so step k+1
     // reads it from cache instead of replaying steps 1..k — k scans of the
-    // events data total, and the cached frames are user-count-sized
+    // events data total, and the cached frames are user-count-sized.
+    // r9 fusion: the frames are built LAZILY and all k step counts ride
+    // ONE union-aggregate action (the caches materialize in dependency
+    // order inside that action) — previously each step paid its own
+    // count() action plus persist churn.
     var prev: DataFrame = null
-    val counts = steps.zipWithIndex.map { case (step, i) =>
+    val frames = steps.map { step =>
       val stepEvents = base.filter(col("__t") === step)
       val next =
-        (if (i == 0)
+        (if (prev == null)
           stepEvents.groupBy("__u").agg(min("__ts").as("__prev"))
         else
           stepEvents.join(prev, "__u")
             .filter(col("__ts") >= col("__prev"))
             .groupBy("__u").agg(min("__ts").as("__prev"))).persist()
-      val n = next.count()
-      if (prev != null) prev.unpersist()
       prev = next
-      (i + 1, step, n)
+      next
     }
-    prev.unpersist()
-    counts.toDF("step", "step_name", "n_users")
+    val unioned = frames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+    try {
+      val rows = unioned.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      rows.toDF("step", "step_name", "n_users")
+    } finally frames.foreach(_.unpersist(blocking = false))
   }
 }

@@ -81,6 +81,8 @@ object HeavyHitters {
   def frequentItemsByWindow(df: DataFrame, tsCol: String, column: String,
       phi: Double, windowDur: String = "1 hour",
       capacity: Int = 0): DataFrame = {
+    require(!df.columns.contains("__wstart") && !df.columns.contains("window_start"),
+      "frequentItemsByWindow: __wstart/window_start are reserved column names")
     val ets = graft.functions.EventTime.eventTime(df, tsCol)
     val withW = df.withColumn("__wstart",
       date_format(window(ets, windowDur).getField("start"),

@@ -39,8 +39,10 @@ object Salting {
       require(ops.contains(op), s"saltedAggregate: unsupported op '$op' for '$out'")
       require(!out.startsWith("__"), "output names may not start with __")
     }
-    // deterministic salt from a row hash — no rand(), so retried tasks
-    // salt identically and results are reproducible
+    // salt from a hash of the partition-local ordinal — no rand(), so a
+    // TASK retry salts identically; a full stage recompute after an AQE
+    // re-plan may reassign ordinals, which is safe here because the two
+    // stages merge algebraically under ANY bucketing
     val salt = pmod(xxhash64(monotonically_increasing_id(), lit(0x5a17)),
       lit(saltBuckets.toLong))
     // stage 1: decomposed partials per (keys, salt)
@@ -131,10 +133,18 @@ object Salting {
     val hotR = rightKeys.zip(leftKeys).foldLeft(hotL) {
       case (df, (rk, lk)) => df.withColumnRenamed(lk, rk)
     }
-    // step 2: deterministic per-row salt for hot left rows (xxhash64 of
-    // the original row - retried tasks salt identically, no rand())
+    // step 2: deterministic per-row salt for hot left rows — xxhash64 of
+    // the row's columns PLUS its partition-local ordinal. The ordinal is
+    // what spreads a hot key whose rows are byte-identical (exactly the
+    // crawl-dedup-shaped skew this targets): content alone would land
+    // every duplicate in ONE salt bucket and the spread would silently
+    // vanish. No rand(): a task retry replays the same partition in the
+    // same order, so it salts identically; any salt is equally CORRECT
+    // regardless (the right side replicates across all saltFactor salts
+    // for hot keys, so each left row meets its full match set).
     val lSalt = when(coalesce(col("__hot"), lit(false)),
-      pmod(xxhash64(left.columns.map(q).toSeq :+ lit(0x5a17e): _*),
+      pmod(xxhash64(left.columns.map(q).toSeq
+          :+ monotonically_increasing_id() :+ lit(0x5a17e): _*),
         lit(saltFactor.toLong))).otherwise(lit(0L))
     val lSalted = left.join(broadcast(hotL), leftKeys.toSeq, "left")
       .withColumn("__salt", lSalt).drop("__hot")

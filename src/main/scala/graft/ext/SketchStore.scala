@@ -51,6 +51,38 @@ object SketchStore {
     sketches.withColumn("batch", lit(batchLabel))
       .write.mode("append").parquet(path)
 
+  /** Compact the store: the per-batch (keys…, n_rows, sketch) rows merge
+    * into ONE row per key group — n_rows summed, sketches unioned
+    * (register-wise max: associative, commutative, idempotent, so the
+    * merged sketch serves every later union exactly as the originals
+    * did — same error class, gate-asserted equal estimates). The `batch`
+    * lineage column collapses to the literal `"__compacted"`; subsequent
+    * appends keep stacking on top and can be compacted again.
+    *
+    * Key columns are discovered from the store schema (everything except
+    * n_rows/sketch/batch). The rewrite lands in a sibling temp dir and
+    * swaps in whole — a crash before the swap leaves the store untouched. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val store = spark.read.parquet(path)
+    val special = Set("n_rows", "sketch", "batch")
+    val keyCols = store.columns.filterNot(special.contains).toSeq
+    require(store.columns.contains("sketch") && store.columns.contains("n_rows"),
+      s"not a sketch store at $path")
+    val grouped =
+      if (keyCols.isEmpty) store.groupBy()
+      else store.groupBy(keyCols.map(q): _*)
+    val merged = grouped.agg(
+        sum("n_rows").as("n_rows"),
+        hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+      .withColumn("batch", lit("__compacted"))
+      // original column order, so compacted and appended files stay
+      // schema-aligned
+      .select(store.columns.map(c => col("`" + c.replace("`", "``") + "`")): _*)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    StoreFiles.swapDir(spark, tmp, path)
+  }
+
   /** Merged per-key estimates from everything in the store: (keys…,
     * n_rows summed, n_distinct estimated via the unioned sketch). Reads
     * only sketch rows — the corpora they summarize are not touched. */

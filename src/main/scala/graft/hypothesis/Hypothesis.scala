@@ -311,9 +311,14 @@ object Hypothesis {
         val c = colOpt.getOrElse(sys.error("chi_square_gof needs a column"))
         require(math.abs(expected.values.sum - 1.0) < 1e-6,
           s"chi_square_gof: expected proportions sum to ${expected.values.sum}, not 1")
+        // limit caps the collect at |expected| + a few unknowns for the
+        // error message — a high-cardinality column errors instead of
+        // OOMing the driver (mirrors chiSquareIndependence's maxCells and
+        // mannWhitneyU's maxDistinct guards)
         val rows = df.filter(col(c).isNotNull)
           .groupBy(col(c).cast("string").as("a"))
           .agg(count(lit(1)).cast("double").as("n"))
+          .limit(expected.size + 8)
           .collect()
         val obs = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
         val unknown = obs.keySet -- expected.keySet
@@ -386,11 +391,22 @@ object Hypothesis {
           val u1 = r1 - n1 * (n1 + 1) / 2
           val mu = n1 * n2 / 2
           val sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1))))
-          val z = (u1 - mu) / sigma
-          val p = 2.0 * (1.0 - new NormalDistribution(0, 1)
-            .cumulativeProbability(math.abs(z)))
-          AggOutcome(decide(relationship, z, p, alpha),
-            f"U=$u1%.1f z=$z%.6f p=$p%.6f n1=$n1%.0f n2=$n2%.0f distinct=${hist.length}")
+          if (sigma == 0.0) {
+            // every observation shares one value (hist collapses to a
+            // single fully-tied block): the rank statistic carries zero
+            // information, so report the degenerate case explicitly with
+            // z=0, p=1 ("no evidence of difference") instead of NaN —
+            // two identical constant samples must satisfy `Equal`.
+            AggOutcome(decide(relationship, 0.0, 1.0, alpha),
+              f"degenerate: all values tied (distinct=${hist.length}); " +
+                f"z=0 p=1 n1=$n1%.0f n2=$n2%.0f")
+          } else {
+            val z = (u1 - mu) / sigma
+            val p = 2.0 * (1.0 - new NormalDistribution(0, 1)
+              .cumulativeProbability(math.abs(z)))
+            AggOutcome(decide(relationship, z, p, alpha),
+              f"U=$u1%.1f z=$z%.6f p=$p%.6f n1=$n1%.0f n2=$n2%.0f distinct=${hist.length}")
+          }
         }
       },
       Map("groupby" -> groupbyCol, "sample1" -> sample1, "sample2" -> sample2,
@@ -448,11 +464,16 @@ object Hypothesis {
         sum(col("n1") * (col("cum") + (col("t") + 1) / 2)).as("R1"),
         sum(col("t") * col("t") * col("t") - col("t")).as("T3"),
         sum(col("t")).as("NN"))
+      // sigma materialized so the fully-tied degenerate case (sigma=0,
+      // where the division would yield null) pins z=0 — matching the
+      // driver form's explicit degenerate outcome
+      .withColumn("SIG", sqrt(col("N1") * col("N2") / 12.0
+        * ((col("NN") + 1) - col("T3") / (col("NN") * (col("NN") - 1)))))
       .select(
         round(col("R1") - col("N1") * (col("N1") + 1) / 2, 4).as("u1"),
-        round((col("R1") - col("N1") * (col("N1") + 1) / 2 - col("N1") * col("N2") / 2)
-          / sqrt(col("N1") * col("N2") / 12.0
-            * ((col("NN") + 1) - col("T3") / (col("NN") * (col("NN") - 1)))), 6).as("z"),
+        when(col("SIG") === 0.0, lit(0.0)).otherwise(
+          round((col("R1") - col("N1") * (col("N1") + 1) / 2
+            - col("N1") * col("N2") / 2) / col("SIG"), 6)).as("z"),
         col("N1").cast("long").as("n1"), col("N2").cast("long").as("n2"))
   }
 

@@ -619,4 +619,19 @@ object SchemaIO {
        |$cols)
        |""".stripMargin
   }
+
+  /** Compile and evaluate a [[toScript]] document back into a LIVE
+    * DataFrameSchema via the Scala ToolBox (scala-compiler ships on
+    * Spark's classpath) — the proof that `toScript` emits real code, not
+    * a string that merely looks compilable. Driver-side and schema-sized;
+    * the reference's to_script consumers paste the emitted code into a
+    * module and import it, which is exactly the path this exercises
+    * (reference: io/pandas_io.py:738 to_script). */
+  def evalScript(code: String): DataFrameSchema = {
+    import scala.tools.reflect.ToolBox
+    val tb = scala.reflect.runtime.currentMirror.mkToolBox()
+    // the script binds `val schema = ...`; appending the bare name makes
+    // the block evaluate to it
+    tb.eval(tb.parse(code + "\nschema")).asInstanceOf[DataFrameSchema]
+  }
 }

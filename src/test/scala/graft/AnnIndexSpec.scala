@@ -133,4 +133,84 @@ class AnnIndexSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { AnnIndex.fromJson("{\"format\": \"nope\"}") }
   }
+
+  test("AnnStore lifecycle: create/serve ≡ one-shot; append ingests; probe flags a stale index; migrate heals") {
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore").toString
+    // a WELL-trained index (full corpus) — store serve must equal one-shot
+    val good = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    AnnStore.create(emb, "vec_id", "embedding", good, s"$tmp/ok")
+    assert(AnnStore.currentVersion(s"$tmp/ok") == 1)
+    val oneShot = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12, m = 8,
+      ksub = 16, refineFactor = 4))
+    assert(rows(AnnStore.serve(s"$tmp/ok", emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nProbe = 12)) == oneShot)
+
+    // a STALE index: quantizers trained on a 32-vector sliver, full
+    // corpus encoded against it — the production shape after heavy drift
+    val stale = Similarity.trainIvfPq(emb.filter(col("vec_id") < 32),
+      "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16)
+    AnnStore.create(emb, "vec_id", "embedding", stale, s"$tmp/drift")
+    val probeQs = emb.filter(col("vec_id") % 7 === 3).limit(40)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rStale = AnnStore.recallProbe(s"$tmp/drift", emb, "vec_id",
+      "embedding", probeQs, "qid", "qv", k = 5, nProbe = 12)
+    // migrate: re-train on the full corpus, re-encode as v2, flip pointer
+    val v = AnnStore.migrate(emb, "vec_id", "embedding", good, s"$tmp/drift")
+    assert(v == 2 && AnnStore.currentVersion(s"$tmp/drift") == 2)
+    val rMigrated = AnnStore.recallProbe(s"$tmp/drift", emb, "vec_id",
+      "embedding", probeQs, "qid", "qv", k = 5, nProbe = 12)
+    info(f"recall@5 stale=$rStale%.4f migrated=$rMigrated%.4f")
+    assert(rMigrated > rStale,
+      f"migration did not improve recall: $rStale%.4f -> $rMigrated%.4f")
+    // migrated store serves exactly like the fresh well-trained one
+    assert(rows(AnnStore.serve(s"$tmp/drift", emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nProbe = 12)) == oneShot)
+    // old version untouched on disk (readers mid-migration stay correct)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/drift/v1/index.json")))
+
+    // append: new vectors ingest against the frozen index and are served
+    val extra = emb.limit(3).select((col("vec_id") + 900000).as("vec_id"),
+      col("embedding"))
+    AnnStore.append(extra, "vec_id", "embedding", s"$tmp/ok")
+    val corpus2 = emb.select(col("vec_id"), col("embedding")).unionByName(extra)
+    val q1 = extra.limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // the appended vector duplicates an original (cosine 1.0 for both;
+    // ties break by id asc), so k=2 must surface BOTH copies
+    val got = AnnStore.serve(s"$tmp/ok", corpus2, "vec_id", "embedding",
+        q1, "qid", "qv", k = 2, nProbe = 12)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    val want = q1.select("qid").collect().map(_.getLong(0)).head
+    assert(got.contains(want), s"appended vector not served: got $got want $want")
+  }
+
+  test("AnnStore codes compaction collapses per-append files; serve identical; old versions droppable") {
+    import graft.ext.{AnnStore, StoreFiles}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-c").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    // build from 1/3 of the corpus, append the rest in two batches —
+    // three file generations inside every probed cell partition
+    AnnStore.create(emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", idx, tmp)
+    AnnStore.append(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", tmp)
+    AnnStore.append(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", tmp)
+    def serveRows() = rows(AnnStore.serve(tmp, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nProbe = 12))
+    val before = serveRows()
+    val filesBefore = StoreFiles.dataFileCountRecursive(spark, s"$tmp/v1/codes")
+    AnnStore.compactCodes(spark, tmp)
+    assert(serveRows() == before)
+    val filesAfter = StoreFiles.dataFileCountRecursive(spark, s"$tmp/v1/codes")
+    assert(filesAfter < filesBefore,
+      s"codes compaction did not collapse files: $filesBefore -> $filesAfter")
+    // migrate then GC the old version: current survives, v1 is removed
+    AnnStore.migrate(emb, "vec_id", "embedding", idx, tmp)
+    AnnStore.dropOldVersions(spark, tmp)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/v1")))
+    assert(serveRows().nonEmpty) // v2 serves
+  }
 }

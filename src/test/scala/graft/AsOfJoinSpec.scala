@@ -141,4 +141,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(plan.split("Exchange hashpartitioning").length == 2, plan) // exactly one
   }
+
+  test("tieBreak pins duplicate right timestamps to the max-by winner, deterministically") {
+    val l = Seq(("a", 15L, "l1"), ("a", 10L, "l2")).toDF("k", "ts", "label")
+    // two right rows at EXACTLY ts=10 for key a — undefined without
+    // tieBreak; with tieBreak=seq the larger seq must win every time
+    val r = Seq(("a", 10L, 1.0, 1L), ("a", 10L, 2.0, 2L), ("a", 5L, 9.0, 3L))
+      .toDF("k", "ts", "v", "seq")
+    def run() = AsOfJoin.asOfJoin(l, r.repartition(7), Seq("k"), "ts", "ts",
+        Seq("v"), tieBreak = Seq("seq"))
+      .select("label", "asof_ts", "asof_v").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).sorted.toSeq
+    val first = run()
+    assert(first == Seq(("l1", 10L, 2.0), ("l2", 10L, 2.0)), first.toString)
+    (1 to 3).foreach(_ => assert(run() == first)) // stable across replans
+    // default (no tieBreak) still answers with SOME row at ts=10
+    val legacy = AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("v"))
+      .select("asof_ts").collect().map(_.getLong(0)).toSeq
+    assert(legacy.forall(_ == 10L))
+  }
 }

@@ -227,6 +227,34 @@ class ExtPropertySpec extends SparkSpec {
     assert(e.getMessage.contains("hot keys"))
   }
 
+  test("property: salted join spreads a hot key of byte-identical rows") {
+    import graft.ext.Salting
+    // the crawl-dedup shape: ONE hot key whose rows are exact duplicates
+    // (content-only salting would collapse them all into a single salt
+    // bucket and the spread would silently vanish — r8 verdict finding)
+    val left = spark.range(6000).select(
+      when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 11).as("lk"),
+      when(col("id") % 20 =!= 0, lit("dup")).otherwise(lit("uniq")).as("lv"))
+      .repartition(8)
+    val right = spark.range(30).select(
+      (col("id") % 12).as("rk"), concat(lit("p"), col("id")).as("pay"))
+    def runNorm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lk"), col("lv"), col("pay"))
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3))
+    val plain = runNorm(left.join(right, col("lk") === col("rk")))
+    val salted = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+      saltFactor = 8, hotKeyThreshold = 100))
+    assert(salted.toSeq == plain.toSeq)
+    // the spread itself: saltedJoin's salt expression over byte-identical
+    // rows must still hit >1 bucket (the per-row ordinal is what saves it)
+    val salts = left.filter(col("lk") === 7L)
+      .select(pmod(xxhash64(col("lk"), col("lv"),
+        monotonically_increasing_id(), lit(0x5a17e)), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts > 1L, s"byte-identical hot rows landed in $salts salt bucket(s)")
+  }
+
   test("property: Jaro-Winkler is symmetric, bounded, and 1 iff equal (non-empty)") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
     val genWord = Gen.listOfN(8, Gen.oneOf(('a' to 'e') ++ Seq('Ä', '中')))

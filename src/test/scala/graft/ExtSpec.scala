@@ -805,6 +805,52 @@ class ExtSpec extends SparkSpec {
     assert(sGot == sWant && sGot.nonEmpty)
   }
 
+  test("dedup: MinHash store compaction collapses files, serve stays row-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" compact spec tail")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhcompact").toString
+    // build from one third, append the other two — three file generations
+    Dedup.buildMinHashStore(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", tmp)
+    Dedup.appendToMinHashStore(docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", tmp)
+    Dedup.appendToMinHashStore(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+      "doc_id", "text", tmp)
+    def serve() = Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text", tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = serve()
+    val filesBefore = Seq("bucket_counts", "rows", "shingles")
+      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$tmp/$d")).sum
+    val deltasBefore = spark.read.parquet(s"$tmp/bucket_counts").count()
+    Dedup.compactMinHashStore(spark, tmp)
+    val after = serve()
+    assert(after == before && before.nonEmpty)
+    val filesAfter = Seq("bucket_counts", "rows", "shingles")
+      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$tmp/$d")).sum
+    assert(filesAfter < filesBefore,
+      s"compaction did not collapse files: $filesBefore -> $filesAfter")
+    // count deltas merged into one snapshot row per (band, bucket)
+    val deltasAfter = spark.read.parquet(s"$tmp/bucket_counts").count()
+    val distinctBuckets = spark.read.parquet(s"$tmp/bucket_counts")
+      .select("band", "bucket").distinct().count()
+    assert(deltasAfter == distinctBuckets && deltasAfter <= deltasBefore)
+    // appends after compaction still work and still serve identically
+    val extra = docs.limit(0)
+    Dedup.appendToMinHashStore(extra, "doc_id", "text", tmp)
+    assert(serve() == before)
+    // compaction is idempotent
+    Dedup.compactMinHashStore(spark, tmp)
+    assert(serve() == before)
+    // a non-store path is refused before anything is rewritten
+    intercept[Exception] {
+      Dedup.compactMinHashStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-notastore").toString)
+    }
+  }
+
   test("text: unigram log-prob matches hand computation incl. OOV floor") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProbs(d, "doc_id", "text", vocabSize = 2)

@@ -73,6 +73,65 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(got == Seq(11L))
   }
 
+  test("scrub prefilter is a native expression: no ScalaUDF anywhere in the plan") {
+    // r9: the bloom probe sits on the full-width ingest scan; a ScalaUDF
+    // there breaks whole-stage codegen on exactly the scan the prefilter
+    // exists to keep cheap. Both the store scrub and the direct bloom
+    // path must plan UDF-free.
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    // parquet-backed incoming: a LocalRelation would fold the filter at
+    // optimize time and the probe would never reach the physical plan
+    val incomingDir = tmp()
+    Seq((10L, "the quick brown fox"), (11L, "new content"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(incomingDir)
+    val incoming = spark.read.parquet(incomingDir)
+    val storePlan = FingerprintStore.scrub(incoming, "text", dir)
+      .queryExecution.executedPlan.toString
+    assert(!storePlan.contains("ScalaUDF"), s"store scrub plan has a UDF:\n$storePlan")
+    assert(storePlan.contains("graft_bloom_might_contain"),
+      s"native bloom probe missing from plan:\n$storePlan")
+    val directPlan = Dedup.dropExistingExactBloom(incoming, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!directPlan.contains("ScalaUDF"), s"direct bloom plan has a UDF:\n$directPlan")
+  }
+
+  test("compaction collapses fps files and rebuilds the filter; scrub row-identical; re-size works") {
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    for (b <- 1 to 3)
+      FingerprintStore.append(
+        Seq((100L + b, s"crawl batch $b content"), (200L + b, s"more batch $b text"))
+          .toDF("doc_id", "text"), "text", dir)
+    val incoming = Seq(
+      (300L, "the quick brown fox"),   // original corpus
+      (301L, "crawl batch 2 content"), // appended batch
+      (302L, "never seen before")).toDF("doc_id", "text")
+    def scrubbed() = FingerprintStore.scrub(incoming, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = scrubbed()
+    assert(before == Seq(302L))
+    val filesBefore = graft.ext.StoreFiles.dataFileCount(spark, s"$dir/fps")
+    FingerprintStore.compact(spark, dir)
+    assert(scrubbed() == before)
+    assert(graft.ext.StoreFiles.dataFileCount(spark, s"$dir/fps") < filesBefore,
+      "compaction did not collapse fps files")
+    // appends after compaction still merge into the rebuilt filter
+    FingerprintStore.append(Seq((400L, "post compact batch")).toDF("doc_id", "text"),
+      "text", dir)
+    val inc2 = Seq((500L, "post compact batch"), (501L, "still new")).toDF("doc_id", "text")
+    assert(FingerprintStore.scrub(inc2, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(501L))
+    // geometry re-size on compact: meta updated, membership intact
+    FingerprintStore.compact(spark, dir, expectedItems = 50000L, fpp = 0.001)
+    assert(scrubbed() == before)
+    FingerprintStore.append(Seq((600L, "resized geometry append")).toDF("doc_id", "text"),
+      "text", dir) // mergeInPlace at the NEW geometry must not throw
+    assert(FingerprintStore.scrub(
+      Seq((700L, "resized geometry append")).toDF("doc_id", "text"), "text", dir)
+      .count() == 0L)
+  }
+
   test("meta sentinel: a non-store directory is refused on append") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),

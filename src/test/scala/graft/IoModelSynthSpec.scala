@@ -130,6 +130,23 @@ class IoModelSynthSpec extends SparkSpec {
     assert(code.contains("\"id\" -> ColumnSchema"))
   }
 
+  test("evalScript compiles the emitted code into a LIVE equivalent schema (r9)") {
+    val compiled = SchemaIO.evalScript(SchemaIO.toScript(schema))
+    assert(compiled.columns.map(_._1) == schema.columns.map(_._1))
+    // same dtypes, nullability and serializable check set — the emitted
+    // script is real code, not a string that merely looks compilable
+    schema.columns.foreach { case (n, c) =>
+      val cc = compiled.column(n).get
+      assert(cc.dtype == c.dtype && cc.nullable == c.nullable, n)
+    }
+    // escaping survives the compile: a check value with quotes/backslashes
+    val tricky = DataFrameSchema("s" -> ColumnSchema(Some(StringType),
+      Seq(Check.isin(Seq("a\"b", "c\\d")), Check.strContains("x\"y"))))
+    val back = SchemaIO.evalScript(SchemaIO.toScript(tricky))
+    val isin = back.column("s").get.checks.find(_.name == "isin").get
+    assert(isin.statistics("allowed_values") == Seq("a\"b", "c\\d"))
+  }
+
   test("ValidatedIO: validate-on-read and validate-then-write boundaries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vio").toString

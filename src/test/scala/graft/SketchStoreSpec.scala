@@ -74,6 +74,38 @@ class SketchStoreSpec extends SparkSpec {
       s"lgK=14 estimate $bEst off by more than 2%")
   }
 
+  test("compaction merges per-batch rows to one per key; estimates unchanged; appends keep working") {
+    val df = spark.range(30000)
+      .select((col("id") % 3).cast("string").as("k"), (col("id") % 4111).as("v"))
+    val dir = tmp()
+    for (b <- 0 to 4)
+      SketchStore.append(SketchStore.distinctSketch(
+        df.filter(col("id") % 5 === b), Seq("k"), "v"), dir, s"batch_$b")
+    def served() = SketchStore.estimate(spark, dir, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val before = served()
+    val rowsBefore = spark.read.parquet(dir).count()
+    val filesBefore = graft.ext.StoreFiles.dataFileCount(spark, dir)
+    SketchStore.compact(spark, dir)
+    // one row per key, fewer files, identical estimates (register-max
+    // union is associative: merging in two steps == merging once)
+    assert(served().toSeq == before.toSeq)
+    assert(spark.read.parquet(dir).count() == 3L && rowsBefore == 15L)
+    assert(graft.ext.StoreFiles.dataFileCount(spark, dir) < filesBefore)
+    // post-compaction appends stack and serve correctly
+    val extra = spark.range(30000, 31000)
+      .select((col("id") % 3).cast("string").as("k"), (col("id") % 7919 + 100000).as("v"))
+    SketchStore.append(SketchStore.distinctSketch(extra, Seq("k"), "v"), dir, "late")
+    val after = served()
+    before.zip(after).foreach { case ((k, nr, _), (k2, nr2, est2)) =>
+      assert(k == k2 && nr2 > nr)
+      assert(est2 > 4000L, s"key $k estimate $est2 lost mass after compaction+append")
+    }
+    // schema column order preserved for parquet append compatibility
+    assert(spark.read.parquet(dir).columns.toSeq ==
+      Seq("k", "n_rows", "sketch", "batch"))
+  }
+
   test("null values: counted by neither n_rows nor the sketch") {
     val df = Seq(Some(1L), Some(2L), None, Some(2L)).toDF("v")
     val r = SketchStore.distinctSketch(df, Nil, "v")
