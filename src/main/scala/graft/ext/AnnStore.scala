@@ -40,11 +40,11 @@ object AnnStore {
   private def indexPath(path: String, v: Int) = s"$path/v$v/index.json"
   private def codesPath(path: String, v: Int) = s"$path/v$v/codes"
 
-  /** The live version number named by the pointer. */
-  def currentVersion(path: String): Int = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(currentPath(path))),
-      java.nio.charset.StandardCharsets.UTF_8)
+  /** The live version number named by the pointer. All metadata IO rides
+    * the Hadoop FS (r9 review fix) so the store works on local disk,
+    * HDFS and object-store connectors alike — the codes already did. */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val s = StoreFiles.readUtf8(spark, currentPath(path))
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(s, classOf[java.util.Map[String, Any]])
     require(String.valueOf(root.get("format")) == "graft-ann-store",
@@ -52,21 +52,14 @@ object AnnStore {
     root.get("current").asInstanceOf[Number].intValue()
   }
 
-  private def writePointer(path: String, v: Int): Unit = {
-    val json = s"""{"format":"graft-ann-store","current":$v}"""
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(".current.json.tmp")
-    java.nio.file.Files.write(tmp,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, dir.resolve("current.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writePointer(spark: SparkSession, path: String, v: Int): Unit =
+    StoreFiles.writeUtf8Atomic(spark, currentPath(path),
+      s"""{"format":"graft-ann-store","current":$v}""")
 
   private def writeVersion(corpus: DataFrame, idCol: String, embCol: String,
       index: AnnIndex, path: String, v: Int): Unit = {
-    index.save(indexPath(path, v))
+    StoreFiles.writeUtf8Atomic(corpus.sparkSession, indexPath(path, v),
+      index.toJson)
     Similarity.encodeAndWritePartitioned(corpus, idCol, embCol, index,
       codesPath(path, v))
   }
@@ -77,14 +70,15 @@ object AnnStore {
   def create(corpus: DataFrame, idCol: String, embCol: String,
       index: AnnIndex, path: String): Unit = {
     writeVersion(corpus, idCol, embCol, index, path, 1)
-    writePointer(path, 1)
+    writePointer(corpus.sparkSession, path, 1)
   }
 
-  def loadIndex(path: String): AnnIndex =
-    AnnIndex.load(indexPath(path, currentVersion(path)))
+  def loadIndex(spark: SparkSession, path: String): AnnIndex =
+    AnnIndex.fromJson(StoreFiles.readUtf8(spark,
+      indexPath(path, currentVersion(spark, path))))
 
   def codes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(codesPath(path, currentVersion(path)))
+    spark.read.parquet(codesPath(path, currentVersion(spark, path)))
 
   /** Encode a new batch against the CURRENT (frozen) index and append its
     * codes — the steady-state ingest path. History is never re-encoded;
@@ -92,8 +86,9 @@ object AnnStore {
     * [[recallProbe]] is how that shows up. */
   def append(batch: DataFrame, idCol: String, embCol: String,
       path: String): Unit = {
-    val v = currentVersion(path)
-    val index = AnnIndex.load(indexPath(path, v))
+    val spark = batch.sparkSession
+    val v = currentVersion(spark, path)
+    val index = AnnIndex.fromJson(StoreFiles.readUtf8(spark, indexPath(path, v)))
     Similarity.encodeAndWritePartitioned(batch, idCol, embCol, index,
       codesPath(path, v), mode = "append")
   }
@@ -106,7 +101,7 @@ object AnnStore {
       queryEmb: String, k: Int, nProbe: Int = 8,
       refineFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val index = loadIndex(path)
+    val index = loadIndex(spark, path)
     val enc = codes(spark, path)
     index.kind match {
       case "ivf" => Similarity.ivfTopKIndexed(enc, queries, queryId,
@@ -148,8 +143,9 @@ object AnnStore {
     * swap is rename-based and the serve (which reads whatever the cell
     * directories hold) is hash-identical before and after. */
   def compactCodes(spark: SparkSession, path: String): Unit = {
-    val v = currentVersion(path)
+    val v = currentVersion(spark, path)
     val dir = codesPath(path, v)
+    StoreFiles.healDir(spark, dir) // complete a crashed prior swap
     val tmp = dir + ".compacting"
     import org.apache.spark.sql.functions.col
     spark.read.parquet(dir)
@@ -161,12 +157,12 @@ object AnnStore {
   /** Delete all non-current version directories — run once migrated
     * readers have drained. The pointer is never touched. */
   def dropOldVersions(spark: SparkSession, path: String): Unit = {
-    val cur = currentVersion(path)
+    val cur = currentVersion(spark, path)
     val f = StoreFiles.fs(spark, path)
     val base = new org.apache.hadoop.fs.Path(path)
     f.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("v") &&
+      if (st.isDirectory && n.length > 1 && n.startsWith("v") &&
           n.drop(1).forall(_.isDigit) && n.drop(1).toInt != cur)
         f.delete(st.getPath, true)
     }
@@ -180,9 +176,10 @@ object AnnStore {
     * asserts hash-identity against the one-shot golden pin. */
   def migrate(corpus: DataFrame, idCol: String, embCol: String,
       newIndex: AnnIndex, path: String): Int = {
-    val next = currentVersion(path) + 1
+    val spark = corpus.sparkSession
+    val next = currentVersion(spark, path) + 1
     writeVersion(corpus, idCol, embCol, newIndex, path, next)
-    writePointer(path, next)
+    writePointer(spark, path, next)
     next
   }
 }

@@ -686,23 +686,33 @@ object Dedup {
     *
     * Crash safety: the three directory swaps are independent and each
     * replaces content with an EQUIVALENT re-aggregation, so a crash
-    * between swaps leaves a mixed — but still correct — store; re-running
-    * compact completes it. */
+    * BETWEEN swaps leaves a mixed — but still correct — store; a crash
+    * INSIDE a swap leaves that one directory missing (serves fail loudly,
+    * never wrong) and the healDir pass at the top of the next compact run
+    * restores it. Re-running compact always completes the job. */
   def compactMinHashStore(spark: SparkSession, path: String,
       targetFiles: Int = 0): Unit = {
     minhashStoreParams(path) // sentinel: refuse non-store directories
+    Seq("bucket_counts", "rows", "shingles")
+      .foreach(d => StoreFiles.healDir(spark, s"$path/$d"))
     def target(dir: String): Int =
       if (targetFiles > 0) targetFiles
       else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
     // 1. count deltas -> one summed snapshot (semantically what every
-    //    serve computes on the fly)
+    //    serve computes on the fly). repartition, NOT coalesce: coalesce
+    //    would fold the sum's reduce side down to the output file count
+    //    (1 for most stores) — the extra shuffle moves only the summed
+    //    output, which is distinct-bucket-sized
     val bcDir = s"$path/bucket_counts"
     spark.read.parquet(bcDir)
       .groupBy("band", "bucket").agg(sum("n").as("n"))
-      .coalesce(target(bcDir)).write.mode("overwrite")
+      .repartition(target(bcDir)).write.mode("overwrite")
       .parquet(bcDir + ".compacting")
     StoreFiles.swapDir(spark, bcDir + ".compacting", bcDir)
-    // 2-3. band rows and shingles: pure file-count rewrites
+    // 2-3. band rows and shingles: pure file-count rewrites. coalesce is
+    //    right here — no aggregation to starve, and the task count
+    //    (bytes/128 MB) scales with store size, so big stores keep their
+    //    read parallelism
     Seq(s"$path/rows", s"$path/shingles").foreach { dir =>
       spark.read.parquet(dir)
         .coalesce(target(dir)).write.mode("overwrite")

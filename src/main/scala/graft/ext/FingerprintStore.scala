@@ -174,6 +174,7 @@ object FingerprintStore {
     * than corrupting — re-run compact to heal. */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 0,
       expectedItems: Long = 0L, fpp: Double = 0.0): Unit = {
+    StoreFiles.healDir(spark, fpsPath(path)) // complete a crashed prior swap
     val (metaItems, metaFpp) = readMeta(path)
     val nItems = if (expectedItems > 0) expectedItems else metaItems
     val nFpp = if (fpp > 0) fpp else metaFpp
@@ -182,9 +183,10 @@ object FingerprintStore {
     val tmp = fpsPath(path) + ".compacting"
     // distinct is a no-op by the append contract (anti-joined before
     // write) — kept as cheap insurance so a crashed half-append can
-    // never make compaction amplify duplicates
+    // never make compaction amplify duplicates. repartition, not
+    // coalesce: coalesce would fold distinct's reduce side to nf tasks
     spark.read.parquet(fpsPath(path)).distinct()
-      .coalesce(nf).write.mode("overwrite").parquet(tmp)
+      .repartition(nf).write.mode("overwrite").parquet(tmp)
     val bloom = spark.read.parquet(tmp).stat.bloomFilter("fp", nItems, nFpp)
     StoreFiles.swapDir(spark, tmp, fpsPath(path))
     writeBloom(bloom, path)

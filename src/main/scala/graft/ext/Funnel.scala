@@ -22,7 +22,15 @@ object Funnel {
 
   /** Returns one row per step: (step [1-based], step_name, n_users =
     * users who completed steps 1..k in order). Null timestamps and null
-    * users never participate. */
+    * users never participate.
+    *
+    * Memory note: the single-action fusion pins all k step frames in
+    * cache until the union action finishes — peak footprint ≈ k ·
+    * |distinct users| rows of (user, ts). Funnels are short (k ≤ ~10) and
+    * the frames are two thin columns, so this trades a few user-count
+    * frames for k-1 fewer Spark actions; a pathologically long funnel on
+    * a memory-starved cluster can fall back to per-step evaluation by
+    * calling funnel() per prefix. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")

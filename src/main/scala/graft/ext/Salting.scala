@@ -39,11 +39,22 @@ object Salting {
       require(ops.contains(op), s"saltedAggregate: unsupported op '$op' for '$out'")
       require(!out.startsWith("__"), "output names may not start with __")
     }
-    // salt from a hash of the partition-local ordinal — no rand(), so a
-    // TASK retry salts identically; a full stage recompute after an AQE
-    // re-plan may reassign ordinals, which is safe here because the two
-    // stages merge algebraically under ANY bucketing
-    val salt = pmod(xxhash64(monotonically_increasing_id(), lit(0x5a17)),
+    require(!df.columns.contains("__rh") && !df.columns.contains("__salt"),
+      "saltedAggregate: __rh/__salt are reserved column names")
+    // Deterministic ordinal salt (r9): rows first sort WITHIN partitions
+    // by a content hash, then take a partition-local ordinal. A plain
+    // monotonically_increasing_id over post-shuffle input is a retry
+    // hazard — shuffle-read arrival order is nondeterministic, so a map
+    // task recomputed after a fetch failure could assign DIFFERENT salts
+    // to the same rows while other reducers already consumed the first
+    // attempt's buckets (the SPARK-23207 class of bug; Spark's own
+    // round-robin repartition fix is this same sort). After the sort the
+    // ordinal is a pure function of partition CONTENT (ties are
+    // identical-content rows, which are interchangeable), so any retry
+    // salts identically. No rand(), no extra shuffle — one in-partition
+    // sort on an 8-byte key.
+    val rowHash = xxhash64(df.columns.map(q).toSeq :+ lit(0x5a17): _*)
+    val salt = pmod(xxhash64(col("__rh"), monotonically_increasing_id()),
       lit(saltBuckets.toLong))
     // stage 1: decomposed partials per (keys, salt)
     val partials = aggs.flatMap { case (out, (op, in)) =>
@@ -56,7 +67,9 @@ object Salting {
           count(q(in)).as(s"__c_$out"))
       }
     }
-    val stage1 = df.withColumn("__salt", salt)
+    val stage1 = df.withColumn("__rh", rowHash)
+      .sortWithinPartitions("__rh")
+      .withColumn("__salt", salt)
       .groupBy((keys.map(q) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
     // stage 2: merge bucket partials per key
@@ -109,9 +122,9 @@ object Salting {
     require(saltFactor >= 1, "saltFactor >= 1")
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer", s"saltedJoin: unsupported joinType '$joinType'")
-    val reserved = Seq("__salt", "__hot")
+    val reserved = Seq("__salt", "__hot", "__rh")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
-      "saltedJoin: __salt/__hot are reserved column names")
+      "saltedJoin: __salt/__hot/__rh are reserved column names")
     val spark = left.sparkSession
     // step 1: hot LEFT keys in one aggregation, bounded collect (null
     // keys never equi-join, so they are excluded from hotness outright)
@@ -133,21 +146,26 @@ object Salting {
     val hotR = rightKeys.zip(leftKeys).foldLeft(hotL) {
       case (df, (rk, lk)) => df.withColumnRenamed(lk, rk)
     }
-    // step 2: deterministic per-row salt for hot left rows — xxhash64 of
-    // the row's columns PLUS its partition-local ordinal. The ordinal is
-    // what spreads a hot key whose rows are byte-identical (exactly the
-    // crawl-dedup-shaped skew this targets): content alone would land
-    // every duplicate in ONE salt bucket and the spread would silently
-    // vanish. No rand(): a task retry replays the same partition in the
-    // same order, so it salts identically; any salt is equally CORRECT
-    // regardless (the right side replicates across all saltFactor salts
-    // for hot keys, so each left row meets its full match set).
+    // step 2: deterministic per-row salt for hot left rows — a
+    // partition-local ordinal taken AFTER an in-partition sort on the
+    // row-content hash. The ordinal is what spreads a hot key whose rows
+    // are byte-identical (exactly the crawl-dedup-shaped skew this
+    // targets): content alone would land every duplicate in ONE salt
+    // bucket and the spread would silently vanish. The sort is what makes
+    // the ordinal RETRY-DETERMINISTIC: post-shuffle arrival order is not
+    // stable across task re-execution, so an unsorted ordinal could
+    // re-salt rows a reducer already consumed from the first attempt
+    // (SPARK-23207 class — duplicated/lost rows on fetch-failure
+    // recovery); after the sort the assignment is a pure function of
+    // partition content. Ties are identical rows — interchangeable, so
+    // any tie order yields the same output multiset.
     val lSalt = when(coalesce(col("__hot"), lit(false)),
-      pmod(xxhash64(left.columns.map(q).toSeq
-          :+ monotonically_increasing_id() :+ lit(0x5a17e): _*),
+      pmod(xxhash64(col("__rh"), monotonically_increasing_id(), lit(0x5a17e)),
         lit(saltFactor.toLong))).otherwise(lit(0L))
     val lSalted = left.join(broadcast(hotL), leftKeys.toSeq, "left")
-      .withColumn("__salt", lSalt).drop("__hot")
+      .withColumn("__rh", xxhash64(left.columns.map(q).toSeq: _*))
+      .sortWithinPartitions("__rh")
+      .withColumn("__salt", lSalt).drop("__hot", "__rh")
     // step 3: right rows replicate saltFactor ways for hot keys only
     val rSalts = when(coalesce(col("__hot"), lit(false)),
       sequence(lit(0L), lit((saltFactor - 1).toLong)))

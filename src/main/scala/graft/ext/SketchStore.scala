@@ -63,6 +63,7 @@ object SketchStore {
     * n_rows/sketch/batch). The rewrite lands in a sibling temp dir and
     * swaps in whole — a crash before the swap leaves the store untouched. */
   def compact(spark: SparkSession, path: String): Unit = {
+    StoreFiles.healDir(spark, path) // complete a crashed prior swap
     val store = spark.read.parquet(path)
     val special = Set("n_rows", "sketch", "batch")
     val keyCols = store.columns.filterNot(special.contains).toSeq

@@ -71,10 +71,52 @@ object StoreFiles {
   def targetFileCount(bytes: Long, targetBytes: Long = 128L * 1024 * 1024): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
+  /** Read a small UTF-8 metadata file through the Hadoop FS — works for
+    * local paths, HDFS and object-store connectors alike. */
+  def readUtf8(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new Path(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Atomically replace a small UTF-8 metadata file: write a hidden
+    * sibling temp, then FileContext rename with OVERWRITE — atomic on
+    * local and HDFS-style filesystems; object-store connectors implement
+    * it as copy+delete of a KB-sized object (the narrowest practical
+    * window). */
+  def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(path)
+    val f = dst.getFileSystem(conf)
+    if (dst.getParent != null) f.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Heal a directory left mid-swap by a crashed [[swapDir]]: if `live`
+    * is missing but `live.old` exists, the crash hit the window between
+    * the two renames — restore the old (pre-compaction, still correct)
+    * data. Every store's `compact()` calls this FIRST, so "re-run compact
+    * to heal" genuinely works; idempotent no-op otherwise. */
+  def healDir(spark: SparkSession, liveDir: String): Unit = {
+    val f = fs(spark, liveDir)
+    val live = new Path(liveDir)
+    val old = new Path(liveDir + ".old")
+    if (!f.exists(live) && f.exists(old))
+      require(f.rename(old, live), s"heal: rename $old -> $live failed")
+  }
+
   /** Replace `liveDir` with `tmpDir` via rename: live → live.old,
-    * tmp → live, delete live.old. The caller sequences this so a crash at
-    * any point leaves a servable store (old data until the second rename;
-    * compacted data after). */
+    * tmp → live, delete live.old. Crash windows: before the first rename
+    * the store is untouched; between the renames there is NO live dir —
+    * serves fail loudly (never silently wrong) and the next `compact()`'s
+    * [[healDir]] restores the old data; after the second rename the
+    * compacted data is live. A FAILED (false-returning) second rename
+    * rolls back in-line. */
   def swapDir(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
     val f = fs(spark, liveDir)
     val live = new Path(liveDir)

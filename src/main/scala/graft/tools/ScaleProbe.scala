@@ -245,6 +245,38 @@ object ScaleProbe {
       println(f"PROBE salted_join rows=5000000 hot_share=0.5 " +
         f"plain_sec=$tplain%.1f salted_sec=$tsalt%.1f matches=$nPlain")
     }
+
+    // round-9 (r8 verdict #4): the same skew shape but the hot key's rows
+    // are BYTE-IDENTICAL — the crawl-dedup case where a content-only salt
+    // silently collapses to one bucket. The per-row-ordinal salt must
+    // still spread them (spread asserted directly on the salt expression)
+    // and keep the wall-clock win over the plain co-located join.
+    if (only("saltedjoin_dup")) {
+      val leftDup = spark.range(5000000L).select(
+        when(col("id") % 2 === 0, lit(77L))
+          .otherwise(col("id") % 100000L).as("k"),
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("v"))
+      val rightDim = spark.range(100000L)
+        .select(col("id").as("rk"), (col("id") * 2).as("payload"))
+      val (tplain, nPlain) = time(
+        leftDup.hint("merge").join(rightDim.hint("merge"),
+          col("k") === col("rk")).count())
+      val (tsalt, nSalt) = time(
+        graft.ext.Salting.saltedJoin(leftDup, rightDim, Seq("k"), Seq("rk"),
+          saltFactor = 32, hotKeyThreshold = 100000L).count())
+      require(nPlain == nSalt, s"salted join changed rows: $nPlain vs $nSalt")
+      // the spread itself: saltedJoin's salt expression over the 2.5M
+      // byte-identical hot rows must hit (nearly) all 32 buckets
+      val spread = leftDup.filter(col("k") === 77L)
+        .withColumn("__rh", xxhash64(col("k"), col("v")))
+        .sortWithinPartitions("__rh")
+        .select(pmod(xxhash64(col("__rh"), monotonically_increasing_id(),
+          lit(0x5a17e)), lit(32L)).as("s"))
+        .distinct().count()
+      require(spread >= 24, s"duplicate hot rows hit only $spread/32 salt buckets")
+      println(f"PROBE salted_join_dup rows=5000000 hot_share=0.5 dup_rows=true " +
+        f"plain_sec=$tplain%.1f salted_sec=$tsalt%.1f salt_buckets=$spread matches=$nPlain")
+    }
     spark.stop()
   }
 }

@@ -141,7 +141,7 @@ class AnnIndexSpec extends SparkSpec {
     val good = Similarity.trainIvfPq(emb, "vec_id", "embedding",
       nCentroids = 16, m = 8, ksub = 16)
     AnnStore.create(emb, "vec_id", "embedding", good, s"$tmp/ok")
-    assert(AnnStore.currentVersion(s"$tmp/ok") == 1)
+    assert(AnnStore.currentVersion(spark, s"$tmp/ok") == 1)
     val oneShot = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12, m = 8,
       ksub = 16, refineFactor = 4))
@@ -159,7 +159,7 @@ class AnnIndexSpec extends SparkSpec {
       "embedding", probeQs, "qid", "qv", k = 5, nProbe = 12)
     // migrate: re-train on the full corpus, re-encode as v2, flip pointer
     val v = AnnStore.migrate(emb, "vec_id", "embedding", good, s"$tmp/drift")
-    assert(v == 2 && AnnStore.currentVersion(s"$tmp/drift") == 2)
+    assert(v == 2 && AnnStore.currentVersion(spark, s"$tmp/drift") == 2)
     val rMigrated = AnnStore.recallProbe(s"$tmp/drift", emb, "vec_id",
       "embedding", probeQs, "qid", "qv", k = 5, nProbe = 12)
     info(f"recall@5 stale=$rStale%.4f migrated=$rMigrated%.4f")

@@ -159,5 +159,17 @@ class AsOfJoinSpec extends SparkSpec {
     val legacy = AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("v"))
       .select("asof_ts").collect().map(_.getLong(0)).toSeq
     assert(legacy.forall(_ == 10L))
+    // ALL-NULL tieBreak values in a duplicate group (backfilled source
+    // without sequence numbers) must still attach a real row, not null —
+    // struct ordering ranks null fields lowest but the struct itself is
+    // non-null, so max_by keeps the group
+    val ln = Seq(("b", 20L, "x1")).toDF("k", "ts", "label")
+    val rn = Seq(("b", 20L, 7.0, None: Option[Long]),
+      ("b", 20L, 8.0, None: Option[Long])).toDF("k", "ts", "v", "seq")
+    val gotN = AsOfJoin.asOfJoin(ln, rn, Seq("k"), "ts", "ts", Seq("v"),
+        tieBreak = Seq("seq"))
+      .select("asof_v").collect()
+    assert(gotN.length == 1 && !gotN.head.isNullAt(0),
+      s"all-null tieBreak group lost its values: ${gotN.mkString}")
   }
 }
