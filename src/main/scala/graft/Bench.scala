@@ -59,6 +59,27 @@ object Bench {
     failures
   }
 
+  /** 10× corpus replication with a per-replica vowel rotation (rep 0 is
+    * identity) — each replica is isomorphic to the original corpus, so
+    * its near-dup structure is preserved WITHIN the replica while
+    * cross-replica shingles diverge; pair volume therefore scales
+    * ~linearly with rows, giving O(candidates) claims a measured curve.
+    * Shared by the suite and the standalone section benchmarks
+    * (tools/LmBench) so isolated and in-suite timings measure the SAME
+    * input plan. */
+  def replicate10(docs: DataFrame): DataFrame = {
+    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(rotations.size - 1))).as("rep"))
+      .select((col("doc_id") * 16 + col("rep")).as("doc_id"),
+        rotations.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (rot, r)) =>
+            when(col("rep") === r, translate(col("text"), "aeiou", rot)).otherwise(acc)
+        }.as("text"))
+  }
+
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = f
@@ -174,23 +195,8 @@ object Bench {
     }
     dropNewBlocks(spark, snap1)
 
-    // 10× scaling probes (round-3 verdict next #8): replicate documents
-    // with a per-replica vowel rotation (rep 0 is identity) — each replica
-    // is isomorphic to the original corpus, so its near-dup structure is
-    // preserved WITHIN the replica while cross-replica shingles diverge.
-    // Pair volume therefore scales ~linearly with rows, giving the
-    // O(candidates) claims a measured curve (1× vs 10× wall-clock) instead
-    // of plan inspection alone.
-    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
-    val docs10 = docs
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), lit(rotations.size - 1))).as("rep"))
-      .select((col("doc_id") * 16 + col("rep")).as("doc_id"),
-        rotations.zipWithIndex.foldLeft(lit(null).cast("string")) {
-          case (acc, (rot, r)) =>
-            when(col("rep") === r, translate(col("text"), "aeiou", rot)).otherwise(acc)
-        }.as("text"))
+    // 10× scaling probes (round-3 verdict next #8)
+    val docs10 = replicate10(docs)
 
     val nPairs10 = timed("dedup_minhash_10x")(
       ext.Dedup.minhashPairs(docs10, "doc_id", "text", 3, 64, 16, 0.8).count())
