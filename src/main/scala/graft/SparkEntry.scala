@@ -285,6 +285,15 @@ object SparkEntry {
           "l_quantity", "l_linestatus", "O", "F")
         .select(lit("mann_whitney_u").as("test_name"),
           col("u1"), col("z"), col("n1"), col("n2"))),
+    "hyp_ks_two_sample" -> ((s, d) =>
+      // round-9: two-sample KS over the same per-distinct-value histogram
+      // shape — D = max CDF gap is a ratio of exact integer counts, so
+      // rounding at 6 decimals matches cross-engine; the oracle replays
+      // the identical cumulative window in SQL
+      Hypothesis.ksTwoSampleStatDF(t(s, d, "lineitem"),
+          "l_extendedprice", "l_returnflag", "A", "N")
+        .select(lit("ks_two_sample").as("test_name"),
+          col("d"), col("n1"), col("n2"))),
 
     // ---- §2.F inference ----
     "infer_stats" -> ((s, d) => {
@@ -440,6 +449,29 @@ object SparkEntry {
         .select(ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_pred")),
+    "text_scripts" -> ((s, d) => {
+      // round-9: Unicode script profile — per-document character counts
+      // in the four major script ranges + dominant label (mixed-corpus
+      // triage BEFORE langid; all ranges are BMP so Java UTF-16 counts
+      // equal DuckDB code-point counts exactly)
+      val cols = ext.TextAnalysis.scriptProfile(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+    "text_bm25" -> ((s, d) => {
+      // round-9: Okapi BM25 ranked retrieval — queries are every 100th
+      // document's first three tokens; the oracle re-derives the FULL
+      // scorer (postings, df, Lucene idf, length norm, top-5 cut) in SQL
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = ext.TextAnalysis.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toks, 1, 3)).as("qtext"))
+      ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+          "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         ext.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
@@ -1923,6 +1955,20 @@ object SparkEntry {
         .validate(t(s, d, "lineitem"))
       aggPassFail(s, "mean_stddev_between", res)
     }),
+    "chk_corr" -> ((s, d) => {
+      // round-9: Pearson-correlation bound check — the fixture's columns
+      // are generated independently (corr ≈ 0 probed at all SFs), so the
+      // wide band passes and the [0.9, 1.0] demand is detected as failing
+      val li = t(s, d, "lineitem")
+      val ok = DataFrameSchema("l_extendedprice" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.corrBetween("l_quantity", -0.5, 0.5)))).validate(li)
+      val bad = DataFrameSchema("l_extendedprice" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.corrBetween("l_partkey", 0.9, 1.0)))).validate(li)
+      import s.implicits._
+      Seq(("corr_in_bounds", if (ok.passed) 0L else 1L),
+          ("corr_out_of_bounds_detected", if (!bad.passed) 0L else 1L))
+        .toDF("check_name", "failure_count").orderBy("check_name")
+    }),
     "chk_approx_distinct" -> ((s, d) => {
       // n_name cardinality (25) is deep in HLL sparse mode → exact estimate
       val res = DataFrameSchema("n_name" -> ColumnSchema(Some(StringType),
@@ -2611,6 +2657,10 @@ object SparkEntry {
        "r AS (SELECT n1, n2, n1 + n2 AS t, coalesce(sum(n1 + n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM h), " +
        "s AS (SELECT sum(n1) AS bn1, sum(n2) AS bn2, sum(n1 * (cum + (t + 1) / 2)) AS r1, sum(t * t * t - t) AS t3, sum(t) AS nn FROM r) " +
        "SELECT 'mann_whitney_u' AS test_name, round(r1 - bn1 * (bn1 + 1) / 2, 4) AS u1, round((r1 - bn1 * (bn1 + 1) / 2 - bn1 * bn2 / 2) / sqrt(bn1 * bn2 / 12 * ((nn + 1) - t3 / (nn * (nn - 1)))), 6) AS z, CAST(bn1 AS BIGINT) AS n1, CAST(bn2 AS BIGINT) AS n2 FROM s"),
+    "hyp_ks_two_sample" ->
+      ("WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS n1, CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS n2 FROM lineitem WHERE l_returnflag IN ('A','N') AND l_extendedprice IS NOT NULL GROUP BY 1), " +
+       "r AS (SELECT sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1, sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, sum(n1) OVER () AS t1, sum(n2) OVER () AS t2 FROM h) " +
+       "SELECT 'ks_two_sample' AS test_name, round(max(abs(c1 / t1 - c2 / t2)), 6) AS d, CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2 FROM r"),
     "infer_stats" ->
       ("SELECT * FROM (" +
         "SELECT 'l_discount' AS \"column\", count(*) FILTER (WHERE l_discount IS NULL) AS nulls, CAST(min(l_discount) AS DOUBLE) AS min_v, CAST(max(l_discount) AS DOUBLE) AS max_v FROM lineitem UNION ALL " +
@@ -2655,6 +2705,31 @@ object SparkEntry {
       "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id",
     "text_quality" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) - length(regexp_replace(text, '[^0-9]', '', 'g')) - length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS BIGINT) AS n_punct FROM documents ORDER BY doc_id",
+    "text_scripts" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "length(text) - length(regexp_replace(text, '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS n_latin, " +
+        "length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic, " +
+        "length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS n_cjk, " +
+        "length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic FROM documents) " +
+        "SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin, CAST(n_cyrillic AS BIGINT) AS n_cyrillic, " +
+        "CAST(n_cjk AS BIGINT) AS n_cjk, CAST(n_arabic AS BIGINT) AS n_arabic, " +
+        "CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none' " +
+        "WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'latin' " +
+        "WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic' " +
+        "WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cjk' " +
+        "ELSE 'arabic' END AS script FROM p ORDER BY doc_id"),
+    "text_bm25" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
+        "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
+        "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
+        "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
+        "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
+        "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
+        "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
+        "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\""),
     "text_langid" ->
       ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "sc AS (SELECT len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de, " +
@@ -3214,6 +3289,11 @@ object SparkEntry {
       "SELECT 'mean_stddev_between' AS check_name, CAST(CASE WHEN avg(l_quantity) BETWEEN 20.0 AND 30.0 AND stddev_samp(l_quantity) BETWEEN 5.0 AND 25.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
     "chk_approx_distinct" ->
       "SELECT 'approx_distinct_between' AS check_name, CAST(CASE WHEN count(DISTINCT n_name) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM nation",
+    "chk_corr" ->
+      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
+        "('corr_in_bounds', (SELECT CASE WHEN corr(l_extendedprice, l_quantity) BETWEEN -0.5 AND 0.5 THEN 0 ELSE 1 END FROM lineitem)), " +
+        "('corr_out_of_bounds_detected', (SELECT CASE WHEN corr(l_extendedprice, l_partkey) BETWEEN 0.9 AND 1.0 THEN 1 ELSE 0 END FROM lineitem))" +
+        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
     "chk_quantile" ->
       "SELECT 'quantile_between' AS check_name, CAST(CASE WHEN quantile_disc(l_quantity, 0.5) BETWEEN 10.0 AND 40.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
     "config_depth_schema_only" ->

@@ -258,6 +258,39 @@ object Check {
       },
       Map("min_value" -> lo, "max_value" -> hi))
 
+  /** Pearson correlation with `otherCol` must lie in [lo, hi] — one
+    * aggregate over the pair (r9). The feature-vs-target sanity bound a
+    * training pipeline wants validated ("this feature still correlates
+    * with the label", "these two columns stay independent"); rows where
+    * either side is null are excluded, as corr's pairwise semantics
+    * define. Degenerate inputs (a constant column → corr undefined/NaN)
+    * fail with an explicit message instead of a vacuous pass. */
+  def corrBetween(otherCol: String, lo: Double, hi: Double): AggregateCheck =
+    AggregateCheck(
+      "corr_between",
+      (df, colOpt) => {
+        val x = col(colOpt.getOrElse(sys.error("corr_between requires a column")))
+          .cast("double")
+        val y = col(otherCol).cast("double")
+        // sufficient statistics over PAIRWISE-complete rows (corr's
+        // semantics), divided on the driver behind a zero-variance guard —
+        // Spark's corr() under ANSI mode raises DIVIDE_BY_ZERO on a
+        // constant column instead of returning NaN
+        val r = df.filter(x.isNotNull && y.isNotNull)
+          .select(stddev_samp(x).as("sx"), stddev_samp(y).as("sy"),
+            covar_samp(x, y).as("cv")).head()
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2) ||
+            r.getDouble(0) == 0.0 || r.getDouble(1) == 0.0)
+          AggOutcome(passed = false,
+            s"corr with '$otherCol' undefined (constant or empty column)")
+        else {
+          val v = r.getDouble(2) / (r.getDouble(0) * r.getDouble(1))
+          AggOutcome(v >= lo && v <= hi,
+            s"corr=$v expected_in=[$lo,$hi] other=$otherCol")
+        }
+      },
+      Map("other_column" -> otherCol, "min_value" -> lo, "max_value" -> hi))
+
   // -- custom checks ------------------------------------------------------
   /** Vectorized custom check (the default custom-Check form,
     * api/checks.py:21-124): user supplies Column => Column. */

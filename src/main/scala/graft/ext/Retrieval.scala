@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked retrieval (Robertson & Walker 1994; the Lucene/
+  * Elasticsearch default scorer) — the lexical-search complement of the
+  * embedding ANN stack: query-keyed corpus filtering ("find the documents
+  * about X"), labeled-seed expansion, and the retrieval half of
+  * dedup-by-query pipelines all run this before any embedding model
+  * exists.
+  *
+  *   score(d, q) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1) /
+  *                            (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
+  *
+  * Spark-first shape at 100 TB:
+  *   - ONE corpus scan builds the postings (doc, token, tf) and doc
+  *     lengths; the df table is a token-keyed aggregation of the postings
+  *     (model-sized: vocabulary rows);
+  *   - the query batch tokenizes to (query, token) — queries are the
+  *     small side and BROADCAST into the postings join, so the corpus
+  *     never shuffles by query;
+  *   - idf needs only df rows for QUERY tokens (vocabulary pruned by the
+  *     broadcast semi-join before the driver-free merge);
+  *   - per-(query, doc) partial scores aggregate map-side and the
+  *     per-query top-k rides the bounded k-heap
+  *     ([[graft.functions.TopKByScore]]) — the shuffle carries
+  *     ≤ k·partitions rows per query, never a full score list.
+  *
+  * Tokens are whitespace tokens of the trimmed text (the corpus-wide
+  * convention of the LM/dedup family — [[TextAnalysis.tokens]]), matched
+  * case-sensitively; rounding at 4 decimals makes the score an exact
+  * cross-engine pin. Ties rank by doc id ascending. */
+object Retrieval {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  /** Per-query BM25 top-k: (query_id, doc id column name, rank, score).
+    * `k1`/`b` are the standard free parameters (1.2 / 0.75 defaults). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryId: String, queryText: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val postings = docs
+      .select(q(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(q(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    val dlen = docs.select(q(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
+    // N and avgdl: two scalars from one aggregation over the lengths
+    val stats = dlen.agg(count(lit(1)).cast("double").as("N"),
+      avg(col("dl")).as("avgdl")).head()
+    val nDocs = stats.getDouble(0)
+    // avgdl rounded to 6 decimals before it enters any score: avg() is
+    // summation-order sensitive in its last ulps, and the score pins to a
+    // cross-engine oracle that must feed the identical constant
+    val avgdl = math.rint(stats.getDouble(1) * 1e6) / 1e6
+    val qTokens = queries
+      .select(q(queryId).as("query_id"),
+        explode(TextAnalysis.tokens(q(queryText))).as("token"))
+      .distinct() // a term repeated in the query scores once (Lucene form)
+    val df = postings.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+      // vocabulary pruned to query tokens before anything joins postings
+      .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
+        "left_semi")
+    val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+    val qTerm = qTokens.join(df, Seq("token")).select(
+      col("query_id"), col("token"), idf.as("idf"))
+    val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = postings
+      .join(broadcast(qTerm), Seq("token"))
+      .join(dlen, Seq("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("score"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.item").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("score"))
+  }
+}

@@ -103,6 +103,35 @@ object TextAnalysis {
   /** 64-bit dedup key over the CCNet-normalized text. */
   def ccnetFingerprint64(c: Column): Column = xxhash64(ccnetNormalized(c))
 
+  // -- Unicode script detection (r9) ---------------------------------------
+  // The mixed-corpus triage step BEFORE language-ID: script mixing flags
+  // mojibake/spam, and routing by dominant script picks the right langid /
+  // tokenizer family. Pure codegen'd regexp counts over BMP ranges (BMP
+  // chars are one UTF-16 unit, so Java length == code points here and the
+  // counts match DuckDB's code-point semantics exactly).
+  private val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF]",
+    "arabic" -> "[\\u0600-\\u06FF]")
+
+  /** Character count of one script class (see [[scriptProfile]]). */
+  def scriptCount(c: Column, rangePattern: String): Column =
+    (length(c) - length(regexp_replace(c, rangePattern, ""))).cast("long")
+
+  /** (n_latin, n_cyrillic, n_cjk, n_arabic, dominant) — counts per major
+    * script plus the dominant label (ties break in the listed order;
+    * a document with none of the four scripts reads "none"). */
+  def scriptProfile(c: Column): Seq[(String, Column)] = {
+    val counts = scriptRanges.map { case (n, p) => n -> scriptCount(c, p) }
+    val g = greatest(counts.map(_._2): _*)
+    val dominant = counts.foldRight(lit("none")) { case ((n, cnt), acc) =>
+      when(g > 0 && cnt === g, lit(n)).otherwise(acc)
+    }
+    // foldRight: the FIRST matching name in scriptRanges order wins a tie
+    counts.map { case (n, cnt) => s"n_$n" -> cnt } :+ ("script" -> dominant)
+  }
+
   /** Composite quality score in [0,1]: weighted mix of length, alpha ratio,
     * stopword ratio and mean token length sanity (heuristics in the spirit
     * of Gopher/C4 quality rules). */

@@ -237,6 +237,13 @@ object Hypothesis {
         st("alpha").toString.toDouble,
         st.get("max_cells").map(_.toString.toDouble.toInt).getOrElse(100000))
     }
+    register("ks_two_sample") { st =>
+      ksTwoSample(
+        st("groupby").toString, st("sample1").toString, st("sample2").toString,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble,
+        st.get("max_distinct").map(_.toString.toDouble.toInt).getOrElse(1000000))
+    }
   }
 
   /** Two-sided p-value from a chi-squared statistic. */
@@ -475,6 +482,107 @@ object Hypothesis {
           round((col("R1") - col("N1") * (col("N1") + 1) / 2
             - col("N1") * col("N2") / 2) / col("SIG"), 6)).as("z"),
         col("N1").cast("long").as("n1"), col("N2").cast("long").as("n2"))
+  }
+
+  /** Kolmogorov complementary CDF Q(λ) = 2·Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²} —
+    * the asymptotic two-sided p-value of a KS statistic (the series scipy's
+    * kstest(mode='asymp') evaluates). Converges in a handful of terms for
+    * any λ of practical size. */
+  def kolmogorovPValue(lambda: Double): Double = {
+    if (lambda.isNaN) return Double.NaN
+    if (lambda <= 0) return 1.0
+    var sum = 0.0; var j = 1
+    var term = Double.MaxValue
+    while (j <= 100 && math.abs(term) > 1e-12) {
+      term = 2.0 * (if (j % 2 == 1) 1.0 else -1.0) *
+        math.exp(-2.0 * j * j * lambda * lambda)
+      sum += term
+      j += 1
+    }
+    math.min(math.max(sum, 0.0), 1.0)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test between two groups — the
+    * distribution-EQUALITY test (sensitive to any CDF difference: location,
+    * scale, shape) where [[mannWhitneyU]] tests stochastic dominance and
+    * [[twoSampleTtest]] means only. The reference reaches it via
+    * `Hypothesis(test=scipy.stats.ks_2samp, ...)`.
+    *
+    * Distributed shape mirrors [[mannWhitneyU]]: ONE aggregation reduces
+    * both samples to a per-distinct-value histogram `(value, n1, n2)` —
+    * D = max |F̂1 − F̂2| is a function of that histogram, so the driver sees
+    * O(distinct values) cells (hard-capped at `maxDistinct`; bin a
+    * continuous column first at 100 TB). p-value is the asymptotic
+    * Kolmogorov series at λ = √(n1·n2/(n1+n2))·D (no small-sample exact
+    * enumeration — at validation scale n is never small). `Equal` reads
+    * "same distribution": pass iff p >= alpha. */
+  def ksTwoSample(
+      groupbyCol: String,
+      sample1: String,
+      sample2: String,
+      relationship: Relationship = Equal,
+      alpha: Double = 0.01,
+      maxDistinct: Int = 1000000): AggregateCheck =
+    AggregateCheck(
+      "ks_two_sample",
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error("ks_two_sample needs a column"))
+        val rows = df
+          .filter(col(groupbyCol).isin(sample1, sample2) && col(c).isNotNull)
+          .groupBy(col(c).cast("double").as("v"))
+          .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
+               sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+          .limit(maxDistinct + 1)
+          .collect()
+        if (rows.length > maxDistinct)
+          sys.error(s"ks_two_sample: more than maxDistinct=$maxDistinct " +
+            s"distinct values; round/bin the column first")
+        val hist = rows.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val n1 = hist.map(_._2).sum
+        val n2 = hist.map(_._3).sum
+        if (n1 == 0 || n2 == 0)
+          AggOutcome(passed = false, s"empty group(s): n1=$n1 n2=$n2")
+        else {
+          var c1 = 0.0; var c2 = 0.0; var d = 0.0
+          hist.foreach { case (_, a, b) =>
+            c1 += a; c2 += b
+            val gap = math.abs(c1 / n1 - c2 / n2)
+            if (gap > d) d = gap
+          }
+          val en = math.sqrt(n1 * n2 / (n1 + n2))
+          val p = kolmogorovPValue(en * d)
+          AggOutcome(decide(relationship, d, p, alpha),
+            f"D=$d%.6f p=$p%.6f n1=$n1%.0f n2=$n2%.0f distinct=${hist.length}")
+        }
+      },
+      Map("groupby" -> groupbyCol, "sample1" -> sample1, "sample2" -> sample2,
+          "relationship" -> relationship.toString, "alpha" -> alpha,
+          "max_distinct" -> maxDistinct))
+
+  /** [[ksTwoSample]]'s D statistic as a fully-distributed PLAN over the
+    * per-value histogram — the same cumulative window over DISTINCT values
+    * the Mann–Whitney plan uses (distinct-value-sized, the bound the
+    * driver form caps). Returns one row `(d, n1, n2)`, D rounded to 6
+    * decimals for cross-engine matching. */
+  def ksTwoSampleStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
+      sample1: String, sample2: String): DataFrame = {
+    val hist = df
+      .filter(col(groupbyCol).isin(sample1, sample2) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
+           sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val whole = Window.partitionBy() // whole-frame totals ride the same pass
+    hist
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .withColumn("t1", sum(col("n1")).over(whole))
+      .withColumn("t2", sum(col("n2")).over(whole))
+      .agg(
+        round(max(abs(col("c1") / col("t1") - col("c2") / col("t2"))), 6).as("d"),
+        max(col("t1")).cast("long").as("n1"),
+        max(col("t2")).cast("long").as("n2"))
   }
 
   /** One-sample t-test vs `popmean`

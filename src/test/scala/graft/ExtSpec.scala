@@ -851,6 +851,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("retrieval: BM25 matches hand computation; missing terms contribute nothing") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (11L, "zzz")).toDF("qid", "qtext")
+    val got = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // N=3 avgdl=2; df(apple)=2 -> idf=ln(1.6); doc2: tf=2,dl=3 ->
+    // idf*4.4/3.65=0.5666; doc1: tf=1,dl=2 -> idf=0.47; doc3 & query zzz
+    // produce nothing
+    assert(got == Seq((10L, 2L, 1, 0.5666), (10L, 1L, 2, 0.47)), got.toString)
+    // multi-term query: contributions add; repeated query term counts once
+    val q2 = Seq((20L, "apple cherry cherry")).toDF("qid", "qtext")
+    val got2 = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        q2, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2).toSeq
+    // doc2 holds both terms -> rank 1; doc1 only apple -> rank 2
+    assert(got2 == Seq((2L, 1), (1L, 2)), got2.toString)
+  }
+
+  test("text: script profile counts and dominant label incl. ties and none") {
+    val df = Seq(
+      (1L, "hello мир 你好"),    // 5 latin, 3 cyr, 2 cjk
+      (2L, "你好 世界"),                  // 4 cjk
+      (3L, "12345 ---"),                                  // none
+      (4L, "ab 你好")                             // tie 2-2 -> latin
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.scriptProfile(col("text"))
+    val got = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, 2L, 0L, "latin"),
+      (2L, 0L, 0L, 4L, 0L, "cjk"),
+      (3L, 0L, 0L, 0L, 0L, "none"),
+      (4L, 2L, 0L, 2L, 0L, "latin")), got.toString)
+  }
+
   test("text: unigram log-prob matches hand computation incl. OOV floor") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProbs(d, "doc_id", "text", vocabSize = 2)

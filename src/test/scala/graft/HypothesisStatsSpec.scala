@@ -114,4 +114,71 @@ class HypothesisStatsSpec extends SparkSpec {
       "other_column" -> "b", "relationship" -> "Equal", "alpha" -> 0.01))
     assert(run(chiByName, table2x2, "a").observed.contains("chi2="))
   }
+
+  test("mann-whitney: fully-tied degenerate samples pass Equal instead of NaN (r9)") {
+    val df = (Seq.fill(30)(("a", 5.0)) ++ Seq.fill(40)(("b", 5.0))).toDF("g", "v")
+    val eq = run(Hypothesis.mannWhitneyU("g", "a", "b",
+      relationship = Hypothesis.Equal), df, "v")
+    assert(eq.passed, eq.observed) // two identical constant samples ARE equal
+    assert(eq.observed.contains("degenerate"))
+    val ne = run(Hypothesis.mannWhitneyU("g", "a", "b",
+      relationship = Hypothesis.NotEqual), df, "v")
+    assert(!ne.passed, ne.observed)
+    // the distributed plan pins z = 0 for the same input
+    val z = Hypothesis.mannWhitneyStatDF(df, "v", "g", "a", "b")
+      .select("z").head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("ks two-sample: D matches hand computation; identical samples pass Equal, shifted fail") {
+    // F1 steps at {1,2,3} by 1/3; F2 steps at {2,3,4} by 1/3 →
+    // D = max gap = 1/3 (at v=1: 1/3 vs 0)
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0))).toDF("g", "v")
+    val d = Hypothesis.ksTwoSampleStatDF(df, "v", "g", "a", "b").head()
+    assert(math.abs(d.getDouble(0) - 0.333333) < 1e-6, d.toString)
+    assert(d.getLong(1) == 3 && d.getLong(2) == 3)
+    // large identical samples: D = 0, p = 1 → Equal passes
+    val same = (1 to 500).flatMap(i =>
+      Seq(("a", (i % 37).toDouble), ("b", (i % 37).toDouble))).toDF("g", "v")
+    val eq = run(Hypothesis.ksTwoSample("g", "a", "b"), same, "v")
+    assert(eq.passed, eq.observed)
+    assert(eq.observed.contains("D=0.000000"))
+    // clearly shifted large samples: Equal fails
+    val shifted = ((1 to 500).map(i => ("a", (i % 37).toDouble)) ++
+      (1 to 500).map(i => ("b", (i % 37) + 20.0))).toDF("g", "v")
+    val ne = run(Hypothesis.ksTwoSample("g", "a", "b"), shifted, "v")
+    assert(!ne.passed, ne.observed)
+    // driver form and distributed plan agree on D
+    val obsD = "D=([0-9.]+)".r.findFirstMatchIn(ne.observed).get.group(1).toDouble
+    val planD = Hypothesis.ksTwoSampleStatDF(shifted, "v", "g", "a", "b")
+      .head().getDouble(0)
+    assert(math.abs(obsD - planD) < 1e-6)
+    // registry round-trip
+    val byName = Hypothesis.registry("ks_two_sample", Map(
+      "groupby" -> "g", "sample1" -> "a", "sample2" -> "b",
+      "relationship" -> "Equal", "alpha" -> 0.01))
+    assert(run(byName, same, "v").passed)
+  }
+
+  test("kolmogorov p-value: known reference points") {
+    // Q(0) = 1; Q is decreasing; scipy.special.kolmogorov(1.0) ≈ 0.26999967
+    assert(Hypothesis.kolmogorovPValue(0.0) == 1.0)
+    assert(math.abs(Hypothesis.kolmogorovPValue(1.0) - 0.26999967) < 1e-6)
+    assert(Hypothesis.kolmogorovPValue(3.0) < 1e-6)
+    val ps = Seq(0.2, 0.5, 0.8, 1.1, 1.5).map(Hypothesis.kolmogorovPValue)
+    assert(ps == ps.sorted.reverse)
+  }
+
+  test("corr bound check: wide band passes, impossible band fails, constant column is an explicit failure") {
+    import graft.checks.Check
+    val df = (1 to 200).map(i => (i.toDouble, i * 2.0 + (i % 7), 5.0))
+      .toDF("x", "y", "c")
+    val pos = Check.corrBetween("y", 0.9, 1.0).eval(df, Some("x"))
+    assert(pos.passed, pos.observed) // y ≈ 2x → corr ~ 1
+    val neg = Check.corrBetween("y", -1.0, -0.5).eval(df, Some("x"))
+    assert(!neg.passed)
+    val const = Check.corrBetween("c", -1.0, 1.0).eval(df, Some("x"))
+    assert(!const.passed && const.observed.contains("undefined"))
+  }
 }
