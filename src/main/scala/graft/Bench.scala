@@ -355,6 +355,17 @@ object Bench {
     // round-8: stupid-backoff bigram scoring at 10× — two count
     // aggregations + two token-keyed serve joins over the internally
     // cached tokenized frame (dropNewBlocks clears it after the section)
+    // round-9: BM25 ranked retrieval at 10× — one postings build over the
+    // 10× corpus, 500-query batch broadcast into it (the corpus is
+    // scanned, never shuffled by query), bounded k-heap top-10
+    timed("text_bm25_10x") {
+      val q = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      ext.Retrieval.bm25TopK(docs10, "doc_id", "text", q,
+        "query_id", "qtext", k = 10).count()
+    }
+
     val snapSb = persistedIds(spark)
     timed("text_backoff_10x")(
       ext.TextAnalysis.stupidBackoff(docs10, "doc_id", "text",

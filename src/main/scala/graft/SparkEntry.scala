@@ -449,6 +449,33 @@ object SparkEntry {
         .select(ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_pred")),
+    "text_rrf" -> ((s, d) => {
+      // round-9: hybrid-retrieval reciprocal-rank fusion — the BM25
+      // top-10 fused with a distinct-token-overlap top-10 for the same
+      // query batch (rank-only combination, no score calibration); the
+      // oracle re-derives BOTH rankings and the fusion in SQL
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toksQ = ext.TextAnalysis.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val bm = ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+        "query_id", "qtext", k = 10)
+      val qt = queries.select(col("query_id"),
+        explode(ext.TextAnalysis.tokens(col("qtext"))).as("token")).distinct()
+      val dt = docs.select(col("doc_id"),
+        explode(ext.TextAnalysis.tokens(col("text"))).as("token")).distinct()
+      val ov = dt.join(broadcast(qt), Seq("token"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).cast("double").as("ov"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKByScore.of(col("ov"), col("doc_id"), 10).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.item").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      ext.Retrieval.rrfFuse(
+          Seq(bm.select("query_id", "doc_id", "rank"), ov), k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "text_scripts" -> ((s, d) => {
       // round-9: Unicode script profile — per-document character counts
       // in the four major script ranges + dominant label (mixed-corpus
@@ -2730,6 +2757,24 @@ object SparkEntry {
         "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
         "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
         "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\""),
+    "text_rrf" ->
+      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
+        "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
+        "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
+        "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
+        "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
+        "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
+        "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc), " +
+        "dt AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(t) AS token FROM tk)), " +
+        "ov AS (SELECT query_id, dt.doc_id, count(*) AS ov FROM dt JOIN qtok ON qtok.token = dt.token GROUP BY 1, 2), " +
+        "ovr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rnk FROM ov), " +
+        "u AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 10 UNION ALL SELECT query_id, doc_id, rnk FROM ovr WHERE rnk <= 10), " +
+        "f AS (SELECT query_id, doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf FROM u GROUP BY 1, 2), " +
+        "fr AS (SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk2 FROM f) " +
+        "SELECT query_id, doc_id, CAST(rnk2 AS INTEGER) AS \"rank\", rrf FROM fr WHERE rnk2 <= 5 ORDER BY query_id, \"rank\""),
     "text_langid" ->
       ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "sc AS (SELECT len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de, " +

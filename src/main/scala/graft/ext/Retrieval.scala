@@ -83,4 +83,34 @@ object Retrieval {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.score").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard score-free combiner of heterogeneous rankings (BM25 +
+    * embedding ANN is the hybrid-retrieval workhorse):
+    *
+    *   rrf(q, d) = Σ_{lists containing d}  1 / (kRrf + rank_list(d))
+    *
+    * Each input DataFrame carries (query_id, doc_id, rank) — the shape
+    * [[bm25TopK]] and the `Similarity.*TopK*` serves emit (alias
+    * corpus_id → doc_id). Fusion is rank-only, so score scales never need
+    * calibrating. One union + one aggregation + the bounded per-query
+    * k-heap; the inputs are already per-query top-k lists, so everything
+    * is (queries·k·lists)-sized. Fused score rounds to 6 decimals (a sum
+    * of ≤ `lists` exact reciprocals — cross-engine stable); ties rank by
+    * doc id ascending. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(k >= 1 && kRrf >= 1, "k >= 1, kRrf >= 1")
+    val slim = rankings.map(_.select(col("query_id"), col("doc_id"),
+      col("rank").cast("double").as("rank")))
+    slim.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("rank"))), 6).as("rrf"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("rrf"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.item").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("rrf"))
+  }
 }

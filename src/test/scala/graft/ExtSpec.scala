@@ -872,6 +872,22 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Seq((2L, 1), (1L, 2)), got2.toString)
   }
 
+  test("retrieval: RRF fusion matches hand computation, rank-only, ties by id") {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.ext.Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2).toSeq
+    // d20 = 1/61 + 1/62 = 0.032522; d10 = 1/61 = 0.016393; d30 = 1/62
+    assert(got == Seq((20L, 1, 0.032522), (10L, 2, 0.016393),
+      (30L, 3, 0.016129)), got.toString)
+    // equal fused scores rank by doc id ascending
+    val c = Seq((2L, 5L, 1), (2L, 4L, 1)).toDF("query_id", "doc_id", "rank")
+    val tie = graft.ext.Retrieval.rrfFuse(Seq(c), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2).toSeq
+    assert(tie == Seq((4L, 1), (5L, 2)))
+  }
+
   test("text: script profile counts and dominant label incl. ties and none") {
     val df = Seq(
       (1L, "hello мир 你好"),    // 5 latin, 3 cyr, 2 cjk
