@@ -1169,6 +1169,24 @@ object SparkEntry {
           round(col("asof_value"), 3).as("view_value"))
         .orderBy("event_id")
     }),
+    "join_interval" -> ((s, d) => {
+      // round-9: interval×interval OVERLAP join — concurrent 30-minute
+      // activity windows per user between clicks and views, bucketized to
+      // a hash equi-join with canonical-bucket exactly-once emission; the
+      // oracle is DuckDB's direct inequality join
+      val ev = t(s, d, "events")
+      def usec(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+          usec(col("ts")).as("a_lo"), (usec(col("ts")) + lit(1800000000L)).as("a_hi"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          usec(col("ts")).as("b_lo"), (usec(col("ts")) + lit(1800000000L)).as("b_hi"))
+      ext.RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+          Seq("a_user" -> "b_user"), binWidth = 1800000000L)
+        .select(col("a_id"), col("b_id"), col("a_user"))
+        .orderBy("a_id", "b_id")
+    }),
     "stats_distinct_store" -> ((s, d) => {
       // round-8: incremental distinct-count store — each batch reduces to
       // one (key, n_rows, HLL sketch) parquet row; later questions union
@@ -2480,6 +2498,12 @@ object SparkEntry {
        "CAST(1 AS BIGINT) AS join_shuffle_free " +
        "FROM orders JOIN customer ON o_custkey = c_custkey " +
        "GROUP BY 1 ORDER BY 1"),
+    "join_interval" ->
+      ("SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS a_user " +
+        "FROM (SELECT event_id, user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'click') a " +
+        "JOIN (SELECT event_id, user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'view') b " +
+        "ON a.user_id = b.user_id AND a.lo <= b.hi AND b.lo <= a.hi " +
+        "ORDER BY a_id, b_id"),
     "stats_distinct_store" ->
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +

@@ -79,4 +79,63 @@ object RangeJoin {
         pB.join(iGuarded, joinCond, "inner"))((df, c) => df.drop(c))
       .drop("__bucket", "__nbins")
   }
+
+  /** Interval×interval OVERLAP join — `aLo <= bHi AND bLo <= aHi`
+    * (inclusive), the session-overlap / concurrent-spans / IP-block-
+    * intersection case [[pointInInterval]] cannot express. Same
+    * bucketization: BOTH sides replicate to their ⌈len/bin⌉+1 buckets and
+    * the join runs as a hash equi-join on (equi-keys, bucket) + the exact
+    * overlap filter. An overlapping pair shares up to min(nbinsA, nbinsB)
+    * buckets, so the pair is emitted ONLY from its CANONICAL bucket — the
+    * bucket of `greatest(aLo, bLo)`, the later start, which both sides'
+    * replica ranges provably contain whenever the intervals overlap —
+    * making the output exactly-once with no dedup pass (the dedup a
+    * groupBy over all pair replicas would otherwise pay).
+    *
+    * Cost: shuffle of both sides' replicas; the same `binWidth` guidance
+    * and `maxBinsPerInterval` degenerate-interval refusal as
+    * [[pointInInterval]] apply to BOTH sides. Output: every left column
+    * plus every right column except the right equi-keys (equal to the
+    * left side's by the join). Left/right non-key column names must not
+    * collide. */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      equiKeys: Seq[(String, String)], binWidth: Long,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    def bucket(c: Column): Column =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    def replicate(df: DataFrame, loCol: String, hiCol: String,
+        side: String): DataFrame = {
+      val lo = q(loCol).cast("long")
+      val hi = q(hiCol).cast("long")
+      val nBins = bucket(hi) - bucket(lo) + 1
+      df.filter(lo.isNotNull && hi.isNotNull && lo <= hi)
+        .withColumn(s"__nbins_$side",
+          when(nBins > maxBinsPerInterval,
+            raise_error(concat(lit(s"intervalOverlap: interval spans more " +
+              s"than $maxBinsPerInterval bins of width $binWidth — widen " +
+              s"binWidth or pre-split (interval bins: "),
+              nBins.cast("string"), lit(")"))))
+            .otherwise(nBins))
+        .filter(col(s"__nbins_$side") >= 1)
+        .withColumn("__bucket",
+          explode(sequence(bucket(lo), bucket(lo) + col(s"__nbins_$side") - 1)))
+    }
+    val lB = replicate(left, leftLo, leftHi, "l")
+    val rB = replicate(right, rightLo, rightHi, "r")
+    val aLo = lB(leftLo).cast("long"); val aHi = lB(leftHi).cast("long")
+    val bLo = rB(rightLo).cast("long"); val bHi = rB(rightHi).cast("long")
+    val joinCond = equiKeys.map { case (lk, rk) => lB(lk) === rB(rk) }
+      .foldLeft(lB("__bucket") === rB("__bucket"))(_ && _) &&
+      aLo <= bHi && bLo <= aHi &&
+      // canonical-bucket condition: exactly-once emission
+      lB("__bucket") === bucket(greatest(aLo, bLo))
+    val dropCols = rB("__bucket") +: rB(s"__nbins_r") +:
+      equiKeys.map { case (_, rk) => rB(rk) }
+    dropCols.foldLeft(
+        lB.join(rB, joinCond, "inner"))((df, c) => df.drop(c))
+      .drop("__bucket", "__nbins_l", "__nbins_r")
+  }
 }

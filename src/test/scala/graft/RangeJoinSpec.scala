@@ -29,6 +29,59 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap equals brute force across bin widths; exactly-once despite shared buckets") {
+    val rnd = new scala.util.Random(29)
+    val as = (1 to 150).map { i =>
+      val lo = rnd.nextInt(2000).toLong - 500
+      (i.toLong, s"k${rnd.nextInt(3)}", lo, lo + rnd.nextInt(300))
+    }
+    val bs = (1 to 150).map { i =>
+      val lo = rnd.nextInt(2000).toLong - 500
+      (i.toLong, s"k${rnd.nextInt(3)}", lo, lo + rnd.nextInt(300))
+    }
+    val want = (for {
+      (aid, ak, alo, ahi) <- as; (bid, bk, blo, bhi) <- bs
+      if ak == bk && alo <= bhi && blo <= ahi
+    } yield (aid, bid)).sorted
+    // bin widths far smaller than interval length force MANY shared
+    // buckets per pair — the canonical-bucket condition must still emit
+    // each pair exactly once (a multiset compare would catch duplicates)
+    for (bin <- Seq(11L, 128L, 5000L)) {
+      val got = RangeJoin.intervalOverlap(
+          as.toDF("aid", "ak", "alo", "ahi"), "alo", "ahi",
+          bs.toDF("bid", "bk", "blo", "bhi"), "blo", "bhi",
+          Seq("ak" -> "bk"), binWidth = bin)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == want, s"binWidth=$bin: got ${got.length} want ${want.length}")
+    }
+    // inclusive touch at a single shared point counts as overlap
+    val touch = RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 10L)).toDF("aid", "alo", "ahi"), "alo", "ahi",
+        Seq((2L, 10L, 20L)).toDF("bid", "blo", "bhi"), "blo", "bhi",
+        Nil, binWidth = 4L)
+      .count()
+    assert(touch == 1L)
+    // degenerate guard fires on either side
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0L, Long.MaxValue / 2)).toDF("aid", "alo", "ahi"), "alo", "ahi",
+        Seq((2L, 10L, 20L)).toDF("bid", "blo", "bhi"), "blo", "bhi",
+        Nil, binWidth = 4L).count()
+    }
+    assert(e.getMessage.contains("intervalOverlap") ||
+      e.getCause != null && String.valueOf(e.getCause.getMessage).contains("intervalOverlap"),
+      e.toString)
+    // plan: hash equi-join on bucket, never a nested loop
+    val plan = RangeJoin.intervalOverlap(
+        as.toDF("aid", "ak", "alo", "ahi"), "alo", "ahi",
+        bs.toDF("bid", "bk", "blo", "bhi"), "blo", "bhi",
+        Seq("ak" -> "bk"), binWidth = 128L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("inclusive boundaries, null axis values never match") {
     val p = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None))
       .toDF("pid", "x")
