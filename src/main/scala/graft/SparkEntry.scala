@@ -1313,6 +1313,15 @@ object SparkEntry {
         t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
         "l_extendedprice", bins = 20)
         .orderBy("bin")),
+    "drift_w1" -> ((s, d) =>
+      // round-9: grid Wasserstein-1 — the CDF gap INTEGRATED over the
+      // value axis (earth-mover distance in the column's own units),
+      // completing the drift family next to PSI (divergence) and KS
+      // (max gap); same two-scan quantile-grid plan
+      ext.Drift.wasserstein1(t(s, d, "lineitem"),
+        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
+        "l_extendedprice", bins = 20)
+        .orderBy("bin")),
     "drift_ks_multi" -> ((s, d) =>
       // round-7: fused multi-column KS — all three columns' edges in ONE
       // reference aggregation, both sides binned in ONE union pass (2 jobs
@@ -2406,6 +2415,21 @@ object SparkEntry {
         "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
         "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin")
 
+  /** drift_w1: the driftKsOracle pipeline + interior-edge-gap widths and
+    * the integrated |CDF gap| (left-endpoint rule), matching
+    * Drift.wasserstein1's grid estimate bin-for-bin. */
+  private val driftW1Oracle: String =
+    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
+      "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+      "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
+      "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
+      "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
+      "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
+      "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+      "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
+      "w AS (SELECT bin, rc, cc, abs(rc - cc) AS gap, CASE WHEN bin <= 17 THEN (SELECT es FROM edges)[bin + 2] - (SELECT es FROM edges)[bin + 1] ELSE 0 END AS width FROM c) " +
+      "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(width, 6) AS width, round(sum(gap * width) OVER (), 4) AS w1_stat FROM w ORDER BY bin")
+
   private val driftPsiOracle: String =
     ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
       "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
@@ -3055,6 +3079,7 @@ object SparkEntry {
         "h AS (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '11'), 1, 8))::BIGINT / 4294967296.0 AS hh FROM c) " +
         "SELECT doc_id, lang, CASE WHEN hh < 0.5 THEN 'train' WHEN hh < 0.75 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
     "drift_ks" -> driftKsOracle,
+    "drift_w1" -> driftW1Oracle,
     "drift_psi" -> driftPsiOracle,
     // profile-persistence serve paths are hash-identical to the direct
     // two-sided computations by construction — same oracles

@@ -851,6 +851,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("drift: grid Wasserstein-1 is zero on identity, tracks a location shift, monotone in shift size") {
+    val ref = spark.range(1000).select(col("id").cast("double").as("v"))
+    def w1(cur: org.apache.spark.sql.DataFrame): Double =
+      graft.ext.Drift.wasserstein1(ref, cur, "v", bins = 20)
+        .select("w1_stat").head().getDouble(0)
+    assert(w1(ref) == 0.0)
+    // a +50 shift on uniform [0,1000): true W1 = 50; the grid estimate
+    // integrates only between the reference's outer 5%-quantiles, so it
+    // reads slightly under (~0.9 * 50 here) — never over
+    val s50 = w1(ref.select((col("v") + 50).as("v")))
+    assert(s50 > 35.0 && s50 <= 50.0, s"w1(+50)=$s50")
+    val s100 = w1(ref.select((col("v") + 100).as("v")))
+    assert(s100 > s50, s"w1(+100)=$s100 not > w1(+50)=$s50")
+    // units: W1 reads on the value axis (unlike PSI/KS), so scaling the
+    // axis scales the statistic
+    val refK = ref.select((col("v") * 1000).as("v"))
+    val sK = graft.ext.Drift.wasserstein1(refK,
+      refK.select((col("v") + 50000).as("v")), "v", bins = 20)
+      .select("w1_stat").head().getDouble(0)
+    assert(sK > 35000.0, s"scaled w1=$sK")
+  }
+
   test("retrieval: BM25 matches hand computation; missing terms contribute nothing") {
     val docs = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
       (3L, "durian")).toDF("doc_id", "text")
