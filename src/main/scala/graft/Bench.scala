@@ -352,9 +352,6 @@ object Bench {
     timed("dedup_store_scrub_compacted")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
 
-    // round-8: stupid-backoff bigram scoring at 10× — two count
-    // aggregations + two token-keyed serve joins over the internally
-    // cached tokenized frame (dropNewBlocks clears it after the section)
     // round-9: BM25 ranked retrieval at 10× — one postings build over the
     // 10× corpus, 500-query batch broadcast into it (the corpus is
     // scanned, never shuffled by query), bounded k-heap top-10
@@ -366,6 +363,9 @@ object Bench {
         "query_id", "qtext", k = 10).count()
     }
 
+    // round-8: stupid-backoff bigram scoring at 10× — two count
+    // aggregations + two token-keyed serve joins over the internally
+    // cached tokenized frame (dropNewBlocks clears it after the section)
     val snapSb = persistedIds(spark)
     timed("text_backoff_10x")(
       ext.TextAnalysis.stupidBackoff(docs10, "doc_id", "text",

@@ -58,19 +58,41 @@ object Drift {
     * the reference bin fractions. Two jobs, run ONCE when a monitor
     * starts; the profile then rides every micro-batch as plain literals —
     * no reference scan, no join per trigger. */
-  def referenceNumericProfile(reference: DataFrame, column: String,
-      bins: Int = 10, approximate: Boolean = false,
-      accuracy: Int = 10000): (Seq[Double], Seq[Double]) = {
-    require(bins >= 2, s"bins >= 2, got $bins")
+  /** One reference aggregation → the interior `bins-1` quantile edges,
+    * 6-dp rounded so profiles/oracles reproduce them exactly. Shared by
+    * every numeric grid operator (psi/ks/wasserstein1/profile) so a
+    * binning or rounding fix lands once (r9 review). */
+  private def quantileEdges(reference: DataFrame, column: String, bins: Int,
+      approximate: Boolean, accuracy: Int, opName: String): Seq[Double] = {
     val percentages = (1 until bins).map(_.toDouble / bins)
     val pArr = array(percentages.map(lit): _*)
     val edgesCol =
       if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
       else percentile(q(column), pArr)
     val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
-    require(!edgesRow.isNullAt(0),
-      s"referenceNumericProfile: reference has no non-null '$column'")
-    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+    require(!edgesRow.isNullAt(0), s"$opName: reference has no non-null '$column'")
+    edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+  }
+
+  /** Codegen'd edge-comparison bin assignment for one side: (bin, `frac`)
+    * rows with per-side fractions; nulls excluded. */
+  private def binnedFracs(df: DataFrame, column: String, edges: Seq[Double],
+      frac: String): DataFrame = {
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(q(column) > e, 1).otherwise(0))
+    df.filter(q(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn(frac, col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"), col(frac))
+  }
+
+  def referenceNumericProfile(reference: DataFrame, column: String,
+      bins: Int = 10, approximate: Boolean = false,
+      accuracy: Int = 10000): (Seq[Double], Seq[Double]) = {
+    require(bins >= 2, s"bins >= 2, got $bins")
+    val edges = quantileEdges(reference, column, bins, approximate, accuracy,
+      "referenceNumericProfile")
     val bin = edges.foldLeft(lit(0))((acc, e) =>
       acc + when(q(column) > e, 1).otherwise(0))
     val counts = reference.filter(q(column).isNotNull)
@@ -85,32 +107,16 @@ object Drift {
       bins: Int = 10, eps: Double = 1e-6,
       approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins >= 2, got $bins")
-    val percentages = (1 until bins).map(_.toDouble / bins)
-    val pArr = array(percentages.map(lit): _*)
-    val edgesCol =
-      if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
-      else percentile(q(column), pArr)
-    val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
-    require(!edgesRow.isNullAt(0), s"psi: reference has no non-null '$column'")
-    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
-
-    def binned(df: DataFrame, frac: String): DataFrame = {
-      val bin = edges.foldLeft(lit(0))((acc, e) =>
-        acc + when(q(column) > e, 1).otherwise(0))
-      df.filter(q(column).isNotNull)
-        .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-        .withColumn(frac, col("n").cast("double") /
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("bin"), col(frac))
-    }
+    val edges = quantileEdges(reference, column, bins, approximate, accuracy, "psi")
     // the bins-row frames are tiny — the full outer join and the total
     // broadcast are driver-trivial at any corpus size
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allBins = (0 until bins).toDF("bin")
     finalizePsi(allBins
-      .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left"), Seq("bin"), eps)
+      .join(binnedFracs(reference, column, edges, "ref_frac"), Seq("bin"), "left")
+      .join(binnedFracs(current, column, edges, "cur_frac"), Seq("bin"), "left"),
+      Seq("bin"), eps)
   }
 
   /** Batch numeric PSI over several columns in TWO jobs total (r5/r6
@@ -317,30 +323,13 @@ object Drift {
       bins: Int = 20, approximate: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins >= 2, got $bins")
-    val percentages = (1 until bins).map(_.toDouble / bins)
-    val pArr = array(percentages.map(lit): _*)
-    val edgesCol =
-      if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
-      else percentile(q(column), pArr)
-    val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
-    require(!edgesRow.isNullAt(0), s"ks: reference has no non-null '$column'")
-    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
-
-    def binned(df: DataFrame, frac: String): DataFrame = {
-      val bin = edges.foldLeft(lit(0))((acc, e) =>
-        acc + when(q(column) > e, 1).otherwise(0))
-      df.filter(q(column).isNotNull)
-        .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-        .withColumn(frac, col("n").cast("double") /
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("bin"), col(frac))
-    }
+    val edges = quantileEdges(reference, column, bins, approximate, accuracy, "ks")
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allBins = (0 until bins).toDF("bin")
     finalizeKs(allBins
-      .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left"))
+      .join(binnedFracs(reference, column, edges, "ref_frac"), Seq("bin"), "left")
+      .join(binnedFracs(current, column, edges, "cur_frac"), Seq("bin"), "left"))
   }
 
   /** Shared KS tail (cf. [[finalizePsi]]): cumulative CDFs over the
@@ -385,23 +374,8 @@ object Drift {
       bins: Int = 20, approximate: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
     require(bins >= 3, s"bins >= 3, got $bins")
-    val percentages = (1 until bins).map(_.toDouble / bins)
-    val pArr = array(percentages.map(lit): _*)
-    val edgesCol =
-      if (approximate) percentile_approx(q(column), pArr, lit(accuracy))
-      else percentile(q(column), pArr)
-    val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
-    require(!edgesRow.isNullAt(0), s"wasserstein1: reference has no non-null '$column'")
-    val edges = edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
-    def binned(df: DataFrame, frac: String): DataFrame = {
-      val bin = edges.foldLeft(lit(0))((acc, e) =>
-        acc + when(q(column) > e, 1).otherwise(0))
-      df.filter(q(column).isNotNull)
-        .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-        .withColumn(frac, col("n").cast("double") /
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("bin"), col(frac))
-    }
+    val edges = quantileEdges(reference, column, bins, approximate, accuracy,
+      "wasserstein1")
     val spark0 = reference.sparkSession
     import spark0.implicits._
     // interior edge gap to the RIGHT of each bin's cum point: the cum at
@@ -413,8 +387,8 @@ object Drift {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val whole = org.apache.spark.sql.expressions.Window.partitionBy()
     (0 until bins).toDF("bin")
-      .join(binned(reference, "ref_frac"), Seq("bin"), "left")
-      .join(binned(current, "cur_frac"), Seq("bin"), "left")
+      .join(binnedFracs(reference, column, edges, "ref_frac"), Seq("bin"), "left")
+      .join(binnedFracs(current, column, edges, "cur_frac"), Seq("bin"), "left")
       .join(widthDf, Seq("bin"))
       .withColumn("ref_cum", sum(coalesce(col("ref_frac"), lit(0.0))).over(cumW))
       .withColumn("cur_cum", sum(coalesce(col("cur_frac"), lit(0.0))).over(cumW))

@@ -82,6 +82,31 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("Long-overflowing bin counts raise instead of silently dropping the interval (r9 review)") {
+    // binWidth=1 over a span > Long.MaxValue: nBins overflows negative —
+    // before the fix the `>= 1` filter silently removed the interval
+    val iv = Seq((1L, -5000000000000000000L, 5000000000000000000L))
+      .toDF("iid", "lo", "hi")
+    val p = Seq((1L, 0L)).toDF("pid", "x")
+    // under ANSI (the session default) the subtraction itself raises
+    // ARITHMETIC_OVERFLOW before the guard; under non-ANSI the wrapped
+    // negative bin count hits the `nBins < 1` raise — either way the
+    // interval must FAIL the query, never vanish from the output
+    def failsLoudly(msg: String)(f: => Long): Unit = {
+      val e = intercept[Exception](f)
+      val all = e.toString + String.valueOf(e.getCause)
+      assert(all.contains(msg) || all.contains("ARITHMETIC_OVERFLOW"), e.toString)
+    }
+    failsLoudly("pointInInterval") {
+      RangeJoin.pointInInterval(p, "x", iv, "lo", "hi", Nil, binWidth = 1L).count()
+    }
+    failsLoudly("intervalOverlap") {
+      RangeJoin.intervalOverlap(iv, "lo", "hi",
+        Seq((2L, 0L, 1L)).toDF("bid", "blo", "bhi"), "blo", "bhi",
+        Nil, binWidth = 1L).count()
+    }
+  }
+
   test("inclusive boundaries, null axis values never match") {
     val p = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None))
       .toDF("pid", "x")
