@@ -132,6 +132,30 @@ class FingerprintStoreSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("healDir: a crash between the two swap renames is repaired by re-running compact") {
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    FingerprintStore.append(
+      Seq((50L, "pre-crash append")).toDF("doc_id", "text"), "text", dir)
+    val incoming = Seq((60L, "the quick brown fox"), (61L, "fresh post-crash doc"))
+      .toDF("doc_id", "text")
+    val want = FingerprintStore.scrub(incoming, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // simulate the exact crash window: live renamed aside, replacement
+    // never landed — serves would fail with path-not-found here
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/fps"),
+      java.nio.file.Paths.get(s"$dir/fps.old"))
+    intercept[Exception] {
+      FingerprintStore.scrub(incoming, "text", dir).count()
+    }
+    // re-running compact heals (healDir restores the old data) and then
+    // completes the compaction; membership is unchanged
+    FingerprintStore.compact(spark, dir)
+    val got = FingerprintStore.scrub(incoming, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && want == Seq(61L))
+  }
+
   test("meta sentinel: a non-store directory is refused on append") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
