@@ -449,6 +449,41 @@ object SparkEntry {
         .select(ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_pred")),
+    "text_bm25_store" -> ((s, d) => {
+      // round-9: persisted BM25 postings index — the retrieval member of
+      // the store family: corpus reduces once to postings/dlen/df-deltas
+      // + counters, crawl batches append pure file additions, compact()
+      // collapses the generations, and the serve is HASH-IDENTICAL to
+      // the one-shot bm25TopK (same oracle as text_bm25). In-gate
+      // requires pin pre/post-compaction serve equality + file collapse.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toksQ = ext.TextAnalysis.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-store").toString
+      ext.Retrieval.buildIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", dir)
+      ext.Retrieval.appendToIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", dir)
+      def serve() = ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
+        "query_id", "qtext", k = 5)
+      val before = serve().collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
+        .sorted.toSeq
+      def files() = Seq("postings", "dlen", "dfd")
+        .map(sub => ext.StoreFiles.dataFileCount(s, s"$dir/$sub")).sum
+      val filesBefore = files()
+      ext.Retrieval.compactIndex(s, dir)
+      require(files() < filesBefore,
+        s"BM25 index compaction did not collapse files: $filesBefore -> ${files()}")
+      val after = serve()
+      require(after.collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
+        .sorted.toSeq == before,
+        "compacted BM25 index serve diverged")
+      after.orderBy("query_id", "rank")
+    }),
     "text_rrf" -> ((s, d) => {
       // round-9: hybrid-retrieval reciprocal-rank fusion — the BM25
       // top-10 fused with a distinct-token-overlap top-10 for the same
@@ -2360,6 +2395,21 @@ object SparkEntry {
       "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Full BM25 re-derivation in SQL — shared by text_bm25 (one-shot) and
+    * text_bm25_store (persisted postings index, hash-identical serve). */
+  private val bm25OracleSql: String =
+    ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+      "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
+      "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
+      "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
+      "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
+      "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
+      "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
+      "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
+      "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
+      "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\"")
+
   /** Shared by join_asof and its streaming enrichment twin (batch ≡
     * stream by construction — per-row verdicts are pure functions of
     * (row, static right side)). */
@@ -2793,18 +2843,10 @@ object SparkEntry {
         "WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic' " +
         "WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cjk' " +
         "ELSE 'arabic' END AS script FROM p ORDER BY doc_id"),
-    "text_bm25" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
-        "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
-        "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
-        "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
-        "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
-        "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
-        "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
-        "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
-        "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\""),
+    "text_bm25" -> bm25OracleSql,
+    // persisted postings index serves hash-identically to the one-shot
+    // scorer by construction (r9) — same oracle
+    "text_bm25_store" -> bm25OracleSql,
     "text_rrf" ->
       ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
         "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +

@@ -65,17 +65,142 @@ object Retrieval {
       // vocabulary pruned to query tokens before anything joins postings
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
+    scoreAndRank(postings, dlen, qTokens, df, nDocs, avgdl, k, k1, b)
+  }
+
+  // ============ persisted BM25 postings index (round 9) ==================
+  // The retrieval member of the store family (MinHash/fingerprint/ANN/
+  // sketch): a 100 TB corpus reduces ONCE to
+  //   postings/ (token, doc_id, tf)   — the inverted index
+  //   dlen/     (doc_id, dl)          — length normalization side
+  //   dfd/      (token, df)           — document-frequency DELTAS
+  //                                     (appends add delta rows; serves
+  //                                     sum them, the bucket_counts shape)
+  //   stats.json {n_docs, sum_dl}     — avgdl derives at serve time, so
+  //                                     appends just add to both counters
+  // and every query batch is served from the store without touching
+  // corpus text. Append-only growth + compact() like the other stores.
+
+  private def statsPath(path: String) = s"$path/stats.json"
+
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Double) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, statsPath(path)),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-bm25-index",
+      s"not a BM25 index at $path")
+    (root.get("n_docs").asInstanceOf[Number].longValue(),
+      root.get("sum_dl").asInstanceOf[Number].doubleValue())
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, nDocs: Long, sumDl: Double): Unit =
+    StoreFiles.writeUtf8Atomic(spark, statsPath(path),
+      s"""{"format":"graft-bm25-index","n_docs":$nDocs,"sum_dl":$sumDl}""")
+
+  private def writeSides(docs: DataFrame, idCol: String, textCol: String,
+      path: String, mode: String): (Long, Double) = {
+    val postings = docs
+      .select(q(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(q(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    try {
+      postings.write.mode(mode).parquet(s"$path/postings")
+      postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        .write.mode(mode).parquet(s"$path/dfd")
+    } finally postings.unpersist()
+    val dlen = docs.select(q(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
+    dlen.write.mode(mode).parquet(s"$path/dlen")
+    val s = dlen.agg(count(lit(1)), coalesce(sum("dl"), lit(0.0))).head()
+    (s.getLong(0), s.getDouble(1))
+  }
+
+  /** Build the index from a corpus — one corpus scan (cached postings
+    * feed both the postings and df writes). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val (n, sd) = writeSides(docs, idCol, textCol, path, "errorifexists")
+    writeStats(docs.sparkSession, path, n, sd)
+  }
+
+  /** Append a crawl batch (ids must be new): pure file additions plus a
+    * counter bump — nothing rewrites. The df side appends DELTA rows the
+    * serve sums, so history is never re-aggregated at append time. */
+  def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val (n0, sd0) = readStats(spark, path)
+    val (n, sd) = writeSides(batch, idCol, textCol, path, "append")
+    writeStats(spark, path, n0 + n, sd0 + sd)
+  }
+
+  /** Compact after N appends: df deltas collapse to one summed snapshot,
+    * postings/dlen rewrite into size-targeted files. Serve-identical
+    * (gate-asserted); heals a crashed prior swap first. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 0): Unit = {
+    readStats(spark, path) // sentinel
+    Seq("postings", "dlen", "dfd").foreach(d =>
+      StoreFiles.healDir(spark, s"$path/$d"))
+    def target(dir: String): Int =
+      if (targetFiles > 0) targetFiles
+      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
+    val dfDir = s"$path/dfd"
+    spark.read.parquet(dfDir).groupBy("token")
+      .agg(sum("df").as("df"))
+      .repartition(target(dfDir)).write.mode("overwrite")
+      .parquet(dfDir + ".compacting")
+    StoreFiles.swapDir(spark, dfDir + ".compacting", dfDir)
+    Seq(s"$path/postings", s"$path/dlen").foreach { dir =>
+      spark.read.parquet(dir)
+        .coalesce(target(dir)).write.mode("overwrite")
+        .parquet(dir + ".compacting")
+      StoreFiles.swapDir(spark, dir + ".compacting", dir)
+    }
+  }
+
+  /** Serve a query batch from the store — hash-identical to [[bm25TopK]]
+    * over the same corpus (spec/gate-asserted): the df deltas sum to the
+    * same document frequencies, avgdl derives from the stored counters
+    * with the same 6-dp rounding, and the scoring expressions are shared
+    * verbatim. Reads: query-pruned df rows, the postings and dlen
+    * parquet — never corpus text. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryId: String, queryText: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val (nDocsL, sumDl) = readStats(spark, path)
+    val nDocs = nDocsL.toDouble
+    val avgdl = math.rint(sumDl / nDocs * 1e6) / 1e6
+    val qTokens = queries
+      .select(q(queryId).as("query_id"),
+        explode(TextAnalysis.tokens(q(queryText))).as("token"))
+      .distinct()
+    val df = spark.read.parquet(s"$path/dfd")
+      .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
+        "left_semi")
+      .groupBy("token").agg(sum("df").as("df"))
+    scoreAndRank(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/dlen"), qTokens, df, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Shared scoring tail of [[bm25TopK]] and [[bm25TopKFromIndex]]. */
+  private def scoreAndRank(postings: DataFrame, dlen: DataFrame,
+      qTokens: DataFrame, df: DataFrame, nDocs: Double, avgdl: Double,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
     val qTerm = qTokens.join(df, Seq("token")).select(
       col("query_id"), col("token"), idf.as("idf"))
     val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = postings
+    postings
       .join(broadcast(qTerm), Seq("token"))
       .join(dlen, Seq("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(contrib), 4).as("score"))
-    scored
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.of(col("score"), col("doc_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))

@@ -910,6 +910,46 @@ class ExtSpec extends SparkSpec {
     assert(tie == Seq((4L, 1), (5L, 2)))
   }
 
+  test("retrieval: persisted BM25 index ≡ direct, append ≡ build-once, compaction serve-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val direct = rows(graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    // build from half, append the other half — ≡ one-shot over the union
+    graft.ext.Retrieval.buildIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", dir)
+    graft.ext.Retrieval.appendToIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", dir)
+    def serve() = rows(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5))
+    assert(serve() == direct && direct.nonEmpty)
+    // compaction: df deltas collapse, files collapse, serve identical
+    val filesBefore = Seq("postings", "dlen", "dfd")
+      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$dir/$d")).sum
+    graft.ext.Retrieval.compactIndex(spark, dir)
+    assert(serve() == direct)
+    val filesAfter = Seq("postings", "dlen", "dfd")
+      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$dir/$d")).sum
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    // post-compaction appends still serve (delta rows stack on the snapshot)
+    graft.ext.Retrieval.appendToIndex(
+      docs.limit(0), "doc_id", "text", dir)
+    assert(serve() == direct)
+    // non-index directory refused
+    intercept[Exception] {
+      graft.ext.Retrieval.bm25TopKFromIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft-notidx").toString,
+        queries, "qid", "qtext", k = 5)
+    }
+  }
+
   test("text: script profile counts and dominant label incl. ties and none") {
     val df = Seq(
       (1L, "hello мир 你好"),    // 5 latin, 3 cyr, 2 cjk
