@@ -363,6 +363,21 @@ object Bench {
         "query_id", "qtext", k = 10).count()
     }
 
+    // round-9: the same queries against the PERSISTED postings index —
+    // the one-time build is paid once per corpus, and the recurring serve
+    // skips the postings construction the one-shot section above re-pays
+    // per query batch (at 100 TB that is the whole corpus scan)
+    val bmDir = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
+    timed("text_bm25_store_build_10x")(
+      ext.Retrieval.buildIndex(docs10, "doc_id", "text", bmDir))
+    timed("text_bm25_store_serve_10x") {
+      val q = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      ext.Retrieval.bm25TopKFromIndex(spark, bmDir, q,
+        "query_id", "qtext", k = 10).count()
+    }
+
     // round-8: stupid-backoff bigram scoring at 10× — two count
     // aggregations + two token-keyed serve joins over the internally
     // cached tokenized frame (dropNewBlocks clears it after the section)

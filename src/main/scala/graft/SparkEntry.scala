@@ -1295,6 +1295,17 @@ object SparkEntry {
           (col("l_partkey"), 0L, 1048576L)), 10).as("zrank"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "outlier_mad" -> ((s, d) => {
+      // round-9: Hampel (median ± k·1.4826·MAD) outlier fences — the
+      // 50%-breakdown robust rule next to the IQR fence; the oracle
+      // re-derives both medians with the same rounded-median second step
+      val orders = t(s, d, "orders")
+      val (lo, hi) = ext.Outliers.madFences(orders, "o_totalprice")
+      ext.Outliers.flagOutliers(orders, "o_totalprice", fences = Some((lo, hi)))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          lit(lo).as("lo"), lit(hi).as("hi"))
+    }),
     "outlier_iqr" -> ((s, d) => {
       // round-5: Tukey-fence outlier detection on order totals — exact
       // quartile fences (== quantile_cont), then a pure flag filter
@@ -3088,6 +3099,13 @@ object SparkEntry {
         "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
         "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' ELSE 'changed' END AS status " +
         "FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+    "outlier_mad" ->
+      ("WITH m AS (SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders), " +
+        "d AS (SELECT round(quantile_cont(abs(o_totalprice - (SELECT med FROM m)), 0.5), 6) AS mad FROM orders), " +
+        "b AS (SELECT round(med - 3.0 * 1.4826 * mad, 6) AS lo, round(med + 3.0 * 1.4826 * mad, 6) AS hi FROM m, d) " +
+        "SELECT (SELECT count(*) FROM orders) AS n_total, " +
+        "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
+        "lo, hi FROM b"),
     "outlier_iqr" ->
       ("WITH f AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), " +
         "b AS (SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM f) " +

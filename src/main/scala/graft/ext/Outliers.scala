@@ -55,6 +55,39 @@ object Outliers {
     }.toMap
   }
 
+  /** Median-absolute-deviation fences (the Hampel identifier — Hampel
+    * 1974; Leys et al. 2013's recommended default over mean ± k·σ):
+    *
+    *   [med − k·c·MAD, med + k·c·MAD],  MAD = median(|x − med|),
+    *   c = 1.4826 (≈ 1/Φ⁻¹(3/4), the consistency constant making MAD
+    *   estimate σ under normality), k = 3.0 conventional.
+    *
+    * Where the IQR fence has a 25% breakdown point, MAD has 50% — the
+    * fence a heavy-tailed quality metric (tokens/doc, bytes/doc) wants.
+    * Cost: TWO aggregations (median, then median of absolute deviations
+    * from the ROUNDED median — rounded first so both engines and both
+    * steps agree bit-for-bit), each exact interpolated percentile by
+    * default with the `percentile_approx` sketch opt-in at 100 TB.
+    * Compose with [[flagOutliers]]/[[dropOutliers]] via their `fences`
+    * parameter. */
+  def madFences(df: DataFrame, column: String, k: Double = 3.0,
+      approximate: Boolean = false, accuracy: Int = 10000): (Double, Double) = {
+    require(k >= 0, s"k >= 0, got $k")
+    def med(c: Column): Double = {
+      val e = if (approximate)
+        percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
+      else percentile(c, lit(0.5))
+      val row = df.agg(e).head()
+      require(!row.isNullAt(0), s"madFences: no non-null values in '$column'")
+      math.rint(row.getDouble(0) * 1e6) / 1e6
+    }
+    val m = med(q(column))
+    val mad = med(abs(q(column) - lit(m)))
+    val c = 1.4826
+    (math.rint((m - k * c * mad) * 1e6) / 1e6,
+      math.rint((m + k * c * mad) * 1e6) / 1e6)
+  }
+
   /** Add a boolean `flagCol` marking outliers (null values are not
     * flagged — nullability is the schema's business, not the fence's).
     * Pass precomputed `fences` to reuse one quartile job across several

@@ -851,6 +851,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("outliers: MAD (Hampel) fences match hand computation and shrug off an extreme value") {
+    import graft.ext.Outliers
+    // 1..9 plus one extreme: median 5.5, MAD 2.5 — the extreme value
+    // moves the fences by almost nothing (50% breakdown), and a
+    // mean ± 3σ rule would have swallowed it entirely
+    val d = ((1 to 9).map(_.toDouble) :+ 1e9).toDF("v")
+    val (lo, hi) = Outliers.madFences(d, "v")
+    assert(math.abs(lo - (5.5 - 3 * 1.4826 * 2.5)) < 1e-6, s"lo=$lo")
+    assert(math.abs(hi - (5.5 + 3 * 1.4826 * 2.5)) < 1e-6, s"hi=$hi")
+    val flagged = Outliers.flagOutliers(d, "v", fences = Some((lo, hi)))
+      .filter(col("is_outlier")).collect().map(_.getDouble(0)).toSeq
+    assert(flagged == Seq(1e9))
+    // nulls pass through dropOutliers; empty column refused
+    val withNull = (Seq(Some(1.0), Some(2.0), None)).toDF("v")
+    assert(Outliers.dropOutliers(withNull, "v",
+      fences = Some(Outliers.madFences(withNull, "v"))).count() == 3)
+    intercept[IllegalArgumentException] {
+      Outliers.madFences(Seq(Option.empty[Double]).toDF("v"), "v")
+    }
+  }
+
   test("drift: grid Wasserstein-1 is zero on identity, tracks a location shift, monotone in shift size") {
     val ref = spark.range(1000).select(col("id").cast("double").as("v"))
     def w1(cur: org.apache.spark.sql.DataFrame): Double =
