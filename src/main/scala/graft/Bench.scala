@@ -377,6 +377,18 @@ object Bench {
       ext.Retrieval.bm25TopKFromIndex(spark, bmDir, q,
         "query_id", "qtext", k = 10).count()
     }
+    // round-10: the deployment serve shape — a NARROW query batch (5
+    // queries) against the bucket-partitioned store; the serve collects
+    // the batch's token buckets and parquet partition pruning skips every
+    // other bucket's postings/df files at the listing level
+    timed("text_bm25_store_serve_narrow_10x") {
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .limit(5)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      ext.Retrieval.bm25TopKFromIndex(spark, bmDir, q,
+        "query_id", "qtext", k = 10).count()
+    }
 
     // round-8: stupid-backoff bigram scoring at 10× — two count
     // aggregations + two token-keyed serve joins over the internally

@@ -471,8 +471,10 @@ object SparkEntry {
       val before = serve().collect()
         .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
         .sorted.toSeq
-      def files() = Seq("postings", "dlen", "dfd")
-        .map(sub => ext.StoreFiles.dataFileCount(s, s"$dir/$sub")).sum
+      // r10 v2 layout is generational + tbucket-partitioned; count the
+      // LIVE (manifest-listed) footprint — superseded gens linger one
+      // compaction as an in-flight-reader grace window
+      def files() = ext.Retrieval.liveFileCount(s, dir)
       val filesBefore = files()
       ext.Retrieval.compactIndex(s, dir)
       require(files() < filesBefore,
@@ -483,6 +485,26 @@ object SparkEntry {
         .sorted.toSeq == before,
         "compacted BM25 index serve diverged")
       after.orderBy("query_id", "rank")
+    }),
+    "text_bm25_stream" -> ((s, d) => {
+      // round-10: streaming-built BM25 index — an empty index seeded, the
+      // corpus replayed as file-source micro-batches through the
+      // foreachBatch append sink (each batch = one tagged generation, so
+      // retries are exactly-once), then served. Per-token df deltas and
+      // the {n_docs, sum_dl} counters are sums over batches and documents
+      // never split across batches, so the streamed store serves
+      // hash-identically to a one-shot build — same full-SQL oracle.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toksQ = ext.TextAnalysis.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
+      ext.Retrieval.buildIndex(docs.limit(0), "doc_id", "text", dir)
+      ext.Retrieval.indexReplay(docs, "doc_id", "text", dir, numFiles = 5)
+      ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
+          "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
     }),
     "text_rrf" -> ((s, d) => {
       // round-9: hybrid-retrieval reciprocal-rank fusion — the BM25
@@ -2849,7 +2871,8 @@ object SparkEntry {
         "length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic FROM documents) " +
         "SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin, CAST(n_cyrillic AS BIGINT) AS n_cyrillic, " +
         "CAST(n_cjk AS BIGINT) AS n_cjk, CAST(n_arabic AS BIGINT) AS n_arabic, " +
-        "CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none' " +
+        "CASE WHEN n_latin IS NULL THEN NULL " + // null text → NULL, pinned on BOTH engines
+        "WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none' " +
         "WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'latin' " +
         "WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic' " +
         "WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cjk' " +
@@ -2858,6 +2881,7 @@ object SparkEntry {
     // persisted postings index serves hash-identically to the one-shot
     // scorer by construction (r9) — same oracle
     "text_bm25_store" -> bm25OracleSql,
+    "text_bm25_stream" -> bm25OracleSql,
     "text_rrf" ->
       ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
         "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +

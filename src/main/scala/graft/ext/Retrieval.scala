@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 ranked retrieval (Robertson & Walker 1994; the Lucene/
@@ -15,9 +16,10 @@ import org.apache.spark.sql.functions._
   *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
   *
   * Spark-first shape at 100 TB:
-  *   - ONE corpus scan builds the postings (doc, token, tf) and doc
-  *     lengths; the df table is a token-keyed aggregation of the postings
-  *     (model-sized: vocabulary rows);
+  *   - ONE corpus scan builds the postings (token, doc, tf, dl) — the doc
+  *     length rides each posting row (16 denormalized bytes), so scoring
+  *     NEVER joins a corpus-row-sized length side: the only per-query work
+  *     is a broadcast join against query terms over token-pruned postings;
   *   - the query batch tokenizes to (query, token) — queries are the
   *     small side and BROADCAST into the postings join, so the corpus
   *     never shuffles by query;
@@ -31,7 +33,9 @@ import org.apache.spark.sql.functions._
   * Tokens are whitespace tokens of the trimmed text (the corpus-wide
   * convention of the LM/dedup family — [[TextAnalysis.tokens]]), matched
   * case-sensitively; rounding at 4 decimals makes the score an exact
-  * cross-engine pin. Ties rank by doc id ascending. */
+  * cross-engine pin. Ties rank by doc id ascending. NULL-text documents
+  * count toward N but not toward avgdl — the oracle's `avg(dl)` over a
+  * nullable length column, pinned identically in the store counters. */
 object Retrieval {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
@@ -42,15 +46,21 @@ object Retrieval {
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    val postings = docs
-      .select(q(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(q(textCol))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
-    val dlen = docs.select(q(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
+    val base = docs.select(q(idCol).as("doc_id"),
+      TextAnalysis.tokens(q(textCol)).as("toks"))
+    // dl rides every posting row (functionally dependent on doc_id, so the
+    // extra grouping key changes nothing) — scoring needs no length join
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
     // N and avgdl: two scalars from one aggregation over the lengths
-    val stats = dlen.agg(count(lit(1)).cast("double").as("N"),
-      avg(col("dl")).as("avgdl")).head()
+    // (N counts every document; avg skips NULL-text rows — oracle form)
+    val stats = base
+      .select(size(col("toks")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("N"), avg(col("dl")).as("avgdl"))
+      .head()
     val nDocs = stats.getDouble(0)
     // avgdl rounded to 6 decimals before it enters any score: avg() is
     // summation-order sensitive in its last ulps, and the score pins to a
@@ -65,130 +75,418 @@ object Retrieval {
       // vocabulary pruned to query tokens before anything joins postings
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
-    scoreAndRank(postings, dlen, qTokens, df, nDocs, avgdl, k, k1, b)
+    scoreAndRank(postings, qTokens, df, nDocs, avgdl, k, k1, b)
   }
 
-  // ============ persisted BM25 postings index (round 9) ==================
+  // ============ persisted BM25 postings index (round 9, v2 in round 10) ==
   // The retrieval member of the store family (MinHash/fingerprint/ANN/
-  // sketch): a 100 TB corpus reduces ONCE to
-  //   postings/ (token, doc_id, tf)   — the inverted index
-  //   dlen/     (doc_id, dl)          — length normalization side
-  //   dfd/      (token, df)           — document-frequency DELTAS
-  //                                     (appends add delta rows; serves
-  //                                     sum them, the bucket_counts shape)
-  //   stats.json {n_docs, sum_dl}     — avgdl derives at serve time, so
-  //                                     appends just add to both counters
-  // and every query batch is served from the store without touching
-  // corpus text. Append-only growth + compact() like the other stores.
+  // sketch): a 100 TB corpus reduces ONCE to an inverted index and every
+  // query batch is served from the store without touching corpus text.
+  //
+  // v2 layout — generational, manifest-governed, bucket-partitioned:
+  //   manifest.json        {n_docs, n_dl, sum_dl, n_buckets,
+  //                         gens[], pgens[], tags[]}
+  //   postings/<gen>/tbucket=B/…   (token, doc_id, tf, dl)
+  //   dfd/<gen>/tbucket=B/…        (token, df) document-frequency DELTAS
+  //                                (appends add delta rows; serves sum
+  //                                them, the bucket_counts shape)
+  //   dlen/<gen>/…                 (doc_id, dl) — the reconciliation side
+  //                                (n_docs ground truth); the serve path
+  //                                never reads it (dl rides the postings)
+  //
+  //   - `gens` lists every committed generation (each has a dlen dir);
+  //     `pgens` the subset that produced postings/df files — a generation
+  //     of zero-token documents commits lengths only, and readers never
+  //     try to parquet-infer a fileless dir. `tags` records every
+  //     stream-tagged generation ever committed and SURVIVES compaction,
+  //     so a micro-batch replayed after its generation was compacted away
+  //     still no-ops instead of double-counting.
+  //   - tbucket = pmod(xxhash64(token), n_buckets): the serve collects the
+  //     query batch's tokens once (bounded — queries are the small side),
+  //     derives their buckets, and pre-filters postings AND dfd with an
+  //     `isin`, so parquet PARTITION PRUNING skips every non-query
+  //     bucket's files at the listing level — the exact trick the ANN
+  //     store proved with partitionBy("cell") + probe-cell pruning.
+  //   - visibility is MANIFEST-GOVERNED: an append writes its generation
+  //     dirs first and then atomically replaces manifest.json (counters +
+  //     gen list change together). A crash mid-append leaves only orphan
+  //     dirs no reader ever lists — there is NO window where committed
+  //     postings can pair with stale df/counters, and no window where the
+  //     store is unreadable.
+  //   - GC is DEFERRED one compaction: compact() deletes crash orphans
+  //     immediately (never visible to any reader) but leaves the
+  //     generations it just superseded on disk until the NEXT compact()
+  //     sweeps them, so lock-free serves planned against the previous
+  //     manifest keep their files for a whole inter-compaction window.
+  //   - single-writer contract (like every store in the family): appends/
+  //     compactions are serialized by the caller; serves are lock-free.
 
-  private def statsPath(path: String) = s"$path/stats.json"
+  private case class BmManifest(nDocs: Long, nDl: Long, sumDl: Double,
+      nBuckets: Int, gens: Seq[String], pgens: Seq[String],
+      tags: Seq[String])
 
-  private def readStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Double) = {
+  private def manifestPath(path: String) = s"$path/manifest.json"
+
+  private def readManifest(spark: SparkSession, path: String): BmManifest = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(StoreFiles.readUtf8(spark, statsPath(path)),
+      .readValue(StoreFiles.readUtf8(spark, manifestPath(path)),
         classOf[java.util.Map[String, Any]])
     require(String.valueOf(root.get("format")) == "graft-bm25-index",
       s"not a BM25 index at $path")
-    (root.get("n_docs").asInstanceOf[Number].longValue(),
-      root.get("sum_dl").asInstanceOf[Number].doubleValue())
+    import scala.jdk.CollectionConverters._
+    def strs(k: String): Seq[String] =
+      root.get(k).asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(String.valueOf)
+    BmManifest(
+      root.get("n_docs").asInstanceOf[Number].longValue(),
+      root.get("n_dl").asInstanceOf[Number].longValue(),
+      root.get("sum_dl").asInstanceOf[Number].doubleValue(),
+      root.get("n_buckets").asInstanceOf[Number].intValue(),
+      strs("gens"), strs("pgens"), strs("tags"))
   }
 
-  private def writeStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, nDocs: Long, sumDl: Double): Unit =
-    StoreFiles.writeUtf8Atomic(spark, statsPath(path),
-      s"""{"format":"graft-bm25-index","n_docs":$nDocs,"sum_dl":$sumDl}""")
+  private def writeManifest(spark: SparkSession, path: String,
+      m: BmManifest): Unit = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
+    StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
+      s"""{"format":"graft-bm25-index","version":2,"n_docs":${m.nDocs},""" +
+        s""""n_dl":${m.nDl},"sum_dl":${m.sumDl},"n_buckets":${m.nBuckets},""" +
+        s""""gens":[${arr(m.gens)}],"pgens":[${arr(m.pgens)}],""" +
+        s""""tags":[${arr(m.tags)}]}""")
+  }
 
-  private def writeSides(docs: DataFrame, idCol: String, textCol: String,
-      path: String, mode: String): (Long, Double) = {
-    val postings = docs
-      .select(q(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(q(textCol))).as("token"))
-      .groupBy("token", "doc_id").agg(count(lit(1)).cast("double").as("tf"))
-      .persist()
+  private def bucketOf(token: Column, nBuckets: Int): Column =
+    pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
+
+  private val sides = Seq("postings", "dlen", "dfd")
+
+  /** Next compaction/append generation name: numeric g-names only, strictly
+    * above both the committed gens AND anything on disk (a crashed append's
+    * orphan dir must never be adopted by a later writer). Streaming appends
+    * use caller-tagged names instead — see [[indexAppendWriter]]. */
+  private def nextGenName(spark: SparkSession, path: String,
+      committed: Seq[String]): String = {
+    val f = StoreFiles.fs(spark, path)
+    val onDisk = sides.flatMap { side =>
+      val p = new Path(s"$path/$side")
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    val nums = (onDisk ++ committed)
+      .collect { case s if s.matches("g\\d+") => s.drop(1).toLong }
+    "g" + (if (nums.isEmpty) 0L else nums.max + 1L)
+  }
+
+  /** Read one side across the given generations: one scan per generation
+    * root unioned (Spark refuses differing multi-root partition layouts in
+    * a single load), so each generation's `tbucket=N` subdirectories
+    * surface as a filterable partition column — a tbucket filter pushes
+    * through the Union into every scan's PartitionFilters
+    * (spec-asserted). */
+  private def readSide(spark: SparkSession, path: String, side: String,
+      gens: Seq[String]): DataFrame =
+    gens.map(g => spark.read.parquet(s"$path/$side/$g"))
+      .reduce(_.unionByName(_))
+
+  /** Data files the CURRENT manifest lists — the store's live footprint
+    * (compaction gates assert on this; raw directory walks also see crash
+    * orphans and the one-compaction grace window of superseded gens). */
+  def liveFileCount(spark: SparkSession, path: String): Long = {
+    val m = readManifest(spark, path)
+    (m.gens.map(g => StoreFiles.dataFileCountRecursive(spark, s"$path/dlen/$g").toLong) ++
+      m.pgens.flatMap(g => Seq(
+        StoreFiles.dataFileCountRecursive(spark, s"$path/postings/$g").toLong,
+        StoreFiles.dataFileCountRecursive(spark, s"$path/dfd/$g").toLong))).sum
+  }
+
+  /** Write one generation (the unit of both build and append): postings +
+    * df deltas bucket-partitioned by token hash, lengths flat. Aggregation
+    * runs at full shuffle width; the postings write range-clusters on
+    * (tbucket, token) so file count stays ≈ width + buckets instead of
+    * width × buckets. Returns (docs, docs with non-null dl, Σdl,
+    * wrote-postings) WITHOUT publishing — the caller owns the manifest
+    * flip. */
+  private def writeGen(docs: DataFrame, idCol: String, textCol: String,
+      path: String, gen: String, nBuckets: Int): (Long, Long, Double, Boolean) = {
+    val spark = docs.sparkSession
+    val base = docs.select(q(idCol).as("doc_id"),
+      TextAnalysis.tokens(q(textCol)).as("toks"))
+    val dlen = base.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl")).persist()
     try {
-      postings.write.mode(mode).parquet(s"$path/postings")
-      postings.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-        .write.mode(mode).parquet(s"$path/dfd")
-    } finally postings.unpersist()
-    val dlen = docs.select(q(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
-    dlen.write.mode(mode).parquet(s"$path/dlen")
-    val s = dlen.agg(count(lit(1)), coalesce(sum("dl"), lit(0.0))).head()
-    (s.getLong(0), s.getDouble(1))
+      val s = dlen.agg(count(lit(1)), count(col("dl")),
+        coalesce(sum("dl"), lit(0.0))).head()
+      val (n, nDl, sd) = (s.getLong(0), s.getLong(1), s.getDouble(2))
+      if (n == 0L) return (0L, 0L, 0.0, false) // nothing to write or publish
+      val width = math.max(
+        spark.sessionState.conf.numShufflePartitions, nBuckets)
+      val posts = base
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("token"))
+        .withColumn("tbucket", bucketOf(col("token"), nBuckets))
+        .groupBy("tbucket", "token", "doc_id", "dl")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .persist()
+      val hasPostings =
+        try {
+          if (posts.isEmpty) false // zero-token batch: lengths-only gen
+          else {
+            // overwrite, not errorifexists: the target is either fresh or
+            // an ORPHAN from a crashed attempt at this same generation
+            // (manifest never listed it) — retries must reclaim it
+            posts.repartitionByRange(width, col("tbucket"), col("token"))
+              .write.mode("overwrite").partitionBy("tbucket")
+              .parquet(s"$path/postings/$gen")
+            posts.groupBy("tbucket", "token")
+              .agg(count(lit(1)).cast("double").as("df"))
+              .repartition(nBuckets, col("tbucket"))
+              .write.mode("overwrite").partitionBy("tbucket")
+              .parquet(s"$path/dfd/$gen")
+            true
+          }
+        } finally posts.unpersist()
+      dlen.write.mode("overwrite").parquet(s"$path/dlen/$gen")
+      (n, nDl, sd, hasPostings)
+    } finally dlen.unpersist()
   }
 
-  /** Build the index from a corpus — one corpus scan (cached postings
-    * feed both the postings and df writes). */
+  /** Build the index from a corpus — one corpus scan, one generation, one
+    * manifest publish. `nBuckets` fixes the token-hash partitioning for
+    * the index's lifetime (32 suits test scale; a 100 TB deployment wants
+    * 1024+ so a pruned serve lists a small fraction of files). Building
+    * from an EMPTY corpus is legal and yields a zero-gen index that
+    * accepts appends — the seed of a streaming-built index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    val (n, sd) = writeSides(docs, idCol, textCol, path, "errorifexists")
-    writeStats(docs.sparkSession, path, n, sd)
+      path: String, nBuckets: Int = 32): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val spark = docs.sparkSession
+    require(!StoreFiles.fs(spark, path)
+        .exists(new Path(manifestPath(path))),
+      s"BM25 index already exists at $path")
+    val gen = "g0"
+    val (n, nDl, sd, hasP) = writeGen(docs, idCol, textCol, path, gen, nBuckets)
+    writeManifest(spark, path, BmManifest(n, nDl, sd, nBuckets,
+      if (n == 0L) Nil else Seq(gen),
+      if (hasP) Seq(gen) else Nil, Nil))
   }
 
-  /** Append a crawl batch (ids must be new): pure file additions plus a
-    * counter bump — nothing rewrites. The df side appends DELTA rows the
-    * serve sums, so history is never re-aggregated at append time. */
+  /** Append a crawl batch (ids must be new): write the batch's generation
+    * dirs, then ONE atomic manifest replace makes the generation and the
+    * bumped {n_docs, n_dl, sum_dl} counters visible together. Crash before
+    * the publish → invisible orphan dirs (GC'd by the next compact), never
+    * a half-applied append; df history is never re-aggregated (deltas sum
+    * at serve). `genTag` names the generation explicitly — a tag already
+    * committed (even if its generation was since compacted away — `tags`
+    * remembers forever) is a NO-OP, which is what makes streaming-retry
+    * replays of the same batch exactly-once ([[indexAppendWriter]]). */
   def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, genTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val (n0, sd0) = readStats(spark, path)
-    val (n, sd) = writeSides(batch, idCol, textCol, path, "append")
-    writeStats(spark, path, n0 + n, sd0 + sd)
+    val m0 = readManifest(spark, path)
+    genTag.foreach(t => require(t.matches("[A-Za-z0-9_\\-.]+"),
+      s"bad generation tag '$t'"))
+    val gen = genTag.getOrElse(nextGenName(spark, path, m0.gens))
+    if (m0.gens.contains(gen) || m0.tags.contains(gen))
+      return // committed already (retried batch / compacted-away tag)
+    val (n, nDl, sd, hasP) = writeGen(batch, idCol, textCol, path, gen,
+      m0.nBuckets)
+    if (n == 0L) return
+    writeManifest(spark, path, BmManifest(m0.nDocs + n, m0.nDl + nDl,
+      m0.sumDl + sd, m0.nBuckets, m0.gens :+ gen,
+      if (hasP) m0.pgens :+ gen else m0.pgens,
+      genTag.fold(m0.tags)(m0.tags :+ _)))
   }
 
   /** Compact after N appends: df deltas collapse to one summed snapshot,
-    * postings/dlen rewrite into size-targeted files. Serve-identical
-    * (gate-asserted); heals a crashed prior swap first. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+    * postings/dlen rewrite into size-targeted files at FULL repartition
+    * width (a large fragmented store compacts with full parallelism, not
+    * on a coalesce'd handful of tasks), and the dfd file target is sized
+    * from the COLLAPSED snapshot's bytes — the deltas' pre-collapse size
+    * overestimates it badly after many appends. Publishes by the same
+    * single atomic manifest flip as appends (the store stays serveable
+    * through every crash window); crash orphans are deleted immediately,
+    * while the generations superseded by THIS compaction stay on disk as
+    * an in-flight-reader grace window until the next compaction sweeps
+    * them. Stream tags survive (replayed batches must keep no-opping).
+    *
+    * Also the consistency audit point (loud, never silent): committed
+    * dlen rows must equal the manifest's n_docs counter before anything
+    * is rewritten. */
+  def compactIndex(spark: SparkSession, path: String,
       targetFiles: Int = 0): Unit = {
-    readStats(spark, path) // sentinel
-    Seq("postings", "dlen", "dfd").foreach(d =>
-      StoreFiles.healDir(spark, s"$path/$d"))
-    def target(dir: String): Int =
+    val m = readManifest(spark, path)
+    val f = StoreFiles.fs(spark, path)
+    // staged OUTSIDE the side dirs (GC never walks here) and non-hidden
+    // (dot/underscore prefixes trip Spark's hidden-path filtering)
+    val snap = s"$path/compact-snap.tmp"
+    f.delete(new Path(snap), true) // orphan from a crashed prior compact
+    if (m.gens.isEmpty) return
+    val counted = readSide(spark, path, "dlen", m.gens).count()
+    require(counted == m.nDocs,
+      s"BM25 index inconsistent at $path: dlen rows $counted != " +
+        s"manifest n_docs ${m.nDocs} — refusing to compact")
+    val gen = nextGenName(spark, path, m.gens)
+    def target(side: String, gens: Seq[String]): Int =
       if (targetFiles > 0) targetFiles
-      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
-    val dfDir = s"$path/dfd"
-    spark.read.parquet(dfDir).groupBy("token")
-      .agg(sum("df").as("df"))
-      .repartition(target(dfDir)).write.mode("overwrite")
-      .parquet(dfDir + ".compacting")
-    StoreFiles.swapDir(spark, dfDir + ".compacting", dfDir)
-    Seq(s"$path/postings", s"$path/dlen").foreach { dir =>
-      spark.read.parquet(dir)
-        .coalesce(target(dir)).write.mode("overwrite")
-        .parquet(dir + ".compacting")
-      StoreFiles.swapDir(spark, dir + ".compacting", dir)
+      else StoreFiles.targetFileCount(gens
+        .map(g => StoreFiles.dataBytesRecursive(spark, s"$path/$side/$g"))
+        .sum)
+    val hasP = m.pgens.nonEmpty
+    if (hasP) {
+      readSide(spark, path, "postings", m.pgens)
+        .repartitionByRange(target("postings", m.pgens),
+          col("tbucket"), col("token"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$path/postings/$gen")
+      // dfd: collapse first (vocabulary-sized — cheap to write twice),
+      // measure the SNAPSHOT, then lay it out to the measured target
+      readSide(spark, path, "dfd", m.pgens)
+        .groupBy("tbucket", "token").agg(sum("df").as("df"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(snap)
+      val dfdTarget =
+        if (targetFiles > 0) targetFiles
+        else StoreFiles.targetFileCount(
+          StoreFiles.dataBytesRecursive(spark, snap))
+      spark.read.parquet(snap)
+        .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$path/dfd/$gen")
+      f.delete(new Path(snap), true)
+    }
+    readSide(spark, path, "dlen", m.gens)
+      .repartition(target("dlen", m.gens))
+      .write.mode("overwrite").parquet(s"$path/dlen/$gen")
+    writeManifest(spark, path, m.copy(gens = Seq(gen),
+      pgens = if (hasP) Seq(gen) else Nil))
+    // GC: keep the new generation AND the generations the old manifest
+    // listed (an in-flight serve may still be reading them — they fall in
+    // the NEXT compaction); everything else is a crash orphan or a
+    // previous compaction's leftover, both invisible to every reader
+    val keep = (m.gens ++ m.pgens).toSet + gen
+    sides.foreach { side =>
+      val p = new Path(s"$path/$side")
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && !keep.contains(nm) && !nm.startsWith("."))
+          f.delete(st.getPath, true)
+      }
     }
   }
 
   /** Serve a query batch from the store — hash-identical to [[bm25TopK]]
     * over the same corpus (spec/gate-asserted): the df deltas sum to the
     * same document frequencies, avgdl derives from the stored counters
-    * with the same 6-dp rounding, and the scoring expressions are shared
-    * verbatim. Reads: query-pruned df rows, the postings and dlen
-    * parquet — never corpus text. */
-  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+    * with the same NULL semantics (sum_dl / n_dl — NULL-text docs count
+    * toward N, not toward avgdl) and 6-dp rounding, and the scoring
+    * expressions are shared verbatim.
+    *
+    * Reads, in 100 TB terms: the query batch's token-hash BUCKETS only —
+    * the query batch collects once (bounded: it is the broadcast-small
+    * side by contract), its token buckets pre-filter both parquet scans,
+    * and partition pruning skips every other bucket's files at the
+    * listing level — plus nothing else: no corpus text, no length side
+    * (dl rides the postings rows). */
+  def bm25TopKFromIndex(spark: SparkSession,
       path: String, queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    val (nDocsL, sumDl) = readStats(spark, path)
-    val nDocs = nDocsL.toDouble
-    val avgdl = math.rint(sumDl / nDocs * 1e6) / 1e6
-    val qTokens = queries
+    val m = readManifest(spark, path)
+    require(m.nDocs > 0, s"empty BM25 index at $path")
+    require(m.pgens.nonEmpty,
+      s"BM25 index at $path has no postings (every document was blank)")
+    // loud, cheap serve-time audit: every committed generation must exist
+    val f = StoreFiles.fs(spark, path)
+    for ((side, gens) <- Seq("dlen" -> m.gens, "postings" -> m.pgens,
+        "dfd" -> m.pgens); g <- gens)
+      require(f.exists(new Path(s"$path/$side/$g")),
+        s"BM25 index at $path lost committed generation $side/$g")
+    val nDocs = m.nDocs.toDouble
+    val avgdl = math.rint(m.sumDl / m.nDl * 1e6) / 1e6
+    // evaluate the query side ONCE (the ANN store's collected-probe
+    // pattern): the collected rows back both the broadcast join side and
+    // the local bucket derivation — no repeated query-subplan scans
+    val qTokens0 = queries
       .select(q(queryId).as("query_id"),
         explode(TextAnalysis.tokens(q(queryText))).as("token"))
       .distinct()
-    val df = spark.read.parquet(s"$path/dfd")
+    val qtRows = qTokens0.collect()
+    val qTokens = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qTokens0.schema)
+    val buckets = qTokens
+      .select(bucketOf(col("token"), m.nBuckets).as("tbucket")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val posts = readSide(spark, path, "postings", m.pgens)
+      .filter(col("tbucket").isin(buckets: _*))
+    val df = readSide(spark, path, "dfd", m.pgens)
+      .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
       .groupBy("token").agg(sum("df").as("df"))
-    scoreAndRank(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/dlen"), qTokens, df, nDocs, avgdl, k, k1, b)
+    scoreAndRank(posts, qTokens, df, nDocs, avgdl, k, k1, b)
   }
 
-  /** Shared scoring tail of [[bm25TopK]] and [[bm25TopKFromIndex]]. */
-  private def scoreAndRank(postings: DataFrame, dlen: DataFrame,
+  /** Streaming ingest for the index — the micro-batch twin of the ANN
+    * store's encode stream and the fingerprint store's scrub stream: each
+    * batch appends as its OWN generation named `<streamTag>-b<batchId>`,
+    * so the foreachBatch at-least-once contract degrades to exactly-once —
+    * a replayed batch finds its tag already committed (the manifest's
+    * `tags` list remembers across compactions) and no-ops; a batch that
+    * crashed mid-write left an invisible orphan its retry overwrites
+    * before the one manifest flip.
+    *
+    * `streamTag` must be 1:1 with the stream's CHECKPOINT location (batch
+    * ids restart at 0 for a fresh checkpoint — a new logical stream needs
+    * a new tag or its early batches would no-op against the old one's). */
+  def indexAppendWriter(stream: DataFrame, idCol: String, textCol: String,
+      path: String, streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(streamTag.matches("[A-Za-z0-9_\\-.]+"),
+      s"bad stream tag '$streamTag'")
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      appendToIndex(batch, idCol, textCol, path,
+        genTag = Some(s"$streamTag-b$id"))
+    }
+  }
+
+  /** Batch ≡ streaming proof harness for [[indexAppendWriter]] (the
+    * sibling of `encodeReplay`/`scrubReplay`): replay a static corpus as
+    * file-source micro-batches into the index at `path`. Per-token df
+    * deltas, n_docs/n_dl/sum_dl are all sums over batches, and a document
+    * never splits across batches, so the streamed index serves
+    * hash-identically to a one-shot build — gated against the same
+    * oracle. Each call is a fresh logical stream (fresh checkpoint) and
+    * tags itself from its own temp dir name. */
+  def indexReplay(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 6): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = corpus.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_replay_")
+    try {
+      val src = corpus.select(q(idCol).as("doc_id"), q(textCol).as("text"))
+      src.repartition(numFiles).write.parquet(s"$dir/in")
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val query = indexAppendWriter(stream, "doc_id", "text", path,
+          streamTag = dir.getFileName.toString)
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+    } finally {
+      // replay input + checkpoint are dead once the stream drains (or
+      // fails — cleanup must not leak a corpus copy on error)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Shared scoring tail of [[bm25TopK]] and [[bm25TopKFromIndex]].
+    * `postings` carries (token, doc_id, tf, dl) — length normalization
+    * reads the denormalized dl, so the only joins here are broadcast
+    * query-term joins. */
+  private def scoreAndRank(postings: DataFrame,
       qTokens: DataFrame, df: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
@@ -198,7 +496,6 @@ object Retrieval {
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
     postings
       .join(broadcast(qTerm), Seq("token"))
-      .join(dlen, Seq("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(contrib), 4).as("score"))
       .groupBy("query_id")

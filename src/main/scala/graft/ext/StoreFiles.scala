@@ -66,6 +66,22 @@ object StoreFiles {
     }.sum
   }
 
+  /** Recursive variant of [[dataBytes]] — for partitioned layouts where
+    * the data files live under partition subdirectories. */
+  def dataBytesRecursive(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return 0L
+    val it = f.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) n += st.getLen
+    }
+    n
+  }
+
   /** File count targeting ~`targetBytes` per file (default 128 MB — one
     * comfortable task/scan unit). Never 0. */
   def targetFileCount(bytes: Long, targetBytes: Long = 128L * 1024 * 1024): Int =

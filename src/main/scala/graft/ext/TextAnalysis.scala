@@ -121,7 +121,9 @@ object TextAnalysis {
 
   /** (n_latin, n_cyrillic, n_cjk, n_arabic, dominant) — counts per major
     * script plus the dominant label (ties break in the listed order;
-    * a document with none of the four scripts reads "none"). */
+    * a document with none of the four scripts reads "none"; a NULL
+    * document reads NULL — pinned EXPLICITLY on both engines so the
+    * cross-engine gate can never drift on null fall-through semantics). */
   def scriptProfile(c: Column): Seq[(String, Column)] = {
     val counts = scriptRanges.map { case (n, p) => n -> scriptCount(c, p) }
     val g = greatest(counts.map(_._2): _*)
@@ -129,7 +131,8 @@ object TextAnalysis {
       when(g > 0 && cnt === g, lit(n)).otherwise(acc)
     }
     // foldRight: the FIRST matching name in scriptRanges order wins a tie
-    counts.map { case (n, cnt) => s"n_$n" -> cnt } :+ ("script" -> dominant)
+    counts.map { case (n, cnt) => s"n_$n" -> cnt } :+
+      ("script" -> when(c.isNull, lit(null).cast("string")).otherwise(dominant))
   }
 
   /** Composite quality score in [0,1]: weighted mix of length, alpha ratio,

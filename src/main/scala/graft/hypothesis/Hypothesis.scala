@@ -580,7 +580,12 @@ object Hypothesis {
       .withColumn("t1", sum(col("n1")).over(whole))
       .withColumn("t2", sum(col("n2")).over(whole))
       .agg(
-        round(max(abs(col("c1") / col("t1") - col("c2") / col("t2"))), 6).as("d"),
+        // an absent group (t=0) must surface as a NULL d, mirroring the
+        // driver form's explicit n1==0/n2==0 failed outcome — never a
+        // silent 0/0 = NaN statistic
+        round(max(when(col("t1") === 0 || col("t2") === 0, lit(null))
+          .otherwise(abs(col("c1") / col("t1") - col("c2") / col("t2")))), 6)
+          .as("d"),
         max(col("t1")).cast("long").as("n1"),
         max(col("t2")).cast("long").as("n2"))
   }

@@ -951,13 +951,13 @@ class ExtSpec extends SparkSpec {
     def serve() = rows(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
       queries, "qid", "qtext", k = 5))
     assert(serve() == direct && direct.nonEmpty)
-    // compaction: df deltas collapse, files collapse, serve identical
-    val filesBefore = Seq("postings", "dlen", "dfd")
-      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$dir/$d")).sum
+    // compaction: df deltas collapse, the LIVE (manifest-listed) file
+    // footprint collapses, serve identical. Raw dir walks would also see
+    // the deferred-GC grace copies of the superseded generations.
+    val filesBefore = graft.ext.Retrieval.liveFileCount(spark, dir)
     graft.ext.Retrieval.compactIndex(spark, dir)
     assert(serve() == direct)
-    val filesAfter = Seq("postings", "dlen", "dfd")
-      .map(d => graft.ext.StoreFiles.dataFileCount(spark, s"$dir/$d")).sum
+    val filesAfter = graft.ext.Retrieval.liveFileCount(spark, dir)
     assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
     // post-compaction appends still serve (delta rows stack on the snapshot)
     graft.ext.Retrieval.appendToIndex(
@@ -969,6 +969,188 @@ class ExtSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-notidx").toString,
         queries, "qid", "qtext", k = 5)
     }
+  }
+
+  test("retrieval: bucket-pruned serve — PartitionFilters on postings+dfd, no dlen scan") {
+    // r10: tbucket = pmod(xxhash64(token), nBuckets) partitions the
+    // postings and df-delta sides; a narrow query batch must read ONLY its
+    // tokens' buckets (parquet partition pruning) and must never scan the
+    // corpus-row-sized dlen side (dl rides the postings rows)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") === 100)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 2)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25prune").toString
+    graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", dir, nBuckets = 32)
+    val served = graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5)
+    val rows = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val direct = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows == direct && direct.nonEmpty)
+    val plan = served.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.count(_.matches(".*PartitionFilters: \\[.*tbucket.*IN.*\\].*")) >= 2,
+      s"expected pushed tbucket filters on postings AND dfd scans:\n${scans.mkString("\n")}")
+    assert(!plan.contains("/dlen/"), s"serve plan scans the dlen side:\n$plan")
+    // file-level proof: with ≤2 query tokens only their buckets' files can
+    // be listed — far fewer than the full bucket spread of the store
+    val partDirs = graft.ext.StoreFiles
+      .fs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings/g0"))
+      .count(_.getPath.getName.startsWith("tbucket="))
+    assert(partDirs > 4, s"store not spread across buckets: $partDirs")
+    val readDirs = plan.linesIterator
+      .filter(l => l.contains("/postings/") && l.contains("PartitionFilters"))
+      .mkString
+    // the isin list in the plan carries ≤2 bucket literals
+    assert(!readDirs.isEmpty)
+  }
+
+  test("retrieval: manifest governs visibility — orphan gens invisible, GC'd; tamper fails loud") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 2)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25orph").toString
+    graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    def rows() = graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+        queries, "qid", "qtext", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val before = rows()
+    assert(before.nonEmpty)
+    // simulate a crashed append: generation dirs on disk, no manifest flip
+    val f = graft.ext.StoreFiles.fs(spark, dir)
+    import org.apache.hadoop.fs.Path
+    Seq("postings", "dlen", "dfd").foreach { side =>
+      org.apache.hadoop.fs.FileUtil.copy(f, new Path(s"$dir/$side/g0"),
+        f, new Path(s"$dir/$side/g99"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // the orphan is invisible: serve unchanged (duplicated rows would
+    // double every tf/df if the orphan leaked into the read)
+    assert(rows() == before, "orphan generation leaked into the serve")
+    // a fresh append (new ids) must NOT adopt the orphan's name
+    graft.ext.Retrieval.appendToIndex(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(col("doc_id") >= 60 && col("doc_id") < 70),
+      "doc_id", "text", dir)
+    assert(f.exists(new Path(s"$dir/postings/g100")),
+      "fresh append adopted/collided with the orphan generation name")
+    // compact GCs the orphan IMMEDIATELY (it was never reader-visible)
+    // but DEFERS deleting the generations it just superseded — an
+    // in-flight serve planned against the old manifest keeps its files
+    // until the next compaction sweeps them
+    graft.ext.Retrieval.compactIndex(spark, dir)
+    assert(!f.exists(new Path(s"$dir/postings/g99")), "orphan not GC'd")
+    assert(f.exists(new Path(s"$dir/postings/g0")),
+      "superseded gen deleted in the same compaction (in-flight-reader race)")
+    graft.ext.Retrieval.compactIndex(spark, dir)
+    assert(!f.exists(new Path(s"$dir/postings/g0")),
+      "second compaction did not sweep the grace-window copies")
+    // tampered counters: reconcile refuses to compact
+    val manifest = graft.ext.StoreFiles.readUtf8(spark, s"$dir/manifest.json")
+    val bad = manifest.replaceAll("\"n_docs\":\\d+", "\"n_docs\":1")
+    graft.ext.StoreFiles.writeUtf8Atomic(spark, s"$dir/manifest.json", bad)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.compactIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("inconsistent"))
+  }
+
+  test("retrieval: empty index refuses to serve; streamed batch retry is a no-op") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val queries = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 2)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25empty").toString
+    // empty build is legal (the seed of a streaming-built index)…
+    graft.ext.Retrieval.buildIndex(docs.limit(0), "doc_id", "text", dir)
+    // …but serving it fails loudly, not NaN-silently (avgdl = sum/0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.bm25TopKFromIndex(spark, dir, queries,
+        "qid", "qtext", k = 5)
+    }
+    assert(e.getMessage.contains("empty BM25 index"))
+    // tagged appends: the same tag twice commits once (streaming retries)
+    graft.ext.Retrieval.appendToIndex(docs, "doc_id", "text", dir,
+      genTag = Some("b0"))
+    def rows() = graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+        queries, "qid", "qtext", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val once = rows()
+    assert(once.nonEmpty)
+    graft.ext.Retrieval.appendToIndex(docs, "doc_id", "text", dir,
+      genTag = Some("b0"))
+    assert(rows() == once, "retried tagged append double-committed")
+  }
+
+  test("retrieval: streamed index build ≡ one-shot (micro-batch appends, df deltas sum)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val direct = rows(graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25strm").toString
+    graft.ext.Retrieval.buildIndex(docs.limit(0), "doc_id", "text", dir)
+    graft.ext.Retrieval.indexReplay(docs, "doc_id", "text", dir, numFiles = 5)
+    val streamed = rows(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5))
+    assert(streamed == direct && direct.nonEmpty)
+  }
+
+  test("retrieval: blank/null docs — lengths-only gens, avgdl pinned, 2nd stream appends") {
+    import spark.implicits._
+    // mixed corpus: real docs + a blank doc + a NULL doc. N counts all of
+    // them; avgdl averages the non-null lengths (blank = 0 counts, NULL
+    // does not) — pinned identically in the one-shot scorer and the
+    // store's {n_docs, n_dl, sum_dl} counters.
+    val docsA = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple durian kiwi")).toDF("doc_id", "text")
+    val docsB = Seq((4L, "   "), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val union = docsA.unionByName(docsB)
+    val queries = Seq((10L, "apple banana")).toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val direct = rows(graft.ext.Retrieval.bm25TopK(union, "doc_id", "text",
+      queries, "qid", "qtext", k = 5))
+    assert(direct.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25blank").toString
+    graft.ext.Retrieval.buildIndex(docsA, "doc_id", "text", dir)
+    // a batch with rows but ZERO tokens commits a lengths-only generation
+    // (no postings/dfd dirs) — and must neither crash the serve nor the
+    // compaction, while still moving N and avgdl
+    graft.ext.Retrieval.appendToIndex(docsB, "doc_id", "text", dir)
+    def serve() = rows(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5))
+    assert(serve() == direct, s"${serve()} vs $direct")
+    graft.ext.Retrieval.compactIndex(spark, dir)
+    assert(serve() == direct)
+    // a SECOND replay stream into the same index must append (fresh tag),
+    // not silently no-op against the first stream's batch ids
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bm25twostrm").toString
+    graft.ext.Retrieval.buildIndex(docsA.limit(0), "doc_id", "text", dir2)
+    graft.ext.Retrieval.indexReplay(docsA, "doc_id", "text", dir2, numFiles = 2)
+    graft.ext.Retrieval.indexReplay(docsB, "doc_id", "text", dir2, numFiles = 2)
+    val twoStreams = rows(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir2,
+      queries, "qid", "qtext", k = 5))
+    assert(twoStreams == direct,
+      s"second stream's batches were dropped: $twoStreams vs $direct")
   }
 
   test("text: script profile counts and dominant label incl. ties and none") {
@@ -988,6 +1170,12 @@ class ExtSpec extends SparkSpec {
       (2L, 0L, 0L, 4L, 0L, "cjk"),
       (3L, 0L, 0L, 0L, 0L, "none"),
       (4L, 2L, 0L, 2L, 0L, "latin")), got.toString)
+    // r10: NULL text is PINNED to null counts + null label (not an
+    // accidental fall-through to 'none' here and 'arabic' in the oracle)
+    val withNull = Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nr = withNull.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert((1 to 4).forall(nr.isNullAt) && nr.isNullAt(5), nr.toString)
   }
 
   test("text: unigram log-prob matches hand computation incl. OOV floor") {

@@ -159,6 +159,13 @@ class HypothesisStatsSpec extends SparkSpec {
       "groupby" -> "g", "sample1" -> "a", "sample2" -> "b",
       "relationship" -> "Equal", "alpha" -> 0.01))
     assert(run(byName, same, "v").passed)
+    // r10: an ABSENT group in the DF form yields NULL d (mirrors the
+    // driver form's failed outcome), never a silent 0/0 = NaN statistic
+    val absent = Hypothesis.ksTwoSampleStatDF(
+      df.filter(org.apache.spark.sql.functions.col("g") === "a"),
+      "v", "g", "a", "b").head()
+    assert(absent.isNullAt(0) && absent.getLong(1) == 3 && absent.getLong(2) == 0,
+      absent.toString)
   }
 
   test("kolmogorov p-value: known reference points") {
