@@ -382,8 +382,10 @@ object Bench {
     // the batch's token buckets and parquet partition pruning skips every
     // other bucket's postings/df files at the listing level
     timed("text_bm25_store_serve_narrow_10x") {
-      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .limit(5)
+      // deterministic 5-query pick (limit() on unordered data would let
+      // the benchmarked token set — and its bucket spread — drift run-to-run)
+      val q = docs.filter(pmod(col("doc_id"), lit(100)) === 0 &&
+          col("doc_id") < 500)
         .select(col("doc_id").as("query_id"), concat_ws(" ",
           slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
       ext.Retrieval.bm25TopKFromIndex(spark, bmDir, q,

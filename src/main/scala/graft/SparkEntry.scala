@@ -1357,6 +1357,121 @@ object SparkEntry {
         Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 11)
         .select("doc_id", "lang", "split").orderBy("doc_id")
     }),
+    "pipeline_crawl_batch" -> ((s, d) => {
+      // round-10: the STORE-BACKED nightly crawl pipeline end-to-end as
+      // ONE gate — what a 100 TB ingest actually runs per batch:
+      //   quarantined JSONL read → fused validation (drop blanks) →
+      //   fingerprint-store exact scrub → MinHash-store near-dup scrub →
+      //   BM25 + ANN store appends → PSI of the ingested batch's token
+      //   lengths vs a PERSISTED drift profile.
+      // Output = the per-row disposition table (every crawl row's fate)
+      // plus the drift bins, all re-derived by the DuckDB oracle from the
+      // shared parquet alone; the store appends are pinned in-gate by a
+      // serve ≡ one-shot-over-union equality (BM25) and a code-count
+      // equality (ANN).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      // nightly stores, built once from the historical corpus
+      val fpDir = tmp("graft-cb-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
+      val mhDir = tmp("graft-cb-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
+      val bmDir = tmp("graft-cb-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
+      def embed(df: org.apache.spark.sql.DataFrame,
+          id: org.apache.spark.sql.Column) = df.select(
+        id.as("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
+      val histEmb = embed(hist, col("doc_id"))
+      val annDir = tmp("graft-cb-ann")
+      ext.AnnStore.create(histEmb, "doc_id", "emb",
+        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
+      val profPath = tmp("graft-cb-prof") + "/profile.json"
+      ext.DriftProfile.fit(
+        hist.select(ext.TextAnalysis.tokenCount(col("text")).cast("double").as("tok_cnt")),
+        numericCols = Seq("tok_cnt"), bins = 5).save(profPath)
+      // the crawl batch lands as JSONL: fresh content, exact re-crawls,
+      // near-dup re-crawls, blank rows, and deterministic corrupt lines
+      val bA = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 1000000).as("id"), col("text"),
+          (pmod(col("doc_id"), lit(30)) === 1).as("corrupt"))
+      val bB = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select((col("doc_id") + 2000000).as("id"), col("text"),
+          lit(false).as("corrupt"))
+      val bC = docs.filter(pmod(col("doc_id"), lit(6)) === 2)
+        .select((col("doc_id") + 3000000).as("id"),
+          concat(col("text"), lit(" r10 crawl suffix")).as("text"),
+          lit(false).as("corrupt"))
+      val bD = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 4000000).as("id"), lit("   ").as("text"),
+          lit(false).as("corrupt"))
+      val jdir = tmp("graft-cb-json")
+      bA.unionByName(bB).unionByName(bC).unionByName(bD)
+        .select(when(col("corrupt"), concat(lit("{\"id\": "), col("id"),
+            lit(", \"text\": \"broken")))
+          .otherwise(to_json(struct(col("id"), col("text")))).as("value"))
+        .coalesce(1).write.text(s"$jdir/data")
+      // 1. quarantined read + fused validation (blank rows are invalid)
+      val (res, bad) = graft.io.ValidatedIO.readQuarantined(s,
+        DataFrameSchema(
+          "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+          "text" -> ColumnSchema(Some(StringType),
+            Seq(ColumnCheck("text_nonblank", c => length(trim(c)) > 0)),
+            nullable = false)).copy(dropInvalidRows = true),
+        s"$jdir/data", "json")
+      val valid = res.data.select(col("id"), col("text"))
+      val qIds = bad.select(regexp_extract(col("raw_record"),
+        "\"id\":\\s*(\\d+)", 1).cast("long").as("doc_id"))
+      // 2. exact scrub against the fingerprint store (no corpus text read)
+      val afterExact = ext.FingerprintStore.scrub(valid, "text", fpDir)
+      // 3. near-dup scrub against the MinHash store
+      val survivors = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
+        "text", mhDir)
+      // 4. store appends + in-gate consistency pins
+      ext.Retrieval.appendToIndex(survivors, "id", "text", bmDir)
+      ext.AnnStore.append(embed(survivors, col("id")), "doc_id", "emb", annDir)
+      val union = hist.unionByName(
+        survivors.select(col("id").as("doc_id"), col("text")))
+      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sorted.toSeq
+      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)) ==
+        rows(ext.Retrieval.bm25TopK(union, "doc_id", "text", queries,
+          "query_id", "qtext", k = 5)),
+        "BM25 store after crawl append diverged from one-shot over union")
+      require(ext.AnnStore.codes(s, annDir).count() == union.count(),
+        "ANN store code count != historical + ingested")
+      // 5. drift of the ingested batch vs the PERSISTED profile
+      val np = ext.DriftProfile.load(profPath).numericFor("tok_cnt")
+      val psi = ext.Drift.psiAgainstProfile(
+        survivors.select(ext.TextAnalysis.tokenCount(col("text"))
+          .cast("double").as("tok_cnt")), "tok_cnt", np.edges, np.fracs)
+      // disposition table + drift rows, one frame, fully SQL-re-derivable
+      val invalid = bA.filter(!col("corrupt")).select(col("id"))
+        .unionByName(bB.select(col("id"))).unionByName(bC.select(col("id")))
+        .unionByName(bD.select(col("id")))
+        .join(valid.select("id"), Seq("id"), "left_anti")
+      val exactDropped = valid.select(col("id"))
+        .join(afterExact.select("id"), Seq("id"), "left_anti")
+      val nearDropped = afterExact.select(col("id"))
+        .join(survivors.select("id"), Seq("id"), "left_anti")
+      def disp(ids: org.apache.spark.sql.DataFrame, st: String) =
+        ids.select(col(ids.columns.head).as("doc_id"), lit(st).as("status"))
+      disp(qIds, "quarantined")
+        .unionByName(disp(invalid, "invalid"))
+        .unionByName(disp(exactDropped, "exact_dup"))
+        .unionByName(disp(nearDropped, "near_dup"))
+        .unionByName(disp(survivors.select("id"), "ingested"))
+        .unionByName(psi.select((-(col("bin") + 1)).cast("long").as("doc_id"),
+          concat(lit("drift:"),
+            format_string("%.6f", col("psi_contrib"))).as("status")))
+        .unionByName(psi.limit(1).select(lit(-100L).as("doc_id"),
+          concat(lit("psi_total:"),
+            format_string("%.6f", col("psi_total"))).as("status")))
+        .orderBy("doc_id")
+    }),
     "drift_psi" -> ((s, d) =>
       // round-5: distribution-drift monitoring — PSI of l_extendedprice
       // between the full lineitem snapshot (reference) and the returned-
@@ -2216,6 +2331,39 @@ object SparkEntry {
         .map { case (line, i) => (i.toLong, line) }
         .toDF("line_no", "line").orderBy("line_no")
     }),
+    "io_pandera_fixture" -> ((s, d) => {
+      // round-10 (r9 verdict #7): parse the REFERENCE'S OWN canonical
+      // YAML fixture — extracted at run time from the reference test
+      // source (tests/io/test_pandas_io.py YAML_SCHEMA, the full-format
+      // document with every column property explicit, flat Field-style
+      // check keys, an index: section and the version header) — rather
+      // than a hand-adapted copy, and pin the parsed contract: dtypes,
+      // nullability, requiredness, recognized check counts. The only
+      // edits are the two f-string placeholders; the pandas-only index:
+      // section parses away cleanly (documented exclusion — no Spark row
+      // identity).
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          "/root/reference/tests/io/test_pandas_io.py")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val m = java.util.regex.Pattern
+        .compile("(?s)YAML_SCHEMA = f\"\"\"(.*?)\"\"\"").matcher(src)
+      require(m.find(), "reference YAML_SCHEMA fixture not found")
+      val doc = m.group(1)
+        .replace("{_PANDERA_VERSION}", "0.0.0")
+        .replace("{_PANDERA_STR_DTYPE}", "str")
+      val schema = graft.io.SchemaIO.fromYaml(doc)
+      require(schema.strict == Strict.Error,
+        "fixture strict: true did not parse to Strict.Error")
+      require(!schema.ordered && !schema.uniqueColumnNames,
+        "fixture schema-level defaults did not parse")
+      import s.implicits._
+      schema.columns.map { case (n, c) =>
+        (n, c.dtype.map(graft.io.SchemaIO.dtypeToName).getOrElse("none"),
+          c.nullable, c.required, c.checks.size.toLong)
+      }.toDF("col_name", "dtype_name", "nullable", "required", "n_checks")
+        .orderBy("col_name")
+    }),
     "io_csv_quarantine" -> ((s, d) => {
       // round-8: quarantining CSV source boundary — orders (4-column
       // projection) round-trips through CSV text; two hand-corrupted lines
@@ -2547,6 +2695,20 @@ object SparkEntry {
       yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
 
   def oracleSql: Map[String, String] = Map(
+    // the reference's own YAML_SCHEMA fixture, parsed live: 7 columns,
+    // dtype mapping per SchemaIO (timedelta64[ns] → day-time interval,
+    // no-dtype column → none), pandera constructor defaults for
+    // nullable/required, and the recognized flat check keys per column
+    "io_pandera_fixture" ->
+      ("SELECT * FROM (VALUES " +
+        "('datetime_column', 'datetime64[ns]', false, true, CAST(2 AS BIGINT)), " +
+        "('float_column', 'float64', false, true, CAST(3 AS BIGINT)), " +
+        "('int_column', 'int64', false, true, CAST(3 AS BIGINT)), " +
+        "('notype_column', 'none', false, true, CAST(1 AS BIGINT)), " +
+        "('optional_props_column', 'str', true, false, CAST(1 AS BIGINT)), " +
+        "('str_column', 'str', false, true, CAST(2 AS BIGINT)), " +
+        "('timedelta_column', 'interval day to second', false, true, CAST(2 AS BIGINT))) " +
+        "v(col_name, dtype_name, nullable, required, n_checks) ORDER BY col_name"),
     "io_csv_quarantine" ->
       ("SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_good, " +
         "CAST(2 AS BIGINT) AS n_bad, " +
@@ -3136,6 +3298,58 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM orders) AS n_total, " +
         "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
         "lo, hi FROM b"),
+    "pipeline_crawl_batch" ->
+      // the full store-backed nightly flow re-derived from the shared
+      // parquet alone: batch construction (fresh/re-crawl/near-dup/blank/
+      // corrupt) → quarantine → blank-drop → exact membership vs the
+      // historical corpus (the fingerprint store's semantics) → exact
+      // 3-shingle Jaccard ≥ 0.8 vs the historical corpus (the MinHash
+      // store's semantics) → token-count PSI of the ingested docs vs the
+      // historical 5-bin profile
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 != 1), " +
+        "ba AS (SELECT doc_id + 1000000 AS id, text, (doc_id % 30 = 1) AS corrupt FROM docs WHERE doc_id % 3 = 1), " +
+        "bb AS (SELECT doc_id + 2000000 AS id, text, false AS corrupt FROM docs WHERE doc_id % 6 = 0), " +
+        "bc AS (SELECT doc_id + 3000000 AS id, text || ' r10 crawl suffix' AS text, false AS corrupt FROM docs WHERE doc_id % 6 = 2), " +
+        "bd AS (SELECT doc_id + 4000000 AS id, '   ' AS text, false AS corrupt FROM docs WHERE doc_id % 6 = 3), " +
+        "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM bd), " +
+        "quarantined AS (SELECT id FROM batch WHERE corrupt), " +
+        "parsed AS (SELECT id, text FROM batch WHERE NOT corrupt), " +
+        "invalid AS (SELECT id FROM parsed WHERE len(trim(text)) = 0), " +
+        "valid AS (SELECT id, text FROM parsed WHERE len(trim(text)) > 0), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
+        "exact_dup AS (SELECT id FROM valid WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
+        "surv1 AS (SELECT id, text FROM valid WHERE id NOT IN (SELECT id FROM exact_dup)), " +
+        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
+        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
+        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+        "near AS (SELECT DISTINCT a.id FROM sa a JOIN sb b ON " +
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8), " +
+        "ingested AS (SELECT id, text FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
+        "tcr AS (SELECT (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS v FROM hist), " +
+        "tcc AS (SELECT (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS v FROM ingested), " +
+        "edges AS (SELECT list_transform(quantile_cont(v, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM tcr), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN v > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM tcr WHERE v IS NOT NULL), " +
+        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN v > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM tcc WHERE v IS NOT NULL), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
+        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
+        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)), " +
+        "jj AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
+        "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
+        "kk AS (SELECT bin, round((cf - rf) * ln(cf / rf), 6) AS pc FROM jj), " +
+        "disp AS (SELECT id AS doc_id, 'quarantined' AS status FROM quarantined " +
+        "UNION ALL SELECT id, 'invalid' FROM invalid " +
+        "UNION ALL SELECT id, 'exact_dup' FROM exact_dup " +
+        "UNION ALL SELECT id, 'near_dup' FROM near " +
+        "UNION ALL SELECT id, 'ingested' FROM ingested " +
+        "UNION ALL SELECT CAST(-(bin + 1) AS BIGINT), 'drift:' || printf('%.6f', pc) FROM kk " +
+        "UNION ALL SELECT CAST(-100 AS BIGINT), 'psi_total:' || printf('%.6f', (SELECT round(sum(pc), 6) FROM kk))) " +
+        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +
         "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +

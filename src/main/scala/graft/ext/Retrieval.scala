@@ -97,10 +97,11 @@ object Retrieval {
   //   - `gens` lists every committed generation (each has a dlen dir);
   //     `pgens` the subset that produced postings/df files — a generation
   //     of zero-token documents commits lengths only, and readers never
-  //     try to parquet-infer a fileless dir. `tags` records every
-  //     stream-tagged generation ever committed and SURVIVES compaction,
-  //     so a micro-batch replayed after its generation was compacted away
-  //     still no-ops instead of double-counting.
+  //     try to parquet-infer a fileless dir. `marks` maps each ingest
+  //     stream's tag to its highest committed batch id and SURVIVES
+  //     compaction, so a micro-batch replayed after its generation was
+  //     compacted away still no-ops instead of double-counting — and the
+  //     manifest stays O(#streams), not O(#batches ever).
   //   - tbucket = pmod(xxhash64(token), n_buckets): the serve collects the
   //     query batch's tokens once (bounded — queries are the small side),
   //     derives their buckets, and pre-filters postings AND dfd with an
@@ -123,7 +124,7 @@ object Retrieval {
 
   private case class BmManifest(nDocs: Long, nDl: Long, sumDl: Double,
       nBuckets: Int, gens: Seq[String], pgens: Seq[String],
-      tags: Seq[String])
+      marks: Map[String, Long])
 
   private def manifestPath(path: String) = s"$path/manifest.json"
 
@@ -142,17 +143,22 @@ object Retrieval {
       root.get("n_dl").asInstanceOf[Number].longValue(),
       root.get("sum_dl").asInstanceOf[Number].doubleValue(),
       root.get("n_buckets").asInstanceOf[Number].intValue(),
-      strs("gens"), strs("pgens"), strs("tags"))
+      strs("gens"), strs("pgens"),
+      root.get("marks").asInstanceOf[java.util.Map[String, Any]].asScala
+        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
+        .toMap)
   }
 
   private def writeManifest(spark: SparkSession, path: String,
       m: BmManifest): Unit = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
+    val marks = m.marks.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
     StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
       s"""{"format":"graft-bm25-index","version":2,"n_docs":${m.nDocs},""" +
         s""""n_dl":${m.nDl},"sum_dl":${m.sumDl},"n_buckets":${m.nBuckets},""" +
         s""""gens":[${arr(m.gens)}],"pgens":[${arr(m.pgens)}],""" +
-        s""""tags":[${arr(m.tags)}]}""")
+        s""""marks":{$marks}}""")
   }
 
   private def bucketOf(token: Column, nBuckets: Int): Column =
@@ -267,7 +273,7 @@ object Retrieval {
     val (n, nDl, sd, hasP) = writeGen(docs, idCol, textCol, path, gen, nBuckets)
     writeManifest(spark, path, BmManifest(n, nDl, sd, nBuckets,
       if (n == 0L) Nil else Seq(gen),
-      if (hasP) Seq(gen) else Nil, Nil))
+      if (hasP) Seq(gen) else Nil, Map.empty))
   }
 
   /** Append a crawl batch (ids must be new): write the batch's generation
@@ -275,26 +281,56 @@ object Retrieval {
     * bumped {n_docs, n_dl, sum_dl} counters visible together. Crash before
     * the publish → invisible orphan dirs (GC'd by the next compact), never
     * a half-applied append; df history is never re-aggregated (deltas sum
-    * at serve). `genTag` names the generation explicitly — a tag already
-    * committed (even if its generation was since compacted away — `tags`
-    * remembers forever) is a NO-OP, which is what makes streaming-retry
-    * replays of the same batch exactly-once ([[indexAppendWriter]]). */
+    * at serve). Returns true when the batch committed (false: empty
+    * batch). Streaming micro-batches go through [[appendBatchToIndex]]
+    * instead, which adds the replay no-op. */
   def appendToIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String, genTag: Option[String] = None): Unit = {
+      path: String): Boolean =
+    commitGen(batch, idCol, textCol, path, None)
+
+  /** The streaming twin of [[appendToIndex]]: `(streamTag, batchId)`
+    * names the generation `<tag>-b<id>`, and the manifest's per-tag
+    * high-water mark makes foreachBatch's at-least-once re-deliveries
+    * exactly-once — a batch at or below the mark no-ops (returns false)
+    * even if its generation was since compacted away. Batch ids must be
+    * monotonic per tag (Spark's foreachBatch contract); the tag must be
+    * 1:1 with the stream's CHECKPOINT (ids restart at 0 for a fresh
+    * checkpoint — a new logical stream needs a new tag, or its early
+    * batches would no-op against the old one's mark). */
+  def appendBatchToIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, streamTag: String, batchId: Long): Boolean = {
+    require(streamTag.matches("[A-Za-z0-9_.]+") && !streamTag.matches("g\\d+"),
+      s"bad stream tag '$streamTag' (letters/digits/dot/underscore; the " +
+        "g<N> auto-generation namespace is reserved)")
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitGen(batch, idCol, textCol, path, Some((streamTag, batchId)))
+  }
+
+  private def commitGen(batch: DataFrame, idCol: String, textCol: String,
+      path: String, stream: Option[(String, Long)]): Boolean = {
     val spark = batch.sparkSession
     val m0 = readManifest(spark, path)
-    genTag.foreach(t => require(t.matches("[A-Za-z0-9_\\-.]+"),
-      s"bad generation tag '$t'"))
-    val gen = genTag.getOrElse(nextGenName(spark, path, m0.gens))
-    if (m0.gens.contains(gen) || m0.tags.contains(gen))
-      return // committed already (retried batch / compacted-away tag)
+    val gen = stream match {
+      case Some((tag, id)) =>
+        // replayed batch: at/below the committed high-water mark → no-op
+        if (m0.marks.get(tag).exists(id <= _)) return false
+        s"$tag-b$id"
+      case None => nextGenName(spark, path, m0.gens)
+    }
     val (n, nDl, sd, hasP) = writeGen(batch, idCol, textCol, path, gen,
       m0.nBuckets)
-    if (n == 0L) return
+    // an EMPTY batch still advances the stream mark (else its re-delivery
+    // would try again forever) but commits no generation
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
+    if (n == 0L) {
+      if (marks ne m0.marks) writeManifest(spark, path, m0.copy(marks = marks))
+      return false
+    }
     writeManifest(spark, path, BmManifest(m0.nDocs + n, m0.nDl + nDl,
       m0.sumDl + sd, m0.nBuckets, m0.gens :+ gen,
-      if (hasP) m0.pgens :+ gen else m0.pgens,
-      genTag.fold(m0.tags)(m0.tags :+ _)))
+      if (hasP) m0.pgens :+ gen else m0.pgens, marks))
+    true
   }
 
   /** Compact after N appends: df deltas collapse to one summed snapshot,
@@ -427,26 +463,18 @@ object Retrieval {
 
   /** Streaming ingest for the index — the micro-batch twin of the ANN
     * store's encode stream and the fingerprint store's scrub stream: each
-    * batch appends as its OWN generation named `<streamTag>-b<batchId>`,
-    * so the foreachBatch at-least-once contract degrades to exactly-once —
-    * a replayed batch finds its tag already committed (the manifest's
-    * `tags` list remembers across compactions) and no-ops; a batch that
-    * crashed mid-write left an invisible orphan its retry overwrites
-    * before the one manifest flip.
-    *
-    * `streamTag` must be 1:1 with the stream's CHECKPOINT location (batch
-    * ids restart at 0 for a fresh checkpoint — a new logical stream needs
-    * a new tag or its early batches would no-op against the old one's). */
+    * batch appends through [[appendBatchToIndex]] (one generation per
+    * batch, per-tag high-water mark), so the foreachBatch at-least-once
+    * contract degrades to exactly-once; a batch that crashed mid-write
+    * left an invisible orphan its retry overwrites before the one
+    * manifest flip. See [[appendBatchToIndex]] for the tag ↔ checkpoint
+    * contract. */
   def indexAppendWriter(stream: DataFrame, idCol: String, textCol: String,
       path: String, streamTag: String):
-      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    require(streamTag.matches("[A-Za-z0-9_\\-.]+"),
-      s"bad stream tag '$streamTag'")
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      appendToIndex(batch, idCol, textCol, path,
-        genTag = Some(s"$streamTag-b$id"))
+      appendBatchToIndex(batch, idCol, textCol, path, streamTag, id): Unit
     }
-  }
 
   /** Batch ≡ streaming proof harness for [[indexAppendWriter]] (the
     * sibling of `encodeReplay`/`scrubReplay`): replay a static corpus as

@@ -118,6 +118,67 @@ class AnnIndexSpec extends SparkSpec {
       s"no pushed partition filter on cell:\n${scan.mkString("\n")}")
   }
 
+  test("AnnStore streaming append: recall probe fires FROM the ingest path and flags drift") {
+    // r10 (r9 verdict #8): drift detection is on by default in the
+    // deployment shape — the per-N-batches probe inside appendWriter uses
+    // each batch's own vectors as the query sample, so a drifted stream
+    // flips recall below the healthy floor WITHOUT any manual probe call.
+    import graft.ext.AnnStore
+    import org.apache.spark.sql.streaming.Trigger
+    // DISJOINT halves so the brute-force corpus never holds duplicate
+    // vectors (exact-tie id flips would suppress control recall): the
+    // store is built on the first half, the stream delivers the second.
+    // "Drift" is the deployment kind the probe exists for: the incoming
+    // data no longer fits the FROZEN quantizers — modeled by a store
+    // whose index trained on a 32-vector sliver (the lifecycle spec's
+    // proven stale-index construction) vs a well-trained control.
+    val base = emb.filter(col("vec_id") < 250)
+    val idx = Similarity.trainIvfPq(base, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    val staleIdx = Similarity.trainIvfPq(base.filter(col("vec_id") < 32),
+      "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16)
+    def runStream(incoming: org.apache.spark.sql.DataFrame, tag: String,
+        store: String): Seq[Double] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annstrm").toString
+      incoming.repartition(4).write.parquet(s"$dir/in")
+      val stream = spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      val recalls = scala.collection.mutable.ArrayBuffer[Double]()
+      val corpus = () => base.select(col("vec_id"), col("embedding"))
+        .unionByName(incoming)
+      val q = AnnStore.appendWriter(stream, "vec_id", "embedding", store,
+          // the whole final batch as the sample: limit(n) of a batch is
+          // an arbitrary subset and wobbles the measured recall run-to-run
+          streamTag = tag, probeEvery = 4, probeQueries = 1000, probeK = 5,
+          nProbe = 12, corpus = corpus,
+          onRecall = (_, r) => recalls.synchronized { recalls += r })
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      recalls.toSeq
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-s").toString
+    // control: same-distribution fresh vectors — healthy recall
+    AnnStore.create(base, "vec_id", "embedding", idx, s"$tmp/ctl")
+    val control = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    val rCtl = runStream(control, "ctl1", s"$tmp/ctl")
+    // drifted: the same stream against quantizers that no longer fit it
+    AnnStore.create(base, "vec_id", "embedding", staleIdx, s"$tmp/drift")
+    val rDrift = runStream(control, "drift1", s"$tmp/drift")
+    assert(rCtl.nonEmpty && rDrift.nonEmpty, "probe never fired")
+    info(f"streamed recall: control=${rCtl.last}%.4f drifted=${rDrift.last}%.4f")
+    assert(rDrift.last + 0.10 < rCtl.last,
+      f"drifted stream not flagged: control=${rCtl.last}%.4f drifted=${rDrift.last}%.4f")
+    // at-least-once replays of the SAME logical stream are idempotent:
+    // a fresh checkpoint with the same tag re-delivers batch ids 0..3,
+    // every one of which the markers skip — store row count unchanged
+    val n1 = AnnStore.codes(spark, s"$tmp/ctl").count()
+    runStream(control, "ctl1", s"$tmp/ctl")
+    assert(AnnStore.codes(spark, s"$tmp/ctl").count() == n1,
+      "marker-skipped replay still appended codes")
+  }
+
   test("streaming encode replay ≡ batch encode for a pq index (no cell partitioning)") {
     val idx = Similarity.trainPq(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val streamed = Similarity.encodeReplay(emb, "vec_id", "embedding", idx)

@@ -1004,11 +1004,17 @@ class ExtSpec extends SparkSpec {
       .fs(spark, dir).listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings/g0"))
       .count(_.getPath.getName.startsWith("tbucket="))
     assert(partDirs > 4, s"store not spread across buckets: $partDirs")
-    val readDirs = plan.linesIterator
-      .filter(l => l.contains("/postings/") && l.contains("PartitionFilters"))
-      .mkString
-    // the isin list in the plan carries ≤2 bucket literals
-    assert(!readDirs.isEmpty)
+    // and the pushed IN-list carries ≤2 bucket literals (≤ query tokens),
+    // strictly fewer than the store's bucket spread — the filter really
+    // narrows the listing, it didn't silently widen to all buckets
+    val inLists = scans.flatMap(l =>
+      "tbucket[^\\[]*IN \\(([^)]*)\\)".r.findFirstMatchIn(l).map(_.group(1)))
+    assert(inLists.nonEmpty, s"no tbucket IN-list found:\n${scans.mkString("\n")}")
+    inLists.foreach { lits =>
+      val n = lits.split(",").length
+      assert(n <= 2 && n < partDirs,
+        s"pushed bucket list did not narrow the scan: [$lits] vs $partDirs dirs")
+    }
   }
 
   test("retrieval: manifest governs visibility — orphan gens invisible, GC'd; tamper fails loud") {
@@ -1080,18 +1086,28 @@ class ExtSpec extends SparkSpec {
         "qid", "qtext", k = 5)
     }
     assert(e.getMessage.contains("empty BM25 index"))
-    // tagged appends: the same tag twice commits once (streaming retries)
-    graft.ext.Retrieval.appendToIndex(docs, "doc_id", "text", dir,
-      genTag = Some("b0"))
+    // streamed batch appends: a re-delivered (tag, batchId) commits once
+    assert(graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+      dir, "s1", 0L), "first delivery did not commit")
     def rows() = graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
         queries, "qid", "qtext", k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._3)).toSeq
     val once = rows()
     assert(once.nonEmpty)
-    graft.ext.Retrieval.appendToIndex(docs, "doc_id", "text", dir,
-      genTag = Some("b0"))
-    assert(rows() == once, "retried tagged append double-committed")
+    assert(!graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+      dir, "s1", 0L), "retried batch reported a second commit")
+    assert(rows() == once, "retried streamed batch double-committed")
+    // ...and the mark SURVIVES compaction (the replay-after-compact trap)
+    graft.ext.Retrieval.compactIndex(spark, dir)
+    assert(!graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+      dir, "s1", 0L), "compaction forgot the stream's high-water mark")
+    assert(rows() == once, "replay after compaction double-committed")
+    // a tag shaped like an auto generation name is refused outright
+    intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+        dir, "g7", 1L)
+    }
   }
 
   test("retrieval: streamed index build ≡ one-shot (micro-batch appends, df deltas sum)") {

@@ -358,4 +358,73 @@ class PanderaCompatSpec extends SparkSpec {
       .asInstanceOf[ColumnCheck]
     assert(!backOpts.ignoreNa && backOpts.raiseWarning)
   }
+
+  /** The full contract schema a migrating team would hand to a
+    * reference-side consumer: every reference-serializable surface in one
+    * document — dtypes, nullable/unique/coerce/required/regex columns,
+    * flat and multi-stat checks, strict filter, table unique +
+    * report_duplicates, add_missing_columns, titles and descriptions. */
+  private def contractSchema: DataFrameSchema = DataFrameSchema(
+    "l_orderkey" -> ColumnSchema(Some(LongType),
+      Seq(Check.greaterThan(0L)), nullable = false,
+      title = Some("order key"),
+      description = Some("join half of the (orderkey, linenumber) key")),
+    "l_linenumber" -> ColumnSchema(Some(IntegerType),
+      Seq(Check.inRange(1, 7)), nullable = false),
+    "l_quantity" -> ColumnSchema(Some(DoubleType),
+      Seq(Check.inRange(1.0, 50.0)), nullable = true, coerce = true),
+    "l_returnflag" -> ColumnSchema(Some(StringType),
+      Seq(Check.isin(Seq("A", "N", "R"))), nullable = false),
+    "l_shipdate" -> ColumnSchema(Some(DateType), Nil, nullable = true),
+    "l_comment" -> ColumnSchema(Some(StringType),
+      Seq(Check.strLength(Some(1), Some(44))), nullable = true),
+    "l_tax.*" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.08)),
+      regex = true, required = false))
+    .copy(name = Some("graft_lineitem_contract"),
+      title = Some("Lineitem ingest contract"),
+      description = Some("The contract the nightly crawl pipeline validates"),
+      strict = Strict.Filter, unique = Seq("l_orderkey", "l_linenumber"),
+      reportDuplicates = ReportDuplicates.ExcludeFirst,
+      addMissingColumns = true)
+
+  test("golden pandera fixture: committed document ≡ emit, fixpoint, audited exclusions") {
+    // r10 (r9 verdict #7): the contract schema's reference-format emit is
+    // COMMITTED as fixtures/contract.pandera.yaml — the document a team
+    // migrating off the reference (or onto it) exchanges. The test pins
+    // byte-stability of the emit against the committed golden (regen via
+    // GRAFT_REGEN_GOLDEN=1), the parse→emit fixpoint, and that the
+    // document actually drives validation on the real table.
+    val emitted = SchemaIO.toPanderaYaml(contractSchema)
+    val path = java.nio.file.Paths.get("fixtures/contract.pandera.yaml")
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path, emitted.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val committed = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(emitted == committed,
+      "contract emit drifted from the committed golden fixture " +
+        "(GRAFT_REGEN_GOLDEN=1 to regenerate deliberately)")
+    val back = SchemaIO.fromYaml(committed)
+    assert(SchemaIO.toPanderaYaml(back) == emitted, "not a parse fixpoint")
+    // the committed document drives validation with the intended shape:
+    // strict filter keeps only contract columns, regex column expands
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val res = back.validate(li)
+    assert(res.data.columns.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_comment", "l_tax"),
+      res.data.columns.mkString(","))
+    // graft-only surfaces are AUDITED out with explicit reasons, never
+    // silently dropped from the exchanged document
+    val withGraftOnly = DataFrameSchema(
+      "l_quantity" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.inRange(1.0, 50.0),
+          ColumnCheck("custom_qty_rule", c => c > 0)),
+        default = Some(1.0)))
+    val audit = SchemaIO.panderaUnserializable(withGraftOnly)
+    assert(audit.exists(_.contains("custom_qty_rule")) &&
+      audit.exists(_.contains("default")), audit.mkString("; "))
+  }
 }
