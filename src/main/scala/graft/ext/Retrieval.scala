@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
   *
   * Spark-first shape at 100 TB:
-  *   - ONE corpus scan builds the postings (token, doc, tf, dl) — the doc
-  *     length rides each posting row (16 denormalized bytes), so scoring
-  *     NEVER joins a corpus-row-sized length side: the only per-query work
-  *     is a broadcast join against query terms over token-pruned postings;
+  *   - ONE corpus scan builds the postings (doc, token, tf) and lengths;
+  *     the one-shot joins the length side only AFTER the broadcast
+  *     query-term filter has cut the candidates down, while the PERSISTED
+  *     store denormalizes dl into its posting rows at build time so its
+  *     serves never join a corpus-row-sized length side at all;
   *   - the query batch tokenizes to (query, token) — queries are the
   *     small side and BROADCAST into the postings join, so the corpus
   *     never shuffles by query;
@@ -46,19 +47,21 @@ object Retrieval {
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    val base = docs.select(q(idCol).as("doc_id"),
-      TextAnalysis.tokens(q(textCol)).as("toks"))
-    // dl rides every posting row (functionally dependent on doc_id, so the
-    // extra grouping key changes nothing) — scoring needs no length join
-    val postings = base
-      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // one-shot shape: tf aggregates on the NARROW (doc, token) key and the
+    // length side joins AFTER the broadcast query-term filter has cut the
+    // candidates down — measurably cheaper per call than carrying dl
+    // through the full-width aggregation. The PERSISTED store makes the
+    // opposite call (dl denormalized into posting rows) because its build
+    // is one-time and its serves then need no length join at all.
+    val postings = docs
+      .select(q(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(q(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    val dlen = docs.select(q(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
     // N and avgdl: two scalars from one aggregation over the lengths
     // (N counts every document; avg skips NULL-text rows — oracle form)
-    val stats = base
-      .select(size(col("toks")).cast("double").as("dl"))
+    val stats = dlen
       .agg(count(lit(1)).cast("double").as("N"), avg(col("dl")).as("avgdl"))
       .head()
     val nDocs = stats.getDouble(0)
@@ -75,7 +78,7 @@ object Retrieval {
       // vocabulary pruned to query tokens before anything joins postings
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
-    scoreAndRank(postings, qTokens, df, nDocs, avgdl, k, k1, b)
+    scoreAndRank(postings, Some(dlen), qTokens, df, nDocs, avgdl, k, k1, b)
   }
 
   // ============ persisted BM25 postings index (round 9, v2 in round 10) ==
@@ -409,6 +412,36 @@ object Retrieval {
     }
   }
 
+  /** Operational snapshot of the store: committed generations, live data
+    * files and bytes (manifest-listed only — orphans and grace-window
+    * copies excluded), and the ingest counters. What a nightly job logs
+    * and what [[compactIndexIfNeeded]] decides on. */
+  def indexStats(spark: SparkSession, path: String):
+      Map[String, Long] = {
+    val m = readManifest(spark, path)
+    val files = liveFileCount(spark, path)
+    val bytes =
+      (m.gens.map(g => StoreFiles.dataBytesRecursive(spark, s"$path/dlen/$g")) ++
+        m.pgens.flatMap(g => Seq(
+          StoreFiles.dataBytesRecursive(spark, s"$path/postings/$g"),
+          StoreFiles.dataBytesRecursive(spark, s"$path/dfd/$g")))).sum
+    Map("gens" -> m.gens.size.toLong, "live_files" -> files,
+      "live_bytes" -> bytes, "n_docs" -> m.nDocs,
+      "streams" -> m.marks.size.toLong)
+  }
+
+  /** Compact when the append-only growth crosses either threshold — the
+    * policy hook a nightly pipeline calls unconditionally after its
+    * appends (idempotent and cheap when below threshold: one manifest
+    * read + a file listing). Returns true when a compaction ran. */
+  def compactIndexIfNeeded(spark: SparkSession, path: String,
+      maxGens: Int = 16, maxLiveFiles: Long = 512): Boolean = {
+    val s = indexStats(spark, path)
+    val due = s("gens") > maxGens || s("live_files") > maxLiveFiles
+    if (due) compactIndex(spark, path)
+    due
+  }
+
   /** Serve a query batch from the store — hash-identical to [[bm25TopK]]
     * over the same corpus (spec/gate-asserted): the df deltas sum to the
     * same document frequencies, avgdl derives from the stored counters
@@ -458,7 +491,7 @@ object Retrieval {
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
       .groupBy("token").agg(sum("df").as("df"))
-    scoreAndRank(posts, qTokens, df, nDocs, avgdl, k, k1, b)
+    scoreAndRank(posts, None, qTokens, df, nDocs, avgdl, k, k1, b)
   }
 
   /** Streaming ingest for the index — the micro-batch twin of the ANN
@@ -511,10 +544,11 @@ object Retrieval {
   }
 
   /** Shared scoring tail of [[bm25TopK]] and [[bm25TopKFromIndex]].
-    * `postings` carries (token, doc_id, tf, dl) — length normalization
-    * reads the denormalized dl, so the only joins here are broadcast
-    * query-term joins. */
-  private def scoreAndRank(postings: DataFrame,
+    * `dlen = Some(...)`: the one-shot shape — the length side joins after
+    * the broadcast query-term filter has cut the candidates down.
+    * `dlen = None`: the store shape — dl already rides every posting row,
+    * so the only joins are broadcast query-term joins. */
+  private def scoreAndRank(postings: DataFrame, dlen: Option[DataFrame],
       qTokens: DataFrame, df: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
@@ -522,8 +556,8 @@ object Retrieval {
       col("query_id"), col("token"), idf.as("idf"))
     val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    postings
-      .join(broadcast(qTerm), Seq("token"))
+    val candidates = postings.join(broadcast(qTerm), Seq("token"))
+    dlen.fold(candidates)(d => candidates.join(d, Seq("doc_id")))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(contrib), 4).as("score"))
       .groupBy("query_id")

@@ -1108,6 +1108,16 @@ class ExtSpec extends SparkSpec {
       graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
         dir, "g7", 1L)
     }
+    // ops surface: stats reflect the live store; threshold policy is
+    // a no-op below threshold and compacts above it
+    val st = graft.ext.Retrieval.indexStats(spark, dir)
+    assert(st("gens") == 1L && st("live_files") > 0 && st("live_bytes") > 0
+      && st("n_docs") == 40L && st("streams") == 1L, st.toString)
+    assert(!graft.ext.Retrieval.compactIndexIfNeeded(spark, dir),
+      "compacted below threshold")
+    assert(graft.ext.Retrieval.compactIndexIfNeeded(spark, dir, maxGens = 0),
+      "did not compact above threshold")
+    assert(rows() == once, "threshold compaction changed the serve")
   }
 
   test("retrieval: streamed index build ≡ one-shot (micro-batch appends, df deltas sum)") {
