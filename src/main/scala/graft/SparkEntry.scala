@@ -2364,6 +2364,36 @@ object SparkEntry {
       }.toDF("col_name", "dtype_name", "nullable", "required", "n_checks")
         .orderBy("col_name")
     }),
+    "io_pandera_pyspark_fixture" -> ((s, d) => {
+      // round-11 (r10 verdict #7): the REFERENCE'S SECOND serializer —
+      // the pyspark-backend document shape (io/pyspark_sql_io.py:106-180:
+      // `schema_type: pyspark_sql_dataframe` header, flat Field-style
+      // check keys merged into the column map, Spark constructor dtype
+      // spellings "LongType()"). fixtures/orders.pyspark.pandera.yaml was
+      // GENERATED BY the reference's own pyspark_sql_io.to_yaml (and
+      // from_yaml round-trip-verified there — provenance in FIXTURES.md),
+      // so parsing it proves both reference serializers interchange with
+      // this engine. The parsed contract then validates the LIVE orders
+      // table: zero check failures is part of the pinned result.
+      val doc = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("fixtures/orders.pyspark.pandera.yaml")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val schema = graft.io.SchemaIO.fromYaml(doc)
+      require(schema.strict == Strict.Error && !schema.coerce,
+        "pyspark fixture strict/coerce did not parse")
+      require(schema.name.contains("orders_contract"),
+        "pyspark fixture name did not parse")
+      val res = schema.validate(t(s, d, "orders"))
+      require(res.passed, s"orders failed its own contract: ${res.errors}")
+      import s.implicits._
+      (schema.columns.map { case (n, c) =>
+        (n, c.dtype.map(graft.io.SchemaIO.dtypeToName).getOrElse("none"),
+          c.nullable, c.required, c.checks.size.toLong)
+      } :+ (("zz_validation", "errors", false, true,
+        res.errors.map(_.failureCount).sum)))
+        .toDF("col_name", "dtype_name", "nullable", "required", "n_checks")
+        .orderBy("col_name")
+    }),
     "io_csv_quarantine" -> ((s, d) => {
       // round-8: quarantining CSV source boundary — orders (4-column
       // projection) round-trips through CSV text; two hand-corrupted lines
@@ -2708,6 +2738,17 @@ object SparkEntry {
         "('optional_props_column', 'str', true, false, CAST(1 AS BIGINT)), " +
         "('str_column', 'str', false, true, CAST(2 AS BIGINT)), " +
         "('timedelta_column', 'interval day to second', false, true, CAST(2 AS BIGINT))) " +
+        "v(col_name, dtype_name, nullable, required, n_checks) ORDER BY col_name"),
+    "io_pandera_pyspark_fixture" ->
+      ("SELECT * FROM (VALUES " +
+        "('o_custkey', 'int64', false, true, CAST(0 AS BIGINT)), " +
+        "('o_comment', 'str', true, false, CAST(1 AS BIGINT)), " +
+        "('o_orderdate', 'datetime64[ns]', false, true, CAST(0 AS BIGINT)), " +
+        "('o_orderkey', 'int64', false, true, CAST(1 AS BIGINT)), " +
+        "('o_orderpriority', 'str', false, true, CAST(1 AS BIGINT)), " +
+        "('o_orderstatus', 'str', false, true, CAST(1 AS BIGINT)), " +
+        "('o_totalprice', 'float64', false, true, CAST(1 AS BIGINT)), " +
+        "('zz_validation', 'errors', false, true, CAST(0 AS BIGINT))) " +
         "v(col_name, dtype_name, nullable, required, n_checks) ORDER BY col_name"),
     "io_csv_quarantine" ->
       ("SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_good, " +
@@ -3315,8 +3356,11 @@ object SparkEntry {
         "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM bd), " +
         "quarantined AS (SELECT id FROM batch WHERE corrupt), " +
         "parsed AS (SELECT id, text FROM batch WHERE NOT corrupt), " +
-        "invalid AS (SELECT id FROM parsed WHERE len(trim(text)) = 0), " +
-        "valid AS (SELECT id, text FROM parsed WHERE len(trim(text)) > 0), " +
+        // NULL text must land in `invalid` on BOTH engines (the Spark
+        // side's nullable=false validation marks it invalid; a bare
+        // len(trim(NULL)) predicate would drop the row from both CTEs)
+        "invalid AS (SELECT id FROM parsed WHERE text IS NULL OR len(trim(text)) = 0), " +
+        "valid AS (SELECT id, text FROM parsed WHERE text IS NOT NULL AND len(trim(text)) > 0), " +
         "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
         "exact_dup AS (SELECT id FROM valid WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
         "surv1 AS (SELECT id, text FROM valid WHERE id NOT IN (SELECT id FROM exact_dup)), " +

@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
   *     store in full, never a mix; a crash before the flip leaves the old
   *     version live and the half-written one invisible (re-run to heal).
   *
-  * Layout under `path`:
+  * Layout under `path` (r11: the codes side adopted the BM25 store's
+  * manifest-governed generations — see [[Retrieval]] — closing the one
+  * crash window the r10 marker scheme left open):
   * {{{
-  *   current.json   {"format":"graft-ann-store","current":N}
-  *   v1/index.json  quantizers (AnnIndex JSON)
-  *   v1/codes/      cell-partitioned parquet codes
-  *   v2/...         next version, created by migrate()
+  *   current.json            {"format":"graft-ann-store","current":N}
+  *   v1/index.json           quantizers (AnnIndex JSON)
+  *   v1/codes-manifest.json  {gens:[…], marks:{tag:batchId}, cooling:{…}}
+  *   v1/codes/<gen>/cell=C/  cell-partitioned parquet codes, one dir per
+  *                           committed batch generation
+  *   v2/...                  next version, created by migrate()
   * }}}
+  *
+  * Codes visibility is MANIFEST-GOVERNED: an append writes its generation
+  * dir first and then atomically replaces codes-manifest.json. A crash in
+  * between leaves an orphan dir no reader ever lists, and the streaming
+  * replay of that batch overwrites the orphan before the one manifest
+  * flip — there is no window in which a replay can duplicate codes (the
+  * r10 `_batches` marker landed AFTER the append and had exactly that
+  * window). Per-tag high-water `marks` survive compaction, so replays of
+  * long-gone batches still no-op. Single-writer contract per version;
+  * serves are lock-free.
   *
   * The pointer flip is `Files.move(..., ATOMIC_MOVE)` of a sibling temp
   * file — atomic on POSIX and HDFS-style stores; object stores fall back
@@ -39,6 +53,49 @@ object AnnStore {
   private def currentPath(path: String) = s"$path/current.json"
   private def indexPath(path: String, v: Int) = s"$path/v$v/index.json"
   private def codesPath(path: String, v: Int) = s"$path/v$v/codes"
+  private def codesManifestPath(path: String, v: Int) =
+    s"$path/v$v/codes-manifest.json"
+
+  private case class CodesManifest(gens: Seq[String],
+      marks: Map[String, Long], cooling: Map[String, Long])
+
+  private def readCodesManifest(spark: SparkSession, path: String,
+      v: Int): CodesManifest = {
+    // loud upgrade guard: a store created before the manifest-governed
+    // codes layout (flat v<N>/codes/cell=C + _batches markers) has no
+    // manifest — name the situation instead of surfacing a raw
+    // FileNotFoundException from the JSON read
+    require(StoreFiles.fs(spark, path).exists(
+        new org.apache.hadoop.fs.Path(codesManifestPath(path, v))),
+      s"ANN store at $path v$v has no codes manifest — it predates the " +
+        "manifest-governed codes layout (or the manifest was lost); " +
+        "re-create the store or migrate() it from the raw corpus")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, codesManifestPath(path, v)),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-ann-codes",
+      s"not an ANN codes manifest at $path v$v")
+    import scala.jdk.CollectionConverters._
+    def longMap(x: Any): Map[String, Long] =
+      if (x == null) Map.empty
+      else x.asInstanceOf[java.util.Map[String, Any]].asScala
+        .map { case (k, n) => k -> n.asInstanceOf[Number].longValue() }.toMap
+    CodesManifest(
+      root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(String.valueOf),
+      longMap(root.get("marks")), longMap(root.get("cooling")))
+  }
+
+  private def writeCodesManifest(spark: SparkSession, path: String, v: Int,
+      m: CodesManifest): Unit = {
+    def obj(xs: Map[String, Long]) = xs.toSeq.sortBy(_._1)
+      .map { case (k, n) => s""""$k":$n""" }.mkString(",")
+    StoreFiles.writeUtf8Atomic(spark, codesManifestPath(path, v),
+      s"""{"format":"graft-ann-codes","version":1,""" +
+        s""""gens":[${m.gens.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""marks":{${obj(m.marks)}},"cooling":{${obj(m.cooling)}}}""")
+  }
+
 
   /** The live version number named by the pointer. All metadata IO rides
     * the Hadoop FS (r9 review fix) so the store works on local disk,
@@ -58,10 +115,15 @@ object AnnStore {
 
   private def writeVersion(corpus: DataFrame, idCol: String, embCol: String,
       index: AnnIndex, path: String, v: Int): Unit = {
-    StoreFiles.writeUtf8Atomic(corpus.sparkSession, indexPath(path, v),
-      index.toJson)
+    val spark = corpus.sparkSession
+    StoreFiles.writeUtf8Atomic(spark, indexPath(path, v), index.toJson)
+    val gen = "g0"
     Similarity.encodeAndWritePartitioned(corpus, idCol, embCol, index,
-      codesPath(path, v))
+      s"${codesPath(path, v)}/$gen")
+    val wrote = StoreFiles.dataFileCountRecursive(spark,
+      s"${codesPath(path, v)}/$gen") > 0
+    writeCodesManifest(spark, path, v, CodesManifest(
+      if (wrote) Seq(gen) else Nil, Map.empty, Map.empty))
   }
 
   /** Create the store at version 1: quantizers + cell-partitioned codes +
@@ -77,20 +139,90 @@ object AnnStore {
     AnnIndex.fromJson(StoreFiles.readUtf8(spark,
       indexPath(path, currentVersion(spark, path))))
 
-  def codes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(codesPath(path, currentVersion(spark, path)))
+  /** The live codes: the union of the current version's COMMITTED
+    * generations (orphans from crashed appends are invisible — the
+    * manifest never listed them). A `cell` filter pushes through the
+    * Union into every generation scan's PartitionFilters, so the pruned
+    * serves keep their file-level skipping across any append history. */
+  def codes(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path)
+    val m = readCodesManifest(spark, path, v)
+    require(m.gens.nonEmpty, s"ANN store at $path v$v has no codes")
+    // loud serve-time audit: every committed generation must exist
+    val f = StoreFiles.fs(spark, path)
+    m.gens.foreach(g => require(
+      f.exists(new org.apache.hadoop.fs.Path(s"${codesPath(path, v)}/$g")),
+      s"ANN store at $path lost committed codes generation $g"))
+    m.gens.map(g => spark.read.parquet(s"${codesPath(path, v)}/$g"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Data files the CURRENT manifest lists — the store's live footprint
+    * (compaction gates assert on this; raw directory walks also see crash
+    * orphans and still-cooling superseded generations). */
+  def liveCodeFileCount(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+    readCodesManifest(spark, path, v).gens
+      .map(g => StoreFiles.dataFileCountRecursive(spark,
+        s"${codesPath(path, v)}/$g").toLong).sum
+  }
 
   /** Encode a new batch against the CURRENT (frozen) index and append its
-    * codes — the steady-state ingest path. History is never re-encoded;
-    * if the batch's distribution has drifted off the trained quantizers,
-    * [[recallProbe]] is how that shows up. */
+    * codes as one committed generation — the steady-state ingest path.
+    * History is never re-encoded; if the batch's distribution has drifted
+    * off the trained quantizers, [[recallProbe]] is how that shows up. */
   def append(batch: DataFrame, idCol: String, embCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+    commitCodesGen(batch, idCol, embCol, path, None): Unit
+
+  /** The streaming twin of [[append]] (the BM25 store's
+    * `appendBatchToIndex` shape): `(streamTag, batchId)` names the
+    * generation `<tag>-b<id>` and the manifest's per-tag high-water mark
+    * makes foreachBatch's at-least-once re-deliveries exactly-once — a
+    * batch at or below the mark no-ops even if its generation was since
+    * compacted away. The tag must be 1:1 with the stream's CHECKPOINT. */
+  def appendBatch(batch: DataFrame, idCol: String, embCol: String,
+      path: String, streamTag: String, batchId: Long): Boolean = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitCodesGen(batch, idCol, embCol, path, Some((streamTag, batchId)))
+  }
+
+  private def commitCodesGen(batch: DataFrame, idCol: String, embCol: String,
+      path: String, stream: Option[(String, Long)]): Boolean = {
     val spark = batch.sparkSession
     val v = currentVersion(spark, path)
-    val index = AnnIndex.fromJson(StoreFiles.readUtf8(spark, indexPath(path, v)))
-    Similarity.encodeAndWritePartitioned(batch, idCol, embCol, index,
-      codesPath(path, v), mode = "append")
+    val m0 = readCodesManifest(spark, path, v)
+    val gen = stream match {
+      case Some((tag, id)) =>
+        // replayed batch at/below the committed high-water mark → no-op
+        if (m0.marks.get(tag).exists(id <= _)) return false
+        s"$tag-b$id"
+      case None =>
+        StoreFiles.nextGenName(spark, Seq(codesPath(path, v)), m0.gens)
+    }
+    val index = AnnIndex.fromJson(
+      StoreFiles.readUtf8(spark, indexPath(path, v)))
+    val dir = s"${codesPath(path, v)}/$gen"
+    // overwrite, not append: the target is either fresh or an ORPHAN from
+    // a crashed attempt at this same generation (the manifest never listed
+    // it) — the retry reclaims it, so replays can never duplicate codes
+    Similarity.encodeAndWritePartitioned(batch, idCol, embCol, index, dir)
+    val wrote = StoreFiles.dataFileCountRecursive(spark, dir) > 0
+    if (!wrote)
+      StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    // an EMPTY batch still advances the stream mark (else its re-delivery
+    // would retry forever) but commits no generation
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
+    if (!wrote) {
+      if (marks ne m0.marks)
+        writeCodesManifest(spark, path, v, m0.copy(marks = marks))
+      return false
+    }
+    writeCodesManifest(spark, path, v,
+      m0.copy(gens = m0.gens :+ gen, marks = marks))
+    true
   }
 
   /** Serve a query batch from the current version (partition-pruned —
@@ -147,14 +279,13 @@ object AnnStore {
     * receives (batchId, recall@k) — alert/migrate when it dips below the
     * build-time floor.
     *
-    * Idempotence: a `_batches/b<id>` marker skips an already-applied
-    * batch on foreachBatch's at-least-once replays. The marker lands
-    * after the code append, so a crash exactly in between would replay
-    * the batch with duplicated codes — detectable as codes-count vs
-    * ingested-count disagreement; distinct-by-id compaction repairs it.
-    * (The BM25 store closes this window fully with manifest-governed
-    * generations; the codes store keeps the simpler marker because its
-    * serve is read-repairable. Single-writer contract as everywhere.) */
+    * Idempotence (r11): each micro-batch commits through [[appendBatch]]
+    * — one generation dir made visible by one atomic manifest flip, with
+    * the per-tag high-water mark absorbing foreachBatch's at-least-once
+    * re-deliveries. A crash between the code write and the flip leaves an
+    * invisible orphan the replay overwrites before committing, so replays
+    * can never duplicate codes (the r10 `_batches` marker landed after
+    * the append and had exactly that window). */
   def appendWriter(stream: DataFrame, idCol: String, embCol: String,
       path: String, streamTag: String, probeEvery: Int = 0,
       probeQueries: Int = 64,
@@ -164,24 +295,14 @@ object AnnStore {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(probeEvery == 0 || corpus != null,
       "recall probing needs the raw-vector corpus (corpus = () => df)")
-    // markers are namespaced per logical stream (tag 1:1 with the
-    // checkpoint location): batch ids restart at 0 for a fresh
-    // checkpoint, so an un-namespaced marker would silently drop a
-    // SECOND stream's early batches (the BM25 store's tag lesson)
-    require(streamTag.matches("[A-Za-z0-9_\\-.]+"), s"bad tag '$streamTag'")
+    StoreFiles.requireStreamTag(streamTag) // fail at construction, not batch 0
     stream.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val marker = s"$path/_batches/$streamTag-b$id"
-        val f = StoreFiles.fs(spark, marker)
-        if (!f.exists(new org.apache.hadoop.fs.Path(marker))) {
-          append(batch, idCol, embCol, path)
-          StoreFiles.writeUtf8Atomic(spark, marker, "done")
-        }
-        // the probe runs OUTSIDE the marker guard: it is read-only, so a
-        // restart that re-delivers an already-appended batch still takes
-        // its scheduled recall measurement instead of silently skipping
-        // the cycles adjacent to every crash
+        appendBatch(batch, idCol, embCol, path, streamTag, id): Unit
+        // the probe runs regardless of whether the batch committed: it is
+        // read-only, so a restart that re-delivers an already-appended
+        // batch still takes its scheduled recall measurement instead of
+        // silently skipping the cycles adjacent to every crash
         if (probeEvery > 0 && (id + 1) % probeEvery == 0) {
           val sample = batch.limit(probeQueries)
           onRecall(id, recallProbe(path, corpus(), idCol, embCol,
@@ -191,22 +312,33 @@ object AnnStore {
   }
 
   /** Compact the current version's code store: every [[append]] adds its
-    * own files INSIDE each cell partition, so after N crawl batches a
-    * probed cell reads N small files — the same object-store listing cost
-    * the other stores' compact() addresses. One shuffle on `cell` lands
-    * each cell's rows in a single task → one file per cell directory; the
-    * swap is rename-based and the serve (which reads whatever the cell
-    * directories hold) is hash-identical before and after. */
+    * own generation, so after N crawl batches a probed cell reads N
+    * generations' small files — the same object-store listing cost the
+    * other stores' compact() addresses. One shuffle on `cell` lands each
+    * cell's rows in one task → one file per cell directory of ONE new
+    * generation, published by the same atomic manifest flip as appends
+    * (the store stays serveable through every crash window). Stream marks
+    * survive. GC follows the BM25 cooling ledger: crash orphans delete
+    * immediately, superseded generations survive until they are at least
+    * `graft.ann.gcGraceMs` old (default 15 min) — safe against
+    * back-to-back compactions with lock-free in-flight serves. */
   def compactCodes(spark: SparkSession, path: String): Unit = {
     val v = currentVersion(spark, path)
-    val dir = codesPath(path, v)
-    StoreFiles.healDir(spark, dir) // complete a crashed prior swap
-    val tmp = dir + ".compacting"
+    val m = readCodesManifest(spark, path, v)
+    if (m.gens.isEmpty) return
+    val root = codesPath(path, v)
+    val gen = StoreFiles.nextGenName(spark, Seq(root), m.gens)
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(dir)
+    m.gens.map(g => spark.read.parquet(s"$root/$g"))
+      .reduce(_.unionByName(_))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    StoreFiles.swapDir(spark, tmp, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$gen")
+    val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m.cooling, m.gens.toSet,
+      gen, graceMs, System.currentTimeMillis())
+    writeCodesManifest(spark, path, v, CodesManifest(Seq(gen), m.marks, cooling))
+    StoreFiles.sweepGenerations(spark, root, keep)
   }
 
   /** Delete all non-current version directories — run once migrated

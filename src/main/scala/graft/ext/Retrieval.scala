@@ -47,16 +47,17 @@ object Retrieval {
       queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    // one-shot shape: tf aggregates on the NARROW (doc, token) key and the
-    // length side joins AFTER the broadcast query-term filter has cut the
-    // candidates down — measurably cheaper per call than carrying dl
-    // through the full-width aggregation. The PERSISTED store makes the
-    // opposite call (dl denormalized into posting rows) because its build
-    // is one-time and its serves then need no length join at all.
-    val postings = docs
-      .select(q(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(q(textCol))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    // one-shot shape: the exploded (doc, token) stream semi-joins against
+    // the BROADCAST query-token set BEFORE the tf and df aggregations —
+    // Spark has no rule that pushes a join below an aggregation, so the
+    // pruning must be written into the plan. df/tf for query tokens are
+    // identical either way (df(t) = #docs containing t, and only query
+    // tokens ever score), but the pruned shape shuffles a candidate-sized
+    // token stream instead of the FULL VOCABULARY per query batch — at
+    // 100 TB that is the difference between a corpus shuffle and a
+    // broadcast-filtered one. The length side still joins after the
+    // candidates are cut; the PERSISTED store denormalizes dl into its
+    // posting rows instead because its build is one-time.
     val dlen = docs.select(q(idCol).as("doc_id"),
       TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
     // N and avgdl: two scalars from one aggregation over the lengths
@@ -73,11 +74,15 @@ object Retrieval {
       .select(q(queryId).as("query_id"),
         explode(TextAnalysis.tokens(q(queryText))).as("token"))
       .distinct() // a term repeated in the query scores once (Lucene form)
-    val df = postings.groupBy("token")
-      .agg(count(lit(1)).cast("double").as("df"))
-      // vocabulary pruned to query tokens before anything joins postings
+    val postings = docs
+      .select(q(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(q(textCol))).as("token"))
+      // vocabulary pruned to query tokens before EITHER aggregation runs
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
         "left_semi")
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    val df = postings.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
     scoreAndRank(postings, Some(dlen), qTokens, df, nDocs, avgdl, k, k1, b)
   }
 
@@ -127,7 +132,7 @@ object Retrieval {
 
   private case class BmManifest(nDocs: Long, nDl: Long, sumDl: Double,
       nBuckets: Int, gens: Seq[String], pgens: Seq[String],
-      marks: Map[String, Long])
+      marks: Map[String, Long], cooling: Map[String, Long] = Map.empty)
 
   private def manifestPath(path: String) = s"$path/manifest.json"
 
@@ -147,21 +152,26 @@ object Retrieval {
       root.get("sum_dl").asInstanceOf[Number].doubleValue(),
       root.get("n_buckets").asInstanceOf[Number].intValue(),
       strs("gens"), strs("pgens"),
-      root.get("marks").asInstanceOf[java.util.Map[String, Any]].asScala
-        .map { case (k, v) => k -> v.asInstanceOf[Number].longValue() }
-        .toMap)
+      longMap(root.get("marks")), longMap(root.get("cooling")))
+  }
+
+  private def longMap(v: Any): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (v == null) Map.empty
+    else v.asInstanceOf[java.util.Map[String, Any]].asScala
+      .map { case (k, x) => k -> x.asInstanceOf[Number].longValue() }.toMap
   }
 
   private def writeManifest(spark: SparkSession, path: String,
       m: BmManifest): Unit = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
-    val marks = m.marks.toSeq.sortBy(_._1)
+    def obj(xs: Map[String, Long]) = xs.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString(",")
     StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
       s"""{"format":"graft-bm25-index","version":2,"n_docs":${m.nDocs},""" +
         s""""n_dl":${m.nDl},"sum_dl":${m.sumDl},"n_buckets":${m.nBuckets},""" +
         s""""gens":[${arr(m.gens)}],"pgens":[${arr(m.pgens)}],""" +
-        s""""marks":{$marks}}""")
+        s""""marks":{${obj(m.marks)}},"cooling":{${obj(m.cooling)}}}""")
   }
 
   private def bucketOf(token: Column, nBuckets: Int): Column =
@@ -174,17 +184,8 @@ object Retrieval {
     * orphan dir must never be adopted by a later writer). Streaming appends
     * use caller-tagged names instead — see [[indexAppendWriter]]. */
   private def nextGenName(spark: SparkSession, path: String,
-      committed: Seq[String]): String = {
-    val f = StoreFiles.fs(spark, path)
-    val onDisk = sides.flatMap { side =>
-      val p = new Path(s"$path/$side")
-      if (!f.exists(p)) Nil
-      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-    }
-    val nums = (onDisk ++ committed)
-      .collect { case s if s.matches("g\\d+") => s.drop(1).toLong }
-    "g" + (if (nums.isEmpty) 0L else nums.max + 1L)
-  }
+      committed: Seq[String]): String =
+    StoreFiles.nextGenName(spark, sides.map(s => s"$path/$s"), committed)
 
   /** Read one side across the given generations: one scan per generation
     * root unioned (Spark refuses differing multi-root partition layouts in
@@ -229,31 +230,37 @@ object Retrieval {
       if (n == 0L) return (0L, 0L, 0.0, false) // nothing to write or publish
       val width = math.max(
         spark.sessionState.conf.numShufflePartitions, nBuckets)
-      val posts = base
+      // r11 (r10 verdict #4, build-cost recovery): postings stream ONCE
+      // from the corpus scan into the range-clustered write — no persist
+      // of the full-width posting rows (the r10 cache was the build's
+      // memory hog at 10×) and no separate isEmpty action. The df deltas
+      // then derive from the WRITTEN postings files: a column-pruned
+      // (tbucket, token) read of freshly written, range-clustered parquet
+      // — far cheaper than caching the full rows to feed both writes.
+      // overwrite, not errorifexists: the target is either fresh or an
+      // ORPHAN from a crashed attempt at this same generation (manifest
+      // never listed it) — retries must reclaim it
+      base
         .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
           explode(col("toks")).as("token"))
         .withColumn("tbucket", bucketOf(col("token"), nBuckets))
         .groupBy("tbucket", "token", "doc_id", "dl")
         .agg(count(lit(1)).cast("double").as("tf"))
-        .persist()
-      val hasPostings =
-        try {
-          if (posts.isEmpty) false // zero-token batch: lengths-only gen
-          else {
-            // overwrite, not errorifexists: the target is either fresh or
-            // an ORPHAN from a crashed attempt at this same generation
-            // (manifest never listed it) — retries must reclaim it
-            posts.repartitionByRange(width, col("tbucket"), col("token"))
-              .write.mode("overwrite").partitionBy("tbucket")
-              .parquet(s"$path/postings/$gen")
-            posts.groupBy("tbucket", "token")
-              .agg(count(lit(1)).cast("double").as("df"))
-              .repartition(nBuckets, col("tbucket"))
-              .write.mode("overwrite").partitionBy("tbucket")
-              .parquet(s"$path/dfd/$gen")
-            true
-          }
-        } finally posts.unpersist()
+        .repartitionByRange(width, col("tbucket"), col("token"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$path/postings/$gen")
+      // a zero-token batch writes no files: lengths-only generation
+      val hasPostings = StoreFiles.dataFileCountRecursive(spark,
+        s"$path/postings/$gen") > 0
+      if (!hasPostings)
+        StoreFiles.fs(spark, path).delete(new Path(s"$path/postings/$gen"), true)
+      else
+        spark.read.parquet(s"$path/postings/$gen")
+          .groupBy("tbucket", "token")
+          .agg(count(lit(1)).cast("double").as("df"))
+          .repartition(nBuckets, col("tbucket"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$path/dfd/$gen")
       dlen.write.mode("overwrite").parquet(s"$path/dlen/$gen")
       (n, nDl, sd, hasPostings)
     } finally dlen.unpersist()
@@ -302,9 +309,7 @@ object Retrieval {
     * batches would no-op against the old one's mark). */
   def appendBatchToIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, streamTag: String, batchId: Long): Boolean = {
-    require(streamTag.matches("[A-Za-z0-9_.]+") && !streamTag.matches("g\\d+"),
-      s"bad stream tag '$streamTag' (letters/digits/dot/underscore; the " +
-        "g<N> auto-generation namespace is reserved)")
+    StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     commitGen(batch, idCol, textCol, path, Some((streamTag, batchId)))
   }
@@ -395,21 +400,22 @@ object Retrieval {
     readSide(spark, path, "dlen", m.gens)
       .repartition(target("dlen", m.gens))
       .write.mode("overwrite").parquet(s"$path/dlen/$gen")
+    // cooling ledger (r11, closes the back-to-back-compaction race): the
+    // generations THIS compaction supersedes start cooling at `now` and
+    // survive every later compaction until they are at least
+    // `graft.bm25.gcGraceMs` old — so an in-flight serve planned against
+    // a recent manifest keeps its files for the full grace age no matter
+    // how many compactions run in between (compactIndexIfNeeded can
+    // legally fire twice in quick succession). Grace 0 restores the
+    // plain one-compaction deferral. Crash orphans (never in any
+    // manifest) still delete immediately.
+    val graceMs = spark.conf.getOption("graft.bm25.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
+      (m.gens ++ m.pgens).toSet, gen, graceMs, System.currentTimeMillis())
     writeManifest(spark, path, m.copy(gens = Seq(gen),
-      pgens = if (hasP) Seq(gen) else Nil))
-    // GC: keep the new generation AND the generations the old manifest
-    // listed (an in-flight serve may still be reading them — they fall in
-    // the NEXT compaction); everything else is a crash orphan or a
-    // previous compaction's leftover, both invisible to every reader
-    val keep = (m.gens ++ m.pgens).toSet + gen
-    sides.foreach { side =>
-      val p = new Path(s"$path/$side")
-      if (f.exists(p)) f.listStatus(p).foreach { st =>
-        val nm = st.getPath.getName
-        if (st.isDirectory && !keep.contains(nm) && !nm.startsWith("."))
-          f.delete(st.getPath, true)
-      }
-    }
+      pgens = if (hasP) Seq(gen) else Nil, cooling = cooling))
+    sides.foreach(side => StoreFiles.sweepGenerations(spark, s"$path/$side", keep))
   }
 
   /** Operational snapshot of the store: committed generations, live data
@@ -450,11 +456,16 @@ object Retrieval {
     * expressions are shared verbatim.
     *
     * Reads, in 100 TB terms: the query batch's token-hash BUCKETS only —
-    * the query batch collects once (bounded: it is the broadcast-small
-    * side by contract), its token buckets pre-filter both parquet scans,
-    * and partition pruning skips every other bucket's files at the
-    * listing level — plus nothing else: no corpus text, no length side
-    * (dl rides the postings rows). */
+    * only the DISTINCT TOKEN SET collects (cap-enforced via
+    * `graft.bm25.maxQueryTokens`, default 2^20 — an accidentally
+    * corpus-sized "query" frame fails loudly instead of OOMing the
+    * driver), its buckets pre-filter both parquet scans, and partition
+    * pruning skips every other bucket's files at the listing level — plus
+    * nothing else: no corpus text, no length side (dl rides the postings
+    * rows). The (query_id, token) side stays distributed, which means the
+    * query subplan evaluates twice per serve (token collect + final
+    * plan); callers deriving queries through an expensive subplan should
+    * cache it — the contract trade for the bounded driver. */
   def bm25TopKFromIndex(spark: SparkSession,
       path: String, queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -471,25 +482,31 @@ object Retrieval {
         s"BM25 index at $path lost committed generation $side/$g")
     val nDocs = m.nDocs.toDouble
     val avgdl = math.rint(m.sumDl / m.nDl * 1e6) / 1e6
-    // evaluate the query side ONCE (the ANN store's collected-probe
-    // pattern): the collected rows back both the broadcast join side and
-    // the local bucket derivation — no repeated query-subplan scans
-    val qTokens0 = queries
+    val qTokens = queries
       .select(q(queryId).as("query_id"),
         explode(TextAnalysis.tokens(q(queryText))).as("token"))
       .distinct()
-    val qtRows = qTokens0.collect()
-    val qTokens = spark.createDataFrame(
-      java.util.Arrays.asList(qtRows: _*), qTokens0.schema)
-    val buckets = qTokens
+    // only the DISTINCT TOKEN SET reaches the driver (strictly smaller
+    // than the (query_id, token) pairs, which stay a DataFrame), and the
+    // collect is cap-BOUNDED so an accidentally corpus-sized "query"
+    // batch fails loudly instead of OOMing the driver. The collected
+    // tokens back both the bucket derivation and the broadcast df
+    // semi-join side, so the query subplan never re-scans for either.
+    val tokRows = StoreFiles.collectBounded(qTokens.select("token").distinct(),
+      "BM25 serve query-token set", "graft.bm25.maxQueryTokens", 1 << 20)
+    val tokDf = spark.createDataFrame(
+      java.util.Arrays.asList(tokRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+    val buckets = tokDf
       .select(bucketOf(col("token"), m.nBuckets).as("tbucket")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
     val posts = readSide(spark, path, "postings", m.pgens)
       .filter(col("tbucket").isin(buckets: _*))
     val df = readSide(spark, path, "dfd", m.pgens)
       .filter(col("tbucket").isin(buckets: _*))
-      .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
-        "left_semi")
+      .join(broadcast(tokDf), Seq("token"), "left_semi")
       .groupBy("token").agg(sum("df").as("df"))
     scoreAndRank(posts, None, qTokens, df, nDocs, avgdl, k, k1, b)
   }

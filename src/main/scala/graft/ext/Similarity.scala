@@ -377,7 +377,10 @@ object Similarity {
     val (scanSide, probeSide) =
       if (!pruneCells) (encoded, probes)
       else {
-        val rows = probes.collect()
+        // bounded BY CONSTRUCTION at ≤ |queries|·nProbe rows, and the
+        // collect enforces it (an oversized query batch fails loudly)
+        val rows = StoreFiles.collectBounded(probes, "ANN probe table",
+          "graft.ann.maxProbeRows", 1 << 18)
         val cellIdx = probes.schema.fieldIndex("cell")
         val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
         val local = encoded.sparkSession.createDataFrame(
@@ -471,7 +474,10 @@ object Similarity {
     val (scanSide, probeSide) =
       if (!pruneCells) (encoded, probes)
       else {
-        val rows = probes.collect()
+        // rows carry the per-query ADC distance table, so the row budget
+        // is the binding one — enforced, not conventional
+        val rows = StoreFiles.collectBounded(probes, "ANN probe table",
+          "graft.ann.maxProbeRows", 1 << 18)
         val cellIdx = probes.schema.fieldIndex("cell")
         val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
         val local = encoded.sparkSession.createDataFrame(

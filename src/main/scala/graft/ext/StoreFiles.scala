@@ -149,4 +149,82 @@ object StoreFiles {
     }
     f.delete(old, true)
   }
+
+  /** The generational stores' shared GC step (BM25 index, ANN codes):
+    * given the pre-compaction manifest's `cooling` ledger (gen →
+    * superseded-at epoch ms), the generations this compaction supersedes,
+    * and the new generation, returns the cooling map to publish and the
+    * keep-set for [[sweepGenerations]]. Entries younger than `graceMs`
+    * survive ANY number of back-to-back compactions — the age gate, not
+    * the compaction count, drives the sweep. */
+  def coolingStep(cooling: Map[String, Long], superseded: Set[String],
+      newGen: String, graceMs: Long, now: Long):
+      (Map[String, Long], Set[String]) = {
+    val stillCooling = cooling.filter { case (_, t) => now - t < graceMs }
+    val sup = (superseded - newGen).map(_ -> now).toMap
+    (stillCooling ++ sup, sup.keySet ++ stillCooling.keySet + newGen)
+  }
+
+  /** Delete every generation directory under `root` that is not in
+    * `keep`: crash orphans (never listed in any manifest — invisible to
+    * every reader) and cooled-out grace copies. Non-directories and
+    * hidden entries are left alone. */
+  def sweepGenerations(spark: SparkSession, root: String,
+      keep: Set[String]): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (f.exists(p)) f.listStatus(p).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && !keep.contains(nm) && !nm.startsWith("."))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** Next numeric generation name for a generational store: strictly
+    * above both the committed gens AND anything on disk under the given
+    * roots — a crashed append's orphan dir must never be adopted by a
+    * later writer. */
+  def nextGenName(spark: SparkSession, roots: Seq[String],
+      committed: Seq[String]): String = {
+    val onDisk = roots.flatMap { root =>
+      val f = fs(spark, root)
+      val p = new Path(root)
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    val nums = (onDisk ++ committed)
+      .collect { case s if s.matches("g\\d+") => s.drop(1).toLong }
+    "g" + (if (nums.isEmpty) 0L else nums.max + 1L)
+  }
+
+  /** Stream-tag contract shared by the generational stores: tags name
+    * `<tag>-b<id>` generation dirs, so they must not collide with the
+    * `g<N>` auto-generation namespace and must not start with a dot or
+    * underscore (hidden to both Spark and the GC sweep — a dot-leading
+    * tag's dirs would leak forever). */
+  def requireStreamTag(tag: String): Unit =
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9_\\-.]*") && !tag.matches("g\\d+"),
+      s"bad stream tag '$tag' (must start with a letter/digit, then " +
+        "letters/digits/dot/dash/underscore; the g<N> auto-generation " +
+        "namespace is reserved)")
+
+  /** Driver-side collect for a side that is broadcast-small BY CONTRACT
+    * (a serve's query tokens, an ANN probe table): the contract is
+    * enforced, not conventional — the plan is `limit(cap + 1)`-bounded so
+    * the driver never materializes more than cap+1 rows, and crossing the
+    * cap fails LOUDLY with the knob to turn instead of OOMing the driver.
+    * `confKey` (e.g. `graft.bm25.maxQueryTokens`) overrides `default` via
+    * `spark.conf.set`. */
+  def collectBounded(df: org.apache.spark.sql.DataFrame, what: String,
+      confKey: String, default: Int): Array[org.apache.spark.sql.Row] = {
+    val cap = df.sparkSession.conf.getOption(confKey)
+      .map(_.toInt).getOrElse(default)
+    require(cap >= 1, s"$confKey must be >= 1, got $cap")
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what exceeds $cap rows — this side must stay broadcast-small " +
+        s"(driver-collected); split the batch or raise spark.conf " +
+        s"'$confKey' deliberately")
+    rows
+  }
 }

@@ -40,9 +40,29 @@ object SchemaIO {
       // (engines/pandas_engine.py): object/category → string surface,
       // timedelta64[ns] → day-time interval (§1.3 mapping)
       "object" -> StringType, "category" -> StringType,
-      "timedelta64[ns]" -> DayTimeIntervalType())
+      "timedelta64[ns]" -> DayTimeIntervalType(),
+      // pyspark-backend constructor spellings (r11): the reference's
+      // pyspark serializer emits str(dtype) of the Spark type object —
+      // "LongType()" etc. (engines/pyspark_engine.py equivalents lists;
+      // fixture: fixtures/orders.pyspark.pandera.yaml). Bare "IntType"-
+      // style names are also registered equivalents there.
+      "longtype" -> LongType, "integertype" -> IntegerType,
+      "shorttype" -> ShortType, "bytetype" -> ByteType,
+      "stringtype" -> StringType, "doubletype" -> DoubleType,
+      "floattype" -> FloatType, "booleantype" -> BooleanType,
+      "datetype" -> DateType, "timestamptype" -> TimestampType,
+      "timestampntztype" -> TimestampNTZType, "binarytype" -> BinaryType,
+      "daytimeintervaltype" -> DayTimeIntervalType())
+    val base = s.trim
+    val noParens = if (base.endsWith("()")) base.dropRight(2) else base
+    val dec = "(?i)DecimalType\\((\\d+),\\s*(\\d+)\\)".r
     dtypeNames.collectFirst { case (d, n) if n == s => d }
-      .orElse(alias.get(s.toLowerCase))
+      .orElse(alias.get(base.toLowerCase))
+      .orElse(alias.get(noParens.toLowerCase))
+      .orElse(base match {
+        case dec(p, sc) => Some(DecimalType(p.toInt, sc.toInt))
+        case _ => None
+      })
       .getOrElse(DataType.fromDDL(s))
   }
 
@@ -303,6 +323,15 @@ object SchemaIO {
     }
     def bool(o: Option[Any], default: Boolean): Boolean =
       o.filter(_ != null).map(boolOf).getOrElse(default)
+    // schema_type gates deserialization in every reference backend loader
+    // (io/pyspark_sql_io.py:235-239 raises on a foreign type; pandas
+    // documents carry "dataframe"). Absent = legacy document, accepted.
+    Option(m.getOrElse("schema_type", null)).map(String.valueOf).foreach { st =>
+      if (st != "dataframe" && st != "pyspark_sql_dataframe")
+        throw new IllegalArgumentException(
+          s"schema_type '$st' is not a dataframe document this engine " +
+            "loads (expected 'dataframe' or 'pyspark_sql_dataframe')")
+    }
     val colsRaw = m.getOrElse("columns", null) match {
       case null => Map.empty[String, Any]
       case cm: Map[_, _] => cm.asInstanceOf[Map[String, Any]]

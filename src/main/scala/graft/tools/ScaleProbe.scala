@@ -67,7 +67,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
-    // "joins", "saltedjoin") — empty runs everything
+    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store") — empty runs
+    // everything
     val only: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -244,6 +245,66 @@ object ScaleProbe {
       require(nPlain == nSalt, s"salted join changed rows: $nPlain vs $nSalt")
       println(f"PROBE salted_join rows=5000000 hot_share=0.5 " +
         f"plain_sec=$tplain%.1f salted_sec=$tsalt%.1f matches=$nPlain")
+    }
+
+    // round-11 (r10 verdict #6): BM25 store serve-read flatness — build
+    // the postings index at 1×/10×/100×, serve the SAME narrow query
+    // batch from each, and report the files/bytes the bucket-pruned serve
+    // LISTS (its token buckets' partitions) vs the store total. The
+    // listing fraction must track #query-buckets/#buckets — i.e. the
+    // serve's reads scale with the query batch, not the corpus; absolute
+    // listed bytes grow only because each bucket holds more of the
+    // corpus, which is the irreducible posting mass for those tokens.
+    if (only("bm25store")) {
+      val nBuckets = 64
+      val queries = docs.filter(col("doc_id") === 100)
+        .select(col("doc_id").as("qid"), concat_ws(" ",
+          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      val buckets = queries
+        .select(explode(graft.ext.TextAnalysis.tokens(col("qtext"))).as("token"))
+        .distinct()
+        .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      def bucketFootprint(root: String): (Long, Long, Long, Long) = {
+        // (keptFiles, totalFiles, keptBytes, totalBytes) over the
+        // tbucket=N partition dirs of every generation under root
+        val f = graft.ext.StoreFiles.fs(spark, root)
+        val p = new org.apache.hadoop.fs.Path(root)
+        if (!f.exists(p)) return (0L, 0L, 0L, 0L)
+        var (kf, tf, kb, tb) = (0L, 0L, 0L, 0L)
+        for (gen <- f.listStatus(p); if gen.isDirectory;
+             part <- f.listStatus(gen.getPath); if part.isDirectory) {
+          val nm = part.getPath.getName
+          val files = graft.ext.StoreFiles.dataFileCountRecursive(
+            spark, part.getPath.toString).toLong
+          val bytes = graft.ext.StoreFiles.dataBytesRecursive(
+            spark, part.getPath.toString)
+          tf += files; tb += bytes
+          if (nm.startsWith("tbucket=") &&
+              buckets.contains(nm.stripPrefix("tbucket=").toInt)) {
+            kf += files; kb += bytes
+          }
+        }
+        (kf, tf, kb, tb)
+      }
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val corpus = if (k == 1) docs else replicate(docs, k)
+        val rows = corpus.count()
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-bm25probe-$name").toString + "/idx"
+        val (tb0, _) = time(graft.ext.Retrieval.buildIndex(
+          corpus, "doc_id", "text", dir, nBuckets = nBuckets))
+        val (ts0, nServe) = time(graft.ext.Retrieval.bm25TopKFromIndex(
+          spark, dir, queries, "qid", "qtext", k = 10).count())
+        val (pf, ptf, pb, ptb) = bucketFootprint(s"$dir/postings")
+        val (df0, dtf, db0, dtb) = bucketFootprint(s"$dir/dfd")
+        val (kf, tf2, kb, tb2) = (pf + df0, ptf + dtf, pb + db0, ptb + dtb)
+        println(f"PROBE bm25store_$name rows=$rows n_buckets=$nBuckets " +
+          f"query_buckets=${buckets.size} build_sec=$tb0%.1f " +
+          f"serve_sec=$ts0%.1f served=$nServe " +
+          f"listed_files=$kf/$tf2 listed_bytes=$kb/$tb2 " +
+          f"listed_frac=${kb.toDouble / tb2}%.4f")
+      }
     }
 
     // round-9 (r8 verdict #4): the same skew shape but the hot key's rows

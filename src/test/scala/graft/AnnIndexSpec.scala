@@ -249,8 +249,90 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.contains(want), s"appended vector not served: got $got want $want")
   }
 
+  test("pruned serves: the collected probe table is cap-bounded and fails loud") {
+    // r11 (r10 verdict #3): the probe table is ≤ |queries|·nProbe rows by
+    // construction, and the collect ENFORCES it — an oversized query
+    // batch fails with the knob named instead of OOMing the driver
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anncap").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding", idx,
+      s"$tmp/codes")
+    val codes = spark.read.parquet(s"$tmp/codes")
+    spark.conf.set("graft.ann.maxProbeRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+          queries, "qid", "qv", idx, k = 5, nProbe = 4,
+          pruneCells = true).collect()
+      }
+      assert(e.getMessage.contains("graft.ann.maxProbeRows"),
+        s"cap violation does not name the knob: ${e.getMessage}")
+    } finally spark.conf.unset("graft.ann.maxProbeRows")
+    assert(Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
+      queries, "qid", "qv", idx, k = 5, nProbe = 4,
+      pruneCells = true).collect().nonEmpty)
+  }
+
+  test("AnnStore append crash window: orphan gens invisible; replay commits exactly once; GC sweeps after grace") {
+    // r11 (r10 verdict #2): the r10 marker landed AFTER the code append,
+    // so a crash in between duplicated codes on replay. Manifest-governed
+    // generations close that window: this test IS the crash — the
+    // generation dir exists on disk exactly as appendBatch would leave it
+    // mid-crash (no manifest flip), then the batch replays.
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-x").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    val base = emb.filter(col("vec_id") < 200)
+    AnnStore.create(base, "vec_id", "embedding", idx, tmp)
+    val n0 = AnnStore.codes(spark, tmp).count()
+    val batch = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    val nBatch = batch.count()
+    // the crash: codes written, manifest never flipped
+    Similarity.encodeAndWritePartitioned(batch, "vec_id", "embedding", idx,
+      s"$tmp/v1/codes/crawl-b0")
+    assert(AnnStore.codes(spark, tmp).count() == n0,
+      "orphan generation leaked into the serve")
+    // the replay overwrites the orphan and commits exactly once
+    assert(AnnStore.appendBatch(batch, "vec_id", "embedding", tmp, "crawl", 0L))
+    assert(AnnStore.codes(spark, tmp).count() == n0 + nBatch,
+      "crash replay duplicated codes")
+    assert(AnnStore.codes(spark, tmp).groupBy("corpus_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "duplicate ids after crash replay")
+    // a re-delivery at/below the high-water mark no-ops
+    assert(!AnnStore.appendBatch(batch, "vec_id", "embedding", tmp, "crawl", 0L))
+    assert(AnnStore.codes(spark, tmp).count() == n0 + nBatch)
+    // a crashed NUMERIC append's orphan is never adopted by later writers
+    Similarity.encodeAndWritePartitioned(batch.limit(5), "vec_id",
+      "embedding", idx, s"$tmp/v1/codes/g9")
+    val extra = emb.filter(col("vec_id") >= 260 && col("vec_id") < 270)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    AnnStore.append(extra, "vec_id", "embedding", tmp)
+    def exists(g: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/v1/codes/$g"))
+    assert(exists("g10"), "fresh append adopted/collided with the orphan")
+    val total = AnnStore.codes(spark, tmp).count()
+    // compaction GCs the orphan immediately (never reader-visible) but
+    // keeps superseded gens cooling for graft.ann.gcGraceMs — safe
+    // against back-to-back compactions with in-flight serves
+    AnnStore.compactCodes(spark, tmp)
+    assert(!exists("g9"), "orphan not GC'd")
+    assert(exists("g0"), "superseded gen deleted in the same compaction")
+    assert(AnnStore.codes(spark, tmp).count() == total)
+    AnnStore.compactCodes(spark, tmp)
+    assert(exists("g0"), "back-to-back compaction swept a cooling gen")
+    spark.conf.set("graft.ann.gcGraceMs", "0")
+    try {
+      AnnStore.compactCodes(spark, tmp)
+      assert(!exists("g0"), "cooled-out grace copy not swept")
+    } finally spark.conf.unset("graft.ann.gcGraceMs")
+    assert(AnnStore.codes(spark, tmp).count() == total)
+  }
+
   test("AnnStore codes compaction collapses per-append files; serve identical; old versions droppable") {
-    import graft.ext.{AnnStore, StoreFiles}
+    import graft.ext.AnnStore
     val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-c").toString
     val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
       nCentroids = 16, m = 8, ksub = 16)
@@ -262,10 +344,12 @@ class AnnIndexSpec extends SparkSpec {
     def serveRows() = rows(AnnStore.serve(tmp, emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 5, nProbe = 12))
     val before = serveRows()
-    val filesBefore = StoreFiles.dataFileCountRecursive(spark, s"$tmp/v1/codes")
+    // LIVE (manifest-listed) footprint: raw dir walks would also count
+    // the still-cooling grace copies of the superseded generations
+    val filesBefore = AnnStore.liveCodeFileCount(spark, tmp)
     AnnStore.compactCodes(spark, tmp)
     assert(serveRows() == before)
-    val filesAfter = StoreFiles.dataFileCountRecursive(spark, s"$tmp/v1/codes")
+    val filesAfter = AnnStore.liveCodeFileCount(spark, tmp)
     assert(filesAfter < filesBefore,
       s"codes compaction did not collapse files: $filesBefore -> $filesAfter")
     // migrate then GC the old version: current survives, v1 is removed

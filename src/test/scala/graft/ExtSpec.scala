@@ -915,6 +915,64 @@ class ExtSpec extends SparkSpec {
     assert(got2 == Seq((2L, 1), (1L, 2)), got2.toString)
   }
 
+  test("retrieval: one-shot bm25TopK prunes the vocabulary BELOW both aggregations (broadcast semi-join feeds the tf groupBy)") {
+    // r11 (r10 verdict #1): Spark has no rule that pushes a join below an
+    // aggregation, so the broadcast query-token semi-join must be WRITTEN
+    // below the tf/df groupBys — otherwise every query batch shuffles the
+    // full corpus vocabulary. Parquet-backed input so nothing folds away.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 2)).as("qtext"))
+    val served = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5)
+    val lines = served.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // the plan prints top-down (children BELOW parents): walking DOWN
+    // from every (doc_id, token) aggregate, the broadcast LeftSemi join
+    // must appear before the raw exploded token stream — i.e. the
+    // semi-joined stream is each tf/df aggregation's input, never the
+    // full-vocabulary explode
+    val tfAggs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches(""".*HashAggregate\(keys=\[doc_id#\d+L?, token#\d+.*""") => i
+    }
+    assert(tfAggs.nonEmpty, s"no (doc_id, token) aggregate in the plan:\n${lines.mkString("\n")}")
+    tfAggs.foreach { i =>
+      val below = lines.drop(i + 1)
+      val semi = below.indexWhere(_.contains("LeftSemi"))
+      val rawExplode = below.indexWhere(_.contains("Generate explode"))
+      assert(semi >= 0 && (rawExplode < 0 || semi < rawExplode),
+        s"tf/df aggregate at line $i consumes the UNFILTERED exploded " +
+          s"stream (semi@$semi explode@$rawExplode):\n${lines.mkString("\n")}")
+    }
+    assert(served.collect().nonEmpty)
+  }
+
+  test("retrieval: driver-collected query sides are cap-bounded and fail loud") {
+    // r11 (r10 verdict #3): the serve's query side is broadcast-small BY
+    // ENFORCED CONTRACT — crossing the cap must fail with the knob named,
+    // never OOM the driver
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val queries = docs.limit(4)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 6)).as("qtext"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25cap").toString
+    graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    spark.conf.set("graft.bm25.maxQueryTokens", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+          queries, "qid", "qtext", k = 5).collect()
+      }
+      assert(e.getMessage.contains("graft.bm25.maxQueryTokens"),
+        s"cap violation does not name the knob: ${e.getMessage}")
+    } finally spark.conf.unset("graft.bm25.maxQueryTokens")
+    // within the cap: serves normally
+    assert(graft.ext.Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5).collect().nonEmpty)
+  }
+
   test("retrieval: RRF fusion matches hand computation, rank-only, ties by id") {
     val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
@@ -1051,16 +1109,26 @@ class ExtSpec extends SparkSpec {
     assert(f.exists(new Path(s"$dir/postings/g100")),
       "fresh append adopted/collided with the orphan generation name")
     // compact GCs the orphan IMMEDIATELY (it was never reader-visible)
-    // but DEFERS deleting the generations it just superseded — an
-    // in-flight serve planned against the old manifest keeps its files
-    // until the next compaction sweeps them
+    // but puts the generations it just superseded on a COOLING ledger —
+    // an in-flight serve planned against a recent manifest keeps its
+    // files for at least graft.bm25.gcGraceMs (r11: even across
+    // back-to-back compactions, which compactIndexIfNeeded can legally
+    // run — the age gate, not the compaction count, drives the sweep)
     graft.ext.Retrieval.compactIndex(spark, dir)
     assert(!f.exists(new Path(s"$dir/postings/g99")), "orphan not GC'd")
     assert(f.exists(new Path(s"$dir/postings/g0")),
       "superseded gen deleted in the same compaction (in-flight-reader race)")
+    // default grace: a second compaction seconds later must NOT sweep
     graft.ext.Retrieval.compactIndex(spark, dir)
-    assert(!f.exists(new Path(s"$dir/postings/g0")),
-      "second compaction did not sweep the grace-window copies")
+    assert(f.exists(new Path(s"$dir/postings/g0")),
+      "back-to-back compaction swept a still-cooling grace copy")
+    // grace 0 = the plain one-compaction deferral: the next compact sweeps
+    spark.conf.set("graft.bm25.gcGraceMs", "0")
+    try {
+      graft.ext.Retrieval.compactIndex(spark, dir)
+      assert(!f.exists(new Path(s"$dir/postings/g0")),
+        "cooled-out grace copy not swept")
+    } finally spark.conf.unset("graft.bm25.gcGraceMs")
     // tampered counters: reconcile refuses to compact
     val manifest = graft.ext.StoreFiles.readUtf8(spark, s"$dir/manifest.json")
     val bad = manifest.replaceAll("\"n_docs\":\\d+", "\"n_docs\":1")
