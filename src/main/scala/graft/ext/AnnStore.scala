@@ -76,25 +76,20 @@ object AnnStore {
     require(String.valueOf(root.get("format")) == "graft-ann-codes",
       s"not an ANN codes manifest at $path v$v")
     import scala.jdk.CollectionConverters._
-    def longMap(x: Any): Map[String, Long] =
-      if (x == null) Map.empty
-      else x.asInstanceOf[java.util.Map[String, Any]].asScala
-        .map { case (k, n) => k -> n.asInstanceOf[Number].longValue() }.toMap
     CodesManifest(
       root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
         .map(String.valueOf),
-      longMap(root.get("marks")), longMap(root.get("cooling")))
+      StoreFiles.jsonLongMap(root.get("marks")),
+      StoreFiles.jsonLongMap(root.get("cooling")))
   }
 
   private def writeCodesManifest(spark: SparkSession, path: String, v: Int,
-      m: CodesManifest): Unit = {
-    def obj(xs: Map[String, Long]) = xs.toSeq.sortBy(_._1)
-      .map { case (k, n) => s""""$k":$n""" }.mkString(",")
+      m: CodesManifest): Unit =
     StoreFiles.writeUtf8Atomic(spark, codesManifestPath(path, v),
       s"""{"format":"graft-ann-codes","version":1,""" +
-        s""""gens":[${m.gens.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""marks":{${obj(m.marks)}},"cooling":{${obj(m.cooling)}}}""")
-  }
+        s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
+        s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
 
 
   /** The live version number named by the pointer. All metadata IO rides
@@ -332,7 +327,8 @@ object AnnStore {
     m.gens.map(g => spark.read.parquet(s"$root/$g"))
       .reduce(_.unionByName(_))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$gen")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$root/$gen")
     val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
       .map(_.toLong).getOrElse(15L * 60 * 1000)
     val (cooling, keep) = StoreFiles.coolingStep(m.cooling, m.gens.toSet,

@@ -42,22 +42,26 @@ object Retrieval {
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
   /** Per-query BM25 top-k: (query_id, doc id column name, rank, score).
-    * `k1`/`b` are the standard free parameters (1.2 / 0.75 defaults). */
+    * `k1`/`b` are the standard free parameters (1.2 / 0.75 defaults).
+    * `singleScan = false` disables the postings local checkpoint (both
+    * consumers then recompute the pruned corpus subtree — the shape the
+    * plan specs inspect, and an escape hatch for clusters where
+    * localCheckpoint's executor-loss caveat is unacceptable). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryId: String, queryText: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      singleScan: Boolean = true): DataFrame = {
     require(k >= 1, "k >= 1")
-    // one-shot shape: the exploded (doc, token) stream semi-joins against
-    // the BROADCAST query-token set BEFORE the tf and df aggregations —
+    // one-shot shape (r11): the exploded (doc, token) stream semi-joins
+    // against the collected query-token set BEFORE the tf aggregation —
     // Spark has no rule that pushes a join below an aggregation, so the
-    // pruning must be written into the plan. df/tf for query tokens are
-    // identical either way (df(t) = #docs containing t, and only query
-    // tokens ever score), but the pruned shape shuffles a candidate-sized
-    // token stream instead of the FULL VOCABULARY per query batch — at
-    // 100 TB that is the difference between a corpus shuffle and a
-    // broadcast-filtered one. The length side still joins after the
-    // candidates are cut; the PERSISTED store denormalizes dl into its
-    // posting rows instead because its build is one-time.
+    // pruning must be written into the plan — dl rides the posting rows
+    // (no length join anywhere), and df re-aggregates the pruned
+    // postings behind a lazy checkpoint. Net: the corpus is scanned and
+    // exploded exactly ONCE (the r10 shape ran TWO full-vocabulary
+    // aggregations per query batch and a corpus-length sort-merge join),
+    // and every shuffle after the scan is candidate-sized, never
+    // vocabulary- or corpus-sized.
     val dlen = docs.select(q(idCol).as("doc_id"),
       TextAnalysis.tokenCount(q(textCol)).cast("double").as("dl"))
     // N and avgdl: two scalars from one aggregation over the lengths
@@ -74,16 +78,57 @@ object Retrieval {
       .select(q(queryId).as("query_id"),
         explode(TextAnalysis.tokens(q(queryText))).as("token"))
       .distinct() // a term repeated in the query scores once (Lucene form)
-    val postings = docs
-      .select(q(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(q(textCol))).as("token"))
-      // vocabulary pruned to query tokens before EITHER aggregation runs
-      .join(broadcast(qTokens.select("token").distinct()), Seq("token"),
-        "left_semi")
-      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
-    val df = postings.groupBy("token")
+    // the DISTINCT TOKEN SET collects here (cap-bounded — the store
+    // serve's pattern, same knob), so the semi-join probes a LOCAL
+    // relation: the corpus stage starts immediately instead of waiting
+    // on a query-subplan broadcast stage, and the query frame is not
+    // re-scanned for the semi side
+    val (qPairs, tokDf) = collectQueryTokens(docs.sparkSession, qTokens)
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val pruned = docs
+      .select(q(idCol).as("doc_id"), TextAnalysis.tokens(q(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("token"))
+      // vocabulary pruned to query tokens before the aggregation runs
+      .join(broadcast(tokDf), Seq("token"), "left_semi")
+      // dl rides the posting rows (the store's layout call): with the
+      // PRUNED aggregation the extra grouping key is nearly free, and the
+      // scoring below then needs NO corpus-length join at all — the r10
+      // shape's candidates ⋈ dlen join was a corpus re-scan in the
+      // scoring stage
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      // explicit width: AQE would coalesce this candidates-sized shuffle
+      // to a handful of partitions, and the checkpoint would freeze that
+      // — serializing the (much larger) query-expansion join downstream
+      // onto one or two tasks. A user-specified repartition is exempt
+      // from coalescing; the 100 TB shape wants the expansion wide.
+      .repartition(width, col("doc_id"), col("token"))
+    // LAZY local checkpoint: the pruned postings (candidates-sized — the
+    // one materialization the query needs anyway) compute ONCE at the
+    // caller's first action and back BOTH consumers below; without it
+    // Spark re-scans and re-explodes the corpus for the df branch (no
+    // optimizer rule reuses an aggregation across branches). Lazy, so
+    // building the frame runs no job; storage is freed by the context
+    // cleaner when the plan is GC'd. The caveat (blocks are not
+    // recomputable after executor loss) is the standard localCheckpoint
+    // trade — the PERSISTED index is the deployment path; the one-shot
+    // is interactive.
+    val postings = if (singleScan) pruned.localCheckpoint(false) else pruned
+    // df(t) = postings rows per token — a re-aggregation of the pruned
+    // postings: candidates-sized input, trivial shuffle, zero extra
+    // corpus scans
+    val dfd = postings.groupBy("token")
       .agg(count(lit(1)).cast("double").as("df"))
-    scoreAndRank(postings, Some(dlen), qTokens, df, nDocs, avgdl, k, k1, b)
+    val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+    val qTerm = qPairs.join(dfd, Seq("token")).select(
+      col("query_id"), col("token"), idf.as("idf"))
+    val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    rankTail(postings
+      .join(broadcast(qTerm), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score")), k)
   }
 
   // ============ persisted BM25 postings index (round 9, v2 in round 10) ==
@@ -152,27 +197,19 @@ object Retrieval {
       root.get("sum_dl").asInstanceOf[Number].doubleValue(),
       root.get("n_buckets").asInstanceOf[Number].intValue(),
       strs("gens"), strs("pgens"),
-      longMap(root.get("marks")), longMap(root.get("cooling")))
-  }
-
-  private def longMap(v: Any): Map[String, Long] = {
-    import scala.jdk.CollectionConverters._
-    if (v == null) Map.empty
-    else v.asInstanceOf[java.util.Map[String, Any]].asScala
-      .map { case (k, x) => k -> x.asInstanceOf[Number].longValue() }.toMap
+      StoreFiles.jsonLongMap(root.get("marks")),
+      StoreFiles.jsonLongMap(root.get("cooling")))
   }
 
   private def writeManifest(spark: SparkSession, path: String,
-      m: BmManifest): Unit = {
-    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
-    def obj(xs: Map[String, Long]) = xs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      m: BmManifest): Unit =
     StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
       s"""{"format":"graft-bm25-index","version":2,"n_docs":${m.nDocs},""" +
         s""""n_dl":${m.nDl},"sum_dl":${m.sumDl},"n_buckets":${m.nBuckets},""" +
-        s""""gens":[${arr(m.gens)}],"pgens":[${arr(m.pgens)}],""" +
-        s""""marks":{${obj(m.marks)}},"cooling":{${obj(m.cooling)}}}""")
-  }
+        s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
+        s""""pgens":[${StoreFiles.jsonStrArr(m.pgens)}],""" +
+        s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
 
   private def bucketOf(token: Column, nBuckets: Int): Column =
     pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
@@ -247,7 +284,9 @@ object Retrieval {
         .groupBy("tbucket", "token", "doc_id", "dl")
         .agg(count(lit(1)).cast("double").as("tf"))
         .repartitionByRange(width, col("tbucket"), col("token"))
-        .write.mode("overwrite").partitionBy("tbucket")
+        .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("tbucket")
         .parquet(s"$path/postings/$gen")
       // a zero-token batch writes no files: lengths-only generation
       val hasPostings = StoreFiles.dataFileCountRecursive(spark,
@@ -259,7 +298,9 @@ object Retrieval {
           .groupBy("tbucket", "token")
           .agg(count(lit(1)).cast("double").as("df"))
           .repartition(nBuckets, col("tbucket"))
-          .write.mode("overwrite").partitionBy("tbucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("tbucket")
           .parquet(s"$path/dfd/$gen")
       dlen.write.mode("overwrite").parquet(s"$path/dlen/$gen")
       (n, nDl, sd, hasPostings)
@@ -380,20 +421,26 @@ object Retrieval {
       readSide(spark, path, "postings", m.pgens)
         .repartitionByRange(target("postings", m.pgens),
           col("tbucket"), col("token"))
-        .write.mode("overwrite").partitionBy("tbucket")
+        .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("tbucket")
         .parquet(s"$path/postings/$gen")
       // dfd: collapse first (vocabulary-sized — cheap to write twice),
       // measure the SNAPSHOT, then lay it out to the measured target
       readSide(spark, path, "dfd", m.pgens)
         .groupBy("tbucket", "token").agg(sum("df").as("df"))
-        .write.mode("overwrite").partitionBy("tbucket").parquet(snap)
+        .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("tbucket").parquet(snap)
       val dfdTarget =
         if (targetFiles > 0) targetFiles
         else StoreFiles.targetFileCount(
           StoreFiles.dataBytesRecursive(spark, snap))
       spark.read.parquet(snap)
         .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
-        .write.mode("overwrite").partitionBy("tbucket")
+        .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("tbucket")
         .parquet(s"$path/dfd/$gen")
       f.delete(new Path(snap), true)
     }
@@ -456,16 +503,15 @@ object Retrieval {
     * expressions are shared verbatim.
     *
     * Reads, in 100 TB terms: the query batch's token-hash BUCKETS only —
-    * only the DISTINCT TOKEN SET collects (cap-enforced via
-    * `graft.bm25.maxQueryTokens`, default 2^20 — an accidentally
+    * the (query_id, token) pairs collect ONCE, cap-enforced via
+    * `graft.bm25.maxQueryTokens` (default 2^20 — an accidentally
     * corpus-sized "query" frame fails loudly instead of OOMing the
-    * driver), its buckets pre-filter both parquet scans, and partition
-    * pruning skips every other bucket's files at the listing level — plus
-    * nothing else: no corpus text, no length side (dl rides the postings
-    * rows). The (query_id, token) side stays distributed, which means the
-    * query subplan evaluates twice per serve (token collect + final
-    * plan); callers deriving queries through an expensive subplan should
-    * cache it — the contract trade for the bounded driver. */
+    * driver), the query subplan never re-evaluates (a nondeterministic
+    * query frame cannot diverge between pruning and scoring), the
+    * derived buckets pre-filter both parquet scans, and partition
+    * pruning skips every other bucket's files at the listing level —
+    * plus nothing else: no corpus text, no length side (dl rides the
+    * postings rows). */
   def bm25TopKFromIndex(spark: SparkSession,
       path: String, queries: DataFrame, queryId: String, queryText: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -486,19 +532,7 @@ object Retrieval {
       .select(q(queryId).as("query_id"),
         explode(TextAnalysis.tokens(q(queryText))).as("token"))
       .distinct()
-    // only the DISTINCT TOKEN SET reaches the driver (strictly smaller
-    // than the (query_id, token) pairs, which stay a DataFrame), and the
-    // collect is cap-BOUNDED so an accidentally corpus-sized "query"
-    // batch fails loudly instead of OOMing the driver. The collected
-    // tokens back both the bucket derivation and the broadcast df
-    // semi-join side, so the query subplan never re-scans for either.
-    val tokRows = StoreFiles.collectBounded(qTokens.select("token").distinct(),
-      "BM25 serve query-token set", "graft.bm25.maxQueryTokens", 1 << 20)
-    val tokDf = spark.createDataFrame(
-      java.util.Arrays.asList(tokRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("token",
-          org.apache.spark.sql.types.StringType))))
+    val (qPairs, tokDf) = collectQueryTokens(spark, qTokens)
     val buckets = tokDf
       .select(bucketOf(col("token"), m.nBuckets).as("tbucket")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -508,7 +542,7 @@ object Retrieval {
       .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(tokDf), Seq("token"), "left_semi")
       .groupBy("token").agg(sum("df").as("df"))
-    scoreAndRank(posts, None, qTokens, df, nDocs, avgdl, k, k1, b)
+    scoreAndRank(posts, qPairs, df, nDocs, avgdl, k, k1, b)
   }
 
   /** Streaming ingest for the index — the micro-batch twin of the ANN
@@ -560,12 +594,11 @@ object Retrieval {
     }
   }
 
-  /** Shared scoring tail of [[bm25TopK]] and [[bm25TopKFromIndex]].
-    * `dlen = Some(...)`: the one-shot shape — the length side joins after
-    * the broadcast query-term filter has cut the candidates down.
-    * `dlen = None`: the store shape — dl already rides every posting row,
-    * so the only joins are broadcast query-term joins. */
-  private def scoreAndRank(postings: DataFrame, dlen: Option[DataFrame],
+  /** Scoring tail of the STORE serve [[bm25TopKFromIndex]] (dl rides
+    * every posting row, so the only joins are broadcast query-term
+    * joins); the one-shot [[bm25TopK]] inlines its scoring off the
+    * window-derived df and shares [[rankTail]]. */
+  private def scoreAndRank(postings: DataFrame,
       qTokens: DataFrame, df: DataFrame, nDocs: Double, avgdl: Double,
       k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
@@ -573,17 +606,48 @@ object Retrieval {
       col("query_id"), col("token"), idf.as("idf"))
     val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    val candidates = postings.join(broadcast(qTerm), Seq("token"))
-    dlen.fold(candidates)(d => candidates.join(d, Seq("doc_id")))
+    rankTail(postings.join(broadcast(qTerm), Seq("token"))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(contrib), 4).as("score"))
+      .agg(round(sum(contrib), 4).as("score")), k)
+  }
+
+  /** Cap-bounded driver collect of a query batch's distinct
+    * (query_id, token) pairs, returned as (pairs LocalRelation, distinct
+    * token-set LocalRelation). The query subplan evaluates exactly ONCE
+    * — both scoring sides and the bucket/semi pruning derive from the
+    * same collected rows, so a NONDETERMINISTIC query frame (sample,
+    * unordered limit, rand-derived filter) cannot diverge between the
+    * pruning pass and the scoring pass (the r10 evaluate-once guarantee,
+    * now cap-bounded). Knob: `graft.bm25.maxQueryTokens` (default 2^20)
+    * bounds the collected pairs — queries are the broadcast-small side
+    * by ENFORCED contract. */
+  private def collectQueryTokens(spark: SparkSession,
+      qTokens: DataFrame): (DataFrame, DataFrame) = {
+    val rows = StoreFiles.collectBounded(qTokens,
+      "BM25 query-token pairs", "graft.bm25.maxQueryTokens", 1 << 20)
+    val pairs = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qTokens.schema)
+    val tokIdx = qTokens.schema.fieldIndex("token")
+    val toks = rows.map(r => org.apache.spark.sql.Row(r.getString(tokIdx)))
+      .distinct
+    val tokDf = spark.createDataFrame(
+      java.util.Arrays.asList(toks: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+    (pairs, tokDf)
+  }
+
+  /** Per-query bounded top-k off a (query_id, doc_id, score) frame — the
+    * k-heap tail shared by both BM25 paths and [[rrfFuse]]'s shape. */
+  private def rankTail(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.of(col("score"), col("doc_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.item").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("col.score").as("score"))
-  }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard score-free combiner of heterogeneous rankings (BM25 +

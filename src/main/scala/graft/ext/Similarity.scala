@@ -507,7 +507,12 @@ object Similarity {
     require(index.kind == "ivf" || index.kind == "ivfpq",
       s"cell-partitioned layout needs an IVF index, got '${index.kind}'")
     encode(corpus, corpusId, corpusEmb, index)
-      .write.mode(mode).partitionBy("cell").parquet(path)
+      .write.mode(mode)
+      // static even if the session runs dynamic partition overwrite: an
+      // "overwrite" of a crashed attempt's generation dir must clear ALL
+      // stale partitions, or a differing replay would commit phantom rows
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(path)
   }
 
   /** Streaming encode — the incremental-ingest path of the persisted-index

@@ -197,6 +197,24 @@ object StoreFiles {
     "g" + (if (nums.isEmpty) 0L else nums.max + 1L)
   }
 
+  /** JSON fragments for the generational stores' hand-built manifests —
+    * one encoding for both the BM25 index and the ANN codes manifest, so
+    * ledger-format changes cannot drift between them. */
+  def jsonStrArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString(",")
+
+  def jsonLongObj(xs: Map[String, Long]): String =
+    xs.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+
+  /** Parse a jackson-decoded JSON object of longs; null-tolerant (absent
+    * key in an older manifest = empty). */
+  def jsonLongMap(v: Any): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (v == null) Map.empty
+    else v.asInstanceOf[java.util.Map[String, Any]].asScala
+      .map { case (k, x) => k -> x.asInstanceOf[Number].longValue() }.toMap
+  }
+
   /** Stream-tag contract shared by the generational stores: tags name
     * `<tag>-b<id>` generation dirs, so they must not collide with the
     * `g<N>` auto-generation namespace and must not start with a dot or

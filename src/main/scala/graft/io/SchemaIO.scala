@@ -32,37 +32,94 @@ object SchemaIO {
     dtypeNames.collectFirst { case (d, n) if d == dt => n }
       .getOrElse(dt.sql.toLowerCase)
 
+  private val dtypeAliases: Map[String, DataType] = Map(
+    "string" -> StringType, "int" -> LongType,
+    "float" -> FloatType, "double" -> DoubleType, "timestamp" -> TimestampType,
+    "datetime" -> TimestampType, "bigint" -> LongType,
+    // pandera-pandas spellings seen in reference documents
+    // (engines/pandas_engine.py): object/category → string surface,
+    // timedelta64[ns] → day-time interval (§1.3 mapping)
+    "object" -> StringType, "category" -> StringType,
+    "timedelta64[ns]" -> DayTimeIntervalType(),
+    // pyspark-backend constructor spellings (r11): the reference's
+    // pyspark serializer emits str(dtype) of the Spark type object —
+    // "LongType()" etc. (engines/pyspark_engine.py equivalents lists;
+    // fixture: fixtures/orders.pyspark.pandera.yaml). Bare "IntType"-
+    // style names are also registered equivalents there.
+    "longtype" -> LongType, "integertype" -> IntegerType,
+    "shorttype" -> ShortType, "bytetype" -> ByteType,
+    "stringtype" -> StringType, "doubletype" -> DoubleType,
+    "floattype" -> FloatType, "booleantype" -> BooleanType,
+    "datetype" -> DateType, "timestamptype" -> TimestampType,
+    "timestampntztype" -> TimestampNTZType, "binarytype" -> BinaryType,
+    "daytimeintervaltype" -> DayTimeIntervalType())
+
+  /** Split constructor arguments on top-level commas only —
+    * "ArrayType(IntegerType(), True), False" → 2 parts. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    val last = s.substring(start)
+    if (last.trim.nonEmpty || out.nonEmpty) out += last
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a PARAMETRIZED pyspark constructor spelling — the reference
+    * serializes `str(dtype)`, so array/map/decimal/interval columns
+    * arrive as e.g. "ArrayType(StringType(), True)",
+    * "MapType(StringType(), LongType(), False)", "DecimalType(12,2)",
+    * "DayTimeIntervalType(0, 3)" — recursively (arrays of arrays
+    * included). */
+  private def constructorDtype(s: String): Option[DataType] = {
+    val m = "^([A-Za-z]+)\\((.*)\\)$".r
+    def bool(p: Option[String], default: Boolean) =
+      p.map(_.equalsIgnoreCase("true")).getOrElse(default)
+    def leaf(x: String): Option[DataType] = {
+      val noParens = if (x.endsWith("()")) x.dropRight(2) else x
+      dtypeAliases.get(x.toLowerCase)
+        .orElse(dtypeAliases.get(noParens.toLowerCase))
+        .orElse(constructorDtype(x))
+    }
+    s.trim match {
+      case m(name, argStr) =>
+        val args = splitTopLevel(argStr)
+        name.toLowerCase match {
+          case "arraytype" if args.nonEmpty =>
+            leaf(args(0)).map(e => ArrayType(e, bool(args.lift(1), true)))
+          case "maptype" if args.size >= 2 =>
+            for (k <- leaf(args(0)); v <- leaf(args(1)))
+              yield MapType(k, v, bool(args.lift(2), true))
+          case "decimaltype" if args.size == 2 =>
+            Some(DecimalType(args(0).toInt, args(1).toInt))
+          case "daytimeintervaltype" => args.size match {
+            case 0 => Some(DayTimeIntervalType())
+            case 1 => Some(DayTimeIntervalType(args(0).toByte))
+            case _ => Some(DayTimeIntervalType(args(0).toByte, args(1).toByte))
+          }
+          case "yearmonthintervaltype" => args.size match {
+            case 0 => Some(YearMonthIntervalType())
+            case 1 => Some(YearMonthIntervalType(args(0).toByte))
+            case _ => Some(YearMonthIntervalType(args(0).toByte, args(1).toByte))
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   def nameToDtype(s: String): DataType = {
-    val alias = Map("string" -> StringType, "int" -> LongType,
-      "float" -> FloatType, "double" -> DoubleType, "timestamp" -> TimestampType,
-      "datetime" -> TimestampType, "bigint" -> LongType,
-      // pandera-pandas spellings seen in reference documents
-      // (engines/pandas_engine.py): object/category → string surface,
-      // timedelta64[ns] → day-time interval (§1.3 mapping)
-      "object" -> StringType, "category" -> StringType,
-      "timedelta64[ns]" -> DayTimeIntervalType(),
-      // pyspark-backend constructor spellings (r11): the reference's
-      // pyspark serializer emits str(dtype) of the Spark type object —
-      // "LongType()" etc. (engines/pyspark_engine.py equivalents lists;
-      // fixture: fixtures/orders.pyspark.pandera.yaml). Bare "IntType"-
-      // style names are also registered equivalents there.
-      "longtype" -> LongType, "integertype" -> IntegerType,
-      "shorttype" -> ShortType, "bytetype" -> ByteType,
-      "stringtype" -> StringType, "doubletype" -> DoubleType,
-      "floattype" -> FloatType, "booleantype" -> BooleanType,
-      "datetype" -> DateType, "timestamptype" -> TimestampType,
-      "timestampntztype" -> TimestampNTZType, "binarytype" -> BinaryType,
-      "daytimeintervaltype" -> DayTimeIntervalType())
     val base = s.trim
     val noParens = if (base.endsWith("()")) base.dropRight(2) else base
-    val dec = "(?i)DecimalType\\((\\d+),\\s*(\\d+)\\)".r
     dtypeNames.collectFirst { case (d, n) if n == s => d }
-      .orElse(alias.get(base.toLowerCase))
-      .orElse(alias.get(noParens.toLowerCase))
-      .orElse(base match {
-        case dec(p, sc) => Some(DecimalType(p.toInt, sc.toInt))
-        case _ => None
-      })
+      .orElse(dtypeAliases.get(base.toLowerCase))
+      .orElse(dtypeAliases.get(noParens.toLowerCase))
+      .orElse(constructorDtype(base))
       .getOrElse(DataType.fromDDL(s))
   }
 
@@ -605,6 +662,116 @@ object SchemaIO {
   def fromJson(s: String): DataFrameSchema = {
     val loaded = jackson.readValue(s, classOf[java.util.Map[String, Any]])
     fromMap(toScala(loaded).asInstanceOf[Map[String, Any]])
+  }
+
+  // ---- Frictionless table-schema import (r11; the last SURVEY §2.F gap) ----
+  /** Import a Frictionless table-schema document (YAML or JSON — the
+    * public specs.frictionlessdata.io/table-schema shape) as a
+    * [[DataFrameSchema]] — the reference's `from_frictionless_schema`
+    * (io/pandas_io.py:871-1148, `FrictionlessFieldParser`), re-derived
+    * for the Spark type surface:
+    *
+    *   - field types: integer/year → long, number → double, boolean →
+    *     bool, datetime → timestamp, duration → day-time interval, and
+    *     string/date/time/yearmonth/object/array/geopoint/geojson/any →
+    *     string (the reference maps `date` to string too — a Frictionless
+    *     `minimum: "20201231"` date constraint is a STRING compare);
+    *     an `enum` keeps the field's base type and adds the isin check
+    *     (the reference's pandas `category` dtype has no Spark analog).
+    *   - constraints: minimum+maximum fuse to in_range, minLength+
+    *     maxLength fuse to str_length (the reference's combined-pair
+    *     rule), singles map to ge/le/str_length-half/str_matches
+    *     (anchored `^…$`, reference rule)/isin. An UNRECOGNIZED
+    *     constraint fails loudly — silently enforcing less than the
+    *     document says would weaken a contract (the flat-key loader's
+    *     policy; the constraint set is closed in the spec).
+    *   - `primaryKey`: one field → that column is unique + non-nullable;
+    *     several → table-level unique tuple (reference rule), columns
+    *     stay individually non-unique but non-nullable.
+    *   - every field coerces (`coerce = true` column + schema — the
+    *     reference returns True unconditionally), the schema is strict,
+    *     and `required` in constraints drives nullability (fields are
+    *     always present — Frictionless has no optional columns). */
+  def fromFrictionlessSchema(doc: String): DataFrameSchema = {
+    val trimmed = doc.trim
+    val loaded: Any =
+      if (trimmed.startsWith("{"))
+        jackson.readValue(trimmed, classOf[java.util.Map[String, Any]])
+      else new org.yaml.snakeyaml.Yaml().load[Any](trimmed)
+    fromFrictionlessMap(toScala(loaded).asInstanceOf[Map[String, Any]])
+  }
+
+  def fromFrictionlessMap(m: Map[String, Any]): DataFrameSchema = {
+    val pk: Seq[String] = m.getOrElse("primaryKey", null) match {
+      case null => Nil
+      case s: String => Seq(s)
+      case l: Seq[_] => l.map(String.valueOf)
+      case other => Seq(String.valueOf(other))
+    }
+    val typeMap = Map(
+      "string" -> StringType, "number" -> DoubleType, "integer" -> LongType,
+      "boolean" -> BooleanType, "object" -> StringType,
+      "array" -> StringType, "date" -> StringType, "time" -> StringType,
+      "datetime" -> TimestampType, "year" -> LongType,
+      "yearmonth" -> StringType, "duration" -> DayTimeIntervalType(),
+      "geopoint" -> StringType, "geojson" -> StringType,
+      "any" -> StringType)
+    def toInt(a: Any): Int = a.toString.toDouble.toInt
+    val fields = (m.getOrElse("fields", null) match {
+      case l: Seq[_] => l
+      case _ => throw new IllegalArgumentException(
+        "not a frictionless table schema: no `fields` list")
+    }).map(_.asInstanceOf[Map[String, Any]])
+    val columns = fields.map { f =>
+      val name = String.valueOf(f.getOrElse("name",
+        throw new IllegalArgumentException("frictionless field without a name")))
+      val ftype = Option(f.getOrElse("type", null)).map(String.valueOf)
+        .getOrElse("any")
+      val dtype = typeMap.getOrElse(ftype, throw new IllegalArgumentException(
+        s"field '$name': unknown frictionless type '$ftype'"))
+      val cons = f.getOrElse("constraints", null) match {
+        case null => Map.empty[String, Any]
+        case c: Map[_, _] => c.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"field '$name': cannot parse constraints $other")
+      }
+      val checks = scala.collection.mutable.ArrayBuffer[Check]()
+      var rest = cons - "required" - "unique"
+      if (rest.contains("minimum") && rest.contains("maximum")) {
+        checks += Check.inRange(rest("minimum"), rest("maximum"))
+        rest = rest - "minimum" - "maximum"
+      }
+      if (rest.contains("minLength") && rest.contains("maxLength")) {
+        checks += Check.strLength(Some(toInt(rest("minLength"))),
+          Some(toInt(rest("maxLength"))))
+        rest = rest - "minLength" - "maxLength"
+      }
+      rest.foreach {
+        case ("maximum", v) => checks += Check.le(v)
+        case ("minimum", v) => checks += Check.ge(v)
+        case ("maxLength", v) => checks += Check.strLength(None, Some(toInt(v)))
+        case ("minLength", v) => checks += Check.strLength(Some(toInt(v)), None)
+        case ("pattern", v) => checks += Check.strMatches(s"^$v$$")
+        case ("enum", v) => checks += Check.isin(v.asInstanceOf[Seq[Any]])
+        case (other, _) => throw new IllegalArgumentException(
+          s"field '$name': unsupported frictionless constraint '$other'")
+      }
+      name -> ColumnSchema(
+        dtype = Some(dtype),
+        checks = checks.toSeq,
+        nullable = !pk.contains(name) && !cons.get("required").contains(true),
+        unique = (pk.size == 1 && pk.contains(name)) ||
+          cons.get("unique").contains(true),
+        coerce = true,
+        required = true,
+        title = Option(f.getOrElse("title", null)).map(String.valueOf)
+          .filter(_.nonEmpty),
+        description = Option(f.getOrElse("description", null))
+          .map(String.valueOf).filter(_.nonEmpty))
+    }
+    DataFrameSchema(columns = columns,
+      unique = if (pk.size > 1) pk else Nil,
+      coerce = true, strict = Strict.Error)
   }
 
   // ---- schema-as-code (reference: to_script, io/pandas_io.py:738) ---------

@@ -1,0 +1,153 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off A/B probe for the one-shot BM25 plan shapes (r11): pruned
+  * (query-token semi-join BELOW the tf/df aggregations) vs the r10 shape
+  * (full-vocabulary aggregations, semi-join after df). Times each on the
+  * Bench 10× corpus with the Bench 500-query batch, alternating runs to
+  * cancel machine drift. Not part of the driver contract. */
+object Bm25Probe {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** The r10 one-shot shape, inlined for comparison. */
+  private def bm25TopKOld(docs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import graft.ext.TextAnalysis
+    val k1 = 1.2; val b = 0.75
+    val postings = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("double").as("tf"))
+    val dlen = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("double").as("dl"))
+    val stats = dlen
+      .agg(count(lit(1)).cast("double").as("N"), avg(col("dl")).as("avgdl"))
+      .head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = math.rint(stats.getDouble(1) * 1e6) / 1e6
+    val qTokens = queries
+      .select(col("query_id"), explode(TextAnalysis.tokens(col("qtext"))).as("token"))
+      .distinct()
+    val df = postings.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(qTokens.select("token").distinct()), Seq("token"), "left_semi")
+    val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
+    val qTerm = qTokens.join(df, Seq("token")).select(
+      col("query_id"), col("token"), idf.as("idf"))
+    val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    postings.join(broadcast(qTerm), Seq("token"))
+      .join(dlen, Seq("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.of(col("score"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.item").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("score"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+    val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeiuo", "eioau", "iouea", "ouaie", "uaeoi")
+    val docs10 = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(9))).as("rep"))
+      .withColumn("rot", element_at(array(rotations.map(lit): _*), col("rep") + 1))
+      .select((col("doc_id") * 16 + col("rep")).as("doc_id"),
+        expr("translate(text, 'aeiou', rot)").as("text"))
+    val q = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("query_id"), concat_ws(" ",
+        slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+    println("n_queries=" + q.count() +
+      " distinct_qtokens=" + q.select(explode(
+        graft.ext.TextAnalysis.tokens(col("qtext")))).distinct().count() +
+      " vocab=" + docs10.select(explode(
+        graft.ext.TextAnalysis.tokens(col("text")))).distinct().count())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobTimes = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          jobTimes.put(s.jobId, (s.time, 0L)): Unit
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = jobTimes.get(e.jobId)
+          if (v != null) jobTimes.put(e.jobId, (v._1, e.time)): Unit
+        }
+      })
+    def dumpJobs(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rows = jobTimes.asScala.toSeq.sortBy(_._1)
+      val t0 = rows.headOption.map(_._2._1).getOrElse(0L)
+      println(tag + ": " + rows.map { case (id, (s, e)) =>
+        f"j$id[+${(s - t0) / 1000.0}%.1f ${(e - s) / 1000.0}%.1f s]"
+      }.mkString(" "))
+      jobTimes.clear()
+    }
+    // sub-piece timings
+    locally {
+      import graft.ext.TextAnalysis
+      val qTokens = q.select(col("query_id"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("token")).distinct()
+      val exploded = docs10.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val (tE, nE) = time(exploded.count())
+      val aggOld = exploded.groupBy("doc_id", "token")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val (tAO, nAO) = time(aggOld.count())
+      val pruned = exploded.join(broadcast(qTokens.select("token").distinct()),
+        Seq("token"), "left_semi")
+      val (tP, nP) = time(pruned.count())
+      val aggNew = pruned.groupBy("doc_id", "token")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val (tAN, nAN) = time(aggNew.count())
+      println(f"explode=$tE%.2f s ($nE)  oldAgg=$tAO%.2f s ($nAO)  " +
+        f"prunedStream=$tP%.2f s ($nP)  prunedAgg=$tAN%.2f s ($nAN)")
+      val served = graft.ext.Retrieval.bm25TopK(docs10, "doc_id", "text", q,
+        "query_id", "qtext", k = 10)
+      served.count()
+      val plan = served.queryExecution.executedPlan.toString
+      println("reusedExchange_after_exec=" + plan.contains("ReusedExchange") +
+        " scans=" + "FileScan parquet".r.findAllIn(plan).length)
+    }
+    // warmup both once, then alternate timed runs
+    bm25TopKOld(docs10, q, 10).count()
+    graft.ext.Retrieval.bm25TopK(docs10, "doc_id", "text", q,
+      "query_id", "qtext", k = 10).count()
+    for (i <- 1 to 3) {
+      jobs.set(0); jobTimes.clear()
+      val (tNew, nNew) = time(graft.ext.Retrieval.bm25TopK(docs10, "doc_id",
+        "text", q, "query_id", "qtext", k = 10).count())
+      val jNew = jobs.getAndSet(0)
+      dumpJobs(s"pruned$i")
+      val (tOld, nOld) = time(bm25TopKOld(docs10, q, 10).count())
+      val jOld = jobs.get()
+      dumpJobs(s"old$i")
+      println(f"run$i pruned=$tNew%.2f s/$jNew jobs ($nNew rows)  " +
+        f"r10shape=$tOld%.2f s/$jOld jobs ($nOld rows)")
+    }
+    spark.stop()
+  }
+}

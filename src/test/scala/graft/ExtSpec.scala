@@ -925,16 +925,19 @@ class ExtSpec extends SparkSpec {
     val queries = docs.filter(col("doc_id") === 7)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 2)).as("qtext"))
-    val served = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
-      queries, "qid", "qtext", k = 5)
-    val lines = served.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // plan shape inspected on the singleScan=false variant (the default's
+    // local checkpoint hides the postings subtree behind an RDD scan)
+    val exposed = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5, singleScan = false)
+    val lines = exposed.queryExecution.executedPlan.toString.linesIterator.toSeq
     // the plan prints top-down (children BELOW parents): walking DOWN
     // from every (doc_id, token) aggregate, the broadcast LeftSemi join
     // must appear before the raw exploded token stream — i.e. the
     // semi-joined stream is each tf/df aggregation's input, never the
     // full-vocabulary explode
     val tfAggs = lines.zipWithIndex.collect {
-      case (l, i) if l.matches(""".*HashAggregate\(keys=\[doc_id#\d+L?, token#\d+.*""") => i
+      case (l, i) if l.matches(
+        """.*HashAggregate\(keys=\[doc_id#\d+L?(, dl#\d+)?, token#\d+.*""") => i
     }
     assert(tfAggs.nonEmpty, s"no (doc_id, token) aggregate in the plan:\n${lines.mkString("\n")}")
     tfAggs.foreach { i =>
@@ -945,7 +948,17 @@ class ExtSpec extends SparkSpec {
         s"tf/df aggregate at line $i consumes the UNFILTERED exploded " +
           s"stream (semi@$semi explode@$rawExplode):\n${lines.mkString("\n")}")
     }
-    assert(served.collect().nonEmpty)
+    // the default single-scan path: postings materialize once behind the
+    // lazy checkpoint (an RDD scan in the plan), and the served rows are
+    // identical to the exposed two-scan variant
+    val served = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 5)
+    def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows5(served) == rows5(exposed) && rows5(served).nonEmpty)
+    assert(served.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "default one-shot did not checkpoint the pruned postings")
   }
 
   test("retrieval: driver-collected query sides are cap-bounded and fail loud") {

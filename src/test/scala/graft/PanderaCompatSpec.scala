@@ -447,9 +447,19 @@ class PanderaCompatSpec extends SparkSpec {
     assert(s.column("o_orderstatus").get.checks.map(_.name) == Seq("isin"))
     assert(s.column("o_orderpriority").get.checks.map(_.name) ==
       Seq("str_matches"))
-    // the constructor spellings parse standalone too (incl. parametrized)
+    // the constructor spellings parse standalone too — including the
+    // PARAMETRIZED `str(dtype)` forms the reference serializer emits for
+    // array/map/interval columns, recursively
     assert(SchemaIO.nameToDtype("IntegerType()") == IntegerType)
     assert(SchemaIO.nameToDtype("DecimalType(12,2)") == DecimalType(12, 2))
+    assert(SchemaIO.nameToDtype("ArrayType(StringType(), True)") ==
+      ArrayType(StringType, true))
+    assert(SchemaIO.nameToDtype("ArrayType(ArrayType(IntegerType(), True), False)") ==
+      ArrayType(ArrayType(IntegerType, true), false))
+    assert(SchemaIO.nameToDtype("MapType(StringType(), LongType(), False)") ==
+      MapType(StringType, LongType, false))
+    assert(SchemaIO.nameToDtype("DayTimeIntervalType(0, 3)") ==
+      DayTimeIntervalType(0.toByte, 3.toByte))
     // a FOREIGN backend document is rejected, mirroring
     // io/pyspark_sql_io.py:235-239 (its polars_dataframe test)
     val e = intercept[IllegalArgumentException] {
@@ -457,6 +467,80 @@ class PanderaCompatSpec extends SparkSpec {
         "schema_type: pyspark_sql_dataframe", "schema_type: polars_dataframe"))
     }
     assert(e.getMessage.contains("polars_dataframe"))
+  }
+
+  test("frictionless import: reference fixture parses with reference semantics and drives validation") {
+    // r11 (closes the last §2.F gap): the reference's OWN
+    // FRICTIONLESS_YAML fixture, extracted from its test source
+    // (tests/io/test_pandas_io.py:1741; the \\ undoes python string
+    // escaping in the non-raw literal), parsed by fromFrictionlessSchema
+    // with the semantics its test_frictionless_schema_parses_correctly
+    // asserts — re-expressed on the Spark type surface.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/io/test_pandas_io.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = java.util.regex.Pattern
+      .compile("(?s)FRICTIONLESS_YAML = yaml\\.safe_load\\(\\s*\"\"\"(.*?)\"\"\"")
+      .matcher(src)
+    assert(m.find(), "reference FRICTIONLESS_YAML fixture not found")
+    val s = SchemaIO.fromFrictionlessSchema(m.group(1).replace("\\\\", "\\"))
+    assert(s.strict == Strict.Error && s.coerce)
+    val ic = s.column("integer_col").get
+    assert(ic.dtype.contains(LongType) && !ic.nullable && ic.unique &&
+      ic.coerce && ic.required)
+    assert(ic.checks.map(_.name) == Seq("in_range"))
+    val ic2 = s.column("integer_col_2").get
+    assert(ic2.nullable && !ic2.unique &&
+      ic2.checks.map(_.name) == Seq("less_than_or_equal_to"))
+    assert(s.column("string_col").get.checks.map(_.name) == Seq("str_length"))
+    // pattern anchors ^…$ exactly like FrictionlessFieldParser
+    val pat = s.column("string_col_2").get.checks.head
+      .asInstanceOf[graft.checks.ColumnCheck].statistics("pattern")
+    assert(pat == "^\\d{3}[A-Z]$", s"pattern: $pat")
+    val fc = s.column("float_col").get
+    assert(fc.dtype.contains(DoubleType) && !fc.nullable &&
+      fc.checks.map(_.name) == Seq("isin"))
+    val dc = s.column("date_col").get // frictionless date → string compare
+    assert(dc.dtype.contains(StringType) &&
+      dc.checks.map(_.name) == Seq("greater_than_or_equal_to"))
+    assert(s.unique.isEmpty) // single primary key lands column-level
+    // the reference's VALID_FRICTIONLESS_DF passes end-to-end
+    import spark.implicits._
+    val valid = Seq(
+      (10L, 1L, Option("aaa"), Option("123A"), Option("123ABC"), Option("23A"), 1.0, Option(1.0), "20210101"),
+      (11L, 2L, None, Option("456B"), Option("456B"), Option("46B"), 1.0, Option(1.0), "20210102"),
+      (12L, 3L, Option("ccc"), None, None, None, 1.0, None, "20210103"),
+      (13L, 3L, Option("ddd"), Option("789C"), Option("78a9C"), Option("78C"), 2.0, Option(2.0), "20210104"),
+      (14L, 1L, Option("eee"), Option("101D"), Option("1A3F01D"), Option("1D"), 3.0, Option(3.0), "20210105"))
+      .toDF("integer_col", "integer_col_2", "string_col", "string_col_2",
+        "string_col_3", "string_col_4", "float_col", "float_col_2", "date_col")
+    val res = s.validate(valid)
+    assert(res.passed, res.errors.toString)
+    // and the reference's INVALID rows fail on the expected checks
+    val invalid = Seq((180L, 113L, Option("a"), Option("789c"), Option("1A"),
+        Option("123A"), 1.1, Option(3.8), "20210101"))
+      .toDF("integer_col", "integer_col_2", "string_col", "string_col_2",
+        "string_col_3", "string_col_4", "float_col", "float_col_2", "date_col")
+    val bad = s.validate(invalid)
+    val failed = bad.errors.map(_.check).toSet
+    assert(!bad.passed && Seq("in_range", "less_than_or_equal_to",
+        "str_length", "str_matches", "isin")
+      .forall(n => failed.exists(_.startsWith(n))), failed.toString)
+    // multi-field primary key → table-level unique tuple, columns
+    // non-unique but non-nullable (reference
+    // test_frictionless_schema_primary_key)
+    val multi = SchemaIO.fromFrictionlessSchema(
+      """{"fields": [{"name": "key1", "type": "integer"},
+        |{"name": "key2", "type": "integer"}],
+        |"primaryKey": ["key1", "key2"]}""".stripMargin)
+    assert(multi.unique == Seq("key1", "key2"))
+    assert(!multi.column("key1").get.unique && !multi.column("key1").get.nullable)
+    // unknown constraints fail loudly, never silently under-enforce
+    val e = intercept[IllegalArgumentException] {
+      SchemaIO.fromFrictionlessSchema(
+        """{"fields": [{"name": "x", "constraints": {"exclusiveMaximum": 3}}]}""")
+    }
+    assert(e.getMessage.contains("exclusiveMaximum"))
   }
 
   test("golden pandera fixture: committed document ≡ emit, fixpoint, audited exclusions") {
