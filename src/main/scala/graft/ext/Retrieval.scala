@@ -16,16 +16,17 @@ import org.apache.spark.sql.functions._
   *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form)
   *
   * Spark-first shape at 100 TB:
-  *   - ONE corpus scan builds the postings (doc, token, tf) and lengths;
-  *     the one-shot joins the length side only AFTER the broadcast
-  *     query-term filter has cut the candidates down, while the PERSISTED
-  *     store denormalizes dl into its posting rows at build time so its
-  *     serves never join a corpus-row-sized length side at all;
-  *   - the query batch tokenizes to (query, token) — queries are the
-  *     small side and BROADCAST into the postings join, so the corpus
-  *     never shuffles by query;
-  *   - idf needs only df rows for QUERY tokens (vocabulary pruned by the
-  *     broadcast semi-join before the driver-free merge);
+  *   - ONE corpus scan builds the pruned postings (doc, token, tf, dl) —
+  *     dl rides the posting rows in BOTH paths (the one-shot and the
+  *     persisted store), so scoring never joins a corpus-row-sized
+  *     length side;
+  *   - the query batch's (query, token) pairs collect once, cap-bounded
+  *     (`graft.bm25.maxQueryTokens`) — queries are the broadcast-small
+  *     side by enforced contract, and the corpus never shuffles by query;
+  *   - the exploded token stream is semi-join-pruned to QUERY tokens
+  *     BEFORE the tf aggregation (Spark has no join-below-agg rule, so
+  *     the pruning is written into the plan), and df/idf derive from the
+  *     pruned postings — no vocabulary-wide aggregation exists anywhere;
   *   - per-(query, doc) partial scores aggregate map-side and the
   *     per-query top-k rides the bounded k-heap
   *     ([[graft.functions.TopKByScore]]) — the shuffle carries
