@@ -121,6 +121,55 @@ object AnnStore {
       if (wrote) Seq(gen) else Nil, Map.empty, Map.empty))
   }
 
+  /** One-time upgrade of a pre-manifest store layout (flat
+    * `v<N>/codes/cell=C` dirs + `_batches` marker files) to
+    * manifest-governed generations: the flat cell dirs move under
+    * `codes/g0/` (pure renames — no code bytes rewritten), the marker
+    * files' per-tag high-water marks fold into the manifest (so
+    * at-least-once re-deliveries of pre-upgrade batches still no-op),
+    * and one manifest write publishes it all. Returns false (untouched)
+    * when the store already has a manifest. Idempotent and
+    * crash-resumable: every step is a rename or an atomic write, and a
+    * rerun picks up wherever the previous attempt stopped. Run under the
+    * single-writer contract (no appends in flight). */
+  def adoptLegacyCodes(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val v = currentVersion(spark, path)
+    val f = StoreFiles.fs(spark, path)
+    if (f.exists(new Path(codesManifestPath(path, v)))) return false
+    val root = new Path(codesPath(path, v))
+    require(f.exists(root), s"ANN store at $path v$v has no codes directory")
+    val g0 = new Path(root, "g0")
+    val tmp = new Path(s"$path/v$v/codes-adopting")
+    if (!f.exists(g0)) {
+      f.mkdirs(tmp)
+      f.listStatus(root).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm != "g0" && !nm.startsWith("."))
+          require(f.rename(st.getPath, new Path(tmp, nm)),
+            s"adopt: rename $nm failed")
+      }
+      require(f.rename(tmp, g0), "adopt: staging rename failed")
+    }
+    // legacy idempotence markers → manifest marks (max batch id per tag)
+    val batches = new Path(s"$path/_batches")
+    val marks =
+      if (!f.exists(batches)) Map.empty[String, Long]
+      else f.listStatus(batches).toSeq.map(_.getPath.getName)
+        .flatMap { nm =>
+          val i = nm.lastIndexOf("-b")
+          if (i <= 0) None
+          else scala.util.Try(nm.substring(0, i) -> nm.substring(i + 2).toLong)
+            .toOption
+        }
+        .groupBy(_._1).map { case (tag, xs) => tag -> xs.map(_._2).max }
+    val wrote = StoreFiles.dataFileCountRecursive(spark, g0.toString) > 0
+    writeCodesManifest(spark, path, v, CodesManifest(
+      if (wrote) Seq("g0") else Nil, marks, Map.empty))
+    f.delete(batches, true)
+    true
+  }
+
   /** Create the store at version 1: quantizers + cell-partitioned codes +
     * pointer. The pointer is written LAST — a crash mid-create leaves no
     * pointer, i.e. no store. */

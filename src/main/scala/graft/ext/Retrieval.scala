@@ -556,10 +556,12 @@ object Retrieval {
     * contract. */
   def indexAppendWriter(stream: DataFrame, idCol: String, textCol: String,
       path: String, streamTag: String):
-      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction, not batch 0
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       appendBatchToIndex(batch, idCol, textCol, path, streamTag, id): Unit
     }
+  }
 
   /** Batch ≡ streaming proof harness for [[indexAppendWriter]] (the
     * sibling of `encodeReplay`/`scrubReplay`): replay a static corpus as

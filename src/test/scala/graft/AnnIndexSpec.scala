@@ -331,6 +331,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnStore.codes(spark, tmp).count() == total)
   }
 
+  test("AnnStore legacy-layout adoption: flat codes + markers upgrade to manifest gens, marks preserved") {
+    // r11: a store written by the pre-manifest layout (flat
+    // v1/codes/cell=C + _batches markers) first fails LOUDLY with the
+    // upgrade named, then adoptLegacyCodes converts it in place — pure
+    // renames, marker high-water marks folded into the manifest so
+    // pre-upgrade batches still replay as no-ops.
+    import graft.ext.{AnnStore, StoreFiles}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-L").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    val base = emb.filter(col("vec_id") < 300)
+    // hand-craft the legacy layout
+    Similarity.encodeAndWritePartitioned(base, "vec_id", "embedding", idx,
+      s"$tmp/v1/codes")
+    StoreFiles.writeUtf8Atomic(spark, s"$tmp/v1/index.json", idx.toJson)
+    StoreFiles.writeUtf8Atomic(spark, s"$tmp/current.json",
+      """{"format":"graft-ann-store","current":1}""")
+    Seq("crawl-b0", "crawl-b1", "side.feed-b4").foreach(nm =>
+      StoreFiles.writeUtf8Atomic(spark, s"$tmp/_batches/$nm", "done"))
+    // pre-adoption reads fail loud, naming the situation
+    val e = intercept[IllegalArgumentException] {
+      AnnStore.codes(spark, tmp).count()
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // adopt: codes land under g0, counts preserved, serve works
+    assert(AnnStore.adoptLegacyCodes(spark, tmp))
+    val n = base.count()
+    assert(AnnStore.codes(spark, tmp).count() == n)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/v1/codes/g0")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/_batches")))
+    assert(AnnStore.serve(tmp, base, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3, nProbe = 12).collect().nonEmpty)
+    // marker marks survive: a pre-upgrade batch re-delivery no-ops…
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+    assert(!AnnStore.appendBatch(batch, "vec_id", "embedding", tmp, "crawl", 1L))
+    assert(AnnStore.codes(spark, tmp).count() == n)
+    // …and the next batch id commits normally
+    assert(AnnStore.appendBatch(batch, "vec_id", "embedding", tmp, "crawl", 2L))
+    assert(AnnStore.codes(spark, tmp).count() == n + batch.count())
+    // adoption is idempotent
+    assert(!AnnStore.adoptLegacyCodes(spark, tmp))
+  }
+
   test("AnnStore codes compaction collapses per-append files; serve identical; old versions droppable") {
     import graft.ext.AnnStore
     val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-c").toString
