@@ -127,32 +127,64 @@ object AnnStore {
     * `codes/g0/` (pure renames — no code bytes rewritten), the marker
     * files' per-tag high-water marks fold into the manifest (so
     * at-least-once re-deliveries of pre-upgrade batches still no-op),
-    * and one manifest write publishes it all. Returns false (untouched)
-    * when the store already has a manifest. Idempotent and
-    * crash-resumable: every step is a rename or an atomic write, and a
-    * rerun picks up wherever the previous attempt stopped. Run under the
+    * and one manifest write publishes it all. Returns false when the
+    * store already has a manifest (finishing the marker cleanup if a
+    * prior run crashed between manifest and cleanup). Refuses LOUDLY
+    * when the codes layout is not actually legacy — a manifest-governed
+    * store that lost its manifest must be restored or re-created, never
+    * "adopted" (that would drop generations and marks). Idempotent and
+    * crash-resumable: a rerun picks up wherever the previous attempt
+    * stopped, clearing partial staging copies first (renames are atomic
+    * on POSIX/HDFS; object-store connectors copy-then-delete, and the
+    * resume path accounts for a crash mid-copy). Run under the
     * single-writer contract (no appends in flight). */
   def adoptLegacyCodes(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val v = currentVersion(spark, path)
     val f = StoreFiles.fs(spark, path)
-    if (f.exists(new Path(codesManifestPath(path, v)))) return false
+    val batches = new Path(s"$path/_batches")
+    if (f.exists(new Path(codesManifestPath(path, v)))) {
+      // already adopted: finish the one step a crash between the manifest
+      // write and the marker cleanup could have skipped, then no-op
+      if (f.exists(batches)) f.delete(batches, true): Unit
+      return false
+    }
     val root = new Path(codesPath(path, v))
     require(f.exists(root), s"ANN store at $path v$v has no codes directory")
+    // the layout must actually BE legacy (flat cell=* dirs, plus at most a
+    // g0 from a crashed prior adoption). Generation-shaped children mean a
+    // NEW-layout store whose manifest was lost — adopting that would
+    // publish only g0 (silently dropping the other generations and every
+    // stream mark) or nest generation dirs inside g0; fail loud instead.
+    f.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      require(nm == "g0" || nm.startsWith("cell=") || nm.startsWith("_") ||
+          nm.startsWith("."),
+        s"ANN store at $path v$v is not the legacy flat-codes layout " +
+          s"(found '$nm' under codes/) — if the codes manifest was LOST " +
+          "from a manifest-governed store, restore it or re-create the " +
+          "store; adoptLegacyCodes must not guess at generations")
+    }
     val g0 = new Path(root, "g0")
     val tmp = new Path(s"$path/v$v/codes-adopting")
     if (!f.exists(g0)) {
       f.mkdirs(tmp)
       f.listStatus(root).foreach { st =>
         val nm = st.getPath.getName
-        if (nm != "g0" && !nm.startsWith("."))
-          require(f.rename(st.getPath, new Path(tmp, nm)),
-            s"adopt: rename $nm failed")
+        if (nm != "g0" && !nm.startsWith(".")) {
+          // a resumed run after a crash mid-rename on a copy-backed FS
+          // can find a PARTIAL copy already under tmp; the source is
+          // still authoritative (copy-then-delete renames remove the
+          // source last), so clear the partial before renaming — a
+          // rename into an existing directory would NEST the source
+          val dst = new Path(tmp, nm)
+          if (f.exists(dst)) f.delete(dst, true)
+          require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+        }
       }
       require(f.rename(tmp, g0), "adopt: staging rename failed")
     }
     // legacy idempotence markers → manifest marks (max batch id per tag)
-    val batches = new Path(s"$path/_batches")
     val marks =
       if (!f.exists(batches)) Map.empty[String, Long]
       else f.listStatus(batches).toSeq.map(_.getPath.getName)

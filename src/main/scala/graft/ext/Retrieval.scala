@@ -86,10 +86,17 @@ object Retrieval {
     // re-scanned for the semi side
     val (qPairs, tokDf) = collectQueryTokens(docs.sparkSession, qTokens)
     val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // (token, dl) structs built from ONE tokenization: binding the token
+    // array as a lambda variable (transform over a 1-element wrapper)
+    // references it once — a plain `select(size(toks), explode(toks))`
+    // collapses into two independent split() evaluations per row
+    val tks = TextAnalysis.tokens(q(textCol))
+    val tkStructs = element_at(
+      transform(array(tks), a => transform(a, x =>
+        struct(x.as("token"), size(a).cast("double").as("dl")))), 1)
     val pruned = docs
-      .select(q(idCol).as("doc_id"), TextAnalysis.tokens(q(textCol)).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("token"))
+      .select(q(idCol).as("doc_id"), explode(tkStructs).as("tk"))
+      .select(col("doc_id"), col("tk.dl").as("dl"), col("tk.token").as("token"))
       // vocabulary pruned to query tokens before the aggregation runs
       .join(broadcast(tokDf), Seq("token"), "left_semi")
       // dl rides the posting rows (the store's layout call): with the

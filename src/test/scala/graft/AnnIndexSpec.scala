@@ -374,6 +374,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnStore.codes(spark, tmp).count() == n + batch.count())
     // adoption is idempotent
     assert(!AnnStore.adoptLegacyCodes(spark, tmp))
+    // a MANIFEST-GOVERNED store that lost its manifest is NOT adoptable:
+    // generation-shaped children must refuse loudly (adopting would drop
+    // generations and marks), never guess
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-annstore-NL").toString
+    AnnStore.create(base, "vec_id", "embedding", idx, tmp2)
+    AnnStore.appendBatch(batch, "vec_id", "embedding", tmp2, "crawl", 0L)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tmp2/v1/codes-manifest.json"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnStore.adoptLegacyCodes(spark, tmp2)
+    }
+    assert(e2.getMessage.contains("not the legacy"), e2.getMessage)
   }
 
   test("AnnStore codes compaction collapses per-append files; serve identical; old versions droppable") {
