@@ -297,4 +297,86 @@ class ExtPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: frictionless import invariants for random table-schema documents") {
+    // r11: the importer's reference-semantics rules must hold for ANY
+    // valid document, not just the reference fixture — field order
+    // preserved, constraint-pair fusion, primaryKey nullability/unique
+    // placement, coerce/strict always on, check counts derivable from
+    // the constraint set.
+    import org.apache.spark.sql.types._
+    val genField: Gen[(String, String, Map[String, Any])] = for {
+      ftype <- Gen.oneOf("integer", "number", "string", "boolean",
+        "datetime", "date", "year", "any")
+      hasMin <- Gen.oneOf(true, false)
+      hasMax <- Gen.oneOf(true, false)
+      hasMinL <- Gen.oneOf(true, false)
+      hasMaxL <- Gen.oneOf(true, false)
+      hasPat <- Gen.oneOf(true, false)
+      hasEnum <- Gen.oneOf(true, false)
+      req <- Gen.oneOf(true, false)
+      uniq <- Gen.oneOf(true, false)
+    } yield {
+      val cons = Map.newBuilder[String, Any]
+      if (hasMin) cons += "minimum" -> 3
+      if (hasMax) cons += "maximum" -> 90
+      if (hasMinL) cons += "minLength" -> 1
+      if (hasMaxL) cons += "maxLength" -> 40
+      if (hasPat) cons += "pattern" -> "\\w+"
+      if (hasEnum) cons += "enum" -> Seq("a", "b")
+      if (req) cons += "required" -> true
+      if (uniq) cons += "unique" -> true
+      (ftype, "", cons.result())
+    }
+    val docs = sample(Gen.listOfN(6, genField), 40, 7L)
+    for ((fields0, di) <- docs.zipWithIndex) {
+      val fields = fields0.zipWithIndex.map { case ((t, _, c), i) =>
+        (s"f$i", t, c)
+      }
+      val pkSize = di % 3 // 0 = none, 1 = single, 2 = composite
+      val pk = fields.take(pkSize).map(_._1)
+      val doc = Map(
+        "fields" -> fields.map { case (n, t, c) =>
+          Map("name" -> n, "type" -> t) ++
+            (if (c.isEmpty) Map.empty[String, Any]
+             else Map("constraints" -> c))
+        },
+        "primaryKey" -> pk) // empty list = no pk
+      val s = graft.io.SchemaIO.fromFrictionlessMap(
+        doc.asInstanceOf[Map[String, Any]])
+      assert(s.coerce && s.strict == graft.schema.Strict.Error)
+      assert(s.columnNames == fields.map(_._1), "field order not preserved")
+      assert(s.unique == (if (pkSize > 1) pk else Nil),
+        "table-level unique placement")
+      fields.foreach { case (n, t, c) =>
+        val col = s.column(n).get
+        // nullable: pk fields and required fields are non-nullable
+        val expectNullable = !pk.contains(n) && !c.get("required").contains(true)
+        assert(col.nullable == expectNullable, s"$n nullable")
+        assert(col.unique ==
+          ((pkSize == 1 && pk.contains(n)) || c.get("unique").contains(true)),
+          s"$n unique")
+        assert(col.coerce && col.required, s"$n coerce/required")
+        // check count: pairs fuse (min+max → 1, minL+maxL → 1)
+        val nChecks =
+          (if (c.contains("minimum") && c.contains("maximum")) 1
+           else Seq("minimum", "maximum").count(c.contains)) +
+          (if (c.contains("minLength") && c.contains("maxLength")) 1
+           else Seq("minLength", "maxLength").count(c.contains)) +
+          Seq("pattern", "enum").count(c.contains)
+        assert(col.checks.size == nChecks,
+          s"$n checks: ${col.checks.map(_.name)} vs constraints $c")
+        // dtype mapping spot rules
+        val dt = col.dtype.get
+        t match {
+          case "integer" | "year" => assert(dt == LongType)
+          case "number" => assert(dt == DoubleType)
+          case "boolean" => assert(dt == BooleanType)
+          case "datetime" => assert(dt == TimestampType)
+          case "date" | "string" | "any" => assert(dt == StringType)
+          case _ =>
+        }
+      }
+    }
+  }
 }
