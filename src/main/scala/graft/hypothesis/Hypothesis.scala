@@ -450,11 +450,75 @@ object Hypothesis {
         first(col("n")).as("n"))
   }
 
+  /** Distributed prefix sums over the per-value histogram `(v, n1, n2)` —
+    * the shared engine under [[mannWhitneyStatDF]] and [[ksTwoSampleStatDF]].
+    *
+    * Replaces the former `Window.orderBy("v")` (no partitionBy) funnel —
+    * which Spark executes by moving EVERY distinct value to one task, a
+    * scale-killer when the column is continuous (distinct ≈ row count) —
+    * with a two-level cumulative sum:
+    *
+    *  1. rows are assigned a v-ordered bucket via `width_bucket(v, min(v),
+    *     max(v), numBuckets)`. min/max are EXACT aggregates, so the bucket
+    *     id is a deterministic pure function of `v` — both plan branches
+    *     below re-derive identical assignments even though the histogram
+    *     shuffle itself is order-nondeterministic (this is why range
+    *     repartitioning, whose sampled bounds can differ between branches,
+    *     is not used);
+    *  2. per-bucket inclusive cumsums run under
+    *     `Window.partitionBy("bkt").orderBy("v")` — parallel across buckets;
+    *  3. cross-bucket offsets come from a `groupBy("bkt")` aggregate (at
+    *     most `numBuckets` rows — the only unpartitioned window in the plan
+    *     runs over THIS literally-bounded frame) broadcast-joined back.
+    *
+    * All cumulants are integer-valued counts carried as doubles (exact to
+    * 2^53), so the two-level decomposition is bit-identical to the former
+    * single-pass window. Caveat (documented, not load-bearing): the grid is
+    * equal-width over [min, max], so a lone extreme outlier can concentrate
+    * the remaining distinct values into one bucket — that degrades
+    * parallelism of step 2, never correctness or the boundedness of step 3.
+    *
+    * Output: hist columns + `c1`,`c2` (inclusive cumsums of n1,n2 in
+    * v-order) + `t1`,`t2` (grand totals). */
+  private[graft] def histPrefixSums(hist: DataFrame,
+      numBuckets: Int = 1024): DataFrame = {
+    val b = math.max(numBuckets, 1)
+    val bounds = hist.agg(min(col("v")).as("_vmin"), max(col("v")).as("_vmax"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        when(col("_vmin") === col("_vmax"), lit(1L)).otherwise(
+          least(width_bucket(col("v"), col("_vmin"), col("_vmax"), lit(b)),
+                lit(b.toLong))))
+      .drop("_vmin", "_vmax")
+    val wLoc = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = bucketed
+      .withColumn("lc1", sum(col("n1")).over(wLoc))
+      .withColumn("lc2", sum(col("n2")).over(wLoc))
+    // <= numBuckets rows: the only orderBy-without-partitionBy windows in
+    // the plan run over this literally-bounded bucket-totals frame
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = bucketed.groupBy("bkt")
+      .agg(sum(col("n1")).as("bt1"), sum(col("n2")).as("bt2"))
+      .withColumn("off1", coalesce(sum(col("bt1")).over(wOff), lit(0.0)))
+      .withColumn("off2", coalesce(sum(col("bt2")).over(wOff), lit(0.0)))
+      .withColumn("t1", sum(col("bt1")).over(wAll))
+      .withColumn("t2", sum(col("bt2")).over(wAll))
+      .select("bkt", "off1", "off2", "t1", "t2")
+    local.join(broadcast(offs), Seq("bkt"))
+      .withColumn("c1", col("lc1") + col("off1"))
+      .withColumn("c2", col("lc2") + col("off2"))
+      .drop("bkt", "lc1", "lc2", "off1", "off2")
+  }
+
   /** [[mannWhitneyU]]'s (U, z) as a fully-distributed PLAN over the
-    * per-value histogram. The cumulative-rank window runs over DISTINCT
-    * values (one ordered pass, distinct-value-sized — the same bound the
-    * driver form caps). Returns one row `(u1, z, n1, n2)` rounded for
-    * cross-engine matching. */
+    * per-value histogram. The cumulative ranks come from
+    * [[histPrefixSums]]'s bucketed two-level cumsum — parallel across
+    * v-range buckets, no task ever holds more than one bucket of distinct
+    * values (the former single-partition `Window.orderBy` is gone).
+    * Returns one row `(u1, z, n1, n2)` rounded for cross-engine matching. */
   def mannWhitneyStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
       sample1: String, sample2: String): DataFrame = {
     val hist = df
@@ -462,10 +526,11 @@ object Hypothesis {
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
            sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = hist
+    val ranked = histPrefixSums(hist)
       .withColumn("t", col("n1") + col("n2"))
-      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0.0)))
+      // strictly-preceding total = inclusive cumsum minus own row — exact,
+      // all terms are integer-valued doubles
+      .withColumn("cum", col("c1") + col("c2") - col("t"))
     ranked.agg(
         sum(col("n1")).as("N1"), sum(col("n2")).as("N2"),
         sum(col("n1") * (col("cum") + (col("t") + 1) / 2)).as("R1"),
@@ -561,10 +626,11 @@ object Hypothesis {
           "max_distinct" -> maxDistinct))
 
   /** [[ksTwoSample]]'s D statistic as a fully-distributed PLAN over the
-    * per-value histogram — the same cumulative window over DISTINCT values
-    * the Mann–Whitney plan uses (distinct-value-sized, the bound the
-    * driver form caps). Returns one row `(d, n1, n2)`, D rounded to 6
-    * decimals for cross-engine matching. */
+    * per-value histogram — cumulative CDFs and grand totals both come from
+    * [[histPrefixSums]]'s bucketed two-level cumsum (parallel across
+    * v-range buckets; the former single-partition `Window.orderBy` and
+    * whole-frame `Window.partitionBy()` are gone). Returns one row
+    * `(d, n1, n2)`, D rounded to 6 decimals for cross-engine matching. */
   def ksTwoSampleStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
       sample1: String, sample2: String): DataFrame = {
     val hist = df
@@ -572,13 +638,7 @@ object Hypothesis {
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
            sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val whole = Window.partitionBy() // whole-frame totals ride the same pass
-    hist
-      .withColumn("c1", sum(col("n1")).over(w))
-      .withColumn("c2", sum(col("n2")).over(w))
-      .withColumn("t1", sum(col("n1")).over(whole))
-      .withColumn("t2", sum(col("n2")).over(whole))
+    histPrefixSums(hist)
       .agg(
         // an absent group (t=0) must surface as a NULL d, mirroring the
         // driver form's explicit n1==0/n2==0 failed outcome — never a

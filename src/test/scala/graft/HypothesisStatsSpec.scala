@@ -168,6 +168,61 @@ class HypothesisStatsSpec extends SparkSpec {
       absent.toString)
   }
 
+  test("stat DFs: no unpartitioned window over an unbounded frame (r12)") {
+    // The r11 verdict's one scale-killer: Window.orderBy with no
+    // partitionBy funnels every distinct value through one task. After the
+    // bucketed two-level cumsum, any orderBy-only window must sit above the
+    // bucket-totals Aggregate (a frame bounded by the numBuckets literal).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", i / 7.0))
+      .toDF("g", "v")
+    for (plan <- Seq(
+        Hypothesis.mannWhitneyStatDF(df, "v", "g", "a", "b"),
+        Hypothesis.ksTwoSampleStatDF(df, "v", "g", "a", "b"))) {
+      val unpart = plan.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.nonEmpty, "expected the bounded bucket-offset windows")
+      unpart.foreach { w =>
+        val agg = w.collectFirst { case a: Aggregate => a }
+        assert(agg.isDefined &&
+          agg.get.groupingExpressions.exists(_.references.exists(
+            _.name == "bkt")),
+          s"unpartitioned window over a non-bucket-totals frame:\n$w")
+      }
+    }
+  }
+
+  test("stat DFs: continuous high-distinct column agrees with driver forms (r12)") {
+    // 4000 distinct doubles spread over many width_bucket cells — exercises
+    // cross-bucket offset stitching, tie-free and tie-full midranks
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+       if (i % 5 == 0) (i % 13).toDouble else rnd.nextDouble() * 1000)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    val (u1, z, n1, n2) = Hypothesis.mannWhitneyStatDF(df, "v", "g", "a", "b")
+      .as[(Double, Double, Long, Long)].head()
+    assert(n1 == 2000 && n2 == 2000)
+    val mwMsg = run(Hypothesis.mannWhitneyU("g", "a", "b"), df, "v").observed
+    assert("U=([-0-9.]+)".r.findFirstMatchIn(mwMsg).get.group(1).toDouble == u1,
+      s"$mwMsg vs U=$u1")
+    assert(math.abs(
+      "z=([-0-9.]+)".r.findFirstMatchIn(mwMsg).get.group(1).toDouble - z) < 1e-5)
+    val ksRow = Hypothesis.ksTwoSampleStatDF(df, "v", "g", "a", "b").head()
+    val ksMsg = run(Hypothesis.ksTwoSample("g", "a", "b"), df, "v").observed
+    val obsD = "D=([0-9.]+)".r.findFirstMatchIn(ksMsg).get.group(1).toDouble
+    assert(math.abs(obsD - ksRow.getDouble(0)) < 1e-6, s"$ksMsg vs $ksRow")
+    // an extreme outlier degrades bucket balance, never correctness
+    val out = (rows :+ (("a", 1e12))).toDF("g", "v")
+    val ksOut = Hypothesis.ksTwoSampleStatDF(out, "v", "g", "a", "b").head()
+    val outMsg = run(Hypothesis.ksTwoSample("g", "a", "b"), out, "v").observed
+    assert(math.abs(
+      "D=([0-9.]+)".r.findFirstMatchIn(outMsg).get.group(1).toDouble -
+        ksOut.getDouble(0)) < 1e-6)
+  }
+
   test("kolmogorov p-value: known reference points") {
     // Q(0) = 1; Q is decreasing; scipy.special.kolmogorov(1.0) ≈ 0.26999967
     assert(Hypothesis.kolmogorovPValue(0.0) == 1.0)
