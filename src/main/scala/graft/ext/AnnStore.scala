@@ -133,20 +133,38 @@ object AnnStore {
     * when the codes layout is not actually legacy — a manifest-governed
     * store that lost its manifest must be restored or re-created, never
     * "adopted" (that would drop generations and marks). Idempotent and
-    * crash-resumable: a rerun picks up wherever the previous attempt
-    * stopped, clearing partial staging copies first (renames are atomic
-    * on POSIX/HDFS; object-store connectors copy-then-delete, and the
-    * resume path accounts for a crash mid-copy). Run under the
-    * single-writer contract (no appends in flight). */
+    * crash-resumable: each cell moves DIRECTLY `codes/cell=C` →
+    * `codes/g0/cell=C` with one rename per cell — there is no whole-tree
+    * staging rename whose mid-copy crash could leave a partial-but-
+    * plausible g0 (the r11 layout's `codes-adopting` dir had exactly that
+    * window; a leftover one from a crashed pre-r12 attempt is merged into
+    * g0 first and deleted only AFTER the manifest write, so its presence
+    * always marks an incomplete adoption). Resume contract per cell
+    * (renames are atomic on POSIX/HDFS; object-store connectors
+    * copy-then-delete, removing the source last): if the source cell
+    * still exists, it is authoritative and any same-named destination is
+    * a partial copy to clear. Run under the single-writer contract (no
+    * appends in flight). */
   def adoptLegacyCodes(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val v = currentVersion(spark, path)
     val f = StoreFiles.fs(spark, path)
     val batches = new Path(s"$path/_batches")
     if (f.exists(new Path(codesManifestPath(path, v)))) {
-      // already adopted: finish the one step a crash between the manifest
-      // write and the marker cleanup could have skipped, then no-op
+      // already adopted: finish the steps a crash between the manifest
+      // write and the cleanups could have skipped, then no-op
       if (f.exists(batches)) f.delete(batches, true): Unit
+      val adopting = new Path(s"$path/v$v/codes-adopting")
+      if (f.exists(adopting)) {
+        // adoption drains staging fully before the manifest write, so a
+        // staging dir beside a manifest can only be the empty husk of the
+        // final cleanup; content here means an inconsistent store
+        require(f.listStatus(adopting).isEmpty,
+          s"ANN store at $path v$v has a manifest AND a non-empty " +
+            "codes-adopting dir — inconsistent adoption state; inspect " +
+            "before serving")
+        f.delete(adopting, true): Unit
+      }
       return false
     }
     val root = new Path(codesPath(path, v))
@@ -166,23 +184,36 @@ object AnnStore {
           "store; adoptLegacyCodes must not guess at generations")
     }
     val g0 = new Path(root, "g0")
-    val tmp = new Path(s"$path/v$v/codes-adopting")
-    if (!f.exists(g0)) {
-      f.mkdirs(tmp)
-      f.listStatus(root).foreach { st =>
-        val nm = st.getPath.getName
-        if (nm != "g0" && !nm.startsWith(".")) {
-          // a resumed run after a crash mid-rename on a copy-backed FS
-          // can find a PARTIAL copy already under tmp; the source is
-          // still authoritative (copy-then-delete renames remove the
-          // source last), so clear the partial before renaming — a
-          // rename into an existing directory would NEST the source
-          val dst = new Path(tmp, nm)
-          if (f.exists(dst)) f.delete(dst, true)
-          require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-        }
+    val staging = new Path(s"$path/v$v/codes-adopting")
+    f.mkdirs(g0)
+    // a crashed PRE-r12 attempt staged cells under codes-adopting and
+    // published them with one whole-tree rename — whose mid-copy crash
+    // leaves a partial g0 beside the authoritative staging dir. Merge the
+    // staging contents into g0 FIRST: a same-named g0 child is that
+    // partial copy. Cells the old attempt never staged still sit under
+    // codes/ and are handled by the direct-move loop below — which also
+    // reclaims the opposite race (cell both in codes/ and partially in
+    // staging: the codes/ copy is authoritative, staged partial loses).
+    if (f.exists(staging)) {
+      f.listStatus(staging).foreach { st =>
+        val dst = new Path(g0, st.getPath.getName)
+        if (f.exists(dst)) f.delete(dst, true)
+        require(f.rename(st.getPath, dst),
+          s"adopt: staging merge of ${st.getPath.getName} failed")
       }
-      require(f.rename(tmp, g0), "adopt: staging rename failed")
+    }
+    f.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm != "g0" && !nm.startsWith(".")) {
+        // one rename per cell, straight into g0. On a resume, a
+        // same-named g0 child is a PARTIAL copy from a crashed rename
+        // (copy-then-delete connectors remove the source last, so the
+        // still-present source is authoritative); clear it — a rename
+        // into an existing directory would NEST the source
+        val dst = new Path(g0, nm)
+        if (f.exists(dst)) f.delete(dst, true)
+        require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+      }
     }
     // legacy idempotence markers → manifest marks (max batch id per tag)
     val marks =
@@ -198,6 +229,9 @@ object AnnStore {
     val wrote = StoreFiles.dataFileCountRecursive(spark, g0.toString) > 0
     writeCodesManifest(spark, path, v, CodesManifest(
       if (wrote) Seq("g0") else Nil, marks, Map.empty))
+    // cleanups AFTER the publish: a still-present staging dir always
+    // marks an adoption whose manifest was never written
+    f.delete(staging, true)
     f.delete(batches, true)
     true
   }
@@ -262,6 +296,25 @@ object AnnStore {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     commitCodesGen(batch, idCol, embCol, path, Some((streamTag, batchId)))
+  }
+
+  /** Migration path for stream tags the (r11-tightened) tag rule no longer
+    * accepts at writer construction — same contract as
+    * [[Retrieval.renameStreamMark]]: moves `oldTag`'s high-water mark to a
+    * rule-valid `newTag` in one atomic manifest write; refuses when the
+    * old mark is absent or the new one already exists. Run under the
+    * single-writer contract. */
+  def renameStreamMark(spark: SparkSession, path: String,
+      oldTag: String, newTag: String): Unit = {
+    StoreFiles.requireStreamTag(newTag)
+    val v = currentVersion(spark, path)
+    val m = readCodesManifest(spark, path, v)
+    require(m.marks.contains(oldTag),
+      s"no stream mark for '$oldTag' at $path (have: ${m.marks.keys.toSeq.sorted.mkString(", ")})")
+    require(!m.marks.contains(newTag),
+      s"stream mark for '$newTag' already exists at $path — refusing to overwrite")
+    writeCodesManifest(spark, path, v,
+      m.copy(marks = m.marks - oldTag + (newTag -> m.marks(oldTag))))
   }
 
   private def commitCodesGen(batch: DataFrame, idCol: String, embCol: String,

@@ -363,6 +363,27 @@ object Retrieval {
     commitGen(batch, idCol, textCol, path, Some((streamTag, batchId)))
   }
 
+  /** Migration path for stream tags the (r11-tightened) tag rule no longer
+    * accepts at writer construction: the pre-r11 rule allowed tags starting
+    * with '_' or '.', whose high-water marks may still sit in upgraded
+    * manifests. Moves `oldTag`'s mark to `newTag` (which must satisfy
+    * [[StoreFiles.requireStreamTag]]) in one atomic manifest write, so the
+    * stream restarts under the new tag with its exactly-once replay
+    * horizon intact. Refuses loudly when `oldTag` has no mark or `newTag`
+    * already has one — never a silent merge. Run under the single-writer
+    * contract. */
+  def renameStreamMark(spark: SparkSession, path: String,
+      oldTag: String, newTag: String): Unit = {
+    StoreFiles.requireStreamTag(newTag)
+    val m = readManifest(spark, path)
+    require(m.marks.contains(oldTag),
+      s"no stream mark for '$oldTag' at $path (have: ${m.marks.keys.toSeq.sorted.mkString(", ")})")
+    require(!m.marks.contains(newTag),
+      s"stream mark for '$newTag' already exists at $path — refusing to overwrite")
+    writeManifest(spark, path,
+      m.copy(marks = m.marks - oldTag + (newTag -> m.marks(oldTag))))
+  }
+
   private def commitGen(batch: DataFrame, idCol: String, textCol: String,
       path: String, stream: Option[(String, Long)]): Boolean = {
     val spark = batch.sparkSession

@@ -682,9 +682,15 @@ object SchemaIO {
     *     maxLength fuse to str_length (the reference's combined-pair
     *     rule), singles map to ge/le/str_length-half/str_matches
     *     (anchored `^…$`, reference rule)/isin. An UNRECOGNIZED
-    *     constraint fails loudly — silently enforcing less than the
-    *     document says would weaken a contract (the flat-key loader's
-    *     policy; the constraint set is closed in the spec).
+    *     constraint fails loudly BY DEFAULT — silently enforcing less
+    *     than the document says would weaken a contract (the flat-key
+    *     loader's policy; the constraint set is closed in the spec).
+    *     This deliberately deviates from the reference, whose
+    *     FrictionlessFieldParser leaves unmatched constraints unchecked
+    *     (io/pandas_io.py:961-1000); pass `lenient = true` for
+    *     reference-compatible loading of documents carrying newer-spec
+    *     or vendor-extension keys — unknown keys are then warned about
+    *     (slf4j) and skipped, never silently dropped.
     *   - `primaryKey`: one field → that column is unique + non-nullable;
     *     several → table-level unique tuple (reference rule), columns
     *     stay individually non-unique but non-nullable.
@@ -692,16 +698,18 @@ object SchemaIO {
     *     reference returns True unconditionally), the schema is strict,
     *     and `required` in constraints drives nullability (fields are
     *     always present — Frictionless has no optional columns). */
-  def fromFrictionlessSchema(doc: String): DataFrameSchema = {
+  def fromFrictionlessSchema(doc: String,
+      lenient: Boolean = false): DataFrameSchema = {
     val trimmed = doc.trim
     val loaded: Any =
       if (trimmed.startsWith("{"))
         jackson.readValue(trimmed, classOf[java.util.Map[String, Any]])
       else new org.yaml.snakeyaml.Yaml().load[Any](trimmed)
-    fromFrictionlessMap(toScala(loaded).asInstanceOf[Map[String, Any]])
+    fromFrictionlessMap(toScala(loaded).asInstanceOf[Map[String, Any]], lenient)
   }
 
-  def fromFrictionlessMap(m: Map[String, Any]): DataFrameSchema = {
+  def fromFrictionlessMap(m: Map[String, Any],
+      lenient: Boolean = false): DataFrameSchema = {
     val pk: Seq[String] = m.getOrElse("primaryKey", null) match {
       case null => Nil
       case s: String => Seq(s)
@@ -753,8 +761,14 @@ object SchemaIO {
         case ("minLength", v) => checks += Check.strLength(Some(toInt(v)), None)
         case ("pattern", v) => checks += Check.strMatches(s"^$v$$")
         case ("enum", v) => checks += Check.isin(v.asInstanceOf[Seq[Any]])
+        case (other, _) if lenient =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"frictionless field '$name': skipping unsupported constraint " +
+              s"'$other' (lenient mode — the reference parser also leaves " +
+              "unmatched constraints unchecked)")
         case (other, _) => throw new IllegalArgumentException(
-          s"field '$name': unsupported frictionless constraint '$other'")
+          s"field '$name': unsupported frictionless constraint '$other' " +
+            "(pass lenient = true to warn-and-skip unknown keys)")
       }
       name -> ColumnSchema(
         dtype = Some(dtype),

@@ -74,6 +74,29 @@ class AnnIndexSpec extends SparkSpec {
       pqIdx, k = 5, refineFactor = 4)) == pqOne)
   }
 
+  test("autoNCentroids: power-of-2 sqrt(N) clamp; nCentroids=0 trains at the derived count (r12)") {
+    import Similarity.autoNCentroids
+    // the FAISS sqrt(N) guidance snapped to powers of two, clamped [4, 65536]
+    assert(autoNCentroids(0) == 4 && autoNCentroids(1) == 4)
+    assert(autoNCentroids(500) == 16)     // the sf0.001/sf0.01 gate density
+    assert(autoNCentroids(2000) == 32)    // the sf0.1 probe density
+    assert(autoNCentroids(50000) == 128)
+    assert(autoNCentroids(1000000000L) == 16384)
+    assert(autoNCentroids(Long.MaxValue) == 65536)
+    // monotone non-decreasing across two decades
+    val seq = Seq(10L, 100L, 1000L, 10000L, 100000L).map(autoNCentroids)
+    assert(seq == seq.sorted)
+    // auto-trained quantizers carry the derived count (emb has 500 rows)
+    val auto = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 0)
+    assert(auto.nCentroids == 16 && auto.centers.length == 16)
+    val autoPq = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 0, m = 8, ksub = 16)
+    assert(autoPq.nCentroids == 16)
+    // …and are the SAME quantizers as an explicit nCentroids=16 fit
+    assert(auto.toJson == Similarity.trainIvf(emb, "vec_id", "embedding",
+      nCentroids = 16).toJson)
+  }
+
   test("indexed serve plan: codes scan is column-pruned, window-free, broadcast-joined") {
     // the 100 TB contract of encode-once serving: the ADC stage reads ONLY
     // (corpus_id, cell, codes) from the materialized parquet — raw vectors
@@ -374,6 +397,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnStore.codes(spark, tmp).count() == n + batch.count())
     // adoption is idempotent
     assert(!AnnStore.adoptLegacyCodes(spark, tmp))
+    // r12: legacy-tag mark migration (same contract as the BM25 store) —
+    // a pre-r11 '_'-leading tag's horizon moves to a writer-valid tag
+    val manP = s"$tmp/v1/codes-manifest.json"
+    val man = StoreFiles.readUtf8(spark, manP)
+    StoreFiles.writeUtf8Atomic(spark, manP,
+      man.replace("\"crawl\":", "\"_crawl\":"))
+    intercept[IllegalArgumentException] {
+      AnnStore.appendBatch(batch, "vec_id", "embedding", tmp, "_crawl", 3L)
+    }
+    AnnStore.renameStreamMark(spark, tmp, "_crawl", "crawl2")
+    assert(!AnnStore.appendBatch(batch, "vec_id", "embedding", tmp,
+      "crawl2", 2L), "migrated mark lost the replay horizon")
+    intercept[IllegalArgumentException] { // never overwrite an existing mark
+      AnnStore.renameStreamMark(spark, tmp, "crawl2", "side.feed")
+    }
     // a MANIFEST-GOVERNED store that lost its manifest is NOT adoptable:
     // generation-shaped children must refuse loudly (adopting would drop
     // generations and marks), never guess
@@ -386,6 +424,59 @@ class AnnIndexSpec extends SparkSpec {
       AnnStore.adoptLegacyCodes(spark, tmp2)
     }
     assert(e2.getMessage.contains("not the legacy"), e2.getMessage)
+  }
+
+  test("AnnStore adoption resume: partial g0 beside an authoritative staging dir loses no codes (r12)") {
+    // The r11 layout published staged cells with one whole-tree
+    // rename(codes-adopting -> g0); on a copy-then-delete filesystem a
+    // crash mid-copy leaves a PARTIAL g0 while codes-adopting still holds
+    // everything. The r11 resume guard (`if (!exists(g0)) move`) would
+    // publish a manifest over the partial g0 — silent codes loss. The r12
+    // resume must merge staging into g0 first and delete staging only
+    // after the manifest write.
+    import graft.ext.{AnnStore, StoreFiles}
+    import java.nio.file.{Files, Paths, Path => JPath, StandardCopyOption}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-R").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    val base = emb.filter(col("vec_id") < 300)
+    Similarity.encodeAndWritePartitioned(base, "vec_id", "embedding", idx,
+      s"$tmp/v1/codes")
+    StoreFiles.writeUtf8Atomic(spark, s"$tmp/v1/index.json", idx.toJson)
+    StoreFiles.writeUtf8Atomic(spark, s"$tmp/current.json",
+      """{"format":"graft-ann-store","current":1}""")
+    // simulate the crashed pre-r12 attempt: every cell fully staged…
+    val root = Paths.get(s"$tmp/v1/codes")
+    val staging = Paths.get(s"$tmp/v1/codes-adopting")
+    Files.createDirectories(staging)
+    val cells = Files.list(root).toArray.map(_.asInstanceOf[JPath])
+      .filter(_.getFileName.toString.startsWith("cell="))
+    assert(cells.length > 1, "need multiple cells to stage")
+    cells.foreach(c => Files.move(c, staging.resolve(c.getFileName)))
+    // …then the whole-tree rename crashed mid-copy: g0 holds one complete
+    // cell and one PARTIAL cell (a data file missing), sources intact
+    val g0 = root.resolve("g0")
+    def copyTree(src: JPath, dst: JPath): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).toArray.map(_.asInstanceOf[JPath]).foreach { p =>
+        if (Files.isDirectory(p)) copyTree(p, dst.resolve(p.getFileName))
+        else Files.copy(p, dst.resolve(p.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val staged = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
+      .filter(_.getFileName.toString.startsWith("cell="))
+    copyTree(staged(0), g0.resolve(staged(0).getFileName))
+    copyTree(staged(1), g0.resolve(staged(1).getFileName))
+    val partial = Files.list(g0.resolve(staged(1).getFileName)).toArray
+      .map(_.asInstanceOf[JPath]).filter(_.toString.endsWith(".parquet"))
+    partial.foreach(Files.delete) // the mid-copy hole
+    // adoption must recover every staged cell, not trust the partial g0
+    assert(AnnStore.adoptLegacyCodes(spark, tmp))
+    assert(AnnStore.codes(spark, tmp).count() == base.count())
+    assert(!Files.exists(staging), "staging dir must be gone after adoption")
+    // idempotent rerun still no-ops
+    assert(!AnnStore.adoptLegacyCodes(spark, tmp))
   }
 
   test("AnnStore codes compaction collapses per-append files; serve identical; old versions droppable") {

@@ -1199,6 +1199,27 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.Retrieval.compactIndexIfNeeded(spark, dir, maxGens = 0),
       "did not compact above threshold")
     assert(rows() == once, "threshold compaction changed the serve")
+    // r12 (advice): a pre-r11 '_'-leading tag (valid then, writer-invalid
+    // now) keeps its replay horizon via renameStreamMark — never lost,
+    // never silently merged onto an existing mark
+    assert(graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+      dir, "t2", 0L))
+    val man2 = graft.ext.StoreFiles.readUtf8(spark, s"$dir/manifest.json")
+    graft.ext.StoreFiles.writeUtf8Atomic(spark, s"$dir/manifest.json",
+      man2.replace("\"s1\":", "\"_s1\":"))
+    intercept[IllegalArgumentException] { // legacy tag fails at construction
+      graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+        dir, "_s1", 1L)
+    }
+    graft.ext.Retrieval.renameStreamMark(spark, dir, "_s1", "s1b")
+    assert(!graft.ext.Retrieval.appendBatchToIndex(docs, "doc_id", "text",
+      dir, "s1b", 0L), "migrated mark lost the replay horizon")
+    intercept[IllegalArgumentException] {
+      graft.ext.Retrieval.renameStreamMark(spark, dir, "missing", "s9")
+    }
+    intercept[IllegalArgumentException] { // t2's mark must not be overwritten
+      graft.ext.Retrieval.renameStreamMark(spark, dir, "s1b", "t2")
+    }
   }
 
   test("retrieval: streamed index build ≡ one-shot (micro-batch appends, df deltas sum)") {

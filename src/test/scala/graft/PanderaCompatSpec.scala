@@ -541,6 +541,15 @@ class PanderaCompatSpec extends SparkSpec {
         """{"fields": [{"name": "x", "constraints": {"exclusiveMaximum": 3}}]}""")
     }
     assert(e.getMessage.contains("exclusiveMaximum"))
+    // r12 (advice): lenient mode = the reference's own skip-unknown
+    // behavior (io/pandas_io.py:961-1000) for newer-spec/vendor keys —
+    // the recognized constraints still load
+    val len = SchemaIO.fromFrictionlessSchema(
+      """{"fields": [{"name": "x", "type": "integer",
+        |"constraints": {"exclusiveMaximum": 3, "minimum": 0}}]}""".stripMargin,
+      lenient = true)
+    assert(len.column("x").get.checks.map(_.name) ==
+      Seq("greater_than_or_equal_to"))
   }
 
   test("golden pandera fixture: committed document ≡ emit, fixpoint, audited exclusions") {
