@@ -1537,6 +1537,18 @@ object SparkEntry {
         "event_type", cells, fracs, windowDur = "1 hour")
         .orderBy("window_start", "cell")
     }),
+    "drift_w1_windowed" -> ((s, d) => {
+      // r12 (verdict #6): streaming Wasserstein-1 — the drift trio's
+      // third face gets its windowed form: W1 of the event value per
+      // event-time hour vs the full-table reference profile; same
+      // one-stateful-agg shape as drift_psi_windowed (the cross-bin
+      // cumsum is unrolled over the bounded bin cells, row-local);
+      // StreamingSpec replays batch ≡ stream
+      val ev = t(s, d, "events")
+      val (edges, fracs) = ext.Drift.referenceNumericProfile(ev, "value", bins = 5)
+      streaming.StreamingValidation.windowedWasserstein1(ev, "ts", "value",
+        edges, fracs, windowDur = "1 hour").orderBy("window_start", "bin")
+    }),
     "drift_psi_profile" -> ((s, d) => {
       // round-8: drift-profile PERSISTENCE serve path — fit the reference
       // profile once, save/load the JSON document, score the batch against
@@ -1913,16 +1925,30 @@ object SparkEntry {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val brute = pairs(ext.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", queries, "qid", "qv", k = 5))
+      // r12 (verdict #2): cells and probes derive from corpus density —
+      // at the sf0.001/sf0.01 gate (500 vectors) autoNCentroids resolves
+      // to the historical 16 and the probe counts to 4/12, keeping every
+      // golden pin; at 10× density both scale together (constant
+      // nProbe/nCentroids coverage), so the quality floors hold instead
+      // of firing on parameters frozen at gate density.
+      val nVec = emb.count()
+      val nc = ext.Similarity.autoNCentroids(nVec)
+      val npIvf = math.max(2, 4 * nc / 16)
+      val npPq = math.max(4, 12 * nc / 16)
+      // the exact-rerank shortlist must stay a constant FRACTION of the
+      // candidates, not a constant count — a fixed k·4 shortlist out of a
+      // 4×-denser candidate pool is where PQ recall actually leaks
+      val rf = math.max(4, (4L * nVec / 500L).toInt)
       val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
         "ivf" -> ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4),
+          queries, "qid", "qv", k = 5, nCentroids = nc, nProbe = npIvf),
         "ivfpq" -> ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
-          m = 8, ksub = 16, refineFactor = 4),
+          queries, "qid", "qv", k = 5, nCentroids = nc, nProbe = npPq,
+          m = 8, ksub = 16, refineFactor = rf),
         "lsh" -> ext.Similarity.lshTopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", k = 5, bits = 16, bands = 8),
         "pq" -> ext.Similarity.pqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4))
+          queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = rf))
       // Floors are per-method: the cell-probing families must clear 0.6;
       // standalone PQ at gate params (m=8, ksub=16, k=5) honestly measures
       // ~0.5 — its floor documents that, and the golden pin catches ANY
@@ -1951,22 +1977,32 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val dir = java.nio.file.Files.createTempDirectory("graft-ann-life").toString
+      // r12 (verdict #2): same corpus-density parameterization as
+      // sim_ann_recall — 16/12 at gate density (pins unchanged), scaled
+      // together at 10× so the heal floor measures quality, not a
+      // frozen parameter. The STALE index keeps nCentroids=16 (it is
+      // deliberately trained on a 32-vector sliver).
+      val nVec = emb.count()
+      val nc = ext.Similarity.autoNCentroids(nVec)
+      val np = math.max(4, 12 * nc / 16)
+      val rf = math.max(4, (4L * nVec / 500L).toInt)
       val stale = ext.Similarity.trainIvfPq(emb.filter(col("vec_id") < 32),
         "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16)
       ext.AnnStore.create(emb, "vec_id", "embedding", stale, dir)
       val probeQs = emb.filter(pmod(col("vec_id"), lit(7)) === 3).limit(40)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val rStale = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
-        probeQs, "qid", "qv", k = 5, nProbe = 12)
+        probeQs, "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
       val good = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = 16, m = 8, ksub = 16)
+        nCentroids = nc, m = 8, ksub = 16)
       require(ext.AnnStore.migrate(emb, "vec_id", "embedding", good, dir) == 2)
       val rHealed = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
-        probeQs, "qid", "qv", k = 5, nProbe = 12)
+        probeQs, "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
       require(rHealed > rStale && rHealed >= 0.55,
         f"migration did not heal recall: stale=$rStale%.4f healed=$rHealed%.4f")
       ext.AnnStore.serve(dir, emb, "vec_id", "embedding", queries,
-        "qid", "qv", k = 5, nProbe = 12).orderBy("query_id", "rank")
+        "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
+        .orderBy("query_id", "rank")
     }),
     "sim_embedding_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
@@ -3496,6 +3532,24 @@ object SparkEntry {
         "ptot AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
         "SELECT k.window_start, k.bin, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, ptot.psi_total " +
         "FROM k JOIN ptot USING (window_start) ORDER BY window_start, bin"),
+    "drift_w1_windowed" ->
+      ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +
+        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
+        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
+        "bingrid AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)), " +
+        "refcum AS (SELECT b.bin, sum(coalesce(rc.ref_frac, 0)) OVER (ORDER BY b.bin) AS ref_cum FROM bingrid b LEFT JOIN refc rc ON rc.bin = b.bin), " +
+        "widths AS (SELECT b.bin, CASE WHEN b.bin <= 2 THEN e.es[b.bin + 2] - e.es[b.bin + 1] ELSE 0.0 END AS width FROM bingrid b CROSS JOIN edges e), " +
+        "curb AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
+        "curc AS (SELECT window_start, bin, count(*) AS n FROM curb GROUP BY 1, 2), " +
+        "tot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
+        "grid AS (SELECT w.window_start, b.bin FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN bingrid b), " +
+        "cum AS (SELECT g.window_start, g.bin, sum(coalesce(cc.n, 0)) OVER (PARTITION BY g.window_start ORDER BY g.bin)::DOUBLE / tt.t AS cur_cum " +
+        "FROM grid g LEFT JOIN curc cc ON cc.window_start = g.window_start AND cc.bin = g.bin JOIN tot tt ON tt.window_start = g.window_start), " +
+        "k AS (SELECT c.window_start, c.bin, r.ref_cum, c.cur_cum, round(abs(r.ref_cum - c.cur_cum), 6) AS gap, w.width FROM cum c JOIN refcum r ON r.bin = c.bin JOIN widths w ON w.bin = c.bin), " +
+        "k2 AS (SELECT window_start, bin, ref_cum, cur_cum, gap, width, round(gap * width, 6) AS w1_contrib FROM k), " +
+        "wtot AS (SELECT window_start, round(sum(w1_contrib), 4) AS w1_stat FROM k2 GROUP BY 1) " +
+        "SELECT k2.window_start, k2.bin, round(k2.ref_cum, 6) AS ref_cum, round(k2.cur_cum, 6) AS cur_cum, k2.gap, round(k2.width, 6) AS width, k2.w1_contrib, wtot.w1_stat " +
+        "FROM k2 JOIN wtot USING (window_start) ORDER BY window_start, bin"),
     "drift_psi_cat_windowed" ->
       ("WITH cat AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, coalesce(CAST(event_type AS VARCHAR), '__null__') AS cell FROM events), " +
         "tot0 AS (SELECT count(*) AS t FROM cat), " +

@@ -178,6 +178,32 @@ object Similarity {
     * corpus grows to 100 TB (≤ ~8 MB at dim=64). */
   val MaxPointsPerCentroid: Int = 256
 
+  /** Corpus-sized IVF cell count (r12, verdict #2): the largest power of
+    * two at or below √N, clamped to [4, 65536] — the FAISS √N guidance
+    * snapped to powers of two so nearby corpus sizes train identical
+    * quantizers (500 → 16, 2 000 → 32, 50 000 → 128, 10⁹ → 32 768).
+    * Static cell counts are exactly the trap the in-store recall probe
+    * exists to catch: cells sized for one corpus density over- or
+    * under-quantize at 10× — pass `nCentroids = 0` to the trainers to
+    * derive the count from the corpus instead of freezing it.
+    * `m` (PQ subspaces) stays caller-chosen: it is a code-size/accuracy
+    * trade bound by `dim % m == 0`, not a corpus-density one — pick m so
+    * dsub = dim/m lands in 4–16 (dim=64 → m=8 is the middle of that
+    * band; doubling m doubles code bytes for ~½ the per-subspace
+    * distortion). */
+  def autoNCentroids(n: Long): Int = {
+    val target = math.sqrt(math.max(n, 1L).toDouble)
+    val clamped = math.min(math.max(target, 4.0), 65536.0)
+    Integer.highestOneBit(clamped.toInt)
+  }
+
+  /** Resolve an `nCentroids` argument: positive = explicit, 0 = derive
+    * from the corpus via [[autoNCentroids]] (one count job). */
+  private def resolveNCentroids(c: DataFrame, nCentroids: Int): Int = {
+    require(nCentroids >= 0, s"nCentroids must be >= 0 (0 = auto), got $nCentroids")
+    if (nCentroids > 0) nCentroids else autoNCentroids(c.count())
+  }
+
   /** Bounded training sample for the driver-local quantizer fits
     * ([[LocalKMeans]]): NaN = auto (sample down to ~cap·1.2, then take the
     * first `cap` rows in corpus-id order); an explicit positive fraction
@@ -223,16 +249,19 @@ object Similarity {
 
   /** Train an IVF coarse quantizer (FAISS IndexIVFFlat shape): k-means
     * centroids fitted driver-locally ([[LocalKMeans]]) on ONE bounded
-    * sample collect — constant cost at any corpus size. */
+    * sample collect — constant cost at any corpus size.
+    * `nCentroids = 0` derives the cell count from the corpus
+    * ([[autoNCentroids]]). */
   def trainIvf(
       corpus: DataFrame, corpusId: String, corpusEmb: String,
       nCentroids: Int = 64,
       trainSampleFraction: Double = Double.NaN, seed: Long = 42L): AnnIndex = {
     val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
-    val sample = collectTrainVectors(c, nCentroids, trainSampleFraction, seed)
+    val nc = resolveNCentroids(c, nCentroids)
+    val sample = collectTrainVectors(c, nc, trainSampleFraction, seed)
     require(sample.nonEmpty, "trainIvf: corpus is empty — nothing to index")
-    AnnIndex("ivf", sample.head.length, nCentroids, 0, 0, seed,
-      LocalKMeans.fit(sample, nCentroids, seed), Array.empty)
+    AnnIndex("ivf", sample.head.length, nc, 0, 0, seed,
+      LocalKMeans.fit(sample, nc, seed), Array.empty)
   }
 
   /** Train PQ codebooks (Jégou et al.): the embedding space splits into `m`
@@ -261,20 +290,23 @@ object Similarity {
     * centroid). Residuals concentrate near zero, so the shared residual
     * codebooks quantize far more accurately than raw-vector PQ at the same
     * code size. ONE bounded sample collect feeds both trainings — the
-    * residuals of the same sample are derived on the driver. */
+    * residuals of the same sample are derived on the driver.
+    * `nCentroids = 0` derives the cell count from the corpus
+    * ([[autoNCentroids]]; `m`/`ksub` stay explicit — see there). */
   def trainIvfPq(
       corpus: DataFrame, corpusId: String, corpusEmb: String,
       nCentroids: Int = 64, m: Int = 8, ksub: Int = 16,
       trainSampleFraction: Double = Double.NaN, seed: Long = 42L): AnnIndex = {
     require(m > 0 && ksub > 1, "m > 0, ksub > 1")
     val c = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
+    val nc = resolveNCentroids(c, nCentroids)
     val sample = collectTrainVectors(c,
-      math.max(nCentroids, ksub), trainSampleFraction, seed)
+      math.max(nc, ksub), trainSampleFraction, seed)
     require(sample.nonEmpty, "trainIvfPq: corpus is empty — nothing to index")
     val dim = sample.head.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val centers = LocalKMeans.fit(sample, nCentroids, seed)
+    val centers = LocalKMeans.fit(sample, nc, seed)
     def nearest(v: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var j = 0
       while (j < centers.length) {
@@ -293,7 +325,7 @@ object Similarity {
       val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       LocalKMeans.fit(sub, ksub, seed + j)
     }
-    AnnIndex("ivfpq", dim, nCentroids, m, ksub, seed, centers, codebooks)
+    AnnIndex("ivfpq", dim, nc, m, ksub, seed, centers, codebooks)
   }
 
   // ========================= encode (one corpus scan) =====================
