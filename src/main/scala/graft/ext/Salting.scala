@@ -107,7 +107,16 @@ object Salting {
     * inline up to maxHotKeys literals into the plan). Inner and
     * left-outer joins only: each left row owns exactly ONE salt, so it
     * matches exactly the right rows the plain join would give it and no
-    * output dedup is needed. Complements AQE's skew-split, which
+    * output dedup is needed. right/full outer are REFUSED by
+    * construction (r12, verdict #7): a replicated right row sits in
+    * every salt bucket, and each replica that finds no left partner in
+    * ITS bucket would emit a null-extended output — up to saltFactor
+    * spurious rows per right key unless the join tracked per-original-row
+    * match state and deduped, which is precisely the machinery this
+    * recipe exists to avoid. For right-side-preserving semantics under
+    * LEFT-side hotness, swap the sides (`saltedJoin(right, left, …,
+    * "left")`); for hot RIGHT keys, the defense must salt the right side —
+    * mirror the call. Complements AQE's skew-split, which
     * rebalances partition SIZES after the fact but cannot spread one
     * gigantic key's matches across reducers when the right side must
     * co-locate. Row-identical to the plain join (property-tested under
@@ -121,7 +130,12 @@ object Salting {
       "saltedJoin: leftKeys/rightKeys must pair up")
     require(saltFactor >= 1, "saltFactor >= 1")
     require(joinType == "inner" || joinType == "left" ||
-      joinType == "left_outer", s"saltedJoin: unsupported joinType '$joinType'")
+      joinType == "left_outer",
+      s"saltedJoin: unsupported joinType '$joinType' — only inner/left are " +
+        "salt-safe (each left row owns ONE salt, so no output dedup is " +
+        "needed); right/full would emit up to saltFactor null-extended " +
+        "rows per unmatched right key (one per replica). Swap the sides " +
+        "and use 'left' for right-preserving semantics")
     val reserved = Seq("__salt", "__hot", "__rh")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       "saltedJoin: __salt/__hot/__rh are reserved column names")

@@ -402,6 +402,73 @@ object StreamingValidation {
         col("c.psi_contrib").as("psi_contrib"), col("psi_total"))
   }
 
+  /** Streaming Wasserstein-1 drift (r12, verdict #6): W1 of a value column
+    * per EVENT-TIME window against a fixed reference profile
+    * ([[graft.ext.Drift.referenceNumericProfile]]) — the continuous
+    * counterpart of the batch [[graft.ext.Drift.wasserstein1]] monitor,
+    * completing the drift trio (PSI = per-bin log-ratio divergence, KS =
+    * max CDF gap, W1 = CDF gap integrated over the value axis, read in the
+    * column's own units). Same left-endpoint grid integral as the batch
+    * form: W1 ≈ Σ_b |refCum_b − curCum_b| · (e_{b+1} − e_b), mass beyond
+    * the reference's outer quantiles ignored (raise `bins` for finer
+    * resolution).
+    *
+    * Same streaming-safe shape as [[windowedPsi]]: the ONLY stateful
+    * operator is one `groupBy(window)` carrying the bin counters as
+    * conditional sums (state = one short row per open window, bounded by
+    * the watermark); the cumulative fractions, gaps, and the per-window
+    * integral are pure row-local expressions over those counters — the
+    * cross-bin cumsum is unrolled over the bounded `bins` cells, never a
+    * window function — and the reference cums/edge widths ride as
+    * literals. Identical plan in batch mode (the correctness oracle) and
+    * streaming mode (StreamingSpec replays it). */
+  def windowedWasserstein1(events: DataFrame, tsCol: String, valueCol: String,
+      refEdges: Seq[Double], refFracs: Seq[Double],
+      windowDur: String = "1 hour", watermark: Option[String] = None): DataFrame = {
+    val bins = refEdges.length + 1
+    require(bins >= 3, s"bins >= 3, got $bins")
+    require(refFracs.length == bins,
+      "refFracs must have one entry per bin (edges + 1)")
+    val withTs = events.withColumn("__ets",
+      graft.functions.EventTime.eventTime(events, tsCol))
+    val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
+    val bin = refEdges.foldLeft(lit(0))((acc, e) =>
+      acc + when(col(valueCol) > e, 1).otherwise(0))
+    val counts = (0 until bins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"__n$i"))
+    val agged = wm.filter(col(valueCol).isNotNull)
+      .groupBy(window(col("__ets"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until bins).map(i => col(s"__n$i")).reduce(_ + _)
+    val refCum = refFracs.scanLeft(0.0)(_ + _).tail // inclusive, driver-side
+    // cum at bin b is F(e_{b+1}) integrated over [e_{b+1}, e_{b+2}] — the
+    // batch wasserstein1's width convention, zero width for the two
+    // right-edge bins
+    val widths = (0 until bins).map(b =>
+      if (b <= bins - 3) refEdges(b + 1) - refEdges(b) else 0.0)
+    val cells = array((0 until bins).map { b =>
+      val curCum = (0 to b).map(i => col(s"__n$i")).reduce(_ + _)
+        .cast("double") / total.cast("double")
+      val gap = round(abs(lit(refCum(b)) - curCum), 6)
+      struct(lit(b).as("bin"),
+        round(lit(refCum(b)), 6).as("ref_cum"),
+        round(curCum, 6).as("cur_cum"),
+        gap.as("gap"),
+        round(lit(widths(b)), 6).as("width"),
+        round(gap * lit(widths(b)), 6).as("w1_contrib"))
+    }: _*)
+    agged
+      .withColumn("__cells", cells)
+      .withColumn("w1_stat", round(aggregate(col("__cells"), lit(0.0),
+        (a, c) => a + c.getField("w1_contrib")), 4))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        explode(col("__cells")).as("c"), col("w1_stat"))
+      .select(col("window_start"), col("c.bin").as("bin"),
+        col("c.ref_cum").as("ref_cum"), col("c.cur_cum").as("cur_cum"),
+        col("c.gap").as("gap"), col("c.width").as("width"),
+        col("c.w1_contrib").as("w1_contrib"), col("w1_stat"))
+  }
+
   /** Streaming heavy hitters per event-time window — the trending-items
     * monitor ([[graft.ext.HeavyHitters.frequentItemsByWindow]]'s
     * streaming sibling). One stateful windowed aggregation carries a

@@ -225,6 +225,15 @@ class ExtPropertySpec extends SparkSpec {
       Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
         saltFactor = 4, hotKeyThreshold = 0, maxHotKeys = 3))
     assert(e.getMessage.contains("hot keys"))
+    // r12 (verdict #7): right/full outer are refused LOUDLY with the why
+    // (replicated right rows would emit spurious null-extended outputs)
+    // and the workaround (swap the sides, use 'left')
+    for (jt <- Seq("right", "full", "full_outer", "right_outer")) {
+      val ej = intercept[IllegalArgumentException](
+        Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"), joinType = jt))
+      assert(ej.getMessage.contains("null-extended") &&
+        ej.getMessage.contains("Swap the sides"), s"$jt: ${ej.getMessage}")
+    }
   }
 
   test("property: salted join spreads a hot key of byte-identical rows") {

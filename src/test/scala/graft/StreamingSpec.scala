@@ -207,6 +207,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Wasserstein-1 matches between batch mode and streaming mode (r12)") {
+    // the drift trio's third face: same one-stateful-agg shape as
+    // windowedPsi — bin counters in the windowed aggregate, the cross-bin
+    // cumsum unrolled row-locally over the bounded cells
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val (edges, fracs) =
+      graft.ext.Drift.referenceNumericProfile(events, "value", bins = 5)
+    val batch = StreamingValidation.windowedWasserstein1(events, "ts", "value",
+      edges, fracs, windowDur = "1 hour", watermark = None)
+    assert(batch.count() > 0)
+    assert(batch.groupBy("window_start").count()
+      .filter(org.apache.spark.sql.functions.col("count") =!= 5).count() == 0)
+    // w1_stat is finite and in value units (bounded by the edge span)
+    val span = edges.last - edges.head
+    assert(batch.select("w1_stat").collect()
+      .forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= span))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val rows = events.select(
+        (graft.functions.EventTime.eventMicros(events, "ts") * 1000L).as("ts"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val q = StreamingValidation.windowedWasserstein1(stream, "ts", "value",
+      edges, fracs, windowDur = "1 hour", watermark = Some("2 hours"))
+      .writeStream.outputMode("complete").format("memory").queryName("ww1").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      def fmt(r: org.apache.spark.sql.Row) =
+        (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+      val streamed = spark.sql("SELECT * FROM ww1").collect().map(fmt).sorted
+      val batched = batch.collect().map(fmt).sorted
+      assert(streamed.sameElements(batched))
+    } finally q.stop()
+  }
+
   test("windowed categorical PSI matches between batch mode and streaming mode") {
     // r8 (r7 verdict #6): the categorical sibling of windowedPsi — top-K
     // cells + __other__ as conditional-sum counters in ONE stateful agg
