@@ -3545,11 +3545,10 @@ object SparkEntry {
         "grid AS (SELECT w.window_start, b.bin FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN bingrid b), " +
         "cum AS (SELECT g.window_start, g.bin, sum(coalesce(cc.n, 0)) OVER (PARTITION BY g.window_start ORDER BY g.bin)::DOUBLE / tt.t AS cur_cum " +
         "FROM grid g LEFT JOIN curc cc ON cc.window_start = g.window_start AND cc.bin = g.bin JOIN tot tt ON tt.window_start = g.window_start), " +
-        "k AS (SELECT c.window_start, c.bin, r.ref_cum, c.cur_cum, round(abs(r.ref_cum - c.cur_cum), 6) AS gap, w.width FROM cum c JOIN refcum r ON r.bin = c.bin JOIN widths w ON w.bin = c.bin), " +
-        "k2 AS (SELECT window_start, bin, ref_cum, cur_cum, gap, width, round(gap * width, 6) AS w1_contrib FROM k), " +
-        "wtot AS (SELECT window_start, round(sum(w1_contrib), 4) AS w1_stat FROM k2 GROUP BY 1) " +
-        "SELECT k2.window_start, k2.bin, round(k2.ref_cum, 6) AS ref_cum, round(k2.cur_cum, 6) AS cur_cum, k2.gap, round(k2.width, 6) AS width, k2.w1_contrib, wtot.w1_stat " +
-        "FROM k2 JOIN wtot USING (window_start) ORDER BY window_start, bin"),
+        "k AS (SELECT c.window_start, c.bin, r.ref_cum, c.cur_cum, abs(r.ref_cum - c.cur_cum) AS gap, w.width FROM cum c JOIN refcum r ON r.bin = c.bin JOIN widths w ON w.bin = c.bin), " +
+        "wtot AS (SELECT window_start, round(sum(gap * width), 4) AS w1_stat FROM k GROUP BY 1) " +
+        "SELECT k.window_start, k.bin, round(k.ref_cum, 6) AS ref_cum, round(k.cur_cum, 6) AS cur_cum, round(k.gap, 6) AS gap, round(k.width, 6) AS width, round(k.gap * k.width, 6) AS w1_contrib, wtot.w1_stat " +
+        "FROM k JOIN wtot USING (window_start) ORDER BY window_start, bin"),
     "drift_psi_cat_windowed" ->
       ("WITH cat AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, coalesce(CAST(event_type AS VARCHAR), '__null__') AS cell FROM events), " +
         "tot0 AS (SELECT count(*) AS t FROM cat), " +

@@ -141,10 +141,12 @@ object AnnStore {
     * g0 first and deleted only AFTER the manifest write, so its presence
     * always marks an incomplete adoption). Resume contract per cell
     * (renames are atomic on POSIX/HDFS; object-store connectors
-    * copy-then-delete, removing the source last): if the source cell
-    * still exists, it is authoritative and any same-named destination is
-    * a partial copy to clear. Run under the single-writer contract (no
-    * appends in flight). */
+    * copy-then-delete): when both a source cell and a same-named g0
+    * child exist the trees are COMPARED — a destination containing every
+    * source file at the same length is the complete copy (the crash was
+    * mid-delete; the source remnant is dropped), anything less is a
+    * partial copy cleared before the rename retries. Run under the
+    * single-writer contract (no appends in flight). */
   def adoptLegacyCodes(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val v = currentVersion(spark, path)
@@ -194,26 +196,33 @@ object AnnStore {
     // codes/ and are handled by the direct-move loop below — which also
     // reclaims the opposite race (cell both in codes/ and partially in
     // staging: the codes/ copy is authoritative, staged partial loses).
+    // Resume rule when BOTH a source cell and a same-named g0 child
+    // exist: presence alone cannot distinguish a crash mid-COPY (dst
+    // partial, src complete) from one mid-DELETE (dst complete, src a
+    // partially-deleted remnant) — clobbering dst unconditionally would
+    // silently lose codes in the second case. Compare the trees: if dst
+    // contains every file of src at the same length, dst is the complete
+    // copy and src is the remnant to drop; otherwise dst is the partial
+    // copy to clear before renaming. (Object-store copies are atomic per
+    // object, so a same-length dst file IS the copied file.)
+    def moveIn(src: Path, dst: Path, what: String): Unit = {
+      if (f.exists(dst)) {
+        if (dstCoversSrc(f, src, dst)) { f.delete(src, true); return }
+        f.delete(dst, true): Unit
+      }
+      require(f.rename(src, dst), s"adopt: $what ${src.getName} failed")
+    }
     if (f.exists(staging)) {
       f.listStatus(staging).foreach { st =>
-        val dst = new Path(g0, st.getPath.getName)
-        if (f.exists(dst)) f.delete(dst, true)
-        require(f.rename(st.getPath, dst),
-          s"adopt: staging merge of ${st.getPath.getName} failed")
+        moveIn(st.getPath, new Path(g0, st.getPath.getName), "staging merge of")
       }
     }
     f.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
-      if (nm != "g0" && !nm.startsWith(".")) {
-        // one rename per cell, straight into g0. On a resume, a
-        // same-named g0 child is a PARTIAL copy from a crashed rename
-        // (copy-then-delete connectors remove the source last, so the
-        // still-present source is authoritative); clear it — a rename
-        // into an existing directory would NEST the source
-        val dst = new Path(g0, nm)
-        if (f.exists(dst)) f.delete(dst, true)
-        require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-      }
+      // one rename per cell, straight into g0 (a rename into an existing
+      // directory would NEST the source — moveIn clears or skips first)
+      if (nm != "g0" && !nm.startsWith("."))
+        moveIn(st.getPath, new Path(g0, nm), "rename")
     }
     // legacy idempotence markers → manifest marks (max batch id per tag)
     val marks =
@@ -233,6 +242,29 @@ object AnnStore {
     // marks an adoption whose manifest was never written
     f.delete(staging, true)
     f.delete(batches, true)
+    true
+  }
+
+  /** True when every file under `src` also exists under `dst` at the
+    * same relative path and length — i.e. `dst` holds a COMPLETE copy of
+    * `src` (possibly more) and `src` is safe to drop as the remnant of a
+    * crashed post-copy delete. A file `src` compares directly against a
+    * file `dst`. */
+  private def dstCoversSrc(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val srcSt = f.getFileStatus(src)
+    if (srcSt.isFile)
+      return f.exists(dst) && f.getFileStatus(dst).isFile &&
+        f.getFileStatus(dst).getLen == srcSt.getLen
+    val srcUri = src.toUri
+    val it = f.listFiles(src, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = srcUri.relativize(s.getPath.toUri).getPath
+      val d = new org.apache.hadoop.fs.Path(dst, rel)
+      if (!f.exists(d) || f.getFileStatus(d).getLen != s.getLen) return false
+    }
     true
   }
 

@@ -181,7 +181,7 @@ object Similarity {
   /** Corpus-sized IVF cell count (r12, verdict #2): the largest power of
     * two at or below √N, clamped to [4, 65536] — the FAISS √N guidance
     * snapped to powers of two so nearby corpus sizes train identical
-    * quantizers (500 → 16, 2 000 → 32, 50 000 → 128, 10⁹ → 32 768).
+    * quantizers (500 → 16, 2 000 → 32, 50 000 → 128, 10⁹ → 16 384).
     * Static cell counts are exactly the trap the in-store recall probe
     * exists to catch: cells sized for one corpus density over- or
     * under-quantize at 10× — pass `nCentroids = 0` to the trainers to

@@ -449,18 +449,22 @@ object StreamingValidation {
     val cells = array((0 until bins).map { b =>
       val curCum = (0 to b).map(i => col(s"__n$i")).reduce(_ + _)
         .cast("double") / total.cast("double")
-      val gap = round(abs(lit(refCum(b)) - curCum), 6)
+      // the integral sums RAW gap·width (the batch wasserstein1's
+      // convention — rounding per bin before summing would drift the
+      // statistic on large-unit columns); gap/contrib round for DISPLAY
+      val gapRaw = abs(lit(refCum(b)) - curCum)
       struct(lit(b).as("bin"),
         round(lit(refCum(b)), 6).as("ref_cum"),
         round(curCum, 6).as("cur_cum"),
-        gap.as("gap"),
+        round(gapRaw, 6).as("gap"),
         round(lit(widths(b)), 6).as("width"),
-        round(gap * lit(widths(b)), 6).as("w1_contrib"))
+        round(gapRaw * lit(widths(b)), 6).as("w1_contrib"),
+        (gapRaw * lit(widths(b))).as("__craw"))
     }: _*)
     agged
       .withColumn("__cells", cells)
       .withColumn("w1_stat", round(aggregate(col("__cells"), lit(0.0),
-        (a, c) => a + c.getField("w1_contrib")), 4))
+        (a, c) => a + c.getField("__craw")), 4))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         explode(col("__cells")).as("c"), col("w1_stat"))
       .select(col("window_start"), col("c.bin").as("bin"),

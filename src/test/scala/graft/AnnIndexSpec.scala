@@ -466,11 +466,21 @@ class AnnIndexSpec extends SparkSpec {
     }
     val staged = Files.list(staging).toArray.map(_.asInstanceOf[JPath])
       .filter(_.getFileName.toString.startsWith("cell="))
+    assert(staged.length > 2, "need >2 staged cells for both crash shapes")
     copyTree(staged(0), g0.resolve(staged(0).getFileName))
     copyTree(staged(1), g0.resolve(staged(1).getFileName))
     val partial = Files.list(g0.resolve(staged(1).getFileName)).toArray
       .map(_.asInstanceOf[JPath]).filter(_.toString.endsWith(".parquet"))
     partial.foreach(Files.delete) // the mid-copy hole
+    // …and the OPPOSITE crash shape (review finding): cell 2's copy
+    // COMPLETED and the crash hit the source delete — g0 holds the
+    // complete copy, staging a partially-deleted remnant. The resume
+    // must keep the complete g0 copy, not clobber it with the remnant.
+    copyTree(staged(2), g0.resolve(staged(2).getFileName))
+    val remnant = Files.list(staged(2)).toArray
+      .map(_.asInstanceOf[JPath]).filter(_.toString.endsWith(".parquet"))
+    assert(remnant.nonEmpty)
+    Files.delete(remnant(0)) // the mid-delete hole, in STAGING this time
     // adoption must recover every staged cell, not trust the partial g0
     assert(AnnStore.adoptLegacyCodes(spark, tmp))
     assert(AnnStore.codes(spark, tmp).count() == base.count())

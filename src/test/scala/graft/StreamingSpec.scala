@@ -223,6 +223,20 @@ class StreamingSpec extends SparkSpec {
     val span = edges.last - edges.head
     assert(batch.select("w1_stat").collect()
       .forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= span))
+    // review finding (r12): the windowed form must agree EXACTLY with the
+    // batch Drift.wasserstein1 it is the counterpart of — same raw-sum
+    // integral, rounded once at the end. Check one window's slice.
+    import org.apache.spark.sql.functions.{col, date_format, date_trunc}
+    val ws0 = batch.select("window_start").head().getString(0)
+    val sliced = events.filter(date_format(date_trunc("hour",
+      graft.functions.EventTime.eventTime(events, "ts")),
+      "yyyy-MM-dd HH:mm:ss") === ws0)
+    val batchStat = graft.ext.Drift.wasserstein1(events, sliced, "value",
+      bins = 5).select("w1_stat").head().getDouble(0)
+    val windowedStat = batch.filter(col("window_start") === ws0)
+      .select("w1_stat").head().getDouble(0)
+    assert(windowedStat == batchStat,
+      s"windowed $windowedStat != batch $batchStat for window $ws0")
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
