@@ -7,7 +7,14 @@ for f in glob.glob(f'{sfdir}/*.parquet'):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 fails = []
+skipped = 0
 for name, sql in sorted(oracle.items()):
+    # subset runs write only the requested queries' dirs; don't execute
+    # the (possibly expensive) oracle SQL for outputs that were never
+    # dumped - a FULL run still checks everything (all dirs exist)
+    if not os.path.isdir(f'{outdir}/{name}'):
+        skipped += 1
+        continue
     try:
         odf = con.execute(sql).fetchdf()
         sdf = duckdb.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
@@ -24,4 +31,6 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fails.append((name, f"EXC {e}"))
 for n, m in fails: print(f"FAIL  {n}: {m}")
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} match")
+checked = len(oracle) - skipped
+note = f" ({skipped} not dumped, skipped)" if skipped else ""
+print(f"\n{checked-len(fails)}/{checked} match{note}")
