@@ -846,7 +846,7 @@ object SparkEntry {
     }),
     "dedup_fp_store" -> ((s, d) => {
       // round-8: persisted fingerprint store — corpus reduces once to
-      // (fps parquet + bloom.bin + meta); batch 2 APPENDS its novel
+      // (fps generations + bloom.bin + manifest); batch 2 APPENDS its novel
       // fingerprints; batch 3 scrubs against the store WITHOUT reading any
       // corpus text and must drop batch-1 AND batch-2 content. The oracle
       // recomputes membership as plain normalized-text NOT IN over the
@@ -873,7 +873,7 @@ object SparkEntry {
       // round-9: fingerprint-store compaction — same store construction,
       // crawl batch and oracle as dedup_fp_store, with compact() between
       // the append and the scrub: fps files collapse to size-targeted
-      // ones and the Bloom filter rebuilds at the meta geometry.
+      // ones and the Bloom filter rebuilds at the manifest geometry.
       // Membership is untouched (the oracle pins it); the in-gate require
       // pins the file collapse.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -883,9 +883,9 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" graft fp-store tail")).as("text"))
       ext.FingerprintStore.append(batch2, "text", dir)
-      val filesBefore = ext.StoreFiles.dataFileCount(s, s"$dir/fps")
+      val filesBefore = ext.FingerprintStore.liveFileCount(s, dir)
       ext.FingerprintStore.compact(s, dir)
-      require(ext.StoreFiles.dataFileCount(s, s"$dir/fps") < filesBefore,
+      require(ext.FingerprintStore.liveFileCount(s, dir) < filesBefore,
         "fps compaction did not collapse files")
       val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
@@ -1296,11 +1296,12 @@ object SparkEntry {
         ext.SketchStore.append(ext.SketchStore.distinctSketch(
           ev.filter(pmod(col("event_id"), lit(5)) === b), Seq("event_type"),
           "user_id"), dir, s"batch_$b")
-      val rowsBefore = s.read.parquet(dir).count()
-      val filesBefore = ext.StoreFiles.dataFileCount(s, dir)
+      val rowsBefore = ext.SketchStore.rows(s, dir).count()
+      val filesBefore = ext.SketchStore.liveFileCount(s, dir)
       ext.SketchStore.compact(s, dir)
-      val nKeys = s.read.parquet(dir).count()
-      require(nKeys < rowsBefore && ext.StoreFiles.dataFileCount(s, dir) < filesBefore,
+      val nKeys = ext.SketchStore.rows(s, dir).count()
+      require(nKeys < rowsBefore &&
+          ext.SketchStore.liveFileCount(s, dir) < filesBefore,
         s"sketch compaction did not collapse: $rowsBefore rows/$filesBefore files")
       ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
     }),

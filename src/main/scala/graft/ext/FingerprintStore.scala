@@ -9,84 +9,174 @@ import org.apache.spark.util.sketch.BloomFilter
   * [[Dedup.corpusFingerprintBloom]]'s "persist with writeTo between runs"
   * contract. The corpus reduces ONCE to
   *
-  *   - `fps/`       parquet of distinct 64-bit normalized-text
-  *                  fingerprints (the exact membership set — 8 bytes/doc,
-  *                  ~0.1% of corpus text bytes),
-  *   - `bloom.bin`  a Bloom filter over those fingerprints
-  *                  (`BloomFilter.writeTo`), the cheap prefilter,
-  *   - `meta.json`  the filter's (expectedItems, fpp) so appended
-  *                  increments build BIT-COMPATIBLE filters for
-  *                  `mergeInPlace`.
+  *   - `manifest.json` the store's single source of truth: filter geometry
+  *                     (expectedItems, fpp), committed fps GENERATIONS,
+  *                     per-stream high-water marks, cooling ledger —
+  *                     replaced atomically, so every crash window leaves a
+  *                     servable store (r12: unified on the BM25/ANN
+  *                     manifest mechanics, replacing the v1 swap layout),
+  *   - `fps/<gen>/`    parquet of distinct 64-bit normalized-text
+  *                     fingerprints (the exact membership set — 8
+  *                     bytes/doc, ~0.1% of corpus text bytes), one
+  *                     generation per build/append/compaction,
+  *   - `bloom.bin`     a Bloom filter over those fingerprints
+  *                     (`BloomFilter.writeTo`, atomic tmp+rename), the
+  *                     cheap prefilter.
   *
   * Every later crawl batch scrubs against the store without reading any
   * corpus text: the loaded filter drops almost everything new executor-
   * side, the few candidate fingerprints join the stored fps parquet for
   * EXACT confirmation (Bloom false positives cannot drop a fresh doc),
-  * and the confirmed set anti-joins the batch. Append-only growth:
-  * increments add fps files and OR into the filter — nothing rewrites
-  * except the (MB-sized) filter binary. */
+  * and the confirmed set anti-joins the batch.
+  *
+  * Visibility contract (why the manifest is strictly stronger than the
+  * v1 bloom-first write order): an append writes its generation dir
+  * (invisible — no manifest lists it), then the merged filter, then ONE
+  * atomic manifest replace publishes the generation. Crash after the gen
+  * write → orphan dir, GC'd by the next compact; crash after the bloom
+  * write → superset filter (extra candidates confirm against committed
+  * fps and are kept — correct); there is NO window where a committed
+  * fingerprint is missing from the filter, which is the invariant the
+  * bloom-miss short-circuit in [[scrub]] relies on. Streaming ingest gets
+  * the same per-tag high-water marks as the BM25/ANN stores, so
+  * foreachBatch's at-least-once re-deliveries are exactly-once. */
 object FingerprintStore {
 
   private def fp(textCol: String) =
     TextAnalysis.fingerprint64(col("`" + textCol.replace("`", "``") + "`"))
 
-  private def metaPath(path: String) = s"$path/meta.json"
+  private def manifestPath(path: String) = s"$path/manifest.json"
   private def bloomPath(path: String) = s"$path/bloom.bin"
-  private def fpsPath(path: String) = s"$path/fps"
+  private def fpsRoot(path: String) = s"$path/fps"
+  private def genPath(path: String, gen: String) = s"$path/fps/$gen"
 
-  /** Build the store from a corpus: one scan to distinct fingerprints
-    * (written as parquet), one driver-side filter build over that bounded
-    * frame. `expectedItems` sizes the filter for FUTURE growth — size it
-    * for the corpus you expect after appends (default: 4× the current
-    * distinct count). */
-  def build(corpus: DataFrame, textCol: String, path: String,
-      expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
-    val fps = corpus.select(fp(textCol).as("fp")).distinct()
-    fps.write.mode("errorifexists").parquet(fpsPath(path))
-    val spark = corpus.sparkSession
-    val stored = spark.read.parquet(fpsPath(path))
-    val n = stored.count()
-    val items = if (expectedItems > 0) expectedItems else math.max(4L * n, 1024L)
-    val bloom = stored.stat.bloomFilter("fp", items, fpp)
-    writeBloom(bloom, path)
-    val meta = s"""{"format": "graft-fingerprint-store", "version": 1, """ +
-      s""""expected_items": $items, "fpp": $fpp}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath(path)),
-      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private case class FpManifest(expectedItems: Long, fpp: Double,
+      gens: Seq[String], marks: Map[String, Long],
+      cooling: Map[String, Long])
+
+  private def readManifest(spark: SparkSession, path: String): FpManifest = {
+    val f = StoreFiles.fs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
+    if (!f.exists(mp) &&
+        f.exists(new org.apache.hadoop.fs.Path(s"$path/meta.json")))
+      throw new IllegalArgumentException(
+        s"fingerprint store at $path predates the manifest layout — " +
+          "run FingerprintStore.adoptLegacy to upgrade in place")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, manifestPath(path)),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-fingerprint-store",
+      s"not a fingerprint store at $path")
+    import scala.jdk.CollectionConverters._
+    FpManifest(
+      root.get("expected_items").asInstanceOf[Number].longValue(),
+      root.get("fpp").asInstanceOf[Number].doubleValue(),
+      root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(String.valueOf),
+      StoreFiles.jsonLongMap(root.get("marks")),
+      StoreFiles.jsonLongMap(root.get("cooling")))
   }
 
-  /** Append a batch: its NEW distinct fingerprints land as additional fps
-    * files, and a bit-compatible increment filter ORs into the stored one. */
-  def append(batch: DataFrame, textCol: String, path: String): Unit = {
+  private def writeManifest(spark: SparkSession, path: String,
+      m: FpManifest): Unit =
+    StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
+      s"""{"format":"graft-fingerprint-store","version":2,""" +
+        s""""expected_items":${m.expectedItems},"fpp":${m.fpp},""" +
+        s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
+        s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+
+  /** The live membership set: the union of the committed generations. */
+  private def fpsDf(spark: SparkSession, path: String,
+      m: FpManifest): DataFrame = {
+    require(m.gens.nonEmpty, s"fingerprint store at $path has no fps")
+    m.gens.map(g => spark.read.parquet(genPath(path, g)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Build the store from a corpus: one scan to distinct fingerprints
+    * (written as generation g0), one driver-side filter build over that
+    * bounded frame, one manifest publish. `expectedItems` sizes the
+    * filter for FUTURE growth — size it for the corpus you expect after
+    * appends (default: 4× the current distinct count). */
+  def build(corpus: DataFrame, textCol: String, path: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
+    val spark = corpus.sparkSession
+    require(!StoreFiles.fs(spark, path)
+        .exists(new org.apache.hadoop.fs.Path(manifestPath(path))),
+      s"fingerprint store already exists at $path")
+    val fps = corpus.select(fp(textCol).as("fp")).distinct()
+    fps.write.mode("errorifexists").parquet(genPath(path, "g0"))
+    val stored = spark.read.parquet(genPath(path, "g0"))
+    val n = stored.count()
+    val items = if (expectedItems > 0) expectedItems else math.max(4L * n, 1024L)
+    writeBloomAtomic(spark, stored.stat.bloomFilter("fp", items, fpp), path)
+    writeManifest(spark, path,
+      FpManifest(items, fpp, Seq("g0"), Map.empty, Map.empty))
+  }
+
+  /** Append a batch: its NEW distinct fingerprints land as one committed
+    * generation, a bit-compatible increment filter ORs into the stored
+    * one (identical geometry from the manifest — O(increment) + the
+    * filter bits, NOT a rescan of the whole fps table per crawl; past
+    * `build`'s sizing the fpp degrades gracefully, correctness never
+    * depends on the filter), and one atomic manifest replace publishes
+    * files + filter together. */
+  def append(batch: DataFrame, textCol: String, path: String): Unit =
+    commitGen(batch, textCol, path, None): Unit
+
+  /** The streaming twin of [[append]] (the BM25/ANN store shape):
+    * `(streamTag, batchId)` names the generation `<tag>-b<id>` and the
+    * manifest's per-tag high-water mark makes foreachBatch's
+    * at-least-once re-deliveries exactly-once — a batch at or below the
+    * mark no-ops (returns false) even if its generation was since
+    * compacted away. The tag must be 1:1 with the stream's CHECKPOINT. */
+  def appendBatch(batch: DataFrame, textCol: String, path: String,
+      streamTag: String, batchId: Long): Boolean = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitGen(batch, textCol, path, Some((streamTag, batchId)))
+  }
+
+  private def commitGen(batch: DataFrame, textCol: String, path: String,
+      stream: Option[(String, Long)]): Boolean = {
     val spark = batch.sparkSession
-    val (items, fpp) = readMeta(path)
-    val stored = spark.read.parquet(fpsPath(path))
+    val m0 = readManifest(spark, path)
+    val gen = stream match {
+      case Some((tag, id)) =>
+        // replayed batch at/below the committed high-water mark → no-op
+        if (m0.marks.get(tag).exists(id <= _)) return false
+        s"$tag-b$id"
+      case None => StoreFiles.nextGenName(spark, Seq(fpsRoot(path)), m0.gens)
+    }
     val fresh = batch.select(fp(textCol).as("fp")).distinct()
-      .join(stored, Seq("fp"), "left_anti")
-      .persist()
-    try {
-      if (!fresh.isEmpty) {
-        // increment-only filter with the META's (items, fpp) — identical
-        // bit geometry, so mergeInPlace is a bitwise OR. Cost:
-        // O(increment) + the filter bits, NOT a rescan of the whole fps
-        // table per crawl. This is why `build` sizes expectedItems for
-        // future growth: past that capacity the fpp degrades (more
-        // candidates confirm against the fps parquet — correctness never
-        // depends on the filter), and a re-`build` re-sizes it.
-        // Built BEFORE the parquet append: writing to fps/ refreshes
-        // Spark's caches for that path, which would re-plan the anti-join
-        // against the just-appended files and evaluate `fresh` as empty.
-        val inc = fresh.stat.bloomFilter("fp", items, fpp)
-        // bloom FIRST, fps second: a crash in between leaves a SUPERSET
-        // filter (extra candidates confirm against fps and are kept —
-        // correct). The reverse order would leave fps rows the filter
-        // misses, and a bloom miss short-circuits the exact confirm, so
-        // those duplicates would silently re-enter on every future crawl.
-        val merged = loadBloom(path).mergeInPlace(inc)
-        writeBloom(merged, path)
-        fresh.write.mode("append").parquet(fpsPath(path))
-      }
-    } finally fresh.unpersist()
+      .join(fpsDf(spark, path, m0), Seq("fp"), "left_anti")
+    // overwrite, not errorifexists: the target is either fresh or an
+    // ORPHAN from a crashed attempt at this same generation (the manifest
+    // never listed it) — the retry reclaims it
+    fresh.write.mode("overwrite").parquet(genPath(path, gen))
+    // row-presence, not file-presence: an all-duplicates batch writes a
+    // schema-only empty part file that must not commit as a generation
+    val wrote =
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
+        !spark.read.parquet(genPath(path, gen)).isEmpty
+    // an EMPTY increment still advances the stream mark (else its
+    // re-delivery would retry forever) but commits no generation
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
+    if (!wrote) {
+      StoreFiles.fs(spark, path).delete(
+        new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+      if (marks ne m0.marks) writeManifest(spark, path, m0.copy(marks = marks))
+      return false
+    }
+    // bloom BEFORE manifest: a crash between leaves a superset filter
+    // (correct); the gen dir itself is invisible until the manifest flip
+    val inc = spark.read.parquet(genPath(path, gen))
+      .stat.bloomFilter("fp", m0.expectedItems, m0.fpp)
+    writeBloomAtomic(spark, loadBloom(spark, path).mergeInPlace(inc), path)
+    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen, marks = marks))
+    true
   }
 
   /** Scrub a batch against the store: drop every row whose normalized
@@ -95,8 +185,8 @@ object FingerprintStore {
     * stored fingerprints (batch-bounded broadcast both ways). */
   def scrub(incoming: DataFrame, textCol: String, path: String): DataFrame = {
     val spark = incoming.sparkSession
-    val bloom = loadBloom(path)
-    val bc = spark.sparkContext.broadcast(bloom)
+    val m = readManifest(spark, path)
+    val bc = spark.sparkContext.broadcast(loadBloom(spark, path))
     val fpIn = fp(textCol)
     // native codegen'd probe (r9): the prefilter sits on the full-width
     // ingest scan, so a ScalaUDF here would break whole-stage codegen on
@@ -106,7 +196,7 @@ object FingerprintStore {
       .select(fpIn.as("fp")).distinct()
     // qualified column, not a bare col("fp"): an incoming frame with its
     // own `fp` column would otherwise make the condition ambiguous
-    val confirmed = spark.read.parquet(fpsPath(path))
+    val confirmed = fpsDf(spark, path, m)
       .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
     incoming.join(broadcast(confirmed), fpIn === confirmed("fp"), "left_anti")
   }
@@ -121,13 +211,14 @@ object FingerprintStore {
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = stream.sparkSession
-    val bc = spark.sparkContext.broadcast(loadBloom(path))
+    val m = readManifest(spark, path)
+    val bc = spark.sparkContext.broadcast(loadBloom(spark, path))
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val fpIn = fp(textCol)
       val maybe = batch
         .filter(graft.functions.BloomMightContain(bc, fpIn))
         .select(fpIn.as("fp")).distinct()
-      val confirmed = spark.read.parquet(fpsPath(path))
+      val confirmed = fpsDf(spark, path, m)
         .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
       sink(batch.join(broadcast(confirmed), fpIn === confirmed("fp"),
         "left_anti"), id)
@@ -157,69 +248,127 @@ object FingerprintStore {
     spark.read.parquet(outDir)
   }
 
-  /** Compact the store after N appends: rewrite the accumulated fps files
-    * into `targetFiles` size-targeted ones (default ~128 MB each) and
-    * rebuild the Bloom filter from the compacted set — membership is
+  /** Data files the CURRENT manifest lists — the store's live footprint
+    * (compaction gates assert on this; raw directory walks also see
+    * crash orphans and still-cooling superseded generations). */
+  def liveFileCount(spark: SparkSession, path: String): Long = {
+    val m = readManifest(spark, path)
+    m.gens.map(g =>
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, g)).toLong).sum
+  }
+
+  /** Compact the store after N appends: the accumulated generations
+    * rewrite into ONE size-targeted generation (default ~128 MB files)
+    * and the Bloom filter rebuilds from the compacted set — membership is
     * UNCHANGED (compaction gate asserts scrub hash-identity), only the
     * file count collapses. Optional `expectedItems`/`fpp` re-size the
     * filter geometry (the escape from a saturating filter after growth
-    * past `build`'s sizing); 0 keeps the meta's geometry.
-    *
-    * Crash windows, in order: before the fps swap → store untouched;
-    * after the swap, before the bloom write → OLD filter over the SAME
-    * membership (superset-or-equal bits — extra candidates confirm
-    * against fps, correct); after the bloom write, before the meta write
-    * (re-size only) → filter geometry differs from meta, so the next
-    * append's `mergeInPlace` fails LOUDLY (incompatible merge) rather
-    * than corrupting — re-run compact to heal. */
+    * past `build`'s sizing); 0 keeps the manifest's geometry — the
+    * geometry lands in the SAME manifest flip as the generation list, so
+    * there is no separate meta crash window (a crash between the bloom
+    * write and the flip leaves a new-geometry filter under an
+    * old-geometry manifest; the next append's `mergeInPlace` then fails
+    * LOUDLY rather than corrupting — re-run compact to heal). Publishes
+    * by the same atomic manifest flip as appends; superseded generations
+    * cool for `graft.fpstore.gcGraceMs` (default 15 min) before the sweep
+    * so lock-free serves survive back-to-back compactions; crash orphans
+    * (never in any manifest) delete immediately. Stream marks survive. */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 0,
       expectedItems: Long = 0L, fpp: Double = 0.0): Unit = {
-    StoreFiles.healDir(spark, fpsPath(path)) // complete a crashed prior swap
-    val (metaItems, metaFpp) = readMeta(path)
-    val nItems = if (expectedItems > 0) expectedItems else metaItems
-    val nFpp = if (fpp > 0) fpp else metaFpp
+    val m0 = readManifest(spark, path)
+    val nItems = if (expectedItems > 0) expectedItems else m0.expectedItems
+    val nFpp = if (fpp > 0) fpp else m0.fpp
+    val liveBytes = m0.gens.map(g =>
+      StoreFiles.dataBytesRecursive(spark, genPath(path, g))).sum
     val nf = if (targetFiles > 0) targetFiles
-      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, fpsPath(path)))
-    val tmp = fpsPath(path) + ".compacting"
+      else StoreFiles.targetFileCount(liveBytes)
+    val gen = StoreFiles.nextGenName(spark, Seq(fpsRoot(path)), m0.gens)
     // distinct is a no-op by the append contract (anti-joined before
     // write) — kept as cheap insurance so a crashed half-append can
     // never make compaction amplify duplicates. repartition, not
     // coalesce: coalesce would fold distinct's reduce side to nf tasks
-    spark.read.parquet(fpsPath(path)).distinct()
-      .repartition(nf).write.mode("overwrite").parquet(tmp)
-    val bloom = spark.read.parquet(tmp).stat.bloomFilter("fp", nItems, nFpp)
-    StoreFiles.swapDir(spark, tmp, fpsPath(path))
-    writeBloom(bloom, path)
-    if (nItems != metaItems || nFpp != metaFpp) {
-      val meta = s"""{"format": "graft-fingerprint-store", "version": 1, """ +
-        s""""expected_items": $nItems, "fpp": $nFpp}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(metaPath(path)),
-        meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    fpsDf(spark, path, m0).distinct()
+      .repartition(nf).write.mode("overwrite").parquet(genPath(path, gen))
+    val bloom = spark.read.parquet(genPath(path, gen))
+      .stat.bloomFilter("fp", nItems, nFpp)
+    writeBloomAtomic(spark, bloom, path)
+    val graceMs = spark.conf.getOption("graft.fpstore.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m0.cooling, m0.gens.toSet,
+      gen, graceMs, System.currentTimeMillis())
+    writeManifest(spark, path, m0.copy(expectedItems = nItems, fpp = nFpp,
+      gens = Seq(gen), cooling = cooling))
+    StoreFiles.sweepGenerations(spark, fpsRoot(path), keep)
   }
 
-  def loadBloom(path: String): BloomFilter = {
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(bloomPath(path)))
+  /** One-time upgrade of a v1 (pre-manifest) store — flat parquet files
+    * under `fps/` + `meta.json` + `bloom.bin` — to the manifest layout: the flat fps
+    * files move under `fps/g0/` (pure renames; a same-named destination
+    * file at the same length is a completed copy whose source remnant is
+    * dropped, mirroring [[AnnStore.adoptLegacyCodes]]'s resume contract),
+    * the meta geometry folds into the manifest, and one manifest write
+    * publishes it. Returns false when the store already has a manifest
+    * (finishing the meta cleanup if a prior run crashed after the
+    * publish). Idempotent; run under the single-writer contract. */
+  def adoptLegacy(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val f = StoreFiles.fs(spark, path)
+    val meta = new Path(s"$path/meta.json")
+    if (f.exists(new Path(manifestPath(path)))) {
+      if (f.exists(meta)) f.delete(meta, false): Unit
+      return false
+    }
+    require(f.exists(meta), s"no fingerprint store (v1 or v2) at $path")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, meta.toString),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-fingerprint-store",
+      s"not a fingerprint store at $path")
+    val items = root.get("expected_items").asInstanceOf[Number].longValue()
+    val legacyFpp = root.get("fpp").asInstanceOf[Number].doubleValue()
+    val rootP = new Path(fpsRoot(path))
+    require(f.exists(rootP), s"fingerprint store at $path has no fps directory")
+    val g0 = new Path(rootP, "g0")
+    f.mkdirs(g0)
+    f.listStatus(rootP).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith(".")) {
+        val dst = new Path(g0, nm)
+        if (f.exists(dst)) {
+          if (f.getFileStatus(dst).getLen == st.getLen) {
+            f.delete(st.getPath, false): Unit
+          } else {
+            f.delete(dst, false)
+            require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+          }
+        } else require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+      }
+    }
+    writeManifest(spark, path,
+      FpManifest(items, legacyFpp, Seq("g0"), Map.empty, Map.empty))
+    f.delete(meta, false)
+    true
+  }
+
+  def loadBloom(spark: SparkSession, path: String): BloomFilter = {
+    val in = StoreFiles.fs(spark, path)
+      .open(new org.apache.hadoop.fs.Path(bloomPath(path)))
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  private def writeBloom(bloom: BloomFilter, path: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    val out = java.nio.file.Files.newOutputStream(
-      java.nio.file.Paths.get(bloomPath(path)))
+  /** Atomic filter replace (tmp + rename): a v1-style in-place truncate
+    * could leave a corrupt half-written binary on a crash mid-write. */
+  private def writeBloomAtomic(spark: SparkSession, bloom: BloomFilter,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(bloomPath(path))
+    val f = dst.getFileSystem(conf)
+    if (dst.getParent != null) f.mkdirs(dst.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      "." + dst.getName + ".tmp")
+    val out = f.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-  }
-
-  private def readMeta(path: String): (Long, Double) = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath(path))),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(s, classOf[java.util.Map[String, Any]])
-    require(String.valueOf(root.get("format")) == "graft-fingerprint-store",
-      s"not a fingerprint store at $path")
-    (root.get("expected_items").asInstanceOf[Number].longValue(),
-      root.get("fpp").asInstanceOf[Number].doubleValue())
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

@@ -70,12 +70,28 @@ object ModelStore {
     }
   }
 
+  // Atomic tmp+move replace (r12): a truncate-in-place write would leave
+  // a corrupt half-document if the process died mid-write over an
+  // existing artifact. A single immutable KB document needs no
+  // generation manifest — the atomic whole-document replace IS its
+  // manifest flip (the same visibility contract the generational stores
+  // get from manifest.json, collapsed to one file).
   private def write(path: String, root: java.util.Map[String, Any]): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
+    val tmp = (if (p.getParent != null) p.getParent else java.nio.file.Paths.get("."))
+      .resolve("." + p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
       jackson.writerWithDefaultPrettyPrinter().writeValueAsString(root)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def read(path: String, format: String): java.util.Map[String, Any] = {

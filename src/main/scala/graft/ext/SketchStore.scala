@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * `hll_union_agg` / `hll_sketch_estimate`, all codegen'd aggregates), so
   * the implementation is pure built-ins and the novelty is the STORE
   * protocol: each ingest batch reduces to one tiny (labels…, sketch)
-  * parquet row, appended to a store directory; any later question
+  * parquet row, committed as one manifest generation; any later question
   * ("distinct users per event type across all crawls so far") is answered
   * by unioning the stored sketches — register-wise max, associative,
   * commutative and idempotent, reading bytes proportional to
@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * both properties asserted in SketchStoreSpec, the sparse-phase equality
   * additionally in-gate.
   *
+  * Layout (r12: unified on the BM25/ANN manifest mechanics, replacing the
+  * v1 bare-parquet-dir + swap-compact layout): `manifest.json` (committed
+  * generation list + per-stream high-water marks + cooling ledger,
+  * replaced atomically) and `rows/<gen>/` parquet. An append writes its
+  * generation dir (invisible), then ONE manifest flip publishes it —
+  * crash orphans are never served and are GC'd by the next compact; a
+  * compaction publishes by the same flip with superseded generations
+  * cooling for `graft.sketchstore.gcGraceMs` (default 15 min), so
+  * lock-free serves survive back-to-back compactions. Streaming ingest
+  * gets the same per-tag marks as the other stores (exactly-once under
+  * foreachBatch re-delivery).
+  *
   * This is the distinct-count sibling of [[DriftProfile]] (fractions) and
   * the MinHash store (membership): the 100 TB pattern is always the same —
   * reduce each increment once, persist the bounded summary, serve every
@@ -28,6 +40,41 @@ object SketchStore {
 
   private def q(n: String): org.apache.spark.sql.Column =
     col("`" + n.replace("`", "``") + "`")
+
+  private def manifestPath(path: String) = s"$path/manifest.json"
+  private def rowsRoot(path: String) = s"$path/rows"
+  private def genPath(path: String, gen: String) = s"$path/rows/$gen"
+
+  private case class SkManifest(gens: Seq[String], marks: Map[String, Long],
+      cooling: Map[String, Long])
+
+  private def readManifest(spark: SparkSession, path: String): SkManifest = {
+    val f = StoreFiles.fs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(manifestPath(path))) &&
+        StoreFiles.dataFileCount(spark, path) > 0)
+      throw new IllegalArgumentException(
+        s"sketch store at $path predates the manifest layout — run " +
+          "SketchStore.adoptLegacy to upgrade in place")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, manifestPath(path)),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-sketch-store",
+      s"not a sketch store at $path")
+    import scala.jdk.CollectionConverters._
+    SkManifest(
+      root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(String.valueOf),
+      StoreFiles.jsonLongMap(root.get("marks")),
+      StoreFiles.jsonLongMap(root.get("cooling")))
+  }
+
+  private def writeManifest(spark: SparkSession, path: String,
+      m: SkManifest): Unit =
+    StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
+      s"""{"format":"graft-sketch-store","version":2,""" +
+        s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
+        s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
 
   /** Per-key distinct sketches over `valueCol`: one row per key group —
     * (keys…, n_rows, sketch). `lgK` trades size (2^lgK bytes-ish) for
@@ -44,12 +91,79 @@ object SketchStore {
       hll_sketch_agg(q(valueCol), lit(lgK)).as("sketch"))
   }
 
-  /** Append one batch's sketch rows to the store directory, stamped with a
-    * batch label. Pure parquet append — each batch adds files, never
-    * rewrites (same append-only contract as the MinHash store). */
+  /** The committed sketch rows: the union of the manifest's generations. */
+  def rows(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.gens.nonEmpty, s"sketch store at $path has no rows")
+    m.gens.map(g => spark.read.parquet(genPath(path, g)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Append one batch's sketch rows, stamped with a batch label, as one
+    * committed generation (manifest flip publishes it; a first append
+    * creates the store). */
   def append(sketches: DataFrame, path: String, batchLabel: String): Unit =
+    commitGen(sketches, path, batchLabel, None): Unit
+
+  /** The streaming twin of [[append]] (the BM25/ANN/fingerprint store
+    * shape): `(streamTag, batchId)` names the generation `<tag>-b<id>`
+    * and the manifest's per-tag high-water mark makes foreachBatch's
+    * at-least-once re-deliveries exactly-once. The tag must be 1:1 with
+    * the stream's CHECKPOINT. */
+  def appendBatch(sketches: DataFrame, path: String, batchLabel: String,
+      streamTag: String, batchId: Long): Boolean = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitGen(sketches, path, batchLabel, Some((streamTag, batchId)))
+  }
+
+  private def commitGen(sketches: DataFrame, path: String,
+      batchLabel: String, stream: Option[(String, Long)]): Boolean = {
+    require(sketches.columns.contains("sketch") &&
+      sketches.columns.contains("n_rows"),
+      "append expects distinctSketch output (needs n_rows + sketch columns)")
+    val spark = sketches.sparkSession
+    val f = StoreFiles.fs(spark, path)
+    val exists = f.exists(new org.apache.hadoop.fs.Path(manifestPath(path)))
+    val m0 = if (exists) readManifest(spark, path)
+      else {
+        // a first append must not silently adopt a legacy bare-parquet
+        // store — surface the upgrade path instead
+        if (StoreFiles.dataFileCount(spark, path) > 0)
+          throw new IllegalArgumentException(
+            s"sketch store at $path predates the manifest layout — run " +
+              "SketchStore.adoptLegacy to upgrade in place")
+        SkManifest(Nil, Map.empty, Map.empty)
+      }
+    val gen = stream match {
+      case Some((tag, id)) =>
+        if (m0.marks.get(tag).exists(id <= _)) return false
+        s"$tag-b$id"
+      case None => StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    }
     sketches.withColumn("batch", lit(batchLabel))
-      .write.mode("append").parquet(path)
+      .write.mode("overwrite").parquet(genPath(path, gen))
+    val wrote =
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
+        !spark.read.parquet(genPath(path, gen)).isEmpty
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
+    if (!wrote) {
+      f.delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+      if (exists && (marks ne m0.marks))
+        writeManifest(spark, path, m0.copy(marks = marks))
+      return false
+    }
+    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen, marks = marks))
+    true
+  }
+
+  /** Data files the CURRENT manifest lists — the store's live footprint. */
+  def liveFileCount(spark: SparkSession, path: String): Long = {
+    val m = readManifest(spark, path)
+    m.gens.map(g =>
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, g)).toLong).sum
+  }
 
   /** Compact the store: the per-batch (keys…, n_rows, sketch) rows merge
     * into ONE row per key group — n_rows summed, sketches unioned
@@ -60,11 +174,13 @@ object SketchStore {
     * appends keep stacking on top and can be compacted again.
     *
     * Key columns are discovered from the store schema (everything except
-    * n_rows/sketch/batch). The rewrite lands in a sibling temp dir and
-    * swaps in whole — a crash before the swap leaves the store untouched. */
+    * n_rows/sketch/batch). Publishes by the same atomic manifest flip as
+    * appends; superseded generations cool for
+    * `graft.sketchstore.gcGraceMs` before the sweep; crash orphans
+    * delete immediately. Stream marks survive. */
   def compact(spark: SparkSession, path: String): Unit = {
-    StoreFiles.healDir(spark, path) // complete a crashed prior swap
-    val store = spark.read.parquet(path)
+    val m0 = readManifest(spark, path)
+    val store = rows(spark, path)
     val special = Set("n_rows", "sketch", "batch")
     val keyCols = store.columns.filterNot(special.contains).toSeq
     require(store.columns.contains("sketch") && store.columns.contains("n_rows"),
@@ -79,9 +195,14 @@ object SketchStore {
       // original column order, so compacted and appended files stay
       // schema-aligned
       .select(store.columns.map(c => col("`" + c.replace("`", "``") + "`")): _*)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    StoreFiles.swapDir(spark, tmp, path)
+    val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    merged.coalesce(1).write.mode("overwrite").parquet(genPath(path, gen))
+    val graceMs = spark.conf.getOption("graft.sketchstore.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m0.cooling, m0.gens.toSet,
+      gen, graceMs, System.currentTimeMillis())
+    writeManifest(spark, path, m0.copy(gens = Seq(gen), cooling = cooling))
+    StoreFiles.sweepGenerations(spark, rowsRoot(path), keep)
   }
 
   /** Merged per-key estimates from everything in the store: (keys…,
@@ -89,7 +210,7 @@ object SketchStore {
     * only sketch rows — the corpora they summarize are not touched. */
   def estimate(spark: SparkSession, path: String,
       keyCols: Seq[String]): DataFrame = {
-    val store = spark.read.parquet(path)
+    val store = rows(spark, path)
     val grouped =
       if (keyCols.isEmpty) store.groupBy()
       else store.groupBy(keyCols.map(q): _*)
@@ -101,5 +222,38 @@ object SketchStore {
       sum("n_rows").as("n_rows"),
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("n_distinct"))
+  }
+
+  /** One-time upgrade of a v1 (bare parquet dir) store to the manifest
+    * layout: the flat data files move under `rows/g0/` (pure renames; a
+    * same-named destination at the same length is a completed copy whose
+    * source remnant is dropped) and one manifest write publishes them.
+    * Returns false when the store already has a manifest. Idempotent;
+    * run under the single-writer contract. */
+  def adoptLegacy(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val f = StoreFiles.fs(spark, path)
+    if (f.exists(new Path(manifestPath(path)))) return false
+    require(StoreFiles.dataFileCount(spark, path) > 0 ||
+        f.exists(new Path(rowsRoot(path))),
+      s"no sketch store (v1 or v2) at $path")
+    val g0 = new Path(genPath(path, "g0"))
+    f.mkdirs(g0)
+    f.listStatus(new Path(path)).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith(".") && nm != "manifest.json") {
+        val dst = new Path(g0, nm)
+        if (f.exists(dst)) {
+          if (f.getFileStatus(dst).getLen == st.getLen) {
+            f.delete(st.getPath, false): Unit
+          } else {
+            f.delete(dst, false)
+            require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+          }
+        } else require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+      }
+    }
+    writeManifest(spark, path, SkManifest(Seq("g0"), Map.empty, Map.empty))
+    true
   }
 }

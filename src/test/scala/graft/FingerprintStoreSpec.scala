@@ -111,11 +111,16 @@ class FingerprintStoreSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val before = scrubbed()
     assert(before == Seq(302L))
-    val filesBefore = graft.ext.StoreFiles.dataFileCount(spark, s"$dir/fps")
+    val filesBefore = FingerprintStore.liveFileCount(spark, dir)
     FingerprintStore.compact(spark, dir)
     assert(scrubbed() == before)
-    assert(graft.ext.StoreFiles.dataFileCount(spark, s"$dir/fps") < filesBefore,
+    assert(FingerprintStore.liveFileCount(spark, dir) < filesBefore,
       "compaction did not collapse fps files")
+    // superseded generations cool for the grace window, then sweep
+    spark.conf.set("graft.fpstore.gcGraceMs", "0")
+    try FingerprintStore.compact(spark, dir)
+    finally spark.conf.unset("graft.fpstore.gcGraceMs")
+    assert(scrubbed() == before)
     // appends after compaction still merge into the rebuilt filter
     FingerprintStore.append(Seq((400L, "post compact batch")).toDF("doc_id", "text"),
       "text", dir)
@@ -132,33 +137,77 @@ class FingerprintStoreSpec extends SparkSpec {
       .count() == 0L)
   }
 
-  test("healDir: a crash between the two swap renames is repaired by re-running compact") {
+  test("manifest crash windows: orphan gens are invisible and GC'd; superset filter is harmless (r12)") {
     val dir = tmp()
     FingerprintStore.build(corpus, "text", dir)
-    FingerprintStore.append(
-      Seq((50L, "pre-crash append")).toDF("doc_id", "text"), "text", dir)
     val incoming = Seq((60L, "the quick brown fox"), (61L, "fresh post-crash doc"))
       .toDF("doc_id", "text")
-    val want = FingerprintStore.scrub(incoming, "text", dir)
+    def scrubbed() = FingerprintStore.scrub(incoming, "text", dir)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    // simulate the exact crash window: live renamed aside, replacement
-    // never landed — serves would fail with path-not-found here
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/fps"),
-      java.nio.file.Paths.get(s"$dir/fps.old"))
-    intercept[Exception] {
-      FingerprintStore.scrub(incoming, "text", dir).count()
-    }
-    // re-running compact heals (healDir restores the old data) and then
-    // completes the compaction; membership is unchanged
+    val want = scrubbed()
+    assert(want == Seq(61L))
+    // crash mid-append AFTER the gen write, BEFORE the manifest flip:
+    // hand-craft the orphan (never in any manifest) — the scrub must not
+    // drop doc 61 (candidates confirm against COMMITTED fps only, and a
+    // superset FILTER alone cannot drop anything: the saturated-filter
+    // test above proves bloom hits without committed fps are kept)
+    Seq("fresh post-crash doc").toDF("text")
+      .select(graft.ext.TextAnalysis.fingerprint64(col("text")).as("fp"))
+      .write.parquet(s"$dir/fps/g99")
+    assert(scrubbed() == want, "orphan gen leaked into the serve")
+    // the next compact sweeps the orphan immediately (it cools nothing —
+    // it was never committed)
     FingerprintStore.compact(spark, dir)
-    val got = FingerprintStore.scrub(incoming, "text", dir)
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(got == want && want == Seq(61L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/fps/g99")), "orphan gen not GC'd")
+    assert(scrubbed() == want)
   }
 
-  test("meta sentinel: a non-store directory is refused on append") {
+  test("streamed appendBatch: re-delivered (tag, batchId) commits once; legacy v1 layout adopts in place (r12)") {
     val dir = tmp()
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+    FingerprintStore.build(corpus, "text", dir)
+    val batch = Seq((70L, "streamed crawl content")).toDF("doc_id", "text")
+    assert(FingerprintStore.appendBatch(batch, "text", dir, "crawl", 0L))
+    def dropped() = FingerprintStore.scrub(
+      Seq((80L, "streamed crawl content")).toDF("doc_id", "text"),
+      "text", dir).count()
+    assert(dropped() == 0L)
+    val files = FingerprintStore.liveFileCount(spark, dir)
+    assert(!FingerprintStore.appendBatch(batch, "text", dir, "crawl", 0L),
+      "retried batch reported a second commit")
+    assert(FingerprintStore.liveFileCount(spark, dir) == files)
+    // ...and the mark survives compaction
+    FingerprintStore.compact(spark, dir)
+    assert(!FingerprintStore.appendBatch(batch, "text", dir, "crawl", 0L))
+    assert(dropped() == 0L)
+    // v1 layout (flat fps files + meta.json) adopts in place: downgrade a
+    // fresh v2 store by hand, then adoptLegacy must restore service with
+    // identical membership
+    val dir2 = tmp()
+    FingerprintStore.build(corpus, "text", dir2)
+    val g0 = java.nio.file.Paths.get(s"$dir2/fps/g0")
+    java.nio.file.Files.list(g0).toArray
+      .map(_.asInstanceOf[java.nio.file.Path]).foreach { p =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$dir2/fps").resolve(p.getFileName))
+      }
+    java.nio.file.Files.delete(g0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir2/manifest.json"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/meta.json"),
+      """{"format": "graft-fingerprint-store", "version": 1, "expected_items": 1024, "fpp": 0.01}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      FingerprintStore.scrub(corpus, "text", dir2).count()
+    }
+    assert(e.getMessage.contains("adoptLegacy"), e.getMessage)
+    assert(FingerprintStore.adoptLegacy(spark, dir2))
+    assert(FingerprintStore.scrub(corpus, "text", dir2).count() == 0L)
+    assert(!FingerprintStore.adoptLegacy(spark, dir2)) // idempotent
+  }
+
+  test("manifest sentinel: a non-store directory is refused on append") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.json"),
       """{"format": "something-else"}""".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       FingerprintStore.append(corpus, "text", dir)

@@ -84,14 +84,14 @@ class SketchStoreSpec extends SparkSpec {
     def served() = SketchStore.estimate(spark, dir, Seq("k"))
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val before = served()
-    val rowsBefore = spark.read.parquet(dir).count()
-    val filesBefore = graft.ext.StoreFiles.dataFileCount(spark, dir)
+    val rowsBefore = SketchStore.rows(spark, dir).count()
+    val filesBefore = SketchStore.liveFileCount(spark, dir)
     SketchStore.compact(spark, dir)
     // one row per key, fewer files, identical estimates (register-max
     // union is associative: merging in two steps == merging once)
     assert(served().toSeq == before.toSeq)
-    assert(spark.read.parquet(dir).count() == 3L && rowsBefore == 15L)
-    assert(graft.ext.StoreFiles.dataFileCount(spark, dir) < filesBefore)
+    assert(SketchStore.rows(spark, dir).count() == 3L && rowsBefore == 15L)
+    assert(SketchStore.liveFileCount(spark, dir) < filesBefore)
     // post-compaction appends stack and serve correctly
     val extra = spark.range(30000, 31000)
       .select((col("id") % 3).cast("string").as("k"), (col("id") % 7919 + 100000).as("v"))
@@ -102,8 +102,47 @@ class SketchStoreSpec extends SparkSpec {
       assert(est2 > 4000L, s"key $k estimate $est2 lost mass after compaction+append")
     }
     // schema column order preserved for parquet append compatibility
-    assert(spark.read.parquet(dir).columns.toSeq ==
+    assert(SketchStore.rows(spark, dir).columns.toSeq ==
       Seq("k", "n_rows", "sketch", "batch"))
+  }
+
+  test("manifest protocol: orphan gens invisible, streamed appendBatch exactly-once, legacy adoption (r12)") {
+    val df = spark.range(2000)
+      .select((col("id") % 2).cast("string").as("k"), (col("id") % 300).as("v"))
+    val dir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(df, Seq("k"), "v"), dir, "a")
+    def est() = SketchStore.estimate(spark, dir, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = est()
+    // crash mid-append: a gen dir with no manifest entry must not serve,
+    // and the next compact sweeps it
+    SketchStore.distinctSketch(df.limit(10), Seq("k"), "v")
+      .withColumn("batch", lit("orphan")).write.parquet(s"$dir/rows/g99")
+    assert(est() == want, "orphan gen leaked into the serve")
+    SketchStore.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/rows/g99")), "orphan gen not GC'd")
+    assert(est() == want)
+    // streamed appends: re-delivered (tag, batchId) commits once
+    val inc = SketchStore.distinctSketch(
+      spark.range(5000, 5200).select(lit("0").as("k"), col("id").as("v")),
+      Seq("k"), "v")
+    assert(SketchStore.appendBatch(inc, dir, "b1", "s1", 0L))
+    val after1 = est()
+    assert(after1 != want)
+    assert(!SketchStore.appendBatch(inc, dir, "b1", "s1", 0L))
+    assert(est() == after1, "retried streamed batch double-committed")
+    // legacy v1 layout (bare parquet dir) fails loud, adopts in place
+    val dir2 = tmp()
+    SketchStore.distinctSketch(df, Seq("k"), "v")
+      .withColumn("batch", lit("legacy")).write.mode("overwrite").parquet(dir2)
+    val e = intercept[IllegalArgumentException] {
+      SketchStore.estimate(spark, dir2, Seq("k")).count()
+    }
+    assert(e.getMessage.contains("adoptLegacy"), e.getMessage)
+    assert(SketchStore.adoptLegacy(spark, dir2))
+    assert(SketchStore.estimate(spark, dir2, Seq("k")).count() == 2L)
+    assert(!SketchStore.adoptLegacy(spark, dir2)) // idempotent
   }
 
   test("null values: counted by neither n_rows nor the sketch") {
