@@ -102,9 +102,19 @@ object FingerprintStore {
   def build(corpus: DataFrame, textCol: String, path: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): Unit = {
     val spark = corpus.sparkSession
-    require(!StoreFiles.fs(spark, path)
-        .exists(new org.apache.hadoop.fs.Path(manifestPath(path))),
+    val f = StoreFiles.fs(spark, path)
+    require(!f.exists(new org.apache.hadoop.fs.Path(manifestPath(path))),
       s"fingerprint store already exists at $path")
+    // a v1 store (meta.json / flat fps files) must not be silently
+    // SHADOWED by a fresh build — its membership would vanish from every
+    // future scrub with no error anywhere
+    if (f.exists(new org.apache.hadoop.fs.Path(s"$path/meta.json")))
+      throw new IllegalArgumentException(
+        s"fingerprint store at $path predates the manifest layout — " +
+          "run FingerprintStore.adoptLegacy to upgrade in place")
+    require(!f.exists(new org.apache.hadoop.fs.Path(fpsRoot(path))),
+      s"$path already holds fps data without a manifest — adopt or " +
+        "remove it before building")
     val fps = corpus.select(fp(textCol).as("fp")).distinct()
     fps.write.mode("errorifexists").parquet(genPath(path, "g0"))
     val stored = spark.read.parquet(genPath(path, "g0"))
@@ -157,9 +167,11 @@ object FingerprintStore {
     fresh.write.mode("overwrite").parquet(genPath(path, gen))
     // row-presence, not file-presence: an all-duplicates batch writes a
     // schema-only empty part file that must not commit as a generation
-    val wrote =
-      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
-        !spark.read.parquet(genPath(path, gen)).isEmpty
+    val genDf =
+      if (StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0)
+        Some(spark.read.parquet(genPath(path, gen)))
+      else None
+    val wrote = genDf.exists(!_.isEmpty)
     // an EMPTY increment still advances the stream mark (else its
     // re-delivery would retry forever) but commits no generation
     val marks = stream.fold(m0.marks) { case (tag, id) =>
@@ -172,8 +184,7 @@ object FingerprintStore {
     }
     // bloom BEFORE manifest: a crash between leaves a superset filter
     // (correct); the gen dir itself is invisible until the manifest flip
-    val inc = spark.read.parquet(genPath(path, gen))
-      .stat.bloomFilter("fp", m0.expectedItems, m0.fpp)
+    val inc = genDf.get.stat.bloomFilter("fp", m0.expectedItems, m0.fpp)
     writeBloomAtomic(spark, loadBloom(spark, path).mergeInPlace(inc), path)
     writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen, marks = marks))
     true
@@ -211,9 +222,17 @@ object FingerprintStore {
       sink: (DataFrame, Long) => Unit):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = stream.sparkSession
-    val m = readManifest(spark, path)
+    readManifest(spark, path): Unit // fail at construction, not batch 0
     val bc = spark.sparkContext.broadcast(loadBloom(spark, path))
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      // manifest re-read PER BATCH (r12 review): compactions sweep the
+      // generation dirs a construction-time manifest pins once the grace
+      // window passes — a long-running stream must follow the flips. The
+      // FILTER stays the construction-time one (same as v1, where the
+      // binary loaded once): a bloom miss short-circuits, so membership
+      // appended after the writer started is not scrubbed until restart —
+      // compaction, by contrast, is membership-preserving and transparent.
+      val m = readManifest(spark, path)
       val fpIn = fp(textCol)
       val maybe = batch
         .filter(graft.functions.BloomMightContain(bc, fpIn))
@@ -326,24 +345,27 @@ object FingerprintStore {
       s"not a fingerprint store at $path")
     val items = root.get("expected_items").asInstanceOf[Number].longValue()
     val legacyFpp = root.get("fpp").asInstanceOf[Number].doubleValue()
+    // a v1 deployment that died inside compact's swapDir window left
+    // fps/ renamed aside as fps.old — restore it first so the documented
+    // v1 "re-run compact to heal" contract survives the upgrade
+    StoreFiles.healDir(spark, fpsRoot(path))
     val rootP = new Path(fpsRoot(path))
     require(f.exists(rootP), s"fingerprint store at $path has no fps directory")
-    val g0 = new Path(rootP, "g0")
-    f.mkdirs(g0)
+    // the layout must actually BE legacy: flat files plus at most a g0
+    // from a crashed prior adoption. Other generation-shaped children
+    // mean a MANIFEST-governed store whose manifest was lost — adopting
+    // that would publish only g0, silently dropping the rest and every
+    // stream mark; fail loud instead (the AnnStore adoption contract)
     f.listStatus(rootP).foreach { st =>
       val nm = st.getPath.getName
-      if (st.isFile && !nm.startsWith(".")) {
-        val dst = new Path(g0, nm)
-        if (f.exists(dst)) {
-          if (f.getFileStatus(dst).getLen == st.getLen) {
-            f.delete(st.getPath, false): Unit
-          } else {
-            f.delete(dst, false)
-            require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-          }
-        } else require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-      }
+      require(st.isFile || nm == "g0" || nm.startsWith(".") ||
+          nm.startsWith("_"),
+        s"fingerprint store at $path is not the legacy flat layout " +
+          s"(found directory '$nm' under fps/) — if the manifest was " +
+          "LOST from a manifest-governed store, restore it or re-create " +
+          "the store; adoptLegacy must not guess at generations")
     }
+    StoreFiles.adoptFlatFilesInto(f, rootP, new Path(rootP, "g0"), _ => false)
     writeManifest(spark, path,
       FpManifest(items, legacyFpp, Seq("g0"), Map.empty, Map.empty))
     f.delete(meta, false)
@@ -356,19 +378,10 @@ object FingerprintStore {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  /** Atomic filter replace (tmp + rename): a v1-style in-place truncate
-    * could leave a corrupt half-written binary on a crash mid-write. */
+  /** Atomic filter replace (tmp + rename via the shared
+    * [[StoreFiles.writeBytesAtomic]]): a v1-style in-place truncate could
+    * leave a corrupt half-written binary on a crash mid-write. */
   private def writeBloomAtomic(spark: SparkSession, bloom: BloomFilter,
-      path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(bloomPath(path))
-    val f = dst.getFileSystem(conf)
-    if (dst.getParent != null) f.mkdirs(dst.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
-      "." + dst.getName + ".tmp")
-    val out = f.create(tmp, true)
-    try bloom.writeTo(out) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      path: String): Unit =
+    StoreFiles.writeBytesAtomic(spark, bloomPath(path))(bloom.writeTo(_): Unit)
 }

@@ -144,8 +144,11 @@ object SketchStore {
     sketches.withColumn("batch", lit(batchLabel))
       .write.mode("overwrite").parquet(genPath(path, gen))
     val wrote =
-      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 && {
+        // row-presence, not file-presence: an empty batch writes a
+        // schema-only part file that must not commit as a generation
         !spark.read.parquet(genPath(path, gen)).isEmpty
+      }
     val marks = stream.fold(m0.marks) { case (tag, id) =>
       m0.marks + (tag -> id) }
     if (!wrote) {
@@ -234,25 +237,32 @@ object SketchStore {
     import org.apache.hadoop.fs.Path
     val f = StoreFiles.fs(spark, path)
     if (f.exists(new Path(manifestPath(path)))) return false
-    require(StoreFiles.dataFileCount(spark, path) > 0 ||
-        f.exists(new Path(rowsRoot(path))),
-      s"no sketch store (v1 or v2) at $path")
-    val g0 = new Path(genPath(path, "g0"))
-    f.mkdirs(g0)
-    f.listStatus(new Path(path)).foreach { st =>
+    // a v1 deployment that died inside compact's swapDir window left the
+    // store dir renamed aside as <path>.old — restore it first so the
+    // documented v1 "re-run compact to heal" contract survives the
+    // upgrade
+    StoreFiles.healDir(spark, path)
+    // the layout must actually BE legacy (flat files, plus at most a g0
+    // from a crashed prior adoption): other generation-shaped children
+    // under rows/ mean a MANIFEST-governed store whose manifest was
+    // lost — adopting that would publish only g0, silently dropping the
+    // rest and every stream mark; fail loud instead (the AnnStore
+    // adoption contract)
+    val rowsP = new Path(rowsRoot(path))
+    if (f.exists(rowsP)) f.listStatus(rowsP).foreach { st =>
       val nm = st.getPath.getName
-      if (st.isFile && !nm.startsWith(".") && nm != "manifest.json") {
-        val dst = new Path(g0, nm)
-        if (f.exists(dst)) {
-          if (f.getFileStatus(dst).getLen == st.getLen) {
-            f.delete(st.getPath, false): Unit
-          } else {
-            f.delete(dst, false)
-            require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-          }
-        } else require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
-      }
+      require(st.isFile || nm == "g0" || nm.startsWith(".") ||
+          nm.startsWith("_"),
+        s"sketch store at $path is not the legacy flat layout (found " +
+          s"directory '$nm' under rows/) — if the manifest was LOST from " +
+          "a manifest-governed store, restore it or re-create the store; " +
+          "adoptLegacy must not guess at generations")
     }
+    require(StoreFiles.dataFileCount(spark, path) > 0 ||
+        f.exists(new Path(genPath(path, "g0"))),
+      s"no sketch store (v1 or v2) at $path")
+    StoreFiles.adoptFlatFilesInto(f, new Path(path),
+      new Path(genPath(path, "g0")), _ == "manifest.json")
     writeManifest(spark, path, SkManifest(Seq("g0"), Map.empty, Map.empty))
     true
   }

@@ -100,17 +100,51 @@ object StoreFiles {
     * local and HDFS-style filesystems; object-store connectors implement
     * it as copy+delete of a KB-sized object (the narrowest practical
     * window). */
-  def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit = {
+  def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit =
+    writeBytesAtomic(spark, path)(
+      _.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** The bytes-level atomic replace under [[writeUtf8Atomic]] — shared so
+    * binary artifacts (the fingerprint store's Bloom filter) get the same
+    * tmp + FileContext rename(OVERWRITE) mechanics instead of their own
+    * drift-prone copy. */
+  def writeBytesAtomic(spark: SparkSession, path: String)(
+      write: java.io.OutputStream => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new Path(path)
     val f = dst.getFileSystem(conf)
     if (dst.getParent != null) f.mkdirs(dst.getParent)
     val tmp = new Path(dst.getParent, "." + dst.getName + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try write(out)
     finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Shared legacy-adoption move loop (fingerprint + sketch stores): move
+    * every visible flat FILE under `srcDir` into `dstDir`, resume-aware —
+    * a same-named destination at the same length is a completed copy from
+    * a crashed prior attempt (its source remnant is dropped); a differing
+    * length is a partial copy cleared before the rename retries. `skip`
+    * excludes names that must stay (e.g. a manifest). */
+  def adoptFlatFilesInto(f: FileSystem, srcDir: Path, dstDir: Path,
+      skip: String => Boolean): Unit = {
+    f.mkdirs(dstDir)
+    f.listStatus(srcDir).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isFile && !nm.startsWith(".") && !skip(nm)) {
+        val dst = new Path(dstDir, nm)
+        if (f.exists(dst)) {
+          if (f.getFileStatus(dst).getLen == st.getLen) {
+            f.delete(st.getPath, false): Unit
+          } else {
+            f.delete(dst, false)
+            require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+          }
+        } else require(f.rename(st.getPath, dst), s"adopt: rename $nm failed")
+      }
+    }
   }
 
   /** Heal a directory left mid-swap by a crashed [[swapDir]]: if `live`

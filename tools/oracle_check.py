@@ -6,14 +6,19 @@ for f in glob.glob(f'{sfdir}/*.parquet'):
     name = os.path.basename(f).replace('.parquet','')
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+# --skip-missing: for SUBSET runs only - don't execute the (possibly
+# expensive) oracle SQL for outputs the subset never dumped. Without the
+# flag a missing dir is a loud FAIL, because in a FULL run it means the
+# engine crashed on or silently skipped that query.
+skip_missing = '--skip-missing' in sys.argv[3:]
 fails = []
 skipped = 0
 for name, sql in sorted(oracle.items()):
-    # subset runs write only the requested queries' dirs; don't execute
-    # the (possibly expensive) oracle SQL for outputs that were never
-    # dumped - a FULL run still checks everything (all dirs exist)
     if not os.path.isdir(f'{outdir}/{name}'):
-        skipped += 1
+        if skip_missing:
+            skipped += 1
+            continue
+        fails.append((name, 'output dir missing - engine never dumped this query'))
         continue
     try:
         odf = con.execute(sql).fetchdf()
