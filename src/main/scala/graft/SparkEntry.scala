@@ -1129,6 +1129,56 @@ object SparkEntry {
           round(sum("l_quantity"), 3).as("sum_qty"))
         .orderBy("priority")
     }),
+    "join_salted_right" -> ((s, d) => {
+      // r12 (verdict #7): right-outer salted join by composition —
+      // salted INNER ∪ (right LEFT ANTI distinct left keys,
+      // null-extended). Every synthetic customer places orders, so the
+      // left side keeps only custkey % 3 != 0 orders: a third of the
+      // customers have NO left partner and must surface exactly once
+      // with null order columns (the anti leg under test). The RIGHT
+      // side keeps positive-balance customers only, so some surviving
+      // orders point at filtered-out customers — unmatched LEFT rows a
+      // right join must DROP (kills a left-preserving-core mutation).
+      // Sums are over floor()ed values: integral doubles sum exactly at
+      // any addition order, so the salted union's partition order can
+      // never flake the 3-dp string compare (join_salted discipline).
+      val joined = ext.Salting.saltedJoin(
+        t(s, d, "orders").filter(col("o_custkey") % 3 =!= 0),
+        t(s, d, "customer").filter(col("c_acctbal") > 0),
+        Seq("o_custkey"), Seq("c_custkey"),
+        saltFactor = 4, hotKeyThreshold = 5, joinType = "right")
+      joined.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(floor(coalesce(col("o_totalprice"), lit(0.0))).cast("long"))
+            .as("price_sum"))
+        .orderBy("segment")
+    }),
+    "join_salted_full" -> ((s, d) => {
+      // r12 (verdict #7): full-outer salted join — salted LEFT ∪ the
+      // same anti leg. Left keeps custkey % 3 != 0 orders, right keeps
+      // positive-balance customers, so all three legs are populated:
+      // matched pairs, orders of filtered-out customers (order_only),
+      // customers with no surviving orders (customer_only). Leg counts
+      // + sums re-derived in DuckDB from the plain FULL JOIN.
+      val cust = t(s, d, "customer").filter(col("c_acctbal") > 0)
+      val joined = ext.Salting.saltedJoin(
+        t(s, d, "orders").filter(col("o_custkey") % 3 =!= 0), cust,
+        Seq("o_custkey"), Seq("c_custkey"),
+        saltFactor = 4, hotKeyThreshold = 5, joinType = "full")
+      joined.select(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_orderkey").isNull, lit("customer_only"))
+            .otherwise(lit("matched")).as("leg"),
+          col("o_totalprice"), col("c_acctbal"))
+        .groupBy("leg")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(coalesce(col("o_totalprice"), lit(0.0))).cast("long"))
+            .as("price_sum"),
+          sum(floor(coalesce(col("c_acctbal"), lit(0.0))).cast("long"))
+            .as("bal_sum"))
+        .orderBy("leg")
+    }),
     "events_funnel" -> ((s, d) =>
       // round-8: ordered-step funnel (earliest-completion semantics) —
       // one keyed aggregation per step over the type-filtered scan, the
@@ -2875,6 +2925,26 @@ object SparkEntry {
         "round(sum(l_quantity), 3) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
+    // plain RIGHT/FULL joins in DuckDB — the salted composition
+    // (salted core ∪ anti-derived null-extended leg) must change nothing
+    "join_salted_right" ->
+      ("SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(o_orderkey) AS BIGINT) AS n_matched, " +
+        "CAST(sum(floor(coalesce(o_totalprice, 0.0))) AS BIGINT) AS price_sum " +
+        "FROM (SELECT * FROM orders WHERE o_custkey % 3 <> 0) o " +
+        "RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c " +
+        "ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "join_salted_full" ->
+      ("SELECT CASE WHEN c_custkey IS NULL THEN 'order_only' " +
+        "WHEN o_orderkey IS NULL THEN 'customer_only' " +
+        "ELSE 'matched' END AS leg, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(floor(coalesce(o_totalprice, 0.0))) AS BIGINT) AS price_sum, " +
+        "CAST(sum(floor(coalesce(c_acctbal, 0.0))) AS BIGINT) AS bal_sum " +
+        "FROM (SELECT * FROM orders WHERE o_custkey % 3 <> 0) o " +
+        "FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c " +
+        "ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
     "events_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
         "WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +

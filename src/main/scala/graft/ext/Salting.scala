@@ -104,23 +104,45 @@ object Salting {
     *
     * Hot-key tagging rides a broadcast join against a LOCAL relation of
     * the collected hot keys — never an isin literal list (which would
-    * inline up to maxHotKeys literals into the plan). Inner and
-    * left-outer joins only: each left row owns exactly ONE salt, so it
-    * matches exactly the right rows the plain join would give it and no
-    * output dedup is needed. right/full outer are REFUSED by
-    * construction (r12, verdict #7): a replicated right row sits in
-    * every salt bucket, and each replica that finds no left partner in
-    * ITS bucket would emit a null-extended output — up to saltFactor
-    * spurious rows per right key unless the join tracked per-original-row
-    * match state and deduped, which is precisely the machinery this
-    * recipe exists to avoid. For right-side-preserving semantics under
-    * LEFT-side hotness, swap the sides (`saltedJoin(right, left, …,
-    * "left")`); for hot RIGHT keys, the defense must salt the right side —
-    * mirror the call. Complements AQE's skew-split, which
-    * rebalances partition SIZES after the fact but cannot spread one
-    * gigantic key's matches across reducers when the right side must
-    * co-locate. Row-identical to the plain join (property-tested under
-    * 90% skew). */
+    * inline up to maxHotKeys literals into the plan).
+    *
+    * Join types. inner/left are direct: each left row owns exactly ONE
+    * salt, so it matches exactly the right rows the plain join would
+    * give it and no output dedup is needed. right/full (r12, verdict #7)
+    * CANNOT run the salted join with that join type directly — a
+    * replicated right row sits in every salt bucket, and each replica
+    * that finds no left partner in ITS bucket would emit a null-extended
+    * output (up to saltFactor spurious rows per unmatched right key).
+    * Instead they are built by composition, still with zero output dedup:
+    *
+    *   right outer = salted INNER  ∪  (unmatched right rows, left-null-extended)
+    *   full  outer = salted LEFT   ∪  (unmatched right rows, left-null-extended)
+    *
+    * where "unmatched right" is `right LEFT ANTI JOIN distinct(left
+    * keys)`. The distinct collapses any hot left key to a single row
+    * before the anti probe, so the anti leg cannot re-import the skew the
+    * salt just defused (a hot key is ONE row in the build side; AQE's
+    * skew-split can still divide an overweight stream-side partition).
+    * Each unmatched right row survives the anti exactly once → exactly
+    * one null-extended output row, which is the plain right/full join's
+    * contract. Null right keys never equi-match, so they flow through the
+    * anti leg and surface null-extended, matching plain-join semantics.
+    * Complements AQE's skew-split, which rebalances partition SIZES after
+    * the fact but cannot spread one gigantic key's matches across
+    * reducers when the right side must co-locate. Row-identical to the
+    * plain join for all four types (property-tested under 90% skew).
+    *
+    * Determinism caveat (right/full only): the anti leg re-evaluates
+    * `left` for its key set — a SECOND scan in a separate job from the
+    * core join. The key set is unbounded, so the collect-once trick the
+    * hot-key probe uses is not available; if `left` is nondeterministic
+    * (sample/rand/limit-without-order, or a table mutating between
+    * jobs) the two evaluations can disagree and a right row may emit
+    * both matched and null-extended, or neither. Same class of contract
+    * as Spark's own self-join over a nondeterministic child: inputs
+    * must be re-evaluation-stable. inner/left scan `left` once past the
+    * hot-key probe and carry no such caveat (a drifting hot-key SET
+    * only shifts which keys get salted, never the output rows). */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       saltFactor: Int = 16, hotKeyThreshold: Long = 1000000L,
@@ -129,13 +151,15 @@ object Salting {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "saltedJoin: leftKeys/rightKeys must pair up")
     require(saltFactor >= 1, "saltFactor >= 1")
-    require(joinType == "inner" || joinType == "left" ||
-      joinType == "left_outer",
-      s"saltedJoin: unsupported joinType '$joinType' — only inner/left are " +
-        "salt-safe (each left row owns ONE salt, so no output dedup is " +
-        "needed); right/full would emit up to saltFactor null-extended " +
-        "rows per unmatched right key (one per replica). Swap the sides " +
-        "and use 'left' for right-preserving semantics")
+    val jt = joinType match {
+      case "inner"                      => "inner"
+      case "left" | "left_outer"        => "left"
+      case "right" | "right_outer"      => "right"
+      case "full" | "full_outer" | "outer" => "full"
+      case other => throw new IllegalArgumentException(
+        s"saltedJoin: unsupported joinType '$other' — inner/left/right/" +
+          "full only (semi/anti/cross have no salted form here)")
+    }
     val reserved = Seq("__salt", "__hot", "__rh")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       "saltedJoin: __salt/__hot/__rh are reserved column names")
@@ -186,11 +210,40 @@ object Salting {
       .otherwise(array(lit(0L)))
     val rSalted = right.join(broadcast(hotR), rightKeys.toSeq, "left")
       .withColumn("__salt", explode(rSalts)).drop("__hot")
-    // step 4: plain equi-join on (keys, salt)
+    // step 4: plain equi-join on (keys, salt). right/full run their
+    // left-preserving core (inner / left) — the right-preserving rows are
+    // the composition's anti leg below, never a right-outer over
+    // replicated rows.
+    val coreType = jt match {
+      case "right" => "inner"
+      case "full"  => "left"
+      case other   => other
+    }
     val cond = leftKeys.zip(rightKeys)
       .map { case (lk, rk) => lSalted(lk) === rSalted(rk) }
       .reduce(_ && _) && lSalted("__salt") === rSalted("__salt")
-    lSalted.join(rSalted, cond, joinType)
+    val core = lSalted.join(rSalted, cond, coreType)
       .drop("__salt")
+    if (jt == "inner" || jt == "left") core
+    else {
+      // step 5 (right/full): unmatched right rows, exactly once each.
+      // distinct() collapses every left key — hot or not — to one build
+      // row, so this anti join cannot reintroduce the defused skew.
+      val keySet = left.filter(notNullL)
+        .select(leftKeys.zip(rightKeys)
+          .map { case (lk, rk) => q(lk).as(rk) }: _*)
+        .distinct()
+      val unmatchedR = right.join(keySet, rightKeys.toSeq, "left_anti")
+      // positional union — core's order is KEYS-FIRST on both sides
+      // (the using-columns hot-tag joins in steps 2/3 move the key
+      // columns to the front), NOT the inputs' original order. The anti
+      // leg must mirror that or real right values land in the wrong
+      // columns whenever a key isn't its table's first column.
+      val leftOrdered = leftKeys ++ left.columns.filterNot(leftKeys.contains)
+      val rightOrdered = rightKeys ++ right.columns.filterNot(rightKeys.contains)
+      val nullLeft = leftOrdered
+        .map(n => lit(null).cast(left.schema(n).dataType).as(n))
+      core.union(unmatchedR.select(nullLeft ++ rightOrdered.map(q): _*))
+    }
   }
 }

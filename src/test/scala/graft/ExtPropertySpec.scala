@@ -225,14 +225,47 @@ class ExtPropertySpec extends SparkSpec {
       Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
         saltFactor = 4, hotKeyThreshold = 0, maxHotKeys = 3))
     assert(e.getMessage.contains("hot keys"))
-    // r12 (verdict #7): right/full outer are refused LOUDLY with the why
-    // (replicated right rows would emit spurious null-extended outputs)
-    // and the workaround (swap the sides, use 'left')
-    for (jt <- Seq("right", "full", "full_outer", "right_outer")) {
-      val ej = intercept[IllegalArgumentException](
-        Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"), joinType = jt))
-      assert(ej.getMessage.contains("null-extended") &&
-        ej.getMessage.contains("Swap the sides"), s"$jt: ${ej.getMessage}")
+    // join types with no salted form stay loudly refused
+    val ej = intercept[IllegalArgumentException](
+      Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        joinType = "left_semi"))
+    assert(ej.getMessage.contains("unsupported joinType"))
+  }
+
+  test("property: salted right/full outer equal the plain joins under skew") {
+    import graft.ext.Salting
+    // one hot left key (90% of rows); right keys 0..24 include keys with
+    // NO left partner, plus null right keys — both must surface exactly
+    // once, null-extended, in right/full. Left keys run 0..28, so keys
+    // 25..28 have NO right partner either: right-outer must DROP those
+    // left rows (a left-preserving core mutation would keep them) and
+    // full-outer must null-extend them.
+    // Keys deliberately NOT the first column on either side: the
+    // composition's union leg must realign to the core's keys-first
+    // order (regression for the positional-misalignment bug — with keys
+    // first, wrong-order unions pass silently).
+    val left = spark.range(8000).select(
+      col("id").as("lv"),
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 29).as("lk"))
+    val right = spark.range(60).select(
+      concat(lit("p"), col("id")).as("pay"),
+      when(col("id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 25).as("rk"))
+    def runNorm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lk"), col("lv"), col("rk"), col("pay"))
+        .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.getString(3))))
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+    for (jt <- Seq("right", "full")) {
+      val plain = runNorm(left.join(right, col("lk") === col("rk"), jt))
+      val salted = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        saltFactor = 8, hotKeyThreshold = 100, joinType = jt))
+      assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+      val salted2 = runNorm(Salting.saltedJoin(left, right, Seq("lk"), Seq("rk"),
+        saltFactor = 8, hotKeyThreshold = 100, joinType = jt))
+      assert(salted.toSeq == salted2.toSeq, s"joinType=$jt determinism")
     }
   }
 
