@@ -106,6 +106,17 @@ object Bm25Probe {
       }.mkString(" "))
       jobTimes.clear()
     }
+    // COLD run first (before ANY bm25 execution in this JVM) — the
+    // in-suite Bench number is a cold first execution: fresh plan,
+    // fresh whole-stage codegen compilation, AQE replanning at every
+    // stage barrier. The timeline's inter-job gaps are where that
+    // overhead lives; the warm alternating runs below cancel it.
+    jobs.set(0); jobTimes.clear()
+    val (tCold, _) = time(graft.ext.Retrieval.bm25TopK(docs10, "doc_id",
+      "text", q, "query_id", "qtext", k = 10).count())
+    val jCold = jobs.getAndSet(0)
+    dumpJobs("coldPruned")
+    println(f"cold pruned=$tCold%.2f s/$jCold jobs")
     // sub-piece timings
     locally {
       import graft.ext.TextAnalysis
