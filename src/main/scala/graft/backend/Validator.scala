@@ -234,6 +234,44 @@ object Validator {
       staged.work.filter(!coalesce(pass, lit(false))).drop(dropCols: _*))
   }
 
+  /** One row-level check slot for grouped/per-partition failure counting
+    * (the ValidationLedger's fused GROUP BY pass): a stable human-readable
+    * label, the fail condition over [[rowCheckSlots]]'s returned frame,
+    * and whether the check is warning-only (ledger counts it but does not
+    * fail the partition on it — mirroring ValidationResult.passed). */
+  private[graft] final case class CheckSlot(
+      label: String, failCond: Column, isWarning: Boolean)
+
+  /** Package-internal hook behind the ValidationLedger: the same staging
+    * as validate()'s stages 2+4 (strict-filter, add-missing, parsers,
+    * coercion via try_cast, defaults, input-dtype exclusion, then one
+    * Pending per row-level check), but exposed as raw (frame, slots,
+    * aggregate-check labels) so the caller can count failures GROUPED —
+    * `work.groupBy(part).agg(sum(when(slot.failCond,1)) ...)` — instead
+    * of corpus-wide. Aggregate-class checks are returned by label only:
+    * they are not row-decomposable and the caller decides whether to
+    * refuse or to run validate() separately. Pure plan construction —
+    * zero Spark actions; schema-level (metadata) errors are NOT surfaced
+    * here (run validate(depth = SchemaOnly) for those). */
+  private[graft] def rowCheckSlots(schema: DataFrameSchema, df: DataFrame)
+      : (DataFrame, Seq[CheckSlot], Seq[String]) = {
+    val discard = scala.collection.mutable.ArrayBuffer.empty[SchemaError]
+    val resolved = schema.resolveColumns(df.columns.toSeq)
+    val staged = transformStage(schema, df, resolved, discard, doSchema = false)
+    val (pendings, aggChecks) = buildPendings(schema, staged.present,
+      staged.coerced, staged.incompatible, staged.work)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val slots = pendings.map { p =>
+      val e = p.mkError(0L, Nil) // label + warning flag live on the error
+      val base = e.column.fold(e.check)(c => s"$c:${e.check}")
+      val n = seen.getOrElse(base, 0); seen(base) = n + 1
+      CheckSlot(if (n == 0) base else s"$base#$n", p.failCond, e.isWarning)
+    }
+    val aggLabels = aggChecks.map { case (c, ac) =>
+      c.fold(ac.described)(cn => s"$cn:${ac.described}") }
+    (staged.work, slots, aggLabels)
+  }
+
   def validate(
       schema: DataFrameSchema,
       df: DataFrame,

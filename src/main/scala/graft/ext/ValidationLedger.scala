@@ -1,0 +1,282 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.DataFrameSchema
+import graft.backend.Validator
+
+/** Partition-incremental validation — validate each partition of a growing
+  * corpus ONCE, persist the per-partition verdict, and answer every later
+  * "is the corpus clean?" question from the KB-sized ledger instead of
+  * re-scanning the data.
+  *
+  * At 100 TB this is the difference between a validation run that costs a
+  * full corpus scan and one that costs a scan of the new day's partition:
+  * the ledger records which partition values have already been validated,
+  * `validateIncrement` subtracts them, reads ONLY the unseen partitions
+  * (inlined as literals when few — static partition pruning at the file
+  * listing — else a broadcast semi-join), and runs the engine's fused
+  * check pass GROUPED by partition: one scan of the increment produces
+  * per-partition n_rows + per-check failure counts, committed as one
+  * manifest generation.
+  *
+  * The reference has no incremental form — its model validates a
+  * container in memory per call (pandera/api/pyspark/container.py); this
+  * is the store-protocol extension of that model, sibling to
+  * [[DriftProfile]] (fractions), [[SketchStore]] (distinct counts) and the
+  * fingerprint store (membership): reduce each increment once, persist the
+  * bounded summary, serve later questions from the store.
+  *
+  * Scope contract (loud, not silent): row-level checks (column checks,
+  * wide checks, nullable, coercion failures) and per-column uniqueness
+  * (WITHIN the partition — the partition is the validation unit, as in
+  * "validate the new day's batch") are counted. Aggregate-class checks and
+  * table-level joint uniqueness are refused at call time — the former are
+  * not row-decomposable, the latter is cross-partition by construction;
+  * run `schema.validate` on the increment for those. Schema-level
+  * (metadata) validation runs once per increment via
+  * `validate(depth = SchemaOnly)` and THROWS on hard errors — a ledger
+  * must not quietly record data that failed structural validation.
+  *
+  * Warning-only checks (`raiseWarning`) are counted in `failures` but do
+  * not fail the partition — `passed` mirrors `ValidationResult.passed`.
+  *
+  * Layout: the shared manifest-generation protocol (`manifest.json` +
+  * `rows/<gen>/` parquet; atomic visibility, cooling-ledger GC on compact)
+  * — one crash-safety story with the BM25/ANN/fingerprint/sketch stores.
+  * Single-writer per ledger, like every store in this family.
+  *
+  * Re-validation is deliberate, not a flag: corrected partitions are new
+  * partition VALUES (e.g. `ds=2026-08-15.v2`) or a new ledger. A ledger
+  * row is an audit record; silently replacing one would make the rollup
+  * lie about what was checked. */
+object ValidationLedger {
+
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
+
+  private def manifestPath(path: String) = s"$path/manifest.json"
+  private def rowsRoot(path: String) = s"$path/rows"
+  private def genPath(path: String, gen: String) = s"$path/rows/$gen"
+
+  private case class LgManifest(gens: Seq[String], marks: Map[String, Long],
+      cooling: Map[String, Long])
+
+  private def readManifest(spark: SparkSession, path: String): LgManifest = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(StoreFiles.readUtf8(spark, manifestPath(path)),
+        classOf[java.util.Map[String, Any]])
+    require(String.valueOf(root.get("format")) == "graft-validation-ledger",
+      s"not a validation ledger at $path")
+    import scala.jdk.CollectionConverters._
+    LgManifest(
+      root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
+        .map(String.valueOf),
+      StoreFiles.jsonLongMap(root.get("marks")),
+      StoreFiles.jsonLongMap(root.get("cooling")))
+  }
+
+  private def writeManifest(spark: SparkSession, path: String,
+      m: LgManifest): Unit =
+    StoreFiles.writeUtf8Atomic(spark, manifestPath(path),
+      s"""{"format":"graft-validation-ledger","version":1,""" +
+        s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
+        s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    StoreFiles.fs(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(manifestPath(path)))
+
+  /** The committed ledger rows: (partition, batch, n_rows, failures
+    * map<check,count>, n_failed, passed), one row per validated partition. */
+  def rows(spark: SparkSession, path: String): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.gens.nonEmpty, s"validation ledger at $path has no rows")
+    m.gens.map(g => spark.read.parquet(genPath(path, g)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Partition values already validated — the skip set. Bounded collect:
+    * the ledger is the small side BY CONTRACT (one row per partition;
+    * `graft.ledger.maxPartitions` caps it loudly). */
+  def validatedPartitions(spark: SparkSession, path: String): Set[String] =
+    if (!exists(spark, path)) Set.empty
+    else {
+      val m = readManifest(spark, path)
+      if (m.gens.isEmpty) Set.empty
+      else StoreFiles.collectBounded(
+        rows(spark, path).select("partition").distinct(),
+        s"validation ledger at $path",
+        "graft.ledger.maxPartitions", 1000000)
+        .map(_.getString(0)).toSet
+    }
+
+  /** Validate the UNSEEN partitions of `data` and append their verdicts.
+    *
+    * One grouped fused pass over the increment: every row-level check of
+    * `schema` (plus per-column uniqueness, counted within the partition)
+    * becomes a `sum(when(fail, 1))` slot under `GROUP BY partitionCol` —
+    * cost is one scan of the new partitions regardless of check count,
+    * the Validator's fused-aggregate design applied per partition. Each
+    * per-column `unique` adds a distinct-aggregate branch (Spark Expand);
+    * typical schemas carry 0-2.
+    *
+    * Partition values are compared as their CAST-TO-STRING form (the
+    * ledger's uniform key); null partitions are refused loudly — an
+    * unpartitionable row would otherwise be re-validated forever.
+    *
+    * Returns the newly appended verdict rows (empty when nothing new —
+    * no generation is committed). Idempotent under re-runs. */
+  def validateIncrement(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String): DataFrame = {
+    val spark = data.sparkSession
+    require(data.columns.contains(partitionCol),
+      s"partition column '$partitionCol' not in data")
+    require(schema.unique.isEmpty,
+      "validateIncrement: table-level joint uniqueness is cross-partition " +
+        "by construction and cannot be ledgered per partition — run " +
+        "schema.validate on the increment for it, or drop it from the " +
+        "ledger schema")
+    val (work, slots, aggLabels) = Validator.rowCheckSlots(schema, data)
+    require(aggLabels.isEmpty,
+      "validateIncrement: aggregate-class checks are not row-decomposable " +
+        s"and cannot be ledgered per partition: ${aggLabels.mkString(", ")} " +
+        "— run schema.validate on the increment for those, or drop them " +
+        "from the ledger schema")
+
+    // unseen partitions: data's distinct values minus the ledger's set.
+    // Both sides are bounded collects; the data side is a column-pruned
+    // distinct scan (partition-column-only for partitioned sources).
+    val already = validatedPartitions(spark, path)
+    val partRows = StoreFiles.collectBounded(
+      data.select(q(partitionCol)).distinct(),
+      s"distinct '$partitionCol' values",
+      "graft.ledger.maxPartitions", 1000000)
+    require(!partRows.exists(_.isNullAt(0)),
+      s"validateIncrement: null '$partitionCol' values — a null partition " +
+        "has no ledger identity and would re-validate forever; filter or " +
+        "fill it first")
+    val newVals = partRows.map(_.get(0))
+      .filterNot(v => already.contains(String.valueOf(v)))
+    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("failures",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType), nullable = true),
+      org.apache.spark.sql.types.StructField("n_failed",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("passed",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    if (newVals.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        resultSchema)
+
+    // structural validation of the increment, once, before anything is
+    // recorded — zero data jobs (metadata only), throws on hard errors
+    Validator.validate(schema, data,
+      depth = graft.errors.GraftConfig.SchemaOnly).orThrow: Unit
+
+    // restrict to the unseen partitions. Few values inline as literals —
+    // STATIC partition pruning, the scan lists only the new partitions;
+    // many values (a backfill) ride a broadcast semi-join instead of
+    // exploding the plan with literals.
+    val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
+      .map(_.toInt).getOrElse(1024)
+    val increment =
+      if (newVals.length <= maxInline)
+        work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
+      else {
+        val keyDf = spark.createDataFrame(
+          java.util.Arrays.asList(partRows.filterNot(r =>
+            already.contains(String.valueOf(r.get(0)))): _*),
+          org.apache.spark.sql.types.StructType(Seq(data.schema(partitionCol))))
+        work.join(broadcast(keyDf),
+          work(partitionCol) === keyDf(partitionCol), "left_semi")
+      }
+
+    // the grouped fused pass: one slot per row-level check, plus a
+    // within-partition duplicate count per unique column
+    val uniqueCols = schema.resolveColumns(data.columns.toSeq)
+      .collect { case (dn, (_, cs)) if cs.unique => dn }.distinct
+    val slotExprs = slots.zipWithIndex.map { case (s, i) =>
+      coalesce(sum(when(s.failCond, 1L)), lit(0L)).as(s"__f_$i") }
+    val uniqExprs = uniqueCols.zipWithIndex.map { case (c, i) =>
+      (count(q(c)) - count_distinct(q(c))).as(s"__u_$i") }
+    val aggExprs = (count(lit(1)).as("n_rows") +: slotExprs) ++ uniqExprs
+    val grouped = increment
+      .groupBy(q(partitionCol).cast("string").as("partition"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val labels = slots.map(_.label) ++ uniqueCols.map(c => s"$c:unique")
+    val counts = slots.indices.map(i => col(s"__f_$i")) ++
+      uniqExprs.indices.map(i => col(s"__u_$i"))
+    val hardCounts = (slots.zipWithIndex.collect {
+      case (s, i) if !s.isWarning => col(s"__f_$i") } ++
+      uniqExprs.indices.map(i => col(s"__u_$i")))
+    val failuresMap =
+      if (labels.isEmpty) map().cast("map<string,long>")
+      else map(labels.zip(counts).flatMap { case (l, c) => Seq(lit(l), c) }: _*)
+    val nFailed = hardCounts.reduceOption(_ + _).getOrElse(lit(0L))
+    val verdicts = grouped.select(
+      col("partition"),
+      lit(batchLabel).as("batch"),
+      col("n_rows"),
+      failuresMap.as("failures"),
+      nFailed.as("n_failed"),
+      (nFailed === 0L).as("passed"))
+
+    // commit as one generation: write (invisible), then one manifest flip
+    val m0 = if (exists(spark, path)) readManifest(spark, path)
+      else LgManifest(Nil, Map.empty, Map.empty)
+    val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    verdicts.write.mode("overwrite").parquet(genPath(path, gen))
+    val wrote =
+      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
+        !spark.read.parquet(genPath(path, gen)).isEmpty
+    if (!wrote) { // an all-filtered increment: nothing to record
+      StoreFiles.fs(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        resultSchema)
+    }
+    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen))
+    spark.read.parquet(genPath(path, gen))
+  }
+
+  /** Whole-corpus validation posture from the ledger alone — reads KBs,
+    * never the data: one row per validated partition, ordered. */
+  def status(spark: SparkSession, path: String): DataFrame =
+    rows(spark, path).orderBy("partition")
+
+  /** One-row rollup: partitions seen/failed, rows seen, total failures. */
+  def statusSummary(spark: SparkSession, path: String): DataFrame =
+    rows(spark, path).agg(
+      count(lit(1)).as("n_partitions"),
+      coalesce(sum(when(!col("passed"), 1L)), lit(0L)).as("n_failed_partitions"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("n_failed")), lit(0L)).as("n_failures"))
+
+  /** Rewrite the committed generations as one (rows are already one per
+    * partition — this coalesces FILES, not semantics). Atomic flip;
+    * superseded generations cool for `graft.ledger.gcGraceMs` (default
+    * 15 min) before the sweep, so lock-free readers survive. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m0 = readManifest(spark, path)
+    val all = rows(spark, path)
+    val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    all.coalesce(1).write.mode("overwrite").parquet(genPath(path, gen))
+    val graceMs = spark.conf.getOption("graft.ledger.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m0.cooling, m0.gens.toSet,
+      gen, graceMs, System.currentTimeMillis())
+    writeManifest(spark, path, m0.copy(gens = Seq(gen), cooling = cooling))
+    StoreFiles.sweepGenerations(spark, rowsRoot(path), keep)
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ext.ValidationLedger
+import graft.schema.{ColumnSchema, DataFrameSchema}
+import graft.checks.Check
+
+class ValidationLedgerSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-vledger").toString
+
+  // 4 partitions p0..p3 (by id % 4); v is negative exactly for odd ids,
+  // so p1/p3 fail ge(0) on EVERY row and p0/p2 on none — the ledger must
+  // record both failing and clean partitions. p3 rows all share dup=7 (a
+  // unique-check violation within that partition only).
+  private def corpus = spark.range(400).select(
+    concat(lit("p"), col("id") % 4).as("part"),
+    when(col("id") % 2 === 1, -col("id")).otherwise(col("id")).as("v"),
+    when(col("id") % 4 === 3, lit(7L)).otherwise(col("id")).as("dup"))
+
+  private val schema = DataFrameSchema(
+    "part" -> ColumnSchema.of(StringType),
+    "v" -> ColumnSchema.of(LongType, Check.ge(0L)),
+    "dup" -> ColumnSchema(dtype = Some(LongType), unique = true))
+
+  test("incremental validation: unseen partitions only, idempotent, immutable verdicts") {
+    val dir = tmp()
+    // increment 1: two partitions
+    val inc1 = ValidationLedger.validateIncrement(schema,
+      corpus.filter(col("part").isin("p0", "p1")), "part", dir, "b1")
+    assert(inc1.select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("p0", "p1"))
+    // increment 2 sees the FULL corpus but must validate only p2/p3
+    val inc2 = ValidationLedger.validateIncrement(schema,
+      corpus, "part", dir, "b2")
+    assert(inc2.select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("p2", "p3"))
+    // idempotent: nothing new -> empty result, no new generation
+    val inc3 = ValidationLedger.validateIncrement(schema,
+      corpus, "part", dir, "b3")
+    assert(inc3.isEmpty)
+    // verdicts are immutable: re-feeding a seen partition with DIFFERENT
+    // (now all-failing) rows changes nothing — the ledger is an audit
+    // record of what WAS validated
+    val mutated = corpus.withColumn("v", lit(-1L))
+    assert(ValidationLedger.validateIncrement(schema,
+      mutated, "part", dir, "b4").isEmpty)
+    val st = ValidationLedger.status(spark, dir).collect()
+    assert(st.length == 4)
+    val byPart = st.map(r => r.getString(0) ->
+      (r.getLong(2), r.getAs[Map[String, Long]](3), r.getLong(4),
+        r.getBoolean(5))).toMap
+    // every partition has 100 rows; odd partitions fail ge(0) on all of
+    // them, even partitions on none (and must read as PASSED)
+    for (p <- Seq("p0", "p1", "p2", "p3")) {
+      val (n, fails, _, passed) = byPart(p)
+      val expect = if (p == "p1" || p == "p3") 100L else 0L
+      assert(n == 100L, s"$p n_rows")
+      assert(fails("v:greater_than_or_equal_to(0)") == expect, s"$p ge count")
+      assert(passed == (expect == 0L && p != "p3"), s"$p passed")
+    }
+    // dup=7 duplicates exist ONLY within p3 (100 rows, 1 distinct)
+    assert(byPart("p3")._2("dup:unique") == 99L)
+    assert(byPart("p0")._2("dup:unique") == 0L)
+    // batch lineage recorded per increment
+    assert(st.map(_.getString(1)).toSet == Set("b1", "b2"))
+  }
+
+  test("grouped fused counts equal the corpus-wide Validator counts") {
+    val dir = tmp()
+    ValidationLedger.validateIncrement(schema, corpus, "part", dir, "all")
+    val summary = ValidationLedger.statusSummary(spark, dir).head()
+    assert(summary.getLong(0) == 4L) // partitions
+    assert(summary.getLong(1) == 2L) // p1/p3 fail, p0/p2 clean
+    assert(summary.getLong(2) == 400L) // rows
+    // the same schema validated corpus-wide: ge failures must agree
+    // (200 odd ids). Uniqueness semantics differ by construction
+    // (within-partition vs corpus-wide), so compare the ge slot only.
+    val res = schema.validate(corpus)
+    val geCount = res.hardErrors
+      .find(_.check.startsWith("greater_than_or_equal_to")).get.failureCount
+    val ledgerGe = ValidationLedger.rows(spark, dir)
+      .select(explode(col("failures")))
+      .filter(col("key") === "v:greater_than_or_equal_to(0)")
+      .agg(sum("value")).head().getLong(0)
+    assert(ledgerGe == geCount && geCount == 200L)
+  }
+
+  test("warning-only checks are counted but do not fail the partition") {
+    val dir = tmp()
+    val warnSchema = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType,
+        Check.ge(0L).copy(raiseWarning = true)))
+    val out = ValidationLedger.validateIncrement(warnSchema,
+      corpus.select("part", "v"), "part", dir, "w")
+    val r = out.filter(col("partition") === "p1").head()
+    assert(r.getAs[Map[String, Long]]("failures")(
+      "v:greater_than_or_equal_to(0)") == 100L)
+    assert(r.getAs[Long]("n_failed") == 0L && r.getAs[Boolean]("passed"))
+  }
+
+  test("loud refusals: aggregate checks, joint uniqueness, null partitions") {
+    val dir = tmp()
+    val aggSchema = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType, Check.meanBetween(0.0, 1e9)))
+    val e1 = intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrement(aggSchema,
+        corpus.select("part", "v"), "part", dir, "x"))
+    assert(e1.getMessage.contains("aggregate-class"))
+    val e2 = intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrement(
+        schema.copy(unique = Seq("v", "dup")), corpus, "part", dir, "x"))
+    assert(e2.getMessage.contains("joint uniqueness"))
+    val e3 = intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrement(schema,
+        corpus.withColumn("part",
+          when(col("v") < 0, lit(null)).otherwise(col("part"))),
+        "part", dir, "x"))
+    assert(e3.getMessage.contains("null"))
+  }
+
+  test("schema-level failure aborts the increment before anything is recorded") {
+    val dir = tmp()
+    val strictSchema = schema.copy(strict = graft.schema.Strict.Error)
+    intercept[graft.errors.SchemaErrorException](
+      ValidationLedger.validateIncrement(strictSchema,
+        corpus.withColumn("extra", lit(1)), "part", dir, "x"))
+    // nothing was committed — the ledger does not exist yet
+    assert(ValidationLedger.validatedPartitions(spark, dir).isEmpty)
+  }
+
+  test("crash orphan is never served; compact collapses files and keeps rows") {
+    val dir = tmp()
+    ValidationLedger.validateIncrement(schema,
+      corpus.filter(col("part") === "p0"), "part", dir, "a")
+    ValidationLedger.validateIncrement(schema, corpus, "part", dir, "b")
+    val before = ValidationLedger.rows(spark, dir).orderBy("partition")
+      .collect().map(_.toString).toSeq
+    // simulate a crashed append: a generation dir with data but no
+    // manifest flip — must not be served
+    ValidationLedger.rows(spark, dir).limit(1)
+      .write.parquet(s"$dir/rows/g99")
+    assert(ValidationLedger.rows(spark, dir).count() == 4)
+    spark.conf.set("graft.ledger.gcGraceMs", "0")
+    try ValidationLedger.compact(spark, dir)
+    finally spark.conf.unset("graft.ledger.gcGraceMs")
+    val after = ValidationLedger.rows(spark, dir).orderBy("partition")
+      .collect().map(_.toString).toSeq
+    assert(after == before)
+    // the orphan is swept immediately (never in any manifest); the
+    // superseded generations COOL for one cycle even at grace 0 (the
+    // lock-free-reader guarantee) and go on the next compact
+    def live() = new java.io.File(s"$dir/rows").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq.sorted
+    val l1 = live()
+    assert(!l1.contains("g99") && l1.length == 3, l1.mkString(","))
+    spark.conf.set("graft.ledger.gcGraceMs", "0")
+    try ValidationLedger.compact(spark, dir)
+    finally spark.conf.unset("graft.ledger.gcGraceMs")
+    val l2 = live()
+    assert(l2.length == 2 && !l2.exists(Set("g0", "g1", "g99")),
+      l2.mkString(","))
+    assert(ValidationLedger.rows(spark, dir).orderBy("partition")
+      .collect().map(_.toString).toSeq == before)
+    // a post-compact increment still appends (nothing new here -> empty)
+    assert(ValidationLedger.validateIncrement(schema, corpus, "part",
+      dir, "c").isEmpty)
+  }
+}
