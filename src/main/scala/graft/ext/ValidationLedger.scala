@@ -144,20 +144,28 @@ object ValidationLedger {
         "— run schema.validate on the increment for those, or drop them " +
         "from the ledger schema")
 
-    // unseen partitions: data's distinct values minus the ledger's set.
-    // Both sides are bounded collects; the data side is a column-pruned
-    // distinct scan (partition-column-only for partitioned sources).
+    // unseen partitions: the STAGED frame's distinct values minus the
+    // ledger's set. The collect runs over `work`, not raw `data`, and
+    // carries BOTH the native value (for the filter below, which also
+    // applies to `work`) and its cast-to-string form — the exact
+    // expression the verdict groupBy keys on — so the skip-set and the
+    // committed ledger keys share one canonical form (r13 advice fix:
+    // comparing raw pre-coercion values would never match a coerced key,
+    // e.g. string "01" declared LongType → stored "1", and the partition
+    // would re-validate and re-append on every run). Both sides are
+    // bounded collects; the data side is a column-pruned distinct scan.
     val already = validatedPartitions(spark, path)
     val partRows = StoreFiles.collectBounded(
-      data.select(q(partitionCol)).distinct(),
+      work.select(q(partitionCol), q(partitionCol).cast("string").as("__k"))
+        .distinct(),
       s"distinct '$partitionCol' values",
       "graft.ledger.maxPartitions", 1000000)
     require(!partRows.exists(_.isNullAt(0)),
-      s"validateIncrement: null '$partitionCol' values — a null partition " +
-        "has no ledger identity and would re-validate forever; filter or " +
-        "fill it first")
-    val newVals = partRows.map(_.get(0))
-      .filterNot(v => already.contains(String.valueOf(v)))
+      s"validateIncrement: null '$partitionCol' values (raw or " +
+        "coercion-failed) — a null partition has no ledger identity and " +
+        "would re-validate forever; filter or fill it first")
+    val freshRows = partRows.filterNot(r => already.contains(r.getString(1)))
+    val newVals = freshRows.map(_.get(0))
     val resultSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("partition",
         org.apache.spark.sql.types.StringType, nullable = false),
@@ -194,9 +202,9 @@ object ValidationLedger {
         work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
       else {
         val keyDf = spark.createDataFrame(
-          java.util.Arrays.asList(partRows.filterNot(r =>
-            already.contains(String.valueOf(r.get(0)))): _*),
-          org.apache.spark.sql.types.StructType(Seq(data.schema(partitionCol))))
+          java.util.Arrays.asList(freshRows.map(r =>
+            org.apache.spark.sql.Row(r.get(0))): _*),
+          org.apache.spark.sql.types.StructType(Seq(work.schema(partitionCol))))
         work.join(broadcast(keyDf),
           work(partitionCol) === keyDf(partitionCol), "left_semi")
       }

@@ -478,17 +478,36 @@ object Hypothesis {
     * the remaining distinct values into one bucket — that degrades
     * parallelism of step 2, never correctness or the boundedness of step 3.
     *
+    * Non-finite values (r13, advice fix): `width_bucket` returns null for a
+    * NaN input and for NaN/infinite bounds, and a null `bkt` would silently
+    * drop every row at the bucket equi-join — so bounds are computed over
+    * FINITE values only and non-finite values get deterministic sentinel
+    * buckets matching Spark's double sort order (−Inf < finite < +Inf <
+    * NaN): −Inf → 0, +Inf → numBuckets+1, NaN → numBuckets+2. Each holds at
+    * most one histogram row (the hist is grouped by v; Spark normalizes all
+    * NaNs to one group), so the v-ordered cumsum is unchanged from what the
+    * former global window produced.
+    *
     * Output: hist columns + `c1`,`c2` (inclusive cumsums of n1,n2 in
     * v-order) + `t1`,`t2` (grand totals). */
   private[graft] def histPrefixSums(hist: DataFrame,
       numBuckets: Int = 1024): DataFrame = {
     val b = math.max(numBuckets, 1)
-    val bounds = hist.agg(min(col("v")).as("_vmin"), max(col("v")).as("_vmax"))
+    val vFinite = !isnan(col("v")) &&
+      col("v") =!= lit(Double.PositiveInfinity) &&
+      col("v") =!= lit(Double.NegativeInfinity)
+    val bounds = hist.agg(
+      min(when(vFinite, col("v"))).as("_vmin"),
+      max(when(vFinite, col("v"))).as("_vmax"))
     val bucketed = hist.crossJoin(broadcast(bounds))
       .withColumn("bkt",
-        when(col("_vmin") === col("_vmax"), lit(1L)).otherwise(
-          least(width_bucket(col("v"), col("_vmin"), col("_vmax"), lit(b)),
-                lit(b.toLong))))
+        when(isnan(col("v")), lit(b.toLong + 2L))
+          .when(col("v") === lit(Double.PositiveInfinity), lit(b.toLong + 1L))
+          .when(col("v") === lit(Double.NegativeInfinity), lit(0L))
+          .when(col("_vmin") === col("_vmax"), lit(1L))
+          .otherwise(
+            least(width_bucket(col("v"), col("_vmin"), col("_vmax"), lit(b)),
+                  lit(b.toLong))))
       .drop("_vmin", "_vmax")
     val wLoc = Window.partitionBy("bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)

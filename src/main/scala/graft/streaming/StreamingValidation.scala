@@ -441,8 +441,9 @@ object StreamingValidation {
       .agg(counts.head, counts.tail: _*)
     val total = (0 until bins).map(i => col(s"__n$i")).reduce(_ + _)
     val refCum = refFracs.scanLeft(0.0)(_ + _).tail // inclusive, driver-side
-    // cum at bin b is F(e_{b+1}) integrated over [e_{b+1}, e_{b+2}] — the
-    // batch wasserstein1's width convention, zero width for the two
+    // with bin b counting values in (e_{b-1}, e_b], cum at bin b is F(e_b),
+    // integrated left-endpoint over [e_b, e_{b+1}] (width e_{b+1} − e_b) —
+    // the batch wasserstein1's convention, zero width for the two
     // right-edge bins
     val widths = (0 until bins).map(b =>
       if (b <= bins - 3) refEdges(b + 1) - refEdges(b) else 0.0)

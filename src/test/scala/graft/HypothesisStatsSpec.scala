@@ -223,6 +223,34 @@ class HypothesisStatsSpec extends SparkSpec {
         ksOut.getDouble(0)) < 1e-6)
   }
 
+  test("stat DFs: NaN and ±Infinity values get sentinel buckets, not null stats (r13)") {
+    // width_bucket returns null for NaN input and NaN/infinite bounds; a
+    // null bkt silently dropped every row at the bucket equi-join, so the
+    // statistic came back null masquerading as the 'absent group' outcome.
+    // Sentinels preserve Spark sort order: -Inf < finite < +Inf < NaN.
+    // g1=[-Inf,1,2] g2=[1,+Inf,NaN]: sorted -Inf,1,1,2,Inf,NaN →
+    // ranks 1, 2.5, 2.5, 4, 5, 6 → R1 = 1+2.5+4 = 7.5, U1 = 7.5-6 = 1.5;
+    // KS D = max gap = |1 - 1/3| at v=2 = 2/3
+    val df = Seq(
+      ("a", Double.NegativeInfinity), ("a", 1.0), ("a", 2.0),
+      ("b", 1.0), ("b", Double.PositiveInfinity), ("b", Double.NaN))
+      .toDF("g", "v")
+    val mw = Hypothesis.mannWhitneyStatDF(df, "v", "g", "a", "b").head()
+    assert(!mw.isNullAt(0) && mw.getDouble(0) == 1.5, mw.toString)
+    assert(mw.getLong(2) == 3 && mw.getLong(3) == 3)
+    val ks = Hypothesis.ksTwoSampleStatDF(df, "v", "g", "a", "b").head()
+    assert(!ks.isNullAt(0), "KS d must not be null on non-finite values")
+    assert(math.abs(ks.getDouble(0) - 0.666667) < 1e-6, ks.toString)
+    // all-non-finite column: bounds are null but no row takes the
+    // width_bucket path, so the plan still produces a real statistic
+    val nf = Seq(("a", Double.NegativeInfinity), ("a", Double.NaN),
+      ("b", Double.PositiveInfinity), ("b", Double.NaN)).toDF("g", "v")
+    val ks2 = Hypothesis.ksTwoSampleStatDF(nf, "v", "g", "a", "b").head()
+    // sorted: -Inf, +Inf, NaN,NaN → gaps 1/2, 1/2+? → F1: 1/2,1/2,1; F2: 0,1/2,1
+    assert(!ks2.isNullAt(0) && math.abs(ks2.getDouble(0) - 0.5) < 1e-6,
+      ks2.toString)
+  }
+
   test("kolmogorov p-value: known reference points") {
     // Q(0) = 1; Q is decreasing; scipy.special.kolmogorov(1.0) ≈ 0.26999967
     assert(Hypothesis.kolmogorovPValue(0.0) == 1.0)

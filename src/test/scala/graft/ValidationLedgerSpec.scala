@@ -68,6 +68,27 @@ class ValidationLedgerSpec extends SparkSpec {
     assert(st.map(_.getString(1)).toSet == Set("b1", "b2"))
   }
 
+  test("coerced partition column: skip-set and ledger keys share one canonical form (r13)") {
+    // partition column arrives as zero-padded STRINGS but the schema
+    // declares LongType: the verdict groupBy keys on the coerced cast
+    // ("01" → "1"). The skip-set must use the same form, or the partition
+    // never matches and re-validates + re-appends on every run.
+    val dir = tmp()
+    val padded = spark.range(100).select(
+      format_string("%02d", col("id") % 3).as("part"),
+      col("id").as("v"))
+    val sch = DataFrameSchema(
+      "part" -> ColumnSchema(dtype = Some(LongType), coerce = true),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L)))
+    val inc1 = ValidationLedger.validateIncrement(sch, padded, "part", dir, "b1")
+    assert(inc1.select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("0", "1", "2"))
+    // re-run over the same data: idempotent — no duplicate audit rows
+    assert(ValidationLedger.validateIncrement(sch, padded, "part", dir, "b2")
+      .isEmpty)
+    assert(ValidationLedger.status(spark, dir).count() == 3L)
+  }
+
   test("grouped fused counts equal the corpus-wide Validator counts") {
     val dir = tmp()
     ValidationLedger.validateIncrement(schema, corpus, "part", dir, "all")
