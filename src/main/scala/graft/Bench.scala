@@ -543,14 +543,25 @@ object Bench {
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
     val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
-    // ALSO write the metrics to a file: the driver's BENCH_r08.json tail
-    // cap truncated the stdout line's head and lost total/validate_full —
-    // a file can't be cut by a log tail (r8 verdict What's-wrong #4)
+    // The FULL metrics (4-decimal timings + per-section loadavg/gc maps)
+    // go to a file: the driver's BENCH_r08.json tail cap truncated the
+    // stdout line's head and lost total/validate_full — a file can't be
+    // cut by a log tail (r8 verdict What's-wrong #4).
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"BENCH_LOCAL.json write failed: $e") }
-    println(line)
+    // stdout gets a COMPACT line (r13, verdict #6): the driver keeps only
+    // the LAST ~2000 stdout chars and sbt appends ~80 more, so the full
+    // line's head was cut every round since r9 and BENCH_r{N}.json had
+    // "parsed": null. 2-decimal timings, counters, load_1m_max, no
+    // per-section maps: ~1.5 KB — parses inside the tail cap with margin.
+    // BENCH_LOCAL.json stays the artifact of record.
+    val qsCompact = (results.map { case (k, v) => s""""$k":${num("%.2f", v)}""" } ++
+      Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
+        s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qsCompact,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1420,6 +1420,49 @@ object SparkEntry {
         Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 11)
         .select("doc_id", "lang", "split").orderBy("doc_id")
     }),
+    "ledger_incremental" -> ((s, d) => {
+      // round-13 (verdict #1): the incremental validation ledger gated
+      // end-to-end — validate each partition of a growing corpus ONCE,
+      // persist the per-partition verdict, answer later "is the corpus
+      // clean?" questions from the KB-sized ledger without re-reading
+      // data. Two increments over orders partitioned by o_orderpriority:
+      // increment 1 sees two priorities; increment 2 sees the FULL table
+      // but must validate only the three unseen ones (pinned in-gate); a
+      // third call is a no-op; compact() collapses generations without
+      // changing a row (the oracle reads the post-compact ledger). The
+      // oracle re-derives every ledger cell from orders.parquet alone:
+      // per-partition n_rows, each check slot's failure count (ge on
+      // price = 0 everywhere, str_length(1,10) fails exactly the
+      // '4-NOT SPECIFIED' partition, within-partition o_orderkey
+      // uniqueness = 0), n_failed, and passed.
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+      val sch = DataFrameSchema(
+        "o_orderkey" -> ColumnSchema(dtype = Some(LongType), unique = true),
+        "o_totalprice" -> ColumnSchema.of(DoubleType, Check.ge(0.0)),
+        "o_orderpriority" -> ColumnSchema.of(StringType,
+          Check.strLength(Some(1), Some(10))))
+      val inc1 = ext.ValidationLedger.validateIncrement(sch,
+        orders.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "o_orderpriority", dir, "b1")
+      require(inc1.select("partition").collect().map(_.getString(0)).sorted
+        .sameElements(Array("1-URGENT", "2-HIGH")),
+        "increment 1 must validate exactly its two partitions")
+      val inc2 = ext.ValidationLedger.validateIncrement(sch, orders,
+        "o_orderpriority", dir, "b2")
+      require(inc2.select("partition").collect().map(_.getString(0)).sorted
+        .sameElements(Array("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        "increment 2 must skip the already-validated partitions")
+      require(ext.ValidationLedger.validateIncrement(sch, orders,
+        "o_orderpriority", dir, "b3").isEmpty,
+        "re-running over seen data must be a no-op")
+      ext.ValidationLedger.compact(s, dir)
+      ext.ValidationLedger.status(s, dir)
+        .select(col("partition").as("part"), col("batch"), col("n_rows"),
+          explode(col("failures")).as(Seq("check_label", "failures")),
+          col("n_failed"), col("passed"))
+        .orderBy("part", "check_label")
+    }),
     "pipeline_crawl_batch" -> ((s, d) => {
       // round-10: the STORE-BACKED nightly crawl pipeline end-to-end as
       // ONE gate — what a 100 TB ingest actually runs per batch:
@@ -1511,6 +1554,36 @@ object SparkEntry {
       val psi = ext.Drift.psiAgainstProfile(
         survivors.select(ext.TextAnalysis.tokenCount(col("text"))
           .cast("double").as("tok_cnt")), "tok_cnt", np.edges, np.fracs)
+      // 6. (r13, verdict #3) record the batch verdict in the validation
+      // LEDGER: the historical corpus was ledgered as partition 'hist'
+      // when the stores were built; tonight's increment sees hist+batch
+      // but must validate ONLY the new 'night1' partition (pinned
+      // in-gate), and the corpus-clean rollup rows below are served from
+      // the ledger — the oracle re-derives them from the same parquet
+      val ldir = tmp("graft-cb-ledger")
+      val ledSch = DataFrameSchema(
+        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "text" -> ColumnSchema(Some(StringType), Seq(
+          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
+          ColumnCheck("text_short", c => length(c) <= 300)),
+          nullable = false),
+        "ds" -> ColumnSchema.of(StringType))
+      ext.ValidationLedger.validateIncrement(ledSch,
+        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist")
+      val nightly = ext.ValidationLedger.validateIncrement(ledSch,
+        hist.withColumn("ds", lit("hist")).unionByName(
+          survivors.select(col("id").as("doc_id"), col("text"))
+            .withColumn("ds", lit("night1"))),
+        "ds", ldir, "night1")
+      require(nightly.select("partition").collect().map(_.getString(0))
+        .toSeq == Seq("night1"),
+        "nightly increment must skip the ledgered historical partition")
+      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
+        when(col("partition") === "hist", -200L).otherwise(-201L)
+          .as("doc_id"),
+        concat(lit("ledger:"), col("partition"),
+          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
+          lit(",passed="), col("passed")).as("status"))
       // disposition table + drift rows, one frame, fully SQL-re-derivable
       val invalid = bA.filter(!col("corrupt")).select(col("id"))
         .unionByName(bB.select(col("id"))).unionByName(bC.select(col("id")))
@@ -1533,6 +1606,7 @@ object SparkEntry {
         .unionByName(psi.limit(1).select(lit(-100L).as("doc_id"),
           concat(lit("psi_total:"),
             format_string("%.6f", col("psi_total"))).as("status")))
+        .unionByName(ledgerRows)
         .orderBy("doc_id")
     }),
     "drift_psi" -> ((s, d) =>
@@ -3512,6 +3586,24 @@ object SparkEntry {
         "SELECT (SELECT count(*) FROM orders) AS n_total, " +
         "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
         "lo, hi FROM b"),
+    "ledger_incremental" ->
+      // the committed ledger re-derived cell-by-cell from orders.parquet:
+      // per-partition n_rows + each check slot's failure count (the exact
+      // slot LABELS the engine builds — column:described / column:unique),
+      // n_failed over hard slots, passed = (n_failed = 0). Batch lineage
+      // follows the increments: the two b1 priorities, the rest b2.
+      ("WITH p AS (SELECT o_orderpriority AS part, " +
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'b1' ELSE 'b2' END AS batch, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0.0)) AS BIGINT) AS f_ge, " +
+        "CAST(count(*) FILTER (WHERE NOT (len(o_orderpriority) BETWEEN 1 AND 10)) AS BIGINT) AS f_len, " +
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_uni " +
+        "FROM orders GROUP BY 1, 2), " +
+        "x AS (SELECT part, batch, n_rows, 'o_totalprice:greater_than_or_equal_to(0.0)' AS check_label, f_ge AS failures, f_ge + f_len + f_uni AS n_failed FROM p " +
+        "UNION ALL SELECT part, batch, n_rows, 'o_orderpriority:str_length(10, 1)', f_len, f_ge + f_len + f_uni FROM p " +
+        "UNION ALL SELECT part, batch, n_rows, 'o_orderkey:unique', f_uni, f_ge + f_len + f_uni FROM p) " +
+        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed " +
+        "FROM x ORDER BY part, check_label"),
     "pipeline_crawl_batch" ->
       // the full store-backed nightly flow re-derived from the shared
       // parquet alone: batch construction (fresh/re-crawl/near-dup/blank/
@@ -3559,13 +3651,20 @@ object SparkEntry {
         "jj AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
         "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
         "kk AS (SELECT bin, round((cf - rf) * ln(cf / rf), 6) AS pc FROM jj), " +
+        // r13: the validation-ledger rollup rows — per-partition n_rows and
+        // hard-failure count under the ledger schema (text_nonblank passes
+        // everywhere by construction, text_short counts len(text) > 300)
+        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM hist), " +
+        "ledcur AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM ingested), " +
         "disp AS (SELECT id AS doc_id, 'quarantined' AS status FROM quarantined " +
         "UNION ALL SELECT id, 'invalid' FROM invalid " +
         "UNION ALL SELECT id, 'exact_dup' FROM exact_dup " +
         "UNION ALL SELECT id, 'near_dup' FROM near " +
         "UNION ALL SELECT id, 'ingested' FROM ingested " +
         "UNION ALL SELECT CAST(-(bin + 1) AS BIGINT), 'drift:' || printf('%.6f', pc) FROM kk " +
-        "UNION ALL SELECT CAST(-100 AS BIGINT), 'psi_total:' || printf('%.6f', (SELECT round(sum(pc), 6) FROM kk))) " +
+        "UNION ALL SELECT CAST(-100 AS BIGINT), 'psi_total:' || printf('%.6f', (SELECT round(sum(pc), 6) FROM kk)) " +
+        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
+        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur) " +
         "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +

@@ -136,18 +136,29 @@ object Salting {
     * `left` for its key set — a SECOND scan in a separate job from the
     * core join. The key set is unbounded, so the collect-once trick the
     * hot-key probe uses is not available; if `left` is nondeterministic
-    * (sample/rand/limit-without-order, or a table mutating between
-    * jobs) the two evaluations can disagree and a right row may emit
-    * both matched and null-extended, or neither. Same class of contract
-    * as Spark's own self-join over a nondeterministic child: inputs
-    * must be re-evaluation-stable. inner/left scan `left` once past the
-    * hot-key probe and carry no such caveat (a drifting hot-key SET
-    * only shifts which keys get salted, never the output rows). */
+    * (an `asNondeterministic` UDF, a limit-without-order, or a table
+    * mutating between jobs) the two evaluations can disagree and a right
+    * row may emit both matched and null-extended, or neither. Same class
+    * of contract as Spark's own self-join over a nondeterministic child:
+    * inputs must be re-evaluation-stable. inner/left scan `left` once
+    * past the hot-key probe and carry no such caveat (a drifting hot-key
+    * SET only shifts which keys get salted, never the output rows).
+    *
+    * `stabilizeLeft` (r13, verdict #7) opts right/full out of the caveat:
+    * `left` is persisted (MEMORY_AND_DISK) and the hot-key probe — the
+    * first action, which scans every partition — materializes the cache,
+    * so the core join and the anti leg read ONE snapshot instead of
+    * re-evaluating. The caller owns the cache's lifetime (unpersist
+    * `left` after consuming the result); executor loss can still drop
+    * cached blocks and recompute them (the same residual window as any
+    * persisted nondeterministic frame — localCheckpoint's caveat class).
+    * No-op for inner/left, which have no second evaluation to stabilize. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       saltFactor: Int = 16, hotKeyThreshold: Long = 1000000L,
       maxHotKeys: Int = 100000,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      stabilizeLeft: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "saltedJoin: leftKeys/rightKeys must pair up")
     require(saltFactor >= 1, "saltFactor >= 1")
@@ -164,10 +175,18 @@ object Salting {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       "saltedJoin: __salt/__hot/__rh are reserved column names")
     val spark = left.sparkSession
+    // stabilize: persist BEFORE the hot-key probe — the probe's full scan
+    // is the materializing action, so the core join and the right/full
+    // anti leg below read the cached snapshot instead of re-evaluating a
+    // possibly-nondeterministic left. Caller unpersists.
+    val l =
+      if (stabilizeLeft && (jt == "right" || jt == "full"))
+        left.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else left
     // step 1: hot LEFT keys in one aggregation, bounded collect (null
     // keys never equi-join, so they are excluded from hotness outright)
     val notNullL = leftKeys.map(q(_).isNotNull).reduce(_ && _)
-    val hotRows = left.filter(notNullL)
+    val hotRows = l.filter(notNullL)
       .groupBy(leftKeys.map(q): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotKeyThreshold)
       .select(leftKeys.map(q): _*)
@@ -177,7 +196,7 @@ object Salting {
       s"saltedJoin: more than $maxHotKeys hot keys at threshold " +
         s"$hotKeyThreshold - raise the threshold")
     val keySchema = org.apache.spark.sql.types.StructType(
-      leftKeys.map(k => left.schema(k)).toArray)
+      leftKeys.map(k => l.schema(k)).toArray)
     val hotL = spark.createDataFrame(
         java.util.Arrays.asList(hotRows: _*), keySchema)
       .withColumn("__hot", lit(true))
@@ -200,8 +219,8 @@ object Salting {
     val lSalt = when(coalesce(col("__hot"), lit(false)),
       pmod(xxhash64(col("__rh"), monotonically_increasing_id(), lit(0x5a17e)),
         lit(saltFactor.toLong))).otherwise(lit(0L))
-    val lSalted = left.join(broadcast(hotL), leftKeys.toSeq, "left")
-      .withColumn("__rh", xxhash64(left.columns.map(q).toSeq: _*))
+    val lSalted = l.join(broadcast(hotL), leftKeys.toSeq, "left")
+      .withColumn("__rh", xxhash64(l.columns.map(q).toSeq: _*))
       .sortWithinPartitions("__rh")
       .withColumn("__salt", lSalt).drop("__hot", "__rh")
     // step 3: right rows replicate saltFactor ways for hot keys only
@@ -229,7 +248,7 @@ object Salting {
       // step 5 (right/full): unmatched right rows, exactly once each.
       // distinct() collapses every left key — hot or not — to one build
       // row, so this anti join cannot reintroduce the defused skew.
-      val keySet = left.filter(notNullL)
+      val keySet = l.filter(notNullL)
         .select(leftKeys.zip(rightKeys)
           .map { case (lk, rk) => q(lk).as(rk) }: _*)
         .distinct()
@@ -239,10 +258,10 @@ object Salting {
       // columns to the front), NOT the inputs' original order. The anti
       // leg must mirror that or real right values land in the wrong
       // columns whenever a key isn't its table's first column.
-      val leftOrdered = leftKeys ++ left.columns.filterNot(leftKeys.contains)
+      val leftOrdered = leftKeys ++ l.columns.filterNot(leftKeys.contains)
       val rightOrdered = rightKeys ++ right.columns.filterNot(rightKeys.contains)
       val nullLeft = leftOrdered
-        .map(n => lit(null).cast(left.schema(n).dataType).as(n))
+        .map(n => lit(null).cast(l.schema(n).dataType).as(n))
       core.union(unmatchedR.select(nullLeft ++ rightOrdered.map(q): _*))
     }
   }

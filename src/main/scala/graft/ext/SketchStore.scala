@@ -143,12 +143,11 @@ object SketchStore {
     }
     sketches.withColumn("batch", lit(batchLabel))
       .write.mode("overwrite").parquet(genPath(path, gen))
-    val wrote =
-      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 && {
-        // row-presence, not file-presence: an empty batch writes a
-        // schema-only part file that must not commit as a generation
-        !spark.read.parquet(genPath(path, gen)).isEmpty
-      }
+    // row-presence from the parquet FOOTERS, not file-presence (an empty
+    // batch writes a schema-only part file that must not commit as a
+    // generation) and not a read-back Spark job (that re-read was the
+    // bulk of the r12 manifest-adoption tax — StoreFiles.parquetRowsWritten)
+    val wrote = StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) > 0L
     val marks = stream.fold(m0.marks) { case (tag, id) =>
       m0.marks + (tag -> id) }
     if (!wrote) {

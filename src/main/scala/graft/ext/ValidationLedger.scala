@@ -244,9 +244,9 @@ object ValidationLedger {
       else LgManifest(Nil, Map.empty, Map.empty)
     val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
     verdicts.write.mode("overwrite").parquet(genPath(path, gen))
-    val wrote =
-      StoreFiles.dataFileCountRecursive(spark, genPath(path, gen)) > 0 &&
-        !spark.read.parquet(genPath(path, gen)).isEmpty
+    // row-presence from the parquet footers — zero read-back Spark jobs
+    // (see StoreFiles.parquetRowsWritten)
+    val wrote = StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) > 0L
     if (!wrote) { // an all-filtered increment: nothing to record
       StoreFiles.fs(spark, path)
         .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)

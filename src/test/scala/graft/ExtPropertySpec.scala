@@ -269,6 +269,44 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("stabilizeLeft pins a nondeterministic left for the right/full composition (r13)") {
+    import graft.ext.Salting
+    // right/full re-evaluate `left` in the anti leg (documented caveat).
+    // A genuinely nondeterministic left (asNondeterministic UDF filter,
+    // one row per key kept w.p. 1/2) makes the core join and the anti
+    // leg disagree: some right keys emit BOTH matched and null-extended
+    // rows, others emit neither. The probability all 40 keys agree
+    // across the two independent evaluations is 2^-40 — the hazard
+    // assert cannot realistically flake. stabilizeLeft persists the left
+    // before the hot-key probe materializes it, so both legs read one
+    // snapshot and every right row surfaces exactly once.
+    val keep = udf(() => scala.util.Random.nextBoolean()).asNondeterministic()
+    def ndLeft = spark.range(40).select(col("id").as("lk"),
+      concat(lit("v"), col("id")).as("lv")).filter(keep())
+    val right = spark.range(40).select(col("id").as("rk"),
+      concat(lit("p"), col("id")).as("pay"))
+    def violations(df: org.apache.spark.sql.DataFrame): Long = {
+      val per = df.groupBy("rk").agg(count(lit(1)).as("n"))
+      per.filter(col("n") =!= 1L).count() + (40L - per.count())
+    }
+    val unstable = Salting.saltedJoin(ndLeft, right, Seq("lk"), Seq("rk"),
+      saltFactor = 4, hotKeyThreshold = 5, joinType = "right")
+    assert(violations(unstable) > 0L,
+      "expected the documented nondeterministic-left hazard to manifest")
+    val l = ndLeft // ONE instance: saltedJoin persists it, we read it back
+    val stable = Salting.saltedJoin(l, right, Seq("lk"), Seq("rk"),
+      saltFactor = 4, hotKeyThreshold = 5, joinType = "right",
+      stabilizeLeft = true)
+    assert(violations(stable) == 0L, "stabilized right join must emit " +
+      "every right row exactly once")
+    // matched keys = exactly the cached snapshot's key set
+    val matched = stable.filter(col("lk").isNotNull)
+      .select("lk").collect().map(_.getLong(0)).toSet
+    val snapshot = l.select("lk").collect().map(_.getLong(0)).toSet
+    assert(matched == snapshot)
+    l.unpersist(): Unit
+  }
+
   test("property: salted join spreads a hot key of byte-identical rows") {
     import graft.ext.Salting
     // the crawl-dedup shape: ONE hot key whose rows are exact duplicates
