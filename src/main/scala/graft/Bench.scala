@@ -532,10 +532,14 @@ object Bench {
     // ksMultiOracleCol item)
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    val qs = (results.map { case (k, v) => s""""$k":${num("%.4f", v)}""" } ++
-      Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
-        s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
-      .mkString("{", ",", "}")
+    // ONE builder for both the file line (4-decimal) and the compact
+    // stdout line (2-decimal) — the key set cannot drift between them
+    def queriesJson(fmt: String): String =
+      (results.map { case (k, v) => s""""$k":${num(fmt, v)}""" } ++
+        Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
+          s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
+        .mkString("{", ",", "}")
+    val qs = queriesJson("%.4f")
     val loadJson = loads.map { case (k, v) => s""""$k":${num("%.2f", v)}""" }
       .mkString("{", ",", "}")
     val gcJson = gcs.map { case (k, v) => s""""$k":$v""" }
@@ -555,13 +559,14 @@ object Bench {
     // the LAST ~2000 stdout chars and sbt appends ~80 more, so the full
     // line's head was cut every round since r9 and BENCH_r{N}.json had
     // "parsed": null. 2-decimal timings, counters, load_1m_max, no
-    // per-section maps: ~1.5 KB — parses inside the tail cap with margin.
-    // BENCH_LOCAL.json stays the artifact of record.
-    val qsCompact = (results.map { case (k, v) => s""""$k":${num("%.2f", v)}""" } ++
-      Seq(s""""validate_full_jobs":$fullJobs""", s""""validate_full_errors":$nErrors""",
-        s""""dedup_pairs":$nPairs""", s""""dedup_pairs_10x":$nPairs10"""))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qsCompact,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}""")
+    // per-section maps: ~1.5 KB today. As sections accumulate the line
+    // will eventually cross the cap again — guard it: past 1900 chars,
+    // drop the per-query map from stdout (the driver still parses
+    // total/counters; BENCH_LOCAL.json is the artifact of record either
+    // way) instead of silently regressing to "parsed": null.
+    val compact = s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":${queriesJson("%.2f")},"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
+    val headline = s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size}},"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+    println(if (compact.length <= 1900) compact else headline)
     spark.stop()
   }
 }

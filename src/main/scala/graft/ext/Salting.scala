@@ -178,11 +178,15 @@ object Salting {
     // stabilize: persist BEFORE the hot-key probe — the probe's full scan
     // is the materializing action, so the core join and the right/full
     // anti leg below read the cached snapshot instead of re-evaluating a
-    // possibly-nondeterministic left. Caller unpersists.
+    // possibly-nondeterministic left. Caller unpersists on SUCCESS; the
+    // error paths below (hot-key overflow, analysis errors) unpersist in
+    // the catch so a failed call cannot leak cached blocks.
+    val doStabilize = stabilizeLeft && (jt == "right" || jt == "full")
     val l =
-      if (stabilizeLeft && (jt == "right" || jt == "full"))
+      if (doStabilize)
         left.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else left
+    def body(): DataFrame = {
     // step 1: hot LEFT keys in one aggregation, bounded collect (null
     // keys never equi-join, so they are excluded from hotness outright)
     val notNullL = leftKeys.map(q(_).isNotNull).reduce(_ && _)
@@ -264,5 +268,10 @@ object Salting {
         .map(n => lit(null).cast(l.schema(n).dataType).as(n))
       core.union(unmatchedR.select(nullLeft ++ rightOrdered.map(q): _*))
     }
+    }
+    if (doStabilize)
+      try body()
+      catch { case t: Throwable => l.unpersist(): Unit; throw t }
+    else body()
   }
 }
