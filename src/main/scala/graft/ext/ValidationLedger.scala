@@ -128,10 +128,42 @@ object ValidationLedger {
     * Returns the newly appended verdict rows (empty when nothing new —
     * no generation is committed). Idempotent under re-runs. */
   def validateIncrement(schema: DataFrameSchema, data: DataFrame,
-      partitionCol: String, path: String, batchLabel: String): DataFrame = {
+      partitionCol: String, path: String, batchLabel: String): DataFrame =
+    doIncrement(schema, data, partitionCol, path, batchLabel, None)
+
+  /** The streaming twin of [[validateIncrement]] (r13 — the family shape
+    * of SketchStore/FingerprintStore/BM25/ANN `appendBatch`): call from
+    * `foreachBatch` with `(streamTag, batchId)`; the manifest's per-tag
+    * high-water mark makes Spark's at-least-once re-deliveries
+    * exactly-once — a redelivered batch returns empty BEFORE any data
+    * scan. The generation is named `<tag>-b<id>`, so a crash between the
+    * generation write and the manifest flip leaves an orphan the retry
+    * overwrites before committing. The tag must be 1:1 with the stream's
+    * CHECKPOINT. The ledger's own skip-set already makes re-validation
+    * impossible; the mark makes redelivery FREE and pins the replay
+    * horizon like every other store in the family. */
+  def validateIncrementBatch(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String,
+      streamTag: String, batchId: Long): DataFrame = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    doIncrement(schema, data, partitionCol, path, batchLabel,
+      Some((streamTag, batchId)))
+  }
+
+  private def doIncrement(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String,
+      stream: Option[(String, Long)]): DataFrame = {
     val spark = data.sparkSession
     require(data.columns.contains(partitionCol),
       s"partition column '$partitionCol' not in data")
+    // streamed redelivery: the per-tag mark short-circuits before any
+    // manifest-row or data scan
+    stream.foreach { case (tag, id) =>
+      if (exists(spark, path) &&
+          readManifest(spark, path).marks.get(tag).exists(id <= _))
+        return emptyResult(spark)
+    }
     require(schema.unique.isEmpty,
       "validateIncrement: table-level joint uniqueness is cross-partition " +
         "by construction and cannot be ledgered per partition — run " +
@@ -166,25 +198,12 @@ object ValidationLedger {
         "would re-validate forever; filter or fill it first")
     val freshRows = partRows.filterNot(r => already.contains(r.getString(1)))
     val newVals = freshRows.map(_.get(0))
-    val resultSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("partition",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("batch",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_rows",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("failures",
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.LongType), nullable = true),
-      org.apache.spark.sql.types.StructField("n_failed",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("passed",
-        org.apache.spark.sql.types.BooleanType, nullable = false)))
-    if (newVals.isEmpty)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        resultSchema)
+    if (newVals.isEmpty) {
+      // nothing unseen: no generation, but a streamed call still advances
+      // its mark (when the store exists) so redelivery short-circuits
+      advanceMarkOnly(spark, path, stream)
+      return emptyResult(spark)
+    }
 
     // structural validation of the increment, once, before anything is
     // recorded — zero data jobs (metadata only), throws on hard errors
@@ -242,21 +261,51 @@ object ValidationLedger {
     // commit as one generation: write (invisible), then one manifest flip
     val m0 = if (exists(spark, path)) readManifest(spark, path)
       else LgManifest(Nil, Map.empty, Map.empty)
-    val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    val gen = stream match {
+      case Some((tag, id)) => s"$tag-b$id"
+      case None => StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    }
     verdicts.write.mode("overwrite").parquet(genPath(path, gen))
     // row-presence from the parquet footers — zero read-back Spark jobs
     // (see StoreFiles.parquetRowsWritten)
     val wrote = StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) > 0L
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
     if (!wrote) { // an all-filtered increment: nothing to record
       StoreFiles.fs(spark, path)
         .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        resultSchema)
+      if (exists(spark, path) && (marks ne m0.marks))
+        writeManifest(spark, path, m0.copy(marks = marks))
+      return emptyResult(spark)
     }
-    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen))
+    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen, marks = marks))
     spark.read.parquet(genPath(path, gen))
   }
+
+  private def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("batch", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("failures", MapType(StringType, LongType), nullable = true),
+        StructField("n_failed", LongType, nullable = false),
+        StructField("passed", BooleanType, nullable = false))))
+  }
+
+  /** A streamed no-op increment still records its high-water mark (when
+    * the store exists) so the NEXT redelivery returns before any scan. */
+  private def advanceMarkOnly(spark: SparkSession, path: String,
+      stream: Option[(String, Long)]): Unit =
+    stream.foreach { case (tag, id) =>
+      if (exists(spark, path)) {
+        val m = readManifest(spark, path)
+        if (!m.marks.get(tag).exists(id <= _))
+          writeManifest(spark, path, m.copy(marks = m.marks + (tag -> id)))
+      }
+    }
 
   /** Whole-corpus validation posture from the ledger alone — reads KBs,
     * never the data: one row per validated partition, ordered. */

@@ -89,6 +89,120 @@ class ValidationLedgerSpec extends SparkSpec {
     assert(ValidationLedger.status(spark, dir).count() == 3L)
   }
 
+  test("streamed increments: per-tag marks make redelivery exactly-once (r13)") {
+    val dir = tmp()
+    val b0 = corpus.filter(col("part").isin("p0", "p1"))
+    assert(ValidationLedger.validateIncrementBatch(schema, b0, "part", dir,
+      "n0", "s1", 0L).count() == 2L)
+    // redelivered batch 0: the mark short-circuits before any scan
+    assert(ValidationLedger.validateIncrementBatch(schema, b0, "part", dir,
+      "n0", "s1", 0L).isEmpty)
+    // batch 1 covers only seen partitions: no generation, but the mark
+    // still advances so ITS redelivery also short-circuits
+    assert(ValidationLedger.validateIncrementBatch(schema, b0, "part", dir,
+      "n1", "s1", 1L).isEmpty)
+    assert(ValidationLedger.validateIncrementBatch(schema, b0, "part", dir,
+      "n1", "s1", 1L).isEmpty)
+    // batch 2 brings the unseen partitions
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "n2", "s1", 2L)
+      .select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("p2", "p3"))
+    assert(ValidationLedger.status(spark, dir).count() == 4L)
+    // a second tag has its own replay horizon (skip-set still wins)
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "x", "s2", 0L).isEmpty)
+    // compaction preserves marks: the redelivery still short-circuits
+    ValidationLedger.compact(spark, dir)
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "n2", "s1", 2L).isEmpty)
+    assert(ValidationLedger.status(spark, dir).count() == 4L)
+    // stream-tag rule: the g<N> auto-generation namespace is refused
+    intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrementBatch(schema, corpus, "part", dir,
+        "x", "_bad", 3L))
+  }
+
+  test("increment scan partition-prunes at the file listing (r13)") {
+    // The 100 TB contract: validating tonight's increment must cost a
+    // scan of the NEW partitions, not the corpus. Over a disk-partitioned
+    // source, an increment that validates 2 of 4 partitions must READ
+    // only those partitions' rows in its grouped pass — the isin filter
+    // on the partition column prunes at the file listing (Catalyst
+    // partition pruning; local-FS bytesRead was measured proportional to
+    // FILE OPENS, not bytes, so records are the deterministic signal).
+    // Per-call source records: the skip-set distinct scan reads all 4000
+    // partition-column rows (directory metadata, ~zero data bytes); the
+    // grouped pass reads 4000 (fresh all-partition validation) vs 2000
+    // (increment) vs 0 (all-seen no-op).
+    val dataDir = tmp() + "/data"
+    spark.range(4000).select(
+      concat(lit("p"), col("id") % 4).as("part"), col("id").as("v"))
+      .write.partitionBy("part").parquet(dataDir)
+    val data = spark.read.parquet(dataDir)
+    val sch = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L)))
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    def measure(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      Thread.sleep(300) // drain in-flight listener events
+      recs.set(0L)
+      try { f; Thread.sleep(500) } // listener bus is async — let it drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      recs.get()
+    }
+    // fresh ledger validating ALL four partitions: the full-scan baseline
+    // (distinct 4000 + grouped 4000)
+    val allRecs = measure(ValidationLedger.validateIncrement(
+      sch, data, "part", tmp(), "all"): Unit)
+    assert(allRecs >= 8000L, s"baseline read $allRecs source records")
+    // ledger with p0/p1 committed; the full-source increment's grouped
+    // pass must read only p2/p3 (distinct 4000 + grouped 2000 + a few
+    // ledger rows)
+    val dir = tmp()
+    ValidationLedger.validateIncrement(sch,
+      data.filter(col("part").isin("p0", "p1")), "part", dir, "b1"): Unit
+    val incRecs = measure(ValidationLedger.validateIncrement(
+      sch, data, "part", dir, "b2"): Unit)
+    assert(incRecs >= 6000L && incRecs <= 6500L,
+      s"increment read $incRecs source records (want ~6000: skip-set " +
+        "scan 4000 + grouped pass over ONLY the two new partitions 2000) " +
+        "— partition pruning regressed")
+    // all-seen increment: no grouped pass at all (distinct scan only)
+    val seenRecs = measure(
+      ValidationLedger.validateIncrement(sch, data, "part", dir, "b3").isEmpty
+        : Unit)
+    assert(seenRecs <= 4500L,
+      s"no-op increment read $seenRecs source records (want ~4000)")
+  }
+
+  test("broadcast semi-join fallback (maxInlineParts exceeded) matches the literal path (r13)") {
+    val dir = tmp()
+    spark.conf.set("graft.ledger.maxInlineParts", "1")
+    try {
+      val inc1 = ValidationLedger.validateIncrement(schema,
+        corpus.filter(col("part").isin("p0", "p1")), "part", dir, "b1")
+      assert(inc1.select("partition").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("p0", "p1"))
+      val inc2 = ValidationLedger.validateIncrement(schema, corpus,
+        "part", dir, "b2")
+      assert(inc2.select("partition").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("p2", "p3"))
+      assert(ValidationLedger.validateIncrement(schema, corpus,
+        "part", dir, "b3").isEmpty)
+      // same verdicts as the literal-inline path computes
+      val st = ValidationLedger.status(spark, dir).collect()
+      assert(st.length == 4 && st.forall(_.getLong(2) == 100L))
+    } finally spark.conf.unset("graft.ledger.maxInlineParts")
+  }
+
   test("grouped fused counts equal the corpus-wide Validator counts") {
     val dir = tmp()
     ValidationLedger.validateIncrement(schema, corpus, "part", dir, "all")
