@@ -445,6 +445,29 @@ object Bench {
     timed("stats_sketch_serve")(
       ext.SketchStore.estimate(spark, hllDir, Seq("event_type")).count())
 
+    // round-13: partition-incremental validation ledger — ledger_build is
+    // the one-time backfill over two of the three return flags;
+    // ledger_increment is the recurring nightly cost (the full table
+    // arrives, ONLY the unseen flag is validated — one grouped fused
+    // pass over the increment); ledger_status answers "is the corpus
+    // clean?" from the KB-sized store alone
+    val ledDir = java.nio.file.Files.createTempDirectory("graft-bench-led").toString
+    val ledSchema = DataFrameSchema(
+      "l_orderkey" -> ColumnSchema(Some(LongType), Seq(Check.ge(1L)), nullable = false),
+      "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(1.0, 50.0))),
+      "l_extendedprice" -> ColumnSchema(Some(DoubleType), Seq(Check.greaterThan(0.0))),
+      "l_returnflag" -> ColumnSchema(Some(StringType),
+        Seq(Check.isin(Seq("A", "N", "R"))), nullable = false))
+    timed("ledger_build")(
+      ext.ValidationLedger.validateIncrement(ledSchema,
+        li.filter(col("l_returnflag") =!= "R"), "l_returnflag", ledDir,
+        "hist").count())
+    timed("ledger_increment")(
+      ext.ValidationLedger.validateIncrement(ledSchema, li,
+        "l_returnflag", ledDir, "night").count())
+    timed("ledger_status")(
+      ext.ValidationLedger.statusSummary(spark, ledDir).count())
+
     // round-8c: as-of + range joins over the full event log — both are
     // single-key-shuffle plans (union-window / bucket equi-join); the
     // range join's interval replication is bounded at 2 buckets

@@ -26,6 +26,38 @@ oracle_error are informational (the engine hash is the artifact there).
 import argparse, duckdb, json, glob, os, sys, hashlib, tempfile
 import multiprocessing as mp
 
+# Oracles that are only DEFINED at gate density (sf0.001/sf0.01): golden
+# pins branched on `count(lineitem) < 10000` (two pinned value sets — at
+# sf0.1 the >=10000 branch serves the sf0.01 pin against 10x data), plus
+# the one bounded-sample black-box check whose cap makes it approximate
+# above gate-scale groups. For these the sf0.1 leg is the ENGINE HASH
+# (diffed round-over-round via --prev), not oracle equality — running the
+# pin would produce a false MISMATCH, so it is skipped outright.
+OFFGATE = {
+    "cluster_kmeans": "golden pin (sf0.001/sf0.01 branches only)",
+    "dedup_semantic_kmeans": "golden pin",
+    "dedup_semantic_text": "golden pin",
+    "dedup_simhash": "golden pin",
+    "sim_ann_lifecycle": "golden pin (shared ivfPq pin)",
+    "sim_ann_recall": "golden pin",
+    "sim_text_hash_ann": "golden pin",
+    "sim_topk_ivf": "golden pin (shared ivf pin)",
+    "sim_topk_ivf_pruned": "golden pin (shared ivf pin)",
+    "sim_topk_ivfpq": "golden pin (shared ivfPq pin)",
+    "sim_topk_ivfpq_append": "golden pin (shared ivfPq pin)",
+    "sim_topk_ivfpq_persisted": "golden pin (shared ivfPq pin)",
+    "sim_topk_ivfpq_pruned": "golden pin (shared ivfPq pin)",
+    "sim_topk_lsh": "golden pin",
+    "sim_topk_lsh_multiprobe": "golden pin",
+    "sim_topk_pq": "golden pin",
+    "text_bpe": "golden pin (merge table)",
+    "text_bpe_train": "golden pin (merge table)",
+    "text_bpe_train_64": "golden pin (merge table)",
+    "text_classifier_train": "golden pin (trained weights)",
+    "hyp_custom_grouped": "bounded per-group collect — approximate above "
+                          "the cap by documented design",
+}
+
 
 def engine_rows(outdir, name):
     sdf = duckdb.sql(
@@ -82,6 +114,15 @@ def main():
             fails.append((name, f"engine dump unreadable: {str(e)[:160]}"))
             continue
         entry = {"rows": len(rows), "hash": h}
+        if name in OFFGATE:
+            entry["status"] = "oracle_offgate"
+            entry["reason"] = OFFGATE[name]
+            if prev is not None and name in prev and "hash" in prev[name]:
+                entry["changed_vs_prev"] = prev[name]["hash"] != h
+            result[name] = entry
+            print(f"{entry['status']:<16} {name} ({entry['rows']} rows)",
+                  flush=True)
+            continue
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             tmp = tf.name
         try:
