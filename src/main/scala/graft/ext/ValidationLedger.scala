@@ -126,10 +126,28 @@ object ValidationLedger {
     * unpartitionable row would otherwise be re-validated forever.
     *
     * Returns the newly appended verdict rows (empty when nothing new —
-    * no generation is committed). Idempotent under re-runs. */
+    * no generation is committed). Idempotent under re-runs.
+    *
+    * `candidates` (r13): the partition KEYS this increment may contain,
+    * in the ledger's canonical cast-to-string form (for an uncoerced
+    * partition column, simply the value's string form, e.g.
+    * `Seq("2026-08-15")`). With candidates supplied the unseen-value
+    * DISCOVERY SCAN is skipped entirely — the ScaleProbe `ledger` leg
+    * measured discovery at ~the cost of touching EVERY file of the
+    * corpus once (a distinct over the partition column schedules a scan
+    * task per file: 10+ s at a toy 1001-file table, a full nightly
+    * corpus walk at 100 TB), while the grouped pass itself stays at the
+    * new partition's size. A nightly ingest KNOWS tonight's partition
+    * values — pass them and the increment costs ledger-read +
+    * one-partition scan, flat in corpus and ledger size. Rows outside
+    * the candidate set (including null partitions) are IGNORED this
+    * call — the caller asserts the increment's partition set; the
+    * zero-knowledge default (None) keeps the discovery scan. */
   def validateIncrement(schema: DataFrameSchema, data: DataFrame,
-      partitionCol: String, path: String, batchLabel: String): DataFrame =
-    doIncrement(schema, data, partitionCol, path, batchLabel, None)
+      partitionCol: String, path: String, batchLabel: String,
+      candidates: Option[Seq[String]] = None): DataFrame =
+    doIncrement(schema, data, partitionCol, path, batchLabel, None,
+      candidates)
 
   /** The streaming twin of [[validateIncrement]] (r13 — the family shape
     * of SketchStore/FingerprintStore/BM25/ANN `appendBatch`): call from
@@ -144,16 +162,18 @@ object ValidationLedger {
     * horizon like every other store in the family. */
   def validateIncrementBatch(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
-      streamTag: String, batchId: Long): DataFrame = {
+      streamTag: String, batchId: Long,
+      candidates: Option[Seq[String]] = None): DataFrame = {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     doIncrement(schema, data, partitionCol, path, batchLabel,
-      Some((streamTag, batchId)))
+      Some((streamTag, batchId)), candidates)
   }
 
   private def doIncrement(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
-      stream: Option[(String, Long)]): DataFrame = {
+      stream: Option[(String, Long)],
+      candidates: Option[Seq[String]]): DataFrame = {
     val spark = data.sparkSession
     require(data.columns.contains(partitionCol),
       s"partition column '$partitionCol' not in data")
@@ -176,57 +196,88 @@ object ValidationLedger {
         "— run schema.validate on the increment for those, or drop them " +
         "from the ledger schema")
 
-    // unseen partitions: the STAGED frame's distinct values minus the
-    // ledger's set. The collect runs over `work`, not raw `data`, and
-    // carries BOTH the native value (for the filter below, which also
-    // applies to `work`) and its cast-to-string form — the exact
-    // expression the verdict groupBy keys on — so the skip-set and the
-    // committed ledger keys share one canonical form (r13 advice fix:
-    // comparing raw pre-coercion values would never match a coerced key,
-    // e.g. string "01" declared LongType → stored "1", and the partition
-    // would re-validate and re-append on every run). Both sides are
-    // bounded collects; the data side is a column-pruned distinct scan.
     val already = validatedPartitions(spark, path)
-    val partRows = StoreFiles.collectBounded(
-      work.select(q(partitionCol), q(partitionCol).cast("string").as("__k"))
-        .distinct(),
-      s"distinct '$partitionCol' values",
-      "graft.ledger.maxPartitions", 1000000)
-    require(!partRows.exists(_.isNullAt(0)),
-      s"validateIncrement: null '$partitionCol' values (raw or " +
-        "coercion-failed) — a null partition has no ledger identity and " +
-        "would re-validate forever; filter or fill it first")
-    val freshRows = partRows.filterNot(r => already.contains(r.getString(1)))
-    val newVals = freshRows.map(_.get(0))
-    if (newVals.isEmpty) {
-      // nothing unseen: no generation, but a streamed call still advances
-      // its mark (when the store exists) so redelivery short-circuits
-      advanceMarkOnly(spark, path, stream)
-      return emptyResult(spark)
+    val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
+      .map(_.toInt).getOrElse(1024)
+    // `increment` = work restricted to the UNSEEN partitions. Few values
+    // inline as literals — STATIC partition pruning, the scan lists only
+    // the new partitions; many values (a backfill) ride a broadcast
+    // semi-join instead of exploding the plan with literals.
+    val increment = candidates match {
+      case Some(cs) =>
+        // caller-asserted partition keys: zero discovery scan (the
+        // ScaleProbe measured discovery at a full corpus file-touch).
+        // Keys arrive in the ledger's canonical string form, so the
+        // skip-set subtraction is driver-local; the isin filter runs on
+        // the SAME cast expression the verdict groupBy keys on.
+        require(cs.nonEmpty, "validateIncrement: empty candidates — pass " +
+          "None for discovery-by-scan")
+        require(!cs.contains(null),
+          "validateIncrement: null candidate partition key")
+        val fresh = cs.distinct.filterNot(already.contains)
+        if (fresh.isEmpty) {
+          advanceMarkOnly(spark, path, stream)
+          return emptyResult(spark)
+        }
+        val key = q(partitionCol).cast("string")
+        if (fresh.length <= maxInline)
+          work.filter(key.isin(fresh.toIndexedSeq: _*))
+        else {
+          val keyDf = spark.createDataFrame(
+            java.util.Arrays.asList(fresh.map(k =>
+              org.apache.spark.sql.Row(k)): _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__k",
+                org.apache.spark.sql.types.StringType))))
+          work.join(broadcast(keyDf), key === keyDf("__k"), "left_semi")
+        }
+      case None =>
+        // discovery by scan: the STAGED frame's distinct values minus the
+        // ledger's set. The collect runs over `work`, not raw `data`, and
+        // carries BOTH the native value (for the filter below, which also
+        // applies to `work`) and its cast-to-string form — the exact
+        // expression the verdict groupBy keys on — so the skip-set and
+        // the committed ledger keys share one canonical form (r13 advice
+        // fix: comparing raw pre-coercion values would never match a
+        // coerced key, e.g. string "01" declared LongType → stored "1",
+        // and the partition would re-validate and re-append on every
+        // run). Both sides are bounded collects; the data side is a
+        // column-pruned distinct scan.
+        val partRows = StoreFiles.collectBounded(
+          work.select(q(partitionCol),
+            q(partitionCol).cast("string").as("__k")).distinct(),
+          s"distinct '$partitionCol' values",
+          "graft.ledger.maxPartitions", 1000000)
+        require(!partRows.exists(_.isNullAt(0)),
+          s"validateIncrement: null '$partitionCol' values (raw or " +
+            "coercion-failed) — a null partition has no ledger identity " +
+            "and would re-validate forever; filter or fill it first")
+        val freshRows = partRows.filterNot(r =>
+          already.contains(r.getString(1)))
+        val newVals = freshRows.map(_.get(0))
+        if (newVals.isEmpty) {
+          // nothing unseen: no generation, but a streamed call still
+          // advances its mark so redelivery short-circuits
+          advanceMarkOnly(spark, path, stream)
+          return emptyResult(spark)
+        }
+        if (newVals.length <= maxInline)
+          work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
+        else {
+          val keyDf = spark.createDataFrame(
+            java.util.Arrays.asList(freshRows.map(r =>
+              org.apache.spark.sql.Row(r.get(0))): _*),
+            org.apache.spark.sql.types.StructType(
+              Seq(work.schema(partitionCol))))
+          work.join(broadcast(keyDf),
+            work(partitionCol) === keyDf(partitionCol), "left_semi")
+        }
     }
 
     // structural validation of the increment, once, before anything is
     // recorded — zero data jobs (metadata only), throws on hard errors
     Validator.validate(schema, data,
       depth = graft.errors.GraftConfig.SchemaOnly).orThrow: Unit
-
-    // restrict to the unseen partitions. Few values inline as literals —
-    // STATIC partition pruning, the scan lists only the new partitions;
-    // many values (a backfill) ride a broadcast semi-join instead of
-    // exploding the plan with literals.
-    val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
-      .map(_.toInt).getOrElse(1024)
-    val increment =
-      if (newVals.length <= maxInline)
-        work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
-      else {
-        val keyDf = spark.createDataFrame(
-          java.util.Arrays.asList(freshRows.map(r =>
-            org.apache.spark.sql.Row(r.get(0))): _*),
-          org.apache.spark.sql.types.StructType(Seq(work.schema(partitionCol))))
-        work.join(broadcast(keyDf),
-          work(partitionCol) === keyDf(partitionCol), "left_semi")
-      }
 
     // the grouped fused pass: one slot per row-level check, plus a
     // within-partition duplicate count per unique column

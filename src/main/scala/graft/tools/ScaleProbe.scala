@@ -67,8 +67,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
-    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store") — empty runs
-    // everything
+    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger") —
+    // empty runs everything
     val only: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -337,6 +337,94 @@ object ScaleProbe {
       require(spread >= 24, s"duplicate hot rows hit only $spread/32 salt buckets")
       println(f"PROBE salted_join_dup rows=5000000 hot_share=0.5 dup_rows=true " +
         f"plain_sec=$tplain%.1f salted_sec=$tsalt%.1f salt_buckets=$spread matches=$nPlain")
+    }
+    if (only("ledgerpieces")) {
+      // decomposition of the P=1000 nightly increment (one-off diagnosis)
+      import graft.schema.{ColumnSchema, DataFrameSchema}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val p = 1000
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-pieces$p").toString
+      val dataDir = s"$root/data"
+      spark.range(p * 2000L).select(
+          concat(lit("d"), col("id") % p).as("ds"), col("id").as("v"))
+        .write.partitionBy("ds").parquet(dataDir)
+      spark.range(2000L).select(lit("dnew").as("ds"), col("id").as("v"))
+        .write.mode("append").partitionBy("ds").parquet(dataDir)
+      val sch = DataFrameSchema(
+        "ds" -> ColumnSchema.of(StringType),
+        "v" -> ColumnSchema.of(LongType, graft.checks.Check.ge(0L)))
+      val (tRead, data) = time(spark.read.parquet(dataDir))
+      val (tAnalyze, _) = time(data.schema)
+      val (tDistinct, nd) = time(
+        data.select(col("ds"), col("ds").cast("string")).distinct().count())
+      val (tDistinct2, _) = time(
+        data.select(col("ds"), col("ds").cast("string")).distinct().count())
+      val (tSchemaOnly, _) = time(graft.backend.Validator.validate(
+        sch, data, depth = graft.errors.GraftConfig.SchemaOnly))
+      val (tGrouped, _) = time(
+        data.filter(col("ds") === "dnew")
+          .groupBy(col("ds").cast("string").as("partition"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(!(col("v") >= 0L), 1L)).as("f")).collect())
+      val (tCount, _) = time(data.count())
+      val (tDs, _) = time(data.select("ds").distinct().count())
+      val (tV, _) = time(data.select("v").distinct().count())
+      val (tGb, _) = time(data.groupBy("ds").count().count())
+      println(f"PIECES read=$tRead%.2f analyze=$tAnalyze%.2f " +
+        f"distinct=$tDistinct%.2f($nd) distinct2=$tDistinct2%.2f " +
+        f"schemaOnly=$tSchemaOnly%.2f grouped=$tGrouped%.2f " +
+        f"count=$tCount%.2f dsOnly=$tDs%.2f vOnly=$tV%.2f gb=$tGb%.2f")
+    }
+    if (only("ledger")) {
+      // r13: the validation ledger's 100 TB contract — the RECURRING
+      // nightly increment (one new partition of fixed size arrives over a
+      // disk-partitioned corpus of P already-ledgered partitions) must
+      // cost ~the new partition's scan, FLAT in P: the skip-set comes
+      // from a KB-sized ledger read + a directory-metadata distinct, and
+      // the grouped fused pass partition-prunes to the one new dir.
+      import graft.ext.ValidationLedger
+      import graft.schema.{ColumnSchema, DataFrameSchema}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val sch = DataFrameSchema(
+        "ds" -> ColumnSchema.of(StringType),
+        "v" -> ColumnSchema.of(LongType, graft.checks.Check.ge(0L)))
+      for (p <- Seq(10, 100, 1000)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-probe-led$p").toString
+        val dataDir = s"$root/data"
+        spark.range(p * 2000L).select(
+            concat(lit("d"), col("id") % p).as("ds"), col("id").as("v"))
+          .write.partitionBy("ds").parquet(dataDir)
+        val ledDir = s"$root/ledger"
+        val (tb, _) = time(ValidationLedger.validateIncrement(
+          sch, spark.read.parquet(dataDir), "ds", ledDir, "hist").count())
+        // tonight: ONE new fixed-size partition lands in the corpus
+        spark.range(2000L).select(lit("dnew").as("ds"), col("id").as("v"))
+          .write.mode("append").partitionBy("ds").parquet(dataDir)
+        val (ti, inc) = time {
+          val r = ValidationLedger.validateIncrement(
+            sch, spark.read.parquet(dataDir), "ds", ledDir, "night")
+          r.count()
+        }
+        require(inc == 1L, s"nightly increment validated $inc partitions")
+        // candidates shape: the ingest KNOWS tonight's partition key —
+        // zero discovery scan, must stay flat in P
+        spark.range(2000L).select(lit("dnew2").as("ds"), col("id").as("v"))
+          .write.mode("append").partitionBy("ds").parquet(dataDir)
+        val (tc, inc2) = time {
+          val r = ValidationLedger.validateIncrement(
+            sch, spark.read.parquet(dataDir), "ds", ledDir, "night2",
+            candidates = Some(Seq("dnew2")))
+          r.count()
+        }
+        require(inc2 == 1L, s"candidate increment validated $inc2 partitions")
+        val (ts, _) = time(
+          ValidationLedger.statusSummary(spark, ledDir).count())
+        println(f"PROBE ledger parts=$p rows=${p * 2000L} " +
+          f"backfill_sec=$tb%.1f discovery_increment_sec=$ti%.2f " +
+          f"candidate_increment_sec=$tc%.2f status_sec=$ts%.2f")
+      }
     }
     spark.stop()
   }

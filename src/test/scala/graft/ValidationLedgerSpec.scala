@@ -123,6 +123,46 @@ class ValidationLedgerSpec extends SparkSpec {
         "x", "_bad", 3L))
   }
 
+  test("caller-asserted candidates skip discovery and match the scan path (r13)") {
+    // candidates = tonight's canonical partition keys: no discovery scan
+    // (the ScaleProbe measured discovery at a full corpus file-touch);
+    // verdicts must be byte-identical to the discovery path's
+    val dirA = tmp(); val dirB = tmp()
+    ValidationLedger.validateIncrement(schema,
+      corpus.filter(col("part").isin("p0", "p1")), "part", dirA, "b1"): Unit
+    ValidationLedger.validateIncrement(schema, corpus, "part", dirA, "b2"): Unit
+    ValidationLedger.validateIncrement(schema,
+      corpus.filter(col("part").isin("p0", "p1")), "part", dirB, "b1",
+      candidates = Some(Seq("p0", "p1"))): Unit
+    val inc2 = ValidationLedger.validateIncrement(schema, corpus, "part",
+      dirB, "b2", candidates = Some(Seq("p0", "p1", "p2", "p3")))
+    assert(inc2.select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("p2", "p3")) // seen candidates subtracted driver-side
+    val a = ValidationLedger.status(spark, dirA).collect().map(_.toString).toSeq
+    val b = ValidationLedger.status(spark, dirB).collect().map(_.toString).toSeq
+    assert(a == b, "candidate-path ledger diverged from discovery path")
+    // all-seen candidates: no-op, nothing appended
+    assert(ValidationLedger.validateIncrement(schema, corpus, "part", dirB,
+      "b3", candidates = Some(Seq("p1", "p3"))).isEmpty)
+    // a candidate with NO rows in the data: no verdict row is invented
+    assert(ValidationLedger.validateIncrement(schema, corpus, "part", dirB,
+      "b4", candidates = Some(Seq("p9"))).isEmpty)
+    assert(ValidationLedger.status(spark, dirB).count() == 4L)
+    // rows OUTSIDE the candidate set are ignored this call (the caller
+    // asserts the increment's partition set): p3 arrives later intact
+    val dirC = tmp()
+    ValidationLedger.validateIncrement(schema, corpus, "part", dirC, "b1",
+      candidates = Some(Seq("p0", "p1", "p2"))): Unit
+    assert(ValidationLedger.status(spark, dirC).count() == 3L)
+    val late = ValidationLedger.validateIncrement(schema, corpus, "part",
+      dirC, "b2", candidates = Some(Seq("p3")))
+    assert(late.count() == 1L && late.head().getLong(2) == 100L)
+    // null candidate refused loudly
+    intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrement(schema, corpus, "part", dirC, "b5",
+        candidates = Some(Seq("p0", null))))
+  }
+
   test("increment scan partition-prunes at the file listing (r13)") {
     // The 100 TB contract: validating tonight's increment must cost a
     // scan of the NEW partitions, not the corpus. Over a disk-partitioned
