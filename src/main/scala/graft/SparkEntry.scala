@@ -1570,11 +1570,14 @@ object SparkEntry {
         "ds" -> ColumnSchema.of(StringType))
       ext.ValidationLedger.validateIncrement(ledSch,
         hist.withColumn("ds", lit("hist")), "ds", ldir, "hist")
+      // the nightly flow KNOWS tonight's partition — candidates skip the
+      // unseen-value discovery scan (at 100 TB that scan touches every
+      // corpus file; see BASELINE round-13 ledger probe)
       val nightly = ext.ValidationLedger.validateIncrement(ledSch,
         hist.withColumn("ds", lit("hist")).unionByName(
           survivors.select(col("id").as("doc_id"), col("text"))
             .withColumn("ds", lit("night1"))),
-        "ds", ldir, "night1")
+        "ds", ldir, "night1", candidates = Some(Seq("night1")))
       require(nightly.select("partition").collect().map(_.getString(0))
         .toSeq == Seq("night1"),
         "nightly increment must skip the ledgered historical partition")
