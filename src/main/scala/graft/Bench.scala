@@ -587,8 +587,15 @@ object Bench {
     // drop the per-query map from stdout (the driver still parses
     // total/counters; BENCH_LOCAL.json is the artifact of record either
     // way) instead of silently regressing to "parsed": null.
-    val compact = s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":${queriesJson("%.2f")},"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
-    val headline = s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size}},"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+    // ONE envelope builder for both stdout variants — only the queries
+    // field differs, so the two lines cannot drift
+    def stdoutLine(queriesField: String): String =
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+    val compact = stdoutLine(queriesJson("%.2f"))
+    // fallback keeps the headline timings AND every counter the driver
+    // may gate on — only the per-section timing map is dropped
+    val headline = stdoutLine(
+      s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""")
     println(if (compact.length <= 1900) compact else headline)
     spark.stop()
   }

@@ -181,7 +181,12 @@ object Salting {
     // possibly-nondeterministic left. Caller unpersists on SUCCESS; the
     // error paths below (hot-key overflow, analysis errors) unpersist in
     // the catch so a failed call cannot leak cached blocks.
-    val doStabilize = stabilizeLeft && (jt == "right" || jt == "full")
+    // skip the internal persist when the caller ALREADY persisted left
+    // (their cache stabilizes the snapshot by itself; persisting again is
+    // a no-op, and the error-path unpersist below must never destroy a
+    // cache the caller owns)
+    val doStabilize = stabilizeLeft && (jt == "right" || jt == "full") &&
+      left.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val l =
       if (doStabilize)
         left.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -271,7 +276,14 @@ object Salting {
     }
     if (doStabilize)
       try body()
-      catch { case t: Throwable => l.unpersist(): Unit; throw t }
+      catch {
+        case t: Throwable =>
+          // best-effort cleanup of OUR persist; never mask the original
+          // failure (unpersist itself throws on a stopped SparkContext)
+          try l.unpersist(): Unit
+          catch { case u: Throwable => t.addSuppressed(u) }
+          throw t
+      }
     else body()
   }
 }

@@ -20,8 +20,12 @@ With --prev, engine hashes are ALSO diffed against the prior round's
 artifact and changes reported (informational: a legitimate operator
 change moves its hash; the point is that unexplained moves get seen).
 The artifact is written even when queries fail. Exit code is nonzero on
-oracle MISMATCH or a missing/unreadable engine dump; oracle_timeout and
-oracle_error are informational (the engine hash is the artifact there).
+oracle MISMATCH, a missing/unreadable engine dump, or an oracle
+subprocess DEATH (oracle_crashed — exited without writing a result);
+oracle_timeout and oracle_error (a DuckDB-side exception, recorded with
+its message) are informational — the engine hash is the artifact there.
+A payload fully written before a teardown-slow timeout kill is still
+compared.
 """
 import argparse, duckdb, json, glob, os, sys, hashlib, tempfile
 import multiprocessing as mp
@@ -129,15 +133,31 @@ def main():
             p = mp.Process(target=run_oracle, args=(a.sfdir, sql, tmp))
             p.start()
             p.join(a.timeout)
-            if p.is_alive():
+            timed_out = p.is_alive()
+            if timed_out:
                 p.terminate()
                 p.join()
-                entry["status"] = "oracle_timeout"
+            # read whatever the child managed to write: a COMPLETE payload
+            # written just before a teardown-slow timeout kill is still a
+            # valid comparison (a truncated one fails json.load and falls
+            # through to the timeout/crash classification)
+            try:
+                payload = json.load(open(tmp))
+            except Exception:
+                payload = None
+            if payload is None:
+                if timed_out:
+                    entry["status"] = "oracle_timeout"
+                else:
+                    # the child exited without a result: a DuckDB-side
+                    # error would have written kind=err — this is a
+                    # process DEATH (segfault/OOM-kill) and must be loud
+                    entry["status"] = "oracle_crashed"
+                    entry["error"] = (
+                        f"oracle subprocess died (exitcode {p.exitcode}) "
+                        "without writing a result")
+                    fails.append((name, entry["error"]))
             else:
-                try:
-                    payload = json.load(open(tmp))
-                except Exception:
-                    payload = {"kind": "err", "error": "oracle crashed"}
                 if payload["kind"] == "err":
                     entry["status"] = "oracle_error"
                     entry["error"] = payload["error"]
