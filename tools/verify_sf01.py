@@ -58,8 +58,12 @@ OFFGATE = {
     "text_bpe_train": "golden pin (merge table)",
     "text_bpe_train_64": "golden pin (merge table)",
     "text_classifier_train": "golden pin (trained weights)",
-    "hyp_custom_grouped": "bounded per-group collect — approximate above "
-                          "the cap by documented design",
+    "hyp_custom_grouped": "bounded per-group collect: sf0.1 group sizes "
+                          "(~255k) exceed maxSamplePerGroup=100k, so the "
+                          "documented loud cap surfaces as a failed check "
+                          "(CHECK_ERROR with a raise-the-cap message) while "
+                          "the exact-SQL oracle passes — the refusal "
+                          "working, not silent approximation",
 }
 
 
