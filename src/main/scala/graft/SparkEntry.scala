@@ -807,6 +807,28 @@ object SparkEntry {
       ext.Dedup.nearDupPipeline(t(s, d, "documents"), "doc_id", "text",
         shingleK = 3, threshold = 0.5, maxDf = 100000L)
         .select("doc_id").orderBy("doc_id")),
+    "dedup_cluster_sampled" -> ((s, d) => {
+      // r13: the clustering leg's 10× oracle point — the full-corpus
+      // transitive-closure oracle is intractable at sf0.1 (VERIFY_SF01
+      // timeout class), so engine AND oracle run on the same
+      // deterministic 1-in-10 sub-corpus, the dedup_minhash_sampled
+      // pattern: real 10× documents, sf0.01-sized closure
+      val docs = t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 3)
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxDf = 100000L)
+      val comp = ext.Dedup.clusterPairs(pairs)
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "dedup_pipeline_sampled" -> ((s, d) =>
+      // r13: the full exact-collapse → pairs → cluster → keep-reps
+      // pipeline's 10× oracle point on the same 1-in-10 sub-corpus
+      ext.Dedup.nearDupPipeline(
+        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 3),
+        "doc_id", "text", shingleK = 3, threshold = 0.5, maxDf = 100000L)
+        .select("doc_id").orderBy("doc_id")),
     "dedup_drop_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -3861,8 +3883,21 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"),
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_cluster" -> clusterOracle(0.5),
+    "dedup_cluster_sampled" ->
+      (s"WITH RECURSIVE sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 3), " +
+        s"${componentCtes(0.5, "sdocs")} " +
+        "SELECT d.doc_id AS doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id " +
+        "FROM sdocs d LEFT JOIN comp c ON d.doc_id = c.id ORDER BY d.doc_id"),
     "dedup_drop_neardup" -> dropNearDupOracle(0.5),
     "dedup_pipeline" -> pipelineOracle(0.5),
+    "dedup_pipeline_sampled" ->
+      ("WITH RECURSIVE sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 3), " +
+        "r AS (SELECT min(doc_id) AS id FROM (SELECT doc_id, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS f FROM sdocs) t0 GROUP BY f), " +
+        "docs2 AS (SELECT d.* FROM sdocs d JOIN r ON d.doc_id = r.id), " +
+        s"${componentCtes(0.5, "docs2")} " +
+        "SELECT doc_id FROM docs2 " +
+        "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"),
     "dedup_semantic_text" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (" +
         "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
