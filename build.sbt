@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run/runMain stdout through RAW instead of via sbt's logger:
+// the driver parses graft.Bench's one-line metrics JSON from the stdout
+// tail, and the default LoggedOutput prefixes it with "[info] ", which
+// broke mechanical parsing every round (BENCH_r13.json "parsed": null).
+// Child stderr (Spark WARNs) goes to sbt's stderr instead of polluting
+// the captured stdout tail as "[error] " lines.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

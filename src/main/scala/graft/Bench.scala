@@ -96,6 +96,50 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case _: Exception => -1.0 }
 
+  /** Per-section contention canary (r13 verdict #1): a FIXED single-thread
+    * CPU-bound spin timed immediately before each section. Host contention
+    * that /proc/loadavg cannot see (hypervisor neighbors, CPU steal — the
+    * r13 driver run recorded text_bm25_10x at 4.5× its clean value while
+    * loadavg read ~1) inflates this number proportionally, so a
+    * contaminated section is machine-identifiable IN the artifact: its
+    * canary_ms sits well above the run's median. ~16.7M xxhash-style mixing
+    * steps ≈ 15-40 ms on an idle core. */
+  private def canaryMs(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < (1 << 24)) {
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= i
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
+
+  /** Prior section timings from the ROLLING local artifact (BENCH_LOCAL.json
+    * in the working directory), used by the auto-rerun protocol. Empty when
+    * the file is missing, unparseable, or measured at a DIFFERENT sf dir
+    * (cross-sf ratios are meaningless). Counters ride along harmlessly —
+    * lookups are by timed-section name only. */
+  private def priorTimes(sfDir: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(txt, classOf[java.util.Map[String, Any]])
+      if (String.valueOf(root.get("sf")) != sfDir) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        root.get("queries").asInstanceOf[java.util.Map[String, Any]]
+          .asScala.collect {
+            case (k, v: Number) => k -> v.doubleValue()
+          }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   /** Drop cached blocks left behind by clusterPairs' localCheckpoints
     * (lineage-cut RDDs stay in the block manager until GC'd). Freed between
     * timed sections so one query's leftovers can't pressure the next —
@@ -142,6 +186,10 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val canaries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // sections auto-rerun under the contention protocol: name -> all
+    // measured times in order (the MIN is what `results` records)
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // per-section JVM GC time (ms) — separates heap/GC pressure from plan
     // regressions when a section is slower in-suite than isolated (the r8
     // kneser-ney reconciliation needed a judge rerun to tell them apart)
@@ -151,18 +199,41 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    def timed[A](name: String)(f: => A): A = {
+    // JIT-warm the canary so section 1's reading measures the host, not
+    // the compiler
+    canaryMs(); canaryMs(); canaryMs(): Unit
+    val prior = priorTimes(sfDir)
+    // Auto-rerun protocol (r13 verdict #1): a section measuring >2× its
+    // rolling BENCH_LOCAL value AND >1 s over it reruns ONCE and the min
+    // is kept — a host-contention spike (the only mechanism that produced
+    // such outliers across r5-r13, each costing a round of prose
+    // reconciliation) doesn't survive into the artifact, while a real
+    // plan regression reproduces on the rerun and stays. `rerunSafe =
+    // false` marks sections with on-disk side effects (store builds /
+    // appends / ledger increments): rerunning those would measure a
+    // DIFFERENT code path (idempotent no-op) or mutate state later
+    // sections read, so they keep their single measurement.
+    def timed[A](name: String, rerunSafe: Boolean = true)(f: => A): A = {
+      canaries += name -> canaryMs()
       loads += name -> loadavg()
       val g0 = gcMillis()
-      val (t, a) = time(f)
-      results += name -> t
+      var (t, a) = time(f)
       gcs += name -> (gcMillis() - g0)
+      if (rerunSafe && prior.get(name).exists(p => t > 2 * p && t - p > 1.0)) {
+        val (t2, a2) = time(f)
+        reruns += name -> Seq(t, t2)
+        if (t2 < t) { t = t2; a = a2 }
+      }
+      results += name -> t
       a
     }
 
     jobCounter.set(0)
     val resFull = timed("validate_full")(lineitemSchema.validate(li))
-    val fullJobs = jobCounter.get()
+    // the job count is per-RUN: a contention rerun executes the identical
+    // plan again, so divide by the number of runs
+    val fullJobs = jobCounter.get() /
+      reruns.get("validate_full").map(_.size).getOrElse(1)
     val nErrors = resFull.errors.size.toLong // sf0.1 carries dirty rows by design
 
     timed("validate_ref_style")(refStyleValidate(li))
@@ -328,7 +399,7 @@ object Bench {
     // without touching corpus text (the recurring per-crawl cost; compare
     // dedup_bloom_inc_10x, the exact-dup analog)
     val mhsDir = java.nio.file.Files.createTempDirectory("graft-bench-mhs").toString
-    timed("dedup_store_build_10x")(
+    timed("dedup_store_build_10x", rerunSafe = false)(
       ext.Dedup.buildMinHashStore(docs10, "doc_id", "text", mhsDir))
     timed("dedup_store_scrub_10x")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
@@ -337,7 +408,7 @@ object Bench {
     // (3 dirs × 8 file generations); the same scrub is timed fragmented,
     // then compacted. On an object store the gap is the per-file LIST/GET
     // overhead; locally it is smaller but still measures the collapse.
-    timed("dedup_store_append_8") {
+    timed("dedup_store_append_8", rerunSafe = false) {
       for (i <- 0 until 8) {
         val b = docs.select(
           (col("doc_id") + lit(20000000L + i * 1000000L)).as("doc_id"),
@@ -347,7 +418,7 @@ object Bench {
     }
     timed("dedup_store_scrub_fragmented")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
-    timed("dedup_store_compact")(
+    timed("dedup_store_compact", rerunSafe = false)(
       ext.Dedup.compactMinHashStore(spark, mhsDir))
     timed("dedup_store_scrub_compacted")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
@@ -368,7 +439,7 @@ object Bench {
     // skips the postings construction the one-shot section above re-pays
     // per query batch (at 100 TB that is the whole corpus scan)
     val bmDir = java.nio.file.Files.createTempDirectory("graft-bench-bm25").toString
-    timed("text_bm25_store_build_10x")(
+    timed("text_bm25_store_build_10x", rerunSafe = false)(
       ext.Retrieval.buildIndex(docs10, "doc_id", "text", bmDir))
     timed("text_bm25_store_serve_10x") {
       val q = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -438,7 +509,7 @@ object Bench {
     // alone (serve; corpus not re-read)
     val evStore = spark.read.parquet(s"$sfDir/events.parquet")
     val hllDir = java.nio.file.Files.createTempDirectory("graft-bench-hll").toString
-    timed("stats_sketch_build")(Seq(0, 1).foreach(h =>
+    timed("stats_sketch_build", rerunSafe = false)(Seq(0, 1).foreach(h =>
       ext.SketchStore.append(ext.SketchStore.distinctSketch(
         evStore.filter(col("event_id") % 2 === h), Seq("event_type"), "user_id"),
         hllDir, s"batch_$h")))
@@ -458,11 +529,11 @@ object Bench {
       "l_extendedprice" -> ColumnSchema(Some(DoubleType), Seq(Check.greaterThan(0.0))),
       "l_returnflag" -> ColumnSchema(Some(StringType),
         Seq(Check.isin(Seq("A", "N", "R"))), nullable = false))
-    timed("ledger_build")(
+    timed("ledger_build", rerunSafe = false)(
       ext.ValidationLedger.validateIncrement(ledSchema,
         li.filter(col("l_returnflag") =!= "R"), "l_returnflag", ledDir,
         "hist").count())
-    timed("ledger_increment")(
+    timed("ledger_increment", rerunSafe = false)(
       ext.ValidationLedger.validateIncrement(ledSchema, li,
         "l_returnflag", ledDir, "night").count())
     timed("ledger_status")(
@@ -497,7 +568,7 @@ object Bench {
     // shuffle, the single biggest recurring cost a warehouse pays.
     val ordersB = spark.read.parquet(s"$sfDir/orders.parquet")
     val bktDir = java.nio.file.Files.createTempDirectory("graft-bench-bkt").toString
-    timed("join_bucketed_layout") {
+    timed("join_bucketed_layout", rerunSafe = false) {
       ext.Bucketing.writeBucketed(li, "bench_bkt_li", s"$bktDir/li",
         Seq("l_orderkey"), 32)
       ext.Bucketing.writeBucketed(ordersB, "bench_bkt_ord", s"$bktDir/ord",
@@ -528,7 +599,7 @@ object Bench {
     // round-8c: persisted fingerprint store on the 10× corpus — one-time
     // build vs the recurring per-crawl scrub that never reads corpus text
     val fpsDir = java.nio.file.Files.createTempDirectory("graft-bench-fps").toString
-    timed("dedup_fpstore_build_10x")(
+    timed("dedup_fpstore_build_10x", rerunSafe = false)(
       ext.FingerprintStore.build(docs10, "text", fpsDir))
     timed("dedup_fpstore_scrub_10x")(
       ext.FingerprintStore.scrub(docs, "text", fpsDir).count())
@@ -567,9 +638,20 @@ object Bench {
       .mkString("{", ",", "}")
     val gcJson = gcs.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    // per-section canary: named map in the file artifact; a compact
+    // section-ordered int array in the stdout line (same LinkedHashMap
+    // iteration order as `queries`, so values align by index) — 54
+    // sections of names would blow the driver's ~2000-char stdout cap
+    val canaryJson = canaries.map { case (k, v) => s""""$k":${num("%.1f", v)}""" }
+      .mkString("{", ",", "}")
+    val canaryArr = canaries.values
+      .map(v => math.round(v).toString).mkString("[", ",", "]")
+    val rerunsJson = reruns.map { case (k, ts) =>
+      s""""$k":${ts.map(num("%.2f", _)).mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"canary_ms":$canaryJson,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
     // The FULL metrics (4-decimal timings + per-section loadavg/gc maps)
     // go to a file: the driver's BENCH_r08.json tail cap truncated the
     // stdout line's head and lost total/validate_full — a file can't be
@@ -589,13 +671,15 @@ object Bench {
     // way) instead of silently regressing to "parsed": null.
     // ONE envelope builder for both stdout variants — only the queries
     // field differs, so the two lines cannot drift
-    def stdoutLine(queriesField: String): String =
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
-    val compact = stdoutLine(queriesJson("%.2f"))
+    def stdoutLine(queriesField: String, canaryField: String): String =
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+    val compact = stdoutLine(queriesJson("%.2f"), canaryArr)
     // fallback keeps the headline timings AND every counter the driver
-    // may gate on — only the per-section timing map is dropped
+    // may gate on — only the per-section maps are dropped (canary
+    // degrades to its max)
     val headline = stdoutLine(
-      s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""")
+      s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""",
+      s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}""")
     println(if (compact.length <= 1900) compact else headline)
     spark.stop()
   }

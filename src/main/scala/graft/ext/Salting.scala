@@ -144,15 +144,21 @@ object Salting {
     * past the hot-key probe and carry no such caveat (a drifting hot-key
     * SET only shifts which keys get salted, never the output rows).
     *
-    * `stabilizeLeft` (r13, verdict #7) opts right/full out of the caveat:
-    * `left` is persisted (MEMORY_AND_DISK) and the hot-key probe — the
-    * first action, which scans every partition — materializes the cache,
-    * so the core join and the anti leg read ONE snapshot instead of
-    * re-evaluating. The caller owns the cache's lifetime (unpersist
-    * `left` after consuming the result); executor loss can still drop
-    * cached blocks and recompute them (the same residual window as any
-    * persisted nondeterministic frame — localCheckpoint's caveat class).
-    * No-op for inner/left, which have no second evaluation to stabilize. */
+    * `stabilizeLeft` (r13, verdict #7; lifecycle reworked r14) opts
+    * right/full out of the caveat: `left` is eagerly
+    * `localCheckpoint()`ed — one materializing job up front (the hot-key
+    * probe then reads the checkpointed blocks, so the total number of
+    * left scans is unchanged) — and the core join and the anti leg read
+    * that ONE snapshot instead of re-evaluating. The blocks need no
+    * caller-side unpersist: the ContextCleaner releases them when the
+    * returned frame becomes unreachable, so a call site that never read
+    * this doc cannot leak cache for the SparkContext lifetime (the r13
+    * persist-based form could). Checkpointing also fails LOUDLY on
+    * executor loss instead of silently recomputing a different
+    * nondeterministic snapshot — for a knob whose whole point is
+    * snapshot stability, failing beats quietly resampling. Skipped when
+    * the caller already persisted `left` (their cache is the snapshot);
+    * no-op for inner/left, which have no second evaluation to stabilize. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       saltFactor: Int = 16, hotKeyThreshold: Long = 1000000L,
@@ -175,23 +181,17 @@ object Salting {
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       "saltedJoin: __salt/__hot/__rh are reserved column names")
     val spark = left.sparkSession
-    // stabilize: persist BEFORE the hot-key probe — the probe's full scan
-    // is the materializing action, so the core join and the right/full
-    // anti leg below read the cached snapshot instead of re-evaluating a
-    // possibly-nondeterministic left. Caller unpersists on SUCCESS; the
-    // error paths below (hot-key overflow, analysis errors) unpersist in
-    // the catch so a failed call cannot leak cached blocks.
-    // skip the internal persist when the caller ALREADY persisted left
-    // (their cache stabilizes the snapshot by itself; persisting again is
-    // a no-op, and the error-path unpersist below must never destroy a
-    // cache the caller owns)
+    // stabilize: eager localCheckpoint BEFORE the hot-key probe — the
+    // probe, the core join and the right/full anti leg below all read the
+    // checkpointed snapshot instead of re-evaluating a possibly-
+    // nondeterministic left. No caller-managed lifetime: the blocks are
+    // released by the ContextCleaner when the result frame is GC'd (a
+    // failed call leaks nothing past GC either). Skipped when the caller
+    // ALREADY persisted left — their cache stabilizes the snapshot by
+    // itself and its lifetime stays theirs.
     val doStabilize = stabilizeLeft && (jt == "right" || jt == "full") &&
       left.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val l =
-      if (doStabilize)
-        left.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else left
-    def body(): DataFrame = {
+    val l = if (doStabilize) left.localCheckpoint() else left
     // step 1: hot LEFT keys in one aggregation, bounded collect (null
     // keys never equi-join, so they are excluded from hotness outright)
     val notNullL = leftKeys.map(q(_).isNotNull).reduce(_ && _)
@@ -273,17 +273,5 @@ object Salting {
         .map(n => lit(null).cast(l.schema(n).dataType).as(n))
       core.union(unmatchedR.select(nullLeft ++ rightOrdered.map(q): _*))
     }
-    }
-    if (doStabilize)
-      try body()
-      catch {
-        case t: Throwable =>
-          // best-effort cleanup of OUR persist; never mask the original
-          // failure (unpersist itself throws on a stopped SparkContext)
-          try l.unpersist(): Unit
-          catch { case u: Throwable => t.addSuppressed(u) }
-          throw t
-      }
-    else body()
   }
 }

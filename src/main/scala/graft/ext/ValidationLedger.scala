@@ -141,7 +141,9 @@ object ValidationLedger {
     * values — pass them and the increment costs ledger-read +
     * one-partition scan, flat in corpus and ledger size. Rows outside
     * the candidate set (including null partitions) are IGNORED this
-    * call — the caller asserts the increment's partition set; the
+    * call — safe here because nothing advances: a later call can still
+    * validate them (the streamed twin, whose mark DOES advance, refuses
+    * such rows loudly instead — see [[validateIncrementBatch]]). The
     * zero-knowledge default (None) keeps the discovery scan. */
   def validateIncrement(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
@@ -159,7 +161,18 @@ object ValidationLedger {
     * overwrites before committing. The tag must be 1:1 with the stream's
     * CHECKPOINT. The ledger's own skip-set already makes re-validation
     * impossible; the mark makes redelivery FREE and pins the replay
-    * horizon like every other store in the family. */
+    * horizon like every other store in the family.
+    *
+    * Candidates are ASSERTED here, not advisory (r14): because the mark
+    * advances on commit, a batch row whose partition is outside
+    * `candidates` and not already validated would be dropped with no
+    * later chance to validate it — a silent audit hole. So the streamed
+    * form runs its grouped pass over the WHOLE batch (one scan — the
+    * batch is already the increment; there is no file listing to prune)
+    * and REFUSES, before committing anything, if the batch contains such
+    * a partition. The batch then retries with corrected candidates (or
+    * None for discovery); exactly-once is preserved because neither the
+    * generation nor the mark was committed. */
   def validateIncrementBatch(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       streamTag: String, batchId: Long,
@@ -178,12 +191,23 @@ object ValidationLedger {
     require(data.columns.contains(partitionCol),
       s"partition column '$partitionCol' not in data")
     // streamed redelivery: the per-tag mark short-circuits before any
-    // manifest-row or data scan
-    stream.foreach { case (tag, id) =>
-      if (exists(spark, path) &&
-          readManifest(spark, path).marks.get(tag).exists(id <= _))
-        return emptyResult(spark)
-    }
+    // manifest-row or data scan. (No early `return` anywhere in this
+    // method — a non-local return inside a closure rides
+    // NonLocalReturnControl, which any future catch-all wrapper would
+    // swallow silently; everything below is expression-structured.)
+    val redelivered = stream.exists { case (tag, id) =>
+      exists(spark, path) &&
+        readManifest(spark, path).marks.get(tag).exists(id <= _) }
+    if (redelivered) emptyResult(spark)
+    else doIncrementFresh(schema, data, partitionCol, path, batchLabel,
+      stream, candidates)
+  }
+
+  private def doIncrementFresh(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String,
+      stream: Option[(String, Long)],
+      candidates: Option[Seq[String]]): DataFrame = {
+    val spark = data.sparkSession
     require(schema.unique.isEmpty,
       "validateIncrement: table-level joint uniqueness is cross-partition " +
         "by construction and cannot be ledgered per partition — run " +
@@ -196,14 +220,84 @@ object ValidationLedger {
         "— run schema.validate on the increment for those, or drop them " +
         "from the ledger schema")
 
+    // structural validation of the increment, once, before anything is
+    // recorded — zero data jobs (metadata only), throws on hard errors
+    Validator.validate(schema, data,
+      depth = graft.errors.GraftConfig.SchemaOnly).orThrow: Unit
+
     val already = validatedPartitions(spark, path)
     val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
       .map(_.toInt).getOrElse(1024)
-    // `increment` = work restricted to the UNSEEN partitions. Few values
-    // inline as literals — STATIC partition pruning, the scan lists only
-    // the new partitions; many values (a backfill) ride a broadcast
-    // semi-join instead of exploding the plan with literals.
-    val increment = candidates match {
+    val key = q(partitionCol).cast("string")
+
+    // the grouped fused pass over `inc`: one slot per row-level check,
+    // plus a within-partition duplicate count per unique column — one
+    // scan of `inc` regardless of check count
+    def verdictFrame(inc: DataFrame): DataFrame = {
+      val uniqueCols = schema.resolveColumns(data.columns.toSeq)
+        .collect { case (dn, (_, cs)) if cs.unique => dn }.distinct
+      val slotExprs = slots.zipWithIndex.map { case (s, i) =>
+        coalesce(sum(when(s.failCond, 1L)), lit(0L)).as(s"__f_$i") }
+      val uniqExprs = uniqueCols.zipWithIndex.map { case (c, i) =>
+        (count(q(c)) - count_distinct(q(c))).as(s"__u_$i") }
+      val aggExprs = (count(lit(1)).as("n_rows") +: slotExprs) ++ uniqExprs
+      val grouped = inc
+        .groupBy(q(partitionCol).cast("string").as("partition"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      val labels = slots.map(_.label) ++ uniqueCols.map(c => s"$c:unique")
+      val counts = slots.indices.map(i => col(s"__f_$i")) ++
+        uniqExprs.indices.map(i => col(s"__u_$i"))
+      val hardCounts = (slots.zipWithIndex.collect {
+        case (s, i) if !s.isWarning => col(s"__f_$i") } ++
+        uniqExprs.indices.map(i => col(s"__u_$i")))
+      val failuresMap =
+        if (labels.isEmpty) map().cast("map<string,long>")
+        else map(labels.zip(counts).flatMap { case (l, c) => Seq(lit(l), c) }: _*)
+      val nFailed = hardCounts.reduceOption(_ + _).getOrElse(lit(0L))
+      grouped.select(
+        col("partition"),
+        lit(batchLabel).as("batch"),
+        col("n_rows"),
+        failuresMap.as("failures"),
+        nFailed.as("n_failed"),
+        (nFailed === 0L).as("passed"))
+    }
+
+    // commit as one generation: write (invisible), then one manifest flip
+    def commit(verdicts: DataFrame): DataFrame = {
+      val m0 = if (exists(spark, path)) readManifest(spark, path)
+        else LgManifest(Nil, Map.empty, Map.empty)
+      val gen = stream match {
+        case Some((tag, id)) => s"$tag-b$id"
+        case None => StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+      }
+      verdicts.write.mode("overwrite").parquet(genPath(path, gen))
+      // row-presence from the parquet footers — zero read-back Spark jobs
+      // (see StoreFiles.parquetRowsWritten)
+      val wrote = StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) > 0L
+      val marks = stream.fold(m0.marks) { case (tag, id) =>
+        m0.marks + (tag -> id) }
+      if (!wrote) { // an all-filtered increment: nothing to record
+        StoreFiles.fs(spark, path)
+          .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+        if (exists(spark, path) && (marks ne m0.marks))
+          writeManifest(spark, path, m0.copy(marks = marks))
+        emptyResult(spark)
+      } else {
+        writeManifest(spark, path,
+          m0.copy(gens = m0.gens :+ gen, marks = marks))
+        spark.read.parquet(genPath(path, gen))
+      }
+    }
+
+    // nothing unseen: no generation, but a streamed call still advances
+    // its mark so redelivery short-circuits
+    def skipAll(): DataFrame = {
+      advanceMarkOnly(spark, path, stream)
+      emptyResult(spark)
+    }
+
+    candidates match {
       case Some(cs) =>
         // caller-asserted partition keys: zero discovery scan (the
         // ScaleProbe measured discovery at a full corpus file-touch).
@@ -214,22 +308,75 @@ object ValidationLedger {
           "None for discovery-by-scan")
         require(!cs.contains(null),
           "validateIncrement: null candidate partition key")
-        val fresh = cs.distinct.filterNot(already.contains)
-        if (fresh.isEmpty) {
-          advanceMarkOnly(spark, path, stream)
-          return emptyResult(spark)
-        }
-        val key = q(partitionCol).cast("string")
-        if (fresh.length <= maxInline)
-          work.filter(key.isin(fresh.toIndexedSeq: _*))
+        val csSet = cs.distinct
+        val fresh = csSet.filterNot(already.contains)
+        if (stream.isDefined) {
+          // streamed: the mark advances on commit, so a batch partition
+          // outside candidates ∪ validated would be dropped FOREVER with
+          // no signal (r14 advice fix). Run the grouped pass over the
+          // WHOLE batch — still one scan; a foreachBatch frame is already
+          // the increment, there is no file listing to prune — persist
+          // the tiny aggregated frame, and refuse loudly BEFORE any
+          // commit if such a partition is present. Nothing was written
+          // and no mark advanced, so the stream's retry stays
+          // exactly-once.
+          val grouped = verdictFrame(work)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val batchParts = StoreFiles.collectBounded(
+              grouped.select("partition"),
+              s"batch partitions for validation ledger at $path",
+              "graft.ledger.maxPartitions", 1000000)
+              .map(r => if (r.isNullAt(0)) null else r.getString(0))
+            val dropped = batchParts.filterNot(p =>
+              p != null && (csSet.contains(p) || already.contains(p)))
+            require(dropped.isEmpty,
+              "validateIncrementBatch: batch contains partitions outside " +
+                "the candidate set: " +
+                dropped.take(10).map(String.valueOf).mkString(", ") +
+                (if (dropped.length > 10) s" (+${dropped.length - 10} more)"
+                 else "") +
+                " — committing would advance the stream mark and these " +
+                "rows would never be validated; fix `candidates` (or pass " +
+                "None for discovery) and let the batch retry")
+            val freshInBatch = batchParts.filter(p =>
+              p != null && fresh.contains(p))
+            if (freshInBatch.isEmpty) skipAll()
+            else if (freshInBatch.length <= maxInline)
+              commit(grouped.filter(
+                col("partition").isin(freshInBatch.toIndexedSeq: _*)))
+            else {
+              val keyDf = spark.createDataFrame(
+                java.util.Arrays.asList(freshInBatch.map(k =>
+                  org.apache.spark.sql.Row(k)): _*),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("__k",
+                    org.apache.spark.sql.types.StringType))))
+              commit(grouped.join(broadcast(keyDf),
+                col("partition") === keyDf("__k"), "left_semi"))
+            }
+          } finally grouped.unpersist(): Unit
+        } else if (fresh.isEmpty) skipAll()
         else {
-          val keyDf = spark.createDataFrame(
-            java.util.Arrays.asList(fresh.map(k =>
-              org.apache.spark.sql.Row(k)): _*),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__k",
-                org.apache.spark.sql.types.StringType))))
-          work.join(broadcast(keyDf), key === keyDf("__k"), "left_semi")
+          // batch mode: restrict the scan to the UNSEEN candidates. Few
+          // values inline as literals — STATIC partition pruning, the
+          // scan lists only the new partitions; many values (a backfill)
+          // ride a broadcast semi-join instead of exploding the plan.
+          // Rows outside the candidate set are ignored WITHOUT hazard
+          // here: no mark advances, a later call can still validate them.
+          val inc =
+            if (fresh.length <= maxInline)
+              work.filter(key.isin(fresh.toIndexedSeq: _*))
+            else {
+              val keyDf = spark.createDataFrame(
+                java.util.Arrays.asList(fresh.map(k =>
+                  org.apache.spark.sql.Row(k)): _*),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("__k",
+                    org.apache.spark.sql.types.StringType))))
+              work.join(broadcast(keyDf), key === keyDf("__k"), "left_semi")
+            }
+          commit(verdictFrame(inc))
         }
       case None =>
         // discovery by scan: the STAGED frame's distinct values minus the
@@ -255,82 +402,23 @@ object ValidationLedger {
         val freshRows = partRows.filterNot(r =>
           already.contains(r.getString(1)))
         val newVals = freshRows.map(_.get(0))
-        if (newVals.isEmpty) {
-          // nothing unseen: no generation, but a streamed call still
-          // advances its mark so redelivery short-circuits
-          advanceMarkOnly(spark, path, stream)
-          return emptyResult(spark)
-        }
-        if (newVals.length <= maxInline)
-          work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
+        if (newVals.isEmpty) skipAll()
         else {
-          val keyDf = spark.createDataFrame(
-            java.util.Arrays.asList(freshRows.map(r =>
-              org.apache.spark.sql.Row(r.get(0))): _*),
-            org.apache.spark.sql.types.StructType(
-              Seq(work.schema(partitionCol))))
-          work.join(broadcast(keyDf),
-            work(partitionCol) === keyDf(partitionCol), "left_semi")
+          val inc =
+            if (newVals.length <= maxInline)
+              work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
+            else {
+              val keyDf = spark.createDataFrame(
+                java.util.Arrays.asList(freshRows.map(r =>
+                  org.apache.spark.sql.Row(r.get(0))): _*),
+                org.apache.spark.sql.types.StructType(
+                  Seq(work.schema(partitionCol))))
+              work.join(broadcast(keyDf),
+                work(partitionCol) === keyDf(partitionCol), "left_semi")
+            }
+          commit(verdictFrame(inc))
         }
     }
-
-    // structural validation of the increment, once, before anything is
-    // recorded — zero data jobs (metadata only), throws on hard errors
-    Validator.validate(schema, data,
-      depth = graft.errors.GraftConfig.SchemaOnly).orThrow: Unit
-
-    // the grouped fused pass: one slot per row-level check, plus a
-    // within-partition duplicate count per unique column
-    val uniqueCols = schema.resolveColumns(data.columns.toSeq)
-      .collect { case (dn, (_, cs)) if cs.unique => dn }.distinct
-    val slotExprs = slots.zipWithIndex.map { case (s, i) =>
-      coalesce(sum(when(s.failCond, 1L)), lit(0L)).as(s"__f_$i") }
-    val uniqExprs = uniqueCols.zipWithIndex.map { case (c, i) =>
-      (count(q(c)) - count_distinct(q(c))).as(s"__u_$i") }
-    val aggExprs = (count(lit(1)).as("n_rows") +: slotExprs) ++ uniqExprs
-    val grouped = increment
-      .groupBy(q(partitionCol).cast("string").as("partition"))
-      .agg(aggExprs.head, aggExprs.tail: _*)
-    val labels = slots.map(_.label) ++ uniqueCols.map(c => s"$c:unique")
-    val counts = slots.indices.map(i => col(s"__f_$i")) ++
-      uniqExprs.indices.map(i => col(s"__u_$i"))
-    val hardCounts = (slots.zipWithIndex.collect {
-      case (s, i) if !s.isWarning => col(s"__f_$i") } ++
-      uniqExprs.indices.map(i => col(s"__u_$i")))
-    val failuresMap =
-      if (labels.isEmpty) map().cast("map<string,long>")
-      else map(labels.zip(counts).flatMap { case (l, c) => Seq(lit(l), c) }: _*)
-    val nFailed = hardCounts.reduceOption(_ + _).getOrElse(lit(0L))
-    val verdicts = grouped.select(
-      col("partition"),
-      lit(batchLabel).as("batch"),
-      col("n_rows"),
-      failuresMap.as("failures"),
-      nFailed.as("n_failed"),
-      (nFailed === 0L).as("passed"))
-
-    // commit as one generation: write (invisible), then one manifest flip
-    val m0 = if (exists(spark, path)) readManifest(spark, path)
-      else LgManifest(Nil, Map.empty, Map.empty)
-    val gen = stream match {
-      case Some((tag, id)) => s"$tag-b$id"
-      case None => StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
-    }
-    verdicts.write.mode("overwrite").parquet(genPath(path, gen))
-    // row-presence from the parquet footers — zero read-back Spark jobs
-    // (see StoreFiles.parquetRowsWritten)
-    val wrote = StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) > 0L
-    val marks = stream.fold(m0.marks) { case (tag, id) =>
-      m0.marks + (tag -> id) }
-    if (!wrote) { // an all-filtered increment: nothing to record
-      StoreFiles.fs(spark, path)
-        .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
-      if (exists(spark, path) && (marks ne m0.marks))
-        writeManifest(spark, path, m0.copy(marks = marks))
-      return emptyResult(spark)
-    }
-    writeManifest(spark, path, m0.copy(gens = m0.gens :+ gen, marks = marks))
-    spark.read.parquet(genPath(path, gen))
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {

@@ -67,10 +67,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
-    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger") —
-    // empty runs everything
+    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger";
+    // plus "ledgerpieces", a one-off P=1000 increment decomposition that
+    // runs ONLY when named explicitly) — empty runs the standard set
     val only: String => Boolean =
-      if (args.isEmpty) _ => true else args.toSet.contains
+      if (args.isEmpty) _ != "ledgerpieces" else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -277,9 +277,11 @@ class ExtPropertySpec extends SparkSpec {
     // leg disagree: some right keys emit BOTH matched and null-extended
     // rows, others emit neither. The probability all 40 keys agree
     // across the two independent evaluations is 2^-40 — the hazard
-    // assert cannot realistically flake. stabilizeLeft persists the left
-    // before the hot-key probe materializes it, so both legs read one
-    // snapshot and every right row surfaces exactly once.
+    // assert cannot realistically flake. stabilizeLeft eagerly
+    // localCheckpoints the left (r14 — no caller-managed cache to leak),
+    // so both legs read one snapshot and every right row surfaces
+    // exactly once, and REPEATED actions on the result see the same
+    // rows (each action would otherwise resample the UDF afresh).
     val keep = udf(() => scala.util.Random.nextBoolean()).asNondeterministic()
     def ndLeft = spark.range(40).select(col("id").as("lk"),
       concat(lit("v"), col("id")).as("lv")).filter(keep())
@@ -293,18 +295,19 @@ class ExtPropertySpec extends SparkSpec {
       saltFactor = 4, hotKeyThreshold = 5, joinType = "right")
     assert(violations(unstable) > 0L,
       "expected the documented nondeterministic-left hazard to manifest")
-    val l = ndLeft // ONE instance: saltedJoin persists it, we read it back
-    val stable = Salting.saltedJoin(l, right, Seq("lk"), Seq("rk"),
+    val stable = Salting.saltedJoin(ndLeft, right, Seq("lk"), Seq("rk"),
       saltFactor = 4, hotKeyThreshold = 5, joinType = "right",
       stabilizeLeft = true)
     assert(violations(stable) == 0L, "stabilized right join must emit " +
       "every right row exactly once")
-    // matched keys = exactly the cached snapshot's key set
-    val matched = stable.filter(col("lk").isNotNull)
+    // repeat-action stability: the checkpoint pins ONE snapshot, so two
+    // independent collects of the result agree (an unpinned ndLeft gives
+    // each action a fresh ~2^-40-collision key set)
+    def matchedKeys() = stable.filter(col("lk").isNotNull)
       .select("lk").collect().map(_.getLong(0)).toSet
-    val snapshot = l.select("lk").collect().map(_.getLong(0)).toSet
-    assert(matched == snapshot)
-    l.unpersist(): Unit
+    val m1 = matchedKeys()
+    assert(matchedKeys() == m1, "stabilized result drifted across actions")
+    assert(m1.subsetOf((0L until 40L).toSet))
   }
 
   test("property: salted join spreads a hot key of byte-identical rows") {

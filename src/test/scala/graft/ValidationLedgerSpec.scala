@@ -163,6 +163,38 @@ class ValidationLedgerSpec extends SparkSpec {
         candidates = Some(Seq("p0", null))))
   }
 
+  test("streamed candidates refuse out-of-set batch partitions before committing (r14)") {
+    // The streamed twin's mark advances on commit, so a batch partition
+    // outside candidates ∪ validated would be dropped FOREVER — unlike
+    // the batch form, where ignoring is safe (a later call validates).
+    // The guard must refuse BEFORE any commit: no generation, no mark.
+    val dir = tmp()
+    val ex = intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrementBatch(schema, corpus, "part", dir,
+        "n0", "s1", 0L, candidates = Some(Seq("p0", "p1"))))
+    assert(ex.getMessage.contains("outside the candidate set"))
+    assert(!new java.io.File(s"$dir/manifest.json").exists(),
+      "refusal must commit nothing")
+    // the retry with corrected candidates stays exactly-once (the mark
+    // never advanced) and validates all four partitions
+    val inc = ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "n0", "s1", 0L, candidates = Some(Seq("p0", "p1", "p2", "p3")))
+    assert(inc.count() == 4L)
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "n0", "s1", 0L, candidates = Some(Seq("p0"))).isEmpty)
+    // ALREADY-validated batch partitions outside the candidate list are
+    // not dropped work — no refusal, no-op, the mark advances
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "n1", "s1", 1L, candidates = Some(Seq("p0", "p1"))).isEmpty)
+    assert(ValidationLedger.status(spark, dir).count() == 4L)
+    // a NULL batch partition has no ledger identity: same loud guard
+    val withNull = corpus.withColumn("part",
+      when(col("v") === 0L, lit(null)).otherwise(col("part")))
+    intercept[IllegalArgumentException](
+      ValidationLedger.validateIncrementBatch(schema, withNull, "part", dir,
+        "n2", "s1", 2L, candidates = Some(Seq("p0", "p1", "p2", "p3"))))
+  }
+
   test("increment scan partition-prunes at the file listing (r13)") {
     // The 100 TB contract: validating tonight's increment must cost a
     // scan of the NEW partitions, not the corpus. Over a disk-partitioned
@@ -190,11 +222,24 @@ class ValidationLedgerSpec extends SparkSpec {
         if (e.taskMetrics != null)
           recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
     }
+    // the listener bus is async: instead of fixed sleeps (r13 advice —
+    // scheduler timing or bus lag could flake tight windows), poll the
+    // counter until it has been stable for 500 ms (10 s timeout)
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = recs.get(); var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 500L * 1000 * 1000 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val now = recs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
     def measure(f: => Unit): Long = {
       spark.sparkContext.addSparkListener(listener)
-      Thread.sleep(300) // drain in-flight listener events
+      quiesce() // drain in-flight events from earlier work
       recs.set(0L)
-      try { f; Thread.sleep(500) } // listener bus is async — let it drain
+      try { f; quiesce() }
       finally spark.sparkContext.removeSparkListener(listener)
       recs.get()
     }
@@ -211,10 +256,11 @@ class ValidationLedgerSpec extends SparkSpec {
       data.filter(col("part").isin("p0", "p1")), "part", dir, "b1"): Unit
     val incRecs = measure(ValidationLedger.validateIncrement(
       sch, data, "part", dir, "b2"): Unit)
-    assert(incRecs >= 6000L && incRecs <= 6500L,
+    assert(incRecs >= 6000L && incRecs <= 7000L,
       s"increment read $incRecs source records (want ~6000: skip-set " +
-        "scan 4000 + grouped pass over ONLY the two new partitions 2000) " +
-        "— partition pruning regressed")
+        "scan 4000 + grouped pass over ONLY the two new partitions 2000; " +
+        "a full-corpus grouped pass would be ~8000) — partition pruning " +
+        "regressed")
     // all-seen increment: no grouped pass at all (distinct scan only)
     val seenRecs = measure(
       ValidationLedger.validateIncrement(sch, data, "part", dir, "b3").isEmpty
