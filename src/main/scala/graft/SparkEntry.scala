@@ -261,6 +261,25 @@ object SparkEntry {
         .validate(t(s, d, "lineitem"))
       aggPassFail(s, "median_diff_le2", res)
     }),
+    "hyp_custom_grouped_sampled" -> ((s, d) => {
+      // r14 scale path: the same black-box grouped shape, but each group
+      // is tested on a DETERMINISTIC bounded sample (bottom-2000 by the
+      // md5 key hash) instead of refusing past the cap — so the operator
+      // has a green path at ANY group density (at sf0.1 the plain form's
+      // groups exceed maxSamplePerGroup and loudly refuse). cap=2000 is
+      // below every SF's O/F group size, so the SAMPLED path is what the
+      // gate exercises everywhere; the oracle re-derives the exact kept
+      // sets (row_number over the same hash) and the sampled medians.
+      val res = DataFrameSchema("o_totalprice" -> ColumnSchema(Some(DoubleType),
+        Seq(Hypothesis.groupedSampled("median_diff_sampled", "o_orderstatus",
+          Seq("O", "F"), keyCol = "o_orderkey",
+          relationship = Hypothesis.Custom((stat, _) => math.abs(stat) <= 20000.0),
+          maxSamplePerGroup = 2000, seed = 7L) { vs =>
+          (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
+        })))
+        .validate(t(s, d, "orders"))
+      aggPassFail(s, "median_diff_sampled", res)
+    }),
     "hyp_group_stats" -> ((s, d) =>
       t(s, d, "lineitem").filter(col("l_linestatus").isin("O", "F"))
         .groupBy(col("l_linestatus").as("grp"))
@@ -2833,7 +2852,8 @@ object SparkEntry {
   private val ivfOracleSql: String =
     ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 234, 4, 0.2777), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1511, 4, 0.3288), (0, 144, 5, 0.3243), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1580, 3, 0.3668), (1, 1832, 4, 0.3312), (1, 134, 5, 0.3064), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 1542, 4, 0.3242), (3, 650, 5, 0.3157), (4, 4, 1, 1.0), (4, 1166, 2, 0.3787), (4, 660, 3, 0.3197), (4, 773, 4, 0.3078), (4, 685, 5, 0.3069)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY query_id, \"rank\"")
 
   /** Golden pin for the IVF-PQ top-k — shared by `sim_topk_ivfpq` (one-shot)
@@ -2842,7 +2862,19 @@ object SparkEntry {
   private val ivfPqOracleSql: String =
     ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
       "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 144, 2, 0.3243), (0, 794, 3, 0.3108), (0, 1033, 4, 0.296), (0, 462, 5, 0.2917), (1, 1, 1, 1.0), (1, 1580, 2, 0.3668), (1, 732, 3, 0.3029), (1, 1594, 4, 0.2969), (1, 85, 5, 0.2564), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 990, 4, 0.3337), (2, 1196, 5, 0.3168), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 1617, 5, 0.3028), (4, 4, 1, 1.0), (4, 995, 2, 0.3589), (4, 913, 3, 0.3195), (4, 773, 4, 0.3078), (4, 685, 5, 0.3069)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
+      ") u ORDER BY query_id, \"rank\"")
+
+  /** sim_ann_lifecycle shares the gate-density ivfPq pins (its serve
+    * is hash-identical to the one-shot there) but auto-scales probe
+    * parameters with corpus density, so its sf0.1 branch (nCentroids
+    * 32, nProbe 24, refineFactor 16 at 2000 vectors) is its own. */
+private val lifecycleOracleSql: String =
+    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
+      "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
+      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 1511, 5, 0.3288), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1580, 3, 0.3668), (1, 1832, 4, 0.3312), (1, 173, 5, 0.3109), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 1053, 4, 0.356), (2, 1912, 5, 0.3519), (3, 3, 1, 1.0), (3, 720, 2, 0.3656), (3, 930, 3, 0.3417), (3, 1542, 4, 0.3242), (3, 1567, 5, 0.3113), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 995, 3, 0.3589), (4, 1645, 4, 0.3266), (4, 174, 5, 0.3114)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
       ") u ORDER BY query_id, \"rank\"")
 
   /** Full BM25 re-derivation in SQL — shared by text_bm25 (one-shot) and
@@ -3114,47 +3146,56 @@ object SparkEntry {
     "dedup_simhash" ->
       ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
         "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (7, 1433, 3), (7, 3918, 3), (7, 4902, 3), (11, 4686, 1), (12, 2339, 3), (12, 4381, 3), (17, 3383, 2), (19, 3587, 3), (22, 4596, 3), (26, 66, 3), (26, 67, 3), (26, 135, 2), (26, 3948, 2), (28, 3006, 3), (36, 1874, 3), (36, 4049, 3), (37, 3162, 2), (38, 2616, 2), (43, 4274, 3), (48, 3900, 1), (48, 4865, 3), (63, 2932, 2), (66, 135, 3), (66, 190, 3), (66, 494, 3), (67, 135, 3), (67, 190, 3), (67, 816, 3), (67, 1626, 3), (67, 2339, 3), (67, 3948, 3), (68, 1356, 3), (71, 3739, 3), (72, 4099, 1), (74, 951, 3), (87, 4037, 3), (98, 954, 2), (110, 3197, 3), (117, 2599, 3), (117, 4667, 3), (118, 1861, 3), (122, 3839, 3), (126, 1282, 1), (127, 550, 3), (128, 2773, 2), (137, 3901, 3), (139, 3540, 3), (141, 492, 3), (141, 1265, 3), (141, 1731, 3), (141, 3288, 3), (141, 4068, 1), (143, 1805, 2), (143, 4596, 3), (160, 1389, 2), (170, 3680, 3), (173, 1432, 3), (175, 3839, 3), (179, 2523, 0), (182, 4013, 2), (190, 3589, 3), (216, 3049, 1), (216, 4285, 3), (221, 4344, 2), (233, 351, 3), (235, 2135, 2), (235, 2423, 3), (239, 574, 3), (243, 1401, 3), (246, 491, 0), (247, 3576, 3), (248, 1273, 2), (254, 630, 3), (254, 3460, 1), (257, 2307, 1), (268, 2542, 0), (282, 443, 2), (292, 2301, 3), (297, 2624, 1), (301, 2567, 3), (306, 3259, 3), (307, 4756, 0), (333, 1749, 3), (339, 2714, 3), (340, 459, 2), (340, 1626, 3), (340, 2880, 3), (353, 2673, 3), (353, 3117, 3), (353, 4093, 3), (364, 404, 3), (373, 1395, 3), (379, 771, 3), (381, 2978, 2), (384, 1682, 2), (393, 3644, 3), (421, 2350, 3), (425, 1071, 1), (455, 933, 2), (455, 4017, 1), (459, 4223, 3), (472, 2689, 1), (475, 1086, 2), (475, 3392, 3), (475, 4381, 3), (479, 4932, 3), (517, 1433, 3), (517, 3733, 3), (517, 4327, 3), (529, 2433, 3), (533, 3081, 3), (540, 630, 1), (553, 971, 3), (553, 2451, 0), (555, 1819, 1), (561, 895, 0), (562, 3875, 3), (570, 4941, 2), (610, 4092, 1), (615, 779, 2), (617, 2333, 2), (624, 4193, 3), (627, 2690, 2), (636, 1854, 3), (644, 1204, 2), (646, 1783, 0), (653, 2320, 2), (669, 1641, 0), (669, 1673, 1), (670, 3378, 1), (684, 1590, 1), (684, 2259, 3), (704, 1402, 3), (706, 1033, 2), (716, 1887, 1), (718, 1519, 3), (718, 1626, 2), (718, 3577, 3), (724, 4259, 2), (729, 1039, 2), (732, 2684, 1), (752, 1405, 3), (779, 2126, 3), (789, 2225, 1), (800, 3828, 2), (803, 1670, 1), (809, 2088, 3), (816, 2339, 2), (816, 2768, 3), (820, 3264, 3), (830, 4719, 0), (837, 3327, 3), (844, 2796, 3), (844, 3888, 3), (862, 1200, 3), (862, 1370, 3), (862, 2834, 3), (862, 3946, 3), (862, 4670, 0), (871, 1357, 3), (874, 4273, 1), (894, 2629, 3), (898, 2796, 3), (900, 4743, 3), (901, 2008, 2), (908, 4155, 1), (928, 4213, 3), (932, 2302, 2), (932, 3875, 3), (932, 4556, 0), (933, 1985, 3), (933, 4017, 3), (938, 2926, 2), (954, 1017, 3), (954, 1321, 3), (954, 1508, 3), (954, 1832, 3), (971, 2451, 3), (983, 3432, 3), (985, 1241, 3), (996, 2305, 0), (1003, 3161, 2), (1009, 2372, 3), (1013, 4541, 3), (1025, 3764, 3), (1041, 4446, 0), (1053, 1882, 2), (1053, 4677, 2), (1054, 1130, 3), (1054, 1754, 3), (1055, 1394, 3), (1062, 2317, 3), (1073, 4937, 3), (1081, 1373, 3), (1086, 1289, 3), (1086, 3929, 2), (1086, 4381, 3), (1090, 3022, 0), (1093, 4015, 3), (1101, 4438, 2), (1102, 3115, 2), (1105, 4327, 3), (1112, 2230, 3), (1113, 1582, 2), (1113, 1701, 3), (1118, 1260, 3), (1118, 2129, 3), (1130, 1432, 3), (1132, 1630, 3), (1154, 3759, 2), (1157, 4322, 3), (1165, 4437, 0), (1166, 4828, 1), (1171, 1427, 2), (1174, 1931, 3), (1177, 3387, 1), (1181, 2173, 3), (1181, 2649, 2), (1186, 3468, 3), (1200, 3946, 2), (1200, 4670, 3), (1205, 1609, 3), (1237, 4246, 0), (1242, 3589, 3), (1265, 3854, 3), (1265, 4068, 2), (1267, 4740, 0), (1277, 1433, 2), (1285, 2766, 0), (1285, 3946, 3), (1290, 3624, 1), (1294, 2192, 3), (1310, 3100, 3), (1316, 1817, 1), (1321, 1585, 2), (1321, 1731, 3), (1321, 2225, 3), (1321, 2567, 3), (1321, 2788, 2), (1321, 3781, 3), (1321, 4609, 3), (1321, 4899, 3), (1324, 1583, 3), (1332, 3216, 3), (1333, 1986, 3), (1340, 2834, 3), (1360, 2428, 0), (1363, 2527, 3), (1363, 3879, 3), (1363, 4245, 2), (1370, 3450, 3), (1370, 4670, 3), (1371, 2427, 3), (1381, 1680, 3), (1390, 4391, 2), (1395, 2328, 1), (1401, 2421, 3), (1401, 4163, 3), (1401, 4591, 3), (1401, 4667, 3), (1415, 2798, 1), (1416, 4812, 3), (1432, 1729, 3), (1433, 1918, 3), (1436, 1456, 3), (1440, 4016, 1), (1443, 2084, 3), (1443, 2565, 3), (1443, 4680, 3), (1445, 4724, 0), (1450, 4542, 0), (1452, 2505, 0), (1458, 3733, 3), (1477, 2521, 1), (1487, 4327, 3), (1519, 1626, 3), (1519, 3464, 3), (1519, 3861, 3), (1535, 3468, 3), (1552, 2223, 3), (1582, 1701, 3), (1582, 4520, 3), (1585, 2567, 3), (1585, 3781, 3), (1590, 2259, 2), (1600, 4650, 1), (1609, 2983, 3), (1609, 4773, 2), (1619, 2875, 0), (1634, 2562, 3), (1641, 1673, 1), (1644, 1874, 3), (1644, 2513, 3), (1644, 4245, 3), (1644, 4792, 3), (1651, 2087, 2), (1658, 1805, 3), (1668, 3243, 3), (1680, 3190, 3), (1688, 4755, 3), (1703, 2534, 3), (1727, 1805, 3), (1731, 2603, 3), (1731, 4609, 2), (1769, 2203, 0), (1772, 3510, 3), (1789, 4483, 3), (1793, 3517, 3), (1824, 1942, 1), (1824, 2221, 0), (1827, 2377, 1), (1834, 3881, 2), (1843, 4795, 2), (1845, 2099, 3), (1858, 2961, 3), (1861, 4634, 3), (1865, 4512, 3), (1874, 2768, 3), (1874, 4049, 2), (1882, 4677, 0), (1897, 3009, 2), (1900, 4153, 0), (1902, 2728, 0), (1905, 3610, 3), (1905, 3870, 2), (1905, 3950, 2), (1910, 1917, 0), (1910, 3562, 0), (1917, 3562, 0), (1918, 2230, 3), (1920, 4942, 1), (1925, 4886, 2), (1935, 3259, 3), (1942, 2221, 1), (1962, 2789, 2), (1970, 2990, 1), (1971, 3956, 3), (1981, 3973, 0), (1988, 2138, 3), (2001, 4376, 3), (2001, 4409, 2), (2004, 2918, 2), (2017, 2265, 3), (2017, 4531, 3), (2018, 3432, 3), (2019, 3038, 1), (2025, 3954, 1), (2057, 4188, 3), (2064, 4003, 2), (2084, 4915, 1), (2089, 4520, 3), (2092, 2578, 3), (2102, 2337, 3), (2106, 3781, 3), (2108, 2612, 1), (2126, 3112, 1), (2135, 4763, 3), (2159, 3269, 1), (2164, 4199, 2), (2173, 4129, 3), (2182, 3447, 2), (2183, 4031, 1), (2225, 3854, 3), (2226, 4225, 2), (2230, 2554, 3), (2241, 2794, 3), (2241, 3954, 3), (2302, 3875, 3), (2302, 4556, 2), (2343, 4030, 3), (2350, 4991, 3), (2361, 2768, 3), (2366, 3166, 2), (2420, 2771, 3), (2423, 3373, 1), (2430, 3212, 3), (2441, 4864, 3), (2460, 3224, 1), (2527, 3879, 2), (2549, 4868, 3), (2567, 3760, 3), (2567, 3854, 3), (2576, 3043, 3), (2583, 3929, 3), (2599, 2789, 3), (2599, 3620, 3), (2624, 3129, 3), (2643, 3956, 2), (2644, 4165, 1), (2672, 2689, 3), (2676, 4317, 0), (2677, 3019, 2), (2677, 3207, 3), (2677, 4181, 3), (2677, 4615, 2), (2681, 2796, 3), (2681, 2797, 3), (2687, 4065, 3), (2700, 3017, 0), (2705, 3015, 0), (2713, 3319, 2), (2714, 4563, 3), (2719, 4189, 1), (2741, 3145, 3), (2741, 4360, 3), (2766, 3946, 3), (2770, 3674, 3), (2783, 3263, 3), (2788, 4082, 3), (2788, 4899, 3), (2797, 3245, 3), (2802, 2824, 3), (2815, 3647, 3), (2821, 3290, 3), (2834, 4670, 3), (2859, 3106, 0), (2862, 3329, 2), (2863, 4095, 2), (2865, 3992, 2), (2900, 3091, 0), (2905, 3577, 3), (2913, 4034, 1), (2935, 3631, 3), (2968, 4954, 0), (2971, 3223, 2), (3003, 4936, 3), (3026, 3848, 3), (3027, 3668, 3), (3050, 3577, 3), (3055, 4751, 3), (3055, 4886, 3), (3062, 3354, 2), (3100, 3722, 3), (3120, 3190, 3), (3143, 4304, 3), (3145, 4181, 3), (3151, 3896, 1), (3152, 4771, 1), (3157, 4044, 2), (3161, 4997, 3), (3163, 3398, 1), (3171, 4634, 3), (3175, 3304, 2), (3207, 4615, 3), (3207, 4908, 3), (3223, 3409, 2), (3259, 3556, 2), (3259, 3956, 3), (3259, 4082, 2), (3266, 3345, 2), (3267, 3735, 2), (3279, 4476, 3), (3288, 3760, 3), (3290, 3450, 3), (3290, 3893, 3), (3296, 4073, 3), (3324, 4190, 3), (3346, 3402, 3), (3362, 3555, 0), (3369, 4356, 2), (3391, 4773, 3), (3398, 3446, 3), (3398, 4157, 3), (3412, 4899, 3), (3422, 4785, 2), (3427, 4969, 1), (3442, 4127, 3), (3446, 4531, 3), (3450, 4049, 3), (3464, 4726, 3), (3497, 3715, 3), (3510, 3678, 3), (3524, 3776, 2), (3532, 3646, 3), (3566, 4666, 3), (3592, 4223, 3), (3593, 4332, 3), (3596, 3968, 3), (3605, 4138, 1), (3610, 4763, 3), (3672, 3801, 3), (3702, 4390, 2), (3733, 4132, 3), (3743, 4492, 1), (3747, 4976, 0), (3751, 4545, 3), (3760, 4068, 3), (3788, 4726, 3), (3801, 4376, 3), (3854, 4068, 3), (3870, 3950, 2), (3875, 4384, 3), (3875, 4556, 3), (3875, 4596, 2), (3885, 4132, 1), (3931, 4388, 3), (3942, 4722, 2), (3946, 4670, 3), (3956, 4327, 3), (3962, 4513, 3), (3977, 4350, 2), (4048, 4181, 3), (4048, 4385, 0), (4057, 4179, 2), (4132, 4327, 3), (4146, 4430, 1), (4157, 4718, 3), (4163, 4484, 3), (4181, 4385, 3), (4269, 4303, 3), (4350, 4591, 3), (4414, 4838, 1), (4431, 4548, 3), (4460, 4487, 3), (4466, 4984, 3), (4483, 4812, 3), (4485, 4832, 2), (4488, 4922, 2), (4546, 4847, 3), (4611, 4795, 3), (4667, 4991, 1), (4703, 4903, 3), (4766, 4915, 3), (4833, 4912, 3), (4899, 4913, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY id_a, id_b"),
     "text_bpe_train_64" ->
       ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
         "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar'), (8, 'm', 'er'), (9, 'a', 't'), (10, 'a', 'n'), (11, 'c', 'an'), (12, 's', 'can'), (13, 'c', 'o'), (14, 'co', 'lu'), (15, 'colu', 'm'), (16, 'colum', 'n'), (17, 'd', 'ow'), (18, 'in', 'dow'), (19, 'w', 'indow'), (20, 'd', 'er'), (21, 'or', 'der'), (22, 'or', 't'), (23, 's', 'ort'), (24, 'par', 't'), (25, 'u', 'p'), (26, 'a', 'g'), (27, 'ag', 'g'), (28, 'a', 'lu'), (29, 'alu', 'e'), (30, 'v', 'alue'), (31, 'in', 'e'), (32, 'l', 'ine'), (33, 'e', 'y'), (34, 'k', 'ey'), (35, 'j', 'o'), (36, 'jo', 'in'), (37, 'g', 'e'), (38, 'mer', 'ge'), (39, 'er', 'y'), (40, 'g', 'r'), (41, 'gr', 'o'), (42, 'gro', 'up'), (43, 'q', 'u'), (44, 'qu', 'ery'), (45, 'c', 't'), (46, 'ct', 'or'), (47, 'e', 'ctor'), (48, 'v', 'ector'), (49, 'a', 's'), (50, 'as', 'h'), (51, 'h', 'ash'), (52, 'l', 'ow'), (53, 's', 'low'), (54, 'a', 'm'), (55, 'e', 'am'), (56, 'r', 'eam'), (57, 'st', 'ream'), (58, 'f', 'i'), (59, 'fi', 'l'), (60, 'fil', 't'), (61, 'filt', 'er'), (62, 'a', 'st'), (63, 'f', 'ast')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'j', 'o'), (11, 'jo', 'in'), (12, 'a', 's'), (13, 'as', 'h'), (14, 'h', 'ash'), (15, 'r', 'ow'), (16, 'at', 'c'), (17, 'atc', 'h'), (18, 'b', 'atch'), (19, 'a', 'n'), (20, 'c', 'an'), (21, 's', 'can'), (22, 'c', 'o'), (23, 'c', 'u'), (24, 'co', 'lu'), (25, 'colu', 'm'), (26, 'colum', 'n'), (27, 'cu', 'st'), (28, 'cust', 'o'), (29, 'custo', 'mer'), (30, 'f', 'i'), (31, 'fi', 'l'), (32, 'fil', 't'), (33, 'filt', 'er'), (34, 'a', 'l'), (35, 'al', 'l'), (36, 'm', 'all'), (37, 's', 'mall'), (38, 'g', 'e'), (39, 'l', 'ow'), (40, 'mer', 'ge'), (41, 's', 'low'), (42, 'c', 't'), (43, 'ct', 'or'), (44, 'd', 'er'), (45, 'e', 'ctor'), (46, 'or', 'der'), (47, 'v', 'ector'), (48, 'in', 'e'), (49, 'l', 'ine'), (50, 'a', 'b'), (51, 'ab', 'l'), (52, 'abl', 'e'), (53, 'at', 'a'), (54, 'd', 'ata'), (55, 't', 'able'), (56, 'u', 'p'), (57, 'a', 'g'), (58, 'ag', 'g'), (59, 'a', 'lu'), (60, 'alu', 'e'), (61, 'v', 'alue'), (62, 'e', 'y'), (63, 'k', 'ey')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'j', 'o'), (11, 'jo', 'in'), (12, 'a', 's'), (13, 'as', 'h'), (14, 'h', 'ash'), (15, 'r', 'ow'), (16, 'at', 'c'), (17, 'atc', 'h'), (18, 'b', 'atch'), (19, 'a', 'n'), (20, 'c', 'an'), (21, 's', 'can'), (22, 'c', 'o'), (23, 'c', 'u'), (24, 'co', 'lu'), (25, 'colu', 'm'), (26, 'colum', 'n'), (27, 'cu', 'st'), (28, 'cust', 'o'), (29, 'custo', 'mer'), (30, 'f', 'i'), (31, 'fi', 'l'), (32, 'fil', 't'), (33, 'filt', 'er'), (34, 'a', 'l'), (35, 'al', 'l'), (36, 'm', 'all'), (37, 's', 'mall'), (38, 'g', 'e'), (39, 'l', 'ow'), (40, 'mer', 'ge'), (41, 's', 'low'), (42, 'c', 't'), (43, 'ct', 'or'), (44, 'd', 'er'), (45, 'e', 'ctor'), (46, 'or', 'der'), (47, 'v', 'ector'), (48, 'in', 'e'), (49, 'l', 'ine'), (50, 'a', 'b'), (51, 'ab', 'l'), (52, 'abl', 'e'), (53, 'at', 'a'), (54, 'd', 'ata'), (55, 't', 'able'), (56, 'u', 'p'), (57, 'a', 'g'), (58, 'ag', 'g'), (59, 'a', 'lu'), (60, 'alu', 'e'), (61, 'v', 'alue'), (62, 'e', 'y'), (63, 'k', 'ey')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'r'), (3, 's', 't'), (4, 'o', 'w'), (5, 't', 'a'), (6, 'l', 'u'), (7, 'm', 'er'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'u', 'p'), (11, 'par', 'k'), (12, 's', 'park'), (13, 'd', 'ow'), (14, 'in', 'dow'), (15, 'w', 'indow'), (16, 'g', 'e'), (17, 'mer', 'ge'), (18, 'b', 'l'), (19, 'bl', 'e'), (20, 'ta', 'ble'), (21, 'c', 'o'), (22, 'co', 'lu'), (23, 'colu', 'm'), (24, 'colum', 'n'), (25, 'c', 't'), (26, 'ct', 'or'), (27, 'e', 'ctor'), (28, 'v', 'ector'), (29, 'a', 'm'), (30, 'e', 'am'), (31, 'r', 'eam'), (32, 'st', 'ream'), (33, 'a', 'lu'), (34, 'alu', 'e'), (35, 'v', 'alue'), (36, 'a', 'ta'), (37, 'd', 'ata'), (38, 'a', 'l'), (39, 'al', 'l'), (40, 'm', 'all'), (41, 's', 'mall'), (42, 'j', 'o'), (43, 'jo', 'in'), (44, 'f', 'i'), (45, 'fi', 'l'), (46, 'fil', 't'), (47, 'filt', 'er'), (48, 'b', 'i'), (49, 'bi', 'g'), (50, 'g', 'r'), (51, 'gr', 'o'), (52, 'gro', 'up'), (53, 'a', 's'), (54, 'as', 'h'), (55, 'h', 'ash'), (56, 'c', 'u'), (57, 'cu', 'st'), (58, 'cust', 'o'), (59, 'custo', 'mer'), (60, 'or', 't'), (61, 's', 'ort'), (62, 'd', 'er'), (63, 'or', 'der')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY merge_rank"),
     "text_bpe_train" ->
       ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
         "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'r'), (3, 's', 't'), (4, 'o', 'w'), (5, 't', 'a'), (6, 'l', 'u'), (7, 'm', 'er')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY merge_rank"),
     "text_bpe" ->
       ("SELECT CAST(token AS VARCHAR) AS token, CAST(cnt AS BIGINT) AS cnt FROM (" +
         "SELECT * FROM (VALUES ('a', 6438), ('e', 5610), ('s', 5610), ('l', 5563), ('t', 4688)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES ('a', 6286), ('l', 5531), ('s', 5481), ('e', 5441), ('o', 4645)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES ('a', 6286), ('l', 5531), ('s', 5481), ('e', 5441), ('o', 4645)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES ('a', 63104), ('e', 54376), ('l', 54345), ('s', 54134), ('m', 45518)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY cnt DESC, token"),
     "sim_text_hash_ann" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9857), (0, 50, 3, 0.9837), (1, 1, 1, 1.0), (1, 6, 2, 0.8952), (1, 127, 3, 0.8414), (2, 2, 1, 1.0), (2, 450, 2, 0.8923), (2, 5, 3, 0.8852), (3, 3, 1, 1.0), (3, 332, 2, 0.8091), (3, 109, 3, 0.7916), (4, 4, 1, 1.0), (4, 110, 2, 0.7733), (4, 467, 3, 0.7715)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 81, 2, 0.8393), (0, 1310, 3, 0.8322), (1, 1, 1, 1.0), (1, 1264, 2, 0.8322), (1, 4549, 3, 0.7316), (2, 2, 1, 1.0), (2, 2618, 2, 0.8669), (2, 189, 3, 0.8606), (3, 3, 1, 1.0), (3, 2591, 2, 0.865), (3, 35, 3, 0.8105), (4, 4, 1, 1.0), (4, 3140, 2, 0.8568), (4, 636, 3, 0.8474)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY query_id, \"rank\""),
     "cluster_kmeans" ->
       ("SELECT CAST(cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n, CAST(centroid_norm AS DOUBLE) AS centroid_norm FROM (" +
         "SELECT * FROM (VALUES (0, 80, 0.2544), (1, 67, 0.2625), (2, 63, 0.2597), (3, 55, 0.2832), (4, 52, 0.2919), (5, 62, 0.2562), (6, 61, 0.266), (7, 60, 0.2725)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 61, 0.261), (1, 70, 0.2404), (2, 76, 0.2512), (3, 64, 0.2679), (4, 64, 0.2563), (5, 59, 0.2935), (6, 49, 0.2888), (7, 57, 0.2888)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 61, 0.261), (1, 70, 0.2404), (2, 76, 0.2512), (3, 64, 0.2679), (4, 64, 0.2563), (5, 59, 0.2935), (6, 49, 0.2888), (7, 57, 0.2888)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 254, 0.2228), (1, 256, 0.2327), (2, 250, 0.2228), (3, 229, 0.2214), (4, 246, 0.2249), (5, 235, 0.2254), (6, 284, 0.206), (7, 246, 0.2334)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY cluster"),
     "dedup_semantic_kmeans" ->
       ("SELECT CAST(vec_id AS BIGINT) AS vec_id FROM (" +
         "SELECT * FROM (VALUES (358), (454)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (256), (287), (298), (388)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (256), (287), (298), (388)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (52), (138), (369), (391), (402), (587), (594), (646), (801), (863), (867), (983), (991), (1005), (1014), (1133), (1198), (1202), (1290), (1293), (1352), (1370), (1383), (1465), (1488), (1507), (1526), (1529), (1531), (1545), (1555), (1573), (1579), (1582), (1630), (1641), (1704), (1713), (1739), (1755), (1776), (1795), (1809), (1824), (1848), (1866), (1875), (1917), (1932), (1935), (1958), (1988)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY vec_id"),
     "text_classifier_train" ->
       ("SELECT CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(pos AS INTEGER) AS pos, CAST(weight AS DOUBLE) AS weight, CAST(train_accuracy AS DOUBLE) AS train_accuracy FROM (" +
         "SELECT * FROM (VALUES (1, 978, -62.682023, 1.0), (2, 1024, -13.851124, 1.0), (3, 254, 4.978852, 1.0), (4, 998, -4.233958, 1.0), (5, 581, 4.073221, 1.0), (6, 705, -3.608663, 1.0), (7, 175, 3.567947, 1.0), (8, 533, 3.561704, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (1, 978, -64.164679, 1.0), (2, 1024, -14.176952, 1.0), (3, 533, 5.529552, 1.0), (4, 693, 4.434215, 1.0), (5, 818, -4.370129, 1.0), (6, 23, -4.187551, 1.0), (7, 456, 4.022876, 1.0), (8, 499, 3.9171, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (1, 978, -64.164679, 1.0), (2, 1024, -14.176952, 1.0), (3, 533, 5.529552, 1.0), (4, 693, 4.434215, 1.0), (5, 818, -4.370129, 1.0), (6, 23, -4.187551, 1.0), (7, 456, 4.022876, 1.0), (8, 499, 3.9171, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (1, 978, -66.017776, 1.0), (2, 1024, -13.94833, 1.0), (3, 533, 3.289987, 1.0), (4, 358, 3.269564, 1.0), (5, 998, -3.251086, 1.0), (6, 50, 3.174419, 1.0), (7, 945, -3.157347, 1.0), (8, 175, 3.130062, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY \"rank\""),
     "sim_ann_recall" ->
       ("SELECT method, CAST(recall_at_5 AS DOUBLE) AS recall_at_5 FROM (" +
         "SELECT * FROM (VALUES ('ivf', 0.88), ('ivfpq', 0.76), ('lsh', 0.96), ('pq', 0.48)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.6), ('ivfpq', 0.76), ('lsh', 1.0), ('pq', 0.56)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.6), ('ivfpq', 0.76), ('lsh', 1.0), ('pq', 0.56)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.64), ('ivfpq', 0.64), ('lsh', 0.96), ('pq', 0.76)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY method"),
     "sim_topk_ivfpq" -> ivfPqOracleSql,
     // persisted path is hash-identical to the one-shot by construction —
@@ -3167,23 +3208,26 @@ object SparkEntry {
     // migrated (re-train → re-encode v2 → atomic pointer flip) store
     // serves hash-identically to the one-shot — same golden pin; the
     // recall degradation/heal is required in-gate
-    "sim_ann_lifecycle" -> ivfPqOracleSql,
+    "sim_ann_lifecycle" -> lifecycleOracleSql,
     "sim_encode_stream" ->
       "SELECT CAST(0 AS BIGINT) AS n_diff, (SELECT count(*) FROM embeddings) AS n_rows",
     "sim_topk_pq" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 7, 4, 0.2928), (0, 190, 5, 0.2818), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 124, 4, 0.3028), (1, 402, 5, 0.2923), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 320, 5, 0.255), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 207, 3, 0.2917), (3, 315, 4, 0.2852), (3, 463, 5, 0.2609), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 257, 4, 0.2724), (4, 384, 5, 0.2404)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 7, 4, 0.2928), (0, 190, 5, 0.2818), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 124, 4, 0.3028), (1, 402, 5, 0.2923), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 320, 5, 0.255), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 207, 3, 0.2917), (3, 315, 4, 0.2852), (3, 463, 5, 0.2609), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 257, 4, 0.2724), (4, 384, 5, 0.2404)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1020, 2, 0.376), (0, 1033, 3, 0.296), (0, 1724, 4, 0.2852), (0, 1308, 5, 0.2681), (1, 1, 1, 1.0), (1, 1711, 2, 0.3028), (1, 514, 3, 0.299), (1, 1760, 4, 0.282), (1, 823, 5, 0.2658), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 1701, 2, 0.388), (3, 1617, 3, 0.3028), (3, 777, 4, 0.2984), (3, 100, 5, 0.2962), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 381, 3, 0.3065), (4, 1351, 4, 0.2897), (4, 1579, 5, 0.2609)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_lsh" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 510, 5, 0.3445), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1175, 3, 0.3703), (1, 1580, 4, 0.3668), (1, 260, 5, 0.3467), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1912, 5, 0.3519), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 859, 5, 0.3628), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 1166, 3, 0.3787), (4, 76, 4, 0.3595), (4, 995, 5, 0.3589)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_lsh_multiprobe" ->
       ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
         "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 12, 4, 0.311), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 246, 4, 0.2898), (2, 185, 5, 0.2829), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 365, 2, 0.37), (0, 334, 3, 0.3627), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 174, 5, 0.3035), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 365, 2, 0.37), (0, 334, 3, 0.3627), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 174, 5, 0.3035), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 510, 5, 0.3445), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1175, 3, 0.3703), (1, 1580, 4, 0.3668), (1, 260, 5, 0.3467), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 859, 5, 0.3628), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 1166, 3, 0.3787), (4, 76, 4, 0.3595), (4, 995, 5, 0.3589)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY query_id, \"rank\""),
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_topk_ivf_pruned" -> ivfOracleSql,
@@ -3269,6 +3313,22 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) AS n FROM lineitem WHERE l_returnflag IS NOT NULL) t) s"),
     "hyp_custom_grouped" ->
       "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
+    // the deterministic sampled variant: the kept set is re-derived from
+    // the same md5(key,seed) bottom-2000 draw (ties break on the key's
+    // string form, mirroring the k-heap's (key,value)-struct tiebreak),
+    // then the sampled medians and the decision are recomputed exactly —
+    // both engines see the identical kept multiset of doubles
+    "hyp_custom_grouped_sampled" ->
+      ("WITH k AS (SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY " +
+        "('0x' || substr(md5(o_orderkey::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, " +
+        "o_orderkey::VARCHAR) AS rn FROM orders " +
+        "WHERE o_orderstatus IN ('O','F') AND o_totalprice IS NOT NULL), " +
+        "m AS (SELECT median(CASE WHEN grp = 'O' THEN v END) AS mo, " +
+        "median(CASE WHEN grp = 'F' THEN v END) AS mf FROM k WHERE rn <= 2000) " +
+        "SELECT 'median_diff_sampled' AS check_name, " +
+        "CAST(CASE WHEN abs(mo - mf) <= 20000.0 THEN 0 ELSE 1 END AS BIGINT) " +
+        "AS failure_count FROM m"),
     "hyp_group_stats" ->
       "SELECT l_linestatus AS grp, count(*) AS n, round(avg(l_quantity), 3) AS mean_q FROM lineitem WHERE l_linestatus IN ('O','F') GROUP BY l_linestatus ORDER BY grp",
     // identical textbook chi-squared-independence formula, cell counts are
@@ -3901,7 +3961,8 @@ object SparkEntry {
     "dedup_semantic_text" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (" +
         "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000" +
+        "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
+        "UNION ALL SELECT * FROM (VALUES (32), (35), (40), (47), (54), (56), (66), (67), (71), (81), (98), (113), (117), (119), (120), (132), (134), (135), (136), (151), (159), (164), (165), (173), (177), (189), (199), (209), (211), (213), (219), (220), (221), (233), (237), (239), (240), (246), (256), (264), (282), (283), (287), (288), (293), (296), (314), (321), (340), (345), (346), (348), (357), (362), (365), (368), (372), (377), (391), (392), (394), (405), (421), (431), (443), (460), (474), (479), (482), (483), (491), (492), (494), (505), (509), (512), (517), (521), (522), (524), (529), (534), (538), (545), (549), (553), (564), (565), (572), (573), (583), (595), (608), (610), (613), (615), (624), (630), (638), (646), (651), (653), (659), (664), (671), (684), (686), (694), (695), (706), (710), (712), (718), (721), (732), (756), (758), (762), (771), (773), (774), (779), (780), (787), (789), (815), (823), (836), (838), (845), (855), (856), (862), (867), (875), (876), (888), (889), (893), (895), (898), (899), (906), (907), (922), (923), (930), (931), (933), (938), (941), (945), (954), (960), (965), (982), (996), (1007), (1013), (1015), (1023), (1026), (1031), (1033), (1035), (1036), (1039), (1041), (1044), (1046), (1051), (1053), (1071), (1072), (1083), (1085), (1093), (1096), (1105), (1113), (1114), (1119), (1128), (1131), (1136), (1137), (1157), (1175), (1186), (1187), (1188), (1192), (1194), (1199), (1200), (1202), (1204), (1206), (1210), (1212), (1238), (1239), (1242), (1253), (1255), (1259), (1267), (1269), (1270), (1273), (1276), (1279), (1282), (1287), (1293), (1299), (1310), (1319), (1320), (1323), (1333), (1338), (1349), (1351), (1353), (1356), (1363), (1369), (1370), (1373), (1375), (1382), (1389), (1394), (1395), (1400), (1401), (1405), (1409), (1413), (1416), (1424), (1427), (1428), (1432), (1434), (1437), (1438), (1440), (1443), (1450), (1452), (1456), (1458), (1489), (1493), (1494), (1498), (1500), (1506), (1508), (1510), (1513), (1519), (1526), (1534), (1538), (1540), (1542), (1553), (1557), (1565), (1568), (1575), (1582), (1583), (1584), (1590), (1592), (1602), (1609), (1610), (1612), (1614), (1618), (1626), (1630), (1633), (1638), (1639), (1641), (1642), (1644), (1645), (1649), (1651), (1658), (1662), (1663), (1665), (1670), (1671), (1673), (1683), (1694), (1702), (1705), (1709), (1717), (1718), (1722), (1727), (1729), (1730), (1731), (1746), (1749), (1764), (1768), (1770), (1772), (1777), (1779), (1783), (1786), (1789), (1805), (1814), (1817), (1819), (1828), (1832), (1834), (1841), (1843), (1845), (1854), (1859), (1882), (1884), (1887), (1893), (1897), (1913), (1915), (1917), (1918), (1925), (1926), (1928), (1929), (1935), (1942), (1943), (1962), (1967), (1970), (1980), (1985), (1986), (1987), (1988), (1992), (1994), (1995), (1997), (1999), (2000), (2008), (2025), (2028), (2043), (2045), (2050), (2052), (2059), (2060), (2063), (2065), (2067), (2068), (2071), (2076), (2083), (2084), (2088), (2091), (2092), (2099), (2100), (2101), (2105), (2106), (2108), (2119), (2126), (2136), (2138), (2141), (2165), (2170), (2172), (2176), (2179), (2182), (2188), (2190), (2192), (2199), (2203), (2213), (2221), (2222), (2223), (2225), (2232), (2234), (2244), (2248), (2250), (2259), (2261), (2265), (2270), (2274), (2289), (2292), (2293), (2295), (2299), (2301), (2302), (2305), (2307), (2309), (2320), (2328), (2333), (2335), (2337), (2339), (2341), (2349), (2350), (2355), (2356), (2359), (2360), (2361), (2363), (2370), (2371), (2374), (2377), (2379), (2389), (2400), (2411), (2418), (2420), (2423), (2425), (2428), (2429), (2434), (2451), (2458), (2463), (2466), (2472), (2474), (2483), (2484), (2486), (2491), (2493), (2503), (2505), (2509), (2513), (2516), (2520), (2521), (2523), (2524), (2528), (2537), (2538), (2542), (2551), (2562), (2563), (2565), (2582), (2587), (2593), (2595), (2598), (2612), (2613), (2618), (2624), (2629), (2631), (2633), (2640), (2641), (2649), (2652), (2661), (2662), (2672), (2677), (2684), (2689), (2690), (2705), (2707), (2728), (2741), (2745), (2766), (2773), (2774), (2777), (2782), (2784), (2789), (2792), (2796), (2798), (2806), (2811), (2816), (2819), (2821), (2824), (2831), (2833), (2841), (2842), (2845), (2853), (2859), (2860), (2868), (2872), (2875), (2887), (2892), (2896), (2897), (2900), (2902), (2903), (2915), (2917), (2918), (2920), (2926), (2929), (2931), (2932), (2934), (2936), (2940), (2946), (2947), (2960), (2972), (2977), (2978), (2983), (2986), (2990), (3006), (3013), (3015), (3017), (3019), (3022), (3033), (3038), (3049), (3052), (3053), (3055), (3065), (3080), (3083), (3091), (3092), (3098), (3101), (3102), (3106), (3111), (3112), (3114), (3115), (3117), (3123), (3125), (3126), (3127), (3145), (3149), (3162), (3163), (3166), (3168), (3197), (3202), (3205), (3208), (3209), (3212), (3215), (3223), (3224), (3229), (3231), (3241), (3243), (3247), (3255), (3258), (3259), (3264), (3269), (3274), (3276), (3277), (3288), (3290), (3291), (3296), (3299), (3300), (3304), (3311), (3319), (3324), (3327), (3328), (3329), (3332), (3341), (3345), (3354), (3357), (3361), (3366), (3367), (3373), (3375), (3377), (3378), (3381), (3383), (3387), (3392), (3393), (3394), (3397), (3398), (3401), (3402), (3403), (3418), (3422), (3429), (3432), (3435), (3438), (3441), (3447), (3450), (3451), (3460), (3465), (3468), (3479), (3481), (3489), (3497), (3502), (3503), (3506), (3511), (3517), (3522), (3523), (3524), (3529), (3544), (3545), (3548), (3552), (3554), (3555), (3556), (3562), (3563), (3569), (3573), (3576), (3584), (3585), (3591), (3593), (3595), (3596), (3602), (3609), (3610), (3613), (3624), (3640), (3644), (3646), (3647), (3655), (3664), (3668), (3670), (3674), (3680), (3687), (3688), (3693), (3701), (3703), (3708), (3715), (3717), (3722), (3724), (3725), (3730), (3731), (3733), (3734), (3735), (3739), (3745), (3753), (3758), (3759), (3760), (3763), (3774), (3776), (3780), (3781), (3792), (3797), (3800), (3802), (3803), (3805), (3810), (3821), (3828), (3829), (3834), (3836), (3839), (3842), (3844), (3848), (3855), (3856), (3857), (3867), (3870), (3872), (3874), (3875), (3879), (3881), (3882), (3886), (3890), (3893), (3896), (3900), (3901), (3903), (3921), (3933), (3936), (3937), (3940), (3947), (3952), (3954), (3955), (3956), (3958), (3972), (3973), (3978), (3979), (3980), (3984), (3989), (3992), (3996), (4001), (4003), (4007), (4010), (4011), (4015), (4016), (4017), (4021), (4030), (4031), (4034), (4035), (4037), (4044), (4046), (4048), (4049), (4052), (4055), (4060), (4061), (4065), (4069), (4073), (4077), (4082), (4091), (4092), (4095), (4098), (4099), (4100), (4103), (4111), (4127), (4129), (4132), (4135), (4138), (4139), (4143), (4146), (4151), (4153), (4155), (4156), (4157), (4160), (4165), (4166), (4168), (4178), (4179), (4180), (4181), (4184), (4189), (4194), (4195), (4196), (4197), (4199), (4200), (4207), (4211), (4213), (4219), (4223), (4225), (4226), (4228), (4230), (4231), (4236), (4241), (4242), (4246), (4251), (4253), (4255), (4259), (4261), (4273), (4274), (4277), (4278), (4290), (4297), (4302), (4303), (4308), (4309), (4317), (4318), (4320), (4321), (4322), (4331), (4335), (4336), (4337), (4343), (4344), (4347), (4351), (4353), (4354), (4356), (4360), (4368), (4371), (4381), (4385), (4388), (4391), (4397), (4402), (4403), (4415), (4416), (4429), (4430), (4436), (4437), (4438), (4445), (4446), (4455), (4459), (4460), (4464), (4466), (4475), (4476), (4483), (4485), (4486), (4487), (4492), (4494), (4496), (4513), (4514), (4523), (4524), (4526), (4528), (4536), (4541), (4542), (4545), (4553), (4556), (4564), (4576), (4588), (4589), (4590), (4591), (4594), (4595), (4596), (4599), (4603), (4607), (4609), (4612), (4613), (4614), (4615), (4621), (4624), (4634), (4645), (4649), (4650), (4653), (4662), (4666), (4667), (4668), (4670), (4672), (4677), (4686), (4691), (4702), (4703), (4706), (4708), (4716), (4717), (4719), (4722), (4723), (4724), (4726), (4729), (4730), (4732), (4740), (4743), (4746), (4749), (4750), (4756), (4758), (4762), (4763), (4764), (4766), (4767), (4768), (4769), (4771), (4773), (4777), (4780), (4784), (4785), (4786), (4789), (4791), (4793), (4794), (4795), (4797), (4800), (4801), (4802), (4805), (4806), (4809), (4812), (4822), (4823), (4824), (4828), (4829), (4830), (4832), (4833), (4834), (4836), (4838), (4840), (4841), (4845), (4846), (4847), (4850), (4864), (4865), (4868), (4874), (4875), (4876), (4886), (4887), (4890), (4901), (4902), (4905), (4908), (4910), (4912), (4913), (4914), (4918), (4921), (4922), (4923), (4935), (4936), (4937), (4938), (4941), (4942), (4943), (4948), (4949), (4954), (4958), (4965), (4969), (4972), (4976), (4977), (4981), (4984), (4990), (4991), (4993)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
         ") u ORDER BY doc_id"),
     "dedup_incremental_store" -> mhStoreOracle,
     "dedup_store_compacted" -> mhStoreOracle,

@@ -147,7 +147,8 @@ object Hypothesis {
             if (n > vals.size)
               sys.error(s"grouped hypothesis '$name': group '$g' has $n " +
                 s"values, exceeding maxSamplePerGroup=$maxSamplePerGroup; " +
-                s"raise the cap or use an aggregate-form hypothesis")
+                s"raise the cap, use an aggregate-form hypothesis, or opt " +
+                s"into the deterministic sampled form (groupedSampled)")
           }
           val vectors = samples.map(g => byGroup(g)._2.map(_.toDouble).toIndexedSeq)
           val (stat, pvalue) = test(vectors)
@@ -159,6 +160,97 @@ object Hypothesis {
       Map("groupby" -> groupbyCol, "samples" -> samples,
         "relationship" -> relationship.toString, "alpha" -> alpha,
         "max_sample_per_group" -> maxSamplePerGroup))
+
+  /** Scale path for [[grouped]] (r14): same black-box contract, but a
+    * group larger than `maxSamplePerGroup` is tested on a DETERMINISTIC
+    * uniform sample of exactly `maxSamplePerGroup` values instead of
+    * refusing — the opt-in that [[grouped]]'s loud cap refusal points at.
+    * A 100 TB user with a black-box grouped test previously had only
+    * "raise the cap"; this gives them a bounded, reproducible answer.
+    *
+    * The draw is bottom-k by the engine-portable md5 key hash (the
+    * [[graft.ext.Sampling]] convention: first 8 hex chars of
+    * md5(key || chr(1) || seed) as a 32-bit integer): selection is a pure
+    * function of (keyCol value, seed) — retry-deterministic and
+    * re-derivable in any SQL engine as
+    * `row_number() OVER (PARTITION BY group ORDER BY hash, key) <= cap`
+    * (hash ties, possible at 32 bits, break on the key's string form, so
+    * the kept set is bit-reproducible even then). Groups at or under the
+    * cap are tested EXACTLY — the heap simply holds everything — so this
+    * degrades to [[grouped]] on small groups.
+    *
+    * Scale shape: ONE aggregation; the bounded k-heap
+    * ([[graft.functions.TopKByScore]]) folds map-side, so at most `cap`
+    * entries per group per task cross the shuffle however large the
+    * groups get — no window sort, no full collect; driver memory is
+    * O(|samples| × cap). Null keys fail fast in the same pass (a null
+    * key has no deterministic draw). Values arrive in hash order, not
+    * data order — `test` must be order-invariant, true of any honest
+    * two-sample statistic.
+    *
+    * The outcome detail records the seed and per-group kept/total counts,
+    * so a sampled decision is visibly sampled in the validation report.
+    * The reference collects full groups unconditionally
+    * (backends/pandas/hypotheses.py:78-130) — both the cap refusal and
+    * this sampled form are beyond-reference surface. */
+  def groupedSampled(
+      name: String,
+      groupbyCol: String,
+      samples: Seq[String],
+      keyCol: String,
+      relationship: Relationship = NotEqual,
+      alpha: Double = 0.01,
+      maxSamplePerGroup: Int = 100000,
+      seed: Long = 42L)(
+      test: Seq[IndexedSeq[Double]] => (Double, Double)): AggregateCheck =
+    AggregateCheck(
+      name,
+      (df, colOpt) => {
+        val c = colOpt.getOrElse(sys.error(s"$name needs a column"))
+        // the shared engine-portable key hash (Sampling.hash32 form)
+        val keyHash = conv(substring(md5(concat_ws("\u0001",
+          col(keyCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
+          .cast("long")
+        val rows = df
+          .filter(col(groupbyCol).isin(samples: _*) && col(c).isNotNull)
+          .groupBy(col(groupbyCol))
+          .agg(count(col(c)).as("n"),
+            coalesce(sum(when(col(keyCol).isNull, 1L)), lit(0L)).as("nullk"),
+            graft.functions.TopKByScore.of(
+              -keyHash.cast("double"),
+              struct(col(keyCol).cast("string").as("k"),
+                col(c).cast("string").as("v")),
+              maxSamplePerGroup).as("tk"))
+          .collect() // ≤ |samples| rows, each capped at maxSamplePerGroup
+        val byGroup = rows.map { r =>
+          if (r.getLong(r.fieldIndex("nullk")) > 0L)
+            sys.error(s"grouped hypothesis '$name': group " +
+              s"'${String.valueOf(r.get(0))}' has null '$keyCol' values — " +
+              "a null key has no deterministic draw; filter or fill it")
+          val tk = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("tk"))
+          String.valueOf(r.get(0)) ->
+            ((r.getLong(r.fieldIndex("n")), tk.map(_.getStruct(1).getString(1))))
+        }.toMap
+        val missing = samples.filterNot(byGroup.contains)
+        if (missing.nonEmpty)
+          AggOutcome(passed = false,
+            s"missing group(s): ${missing.mkString(",")}")
+        else {
+          val vectors = samples.map(g =>
+            byGroup(g)._2.map(_.toDouble).toIndexedSeq)
+          val (stat, pvalue) = test(vectors)
+          AggOutcome(decide(relationship, stat, pvalue, alpha),
+            f"stat=$stat%.6f p=$pvalue%.6f seed=$seed " +
+              samples.map { g =>
+                val (n, kept) = byGroup(g)
+                if (n > kept.size) s"n($g)=$n kept($g)=${kept.size} sampled"
+                else s"n($g)=$n exact"
+              }.mkString(" "))
+        }
+      },
+      Map("groupby" -> groupbyCol, "samples" -> samples, "key" -> keyCol,
+        "relationship" -> relationship.toString, "alpha" -> alpha,
+        "max_sample_per_group" -> maxSamplePerGroup, "seed" -> seed))
 
   /** Exact median of a sample vector (sorted midpoint / mean of the two
     * midpoints) — matches SQL `median`/`quantile_cont(0.5)`. */

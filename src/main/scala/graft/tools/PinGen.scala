@@ -86,6 +86,41 @@ object PinGen {
         .collect().map(r => s"('${r.getString(0)}', ${r.getDouble(1)})")
       println(s"PIN annrecall $sf " + recall.mkString(", "))
     }
+
+    // r14: sf0.1 pins for the whole golden-pin family — generated from the
+    // GATE OUTPUTS themselves (the oracle compares engine output vs oracle
+    // rows verbatim, so a full-output VALUES branch is a valid pin for any
+    // deterministic gate). Emitted as complete >=100000-guarded UNION ALL
+    // branches; tools/patch scripts splice them into SparkEntry's oracle
+    // strings. lineitem counts: sf0.001≈6k, sf0.01≈60k, sf0.1≈600k.
+    locally {
+      val d = "/root/testdata/sf0.1"
+      def sqlLit(v: Any): String = v match {
+        case null => "NULL"
+        case s0: String => "'" + s0.replace("'", "''") + "'"
+        case dd: java.lang.Double =>
+          val s0 = BigDecimal(dd).underlying.stripTrailingZeros.toPlainString
+          if (s0.contains('.')) s0 else s0 + ".0"
+        case f: java.lang.Float => sqlLit(java.lang.Double.valueOf(f.toDouble))
+        case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
+        case x => String.valueOf(x)
+      }
+      val pinned = Seq("sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
+        "sim_topk_lsh", "sim_topk_lsh_multiprobe", "sim_text_hash_ann",
+        "sim_ann_recall", "sim_ann_lifecycle", "cluster_kmeans",
+        "dedup_semantic_kmeans", "dedup_semantic_text", "dedup_simhash",
+        "text_bpe", "text_bpe_train", "text_bpe_train_64",
+        "text_classifier_train")
+      for (n <- pinned) {
+        val df = graft.SparkEntry.queries(n)(spark, d)
+        val rows = df.collect()
+          .map(r => "(" + r.toSeq.map(sqlLit).mkString(", ") + ")")
+        val cols = df.columns
+          .map(c => if (c == "rank") "\"rank\"" else c).mkString(", ")
+        println(s"PIN01\t$n\tSELECT * FROM (VALUES " + rows.mkString(", ") +
+          s") v($cols) WHERE (SELECT count(*) FROM lineitem) >= 100000")
+      }
+    }
     spark.stop()
   }
 }

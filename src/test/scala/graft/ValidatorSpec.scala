@@ -326,6 +326,77 @@ class ValidatorSpec extends SparkSpec {
     assert(missing.validate(df).hardErrors.exists(_.message.contains("Z")))
   }
 
+  test("groupedSampled: deterministic bounded sample past the cap, exact under it (r14)") {
+    // 250 rows per group with a unique key: the sampled variant's draw is
+    // bottom-k by md5(key||chr(1)||seed), so a driver-side recomputation
+    // of the SAME hash must reproduce the engine's kept set bit-exactly
+    // (the portable-hash contract the DuckDB oracle relies on). The
+    // outcome detail only surfaces through a FAILED check's message, so
+    // every probe below uses an always-false relationship.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val data = spark.range(500).select(
+      col("id").as("k"),
+      when(col("id") % 2 === 0, "A").otherwise("B").as("grp"),
+      (col("id") % 97).cast("double").as("price"))
+    val failRel = Hypothesis.Custom((_, _) => false)
+    def detail(res: graft.errors.ValidationResult): String =
+      res.errors.map(_.message).mkString
+    def medianDiff(name: String, cap: Int) =
+      DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+        checks = Seq(Hypothesis.groupedSampled(name, "grp", Seq("A", "B"),
+          keyCol = "k", relationship = failRel,
+          maxSamplePerGroup = cap, seed = 42L) { vs =>
+          (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
+        })))
+    // under the cap: exact, and the same stat token as the refusing
+    // grouped form on the same data
+    val exactDetail = detail(medianDiff("exact", cap = 1000).validate(data))
+    assert(exactDetail.contains("n(A)=250 exact") && !exactDetail.contains("sampled"))
+    val plainDetail = detail(DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.grouped("plain", "grp", Seq("A", "B"), failRel) { vs =>
+        (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
+      }))).validate(data))
+    def statToken(s: String) = s.split("stat=")(1).split(" ")(0)
+    assert(statToken(exactDetail) == statToken(plainDetail))
+    // past the cap: kept=50 per group, visibly sampled, seed recorded
+    val d1 = detail(medianDiff("sampled", cap = 50).validate(data))
+    assert(d1.contains("kept(A)=50 sampled") && d1.contains("kept(B)=50 sampled")
+      && d1.contains("seed=42"))
+    // deterministic: a second validation reproduces the detail verbatim
+    assert(d1 == detail(medianDiff("sampled", cap = 50).validate(data)))
+    // driver-side mini-oracle: recompute the bottom-50 draw from the same
+    // md5 hash and compare the group-A sampled median EXACTLY
+    def hash32(key: String, seed: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((key + "\u0001" + seed).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val keptA = (0 until 500 by 2)
+      .sortBy(k => (hash32(k.toString, 42L), k.toString))
+      .take(50).map(k => (k % 97).toDouble).toIndexedSeq
+    val aOnly = detail(DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.groupedSampled("a_only", "grp", Seq("A"),
+        keyCol = "k", relationship = failRel,
+        maxSamplePerGroup = 50, seed = 42L) { vs =>
+        (Hypothesis.median(vs(0)), 0.0)
+      }))).validate(data))
+    assert(statToken(aOnly) == f"${Hypothesis.median(keptA)}%.6f")
+    // null keys are refused loudly (no deterministic draw)
+    val withNullKey = data.withColumn("k",
+      when(col("k") === 3, lit(null).cast("long")).otherwise(col("k")))
+    val nk = medianDiff("nullkey", cap = 50).validate(withNullKey)
+    assert(nk.hardErrors.exists(e =>
+      e.reason == SchemaErrorReason.CHECK_ERROR &&
+        e.message.contains("null 'k'")))
+    // missing group named, as in the plain form
+    val miss = DataFrameSchema("price" -> ColumnSchema(Some(DoubleType),
+      checks = Seq(Hypothesis.groupedSampled("m", "grp", Seq("A", "Z"),
+        keyCol = "k", maxSamplePerGroup = 50) { vs => (0.0, 1.0) })))
+      .validate(data)
+    assert(miss.hardErrors.exists(_.message.contains("Z")))
+  }
+
   test("regex column matching") {
     val d = Seq((1.0, 2.0, "x")).toDF("m_a", "m_b", "other")
     val schema = DataFrameSchema(
