@@ -263,18 +263,20 @@ object SparkEntry {
     }),
     "hyp_custom_grouped_sampled" -> ((s, d) => {
       // r14 scale path: the same black-box grouped shape, but each group
-      // is tested on a DETERMINISTIC bounded sample (bottom-2000 by the
+      // is tested on a DETERMINISTIC bounded sample (bottom-400 by the
       // md5 key hash) instead of refusing past the cap — so the operator
       // has a green path at ANY group density (at sf0.1 the plain form's
-      // groups exceed maxSamplePerGroup and loudly refuse). cap=2000 is
-      // below every SF's O/F group size, so the SAMPLED path is what the
-      // gate exercises everywhere; the oracle re-derives the exact kept
-      // sets (row_number over the same hash) and the sampled medians.
+      // groups exceed maxSamplePerGroup and loudly refuse). cap=400 sits
+      // below every SF's O/F group size (sf0.001 orders: O=514, F=493),
+      // so the SAMPLED branch — heap cut, hash draw, tie-break — is what
+      // the gate exercises at ALL densities, not just the big ones; the
+      // oracle re-derives the exact kept sets (row_number over the same
+      // hash) and the sampled medians.
       val res = DataFrameSchema("o_totalprice" -> ColumnSchema(Some(DoubleType),
         Seq(Hypothesis.groupedSampled("median_diff_sampled", "o_orderstatus",
           Seq("O", "F"), keyCol = "o_orderkey",
           relationship = Hypothesis.Custom((stat, _) => math.abs(stat) <= 20000.0),
-          maxSamplePerGroup = 2000, seed = 7L) { vs =>
+          maxSamplePerGroup = 400, seed = 7L) { vs =>
           (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
         })))
         .validate(t(s, d, "orders"))
@@ -3314,7 +3316,7 @@ private val lifecycleOracleSql: String =
     "hyp_custom_grouped" ->
       "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
     // the deterministic sampled variant: the kept set is re-derived from
-    // the same md5(key,seed) bottom-2000 draw (ties break on the key's
+    // the same md5(key,seed) bottom-400 draw (ties break on the key's
     // string form, mirroring the k-heap's (key,value)-struct tiebreak),
     // then the sampled medians and the decision are recomputed exactly —
     // both engines see the identical kept multiset of doubles
@@ -3325,7 +3327,7 @@ private val lifecycleOracleSql: String =
         "o_orderkey::VARCHAR) AS rn FROM orders " +
         "WHERE o_orderstatus IN ('O','F') AND o_totalprice IS NOT NULL), " +
         "m AS (SELECT median(CASE WHEN grp = 'O' THEN v END) AS mo, " +
-        "median(CASE WHEN grp = 'F' THEN v END) AS mf FROM k WHERE rn <= 2000) " +
+        "median(CASE WHEN grp = 'F' THEN v END) AS mf FROM k WHERE rn <= 400) " +
         "SELECT 'median_diff_sampled' AS check_name, " +
         "CAST(CASE WHEN abs(mo - mf) <= 20000.0 THEN 0 ELSE 1 END AS BIGINT) " +
         "AS failure_count FROM m"),

@@ -297,6 +297,17 @@ object ValidationLedger {
       emptyResult(spark)
     }
 
+    // tiny driver-local key frame for the broadcast semi-join fallback
+    // (shared by all three too-many-keys-to-inline paths)
+    def keyFrame(vals: Seq[Any],
+        field: org.apache.spark.sql.types.StructField): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(vals.map(v =>
+          org.apache.spark.sql.Row(v)): _*),
+        org.apache.spark.sql.types.StructType(Seq(field)))
+    val strKeyField = org.apache.spark.sql.types.StructField("__k",
+      org.apache.spark.sql.types.StringType)
+
     candidates match {
       case Some(cs) =>
         // caller-asserted partition keys: zero discovery scan (the
@@ -346,12 +357,7 @@ object ValidationLedger {
               commit(grouped.filter(
                 col("partition").isin(freshInBatch.toIndexedSeq: _*)))
             else {
-              val keyDf = spark.createDataFrame(
-                java.util.Arrays.asList(freshInBatch.map(k =>
-                  org.apache.spark.sql.Row(k)): _*),
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("__k",
-                    org.apache.spark.sql.types.StringType))))
+              val keyDf = keyFrame(freshInBatch, strKeyField)
               commit(grouped.join(broadcast(keyDf),
                 col("partition") === keyDf("__k"), "left_semi"))
             }
@@ -368,12 +374,7 @@ object ValidationLedger {
             if (fresh.length <= maxInline)
               work.filter(key.isin(fresh.toIndexedSeq: _*))
             else {
-              val keyDf = spark.createDataFrame(
-                java.util.Arrays.asList(fresh.map(k =>
-                  org.apache.spark.sql.Row(k)): _*),
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("__k",
-                    org.apache.spark.sql.types.StringType))))
+              val keyDf = keyFrame(fresh, strKeyField)
               work.join(broadcast(keyDf), key === keyDf("__k"), "left_semi")
             }
           commit(verdictFrame(inc))
@@ -408,11 +409,7 @@ object ValidationLedger {
             if (newVals.length <= maxInline)
               work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
             else {
-              val keyDf = spark.createDataFrame(
-                java.util.Arrays.asList(freshRows.map(r =>
-                  org.apache.spark.sql.Row(r.get(0))): _*),
-                org.apache.spark.sql.types.StructType(
-                  Seq(work.schema(partitionCol))))
+              val keyDf = keyFrame(newVals, work.schema(partitionCol))
               work.join(broadcast(keyDf),
                 work(partitionCol) === keyDf(partitionCol), "left_semi")
             }

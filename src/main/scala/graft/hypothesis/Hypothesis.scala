@@ -183,10 +183,14 @@ object Hypothesis {
     * ([[graft.functions.TopKByScore]]) folds map-side, so at most `cap`
     * entries per group per task cross the shuffle however large the
     * groups get — no window sort, no full collect; driver memory is
-    * O(|samples| × cap). Null keys fail fast in the same pass (a null
-    * key has no deterministic draw). Values arrive in hash order, not
-    * data order — `test` must be order-invariant, true of any honest
-    * two-sample statistic.
+    * O(|samples| × cap). `keyCol` must be unique and non-null per row —
+    * BOTH are enforced in the same pass and refused loudly: a null key
+    * has no deterministic draw, and a duplicate key would make the kept
+    * multiset depend on engine-internal tie order (the k-heap ties on
+    * (key, value) strings; a SQL re-derivation ordering by (hash, key)
+    * alone could keep the OTHER duplicate's value — r14 review finding).
+    * Values arrive in hash order, not data order — `test` must be
+    * order-invariant, true of any honest two-sample statistic.
     *
     * The outcome detail records the seed and per-group kept/total counts,
     * so a sampled decision is visibly sampled in the validation report.
@@ -216,6 +220,7 @@ object Hypothesis {
           .groupBy(col(groupbyCol))
           .agg(count(col(c)).as("n"),
             coalesce(sum(when(col(keyCol).isNull, 1L)), lit(0L)).as("nullk"),
+            (count(col(keyCol)) - count_distinct(col(keyCol))).as("dupk"),
             graft.functions.TopKByScore.of(
               -keyHash.cast("double"),
               struct(col(keyCol).cast("string").as("k"),
@@ -227,6 +232,12 @@ object Hypothesis {
             sys.error(s"grouped hypothesis '$name': group " +
               s"'${String.valueOf(r.get(0))}' has null '$keyCol' values — " +
               "a null key has no deterministic draw; filter or fill it")
+          if (r.getLong(r.fieldIndex("dupk")) > 0L)
+            sys.error(s"grouped hypothesis '$name': group " +
+              s"'${String.valueOf(r.get(0))}' has duplicate '$keyCol' " +
+              "values — the draw is keyed on them, so duplicates would " +
+              "make the kept sample depend on engine tie order; use a " +
+              "unique row key")
           val tk = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("tk"))
           String.valueOf(r.get(0)) ->
             ((r.getLong(r.fieldIndex("n")), tk.map(_.getStruct(1).getString(1))))
