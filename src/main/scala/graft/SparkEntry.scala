@@ -1500,10 +1500,17 @@ object SparkEntry {
         "o_orderpriority", dir, "b3").isEmpty,
         "re-running over seen data must be a no-op")
       ext.ValidationLedger.compact(s, dir)
+      // r14 (verdict optional #7): the statusSummary rollup leg — its four
+      // aggregates ride every row as broadcast constants so the oracle
+      // re-derives the whole-corpus posture too (previously spec-only)
+      val summary = ext.ValidationLedger.statusSummary(s, dir)
+        .select(col("n_partitions"), col("n_failed_partitions"),
+          col("n_rows").as("sum_rows"), col("n_failures").as("sum_failures"))
       ext.ValidationLedger.status(s, dir)
         .select(col("partition").as("part"), col("batch"), col("n_rows"),
           explode(col("failures")).as(Seq("check_label", "failures")),
           col("n_failed"), col("passed"))
+        .crossJoin(broadcast(summary))
         .orderBy("part", "check_label")
     }),
     "pipeline_crawl_batch" -> ((s, d) => {
@@ -3689,7 +3696,11 @@ private val lifecycleOracleSql: String =
         "x AS (SELECT part, batch, n_rows, 'o_totalprice:greater_than_or_equal_to(0.0)' AS check_label, f_ge AS failures, f_ge + f_len + f_uni AS n_failed FROM p " +
         "UNION ALL SELECT part, batch, n_rows, 'o_orderpriority:str_length(10, 1)', f_len, f_ge + f_len + f_uni FROM p " +
         "UNION ALL SELECT part, batch, n_rows, 'o_orderkey:unique', f_uni, f_ge + f_len + f_uni FROM p) " +
-        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed " +
+        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_partitions, " +
+        "(SELECT CAST(count(*) FILTER (WHERE f_ge + f_len + f_uni > 0) AS BIGINT) FROM p) AS n_failed_partitions, " +
+        "(SELECT CAST(sum(n_rows) AS BIGINT) FROM p) AS sum_rows, " +
+        "(SELECT CAST(sum(f_ge + f_len + f_uni) AS BIGINT) FROM p) AS sum_failures " +
         "FROM x ORDER BY part, check_label"),
     "pipeline_crawl_batch" ->
       // the full store-backed nightly flow re-derived from the shared
