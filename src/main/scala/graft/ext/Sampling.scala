@@ -32,8 +32,11 @@ object Sampling {
   private[ext] val Sep = "\u0001"
 
   /** The shared 32-bit key hash: first 8 hex chars of
-    * md5(key + chr(1) + seed) as a long in [0, 2^32). */
-  private[ext] def hash32(key: Column, seed: Long): Column =
+    * md5(key + chr(1) + seed) as a long in [0, 2^32). This convention is
+    * load-bearing for every DuckDB oracle that re-derives a draw —
+    * repo-wide visibility (r14) so callers outside ext (the sampled
+    * grouped hypothesis) reuse it instead of re-inlining the expression. */
+  private[graft] def hash32(key: Column, seed: Long): Column =
     conv(substring(md5(concat_ws(Sep, key.cast("string"), lit(seed.toString))),
       1, 8), 16, 10).cast("long")
 

@@ -211,10 +211,10 @@ object Hypothesis {
       name,
       (df, colOpt) => {
         val c = colOpt.getOrElse(sys.error(s"$name needs a column"))
-        // the shared engine-portable key hash (Sampling.hash32 form)
-        val keyHash = conv(substring(md5(concat_ws("\u0001",
-          col(keyCol).cast("string"), lit(seed.toString))), 1, 8), 16, 10)
-          .cast("long")
+        // the shared engine-portable key hash — ONE definition repo-wide
+        // (a drifted copy would silently desynchronize every oracle
+        // built on the convention)
+        val keyHash = graft.ext.Sampling.hash32(col(keyCol), seed)
         val rows = df
           .filter(col(groupbyCol).isin(samples: _*) && col(c).isNotNull)
           .groupBy(col(groupbyCol))

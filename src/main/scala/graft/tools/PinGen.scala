@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway golden-pin generator for the sim_topk_* oracle VALUES lists. */
 object PinGen {
+  /** SQL double literal: exact decimal expansion, always with a dot so
+    * engines type it DOUBLE, loud on non-finite (BigDecimal would throw
+    * an opaque NumberFormatException on NaN/Inf — a pinned gate emitting
+    * one means the pin itself is wrong). */
+  private def fmtD(x: Double): String = {
+    require(!x.isNaN && !x.isInfinite, s"non-finite pin value: $x")
+    val s0 = BigDecimal(x).underlying.stripTrailingZeros.toPlainString
+    if (s0.contains('.')) s0 else s0 + ".0"
+  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -37,9 +46,7 @@ object PinGen {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       def fmt(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
         val rows = df.orderBy("query_id", "rank").collect().map { r =>
-          val cos = BigDecimal(r.getDouble(3)).underlying.stripTrailingZeros.toPlainString
-          val cosStr = if (!cos.contains('.')) cos + ".0" else cos
-          s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, $cosStr)"
+          s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, ${fmtD(r.getDouble(3))})"
         }
         println(s"PIN $name $sf " + rows.mkString(", "))
       }
@@ -53,8 +60,7 @@ object PinGen {
       // cluster_kmeans pin: (cluster, n, centroid_norm) rows
       val km = graft.ext.Clustering.kMeansSummary(emb, "vec_id", "embedding",
         k = 8, iters = 5, seed = 42).orderBy("cluster").collect().map { r =>
-        val nm = BigDecimal(r.getDouble(2)).underlying.stripTrailingZeros.toPlainString
-        s"(${r.getInt(0)}, ${r.getLong(1)}, ${if (nm.contains('.')) nm else nm + ".0"})"
+        s"(${r.getInt(0)}, ${r.getLong(1)}, ${fmtD(r.getDouble(2))})"
       }
       println(s"PIN kmeans $sf " + km.mkString(", "))
       // dedup_semantic_kmeans pin: removed vec_ids
@@ -69,11 +75,7 @@ object PinGen {
         array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"),
         dim = 1024, iters = 60, lr = 8.0, momentum = 0.95, topK = 8)
         .orderBy("rank").collect().map { r =>
-        def fd(x: Double) = {
-          val s0 = BigDecimal(x).underlying.stripTrailingZeros.toPlainString
-          if (s0.contains('.')) s0 else s0 + ".0"
-        }
-        s"(${r.getInt(0)}, ${r.getInt(1)}, ${fd(r.getDouble(2))}, ${fd(r.getDouble(3))})"
+        s"(${r.getInt(0)}, ${r.getInt(1)}, ${fmtD(r.getDouble(2))}, ${fmtD(r.getDouble(3))})"
       }
       println(s"PIN clstrain $sf " + tr.mkString(", "))
       // text_bpe_train_64 pin: (merge_rank, lhs, rhs) — SQL-escape quotes
@@ -98,10 +100,8 @@ object PinGen {
       def sqlLit(v: Any): String = v match {
         case null => "NULL"
         case s0: String => "'" + s0.replace("'", "''") + "'"
-        case dd: java.lang.Double =>
-          val s0 = BigDecimal(dd).underlying.stripTrailingZeros.toPlainString
-          if (s0.contains('.')) s0 else s0 + ".0"
-        case f: java.lang.Float => sqlLit(java.lang.Double.valueOf(f.toDouble))
+        case dd: java.lang.Double => fmtD(dd)
+        case f: java.lang.Float => fmtD(f.toDouble)
         case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
         case x => String.valueOf(x)
       }
