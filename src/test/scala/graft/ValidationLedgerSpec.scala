@@ -243,6 +243,28 @@ class ValidationLedgerSpec extends SparkSpec {
       finally spark.sparkContext.removeSparkListener(listener)
       recs.get()
     }
+    // r14: the streamed-candidates guard costs ONE scan of the batch,
+    // not two — the out-of-set check reads the persisted AGGREGATED
+    // frame (one row per batch partition), never the batch again. A
+    // parquet-backed 4000-row batch must read ~4000 source records
+    // (a separate guard scan would double it), and a redelivered batch
+    // must read ~none (mark short-circuit before any data).
+    val sDir = tmp()
+    val streamedRecs = measure(
+      ValidationLedger.validateIncrementBatch(sch, data, "part", sDir,
+        "s0", "sg", 0L,
+        candidates = Some(Seq("p0", "p1", "p2", "p3"))).count(): Unit)
+    assert(streamedRecs >= 4000L && streamedRecs <= 4400L,
+      s"streamed-candidates increment read $streamedRecs source records " +
+        "(want ~4000: ONE grouped scan of the batch; the guard must not " +
+        "rescan it)")
+    val redeliveredRecs = measure(
+      ValidationLedger.validateIncrementBatch(sch, data, "part", sDir,
+        "s0", "sg", 0L,
+        candidates = Some(Seq("p0", "p1", "p2", "p3"))).isEmpty: Unit)
+    assert(redeliveredRecs <= 100L,
+      s"redelivered batch read $redeliveredRecs records (mark must " +
+        "short-circuit before any scan)")
     // fresh ledger validating ALL four partitions: the full-scan baseline
     // (distinct 4000 + grouped 4000)
     val allRecs = measure(ValidationLedger.validateIncrement(
