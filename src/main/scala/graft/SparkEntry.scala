@@ -2194,6 +2194,36 @@ object SparkEntry {
         "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
         .orderBy("query_id", "rank")
     }),
+    "sim_ann_delete" -> ((s, d) => {
+      // r14: the takedown path (retention policy / right-to-be-forgotten)
+      // — tombstone-delete a deterministic id set from a persisted store,
+      // serve, then compact (the physical-erasure point) and assert the
+      // serve is unchanged and the tombstones retired. The serve probes
+      // ALL cells (nProbe = nCentroids makes IVF exact brute force), so
+      // the oracle is plain SQL over the live subset — a real data-derived
+      // oracle, not a golden pin.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
+      val idx = ext.Similarity.trainIvf(emb, "vec_id", "embedding",
+        nCentroids = 16)
+      ext.AnnStore.create(emb, "vec_id", "embedding", idx, dir)
+      val nDel = ext.AnnStore.delete(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+        "vec_id", dir)
+      require(nDel > 0L, "takedown set empty — gate precondition broken")
+      def serveNow() = ext.AnnStore.serve(dir, emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nProbe = 16)
+      val masked = serveNow().orderBy("query_id", "rank").collect().toSeq
+      ext.AnnStore.compactCodes(s, dir)
+      require(ext.AnnStore.tombstoneCount(s, dir) == 0L,
+        "compaction must retire the tombstones")
+      val compacted = serveNow()
+      require(compacted.orderBy("query_id", "rank").collect().toSeq == masked,
+        "post-compaction serve must equal the tombstone-masked serve")
+      compacted.orderBy("query_id", "rank")
+    }),
     "sim_embedding_norm" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
         round(ext.Similarity.l2Norm(col("embedding")), 4).as("norm"))
@@ -4054,6 +4084,15 @@ object SparkEntry {
       ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
         "sc AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id, " +
         s"round($cosineSql, 4) AS cosine FROM embeddings a, q b), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank FROM sc) " +
+        "SELECT query_id, corpus_id, rank, cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "sim_ann_delete" ->
+      // brute top-k over the LIVE corpus (the takedown set excluded) —
+      // the gate's full-probe IVF serve is exactly this
+      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 != 3), " +
+        "sc AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id, " +
+        s"round($cosineSql, 4) AS cosine FROM c a, q b), " +
         "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank FROM sc) " +
         "SELECT query_id, corpus_id, rank, cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
     "sim_embedding_norm" ->

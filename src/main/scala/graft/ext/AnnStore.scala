@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     version the pointer names — a reader mid-migration sees the old
   *     store in full, never a mix; a crash before the flip leaves the old
   *     version live and the half-written one invisible (re-run to heal).
+  *   - '''takedown''' (r14): [[delete]] tombstones ids (retention policy,
+  *     right-to-be-forgotten) — serves stop returning them immediately
+  *     with zero code bytes rewritten; [[compactCodes]] is the physical
+  *     erasure point; [[migrate]] carries the exclusion, so a re-index
+  *     cannot resurrect them.
   *
   * Layout under `path` (r11: the codes side adopted the BM25 store's
   * manifest-governed generations — see [[Retrieval]] — closing the one
@@ -53,11 +58,17 @@ object AnnStore {
   private def currentPath(path: String) = s"$path/current.json"
   private def indexPath(path: String, v: Int) = s"$path/v$v/index.json"
   private def codesPath(path: String, v: Int) = s"$path/v$v/codes"
+  private def tombsPath(path: String, v: Int) = s"$path/v$v/tombs"
   private def codesManifestPath(path: String, v: Int) =
     s"$path/v$v/codes-manifest.json"
 
+  /** `tombs`/`tombCooling` (r14): tombstone-delete generations — see
+    * [[delete]]. Absent keys read as empty, so pre-r14 manifests load
+    * unchanged. */
   private case class CodesManifest(gens: Seq[String],
-      marks: Map[String, Long], cooling: Map[String, Long])
+      marks: Map[String, Long], cooling: Map[String, Long],
+      tombs: Seq[String] = Nil,
+      tombCooling: Map[String, Long] = Map.empty)
 
   private def readCodesManifest(spark: SparkSession, path: String,
       v: Int): CodesManifest = {
@@ -80,7 +91,12 @@ object AnnStore {
       root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
         .map(String.valueOf),
       StoreFiles.jsonLongMap(root.get("marks")),
-      StoreFiles.jsonLongMap(root.get("cooling")))
+      StoreFiles.jsonLongMap(root.get("cooling")),
+      // pre-r14 manifests carry no tombstone fields — read as empty
+      Option(root.get("tombs"))
+        .map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq
+          .map(String.valueOf)).getOrElse(Nil),
+      StoreFiles.jsonLongMap(root.get("tombcooling")))
   }
 
   private def writeCodesManifest(spark: SparkSession, path: String, v: Int,
@@ -89,7 +105,9 @@ object AnnStore {
       s"""{"format":"graft-ann-codes","version":1,""" +
         s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
         s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
-        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}},""" +
+        s""""tombs":[${StoreFiles.jsonStrArr(m.tombs)}],""" +
+        s""""tombcooling":{${StoreFiles.jsonLongObj(m.tombCooling)}}}""")
 
 
   /** The live version number named by the pointer. All metadata IO rides
@@ -283,9 +301,11 @@ object AnnStore {
 
   /** The live codes: the union of the current version's COMMITTED
     * generations (orphans from crashed appends are invisible — the
-    * manifest never listed them). A `cell` filter pushes through the
-    * Union into every generation scan's PartitionFilters, so the pruned
-    * serves keep their file-level skipping across any append history. */
+    * manifest never listed them), minus any live tombstones ([[delete]]).
+    * A `cell` filter pushes through the Union into every generation
+    * scan's PartitionFilters, so the pruned serves keep their file-level
+    * skipping across any append history — the tombstone anti-join sits
+    * ABOVE the scan and does not disturb that pruning. */
   def codes(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)
@@ -295,8 +315,106 @@ object AnnStore {
     m.gens.foreach(g => require(
       f.exists(new org.apache.hadoop.fs.Path(s"${codesPath(path, v)}/$g")),
       s"ANN store at $path lost committed codes generation $g"))
-    m.gens.map(g => spark.read.parquet(s"${codesPath(path, v)}/$g"))
+    val live = m.gens
+      .map(g => spark.read.parquet(s"${codesPath(path, v)}/$g"))
       .reduce(_.unionByName(_))
+    tombstoneFrame(spark, path, v, m).fold(live) { t =>
+      live.join(broadcast(t), Seq("corpus_id"), "left_anti") }
+  }
+
+  /** The live tombstone ids as a one-column `corpus_id` frame, or None
+    * when the version has none. Broadcast-small by contract: tombstones
+    * are takedown sets, orders of magnitude below the corpus — the
+    * explicit broadcast keeps the serve's anti-join a map-side hash probe
+    * at any corpus size (a shuffled anti-join on the 100 TB codes side is
+    * exactly what deletes must never cost). */
+  private def tombstoneFrame(spark: SparkSession, path: String, v: Int,
+      m: CodesManifest): Option[DataFrame] = {
+    if (m.tombs.isEmpty) None
+    else {
+      val f = StoreFiles.fs(spark, path)
+      m.tombs.foreach(g => require(
+        f.exists(new org.apache.hadoop.fs.Path(s"${tombsPath(path, v)}/$g")),
+        s"ANN store at $path lost committed tombstone generation $g"))
+      Some(m.tombs
+        .map(g => spark.read.parquet(s"${tombsPath(path, v)}/$g"))
+        .reduce(_.unionByName(_)).select("corpus_id").distinct())
+    }
+  }
+
+  /** Number of live tombstoned ids in the current version (0 after
+    * [[compactCodes]] retires them) — the audit counter for takedown
+    * verification. */
+  def tombstoneCount(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+    tombstoneFrame(spark, path, v, readCodesManifest(spark, path, v))
+      .fold(0L)(_.count())
+  }
+
+  /** Tombstone-delete ids from the CURRENT version — the takedown path
+    * (retention policy, right-to-be-forgotten, corpus retraction). The
+    * distinct non-null ids are written as ONE manifest-governed generation
+    * under `v<N>/tombs/` and published by the same atomic manifest flip as
+    * code appends (a crash in between leaves an invisible orphan the next
+    * delete's generation numbering steps over). Effects:
+    *
+    *   - '''immediate''': [[codes]] — and therefore every [[serve]] and
+    *     [[recallProbe]] — anti-joins live tombstones, so a deleted id
+    *     stops being returned the moment the manifest lands, with ZERO
+    *     bytes of the code store rewritten. Top-k results backfill with
+    *     the next-nearest live neighbors automatically (the k-heap simply
+    *     never sees the deleted candidates).
+    *   - '''physical''': the codes stay on disk until [[compactCodes]],
+    *     which drops tombstoned rows from the rewritten generation and
+    *     retires the tombstones — run it to honor a hard-erasure deadline.
+    *   - '''store-wide until retired''': the anti-join is by id across ALL
+    *     generations, so re-ingesting a deleted id stays hidden until a
+    *     compaction retires the tombstone — delete-then-re-add must
+    *     compact in between (documented over a time-scoped tombstone: a
+    *     takedown that silently stops applying to a re-crawl of the same
+    *     document is the worse failure).
+    *   - '''survives migration''': [[migrate]] excludes the old version's
+    *     live tombstones from the re-encode, so a re-index cannot
+    *     resurrect taken-down ids.
+    *
+    * `ids` may be any frame carrying `idCol` with the corpus id type.
+    * Unknown ids are fine (a takedown list routinely names never-ingested
+    * or already-deleted documents); null ids refuse loudly. Returns the
+    * number of tombstone ids written (0 = empty input, nothing committed).
+    * Single-writer contract, like appends. */
+  def delete(ids: DataFrame, idCol: String, path: String): Long = {
+    val spark = ids.sparkSession
+    val v = currentVersion(spark, path)
+    val m0 = readCodesManifest(spark, path, v)
+    val tombIds = ids.select(col(idCol).as("corpus_id")).distinct()
+    require(tombIds.filter(col("corpus_id").isNull).isEmpty,
+      s"AnnStore.delete: null id in the tombstone batch ('$idCol')")
+    val gen = StoreFiles.nextGenName(spark, Seq(tombsPath(path, v)), m0.tombs)
+    val dir = s"${tombsPath(path, v)}/$gen"
+    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
+    // row presence/count from parquet footers — zero read-back jobs
+    val n = StoreFiles.parquetRowsWritten(spark, dir)
+    if (n == 0L) {
+      StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+      0L
+    } else {
+      // broadcast-small is a CONTRACT, so enforce it: past the cap the
+      // serve-side anti-join stops being a cheap map-side probe — compact
+      // (which retires live tombstones) instead of accumulating forever
+      val cap = spark.conf.getOption("graft.ann.maxTombstones")
+        .map(_.toLong).getOrElse(10000000L)
+      val live = m0.tombs.map(g => StoreFiles.parquetRowsWritten(spark,
+        s"${tombsPath(path, v)}/$g")).sum
+      if (live + n > cap) {
+        StoreFiles.fs(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        sys.error(s"AnnStore.delete: $live live + $n new tombstone rows " +
+          s"exceed graft.ann.maxTombstones=$cap — run compactCodes() to " +
+          "retire the live tombstones first (or raise the cap)")
+      }
+      writeCodesManifest(spark, path, v, m0.copy(tombs = m0.tombs :+ gen))
+      n
+    }
   }
 
   /** Data files the CURRENT manifest lists — the store's live footprint
@@ -419,7 +537,15 @@ object AnnStore {
     val ann = serve(path, corpus, corpusId, corpusEmb, sampleQueries,
         queryId, queryEmb, k, nProbe, refineFactor)
       .select("query_id", "corpus_id")
-    val exact = Similarity.bruteForceTopK(corpus, corpusId, corpusEmb,
+    // the brute-force side must rank the same LIVE set the store serves —
+    // an un-filtered corpus would count tombstoned ids as recall misses
+    val spark = corpus.sparkSession
+    val v = currentVersion(spark, path)
+    val liveCorpus = tombstoneFrame(spark, path, v,
+        readCodesManifest(spark, path, v)).fold(corpus) { t =>
+      corpus.join(broadcast(t.withColumnRenamed("corpus_id", corpusId)),
+        Seq(corpusId), "left_anti") }
+    val exact = Similarity.bruteForceTopK(liveCorpus, corpusId, corpusEmb,
         sampleQueries, queryId, queryEmb, k)
       .select("query_id", "corpus_id")
     // both sides are ≤ |sample|·k rows; the intersection join is tiny
@@ -490,17 +616,37 @@ object AnnStore {
     val root = codesPath(path, v)
     val gen = StoreFiles.nextGenName(spark, Seq(root), m.gens)
     import org.apache.spark.sql.functions.col
-    m.gens.map(g => spark.read.parquet(s"$root/$g"))
+    val union = m.gens.map(g => spark.read.parquet(s"$root/$g"))
       .reduce(_.unionByName(_))
-      .repartition(col("cell"))
+    // physical erasure point for [[delete]]: tombstoned rows are dropped
+    // from the rewritten generation and the tombstones retire with the
+    // same manifest flip (in-flight serves that resolved the OLD manifest
+    // keep reading its generations + tombstones until the cooling sweep)
+    val kept = tombstoneFrame(spark, path, v, m).fold(union) { t =>
+      union.join(broadcast(t), Seq("corpus_id"), "left_anti") }
+    kept.repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("cell").parquet(s"$root/$gen")
+    // a fully-tombstoned store compacts to ZERO rows: publish no
+    // generation (codes() then refuses loudly with "has no codes" — the
+    // honest state of an emptied store) instead of a schema-less dir
+    val emptied = StoreFiles.parquetRowsWritten(spark, s"$root/$gen") == 0L
+    if (emptied) StoreFiles.fs(spark, s"$root/$gen")
+      .delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
     val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
       .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis()
     val (cooling, keep) = StoreFiles.coolingStep(m.cooling, m.gens.toSet,
-      gen, graceMs, System.currentTimeMillis())
-    writeCodesManifest(spark, path, v, CodesManifest(Seq(gen), m.marks, cooling))
+      gen, graceMs, now)
+    // retired tombstone generations cool under the same grace window
+    // (`gen` names a codes generation — it never exists under tombs/, so
+    // carrying it in the keep-set is harmless)
+    val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
+      m.tombs.toSet, gen, graceMs, now)
+    writeCodesManifest(spark, path, v, CodesManifest(
+      if (emptied) Nil else Seq(gen), m.marks, cooling, Nil, tombCooling))
     StoreFiles.sweepGenerations(spark, root, keep)
+    StoreFiles.sweepGenerations(spark, tombsPath(path, v), keepT)
   }
 
   /** Delete all non-current version directories — run once migrated
@@ -526,8 +672,17 @@ object AnnStore {
   def migrate(corpus: DataFrame, idCol: String, embCol: String,
       newIndex: AnnIndex, path: String): Int = {
     val spark = corpus.sparkSession
-    val next = currentVersion(spark, path) + 1
-    writeVersion(corpus, idCol, embCol, newIndex, path, next)
+    val cur = currentVersion(spark, path)
+    // deletions survive re-indexing: exclude the old version's live
+    // tombstones from the re-encode, so a migration cannot resurrect
+    // taken-down ids even when the caller's raw corpus still holds them.
+    // The new version starts tombstone-free (they are now physical).
+    val liveCorpus = tombstoneFrame(spark, path, cur,
+        readCodesManifest(spark, path, cur)).fold(corpus) { t =>
+      corpus.join(broadcast(t.withColumnRenamed("corpus_id", idCol)),
+        Seq(idCol), "left_anti") }
+    val next = cur + 1
+    writeVersion(liveCorpus, idCol, embCol, newIndex, path, next)
     writePointer(spark, path, next)
     next
   }

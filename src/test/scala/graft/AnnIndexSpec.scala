@@ -516,4 +516,90 @@ class AnnIndexSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/v1")))
     assert(serveRows().nonEmpty) // v2 serves
   }
+
+  test("AnnStore delete: tombstones mask instantly, compaction erases physically, migrate cannot resurrect") {
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anndel").toString
+    // full-probe IVF (nProbe = nCentroids) is EXACT brute force, so every
+    // serve below compares against bruteForceTopK on the expected live set
+    val idx = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 16)
+    AnnStore.create(emb, "vec_id", "embedding", idx, tmp)
+    def serveAll() = rows(AnnStore.serve(tmp, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nProbe = 16))
+    val before = serveAll()
+    val doomed = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+    val doomedIds = doomed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(before.exists(r => doomedIds.contains(r._2)),
+      "precondition: the takedown set must appear in the pre-delete top-k")
+
+    val n = AnnStore.delete(doomed.select("vec_id"), "vec_id", tmp)
+    assert(n == doomedIds.size.toLong)
+    assert(AnnStore.tombstoneCount(spark, tmp) == n)
+    // a repeated takedown list adds duplicate tombstone ROWS but the live
+    // id set (and therefore the serve) is unchanged
+    assert(AnnStore.delete(doomed.select("vec_id"), "vec_id", tmp) == n)
+    assert(AnnStore.tombstoneCount(spark, tmp) == n)
+
+    // masked immediately, exactly: serve == brute force over the live set
+    val live = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+    val exact = rows(Similarity.bruteForceTopK(live, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5))
+    val masked = serveAll()
+    assert(!masked.exists(r => doomedIds.contains(r._2)))
+    assert(masked == exact)
+    // the recall probe's brute side must rank the same live set — an
+    // unfiltered corpus would count every tombstoned id as a miss
+    assert(AnnStore.recallProbe(tmp, emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nProbe = 16) == 1.0)
+
+    // physical erasure: compaction drops the rows and retires tombstones
+    AnnStore.compactCodes(spark, tmp)
+    assert(AnnStore.tombstoneCount(spark, tmp) == 0L)
+    assert(serveAll() == exact)
+    assert(AnnStore.codes(spark, tmp)
+      .filter(col("corpus_id").isin(doomedIds.toSeq: _*)).isEmpty,
+      "tombstoned rows must be physically absent from the compacted codes")
+    // retired tombstone generations follow the cooling sweep: with the
+    // grace window zeroed the SECOND compaction removes the dirs
+    spark.conf.set("graft.ann.gcGraceMs", "0")
+    try AnnStore.compactCodes(spark, tmp)
+    finally spark.conf.unset("graft.ann.gcGraceMs")
+    val tombsDir = java.nio.file.Paths.get(s"$tmp/v1/tombs")
+    assert(!java.nio.file.Files.exists(tombsDir) ||
+      !java.nio.file.Files.list(tombsDir).findAny().isPresent,
+      "cooled-out tombstone generations must sweep")
+
+    // post-retirement re-ingest: the SAME ids are visible again (the
+    // documented delete→compact→re-add contract)
+    AnnStore.append(doomed.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", tmp)
+    assert(serveAll() == before)
+
+    // migrate cannot resurrect: tombstone again, then re-index from the
+    // FULL corpus — the new version must exclude the live tombstones and
+    // start tombstone-free (the deletion is physical in v2)
+    AnnStore.delete(doomed.select("vec_id"), "vec_id", tmp)
+    assert(AnnStore.migrate(emb, "vec_id", "embedding", idx, tmp) == 2)
+    assert(serveAll() == exact)
+    assert(AnnStore.tombstoneCount(spark, tmp) == 0L)
+
+    // guards: a null id refuses loudly; an empty takedown list is a 0
+    // no-op that commits nothing
+    intercept[Exception](AnnStore.delete(
+      spark.range(1).select(lit(null).cast("long").as("vec_id")),
+      "vec_id", tmp))
+    val m0 = AnnStore.tombstoneCount(spark, tmp)
+    assert(AnnStore.delete(emb.filter(lit(false)).select("vec_id"),
+      "vec_id", tmp) == 0L)
+    assert(AnnStore.tombstoneCount(spark, tmp) == m0)
+    // the cap is enforced, names the knob, and rolls back the generation
+    spark.conf.set("graft.ann.maxTombstones", "2")
+    try {
+      val e = intercept[RuntimeException](AnnStore.delete(
+        emb.limit(5).select("vec_id"), "vec_id", tmp))
+      assert(e.getMessage.contains("graft.ann.maxTombstones"))
+      assert(AnnStore.tombstoneCount(spark, tmp) == m0,
+        "a refused delete must not leave a committed tombstone generation")
+    } finally spark.conf.unset("graft.ann.maxTombstones")
+  }
 }
