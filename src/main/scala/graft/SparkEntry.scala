@@ -507,6 +507,40 @@ object SparkEntry {
         "compacted BM25 index serve diverged")
       after.orderBy("query_id", "rank")
     }),
+    "text_bm25_delete" -> ((s, d) => {
+      // r14: takedown for the BM25 store (the lexical sibling of
+      // sim_ann_delete) — MASK-THEN-HEAL: deleteDocs hides doc_id%5==2
+      // from results instantly (corpus stats still include them, every
+      // other doc's score unchanged), then compactIndex physically
+      // erases, heals df/counters and retires the tombstones. Both
+      // phases ride one output under a phase column; each phase is
+      // exactly SQL-derivable (masked = full-stats ranking minus deleted
+      // docs; healed = plain BM25 over the live corpus).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val toksQ = ext.TextAnalysis.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+      ext.Retrieval.buildIndex(docs, "doc_id", "text", dir)
+      val nDel = ext.Retrieval.deleteDocs(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
+        "doc_id", dir)
+      require(nDel > 0L, "takedown set empty — gate precondition broken")
+      def serve() = ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
+        "query_id", "qtext", k = 5)
+      // materialize the masked phase BEFORE compaction mutates the store
+      val healedSchema = serve().withColumn("phase", lit("x")).schema
+      val maskedRows = serve().withColumn("phase", lit("masked"))
+        .collect()
+      ext.Retrieval.compactIndex(s, dir)
+      require(ext.Retrieval.tombstoneCount(s, dir) == 0L,
+        "compaction must retire the tombstones")
+      val healed = serve().withColumn("phase", lit("healed"))
+      s.createDataFrame(java.util.Arrays.asList(maskedRows: _*), healedSchema)
+        .unionByName(healed)
+        .orderBy("phase", "query_id", "rank")
+    }),
     "text_bm25_stream" -> ((s, d) => {
       // round-10: streaming-built BM25 index — an empty index seeded, the
       // corpus replayed as file-source micro-batches through the
@@ -2931,6 +2965,37 @@ object SparkEntry {
       "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
       "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\"")
 
+  /** text_bm25_delete: both takedown phases re-derived. Masked = scores
+    * computed with FULL-corpus statistics (n_docs/avgdl/df include the
+    * deleted docs), deleted docs excluded from the ranking only; healed =
+    * plain BM25 over the live corpus (post-compaction state). Queries are
+    * doc_id % 100 = 0, never in the doc_id % 5 = 2 takedown set. */
+  private val bm25DeleteOracleSql: String =
+    ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
+      "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
+      // masked phase: full-corpus stats, results-only exclusion
+      "dl1 AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
+      "post1 AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
+      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl1), " +
+      "dfp1 AS (SELECT token, count(*)::DOUBLE AS df FROM post1 GROUP BY 1), " +
+      "term1 AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp1 ON dfp1.token = qtok.token CROSS JOIN st1), " +
+      "sc1 AS (SELECT query_id, post1.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM term1 JOIN post1 ON post1.token = term1.token JOIN dl1 ON dl1.doc_id = post1.doc_id CROSS JOIN st1 " +
+      "WHERE post1.doc_id % 5 != 2 GROUP BY 1, 2), " +
+      "rk1 AS (SELECT 'masked' AS phase, query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc1), " +
+      // healed phase: the live corpus only
+      "tk2 AS (SELECT * FROM tk WHERE doc_id % 5 != 2), " +
+      "dl2 AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk2), " +
+      "post2 AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk2) GROUP BY 1, 2), " +
+      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl2), " +
+      "dfp2 AS (SELECT token, count(*)::DOUBLE AS df FROM post2 GROUP BY 1), " +
+      "term2 AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp2 ON dfp2.token = qtok.token CROSS JOIN st2), " +
+      "sc2 AS (SELECT query_id, post2.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
+      "FROM term2 JOIN post2 ON post2.token = term2.token JOIN dl2 ON dl2.doc_id = post2.doc_id CROSS JOIN st2 GROUP BY 1, 2), " +
+      "rk2 AS (SELECT 'healed' AS phase, query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc2) " +
+      "SELECT phase, query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM (SELECT * FROM rk1 UNION ALL SELECT * FROM rk2) " +
+      "WHERE rnk <= 5 ORDER BY phase, query_id, \"rank\"")
+
   /** Shared by join_asof and its streaming enrichment twin (batch ≡
     * stream by construction — per-row verdicts are pure functions of
     * (row, static right side)). */
@@ -3466,6 +3531,7 @@ object SparkEntry {
     // scorer by construction (r9) — same oracle
     "text_bm25_store" -> bm25OracleSql,
     "text_bm25_stream" -> bm25OracleSql,
+    "text_bm25_delete" -> bm25DeleteOracleSql,
     "text_rrf" ->
       ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
         "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +

@@ -183,9 +183,13 @@ object Retrieval {
   //   - single-writer contract (like every store in the family): appends/
   //     compactions are serialized by the caller; serves are lock-free.
 
+  /** `tombs`/`tombCooling` (r14): tombstone-delete generations — see
+    * [[deleteDocs]]. Absent keys read as empty, so pre-r14 manifests load
+    * unchanged. */
   private case class BmManifest(nDocs: Long, nDl: Long, sumDl: Double,
       nBuckets: Int, gens: Seq[String], pgens: Seq[String],
-      marks: Map[String, Long], cooling: Map[String, Long] = Map.empty)
+      marks: Map[String, Long], cooling: Map[String, Long] = Map.empty,
+      tombs: Seq[String] = Nil, tombCooling: Map[String, Long] = Map.empty)
 
   private def manifestPath(path: String) = s"$path/manifest.json"
 
@@ -206,7 +210,10 @@ object Retrieval {
       root.get("n_buckets").asInstanceOf[Number].intValue(),
       strs("gens"), strs("pgens"),
       StoreFiles.jsonLongMap(root.get("marks")),
-      StoreFiles.jsonLongMap(root.get("cooling")))
+      StoreFiles.jsonLongMap(root.get("cooling")),
+      // pre-r14 manifests carry no tombstone fields — read as empty
+      if (root.get("tombs") == null) Nil else strs("tombs"),
+      StoreFiles.jsonLongMap(root.get("tombcooling")))
   }
 
   private def writeManifest(spark: SparkSession, path: String,
@@ -217,7 +224,9 @@ object Retrieval {
         s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
         s""""pgens":[${StoreFiles.jsonStrArr(m.pgens)}],""" +
         s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
-        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}},""" +
+        s""""tombs":[${StoreFiles.jsonStrArr(m.tombs)}],""" +
+        s""""tombcooling":{${StoreFiles.jsonLongObj(m.tombCooling)}}}""")
 
   private def bucketOf(token: Column, nBuckets: Int): Column =
     pmod(xxhash64(token), lit(nBuckets.toLong)).cast("int")
@@ -411,6 +420,88 @@ object Retrieval {
     true
   }
 
+  /** The live tombstone ids as a one-column `doc_id` frame, or None when
+    * the index has none. Broadcast-small by contract (enforced at
+    * [[deleteDocs]]) so the serve-side anti-join stays a map-side hash
+    * probe at any corpus size. */
+  private def tombstoneFrame(spark: SparkSession, path: String,
+      m: BmManifest): Option[DataFrame] = {
+    if (m.tombs.isEmpty) None
+    else {
+      val f = StoreFiles.fs(spark, path)
+      m.tombs.foreach(g => require(
+        f.exists(new Path(s"$path/tombs/$g")),
+        s"BM25 index at $path lost committed tombstone generation $g"))
+      Some(m.tombs.map(g => spark.read.parquet(s"$path/tombs/$g"))
+        .reduce(_.unionByName(_)).select("doc_id").distinct())
+    }
+  }
+
+  /** Number of live tombstoned doc ids (0 after [[compactIndex]] retires
+    * them) — the audit counter for takedown verification. */
+  def tombstoneCount(spark: SparkSession, path: String): Long = {
+    val m = readManifest(spark, path)
+    tombstoneFrame(spark, path, m).fold(0L)(_.count())
+  }
+
+  /** Tombstone-delete documents from the index — the takedown path
+    * (retention policy, right-to-be-forgotten, corpus retraction), the
+    * lexical sibling of `AnnStore.delete`. The distinct non-null doc ids
+    * are written as ONE manifest-governed generation under `tombs/` and
+    * published by the same atomic manifest flip as appends. Semantics are
+    * MASK-THEN-HEAL:
+    *
+    *   - '''masked (immediate)''': [[bm25TopKFromIndex]] anti-joins the
+    *     postings scan against live tombstones, so a deleted document
+    *     stops being returned the moment the manifest lands with zero
+    *     index bytes rewritten; rankings backfill with the next-best live
+    *     documents. Corpus statistics (n_docs, avgdl, df) still include
+    *     the deleted documents in this phase — every OTHER document's
+    *     score is unchanged, which is exactly what a results-takedown
+    *     wants (and what keeps the phase SQL-derivable).
+    *   - '''healed (at compaction)''': [[compactIndex]] drops tombstoned
+    *     rows from the rewritten postings/dlen, recomputes the df
+    *     snapshot from the scrubbed postings and the {n_docs, n_dl,
+    *     sum_dl} counters from the scrubbed lengths, and retires the
+    *     tombstones — after it, the index is byte-equivalent to one built
+    *     without the deleted documents (physical erasure; gate-asserted
+    *     against a fresh live-only build's oracle).
+    *
+    * A tombstone masks its id index-wide until a compaction retires it —
+    * re-ingesting a deleted id must compact in between. Unknown ids are
+    * fine; null ids refuse loudly; the broadcast-small contract is
+    * enforced via `graft.bm25.maxTombstones` (default 10M — past it,
+    * compact first). Returns the number of tombstone ids written (0 =
+    * empty input, nothing committed). Single-writer contract. */
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Long = {
+    val spark = ids.sparkSession
+    val m0 = readManifest(spark, path)
+    val tombIds = ids.select(q(idCol).as("doc_id")).distinct()
+    require(tombIds.filter(col("doc_id").isNull).isEmpty,
+      s"Retrieval.deleteDocs: null id in the tombstone batch ('$idCol')")
+    val gen = StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
+    val dir = s"$path/tombs/$gen"
+    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
+    val n = StoreFiles.parquetRowsWritten(spark, dir)
+    if (n == 0L) {
+      StoreFiles.fs(spark, dir).delete(new Path(dir), true)
+      0L
+    } else {
+      val cap = spark.conf.getOption("graft.bm25.maxTombstones")
+        .map(_.toLong).getOrElse(10000000L)
+      val live = m0.tombs.map(g =>
+        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum
+      if (live + n > cap) {
+        StoreFiles.fs(spark, dir).delete(new Path(dir), true)
+        sys.error(s"Retrieval.deleteDocs: $live live + $n new tombstone " +
+          s"rows exceed graft.bm25.maxTombstones=$cap — run compactIndex() " +
+          "to retire the live tombstones first (or raise the cap)")
+      }
+      writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
+      n
+    }
+  }
+
   /** Compact after N appends: df deltas collapse to one summed snapshot,
     * postings/dlen rewrite into size-targeted files at FULL repartition
     * width (a large fragmented store compacts with full parallelism, not
@@ -445,37 +536,89 @@ object Retrieval {
       else StoreFiles.targetFileCount(gens
         .map(g => StoreFiles.dataBytesRecursive(spark, s"$path/$side/$g"))
         .sum)
-    val hasP = m.pgens.nonEmpty
+    // takedown healing (r14): tombstoned docs drop from the rewritten
+    // postings/dlen, and the derived state heals — the df snapshot
+    // recomputes from the SCRUBBED postings (one count per (tbucket,
+    // token): posting rows are unique per (token, doc) under the
+    // ids-are-new append contract, so the count IS the document
+    // frequency) and the {n_docs, n_dl, sum_dl} counters recompute from
+    // the scrubbed lengths. After this flip the index is equivalent to
+    // one built without the deleted docs, and the tombstones retire.
+    val tomb = tombstoneFrame(spark, path, m)
+    def scrub(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    var hasP = m.pgens.nonEmpty
     if (hasP) {
-      readSide(spark, path, "postings", m.pgens)
+      scrub(readSide(spark, path, "postings", m.pgens))
         .repartitionByRange(target("postings", m.pgens),
           col("tbucket"), col("token"))
         .write.mode("overwrite")
           .option("partitionOverwriteMode", "static")
           .partitionBy("tbucket")
         .parquet(s"$path/postings/$gen")
-      // dfd: collapse first (vocabulary-sized — cheap to write twice),
-      // measure the SNAPSHOT, then lay it out to the measured target
-      readSide(spark, path, "dfd", m.pgens)
-        .groupBy("tbucket", "token").agg(sum("df").as("df"))
-        .write.mode("overwrite")
+      // a fully-tombstoned postings side compacts to zero rows: publish
+      // no postings generation instead of a schema-less dir
+      if (StoreFiles.parquetRowsWritten(spark, s"$path/postings/$gen") == 0L) {
+        f.delete(new Path(s"$path/postings/$gen"), true)
+        hasP = false
+      } else if (tomb.isEmpty) {
+        // dfd: collapse first (vocabulary-sized — cheap to write twice),
+        // measure the SNAPSHOT, then lay it out to the measured target
+        readSide(spark, path, "dfd", m.pgens)
+          .groupBy("tbucket", "token").agg(sum("df").as("df"))
+          .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("tbucket").parquet(snap)
+        val dfdTarget =
+          if (targetFiles > 0) targetFiles
+          else StoreFiles.targetFileCount(
+            StoreFiles.dataBytesRecursive(spark, snap))
+        spark.read.parquet(snap)
+          .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
+          .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("tbucket")
+          .parquet(s"$path/dfd/$gen")
+        f.delete(new Path(snap), true)
+      } else {
+        // healing path: df from the scrubbed postings, exactly as
+        // writeGen derives a fresh generation's deltas from its written
+        // postings — column-pruned read of the files just written
+        val healed = spark.read.parquet(s"$path/postings/$gen")
+          .groupBy("tbucket", "token")
+          .agg(count(lit(1)).cast("double").as("df"))
+        healed.write.mode("overwrite")
           .option("partitionOverwriteMode", "static")
           .partitionBy("tbucket").parquet(snap)
-      val dfdTarget =
-        if (targetFiles > 0) targetFiles
-        else StoreFiles.targetFileCount(
-          StoreFiles.dataBytesRecursive(spark, snap))
-      spark.read.parquet(snap)
-        .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
-        .write.mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("tbucket")
-        .parquet(s"$path/dfd/$gen")
-      f.delete(new Path(snap), true)
+        val dfdTarget =
+          if (targetFiles > 0) targetFiles
+          else StoreFiles.targetFileCount(
+            StoreFiles.dataBytesRecursive(spark, snap))
+        spark.read.parquet(snap)
+          .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
+          .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("tbucket")
+          .parquet(s"$path/dfd/$gen")
+        f.delete(new Path(snap), true)
+      }
     }
-    readSide(spark, path, "dlen", m.gens)
+    scrub(readSide(spark, path, "dlen", m.gens))
       .repartition(target("dlen", m.gens))
       .write.mode("overwrite").parquet(s"$path/dlen/$gen")
+    // counters heal with the same flip (unchanged when no tombstones)
+    val (nDocs2, nDl2, sumDl2) =
+      if (tomb.isEmpty) (m.nDocs, m.nDl, m.sumDl)
+      else if (StoreFiles.parquetRowsWritten(spark, s"$path/dlen/$gen") == 0L)
+        (0L, 0L, 0.0)
+      else {
+        val s = spark.read.parquet(s"$path/dlen/$gen")
+          .agg(count(lit(1)), count(col("dl")),
+            coalesce(sum("dl"), lit(0.0))).head()
+        (s.getLong(0), s.getLong(1), s.getDouble(2))
+      }
+    val emptied = nDocs2 == 0L && tomb.nonEmpty
+    if (emptied) f.delete(new Path(s"$path/dlen/$gen"), true)
     // cooling ledger (r11, closes the back-to-back-compaction race): the
     // generations THIS compaction supersedes start cooling at `now` and
     // survive every later compaction until they are at least
@@ -487,11 +630,20 @@ object Retrieval {
     // manifest) still delete immediately.
     val graceMs = spark.conf.getOption("graft.bm25.gcGraceMs")
       .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis()
     val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
-      (m.gens ++ m.pgens).toSet, gen, graceMs, System.currentTimeMillis())
-    writeManifest(spark, path, m.copy(gens = Seq(gen),
-      pgens = if (hasP) Seq(gen) else Nil, cooling = cooling))
+      (m.gens ++ m.pgens).toSet, gen, graceMs, now)
+    // retired tombstone generations cool under the same grace window
+    // (`gen` never exists under tombs/ — harmless in the keep-set)
+    val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
+      m.tombs.toSet, gen, graceMs, now)
+    writeManifest(spark, path, m.copy(
+      nDocs = nDocs2, nDl = nDl2, sumDl = sumDl2,
+      gens = if (emptied) Nil else Seq(gen),
+      pgens = if (hasP) Seq(gen) else Nil, cooling = cooling,
+      tombs = Nil, tombCooling = tombCooling))
     sides.foreach(side => StoreFiles.sweepGenerations(spark, s"$path/$side", keep))
+    StoreFiles.sweepGenerations(spark, s"$path/tombs", keepT)
   }
 
   /** Operational snapshot of the store: committed generations, live data
@@ -509,7 +661,11 @@ object Retrieval {
           StoreFiles.dataBytesRecursive(spark, s"$path/dfd/$g")))).sum
     Map("gens" -> m.gens.size.toLong, "live_files" -> files,
       "live_bytes" -> bytes, "n_docs" -> m.nDocs,
-      "streams" -> m.marks.size.toLong)
+      "streams" -> m.marks.size.toLong,
+      // tombstone ROWS from parquet footers (dup ids across takedown
+      // batches count twice — stats-grade; tombstoneCount() distincts)
+      "tombstone_rows" -> m.tombs.map(g =>
+        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum)
   }
 
   /** Compact when the append-only growth crosses either threshold — the
@@ -565,8 +721,16 @@ object Retrieval {
     val buckets = tokDf
       .select(bucketOf(col("token"), m.nBuckets).as("tbucket")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val posts = readSide(spark, path, "postings", m.pgens)
+    // takedown masking (r14): tombstoned documents drop out of the
+    // postings BEFORE scoring, so they cannot be returned; corpus stats
+    // (n_docs/avgdl/df) still include them until compactIndex heals —
+    // every other document's score is unchanged in the masked phase.
+    // The anti-join sits above the bucket filter, so partition pruning
+    // at the file listing is undisturbed.
+    val posts0 = readSide(spark, path, "postings", m.pgens)
       .filter(col("tbucket").isin(buckets: _*))
+    val posts = tombstoneFrame(spark, path, m).fold(posts0) { t =>
+      posts0.join(broadcast(t), Seq("doc_id"), "left_anti") }
     val df = readSide(spark, path, "dfd", m.pgens)
       .filter(col("tbucket").isin(buckets: _*))
       .join(broadcast(tokDf), Seq("token"), "left_semi")

@@ -1042,6 +1042,101 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("retrieval: deleteDocs masks instantly with unchanged live scores; compaction heals stats and erases physically") {
+    import graft.ext.Retrieval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25del").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val doomed = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+    val doomedIds = doomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    def serve() = rows(Retrieval.bm25TopKFromIndex(spark, dir,
+      queries, "qid", "qtext", k = 5))
+    assert(serve().exists(r => doomedIds.contains(r._2)),
+      "precondition: the takedown set must appear in the pre-delete top-k")
+
+    val n = Retrieval.deleteDocs(doomed.select("doc_id"), "doc_id", dir)
+    assert(n == doomedIds.size.toLong)
+    assert(Retrieval.tombstoneCount(spark, dir) == n)
+    assert(Retrieval.indexStats(spark, dir)("tombstone_rows") == n)
+
+    // MASKED phase: deleted docs vanish from results while every OTHER
+    // document keeps its full-corpus-stats score — the masked top-5 must
+    // equal the full-stats ranking minus the deleted docs, re-ranked.
+    // Derive the expectation from a deep one-shot ranking (k > |deleted|
+    // bounds how far a live doc can climb).
+    val deepK = doomedIds.size + 5
+    val deep = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = deepK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expectMasked = deep.toSeq
+      .filterNot(r => doomedIds.contains(r._2))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r._2, i + 1, r._4) } }
+      .sortBy(t => (t._1, t._3))
+    val masked = serve()
+    assert(!masked.exists(r => doomedIds.contains(r._2)))
+    assert(masked == expectMasked,
+      "masked serve must equal the full-stats ranking minus deleted docs")
+
+    // HEALED phase: compaction scrubs postings/dlen, recomputes df and
+    // the counters, retires the tombstones — equivalent to an index
+    // built without the deleted docs
+    val live = docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+    val healedExpect = rows(Retrieval.bm25TopK(live, "doc_id", "text",
+      queries, "qid", "qtext", k = 5))
+    Retrieval.compactIndex(spark, dir)
+    assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+    assert(serve() == healedExpect,
+      "healed serve must equal a fresh live-only build")
+    assert(Retrieval.indexStats(spark, dir)("n_docs") == live.count(),
+      "n_docs counter must heal at compaction")
+    // post-heal appends still work and serve the union
+    Retrieval.appendToIndex(doomed.select(
+      (col("doc_id") + 5000000L).as("doc_id"), col("text")),
+      "doc_id", "text", dir)
+    assert(serve().nonEmpty)
+
+    // guards: null id refuses; empty takedown is a 0 no-op; the cap
+    // names its knob and rolls back
+    intercept[Exception](Retrieval.deleteDocs(
+      spark.range(1).select(lit(null).cast("long").as("doc_id")),
+      "doc_id", dir))
+    assert(Retrieval.deleteDocs(docs.filter(lit(false)).select("doc_id"),
+      "doc_id", dir) == 0L)
+    spark.conf.set("graft.bm25.maxTombstones", "2")
+    try {
+      val e = intercept[RuntimeException](Retrieval.deleteDocs(
+        docs.limit(5).select("doc_id"), "doc_id", dir))
+      assert(e.getMessage.contains("graft.bm25.maxTombstones"))
+      assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+    } finally spark.conf.unset("graft.bm25.maxTombstones")
+
+    // pre-r14 manifest compatibility: a manifest without the tombstone
+    // fields must read as tombstone-free (no KeyNotFound, no null NPE)
+    val mp = s"$dir/manifest.json"
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mp)), "UTF-8")
+    val stripped = txt
+      .replaceAll(""","tombs":\[[^\]]*\]""", "")
+      .replaceAll(""","tombcooling":\{[^}]*\}""", "")
+    assert(stripped != txt, "test must actually strip the new fields")
+    java.nio.file.Files.write(java.nio.file.Paths.get(mp),
+      stripped.getBytes("UTF-8"))
+    // NIO bypassed the Hadoop local FS — drop its stale checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/.manifest.json.crc"))
+    assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+    assert(serve().nonEmpty)
+  }
+
   test("retrieval: bucket-pruned serve — PartitionFilters on postings+dfd, no dlen scan") {
     // r10: tbucket = pmod(xxhash64(token), nBuckets) partitions the
     // postings and df-delta sides; a narrow query batch must read ONLY its
