@@ -946,6 +946,65 @@ object SparkEntry {
       ext.FingerprintStore.scrub(batch3, "text", dir)
         .select("doc_id").orderBy("doc_id")
     }),
+    "dedup_fp_retract" -> ((s, d) => {
+      // r14: fingerprint-store RETRACTION — content removed from the
+      // training corpus stops suppressing re-crawls of the same text the
+      // moment the manifest lands (the bloom prefilter still hits until
+      // compaction rebuilds it, costing only the exact confirm); compact
+      // is the physical-erasure point. The scrub verdict is
+      // membership-only, so masked ≡ healed by construction — required
+      // in-gate along with retirement.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fp-retract").toString
+      ext.FingerprintStore.build(docs, "text", dir)
+      val nR = ext.FingerprintStore.retract(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 1), "text", dir)
+      require(nR > 0L, "retraction set empty — gate precondition broken")
+      // full re-crawl under shifted ids: re-crawls of retracted content
+      // must pass, everything else must drop
+      val recrawl = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      def kept() = ext.FingerprintStore.scrub(recrawl, "text", dir)
+      val masked = kept().select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      ext.FingerprintStore.compact(s, dir)
+      require(ext.FingerprintStore.retractionCount(s, dir) == 0L,
+        "compaction must retire the retractions")
+      val healed = kept()
+      require(healed.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq == masked,
+        "post-compaction scrub diverged from the masked scrub")
+      healed.select("doc_id").orderBy("doc_id")
+    }),
+    "dedup_store_retract" -> ((s, d) => {
+      // r14: MinHash-store RETRACTION — near-dup suppression by retracted
+      // corpus docs ends the moment the tombstones land (zero store bytes
+      // rewritten); compactMinHashStore erases physically, recomputes the
+      // bucket-count snapshot from the scrubbed rows and retires the
+      // tombstones. Membership-only verdict → masked ≡ healed, required
+      // in-gate.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-mh-retract").toString
+      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+      val nR = ext.Dedup.retractFromMinHashStore(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0).select("doc_id"),
+        "doc_id", dir)
+      require(nR > 0L, "retraction set empty — gate precondition broken")
+      val inc = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft r14 retract tail")).as("text"))
+      def kept() = ext.Dedup.dropExistingNearDupStore(inc, "doc_id", "text", dir)
+      val masked = kept().select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      ext.Dedup.compactMinHashStore(s, dir)
+      require(ext.Dedup.minhashRetractionCount(s, dir) == 0L,
+        "compaction must retire the retractions")
+      val healed = kept()
+      require(healed.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq == masked,
+        "post-compaction scrub diverged from the masked scrub")
+      healed.select("doc_id").orderBy("doc_id")
+    }),
     "dedup_fp_compacted" -> ((s, d) => {
       // round-9: fingerprint-store compaction — same store construction,
       // crawl batch and oracle as dedup_fp_store, with compact() between
@@ -3047,6 +3106,46 @@ object SparkEntry {
         "SELECT doc_id FROM b3 WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
         "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id")
 
+  /** dedup_fp_retract: membership = normalized text of ALL docs MINUS the
+    * normalized text of the retracted docs (a retraction removes the
+    * FINGERPRINT, so any doc sharing the normalized text is uncovered
+    * with it). The re-crawl keeps exactly the rows whose ntext is not in
+    * the live membership. */
+  private val fpRetractOracle: String =
+    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+      "b AS (SELECT doc_id + 1000000 AS doc_id, text FROM docs), " +
+      "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs), " +
+      "retr AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs WHERE doc_id % 10 = 1), " +
+      "live AS (SELECT ntext FROM seen WHERE ntext NOT IN (SELECT ntext FROM retr)) " +
+      "SELECT doc_id FROM b WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
+      "NOT IN (SELECT ntext FROM live) ORDER BY doc_id")
+
+  /** dedup_store_retract: exact 3-shingle Jaccard >= 0.8 of the re-crawl
+    * batch vs the LIVE corpus only (retracted docs excluded) — the same
+    * inverted-shingle-index derivation as mhStoreOracle. */
+  private val mhRetractOracle: String =
+    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+      "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r14 retract tail' AS text FROM docs WHERE doc_id % 5 = 0), " +
+      "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 != 0), " +
+      "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
+      "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+      "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
+      "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+      "ea AS (SELECT doc_id, unnest(sh) AS g FROM sa), " +
+      "eb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
+      "sza AS (SELECT doc_id, len(sh) AS n FROM sa), " +
+      "szb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
+      "xi AS (SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i " +
+      "FROM ea JOIN eb ON ea.g = eb.g GROUP BY 1, 2), " +
+      "matched AS (SELECT DISTINCT id_a AS doc_id FROM xi " +
+      "JOIN sza ON sza.doc_id = xi.id_a JOIN szb ON szb.doc_id = xi.id_b " +
+      "WHERE round(i::DOUBLE / (sza.n + szb.n - i), 4) >= 0.8) " +
+      "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id")
+
   /** Shared by drift_psi and its profile-persistence twin (the serve path
     * is hash-identical to the direct computation by construction). */
   private val driftKsOracle: String =
@@ -4101,6 +4200,8 @@ object SparkEntry {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "stream_scrub_store" -> fpStoreOracle,
     "dedup_fp_store" -> fpStoreOracle,
+    "dedup_fp_retract" -> fpRetractOracle,
+    "dedup_store_retract" -> mhRetractOracle,
     "dedup_incremental_bloom" ->
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +

@@ -640,11 +640,72 @@ object Dedup {
     minhashStoreWrite(batch, idCol, textCol, path, k, h, b, "append")
   }
 
+  /** The live retracted ids of a MinHash store as a one-column `id`
+    * frame, or None when there are none. Broadcast-small by contract
+    * (enforced at [[retractFromMinHashStore]]). */
+  private def minhashTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    if (!StoreFiles.fs(spark, path).exists(p)) None
+    else if (StoreFiles.dataFileCountRecursive(spark, s"$path/tombs") == 0) None
+    else Some(spark.read.parquet(s"$path/tombs").select("id").distinct())
+  }
+
+  /** Number of live retracted ids (0 after [[compactMinHashStore]]
+    * retires them) — the audit counter for retraction verification. */
+  def minhashRetractionCount(spark: SparkSession, path: String): Long =
+    minhashTombstones(spark, path).fold(0L)(_.count())
+
+  /** Retract documents from a MinHash store by id — the takedown path
+    * for NEAR-dup dedup (content removed from the training corpus must
+    * stop suppressing future crawls of similar text). Ids land in an
+    * append-mode `tombs/` side (the store's pre-manifest idiom: plain
+    * dirs + swap-based compaction), and every serve anti-joins the
+    * stored band rows against them, so retracted documents stop
+    * generating candidate pairs immediately — with zero store bytes
+    * rewritten. [[compactMinHashStore]] is the physical-erasure point:
+    * rows/shingles scrub, the bucket-count snapshot recomputes from the
+    * SCRUBBED rows (until then the oversized-bucket cap still counts
+    * retracted rows — conservative: a bucket can only be skipped MORE
+    * eagerly, the cap's documented approximation direction), and the
+    * tombstones clear. A retraction masks its id store-wide until a
+    * compaction retires it — retract→re-add must compact in between.
+    * Unknown ids are fine; null ids refuse; the broadcast-small contract
+    * is enforced via `graft.minhash.maxTombstones` (default 10M).
+    * Single-writer contract, like appends. */
+  def retractFromMinHashStore(ids: DataFrame, idCol: String,
+      path: String): Long = {
+    val spark = ids.sparkSession
+    minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
+    val t = ids.select(q(idCol).as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(t.filter(col("id").isNull).isEmpty,
+        s"retractFromMinHashStore: null id in the retraction batch ('$idCol')")
+      val n = t.count()
+      if (n == 0L) return 0L
+      val cap = spark.conf.getOption("graft.minhash.maxTombstones")
+        .map(_.toLong).getOrElse(10000000L)
+      val live =
+        if (!StoreFiles.fs(spark, path).exists(
+            new org.apache.hadoop.fs.Path(s"$path/tombs"))) 0L
+        else StoreFiles.parquetRowsWritten(spark, s"$path/tombs")
+      require(live + n <= cap,
+        s"retractFromMinHashStore: $live live + $n new retraction rows " +
+          s"exceed graft.minhash.maxTombstones=$cap — run " +
+          "compactMinHashStore to retire the live retractions first " +
+          "(or raise the cap)")
+      t.coalesce(1).write.mode("append").parquet(s"$path/tombs")
+      n
+    } finally t.unpersist(): Unit
+  }
+
   /** [[minhashPairsAgainst]] served from a persisted store: corpus text is
     * never read — band rows join the incoming batch's band keys, the
     * oversized-bucket skip reads only the summed count deltas, and the
     * exact-Jaccard verify joins the stored shingle sets. Row-identical to
-    * the direct path (spec-asserted). */
+    * the direct path (spec-asserted). Retracted ids
+    * ([[retractFromMinHashStore]]) never generate candidates. */
   def minhashPairsAgainstStore(incoming: DataFrame, idCol: String,
       textCol: String, path: String, threshold: Double = 0.8,
       maxBucketSize: Long = 10000L): DataFrame = {
@@ -658,8 +719,10 @@ object Dedup {
     val overCap = spark.read.parquet(s"$path/bucket_counts")
       .groupBy("band", "bucket").agg(sum("n").as("n"))
       .filter(col("n") > cap).select("band", "bucket")
-    val corpusRows = spark.read.parquet(s"$path/rows")
+    val corpusRows0 = spark.read.parquet(s"$path/rows")
       .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
+    val corpusRows = minhashTombstones(spark, path).fold(corpusRows0) { t =>
+      corpusRows0.join(broadcast(t), Seq("id"), "left_anti") }
     val cand =
       bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)
         .select(col("id_new"), col("band"), col("bucket"))
@@ -698,14 +761,29 @@ object Dedup {
     def target(dir: String): Int =
       if (targetFiles > 0) targetFiles
       else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
+    // retraction healing (r14): retracted ids drop from the rewritten
+    // rows/shingles, and the count snapshot recomputes from the SCRUBBED
+    // rows instead of the delta sum — compaction is the physical-erasure
+    // point. Crash ordering stays correct at every window: the tombs dir
+    // clears LAST, so a crash mid-compaction leaves the serve-side
+    // anti-join masking whatever a swapped dir still holds, and a re-run
+    // completes the job.
+    val tomb = minhashTombstones(spark, path)
+    def scrub(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
     // 1. count deltas -> one summed snapshot (semantically what every
     //    serve computes on the fly). repartition, NOT coalesce: coalesce
     //    would fold the sum's reduce side down to the output file count
     //    (1 for most stores) — the extra shuffle moves only the summed
     //    output, which is distinct-bucket-sized
     val bcDir = s"$path/bucket_counts"
-    spark.read.parquet(bcDir)
-      .groupBy("band", "bucket").agg(sum("n").as("n"))
+    val counts = tomb match {
+      case None => spark.read.parquet(bcDir)
+        .groupBy("band", "bucket").agg(sum("n").as("n"))
+      case Some(_) => scrub(spark.read.parquet(s"$path/rows"))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    }
+    counts
       .repartition(target(bcDir)).write.mode("overwrite")
       .parquet(bcDir + ".compacting")
     StoreFiles.swapDir(spark, bcDir + ".compacting", bcDir)
@@ -714,11 +792,16 @@ object Dedup {
     //    (bytes/128 MB) scales with store size, so big stores keep their
     //    read parallelism
     Seq(s"$path/rows", s"$path/shingles").foreach { dir =>
-      spark.read.parquet(dir)
+      scrub(spark.read.parquet(dir))
         .coalesce(target(dir)).write.mode("overwrite")
         .parquet(dir + ".compacting")
       StoreFiles.swapDir(spark, dir + ".compacting", dir)
     }
+    // retractions are now physical — retire the tombstones (last, so any
+    // crash above leaves them still masking)
+    if (tomb.nonEmpty)
+      StoreFiles.fs(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/tombs"), true): Unit
   }
 
   /** [[dropExistingNearDup]] against a persisted store. */

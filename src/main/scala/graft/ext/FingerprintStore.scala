@@ -50,9 +50,13 @@ object FingerprintStore {
   private def fpsRoot(path: String) = s"$path/fps"
   private def genPath(path: String, gen: String) = s"$path/fps/$gen"
 
+  /** `tombs`/`tombCooling` (r14): retraction generations — see
+    * [[retract]]. Absent keys read as empty, so pre-r14 manifests load
+    * unchanged. */
   private case class FpManifest(expectedItems: Long, fpp: Double,
       gens: Seq[String], marks: Map[String, Long],
-      cooling: Map[String, Long])
+      cooling: Map[String, Long], tombs: Seq[String] = Nil,
+      tombCooling: Map[String, Long] = Map.empty)
 
   private def readManifest(spark: SparkSession, path: String): FpManifest = {
     val f = StoreFiles.fs(spark, path)
@@ -74,7 +78,12 @@ object FingerprintStore {
       root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
         .map(String.valueOf),
       StoreFiles.jsonLongMap(root.get("marks")),
-      StoreFiles.jsonLongMap(root.get("cooling")))
+      StoreFiles.jsonLongMap(root.get("cooling")),
+      // pre-r14 manifests carry no retraction fields — read as empty
+      Option(root.get("tombs"))
+        .map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq
+          .map(String.valueOf)).getOrElse(Nil),
+      StoreFiles.jsonLongMap(root.get("tombcooling")))
   }
 
   private def writeManifest(spark: SparkSession, path: String,
@@ -84,14 +93,104 @@ object FingerprintStore {
         s""""expected_items":${m.expectedItems},"fpp":${m.fpp},""" +
         s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
         s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
-        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}},""" +
+        s""""tombs":[${StoreFiles.jsonStrArr(m.tombs)}],""" +
+        s""""tombcooling":{${StoreFiles.jsonLongObj(m.tombCooling)}}}""")
 
-  /** The live membership set: the union of the committed generations. */
+  /** The committed fingerprints: the union of the committed generations
+    * (retractions NOT yet applied — see [[liveFps]]). */
   private def fpsDf(spark: SparkSession, path: String,
       m: FpManifest): DataFrame = {
     require(m.gens.nonEmpty, s"fingerprint store at $path has no fps")
     m.gens.map(g => spark.read.parquet(genPath(path, g)))
       .reduce(_.unionByName(_))
+  }
+
+  /** The live retracted fingerprints as a one-column `fp` frame, or None
+    * when the store has none. Broadcast-small by contract (enforced at
+    * [[retract]]). */
+  private def tombstoneFps(spark: SparkSession, path: String,
+      m: FpManifest): Option[DataFrame] = {
+    if (m.tombs.isEmpty) None
+    else {
+      val f = StoreFiles.fs(spark, path)
+      m.tombs.foreach(g => require(
+        f.exists(new org.apache.hadoop.fs.Path(s"$path/tombs/$g")),
+        s"fingerprint store at $path lost committed retraction generation $g"))
+      Some(m.tombs.map(g => spark.read.parquet(s"$path/tombs/$g"))
+        .reduce(_.unionByName(_)).select("fp").distinct())
+    }
+  }
+
+  /** The live membership set: committed fingerprints minus live
+    * retractions — what every scrub confirms against. */
+  private def liveFps(spark: SparkSession, path: String,
+      m: FpManifest): DataFrame = {
+    val base = fpsDf(spark, path, m)
+    tombstoneFps(spark, path, m).fold(base) { t =>
+      base.join(broadcast(t), Seq("fp"), "left_anti") }
+  }
+
+  /** Number of live retracted fingerprints (0 after [[compact]] retires
+    * them) — the audit counter for retraction verification. */
+  def retractionCount(spark: SparkSession, path: String): Long = {
+    val m = readManifest(spark, path)
+    tombstoneFps(spark, path, m).fold(0L)(_.count())
+  }
+
+  /** Retract documents' membership from the store — the takedown path
+    * for EXACT dedup (content removed from the training corpus must stop
+    * suppressing future crawls of the same text). The distinct
+    * fingerprints of `docs`' normalized text are written as ONE
+    * manifest-governed generation under `tombs/` and published by the
+    * same atomic manifest flip as appends. Effects:
+    *
+    *   - '''immediate''': [[scrub]] (and the streaming twin) confirms
+    *     candidates against the membership set MINUS live retractions,
+    *     so a re-crawled copy of retracted content passes through the
+    *     moment the manifest lands. The Bloom prefilter still contains
+    *     the retracted fingerprints until compaction rebuilds it — a
+    *     prefilter false-positive only costs a confirm, never drops a
+    *     doc (the store's standing FP contract).
+    *   - '''physical''': [[compact]] drops retracted fingerprints from
+    *     the rewritten generation, rebuilds the filter from the scrubbed
+    *     set, and retires the retractions.
+    *   - '''store-wide until retired''': the anti-join is by fingerprint
+    *     across ALL generations, so re-appending the same text stays
+    *     retracted until a compaction retires the tombstone —
+    *     retract→re-add must compact in between.
+    *
+    * Unknown texts are fine; the broadcast-small contract is enforced
+    * via `graft.fpstore.maxTombstones` (default 10M — past it, compact
+    * first). Returns the number of retraction fingerprints written (0 =
+    * empty input, nothing committed). Single-writer contract. */
+  def retract(docs: DataFrame, textCol: String, path: String): Long = {
+    val spark = docs.sparkSession
+    val m0 = readManifest(spark, path)
+    val tombIds = docs.select(fp(textCol).as("fp")).distinct()
+    val gen = StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
+    val dir = s"$path/tombs/$gen"
+    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
+    val n = StoreFiles.parquetRowsWritten(spark, dir)
+    if (n == 0L) {
+      StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+      0L
+    } else {
+      val cap = spark.conf.getOption("graft.fpstore.maxTombstones")
+        .map(_.toLong).getOrElse(10000000L)
+      val live = m0.tombs.map(g =>
+        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum
+      if (live + n > cap) {
+        StoreFiles.fs(spark, dir)
+          .delete(new org.apache.hadoop.fs.Path(dir), true)
+        sys.error(s"FingerprintStore.retract: $live live + $n new " +
+          s"retraction rows exceed graft.fpstore.maxTombstones=$cap — " +
+          "run compact() to retire the live retractions first (or raise " +
+          "the cap)")
+      }
+      writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
+      n
+    }
   }
 
   /** Build the store from a corpus: one scan to distinct fingerprints
@@ -206,8 +305,10 @@ object FingerprintStore {
       .filter(graft.functions.BloomMightContain(bc, fpIn))
       .select(fpIn.as("fp")).distinct()
     // qualified column, not a bare col("fp"): an incoming frame with its
-    // own `fp` column would otherwise make the condition ambiguous
-    val confirmed = fpsDf(spark, path, m)
+    // own `fp` column would otherwise make the condition ambiguous.
+    // liveFps: retracted membership (r14) never confirms — a bloom hit
+    // on retracted content only costs this confirm, never a drop
+    val confirmed = liveFps(spark, path, m)
       .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
     incoming.join(broadcast(confirmed), fpIn === confirmed("fp"), "left_anti")
   }
@@ -237,7 +338,9 @@ object FingerprintStore {
       val maybe = batch
         .filter(graft.functions.BloomMightContain(bc, fpIn))
         .select(fpIn.as("fp")).distinct()
-      val confirmed = fpsDf(spark, path, m)
+      // liveFps (r14): the per-batch manifest re-read means retractions
+      // committed mid-stream apply from the next batch on
+      val confirmed = liveFps(spark, path, m)
         .join(broadcast(maybe), Seq("fp"), "left_semi").distinct()
       sink(batch.join(broadcast(confirmed), fpIn === confirmed("fp"),
         "left_anti"), id)
@@ -305,19 +408,40 @@ object FingerprintStore {
     // distinct is a no-op by the append contract (anti-joined before
     // write) — kept as cheap insurance so a crashed half-append can
     // never make compaction amplify duplicates. repartition, not
-    // coalesce: coalesce would fold distinct's reduce side to nf tasks
-    fpsDf(spark, path, m0).distinct()
+    // coalesce: coalesce would fold distinct's reduce side to nf tasks.
+    // liveFps (r14): retracted fingerprints drop from the rewritten
+    // generation — compaction is the physical-erasure point, and the
+    // filter rebuild below reads the scrubbed set so the prefilter heals
+    // in the same pass
+    liveFps(spark, path, m0).distinct()
       .repartition(nf).write.mode("overwrite").parquet(genPath(path, gen))
-    val bloom = spark.read.parquet(genPath(path, gen))
-      .stat.bloomFilter("fp", nItems, nFpp)
+    val emptied =
+      StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) == 0L
+    val bloom =
+      if (emptied) {
+        // a fully-retracted store: geometry-valid filter over nothing
+        // (the empty gen dir is removed; gens=Nil makes reads refuse
+        // loudly rather than infer a schema-less dir)
+        StoreFiles.fs(spark, path)
+          .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+        spark.range(0).select(org.apache.spark.sql.functions.lit(0L).as("fp"))
+          .stat.bloomFilter("fp", math.max(nItems, 1L), nFpp)
+      } else spark.read.parquet(genPath(path, gen))
+        .stat.bloomFilter("fp", nItems, nFpp)
     writeBloomAtomic(spark, bloom, path)
     val graceMs = spark.conf.getOption("graft.fpstore.gcGraceMs")
       .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis()
     val (cooling, keep) = StoreFiles.coolingStep(m0.cooling, m0.gens.toSet,
-      gen, graceMs, System.currentTimeMillis())
+      gen, graceMs, now)
+    // retired retraction generations cool under the same grace window
+    val (tombCooling, keepT) = StoreFiles.coolingStep(m0.tombCooling,
+      m0.tombs.toSet, gen, graceMs, now)
     writeManifest(spark, path, m0.copy(expectedItems = nItems, fpp = nFpp,
-      gens = Seq(gen), cooling = cooling))
+      gens = if (emptied) Nil else Seq(gen), cooling = cooling,
+      tombs = Nil, tombCooling = tombCooling))
     StoreFiles.sweepGenerations(spark, fpsRoot(path), keep)
+    StoreFiles.sweepGenerations(spark, s"$path/tombs", keepT)
   }
 
   /** One-time upgrade of a v1 (pre-manifest) store — flat parquet files

@@ -805,6 +805,68 @@ class ExtSpec extends SparkSpec {
     assert(sGot == sWant && sGot.nonEmpty)
   }
 
+  test("dedup: MinHash store retraction — retracted docs stop matching instantly, compaction erases and heals counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // near-dup re-crawls of the doc_id % 5 == 0 slice
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" retract spec tail")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhretract").toString
+    Dedup.buildMinHashStore(docs, "doc_id", "text", tmp)
+    def kept() = Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", tmp)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def direct(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.dropExistingNearDup(incoming, corpus, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == direct(docs))
+    assert(kept().size < incoming.count(), "precondition: some near-dups must match")
+
+    // retract HALF the matched sources: their re-crawls must pass through
+    val doomed = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val n = Dedup.retractFromMinHashStore(doomed.select("doc_id"), "doc_id", tmp)
+    assert(n == doomed.count())
+    assert(Dedup.minhashRetractionCount(spark, tmp) == n)
+    val live = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    assert(kept() == direct(live),
+      "masked serve must equal the direct scrub against the live corpus")
+
+    // compaction: physical erasure, count-snapshot heal, retirement
+    Dedup.compactMinHashStore(spark, tmp)
+    assert(Dedup.minhashRetractionCount(spark, tmp) == 0L)
+    assert(kept() == direct(live))
+    // rows/shingles physically scrubbed; counts recomputed from the
+    // scrubbed rows (snapshot total == live row count)
+    val doomedIds = doomed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$tmp/rows")
+      .filter(col("id").isin(doomedIds.toSeq: _*)).isEmpty)
+    assert(spark.read.parquet(s"$tmp/shingles")
+      .filter(col("id").isin(doomedIds.toSeq: _*)).isEmpty)
+    val snapTotal = spark.read.parquet(s"$tmp/bucket_counts")
+      .agg(sum("n")).head().getLong(0)
+    assert(snapTotal == spark.read.parquet(s"$tmp/rows").count(),
+      "healed count snapshot must equal the scrubbed row count")
+
+    // tombstone retired: re-appending the retracted docs restores matches
+    Dedup.appendToMinHashStore(doomed, "doc_id", "text", tmp)
+    assert(kept() == direct(docs))
+
+    // guards: null id refuses; empty retraction is a 0 no-op; the cap
+    // names its knob and commits nothing
+    intercept[Exception](Dedup.retractFromMinHashStore(
+      spark.range(1).select(lit(null).cast("long").as("doc_id")),
+      "doc_id", tmp))
+    assert(Dedup.retractFromMinHashStore(
+      docs.filter(lit(false)).select("doc_id"), "doc_id", tmp) == 0L)
+    spark.conf.set("graft.minhash.maxTombstones", "2")
+    try {
+      val e = intercept[Exception](Dedup.retractFromMinHashStore(
+        docs.limit(5).select("doc_id"), "doc_id", tmp))
+      assert(e.getMessage.contains("graft.minhash.maxTombstones"))
+      assert(Dedup.minhashRetractionCount(spark, tmp) == 0L)
+    } finally spark.conf.unset("graft.minhash.maxTombstones")
+  }
+
   test("dedup: MinHash store compaction collapses files, serve stays row-identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

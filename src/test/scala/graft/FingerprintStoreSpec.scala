@@ -213,4 +213,64 @@ class FingerprintStoreSpec extends SparkSpec {
       FingerprintStore.append(corpus, "text", dir)
     }
   }
+
+  test("retract: re-crawls of retracted content pass instantly; compaction erases physically and heals the filter") {
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    val incoming = Seq(
+      (10L, "the quick brown fox"),   // retracted below → must pass after
+      (11L, "jumped over the dog"),   // still a member → dropped
+      (12L, "genuinely new content")).toDF("doc_id", "text")
+    def kept() = FingerprintStore.scrub(incoming, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == Seq(12L))
+
+    // retract doc 1's text — doc 3 normalizes to the same fingerprint,
+    // so ONE retraction fp covers both copies
+    val n = FingerprintStore.retract(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"), "text", dir)
+    assert(n == 1L)
+    assert(FingerprintStore.retractionCount(spark, dir) == 1L)
+    // masked instantly: the bloom prefilter still hits, but the confirm
+    // runs against membership minus retractions — FP costs a confirm,
+    // never a drop
+    assert(kept() == Seq(10L, 12L))
+    // store-wide until retired: re-appending the same text stays masked
+    FingerprintStore.append(
+      Seq((20L, "THE QUICK brown fox")).toDF("doc_id", "text"), "text", dir)
+    assert(kept() == Seq(10L, 12L))
+
+    // compaction: physical erasure + filter heal + retirement. Grace 0 +
+    // a second compaction sweeps the superseded generations, so the glob
+    // below counts exactly the live rows.
+    spark.conf.set("graft.fpstore.gcGraceMs", "0")
+    try {
+      FingerprintStore.compact(spark, dir)
+      FingerprintStore.compact(spark, dir)
+    } finally spark.conf.unset("graft.fpstore.gcGraceMs")
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L)
+    assert(kept() == Seq(10L, 12L))
+    // corpus had 3 distinct fps; one retracted → 2 distinct physically
+    // remain (the glob still sees one grace-window copy of the previous
+    // compaction's — already scrubbed — generation, hence distinct)
+    assert(spark.read.parquet(s"$dir/fps/*").distinct().count() == 2L,
+      "retracted fingerprints must be physically absent after compaction")
+
+    // tombstone retired: re-adding the text now re-establishes membership
+    FingerprintStore.append(
+      Seq((21L, "the quick brown fox")).toDF("doc_id", "text"), "text", dir)
+    assert(kept() == Seq(12L))
+
+    // guards: empty retraction is a 0 no-op; the cap names its knob and
+    // rolls back the refused generation
+    assert(FingerprintStore.retract(
+      corpus.filter(lit(false)), "text", dir) == 0L)
+    spark.conf.set("graft.fpstore.maxTombstones", "1")
+    try {
+      val e = intercept[RuntimeException](
+        FingerprintStore.retract(corpus, "text", dir))
+      assert(e.getMessage.contains("graft.fpstore.maxTombstones"))
+      assert(FingerprintStore.retractionCount(spark, dir) == 0L)
+    } finally spark.conf.unset("graft.fpstore.maxTombstones")
+  }
 }
