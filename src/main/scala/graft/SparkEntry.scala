@@ -1606,6 +1606,55 @@ object SparkEntry {
         .crossJoin(broadcast(summary))
         .orderBy("part", "check_label")
     }),
+    "ledger_invalidate" -> ((s, d) => {
+      // r14: the REVALIDATION path — a partition whose data is rewritten
+      // in place keeps its stale verdict forever under validate-once;
+      // invalidate() forgets it and the next increment (with candidates
+      // naming it — zero discovery) revalidates against the fixed data.
+      // Flow: increment 1 validates a CORRUPTED 5-LOW (negated prices →
+      // every row fails ge(0), pinned in-gate); the partition is then
+      // "rewritten" (the clean orders), invalidated (returns exactly 1
+      // verdict row; a second call 0), and revalidated as batch b2 —
+      // passed now. A final zero-knowledge increment is a no-op. The
+      // oracle re-derives every cell from the CLEAN orders (the corrupt
+      // version never survives into the final ledger) with batch lineage
+      // b2 for the rewritten partition, b1 elsewhere.
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ledger-inv").toString
+      val sch = DataFrameSchema(
+        "o_orderkey" -> ColumnSchema(dtype = Some(LongType), unique = true),
+        "o_totalprice" -> ColumnSchema.of(DoubleType, Check.ge(0.0)),
+        "o_orderpriority" -> ColumnSchema.of(StringType,
+          Check.strLength(Some(1), Some(10))))
+      val corrupted = orders.withColumn("o_totalprice",
+        when(col("o_orderpriority") === "5-LOW",
+          -abs(col("o_totalprice")) - 1.0).otherwise(col("o_totalprice")))
+      ext.ValidationLedger.validateIncrement(sch, corrupted,
+        "o_orderpriority", dir, "b1"): Unit
+      val stale = ext.ValidationLedger.status(s, dir)
+        .filter(col("partition") === "5-LOW").select("passed")
+        .collect().map(_.getBoolean(0)).toSeq
+      require(stale == Seq(false),
+        "the corrupted partition must record a failing verdict first")
+      require(ext.ValidationLedger.invalidate(s, dir, Seq("5-LOW")) == 1L,
+        "invalidate must remove exactly the one verdict row")
+      require(ext.ValidationLedger.invalidate(s, dir, Seq("5-LOW")) == 0L,
+        "a second invalidate of the same partition must be a no-op")
+      val reval = ext.ValidationLedger.validateIncrement(sch, orders,
+        "o_orderpriority", dir, "b2", candidates = Some(Seq("5-LOW")))
+      require(reval.select("partition", "passed").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+          Seq(("5-LOW", true)),
+        "revalidation must cover exactly the rewritten partition, passing")
+      require(ext.ValidationLedger.validateIncrement(sch, orders,
+        "o_orderpriority", dir, "b3").isEmpty,
+        "the ledger must be complete again after revalidation")
+      ext.ValidationLedger.status(s, dir)
+        .select(col("partition").as("part"), col("batch"), col("n_rows"),
+          explode(col("failures")).as(Seq("check_label", "failures")),
+          col("n_failed"), col("passed"))
+        .orderBy("part", "check_label")
+    }),
     "pipeline_crawl_batch" -> ((s, d) => {
       // round-10: the STORE-BACKED nightly crawl pipeline end-to-end as
       // ONE gate — what a 100 TB ingest actually runs per batch:
@@ -3906,6 +3955,22 @@ object SparkEntry {
         "(SELECT CAST(count(*) FILTER (WHERE f_ge + f_len + f_uni > 0) AS BIGINT) FROM p) AS n_failed_partitions, " +
         "(SELECT CAST(sum(n_rows) AS BIGINT) FROM p) AS sum_rows, " +
         "(SELECT CAST(sum(f_ge + f_len + f_uni) AS BIGINT) FROM p) AS sum_failures " +
+        "FROM x ORDER BY part, check_label"),
+    "ledger_invalidate" ->
+      // the post-revalidation ledger re-derived from the CLEAN orders —
+      // the corrupted 5-LOW verdict was invalidated and revalidated, so
+      // no corrupt cell survives; batch lineage marks the rewrite
+      ("WITH p AS (SELECT o_orderpriority AS part, " +
+        "CASE WHEN o_orderpriority = '5-LOW' THEN 'b2' ELSE 'b1' END AS batch, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0.0)) AS BIGINT) AS f_ge, " +
+        "CAST(count(*) FILTER (WHERE NOT (len(o_orderpriority) BETWEEN 1 AND 10)) AS BIGINT) AS f_len, " +
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_uni " +
+        "FROM orders GROUP BY 1, 2), " +
+        "x AS (SELECT part, batch, n_rows, 'o_totalprice:greater_than_or_equal_to(0.0)' AS check_label, f_ge AS failures, f_ge + f_len + f_uni AS n_failed FROM p " +
+        "UNION ALL SELECT part, batch, n_rows, 'o_orderpriority:str_length(10, 1)', f_len, f_ge + f_len + f_uni FROM p " +
+        "UNION ALL SELECT part, batch, n_rows, 'o_orderkey:unique', f_uni, f_ge + f_len + f_uni FROM p) " +
+        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed " +
         "FROM x ORDER BY part, check_label"),
     "pipeline_crawl_batch" ->
       // the full store-backed nightly flow re-derived from the shared

@@ -460,6 +460,61 @@ object ValidationLedger {
     * partition — this coalesces FILES, not semantics). Atomic flip;
     * superseded generations cool for `graft.ledger.gcGraceMs` (default
     * 15 min) before the sweep, so lock-free readers survive. */
+  /** Forget the verdicts for the given partitions — the REVALIDATION
+    * path (r14). Under the validate-once contract a partition whose
+    * underlying data is REWRITTEN in place (a backfill correction, a
+    * re-crawl replacing a day) keeps its stale verdict forever; the fix
+    * is to invalidate it and let the next increment's unseen-partition
+    * logic pick it up again (pass the same keys as `candidates` and the
+    * revalidation costs zero discovery). Implementation is a filtered
+    * compaction: the ledger is KB-sized BY CONTRACT, so the surviving
+    * rows rewrite as one generation published by the same atomic
+    * manifest flip; superseded generations cool on the shared grace
+    * window. Stream marks are NOT touched — redeliveries of the old
+    * data's batches must keep no-opping, and the rewritten data arrives
+    * under a NEW batchId above the mark.
+    *
+    * Unknown partitions are fine (a no-op — the atomic flip is skipped
+    * entirely when nothing matches). Returns the number of verdict rows
+    * removed, so a caller that expects the partition to exist can assert
+    * `> 0`. Empty/null partition lists refuse loudly. Single-writer
+    * contract, like increments. */
+  def invalidate(spark: SparkSession, path: String,
+      partitions: Seq[String]): Long = {
+    require(partitions.nonEmpty,
+      "invalidate: empty partition list — name the partitions whose " +
+        "data was rewritten")
+    require(!partitions.contains(null), "invalidate: null partition key")
+    val m0 = readManifest(spark, path)
+    if (m0.gens.isEmpty) 0L
+    else {
+      val pset = partitions.distinct
+      val all = rows(spark, path)
+      val removed = all
+        .filter(col("partition").isin(pset: _*)).count()
+      if (removed == 0L) 0L
+      else {
+        val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+        all.filter(!col("partition").isin(pset: _*))
+          .coalesce(1).write.mode("overwrite").parquet(genPath(path, gen))
+        // everything invalidated: publish an empty ledger (gens = Nil),
+        // not a schema-less directory
+        val emptied =
+          StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) == 0L
+        if (emptied) StoreFiles.fs(spark, path)
+          .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+        val graceMs = spark.conf.getOption("graft.ledger.gcGraceMs")
+          .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val (cooling, keep) = StoreFiles.coolingStep(m0.cooling,
+          m0.gens.toSet, gen, graceMs, System.currentTimeMillis())
+        writeManifest(spark, path, m0.copy(
+          gens = if (emptied) Nil else Seq(gen), cooling = cooling))
+        StoreFiles.sweepGenerations(spark, rowsRoot(path), keep)
+        removed
+      }
+    }
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     val m0 = readManifest(spark, path)
     val all = rows(spark, path)

@@ -413,4 +413,52 @@ class ValidationLedgerSpec extends SparkSpec {
     assert(ValidationLedger.validateIncrement(schema, corpus, "part",
       dir, "c").isEmpty)
   }
+
+  test("invalidate forgets a rewritten partition's verdict; marks survive; emptied ledger revalidates from scratch (r14)") {
+    val dir = tmp()
+    ValidationLedger.validateIncrementBatch(schema, corpus, "part", dir,
+      "b1", "s1", 0L): Unit
+    assert(ValidationLedger.validatedPartitions(spark, dir) ==
+      Set("p0", "p1", "p2", "p3"))
+    // p1 "rewritten in place": forget its (failing) verdict
+    assert(ValidationLedger.invalidate(spark, dir, Seq("p1")) == 1L)
+    assert(ValidationLedger.validatedPartitions(spark, dir) ==
+      Set("p0", "p2", "p3"))
+    // unknown partitions are a 0 no-op (no manifest flip)
+    assert(ValidationLedger.invalidate(spark, dir, Seq("p1", "nope")) == 0L)
+    // stream marks survive invalidation: a redelivery of the OLD batch
+    // must still no-op — it must NOT get to re-record p1's stale verdict
+    assert(ValidationLedger.validateIncrementBatch(schema, corpus, "part",
+      dir, "b1", "s1", 0L).isEmpty,
+      "redelivered old batch must keep no-opping after invalidate")
+    // the rewrite arrives as the NEXT batch: fixed p1 (non-negative v)
+    val fixed = corpus.withColumn("v", abs(col("v")))
+    val reval = ValidationLedger.validateIncrementBatch(schema, fixed,
+      "part", dir, "b2", "s1", 1L)
+    assert(reval.select("partition", "passed").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq == Seq(("p1", true)))
+    // dup failures: p3 still carries its original (immutable) verdict
+    val byPart = ValidationLedger.status(spark, dir)
+      .select("partition", "passed", "batch").collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(byPart("p1") == ((true, "b2")) && byPart("p3")._1 == false &&
+      byPart("p3")._2 == "b1")
+
+    // guards
+    intercept[IllegalArgumentException](
+      ValidationLedger.invalidate(spark, dir, Nil))
+    intercept[IllegalArgumentException](
+      ValidationLedger.invalidate(spark, dir, Seq("p0", null)))
+
+    // invalidating EVERYTHING empties the ledger loudly-but-correctly:
+    // gens=Nil (not a schema-less dir), the skip set is empty, and a
+    // fresh increment revalidates the whole corpus
+    assert(ValidationLedger.invalidate(spark, dir,
+      Seq("p0", "p1", "p2", "p3")) == 4L)
+    assert(ValidationLedger.validatedPartitions(spark, dir).isEmpty)
+    val again = ValidationLedger.validateIncrement(schema, fixed, "part",
+      dir, "b3")
+    assert(again.select("partition").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("p0", "p1", "p2", "p3"))
+  }
 }
