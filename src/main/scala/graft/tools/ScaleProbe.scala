@@ -67,9 +67,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
-    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger";
-    // plus "ledgerpieces", a one-off P=1000 increment decomposition that
-    // runs ONLY when named explicitly) — empty runs the standard set
+    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger",
+    // "takedown"; plus "ledgerpieces", a one-off P=1000 increment
+    // decomposition that runs ONLY when named explicitly) — empty runs
+    // the standard set
     val only: String => Boolean =
       if (args.isEmpty) _ != "ledgerpieces" else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -425,6 +426,66 @@ object ScaleProbe {
         println(f"PROBE ledger parts=$p rows=${p * 2000L} " +
           f"backfill_sec=$tb%.1f discovery_increment_sec=$ti%.2f " +
           f"candidate_increment_sec=$tc%.2f status_sec=$ts%.2f")
+      }
+    }
+
+    // r14: takedown serve overhead — the tombstone anti-join must stay a
+    // broadcast map-side probe, so a masked serve (10% of the corpus
+    // tombstoned) should cost ≈ the baseline serve at any scale, and the
+    // healing compaction stays a one-generation rewrite. Probed for the
+    // BM25 postings store and the ANN store at 1×/10×.
+    if (only("takedown")) {
+      val nBuckets = 64
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), concat_ws(" ",
+          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10))) {
+        val corpus = (if (k == 1) docs else replicate(docs, k))
+        val rows = corpus.count()
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-takedown-bm-$name").toString + "/idx"
+        graft.ext.Retrieval.buildIndex(corpus, "doc_id", "text", dir,
+          nBuckets = nBuckets)
+        def serve(): Long = graft.ext.Retrieval.bm25TopKFromIndex(
+          spark, dir, queries, "qid", "qtext", k = 10).count()
+        val (ts0, _) = time(serve())
+        val (td, nDel) = time(graft.ext.Retrieval.deleteDocs(
+          corpus.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          "doc_id", dir))
+        val (ts1, _) = time(serve())
+        val (tc, _) = time(graft.ext.Retrieval.compactIndex(spark, dir))
+        val (ts2, _) = time(serve())
+        println(f"PROBE takedown_bm25_$name rows=$rows deleted=$nDel " +
+          f"delete_sec=$td%.2f serve_base_sec=$ts0%.2f " +
+          f"serve_masked_sec=$ts1%.2f compact_sec=$tc%.2f " +
+          f"serve_healed_sec=$ts2%.2f")
+      }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10))) {
+        val corpus = (0 until k).map(i => emb.select(
+            (col("vec_id") + i * 10000000L).as("vec_id"), col("embedding")))
+          .reduce(_.unionByName(_))
+        val rows = corpus.count()
+        val nc = graft.ext.Similarity.autoNCentroids(rows)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-takedown-ann-$name").toString + "/store"
+        graft.ext.AnnStore.create(corpus, "vec_id", "embedding",
+          graft.ext.Similarity.trainIvf(corpus, "vec_id", "embedding", nc), dir)
+        def serve(): Long = graft.ext.AnnStore.serve(dir, corpus, "vec_id",
+          "embedding", qv, "qid", "qv", k = 10, nProbe = 8).count()
+        val (ts0, _) = time(serve())
+        val (td, nDel) = time(graft.ext.AnnStore.delete(
+          corpus.filter(col("vec_id") % 10 === 3).select("vec_id"),
+          "vec_id", dir))
+        val (ts1, _) = time(serve())
+        val (tc, _) = time(graft.ext.AnnStore.compactCodes(spark, dir))
+        val (ts2, _) = time(serve())
+        println(f"PROBE takedown_ann_$name rows=$rows n_centroids=$nc " +
+          f"deleted=$nDel delete_sec=$td%.2f serve_base_sec=$ts0%.2f " +
+          f"serve_masked_sec=$ts1%.2f compact_sec=$tc%.2f " +
+          f"serve_healed_sec=$ts2%.2f")
       }
     }
     spark.stop()
