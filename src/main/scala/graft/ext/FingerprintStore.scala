@@ -412,7 +412,12 @@ object FingerprintStore {
     // liveFps (r14): retracted fingerprints drop from the rewritten
     // generation — compaction is the physical-erasure point, and the
     // filter rebuild below reads the scrubbed set so the prefilter heals
-    // in the same pass
+    // in the same pass. Crash window (scrubbed bloom written, manifest
+    // flip not yet): the filter now MISSES the retracted fps while the
+    // old generations still hold them — safe, because the tombstones are
+    // still in the old manifest and keep masking exactly those fps; for
+    // every live fp the invariant (committed ⇒ in filter) holds as
+    // before. Re-running compact completes the job.
     liveFps(spark, path, m0).distinct()
       .repartition(nf).write.mode("overwrite").parquet(genPath(path, gen))
     val emptied =

@@ -58,8 +58,12 @@ object ValidationLedger {
   private def rowsRoot(path: String) = s"$path/rows"
   private def genPath(path: String, gen: String) = s"$path/rows/$gen"
 
+  /** `contract` (r14): the canonical names of the ledgered check surface,
+    * recorded at the first commit and required equal on every later
+    * increment — see the guard in doIncrementFresh. Absent in pre-r14
+    * manifests (reads as Nil; adopted at the next commit). */
   private case class LgManifest(gens: Seq[String], marks: Map[String, Long],
-      cooling: Map[String, Long])
+      cooling: Map[String, Long], contract: Seq[String] = Nil)
 
   private def readManifest(spark: SparkSession, path: String): LgManifest = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -72,7 +76,10 @@ object ValidationLedger {
       root.get("gens").asInstanceOf[java.util.List[Any]].asScala.toSeq
         .map(String.valueOf),
       StoreFiles.jsonLongMap(root.get("marks")),
-      StoreFiles.jsonLongMap(root.get("cooling")))
+      StoreFiles.jsonLongMap(root.get("cooling")),
+      Option(root.get("contract"))
+        .map(_.asInstanceOf[java.util.List[Any]].asScala.toSeq
+          .map(String.valueOf)).getOrElse(Nil))
   }
 
   private def writeManifest(spark: SparkSession, path: String,
@@ -81,7 +88,8 @@ object ValidationLedger {
       s"""{"format":"graft-validation-ledger","version":1,""" +
         s""""gens":[${StoreFiles.jsonStrArr(m.gens)}],""" +
         s""""marks":{${StoreFiles.jsonLongObj(m.marks)}},""" +
-        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}}}""")
+        s""""cooling":{${StoreFiles.jsonLongObj(m.cooling)}},""" +
+        s""""contract":[${StoreFiles.jsonStrArr(m.contract)}]}""")
 
   private def exists(spark: SparkSession, path: String): Boolean =
     StoreFiles.fs(spark, path)
@@ -225,6 +233,38 @@ object ValidationLedger {
     Validator.validate(schema, data,
       depth = graft.errors.GraftConfig.SchemaOnly).orThrow: Unit
 
+    // the ledgered check surface, canonically named (r14): recorded at
+    // the first commit and REQUIRED equal on every later increment —
+    // verdicts from different check sets in one ledger would make
+    // status/statusSummary silently mean different things per partition
+    // (a new check "passes" on partitions it never ran against). An
+    // EMPTIED ledger (gens = Nil, e.g. after invalidate of everything)
+    // may re-establish a new contract; a pre-r14 manifest (none
+    // recorded) adopts the current one at its next commit.
+    val contract = (slots.map(s =>
+        if (s.isWarning) s"${s.label}:warn" else s.label) ++
+      schema.resolveColumns(data.columns.toSeq)
+        .collect { case (dn, (_, cs)) if cs.unique => s"$dn:unique" }
+        .distinct ++
+      Seq(s"__partition__:$partitionCol")).sorted
+    if (exists(spark, path)) {
+      val mc = readManifest(spark, path)
+      if (mc.gens.nonEmpty && mc.contract.nonEmpty &&
+          mc.contract != contract) {
+        val added = contract.diff(mc.contract)
+        val removed = mc.contract.diff(contract)
+        sys.error(s"validateIncrement: the ledger at $path was built " +
+          "under a DIFFERENT check contract — its per-partition verdicts " +
+          "would not be comparable with this increment's (" +
+          (if (added.nonEmpty) s"added: ${added.mkString(", ")}" else "") +
+          (if (added.nonEmpty && removed.nonEmpty) "; " else "") +
+          (if (removed.nonEmpty) s"removed: ${removed.mkString(", ")}"
+           else "") +
+          "). Start a new ledger for the new contract, or invalidate() " +
+          "every partition to revalidate the corpus under it")
+      }
+    }
+
     val already = validatedPartitions(spark, path)
     val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
       .map(_.toInt).getOrElse(1024)
@@ -285,7 +325,8 @@ object ValidationLedger {
         emptyResult(spark)
       } else {
         writeManifest(spark, path,
-          m0.copy(gens = m0.gens :+ gen, marks = marks))
+          m0.copy(gens = m0.gens :+ gen, marks = marks,
+            contract = contract))
         spark.read.parquet(genPath(path, gen))
       }
     }

@@ -461,4 +461,59 @@ class ValidationLedgerSpec extends SparkSpec {
     assert(again.select("partition").collect().map(_.getString(0)).sorted
       .toSeq == Seq("p0", "p1", "p2", "p3"))
   }
+
+  test("contract fingerprint: a changed check set refuses loudly; emptied ledger re-establishes; legacy manifests adopt (r14)") {
+    val dir = tmp()
+    ValidationLedger.validateIncrement(schema,
+      corpus.filter(col("part").isin("p0", "p1")), "part", dir, "b1"): Unit
+    // the SAME contract keeps incrementing
+    assert(ValidationLedger.validateIncrement(schema, corpus, "part",
+      dir, "b2").count() == 2L)
+    // a new check (le) changes the ledgered surface: verdicts would not
+    // be comparable — refuse, naming the delta and the two exits
+    val schema2 = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L), Check.le(1000L)),
+      "dup" -> ColumnSchema(dtype = Some(LongType), unique = true))
+    val e = intercept[RuntimeException](
+      ValidationLedger.validateIncrement(schema2, corpus, "part", dir, "b3"))
+    assert(e.getMessage.contains("DIFFERENT check contract") &&
+      e.getMessage.contains("added") &&
+      e.getMessage.contains("invalidate()"), e.getMessage)
+    // ...and so does DROPPING a check
+    val schema3 = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L)),
+      "dup" -> ColumnSchema.of(LongType))
+    val e2 = intercept[RuntimeException](
+      ValidationLedger.validateIncrement(schema3, corpus, "part", dir, "b3"))
+    assert(e2.getMessage.contains("removed"), e2.getMessage)
+    // an EMPTIED ledger may re-establish: invalidate everything, then the
+    // new contract validates the whole corpus and is recorded
+    assert(ValidationLedger.invalidate(spark, dir,
+      Seq("p0", "p1", "p2", "p3")) == 4L)
+    assert(ValidationLedger.validateIncrement(schema2, corpus, "part",
+      dir, "b4").count() == 4L)
+    // ...and the OLD contract now refuses against the new one
+    intercept[RuntimeException](
+      ValidationLedger.validateIncrement(schema, corpus, "part", dir, "b5"))
+
+    // legacy manifest (pre-r14, no contract recorded): adopted at the
+    // next commit instead of refusing — strip the field by hand
+    val mp = java.nio.file.Paths.get(s"$dir/manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+    val stripped = txt.replaceAll(""","contract":\[[^\]]*\]""", "")
+    assert(stripped != txt)
+    java.nio.file.Files.write(mp, stripped.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/.manifest.json.crc"))
+    // any contract is accepted on a legacy manifest; a NEW partition
+    // commits and the contract is recorded from here on
+    val extra = spark.range(50).select(lit("p4").as("part"),
+      col("id").as("v"), col("id").as("dup"))
+    assert(ValidationLedger.validateIncrement(schema, extra, "part",
+      dir, "b6").count() == 1L)
+    intercept[RuntimeException](
+      ValidationLedger.validateIncrement(schema2, corpus, "part", dir, "b7"))
+  }
 }
