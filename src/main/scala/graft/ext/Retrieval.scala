@@ -671,11 +671,20 @@ object Retrieval {
   /** Compact when the append-only growth crosses either threshold — the
     * policy hook a nightly pipeline calls unconditionally after its
     * appends (idempotent and cheap when below threshold: one manifest
-    * read + a file listing). Returns true when a compaction ran. */
+    * read + a file listing). Returns true when a compaction ran.
+    *
+    * `maxTombstoneRows` (r14) is the erasure-deadline face: compaction is
+    * [[deleteDocs]]' physical-erasure point, so an index whose growth
+    * never crosses the file thresholds would otherwise carry its
+    * tombstones — masked but on disk — forever. Set 0 to heal on the
+    * first nightly run after any takedown; the default (-1: never) keeps
+    * the growth-only policy. */
   def compactIndexIfNeeded(spark: SparkSession, path: String,
-      maxGens: Int = 16, maxLiveFiles: Long = 512): Boolean = {
+      maxGens: Int = 16, maxLiveFiles: Long = 512,
+      maxTombstoneRows: Long = -1L): Boolean = {
     val s = indexStats(spark, path)
-    val due = s("gens") > maxGens || s("live_files") > maxLiveFiles
+    val due = s("gens") > maxGens || s("live_files") > maxLiveFiles ||
+      (maxTombstoneRows >= 0L && s("tombstone_rows") > maxTombstoneRows)
     if (due) compactIndex(spark, path)
     due
   }

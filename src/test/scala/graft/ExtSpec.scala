@@ -1181,6 +1181,15 @@ class ExtSpec extends SparkSpec {
       assert(Retrieval.tombstoneCount(spark, dir) == 0L)
     } finally spark.conf.unset("graft.bm25.maxTombstones")
 
+    // erasure-deadline policy: growth thresholds alone would never heal
+    // this small index, but maxTombstoneRows=0 compacts on the first
+    // nightly run after any takedown (default -1 keeps growth-only)
+    Retrieval.deleteDocs(docs.limit(3).select("doc_id"), "doc_id", dir): Unit
+    assert(!Retrieval.compactIndexIfNeeded(spark, dir),
+      "growth-only policy must not trigger on tombstones")
+    assert(Retrieval.compactIndexIfNeeded(spark, dir, maxTombstoneRows = 0L))
+    assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+
     // pre-r14 manifest compatibility: a manifest without the tombstone
     // fields must read as tombstone-free (no KeyNotFound, no null NPE)
     val mp = s"$dir/manifest.json"
