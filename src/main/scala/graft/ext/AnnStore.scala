@@ -382,20 +382,65 @@ object AnnStore {
     * or already-deleted documents); null ids refuse loudly. Returns the
     * number of tombstone ids written (0 = empty input, nothing committed).
     * Single-writer contract, like appends. */
-  def delete(ids: DataFrame, idCol: String, path: String): Long = {
+  def delete(ids: DataFrame, idCol: String, path: String): Long =
+    commitTombGen(ids, idCol, path, None)
+
+  /** The streaming twin of [[delete]] — a takedown FEED delivered through
+    * foreachBatch with the family's exactly-once shape: `(streamTag,
+    * batchId)` names the tombstone generation `<tag>-b<id>` and the codes
+    * manifest's per-tag high-water mark makes at-least-once re-deliveries
+    * no-ops (returns 0; an EMPTY batch still advances the mark). Marks
+    * share the appends' per-tag map — a tag is 1:1 with one stream's
+    * checkpoint, so a takedown stream uses its own tag; marks survive
+    * compaction. */
+  def deleteBatch(ids: DataFrame, idCol: String, path: String,
+      streamTag: String, batchId: Long): Long = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitTombGen(ids, idCol, path, Some((streamTag, batchId)))
+  }
+
+  /** foreachBatch writer for a takedown stream — each micro-batch of ids
+    * tombstones through [[deleteBatch]]. */
+  def deleteWriter(stream: DataFrame, idCol: String, path: String,
+      streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        deleteBatch(batch, idCol, path, streamTag, id): Unit
+    }
+  }
+
+  private def commitTombGen(ids: DataFrame, idCol: String, path: String,
+      stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
     val v = currentVersion(spark, path)
     val m0 = readCodesManifest(spark, path, v)
+    val redelivered = stream.exists { case (tag, id) =>
+      m0.marks.get(tag).exists(id <= _) }
+    if (redelivered) return 0L
     val tombIds = ids.select(col(idCol).as("corpus_id")).distinct()
     require(tombIds.filter(col("corpus_id").isNull).isEmpty,
       s"AnnStore.delete: null id in the tombstone batch ('$idCol')")
-    val gen = StoreFiles.nextGenName(spark, Seq(tombsPath(path, v)), m0.tombs)
+    val gen = stream match {
+      case Some((tag, id)) => s"$tag-b$id"
+      case None =>
+        StoreFiles.nextGenName(spark, Seq(tombsPath(path, v)), m0.tombs)
+    }
     val dir = s"${tombsPath(path, v)}/$gen"
+    // overwrite reclaims a crashed attempt's orphan at this generation
     tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
     // row presence/count from parquet footers — zero read-back jobs
     val n = StoreFiles.parquetRowsWritten(spark, dir)
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
     if (n == 0L) {
       StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+      // an EMPTY streamed batch still advances its mark (else redelivery
+      // would retry forever) but commits no generation
+      if (marks ne m0.marks)
+        writeCodesManifest(spark, path, v, m0.copy(marks = marks))
       0L
     } else {
       // broadcast-small is a CONTRACT, so enforce it: past the cap the
@@ -412,7 +457,8 @@ object AnnStore {
           s"exceed graft.ann.maxTombstones=$cap — run compactCodes() to " +
           "retire the live tombstones first (or raise the cap)")
       }
-      writeCodesManifest(spark, path, v, m0.copy(tombs = m0.tombs :+ gen))
+      writeCodesManifest(spark, path, v,
+        m0.copy(tombs = m0.tombs :+ gen, marks = marks))
       n
     }
   }

@@ -473,18 +473,62 @@ object Retrieval {
     * enforced via `graft.bm25.maxTombstones` (default 10M — past it,
     * compact first). Returns the number of tombstone ids written (0 =
     * empty input, nothing committed). Single-writer contract. */
-  def deleteDocs(ids: DataFrame, idCol: String, path: String): Long = {
+  def deleteDocs(ids: DataFrame, idCol: String, path: String): Long =
+    commitTombGen(ids, idCol, path, None)
+
+  /** The streaming twin of [[deleteDocs]] — a takedown FEED (legal-hold /
+    * retention topics are streams in production) delivered through
+    * foreachBatch with the family's exactly-once shape: `(streamTag,
+    * batchId)` names the tombstone generation `<tag>-b<id>` and the
+    * manifest's per-tag high-water mark makes at-least-once re-deliveries
+    * no-ops (returns 0; an EMPTY batch still advances the mark so its
+    * redelivery stops retrying). Marks share the appends' per-tag map —
+    * a tag is 1:1 with one stream's checkpoint, so a takedown stream
+    * simply uses its own tag. Marks survive compaction, so replays of
+    * long-retired takedown batches still no-op. */
+  def deleteDocsBatch(ids: DataFrame, idCol: String, path: String,
+      streamTag: String, batchId: Long): Long = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitTombGen(ids, idCol, path, Some((streamTag, batchId)))
+  }
+
+  /** foreachBatch writer for a takedown stream — each micro-batch of doc
+    * ids tombstones through [[deleteDocsBatch]]. */
+  def deleteWriter(stream: DataFrame, idCol: String, path: String,
+      streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      deleteDocsBatch(batch, idCol, path, streamTag, id): Unit
+    }
+  }
+
+  private def commitTombGen(ids: DataFrame, idCol: String, path: String,
+      stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
     val m0 = readManifest(spark, path)
+    val redelivered = stream.exists { case (tag, id) =>
+      m0.marks.get(tag).exists(id <= _) }
+    if (redelivered) return 0L
     val tombIds = ids.select(q(idCol).as("doc_id")).distinct()
     require(tombIds.filter(col("doc_id").isNull).isEmpty,
       s"Retrieval.deleteDocs: null id in the tombstone batch ('$idCol')")
-    val gen = StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
+    val gen = stream match {
+      case Some((tag, id)) => s"$tag-b$id"
+      case None => StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
+    }
     val dir = s"$path/tombs/$gen"
+    // overwrite reclaims a crashed attempt's orphan at this generation
     tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
     val n = StoreFiles.parquetRowsWritten(spark, dir)
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
     if (n == 0L) {
       StoreFiles.fs(spark, dir).delete(new Path(dir), true)
+      // an EMPTY streamed batch still advances its mark (else redelivery
+      // would retry forever) but commits no generation
+      if (marks ne m0.marks) writeManifest(spark, path, m0.copy(marks = marks))
       0L
     } else {
       val cap = spark.conf.getOption("graft.bm25.maxTombstones")
@@ -497,7 +541,8 @@ object Retrieval {
           s"rows exceed graft.bm25.maxTombstones=$cap — run compactIndex() " +
           "to retire the live tombstones first (or raise the cap)")
       }
-      writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
+      writeManifest(spark, path,
+        m0.copy(tombs = m0.tombs :+ gen, marks = marks))
       n
     }
   }

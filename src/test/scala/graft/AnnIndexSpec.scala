@@ -517,6 +517,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(serveRows().nonEmpty) // v2 serves
   }
 
+  test("AnnStore streamed takedown batches: per-tag marks make redelivery exactly-once") {
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annsdel").toString
+    val idx = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 16)
+    AnnStore.create(emb, "vec_id", "embedding", idx, tmp)
+    def tc() = AnnStore.tombstoneCount(spark, tmp)
+    assert(AnnStore.deleteBatch(emb.limit(3).select("vec_id"),
+      "vec_id", tmp, "kill", 0L) == 3L)
+    assert(tc() == 3L)
+    // redelivery no-ops regardless of payload
+    assert(AnnStore.deleteBatch(emb.limit(7).select("vec_id"),
+      "vec_id", tmp, "kill", 0L) == 0L)
+    assert(tc() == 3L)
+    // empty batch advances the mark
+    assert(AnnStore.deleteBatch(emb.filter(lit(false)).select("vec_id"),
+      "vec_id", tmp, "kill", 1L) == 0L)
+    assert(AnnStore.deleteBatch(emb.limit(7).select("vec_id"),
+      "vec_id", tmp, "kill", 1L) == 0L)
+    // marks survive compaction: tombstones retire, old batches still no-op
+    AnnStore.compactCodes(spark, tmp)
+    assert(tc() == 0L)
+    assert(AnnStore.deleteBatch(emb.limit(3).select("vec_id"),
+      "vec_id", tmp, "kill", 1L) == 0L)
+    assert(AnnStore.deleteBatch(emb.limit(2).select("vec_id"),
+      "vec_id", tmp, "kill", 2L) == 2L)
+    assert(tc() == 2L)
+  }
+
   test("AnnStore delete: tombstones mask instantly, compaction erases physically, migrate cannot resurrect") {
     import graft.ext.AnnStore
     val tmp = java.nio.file.Files.createTempDirectory("graft-anndel").toString

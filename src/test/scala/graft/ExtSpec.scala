@@ -1208,6 +1208,44 @@ class ExtSpec extends SparkSpec {
     assert(serve().nonEmpty)
   }
 
+  test("retrieval: streamed takedown batches — per-tag marks make redelivery exactly-once") {
+    import graft.ext.Retrieval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25sdel").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    def tc() = Retrieval.tombstoneCount(spark, dir)
+    assert(Retrieval.deleteDocsBatch(docs.limit(3).select("doc_id"),
+      "doc_id", dir, "kill", 0L) == 3L)
+    assert(tc() == 3L)
+    // redelivery no-ops even with a DIFFERENT payload (the mark, not the
+    // content, decides)
+    assert(Retrieval.deleteDocsBatch(docs.limit(7).select("doc_id"),
+      "doc_id", dir, "kill", 0L) == 0L)
+    assert(tc() == 3L)
+    // an empty batch advances the mark: its id is then a no-op forever
+    assert(Retrieval.deleteDocsBatch(
+      docs.filter(lit(false)).select("doc_id"), "doc_id", dir,
+      "kill", 1L) == 0L)
+    assert(Retrieval.deleteDocsBatch(docs.limit(7).select("doc_id"),
+      "doc_id", dir, "kill", 1L) == 0L)
+    assert(Retrieval.deleteDocsBatch(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 105)
+        .select("doc_id"), "doc_id", dir, "kill", 2L) == 5L)
+    assert(tc() == 8L)
+    // marks survive compaction: the tombstones retire, yet a replay of a
+    // long-retired takedown batch still no-ops
+    Retrieval.compactIndex(spark, dir)
+    assert(tc() == 0L)
+    assert(Retrieval.deleteDocsBatch(docs.limit(3).select("doc_id"),
+      "doc_id", dir, "kill", 2L) == 0L)
+    assert(tc() == 0L)
+    // a NEW batch id after compaction tombstones again
+    assert(Retrieval.deleteDocsBatch(docs.limit(2).select("doc_id"),
+      "doc_id", dir, "kill", 3L) == 2L)
+    assert(tc() == 2L)
+  }
+
   test("retrieval: bucket-pruned serve — PartitionFilters on postings+dfd, no dlen scan") {
     // r10: tbucket = pmod(xxhash64(token), nBuckets) partitions the
     // postings and df-delta sides; a narrow query batch must read ONLY its
