@@ -412,6 +412,11 @@ object AnnStore {
     }
   }
 
+  /** Thin adapter over [[StoreFiles.commitTombstones]] (r15, verdict #5:
+    * one implementation of the distinct → null-check → cap → flip shape
+    * across all four takedown stores): this store's half is redelivery
+    * detection and the manifest flip; the null check rides the parquet
+    * footers inside the shared write pass — no separate Spark action. */
   private def commitTombGen(ids: DataFrame, idCol: String, path: String,
       stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
@@ -419,47 +424,24 @@ object AnnStore {
     val m0 = readCodesManifest(spark, path, v)
     val redelivered = stream.exists { case (tag, id) =>
       m0.marks.get(tag).exists(id <= _) }
-    if (redelivered) return 0L
-    val tombIds = ids.select(col(idCol).as("corpus_id")).distinct()
-    require(tombIds.filter(col("corpus_id").isNull).isEmpty,
-      s"AnnStore.delete: null id in the tombstone batch ('$idCol')")
-    val gen = stream match {
-      case Some((tag, id)) => s"$tag-b$id"
-      case None =>
-        StoreFiles.nextGenName(spark, Seq(tombsPath(path, v)), m0.tombs)
-    }
-    val dir = s"${tombsPath(path, v)}/$gen"
-    // overwrite reclaims a crashed attempt's orphan at this generation
-    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
-    // row presence/count from parquet footers — zero read-back jobs
-    val n = StoreFiles.parquetRowsWritten(spark, dir)
-    val marks = stream.fold(m0.marks) { case (tag, id) =>
-      m0.marks + (tag -> id) }
-    if (n == 0L) {
-      StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
-      // an EMPTY streamed batch still advances its mark (else redelivery
-      // would retry forever) but commits no generation
-      if (marks ne m0.marks)
-        writeCodesManifest(spark, path, v, m0.copy(marks = marks))
-      0L
-    } else {
-      // broadcast-small is a CONTRACT, so enforce it: past the cap the
-      // serve-side anti-join stops being a cheap map-side probe — compact
-      // (which retires live tombstones) instead of accumulating forever
-      val cap = spark.conf.getOption("graft.ann.maxTombstones")
-        .map(_.toLong).getOrElse(10000000L)
-      val live = m0.tombs.map(g => StoreFiles.parquetRowsWritten(spark,
-        s"${tombsPath(path, v)}/$g")).sum
-      if (live + n > cap) {
-        StoreFiles.fs(spark, dir)
-          .delete(new org.apache.hadoop.fs.Path(dir), true)
-        sys.error(s"AnnStore.delete: $live live + $n new tombstone rows " +
-          s"exceed graft.ann.maxTombstones=$cap — run compactCodes() to " +
-          "retire the live tombstones first (or raise the cap)")
+    if (redelivered) 0L
+    else {
+      val marks = stream.fold(m0.marks) { case (tag, id) =>
+        m0.marks + (tag -> id) }
+      StoreFiles.commitTombstones(
+        ids.select(col(idCol).as("corpus_id")), "corpus_id",
+        tombsPath(path, v), m0.tombs,
+        stream.map { case (tag, id) => s"$tag-b$id" },
+        "graft.ann.maxTombstones", "AnnStore.delete", "compactCodes()") {
+        case Some(gen) =>
+          writeCodesManifest(spark, path, v,
+            m0.copy(tombs = m0.tombs :+ gen, marks = marks))
+        case None =>
+          // an EMPTY streamed batch still advances its mark (else
+          // redelivery would retry forever) but commits no generation
+          if (marks ne m0.marks)
+            writeCodesManifest(spark, path, v, m0.copy(marks = marks))
       }
-      writeCodesManifest(spark, path, v,
-        m0.copy(tombs = m0.tombs :+ gen, marks = marks))
-      n
     }
   }
 
@@ -658,7 +640,23 @@ object AnnStore {
   def compactCodes(spark: SparkSession, path: String): Unit = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)
-    if (m.gens.isEmpty) return
+    if (m.gens.isEmpty) {
+      // an EMPTIED store (a prior full-tombstone compaction) can still
+      // hold live tombstones from deletes committed afterwards — retire
+      // them here (there are no codes to erase, so retiring IS the
+      // physical step), else a tombstone-deadline policy would see the
+      // store as forever "due" and no-op every nightly run (r14 ADVICE)
+      if (m.tombs.nonEmpty) {
+        val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
+          .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
+          m.tombs.toSet, "", graceMs, System.currentTimeMillis())
+        writeCodesManifest(spark, path, v,
+          m.copy(tombs = Nil, tombCooling = tombCooling))
+        StoreFiles.sweepGenerations(spark, tombsPath(path, v), keepT - "")
+      }
+      return
+    }
     val root = codesPath(path, v)
     val gen = StoreFiles.nextGenName(spark, Seq(root), m.gens)
     import org.apache.spark.sql.functions.col
@@ -675,8 +673,11 @@ object AnnStore {
       .partitionBy("cell").parquet(s"$root/$gen")
     // a fully-tombstoned store compacts to ZERO rows: publish no
     // generation (codes() then refuses loudly with "has no codes" — the
-    // honest state of an emptied store) instead of a schema-less dir
-    val emptied = StoreFiles.parquetRowsWritten(spark, s"$root/$gen") == 0L
+    // honest state of an emptied store) instead of a schema-less dir.
+    // <= 0: a partitionBy write of zero rows emits NO part files at all
+    // (not even a schema-only one), so rows reads back as -1 — that is
+    // the same emptied state, not a countable generation (r15 fix)
+    val emptied = StoreFiles.parquetRowsWritten(spark, s"$root/$gen") <= 0L
     if (emptied) StoreFiles.fs(spark, s"$root/$gen")
       .delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
     val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")

@@ -648,7 +648,11 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombs")
     if (!StoreFiles.fs(spark, path).exists(p)) None
     else if (StoreFiles.dataFileCountRecursive(spark, s"$path/tombs") == 0) None
-    else Some(spark.read.parquet(s"$path/tombs").select("id").distinct())
+    // recursiveFileLookup: retraction batches land as one generation DIR
+    // each (r15 — the shared StoreFiles.commitTombstones layout); the
+    // option also reads any pre-r15 flat files unchanged
+    else Some(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/tombs").select("id").distinct())
   }
 
   /** Number of live retracted ids (0 after [[compactMinHashStore]]
@@ -665,10 +669,12 @@ object Dedup {
     * generating candidate pairs immediately — with zero store bytes
     * rewritten. [[compactMinHashStore]] is the physical-erasure point:
     * rows/shingles scrub, the bucket-count snapshot recomputes from the
-    * SCRUBBED rows (until then the oversized-bucket cap still counts
-    * retracted rows — conservative: a bucket can only be skipped MORE
-    * eagerly, the cap's documented approximation direction), and the
-    * tombstones clear. A retraction masks its id store-wide until a
+    * SCRUBBED rows, and the tombstones clear. Between retraction and
+    * compaction the serve subtracts the retracted rows' bucket
+    * membership from the stored count deltas before applying the
+    * oversized-bucket cap (r15 — one extra tombstone-bounded semi-join
+    * that exists only inside that window), so the cap decision matches
+    * the live corpus exactly even when a bucket straddles it. A retraction masks its id store-wide until a
     * compaction retires it — retract→re-add must compact in between.
     * Unknown ids are fine; null ids refuse; the broadcast-small contract
     * is enforced via `graft.minhash.maxTombstones` (default 10M).
@@ -677,27 +683,21 @@ object Dedup {
       path: String): Long = {
     val spark = ids.sparkSession
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
-    val t = ids.select(q(idCol).as("id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      require(t.filter(col("id").isNull).isEmpty,
-        s"retractFromMinHashStore: null id in the retraction batch ('$idCol')")
-      val n = t.count()
-      if (n == 0L) return 0L
-      val cap = spark.conf.getOption("graft.minhash.maxTombstones")
-        .map(_.toLong).getOrElse(10000000L)
-      val live =
-        if (!StoreFiles.fs(spark, path).exists(
-            new org.apache.hadoop.fs.Path(s"$path/tombs"))) 0L
-        else StoreFiles.parquetRowsWritten(spark, s"$path/tombs")
-      require(live + n <= cap,
-        s"retractFromMinHashStore: $live live + $n new retraction rows " +
-          s"exceed graft.minhash.maxTombstones=$cap — run " +
-          "compactMinHashStore to retire the live retractions first " +
-          "(or raise the cap)")
-      t.coalesce(1).write.mode("append").parquet(s"$path/tombs")
-      n
-    } finally t.unpersist(): Unit
+    // this store is pre-manifest (plain dirs + swap compaction), so the
+    // committed set IS the on-disk generation dirs; the write itself is
+    // the publish (Spark's commit protocol stages under _temporary, so a
+    // crash mid-write leaves nothing visible) and publish() is a no-op.
+    // Shared mechanics otherwise — see StoreFiles.commitTombstones
+    // (r15, verdict #5; the null check rides the parquet footers)
+    val committed = {
+      val f = StoreFiles.fs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombs")
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    StoreFiles.commitTombstones(ids.select(q(idCol).as("id")), "id",
+      s"$path/tombs", committed, None, "graft.minhash.maxTombstones",
+      "retractFromMinHashStore", "compactMinHashStore")(_ => ())
   }
 
   /** [[minhashPairsAgainst]] served from a persisted store: corpus text is
@@ -716,12 +716,31 @@ object Dedup {
     // boilerplate keys) — broadcast those and anti-join; the under-cap set
     // is ~bands·|corpus| for a mostly-unique corpus and must never be a
     // broadcast side
-    val overCap = spark.read.parquet(s"$path/bucket_counts")
+    val tomb = minhashTombstones(spark, path)
+    val counts = spark.read.parquet(s"$path/bucket_counts")
       .groupBy("band", "bucket").agg(sum("n").as("n"))
-      .filter(col("n") > cap).select("band", "bucket")
+    val overCap = tomb match {
+      case None => counts.filter(col("n") > cap).select("band", "bucket")
+      case Some(t) =>
+        // between a retraction and its compaction the stored count deltas
+        // still include retracted rows, so the raw sums would skip a
+        // bucket whose LIVE size is under the cap — subtract the
+        // retracted rows' bucket membership (tombstones are
+        // broadcast-small; the extra semi-join scan of rows/ exists only
+        // inside the retract→compact window) so the cap decision matches
+        // the direct path over the live corpus exactly (r14 ADVICE — the
+        // serve ≡ direct row-identity the spec asserts holds even when a
+        // bucket straddles the cap)
+        val retracted = spark.read.parquet(s"$path/rows")
+          .join(broadcast(t), Seq("id"), "left_semi")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("rn"))
+        counts.join(retracted, Seq("band", "bucket"), "left")
+          .filter(col("n") - coalesce(col("rn"), lit(0L)) > cap)
+          .select("band", "bucket")
+    }
     val corpusRows0 = spark.read.parquet(s"$path/rows")
       .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
-    val corpusRows = minhashTombstones(spark, path).fold(corpusRows0) { t =>
+    val corpusRows = tomb.fold(corpusRows0) { t =>
       corpusRows0.join(broadcast(t), Seq("id"), "left_anti") }
     val cand =
       bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)

@@ -160,36 +160,33 @@ object FingerprintStore {
     *     retracted until a compaction retires the tombstone —
     *     retract→re-add must compact in between.
     *
-    * Unknown texts are fine; the broadcast-small contract is enforced
+    * Unknown texts are fine; a NULL text refuses loudly (it fingerprints
+    * to a null fp that would be inert in the anti-join yet count toward
+    * the cap and the returned n — a caller asserting n > 0 would see a
+    * false success; r14 ADVICE). The broadcast-small contract is enforced
     * via `graft.fpstore.maxTombstones` (default 10M — past it, compact
     * first). Returns the number of retraction fingerprints written (0 =
-    * empty input, nothing committed). Single-writer contract. */
+    * empty input, nothing committed). Single-writer contract.
+    *
+    * Thin adapter over [[StoreFiles.commitTombstones]] (r15, verdict #5:
+    * one implementation of the distinct → null-check → cap → flip shape
+    * across all four takedown stores). */
   def retract(docs: DataFrame, textCol: String, path: String): Long = {
     val spark = docs.sparkSession
     val m0 = readManifest(spark, path)
-    val tombIds = docs.select(fp(textCol).as("fp")).distinct()
-    val gen = StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
-    val dir = s"$path/tombs/$gen"
-    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
-    val n = StoreFiles.parquetRowsWritten(spark, dir)
-    if (n == 0L) {
-      StoreFiles.fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
-      0L
-    } else {
-      val cap = spark.conf.getOption("graft.fpstore.maxTombstones")
-        .map(_.toLong).getOrElse(10000000L)
-      val live = m0.tombs.map(g =>
-        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum
-      if (live + n > cap) {
-        StoreFiles.fs(spark, dir)
-          .delete(new org.apache.hadoop.fs.Path(dir), true)
-        sys.error(s"FingerprintStore.retract: $live live + $n new " +
-          s"retraction rows exceed graft.fpstore.maxTombstones=$cap — " +
-          "run compact() to retire the live retractions first (or raise " +
-          "the cap)")
-      }
-      writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
-      n
+    // a null text must surface as a null fp for the shared null check:
+    // xxhash64 hashes a null input to the SEED (non-null 42), which would
+    // silently retract a phantom fingerprint instead of refusing
+    val tcol = col("`" + textCol.replace("`", "``") + "`")
+    val fps = docs.select(when(tcol.isNull, lit(null).cast("long"))
+      .otherwise(fp(textCol)).as("fp"))
+    StoreFiles.commitTombstones(
+      fps, "fp", s"$path/tombs", m0.tombs,
+      None, "graft.fpstore.maxTombstones", "FingerprintStore.retract",
+      "compact()") {
+      case Some(gen) =>
+        writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
+      case None => ()
     }
   }
 

@@ -504,46 +504,36 @@ object Retrieval {
     }
   }
 
+  /** Thin adapter over [[StoreFiles.commitTombstones]] (r15, verdict #5:
+    * one implementation of the distinct → null-check → cap → flip shape
+    * across all four takedown stores): this store's half is redelivery
+    * detection and the manifest flip; the null check rides the parquet
+    * footers inside the shared write pass — no separate Spark action. */
   private def commitTombGen(ids: DataFrame, idCol: String, path: String,
       stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
     val m0 = readManifest(spark, path)
     val redelivered = stream.exists { case (tag, id) =>
       m0.marks.get(tag).exists(id <= _) }
-    if (redelivered) return 0L
-    val tombIds = ids.select(q(idCol).as("doc_id")).distinct()
-    require(tombIds.filter(col("doc_id").isNull).isEmpty,
-      s"Retrieval.deleteDocs: null id in the tombstone batch ('$idCol')")
-    val gen = stream match {
-      case Some((tag, id)) => s"$tag-b$id"
-      case None => StoreFiles.nextGenName(spark, Seq(s"$path/tombs"), m0.tombs)
-    }
-    val dir = s"$path/tombs/$gen"
-    // overwrite reclaims a crashed attempt's orphan at this generation
-    tombIds.coalesce(1).write.mode("overwrite").parquet(dir)
-    val n = StoreFiles.parquetRowsWritten(spark, dir)
-    val marks = stream.fold(m0.marks) { case (tag, id) =>
-      m0.marks + (tag -> id) }
-    if (n == 0L) {
-      StoreFiles.fs(spark, dir).delete(new Path(dir), true)
-      // an EMPTY streamed batch still advances its mark (else redelivery
-      // would retry forever) but commits no generation
-      if (marks ne m0.marks) writeManifest(spark, path, m0.copy(marks = marks))
-      0L
-    } else {
-      val cap = spark.conf.getOption("graft.bm25.maxTombstones")
-        .map(_.toLong).getOrElse(10000000L)
-      val live = m0.tombs.map(g =>
-        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum
-      if (live + n > cap) {
-        StoreFiles.fs(spark, dir).delete(new Path(dir), true)
-        sys.error(s"Retrieval.deleteDocs: $live live + $n new tombstone " +
-          s"rows exceed graft.bm25.maxTombstones=$cap — run compactIndex() " +
-          "to retire the live tombstones first (or raise the cap)")
+    if (redelivered) 0L
+    else {
+      val marks = stream.fold(m0.marks) { case (tag, id) =>
+        m0.marks + (tag -> id) }
+      StoreFiles.commitTombstones(
+        ids.select(q(idCol).as("doc_id")), "doc_id",
+        s"$path/tombs", m0.tombs,
+        stream.map { case (tag, id) => s"$tag-b$id" },
+        "graft.bm25.maxTombstones", "Retrieval.deleteDocs",
+        "compactIndex()") {
+        case Some(gen) =>
+          writeManifest(spark, path,
+            m0.copy(tombs = m0.tombs :+ gen, marks = marks))
+        case None =>
+          // an EMPTY streamed batch still advances its mark (else
+          // redelivery would retry forever) but commits no generation
+          if (marks ne m0.marks)
+            writeManifest(spark, path, m0.copy(marks = marks))
       }
-      writeManifest(spark, path,
-        m0.copy(tombs = m0.tombs :+ gen, marks = marks))
-      n
     }
   }
 
@@ -570,7 +560,24 @@ object Retrieval {
     // (dot/underscore prefixes trip Spark's hidden-path filtering)
     val snap = s"$path/compact-snap.tmp"
     f.delete(new Path(snap), true) // orphan from a crashed prior compact
-    if (m.gens.isEmpty) return
+    if (m.gens.isEmpty) {
+      // an EMPTIED index (a prior full-tombstone compaction) can still
+      // hold live tombstones from deletes committed afterwards — retire
+      // them here (there are no postings to erase, so retiring IS the
+      // physical step), else compactIndexIfNeeded(maxTombstoneRows = 0)
+      // would report the index forever "due" and run a no-op compaction
+      // every nightly run (r14 ADVICE)
+      if (m.tombs.nonEmpty) {
+        val graceMs = spark.conf.getOption("graft.bm25.gcGraceMs")
+          .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
+          m.tombs.toSet, "", graceMs, System.currentTimeMillis())
+        writeManifest(spark, path,
+          m.copy(tombs = Nil, tombCooling = tombCooling))
+        StoreFiles.sweepGenerations(spark, s"$path/tombs", keepT - "")
+      }
+      return
+    }
     val counted = readSide(spark, path, "dlen", m.gens).count()
     require(counted == m.nDocs,
       s"BM25 index inconsistent at $path: dlen rows $counted != " +
@@ -602,8 +609,10 @@ object Retrieval {
           .partitionBy("tbucket")
         .parquet(s"$path/postings/$gen")
       // a fully-tombstoned postings side compacts to zero rows: publish
-      // no postings generation instead of a schema-less dir
-      if (StoreFiles.parquetRowsWritten(spark, s"$path/postings/$gen") == 0L) {
+      // no postings generation instead of a schema-less dir (<= 0: a
+      // partitionBy write of zero rows emits no part files at all and
+      // reads back as -1 — the same emptied state; r15 fix)
+      if (StoreFiles.parquetRowsWritten(spark, s"$path/postings/$gen") <= 0L) {
         f.delete(new Path(s"$path/postings/$gen"), true)
         hasP = false
       } else if (tomb.isEmpty) {
@@ -708,9 +717,16 @@ object Retrieval {
       "live_bytes" -> bytes, "n_docs" -> m.nDocs,
       "streams" -> m.marks.size.toLong,
       // tombstone ROWS from parquet footers (dup ids across takedown
-      // batches count twice — stats-grade; tombstoneCount() distincts)
-      "tombstone_rows" -> m.tombs.map(g =>
-        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")).sum)
+      // batches count twice — stats-grade; tombstoneCount() distincts).
+      // A lost committed generation refuses loudly (parquetRowsWritten's
+      // -1 would silently skew the stat and every policy gating on it —
+      // r14 ADVICE), matching tombstoneFrame's loud-audit idiom.
+      "tombstone_rows" -> m.tombs.map { g =>
+        val r = StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")
+        require(r >= 0L,
+          s"BM25 index at $path lost committed tombstone generation $g")
+        r
+      }.sum)
   }
 
   /** Compact when the append-only growth crosses either threshold — the

@@ -88,6 +88,125 @@ object StoreFiles {
     if (sawFile) rows else -1L
   }
 
+  /** [[parquetRowsWritten]] plus the NULL COUNT of one column, both from
+    * the parquet footers (r15, verdict #4): the takedown paths must refuse
+    * null ids, and the former `filter(isNull).isEmpty` pre-check cost one
+    * extra Spark job per call — the footers' column-chunk statistics
+    * already carry the null count. Returns (rows, nulls); rows -1 when no
+    * visible parquet files exist; nulls -1 when any chunk lacks the
+    * statistic (the caller falls back to an explicit check — Spark-written
+    * parquet always has it, so the fallback never fires in practice). */
+  def parquetRowsAndNulls(spark: SparkSession, genDir: String,
+      colName: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, genDir)
+    val p = new Path(genDir)
+    if (!f.exists(p)) return (-1L, -1L)
+    val it = f.listFiles(p, true)
+    var rows = 0L
+    var nulls = 0L
+    var sawFile = false
+    var statsKnown = true
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        sawFile = true
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          rows += r.getRecordCount
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == colName)
+              .foreach { cc =>
+                val s = cc.getStatistics
+                if (s == null || !s.isNumNullsSet) statsKnown = false
+                else nulls += s.getNumNulls
+              }
+          }
+        } finally r.close()
+      }
+    }
+    if (!sawFile) (-1L, -1L)
+    else (rows, if (statsKnown) nulls else -1L)
+  }
+
+  /** Shared tombstone/retraction commit for the persisted stores' takedown
+    * paths — r14 shipped four copies of this distinct → null-check → cap →
+    * publish shape (AnnStore.delete, Retrieval.deleteDocs,
+    * FingerprintStore.retract, Dedup.retractFromMinHashStore); this is the
+    * one implementation (r15, verdict #5). Mechanics:
+    *
+    *   1. the ids (already projected to ONE column named `idName`) are
+    *      distinct'd and written as ONE generation dir under `tombsRoot`
+    *      (overwrite reclaims a crashed attempt's orphan at the same name);
+    *   2. row count AND null count come from the parquet FOOTERS in one
+    *      pass — zero read-back Spark jobs; a null id refuses loudly
+    *      (it would be inert in every serve's non-null-safe anti-join yet
+    *      count toward the cap and the returned n — a caller asserting
+    *      n > 0 would see a false success);
+    *   3. the broadcast-small cap (`capConfKey`, default 10M) is enforced
+    *      against the LIVE committed rows; each committed generation is
+    *      asserted present on disk before counting — a lost generation
+    *      refuses loudly instead of silently skewing the cap (r14 ADVICE);
+    *   4. `publish(Some(gen))` hands the caller the generation to commit
+    *      in its own manifest flip; `publish(None)` signals an empty batch
+    *      (nothing written — the caller may still advance a stream mark).
+    *
+    * Returns the rows written (0 = nothing committed). The caller handles
+    * stream redelivery BEFORE calling (it owns the manifest/marks). */
+  def commitTombstones(ids: org.apache.spark.sql.DataFrame, idName: String,
+      tombsRoot: String, committedGens: Seq[String],
+      streamGen: Option[String], capConfKey: String, what: String,
+      compactHint: String)(publish: Option[String] => Unit): Long = {
+    val spark = ids.sparkSession
+    val gen = streamGen.getOrElse(
+      nextGenName(spark, Seq(tombsRoot), committedGens))
+    val dir = s"$tombsRoot/$gen"
+    ids.distinct().coalesce(1).write.mode("overwrite").parquet(dir)
+    val (n, nulls) = parquetRowsAndNulls(spark, dir, idName)
+    val f = fs(spark, dir)
+    def dropGen(): Unit = { f.delete(new Path(dir), true); () }
+    if (n <= 0L) {
+      dropGen()
+      publish(None)
+      0L
+    } else {
+      val hasNull =
+        if (nulls >= 0L) nulls > 0L
+        // footer statistic unavailable (non-Spark writer) — one explicit
+        // fallback job on the KB-scale tombstone file
+        else !ids.sparkSession.read.parquet(dir)
+          .filter(org.apache.spark.sql.functions.col(idName).isNull).isEmpty
+      if (hasNull) {
+        dropGen()
+        sys.error(s"$what: null id in the tombstone batch — a null masks " +
+          "nothing (serves anti-join with non-null-safe equality) but " +
+          "would count toward the cap and the returned n; filter it out")
+      }
+      val live = committedGens.map { g =>
+        val r = parquetRowsWritten(spark, s"$tombsRoot/$g")
+        require(r >= 0L, s"$what: committed tombstone generation '$g' " +
+          s"under $tombsRoot is missing on disk — refusing to evaluate " +
+          "the live cap against a damaged store")
+        r
+      }.sum
+      val cap = spark.conf.getOption(capConfKey).map(_.toLong)
+        .getOrElse(10000000L)
+      if (live + n > cap) {
+        dropGen()
+        sys.error(s"$what: $live live + $n new tombstone rows exceed " +
+          s"$capConfKey=$cap — run $compactHint to retire the live " +
+          "tombstones first (or raise the cap)")
+      }
+      publish(Some(gen))
+      n
+    }
+  }
+
   /** Total visible data bytes under `dir` (non-recursive). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)

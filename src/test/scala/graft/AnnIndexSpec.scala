@@ -630,4 +630,25 @@ class AnnIndexSpec extends SparkSpec {
         "a refused delete must not leave a committed tombstone generation")
     } finally spark.conf.unset("graft.ann.maxTombstones")
   }
+
+  test("AnnStore: an emptied store retires later tombstones at compaction") {
+    // r14 ADVICE (the compactCodes analog of the BM25 finding): deletes
+    // against a store emptied by a full-tombstone compaction used to
+    // commit tombstones the gens-empty early return could never retire
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annempty").toString
+    val idx = Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 8)
+    AnnStore.create(emb, "vec_id", "embedding", idx, tmp)
+    AnnStore.delete(emb.select("vec_id"), "vec_id", tmp): Unit
+    AnnStore.compactCodes(spark, tmp) // full takedown → gens = Nil
+    assert(AnnStore.tombstoneCount(spark, tmp) == 0L)
+    intercept[Exception](AnnStore.codes(spark, tmp)) // honest empty state
+    // a takedown list still commits against the empty store (the mask
+    // must survive a future re-ingest) and ONE compaction retires it
+    assert(AnnStore.delete(emb.limit(4).select("vec_id"),
+      "vec_id", tmp) == 4L)
+    AnnStore.compactCodes(spark, tmp)
+    assert(AnnStore.tombstoneCount(spark, tmp) == 0L,
+      "compaction on an emptied store must retire live tombstones")
+  }
 }

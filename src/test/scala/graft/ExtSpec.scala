@@ -1208,6 +1208,71 @@ class ExtSpec extends SparkSpec {
     assert(serve().nonEmpty)
   }
 
+  test("retrieval: an emptied index retires later tombstones at compaction — the nightly deadline policy cannot loop") {
+    // r14 ADVICE: deleteDocs against an index emptied by a full-tombstone
+    // compaction used to commit tombstones the gens-empty early return
+    // could never retire, so compactIndexIfNeeded(maxTombstoneRows = 0)
+    // reported "due" and ran a no-op compaction every nightly run forever
+    import graft.ext.Retrieval
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25empty").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    // full takedown, then heal: the index is now EMPTY (gens = Nil)
+    Retrieval.deleteDocs(docs.select("doc_id"), "doc_id", dir): Unit
+    Retrieval.compactIndex(spark, dir)
+    assert(Retrieval.indexStats(spark, dir)("n_docs") == 0L)
+    assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+    // a takedown list naming never-ingested ids still commits (the mask
+    // must survive a future re-ingest) …
+    assert(Retrieval.deleteDocs(docs.limit(4).select("doc_id"),
+      "doc_id", dir) == 4L)
+    // … and the deadline policy retires it in ONE run
+    assert(Retrieval.compactIndexIfNeeded(spark, dir, maxTombstoneRows = 0L))
+    assert(Retrieval.tombstoneCount(spark, dir) == 0L)
+    assert(!Retrieval.compactIndexIfNeeded(spark, dir, maxTombstoneRows = 0L),
+      "the second nightly run must see nothing due — no infinite loop")
+  }
+
+  test("dedup: MinHash store serve stays exact when a bucket straddles the cap between retraction and compaction") {
+    // r14 ADVICE: the oversized-bucket cap used to be computed from the
+    // stale stored counts (retracted rows included), so a bucket whose
+    // LIVE size is under the cap could be skipped and the masked serve
+    // diverged from the direct path over the live corpus. The serve now
+    // subtracts the retracted rows' bucket membership.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(10)
+    // 6 byte-identical copies of one text (deterministic seed row): every
+    // band bucket for that text holds exactly 6 rows
+    val seed = base.orderBy("doc_id").limit(1)
+    val boiler = (0 until 6).map(i => seed
+      .select(lit(9000L + i).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+    val corpus = base.unionByName(boiler)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhstraddle").toString
+    graft.ext.Dedup.buildMinHashStore(corpus, "doc_id", "text", tmp)
+    val incoming = seed.select(lit(77777L).as("doc_id"), col("text"))
+    def served() = graft.ext.Dedup.minhashPairsAgainstStore(
+      incoming, "doc_id", "text", tmp, maxBucketSize = 4L)
+      .select("id_corpus").collect().map(_.getLong(0)).sorted.toSeq
+    // stored bucket size 6 > cap 4 → skipped, no matches (both paths agree)
+    assert(served().isEmpty)
+    // retract 3 of the 6: live bucket size 3 <= 4 → the bucket must COUNT
+    val doomed = boiler.filter(col("doc_id") < 9003L).select("doc_id")
+    graft.ext.Dedup.retractFromMinHashStore(doomed, "doc_id", tmp): Unit
+    val live = corpus.join(doomed.withColumnRenamed("doc_id", "__d"),
+      col("doc_id") === col("__d"), "left_anti").select("doc_id", "text")
+    val direct = graft.ext.Dedup.minhashPairsAgainst(incoming, live,
+      "doc_id", "text", maxBucketSize = 4L)
+      .select("id_corpus").collect().map(_.getLong(0)).sorted.toSeq
+    assert(direct.nonEmpty, "precondition: the live bucket must match")
+    assert(served() == direct,
+      "masked serve must equal the direct path when a bucket straddles the cap")
+    // after compaction the counts heal physically and nothing changes
+    graft.ext.Dedup.compactMinHashStore(spark, tmp)
+    assert(served() == direct)
+  }
+
   test("retrieval: streamed takedown batches — per-tag marks make redelivery exactly-once") {
     import graft.ext.Retrieval
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

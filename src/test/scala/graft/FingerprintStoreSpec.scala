@@ -272,5 +272,14 @@ class FingerprintStoreSpec extends SparkSpec {
       assert(e.getMessage.contains("graft.fpstore.maxTombstones"))
       assert(FingerprintStore.retractionCount(spark, dir) == 0L)
     } finally spark.conf.unset("graft.fpstore.maxTombstones")
+
+    // a NULL text refuses loudly (r14 ADVICE): it fingerprints to a null
+    // fp that is inert in the non-null-safe anti-join yet counted toward
+    // n and the cap — a caller asserting n > 0 would see a false success
+    val e2 = intercept[RuntimeException](FingerprintStore.retract(
+      Seq((99L, null: String)).toDF("doc_id", "text"), "text", dir))
+    assert(e2.getMessage.contains("null id"))
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L,
+      "a refused retraction must not leave a committed generation")
   }
 }
