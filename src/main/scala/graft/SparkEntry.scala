@@ -1491,6 +1491,46 @@ object SparkEntry {
         s"sketch compaction did not collapse: $rowsBefore rows/$filesBefore files")
       ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
     }),
+    "stats_distinct_retract" -> ((s, d) => {
+      // r15 (verdict #3): sketch-store RETRACTION — HLL cannot subtract,
+      // so the takedown contract is (a) whole-batch drop, exact because
+      // the store keys every row by its batch label, and (b) per-key
+      // rebuild-from-live for takedown lists that are not batch-aligned.
+      // Three batches land (event_id % 3); batch_1 is recalled wholesale;
+      // then a user-level takedown (user_id % 7 == 0 within 'click')
+      // rebuilds that one key from the live corpus. The oracle re-derives
+      // the final estimates from events.parquet alone — coupon-phase
+      // exactness makes it an exact cross-engine compare (same contract
+      // as stats_distinct_store, probed at both SFs).
+      val ev = t(s, d, "events")
+      val dir = java.nio.file.Files.createTempDirectory("graft-hllretract").toString
+      for (b <- 0 to 2)
+        ext.SketchStore.append(ext.SketchStore.distinctSketch(
+          ev.filter(pmod(col("event_id"), lit(3)) === b), Seq("event_type"),
+          "user_id"), dir, s"batch_$b")
+      val dropped = ext.SketchStore.retractBatch(s, dir, "batch_1")
+      require(dropped > 0L, "retractBatch must drop the batch's rows")
+      require(ext.SketchStore.retractBatch(s, dir, "batch_1") == 0L,
+        "a second retraction of the same batch must be a 0 no-op")
+      val live = ev.filter(pmod(col("event_id"), lit(3)) =!= 1)
+      // post-retraction estimates ≡ a fresh build over the live corpus
+      val fresh = ext.SketchStore.distinctSketch(live, Seq("event_type"),
+          "user_id")
+        .select(col("event_type"), col("n_rows"),
+          hll_sketch_estimate(col("sketch")).as("n_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      ext.SketchStore.estimate(s, dir, Seq("event_type")).collect().foreach { r =>
+        require((r.getLong(1), r.getLong(2)) == fresh(r.getString(0)),
+          s"post-retraction estimate diverged from a fresh live build for ${r.getString(0)}")
+      }
+      // user-level takedown inside 'click': rebuild that key from live
+      val finalClick = live.filter(col("event_type") === "click" &&
+        col("user_id") % 7 =!= 0)
+      require(ext.SketchStore.rebuildKeys(ext.SketchStore.distinctSketch(
+          finalClick, Seq("event_type"), "user_id"), dir, "rebuild_1") > 0L,
+        "rebuildKeys must replace the affected key's rows")
+      ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
+    }),
     "er_fuzzy_dedup" -> ((s, d) =>
       // round-8: blocked fuzzy entity resolution — Jaro-Winkler (native
       // codegen'd expression, semantics pinned to DuckDB's
@@ -4263,6 +4303,15 @@ object SparkEntry {
       ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "stats_distinct_retract" ->
+      // batch_1 (event_id % 3 = 1) recalled wholesale, then users with
+      // user_id % 7 = 0 taken down inside 'click' via rebuild-from-live
+      ("WITH live AS (SELECT * FROM events WHERE event_id % 3 <> 1), " +
+        "fin AS (SELECT * FROM live WHERE NOT (event_type = 'click' " +
+        "AND user_id % 7 = 0)) " +
+        "SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
+        "FROM fin GROUP BY event_type ORDER BY event_type"),
     "stream_scrub_store" -> fpStoreOracle,
     "dedup_fp_store" -> fpStoreOracle,
     "dedup_fp_retract" -> fpRetractOracle,

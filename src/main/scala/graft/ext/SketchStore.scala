@@ -160,6 +160,112 @@ object SketchStore {
     true
   }
 
+  /** Retract one ingest BATCH's contribution from the store — the
+    * takedown path for distinct-count statistics (r15, completing the
+    * retraction story across all five persisted stores). HLL sketches
+    * cannot subtract, so arbitrary per-document retraction is impossible
+    * by construction — but the store keys every row by its batch label,
+    * and a WHOLE-BATCH drop is exact: the surviving rows' union is
+    * precisely the sketch of everything except that batch (the common
+    * case — a crawl batch recalled wholesale). For retractions that are
+    * not batch-aligned, use [[rebuildKeys]] with fresh sketches computed
+    * from the live corpus.
+    *
+    * Implementation is a filtered compaction (the ledger `invalidate`
+    * shape): sketch rows are KB-scale by contract, so the surviving rows
+    * rewrite as one generation published by the same atomic manifest
+    * flip; superseded generations cool on the shared grace window; stream
+    * marks survive (redeliveries of the retracted batch must keep
+    * no-opping — its data is gone, not its history).
+    *
+    * Refuses loudly when the label is absent but the store holds
+    * `__compacted` rows: compaction collapses batch lineage, so the
+    * store can no longer PROVE the batch's contribution is absent —
+    * rebuild from the live corpus instead. A label absent from a
+    * never-compacted store returns 0 (the batch was never appended).
+    * Returns the number of sketch rows dropped. Single-writer contract. */
+  def retractBatch(spark: SparkSession, path: String,
+      batchLabel: String): Long = {
+    require(batchLabel != null && batchLabel.nonEmpty &&
+      batchLabel != "__compacted",
+      "retractBatch: name a real ingest batch label")
+    val m0 = readManifest(spark, path)
+    if (m0.gens.isEmpty) 0L
+    else {
+      val all = rows(spark, path)
+      val removed = all.filter(col("batch") === batchLabel).count()
+      if (removed == 0L) {
+        require(all.filter(col("batch") === "__compacted").isEmpty,
+          s"sketch store at $path was compacted — batch lineage for " +
+            s"'$batchLabel' is merged and cannot be subtracted (HLL " +
+            "sketches cannot forget); rebuild the affected keys from the " +
+            "live corpus with rebuildKeys()")
+        0L
+      } else {
+        publishRewrite(spark, path, m0,
+          all.filter(col("batch") =!= batchLabel))
+        removed
+      }
+    }
+  }
+
+  /** Rebuild the store's rows for the keys present in `fresh` — the
+    * escape hatch for retractions that are NOT batch-aligned (a takedown
+    * list of individual documents): the caller recomputes
+    * [[distinctSketch]] over the LIVE corpus restricted to the affected
+    * key groups, and this replaces every stored row for those keys
+    * (across all batches) with the fresh rows, stamped `batchLabel`.
+    * Unaffected keys keep their incremental per-batch rows. One full
+    * KB-scale rewrite + atomic manifest flip, like [[compact]]. Returns
+    * the number of stored rows replaced. Single-writer contract. */
+  def rebuildKeys(fresh: DataFrame, path: String,
+      batchLabel: String): Long = {
+    require(fresh.columns.contains("sketch") && fresh.columns.contains("n_rows"),
+      "rebuildKeys expects distinctSketch output (n_rows + sketch columns)")
+    val spark = fresh.sparkSession
+    val m0 = readManifest(spark, path)
+    val store = rows(spark, path)
+    val keyCols = store.columns
+      .filterNot(Set("n_rows", "sketch", "batch").contains).toSeq
+    require(keyCols.nonEmpty,
+      "rebuildKeys needs key columns — a keyless (whole-corpus) store " +
+        "rebuilds by retractBatch of every batch or a fresh build")
+    require(keyCols.forall(fresh.columns.contains),
+      s"fresh sketches must carry the store's key columns ${keyCols.mkString(", ")}")
+    // affected-key set is takedown-scale by contract — broadcast it
+    val keys = fresh.select(keyCols.map(q): _*).distinct()
+    val dropped = store
+      .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
+      .count()
+    val freshRows = fresh.withColumn("batch", lit(batchLabel))
+      .select(store.columns.map(c => col("`" + c.replace("`", "``") + "`")): _*)
+    publishRewrite(spark, path, m0,
+      store.join(org.apache.spark.sql.functions.broadcast(keys), keyCols,
+        "left_anti").unionByName(freshRows))
+    dropped
+  }
+
+  /** Shared rewrite-and-flip for [[retractBatch]] / [[rebuildKeys]]: the
+    * surviving rows land as ONE generation; an all-rows-removed rewrite
+    * publishes an EMPTY store (gens = Nil — reads refuse loudly) instead
+    * of a schema-less dir. */
+  private def publishRewrite(spark: SparkSession, path: String,
+      m0: SkManifest, surviving: DataFrame): Unit = {
+    val gen = StoreFiles.nextGenName(spark, Seq(rowsRoot(path)), m0.gens)
+    surviving.coalesce(1).write.mode("overwrite").parquet(genPath(path, gen))
+    val emptied =
+      StoreFiles.parquetRowsWritten(spark, genPath(path, gen)) <= 0L
+    if (emptied) StoreFiles.fs(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(genPath(path, gen)), true)
+    val graceMs = spark.conf.getOption("graft.sketchstore.gcGraceMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
+    val (cooling, keep) = StoreFiles.coolingStep(m0.cooling, m0.gens.toSet,
+      gen, graceMs, System.currentTimeMillis())
+    writeManifest(spark, path, m0.copy(
+      gens = if (emptied) Nil else Seq(gen), cooling = cooling))
+    StoreFiles.sweepGenerations(spark, rowsRoot(path), keep)
+  }
+
   /** Data files the CURRENT manifest lists — the store's live footprint. */
   def liveFileCount(spark: SparkSession, path: String): Long = {
     val m = readManifest(spark, path)

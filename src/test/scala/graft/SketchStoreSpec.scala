@@ -145,6 +145,52 @@ class SketchStoreSpec extends SparkSpec {
     assert(!SketchStore.adoptLegacy(spark, dir2)) // idempotent
   }
 
+  test("retractBatch: whole-batch drop is exact; refuses after compaction; unknown labels honest (r15)") {
+    // keys (id % 4) deliberately orthogonal to batches (id % 3), so every
+    // batch generation carries one sketch row per key
+    val df = spark.range(3000)
+      .select((col("id") % 4).cast("string").as("k"), (col("id") % 700).as("v"))
+    val dir = tmp()
+    for (b <- 0 to 2)
+      SketchStore.append(SketchStore.distinctSketch(
+        df.filter(col("id") % 3 === b), Seq("k"), "v"), dir, s"b$b")
+    def served() = SketchStore.estimate(spark, dir, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // drop b1: estimates must equal a fresh build over batches 0 and 2
+    assert(SketchStore.retractBatch(spark, dir, "b1") == 4L)
+    val live = df.filter(col("id") % 3 =!= 1)
+    val fresh = SketchStore.distinctSketch(live, Seq("k"), "v")
+      .select(col("k"), col("n_rows"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served() == fresh,
+      "post-retraction estimates must equal a fresh live-corpus build")
+    // unknown label on a never-compacted store: honest 0 no-op
+    assert(SketchStore.retractBatch(spark, dir, "b1") == 0L)
+    assert(SketchStore.retractBatch(spark, dir, "never-appended") == 0L)
+    // post-compaction the lineage is merged: retraction must REFUSE, not
+    // silently no-op (the contribution cannot be proven absent)
+    SketchStore.compact(spark, dir)
+    val e = intercept[Exception](SketchStore.retractBatch(spark, dir, "b0"))
+    assert(e.getMessage.contains("rebuildKeys"))
+    // …and rebuildKeys is the escape: replace key '0' with a live rebuild
+    // that excludes v % 10 == 0 (a non-batch-aligned takedown)
+    val fin = live.filter(!(col("k") === "0" && col("v") % 10 === 0))
+    assert(SketchStore.rebuildKeys(SketchStore.distinctSketch(
+      fin.filter(col("k") === "0"), Seq("k"), "v"), dir, "rb") == 1L)
+    val expect = SketchStore.distinctSketch(fin, Seq("k"), "v")
+      .select(col("k"), col("n_rows"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served() == expect,
+      "rebuilt key must serve the live-corpus estimate; other keys untouched")
+    // retracting EVERY batch empties the store honestly (gens = Nil)
+    val dir2 = tmp()
+    SketchStore.append(SketchStore.distinctSketch(df, Seq("k"), "v"), dir2, "only")
+    assert(SketchStore.retractBatch(spark, dir2, "only") == 4L)
+    intercept[Exception](SketchStore.rows(spark, dir2))
+  }
+
   test("null values: counted by neither n_rows nor the sketch") {
     val df = Seq(Some(1L), Some(2L), None, Some(2L)).toDF("v")
     val r = SketchStore.distinctSketch(df, Nil, "v")
