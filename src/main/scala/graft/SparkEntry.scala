@@ -1760,9 +1760,13 @@ object SparkEntry {
         "\"id\":\\s*(\\d+)", 1).cast("long").as("doc_id"))
       // 2. exact scrub against the fingerprint store (no corpus text read)
       val afterExact = ext.FingerprintStore.scrub(valid, "text", fpDir)
-      // 3. near-dup scrub against the MinHash store
+      // 3. near-dup scrub against the MinHash store. Eager localCheckpoint
+      // (r15): the takedown leg's compactMinHashStore swaps the store's
+      // dirs (no cooling window on this pre-manifest store), so the scrub
+      // verdict must be pinned before then — it is also re-used by the
+      // appends, the union pins, the ledger and the disposition table
       val survivors = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
-        "text", mhDir)
+        "text", mhDir).localCheckpoint(true)
       // 4. store appends + in-gate consistency pins
       ext.Retrieval.appendToIndex(survivors, "id", "text", bmDir)
       ext.AnnStore.append(embed(survivors, col("id")), "doc_id", "emb", annDir)
@@ -1813,6 +1817,80 @@ object SparkEntry {
       require(nightly.select("partition").collect().map(_.getString(0))
         .toSeq == Seq("night1"),
         "nightly increment must skip the ledgered historical partition")
+      // 7. (r15, verdict #4) TAKEDOWN leg: a retraction list (historical
+      // docs with doc_id % 30 == 2) arrives with the crawl batch and
+      // flows through ALL FIVE stores in one run — fingerprint retract,
+      // MinHash retract, BM25 deleteDocs, ANN delete, ledger invalidate +
+      // revalidate — then the nightly compactions heal physically. The
+      // oracle re-derives the takedown counters, the per-doc taken_down
+      // rows, the masked-phase re-crawl dispositions, and the post-
+      // takedown ledger rollup from the shared parquet alone.
+      val takedown = hist.filter(pmod(col("doc_id"), lit(30)) === 2)
+      val tIds = takedown.select("doc_id")
+      val nT = tIds.count()
+      require(nT > 0, "precondition: non-empty takedown list")
+      val nFp = ext.FingerprintStore.retract(takedown, "text", fpDir)
+      val nMh = ext.Dedup.retractFromMinHashStore(tIds, "doc_id", mhDir)
+      val nBm = ext.Retrieval.deleteDocs(tIds, "doc_id", bmDir)
+      val nAnn = ext.AnnStore.delete(tIds, "doc_id", annDir)
+      require(nMh == nT && nBm == nT && nAnn == nT,
+        s"id-keyed takedowns must cover the full list: $nMh/$nBm/$nAnn vs $nT")
+      // masked instantly: the BM25 serve stops returning taken-down ids
+      // with zero index bytes rewritten
+      require(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)
+        .join(tIds, Seq("doc_id"), "left_semi").isEmpty,
+        "masked BM25 serve must exclude taken-down ids")
+      // masked phase, exact-scrub side: a RE-CRAWL of the taken-down
+      // texts passes the fingerprint scrub unless the same normalized
+      // text also survives under a live historical doc
+      val recrawl = takedown.select((col("doc_id") + 7000000L).as("id"),
+        col("text"))
+      // eager localCheckpoint: the disposition frame materializes only at
+      // the end of the gate, AFTER the healing compactions below — the
+      // masked-phase verdict must be pinned now, not recomputed against
+      // the compacted store
+      val recrawlKept = ext.FingerprintStore.scrub(recrawl, "text", fpDir)
+        .select("id").localCheckpoint(true)
+      val recrawlDup = recrawl.select("id")
+        .join(recrawlKept, Seq("id"), "left_anti")
+      // ledger follow-up (verdict #7): the hist partition's verdict is
+      // stale by construction after the takedown — invalidate and
+      // revalidate against the live hist under batch lineage hist2
+      require(ext.ValidationLedger.invalidate(s, ldir, Seq("hist")) == 1L,
+        "takedown must invalidate the stale historical verdict")
+      val histLive = hist.join(tIds, Seq("doc_id"), "left_anti")
+      ext.ValidationLedger.validateIncrement(ledSch,
+        histLive.withColumn("ds", lit("hist")), "ds", ldir, "hist2",
+        candidates = Some(Seq("hist"))): Unit
+      // heal physically: the nightly compactions are the erasure point —
+      // afterwards the stores are equivalent to builds over the live
+      // corpus and every tombstone is retired
+      ext.Retrieval.compactIndex(s, bmDir)
+      ext.AnnStore.compactCodes(s, annDir)
+      ext.FingerprintStore.compact(s, fpDir)
+      ext.Dedup.compactMinHashStore(s, mhDir)
+      val liveUnion = union.join(tIds, Seq("doc_id"), "left_anti")
+      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)) ==
+        rows(ext.Retrieval.bm25TopK(liveUnion, "doc_id", "text", queries,
+          "query_id", "qtext", k = 5)),
+        "healed BM25 store diverged from one-shot over the live union")
+      require(ext.AnnStore.codes(s, annDir).count() == liveUnion.count(),
+        "healed ANN store must hold exactly the live codes")
+      require(ext.Retrieval.tombstoneCount(s, bmDir) == 0L &&
+          ext.AnnStore.tombstoneCount(s, annDir) == 0L &&
+          ext.FingerprintStore.retractionCount(s, fpDir) == 0L &&
+          ext.Dedup.minhashRetractionCount(s, mhDir) == 0L,
+        "compaction must retire every tombstone")
+      val takedownRows = tIds.select(col("doc_id"),
+          lit("taken_down").as("status"))
+        .unionByName(recrawlKept.select(col("id").as("doc_id"),
+          lit("recrawl_pass").as("status")))
+        .unionByName(recrawlDup.select(col("id").as("doc_id"),
+          lit("recrawl_dup").as("status")))
+        .unionByName(tIds.limit(1).select(lit(-300L).as("doc_id"),
+          lit(s"takedown:ids=$nT,fp=$nFp").as("status")))
       val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
         when(col("partition") === "hist", -200L).otherwise(-201L)
           .as("doc_id"),
@@ -1842,6 +1920,7 @@ object SparkEntry {
           concat(lit("psi_total:"),
             format_string("%.6f", col("psi_total"))).as("status")))
         .unionByName(ledgerRows)
+        .unionByName(takedownRows)
         .orderBy("doc_id")
     }),
     "drift_psi" -> ((s, d) =>
@@ -4068,20 +4147,36 @@ object SparkEntry {
         "jj AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
         "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
         "kk AS (SELECT bin, round((cf - rf) * ln(cf / rf), 6) AS pc FROM jj), " +
+        // r15 takedown leg: historical docs with doc_id % 30 == 2 are
+        // retracted from all five stores mid-pipeline; the ledger's hist
+        // verdict revalidates against the LIVE hist, and a re-crawl of the
+        // taken-down texts passes the masked-phase exact scrub unless the
+        // same normalized text also lives under a surviving historical doc
+        "takedown AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 = 2), " +
+        "histlive AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 <> 2), " +
+        "liveseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM histlive), " +
+        "recrawl AS (SELECT doc_id + 7000000 AS id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM takedown), " +
+        "rc_pass AS (SELECT id FROM recrawl WHERE ntext NOT IN (SELECT ntext FROM liveseen)), " +
+        "rc_dup AS (SELECT id FROM recrawl WHERE ntext IN (SELECT ntext FROM liveseen)), " +
         // r13: the validation-ledger rollup rows — per-partition n_rows and
         // hard-failure count under the ledger schema (text_nonblank passes
-        // everywhere by construction, text_short counts len(text) > 300)
-        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM hist), " +
+        // everywhere by construction, text_short counts len(text) > 300);
+        // hist reads the POST-takedown live partition (r15)
+        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM histlive), " +
         "ledcur AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM ingested), " +
         "disp AS (SELECT id AS doc_id, 'quarantined' AS status FROM quarantined " +
         "UNION ALL SELECT id, 'invalid' FROM invalid " +
         "UNION ALL SELECT id, 'exact_dup' FROM exact_dup " +
         "UNION ALL SELECT id, 'near_dup' FROM near " +
         "UNION ALL SELECT id, 'ingested' FROM ingested " +
+        "UNION ALL SELECT doc_id, 'taken_down' FROM takedown " +
+        "UNION ALL SELECT id, 'recrawl_pass' FROM rc_pass " +
+        "UNION ALL SELECT id, 'recrawl_dup' FROM rc_dup " +
         "UNION ALL SELECT CAST(-(bin + 1) AS BIGINT), 'drift:' || printf('%.6f', pc) FROM kk " +
         "UNION ALL SELECT CAST(-100 AS BIGINT), 'psi_total:' || printf('%.6f', (SELECT round(sum(pc), 6) FROM kk)) " +
         "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
-        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur) " +
+        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
+        "UNION ALL SELECT CAST(-300 AS BIGINT), 'takedown:ids=' || (SELECT count(*) FROM takedown) || ',fp=' || (SELECT count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) FROM takedown)) " +
         "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +

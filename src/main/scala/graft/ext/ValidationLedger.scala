@@ -497,6 +497,37 @@ object ValidationLedger {
       coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
       coalesce(sum(col("n_failed")), lit(0L)).as("n_failures"))
 
+  /** Ledger ↔ source consistency audit (r15, verdict #7 — the takedown
+    * follow-up): one row per ledgered partition whose CURRENT row count
+    * in `data` differs from the ledgered `n_rows`, i.e. whose verdict is
+    * stale because the data changed after validation. A store takedown /
+    * corpus retraction is the canonical cause — after retracting a
+    * partition's documents its verdict still counts the removed rows by
+    * construction (validate-once), and the REQUIRED follow-up is
+    * `invalidate(stale partitions)` + a revalidating increment (pass the
+    * same keys as `candidates`). This is that cross-check, mechanical:
+    * run it after takedowns (or nightly) and feed the result into
+    * invalidate.
+    *
+    * Columns: (partition, batch, n_rows [ledgered], current_rows [0 when
+    * the partition vanished entirely]). Pass `data` in the same typed
+    * shape the increments saw — partition identity is the canonical
+    * cast-to-string. Cost: one grouped count over `data` (an audit scan
+    * by design — detecting in-place edits needs a look at the source)
+    * joined against the KB-sized ledger. */
+  def reconcile(data: DataFrame, partitionCol: String,
+      path: String): DataFrame = {
+    val spark = data.sparkSession
+    val current = data
+      .groupBy(q(partitionCol).cast("string").as("partition"))
+      .agg(count(lit(1)).as("current_rows"))
+    rows(spark, path).select("partition", "batch", "n_rows")
+      .join(current, Seq("partition"), "left")
+      .withColumn("current_rows", coalesce(col("current_rows"), lit(0L)))
+      .filter(col("current_rows") =!= col("n_rows"))
+      .orderBy("partition")
+  }
+
   /** Rewrite the committed generations as one (rows are already one per
     * partition — this coalesces FILES, not semantics). Atomic flip;
     * superseded generations cool for `graft.ledger.gcGraceMs` (default

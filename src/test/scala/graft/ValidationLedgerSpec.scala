@@ -462,6 +462,37 @@ class ValidationLedgerSpec extends SparkSpec {
       .toSeq == Seq("p0", "p1", "p2", "p3"))
   }
 
+  test("reconcile: a takedown leaves a stale verdict the audit surfaces; invalidate + revalidate clears it (r15)") {
+    val dir = tmp()
+    ValidationLedger.validateIncrement(schema, corpus, "part", dir, "b1"): Unit
+    // ledger and source agree → nothing drifts
+    assert(ValidationLedger.reconcile(corpus, "part", dir).isEmpty)
+    // a takedown removes a quarter of p2's rows IN PLACE: the validate-
+    // once verdict still counts them — reconcile must name exactly p2
+    val live = corpus.filter(!(col("part") === "p2" && col("id") % 16 === 2))
+    val drift = ValidationLedger.reconcile(live, "part", dir).collect()
+    assert(drift.map(_.getString(0)).toSeq == Seq("p2"))
+    assert(drift.head.getLong(2) == 100L && drift.head.getLong(3) == 75L,
+      s"ledgered 100 vs current 75, got ${drift.head}")
+    // a partition removed WHOLESALE reads back as current_rows = 0
+    val gone = live.filter(col("part") =!= "p3")
+    assert(ValidationLedger.reconcile(gone, "part", dir)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      Seq(("p2", 75L), ("p3", 0L)))
+    // the documented follow-up: invalidate the drifted partitions and
+    // revalidate with them as candidates — reconcile then comes back clean
+    val stale = ValidationLedger.reconcile(live, "part", dir)
+      .select("partition").collect().map(_.getString(0)).toSeq
+    assert(ValidationLedger.invalidate(spark, dir, stale) == 1L)
+    ValidationLedger.validateIncrement(schema, live, "part", dir, "b2",
+      candidates = Some(stale)): Unit
+    assert(ValidationLedger.reconcile(live, "part", dir).isEmpty)
+    // batch lineage: the revalidated partition carries b2, the rest b1
+    val byPart = ValidationLedger.status(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byPart("p2") == "b2" && byPart("p0") == "b1")
+  }
+
   test("contract fingerprint: a changed check set refuses loudly; emptied ledger re-establishes; legacy manifests adopt (r14)") {
     val dir = tmp()
     ValidationLedger.validateIncrement(schema,
