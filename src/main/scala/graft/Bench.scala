@@ -120,10 +120,14 @@ object Bench {
   }
 
   /** Prior section timings from the ROLLING local artifact (BENCH_LOCAL.json
-    * in the working directory), used by the auto-rerun protocol. Empty when
-    * the file is missing, unparseable, or measured at a DIFFERENT sf dir
-    * (cross-sf ratios are meaningless). Counters ride along harmlessly —
-    * lookups are by timed-section name only. */
+    * in the working directory), used by the auto-rerun protocol. Prefers the
+    * `baseline` map (the min-merged rolling floor, see [[mergeBaseline]]);
+    * `queries` is the pre-r15 fallback — that map holds whatever the LAST
+    * run measured, so one contended run (the r14 driver run: total 267 s vs
+    * 163 s clean) used to poison every subsequent run's rerun triggers.
+    * Empty when the file is missing, unparseable, or measured at a
+    * DIFFERENT sf dir (cross-sf ratios are meaningless). Counters ride
+    * along harmlessly — lookups are by timed-section name only. */
   private def priorTimes(sfDir: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -133,12 +137,68 @@ object Bench {
       if (String.valueOf(root.get("sf")) != sfDir) Map.empty
       else {
         import scala.jdk.CollectionConverters._
-        root.get("queries").asInstanceOf[java.util.Map[String, Any]]
+        val key = if (root.containsKey("baseline")) "baseline" else "queries"
+        root.get(key).asInstanceOf[java.util.Map[String, Any]]
           .asScala.collect {
             case (k, v: Number) => k -> v.doubleValue()
           }.toMap
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Rerun-trigger decision (pure — spec-covered in BenchPolicySpec): a
+    * section reruns when it measured far off its rolling floor, under
+    * either of two independent signals:
+    *  - wall-relative: >2× the floor and >1 s over — host CPU contention;
+    *  - gc-relative (r14 verdict #2): a GC storm (>25% of the section's
+    *    wall collecting, >200 ms absolute so sub-second sections don't
+    *    trip on noise) that also pushed the section >1.3× its floor —
+    *    memory pressure the CPU-spin canary is blind to (the r14 driver's
+    *    dedup_cluster_10x: 49 s wall, 40× gc_ms, FLAT canary).
+    * A structural gc share reproduces on the rerun and keeps its honest
+    * timing; a transient storm doesn't survive the min-keep. */
+  def shouldRerun(t: Double, prior: Option[Double], gcMs: Long): Boolean =
+    prior.exists { p =>
+      val gcStorm = gcMs > 200 && gcMs / 1000.0 > 0.25 * t
+      (t > 2 * p && t - p > 1.0) || (gcStorm && t > 1.3 * p && t - p > 1.0)
+    }
+
+  /** Rolling-baseline update (r14 verdict #1): the `baseline` map written
+    * back to BENCH_LOCAL.json is the element-wise MIN of the prior baseline
+    * and this run's kept timings, so a contended run can never RAISE the
+    * floor the rerun triggers compare against (contention only ever
+    * inflates a timing — the min is the best clean evidence so far).
+    * Two deliberate exceptions:
+    *
+    *  - a REPRODUCED slowdown — the rerun protocol ran a section twice in
+    *    THIS session, both runs agree within 25%, both sit >2× the prior
+    *    floor, and neither reading was suspect — is a plan change, not
+    *    contention (host spikes don't reproduce identically back-to-back);
+    *    the floor adopts the new value, otherwise the rerun would fire on
+    *    every future run forever;
+    *  - a NEW section (no prior) enters the floor only from a non-suspect
+    *    reading — a section born under a GC storm or a contended canary
+    *    would otherwise seed an inflated floor that hides future
+    *    contention of exactly its own magnitude.
+    *
+    * `suspect(name)` marks sections whose kept run had elevated gc_ms or
+    * canary_ms (computed by the caller from this run's telemetry). Pure —
+    * spec-covered in BenchPolicySpec. */
+  def mergeBaseline(
+      prior: Map[String, Double],
+      measured: Map[String, Double],
+      runs: Map[String, Seq[Double]],
+      suspect: String => Boolean): Map[String, Double] =
+    measured.flatMap { case (k, t) =>
+      prior.get(k) match {
+        case Some(p) =>
+          val rs = runs.getOrElse(k, Seq(t))
+          val reproduced = rs.size >= 2 && !suspect(k) &&
+            rs.min > 2 * p && rs.max <= 1.25 * rs.min
+          Some(k -> (if (reproduced) t else math.min(p, t)))
+        case None =>
+          if (suspect(k)) None else Some(k -> t)
+      }
+    }
 
   /** Drop cached blocks left behind by clusterPairs' localCheckpoints
     * (lineage-cut RDDs stay in the block manager until GC'd). Freed between
@@ -199,6 +259,21 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // per-section PEAK heap (r14 verdict #2): the high-water mark of the
+    // JVM heap pools across the section, MB. Separates "this section's
+    // allocations genuinely approach -Xmx" (a real spill/GC-storm risk the
+    // driver's smaller-heap JVM would hit first) from "the host was busy"
+    // (flat peak, inflated wall) — the r14 driver's dedup_cluster_10x 49 s
+    // with 40× gc_ms and a flat canary was unattributable without this.
+    val heaps = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
+    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def heapPeakMb(): Long =
+      heapPools.map(p => math.max(p.getPeakUsage.getUsed, 0L)).sum >> 20
     // JIT-warm the canary so section 1's reading measures the host, not
     // the compiler
     canaryMs(); canaryMs(); canaryMs(): Unit
@@ -216,21 +291,25 @@ object Bench {
     def timed[A](name: String, rerunSafe: Boolean = true)(f: => A): A = {
       canaries += name -> canaryMs()
       loads += name -> loadavg()
+      resetHeapPeaks()
       val g0 = gcMillis()
       var (t, a) = time(f)
       gcs += name -> (gcMillis() - g0)
-      if (rerunSafe && prior.get(name).exists(p => t > 2 * p && t - p > 1.0)) {
+      heaps += name -> heapPeakMb()
+      if (rerunSafe && shouldRerun(t, prior.get(name), gcs(name))) {
         // telemetry must describe the KEPT run: re-read the canary/load
-        // before the rerun and swap all three in if the rerun wins, or
+        // before the rerun and swap all of it in if the rerun wins, or
         // the artifact would pair a clean min-time with the discarded
         // run's GC storm / contention readings (r14 review finding)
         val c2 = canaryMs(); val l2 = loadavg(); val g1 = gcMillis()
+        resetHeapPeaks()
         val (t2, a2) = time(f)
         reruns += name -> Seq(t, t2)
         if (t2 < t) {
           t = t2; a = a2
           canaries(name) = c2; loads(name) = l2
           gcs(name) = gcMillis() - g1
+          heaps(name) = heapPeakMb()
         }
       }
       results += name -> t
@@ -647,6 +726,23 @@ object Bench {
       .mkString("{", ",", "}")
     val gcJson = gcs.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    val heapJson = heaps.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    // suspect sections (for the baseline merge): elevated gc share, or a
+    // canary >2× this run's own median — either means the kept reading may
+    // still be inflated, so it must not seed a NEW section's floor (it can
+    // never raise an existing one: the merge is min)
+    val canaryMedian = {
+      val s = canaries.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val suspect: String => Boolean = k =>
+      (gcs.getOrElse(k, 0L) > 200 &&
+        gcs.getOrElse(k, 0L) / 1000.0 > 0.25 * results.getOrElse(k, 0.0)) ||
+      canaries.getOrElse(k, 0.0) > 2 * canaryMedian
+    val baseline = mergeBaseline(prior, results.toMap, reruns.toMap, suspect)
+    val baselineJson = results.keys.flatMap(k => baseline.get(k).map(v =>
+      s""""$k":${num("%.4f", v)}""")).mkString("{", ",", "}")
     // per-section canary: named map in the file artifact; a compact
     // section-ordered int array in the stdout line (same LinkedHashMap
     // iteration order as `queries`, so values align by index) — 54
@@ -669,7 +765,7 @@ object Bench {
         Seq(s""""n_reruns":${reruns.size}""")).mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"canary_ms":$canaryJson,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"baseline":$baselineJson,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"heap_peak_mb":$heapJson,"canary_ms":$canaryJson,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
     // The FULL metrics (4-decimal timings + per-section loadavg/gc maps)
     // go to a file: the driver's BENCH_r08.json tail cap truncated the
     // stdout line's head and lost total/validate_full — a file can't be
@@ -692,13 +788,23 @@ object Bench {
     def stdoutLine(queriesField: String, canaryField: String): String =
       s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"reruns":$rerunsStdout,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
     val compact = stdoutLine(queriesJson("%.2f"), canaryArr)
-    // fallback keeps the headline timings AND every counter the driver
-    // may gate on — only the per-section maps are dropped (canary
-    // degrades to its max)
+    val canaryMax =
+      s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}"""
+    // middle fallback (r15): the per-query map is what gets graded — when
+    // a rerun-heavy run pushes the full compact line over the cap (the
+    // clean r15 local run already sat at the edge with 5 reruns), drop the
+    // canary ARRAY first (degrades to its max; the full per-section map is
+    // in BENCH_LOCAL.json regardless) and keep every section timing.
+    val compactNoCanary = stdoutLine(queriesJson("%.2f"), canaryMax)
+    // last fallback keeps the headline timings AND every counter the
+    // driver may gate on — only the per-section maps are dropped
     val headline = stdoutLine(
       s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""",
-      s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}""")
-    println(if (compact.length <= 1900) compact else headline)
+      canaryMax)
+    println(
+      if (compact.length <= 1900) compact
+      else if (compactNoCanary.length <= 1900) compactNoCanary
+      else headline)
     spark.stop()
   }
 }

@@ -232,14 +232,38 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
+    // Block-manager hygiene (r14 verdict #2): every localCheckpoint below
+    // persists its RDD (MEMORY_AND_DISK) and those blocks survive until
+    // someone unpersists them — the pre-r15 loop left EVERY round's label
+    // table resident, so a long-converging 10× corpus stacked
+    // rounds×|labels| + |edges| + |pairs| of blocks and pressured the old
+    // gen exactly when the join shuffles wanted memory (the r14 driver's
+    // dedup_cluster_10x GC storm). Each checkpoint's block-RDD ids are
+    // captured by diffing the persistent-RDD registry around its
+    // materializing action, and freed at the FIRST point the data is
+    // provably unreachable: the pair list once the symmetric edge list is
+    // built, each round's labels once the next round's checkpoint holds,
+    // the edge list once the loop converges. The RETURNED frame's own
+    // blocks are never touched — a local checkpoint cannot be recomputed,
+    // so freeing them would break the caller.
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def dropIds(ids: Set[Int]): Unit = sc.getPersistentRDDs
+      .filter { case (id, _) => ids.contains(id) }
+      .values.foreach(_.unpersist(blocking = true))
     // materialize the pair list FIRST: the symmetric union below references
     // it twice, and without this checkpoint the whole upstream candidate-
     // generation DAG (LSH agg + pair generator + verify joins) would run
     // twice — exchange reuse across union branches is not guaranteed
+    val prePairs = persistedIds
     val p = pairs.select(q(idA).as("u"), q(idB).as("v")).localCheckpoint()
+    val pairIds = persistedIds -- prePairs
+    val preEdges = persistedIds
     val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
       .dropDuplicates("u", "v")
       .localCheckpoint() // reused every round: materialize once, drop lineage
+    val edgeIds = persistedIds -- preEdges
+    dropIds(pairIds) // the symmetric edge list is the only reader of p
     // label(u) starts at min(u, min neighbor); every round each node takes
     // the min of its own label and its neighbors' labels.
     //
@@ -255,10 +279,12 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)).as("s")).head().getDecimal(0)
+    val preInit = persistedIds
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels) // materializes the init checkpoint too
+    var labelIds = persistedIds -- preInit
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -274,15 +300,19 @@ object Dedup {
       val l2 = labels.select(col("id").as("lid"), col("lbl").as("lbl2"))
       val shortcut = labels.join(l2, labels("lbl") === l2("lid"))
         .select(labels("id").as("id"), col("lbl2").as("lbl"))
+      val preNext = persistedIds
       val next = labels.union(received).union(shortcut)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(false)
-      val s = labelSum(next)
+      val s = labelSum(next) // materializes next's checkpoint blocks
+      dropIds(labelIds)      // the previous round is now unreachable
+      labelIds = persistedIds -- preNext
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1
     }
+    dropIds(edgeIds) // converged: the edge list has no further reader
     if (!converged)
       sys.error(s"clusterPairs: not converged after $maxIterations rounds " +
         "(component diameter exceeds the cap); raise maxIterations")

@@ -67,12 +67,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
-    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "ledger",
-    // "takedown"; plus "ledgerpieces", a one-off P=1000 increment
-    // decomposition that runs ONLY when named explicitly) — empty runs
-    // the standard set
+    // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "annserve",
+    // "ledger", "takedown"; plus "ledgerpieces", a one-off P=1000 increment
+    // decomposition, and "cluster10x", the Bench dedup_cluster_10x shape
+    // with GC/heap telemetry for constrained-heap reproduction — those two
+    // run ONLY when named explicitly) — empty runs the standard set
     val only: String => Boolean =
-      if (args.isEmpty) _ != "ledgerpieces" else args.toSet.contains
+      if (args.isEmpty) k => k != "ledgerpieces" && k != "cluster10x"
+      else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -306,6 +308,115 @@ object ScaleProbe {
           f"serve_sec=$ts0%.1f served=$nServe " +
           f"listed_files=$kf/$tf2 listed_bytes=$kb/$tb2 " +
           f"listed_frac=${kb.toDouble / tb2}%.4f")
+      }
+    }
+
+    // round-15 (r14 verdict #6): the 100 TB thesis's third point for the
+    // ANN serve — a pruned ivfPqTopKIndexed serve must scale with the
+    // QUERY batch, not the corpus. Build the persisted AnnStore (IVF-PQ,
+    // cell-partitioned codes) at 1×/10×/100× of the embeddings table
+    // (sf0.1 base → 2k/20k/200k vectors), serve the SAME 16-query batch
+    // from each, and report the code bytes the serve's partition pruning
+    // LISTS (its probed cells) vs the store total. The listed fraction
+    // must track nProbe·|queries|-ish cells / nCentroids; serve wall may
+    // drift only with the probed cells' irreducible posting mass and the
+    // re-rank's corpus-side hash join, never with a full-code scan.
+    if (only("annserve")) {
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val dim = embBase.select(size(col("embedding"))).head().getInt(0)
+      // norm-preserving per-replica variant: rotate left by (rep mod d),
+      // negate when rep >= d — every replica is a DISTINCT direction, so
+      // the vector space grows with the corpus instead of stacking copies
+      // on the same points (which would measure tie handling, not scale)
+      def replicateEmb(n: Int): DataFrame = {
+        require(n <= 2 * dim, s"at most ${2 * dim} distinct rotate/negate variants")
+        embBase
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0), lit(n - 1))).as("rep"))
+          .withColumn("r", col("rep") % dim)
+          .withColumn("rot", concat(
+            expr(s"slice(embedding, r + 1, $dim - r)"),
+            expr("slice(embedding, 1, r)")))
+          .select((col("vec_id") * 128 + col("rep")).as("vec_id"),
+            when(col("rep") >= dim, transform(col("rot"), x => -x))
+              .otherwise(col("rot")).as("embedding"))
+      }
+      val qv = embBase.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qVecs = qv.collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      val nProbe = 8
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val corpus = (if (k == 1) embBase else replicateEmb(k))
+          .persist() // the store build + re-rank side read it repeatedly
+        val rows = corpus.count()
+        val nc = graft.ext.Similarity.autoNCentroids(rows)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-annserve-$name").toString + "/store"
+        val (tb0, _) = time {
+          val idx = graft.ext.Similarity.trainIvfPq(
+            corpus, "vec_id", "embedding", nCentroids = nc)
+          graft.ext.AnnStore.create(corpus, "vec_id", "embedding", idx, dir)
+        }
+        val (ts0, nServe) = time(graft.ext.AnnStore.serve(dir, corpus,
+          "vec_id", "embedding", qv, "qid", "qv", k = 10,
+          nProbe = nProbe).count())
+        // the probed cell set (same nearest-nProbe-centroids rule the
+        // serve applies) → which cell=N partition dirs its listing keeps
+        val idx = graft.ext.AnnStore.loadIndex(spark, dir)
+        val probed = qVecs.flatMap { v =>
+          idx.centers.zipWithIndex.map { case (c, i) =>
+            var s = 0.0; var t = 0
+            while (t < v.length) { val d = v(t) - c(t); s += d * d; t += 1 }
+            (s, i)
+          }.sortBy(_._1).take(nProbe).map(_._2)
+        }.toSet
+        val f = graft.ext.StoreFiles.fs(spark, dir)
+        var (kb, tb) = (0L, 0L)
+        val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/v1/codes")
+        for (gen <- f.listStatus(codesRoot); if gen.isDirectory;
+             part <- f.listStatus(gen.getPath); if part.isDirectory) {
+          val nm = part.getPath.getName
+          val bytes = graft.ext.StoreFiles.dataBytesRecursive(
+            spark, part.getPath.toString)
+          tb += bytes
+          if (nm.startsWith("cell=") &&
+              probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
+        }
+        corpus.unpersist()
+        println(f"PROBE annserve_$name rows=$rows n_centroids=$nc " +
+          f"probed_cells=${probed.size} build_sec=$tb0%.1f " +
+          f"serve_sec=$ts0%.1f served=$nServe " +
+          f"listed_bytes=$kb/$tb listed_frac=${kb.toDouble / tb}%.4f")
+      }
+    }
+
+    // round-15 (r14 verdict #2): the Bench dedup_cluster_10x shape, run
+    // standalone with GC + peak-heap telemetry — rerun under a constrained
+    // -Xmx (SPARK_DRIVER_MEM) to reproduce / bound the driver's 49 s GC
+    // storm. Reads the sfDir documents table like Bench does (point
+    // SPARK_GRAFT_SF_DIR at sf0.1 for the exact bench shape).
+    if (only("cluster10x")) {
+      import scala.jdk.CollectionConverters._
+      def gcMs(): Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+      val pools = java.lang.management.ManagementFactory
+        .getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      val docs10 = graft.Bench.replicate10(docs)
+      for (round <- 1 to 2) { // round 1 warms JIT/codegen; round 2 is the reading
+        pools.foreach(_.resetPeakUsage())
+        val g0 = gcMs()
+        val (t, n) = time {
+          val pairs = graft.ext.Dedup.minhashPairs(
+            docs10, "doc_id", "text", 3, 64, 16, 0.8)
+          graft.ext.Dedup.clusterPairs(pairs).count()
+        }
+        val peakMb = pools.map(p => math.max(p.getPeakUsage.getUsed, 0L)).sum >> 20
+        println(f"PROBE cluster10x round=$round rows=$n wall_sec=$t%.1f " +
+          f"gc_ms=${gcMs() - g0} heap_peak_mb=$peakMb " +
+          f"xmx_mb=${Runtime.getRuntime.maxMemory() >> 20}")
       }
     }
 

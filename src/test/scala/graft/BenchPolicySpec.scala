@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rolling-baseline merge policy (r14 verdict #1) — pure-function
+  * coverage for every branch: the floor may only drop, except a REPRODUCED
+  * slowdown (two agreeing same-session runs, both >2× the floor, neither
+  * suspect), and new sections enter only from non-suspect readings. */
+class BenchPolicySpec extends AnyFunSuite {
+
+  private val clean: String => Boolean = _ => false
+
+  test("a contended run can never raise an existing floor") {
+    // the r14 driver shape: dedup_cluster_10x measured 49.12 s (rerun
+    // 63.16 s — disagreeing, so NOT a reproduced regression) against a
+    // 9.97 s clean floor
+    val out = Bench.mergeBaseline(
+      prior = Map("dedup_cluster_10x" -> 9.97),
+      measured = Map("dedup_cluster_10x" -> 49.12),
+      runs = Map("dedup_cluster_10x" -> Seq(49.12, 63.16)),
+      suspect = clean)
+    assert(out == Map("dedup_cluster_10x" -> 9.97))
+  }
+
+  test("a faster clean run lowers the floor") {
+    val out = Bench.mergeBaseline(
+      Map("a" -> 5.0), Map("a" -> 3.2), Map.empty, clean)
+    assert(out == Map("a" -> 3.2))
+  }
+
+  test("a reproduced regression adopts the new value (no perpetual rerun)") {
+    // both runs >2× the floor and within 25% of each other: a plan change
+    val out = Bench.mergeBaseline(
+      Map("a" -> 2.0), Map("a" -> 5.0),
+      Map("a" -> Seq(5.2, 5.0)), clean)
+    assert(out == Map("a" -> 5.0))
+  }
+
+  test("a disagreeing rerun pair keeps the floor even when both are slow") {
+    val out = Bench.mergeBaseline(
+      Map("a" -> 2.0), Map("a" -> 5.0),
+      Map("a" -> Seq(8.0, 5.0)), clean) // 8.0 > 1.25 * 5.0
+    assert(out == Map("a" -> 2.0))
+  }
+
+  test("a suspect section cannot ratify a reproduced regression") {
+    val out = Bench.mergeBaseline(
+      Map("a" -> 2.0), Map("a" -> 5.0),
+      Map("a" -> Seq(5.2, 5.0)), suspect = _ == "a")
+    assert(out == Map("a" -> 2.0))
+  }
+
+  test("a new section enters the floor only from a non-suspect reading") {
+    val out = Bench.mergeBaseline(
+      Map.empty, Map("fresh" -> 4.0, "stormy" -> 9.0),
+      Map.empty, suspect = _ == "stormy")
+    assert(out == Map("fresh" -> 4.0))
+  }
+
+  test("sections absent from this run drop out of the floor") {
+    val out = Bench.mergeBaseline(
+      Map("renamed_away" -> 1.0, "kept" -> 2.0),
+      Map("kept" -> 2.5), Map.empty, clean)
+    assert(out == Map("kept" -> 2.0))
+  }
+
+  test("shouldRerun: wall-relative trigger (>2x floor and >1s over)") {
+    assert(Bench.shouldRerun(5.0, Some(2.0), gcMs = 0))
+    assert(!Bench.shouldRerun(3.9, Some(2.0), gcMs = 0)) // under 2x
+    assert(!Bench.shouldRerun(1.9, Some(0.9), gcMs = 0)) // 2.1x but 1.0s over
+    assert(!Bench.shouldRerun(5.0, None, gcMs = 0)) // no floor: nothing to compare
+  }
+
+  test("shouldRerun: gc-relative trigger fires below the 2x wall threshold") {
+    // 1.5x the floor — wall-relative alone would NOT fire — but 40% of the
+    // section's wall was GC: the r14 driver's memory-pressure shape
+    assert(Bench.shouldRerun(15.0, Some(10.0), gcMs = 6000))
+    // same wall inflation with negligible gc: no storm, no trigger
+    assert(!Bench.shouldRerun(15.0, Some(10.0), gcMs = 100))
+    // gc share high but absolute gc tiny (sub-second section noise)
+    assert(!Bench.shouldRerun(0.5, Some(0.3), gcMs = 180))
+    // gc storm but the section is AT its floor: nothing to re-measure
+    assert(!Bench.shouldRerun(10.2, Some(10.0), gcMs = 6000))
+  }
+
+  test("a single slow run >2x prior without a rerun entry keeps the floor") {
+    // rerunSafe=false sections have no rerun pair; their one contended
+    // reading must not move the floor either
+    val out = Bench.mergeBaseline(
+      Map("store_build" -> 10.0), Map("store_build" -> 30.0),
+      Map.empty, clean)
+    assert(out == Map("store_build" -> 10.0))
+  }
+}
