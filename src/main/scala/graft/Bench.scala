@@ -145,21 +145,27 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
 
+  /** GC-storm predicate, shared by the rerun trigger and the baseline
+    * merge's suspect marking so the two policies cannot drift (r15): >25%
+    * of the section's wall spent collecting AND >200 ms absolute (so
+    * sub-second sections don't trip on noise). */
+  def gcStorm(gcMs: Long, t: Double): Boolean =
+    gcMs > 200 && gcMs / 1000.0 > 0.25 * t
+
   /** Rerun-trigger decision (pure — spec-covered in BenchPolicySpec): a
     * section reruns when it measured far off its rolling floor, under
     * either of two independent signals:
     *  - wall-relative: >2× the floor and >1 s over — host CPU contention;
-    *  - gc-relative (r14 verdict #2): a GC storm (>25% of the section's
-    *    wall collecting, >200 ms absolute so sub-second sections don't
-    *    trip on noise) that also pushed the section >1.3× its floor —
-    *    memory pressure the CPU-spin canary is blind to (the r14 driver's
-    *    dedup_cluster_10x: 49 s wall, 40× gc_ms, FLAT canary).
+    *  - gc-relative (r14 verdict #2): a [[gcStorm]] that also pushed the
+    *    section >1.3× its floor — memory pressure the CPU-spin canary is
+    *    blind to (the r14 driver's dedup_cluster_10x: 49 s wall, 40×
+    *    gc_ms, FLAT canary).
     * A structural gc share reproduces on the rerun and keeps its honest
     * timing; a transient storm doesn't survive the min-keep. */
   def shouldRerun(t: Double, prior: Option[Double], gcMs: Long): Boolean =
     prior.exists { p =>
-      val gcStorm = gcMs > 200 && gcMs / 1000.0 > 0.25 * t
-      (t > 2 * p && t - p > 1.0) || (gcStorm && t > 1.3 * p && t - p > 1.0)
+      (t > 2 * p && t - p > 1.0) ||
+        (gcStorm(gcMs, t) && t > 1.3 * p && t - p > 1.0)
     }
 
   /** Rolling-baseline update (r14 verdict #1): the `baseline` map written
@@ -170,11 +176,16 @@ object Bench {
     * Two deliberate exceptions:
     *
     *  - a REPRODUCED slowdown — the rerun protocol ran a section twice in
-    *    THIS session, both runs agree within 25%, both sit >2× the prior
-    *    floor, and neither reading was suspect — is a plan change, not
-    *    contention (host spikes don't reproduce identically back-to-back);
-    *    the floor adopts the new value, otherwise the rerun would fire on
-    *    every future run forever;
+    *    THIS session, both runs agree within 25%, both sit >1.3× the
+    *    prior floor (the LOWEST ratio any trigger fires at — the
+    *    gc-relative trigger reruns from 1.3×, so a structural GC-heavy
+    *    regression between 1.3× and 2× must also be adoptable or it
+    *    reruns on every future run forever; r15 review), and neither
+    *    reading was suspect — is a plan change, not contention (host
+    *    spikes don't reproduce identically back-to-back); the floor
+    *    adopts the new value. A mildly-contended agreeing pair can adopt
+    *    a slightly-raised floor, but the min-merge self-heals it back
+    *    down on the next clean run;
     *  - a NEW section (no prior) enters the floor only from a non-suspect
     *    reading — a section born under a GC storm or a contended canary
     *    would otherwise seed an inflated floor that hides future
@@ -193,7 +204,7 @@ object Bench {
         case Some(p) =>
           val rs = runs.getOrElse(k, Seq(t))
           val reproduced = rs.size >= 2 && !suspect(k) &&
-            rs.min > 2 * p && rs.max <= 1.25 * rs.min
+            rs.min > 1.3 * p && rs.max <= 1.25 * rs.min
           Some(k -> (if (reproduced) t else math.min(p, t)))
         case None =>
           if (suspect(k)) None else Some(k -> t)
@@ -737,9 +748,8 @@ object Bench {
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
     val suspect: String => Boolean = k =>
-      (gcs.getOrElse(k, 0L) > 200 &&
-        gcs.getOrElse(k, 0L) / 1000.0 > 0.25 * results.getOrElse(k, 0.0)) ||
-      canaries.getOrElse(k, 0.0) > 2 * canaryMedian
+      gcStorm(gcs.getOrElse(k, 0L), results.getOrElse(k, 0.0)) ||
+        canaries.getOrElse(k, 0.0) > 2 * canaryMedian
     val baseline = mergeBaseline(prior, results.toMap, reruns.toMap, suspect)
     val baselineJson = results.keys.flatMap(k => baseline.get(k).map(v =>
       s""""$k":${num("%.4f", v)}""")).mkString("{", ",", "}")

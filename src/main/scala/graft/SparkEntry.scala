@@ -1842,8 +1842,11 @@ object SparkEntry {
         .join(tIds, Seq("doc_id"), "left_semi").isEmpty,
         "masked BM25 serve must exclude taken-down ids")
       // masked phase, exact-scrub side: a RE-CRAWL of the taken-down
-      // texts passes the fingerprint scrub unless the same normalized
-      // text also survives under a live historical doc
+      // texts passes the fingerprint scrub — the retraction masks each
+      // text's fp STORE-WIDE (the store holds fps, not per-doc
+      // refcounts), so even a normalized text shared with a surviving
+      // historical doc is masked and its re-crawl passes (the documented
+      // conservative takedown semantics; the oracle models the same mask)
       val recrawl = takedown.select((col("doc_id") + 7000000L).as("id"),
         col("text"))
       // eager localCheckpoint: the disposition frame materializes only at
@@ -4149,12 +4152,20 @@ object SparkEntry {
         "kk AS (SELECT bin, round((cf - rf) * ln(cf / rf), 6) AS pc FROM jj), " +
         // r15 takedown leg: historical docs with doc_id % 30 == 2 are
         // retracted from all five stores mid-pipeline; the ledger's hist
-        // verdict revalidates against the LIVE hist, and a re-crawl of the
-        // taken-down texts passes the masked-phase exact scrub unless the
-        // same normalized text also lives under a surviving historical doc
+        // verdict revalidates against the LIVE hist. The re-crawl
+        // dispositions model the fingerprint store's documented contract:
+        // a retraction masks its TEXT fingerprint STORE-WIDE (the store
+        // holds fps, not per-doc refcounts), so the masked live set is
+        // the historical fps MINUS every taken-down text's fp — a
+        // normalized text shared between a taken-down and a surviving
+        // doc is masked too, and its re-crawl passes (at sf0.1 exactly
+        // one such boundary doc exists; modeling liveseen from the
+        // surviving docs alone diverges there — r15 review)
         "takedown AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 = 2), " +
         "histlive AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 <> 2), " +
-        "liveseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM histlive), " +
+        "tdseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM takedown), " +
+        "liveseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM histlive " +
+        "WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) NOT IN (SELECT ntext FROM tdseen)), " +
         "recrawl AS (SELECT doc_id + 7000000 AS id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM takedown), " +
         "rc_pass AS (SELECT id FROM recrawl WHERE ntext NOT IN (SELECT ntext FROM liveseen)), " +
         "rc_dup AS (SELECT id FROM recrawl WHERE ntext IN (SELECT ntext FROM liveseen)), " +

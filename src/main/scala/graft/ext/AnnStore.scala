@@ -645,14 +645,22 @@ object AnnStore {
       // hold live tombstones from deletes committed afterwards — retire
       // them here (there are no codes to erase, so retiring IS the
       // physical step), else a tombstone-deadline policy would see the
-      // store as forever "due" and no-op every nightly run (r14 ADVICE)
-      if (m.tombs.nonEmpty) {
+      // store as forever "due" and no-op every nightly run (r14 ADVICE).
+      // The emptying compaction also left its superseded codes
+      // generations as grace copies — keep cooling them out here too
+      // (r15: the earlier branch handled only tombs, so an emptied
+      // store's cooled codes generations leaked forever).
+      if (m.tombs.nonEmpty || m.tombCooling.nonEmpty || m.cooling.nonEmpty) {
         val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
           .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val now = System.currentTimeMillis()
+        val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
+          Set.empty, "", graceMs, now)
         val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
-          m.tombs.toSet, "", graceMs, System.currentTimeMillis())
+          m.tombs.toSet, "", graceMs, now)
         writeCodesManifest(spark, path, v,
-          m.copy(tombs = Nil, tombCooling = tombCooling))
+          m.copy(cooling = cooling, tombs = Nil, tombCooling = tombCooling))
+        StoreFiles.sweepGenerations(spark, codesPath(path, v), keep - "")
         StoreFiles.sweepGenerations(spark, tombsPath(path, v), keepT - "")
       }
       return

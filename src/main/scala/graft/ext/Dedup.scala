@@ -238,16 +238,25 @@ object Dedup {
     // table resident, so a long-converging 10× corpus stacked
     // rounds×|labels| + |edges| + |pairs| of blocks and pressured the old
     // gen exactly when the join shuffles wanted memory (the r14 driver's
-    // dedup_cluster_10x GC storm). Each checkpoint's block-RDD ids are
-    // captured by diffing the persistent-RDD registry around its
-    // materializing action, and freed at the FIRST point the data is
-    // provably unreachable: the pair list once the symmetric edge list is
-    // built, each round's labels once the next round's checkpoint holds,
-    // the edge list once the loop converges. The RETURNED frame's own
-    // blocks are never touched — a local checkpoint cannot be recomputed,
-    // so freeing them would break the caller.
+    // dedup_cluster_10x GC storm). Each checkpoint's persisted-RDD id is
+    // read from that frame's OWN plan (a localCheckpoint returns a
+    // Dataset over a LogicalRDD holding the persisted RDD) — never by
+    // diffing the SparkContext-global persistent-RDD registry, which
+    // would race a concurrent job's persists on the same context and
+    // force-unpersist ITS unrecoverable checkpoint blocks (r15 review).
+    // Blocks are freed at the FIRST point the data is provably
+    // unreachable: the pair list once the symmetric edge list is built,
+    // each round's labels once the next round's checkpoint holds, the
+    // edge list once the loop converges. The RETURNED frame's own blocks
+    // are never touched — a local checkpoint cannot be recomputed, so
+    // freeing them would break the caller. An unexpected plan shape
+    // yields no ids, degrading to the caller's session hygiene instead
+    // of guessing.
     val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def checkpointIds(df: DataFrame): Set[Int] =
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
     def dropIds(ids: Set[Int]): Unit = sc.getPersistentRDDs
       .filter { case (id, _) => ids.contains(id) }
       .values.foreach(_.unpersist(blocking = true))
@@ -255,15 +264,12 @@ object Dedup {
     // it twice, and without this checkpoint the whole upstream candidate-
     // generation DAG (LSH agg + pair generator + verify joins) would run
     // twice — exchange reuse across union branches is not guaranteed
-    val prePairs = persistedIds
     val p = pairs.select(q(idA).as("u"), q(idB).as("v")).localCheckpoint()
-    val pairIds = persistedIds -- prePairs
-    val preEdges = persistedIds
     val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
       .dropDuplicates("u", "v")
       .localCheckpoint() // reused every round: materialize once, drop lineage
-    val edgeIds = persistedIds -- preEdges
-    dropIds(pairIds) // the symmetric edge list is the only reader of p
+    val edgeIds = checkpointIds(edges)
+    dropIds(checkpointIds(p)) // the symmetric edge list is the only reader of p
     // label(u) starts at min(u, min neighbor); every round each node takes
     // the min of its own label and its neighbors' labels.
     //
@@ -279,12 +285,11 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO)).as("s")).head().getDecimal(0)
-    val preInit = persistedIds
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels) // materializes the init checkpoint too
-    var labelIds = persistedIds -- preInit
+    var labelIds = checkpointIds(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -300,13 +305,12 @@ object Dedup {
       val l2 = labels.select(col("id").as("lid"), col("lbl").as("lbl2"))
       val shortcut = labels.join(l2, labels("lbl") === l2("lid"))
         .select(labels("id").as("id"), col("lbl2").as("lbl"))
-      val preNext = persistedIds
       val next = labels.union(received).union(shortcut)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(false)
       val s = labelSum(next) // materializes next's checkpoint blocks
       dropIds(labelIds)      // the previous round is now unreachable
-      labelIds = persistedIds -- preNext
+      labelIds = checkpointIds(next)
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -713,21 +717,21 @@ object Dedup {
       path: String): Long = {
     val spark = ids.sparkSession
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
-    // this store is pre-manifest (plain dirs + swap compaction), so the
-    // committed set IS the on-disk generation dirs; the write itself is
-    // the publish (Spark's commit protocol stages under _temporary, so a
-    // crash mid-write leaves nothing visible) and publish() is a no-op.
-    // Shared mechanics otherwise — see StoreFiles.commitTombstones
-    // (r15, verdict #5; the null check rides the parquet footers)
-    val committed = {
-      val f = StoreFiles.fs(spark, path)
-      val p = new org.apache.hadoop.fs.Path(s"$path/tombs")
-      if (!f.exists(p)) Nil
-      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-    }
+    // this store is pre-manifest (plain dirs + swap compaction), so
+    // commitTombstones' stage→rename flip IS the publish — readers list
+    // tombs/ directly — and publish() is a no-op. The live mass for the
+    // broadcast-small cap is everything a serve actually reads: one
+    // recursive footer count over tombs/ covers both the r15 generation
+    // dirs AND any pre-r15 flat append files (r15 review — counting only
+    // the dirs let a legacy flat-file mass bypass the cap). Shared
+    // mechanics otherwise — see StoreFiles.commitTombstones (r15,
+    // verdict #5; the null check rides the parquet footers).
+    val liveRows =
+      math.max(0L, StoreFiles.parquetRowsWritten(spark, s"$path/tombs"))
     StoreFiles.commitTombstones(ids.select(q(idCol).as("id")), "id",
-      s"$path/tombs", committed, None, "graft.minhash.maxTombstones",
-      "retractFromMinHashStore", "compactMinHashStore")(_ => ())
+      s"$path/tombs", Nil, None, "graft.minhash.maxTombstones",
+      "retractFromMinHashStore", "compactMinHashStore",
+      extraLiveRows = liveRows)(_ => ())
   }
 
   /** [[minhashPairsAgainst]] served from a persisted store: corpus text is

@@ -566,14 +566,22 @@ object Retrieval {
       // them here (there are no postings to erase, so retiring IS the
       // physical step), else compactIndexIfNeeded(maxTombstoneRows = 0)
       // would report the index forever "due" and run a no-op compaction
-      // every nightly run (r14 ADVICE)
-      if (m.tombs.nonEmpty) {
+      // every nightly run (r14 ADVICE). The emptying compaction also left
+      // its superseded DATA generations as grace copies — keep cooling
+      // them out here too (r15: the earlier branch handled only tombs,
+      // so an emptied store's cooled data generations leaked forever).
+      if (m.tombs.nonEmpty || m.tombCooling.nonEmpty || m.cooling.nonEmpty) {
         val graceMs = spark.conf.getOption("graft.bm25.gcGraceMs")
           .map(_.toLong).getOrElse(15L * 60 * 1000)
+        val now = System.currentTimeMillis()
+        val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
+          Set.empty, "", graceMs, now)
         val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
-          m.tombs.toSet, "", graceMs, System.currentTimeMillis())
+          m.tombs.toSet, "", graceMs, now)
         writeManifest(spark, path,
-          m.copy(tombs = Nil, tombCooling = tombCooling))
+          m.copy(cooling = cooling, tombs = Nil, tombCooling = tombCooling))
+        sides.foreach(side =>
+          StoreFiles.sweepGenerations(spark, s"$path/$side", keep - ""))
         StoreFiles.sweepGenerations(spark, s"$path/tombs", keepT - "")
       }
       return

@@ -178,12 +178,15 @@ object SketchStore {
     * marks survive (redeliveries of the retracted batch must keep
     * no-opping — its data is gone, not its history).
     *
-    * Refuses loudly when the label is absent but the store holds
-    * `__compacted` rows: compaction collapses batch lineage, so the
-    * store can no longer PROVE the batch's contribution is absent —
-    * rebuild from the live corpus instead. A label absent from a
-    * never-compacted store returns 0 (the batch was never appended).
-    * Returns the number of sketch rows dropped. Single-writer contract. */
+    * Refuses loudly whenever the store holds `__compacted` rows:
+    * compaction collapses batch lineage, so the store can no longer
+    * PROVE the batch's full contribution is absent — even rows found
+    * under the label may be only the part appended AFTER the compaction,
+    * and dropping them while the pre-compaction part stays merged would
+    * report a partial retraction as success (r15 review). Rebuild from
+    * the live corpus instead. A label absent from a never-compacted
+    * store returns 0 (the batch was never appended). Returns the number
+    * of sketch rows dropped. Single-writer contract. */
   def retractBatch(spark: SparkSession, path: String,
       batchLabel: String): Long = {
     require(batchLabel != null && batchLabel.nonEmpty &&
@@ -193,15 +196,14 @@ object SketchStore {
     if (m0.gens.isEmpty) 0L
     else {
       val all = rows(spark, path)
+      require(all.filter(col("batch") === "__compacted").isEmpty,
+        s"sketch store at $path was compacted — batch lineage for " +
+          s"'$batchLabel' is merged and cannot be subtracted (HLL " +
+          "sketches cannot forget); rebuild the affected keys from the " +
+          "live corpus with rebuildKeys()")
       val removed = all.filter(col("batch") === batchLabel).count()
-      if (removed == 0L) {
-        require(all.filter(col("batch") === "__compacted").isEmpty,
-          s"sketch store at $path was compacted — batch lineage for " +
-            s"'$batchLabel' is merged and cannot be subtracted (HLL " +
-            "sketches cannot forget); rebuild the affected keys from the " +
-            "live corpus with rebuildKeys()")
-        0L
-      } else {
+      if (removed == 0L) 0L
+      else {
         publishRewrite(spark, path, m0,
           all.filter(col("batch") =!= batchLabel))
         removed
@@ -209,17 +211,24 @@ object SketchStore {
     }
   }
 
-  /** Rebuild the store's rows for the keys present in `fresh` — the
-    * escape hatch for retractions that are NOT batch-aligned (a takedown
-    * list of individual documents): the caller recomputes
-    * [[distinctSketch]] over the LIVE corpus restricted to the affected
-    * key groups, and this replaces every stored row for those keys
-    * (across all batches) with the fresh rows, stamped `batchLabel`.
-    * Unaffected keys keep their incremental per-batch rows. One full
-    * KB-scale rewrite + atomic manifest flip, like [[compact]]. Returns
-    * the number of stored rows replaced. Single-writer contract. */
-  def rebuildKeys(fresh: DataFrame, path: String,
-      batchLabel: String): Long = {
+  /** Rebuild the store's rows for the affected key groups — the escape
+    * hatch for retractions that are NOT batch-aligned (a takedown list of
+    * individual documents): the caller recomputes [[distinctSketch]] over
+    * the LIVE corpus restricted to the affected key groups, and this
+    * replaces every stored row for those keys (across all batches) with
+    * the fresh rows, stamped `batchLabel`. Unaffected keys keep their
+    * incremental per-batch rows. One full KB-scale rewrite + atomic
+    * manifest flip, like [[compact]]. Returns the number of stored rows
+    * replaced. Single-writer contract.
+    *
+    * The affected-key set defaults to the keys PRESENT in `fresh` — but a
+    * key group whose live corpus the takedown EMPTIED has no fresh row at
+    * all, so under the default its stale rows would silently survive
+    * (r15 review). Pass `affectedKeys` (one row per key group, the key
+    * columns only) whenever the takedown may empty a group: every listed
+    * key's stored rows drop, whether or not `fresh` re-adds it. */
+  def rebuildKeys(fresh: DataFrame, path: String, batchLabel: String,
+      affectedKeys: Option[DataFrame] = None): Long = {
     require(fresh.columns.contains("sketch") && fresh.columns.contains("n_rows"),
       "rebuildKeys expects distinctSketch output (n_rows + sketch columns)")
     val spark = fresh.sparkSession
@@ -233,7 +242,18 @@ object SketchStore {
     require(keyCols.forall(fresh.columns.contains),
       s"fresh sketches must carry the store's key columns ${keyCols.mkString(", ")}")
     // affected-key set is takedown-scale by contract — broadcast it
-    val keys = fresh.select(keyCols.map(q): _*).distinct()
+    val freshKeys = fresh.select(keyCols.map(q): _*).distinct()
+    val keys = affectedKeys.fold(freshKeys) { ak =>
+      require(keyCols.forall(ak.columns.contains),
+        s"affectedKeys must carry the store's key columns ${keyCols.mkString(", ")}")
+      val akDistinct = ak.select(keyCols.map(q): _*).distinct()
+      // fresh rows outside the declared affected set would double-count
+      // against the stored rows they failed to displace — refuse loudly
+      require(freshKeys.join(akDistinct, keyCols, "left_anti").isEmpty,
+        "rebuildKeys: fresh sketches carry key groups not listed in " +
+          "affectedKeys — every rebuilt key must be declared affected")
+      akDistinct
+    }
     val dropped = store
       .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
       .count()

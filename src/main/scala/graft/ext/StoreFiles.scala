@@ -39,19 +39,30 @@ object StoreFiles {
     }
   }
 
+  /** Recursive walk over the VISIBLE data files under `p` — hidden
+    * entries (_ / . prefixes) are skipped at EVERY level, directories
+    * included, exactly as Spark's own file index does (r15: the earlier
+    * flat `listFiles(recursive)` filtered only the leaf file name, so
+    * files inside a hidden staging dir — a crashed writer's `_temporary`,
+    * a tombstone commit's `.stage-*` — were counted as live data). */
+  private def walkVisible(f: FileSystem, p: Path)(
+      action: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+    f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walkVisible(f, st.getPath)(action)
+        else action(st)
+      }
+    }
+
   /** Recursive variant of [[dataFileCount]] — for partitioned layouts
     * (e.g. cell=N subdirectories) where the files live one level down. */
   def dataFileCountRecursive(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) return 0
-    val it = f.listFiles(p, true)
     var n = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
+    walkVisible(f, p)(_ => n += 1)
     n
   }
 
@@ -64,29 +75,12 @@ object StoreFiles {
     * the r12 manifest-adoption tax on `stats_sketch_build` (~0.15 s per
     * append). Each parquet footer already carries its exact row count;
     * summing them reads a few KB per file with zero jobs and zero
-    * listener races. Returns -1 only if no visible parquet files exist. */
-  def parquetRowsWritten(spark: SparkSession, genDir: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val f = fs(spark, genDir)
-    val p = new Path(genDir)
-    if (!f.exists(p)) return -1L
-    val it = f.listFiles(p, true)
-    var rows = 0L
-    var sawFile = false
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        sawFile = true
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(st.getPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try rows += r.getRecordCount
-        finally r.close()
-      }
-    }
-    if (sawFile) rows else -1L
-  }
+    * listener races. Returns -1 only if no visible parquet files exist.
+    * One traversal implementation for both footer readers (r15):
+    * delegates to [[parquetRowsAndNulls]] with a column name no schema
+    * can contain, so the visible-file rules can never drift apart. */
+  def parquetRowsWritten(spark: SparkSession, genDir: String): Long =
+    parquetRowsAndNulls(spark, genDir, "")._1
 
   /** [[parquetRowsWritten]] plus the NULL COUNT of one column, both from
     * the parquet footers (r15, verdict #4): the takedown paths must refuse
@@ -102,33 +96,28 @@ object StoreFiles {
     val f = fs(spark, genDir)
     val p = new Path(genDir)
     if (!f.exists(p)) return (-1L, -1L)
-    val it = f.listFiles(p, true)
     var rows = 0L
     var nulls = 0L
     var sawFile = false
     var statsKnown = true
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        sawFile = true
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(st.getPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          rows += r.getRecordCount
-          import scala.jdk.CollectionConverters._
-          r.getFooter.getBlocks.asScala.foreach { block =>
-            block.getColumns.asScala
-              .filter(_.getPath.toDotString == colName)
-              .foreach { cc =>
-                val s = cc.getStatistics
-                if (s == null || !s.isNumNullsSet) statsKnown = false
-                else nulls += s.getNumNulls
-              }
-          }
-        } finally r.close()
-      }
+    walkVisible(f, p) { st =>
+      sawFile = true
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(st.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        rows += r.getRecordCount
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == colName)
+            .foreach { cc =>
+              val s = cc.getStatistics
+              if (s == null || !s.isNumNullsSet) statsKnown = false
+              else nulls += s.getNumNulls
+            }
+        }
+      } finally r.close()
     }
     if (!sawFile) (-1L, -1L)
     else (rows, if (statsKnown) nulls else -1L)
@@ -149,10 +138,23 @@ object StoreFiles {
     *      count toward the cap and the returned n — a caller asserting
     *      n > 0 would see a false success);
     *   3. the broadcast-small cap (`capConfKey`, default 10M) is enforced
-    *      against the LIVE committed rows; each committed generation is
-    *      asserted present on disk before counting — a lost generation
+    *      against the LIVE committed rows (plus `extraLiveRows` — a store
+    *      whose live tombstone mass is not generation-shaped, e.g. the
+    *      MinHash store's pre-r15 flat files, passes it explicitly; r15
+    *      review: those rows are read by every serve, so they must count
+    *      toward the broadcast-small contract); each committed generation
+    *      is asserted present on disk before counting — a lost generation
     *      refuses loudly instead of silently skewing the cap (r14 ADVICE);
-    *   4. `publish(Some(gen))` hands the caller the generation to commit
+    *   4. the batch is written to a HIDDEN staging dir and renamed to its
+    *      generation name only after every check passes (r15 review: for
+    *      a manifest-less store — the MinHash tombs/ side, where readers
+    *      list the directory — the write IS the publish, so a crash
+    *      between a direct write and a failed check's cleanup would have
+    *      committed a violating batch forever; manifest stores get the
+    *      same flip for uniformity, their visibility still waits for the
+    *      manifest). Stale `.stage-*` orphans from crashed attempts are
+    *      swept first (single-writer contract);
+    *   5. `publish(Some(gen))` hands the caller the generation to commit
     *      in its own manifest flip; `publish(None)` signals an empty batch
     *      (nothing written — the caller may still advance a stream mark).
     *
@@ -161,17 +163,24 @@ object StoreFiles {
   def commitTombstones(ids: org.apache.spark.sql.DataFrame, idName: String,
       tombsRoot: String, committedGens: Seq[String],
       streamGen: Option[String], capConfKey: String, what: String,
-      compactHint: String)(publish: Option[String] => Unit): Long = {
+      compactHint: String, extraLiveRows: Long = 0L)(
+      publish: Option[String] => Unit): Long = {
     val spark = ids.sparkSession
     val gen = streamGen.getOrElse(
       nextGenName(spark, Seq(tombsRoot), committedGens))
     val dir = s"$tombsRoot/$gen"
-    ids.distinct().coalesce(1).write.mode("overwrite").parquet(dir)
-    val (n, nulls) = parquetRowsAndNulls(spark, dir, idName)
-    val f = fs(spark, dir)
-    def dropGen(): Unit = { f.delete(new Path(dir), true); () }
+    val stage = s"$tombsRoot/.stage-$gen"
+    val f = fs(spark, tombsRoot)
+    val rootP = new Path(tombsRoot)
+    if (f.exists(rootP)) f.listStatus(rootP).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".stage-"))
+        f.delete(st.getPath, true)
+    }
+    ids.distinct().coalesce(1).write.mode("overwrite").parquet(stage)
+    val (n, nulls) = parquetRowsAndNulls(spark, stage, idName)
+    def dropStage(): Unit = { f.delete(new Path(stage), true); () }
     if (n <= 0L) {
-      dropGen()
+      dropStage()
       publish(None)
       0L
     } else {
@@ -179,15 +188,15 @@ object StoreFiles {
         if (nulls >= 0L) nulls > 0L
         // footer statistic unavailable (non-Spark writer) — one explicit
         // fallback job on the KB-scale tombstone file
-        else !ids.sparkSession.read.parquet(dir)
+        else !ids.sparkSession.read.parquet(stage)
           .filter(org.apache.spark.sql.functions.col(idName).isNull).isEmpty
       if (hasNull) {
-        dropGen()
+        dropStage()
         sys.error(s"$what: null id in the tombstone batch — a null masks " +
           "nothing (serves anti-join with non-null-safe equality) but " +
           "would count toward the cap and the returned n; filter it out")
       }
-      val live = committedGens.map { g =>
+      val live = extraLiveRows + committedGens.map { g =>
         val r = parquetRowsWritten(spark, s"$tombsRoot/$g")
         require(r >= 0L, s"$what: committed tombstone generation '$g' " +
           s"under $tombsRoot is missing on disk — refusing to evaluate " +
@@ -197,11 +206,18 @@ object StoreFiles {
       val cap = spark.conf.getOption(capConfKey).map(_.toLong)
         .getOrElse(10000000L)
       if (live + n > cap) {
-        dropGen()
+        dropStage()
         sys.error(s"$what: $live live + $n new tombstone rows exceed " +
           s"$capConfKey=$cap — run $compactHint to retire the live " +
           "tombstones first (or raise the cap)")
       }
+      // visibility flip: only a fully-checked batch ever appears at a
+      // visible name; a same-named leftover is a crashed attempt's orphan
+      // (never manifest-listed, or the caller would have no-opped the
+      // redelivery before calling) — reclaim it
+      f.delete(new Path(dir), true)
+      require(f.rename(new Path(stage), new Path(dir)),
+        s"$what: rename $stage -> $dir failed")
       publish(Some(gen))
       n
     }

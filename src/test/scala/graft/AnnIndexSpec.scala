@@ -650,5 +650,23 @@ class AnnIndexSpec extends SparkSpec {
     AnnStore.compactCodes(spark, tmp)
     assert(AnnStore.tombstoneCount(spark, tmp) == 0L,
       "compaction on an emptied store must retire live tombstones")
+    // r15 review: the emptying compaction left its superseded codes
+    // generation cooling as a grace copy — the gens-empty branch must
+    // keep cooling it out, or an emptied store leaks it forever
+    def codeGenDirs(): Int = {
+      val f = graft.ext.StoreFiles.fs(spark, s"$tmp/v1/codes")
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/v1/codes")
+      if (!f.exists(p)) 0
+      else f.listStatus(p).count(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("."))
+    }
+    assert(codeGenDirs() > 0,
+      "precondition: grace copies still cooling under the default window")
+    spark.conf.set("graft.ann.gcGraceMs", "0")
+    try {
+      AnnStore.compactCodes(spark, tmp)
+      assert(codeGenDirs() == 0,
+        "cooled-out codes generations must sweep on an emptied store")
+    } finally spark.conf.unset("graft.ann.gcGraceMs")
   }
 }

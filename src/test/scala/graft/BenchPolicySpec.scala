@@ -36,6 +36,15 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(out == Map("a" -> 5.0))
   }
 
+  test("a reproduced GC-heavy regression between 1.3x and 2x also adopts") {
+    // the gc-relative trigger reruns from 1.3x; a structural regression
+    // in that band must re-baseline too or it reruns every run forever
+    val out = Bench.mergeBaseline(
+      Map("a" -> 10.0), Map("a" -> 14.0),
+      Map("a" -> Seq(15.0, 14.0)), clean)
+    assert(out == Map("a" -> 14.0))
+  }
+
   test("a disagreeing rerun pair keeps the floor even when both are slow") {
     val out = Bench.mergeBaseline(
       Map("a" -> 2.0), Map("a" -> 5.0),

@@ -1249,6 +1249,56 @@ class ExtSpec extends SparkSpec {
     assert(Retrieval.tombstoneCount(spark, dir) == 0L)
     assert(!Retrieval.compactIndexIfNeeded(spark, dir, maxTombstoneRows = 0L),
       "the second nightly run must see nothing due — no infinite loop")
+    // r15 review: the emptying compaction left its superseded DATA
+    // generations cooling as grace copies — the gens-empty branch must
+    // keep cooling them out, or an emptied store leaks them forever
+    def genDirs(side: String): Int = {
+      val f = graft.ext.StoreFiles.fs(spark, s"$dir/$side")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$side")
+      if (!f.exists(p)) 0
+      else f.listStatus(p).count(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("."))
+    }
+    assert(Seq("postings", "dlen", "dfd").map(genDirs).sum > 0,
+      "precondition: grace copies still cooling under the default window")
+    spark.conf.set("graft.bm25.gcGraceMs", "0")
+    try {
+      Retrieval.compactIndex(spark, dir)
+      assert(Seq("postings", "dlen", "dfd").map(genDirs).sum == 0,
+        "cooled-out data generations must sweep on an emptied index")
+    } finally spark.conf.unset("graft.bm25.gcGraceMs")
+  }
+
+  test("dedup: MinHash retraction cap counts pre-generation flat tombstone files") {
+    // r15 review: a pre-r15 store carries its tombstones as FLAT parquet
+    // files under tombs/ (the old mode-append layout); the
+    // broadcast-small cap must count that mass — every serve reads it —
+    // not just the r15 generation dirs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhlegacy").toString
+    graft.ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+    // plant the legacy layout: 8 flat tombstone rows directly under tombs/
+    docs.filter(col("doc_id") < 8).select(col("doc_id").as("id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombs")
+    assert(graft.ext.Dedup.minhashRetractionCount(spark, dir) == 8L,
+      "legacy flat tombstones must serve")
+    spark.conf.set("graft.minhash.maxTombstones", "10")
+    try {
+      // 8 legacy + 4 new = 12 > 10: must refuse, counting the flat mass
+      val e = intercept[RuntimeException](graft.ext.Dedup
+        .retractFromMinHashStore(docs.filter(col("doc_id") >= 8 &&
+          col("doc_id") < 12).select("doc_id"), "doc_id", dir))
+      assert(e.getMessage.contains("graft.minhash.maxTombstones"))
+      assert(graft.ext.Dedup.minhashRetractionCount(spark, dir) == 8L,
+        "a refused retraction must leave the store unchanged")
+      // 8 + 2 = 10 <= 10: commits; disjoint ids, so 10 serve
+      assert(graft.ext.Dedup.retractFromMinHashStore(
+        docs.filter(col("doc_id") >= 8 && col("doc_id") < 10)
+          .select("doc_id"), "doc_id", dir) == 2L)
+      assert(graft.ext.Dedup.minhashRetractionCount(spark, dir) == 10L,
+        "flat + generation tombstones must serve together")
+    } finally spark.conf.unset("graft.minhash.maxTombstones")
   }
 
   test("dedup: MinHash store serve stays exact when a bucket straddles the cap between retraction and compaction") {

@@ -191,6 +191,49 @@ class SketchStoreSpec extends SparkSpec {
     intercept[Exception](SketchStore.rows(spark, dir2))
   }
 
+  test("retractBatch: a label reused after compaction refuses (partial drop is not a retraction)") {
+    // append b1, compact (merges b1's lineage into __compacted), append
+    // MORE rows under the same label: dropping only the post-compaction
+    // rows would leave b1's merged contribution serving while reporting
+    // success — the store must refuse and point at rebuildKeys (r15)
+    val df = spark.range(1000)
+      .select((col("id") % 2).cast("string").as("k"), (col("id") % 300).as("v"))
+    val dir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(
+      df.filter(col("id") < 500), Seq("k"), "v"), dir, "b1")
+    SketchStore.compact(spark, dir)
+    SketchStore.append(SketchStore.distinctSketch(
+      df.filter(col("id") >= 500), Seq("k"), "v"), dir, "b1")
+    val e = intercept[Exception](SketchStore.retractBatch(spark, dir, "b1"))
+    assert(e.getMessage.contains("rebuildKeys"))
+  }
+
+  test("rebuildKeys: affectedKeys drops a key group the takedown emptied") {
+    // key '3' loses its ENTIRE live corpus: fresh has no row for it, so
+    // the default (keys-from-fresh) would leave its stale rows serving —
+    // the explicit affectedKeys list must drop it (r15)
+    val df = spark.range(2000)
+      .select((col("id") % 4).cast("string").as("k"), (col("id") % 500).as("v"))
+    val dir = tmp()
+    SketchStore.append(SketchStore.distinctSketch(df, Seq("k"), "v"), dir, "b0")
+    val live = df.filter(col("k") =!= "3") // takedown removed every '3' row
+    val affected = Seq("0", "3").toDF("k") // '0' rebuilt, '3' emptied
+    val fresh = SketchStore.distinctSketch(
+      live.filter(col("k") === "0"), Seq("k"), "v")
+    val dropped = SketchStore.rebuildKeys(fresh, dir, "rb",
+      affectedKeys = Some(affected))
+    assert(dropped == 2L, s"both affected keys' rows must drop, got $dropped")
+    val servedKeys = SketchStore.estimate(spark, dir, Seq("k"))
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(servedKeys == Set("0", "1", "2"),
+      s"emptied key '3' must stop serving, got $servedKeys")
+    // fresh keys NOT declared affected refuse loudly
+    val e = intercept[Exception](SketchStore.rebuildKeys(
+      SketchStore.distinctSketch(live.filter(col("k") === "1"), Seq("k"), "v"),
+      dir, "rb2", affectedKeys = Some(Seq("0").toDF("k"))))
+    assert(e.getMessage.contains("affectedKeys"))
+  }
+
   test("null values: counted by neither n_rows nor the sketch") {
     val df = Seq(Some(1L), Some(2L), None, Some(2L)).toDF("v")
     val r = SketchStore.distinctSketch(df, Nil, "v")
