@@ -1269,6 +1269,26 @@ class ExtSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bm25.gcGraceMs")
   }
 
+  test("dedup: MinHash tombstone stage orphans are invisible and swept") {
+    // the MinHash store has no manifest — readers LIST tombs/ — so the
+    // r15 stage→rename flip is what keeps a crashed (or check-refused)
+    // attempt from ever becoming a committed retraction: the stage dir
+    // is hidden to the recursive reader, and the next commit sweeps it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstage").toString
+    graft.ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+    Seq(5L, 6L).toDF("id").write.parquet(s"$dir/tombs/.stage-g44")
+    assert(graft.ext.Dedup.minhashRetractionCount(spark, dir) == 0L,
+      "a crashed attempt's stage dir must never serve as a retraction")
+    assert(graft.ext.Dedup.retractFromMinHashStore(
+      docs.filter(col("doc_id") === 1L).select("doc_id"), "doc_id", dir) == 1L)
+    assert(graft.ext.Dedup.minhashRetractionCount(spark, dir) == 1L)
+    val f = graft.ext.StoreFiles.fs(spark, dir)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/tombs/.stage-g44")),
+      "the next commit must sweep the stale stage orphan")
+  }
+
   test("dedup: MinHash retraction cap counts pre-generation flat tombstone files") {
     // r15 review: a pre-r15 store carries its tombstones as FLAT parquet
     // files under tombs/ (the old mode-append layout); the

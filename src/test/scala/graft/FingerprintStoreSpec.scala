@@ -282,4 +282,43 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(FingerprintStore.retractionCount(spark, dir) == 0L,
       "a refused retraction must not leave a committed generation")
   }
+
+  test("retract crash windows: stage orphans invisible + swept; unpublished generations invisible + reclaimed (r15)") {
+    // The r15 tombstone commit stages hidden, checks from the footers,
+    // then renames into place before the manifest flip. Two crash
+    // windows, both of which must leave the store serving correctly:
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    val f = graft.ext.StoreFiles.fs(spark, dir)
+    def exists(rel: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+    // 1. crash BEFORE the rename: a completed .stage-* dir. Hidden, so
+    //    no reader (manifest or directory-listing) ever sees its rows.
+    Seq(111L, 222L).toDF("fp").write.parquet(s"$dir/tombs/.stage-g97")
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L)
+    // 2. crash AFTER the rename, BEFORE the manifest flip: a visible
+    //    generation the manifest never listed. Invisible to every read.
+    Seq(333L).toDF("fp").write.parquet(s"$dir/tombs/g98")
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L)
+    // the next retraction sweeps the stale stage orphan, skips the g98
+    // name (strictly-above generation naming never adopts an orphan),
+    // and commits normally
+    val n = FingerprintStore.retract(
+      corpus.filter(col("doc_id") === 1L), "text", dir)
+    assert(n == 1L)
+    assert(!exists("tombs/.stage-g97"), "stale stage orphan must sweep")
+    assert(exists("tombs/g98"), "the orphan is not the new writer's to adopt yet")
+    assert(FingerprintStore.retractionCount(spark, dir) == 1L)
+    // compaction retires the live retraction AND reclaims the g98 orphan
+    // (sweepGenerations keeps only manifest-listed + cooling dirs)
+    FingerprintStore.compact(spark, dir)
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L)
+    assert(!exists("tombs/g98"), "compaction must reclaim the unpublished orphan")
+    // the store still serves the compacted membership minus the
+    // retraction: doc 1's text passes the scrub again, doc 4's is held
+    val back = Seq((40L, "the quick brown fox"), (41L, "completely different"))
+      .toDF("doc_id", "text")
+    assert(FingerprintStore.scrub(back, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(40L))
+  }
 }
