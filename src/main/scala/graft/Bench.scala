@@ -191,8 +191,12 @@ object Bench {
     *    would otherwise seed an inflated floor that hides future
     *    contention of exactly its own magnitude.
     *
-    * `suspect(name)` marks sections whose kept run had elevated gc_ms or
-    * canary_ms (computed by the caller from this run's telemetry). Pure —
+    * `suspect(name)` marks sections whose kept run the CANARY flagged
+    * (host contention measured independently of the workload — the
+    * caller computes it from this run's telemetry). It must not include
+    * gc-share suspicion: a structurally GC-heavy section's every honest
+    * reading trips the storm predicate, which would make its reproduced
+    * regressions permanently unadoptable (r15 review). Pure —
     * spec-covered in BenchPolicySpec. */
   def mergeBaseline(
       prior: Map[String, Double],
@@ -739,17 +743,23 @@ object Bench {
       .mkString("{", ",", "}")
     val heapJson = heaps.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    // suspect sections (for the baseline merge): elevated gc share, or a
-    // canary >2× this run's own median — either means the kept reading may
-    // still be inflated, so it must not seed a NEW section's floor (it can
-    // never raise an existing one: the merge is min)
+    // suspect sections (for the baseline merge): a canary >2× this run's
+    // own median — independent host-contention evidence for the kept
+    // reading, so it must not seed a NEW section's floor or ratify a
+    // reproduced regression. Deliberately NOT the gcStorm predicate
+    // (r15 review): a structurally GC-heavy section's every honest
+    // reading is a "storm", so gc-suspicion would make its reproduced
+    // regressions permanently unadoptable — the gc-triggered rerun would
+    // then fire on every future run forever, the exact failure the
+    // adoption exception exists to prevent. A transient storm that
+    // sneaks an agreeing pair past the 25% gate can only raise the floor
+    // until the next clean run min-merges it back down.
     val canaryMedian = {
       val s = canaries.values.toSeq.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
     val suspect: String => Boolean = k =>
-      gcStorm(gcs.getOrElse(k, 0L), results.getOrElse(k, 0.0)) ||
-        canaries.getOrElse(k, 0.0) > 2 * canaryMedian
+      canaries.getOrElse(k, 0.0) > 2 * canaryMedian
     val baseline = mergeBaseline(prior, results.toMap, reruns.toMap, suspect)
     val baselineJson = results.keys.flatMap(k => baseline.get(k).map(v =>
       s""""$k":${num("%.4f", v)}""")).mkString("{", ",", "}")

@@ -641,27 +641,14 @@ object AnnStore {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)
     if (m.gens.isEmpty) {
-      // an EMPTIED store (a prior full-tombstone compaction) can still
-      // hold live tombstones from deletes committed afterwards — retire
-      // them here (there are no codes to erase, so retiring IS the
-      // physical step), else a tombstone-deadline policy would see the
-      // store as forever "due" and no-op every nightly run (r14 ADVICE).
-      // The emptying compaction also left its superseded codes
-      // generations as grace copies — keep cooling them out here too
-      // (r15: the earlier branch handled only tombs, so an emptied
-      // store's cooled codes generations leaked forever).
-      if (m.tombs.nonEmpty || m.tombCooling.nonEmpty || m.cooling.nonEmpty) {
-        val graceMs = spark.conf.getOption("graft.ann.gcGraceMs")
-          .map(_.toLong).getOrElse(15L * 60 * 1000)
-        val now = System.currentTimeMillis()
-        val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
-          Set.empty, "", graceMs, now)
-        val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
-          m.tombs.toSet, "", graceMs, now)
+      // EMPTIED store (a prior full-tombstone compaction): the shared
+      // retire step drains live tombstones + cooling grace copies —
+      // see StoreFiles.retireEmptiedStore
+      StoreFiles.retireEmptiedStore(spark, "graft.ann.gcGraceMs",
+        m.cooling, m.tombs, m.tombCooling,
+        Seq(codesPath(path, v)), tombsPath(path, v)) { (c, tc) =>
         writeCodesManifest(spark, path, v,
-          m.copy(cooling = cooling, tombs = Nil, tombCooling = tombCooling))
-        StoreFiles.sweepGenerations(spark, codesPath(path, v), keep - "")
-        StoreFiles.sweepGenerations(spark, tombsPath(path, v), keepT - "")
+          m.copy(cooling = c, tombs = Nil, tombCooling = tc))
       }
       return
     }

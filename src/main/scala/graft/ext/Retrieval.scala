@@ -561,28 +561,14 @@ object Retrieval {
     val snap = s"$path/compact-snap.tmp"
     f.delete(new Path(snap), true) // orphan from a crashed prior compact
     if (m.gens.isEmpty) {
-      // an EMPTIED index (a prior full-tombstone compaction) can still
-      // hold live tombstones from deletes committed afterwards — retire
-      // them here (there are no postings to erase, so retiring IS the
-      // physical step), else compactIndexIfNeeded(maxTombstoneRows = 0)
-      // would report the index forever "due" and run a no-op compaction
-      // every nightly run (r14 ADVICE). The emptying compaction also left
-      // its superseded DATA generations as grace copies — keep cooling
-      // them out here too (r15: the earlier branch handled only tombs,
-      // so an emptied store's cooled data generations leaked forever).
-      if (m.tombs.nonEmpty || m.tombCooling.nonEmpty || m.cooling.nonEmpty) {
-        val graceMs = spark.conf.getOption("graft.bm25.gcGraceMs")
-          .map(_.toLong).getOrElse(15L * 60 * 1000)
-        val now = System.currentTimeMillis()
-        val (cooling, keep) = StoreFiles.coolingStep(m.cooling,
-          Set.empty, "", graceMs, now)
-        val (tombCooling, keepT) = StoreFiles.coolingStep(m.tombCooling,
-          m.tombs.toSet, "", graceMs, now)
+      // EMPTIED index (a prior full-tombstone compaction): the shared
+      // retire step drains live tombstones + cooling grace copies —
+      // see StoreFiles.retireEmptiedStore
+      StoreFiles.retireEmptiedStore(spark, "graft.bm25.gcGraceMs",
+        m.cooling, m.tombs, m.tombCooling,
+        sides.map(side => s"$path/$side"), s"$path/tombs") { (c, tc) =>
         writeManifest(spark, path,
-          m.copy(cooling = cooling, tombs = Nil, tombCooling = tombCooling))
-        sides.foreach(side =>
-          StoreFiles.sweepGenerations(spark, s"$path/$side", keep - ""))
-        StoreFiles.sweepGenerations(spark, s"$path/tombs", keepT - "")
+          m.copy(cooling = c, tombs = Nil, tombCooling = tc))
       }
       return
     }

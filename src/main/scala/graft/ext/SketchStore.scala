@@ -196,12 +196,18 @@ object SketchStore {
     if (m0.gens.isEmpty) 0L
     else {
       val all = rows(spark, path)
-      require(all.filter(col("batch") === "__compacted").isEmpty,
+      // one aggregation pass yields both the compaction-lineage refusal
+      // and the label count (r15 review: two separate jobs scanned the
+      // store twice)
+      val counts = all.agg(
+        coalesce(sum(when(col("batch") === "__compacted", 1L)), lit(0L)),
+        coalesce(sum(when(col("batch") === batchLabel, 1L)), lit(0L))).head()
+      require(counts.getLong(0) == 0L,
         s"sketch store at $path was compacted — batch lineage for " +
           s"'$batchLabel' is merged and cannot be subtracted (HLL " +
           "sketches cannot forget); rebuild the affected keys from the " +
           "live corpus with rebuildKeys()")
-      val removed = all.filter(col("batch") === batchLabel).count()
+      val removed = counts.getLong(1)
       if (removed == 0L) 0L
       else {
         publishRewrite(spark, path, m0,

@@ -367,6 +367,34 @@ object StoreFiles {
     (stillCooling ++ sup, sup.keySet ++ stillCooling.keySet + newGen)
   }
 
+  /** The generational stores' EMPTIED-state retire step, shared by the
+    * BM25 and ANN compactions (r15 review: it existed as two lockstep
+    * copies, and the leak it fixes — an emptied store's cooled data
+    * generations surviving forever — had to be patched twice). A store
+    * emptied by a full-tombstone compaction has no data to rewrite, but
+    * it can still hold live tombstones from later deletes (retiring them
+    * IS the physical step — else a tombstone-deadline policy reports it
+    * forever "due") and grace copies still cooling from the emptying
+    * compaction (both data and tombstone sides). Steps both cooling
+    * ledgers, hands the caller the maps to publish in ITS manifest
+    * format, then sweeps. No-op when there is nothing to retire. */
+  def retireEmptiedStore(spark: SparkSession, graceConfKey: String,
+      cooling: Map[String, Long], tombs: Seq[String],
+      tombCooling: Map[String, Long], dataRoots: Seq[String],
+      tombsRoot: String)(
+      publish: (Map[String, Long], Map[String, Long]) => Unit): Unit = {
+    if (tombs.isEmpty && tombCooling.isEmpty && cooling.isEmpty) return
+    val graceMs = spark.conf.getOption(graceConfKey).map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+    val now = System.currentTimeMillis()
+    val (cool2, keep) = coolingStep(cooling, Set.empty, "", graceMs, now)
+    val (tombCool2, keepT) = coolingStep(tombCooling, tombs.toSet, "",
+      graceMs, now)
+    publish(cool2, tombCool2)
+    dataRoots.foreach(r => sweepGenerations(spark, r, keep - ""))
+    sweepGenerations(spark, tombsRoot, keepT - "")
+  }
+
   /** Delete every generation directory under `root` that is not in
     * `keep`: crash orphans (never listed in any manifest — invisible to
     * every reader) and cooled-out grace copies. Non-directories and
