@@ -3695,8 +3695,18 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS onn, " +
         "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS orr, " +
         "CAST(count(*) AS DOUBLE) AS n FROM lineitem WHERE l_returnflag IS NOT NULL) t) s"),
+    // the oracle models the operator's FULL contract including the
+    // documented loud cap: past maxSamplePerGroup=100000 values in a
+    // group, the bounded black-box form refuses and the validator
+    // records the refusal as a check failure — so at sf0.1 (groups of
+    // ~300k) both engines report failure_count=1 FOR THE SAME REASON,
+    // and below the cap both compute the real median decision. This
+    // retires the last deliberate sf0.1 offgate (r15; the r14 artifact
+    // carried it as the one documented non-match).
     "hyp_custom_grouped" ->
-      "SELECT 'median_diff_le2' AS check_name, CAST(CASE WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
+      ("SELECT 'median_diff_le2' AS check_name, CAST(CASE " +
+        "WHEN (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM lineitem WHERE l_linestatus IN ('O','F') AND l_quantity IS NOT NULL GROUP BY l_linestatus) t) > 100000 THEN 1 " +
+        "WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count"),
     // the deterministic sampled variant: the kept set is re-derived from
     // the same md5(key,seed) bottom-400 draw (ties break on the key's
     // string form, mirroring the k-heap's (key,value)-struct tiebreak),
