@@ -35,19 +35,14 @@ import multiprocessing as mp
 
 # Oracles whose engine behavior at sf0.1 intentionally diverges from the
 # SQL re-derivation. r14 closed the 20 golden-pin entries that used to
-# live here: every pin now carries a third `count(lineitem) >= 100000`
-# branch generated by tools/PinGen at sf0.1, so those gates are plain
-# oracle_match rows. What remains is the one deliberate refusal.
-OFFGATE = {
-    "hyp_custom_grouped": "bounded per-group collect: sf0.1 group sizes "
-                          "(~255k) exceed maxSamplePerGroup=100k, so the "
-                          "documented loud cap surfaces as a failed check "
-                          "(CHECK_ERROR with a raise-the-cap message) while "
-                          "the exact-SQL oracle passes — the refusal "
-                          "working, not silent approximation; the sampled "
-                          "scale path is gated as hyp_custom_grouped_sampled "
-                          "(oracle_match at sf0.1)",
-}
+# live here (PinGen third branches); r15 closed the final entry —
+# hyp_custom_grouped's oracle now carries the same >100k-per-group cap
+# branch the engine's bounded collect enforces, so the documented loud
+# refusal is an oracle_match at sf0.1 too. This class is EMPTY by
+# design: a new entry needs the same written justification the old ones
+# carried, and closing it (a conditional oracle branch modeling the
+# contract) is always preferred.
+OFFGATE = {}
 
 
 def engine_rows(outdir, name):
