@@ -398,7 +398,7 @@ object ValidationLedger {
               commit(grouped.filter(
                 col("partition").isin(freshInBatch.toIndexedSeq: _*)))
             else {
-              val keyDf = keyFrame(freshInBatch, strKeyField)
+              val keyDf = keyFrame(freshInBatch.toIndexedSeq, strKeyField)
               commit(grouped.join(broadcast(keyDf),
                 col("partition") === keyDf("__k"), "left_semi"))
             }
@@ -450,7 +450,7 @@ object ValidationLedger {
             if (newVals.length <= maxInline)
               work.filter(q(partitionCol).isin(newVals.toIndexedSeq: _*))
             else {
-              val keyDf = keyFrame(newVals, work.schema(partitionCol))
+              val keyDf = keyFrame(newVals.toIndexedSeq, work.schema(partitionCol))
               work.join(broadcast(keyDf),
                 work(partitionCol) === keyDf(partitionCol), "left_semi")
             }

@@ -792,7 +792,7 @@ object SchemaIO {
   def toScript(schema: DataFrameSchema): String = {
     def lit(a: Any): String = a match {
       case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      case l: Long   => l + "L"
+      case l: Long   => s"${l}L"
       case o         => String.valueOf(o)
     }
     def checkCode(c: Check): Option[String] = c match {
