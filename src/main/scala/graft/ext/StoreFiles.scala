@@ -112,7 +112,8 @@ object StoreFiles {
           block.getColumns.asScala
             .filter(_.getPath.toDotString == colName)
             .foreach { cc =>
-              val s = cc.getStatistics
+              val s: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
               if (s == null || !s.isNumNullsSet) statsKnown = false
               else nulls += s.getNumNulls
             }
