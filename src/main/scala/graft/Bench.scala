@@ -754,6 +754,21 @@ object Bench {
     // adoption exception exists to prevent. A transient storm that
     // sneaks an agreeing pair past the 25% gate can only raise the floor
     // until the next clean run min-merges it back down.
+    //
+    // KNOWN LIMITATION (r16 advice, accepted): the median-relative test
+    // cannot see UNIFORM contention — a run where every canary is
+    // inflated ~equally marks nothing suspect, so a section BORN in such
+    // a run seeds an inflated floor (existing sections stay protected by
+    // the min-merge, and the new floor self-heals downward on the first
+    // clean run that undercuts it — the same mechanism that closed the
+    // r14 saga). An absolute canary bound was considered and rejected:
+    // driver runs routinely read 65-117 ms against the ~15-40 ms idle
+    // spec (r15 artifact, judged clean), so any absolute threshold tight
+    // enough to catch uniform contention would also mark EVERY section
+    // of a routine driver run suspect — new sections then never enter
+    // the floor at all (no floor → no rerun trigger → unprotected
+    // forever), a strictly worse failure than one round of a too-high
+    // floor that min-merges away.
     val canaryMedian = {
       val s = canaries.values.toSeq.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)

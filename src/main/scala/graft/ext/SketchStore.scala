@@ -260,15 +260,22 @@ object SketchStore {
           "affectedKeys — every rebuilt key must be declared affected")
       akDistinct
     }
-    val dropped = store
-      .join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_semi")
-      .count()
+    // The dropped-count rides the rewrite itself (r16, r15-verdict #3):
+    // the former `left_semi ... count()` was a second pass over the
+    // store — KB-scale by contract, but the rewrite already scans every
+    // row, so a left-join tag + an `observe` aggregate yields the count
+    // from the SAME job (CollectMetrics sits above the join, below the
+    // surviving-rows filter; the write action populates it).
+    val obs = org.apache.spark.sql.Observation("rebuildKeys.dropped")
+    val tagged = store
+      .join(org.apache.spark.sql.functions.broadcast(
+        keys.withColumn("__aff", lit(true))), keyCols, "left")
+      .observe(obs, coalesce(sum(when(col("__aff"), 1L)), lit(0L)).as("dropped"))
     val freshRows = fresh.withColumn("batch", lit(batchLabel))
       .select(store.columns.map(c => col("`" + c.replace("`", "``") + "`")): _*)
     publishRewrite(spark, path, m0,
-      store.join(org.apache.spark.sql.functions.broadcast(keys), keyCols,
-        "left_anti").unionByName(freshRows))
-    dropped
+      tagged.filter(col("__aff").isNull).drop("__aff").unionByName(freshRows))
+    obs.get("dropped").asInstanceOf[Long]
   }
 
   /** Shared rewrite-and-flip for [[retractBatch]] / [[rebuildKeys]]: the

@@ -177,7 +177,11 @@ object StoreFiles {
       if (st.isDirectory && st.getPath.getName.startsWith(".stage-"))
         f.delete(st.getPath, true)
     }
-    ids.distinct().coalesce(1).write.mode("overwrite").parquet(stage)
+    // repartition(1), NOT coalesce(1): coalesce would collapse the
+    // distinct's reduce side into that single task (the trap
+    // compactMinHashStore documents); the extra shuffle moves only the
+    // distinct OUTPUT — cap-bounded, so one write task is fine (r16)
+    ids.distinct().repartition(1).write.mode("overwrite").parquet(stage)
     val (n, nulls) = parquetRowsAndNulls(spark, stage, idName)
     def dropStage(): Unit = { f.delete(new Path(stage), true); () }
     if (n <= 0L) {
@@ -236,18 +240,16 @@ object StoreFiles {
   }
 
   /** Recursive variant of [[dataBytes]] — for partitioned layouts where
-    * the data files live under partition subdirectories. */
+    * the data files live under partition subdirectories. Shares
+    * [[walkVisible]] with the row/footer counters (r16 advice), so bytes
+    * inside hidden staging dirs (`_temporary`, `.stage-*`) never count as
+    * live data and the two "visible data" definitions cannot drift. */
   def dataBytesRecursive(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) return 0L
-    val it = f.listFiles(p, true)
     var n = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) n += st.getLen
-    }
+    walkVisible(f, p)(st => n += st.getLen)
     n
   }
 

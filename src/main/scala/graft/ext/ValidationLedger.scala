@@ -512,16 +512,56 @@ object ValidationLedger {
     * Columns: (partition, batch, n_rows [ledgered], current_rows [0 when
     * the partition vanished entirely]). Pass `data` in the same typed
     * shape the increments saw — partition identity is the canonical
-    * cast-to-string. Cost: one grouped count over `data` (an audit scan
-    * by design — detecting in-place edits needs a look at the source)
-    * joined against the KB-sized ledger. */
-  def reconcile(data: DataFrame, partitionCol: String,
-      path: String): DataFrame = {
+    * cast-to-string. Cost without `candidates`: one grouped count over
+    * `data` (a FULL audit scan by design — detecting in-place edits
+    * anywhere needs a look at the whole source) joined against the
+    * KB-sized ledger.
+    *
+    * `candidates` (r16, r15-verdict #3): the documented primary use is
+    * "right after a takedown", where the touched partitions are KNOWN —
+    * there the full scan is waste. With candidates supplied (the ledger's
+    * canonical string keys, same contract as the increments'), BOTH sides
+    * restrict to the named partitions: the grouped count carries an
+    * `isin` on the partition column (static partition pruning — the scan
+    * lists only those directories; a backfill-sized set rides a broadcast
+    * semi-join instead of exploding the plan), and the ledger side
+    * reports only their verdicts. A candidate the takedown EMPTIED still
+    * surfaces (its ledger row left-joins to current_rows = 0); a drifted
+    * partition OUTSIDE the set is deliberately not checked — run the
+    * no-candidates audit nightly for that. */
+  def reconcile(data: DataFrame, partitionCol: String, path: String,
+      candidates: Option[Seq[String]] = None): DataFrame = {
     val spark = data.sparkSession
-    val current = data
-      .groupBy(q(partitionCol).cast("string").as("partition"))
+    val key = q(partitionCol).cast("string")
+    val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
+      .map(_.toInt).getOrElse(1024)
+    val (source, ledger) = candidates match {
+      case Some(cs) =>
+        require(cs.nonEmpty, "reconcile: empty candidates — pass None " +
+          "for the full audit scan")
+        require(!cs.contains(null), "reconcile: null candidate partition key")
+        val csSet = cs.distinct
+        if (csSet.length <= maxInline)
+          (data.filter(key.isin(csSet: _*)),
+            rows(spark, path).filter(col("partition").isin(csSet: _*)))
+        else {
+          val keyDf = spark.createDataFrame(
+            java.util.Arrays.asList(csSet.map(v =>
+              org.apache.spark.sql.Row(v)): _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__k",
+                org.apache.spark.sql.types.StringType))))
+          val led = rows(spark, path)
+          (data.join(broadcast(keyDf), key === keyDf("__k"), "left_semi"),
+            led.join(broadcast(keyDf), led("partition") === keyDf("__k"),
+              "left_semi"))
+        }
+      case None => (data, rows(spark, path))
+    }
+    val current = source
+      .groupBy(key.as("partition"))
       .agg(count(lit(1)).as("current_rows"))
-    rows(spark, path).select("partition", "batch", "n_rows")
+    ledger.select("partition", "batch", "n_rows")
       .join(current, Seq("partition"), "left")
       .withColumn("current_rows", coalesce(col("current_rows"), lit(0L)))
       .filter(col("current_rows") =!= col("n_rows"))

@@ -4,8 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The rolling-baseline merge policy (r14 verdict #1) — pure-function
   * coverage for every branch: the floor may only drop, except a REPRODUCED
-  * slowdown (two agreeing same-session runs, both >2× the floor, neither
-  * suspect), and new sections enter only from non-suspect readings. */
+  * slowdown (two agreeing same-session runs, both >1.3× the floor — the
+  * lowest ratio any rerun trigger fires at, so a structural GC-heavy
+  * regression between 1.3× and 2× stays adoptable — neither suspect), and
+  * new sections enter only from non-suspect readings. */
 class BenchPolicySpec extends AnyFunSuite {
 
   private val clean: String => Boolean = _ => false

@@ -220,9 +220,42 @@ class SketchStoreSpec extends SparkSpec {
     val affected = Seq("0", "3").toDF("k") // '0' rebuilt, '3' emptied
     val fresh = SketchStore.distinctSketch(
       live.filter(col("k") === "0"), Seq("k"), "v")
-    val dropped = SketchStore.rebuildKeys(fresh, dir, "rb",
-      affectedKeys = Some(affected))
+    // the dropped-count must ride the rewrite action itself (r16: an
+    // `observe` aggregate on the tagged scan), not run as a second pass
+    // over the store — count SQL EXECUTIONS (one per action; AQE splits
+    // an action into a variable number of jobs, so jobs aren't a stable
+    // signal) across the call: the affectedKeys guard's isEmpty + the
+    // rewrite write = 2, the former left_semi count() would make 3
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(): Unit
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(jl)
+    val dropped =
+      try SketchStore.rebuildKeys(fresh, dir, "rb",
+        affectedKeys = Some(affected))
+      finally {
+        // the listener bus is async: poll until the counter is stable
+        // for 500 ms (same pattern as the ledger's listing-prune spec)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = jobs.get(); var stableSince = System.nanoTime()
+        while (System.nanoTime() - stableSince < 500L * 1000 * 1000 &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          val now = jobs.get()
+          if (now != last) { last = now; stableSince = System.nanoTime() }
+        }
+        spark.sparkContext.removeSparkListener(jl)
+      }
     assert(dropped == 2L, s"both affected keys' rows must drop, got $dropped")
+    assert(jobs.get() <= 2L,
+      s"rebuildKeys ran ${jobs.get()} SQL executions — the dropped-count " +
+        "must ride the rewrite (guard + rewrite, no second store pass)")
     val servedKeys = SketchStore.estimate(spark, dir, Seq("k"))
       .select("k").collect().map(_.getString(0)).toSet
     assert(servedKeys == Set("0", "1", "2"),

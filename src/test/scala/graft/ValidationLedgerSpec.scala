@@ -493,6 +493,105 @@ class ValidationLedgerSpec extends SparkSpec {
     assert(byPart("p2") == "b2" && byPart("p0") == "b1")
   }
 
+  test("reconcile(candidates) partition-prunes the audit scan to the named partitions (r16)") {
+    // The documented primary use of reconcile is "right after a takedown",
+    // where the touched partitions are KNOWN — there the audit must read
+    // only those partitions' rows, same contract as the increments'
+    // candidates path. Disk-partitioned source, records-read listener
+    // (same signal as the r13 listing-prune spec: local-FS bytesRead
+    // tracks file OPENS, records are deterministic).
+    val dataDir = tmp() + "/data"
+    spark.range(4000).select(
+      concat(lit("p"), col("id") % 4).as("part"), col("id").as("v"))
+      .write.partitionBy("part").parquet(dataDir)
+    val data = spark.read.parquet(dataDir)
+    val sch = DataFrameSchema(
+      "part" -> ColumnSchema.of(StringType),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L)))
+    val dir = tmp()
+    ValidationLedger.validateIncrement(sch, data, "part", dir, "b1",
+      candidates = Some(Seq("p0", "p1", "p2", "p3"))): Unit
+
+    // the "post-takedown" live corpus: p1 lost 100 rows, p3 lost 50 —
+    // written disk-partitioned so pruning has directories to skip
+    val liveDir = tmp() + "/live"
+    data.filter(!(col("part") === "p1" && col("v") % 10 === 1) &&
+        !(col("part") === "p3" && col("v") % 20 === 3))
+      .write.partitionBy("part").parquet(liveDir)
+    val live = spark.read.parquet(liveDir)
+
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = recs.get(); var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 500L * 1000 * 1000 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val now = recs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
+    def measure(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      quiesce()
+      recs.set(0L)
+      try { f; quiesce() }
+      finally spark.sparkContext.removeSparkListener(listener)
+      recs.get()
+    }
+
+    // takedown touched p1 only (as far as the caller knows): the pruned
+    // audit reads ~800 source rows (p1's survivors) + the 4-row ledger —
+    // never the other three partitions' rows
+    var pruned: Array[org.apache.spark.sql.Row] = Array.empty
+    val prunedRecs = measure {
+      pruned = ValidationLedger.reconcile(live, "part", dir,
+        candidates = Some(Seq("p1"))).collect()
+    }
+    assert(pruned.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("p1", 1000L, 800L)))
+    assert(prunedRecs >= 800L && prunedRecs <= 1300L,
+      s"candidates=Seq(p1) reconcile read $prunedRecs records " +
+        "(want ~804: p1's rows + the ledger — the scan must prune the " +
+        "other partitions at the file listing)")
+
+    // the full audit (candidates = None) still sees BOTH drifted
+    // partitions and reads the whole live corpus
+    val fullRecs = measure {
+      val full = ValidationLedger.reconcile(live, "part", dir).collect()
+      assert(full.map(_.getString(0)).toSeq == Seq("p1", "p3"))
+    }
+    assert(fullRecs >= 3550L,
+      s"full-audit reconcile read $fullRecs records (want ~3604: the " +
+        "whole live corpus + ledger)")
+
+    // a candidate the takedown EMPTIED wholesale still surfaces as
+    // current_rows = 0 (its directory is simply absent from the live set)
+    val live2 = live.filter(col("part") =!= "p2")
+    assert(ValidationLedger.reconcile(live2, "part", dir,
+        candidates = Some(Seq("p2"))).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq == Seq(("p2", 0L)))
+    // a drifted partition OUTSIDE the candidate set is deliberately not
+    // reported (run the nightly no-candidates audit for that)
+    assert(ValidationLedger.reconcile(live, "part", dir,
+      candidates = Some(Seq("p0"))).isEmpty)
+    // a candidate with no ledger row is inert (nothing to compare)
+    assert(ValidationLedger.reconcile(live, "part", dir,
+      candidates = Some(Seq("p9"))).isEmpty)
+    // guards, same contract as the increments'
+    intercept[IllegalArgumentException](
+      ValidationLedger.reconcile(live, "part", dir, candidates = Some(Nil)))
+    intercept[IllegalArgumentException](
+      ValidationLedger.reconcile(live, "part", dir,
+        candidates = Some(Seq("p1", null))))
+  }
+
   test("contract fingerprint: a changed check set refuses loudly; emptied ledger re-establishes; legacy manifests adopt (r14)") {
     val dir = tmp()
     ValidationLedger.validateIncrement(schema,
