@@ -613,6 +613,14 @@ object Dedup {
   //   params.json    shingleK / numHashes / bands — serve-time validation
   // Appending a batch appends to all three and never rewrites history.
 
+  /** One reader for the store's three append-only tables: recursive, so
+    * flat legacy files (pre-r16 appends, post-compaction rewrites) and
+    * the r16 streamed appends' `<tag>-b<id>` generation subdirs serve
+    * together; hidden staging (`.stage-*`) stays invisible, exactly as
+    * Spark's file index treats hidden paths. */
+  private def readMinhashTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+
   private def minhashStoreParams(path: String): (Int, Int, Int) = {
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = jackson.readValue(
@@ -638,7 +646,7 @@ object Dedup {
     // append mode, restrict to the new ids). persist: the band rows feed
     // BOTH the rows write and the count-delta write — without it the
     // signature+explode pass runs twice.
-    val shp = spark.read.parquet(s"$path/shingles")
+    val shp = readMinhashTable(spark, s"$path/shingles")
       .join(docs.select(q(idCol).as("id")), Seq("id"), "left_semi")
     val rows = shp
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -672,6 +680,118 @@ object Dedup {
       path: String): Unit = {
     val (k, h, b) = minhashStoreParams(path)
     minhashStoreWrite(batch, idCol, textCol, path, k, h, b, "append")
+  }
+
+  /** Per-tag high-water marks for the streamed append — the store is
+    * pre-manifest (plain dirs), so the marks live in their own
+    * atomically-replaced `marks.json` beside `params.json`. Absent file =
+    * no marks (a never-streamed or legacy store). */
+  private def minhashMarks(spark: SparkSession,
+      path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/marks.json")
+    if (!StoreFiles.fs(spark, path).exists(p)) Map.empty
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        StoreFiles.readUtf8(spark, s"$path/marks.json"),
+        classOf[java.util.Map[String, Any]])
+      require(String.valueOf(root.get("format")) == "graft-minhash-marks",
+        s"not a MinHash marks file: $path/marks.json")
+      StoreFiles.jsonLongMap(root.get("marks"))
+    }
+  }
+
+  private def writeMinhashMarks(spark: SparkSession, path: String,
+      marks: Map[String, Long]): Unit =
+    StoreFiles.writeUtf8Atomic(spark, s"$path/marks.json",
+      s"""{"format":"graft-minhash-marks","marks":{${StoreFiles.jsonLongObj(marks)}}}""")
+
+  /** The streaming twin of [[appendToMinHashStore]] (r16 — the missing
+    * member of the BM25/ANN/fingerprint `appendBatch` family, required
+    * for the nightly pipeline's cross-store crash-resume): `(streamTag,
+    * batchId)` makes foreachBatch's at-least-once redeliveries
+    * exactly-once. Returns false (no-op) at or below the tag's committed
+    * high-water mark.
+    *
+    * Mechanics — the store is pre-manifest, so the batch lands as one
+    * `<tag>-b<id>` generation SUBDIR per table (readers are recursive;
+    * flat legacy files serve unchanged), each published by a hidden
+    * stage → rename flip, in fixed order shingles → rows → bucket_counts,
+    * and the mark advances LAST:
+    *
+    *  - a visible generation dir is COMPLETE by construction (the rename
+    *    is the publish), so a resume skips it and fills in only the
+    *    missing tables — band rows and count deltas re-derive
+    *    DETERMINISTICALLY from the batch's persisted shingles generation,
+    *    never from the caller's frame (which a retry may rebuild
+    *    differently);
+    *  - every crash window is correct-at-worst-superset for serves:
+    *    shingles-without-rows are inert (no band rows → no candidates);
+    *    rows-without-counts UNDERCOUNT a bucket, which only disables the
+    *    oversized-bucket skip for it (more candidate work, same verified
+    *    pairs) — and the window closes on resume;
+    *  - a crash after all three flips but before the mark re-runs as a
+    *    pure no-op (all dirs present) and then advances the mark.
+    *
+    * Single-writer contract, and resume-before-compact: a crashed batch
+    * must be redelivered before the next [[compactMinHashStore]] (which
+    * flattens generation dirs — standard crash-RESUME cadence, the same
+    * contract the manifest stores' cooling windows assume). */
+  def appendBatchToMinHashStore(batch: DataFrame, idCol: String,
+      textCol: String, path: String, streamTag: String,
+      batchId: Long): Boolean = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    val spark = batch.sparkSession
+    val (shingleK, numHashes, bands) = minhashStoreParams(path)
+    val marks = minhashMarks(spark, path)
+    if (marks.get(streamTag).exists(batchId <= _)) return false
+    val gen = s"$streamTag-b$batchId"
+    val f = StoreFiles.fs(spark, path)
+    // publish one table's generation: skip when already visible (a
+    // crashed attempt that got past this table's flip), else hidden
+    // stage (overwrite reclaims a half-written orphan) → rename
+    def publishGen(df: => DataFrame, table: String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$table/$gen")
+      if (!f.exists(dir)) {
+        val stage = s"$path/$table/.stage-$gen"
+        df.write.mode("overwrite").parquet(stage)
+        require(f.rename(new org.apache.hadoop.fs.Path(stage), dir),
+          s"appendBatchToMinHashStore: rename $stage -> $dir failed")
+      }
+    }
+    publishGen(batch.select(q(idCol).as("id"),
+      shingles(q(textCol), shingleK).as("sh")), "shingles")
+    // rows + counts derive from the PERSISTED shingles generation (resume
+    // must not trust the caller's frame); persist: one signature+explode
+    // pass feeds both writes, as the build path does
+    val rows = spark.read.parquet(s"$path/shingles/$gen")
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"))
+      .persist()
+    try {
+      publishGen(rows, "rows")
+      publishGen(rows.groupBy("band", "bucket").agg(count(lit(1)).as("n")),
+        "bucket_counts")
+    } finally rows.unpersist(): Unit
+    writeMinhashMarks(spark, path,
+      minhashMarks(spark, path) + (streamTag -> batchId))
+    true
+  }
+
+  /** foreachBatch writer wrapping [[appendBatchToMinHashStore]] — the
+    * sibling of `Retrieval.indexAppendWriter` / `AnnStore.appendWriter`:
+    * attach to a crawl stream and the store ingests each micro-batch
+    * exactly-once under the tag ↔ checkpoint contract. */
+  def minhashAppendWriter(stream: DataFrame, idCol: String, textCol: String,
+      path: String, streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction, not batch 0
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      appendBatchToMinHashStore(batch, idCol, textCol, path, streamTag, id): Unit
+    }
   }
 
   /** The live retracted ids of a MinHash store as a one-column `id`
@@ -751,7 +871,7 @@ object Dedup {
     // is ~bands·|corpus| for a mostly-unique corpus and must never be a
     // broadcast side
     val tomb = minhashTombstones(spark, path)
-    val counts = spark.read.parquet(s"$path/bucket_counts")
+    val counts = readMinhashTable(spark, s"$path/bucket_counts")
       .groupBy("band", "bucket").agg(sum("n").as("n"))
     val overCap = tomb match {
       case None => counts.filter(col("n") > cap).select("band", "bucket")
@@ -765,14 +885,14 @@ object Dedup {
         // the direct path over the live corpus exactly (r14 ADVICE — the
         // serve ≡ direct row-identity the spec asserts holds even when a
         // bucket straddles the cap)
-        val retracted = spark.read.parquet(s"$path/rows")
+        val retracted = readMinhashTable(spark, s"$path/rows")
           .join(broadcast(t), Seq("id"), "left_semi")
           .groupBy("band", "bucket").agg(count(lit(1)).as("rn"))
         counts.join(retracted, Seq("band", "bucket"), "left")
           .filter(col("n") - coalesce(col("rn"), lit(0L)) > cap)
           .select("band", "bucket")
     }
-    val corpusRows0 = spark.read.parquet(s"$path/rows")
+    val corpusRows0 = readMinhashTable(spark, s"$path/rows")
       .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
     val corpusRows = tomb.fold(corpusRows0) { t =>
       corpusRows0.join(broadcast(t), Seq("id"), "left_anti") }
@@ -785,7 +905,7 @@ object Dedup {
     val shNew = incoming
       .select(q(idCol).as("id_new"), shingles(q(textCol), shingleK).as("sh_new"))
       .join(cand.select("id_new").distinct(), Seq("id_new"), "left_semi")
-    val shCorpus = spark.read.parquet(s"$path/shingles")
+    val shCorpus = readMinhashTable(spark, s"$path/shingles")
       .select(col("id").as("id_corpus"), col("sh").as("sh_corpus"))
       .join(cand.select("id_corpus").distinct(), Seq("id_corpus"), "left_semi")
     crossJaccardVerify(cand, shNew, shCorpus, threshold)
@@ -813,7 +933,7 @@ object Dedup {
       .foreach(d => StoreFiles.healDir(spark, s"$path/$d"))
     def target(dir: String): Int =
       if (targetFiles > 0) targetFiles
-      else StoreFiles.targetFileCount(StoreFiles.dataBytes(spark, dir))
+      else StoreFiles.targetFileCount(StoreFiles.dataBytesRecursive(spark, dir))
     // retraction healing (r14): retracted ids drop from the rewritten
     // rows/shingles, and the count snapshot recomputes from the SCRUBBED
     // rows instead of the delta sum — compaction is the physical-erasure
@@ -831,9 +951,9 @@ object Dedup {
     //    output, which is distinct-bucket-sized
     val bcDir = s"$path/bucket_counts"
     val counts = tomb match {
-      case None => spark.read.parquet(bcDir)
+      case None => readMinhashTable(spark, bcDir)
         .groupBy("band", "bucket").agg(sum("n").as("n"))
-      case Some(_) => scrub(spark.read.parquet(s"$path/rows"))
+      case Some(_) => scrub(readMinhashTable(spark, s"$path/rows"))
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
     }
     counts
@@ -845,7 +965,7 @@ object Dedup {
     //    (bytes/128 MB) scales with store size, so big stores keep their
     //    read parallelism
     Seq(s"$path/rows", s"$path/shingles").foreach { dir =>
-      scrub(spark.read.parquet(dir))
+      scrub(readMinhashTable(spark, dir))
         .coalesce(target(dir)).write.mode("overwrite")
         .parquet(dir + ".compacting")
       StoreFiles.swapDir(spark, dir + ".compacting", dir)
