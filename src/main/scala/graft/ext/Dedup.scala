@@ -977,6 +977,27 @@ object Dedup {
         .delete(new org.apache.hadoop.fs.Path(s"$path/tombs"), true): Unit
   }
 
+  /** Live visible data files across the store's tables (tombstones
+    * included — every serve lists and anti-joins them), the quantity the
+    * compaction cadence bounds. */
+  def minhashStoreFileCount(spark: SparkSession, path: String): Int =
+    Seq("shingles", "rows", "bucket_counts", "tombs")
+      .map(t => StoreFiles.dataFileCountRecursive(spark, s"$path/$t")).sum
+
+  /** Threshold-driven compaction cadence for crawl loops (r16, r15-verdict
+    * #2 — the long-soak contract): call after every append/takedown;
+    * compacts only when the store's visible file count exceeds `maxFiles`,
+    * so hundreds of interleaved append/takedown cycles keep the file
+    * count sawtoothing under the threshold (and serve latency flat)
+    * instead of degrading into the object-store small-files regime.
+    * Returns true when a compaction ran. ScaleProbe's `soak` leg drives
+    * ~100 cycles and records both curves (BASELINE.md §r16). */
+  def compactMinHashStoreIfNeeded(spark: SparkSession, path: String,
+      maxFiles: Int = 64, targetFiles: Int = 0): Boolean = {
+    if (minhashStoreFileCount(spark, path) <= maxFiles) false
+    else { compactMinHashStore(spark, path, targetFiles); true }
+  }
+
   /** [[dropExistingNearDup]] against a persisted store. */
   def dropExistingNearDupStore(incoming: DataFrame, idCol: String,
       textCol: String, path: String, threshold: Double = 0.8,

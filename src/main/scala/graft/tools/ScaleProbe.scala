@@ -69,11 +69,13 @@ object ScaleProbe {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
     // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "annserve",
     // "ledger", "takedown"; plus "ledgerpieces", a one-off P=1000 increment
-    // decomposition, and "cluster10x", the Bench dedup_cluster_10x shape
-    // with GC/heap telemetry for constrained-heap reproduction — those two
-    // run ONLY when named explicitly) — empty runs the standard set
+    // decomposition, "cluster10x", the Bench dedup_cluster_10x shape
+    // with GC/heap telemetry for constrained-heap reproduction, and
+    // "soak", the ~100-cycle append/takedown/compact store soak — those
+    // three run ONLY when named explicitly) — empty runs the standard set
     val only: String => Boolean =
-      if (args.isEmpty) k => k != "ledgerpieces" && k != "cluster10x"
+      if (args.isEmpty)
+        k => k != "ledgerpieces" && k != "cluster10x" && k != "soak"
       else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -303,11 +305,21 @@ object ScaleProbe {
         val (pf, ptf, pb, ptb) = bucketFootprint(s"$dir/postings")
         val (df0, dtf, db0, dtb) = bucketFootprint(s"$dir/dfd")
         val (kf, tf2, kb, tb2) = (pf + df0, ptf + dtf, pb + db0, ptb + dtb)
+        // r16 (r15-verdict #6): third decade for the masked-serve claim —
+        // tombstone 10% of the corpus and serve again; the broadcast
+        // anti-join's cost must stay within noise of the base serve at
+        // 100× exactly as measured at 1×/10× (takedown leg)
+        val (tdel, nDel) = time(graft.ext.Retrieval.deleteDocs(
+          corpus.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          "doc_id", dir))
+        val (tsM, _) = time(graft.ext.Retrieval.bm25TopKFromIndex(
+          spark, dir, queries, "qid", "qtext", k = 10).count())
         println(f"PROBE bm25store_$name rows=$rows n_buckets=$nBuckets " +
           f"query_buckets=${buckets.size} build_sec=$tb0%.1f " +
           f"serve_sec=$ts0%.1f served=$nServe " +
           f"listed_files=$kf/$tf2 listed_bytes=$kb/$tb2 " +
-          f"listed_frac=${kb.toDouble / tb2}%.4f")
+          f"listed_frac=${kb.toDouble / tb2}%.4f " +
+          f"deleted=$nDel delete_sec=$tdel%.1f serve_masked_sec=$tsM%.1f")
       }
     }
 
@@ -383,11 +395,20 @@ object ScaleProbe {
           if (nm.startsWith("cell=") &&
               probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
         }
+        // r16 (r15-verdict #6): tombstoned serve at every decade — the
+        // masked-serve ≈ baseline claim gets its 200k-vector point
+        val (tdel, nDel) = time(graft.ext.AnnStore.delete(
+          corpus.filter(col("vec_id") % 10 === 3).select("vec_id"),
+          "vec_id", dir))
+        val (tsM, _) = time(graft.ext.AnnStore.serve(dir, corpus,
+          "vec_id", "embedding", qv, "qid", "qv", k = 10,
+          nProbe = nProbe).count())
         corpus.unpersist()
         println(f"PROBE annserve_$name rows=$rows n_centroids=$nc " +
           f"probed_cells=${probed.size} build_sec=$tb0%.1f " +
           f"serve_sec=$ts0%.1f served=$nServe " +
-          f"listed_bytes=$kb/$tb listed_frac=${kb.toDouble / tb}%.4f")
+          f"listed_bytes=$kb/$tb listed_frac=${kb.toDouble / tb}%.4f " +
+          f"deleted=$nDel delete_sec=$tdel%.1f serve_masked_sec=$tsM%.1f")
       }
     }
 
@@ -598,6 +619,70 @@ object ScaleProbe {
           f"serve_masked_sec=$ts1%.2f compact_sec=$tc%.2f " +
           f"serve_healed_sec=$ts2%.2f")
       }
+    }
+    // r16 (r15-verdict #2): LONG-SOAK fragmentation — real crawl cadence
+    // is hundreds of appends interleaved with takedowns, not the 8 appends
+    // the dedup_store_append_8 gate covers. Drive ~100 cycles against ONE
+    // MinHash store: streamed append every cycle, a takedown every 10th,
+    // compactMinHashStoreIfNeeded every cycle (threshold 64 files).
+    // Record live-file count and serve latency per cycle — the claim is
+    // both stay BOUNDED: files sawtooth under the threshold, serve tracks
+    // corpus size (which grows ~2%/cycle by construction), never file
+    // count. A no-cadence CONTROL run shows the counterfactual drift.
+    // Runs only when named explicitly (it is a minutes-long loop).
+    if (only("soak")) {
+      val cycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "100").toInt
+      val controlCycles =
+        sys.env.getOrElse("SPARK_GRAFT_SOAK_CONTROL", "40").toInt
+      def batchOf(i: Int): DataFrame = docs
+        .filter(col("doc_id") % 50 === (i % 50))
+        // reverse(): utterly different shingle sets than the base corpus,
+        // so the fixed probe's pair count stays constant across cycles
+        // and serve time isolates store mechanics, not result growth
+        .select((col("doc_id") + i * 10000000L).as("doc_id"),
+          concat(reverse(col("text")), lit(s" soak batch $i")).as("text"))
+      val probe = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" probe suffix")).as("text"))
+        .persist()
+      probe.count(): Unit
+      def runSoak(name: String, n: Int, cadence: Boolean): Unit = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-soak-$name").toString + "/mh"
+        graft.ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+        var compactions = 0
+        val serveS = collection.mutable.ArrayBuffer.empty[Double]
+        val filesS = collection.mutable.ArrayBuffer.empty[Int]
+        for (i <- 1 to n) {
+          graft.ext.Dedup.appendBatchToMinHashStore(batchOf(i), "doc_id",
+            "text", dir, "soak", i.toLong): Unit
+          if (i % 10 == 0) {
+            // takedown: a third of the batch appended 5 cycles ago
+            val victim = i - 5
+            graft.ext.Dedup.retractFromMinHashStore(
+              batchOf(victim).filter(col("doc_id") % 3 === 0)
+                .select("doc_id"), "doc_id", dir): Unit
+          }
+          if (cadence &&
+              graft.ext.Dedup.compactMinHashStoreIfNeeded(spark, dir,
+                maxFiles = 64)) compactions += 1
+          val files = graft.ext.Dedup.minhashStoreFileCount(spark, dir)
+          val (ts, pairs) = time(graft.ext.Dedup.minhashPairsAgainstStore(
+            probe, "doc_id", "text", dir).count())
+          serveS += ts; filesS += files
+          if (i % 10 == 0 || i == n)
+            println(f"PROBE soak_$name cycle=$i files=$files " +
+              f"serve_sec=$ts%.2f pairs=$pairs compactions=$compactions")
+        }
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"PROBE soak_${name}_summary cycles=$n " +
+          f"files_max=${filesS.max} files_last=${filesS.last} " +
+          f"compactions=$compactions " +
+          f"serve_first10_med=${med(serveS.take(10).toSeq)}%.2f " +
+          f"serve_last10_med=${med(serveS.takeRight(10).toSeq)}%.2f")
+      }
+      runSoak("cadence", cycles, cadence = true)
+      runSoak("control", controlCycles, cadence = false)
     }
     spark.stop()
   }

@@ -190,6 +190,31 @@ class PipelineResumeSpec extends SparkSpec {
     assert(staged.count() == survivors.count())
   }
 
+  test("compactMinHashStoreIfNeeded: no-op under the threshold, bounds the file count over it, serves unchanged (r16)") {
+    val dir = tmp()
+    Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val floor = Dedup.minhashStoreFileCount(spark, dir)
+    // a freshly-built store is under any sane threshold: no-op
+    assert(!Dedup.compactMinHashStoreIfNeeded(spark, dir, maxFiles = 256))
+    (1 to 6).foreach { i =>
+      Dedup.appendBatchToMinHashStore(mkDocs(i * 1000L, i * 1000L + 15L),
+        "doc_id", "text", dir, "cad", i.toLong): Unit
+    }
+    val frag = Dedup.minhashStoreFileCount(spark, dir)
+    assert(frag > floor, "appends must fragment the store")
+    val probe = mkDocs(0L, 40L)
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+    def pairs() = Dedup.minhashPairsAgainstStore(probe, "doc_id", "text",
+      dir).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = pairs()
+    // threshold below the fragmented count: compaction runs and the file
+    // count drops back under it
+    assert(Dedup.compactMinHashStoreIfNeeded(spark, dir, maxFiles = frag - 1))
+    assert(Dedup.minhashStoreFileCount(spark, dir) < frag)
+    assert(pairs() == before, "cadence compaction must not change serves")
+  }
+
   test("minhash streamed append: exactly-once under redelivery; resume fills only the missing tables (r16)") {
     val dir = tmp()
     Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
