@@ -1926,6 +1926,149 @@ object SparkEntry {
         .unionByName(takedownRows)
         .orderBy("doc_id")
     }),
+    "pipeline_resume_batch" -> ((s, d) => {
+      // r16 (r15-verdict #1): the nightly composition's CRASH-RESUME
+      // contract as a gate — attempt 1 stages the survivors and appends
+      // to fingerprint + MinHash + BM25, then "crashes" between the BM25
+      // and ANN appends (the judge's canonical window); attempt 2 re-runs
+      // the WHOLE sequence under the same (tag, batchId). The staged
+      // read-back + per-store marks must make the resume converge:
+      // redelivered appends no-op, the missing ANN append and ledger
+      // increment land once, and the final stores serve exactly as one
+      // uninterrupted run (pinned in-gate by serve ≡ one-shot-over-union
+      // equalities). Output = the disposition table + ledger rollups +
+      // a resume-counters row, all DuckDB-re-derivable; the counters pin
+      // the exactly-once behavior into the hash.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val fpDir = tmp("graft-rb-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
+      val mhDir = tmp("graft-rb-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
+      val bmDir = tmp("graft-rb-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
+      def embed(df: org.apache.spark.sql.DataFrame,
+          id: org.apache.spark.sql.Column) = df.select(
+        id.as("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
+      val histEmb = embed(hist, col("doc_id"))
+      val annDir = tmp("graft-rb-ann")
+      ext.AnnStore.create(histEmb, "doc_id", "emb",
+        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
+      val ldir = tmp("graft-rb-led")
+      val ledSch = DataFrameSchema(
+        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "text" -> ColumnSchema(Some(StringType), Seq(
+          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
+          ColumnCheck("text_short", c => length(c) <= 300)),
+          nullable = false),
+        "ds" -> ColumnSchema.of(StringType))
+      ext.ValidationLedger.validateIncrement(ledSch,
+        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist"): Unit
+      // tonight's batch: fresh docs, exact re-crawls, near-dup re-crawls
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + 1000000L).as("id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .select((col("doc_id") + 2000000L).as("id"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 2)
+          .select((col("doc_id") + 3000000L).as("id"),
+            concat(col("text"), lit(" r16 resume suffix")).as("text")))
+      val sdir = tmp("graft-rb-staged")
+      // the staged artifact carries the FULL disposition (every batch
+      // row's fate), not just the survivors — the scrub verdicts are
+      // computable only BEFORE the appends, so anything the output needs
+      // from them must ride the staged bytes through the crash
+      def stageDisposition() =
+        ext.Pipeline.stageBatch(s, sdir, "night", 1L) {
+          val afterExact = ext.FingerprintStore.scrub(batch, "text", fpDir)
+          val surv = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
+            "text", mhDir)
+          batch
+            .join(afterExact.select(col("id"), lit(true).as("__pe")),
+              Seq("id"), "left")
+            .join(surv.select(col("id"), lit(true).as("__pn")),
+              Seq("id"), "left")
+            .select(col("id"), col("text"),
+              when(col("__pe").isNull, "exact_dup")
+                .when(col("__pn").isNull, "near_dup")
+                .otherwise("ingested").as("stage_status"))
+        }
+      def survivorsOf(staged: org.apache.spark.sql.DataFrame) =
+        staged.filter(col("stage_status") === "ingested")
+          .select(col("id"), col("text"))
+      // --- attempt 1: crash between the BM25 append and the ANN append
+      val surv1 = survivorsOf(stageDisposition())
+      require(ext.FingerprintStore.appendBatch(surv1, "text", fpDir,
+        "night", 1L), "attempt 1: fp append must commit")
+      require(ext.Dedup.appendBatchToMinHashStore(surv1, "id", "text",
+        mhDir, "night", 1L), "attempt 1: minhash append must commit")
+      require(ext.Retrieval.appendBatchToIndex(surv1, "id", "text", bmDir,
+        "night", 1L), "attempt 1: bm25 append must commit")
+      // <crash> — the ANN append and the ledger increment never ran
+      // --- attempt 2: the resume re-runs the whole sequence, same tags.
+      // Eager localCheckpoint: the disposition frame must outlive
+      // retireStaged below (the gate's output materializes only at the
+      // end), and the survivors feed five consumers
+      val staged2 = stageDisposition().localCheckpoint(true)
+      val surv2 = survivorsOf(staged2)
+      require(surv2.count() == surv1.count() && surv2.count() > 0,
+        "resume must read back the staged survivors, not re-derive " +
+          "(a re-scrub against the already-appended stores would drop all)")
+      val fpNoop = !ext.FingerprintStore.appendBatch(surv2, "text", fpDir,
+        "night", 1L)
+      val mhNoop = !ext.Dedup.appendBatchToMinHashStore(surv2, "id", "text",
+        mhDir, "night", 1L)
+      val bmNoop = !ext.Retrieval.appendBatchToIndex(surv2, "id", "text",
+        bmDir, "night", 1L)
+      require(fpNoop && mhNoop && bmNoop,
+        "redelivered appends must no-op at the committed marks")
+      val annDid = ext.AnnStore.appendBatch(embed(surv2, col("id")),
+        "doc_id", "emb", annDir, "night", 1L)
+      require(annDid, "the crashed-off ANN append must land on resume")
+      val nightly = ext.ValidationLedger.validateIncrementBatch(ledSch,
+        hist.withColumn("ds", lit("hist")).unionByName(
+          surv2.select(col("id").as("doc_id"), col("text"))
+            .withColumn("ds", lit("night1"))),
+        "ds", ldir, "night1", "night", 1L,
+        candidates = Some(Seq("night1")))
+      require(nightly.select("partition").collect().map(_.getString(0))
+        .toSeq == Seq("night1"), "resume ledger increment must validate " +
+        "exactly the night1 partition")
+      ext.Pipeline.retireStaged(s, sdir, "night", 1L)
+      // convergence pins: the resumed stores serve exactly as one
+      // uninterrupted run would (≡ a one-shot build over the union)
+      val union = hist.unionByName(
+        surv2.select(col("id").as("doc_id"), col("text")))
+      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sorted.toSeq
+      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)) ==
+        rows(ext.Retrieval.bm25TopK(union, "doc_id", "text", queries,
+          "query_id", "qtext", k = 5)),
+        "resumed BM25 store diverged from one-shot over union")
+      require(ext.AnnStore.codes(s, annDir).count() == union.count(),
+        "resumed ANN store must hold exactly the union's codes (a " +
+          "redelivery double-append would inflate this)")
+      // disposition output (exact_dup / near_dup / ingested re-derived by
+      // the oracle) comes from the STAGED verdict — a post-append re-scrub
+      // would drop every batch text and misreport the fates
+      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
+        when(col("partition") === "hist", -200L).otherwise(-201L)
+          .as("doc_id"),
+        concat(lit("ledger:"), col("partition"),
+          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
+          lit(",passed="), col("passed")).as("status"))
+      staged2.select(col("id").as("doc_id"),
+          col("stage_status").as("status"))
+        .unionByName(ledgerRows)
+        .unionByName(surv2.limit(1).select(lit(-400L).as("doc_id"),
+          concat(lit("resume:noops="),
+            lit(Seq(fpNoop, mhNoop, bmNoop).count(identity)),
+            lit(",appends="), lit(if (annDid) 1 else 0)).as("status")))
+        .orderBy("doc_id")
+    }),
     "drift_psi" -> ((s, d) =>
       // round-5: distribution-drift monitoring — PSI of l_extendedprice
       // between the full lineitem snapshot (reference) and the returned-
@@ -4198,6 +4341,52 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
         "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
         "UNION ALL SELECT CAST(-300 AS BIGINT), 'takedown:ids=' || (SELECT count(*) FROM takedown) || ',fp=' || (SELECT count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) FROM takedown)) " +
+        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
+    "pipeline_resume_batch" ->
+      // r16: the crash-resume gate's converged output re-derived from the
+      // shared parquet alone — batch construction (fresh/exact-recrawl/
+      // near-dup) → exact membership vs the historical corpus (the
+      // fingerprint store's normalized-text semantics) → exact 3-shingle
+      // Jaccard ≥ 0.8 vs the historical corpus (the MinHash store's
+      // semantics) → ledger rollups; the resume-counters row is the
+      // engine-pinned exactly-once invariant (3 redelivered appends
+      // no-opped, 1 crashed-off append landed), emitted as a literal so
+      // any redelivery misbehavior breaks the hash
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 != 1), " +
+        "ba AS (SELECT doc_id + 1000000 AS id, text FROM docs WHERE doc_id % 3 = 1), " +
+        "bb AS (SELECT doc_id + 2000000 AS id, text FROM docs WHERE doc_id % 6 = 0), " +
+        "bc AS (SELECT doc_id + 3000000 AS id, text || ' r16 resume suffix' AS text FROM docs WHERE doc_id % 6 = 2), " +
+        "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc), " +
+        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
+        "exact_dup AS (SELECT id FROM batch WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
+        "surv1 AS (SELECT id, text FROM batch WHERE id NOT IN (SELECT id FROM exact_dup)), " +
+        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
+        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
+        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+        "nea AS (SELECT id, unnest(sh) AS g FROM sa), " +
+        "neb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
+        "nsa AS (SELECT id, len(sh) AS n FROM sa), " +
+        "nsb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
+        "ni AS (SELECT nea.id, neb.doc_id, count(*) AS i " +
+        "FROM nea JOIN neb ON nea.g = neb.g GROUP BY 1, 2), " +
+        "near AS (SELECT DISTINCT ni.id FROM ni " +
+        "JOIN nsa ON nsa.id = ni.id JOIN nsb ON nsb.doc_id = ni.doc_id " +
+        "WHERE round(i::DOUBLE / (nsa.n + nsb.n - i), 4) >= 0.8), " +
+        "ingested AS (SELECT id, text FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
+        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM hist), " +
+        "ledcur AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM ingested), " +
+        "disp AS (SELECT id AS doc_id, 'exact_dup' AS status FROM exact_dup " +
+        "UNION ALL SELECT id, 'near_dup' FROM near " +
+        "UNION ALL SELECT id, 'ingested' FROM ingested " +
+        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
+        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
+        "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,appends=1') " +
         "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +
