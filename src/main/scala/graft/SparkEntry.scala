@@ -1938,7 +1938,11 @@ object SparkEntry {
       // uninterrupted run (pinned in-gate by serve ≡ one-shot-over-union
       // equalities). Output = the disposition table + ledger rollups +
       // a resume-counters row, all DuckDB-re-derivable; the counters pin
-      // the exactly-once behavior into the hash.
+      // the exactly-once behavior into the hash. The oracle's near-dup
+      // set is EXACT Jaccard while the engine's is MinHash-LSH (64/16
+      // defaults, ~2e-4 per-pair miss at J=0.8) — the same deliberate
+      // channel as pipeline_crawl_batch, deterministic per dataset
+      // (seeded hashes), and verified oracle-match at sf0.001/0.01/0.1.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
       def tmp(p: String) =

@@ -746,18 +746,13 @@ object Dedup {
     val marks = minhashMarks(spark, path)
     if (marks.get(streamTag).exists(batchId <= _)) return false
     val gen = s"$streamTag-b$batchId"
-    val f = StoreFiles.fs(spark, path)
-    // publish one table's generation: skip when already visible (a
-    // crashed attempt that got past this table's flip), else hidden
-    // stage (overwrite reclaims a half-written orphan) → rename
+    // publish one table's generation via the shared stage→rename flip:
+    // skip when already visible (a crashed attempt that got past this
+    // table's flip — complete by construction)
     def publishGen(df: => DataFrame, table: String): Unit = {
-      val dir = new org.apache.hadoop.fs.Path(s"$path/$table/$gen")
-      if (!f.exists(dir)) {
-        val stage = s"$path/$table/.stage-$gen"
-        df.write.mode("overwrite").parquet(stage)
-        require(f.rename(new org.apache.hadoop.fs.Path(stage), dir),
-          s"appendBatchToMinHashStore: rename $stage -> $dir failed")
-      }
+      StoreFiles.publishDirOnce(spark, s"$path/$table/.stage-$gen",
+        s"$path/$table/$gen")(
+        stage => df.write.mode("overwrite").parquet(stage)): Unit
     }
     publishGen(batch.select(q(idCol).as("id"),
       shingles(q(textCol), shingleK).as("sh")), "shingles")
@@ -776,8 +771,8 @@ object Dedup {
       publishGen(rows.groupBy("band", "bucket").agg(count(lit(1)).as("n")),
         "bucket_counts")
     } finally rows.unpersist(): Unit
-    writeMinhashMarks(spark, path,
-      minhashMarks(spark, path) + (streamTag -> batchId))
+    // `marks` from the entry read is still authoritative (single-writer)
+    writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
     true
   }
 

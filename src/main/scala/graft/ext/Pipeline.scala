@@ -46,35 +46,73 @@ object Pipeline {
   private def genDir(dir: String, streamTag: String, batchId: Long) =
     s"$dir/$streamTag-b$batchId"
 
+  /** Per-tag retire marks for the staging dir — the guard that makes a
+    * post-retirement redelivery REFUSE instead of silently restaging a
+    * wrong disposition (r16 review: after [[retireStaged]], a redelivered
+    * batch would find no generation dir and recompute its derivation
+    * against stores that already absorbed the batch — the stores
+    * themselves stay correct, their appends no-op at their marks, but the
+    * recomputed frame becomes the batch's durable disposition of record,
+    * all-dup/empty). Absent file = nothing retired. */
+  private def retireMarks(spark: SparkSession,
+      dir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/marks.json")
+    if (!StoreFiles.fs(spark, dir).exists(p)) Map.empty
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        StoreFiles.readUtf8(spark, s"$dir/marks.json"),
+        classOf[java.util.Map[String, Any]])
+      require(String.valueOf(root.get("format")) == "graft-staged-marks",
+        s"not a staging marks file: $dir/marks.json")
+      StoreFiles.jsonLongMap(root.get("marks"))
+    }
+  }
+
   /** Compute-or-readback for a batch's staged frame: if the batch's
     * generation dir is already visible under `dir`, read it back (a prior
     * attempt staged it — its derivation must NOT re-run); otherwise run
-    * `compute`, publish via hidden stage → rename, and read back. The
-    * returned frame is always the PERSISTED bytes, so every attempt and
-    * every downstream consumer sees one identical frame. Single-writer
+    * `compute`, publish via the shared stage → rename flip, and read
+    * back. The returned frame is always the PERSISTED bytes, so every
+    * attempt and every downstream consumer sees one identical frame.
+    * A batch at or below the tag's RETIRE mark refuses loudly: its
+    * staged bytes are gone, so a recompute could only produce a
+    * different (post-append) derivation — the caller must short-circuit
+    * such redeliveries instead (see [[retireStaged]]). Single-writer
     * per (dir, tag) — the family contract. */
   def stageBatch(spark: SparkSession, dir: String, streamTag: String,
       batchId: Long)(compute: => DataFrame): DataFrame = {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
-    val f = StoreFiles.fs(spark, dir)
-    val gen = new org.apache.hadoop.fs.Path(genDir(dir, streamTag, batchId))
-    if (!f.exists(gen)) {
-      val stage = s"$dir/.stage-$streamTag-b$batchId"
-      compute.write.mode("overwrite").parquet(stage)
-      require(f.rename(new org.apache.hadoop.fs.Path(stage), gen),
-        s"stageBatch: rename $stage -> $gen failed")
-    }
-    spark.read.parquet(gen.toString)
+    require(!retireMarks(spark, dir).get(streamTag).exists(batchId <= _),
+      s"stageBatch: batch ($streamTag, $batchId) was already RETIRED — " +
+        "its staged bytes are gone and a recompute would derive against " +
+        "stores that already absorbed the batch; short-circuit the " +
+        "redelivery (every store committed it) instead of restaging")
+    StoreFiles.publishDirOnce(spark, s"$dir/.stage-$streamTag-b$batchId",
+      genDir(dir, streamTag, batchId))(
+      stage => compute.write.mode("overwrite").parquet(stage)): Unit
+    spark.read.parquet(genDir(dir, streamTag, batchId))
   }
 
-  /** Drop a staged batch after its last consumer committed (the ledger
-    * increment) — resume no longer needs it. Safe at any point AFTER
-    * every store's mark covers the batch: a crash between the final
-    * commit and this delete just re-runs the no-op chain and retires
-    * again. Idempotent. */
+  /** Drop a staged batch once no redelivery can arrive for it — i.e.
+    * after the stream checkpoint (or equivalent source acknowledgement)
+    * that covers the batch has committed, NOT merely after the stores'
+    * appends: between the last append and the checkpoint commit the
+    * source may still redeliver, and the resume needs the staged bytes
+    * (r16 review — the earlier "safe after every store's mark" wording
+    * was wrong for the disposition artifact itself; in a foreachBatch
+    * the natural call site is the START of batch N+1, retiring N).
+    * Advances the tag's retire mark FIRST (atomic replace), then deletes
+    * the bytes — so a crash between the two leaves a refused, not a
+    * recomputable, batch. Idempotent; a late call for an already-marked
+    * batch only re-deletes. */
   def retireStaged(spark: SparkSession, dir: String, streamTag: String,
       batchId: Long): Unit = {
+    val marks = retireMarks(spark, dir)
+    if (!marks.get(streamTag).exists(batchId <= _))
+      StoreFiles.writeUtf8Atomic(spark, s"$dir/marks.json",
+        s"""{"format":"graft-staged-marks","marks":{${
+          StoreFiles.jsonLongObj(marks + (streamTag -> batchId))}}}""")
     StoreFiles.fs(spark, dir).delete(
       new org.apache.hadoop.fs.Path(genDir(dir, streamTag, batchId)),
       true): Unit

@@ -228,6 +228,28 @@ object StoreFiles {
     }
   }
 
+  /** Publish a generation directory exactly once (r16 — the one
+    * stage→rename implementation for the pre-manifest publish shape,
+    * shared by the MinHash streamed append's per-table generations and
+    * the pipeline staging step): if `genDir` is already VISIBLE, a prior
+    * attempt completed it — the rename is the publish, so a visible dir
+    * is complete by construction — and this is a no-op (returns false);
+    * otherwise `write` runs against the hidden stage path (its
+    * mode("overwrite") semantics reclaim a crashed attempt's orphan) and
+    * the rename flips it visible. Single-writer contract. */
+  def publishDirOnce(spark: SparkSession, stagePath: String,
+      genDir: String)(write: String => Unit): Boolean = {
+    val f = fs(spark, genDir)
+    val gen = new Path(genDir)
+    if (f.exists(gen)) false
+    else {
+      write(stagePath)
+      require(f.rename(new Path(stagePath), gen),
+        s"publishDirOnce: rename $stagePath -> $genDir failed")
+      true
+    }
+  }
+
   /** Total visible data bytes under `dir` (non-recursive). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)

@@ -190,6 +190,30 @@ class PipelineResumeSpec extends SparkSpec {
     assert(staged.count() == survivors.count())
   }
 
+  test("retireStaged advances a retire mark: a post-retirement redelivery refuses to restage (r16 review)") {
+    // after retirement the staged bytes are gone; a recompute would run
+    // against stores that already absorbed the batch and durably publish
+    // a wrong (all-dup) disposition — the mark makes that loud
+    val dir = tmp() + "/staged"
+    val one = Pipeline.stageBatch(spark, dir, "night", 3L)(
+      mkDocs(0L, 5L))
+    assert(one.count() == 5L)
+    Pipeline.retireStaged(spark, dir, "night", 3L)
+    val e = intercept[IllegalArgumentException](
+      Pipeline.stageBatch(spark, dir, "night", 3L)(mkDocs(0L, 5L)))
+    assert(e.getMessage.contains("RETIRED"))
+    // the mark is a per-tag high-water: batches below it refuse too,
+    // later batches and other tags stage normally
+    intercept[IllegalArgumentException](
+      Pipeline.stageBatch(spark, dir, "night", 2L)(mkDocs(0L, 5L)))
+    assert(Pipeline.stageBatch(spark, dir, "night", 4L)(
+      mkDocs(0L, 3L)).count() == 3L)
+    assert(Pipeline.stageBatch(spark, dir, "other", 1L)(
+      mkDocs(0L, 2L)).count() == 2L)
+    // idempotent retire
+    Pipeline.retireStaged(spark, dir, "night", 3L)
+  }
+
   test("compactMinHashStoreIfNeeded: no-op under the threshold, bounds the file count over it, serves unchanged (r16)") {
     val dir = tmp()
     Dedup.buildMinHashStore(hist, "doc_id", "text", dir,

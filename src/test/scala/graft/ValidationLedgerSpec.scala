@@ -512,8 +512,10 @@ class ValidationLedgerSpec extends SparkSpec {
     ValidationLedger.validateIncrement(sch, data, "part", dir, "b1",
       candidates = Some(Seq("p0", "p1", "p2", "p3"))): Unit
 
-    // the "post-takedown" live corpus: p1 lost 100 rows, p3 lost 50 —
-    // written disk-partitioned so pruning has directories to skip
+    // the "post-takedown" live corpus: p1 and p3 each lose 200 rows
+    // (v%10==1 within p1's v%4==1 residues is v%20==1 → 200 of 4000;
+    // v%20==3 likewise) — written disk-partitioned so pruning has
+    // directories to skip
     val liveDir = tmp() + "/live"
     data.filter(!(col("part") === "p1" && col("v") % 10 === 1) &&
         !(col("part") === "p3" && col("v") % 20 === 3))
