@@ -525,6 +525,23 @@ object Bench {
       ext.Dedup.compactMinHashStore(spark, mhsDir))
     timed("dedup_store_scrub_compacted")(
       ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", mhsDir).count())
+    // r16: the STREAMED exactly-once append (generation dirs + marks) —
+    // the same 8-batch shape as dedup_store_append_8 for an A/B; runs
+    // LAST on this store (post-compaction, so every earlier section's
+    // input is unchanged and floors stay comparable). The streamed path
+    // derives band rows from its own persisted generation instead of
+    // re-reading the whole shingles table with a per-append semi-join,
+    // so it should track or beat the legacy append while buying
+    // redelivery no-ops and crash-window resume.
+    timed("dedup_store_append_stream_8", rerunSafe = false) {
+      for (i <- 0 until 8) {
+        val b = docs.select(
+          (col("doc_id") + lit(40000000L + i * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" r16 stream batch $i")).as("text"))
+        ext.Dedup.appendBatchToMinHashStore(b, "doc_id", "text", mhsDir,
+          "bench", i.toLong): Unit
+      }
+    }
 
     // round-9: BM25 ranked retrieval at 10× — one postings build over the
     // 10× corpus, 500-query batch broadcast into it (the corpus is
