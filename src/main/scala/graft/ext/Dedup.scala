@@ -684,26 +684,20 @@ object Dedup {
 
   /** Per-tag high-water marks for the streamed append — the store is
     * pre-manifest (plain dirs), so the marks live in their own
-    * atomically-replaced `marks.json` beside `params.json`. Absent file =
-    * no marks (a never-streamed or legacy store). */
+    * atomically-replaced `marks.json` beside `params.json` (one file for
+    * the whole STORE is safe here: the store is single-writer per PATH —
+    * appends mutate shared tables — unlike the pipeline staging dir's
+    * per-tag files). Absent file = no marks (a never-streamed or legacy
+    * store). Shared codec: [[StoreFiles.readLongMarks]]. */
   private def minhashMarks(spark: SparkSession,
-      path: String): Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/marks.json")
-    if (!StoreFiles.fs(spark, path).exists(p)) Map.empty
-    else {
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
-        StoreFiles.readUtf8(spark, s"$path/marks.json"),
-        classOf[java.util.Map[String, Any]])
-      require(String.valueOf(root.get("format")) == "graft-minhash-marks",
-        s"not a MinHash marks file: $path/marks.json")
-      StoreFiles.jsonLongMap(root.get("marks"))
-    }
-  }
+      path: String): Map[String, Long] =
+    StoreFiles.readLongMarks(spark, s"$path/marks.json",
+      "graft-minhash-marks")
 
   private def writeMinhashMarks(spark: SparkSession, path: String,
       marks: Map[String, Long]): Unit =
-    StoreFiles.writeUtf8Atomic(spark, s"$path/marks.json",
-      s"""{"format":"graft-minhash-marks","marks":{${StoreFiles.jsonLongObj(marks)}}}""")
+    StoreFiles.writeLongMarks(spark, s"$path/marks.json",
+      "graft-minhash-marks", marks)
 
   /** The streaming twin of [[appendToMinHashStore]] (r16 — the missing
     * member of the BM25/ANN/fingerprint `appendBatch` family, required

@@ -53,20 +53,20 @@ object Pipeline {
     * against stores that already absorbed the batch — the stores
     * themselves stay correct, their appends no-op at their marks, but the
     * recomputed frame becomes the batch's durable disposition of record,
-    * all-dup/empty). Absent file = nothing retired. */
-  private def retireMarks(spark: SparkSession,
-      dir: String): Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/marks.json")
-    if (!StoreFiles.fs(spark, dir).exists(p)) Map.empty
-    else {
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
-        StoreFiles.readUtf8(spark, s"$dir/marks.json"),
-        classOf[java.util.Map[String, Any]])
-      require(String.valueOf(root.get("format")) == "graft-staged-marks",
-        s"not a staging marks file: $dir/marks.json")
-      StoreFiles.jsonLongMap(root.get("marks"))
-    }
-  }
+    * all-dup/empty). ONE FILE PER TAG (`marks-<tag>.json`): the staging
+    * contract is single-writer per (dir, TAG) — the generation dirs are
+    * tag-disjoint, so two tags sharing a dir is legitimate, and a shared
+    * marks file's read-modify-write would let one tag's retire clobber
+    * the other's (r16 second-pass review: the lost mark silently
+    * re-opens the restaging hole the guard exists to close). Absent file
+    * = nothing retired. Shared codec: [[StoreFiles.readLongMarks]]. */
+  private def marksFile(dir: String, streamTag: String) =
+    s"$dir/marks-$streamTag.json"
+
+  private def retireMark(spark: SparkSession, dir: String,
+      streamTag: String): Option[Long] =
+    StoreFiles.readLongMarks(spark, marksFile(dir, streamTag),
+      "graft-staged-marks").get(streamTag)
 
   /** Compute-or-readback for a batch's staged frame: if the batch's
     * generation dir is already visible under `dir`, read it back (a prior
@@ -83,7 +83,7 @@ object Pipeline {
       batchId: Long)(compute: => DataFrame): DataFrame = {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
-    require(!retireMarks(spark, dir).get(streamTag).exists(batchId <= _),
+    require(!retireMark(spark, dir, streamTag).exists(batchId <= _),
       s"stageBatch: batch ($streamTag, $batchId) was already RETIRED — " +
         "its staged bytes are gone and a recompute would derive against " +
         "stores that already absorbed the batch; short-circuit the " +
@@ -108,11 +108,10 @@ object Pipeline {
     * batch only re-deletes. */
   def retireStaged(spark: SparkSession, dir: String, streamTag: String,
       batchId: Long): Unit = {
-    val marks = retireMarks(spark, dir)
-    if (!marks.get(streamTag).exists(batchId <= _))
-      StoreFiles.writeUtf8Atomic(spark, s"$dir/marks.json",
-        s"""{"format":"graft-staged-marks","marks":{${
-          StoreFiles.jsonLongObj(marks + (streamTag -> batchId))}}}""")
+    StoreFiles.requireStreamTag(streamTag)
+    if (!retireMark(spark, dir, streamTag).exists(batchId <= _))
+      StoreFiles.writeLongMarks(spark, marksFile(dir, streamTag),
+        "graft-staged-marks", Map(streamTag -> batchId))
     StoreFiles.fs(spark, dir).delete(
       new org.apache.hadoop.fs.Path(genDir(dir, streamTag, batchId)),
       true): Unit

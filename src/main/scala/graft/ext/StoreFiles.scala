@@ -228,6 +228,28 @@ object StoreFiles {
     }
   }
 
+  /** One codec for the pre-manifest stores' small marks files
+    * (`{"format":"…","marks":{tag:long}}`; r16 review — the MinHash
+    * store's and the pipeline staging dir's hand-rolled copies could
+    * drift). Absent file = no marks. The format tag is asserted so a
+    * foreign JSON file refuses loudly instead of parsing as empty. */
+  def readLongMarks(spark: SparkSession, path: String,
+      format: String): Map[String, Long] = {
+    if (!fs(spark, path).exists(new Path(path))) Map.empty
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        readUtf8(spark, path), classOf[java.util.Map[String, Any]])
+      require(String.valueOf(root.get("format")) == format,
+        s"not a $format file: $path")
+      jsonLongMap(root.get("marks"))
+    }
+  }
+
+  def writeLongMarks(spark: SparkSession, path: String, format: String,
+      marks: Map[String, Long]): Unit =
+    writeUtf8Atomic(spark, path,
+      s"""{"format":"$format","marks":{${jsonLongObj(marks)}}}""")
+
   /** Publish a generation directory exactly once (r16 — the one
     * stage→rename implementation for the pre-manifest publish shape,
     * shared by the MinHash streamed append's per-table generations and
