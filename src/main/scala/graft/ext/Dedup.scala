@@ -823,24 +823,59 @@ object Dedup {
     * is enforced via `graft.minhash.maxTombstones` (default 10M).
     * Single-writer contract, like appends. */
   def retractFromMinHashStore(ids: DataFrame, idCol: String,
-      path: String): Long = {
+      path: String): Long =
+    commitMinhashRetraction(ids, idCol, path, None)
+
+  /** The streaming twin of [[retractFromMinHashStore]] (r16 — the
+    * takedown-side sibling of [[appendBatchToMinHashStore]], completing
+    * the exactly-once family for crash-resumable takedown compositions):
+    * `(streamTag, batchId)` names the tombstone generation `<tag>-b<id>`
+    * and the store's per-tag mark (marks.json — shared with the append
+    * stream's namespace; a tag is 1:1 with one stream's checkpoint)
+    * makes redeliveries no-ops (returns 0). The mark advances AFTER the
+    * tombstone flip: a crash between them re-runs the commit, which
+    * rewrites the SAME ids at the same generation name and converges
+    * (the store is single-writer; the rewrite window only re-masks
+    * identical ids). */
+  def retractBatchFromMinHashStore(ids: DataFrame, idCol: String,
+      path: String, streamTag: String, batchId: Long): Long = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    if (minhashMarks(ids.sparkSession, path).get(streamTag)
+        .exists(batchId <= _)) 0L
+    else commitMinhashRetraction(ids, idCol, path,
+      Some((streamTag, batchId)))
+  }
+
+  private def commitMinhashRetraction(ids: DataFrame, idCol: String,
+      path: String, stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
     // this store is pre-manifest (plain dirs + swap compaction), so
     // commitTombstones' stage→rename flip IS the publish — readers list
-    // tombs/ directly — and publish() is a no-op. The live mass for the
-    // broadcast-small cap is everything a serve actually reads: one
-    // recursive footer count over tombs/ covers both the r15 generation
-    // dirs AND any pre-r15 flat append files (r15 review — counting only
-    // the dirs let a legacy flat-file mass bypass the cap). Shared
-    // mechanics otherwise — see StoreFiles.commitTombstones (r15,
-    // verdict #5; the null check rides the parquet footers).
-    val liveRows =
-      math.max(0L, StoreFiles.parquetRowsWritten(spark, s"$path/tombs"))
+    // tombs/ directly — and publish() only advances the stream mark. The
+    // live mass for the broadcast-small cap is everything a serve
+    // actually reads: one recursive footer count over tombs/ covers both
+    // the r15 generation dirs AND any pre-r15 flat append files (r15
+    // review — counting only the dirs let a legacy flat-file mass bypass
+    // the cap), MINUS a crashed prior attempt's same-named orphan (it is
+    // reclaimed by the rewrite, so counting it would double the batch
+    // against the cap). Shared mechanics otherwise — see
+    // StoreFiles.commitTombstones (r15, verdict #5).
+    val gen = stream.map { case (tag, id) => s"$tag-b$id" }
+    val orphanRows = gen.fold(0L)(g =>
+      math.max(0L, StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")))
+    val liveRows = math.max(0L,
+      StoreFiles.parquetRowsWritten(spark, s"$path/tombs")) - orphanRows
     StoreFiles.commitTombstones(ids.select(q(idCol).as("id")), "id",
-      s"$path/tombs", Nil, None, "graft.minhash.maxTombstones",
+      s"$path/tombs", Nil, gen, "graft.minhash.maxTombstones",
       "retractFromMinHashStore", "compactMinHashStore",
-      extraLiveRows = liveRows)(_ => ())
+      extraLiveRows = math.max(0L, liveRows)) { _ =>
+      stream.foreach { case (tag, id) =>
+        writeMinhashMarks(spark, path,
+          minhashMarks(spark, path) + (tag -> id))
+      }
+    }
   }
 
   /** [[minhashPairsAgainst]] served from a persisted store: corpus text is

@@ -171,9 +171,34 @@ object FingerprintStore {
     * Thin adapter over [[StoreFiles.commitTombstones]] (r15, verdict #5:
     * one implementation of the distinct → null-check → cap → flip shape
     * across all four takedown stores). */
-  def retract(docs: DataFrame, textCol: String, path: String): Long = {
+  def retract(docs: DataFrame, textCol: String, path: String): Long =
+    commitRetraction(docs, textCol, path, None)
+
+  /** The streaming twin of [[retract]] (r16 — completes the takedown
+    * side's exactly-once family alongside `Retrieval.deleteDocsBatch` /
+    * `AnnStore.deleteBatch`, enabling crash-resumable takedown
+    * COMPOSITIONS): `(streamTag, batchId)` names the tombstone
+    * generation `<tag>-b<id>` and the manifest's per-tag high-water mark
+    * makes at-least-once redeliveries no-ops (returns 0; an empty batch
+    * still advances its mark). Marks share the appends' per-tag map — a
+    * tag is 1:1 with one stream's checkpoint, so a takedown stream uses
+    * its own tag. */
+  def retractBatch(docs: DataFrame, textCol: String, path: String,
+      streamTag: String, batchId: Long): Long = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    commitRetraction(docs, textCol, path, Some((streamTag, batchId)))
+  }
+
+  private def commitRetraction(docs: DataFrame, textCol: String,
+      path: String, stream: Option[(String, Long)]): Long = {
     val spark = docs.sparkSession
     val m0 = readManifest(spark, path)
+    val redelivered = stream.exists { case (tag, id) =>
+      m0.marks.get(tag).exists(id <= _) }
+    if (redelivered) return 0L
+    val marks = stream.fold(m0.marks) { case (tag, id) =>
+      m0.marks + (tag -> id) }
     // a null text must surface as a null fp for the shared null check:
     // xxhash64 hashes a null input to the SEED (non-null 42), which would
     // silently retract a phantom fingerprint instead of refusing
@@ -182,11 +207,17 @@ object FingerprintStore {
       .otherwise(fp(textCol)).as("fp"))
     StoreFiles.commitTombstones(
       fps, "fp", s"$path/tombs", m0.tombs,
-      None, "graft.fpstore.maxTombstones", "FingerprintStore.retract",
+      stream.map { case (tag, id) => s"$tag-b$id" },
+      "graft.fpstore.maxTombstones", "FingerprintStore.retract",
       "compact()") {
       case Some(gen) =>
-        writeManifest(spark, path, m0.copy(tombs = m0.tombs :+ gen))
-      case None => ()
+        writeManifest(spark, path,
+          m0.copy(tombs = m0.tombs :+ gen, marks = marks))
+      case None =>
+        // an EMPTY streamed batch still advances its mark (else the
+        // redelivery would retry forever) but commits no generation
+        if (marks ne m0.marks)
+          writeManifest(spark, path, m0.copy(marks = marks))
     }
   }
 

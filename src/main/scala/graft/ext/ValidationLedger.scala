@@ -211,6 +211,39 @@ object ValidationLedger {
       stream, candidates)
   }
 
+  /** Exactly-once REVALIDATION of named partitions — the takedown
+    * follow-up (invalidate stale verdicts, revalidate from the live
+    * data) as ONE mark-guarded streamed step (r16). The naive
+    * invalidate-then-increment pair is NOT redelivery-safe: the
+    * increment no-ops at its `(streamTag, batchId)` mark, but a bare
+    * [[invalidate]] on the redelivery would still run — permanently
+    * removing the very verdicts the first delivery revalidated, with the
+    * mark-guarded increment refusing to restore them. Here the mark
+    * guards BOTH halves. Crash windows: after the invalidate but before
+    * the increment, the resume re-runs the (now no-op) invalidate and
+    * commits the increment; after the increment, the whole call no-ops.
+    * Returns the increment's verdict frame (empty on a redelivery
+    * no-op). `TakedownResumeSpec`-covered as part of the takedown
+    * composition. */
+  def revalidateBatch(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String,
+      streamTag: String, batchId: Long,
+      partitions: Seq[String]): DataFrame = {
+    StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
+    require(partitions.nonEmpty,
+      "revalidateBatch: name the partitions whose data was rewritten")
+    val spark = data.sparkSession
+    val covered = exists(spark, path) &&
+      readManifest(spark, path).marks.get(streamTag).exists(batchId <= _)
+    if (covered) emptyResult(spark)
+    else {
+      invalidate(spark, path, partitions): Unit
+      validateIncrementBatch(schema, data, partitionCol, path, batchLabel,
+        streamTag, batchId, candidates = Some(partitions))
+    }
+  }
+
   private def doIncrementFresh(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       stream: Option[(String, Long)],

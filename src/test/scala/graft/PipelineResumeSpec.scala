@@ -190,6 +190,107 @@ class PipelineResumeSpec extends SparkSpec {
     assert(staged.count() == survivors.count())
   }
 
+  // ---- takedown composition (r16, beyond the ingest side) -------------
+
+  private def takedownDocs = hist.filter(pmod(col("doc_id"), lit(7)) === 0)
+
+  /** The takedown composition: fp retract → MinHash retract → BM25
+    * delete → ANN delete → ledger revalidate, all under one `(td, 1)`
+    * identity. Unlike ingest there is nothing to stage — the takedown
+    * list is the INPUT, not a store-derived frame. */
+  private def runTakedown(n: Night, failAfter: Int): Unit = {
+    def cut(k: Int): Unit =
+      if (failAfter == k) sys.error(s"injected crash at boundary $k")
+    val tIds = takedownDocs.select("doc_id")
+    FingerprintStore.retractBatch(takedownDocs, "text", n.fp, "td", 1L): Unit
+    cut(0)
+    Dedup.retractBatchFromMinHashStore(tIds, "doc_id", n.mh, "td", 1L): Unit
+    cut(1)
+    Retrieval.deleteDocsBatch(tIds, "doc_id", n.bm, "td", 1L): Unit
+    cut(2)
+    AnnStore.deleteBatch(tIds, "doc_id", n.ann, "td", 1L): Unit
+    cut(3)
+    ValidationLedger.revalidateBatch(ledSch,
+      hist.join(tIds, Seq("doc_id"), "left_anti")
+        .withColumn("ds", lit("hist")),
+      "ds", n.led, "hist2", "td", 1L, Seq("hist")): Unit
+  }
+
+  private def takedownStateOf(n: Night): Seq[String] = {
+    // re-crawls of the taken-down texts must pass the fp scrub (masked
+    // store-wide); surviving historical texts must still be dropped
+    val recrawl = takedownDocs
+      .select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+      .unionByName(hist.filter(pmod(col("doc_id"), lit(7)) =!= 0).limit(10)
+        .select((col("doc_id") + 8000L).as("doc_id"), col("text")))
+    val scrubKept = FingerprintStore.scrub(recrawl, "text", n.fp)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val queries = hist.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id").as("query_id"), concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 1, 4)).as("qtext"))
+    val bmServed = Retrieval.bm25TopKFromIndex(spark, n.bm, queries,
+      "query_id", "qtext", k = 3).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val mhPairs = Dedup.minhashPairsAgainstStore(
+      takedownDocs.select((col("doc_id") + 9000L).as("doc_id"), col("text")),
+      "doc_id", "text", n.mh).count()
+    val led = ValidationLedger.status(spark, n.led)
+      .select("partition", "batch", "n_rows", "n_failed", "passed")
+      .collect().map(_.toString).sorted.toSeq
+    // physical tombstone mass: a redelivered retract must not double it
+    Seq(
+      s"scrub:${scrubKept.mkString(",")}",
+      s"bm25:${bmServed.mkString(",")}",
+      s"mh_pairs:$mhPairs",
+      s"led:${led.mkString(";")}",
+      s"fp_tombs:${FingerprintStore.retractionCount(spark, n.fp)}",
+      s"mh_tombs:${Dedup.minhashRetractionCount(spark, n.mh)}",
+      s"bm_tombs:${Retrieval.tombstoneCount(spark, n.bm)}",
+      s"ann_tombs:${AnnStore.tombstoneCount(spark, n.ann)}")
+  }
+
+  test("takedown crash-resume: a crash at every inter-store boundary converges, tombstones never double (r16)") {
+    val clean = buildStores()
+    runTakedown(clean, failAfter = -1)
+    val want = takedownStateOf(clean)
+    val nT = takedownDocs.count()
+    assert(nT > 0 && want.exists(_ == s"bm_tombs:$nT"),
+      s"precondition: the takedown must commit $nT tombstones ($want)")
+    (0 to 3).foreach { k =>
+      val n = buildStores()
+      val e = intercept[RuntimeException](runTakedown(n, failAfter = k))
+      assert(e.getMessage.contains(s"injected crash at boundary $k"))
+      runTakedown(n, failAfter = -1)
+      assert(takedownStateOf(n) == want,
+        s"takedown state after crash at boundary $k + resume diverged")
+    }
+  }
+
+  test("revalidateBatch: mark guards BOTH halves — a redelivery cannot destroy the revalidated verdict (r16)") {
+    val n = buildStores()
+    val tIds = takedownDocs.select("doc_id")
+    val live = hist.join(tIds, Seq("doc_id"), "left_anti")
+      .withColumn("ds", lit("hist"))
+    // crash window: the invalidate half ran, the increment never did —
+    // the resume's revalidateBatch completes the pair
+    assert(ValidationLedger.invalidate(spark, n.led, Seq("hist")) == 1L)
+    val out = ValidationLedger.revalidateBatch(ledSch, live, "ds", n.led,
+      "hist2", "td", 1L, Seq("hist"))
+    assert(out.select("partition").collect().map(_.getString(0)).toSeq ==
+      Seq("hist"))
+    val before = ValidationLedger.status(spark, n.led).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before.exists(_.contains("hist2")), s"verdict must carry hist2: $before")
+    // the redelivery: a naive invalidate-then-increment pair would
+    // remove the verdict and no-op the restore; the guarded pair no-ops
+    // as a whole
+    assert(ValidationLedger.revalidateBatch(ledSch, live, "ds", n.led,
+      "hist2", "td", 1L, Seq("hist")).isEmpty)
+    assert(ValidationLedger.status(spark, n.led).collect()
+      .map(_.toString).sorted.toSeq == before,
+      "redelivered revalidateBatch must leave the ledger untouched")
+  }
+
   test("retireStaged advances a retire mark: a post-retirement redelivery refuses to restage (r16 review)") {
     // after retirement the staged bytes are gone; a recompute would run
     // against stores that already absorbed the batch and durably publish
