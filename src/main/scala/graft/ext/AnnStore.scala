@@ -637,6 +637,28 @@ object AnnStore {
     * immediately, superseded generations survive until they are at least
     * `graft.ann.gcGraceMs` old (default 15 min) — safe against
     * back-to-back compactions with lock-free in-flight serves. */
+  /** Threshold-driven compaction cadence (the BM25
+    * `compactIndexIfNeeded` shape; r16 — completes the cadence family
+    * across the three crawl-appended stores, alongside
+    * `Dedup.compactMinHashStoreIfNeeded`): compacts when the CURRENT
+    * version's manifest lists more than `maxGens` code generations or
+    * `maxLiveFiles` live data files (the small-files growth face), or —
+    * the erasure-deadline face — when live tombstone rows exceed
+    * `maxTombstoneRows` (set 0 to heal on the first run after any
+    * takedown; the default -1 keeps the growth-only policy). Returns
+    * true when a compaction ran. */
+  def compactCodesIfNeeded(spark: SparkSession, path: String,
+      maxGens: Int = 16, maxLiveFiles: Long = 512,
+      maxTombstoneRows: Long = -1L): Boolean = {
+    val v = currentVersion(spark, path)
+    val m = readCodesManifest(spark, path, v)
+    val due = m.gens.size > maxGens ||
+      liveCodeFileCount(spark, path) > maxLiveFiles ||
+      (maxTombstoneRows >= 0L && tombstoneCount(spark, path) > maxTombstoneRows)
+    if (due) compactCodes(spark, path)
+    due
+  }
+
   def compactCodes(spark: SparkSession, path: String): Unit = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)

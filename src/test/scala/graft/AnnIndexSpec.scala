@@ -354,6 +354,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnStore.codes(spark, tmp).count() == total)
   }
 
+  test("compactCodesIfNeeded: growth and tombstone-deadline faces trip; below thresholds no-op (r16)") {
+    import graft.ext.AnnStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstore-c").toString
+    val idx = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCentroids = 16, m = 8, ksub = 16)
+    AnnStore.create(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+      idx, tmp)
+    (0 until 3).foreach { i =>
+      AnnStore.append(emb.filter(col("vec_id") >= 200 + i * 20 &&
+        col("vec_id") < 220 + i * 20)
+        .select((col("vec_id") + 1000 * (i + 1)).as("vec_id"),
+          col("embedding")), "vec_id", "embedding", tmp)
+    }
+    val total = AnnStore.codes(spark, tmp).count()
+    // generous thresholds: no-op (4 gens, few files, no tombstones)
+    assert(!AnnStore.compactCodesIfNeeded(spark, tmp))
+    // growth face: 4 gens > maxGens=2 trips; serves unchanged
+    assert(AnnStore.compactCodesIfNeeded(spark, tmp, maxGens = 2))
+    assert(AnnStore.codes(spark, tmp).count() == total)
+    // erasure-deadline face: a takedown leaves live tombstones; the
+    // growth-only policy ignores them, maxTombstoneRows=0 heals
+    AnnStore.delete(emb.filter(col("vec_id") < 10).select("vec_id"),
+      "vec_id", tmp): Unit
+    assert(AnnStore.tombstoneCount(spark, tmp) > 0)
+    assert(!AnnStore.compactCodesIfNeeded(spark, tmp),
+      "growth-only policy must not trip on tombstones alone")
+    assert(AnnStore.compactCodesIfNeeded(spark, tmp, maxTombstoneRows = 0L))
+    assert(AnnStore.tombstoneCount(spark, tmp) == 0L,
+      "deadline compaction must retire the tombstones")
+    assert(AnnStore.codes(spark, tmp).count() == total - 10)
+  }
+
   test("AnnStore legacy-layout adoption: flat codes + markers upgrade to manifest gens, marks preserved") {
     // r11: a store written by the pre-manifest layout (flat
     // v1/codes/cell=C + _batches markers) first fails LOUDLY with the
