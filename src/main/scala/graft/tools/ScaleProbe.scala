@@ -681,8 +681,54 @@ object ScaleProbe {
           f"serve_first10_med=${med(serveS.take(10).toSeq)}%.2f " +
           f"serve_last10_med=${med(serveS.takeRight(10).toSeq)}%.2f")
       }
-      runSoak("cadence", cycles, cadence = true)
-      runSoak("control", controlCycles, cadence = false)
+      // each sub-soak is skippable via its env knob (0 = skip)
+      if (cycles > 0) runSoak("cadence", cycles, cadence = true)
+      if (controlCycles > 0) runSoak("control", controlCycles, cadence = false)
+
+      // the BM25 store's soak — same cadence contract, different
+      // mechanics (manifest generations + compactIndexIfNeeded's
+      // gens/files/tombstone-deadline thresholds): streamed append every
+      // cycle, a takedown every 10th, cadence check every cycle with
+      // maxTombstoneRows=0 so each threshold compaction also heals
+      val bmCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_BM", "60").toInt
+      if (bmCycles > 0) {
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-soak-bm").toString + "/idx"
+      graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", bmDir)
+      val qs = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("qid"), concat_ws(" ",
+          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+        .persist()
+      qs.count(): Unit
+      var bmCompactions = 0
+      val bmServe = collection.mutable.ArrayBuffer.empty[Double]
+      val bmFiles = collection.mutable.ArrayBuffer.empty[Long]
+      for (i <- 1 to bmCycles) {
+        graft.ext.Retrieval.appendBatchToIndex(batchOf(i), "doc_id",
+          "text", bmDir, "soak", i.toLong): Unit
+        if (i % 10 == 0) {
+          val victim = i - 5
+          graft.ext.Retrieval.deleteDocsBatch(
+            batchOf(victim).filter(col("doc_id") % 3 === 0)
+              .select("doc_id"), "doc_id", bmDir, "soaktd", i.toLong): Unit
+        }
+        if (graft.ext.Retrieval.compactIndexIfNeeded(spark, bmDir,
+            maxGens = 16, maxTombstoneRows = 0L)) bmCompactions += 1
+        val files = graft.ext.Retrieval.liveFileCount(spark, bmDir)
+        val (ts, served) = time(graft.ext.Retrieval.bm25TopKFromIndex(
+          spark, bmDir, qs, "qid", "qtext", k = 5).count())
+        bmServe += ts; bmFiles += files
+        if (i % 10 == 0 || i == bmCycles)
+          println(f"PROBE soak_bm25 cycle=$i files=$files " +
+            f"serve_sec=$ts%.2f served=$served compactions=$bmCompactions")
+      }
+      def medD(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      println(f"PROBE soak_bm25_summary cycles=$bmCycles " +
+        f"files_max=${bmFiles.max} files_last=${bmFiles.last} " +
+        f"compactions=$bmCompactions " +
+        f"serve_first10_med=${medD(bmServe.take(10).toSeq)}%.2f " +
+        f"serve_last10_med=${medD(bmServe.takeRight(10).toSeq)}%.2f")
+      }
     }
     spark.stop()
   }
