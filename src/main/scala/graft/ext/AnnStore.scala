@@ -626,6 +626,38 @@ object AnnStore {
     }
   }
 
+  /** Threshold-driven compaction cadence (the BM25
+    * `compactIndexIfNeeded` shape; r16 — completes the cadence family
+    * across the three crawl-appended stores, alongside
+    * `Dedup.compactMinHashStoreIfNeeded`): compacts when the CURRENT
+    * version's manifest lists more than `maxGens` code generations or
+    * `maxLiveFiles` live data files (the small-files growth face), or —
+    * the erasure-deadline face — when live tombstone ROWS exceed
+    * `maxTombstoneRows` (set 0 to heal on the first run after any
+    * takedown; the default -1 keeps the growth-only policy). Returns
+    * true when a compaction ran. Cost per no-op call: ONE
+    * version-pointer + manifest read, file listings over the live
+    * generations, and footer row counts over the tombstone generations —
+    * zero Spark jobs (r16 second-pass review: the first cut re-read the
+    * manifest thrice and ran a distinct-count job per call). The
+    * footer-summed tombstone rows can double-count an id retracted in
+    * two batches — an upper bound on distinct ids, which only triggers
+    * the deadline compaction EARLIER, cadence-grade accuracy. */
+  def compactCodesIfNeeded(spark: SparkSession, path: String,
+      maxGens: Int = 16, maxLiveFiles: Long = 512,
+      maxTombstoneRows: Long = -1L): Boolean = {
+    val v = currentVersion(spark, path)
+    val m = readCodesManifest(spark, path, v)
+    def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
+      spark, s"${codesPath(path, v)}/$g").toLong).sum
+    def tombRows = m.tombs.map(g => math.max(0L,
+      StoreFiles.parquetRowsWritten(spark, s"${tombsPath(path, v)}/$g"))).sum
+    val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||
+      (maxTombstoneRows >= 0L && tombRows > maxTombstoneRows)
+    if (due) compactCodes(spark, path)
+    due
+  }
+
   /** Compact the current version's code store: every [[append]] adds its
     * own generation, so after N crawl batches a probed cell reads N
     * generations' small files — the same object-store listing cost the
@@ -637,28 +669,6 @@ object AnnStore {
     * immediately, superseded generations survive until they are at least
     * `graft.ann.gcGraceMs` old (default 15 min) — safe against
     * back-to-back compactions with lock-free in-flight serves. */
-  /** Threshold-driven compaction cadence (the BM25
-    * `compactIndexIfNeeded` shape; r16 — completes the cadence family
-    * across the three crawl-appended stores, alongside
-    * `Dedup.compactMinHashStoreIfNeeded`): compacts when the CURRENT
-    * version's manifest lists more than `maxGens` code generations or
-    * `maxLiveFiles` live data files (the small-files growth face), or —
-    * the erasure-deadline face — when live tombstone rows exceed
-    * `maxTombstoneRows` (set 0 to heal on the first run after any
-    * takedown; the default -1 keeps the growth-only policy). Returns
-    * true when a compaction ran. */
-  def compactCodesIfNeeded(spark: SparkSession, path: String,
-      maxGens: Int = 16, maxLiveFiles: Long = 512,
-      maxTombstoneRows: Long = -1L): Boolean = {
-    val v = currentVersion(spark, path)
-    val m = readCodesManifest(spark, path, v)
-    val due = m.gens.size > maxGens ||
-      liveCodeFileCount(spark, path) > maxLiveFiles ||
-      (maxTombstoneRows >= 0L && tombstoneCount(spark, path) > maxTombstoneRows)
-    if (due) compactCodes(spark, path)
-    due
-  }
-
   def compactCodes(spark: SparkSession, path: String): Unit = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)

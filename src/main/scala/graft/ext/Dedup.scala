@@ -833,18 +833,35 @@ object Dedup {
     * and the store's per-tag mark (marks.json — shared with the append
     * stream's namespace; a tag is 1:1 with one stream's checkpoint)
     * makes redeliveries no-ops (returns 0). The mark advances AFTER the
-    * tombstone flip: a crash between them re-runs the commit, which
-    * rewrites the SAME ids at the same generation name and converges
-    * (the store is single-writer; the rewrite window only re-masks
-    * identical ids). */
+    * tombstone flip; a crash between them leaves the batch's generation
+    * VISIBLE (already masking — the rename is the publish on this
+    * directory-listed store) with a stale mark, and the resume detects
+    * the visible generation and only advances the mark — it must NOT
+    * re-run the commit, whose reclaim (delete-then-rename) would
+    * transiently UNMASK the committed tombstones for concurrent
+    * lock-free serves (r16 second-pass review; the manifest stores have
+    * no such window because their readers never list directories). */
   def retractBatchFromMinHashStore(ids: DataFrame, idCol: String,
       path: String, streamTag: String, batchId: Long): Long = {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
-    if (minhashMarks(ids.sparkSession, path).get(streamTag)
-        .exists(batchId <= _)) 0L
-    else commitMinhashRetraction(ids, idCol, path,
-      Some((streamTag, batchId)))
+    val spark = ids.sparkSession
+    minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
+    if (minhashMarks(spark, path).get(streamTag).exists(batchId <= _)) 0L
+    else {
+      val gen = s"$streamTag-b$batchId"
+      val genRows =
+        StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$gen")
+      if (genRows >= 0L) {
+        // crash-before-mark window: the flip completed (a visible gen is
+        // complete by construction), so the batch is already masking —
+        // just advance the mark and report the committed rows
+        writeMinhashMarks(spark, path,
+          minhashMarks(spark, path) + (streamTag -> batchId))
+        genRows
+      } else commitMinhashRetraction(ids, idCol, path,
+        Some((streamTag, batchId)))
+    }
   }
 
   private def commitMinhashRetraction(ids: DataFrame, idCol: String,
@@ -858,19 +875,17 @@ object Dedup {
     // actually reads: one recursive footer count over tombs/ covers both
     // the r15 generation dirs AND any pre-r15 flat append files (r15
     // review — counting only the dirs let a legacy flat-file mass bypass
-    // the cap), MINUS a crashed prior attempt's same-named orphan (it is
-    // reclaimed by the rewrite, so counting it would double the batch
-    // against the cap). Shared mechanics otherwise — see
+    // the cap). A same-named visible generation never reaches here — the
+    // streamed caller short-circuits on it (see above), so the cap math
+    // needs no orphan subtraction. Shared mechanics otherwise — see
     // StoreFiles.commitTombstones (r15, verdict #5).
-    val gen = stream.map { case (tag, id) => s"$tag-b$id" }
-    val orphanRows = gen.fold(0L)(g =>
-      math.max(0L, StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")))
     val liveRows = math.max(0L,
-      StoreFiles.parquetRowsWritten(spark, s"$path/tombs")) - orphanRows
+      StoreFiles.parquetRowsWritten(spark, s"$path/tombs"))
     StoreFiles.commitTombstones(ids.select(q(idCol).as("id")), "id",
-      s"$path/tombs", Nil, gen, "graft.minhash.maxTombstones",
+      s"$path/tombs", Nil, stream.map { case (tag, id) => s"$tag-b$id" },
+      "graft.minhash.maxTombstones",
       "retractFromMinHashStore", "compactMinHashStore",
-      extraLiveRows = math.max(0L, liveRows)) { _ =>
+      extraLiveRows = liveRows) { _ =>
       stream.foreach { case (tag, id) =>
         writeMinhashMarks(spark, path,
           minhashMarks(spark, path) + (tag -> id))

@@ -64,9 +64,19 @@ object Pipeline {
     s"$dir/marks-$streamTag.json"
 
   private def retireMark(spark: SparkSession, dir: String,
-      streamTag: String): Option[Long] =
+      streamTag: String): Option[Long] = {
+    // a shared marks.json is the r16-interim layout this per-tag split
+    // replaced (its read-modify-write lost marks across tags) — refuse
+    // loudly rather than silently ignoring its marks, which would
+    // re-open the restaging hole for dirs written under it
+    require(!StoreFiles.fs(spark, dir).exists(
+      new org.apache.hadoop.fs.Path(s"$dir/marks.json")),
+      s"staging dir $dir holds a legacy shared marks.json — split its " +
+        "entries into per-tag marks-<tag>.json files (same " +
+        "graft-staged-marks format, one tag each) before staging")
     StoreFiles.readLongMarks(spark, marksFile(dir, streamTag),
       "graft-staged-marks").get(streamTag)
+  }
 
   /** Compute-or-readback for a batch's staged frame: if the batch's
     * generation dir is already visible under `dir`, read it back (a prior

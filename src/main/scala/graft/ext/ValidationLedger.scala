@@ -222,9 +222,18 @@ object ValidationLedger {
     * guards BOTH halves. Crash windows: after the invalidate but before
     * the increment, the resume re-runs the (now no-op) invalidate and
     * commits the increment; after the increment, the whole call no-ops.
-    * Returns the increment's verdict frame (empty on a redelivery
-    * no-op). `TakedownResumeSpec`-covered as part of the takedown
-    * composition. */
+    * Every metadata-only refusal the increment can raise (ledgerability,
+    * structural schema, contract match) runs BEFORE the invalidate half
+    * (r16 second-pass review: a post-invalidate refusal would have
+    * destroyed the verdicts with nothing committed). The one refusal
+    * that inherently needs a data scan — a batch row whose partition is
+    * outside `partitions` ∪ already-validated — still fires inside the
+    * increment: it leaves the named partitions
+    * invalidated-but-unvalidated, LOUDLY, and a retry with corrected
+    * arguments (same tag/batchId — the mark never advanced) revalidates
+    * them; nothing is silently lost. Returns the increment's verdict
+    * frame (empty on a redelivery no-op). PipelineResumeSpec-covered as
+    * part of the takedown composition. */
   def revalidateBatch(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       streamTag: String, batchId: Long,
@@ -234,20 +243,30 @@ object ValidationLedger {
     require(partitions.nonEmpty,
       "revalidateBatch: name the partitions whose data was rewritten")
     val spark = data.sparkSession
-    val covered = exists(spark, path) &&
-      readManifest(spark, path).marks.get(streamTag).exists(batchId <= _)
-    if (covered) emptyResult(spark)
+    require(exists(spark, path),
+      s"revalidateBatch: no validation ledger at $path — nothing to " +
+        "revalidate; run validateIncrement to establish one")
+    require(data.columns.contains(partitionCol),
+      s"partition column '$partitionCol' not in data")
+    if (readManifest(spark, path).marks.get(streamTag)
+        .exists(batchId <= _)) emptyResult(spark)
     else {
+      incrementPreflight(schema, data, partitionCol, path): Unit
       invalidate(spark, path, partitions): Unit
       validateIncrementBatch(schema, data, partitionCol, path, batchLabel,
         streamTag, batchId, candidates = Some(partitions))
     }
   }
 
-  private def doIncrementFresh(schema: DataFrameSchema, data: DataFrame,
-      partitionCol: String, path: String, batchLabel: String,
-      stream: Option[(String, Long)],
-      candidates: Option[Seq[String]]): DataFrame = {
+  /** The increment's metadata-only refusal checks, factored (r16 review)
+    * so [[revalidateBatch]] can run them BEFORE its destructive
+    * invalidate half: joint-uniqueness / aggregate-check ledgerability,
+    * structural schema validation (zero data jobs), and the check-surface
+    * contract match. Returns the pieces the increment needs
+    * (pre-coerced frame, check slots, canonical contract). */
+  private def incrementPreflight(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String):
+      (DataFrame, Seq[Validator.CheckSlot], Seq[String]) = {
     val spark = data.sparkSession
     require(schema.unique.isEmpty,
       "validateIncrement: table-level joint uniqueness is cross-partition " +
@@ -297,7 +316,16 @@ object ValidationLedger {
           "every partition to revalidate the corpus under it")
       }
     }
+    (work, slots, contract)
+  }
 
+  private def doIncrementFresh(schema: DataFrameSchema, data: DataFrame,
+      partitionCol: String, path: String, batchLabel: String,
+      stream: Option[(String, Long)],
+      candidates: Option[Seq[String]]): DataFrame = {
+    val spark = data.sparkSession
+    val (work, slots, contract) =
+      incrementPreflight(schema, data, partitionCol, path)
     val already = validatedPartitions(spark, path)
     val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
       .map(_.toInt).getOrElse(1024)

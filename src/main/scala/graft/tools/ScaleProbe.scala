@@ -646,6 +646,7 @@ object ScaleProbe {
           concat(col("text"), lit(" probe suffix")).as("text"))
         .persist()
       probe.count(): Unit
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
       def runSoak(name: String, n: Int, cadence: Boolean): Unit = {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-soak-$name").toString + "/mh"
@@ -674,7 +675,6 @@ object ScaleProbe {
             println(f"PROBE soak_$name cycle=$i files=$files " +
               f"serve_sec=$ts%.2f pairs=$pairs compactions=$compactions")
         }
-        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
         println(f"PROBE soak_${name}_summary cycles=$n " +
           f"files_max=${filesS.max} files_last=${filesS.last} " +
           f"compactions=$compactions " +
@@ -722,12 +722,12 @@ object ScaleProbe {
           println(f"PROBE soak_bm25 cycle=$i files=$files " +
             f"serve_sec=$ts%.2f served=$served compactions=$bmCompactions")
       }
-      def medD(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      
       println(f"PROBE soak_bm25_summary cycles=$bmCycles " +
         f"files_max=${bmFiles.max} files_last=${bmFiles.last} " +
         f"compactions=$bmCompactions " +
-        f"serve_first10_med=${medD(bmServe.take(10).toSeq)}%.2f " +
-        f"serve_last10_med=${medD(bmServe.takeRight(10).toSeq)}%.2f")
+        f"serve_first10_med=${med(bmServe.take(10).toSeq)}%.2f " +
+        f"serve_last10_med=${med(bmServe.takeRight(10).toSeq)}%.2f")
       }
     }
     spark.stop()

@@ -266,6 +266,63 @@ class PipelineResumeSpec extends SparkSpec {
     }
   }
 
+  test("streamed retracts, crash-before-mark window: resume must not double tombstones or unmask (r16 review)") {
+    // MinHash: the tombstone generation is VISIBLE (directory-listed
+    // store — the rename IS the publish) but the mark never advanced.
+    // The resume must detect the visible generation and only advance the
+    // mark — re-running the commit would delete-then-rewrite the live
+    // generation, transiently UNMASKING the committed tombstones for
+    // lock-free serves.
+    val mhDir = tmp()
+    Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val tIds = takedownDocs.select("doc_id")
+    val nT = tIds.count()
+    assert(Dedup.retractBatchFromMinHashStore(tIds, "doc_id", mhDir,
+      "td", 0L) == nT)
+    // simulate the crash: generation committed, mark rewound
+    StoreFiles.writeLongMarks(spark, s"$mhDir/marks.json",
+      "graft-minhash-marks", Map.empty)
+    val genPath = new org.apache.hadoop.fs.Path(s"$mhDir/tombs/td-b0")
+    val f = StoreFiles.fs(spark, mhDir)
+    val modBefore = f.getFileStatus(genPath).getModificationTime
+    assert(Dedup.retractBatchFromMinHashStore(tIds, "doc_id", mhDir,
+      "td", 0L) == nT, "resume must report the committed rows")
+    assert(f.getFileStatus(genPath).getModificationTime == modBefore,
+      "resume must not rewrite the visible generation (the " +
+        "delete-then-rename reclaim would transiently unmask it)")
+    assert(Dedup.minhashRetractionCount(spark, mhDir) == nT,
+      "tombstones must not double")
+    // ...and the mark is now in place: a true redelivery no-ops
+    assert(Dedup.retractBatchFromMinHashStore(tIds, "doc_id", mhDir,
+      "td", 0L) == 0L)
+
+    // fingerprint store (manifest-governed): the crash window leaves an
+    // ORPHAN generation on disk that no reader ever saw (visibility is
+    // the manifest flip) — the resume reclaims it and commits exactly
+    // once
+    val fpDir = tmp()
+    FingerprintStore.build(hist, "text", fpDir)
+    val nFp = FingerprintStore.retractBatch(takedownDocs, "text", fpDir,
+      "td", 0L)
+    assert(nFp > 0L)
+    assert(FingerprintStore.retractBatch(takedownDocs, "text", fpDir,
+      "td", 0L) == 0L, "redelivery at the mark must no-op")
+    assert(FingerprintStore.retractionCount(spark, fpDir) == nFp,
+      "fp tombstones must not double")
+    // the orphan shape: a same-named generation on disk, never
+    // manifest-listed — a FRESH batch under a different tag must neither
+    // adopt nor trip over it
+    val orphan = s"$fpDir/tombs/td2-b0"
+    takedownDocs.limit(3).select(xxhash64(col("text")).as("fp"))
+      .write.parquet(orphan)
+    assert(FingerprintStore.retractBatch(takedownDocs, "text", fpDir,
+      "td2", 0L) == nFp, "resume over an orphan must commit the full batch")
+    // retractionCount is DISTINCT across generations: the same texts
+    // retracted under both tags still count once
+    assert(FingerprintStore.retractionCount(spark, fpDir) == nFp)
+  }
+
   test("revalidateBatch: mark guards BOTH halves — a redelivery cannot destroy the revalidated verdict (r16)") {
     val n = buildStores()
     val tIds = takedownDocs.select("doc_id")
