@@ -864,6 +864,18 @@ object Dedup {
     }
   }
 
+  /** foreachBatch writer for a takedown stream — each micro-batch of ids
+    * retracts through [[retractBatchFromMinHashStore]] (the
+    * `Retrieval.deleteWriter` shape). */
+  def minhashRetractWriter(stream: DataFrame, idCol: String, path: String,
+      streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      retractBatchFromMinHashStore(batch, idCol, path, streamTag, id): Unit
+    }
+  }
+
   private def commitMinhashRetraction(ids: DataFrame, idCol: String,
       path: String, stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession

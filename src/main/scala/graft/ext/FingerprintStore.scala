@@ -190,6 +190,18 @@ object FingerprintStore {
     commitRetraction(docs, textCol, path, Some((streamTag, batchId)))
   }
 
+  /** foreachBatch writer for a takedown stream — each micro-batch of
+    * documents retracts through [[retractBatch]] (the
+    * `Retrieval.deleteWriter` shape). */
+  def retractWriter(stream: DataFrame, textCol: String, path: String,
+      streamTag: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    StoreFiles.requireStreamTag(streamTag) // fail at construction
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      retractBatch(batch, textCol, path, streamTag, id): Unit
+    }
+  }
+
   private def commitRetraction(docs: DataFrame, textCol: String,
       path: String, stream: Option[(String, Long)]): Long = {
     val spark = docs.sparkSession

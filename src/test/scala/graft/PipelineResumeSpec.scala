@@ -190,6 +190,60 @@ class PipelineResumeSpec extends SparkSpec {
     assert(staged.count() == survivors.count())
   }
 
+  test("minhash streamed writers: file-source replay appends then retracts exactly-once end-to-end (r16)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp() + "/mh"
+    Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val batch = mkDocs(1000L, 1030L)
+    val work = tmp()
+    // append stream: 3 files → 3 micro-batches through the writer
+    batch.repartition(3).write.parquet(s"$work/in")
+    val appQ = Dedup.minhashAppendWriter(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in"),
+      "doc_id", "text", dir, "app")
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    appQ.awaitTermination()
+    // streamed store ≡ one-shot build over the union
+    val oneShot = tmp() + "/os"
+    Dedup.buildMinHashStore(hist.unionByName(batch), "doc_id", "text",
+      oneShot, shingleK = 3, numHashes = 16, bands = 4)
+    val probe = mkDocs(1000L, 1040L)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    def pairs(p: String) = Dedup.minhashPairsAgainstStore(
+      probe, "doc_id", "text", p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(dir) == pairs(oneShot),
+      "streamed-writer store must serve identically to a one-shot build")
+    // retraction stream: 2 files of appended ids through the takedown
+    // writer; they stop generating candidates, count doesn't double
+    val td = batch.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val nT = td.count()
+    td.repartition(2).write.parquet(s"$work/td")
+    def retractRun(ck: String): Unit = {
+      val q = Dedup.minhashRetractWriter(
+        spark.readStream.schema(td.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/td"),
+        "doc_id", dir, "tdl")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    retractRun(s"$work/ckt")
+    assert(Dedup.minhashRetractionCount(spark, dir) == nT)
+    assert(Dedup.minhashPairsAgainstStore(probe, "doc_id", "text", dir)
+      .join(td.select(col("doc_id").as("id_corpus")), Seq("id_corpus"),
+        "left_semi").isEmpty,
+      "retracted ids must stop generating candidates")
+    // a FRESH checkpoint replaying the same files under the same tag:
+    // the store marks make the redelivery exactly-once
+    retractRun(s"$work/ckt2")
+    assert(Dedup.minhashRetractionCount(spark, dir) == nT,
+      "replayed retraction stream must not double the tombstones")
+  }
+
   // ---- takedown composition (r16, beyond the ingest side) -------------
 
   private def takedownDocs = hist.filter(pmod(col("doc_id"), lit(7)) === 0)
