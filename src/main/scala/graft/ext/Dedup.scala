@@ -847,7 +847,8 @@ object Dedup {
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     val spark = ids.sparkSession
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
-    if (minhashMarks(spark, path).get(streamTag).exists(batchId <= _)) 0L
+    val marks = minhashMarks(spark, path)
+    if (marks.get(streamTag).exists(batchId <= _)) 0L
     else {
       val gen = s"$streamTag-b$batchId"
       val genRows =
@@ -855,12 +856,19 @@ object Dedup {
       if (genRows >= 0L) {
         // crash-before-mark window: the flip completed (a visible gen is
         // complete by construction), so the batch is already masking —
-        // just advance the mark and report the committed rows
-        writeMinhashMarks(spark, path,
-          minhashMarks(spark, path) + (streamTag -> batchId))
+        // just advance the mark (the entry read is still authoritative
+        // under the single-writer contract) and report the committed rows
+        writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
         genRows
-      } else commitMinhashRetraction(ids, idCol, path,
-        Some((streamTag, batchId)))
+      } else {
+        // the mark advances AFTER the commit returns (flip-then-mark
+        // ordering), from the entry read — an empty batch commits no
+        // generation but still advances, so its redelivery stops retrying
+        val n = commitMinhashRetraction(ids, idCol, path,
+          Some((streamTag, batchId)))
+        writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
+        n
+      }
     }
   }
 
@@ -882,7 +890,8 @@ object Dedup {
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
     // this store is pre-manifest (plain dirs + swap compaction), so
     // commitTombstones' stage→rename flip IS the publish — readers list
-    // tombs/ directly — and publish() only advances the stream mark. The
+    // tombs/ directly — and publish() is a no-op (the streamed caller
+    // advances its mark AFTER this returns, from its entry read). The
     // live mass for the broadcast-small cap is everything a serve
     // actually reads: one recursive footer count over tombs/ covers both
     // the r15 generation dirs AND any pre-r15 flat append files (r15
@@ -897,12 +906,7 @@ object Dedup {
       s"$path/tombs", Nil, stream.map { case (tag, id) => s"$tag-b$id" },
       "graft.minhash.maxTombstones",
       "retractFromMinHashStore", "compactMinHashStore",
-      extraLiveRows = liveRows) { _ =>
-      stream.foreach { case (tag, id) =>
-        writeMinhashMarks(spark, path,
-          minhashMarks(spark, path) + (tag -> id))
-      }
-    }
+      extraLiveRows = liveRows)(_ => ())
   }
 
   /** [[minhashPairsAgainst]] served from a persisted store: corpus text is

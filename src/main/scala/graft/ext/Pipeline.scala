@@ -119,6 +119,7 @@ object Pipeline {
   def retireStaged(spark: SparkSession, dir: String, streamTag: String,
       batchId: Long): Unit = {
     StoreFiles.requireStreamTag(streamTag)
+    require(batchId >= 0, s"batchId >= 0, got $batchId")
     if (!retireMark(spark, dir, streamTag).exists(batchId <= _))
       StoreFiles.writeLongMarks(spark, marksFile(dir, streamTag),
         "graft-staged-marks", Map(streamTag -> batchId))

@@ -194,7 +194,9 @@ object ValidationLedger {
   private def doIncrement(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       stream: Option[(String, Long)],
-      candidates: Option[Seq[String]]): DataFrame = {
+      candidates: Option[Seq[String]],
+      pre: Option[(DataFrame, Seq[Validator.CheckSlot], Seq[String])] =
+        None): DataFrame = {
     val spark = data.sparkSession
     require(data.columns.contains(partitionCol),
       s"partition column '$partitionCol' not in data")
@@ -208,7 +210,7 @@ object ValidationLedger {
         readManifest(spark, path).marks.get(tag).exists(id <= _) }
     if (redelivered) emptyResult(spark)
     else doIncrementFresh(schema, data, partitionCol, path, batchLabel,
-      stream, candidates)
+      stream, candidates, pre)
   }
 
   /** Exactly-once REVALIDATION of named partitions — the takedown
@@ -231,9 +233,20 @@ object ValidationLedger {
     * increment: it leaves the named partitions
     * invalidated-but-unvalidated, LOUDLY, and a retry with corrected
     * arguments (same tag/batchId — the mark never advanced) revalidates
-    * them; nothing is silently lost. Returns the increment's verdict
-    * frame (empty on a redelivery no-op). PipelineResumeSpec-covered as
-    * part of the takedown composition. */
+    * them; nothing is silently lost.
+    *
+    * A named partition with NO rows in `data` ends the call UNLEDGERED —
+    * by design, not by accident: a takedown that empties a partition
+    * wholesale leaves nothing to validate, and the correct converged
+    * state is "verdict removed, no new verdict" (the same emptied-group
+    * semantics as `SketchStore.rebuildKeys(affectedKeys)` — the r15
+    * review that added it closed the opposite bug, stale state
+    * surviving). A caller revalidating a partition it believes is still
+    * LIVE should assert the returned frame covers it (the
+    * `pipeline_resume_batch` gate does exactly that); mirroring
+    * `reconcile` afterwards also surfaces it. Returns the increment's
+    * verdict frame (empty on a redelivery no-op).
+    * PipelineResumeSpec-covered as part of the takedown composition. */
   def revalidateBatch(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       streamTag: String, batchId: Long,
@@ -251,10 +264,10 @@ object ValidationLedger {
     if (readManifest(spark, path).marks.get(streamTag)
         .exists(batchId <= _)) emptyResult(spark)
     else {
-      incrementPreflight(schema, data, partitionCol, path): Unit
+      val pre = incrementPreflight(schema, data, partitionCol, path)
       invalidate(spark, path, partitions): Unit
-      validateIncrementBatch(schema, data, partitionCol, path, batchLabel,
-        streamTag, batchId, candidates = Some(partitions))
+      doIncrement(schema, data, partitionCol, path, batchLabel,
+        Some((streamTag, batchId)), Some(partitions), pre = Some(pre))
     }
   }
 
@@ -322,10 +335,16 @@ object ValidationLedger {
   private def doIncrementFresh(schema: DataFrameSchema, data: DataFrame,
       partitionCol: String, path: String, batchLabel: String,
       stream: Option[(String, Long)],
-      candidates: Option[Seq[String]]): DataFrame = {
+      candidates: Option[Seq[String]],
+      pre: Option[(DataFrame, Seq[Validator.CheckSlot], Seq[String])]):
+      DataFrame = {
     val spark = data.sparkSession
-    val (work, slots, contract) =
-      incrementPreflight(schema, data, partitionCol, path)
+    // `pre` carries revalidateBatch's already-run preflight (it must run
+    // BEFORE that caller's invalidate half, and running it again here
+    // would duplicate the metadata work; data/schema are unchanged in
+    // between, so the result is identical by construction)
+    val (work, slots, contract) = pre.getOrElse(
+      incrementPreflight(schema, data, partitionCol, path))
     val already = validatedPartitions(spark, path)
     val maxInline = spark.conf.getOption("graft.ledger.maxInlineParts")
       .map(_.toInt).getOrElse(1024)

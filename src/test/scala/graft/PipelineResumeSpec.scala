@@ -400,6 +400,22 @@ class PipelineResumeSpec extends SparkSpec {
     assert(ValidationLedger.status(spark, n.led).collect()
       .map(_.toString).sorted.toSeq == before,
       "redelivered revalidateBatch must leave the ledger untouched")
+    // a named partition the takedown EMPTIED wholesale: no rows in the
+    // live frame → verdict removed, no new verdict — the documented
+    // converged state (rebuildKeys' emptied-group semantics); the caller
+    // asserts coverage for partitions it believes are still live
+    val out2 = ValidationLedger.revalidateBatch(ledSch,
+      live.filter(col("ds") =!= "hist"), "ds", n.led, "hist3", "td", 2L,
+      Seq("hist"))
+    assert(out2.isEmpty, "an emptied partition commits no verdict")
+    // (status() itself refuses loudly here — 'hist' was the only
+    // partition, so the whole ledger emptied; the skip-set API reads the
+    // manifest and answers without a row scan)
+    assert(!ValidationLedger.validatedPartitions(spark, n.led)
+      .contains("hist"), "the emptied partition must end unledgered")
+    assert(ValidationLedger.revalidateBatch(ledSch,
+      live.filter(col("ds") =!= "hist"), "ds", n.led, "hist3", "td", 2L,
+      Seq("hist")).isEmpty, "redelivery still no-ops at the mark")
   }
 
   test("retireStaged advances a retire mark: a post-retirement redelivery refuses to restage (r16 review)") {
