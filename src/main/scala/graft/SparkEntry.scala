@@ -1967,13 +1967,19 @@ object SparkEntry {
         "ds" -> ColumnSchema.of(StringType))
       ext.ValidationLedger.validateIncrement(ledSch,
         hist.withColumn("ds", lit("hist")), "ds", ldir, "hist"): Unit
-      // tonight's batch: fresh docs, exact re-crawls, near-dup re-crawls
+      // tonight's batch: fresh docs, exact re-crawls, near-dup re-crawls.
+      // Sub-batch ids are offset by (max doc_id + 1) × k — scale-free
+      // (r17 advice: the old +1e6/+2e6/+3e6 offsets collide with each
+      // other and with hist ids once max doc_id ≥ 1e6, i.e. sf ≥ ~1,
+      // fanning out the disposition joins); the oracle mirrors the same
+      // derivation via a scalar subquery
+      val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select((col("doc_id") + 1000000L).as("id"), col("text"))
+        .select((col("doc_id") + idBase).as("id"), col("text"))
         .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 0)
-          .select((col("doc_id") + 2000000L).as("id"), col("text")))
+          .select((col("doc_id") + 2L * idBase).as("id"), col("text")))
         .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 2)
-          .select((col("doc_id") + 3000000L).as("id"),
+          .select((col("doc_id") + 3L * idBase).as("id"),
             concat(col("text"), lit(" r16 resume suffix")).as("text")))
       val sdir = tmp("graft-rb-staged")
       // the staged artifact carries the FULL disposition (every batch
@@ -2044,8 +2050,13 @@ object SparkEntry {
       val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("doc_id").as("query_id"), concat_ws(" ",
           slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      // score rounded to 1e-9 (r17 advice): PipelineResumeSpec pins the
+      // same identity at that tolerance — exact Double equality could
+      // flake on a different aggregation/merge order between the index
+      // serve and the direct path
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.round(r.getDouble(3) * 1e9)))
         .sorted.toSeq
       require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
           "query_id", "qtext", k = 5)) ==
@@ -4358,9 +4369,10 @@ object SparkEntry {
       // any redelivery misbehavior breaks the hash
       ("WITH docs AS (SELECT doc_id, text FROM documents), " +
         "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 != 1), " +
-        "ba AS (SELECT doc_id + 1000000 AS id, text FROM docs WHERE doc_id % 3 = 1), " +
-        "bb AS (SELECT doc_id + 2000000 AS id, text FROM docs WHERE doc_id % 6 = 0), " +
-        "bc AS (SELECT doc_id + 3000000 AS id, text || ' r16 resume suffix' AS text FROM docs WHERE doc_id % 6 = 2), " +
+        "mx AS (SELECT max(doc_id) + 1 AS b FROM docs), " +
+        "ba AS (SELECT doc_id + (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 3 = 1), " +
+        "bb AS (SELECT doc_id + 2 * (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 6 = 0), " +
+        "bc AS (SELECT doc_id + 3 * (SELECT b FROM mx) AS id, text || ' r16 resume suffix' AS text FROM docs WHERE doc_id % 6 = 2), " +
         "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc), " +
         "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
         "exact_dup AS (SELECT id FROM batch WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +

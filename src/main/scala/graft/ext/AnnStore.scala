@@ -650,8 +650,18 @@ object AnnStore {
     val m = readCodesManifest(spark, path, v)
     def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
       spark, s"${codesPath(path, v)}/$g").toLong).sum
-    def tombRows = m.tombs.map(g => math.max(0L,
-      StoreFiles.parquetRowsWritten(spark, s"${tombsPath(path, v)}/$g"))).sum
+    def tombRows = m.tombs.map { g =>
+      val r = StoreFiles.parquetRowsWritten(spark, s"${tombsPath(path, v)}/$g")
+      // r17 (advice): a manifest-listed tombstone generation missing on
+      // disk must refuse loudly, mirroring commitTombstones — mapping it
+      // to 0 rows would silently satisfy the erasure-deadline policy on a
+      // damaged store.
+      require(r >= 0L, s"compactCodesIfNeeded: listed tombstone " +
+        s"generation '$g' under ${tombsPath(path, v)} is missing on " +
+        "disk — refusing to evaluate the erasure deadline against a " +
+        "damaged store")
+      r
+    }.sum
     val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||
       (maxTombstoneRows >= 0L && tombRows > maxTombstoneRows)
     if (due) compactCodes(spark, path)

@@ -682,22 +682,32 @@ object Dedup {
     minhashStoreWrite(batch, idCol, textCol, path, k, h, b, "append")
   }
 
-  /** Per-tag high-water marks for the streamed append — the store is
-    * pre-manifest (plain dirs), so the marks live in their own
-    * atomically-replaced `marks.json` beside `params.json` (one file for
-    * the whole STORE is safe here: the store is single-writer per PATH —
-    * appends mutate shared tables — unlike the pipeline staging dir's
-    * per-tag files). Absent file = no marks (a never-streamed or legacy
-    * store). Shared codec: [[StoreFiles.readLongMarks]]. */
-  private def minhashMarks(spark: SparkSession,
-      path: String): Map[String, Long] =
-    StoreFiles.readLongMarks(spark, s"$path/marks.json",
-      "graft-minhash-marks")
+  /** Per-tag high-water mark for the streamed append/retract — the store
+    * is pre-manifest (plain dirs), so marks live beside `params.json` in
+    * ONE FILE PER TAG (`marks-<tag>.json`, the pipeline staging dir's
+    * layout; r17 advice). The r16 interim kept a single shared
+    * `marks.json`, whose read-modify-write silently LOST one tag's mark
+    * if an append stream and a takedown stream (each with its own tag,
+    * as the API invites) ever committed concurrently — and a lost mark
+    * re-opens redelivery double-commit once compaction flattens the
+    * generation dirs (the visible-generation self-heal no longer
+    * applies). Per-tag files make each stream's mark single-writer by
+    * construction. Reads fall back to a legacy shared `marks.json`
+    * (frozen — never written again); a per-tag file always wins, which
+    * is monotone-safe because marks only advance. Absent everywhere =
+    * no mark (a never-streamed or legacy store). Shared codec:
+    * [[StoreFiles.readLongMarks]]. */
+  private def minhashMark(spark: SparkSession, path: String,
+      tag: String): Option[Long] =
+    StoreFiles.readLongMarks(spark, s"$path/marks-$tag.json",
+      "graft-minhash-marks").get(tag)
+      .orElse(StoreFiles.readLongMarks(spark, s"$path/marks.json",
+        "graft-minhash-marks").get(tag))
 
-  private def writeMinhashMarks(spark: SparkSession, path: String,
-      marks: Map[String, Long]): Unit =
-    StoreFiles.writeLongMarks(spark, s"$path/marks.json",
-      "graft-minhash-marks", marks)
+  private def writeMinhashMark(spark: SparkSession, path: String,
+      tag: String, batchId: Long): Unit =
+    StoreFiles.writeLongMarks(spark, s"$path/marks-$tag.json",
+      "graft-minhash-marks", Map(tag -> batchId))
 
   /** The streaming twin of [[appendToMinHashStore]] (r16 — the missing
     * member of the BM25/ANN/fingerprint `appendBatch` family, required
@@ -737,8 +747,8 @@ object Dedup {
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     val spark = batch.sparkSession
     val (shingleK, numHashes, bands) = minhashStoreParams(path)
-    val marks = minhashMarks(spark, path)
-    if (marks.get(streamTag).exists(batchId <= _)) return false
+    if (minhashMark(spark, path, streamTag).exists(batchId <= _))
+      return false
     val gen = s"$streamTag-b$batchId"
     // publish one table's generation via the shared stage→rename flip:
     // skip when already visible (a crashed attempt that got past this
@@ -765,8 +775,9 @@ object Dedup {
       publishGen(rows.groupBy("band", "bucket").agg(count(lit(1)).as("n")),
         "bucket_counts")
     } finally rows.unpersist(): Unit
-    // `marks` from the entry read is still authoritative (single-writer)
-    writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
+    // per-tag file: this stream is its only writer, no other tag's mark
+    // rides in it
+    writeMinhashMark(spark, path, streamTag, batchId)
     true
   }
 
@@ -830,9 +841,11 @@ object Dedup {
     * takedown-side sibling of [[appendBatchToMinHashStore]], completing
     * the exactly-once family for crash-resumable takedown compositions):
     * `(streamTag, batchId)` names the tombstone generation `<tag>-b<id>`
-    * and the store's per-tag mark (marks.json — shared with the append
-    * stream's namespace; a tag is 1:1 with one stream's checkpoint)
-    * makes redeliveries no-ops (returns 0). The mark advances AFTER the
+    * and the store's per-tag mark (its own `marks-<tag>.json` — a tag is
+    * 1:1 with one stream's checkpoint, so an append stream and a
+    * takedown stream with distinct tags may commit concurrently without
+    * racing each other's marks; r17 advice) makes redeliveries no-ops
+    * (returns 0). The mark advances AFTER the
     * tombstone flip; a crash between them leaves the batch's generation
     * VISIBLE (already masking — the rename is the publish on this
     * directory-listed store) with a stale mark, and the resume detects
@@ -847,8 +860,7 @@ object Dedup {
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     val spark = ids.sparkSession
     minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
-    val marks = minhashMarks(spark, path)
-    if (marks.get(streamTag).exists(batchId <= _)) 0L
+    if (minhashMark(spark, path, streamTag).exists(batchId <= _)) 0L
     else {
       val gen = s"$streamTag-b$batchId"
       val genRows =
@@ -856,17 +868,16 @@ object Dedup {
       if (genRows >= 0L) {
         // crash-before-mark window: the flip completed (a visible gen is
         // complete by construction), so the batch is already masking —
-        // just advance the mark (the entry read is still authoritative
-        // under the single-writer contract) and report the committed rows
-        writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
+        // just advance the mark and report the committed rows
+        writeMinhashMark(spark, path, streamTag, batchId)
         genRows
       } else {
         // the mark advances AFTER the commit returns (flip-then-mark
-        // ordering), from the entry read — an empty batch commits no
-        // generation but still advances, so its redelivery stops retrying
+        // ordering) — an empty batch commits no generation but still
+        // advances, so its redelivery stops retrying
         val n = commitMinhashRetraction(ids, idCol, path,
           Some((streamTag, batchId)))
-        writeMinhashMarks(spark, path, marks + (streamTag -> batchId))
+        writeMinhashMark(spark, path, streamTag, batchId)
         n
       }
     }

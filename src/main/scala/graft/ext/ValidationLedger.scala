@@ -621,9 +621,23 @@ object ValidationLedger {
           "for the full audit scan")
         require(!cs.contains(null), "reconcile: null candidate partition key")
         val csSet = cs.distinct
-        if (csSet.length <= maxInline)
-          (data.filter(key.isin(csSet: _*)),
+        if (csSet.length <= maxInline) {
+          // r17 (advice): filter on the RAW partition column with the
+          // candidate strings cast to ITS type — `cast(attr, string).isin`
+          // wraps the attribute and defeats static partition pruning for
+          // non-string partition columns (the scan the feature exists to
+          // avoid). lit(s).cast(dt) constant-folds to a typed literal, so
+          // the In lands directly on the attribute and the file index
+          // lists only the named directories. try_cast (not cast): under
+          // ANSI mode a candidate that does not round-trip must stay
+          // INERT (null literal matches nothing — identical outcome to
+          // the old string compare, since canonical ledger keys always
+          // round-trip), not throw.
+          val dt = data.schema(partitionCol).dataType
+          (data.filter(q(partitionCol).isin(csSet.map(s =>
+              lit(s).try_cast(dt)): _*)),
             rows(spark, path).filter(col("partition").isin(csSet: _*)))
+        }
         else {
           val keyDf = spark.createDataFrame(
             java.util.Arrays.asList(csSet.map(v =>

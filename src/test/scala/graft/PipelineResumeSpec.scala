@@ -334,8 +334,9 @@ class PipelineResumeSpec extends SparkSpec {
     val nT = tIds.count()
     assert(Dedup.retractBatchFromMinHashStore(tIds, "doc_id", mhDir,
       "td", 0L) == nT)
-    // simulate the crash: generation committed, mark rewound
-    StoreFiles.writeLongMarks(spark, s"$mhDir/marks.json",
+    // simulate the crash: generation committed, mark rewound (per-tag
+    // marks-<tag>.json since r17)
+    StoreFiles.writeLongMarks(spark, s"$mhDir/marks-td.json",
       "graft-minhash-marks", Map.empty)
     val genPath = new org.apache.hadoop.fs.Path(s"$mhDir/tombs/td-b0")
     val f = StoreFiles.fs(spark, mhDir)
@@ -504,8 +505,9 @@ class PipelineResumeSpec extends SparkSpec {
     val f = StoreFiles.fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/rows/s1-b1"), true)
     f.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket_counts/s1-b1"), true)
-    // rewind the mark to simulate the crash-before-mark window
-    val marksP = s"$dir/marks.json"
+    // rewind the mark to simulate the crash-before-mark window (per-tag
+    // marks-<tag>.json since r17 — the shared marks.json is legacy)
+    val marksP = s"$dir/marks-s1.json"
     StoreFiles.writeUtf8Atomic(spark, marksP,
       """{"format":"graft-minhash-marks","marks":{"s1":0}}""")
     assert(rowsCnt < full)
@@ -519,5 +521,41 @@ class PipelineResumeSpec extends SparkSpec {
       "doc_id", "text", oneShot2, shingleK = 3, numHashes = 16, bands = 4)
     assert(pairs(dir) == pairs(oneShot2),
       "compacted streamed store must serve identically to a fresh build")
+  }
+
+  test("minhash marks are per-tag files: append + takedown tags never race each other's marks; legacy marks.json adopts read-only (r17 advice)") {
+    val dir = tmp()
+    Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val f = StoreFiles.fs(spark, dir)
+    // legacy store: a pre-r17 shared marks.json carries both tags' marks
+    StoreFiles.writeUtf8Atomic(spark, s"$dir/marks.json",
+      """{"format":"graft-minhash-marks","marks":{"app":3,"td":5}}""")
+    // both tags' marks are honored from the legacy file (fallback read)
+    assert(!Dedup.appendBatchToMinHashStore(mkDocs(1000L, 1010L),
+      "doc_id", "text", dir, "app", 3L), "legacy append mark must hold")
+    assert(Dedup.retractBatchFromMinHashStore(
+      spark.range(1).select(col("id").as("doc_id")), "doc_id", dir,
+      "td", 5L) == 0L, "legacy takedown mark must hold")
+    // new commits write per-tag files and never touch marks.json — the
+    // exact lost-update the shared file risked (append stream and
+    // takedown stream committing concurrently, one read-modify-write
+    // clobbering the other's entry) is structurally gone
+    val legacyBytes = StoreFiles.readUtf8(spark, s"$dir/marks.json")
+    assert(Dedup.appendBatchToMinHashStore(mkDocs(1000L, 1010L),
+      "doc_id", "text", dir, "app", 4L))
+    assert(Dedup.retractBatchFromMinHashStore(
+      mkDocs(1000L, 1002L).select(col("doc_id")), "doc_id", dir,
+      "td", 6L) > 0L)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/marks-app.json")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/marks-td.json")))
+    assert(StoreFiles.readUtf8(spark, s"$dir/marks.json") == legacyBytes,
+      "commits must never rewrite the legacy shared marks.json")
+    // the per-tag file takes precedence over the stale legacy entry
+    assert(!Dedup.appendBatchToMinHashStore(mkDocs(1000L, 1010L),
+      "doc_id", "text", dir, "app", 4L), "per-tag mark must win")
+    assert(Dedup.retractBatchFromMinHashStore(
+      mkDocs(1000L, 1002L).select(col("doc_id")), "doc_id", dir,
+      "td", 6L) == 0L)
   }
 }

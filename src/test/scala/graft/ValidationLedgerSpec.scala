@@ -594,6 +594,67 @@ class ValidationLedgerSpec extends SparkSpec {
         candidates = Some(Seq("p1", null))))
   }
 
+  test("reconcile(candidates) prunes on a NON-STRING partition column too (r17 advice)") {
+    // The r16 cut filtered on cast(part, string).isin(...) — the cast
+    // wraps the ATTRIBUTE, so for an int-partitioned source the file
+    // index could not prune and the audit degraded to a full scan. The
+    // fix casts the candidate LITERALS to the column's type instead;
+    // this test is the records-read proof on an Int partition column.
+    val dataDir = tmp() + "/data"
+    spark.range(4000).select(
+      (col("id") % 4).cast("int").as("part"), col("id").as("v"))
+      .write.partitionBy("part").parquet(dataDir)
+    val data = spark.read.parquet(dataDir)
+    val sch = DataFrameSchema(
+      "part" -> ColumnSchema.of(IntegerType),
+      "v" -> ColumnSchema.of(LongType, Check.ge(0L)))
+    val dir = tmp()
+    ValidationLedger.validateIncrement(sch, data, "part", dir, "b1",
+      candidates = Some(Seq("0", "1", "2", "3"))): Unit
+    // partition 1 loses 200 rows
+    val liveDir = tmp() + "/live"
+    data.filter(!(col("part") === 1 && col("v") % 10 === 1))
+      .write.partitionBy("part").parquet(liveDir)
+    val live = spark.read.parquet(liveDir)
+
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = recs.get(); var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 500L * 1000 * 1000 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val now = recs.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    quiesce(); recs.set(0L)
+    val drift =
+      try {
+        val d = ValidationLedger.reconcile(live, "part", dir,
+          candidates = Some(Seq("1"))).collect()
+        quiesce(); d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(drift.map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("1", 1000L, 800L)))
+    val prunedRecs = recs.get()
+    assert(prunedRecs >= 800L && prunedRecs <= 1300L,
+      s"int-partition candidates=Seq(1) reconcile read $prunedRecs " +
+        "records (want ~804: partition 1's survivors + the ledger — " +
+        "pruning must engage on a non-string partition column)")
+    // a candidate string that cannot round-trip through the int cast is
+    // inert, same as a never-ledgered key
+    assert(ValidationLedger.reconcile(live, "part", dir,
+      candidates = Some(Seq("not-an-int"))).isEmpty)
+  }
+
   test("contract fingerprint: a changed check set refuses loudly; emptied ledger re-establishes; legacy manifests adopt (r14)") {
     val dir = tmp()
     ValidationLedger.validateIncrement(schema,
