@@ -1,7 +1,7 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -104,7 +104,7 @@ object Bench {
     * contaminated section is machine-identifiable IN the artifact: its
     * canary_ms sits well above the run's median. ~16.7M xxhash-style mixing
     * steps ≈ 15-40 ms on an idle core. */
-  private def canaryMs(): Double = {
+  private[graft] def canaryMs(): Double = {
     var x = 0x9e3779b97f4a7c15L
     val t0 = System.nanoTime()
     var i = 0
@@ -117,6 +117,122 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e6
     if (x == 42L) System.err.println("") // defeat dead-code elimination
     dt
+  }
+
+  /** Per-section IO canary (r17 verdict #1): a timed FORCED 8 MB
+    * write+read+delete on the same filesystem Spark spills and shuffles
+    * to (java.io.tmpdir — spark.local.dir defaults there), run beside the
+    * CPU spin before each section. The r16 round ended with an
+    * unattributable outlier (`dedup_minhash_10x` 25/40 s vs an 8.2 s
+    * floor, CPU canary and loadavg FLAT): the CPU spin is blind to disk
+    * contention, which is exactly what slows a shuffle-heavy section
+    * while leaving a pure-CPU spin untouched. `force(true)` pushes the
+    * bytes through the page cache to the device, so co-tenant disk
+    * pressure inflates this number proportionally. Non-zero random fill:
+    * a sparse/compressing layer must not short-circuit the write. */
+  private[graft] def ioCanaryMs(): Double = {
+    import java.nio.file.StandardOpenOption._
+    val tmp = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
+    val buf = java.nio.ByteBuffer.allocate(1 << 20)
+    new java.util.Random(0x9e3779b9L).nextBytes(buf.array())
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(tmp, WRITE)
+    try {
+      var i = 0
+      while (i < 8) { buf.rewind(); ch.write(buf): Unit; i += 1 }
+      ch.force(true)
+    } finally ch.close()
+    val rch = java.nio.channels.FileChannel.open(tmp, READ)
+    try {
+      val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = 1
+      while (n > 0) { rbuf.clear(); n = rch.read(rbuf) }
+    } finally rch.close()
+    java.nio.file.Files.delete(tmp)
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Composite contention-suspicion for the baseline merge (r17 verdict
+    * #1 — pure, spec-covered in BenchPolicySpec). The CPU leg is the r13
+    * canary unchanged: spin >2× the run's own median. The IO leg adds the
+    * evidence the r16 protocol lacked, under a 20 ms absolute guard (an
+    * 8 MB forced write that completes faster is not contention that could
+    * move a multi-second section):
+    *  - >2× the run's median io canary — NON-uniform disk contention;
+    *  - >3× the rolling io floor — UNIFORM disk contention, the
+    *    documented median-relative blind spot (every section inflated
+    *    ~equally marks nothing suspect; bit three times in r16). The
+    *    floor is min-merged across runs like the section floors, so it
+    *    converges to the quiet-window device speed and a contended run
+    *    can never raise it. The absolute-threshold objection recorded at
+    *    the CPU canary (driver hosts idle at 2-4× the spec band, so any
+    *    tight absolute bound marks whole driver runs suspect) does not
+    *    transfer: sections are born and floors are seeded in local
+    *    quiet-window runs by protocol, and a driver run whose DISK is
+    *    >3× the quiet floor is exactly the run whose new floors we must
+    *    refuse. */
+  def suspectSection(cpu: Double, cpuMedian: Double, io: Double,
+      ioMedian: Double, ioFloor: Option[Double]): Boolean =
+    cpu > 2 * cpuMedian ||
+      (io > 20.0 && (io > 2 * ioMedian || ioFloor.exists(f => io > 3 * f)))
+
+  /** Per-section Spark TaskMetrics accumulator (r17 verdict #1): shuffle
+    * read/write bytes, disk/memory spill bytes, executor CPU vs run time.
+    * Deltas between section boundaries attribute a slow reading
+    * mechanically: a plan regression moves BYTES (more shuffle, new
+    * spill); host contention moves only WALL (bytes flat, run time
+    * inflated vs CPU time, io canary up). Listener events post async, so
+    * boundary snapshots go through [[quiesce]] — outside every timed
+    * region. */
+  private[graft] final class SectionMetrics extends SparkListener {
+    val events = new AtomicLong
+    private val shuffleRead, shuffleWrite, diskSpill, memSpill, cpuNs,
+      runMs = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        diskSpill.addAndGet(m.diskBytesSpilled): Unit
+        memSpill.addAndGet(m.memoryBytesSpilled): Unit
+        cpuNs.addAndGet(m.executorCpuTime): Unit
+        runMs.addAndGet(m.executorRunTime): Unit
+      }
+      events.incrementAndGet(): Unit
+    }
+    def snap(): MetricsSnap = MetricsSnap(shuffleRead.get, shuffleWrite.get,
+      diskSpill.get, memSpill.get, cpuNs.get, runMs.get)
+    /** Wait for the async listener bus to drain this listener's task
+      * events: stable for 200 ms, cap 2 s. Untimed wall only. */
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      var last = events.get()
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 200L * 1000 * 1000 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        val now = events.get()
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
+  }
+
+  private[graft] case class MetricsSnap(shuffleRead: Long,
+      shuffleWrite: Long, diskSpill: Long, memSpill: Long, cpuNs: Long,
+      runMs: Long) {
+    def -(o: MetricsSnap): MetricsSnap = MetricsSnap(
+      shuffleRead - o.shuffleRead, shuffleWrite - o.shuffleWrite,
+      diskSpill - o.diskSpill, memSpill - o.memSpill, cpuNs - o.cpuNs,
+      runMs - o.runMs)
+    def json: String = {
+      def mb(b: Long): String =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(b / 1048576.0))
+      s"""{"shuffle_read_mb":${mb(shuffleRead)},""" +
+        s""""shuffle_write_mb":${mb(shuffleWrite)},""" +
+        s""""spill_disk_mb":${mb(diskSpill)},""" +
+        s""""spill_mem_mb":${mb(memSpill)},""" +
+        s""""exec_cpu_ms":${cpuNs / 1000000L},"exec_run_ms":$runMs}"""
+    }
   }
 
   /** Prior section timings from the ROLLING local artifact (BENCH_LOCAL.json
@@ -144,6 +260,22 @@ object Bench {
           }.toMap
       }
     } catch { case _: Exception => Map.empty }
+
+  /** Rolling IO floor (ms) from BENCH_LOCAL.json — the quiet-window
+    * device speed the uniform-contention leg of [[suspectSection]]
+    * compares against. A host property, not an sf property, so no sf
+    * gating. None when absent (pre-r17 artifact) — the leg disables. */
+  private def priorIoFloor(): Option[Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(txt, classOf[java.util.Map[String, Any]])
+      root.get("io_floor_ms") match {
+        case n: Number => Some(n.doubleValue())
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 
   /** GC-storm predicate, shared by the rerun trigger and the baseline
     * merge's suspect marking so the two policies cannot drift (r15): >25%
@@ -250,6 +382,8 @@ object Bench {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit =
         jobCounter.incrementAndGet()
     })
+    val secMetrics = new SectionMetrics
+    spark.sparkContext.addSparkListener(secMetrics)
 
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -262,6 +396,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val canaries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // r17: per-section IO canary + TaskMetrics deltas (see the member
+    // scaladocs) — the attribution telemetry the r16 outlier lacked
+    val ios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val taskMetrics =
+      scala.collection.mutable.LinkedHashMap.empty[String, MetricsSnap]
     // sections auto-rerun under the contention protocol: name -> all
     // measured times in order (the MIN is what `results` records)
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -289,9 +428,10 @@ object Bench {
     def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def heapPeakMb(): Long =
       heapPools.map(p => math.max(p.getPeakUsage.getUsed, 0L)).sum >> 20
-    // JIT-warm the canary so section 1's reading measures the host, not
-    // the compiler
+    // JIT-warm the canaries so section 1's readings measure the host, not
+    // the compiler (the io canary's second call also primes the fs path)
     canaryMs(); canaryMs(); canaryMs(): Unit
+    ioCanaryMs(); ioCanaryMs(): Unit
     val prior = priorTimes(sfDir)
     // Auto-rerun protocol (r13 verdict #1): a section measuring >2× its
     // rolling BENCH_LOCAL value AND >1 s over it reruns ONCE and the min
@@ -305,26 +445,37 @@ object Bench {
     // sections read, so they keep their single measurement.
     def timed[A](name: String, rerunSafe: Boolean = true)(f: => A): A = {
       canaries += name -> canaryMs()
+      ios += name -> ioCanaryMs()
       loads += name -> loadavg()
       resetHeapPeaks()
+      // drain stragglers from untimed inter-section work, then snapshot —
+      // both outside the timed region
+      secMetrics.quiesce()
+      val m0 = secMetrics.snap()
       val g0 = gcMillis()
       var (t, a) = time(f)
       gcs += name -> (gcMillis() - g0)
       heaps += name -> heapPeakMb()
+      secMetrics.quiesce()
+      taskMetrics += name -> (secMetrics.snap() - m0)
       if (rerunSafe && shouldRerun(t, prior.get(name), gcs(name))) {
         // telemetry must describe the KEPT run: re-read the canary/load
         // before the rerun and swap all of it in if the rerun wins, or
         // the artifact would pair a clean min-time with the discarded
         // run's GC storm / contention readings (r14 review finding)
-        val c2 = canaryMs(); val l2 = loadavg(); val g1 = gcMillis()
+        val c2 = canaryMs(); val i2 = ioCanaryMs(); val l2 = loadavg()
+        val g1 = gcMillis()
         resetHeapPeaks()
+        val m2 = secMetrics.snap()
         val (t2, a2) = time(f)
         reruns += name -> Seq(t, t2)
+        secMetrics.quiesce()
         if (t2 < t) {
           t = t2; a = a2
-          canaries(name) = c2; loads(name) = l2
+          canaries(name) = c2; ios(name) = i2; loads(name) = l2
           gcs(name) = gcMillis() - g1
           heaps(name) = heapPeakMb()
+          taskMetrics(name) = secMetrics.snap() - m2
         }
       }
       results += name -> t
@@ -786,12 +937,27 @@ object Bench {
     // the floor at all (no floor → no rerun trigger → unprotected
     // forever), a strictly worse failure than one round of a too-high
     // floor that min-merges away.
-    val canaryMedian = {
-      val s = canaries.values.toSeq.sorted
+    def median(vs: Iterable[Double]): Double = {
+      val s = vs.toSeq.sorted
       if (s.isEmpty) 0.0 else s(s.size / 2)
     }
+    val canaryMedian = median(canaries.values)
+    // r17: the io canary closes (most of) the uniform-contention blind
+    // spot — see [[suspectSection]]. The CPU-median limitation note above
+    // still applies to the CPU leg alone.
+    val ioMedian = median(ios.values)
+    val ioFloorPrior = priorIoFloor()
     val suspect: String => Boolean = k =>
-      canaries.getOrElse(k, 0.0) > 2 * canaryMedian
+      suspectSection(canaries.getOrElse(k, 0.0), canaryMedian,
+        ios.getOrElse(k, 0.0), ioMedian, ioFloorPrior)
+    // the io floor min-merges on the run's MEDIAN (one number per run —
+    // robust to a single noisy section), so contended runs can't raise it
+    // and the first quiet run seeds it honestly
+    val ioFloor = math.min(ioFloorPrior.getOrElse(Double.MaxValue),
+      if (ioMedian > 0) ioMedian else Double.MaxValue) match {
+      case Double.MaxValue => None
+      case v => Some(v)
+    }
     val baseline = mergeBaseline(prior, results.toMap, reruns.toMap, suspect)
     val baselineJson = results.keys.flatMap(k => baseline.get(k).map(v =>
       s""""$k":${num("%.4f", v)}""")).mkString("{", ",", "}")
@@ -803,6 +969,11 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryArr = canaries.values
       .map(v => math.round(v).toString).mkString("[", ",", "]")
+    val ioJson = ios.map { case (k, v) => s""""$k":${num("%.1f", v)}""" }
+      .mkString("{", ",", "}")
+    val taskJson = taskMetrics.map { case (k, m) => s""""$k":${m.json}""" }
+      .mkString("{", ",", "}")
+    val ioFloorJson = ioFloor.map(v => num("%.1f", v)).getOrElse("null")
     val rerunsJson = reruns.map { case (k, ts) =>
       s""""$k":${ts.map(num("%.2f", _)).mkString("[", ",", "]")}""" }
       .mkString("{", ",", "}")
@@ -817,7 +988,7 @@ object Bench {
         Seq(s""""n_reruns":${reruns.size}""")).mkString("{", ",", "}")
     val loadMax = if (loads.isEmpty) -1.0 else loads.values.max
     val total = results.values.sum
-    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"baseline":$baselineJson,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"heap_peak_mb":$heapJson,"canary_ms":$canaryJson,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num("%.4f", total)},"unit":"sec","queries":$qs,"baseline":$baselineJson,"loadavg_1m":$loadJson,"gc_ms":$gcJson,"heap_peak_mb":$heapJson,"canary_ms":$canaryJson,"io_canary_ms":$ioJson,"io_floor_ms":$ioFloorJson,"task_metrics":$taskJson,"reruns":$rerunsJson,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir"}"""
     // The FULL metrics (4-decimal timings + per-section loadavg/gc maps)
     // go to a file: the driver's BENCH_r08.json tail cap truncated the
     // stdout line's head and lost total/validate_full — a file can't be
@@ -838,7 +1009,7 @@ object Bench {
     // ONE envelope builder for both stdout variants — only the queries
     // field differs, so the two lines cannot drift
     def stdoutLine(queriesField: String, canaryField: String): String =
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"reruns":$rerunsStdout,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"io_ms":{"med":${num("%.1f", ioMedian)},"max":${num("%.1f", if (ios.isEmpty) -1.0 else ios.values.max)}},"reruns":$rerunsStdout,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
     val compact = stdoutLine(queriesJson("%.2f"), canaryArr)
     val canaryMax =
       s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}"""

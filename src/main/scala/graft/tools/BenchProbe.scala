@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Bench
+
+/** Attribution probe for bench outliers (r17 verdict #1): repeats ONE
+  * section body with the full r17 telemetry per iteration — wall, CPU
+  * canary, IO canary, loadavg, and the section's TaskMetrics delta
+  * (shuffle read/write bytes, spill bytes, executor CPU vs run time) —
+  * so a slow reading is mechanically classifiable:
+  *
+  *  - plan/code regression: shuffle or spill BYTES move (the plan did
+  *    more work), executor CPU tracks wall;
+  *  - host CPU contention: bytes flat, CPU canary inflated;
+  *  - host DISK contention (the r16 `dedup_minhash_10x` blind spot —
+  *    25/40 s readings against an 8.2 s floor with FLAT CPU canary and
+  *    loadavg): bytes flat, CPU canary flat, IO canary inflated,
+  *    executor run time inflated vs executor CPU time.
+  *
+  * Usage: runMain graft.tools.BenchProbe [sfDir] [iters] [section]
+  * Sections: minhash10x (default — the r16 outlier), cluster10x.
+  * Prints one JSON line per iteration; nothing is written to
+  * BENCH_LOCAL.json (this tool must not touch the floor protocol).
+  * For the planted-contention experiment, run once in a quiet window and
+  * once beside a disk hog (e.g. a dd conv=fsync loop on the same
+  * filesystem) and compare the lines. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val section = args.lift(2).getOrElse("minhash10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Bench.SectionMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs10 = Bench.replicate10(docs)
+    def body(): Long = section match {
+      case "minhash10x" =>
+        graft.ext.Dedup.minhashPairs(docs10, "doc_id", "text",
+          3, 64, 16, 0.8).count()
+      case "cluster10x" =>
+        val pairs = graft.ext.Dedup.minhashPairs(docs10, "doc_id", "text",
+          3, 64, 16, 0.8)
+        graft.ext.Dedup.clusterPairs(pairs).count()
+      case other => sys.error(s"unknown section '$other' " +
+        "(minhash10x | cluster10x)")
+    }
+    // JIT/codegen warmup on a tiny slice, exactly as the suite does
+    graft.ext.Dedup.minhashPairs(docs.limit(200), "doc_id", "text",
+      3, 64, 16, 0.8).count(): Unit
+    Bench.canaryMs(); Bench.canaryMs(): Unit
+    Bench.ioCanaryMs(); Bench.ioCanaryMs(): Unit
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Exception => -1.0 }
+
+    (1 to iters).foreach { i =>
+      val cpu = Bench.canaryMs()
+      val io = Bench.ioCanaryMs()
+      val load = loadavg()
+      metrics.quiesce()
+      val m0 = metrics.snap()
+      val t0 = System.nanoTime()
+      val n = body()
+      val wall = (System.nanoTime() - t0) / 1e9
+      metrics.quiesce()
+      val d = metrics.snap() - m0
+      // free clusterPairs' checkpoint blocks between iterations
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      println(s"""{"iter":$i,"section":"$section","wall_s":${num(wall)},""" +
+        s""""rows":$n,"cpu_canary_ms":${num(cpu)},""" +
+        s""""io_canary_ms":${num(io)},"loadavg":${num(load)},""" +
+        s""""task_metrics":${d.json}}""")
+    }
+    spark.stop()
+  }
+}

@@ -102,4 +102,34 @@ class BenchPolicySpec extends AnyFunSuite {
       Map.empty, clean)
     assert(out == Map("store_build" -> 10.0))
   }
+
+  test("suspectSection: CPU leg unchanged — spin >2x the run median") {
+    assert(Bench.suspectSection(cpu = 150, cpuMedian = 70,
+      io = 10, ioMedian = 10, ioFloor = Some(8.0)))
+    assert(!Bench.suspectSection(cpu = 120, cpuMedian = 70,
+      io = 10, ioMedian = 10, ioFloor = Some(8.0)))
+  }
+
+  test("suspectSection: io leg, non-uniform disk contention (>2x run median)") {
+    assert(Bench.suspectSection(cpu = 70, cpuMedian = 70,
+      io = 90, ioMedian = 40, ioFloor = None))
+    // under the 20 ms absolute guard: a fast write can't be contention
+    // that moves a multi-second section, however skewed the ratio
+    assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
+      io = 12, ioMedian = 4, ioFloor = Some(3.0)))
+  }
+
+  test("suspectSection: io leg, UNIFORM disk contention (>3x rolling io floor) — the r16 blind spot") {
+    // every section's io canary inflated ~equally: the median-relative
+    // test sees nothing (io == ioMedian), the floor leg fires
+    assert(Bench.suspectSection(cpu = 70, cpuMedian = 70,
+      io = 60, ioMedian = 60, ioFloor = Some(12.0)))
+    // no recorded floor (pre-r17 artifact): the leg disables, uniform
+    // contention stays undetectable by io — documented residual
+    assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
+      io = 60, ioMedian = 60, ioFloor = None))
+    // quiet window: io at the floor, nothing suspect
+    assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
+      io = 13, ioMedian = 12, ioFloor = Some(12.0)))
+  }
 }
