@@ -2084,6 +2084,133 @@ object SparkEntry {
             lit(",appends="), lit(if (annDid) 1 else 0)).as("status")))
         .orderBy("doc_id")
     }),
+    "pipeline_resume_takedown" -> ((s, d) => {
+      // r17 (r16-verdict #3): the TAKEDOWN composition's crash-resume as
+      // a gate — the erasure-side sibling of pipeline_resume_batch.
+      // Attempt 1 retracts from fingerprint + MinHash and deletes from
+      // BM25, then "crashes" between the BM25 delete and the ANN delete
+      // (the canonical window); attempt 2 re-runs the WHOLE sequence
+      // under the same (tag, batchId): the three redelivered retracts
+      // no-op at their committed marks, the ANN delete and the ledger
+      // revalidate land once, and the converged stores serve exactly as
+      // one uninterrupted takedown (pinned in-gate: masked BM25 serve ≡
+      // one-shot over the survivors, live ANN codes = survivor count).
+      // Output = the post-takedown RE-CRAWL disposition — the
+      // masked-phase semantics the oracle re-derives from the shared
+      // parquet alone: re-crawls of taken-down texts re-admitted (the
+      // fingerprint store is a SET of normalized texts, retraction is
+      // set difference), surviving texts still exact-dup, near-dups
+      // still caught against surviving IDS only (the MinHash mask is
+      // id-keyed) — plus the post-revalidate ledger rollup and the
+      // resume-counters row. Near-dup channel: exact 3-shingle Jaccard
+      // ≥ 0.8 in the oracle vs MinHash-LSH in the engine, the same
+      // deliberate channel as pipeline_resume_batch; verified
+      // oracle-match at sf0.001/0.01/0.1.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val hist = docs
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val fpDir = tmp("graft-rt-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
+      val mhDir = tmp("graft-rt-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
+      val bmDir = tmp("graft-rt-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
+      val histEmb = hist.select(col("doc_id"),
+        ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
+      val annDir = tmp("graft-rt-ann")
+      ext.AnnStore.create(histEmb, "doc_id", "emb",
+        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
+      val ldir = tmp("graft-rt-led")
+      val ledSch = DataFrameSchema(
+        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "text" -> ColumnSchema(Some(StringType), Seq(
+          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
+          ColumnCheck("text_short", c => length(c) <= 300)),
+          nullable = false),
+        "ds" -> ColumnSchema.of(StringType))
+      ext.ValidationLedger.validateIncrement(ledSch,
+        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist"): Unit
+      val tdocs = hist.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val tIds = tdocs.select("doc_id")
+      val nTd = tIds.count()
+      require(nTd > 0, "takedown set must be non-empty")
+      // --- attempt 1: crash between the BM25 delete and the ANN delete
+      require(ext.FingerprintStore.retractBatch(tdocs, "text", fpDir,
+        "td", 1L) > 0L, "attempt 1: fp retract must commit")
+      require(ext.Dedup.retractBatchFromMinHashStore(tIds, "doc_id",
+        mhDir, "td", 1L) == nTd, "attempt 1: minhash retract must commit")
+      require(ext.Retrieval.deleteDocsBatch(tIds, "doc_id", bmDir,
+        "td", 1L) == nTd, "attempt 1: bm25 delete must commit")
+      // <crash> — the ANN delete and the ledger revalidate never ran
+      // --- attempt 2: the resume re-runs the whole sequence, same tags
+      val fpN = ext.FingerprintStore.retractBatch(tdocs, "text", fpDir,
+        "td", 1L)
+      val mhN = ext.Dedup.retractBatchFromMinHashStore(tIds, "doc_id",
+        mhDir, "td", 1L)
+      val bmN = ext.Retrieval.deleteDocsBatch(tIds, "doc_id", bmDir,
+        "td", 1L)
+      require(fpN == 0L && mhN == 0L && bmN == 0L,
+        "redelivered retracts must no-op at the committed marks " +
+          "(tombstones must never double)")
+      val annN = ext.AnnStore.deleteBatch(tIds, "doc_id", annDir, "td", 1L)
+      require(annN == nTd, "the crashed-off ANN delete must land on resume")
+      val survivors = hist.join(tIds, Seq("doc_id"), "left_anti")
+      val reval = ext.ValidationLedger.revalidateBatch(ledSch,
+        survivors.withColumn("ds", lit("hist")), "ds", ldir, "hist2",
+        "td", 1L, Seq("hist"))
+      require(reval.select("partition").collect().map(_.getString(0))
+        .toSeq == Seq("hist"), "resume revalidate must re-verdict " +
+        "exactly the hist partition from the masked data")
+      // convergence pins: masked serves ≡ one-shot over the survivors
+      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          math.round(r.getDouble(3) * 1e9)))
+        .sorted.toSeq
+      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)) ==
+        rows(ext.Retrieval.bm25TopK(survivors, "doc_id", "text", queries,
+          "query_id", "qtext", k = 5)),
+        "masked BM25 store diverged from one-shot over the survivors")
+      require(ext.AnnStore.codes(s, annDir).count() == survivors.count(),
+        "live ANN codes must equal the survivor count (a redelivered " +
+          "delete would over-mask; a dropped one would under-mask)")
+      // post-takedown re-crawl: taken-down texts, surviving texts, fresh
+      // content — scale-free id offsets, same derivation the oracle uses
+      val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val recrawl = tdocs
+        .select((col("doc_id") + idBase).as("id"), col("text"))
+        .unionByName(hist.filter(pmod(col("doc_id"), lit(7)) === 1)
+          .select((col("doc_id") + 2L * idBase).as("id"), col("text")))
+        .unionByName(hist.filter(pmod(col("doc_id"), lit(7)) === 2)
+          .select((col("doc_id") + 3L * idBase).as("id"),
+            concat(col("text"), lit(" r17 takedown fresh tail")).as("text")))
+      val afterExact = ext.FingerprintStore.scrub(recrawl, "text", fpDir)
+      val afterNear = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
+        "text", mhDir)
+      val disposition = recrawl
+        .join(afterExact.select(col("id"), lit(true).as("__pe")),
+          Seq("id"), "left")
+        .join(afterNear.select(col("id"), lit(true).as("__pn")),
+          Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          when(col("__pe").isNull, "exact_dup")
+            .when(col("__pn").isNull, "near_dup")
+            .otherwise("ingested").as("status"))
+      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
+        lit(-200L).as("doc_id"),
+        concat(lit("ledger:"), col("partition"),
+          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
+          lit(",passed="), col("passed")).as("status"))
+      disposition
+        .unionByName(ledgerRows)
+        .unionByName(tIds.limit(1).select(lit(-400L).as("doc_id"),
+          concat(lit("resume:noops="),
+            lit(Seq(fpN, mhN, bmN).count(_ == 0L)),
+            lit(",landed="), lit((if (annN == nTd) 1 else 0) +
+              1 /* the revalidate, require-pinned above */)).as("status")))
+        .orderBy("doc_id")
+    }),
     "drift_psi" -> ((s, d) =>
       // round-5: distribution-drift monitoring — PSI of l_extendedprice
       // between the full lineitem snapshot (reference) and the returned-

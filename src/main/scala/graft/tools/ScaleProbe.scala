@@ -729,6 +729,135 @@ object ScaleProbe {
         f"serve_first10_med=${med(bmServe.take(10).toSeq)}%.2f " +
         f"serve_last10_med=${med(bmServe.takeRight(10).toSeq)}%.2f")
       }
+
+      // r17 (r16-verdict #2): the ANN store's soak — completes the soak
+      // family across the three crawl-appended stores (MinHash 100
+      // cycles, BM25 60, now ANN under `compactCodesIfNeeded`). Streamed
+      // appendBatch every cycle, streamed deleteBatch every 10th, cadence
+      // check every cycle (maxGens=16, maxTombstoneRows=0 so each
+      // threshold compaction also physically erases the tombstoned
+      // rows). Recorded per cycle: live code files (the fragmentation
+      // sawtooth), serve wall on a FIXED 16-query batch, and the
+      // listed-bytes fraction that batch's partition pruning reads —
+      // fragmentation must not erode the pruning.
+      val annCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_ANN", "60").toInt
+      if (annCycles > 0) {
+        val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding").persist()
+        val rows = embBase.count()
+        val annDir = java.nio.file.Files
+          .createTempDirectory("graft-soak-ann").toString + "/store"
+        graft.ext.AnnStore.create(embBase, "vec_id", "embedding",
+          graft.ext.Similarity.trainIvf(embBase, "vec_id", "embedding",
+            graft.ext.Similarity.autoNCentroids(rows)), annDir)
+        val qv = embBase.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .persist()
+        val qVecs = qv.collect()
+          .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+        val nProbe = 8
+        // probed cells are FIXED (same queries, centroids never retrain
+        // in this soak) — compute once, re-list bytes per cycle
+        val annIdx = graft.ext.AnnStore.loadIndex(spark, annDir)
+        val probed = qVecs.flatMap { v =>
+          annIdx.centers.zipWithIndex.map { case (c, i) =>
+            var s = 0.0; var t = 0
+            while (t < v.length) { val d = v(t) - c(t); s += d * d; t += 1 }
+            (s, i)
+          }.sortBy(_._1).take(nProbe).map(_._2)
+        }.toSet
+        def listedFrac(): Double = {
+          val f = graft.ext.StoreFiles.fs(spark, annDir)
+          val v = graft.ext.AnnStore.currentVersion(spark, annDir)
+          var (kb, tb) = (0L, 0L)
+          val codesRoot = new org.apache.hadoop.fs.Path(s"$annDir/v$v/codes")
+          for (gen <- f.listStatus(codesRoot); if gen.isDirectory;
+               part <- f.listStatus(gen.getPath); if part.isDirectory) {
+            val nm = part.getPath.getName
+            val bytes = graft.ext.StoreFiles.dataBytesRecursive(
+              spark, part.getPath.toString)
+            tb += bytes
+            if (nm.startsWith("cell=") &&
+                probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
+          }
+          if (tb == 0) 0.0 else kb.toDouble / tb
+        }
+        // appended vectors are negated base vectors under disjoint ids:
+        // distinct directions (the store genuinely grows) that stay far
+        // from the fixed probe batch, so serve time isolates store
+        // mechanics, not result churn
+        def annBatch(i: Int): DataFrame = embBase
+          .filter(col("vec_id") % 50 === (i % 50))
+          .select((col("vec_id") + i * 10000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        var annCompactions = 0
+        val annServe = collection.mutable.ArrayBuffer.empty[Double]
+        val annFiles = collection.mutable.ArrayBuffer.empty[Long]
+        for (i <- 1 to annCycles) {
+          graft.ext.AnnStore.appendBatch(annBatch(i), "vec_id",
+            "embedding", annDir, "soak", i.toLong): Unit
+          if (i % 10 == 0) {
+            val victim = i - 5
+            graft.ext.AnnStore.deleteBatch(
+              annBatch(victim).filter(col("vec_id") % 3 === 0)
+                .select("vec_id"), "vec_id", annDir, "soaktd",
+              i.toLong): Unit
+          }
+          if (graft.ext.AnnStore.compactCodesIfNeeded(spark, annDir,
+              maxGens = 16, maxTombstoneRows = 0L)) annCompactions += 1
+          val files = graft.ext.AnnStore.liveCodeFileCount(spark, annDir)
+          val (ts, served) = time(graft.ext.AnnStore.serve(annDir,
+            embBase, "vec_id", "embedding", qv, "qid", "qv", k = 10,
+            nProbe = nProbe).count())
+          annServe += ts; annFiles += files
+          if (i % 10 == 0 || i == annCycles)
+            println(f"PROBE soak_ann cycle=$i files=$files " +
+              f"serve_sec=$ts%.2f served=$served " +
+              f"listed_frac=${listedFrac()}%.4f " +
+              f"compactions=$annCompactions")
+        }
+        println(f"PROBE soak_ann_summary cycles=$annCycles " +
+          f"files_max=${annFiles.max} files_last=${annFiles.last} " +
+          f"compactions=$annCompactions " +
+          f"serve_first10_med=${med(annServe.take(10).toSeq)}%.2f " +
+          f"serve_last10_med=${med(annServe.takeRight(10).toSeq)}%.2f")
+        // no-cadence CONTROL: same cycle shape, compaction never runs —
+        // the counterfactual the cadence prevents (files grow without
+        // bound; serve drifts with the listing)
+        val annControl =
+          sys.env.getOrElse("SPARK_GRAFT_SOAK_ANN_CONTROL", "30").toInt
+        if (annControl > 0) {
+          val cDir = java.nio.file.Files
+            .createTempDirectory("graft-soak-annctl").toString + "/store"
+          graft.ext.AnnStore.create(embBase, "vec_id", "embedding",
+            graft.ext.Similarity.trainIvf(embBase, "vec_id", "embedding",
+              graft.ext.Similarity.autoNCentroids(rows)), cDir)
+          var files = 0L
+          val ctlServe = collection.mutable.ArrayBuffer.empty[Double]
+          for (i <- 1 to annControl) {
+            graft.ext.AnnStore.appendBatch(annBatch(i), "vec_id",
+              "embedding", cDir, "soak", i.toLong): Unit
+            if (i % 10 == 0)
+              graft.ext.AnnStore.deleteBatch(
+                annBatch(i - 5).filter(col("vec_id") % 3 === 0)
+                  .select("vec_id"), "vec_id", cDir, "soaktd",
+                i.toLong): Unit
+            files = graft.ext.AnnStore.liveCodeFileCount(spark, cDir)
+            val (ts, _) = time(graft.ext.AnnStore.serve(cDir, embBase,
+              "vec_id", "embedding", qv, "qid", "qv", k = 10,
+              nProbe = nProbe).count())
+            ctlServe += ts
+            if (i % 10 == 0 || i == annControl)
+              println(f"PROBE soak_ann_control cycle=$i files=$files " +
+                f"serve_sec=$ts%.2f")
+          }
+          println(f"PROBE soak_ann_control_summary cycles=$annControl " +
+            f"files_last=$files " +
+            f"serve_first10_med=${med(ctlServe.take(10).toSeq)}%.2f " +
+            f"serve_last10_med=${med(ctlServe.takeRight(10).toSeq)}%.2f")
+        }
+        qv.unpersist(); embBase.unpersist(): Unit
+      }
     }
     spark.stop()
   }
