@@ -2159,7 +2159,10 @@ object SparkEntry {
       require(reval.select("partition").collect().map(_.getString(0))
         .toSeq == Seq("hist"), "resume revalidate must re-verdict " +
         "exactly the hist partition from the masked data")
-      // convergence pins: masked serves ≡ one-shot over the survivors
+      // convergence pins. BM25 masked phase keeps the FULL corpus stats
+      // by design (mask-then-heal, text_bm25_delete's contract), so the
+      // masked pin is exclusion + tombstone mass; the one-shot identity
+      // holds only AFTER the heal re-derives df/counters from survivors.
       val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("doc_id").as("query_id"), concat_ws(" ",
           slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
@@ -2167,11 +2170,19 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
           math.round(r.getDouble(3) * 1e9)))
         .sorted.toSeq
+      require(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
+          "query_id", "qtext", k = 5)
+        .join(tIds, Seq("doc_id"), "left_semi").isEmpty,
+        "masked BM25 serve must exclude every tombstoned id")
+      require(ext.Retrieval.tombstoneCount(s, bmDir) == nTd,
+        "BM25 tombstones must equal the takedown set exactly (a " +
+          "redelivered delete would double them)")
+      ext.Retrieval.compactIndex(s, bmDir)
       require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
           "query_id", "qtext", k = 5)) ==
         rows(ext.Retrieval.bm25TopK(survivors, "doc_id", "text", queries,
           "query_id", "qtext", k = 5)),
-        "masked BM25 store diverged from one-shot over the survivors")
+        "healed BM25 store diverged from one-shot over the survivors")
       require(ext.AnnStore.codes(s, annDir).count() == survivors.count(),
         "live ANN codes must equal the survivor count (a redelivered " +
           "delete would over-mask; a dropped one would under-mask)")
@@ -4530,6 +4541,55 @@ object SparkEntry {
         "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
         "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
         "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,appends=1') " +
+        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
+    "pipeline_resume_takedown" ->
+      // r17: the takedown crash-resume gate's converged output re-derived
+      // from the shared parquet alone. The fingerprint store is a SET of
+      // normalized texts, so retraction is set difference (a text shared
+      // by a taken-down and a surviving doc is removed ENTIRELY — its
+      // re-crawl passes the exact scrub and is then caught by the
+      // id-keyed near-dup mask against the surviving copy); the MinHash
+      // mask is id-keyed, so near-dup candidates come from surviving IDS
+      // only. Ledger rollup reflects the post-revalidate verdict over the
+      // survivors; the resume-counters row is the engine-pinned
+      // exactly-once invariant (3 redelivered retracts no-opped, the ANN
+      // delete + ledger revalidate landed once).
+      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
+        "mx AS (SELECT max(doc_id) + 1 AS b FROM docs), " +
+        "td AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 = 0), " +
+        "sv AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 != 0), " +
+        "ra AS (SELECT doc_id + (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 7 = 0), " +
+        "rb AS (SELECT doc_id + 2 * (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 7 = 1), " +
+        "rc AS (SELECT doc_id + 3 * (SELECT b FROM mx) AS id, text || ' r17 takedown fresh tail' AS text FROM docs WHERE doc_id % 7 = 2), " +
+        "batch AS (SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc), " +
+        "seen AS (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs " +
+        "EXCEPT SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) FROM td), " +
+        "exact_dup AS (SELECT id FROM batch WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
+        "surv1 AS (SELECT id, text FROM batch WHERE id NOT IN (SELECT id FROM exact_dup)), " +
+        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
+        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
+        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM sv), " +
+        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
+        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
+        "nea AS (SELECT id, unnest(sh) AS g FROM sa), " +
+        "neb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
+        "nsa AS (SELECT id, len(sh) AS n FROM sa), " +
+        "nsb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
+        "ni AS (SELECT nea.id, neb.doc_id, count(*) AS i " +
+        "FROM nea JOIN neb ON nea.g = neb.g GROUP BY 1, 2), " +
+        "near AS (SELECT DISTINCT ni.id FROM ni " +
+        "JOIN nsa ON nsa.id = ni.id JOIN nsb ON nsb.doc_id = ni.doc_id " +
+        "WHERE round(i::DOUBLE / (nsa.n + nsb.n - i), 4) >= 0.8), " +
+        "ingested AS (SELECT id FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
+        "led AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM sv), " +
+        "disp AS (SELECT id AS doc_id, 'exact_dup' AS status FROM exact_dup " +
+        "UNION ALL SELECT id, 'near_dup' FROM near " +
+        "UNION ALL SELECT id, 'ingested' FROM ingested " +
+        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM led " +
+        "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,landed=2') " +
         "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
       ("WITH t AS (SELECT doc_id, text, " +
