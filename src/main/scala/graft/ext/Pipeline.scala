@@ -78,6 +78,19 @@ object Pipeline {
       "graft-staged-marks").get(streamTag)
   }
 
+  /** The tag's retire high-water mark, or None when nothing is retired —
+    * the caller-side predicate for short-circuiting post-retirement
+    * redeliveries (the loud exit in [[stageBatch]] tells the caller to
+    * short-circuit; this is the durable "was it retired?" answer a
+    * foreachBatch writer asks at batch start, since a redelivery after a
+    * restart cannot rely on in-memory bookkeeping). r17 — the streamed
+    * lifecycle spec drives it end-to-end. */
+  def retiredThrough(spark: SparkSession, dir: String,
+      streamTag: String): Option[Long] = {
+    StoreFiles.requireStreamTag(streamTag)
+    retireMark(spark, dir, streamTag)
+  }
+
   /** Compute-or-readback for a batch's staged frame: if the batch's
     * generation dir is already visible under `dir`, read it back (a prior
     * attempt staged it — its derivation must NOT re-run); otherwise run

@@ -523,6 +523,104 @@ class PipelineResumeSpec extends SparkSpec {
       "compacted streamed store must serve identically to a fresh build")
   }
 
+  test("streamed staging lifecycle end-to-end: stage → append → retire-previous-at-batch-start through a real file-source stream (r17)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val n = buildStores()
+    val work = tmp()
+    // two crawl batches → two micro-batches (one file per trigger); the
+    // second batch's texts are reversed so it is near-dup-disjoint from
+    // the first (each night must land fresh survivors — a second slice of
+    // the same template corpus would be scrubbed as near-dups of the
+    // first night's appends). Which file lands in which batch id is up
+    // to the source — every assertion below is id- or union-based.
+    crawl.coalesce(1).write.parquet(s"$work/in")
+    mkDocs(8000L, 8030L)
+      .select(col("doc_id"), reverse(col("text")).as("text"))
+      .coalesce(1).write.mode("append").parquet(s"$work/in")
+    val computeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the DOCUMENTED writer shape (Pipeline scaladoc): retire batch N at
+    // the START of batch N+1 (N's checkpoint offset has committed by
+    // then), short-circuit redeliveries at/below the retire mark, stage
+    // before any append, every consumer reads the staged bytes
+    def runStream(ck: String): Unit = {
+      val q = spark.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+        .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id > 0) Pipeline.retireStaged(spark, n.staged, "night", id - 1)
+          if (!Pipeline.retiredThrough(spark, n.staged, "night")
+              .exists(id <= _)) {
+            val survivors = Pipeline.stageBatch(spark, n.staged,
+              "night", id) {
+              computeRuns.incrementAndGet(): Unit
+              Dedup.dropExistingNearDupStore(
+                FingerprintStore.scrub(batch, "text", n.fp),
+                "doc_id", "text", n.mh)
+            }
+            FingerprintStore.appendBatch(survivors, "text", n.fp,
+              "night", id): Unit
+            Dedup.appendBatchToMinHashStore(survivors, "doc_id", "text",
+              n.mh, "night", id): Unit
+            Retrieval.appendBatchToIndex(survivors, "doc_id", "text",
+              n.bm, "night", id): Unit
+            AnnStore.appendBatch(embed(survivors), "doc_id", "emb",
+              n.ann, "night", id): Unit
+            ValidationLedger.validateIncrementBatch(ledSch,
+              survivors.withColumn("ds", lit(s"night$id")), "ds", n.led,
+              s"night$id", "night", id,
+              candidates = Some(Seq(s"night$id"))): Unit
+          }
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runStream(s"$work/ck1")
+    val f = StoreFiles.fs(spark, n.staged)
+    def stagedExists(id: Long) =
+      f.exists(new org.apache.hadoop.fs.Path(s"${n.staged}/night-b$id"))
+    // batch 0 was retired at the start of batch 1; batch 1's staged
+    // bytes must still be present (no batch 2 arrived to retire it)
+    assert(!stagedExists(0L) && stagedExists(1L),
+      "retire-previous-at-batch-start must drop exactly batch 0's bytes")
+    assert(Pipeline.retiredThrough(spark, n.staged, "night") == Some(0L))
+    assert(computeRuns.get() == 2, "each batch derives exactly once")
+    val state1 = stateOf(n)
+    assert(ValidationLedger.status(spark, n.led).select("partition")
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("hist", "night0", "night1"))
+
+    // (a) a redelivery BEFORE retirement resumes from the staged bytes:
+    // replay the whole stream under a FRESH checkpoint — batch 0
+    // short-circuits at the retire mark, batch 1 re-stages via READBACK
+    // (the derivation must not re-run against the already-appended
+    // stores) and every append/increment no-ops at its mark
+    runStream(s"$work/ck2")
+    assert(computeRuns.get() == 2,
+      "a redelivered batch must read back its staged bytes, not re-derive")
+    assert(stateOf(n) == state1,
+      "the replayed stream must converge to the first run's state")
+
+    // (b) after retirement the redelivery path REFUSES to restage
+    Pipeline.retireStaged(spark, n.staged, "night", 1L)
+    assert(!stagedExists(1L))
+    val e0 = intercept[IllegalArgumentException](
+      Pipeline.stageBatch(spark, n.staged, "night", 1L)(
+        sys.error("derivation must never run for a retired batch")))
+    assert(e0.getMessage.contains("already RETIRED"), e0.getMessage)
+    // ...and the caller-side predicate now short-circuits both batches
+    assert(Pipeline.retiredThrough(spark, n.staged, "night") == Some(1L))
+
+    // (c) the legacy shared-marks refusal fires before anything stages
+    val legacyDir = tmp()
+    StoreFiles.writeUtf8Atomic(spark, s"$legacyDir/marks.json",
+      """{"format":"graft-staged-marks","marks":{"night":0}}""")
+    val e1 = intercept[IllegalArgumentException](
+      Pipeline.stageBatch(spark, legacyDir, "night", 1L)(
+        sys.error("must refuse before computing")))
+    assert(e1.getMessage.contains("legacy shared marks.json"),
+      e1.getMessage)
+  }
+
   test("minhash marks are per-tag files: append + takedown tags never race each other's marks; legacy marks.json adopts read-only (r17 advice)") {
     val dir = tmp()
     Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
