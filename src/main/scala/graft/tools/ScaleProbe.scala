@@ -75,7 +75,8 @@ object ScaleProbe {
     // three run ONLY when named explicitly) — empty runs the standard set
     val only: String => Boolean =
       if (args.isEmpty)
-        k => k != "ledgerpieces" && k != "cluster10x" && k != "soak"
+        k => k != "ledgerpieces" && k != "cluster10x" && k != "soak" &&
+          k != "staging"
       else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -857,6 +858,79 @@ object ScaleProbe {
             f"serve_last10_med=${med(ctlServe.takeRight(10).toSeq)}%.2f")
         }
         qv.unpersist(); embBase.unpersist(): Unit
+      }
+    }
+
+    // r17 (r16-verdict #5): the STAGING TAX — the write-ahead staging
+    // step (Pipeline.stageBatch) adds one batch-sized parquet round-trip
+    // per nightly batch; this measures it against the raw composition
+    // (derive → persist → appends, no durable stage) on fresh stores per
+    // rep, end-to-end: derivation + all four store appends + the ledger
+    // increment. The staged path's claimed advantage is RESUME cost and
+    // correctness, not happy-path speed — this pins the happy-path delta
+    // as a number. Runs only when named explicitly.
+    if (only("staging")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def batch = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select((col("doc_id") + idBase).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .select((col("doc_id") + 2L * idBase).as("doc_id"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 2)
+          .select((col("doc_id") + 3L * idBase).as("doc_id"),
+            concat(col("text"), lit(" staging probe suffix")).as("text")))
+      def embed(df: DataFrame) = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
+      import graft.schema.{ColumnSchema, DataFrameSchema}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val ledSch = DataFrameSchema(
+        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "text" -> ColumnSchema(Some(StringType), Nil, nullable = false),
+        "ds" -> ColumnSchema.of(StringType))
+      for (rep <- 1 to 3; mode <- Seq("staged", "raw")) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-staging-$mode").toString
+        val (fp, mh, bm, ann, led, sd) = (s"$root/fp", s"$root/mh",
+          s"$root/bm", s"$root/ann", s"$root/led", s"$root/staged")
+        graft.ext.FingerprintStore.build(hist, "text", fp)
+        graft.ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mh)
+        graft.ext.Retrieval.buildIndex(hist, "doc_id", "text", bm)
+        val he = embed(hist)
+        graft.ext.AnnStore.create(he, "doc_id", "emb",
+          graft.ext.Similarity.trainIvf(he, "doc_id", "emb",
+            nCentroids = 8), ann)
+        graft.ext.ValidationLedger.validateIncrement(ledSch,
+          hist.withColumn("ds", lit("hist")), "ds", led, "hist"): Unit
+        def derive = graft.ext.Dedup.dropExistingNearDupStore(
+          graft.ext.FingerprintStore.scrub(batch, "text", fp),
+          "doc_id", "text", mh)
+        var tStage = 0.0
+        val (tTotal, _) = time {
+          val (ts, survivors) = time {
+            if (mode == "staged")
+              graft.ext.Pipeline.stageBatch(spark, sd, "night", 1L)(derive)
+            else { val d = derive.persist(); d.count(): Unit; d }
+          }
+          tStage = ts
+          graft.ext.FingerprintStore.appendBatch(survivors, "text", fp,
+            "night", 1L): Unit
+          graft.ext.Dedup.appendBatchToMinHashStore(survivors, "doc_id",
+            "text", mh, "night", 1L): Unit
+          graft.ext.Retrieval.appendBatchToIndex(survivors, "doc_id",
+            "text", bm, "night", 1L): Unit
+          graft.ext.AnnStore.appendBatch(embed(survivors), "doc_id",
+            "emb", ann, "night", 1L): Unit
+          graft.ext.ValidationLedger.validateIncrementBatch(ledSch,
+            survivors.withColumn("ds", lit("night1")), "ds", led,
+            "night1", "night", 1L, candidates = Some(Seq("night1"))): Unit
+          if (mode == "staged")
+            graft.ext.Pipeline.retireStaged(spark, sd, "night", 1L)
+          else survivors.unpersist(): Unit
+        }
+        println(f"PROBE staging mode=$mode rep=$rep " +
+          f"derive_sec=$tStage%.2f total_sec=$tTotal%.2f")
       }
     }
     spark.stop()
