@@ -28,23 +28,8 @@ case class OrderRow(o_orderkey: Long, o_custkey: Option[Long],
 
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import GateSupport._
 
-  /** Run a single-check schema through the engine; emit its failure count. */
-  private def failCount(s: SparkSession, label: String, df: DataFrame,
-                        column: String, check: Check): DataFrame = {
-    val res = DataFrameSchema(column -> ColumnSchema(checks = Seq(check))).validate(df)
-    val n = res.errors.map(_.failureCount).sum
-    import s.implicits._
-    Seq((label, n)).toDF("check_name", "failure_count")
-  }
-
-  private def aggPassFail(s: SparkSession, label: String, res: ValidationResult,
-                          extraOk: Boolean = true): DataFrame = {
-    import s.implicits._
-    Seq((label, if (res.passed && extraOk) 0L else 1L)).toDF("check_name", "failure_count")
-  }
 
   /** Flagship: full lineitem contract at sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -62,5033 +47,25 @@ object SparkEntry {
     schema.validate(li).data
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.A built-in column checks, one per operator ----
-    "chk_equal_to" -> ((s, d) =>
-      failCount(s, "equal_to", t(s, d, "lineitem"), "l_linestatus", Check.equalTo("F"))),
-    "chk_not_equal_to" -> ((s, d) =>
-      failCount(s, "not_equal_to", t(s, d, "lineitem"), "l_returnflag", Check.notEqualTo("N"))),
-    "chk_greater_than" -> ((s, d) =>
-      failCount(s, "greater_than", t(s, d, "lineitem"), "l_quantity", Check.greaterThan(10.0))),
-    "chk_greater_than_or_equal_to" -> ((s, d) =>
-      failCount(s, "ge", t(s, d, "lineitem"), "l_extendedprice", Check.ge(0.0))),
-    "chk_less_than" -> ((s, d) =>
-      failCount(s, "less_than", t(s, d, "lineitem"), "l_discount", Check.lessThan(0.05))),
-    "chk_less_than_or_equal_to" -> ((s, d) =>
-      failCount(s, "le", t(s, d, "lineitem"), "l_tax", Check.le(0.05))),
-    "chk_in_range" -> ((s, d) =>
-      failCount(s, "in_range", t(s, d, "lineitem"), "l_quantity", Check.inRange(5.0, 45.0))),
-    "chk_isin" -> ((s, d) =>
-      failCount(s, "isin", t(s, d, "lineitem"), "l_returnflag", Check.isin(Seq("A", "R")))),
-    "chk_notin" -> ((s, d) =>
-      failCount(s, "notin", t(s, d, "orders"), "o_orderstatus", Check.notin(Seq("P")))),
-    "chk_str_matches" -> ((s, d) =>
-      failCount(s, "str_matches", t(s, d, "orders"), "o_orderpriority", Check.strMatches("[1-3]-"))),
-    "chk_str_contains" -> ((s, d) =>
-      failCount(s, "str_contains", t(s, d, "part"), "p_type", Check.strContains("ECO"))),
-    "chk_str_startswith" -> ((s, d) =>
-      failCount(s, "str_startswith", t(s, d, "customer"), "c_name", Check.strStartswith("Customer#"))),
-    "chk_str_endswith" -> ((s, d) =>
-      failCount(s, "str_endswith", t(s, d, "orders"), "o_orderpriority", Check.strEndswith("URGENT"))),
-    "chk_str_length" -> ((s, d) =>
-      failCount(s, "str_length", t(s, d, "part"), "p_name", Check.strLength(Some(5), Some(15)))),
-    "chk_unique_values_eq" -> ((s, d) =>
-      failCount(s, "unique_values_eq", t(s, d, "region"), "r_name",
-        Check.uniqueValuesEq(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")))),
-    "chk_element_wise" -> ((s, d) =>
-      failCount(s, "element_wise", t(s, d, "lineitem"), "l_quantity",
-        Check.elementWise[java.lang.Double]("qty_int_ew")(v => v.doubleValue() == math.floor(v.doubleValue())))),
+  /** The full gate registry, split by family (r16-verdict #6) — the
+    * combination is the same 220-entry map the driver has always seen. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GatesChecks.queries ++
+      GatesCore.queries ++
+      GatesHyp.queries ++
+      GatesDedup.queries ++
+      GatesSim.queries ++
+      GatesText.queries ++
+      GatesData.queries ++
+      GatesPipeline.queries
 
-    // ---- §2.B core structural / table-level checks ----
-    "core_nullable" -> ((s, d) => {
-      val res = DataFrameSchema("value" -> ColumnSchema(Some(DoubleType), nullable = false))
-        .validate(t(s, d, "events"))
-      import s.implicits._
-      Seq(("not_nullable", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
-    }),
-    "core_field_unique" -> ((s, d) => {
-      val res = DataFrameSchema("l_orderkey" -> ColumnSchema(Some(LongType), unique = true))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("field_uniqueness", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
-    }),
-    "core_table_unique" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType)),
-        "l_linenumber" -> ColumnSchema(Some(IntegerType)))
-        .copy(unique = Seq("l_orderkey", "l_linenumber"))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("multiple_fields_uniqueness", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "core_coerce_failures" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "o_orderstatus" -> ColumnSchema(Some(IntegerType), coerce = true))
-        .validate(t(s, d, "orders"))
-      import s.implicits._
-      Seq(("coerce_dtype", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
-    }),
-    "core_coerce_cast" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType)),
-        "l_linenumber" -> ColumnSchema(Some(LongType), coerce = true))
-        .copy(strict = Strict.Filter)
-        .validate(t(s, d, "lineitem"))
-      res.data.orderBy("l_orderkey", "l_linenumber")
-    }),
-    "core_strict_filter" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "c_custkey" -> ColumnSchema(Some(LongType)),
-        "c_name" -> ColumnSchema(Some(StringType)),
-        "c_acctbal" -> ColumnSchema(Some(DoubleType)))
-        .copy(strict = Strict.Filter)
-        .validate(t(s, d, "customer"))
-      res.data.orderBy("c_custkey")
-    }),
-    "core_add_missing" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "o_orderkey" -> ColumnSchema(Some(LongType)),
-        "o_bonus" -> ColumnSchema(Some(DoubleType), default = Some(1.5)))
-        .copy(addMissingColumns = true, strict = Strict.Filter)
-        .validate(t(s, d, "orders"))
-      res.data.select("o_orderkey", "o_bonus").orderBy("o_orderkey")
-    }),
-    "core_drop_invalid" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
-        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05))))
-        .copy(dropInvalidRows = true)
-        .validate(t(s, d, "lineitem"))
-      res.data.select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-    "core_wide_check" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType)))
-        .setChecks(Check.wide("price_ge_qty")(df => df("l_extendedprice") >= df("l_quantity")))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("price_ge_qty", res.errors.map(_.failureCount).sum)).toDF("check_name", "failure_count")
-    }),
-    "core_groupby_check" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.groupbyAgg("mean_qty_by_flag_gt5", "l_returnflag", avg("l_quantity"))(
-          m => m.values.forall(_ > 5.0)))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "mean_qty_by_flag_gt5", res)
-    }),
-    "core_groupby_highcard" -> ((s, d) => {
-      // high-cardinality groupby (one group per order): the having-style
-      // decision stays on the executors — bounded driver memory at any
-      // group count (VERDICT r1 "what's wrong" #1)
-      val res = DataFrameSchema("l_orderkey" -> ColumnSchema(Some(LongType),
-        Seq(Check.groupbyHaving("lines_per_order_le10", "l_orderkey",
-          count(lit(1)))(_ <= 10))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "lines_per_order_le10", res)
-    }),
-    "chk_isin_large" -> ((s, d) => {
-      // 100k-value allowed set (even part keys) via broadcast anti join —
-      // the literal-list isin formulation would inline 100k literals into
-      // the plan (VERDICT r1 "what's missing" #2)
-      val allowed: Seq[Any] = (0L until 200000L by 2L).map(x => x: Any)
-      ext.SetMembership.violations(t(s, d, "lineitem"), "l_partkey", allowed,
-          semi = false)
-        .agg(count(lit(1)).as("failure_count"))
-        .select(lit("isin_large_violations").as("check_name"),
-          col("failure_count"))
-    }),
-
-    // ---- §2.D hypothesis tests ----
-    "hyp_one_sample_ttest" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Hypothesis.oneSampleTtest(1.0, Hypothesis.GreaterThan, alpha = 0.01))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "one_sample_ttest", res)
-    }),
-    "hyp_two_sample_ttest" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Hypothesis.twoSampleTtest("l_linestatus", "O", "F",
-          Hypothesis.Equal, alpha = 1e-9, equalVar = false))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "two_sample_ttest", res)
-    }),
-    "hyp_registered_yaml" -> ((s, d) => {
-      // round-7: named-hypothesis registry (verdict r6 #3, mirroring
-      // register_builtin_hypothesis, api/extensions.py:107) — the
-      // hypothesis is built BY NAME from serialized statistics, the schema
-      // round-trips through a YAML document, and the reloaded schema must
-      // still run the test (the registry shares the check registry's
-      // statistics-driven serialization)
-      val byName = Hypothesis.registry("two_sample_ttest", Map(
-        "groupby" -> "l_linestatus", "sample1" -> "O", "sample2" -> "F",
-        "relationship" -> "Equal", "alpha" -> 1e-9, "equal_var" -> false))
-      val schema = DataFrameSchema(
-        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(byName)))
-      val reloaded = graft.io.SchemaIO.fromYaml(graft.io.SchemaIO.toYaml(schema))
-      val res = reloaded.validate(t(s, d, "lineitem"))
-      val roundTripped =
-        graft.io.SchemaIO.toYaml(reloaded) == graft.io.SchemaIO.toYaml(schema)
-      aggPassFail(s, "registered_two_sample_ttest", res, extraOk = roundTripped)
-    }),
-    "hyp_chi_square_gof" -> ((s, d) => {
-      // goodness-of-fit of l_returnflag against its own observed
-      // proportions rounded to 2 decimals — a deliberately-close null
-      // hypothesis the test must NOT reject at alpha=1e-6; the oracle
-      // recomputes the decision from the same statistic in SQL
-      val res = DataFrameSchema("l_returnflag" -> ColumnSchema(Some(StringType),
-        Seq(Hypothesis.chiSquareGof(
-          Map("A" -> 0.25, "N" -> 0.5, "R" -> 0.25),
-          Hypothesis.Custom((stat, _) => stat < 1000.0), alpha = 1e-6))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "chi_square_gof", res)
-    }),
-    "hyp_custom_relationship" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Hypothesis.oneSampleTtest(1.0,
-          Hypothesis.Custom((stat, _) => stat > 10.0), alpha = 0.05))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "custom_relationship", res)
-    }),
-    "hyp_custom_grouped" -> ((s, d) => {
-      // black-box grouped hypothesis (bounded per-group collect): the
-      // medians of the O and F groups must agree within 2 units
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Hypothesis.grouped("median_diff_le2", "l_linestatus", Seq("O", "F"),
-          Hypothesis.Custom((stat, _) => math.abs(stat) <= 2.0)) { vs =>
-          (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
-        })))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "median_diff_le2", res)
-    }),
-    "hyp_custom_grouped_sampled" -> ((s, d) => {
-      // r14 scale path: the same black-box grouped shape, but each group
-      // is tested on a DETERMINISTIC bounded sample (bottom-400 by the
-      // md5 key hash) instead of refusing past the cap — so the operator
-      // has a green path at ANY group density (at sf0.1 the plain form's
-      // groups exceed maxSamplePerGroup and loudly refuse). cap=400 sits
-      // below every SF's O/F group size (sf0.001 orders: O=514, F=493),
-      // so the SAMPLED branch — heap cut, hash draw, tie-break — is what
-      // the gate exercises at ALL densities, not just the big ones; the
-      // oracle re-derives the exact kept sets (row_number over the same
-      // hash) and the sampled medians.
-      val res = DataFrameSchema("o_totalprice" -> ColumnSchema(Some(DoubleType),
-        Seq(Hypothesis.groupedSampled("median_diff_sampled", "o_orderstatus",
-          Seq("O", "F"), keyCol = "o_orderkey",
-          relationship = Hypothesis.Custom((stat, _) => math.abs(stat) <= 20000.0),
-          maxSamplePerGroup = 400, seed = 7L) { vs =>
-          (Hypothesis.median(vs(0)) - Hypothesis.median(vs(1)), 0.0)
-        })))
-        .validate(t(s, d, "orders"))
-      aggPassFail(s, "median_diff_sampled", res)
-    }),
-    "hyp_group_stats" -> ((s, d) =>
-      t(s, d, "lineitem").filter(col("l_linestatus").isin("O", "F"))
-        .groupBy(col("l_linestatus").as("grp"))
-        .agg(count(lit(1)).as("n"), round(avg("l_quantity"), 3).as("mean_q"))
-        .orderBy("grp")),
-    "hyp_chi_square" -> ((s, d) =>
-      // chi-squared independence statistic as a fully-distributed plan
-      // (contingency-sized intermediates, nothing on the driver); the
-      // oracle recomputes the identical textbook formula in SQL —
-      // cell counts are exact integers, so the only float drift is the
-      // ~1e-14 sum-order term the 4-decimal round absorbs
-      Hypothesis.chiSquareStatDF(t(s, d, "orders"),
-          "o_orderstatus", "o_orderpriority")
-        .select(lit("chi_square_independence").as("test_name"),
-          col("chi2"), col("dof"), col("n"))),
-    "hyp_mann_whitney" -> ((s, d) =>
-      // Mann-Whitney U via the per-distinct-value histogram: midranks are
-      // exact halves and counts exact integers, so U and every intermediate
-      // sum are exactly representable doubles — both engines produce
-      // bit-identical values at any summation order
-      Hypothesis.mannWhitneyStatDF(t(s, d, "lineitem"),
-          "l_quantity", "l_linestatus", "O", "F")
-        .select(lit("mann_whitney_u").as("test_name"),
-          col("u1"), col("z"), col("n1"), col("n2"))),
-    "hyp_ks_two_sample" -> ((s, d) =>
-      // round-9: two-sample KS over the same per-distinct-value histogram
-      // shape — D = max CDF gap is a ratio of exact integer counts, so
-      // rounding at 6 decimals matches cross-engine; the oracle replays
-      // the identical cumulative window in SQL
-      Hypothesis.ksTwoSampleStatDF(t(s, d, "lineitem"),
-          "l_extendedprice", "l_returnflag", "A", "N")
-        .select(lit("ks_two_sample").as("test_name"),
-          col("d"), col("n1"), col("n2"))),
-
-    // ---- §2.F inference ----
-    "infer_stats" -> ((s, d) => {
-      val stats = InferSchema.statistics(t(s, d, "lineitem"))
-      import s.implicits._
-      val numeric = stats.collect {
-        case (n, st) if st.min.isDefined && st.dataType.isInstanceOf[NumericType] =>
-          (n, st.nullCount,
-            st.min.map(v => v.toString.toDouble).get,
-            st.max.map(v => v.toString.toDouble).get)
-      }
-      numeric.toDF("column", "nulls", "min_v", "max_v").orderBy("column")
-    }),
-    "infer_roundtrip" -> ((s, d) => {
-      // inferred schema must validate the data it was inferred from
-      val df = t(s, d, "orders")
-      val res = InferSchema.infer(df).validate(df)
-      aggPassFail(s, "infer_roundtrip", res)
-    }),
-
-    // ---- §2.F schema IO + synthesis ----
-    "io_roundtrip" -> ((s, d) => {
-      // infer → YAML → parse → the round-tripped schema must still validate
-      // the source data AND carry identical (column, dtype) pairs.
-      val df = t(s, d, "lineitem")
-      val inferred = InferSchema.infer(df)
-      val back = graft.io.SchemaIO.fromYaml(graft.io.SchemaIO.toYaml(inferred))
-      val ok = back.validate(df).passed &&
-        graft.io.SchemaIO.toYaml(back) == graft.io.SchemaIO.toYaml(inferred)
-      import s.implicits._
-      back.columns.map { case (n, c) =>
-        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
-      }.toDF("column", "dtype", "failure_count").orderBy("column")
-    }),
-    "io_script_roundtrip" -> ((s, d) => {
-      // round-9 (r8 verdict #8): toScript was only string-spec-tested —
-      // here the emitted code COMPILES (Scala ToolBox) into a live schema
-      // whose per-check failure counts must equal the source schema's
-      // (required in-gate); the DuckDB oracle then recomputes the counts
-      // from scratch, so the compiled checks' semantics are pinned
-      // cross-engine, not just self-consistent.
-      val df = t(s, d, "lineitem")
-      val src = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType), Seq(Check.ge(1L)), nullable = false),
-        "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
-        "l_returnflag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "R")))),
-        "l_linestatus" -> ColumnSchema(Some(StringType), Seq(Check.notin(Seq("F")))))
-      val compiled = graft.io.SchemaIO.evalScript(graft.io.SchemaIO.toScript(src))
-      def sig(r: ValidationResult): Seq[(String, String, Long)] =
-        r.errors.map(e => (e.column.getOrElse(""), e.check, e.failureCount))
-          .sortBy(x => (x._1, x._2))
-      val a = sig(src.validate(df))
-      val b = sig(compiled.validate(df))
-      require(a == b, s"compiled-script schema verdicts diverged:\n$a\nvs\n$b")
-      // fixed output rows (0 when a check passed) so the oracle is a pure
-      // recomputation, independent of which checks happen to fail at a SF;
-      // matched on the check's full described name (ge's described form is
-      // greater_than_or_equal_to — a short-label substring would miss it)
-      val wanted = Seq(
-        ("l_orderkey", "ge", "greater_than_or_equal_to"),
-        ("l_linestatus", "notin", "notin"),
-        ("l_quantity", "in_range", "in_range"),
-        ("l_returnflag", "isin", "isin"))
-      import s.implicits._
-      wanted.map { case (cn, label, described) =>
-        (cn, label, b.collectFirst {
-          case (c, chk, n) if c == cn && chk.contains(described) => n
-        }.getOrElse(0L))
-      }.toDF("column", "check_name", "failure_count").orderBy("column")
-    }),
-    "synth_roundtrip" -> ((s, d) => {
-      // synthesized data from a constrained schema must validate against it
-      val schema = DataFrameSchema(
-        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false, unique = true),
-        "qty" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(1.0, 50.0))),
-        "flag" -> ColumnSchema(Some(StringType), Seq(Check.isin(Seq("A", "N", "R")))),
-        "name" -> ColumnSchema(Some(StringType),
-          Seq(Check.strStartswith("doc-"), Check.strLength(Some(5), Some(24)))))
-      val df = graft.synth.Synthesize.dataFrame(s, schema, 10000, seed = 42)
-      val res = schema.validate(df)
-      import s.implicits._
-      Seq(("synthesis_roundtrip", if (res.passed && df.count() == 10000) 0L else 1L))
-        .toDF("check_name", "failure_count")
-    }),
-
-    "synth_regex_roundtrip" -> ((s, d) => {
-      // round-2: regex / contains / ne / standalone-notin constrained
-      // synthesis must validate against its own schema (the invariant
-      // from tests/strategies/test_strategies.py:128-160)
-      val schema = DataFrameSchema(
-        "code" -> ColumnSchema(Some(StringType),
-          Seq(Check.strMatches("[A-Z]{2}-\\d{3}")), nullable = false),
-        "email" -> ColumnSchema(Some(StringType),
-          Seq(Check.strContains("@[a-z]{3}\\.(com|org)")), nullable = false),
-        "status" -> ColumnSchema(Some(StringType),
-          Seq(Check.notin(Seq("BAD", "VOID"))), nullable = false),
-        "qty" -> ColumnSchema(Some(LongType),
-          Seq(Check.inRange(0L, 100L), Check.ne(13L))),
-        "uid" -> ColumnSchema(Some(LongType),
-          Seq(Check.inRange(0L, 20000L)), nullable = false, unique = true))
-      val df = graft.synth.Synthesize.dataFrame(s, schema, 5000, seed = 42)
-      val res = schema.validate(df)
-      import s.implicits._
-      Seq(("synth_regex_roundtrip", if (res.passed && df.count() == 5000) 0L else 1L))
-        .toDF("check_name", "failure_count")
-    }),
-
-    "synth_infer_roundtrip" -> ((s, d) => {
-      // round-4: the full infer → synthesize → validate loop on a table
-      // WITH temporal columns (lineitem carries l_shipdate) — r3 verdict
-      // item 1: temporal ge/le bounds used to crash constraint merging
-      val src = t(s, d, "lineitem")
-      val inferred = InferSchema.infer(src)
-      val df = graft.synth.Synthesize.dataFrame(s, inferred, 10000, seed = 42)
-      val res = inferred.validate(df)
-      aggPassFail(s, "synth_infer_roundtrip",
-        res, extraOk = df.count() == 10000)
-    }),
-
-    "synth_joint_unique" -> ((s, d) => {
-      // round-4: table-level joint uniqueness honored by synthesis
-      // (reference dataframe_strategy, strategies/pandas_strategies.py:1539)
-      val schema = new DataFrameSchema(
-        columns = Seq(
-          "region" -> ColumnSchema(Some(StringType),
-            Seq(Check.isin(Seq("NA", "EU", "APAC", "LATAM"))), nullable = false),
-          "bucket" -> ColumnSchema(Some(LongType),
-            Seq(Check.inRange(0L, 24L)), nullable = false),
-          "label" -> ColumnSchema(Some(StringType), Nil, nullable = false),
-          "score" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(0.0, 1.0)))),
-        unique = Seq("region", "bucket", "label"))
-      val df = graft.synth.Synthesize.dataFrame(s, schema, 8000, seed = 42)
-      val res = schema.validate(df)
-      aggPassFail(s, "synth_joint_unique",
-        res, extraOk = df.count() == 8000)
-    }),
-
-    // ---- extensions: text analysis ----
-    "text_token_count" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        ext.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
-        .orderBy("doc_id")),
-    "text_quality" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        ext.TextAnalysis.alphaCount(col("text")).cast("long").as("n_alpha"),
-        ext.TextAnalysis.digitCount(col("text")).cast("long").as("n_digit"),
-        ext.TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"))
-        .orderBy("doc_id")),
-    "text_langid" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(ext.TextAnalysis.languageId(col("text")).as("lang_pred"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang_pred")),
-    "text_bm25_store" -> ((s, d) => {
-      // round-9: persisted BM25 postings index — the retrieval member of
-      // the store family: corpus reduces once to postings/dlen/df-deltas
-      // + counters, crawl batches append pure file additions, compact()
-      // collapses the generations, and the serve is HASH-IDENTICAL to
-      // the one-shot bm25TopK (same oracle as text_bm25). In-gate
-      // requires pin pre/post-compaction serve equality + file collapse.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-store").toString
-      ext.Retrieval.buildIndex(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", dir)
-      ext.Retrieval.appendToIndex(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", dir)
-      def serve() = ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
-        "query_id", "qtext", k = 5)
-      val before = serve().collect()
-        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
-        .sorted.toSeq
-      // r10 v2 layout is generational + tbucket-partitioned; count the
-      // LIVE (manifest-listed) footprint — superseded gens linger one
-      // compaction as an in-flight-reader grace window
-      def files() = ext.Retrieval.liveFileCount(s, dir)
-      val filesBefore = files()
-      ext.Retrieval.compactIndex(s, dir)
-      require(files() < filesBefore,
-        s"BM25 index compaction did not collapse files: $filesBefore -> ${files()}")
-      val after = serve()
-      require(after.collect()
-        .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
-        .sorted.toSeq == before,
-        "compacted BM25 index serve diverged")
-      after.orderBy("query_id", "rank")
-    }),
-    "text_bm25_delete" -> ((s, d) => {
-      // r14: takedown for the BM25 store (the lexical sibling of
-      // sim_ann_delete) — MASK-THEN-HEAL: deleteDocs hides doc_id%5==2
-      // from results instantly (corpus stats still include them, every
-      // other doc's score unchanged), then compactIndex physically
-      // erases, heals df/counters and retires the tombstones. Both
-      // phases ride one output under a phase column; each phase is
-      // exactly SQL-derivable (masked = full-stats ranking minus deleted
-      // docs; healed = plain BM25 over the live corpus).
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
-      ext.Retrieval.buildIndex(docs, "doc_id", "text", dir)
-      val nDel = ext.Retrieval.deleteDocs(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
-        "doc_id", dir)
-      require(nDel > 0L, "takedown set empty — gate precondition broken")
-      def serve() = ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
-        "query_id", "qtext", k = 5)
-      // materialize the masked phase BEFORE compaction mutates the store
-      val healedSchema = serve().withColumn("phase", lit("x")).schema
-      val maskedRows = serve().withColumn("phase", lit("masked"))
-        .collect()
-      ext.Retrieval.compactIndex(s, dir)
-      require(ext.Retrieval.tombstoneCount(s, dir) == 0L,
-        "compaction must retire the tombstones")
-      val healed = serve().withColumn("phase", lit("healed"))
-      s.createDataFrame(java.util.Arrays.asList(maskedRows: _*), healedSchema)
-        .unionByName(healed)
-        .orderBy("phase", "query_id", "rank")
-    }),
-    "text_bm25_stream" -> ((s, d) => {
-      // round-10: streaming-built BM25 index — an empty index seeded, the
-      // corpus replayed as file-source micro-batches through the
-      // foreachBatch append sink (each batch = one tagged generation, so
-      // retries are exactly-once), then served. Per-token df deltas and
-      // the {n_docs, sum_dl} counters are sums over batches and documents
-      // never split across batches, so the streamed store serves
-      // hash-identically to a one-shot build — same full-SQL oracle.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
-      ext.Retrieval.buildIndex(docs.limit(0), "doc_id", "text", dir)
-      ext.Retrieval.indexReplay(docs, "doc_id", "text", dir, numFiles = 5)
-      ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
-          "query_id", "qtext", k = 5)
-        .orderBy("query_id", "rank")
-    }),
-    "text_rrf" -> ((s, d) => {
-      // round-9: hybrid-retrieval reciprocal-rank fusion — the BM25
-      // top-10 fused with a distinct-token-overlap top-10 for the same
-      // query batch (rank-only combination, no score calibration); the
-      // oracle re-derives BOTH rankings and the fusion in SQL
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
-      val bm = ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
-        "query_id", "qtext", k = 10)
-      val qt = queries.select(col("query_id"),
-        explode(ext.TextAnalysis.tokens(col("qtext"))).as("token")).distinct()
-      val dt = docs.select(col("doc_id"),
-        explode(ext.TextAnalysis.tokens(col("text"))).as("token")).distinct()
-      val ov = dt.join(broadcast(qt), Seq("token"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).cast("double").as("ov"))
-        .groupBy("query_id")
-        .agg(graft.functions.TopKByScore.of(col("ov"), col("doc_id"), 10).as("tk"))
-        .select(col("query_id"), posexplode(col("tk")))
-        .select(col("query_id"), col("col.item").as("doc_id"),
-          (col("pos") + 1).cast("int").as("rank"))
-      ext.Retrieval.rrfFuse(
-          Seq(bm.select("query_id", "doc_id", "rank"), ov), k = 5)
-        .orderBy("query_id", "rank")
-    }),
-    "text_scripts" -> ((s, d) => {
-      // round-9: Unicode script profile — per-document character counts
-      // in the four major script ranges + dominant label (mixed-corpus
-      // triage BEFORE langid; all ranges are BMP so Java UTF-16 counts
-      // equal DuckDB code-point counts exactly)
-      val cols = ext.TextAnalysis.scriptProfile(col("text"))
-      t(s, d, "documents")
-        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
-        .orderBy("doc_id")
-    }),
-    "text_bm25" -> ((s, d) => {
-      // round-9: Okapi BM25 ranked retrieval — queries are every 100th
-      // document's first three tokens; the oracle re-derives the FULL
-      // scorer (postings, df, Lucene idf, length norm, top-5 cut) in SQL
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toks = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toks, 1, 3)).as("qtext"))
-      ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
-          "query_id", "qtext", k = 5)
-        .orderBy("query_id", "rank")
-    }),
-    "text_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
-        .orderBy("doc_id")),
-    "text_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.duplicateLineFraction(col("text")).as("dup_line_frac"),
-        ext.TextAnalysis.bulletLineFraction(col("text")).as("bullet_frac"),
-        ext.TextAnalysis.ellipsisLineFraction(col("text")).as("ellipsis_frac"),
-        ext.TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
-        ext.TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"))
-        .orderBy("doc_id")),
-    "text_top_bigram" -> ((s, d) =>
-      ext.TextAnalysis.topNgramFraction(t(s, d, "documents"), "doc_id", "text", 2)
-        .orderBy("doc_id")),
-    "text_vocab_topk" -> ((s, d) =>
-      // round-5: corpus vocabulary, top 20 tokens by (count desc, token)
-      ext.TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 20)),
-    "text_tfidf" -> ((s, d) =>
-      // round-7: TF-IDF keyword extraction — top-5 tokens per document by
-      // smoothed-idf weight, ranked at 6-dp precision via the map-side
-      // k-heap aggregate
-      ext.TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)
-        .orderBy("doc_id", "rank")),
-    "text_heavy_hitters" -> ((s, d) => {
-      // round-7: exact phi-heavy hitters over token BIGRAMS via the
-      // two-pass Misra-Gries pipeline — candidates from one bounded-state
-      // sketch job (the billion-entry tail vocabulary never shuffles),
-      // exact recount of the <= capacity survivors. phi=0.0015 keeps
-      // ~4% of the bigram space, so the threshold genuinely bites.
-      val toks = ext.TextAnalysis.tokens(
-        ext.TextAnalysis.normalized(col("text")))
-      val bg = t(s, d, "documents").select(
-        explode(functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram"))
-      ext.HeavyHitters.frequentItems(bg, "bigram", phi = 0.0015)
-    }),
-    "text_heavy_hitters_by_lang" -> ((s, d) => {
-      // round-7: per-group heavy hitters — the MG sketch composes with
-      // groupBy directly (one job for every language's candidates + N_g),
-      // then the broadcast candidate frame prunes the exact recount; each
-      // language gets its own phi·N_g cut
-      val toks = ext.TextAnalysis.tokens(
-        ext.TextAnalysis.normalized(col("text")))
-      val bg = t(s, d, "documents").select(col("lang"),
-        explode(functions.HashFunctions.tokenNgrams(toks, 2)).as("bigram"))
-      ext.HeavyHitters.frequentItemsByGroup(bg, "lang", "bigram", phi = 0.002)
-    }),
-    "text_perplexity" -> ((s, d) =>
-      // round-7: CCNet-shaped quality signal — add-k unigram LM fit on the
-      // corpus itself, each doc scored by cross-entropy/perplexity;
-      // vocabSize=20 of the corpus's 31 distinct tokens so the OOV mass
-      // path is exercised
-      ext.TextAnalysis.unigramPerplexity(t(s, d, "documents"), "doc_id",
-        "text", vocabSize = 20, addK = 0.5).orderBy("doc_id")),
-    "text_ccnet_normalize" -> ((s, d) =>
-      // round-8: CCNet normalization (Wenzek et al. 2020) — lowercase +
-      // whitespace collapse + NFD accent strip + digit fold; the oracle
-      // recomputes it with DuckDB's utf8proc strip_accents, proving the
-      // cross-engine agreement the dedup fingerprints rely on
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.ccnetNormalized(col("text")).as("ntext"))
-        .orderBy("doc_id")),
-    "text_stupid_backoff" -> ((s, d) =>
-      // round-8: Brants et al. 2007 stupid-backoff bigram LM — bigram
-      // ratio when seen, alpha-discounted smoothed unigram otherwise; the
-      // model is two count DataFrames that never leave the cluster
-      // minBigramCount=2 prunes singleton bigrams from the model (standard
-      // web-scale count cutoff) so the backoff branch is exercised in-gate
-      ext.TextAnalysis.stupidBackoff(t(s, d, "documents"), "doc_id",
-        "text", alpha = 0.4, addK = 0.5, minBigramCount = 2).orderBy("doc_id")),
-    "text_kneser_ney" -> ((s, d) =>
-      // round-8: interpolated Kneser–Ney bigram LM (the KenLM smoothing
-      // CCNet's quality filter runs) — absolute discount + continuation-
-      // count interpolation; minBigramCount=2 prunes singleton bigrams so
-      // the zero-numerator (interpolation-only) branch is exercised in-gate
-      ext.TextAnalysis.kneserNey(t(s, d, "documents"), "doc_id", "text",
-        discount = 0.75, addK = 0.5, minBigramCount = 2).orderBy("doc_id")),
-    "text_classifier_train" -> ((s, d) =>
-      // round-7: distributed logistic-regression TRAINING for the quality
-      // classifier (linearClassifierScore is the scoring half) — one job
-      // per GD iteration, fixed-point gradient-vector aggregation ⇒
-      // bit-deterministic weights (oracle: golden pin). Label: document
-      // mentions "spark" (text-derived, so actually learnable — the
-      // synthetic `lang` column is uncorrelated with text)
-      ext.ClassifierTrain.trainReport(t(s, d, "documents"), "text",
-        array_contains(split(lower(trim(col("text"))), "\\s+"), "spark"),
-        dim = 1024, iters = 60, lr = 8.0, momentum = 0.95, topK = 8)
-        .orderBy("rank")),
-    "text_classifier" -> ((s, d) =>
-      // round-5: fasttext-shaped linear classifier (token weights → mean →
-      // sigmoid); weights table mimics a tiny trained quality model
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.linearClassifierScore(col("text"), Map(
-          "the" -> 0.8, "and" -> 0.5, "science" -> 2.0, "data" -> 1.5,
-          "der" -> -1.0, "el" -> -0.7, "click" -> -2.0), bias = -0.2)
-          .as("clf_score"))
-        .orderBy("doc_id")),
-    "text_bpe" -> ((s, d) =>
-      // round-5: REAL merge-table BPE (multi-step merges, not the regex
-      // approximation) — gate pins the top-5 BPE tokens by (count desc,
-      // token asc) over the corpus; algorithm verified in ExtSpec against
-      // hand-computed merges + the detokenization invariant
-      t(s, d, "documents")
-        .select(explode(ext.TextAnalysis.bpeTokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(5)),
-    "text_bpe_train" -> ((s, d) => {
-      // round-5 (reshaped r8): BPE merge TRAINING — one corpus scan to a
-      // capped word-frequency table, then a driver-local incremental merge
-      // loop (zero jobs per merge), deterministic argmax tie-break.
-      // oracle: golden pin (unchanged from the job-per-merge formulation —
-      // exact equivalence asserted in ExtSpec); algorithm verified in
-      // ExtSpec against a hand-computed corpus.
-      val merges = ext.BpeTrain.learnMerges(t(s, d, "documents"), "text", numMerges = 8)
-      import s.implicits._
-      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-        .toDF("merge_rank", "lhs", "rhs").orderBy("merge_rank")
-    }),
-    "text_bpe_train_64" -> ((s, d) => {
-      // round-8 (r7 verdict #2): a REAL vocab's worth of merges must not
-      // cost one Spark job per merge (tens of thousands of sequential
-      // driver round-trips at 32k-64k). The merge loop is driver-local
-      // over the capped frequency table; the ONLY distributed work is the
-      // word-count scan — asserted in-gate via a job group: 64 merges in
-      // ≤ 4 jobs, not 64+.
-      val sc = s.sparkContext
-      sc.setJobGroup("bpe_train_64", "bpe training job-count probe", false)
-      val merges =
-        try ext.BpeTrain.learnMerges(t(s, d, "documents"), "text", numMerges = 64)
-        finally sc.clearJobGroup()
-      val jobs = sc.statusTracker.getJobIdsForGroup("bpe_train_64").length
-      require(jobs <= 4, s"BPE training ran $jobs Spark jobs for 64 merges " +
-        "(the merge loop must be driver-local, not job-per-merge)")
-      import s.implicits._
-      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-        .toDF("merge_rank", "lhs", "rhs").orderBy("merge_rank")
-    }),
-    "text_chunks" -> ((s, d) =>
-      // round-5: context-window chunking, 32-token windows / stride 24
-      // (8-token overlap), snap-back tail; chunk content verified by md5
-      // so the gate doesn't ship the text
-      ext.TextAnalysis.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
-        chunkSize = 32, stride = 24)
-        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-          col("n_chunk_tokens"), md5(col("chunk")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")),
-    "text_url_ops" -> ((s, d) => {
-      // round-5: URL canonicalization/domain extraction. The corpus has no
-      // URL column, so the gate builds three deterministic URL shapes
-      // (tracking params + fragment + default port / non-default port +
-      // multi-part TLD / userinfo) that the canonicalizer must normalize.
-      val m = pmod(col("doc_id"), lit(3))
-      val url = when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
-          lit(".Example.COM:443/Path/"), col("doc_id").cast("string"),
-          lit("/?utm_source=x&b=2&a=1&gclid=g#frag")))
-        .when(m === 1, concat(lit("http://"), col("source"),
-          lit(".example.co.uk:8080/a//b/?z=9&utm_medium=m&ref=r")))
-        .otherwise(concat(lit("https://User:pw@"), col("source"),
-          lit(".Example.com/x?fbclid=f")))
-      t(s, d, "documents").select(col("doc_id"), url.as("url"))
-        .select(col("doc_id"),
-          ext.UrlOps.canonicalize(col("url")).as("url_canon"),
-          ext.UrlOps.domain(col("url")).as("domain"),
-          ext.UrlOps.registeredDomain(col("url")).as("reg_domain"))
-        .orderBy("doc_id")
-    }),
-    "text_gopher_filter" -> ((s, d) =>
-      // round-4: the composite Gopher keep predicate as one boolean per doc
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.gopherKeep(col("text")).cast("int").as("keep"))
-        .orderBy("doc_id")),
-    "text_c4_clean" -> ((s, d) => {
-      // round-4: C4 line cleaning. The documents table is single-line, so
-      // the gate builds a deterministic 3-line input (line 1 ends in '.',
-      // line 2 in '!', line 3 unterminated) — the cleaner must keep
-      // exactly the first two lines.
-      val multi = concat(col("text"), lit("."), lit("\n"),
-        col("text"), lit(" extra!"), lit("\n"),
-        substring(col("text"), 1, 20))
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.c4CleanLines(multi).as("clean_text"))
-        .orderBy("doc_id")
-    }),
-
-    "text_pii_redact" -> ((s, d) => {
-      // round-4: PII scrub. The corpus has no real PII, so the gate plants
-      // a deterministic email/ip/ssn/phone on every 5th document and the
-      // operator must count and redact exactly those.
-      // coalesce: Spark concat null-propagates while DuckDB concat skips
-      // NULLs — empty-string both sides so null text can't diverge
-      val txt = coalesce(col("text"), lit(""))
-      val withPii = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(txt, lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-          lit(".7 ssn 123-45-6789 tel 555-867-5309")))
-        .otherwise(txt)
-      t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.piiCount(withPii, "email").cast("long").as("n_email"),
-        ext.TextAnalysis.piiCount(withPii, "ipv4").cast("long").as("n_ipv4"),
-        ext.TextAnalysis.piiCount(withPii, "ssn").cast("long").as("n_ssn"),
-        ext.TextAnalysis.piiCount(withPii, "phone").cast("long").as("n_phone"),
-        ext.TextAnalysis.redactPii(withPii).as("redacted"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- extensions: dedup family ----
-    "dedup_exact" -> ((s, d) =>
-      ext.Dedup.exactStats(t(s, d, "documents"), Seq("text"))),
-    "dedup_minhash" -> ((s, d) =>
-      ext.Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.8)
-        .orderBy("id_a", "id_b")),
-    "dedup_minhash_sampled" -> ((s, d) =>
-      // r12 (verdict #4): the near-dup family's 10x oracle point. The
-      // all-pairs DuckDB re-derivation is intractable at sf0.1 over the
-      // full corpus (the engine's own scale argument), so engine AND
-      // oracle run on the same deterministic 1-in-10 sub-corpus
-      // (doc_id % 10 = 3) — at sf0.1 the sampled oracle costs what the
-      // full sf0.01 oracle does, giving the banded pipeline a tractable
-      // 10x correctness point on real 10x documents
-      ext.Dedup.minhashPairs(
-        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 3),
-        "doc_id", "text", shingleK = 3, numHashes = 64, bands = 16,
-        threshold = 0.8).orderBy("id_a", "id_b")),
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      ext.Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxDf = 100000L)
-        .orderBy("id_a", "id_b")),
-    "dedup_simhash" -> ((s, d) =>
-      // oracle: golden pin (deterministic seeded pipeline; see oracleSql)
-      ext.Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")),
-    "dedup_embedding_cosine" -> ((s, d) =>
-      ext.Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, useLsh = false)
-        .orderBy("id_a", "id_b")),
-    "dedup_cluster" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxDf = 100000L)
-      val comp = ext.Dedup.clusterPairs(pairs)
-      docs.join(comp, docs("doc_id") === comp("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
-    }),
-    "dedup_pipeline" -> ((s, d) =>
-      // round-4: exact-collapse → ngram-jaccard pairs → cluster → keep reps
-      ext.Dedup.nearDupPipeline(t(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxDf = 100000L)
-        .select("doc_id").orderBy("doc_id")),
-    "dedup_cluster_sampled" -> ((s, d) => {
-      // r13: the clustering leg's 10× oracle point — the full-corpus
-      // transitive-closure oracle is intractable at sf0.1 (VERIFY_SF01
-      // timeout class), so engine AND oracle run on the same
-      // deterministic 1-in-10 sub-corpus, the dedup_minhash_sampled
-      // pattern: real 10× documents, sf0.01-sized closure
-      val docs = t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 3)
-      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxDf = 100000L)
-      val comp = ext.Dedup.clusterPairs(pairs)
-      docs.join(comp, docs("doc_id") === comp("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
-    }),
-    "dedup_pipeline_sampled" -> ((s, d) =>
-      // r13: the full exact-collapse → pairs → cluster → keep-reps
-      // pipeline's 10× oracle point on the same 1-in-10 sub-corpus
-      ext.Dedup.nearDupPipeline(
-        t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) === 3),
-        "doc_id", "text", shingleK = 3, threshold = 0.5, maxDf = 100000L)
-        .select("doc_id").orderBy("doc_id")),
-    "dedup_drop_neardup" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxDf = 100000L)
-      ext.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_lines" -> ((s, d) => {
-      // round-4: C4/RefinedWeb cross-document line dedup. The documents
-      // table is single-line, so the gate first reflows each text into
-      // deterministic 10-token lines; boilerplate lines shared across
-      // documents must survive only at their first (doc_id, pos).
-      val toks = ext.TextAnalysis.tokens(col("text"))
-      val nChunks = greatest(ceil(size(toks) / lit(10.0)).cast("int"), lit(1))
-      val lined = array_join(transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
-      val reflowed = t(s, d, "documents").select(col("doc_id"), lined.as("text"))
-      ext.Dedup.dedupLinesAcross(reflowed, "doc_id", "text").orderBy("doc_id")
-    }),
-    "dedup_decontaminate" -> ((s, d) => {
-      // round-4: benchmark decontamination — every 50th document plays the
-      // benchmark; corpus docs sharing any word 3-gram with it are removed
-      val docs = t(s, d, "documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0).select(col("text"))
-      ext.Dedup.decontaminate(docs, "doc_id", "text", bench, "text", ngram = 3)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_semantic_text" -> ((s, d) => {
-      // round-5: model-free semantic dedup on raw text (feature-hashed
-      // vectors → cosine pairs → cluster → keep representatives). Gate
-      // emits the DROPPED ids (small, pinnable); brute pair path so the
-      // result is exact. oracle: golden pin; semantics in ExtSpec.
-      val docs = t(s, d, "documents")
-      val kept = ext.Dedup.semanticDedupText(docs, "doc_id", "text",
-        dim = 256, threshold = 0.9, useLsh = false).select("doc_id")
-      docs.join(kept, Seq("doc_id"), "left_anti").select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_fp_store" -> ((s, d) => {
-      // round-8: persisted fingerprint store — corpus reduces once to
-      // (fps generations + bloom.bin + manifest); batch 2 APPENDS its novel
-      // fingerprints; batch 3 scrubs against the store WITHOUT reading any
-      // corpus text and must drop batch-1 AND batch-2 content. The oracle
-      // recomputes membership as plain normalized-text NOT IN over the
-      // union — exact row semantics survive both persistence and the
-      // bloom prefilter (FP confirmation is exact by construction).
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore").toString
-      ext.FingerprintStore.build(docs, "text", dir)
-      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft fp-store tail")).as("text"))
-      ext.FingerprintStore.append(batch2, "text", dir)
-      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)          // corpus re-crawl
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)        // batch-2 re-crawl
-          .select((col("doc_id") + 3000000).as("doc_id"),
-            concat(col("text"), lit(" graft fp-store tail")).as("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)        // genuinely new
-          .select((col("doc_id") + 4000000).as("doc_id"),
-            concat(col("text"), lit(" fresh crawl content")).as("text")))
-      ext.FingerprintStore.scrub(batch3, "text", dir)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_fp_retract" -> ((s, d) => {
-      // r14: fingerprint-store RETRACTION — content removed from the
-      // training corpus stops suppressing re-crawls of the same text the
-      // moment the manifest lands (the bloom prefilter still hits until
-      // compaction rebuilds it, costing only the exact confirm); compact
-      // is the physical-erasure point. The scrub verdict is
-      // membership-only, so masked ≡ healed by construction — required
-      // in-gate along with retirement.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-fp-retract").toString
-      ext.FingerprintStore.build(docs, "text", dir)
-      val nR = ext.FingerprintStore.retract(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 1), "text", dir)
-      require(nR > 0L, "retraction set empty — gate precondition broken")
-      // full re-crawl under shifted ids: re-crawls of retracted content
-      // must pass, everything else must drop
-      val recrawl = docs.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      def kept() = ext.FingerprintStore.scrub(recrawl, "text", dir)
-      val masked = kept().select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0)).toSeq
-      ext.FingerprintStore.compact(s, dir)
-      require(ext.FingerprintStore.retractionCount(s, dir) == 0L,
-        "compaction must retire the retractions")
-      val healed = kept()
-      require(healed.select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0)).toSeq == masked,
-        "post-compaction scrub diverged from the masked scrub")
-      healed.select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_store_retract" -> ((s, d) => {
-      // r14: MinHash-store RETRACTION — near-dup suppression by retracted
-      // corpus docs ends the moment the tombstones land (zero store bytes
-      // rewritten); compactMinHashStore erases physically, recomputes the
-      // bucket-count snapshot from the scrubbed rows and retires the
-      // tombstones. Membership-only verdict → masked ≡ healed, required
-      // in-gate.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-mh-retract").toString
-      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
-      val nR = ext.Dedup.retractFromMinHashStore(
-        docs.filter(pmod(col("doc_id"), lit(10)) === 0).select("doc_id"),
-        "doc_id", dir)
-      require(nR > 0L, "retraction set empty — gate precondition broken")
-      val inc = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" graft r14 retract tail")).as("text"))
-      def kept() = ext.Dedup.dropExistingNearDupStore(inc, "doc_id", "text", dir)
-      val masked = kept().select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0)).toSeq
-      ext.Dedup.compactMinHashStore(s, dir)
-      require(ext.Dedup.minhashRetractionCount(s, dir) == 0L,
-        "compaction must retire the retractions")
-      val healed = kept()
-      require(healed.select("doc_id").orderBy("doc_id")
-        .collect().map(_.getLong(0)).toSeq == masked,
-        "post-compaction scrub diverged from the masked scrub")
-      healed.select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_fp_compacted" -> ((s, d) => {
-      // round-9: fingerprint-store compaction — same store construction,
-      // crawl batch and oracle as dedup_fp_store, with compact() between
-      // the append and the scrub: fps files collapse to size-targeted
-      // ones and the Bloom filter rebuilds at the manifest geometry.
-      // Membership is untouched (the oracle pins it); the in-gate require
-      // pins the file collapse.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore-c").toString
-      ext.FingerprintStore.build(docs, "text", dir)
-      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft fp-store tail")).as("text"))
-      ext.FingerprintStore.append(batch2, "text", dir)
-      val filesBefore = ext.FingerprintStore.liveFileCount(s, dir)
-      ext.FingerprintStore.compact(s, dir)
-      require(ext.FingerprintStore.liveFileCount(s, dir) < filesBefore,
-        "fps compaction did not collapse files")
-      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-          .select((col("doc_id") + 3000000).as("doc_id"),
-            concat(col("text"), lit(" graft fp-store tail")).as("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
-          .select((col("doc_id") + 4000000).as("doc_id"),
-            concat(col("text"), lit(" fresh crawl content")).as("text")))
-      ext.FingerprintStore.scrub(batch3, "text", dir)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "stream_scrub_store" -> ((s, d) => {
-      // round-8: batch ≡ streaming for the persisted fingerprint store —
-      // the SAME store construction and crawl batch as dedup_fp_store,
-      // replayed as file-source micro-batches through scrubWriter (filter
-      // loaded+broadcast once, per-batch confirm against the fps parquet);
-      // union across any batch split must equal the batch scrub (same
-      // oracle SQL)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-fpstore-s").toString
-      ext.FingerprintStore.build(docs, "text", dir)
-      val batch2 = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft fp-store tail")).as("text"))
-      ext.FingerprintStore.append(batch2, "text", dir)
-      val batch3 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-          .select((col("doc_id") + 3000000).as("doc_id"),
-            concat(col("text"), lit(" graft fp-store tail")).as("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
-          .select((col("doc_id") + 4000000).as("doc_id"),
-            concat(col("text"), lit(" fresh crawl content")).as("text")))
-      ext.FingerprintStore.scrubReplay(batch3, "text", dir)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_incremental_bloom" -> ((s, d) => {
-      // round-5: incremental ingest — a synthetic "next crawl batch" built
-      // from the corpus: exact re-crawls (same id), re-crawls under new ids
-      // (same content), and genuinely new content. The Bloom-prefiltered
-      // path must drop everything whose normalized text the corpus already
-      // holds — row-for-row the plain anti-join semantics.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(col("text"), lit(" graft batch-2 tail")).as("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
-          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      ext.Dedup.dropExistingExactBloom(incoming, docs, "doc_id", "text")
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_incremental_store" -> ((s, d) => {
-      // round-8: near-dup scrub served from the PERSISTED MinHash store —
-      // corpus shingles/band-rows materialized once, the batch joins the
-      // store without ever reading corpus text. Incoming: near-dup
-      // re-crawls (tail appended, dropped when J >= 0.8) + genuinely new
-      // short docs (kept). Oracle recomputes exact cross-Jaccard in SQL.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft r8 incremental tail")).as("text"))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 3)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat(lit("fresh graft content "), col("doc_id")).as("text")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-mhs").toString
-      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", tmp)
-      ext.Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", tmp)
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "dedup_store_compacted" -> ((s, d) => {
-      // round-9: store COMPACTION — same corpus/batch/oracle as
-      // dedup_incremental_store, but the store accumulates three file
-      // generations (build + 2 appends), then compact() collapses the
-      // count-delta files into one snapshot and rewrites rows/shingles.
-      // In-gate requires pin (a) the file collapse actually happened and
-      // (b) the compacted serve is row-identical to an uncompacted
-      // single-build store; the DuckDB oracle then pins the absolute
-      // semantics. This is the append-heavy deployment's answer to the
-      // object-store small-files listing cost.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft r8 incremental tail")).as("text"))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 3)
-          .select((col("doc_id") + 2000000).as("doc_id"),
-            concat(lit("fresh graft content "), col("doc_id")).as("text")))
-      val dir = java.nio.file.Files.createTempDirectory("graft-mhsc").toString
-      ext.Dedup.buildMinHashStore(
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", dir)
-      ext.Dedup.appendToMinHashStore(
-        docs.filter(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", dir)
-      ext.Dedup.appendToMinHashStore(
-        docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", dir)
-      def files() = Seq("bucket_counts", "rows", "shingles")
-        .map(sub => ext.StoreFiles.dataFileCount(s, s"$dir/$sub")).sum
-      val filesBefore = files()
-      ext.Dedup.compactMinHashStore(s, dir)
-      require(files() < filesBefore,
-        s"compaction did not collapse files: $filesBefore -> ${files()}")
-      val served = ext.Dedup.dropExistingNearDupStore(incoming, "doc_id", "text", dir)
-        .select("doc_id")
-      val ref = java.nio.file.Files.createTempDirectory("graft-mhsc-ref").toString
-      ext.Dedup.buildMinHashStore(docs, "doc_id", "text", ref)
-      val uncompacted = ext.Dedup
-        .dropExistingNearDupStore(incoming, "doc_id", "text", ref).select("doc_id")
-      require(served.collect().map(_.getLong(0)).sorted.toSeq ==
-        uncompacted.collect().map(_.getLong(0)).sorted.toSeq,
-        "compacted serve diverged from the uncompacted store")
-      served.orderBy("doc_id")
-    }),
-    "dedup_spans" -> ((s, d) =>
-      // round-5: span-level cross-doc duplicate ranges (hash-based
-      // suffix-array re-expression), 8-token spans in ≥ 2 documents
-      ext.Dedup.duplicatedSpanRanges(t(s, d, "documents"), "doc_id", "text",
-        k = 8, minDocs = 2).orderBy("doc_id", "start_pos")),
-    "dedup_span_rewrite" -> ((s, d) =>
-      // round-7: the ExactSubstr REWRITE step — every duplicated 8-token
-      // span keeps its first (doc, pos) occurrence corpus-wide; all other
-      // occurrences are cut from their documents
-      ext.Dedup.cutDuplicatedSpans(t(s, d, "documents"), "doc_id", "text",
-        k = 8, minDocs = 2).orderBy("doc_id")),
-    "dedup_semantic" -> ((s, d) =>
-      // round-5: SemDeDup-style embedding-space dedup (brute pair path so
-      // the oracle is exact; the LSH path is the scale default)
-      ext.Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, useLsh = false).select("vec_id").orderBy("vec_id")),
-    "cluster_kmeans" -> ((s, d) =>
-      // round-7: distributed Lloyd's over the full embedding table —
-      // fixed-point centroid accumulation makes the fit bit-deterministic
-      // under any partitioning (oracle: golden pin, 8 rows)
-      ext.Clustering.kMeansSummary(t(s, d, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 5, seed = 42).orderBy("cluster")),
-    "dedup_semantic_kmeans" -> ((s, d) => {
-      // round-7: SemDeDup as published (k-means blocking, within-cluster
-      // cosine pairs only). Gate output = the REMOVED ids (tiny exact pin);
-      // survivors = embeddings minus these
-      val emb = t(s, d, "embeddings")
-      val kept = ext.Clustering.semanticDedupKMeans(emb, "vec_id", "embedding",
-        k = 8, threshold = 0.45, iters = 5, seed = 42)
-      emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
-        .select("vec_id").orderBy("vec_id")
-    }),
-
-    // ---- extensions: deterministic sampling / split assignment ----
-    "sample_hash" -> ((s, d) =>
-      ext.Sampling.sampleByKey(t(s, d, "documents"), "doc_id", 0.25, seed = 7)
-        .select("doc_id").orderBy("doc_id")),
-    "sample_stratified" -> ((s, d) =>
-      ext.Sampling.stratifiedSampleByKey(t(s, d, "documents"), "doc_id", "lang",
-        Map("en" -> 0.25, "de" -> 0.8), defaultFraction = 0.5, seed = 7)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    "schema_diff" -> ((s, d) => {
-      // round-5: schema-evolution compatibility report (pure metadata,
-      // zero data jobs — (s, d) signature for gate uniformity only)
-      val v1 = DataFrameSchema(
-        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
-        "qty" -> ColumnSchema(Some(IntegerType), Seq(Check.inRange(0, 100))),
-        "old_note" -> ColumnSchema(Some(StringType)))
-        .copy(unique = Seq("id"))
-      val v2 = DataFrameSchema(
-        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)), nullable = false),
-        "qty" -> ColumnSchema(Some(LongType), Seq(Check.inRange(0, 100)), nullable = false),
-        "added_flag" -> ColumnSchema(Some(BooleanType)))
-        .copy(unique = Seq("id", "qty"))
-      SchemaDiff.report(s, v1, v2).orderBy("column", "change")
-    }),
-    "corpus_diff" -> ((s, d) => {
-      // round-7: row-level snapshot diff (added/removed/changed/unchanged).
-      // The "new" snapshot is derived from documents deterministically so
-      // the DuckDB oracle can rebuild the identical pair of inputs:
-      // doc_id%7==0 dropped, doc_id%5==0 text-edited, doc_id%11==0
-      // re-added under doc_id+1000000
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      ext.CorpusDiff.diff(docs, newSnap, "doc_id", Seq("text"))
-        .orderBy("doc_id")
-    }),
-    "model_store_roundtrip" -> ((s, d) => {
-      // round-8: trained-artifact persistence — BPE merges and classifier
-      // weights save/load as JSON with exact string/double round-trip; the
-      // LOADED copies must re-encode / re-score IDENTICALLY to the
-      // in-memory artifacts (asserted here on the corpus; the oracle pins
-      // the shape, the asserts carry the semantics)
-      val docs = t(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft-modelstore").toString
-      val merges = ext.BpeTrain.learnMerges(docs, "text", numMerges = 8)
-      ext.ModelStore.saveBpeMerges(merges, s"$dir/merges.json")
-      val loadedM = ext.ModelStore.loadBpeMerges(s"$dir/merges.json")
-      require(loadedM == merges, "BPE merge table changed through the store")
-      val encDirect = docs.select(ext.TextAnalysis.bpeTokens(col("text"),
-        merges).as("t")).collect().map(_.getSeq[String](0))
-      val encLoaded = docs.select(ext.TextAnalysis.bpeTokens(col("text"),
-        loadedM).as("t")).collect().map(_.getSeq[String](0))
-      require(encDirect.zip(encLoaded).forall(p => p._1 == p._2),
-        "loaded merges encode differently")
-      val label = array_contains(split(lower(trim(col("text"))), "\\s+"), "spark")
-      val w = ext.ClassifierTrain.trainLogistic(docs, "text", label,
-        dim = 256, iters = 10, lr = 2.0)
-      ext.ModelStore.saveLinearWeights(w, s"$dir/weights.json")
-      val loadedW = ext.ModelStore.loadLinearWeights(s"$dir/weights.json")
-      require(java.util.Arrays.equals(w, loadedW),
-        "weights changed through the store (double round-trip broken)")
-      import s.implicits._
-      Seq(("bpe_merges", merges.length, loadedM == merges),
-        ("classifier_weights", loadedW.length,
-          java.util.Arrays.equals(w, loadedW)))
-        .toDF("artifact", "n_items", "roundtrip_exact").orderBy("artifact")
-    }),
-    "agg_salted" -> ((s, d) =>
-      // round-8: two-stage salted aggregation — the skewed-groupBy-key
-      // defense (hot key spreads over 32 salt buckets in stage 1, tiny
-      // partials re-merge in stage 2). Must equal the plain GROUP BY.
-      ext.Salting.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
-        Seq(
-          "sum_qty" -> ("sum", "l_quantity"),
-          "n_rows" -> ("count", ""),
-          "avg_price" -> ("avg", "l_extendedprice"),
-          "min_disc" -> ("min", "l_discount"),
-          "max_disc" -> ("max", "l_discount")))
-        .select(col("l_returnflag"), round(col("sum_qty"), 3).as("sum_qty"),
-          col("n_rows"), round(col("avg_price"), 3).as("avg_price"),
-          col("min_disc"), col("max_disc"))
-        .orderBy("l_returnflag")),
-    "join_salted" -> ((s, d) => {
-      // round-8: salted (hot-key-replicated) equi-join — lineitem joins
-      // orders with hotKeyThreshold=5, so multi-line orders (up to 7
-      // lineitems) go through the hot path: salted left rows meet
-      // replicated right rows, single-line orders ride salt 0. Must equal
-      // the plain join (DuckDB oracle); quantities are integral doubles,
-      // so the sums compare exactly at any addition order.
-      val joined = ext.Salting.saltedJoin(
-        t(s, d, "lineitem"), t(s, d, "orders"),
-        Seq("l_orderkey"), Seq("o_orderkey"),
-        saltFactor = 4, hotKeyThreshold = 5)
-      joined.groupBy(col("o_orderpriority").as("priority"))
-        .agg(count(lit(1)).as("n_items"),
-          round(sum("l_quantity"), 3).as("sum_qty"))
-        .orderBy("priority")
-    }),
-    "join_salted_right" -> ((s, d) => {
-      // r12 (verdict #7): right-outer salted join by composition —
-      // salted INNER ∪ (right LEFT ANTI distinct left keys,
-      // null-extended). Every synthetic customer places orders, so the
-      // left side keeps only custkey % 3 != 0 orders: a third of the
-      // customers have NO left partner and must surface exactly once
-      // with null order columns (the anti leg under test). The RIGHT
-      // side keeps positive-balance customers only, so some surviving
-      // orders point at filtered-out customers — unmatched LEFT rows a
-      // right join must DROP (kills a left-preserving-core mutation).
-      // Sums are over floor()ed values: integral doubles sum exactly at
-      // any addition order, so the salted union's partition order can
-      // never flake the 3-dp string compare (join_salted discipline).
-      val joined = ext.Salting.saltedJoin(
-        t(s, d, "orders").filter(col("o_custkey") % 3 =!= 0),
-        t(s, d, "customer").filter(col("c_acctbal") > 0),
-        Seq("o_custkey"), Seq("c_custkey"),
-        saltFactor = 4, hotKeyThreshold = 5, joinType = "right")
-      joined.groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_rows"),
-          count(col("o_orderkey")).as("n_matched"),
-          sum(floor(coalesce(col("o_totalprice"), lit(0.0))).cast("long"))
-            .as("price_sum"))
-        .orderBy("segment")
-    }),
-    "join_salted_full" -> ((s, d) => {
-      // r12 (verdict #7): full-outer salted join — salted LEFT ∪ the
-      // same anti leg. Left keeps custkey % 3 != 0 orders, right keeps
-      // positive-balance customers, so all three legs are populated:
-      // matched pairs, orders of filtered-out customers (order_only),
-      // customers with no surviving orders (customer_only). Leg counts
-      // + sums re-derived in DuckDB from the plain FULL JOIN.
-      val cust = t(s, d, "customer").filter(col("c_acctbal") > 0)
-      val joined = ext.Salting.saltedJoin(
-        t(s, d, "orders").filter(col("o_custkey") % 3 =!= 0), cust,
-        Seq("o_custkey"), Seq("c_custkey"),
-        saltFactor = 4, hotKeyThreshold = 5, joinType = "full")
-      joined.select(
-          when(col("c_custkey").isNull, lit("order_only"))
-            .when(col("o_orderkey").isNull, lit("customer_only"))
-            .otherwise(lit("matched")).as("leg"),
-          col("o_totalprice"), col("c_acctbal"))
-        .groupBy("leg")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(floor(coalesce(col("o_totalprice"), lit(0.0))).cast("long"))
-            .as("price_sum"),
-          sum(floor(coalesce(col("c_acctbal"), lit(0.0))).cast("long"))
-            .as("bal_sum"))
-        .orderBy("leg")
-    }),
-    "events_funnel" -> ((s, d) =>
-      // round-8: ordered-step funnel (earliest-completion semantics) —
-      // one keyed aggregation per step over the type-filtered scan, the
-      // per-user completion frame persisted between steps; no window sort
-      // over the full log, no per-user event collection
-      ext.Funnel.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
-        Seq("signup", "view", "purchase")).orderBy("step")),
-    "events_rolling" -> ((s, d) => {
-      // round-8: rolling event-time features — per event, the count and
-      // value-sum of the same user's events in the trailing hour
-      // (inclusive). A RANGE window frame over epoch micros: ONE shuffle
-      // on the user key + an incrementally-slid frame (no per-row rescan,
-      // no self-join) — the classic online-feature backfill. RANGE peers
-      // make ties deterministic in both engines; the oracle runs the
-      // identical frame in DuckDB.
-      val ev = t(s, d, "events")
-      val usec = unix_micros(col("ts").cast("timestamp"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts_us"))
-        .rangeBetween(-3600000000L, 0L)
-      ev.select(col("event_id"), col("user_id"), usec.as("ts_us"), col("value"))
-        .withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("sum_1h", round(sum("value").over(w), 3))
-        .orderBy("event_id")
-    }),
-    "join_range" -> ((s, d) => {
-      // round-8: bucketized range join — purchases attributed to every
-      // click by the same user within the preceding hour. The inequality
-      // join is re-expressed as a hash EQUI-join on (user, time-bucket)
-      // with interval replication bounded at 2 buckets (binWidth = window
-      // length) — Spark's native plan for the same predicate is a
-      // nested-loop; the oracle runs the plain inequality join in DuckDB
-      val ev = t(s, d, "events")
-      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          us(col("ts")).as("pts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          us(col("ts")).as("lo"), (us(col("ts")) + lit(3600000000L)).as("hi"))
-      ext.RangeJoin.pointInInterval(purchases, "pts", clicks, "lo", "hi",
-          Seq("user_id" -> "c_user"), binWidth = 3600000000L)
-        .select(col("purchase_id"), col("user_id"), col("click_id"),
-          (col("pts") - col("lo")).as("lag_us"))
-        .orderBy("purchase_id", "click_id")
-    }),
-    "join_bucketed" -> ((s, d) => {
-      // round-8: bucketed co-located join — orders and customer are laid
-      // out bucketBy(8, custkey) ONCE, then the sort-merge join plans with
-      // ZERO Exchange nodes (the 100 TB shape: the fact table's join
-      // shuffle is paid at ingest, never per query). Broadcast is
-      // suppressed via merge hints so the gate proves the bucketed
-      // property, not a small-side fallback; the shuffle-freeness itself
-      // is part of the oracle-checked row (join_shuffle_free = 1).
-      // Integer aggregates (count + key sum) keep the compare float-free.
-      val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
-      ext.Bucketing.writeBucketed(t(s, d, "orders"), "graft_bkt_orders",
-        s"$dir/orders", Seq("o_custkey"), 8)
-      ext.Bucketing.writeBucketed(t(s, d, "customer"), "graft_bkt_customer",
-        s"$dir/customer", Seq("c_custkey"), 8)
-      val joined = ext.Bucketing.colocatedJoin(s, "graft_bkt_orders",
-        "graft_bkt_customer", Seq("o_custkey"), Seq("c_custkey"))
-      val shuffleFree = ext.Bucketing.shuffleExchangeCount(joined) == 0
-      joined.groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum("o_orderkey").as("key_sum"))
-        .withColumn("join_shuffle_free", lit(if (shuffleFree) 1L else 0L))
-        .orderBy("segment")
-    }),
-    "stream_asof" -> ((s, d) => {
-      // round-8: batch ≡ streaming as-of enrichment — the SAME clicks
-      // replayed as file-source micro-batches, each enriched against the
-      // static views dimension; union equals the batch join (same oracle
-      // as join_asof: DuckDB's native ASOF LEFT JOIN)
-      val ev = t(s, d, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
-      ext.AsOfJoin.enrichReplay(clicks, views, Seq("user_id"), "ts", "ts",
-          Seq("value"))
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("click_us"),
-          unix_micros(col("asof_ts").cast("timestamp")).as("view_us"),
-          round(col("asof_value"), 3).as("view_value"))
-        .orderBy("event_id")
-    }),
-    "join_asof" -> ((s, d) => {
-      // round-8: as-of join (pandas merge_asof / DuckDB ASOF JOIN) — for
-      // every click, the latest view at-or-before it by the same user.
-      // Spark-first union-window plan: ONE shuffle on the key + a running
-      // last(ignoreNulls) frame — no range join, no pair explosion; the
-      // oracle is DuckDB's NATIVE ASOF LEFT JOIN, a true cross-engine
-      // semantic check. Timestamps compare as epoch micros on both sides
-      // (unix_micros == epoch_us; the fixture's ts is timestamp[us]).
-      val ev = t(s, d, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("value"))
-      ext.AsOfJoin.asOfJoin(clicks, views, Seq("user_id"), "ts", "ts",
-          Seq("value"))
-        .select(col("event_id"), col("user_id"),
-          // ts is TIMESTAMP_NTZ; the cast is exact under the UTC session tz
-          unix_micros(col("ts").cast("timestamp")).as("click_us"),
-          unix_micros(col("asof_ts").cast("timestamp")).as("view_us"),
-          round(col("asof_value"), 3).as("view_value"))
-        .orderBy("event_id")
-    }),
-    "join_interval" -> ((s, d) => {
-      // round-9: interval×interval OVERLAP join — concurrent 30-minute
-      // activity windows per user between clicks and views, bucketized to
-      // a hash equi-join with canonical-bucket exactly-once emission; the
-      // oracle is DuckDB's direct inequality join
-      val ev = t(s, d, "events")
-      def usec(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
-      val a = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
-          usec(col("ts")).as("a_lo"), (usec(col("ts")) + lit(1800000000L)).as("a_hi"))
-      val b = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
-          usec(col("ts")).as("b_lo"), (usec(col("ts")) + lit(1800000000L)).as("b_hi"))
-      ext.RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
-          Seq("a_user" -> "b_user"), binWidth = 1800000000L)
-        .select(col("a_id"), col("b_id"), col("a_user"))
-        .orderBy("a_id", "b_id")
-    }),
-    "stats_distinct_store" -> ((s, d) => {
-      // round-8: incremental distinct-count store — each batch reduces to
-      // one (key, n_rows, HLL sketch) parquet row; later questions union
-      // the stored sketches without touching the corpora. At fixture
-      // cardinalities the sketches stay in the DataSketches coupon phase,
-      // where the union estimate is EXACTLY the true count (probed at both
-      // SFs) — so the oracle is a genuine cross-engine exact compare, and
-      // the in-gate assert pins union-from-store == one-shot estimate
-      val ev = t(s, d, "events")
-      val dir = java.nio.file.Files.createTempDirectory("graft-hllstore").toString
-      ext.SketchStore.append(ext.SketchStore.distinctSketch(
-        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id"),
-        dir, "batch_a")
-      ext.SketchStore.append(ext.SketchStore.distinctSketch(
-        ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "user_id"),
-        dir, "batch_b")
-      val served = ext.SketchStore.estimate(s, dir, Seq("event_type"))
-      val oneShot = ext.SketchStore.distinctSketch(ev, Seq("event_type"), "user_id")
-        .select(col("event_type"),
-          hll_sketch_estimate(col("sketch")).as("n_distinct"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      served.collect().foreach { r =>
-        require(r.getLong(2) == oneShot(r.getString(0)),
-          s"store union diverged from one-shot for ${r.getString(0)}")
-      }
-      served.orderBy("event_type")
-    }),
-    "stats_distinct_compacted" -> ((s, d) => {
-      // round-9: sketch-store compaction — five per-batch appends merge
-      // to ONE row per key (register-max union, associative+idempotent),
-      // and the coupon-phase estimates must stay EXACTLY the one-shot
-      // values, so the same DuckDB exact-count oracle still pins the
-      // result. In-gate requires pin the row/file collapse and that a
-      // post-compaction append still serves.
-      val ev = t(s, d, "events")
-      val dir = java.nio.file.Files.createTempDirectory("graft-hllstore-c").toString
-      for (b <- 0 to 4)
-        ext.SketchStore.append(ext.SketchStore.distinctSketch(
-          ev.filter(pmod(col("event_id"), lit(5)) === b), Seq("event_type"),
-          "user_id"), dir, s"batch_$b")
-      val rowsBefore = ext.SketchStore.rows(s, dir).count()
-      val filesBefore = ext.SketchStore.liveFileCount(s, dir)
-      ext.SketchStore.compact(s, dir)
-      val nKeys = ext.SketchStore.rows(s, dir).count()
-      require(nKeys < rowsBefore &&
-          ext.SketchStore.liveFileCount(s, dir) < filesBefore,
-        s"sketch compaction did not collapse: $rowsBefore rows/$filesBefore files")
-      ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
-    }),
-    "stats_distinct_retract" -> ((s, d) => {
-      // r15 (verdict #3): sketch-store RETRACTION — HLL cannot subtract,
-      // so the takedown contract is (a) whole-batch drop, exact because
-      // the store keys every row by its batch label, and (b) per-key
-      // rebuild-from-live for takedown lists that are not batch-aligned.
-      // Three batches land (event_id % 3); batch_1 is recalled wholesale;
-      // then a user-level takedown (user_id % 7 == 0 within 'click')
-      // rebuilds that one key from the live corpus. The oracle re-derives
-      // the final estimates from events.parquet alone — coupon-phase
-      // exactness makes it an exact cross-engine compare (same contract
-      // as stats_distinct_store, probed at both SFs).
-      val ev = t(s, d, "events")
-      val dir = java.nio.file.Files.createTempDirectory("graft-hllretract").toString
-      for (b <- 0 to 2)
-        ext.SketchStore.append(ext.SketchStore.distinctSketch(
-          ev.filter(pmod(col("event_id"), lit(3)) === b), Seq("event_type"),
-          "user_id"), dir, s"batch_$b")
-      val dropped = ext.SketchStore.retractBatch(s, dir, "batch_1")
-      require(dropped > 0L, "retractBatch must drop the batch's rows")
-      require(ext.SketchStore.retractBatch(s, dir, "batch_1") == 0L,
-        "a second retraction of the same batch must be a 0 no-op")
-      val live = ev.filter(pmod(col("event_id"), lit(3)) =!= 1)
-      // post-retraction estimates ≡ a fresh build over the live corpus
-      val fresh = ext.SketchStore.distinctSketch(live, Seq("event_type"),
-          "user_id")
-        .select(col("event_type"), col("n_rows"),
-          hll_sketch_estimate(col("sketch")).as("n_distinct"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      ext.SketchStore.estimate(s, dir, Seq("event_type")).collect().foreach { r =>
-        require((r.getLong(1), r.getLong(2)) == fresh(r.getString(0)),
-          s"post-retraction estimate diverged from a fresh live build for ${r.getString(0)}")
-      }
-      // user-level takedown inside 'click': rebuild that key from live
-      val finalClick = live.filter(col("event_type") === "click" &&
-        col("user_id") % 7 =!= 0)
-      require(ext.SketchStore.rebuildKeys(ext.SketchStore.distinctSketch(
-          finalClick, Seq("event_type"), "user_id"), dir, "rebuild_1") > 0L,
-        "rebuildKeys must replace the affected key's rows")
-      ext.SketchStore.estimate(s, dir, Seq("event_type")).orderBy("event_type")
-    }),
-    "er_fuzzy_dedup" -> ((s, d) =>
-      // round-8: blocked fuzzy entity resolution — Jaro-Winkler (native
-      // codegen'd expression, semantics pinned to DuckDB's
-      // jaro_winkler_similarity so the oracle is a true cross-engine
-      // check) inside nation-key blocks; the full cross product never
-      // materializes and over-popular blocks are guarded by maxBlockPairs
-      ext.EntityResolution.fuzzyDedup(t(s, d, "customer"), "c_custkey",
-        "c_name", col("c_nationkey"), threshold = 0.97)
-        .orderBy("id_a", "id_b")),
-    "layout_zorder" -> ((s, d) => {
-      // round-8: Z-order (Morton) multi-column clustering key — the Delta/
-      // Iceberg OPTIMIZE ZORDER BY layout primitive. zval interleaves two
-      // bounded key columns bit-by-bit; zrank goes through boundedRank
-      // (clamp + IEEE-portable floor scaling) first. Pure codegen'd
-      // builtins; cross-engine agreement is the whole point of the oracle
-      // (DuckDB re-derives both with unrolled shift/mask arithmetic). The
-      // file-skipping effect of clustering on this key is asserted in
-      // ZOrderSpec (non-leading-column pruning vs a linear sort).
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-        ext.ZOrder.interleave(
-          Seq(col("l_partkey") % 1024, col("l_suppkey") % 1024), 10).as("zval"),
-        ext.ZOrder.zValue(Seq((col("l_quantity"), 1L, 50L),
-          (col("l_partkey"), 0L, 1048576L)), 10).as("zrank"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-    "outlier_mad" -> ((s, d) => {
-      // round-9: Hampel (median ± k·1.4826·MAD) outlier fences — the
-      // 50%-breakdown robust rule next to the IQR fence; the oracle
-      // re-derives both medians with the same rounded-median second step
-      val orders = t(s, d, "orders")
-      val (lo, hi) = ext.Outliers.madFences(orders, "o_totalprice")
-      ext.Outliers.flagOutliers(orders, "o_totalprice", fences = Some((lo, hi)))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
-          lit(lo).as("lo"), lit(hi).as("hi"))
-    }),
-    "outlier_iqr" -> ((s, d) => {
-      // round-5: Tukey-fence outlier detection on order totals — exact
-      // quartile fences (== quantile_cont), then a pure flag filter
-      val orders = t(s, d, "orders")
-      val (lo, hi) = ext.Outliers.iqrFences(orders, "o_totalprice")
-      ext.Outliers.flagOutliers(orders, "o_totalprice", fences = Some((lo, hi)))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
-          lit(lo).as("lo"), lit(hi).as("hi"))
-    }),
-    "pipeline_corpus" -> ((s, d) => {
-      // round-5: the END-TO-END corpus pipeline as one lazy plan — Gopher
-      // quality filter → exact dedup (min doc_id per normalized text; at
-      // corpus scale the group key would be fingerprint64, here the
-      // normalized string so the oracle re-derives it) → per-language cap
-      // (domain balancing) → split assignment. Different seeds for cap vs
-      // split: reusing one hash would bias the capped (small-hash) sample
-      // into 'train'.
-      val docs = t(s, d, "documents")
-      val kept = docs.filter(ext.TextAnalysis.gopherKeep(col("text")))
-      val first = kept
-        .groupBy(ext.TextAnalysis.normalized(col("text")).as("__nt"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = kept.join(first.select("doc_id"), Seq("doc_id"), "left_semi")
-      val capped = ext.Sampling.capPerGroup(deduped, "doc_id", "lang", 30, seed = 7)
-      ext.Sampling.assignSplits(capped, "doc_id",
-        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 11)
-        .select("doc_id", "lang", "split").orderBy("doc_id")
-    }),
-    "ledger_incremental" -> ((s, d) => {
-      // round-13 (verdict #1): the incremental validation ledger gated
-      // end-to-end — validate each partition of a growing corpus ONCE,
-      // persist the per-partition verdict, answer later "is the corpus
-      // clean?" questions from the KB-sized ledger without re-reading
-      // data. Two increments over orders partitioned by o_orderpriority:
-      // increment 1 sees two priorities; increment 2 sees the FULL table
-      // but must validate only the three unseen ones (pinned in-gate); a
-      // third call is a no-op; compact() collapses generations without
-      // changing a row (the oracle reads the post-compact ledger). The
-      // oracle re-derives every ledger cell from orders.parquet alone:
-      // per-partition n_rows, each check slot's failure count (ge on
-      // price = 0 everywhere, str_length(1,10) fails exactly the
-      // '4-NOT SPECIFIED' partition, within-partition o_orderkey
-      // uniqueness = 0), n_failed, and passed.
-      val orders = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
-      val sch = DataFrameSchema(
-        "o_orderkey" -> ColumnSchema(dtype = Some(LongType), unique = true),
-        "o_totalprice" -> ColumnSchema.of(DoubleType, Check.ge(0.0)),
-        "o_orderpriority" -> ColumnSchema.of(StringType,
-          Check.strLength(Some(1), Some(10))))
-      val inc1 = ext.ValidationLedger.validateIncrement(sch,
-        orders.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
-        "o_orderpriority", dir, "b1")
-      require(inc1.select("partition").collect().map(_.getString(0)).sorted
-        .sameElements(Array("1-URGENT", "2-HIGH")),
-        "increment 1 must validate exactly its two partitions")
-      val inc2 = ext.ValidationLedger.validateIncrement(sch, orders,
-        "o_orderpriority", dir, "b2")
-      require(inc2.select("partition").collect().map(_.getString(0)).sorted
-        .sameElements(Array("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
-        "increment 2 must skip the already-validated partitions")
-      require(ext.ValidationLedger.validateIncrement(sch, orders,
-        "o_orderpriority", dir, "b3").isEmpty,
-        "re-running over seen data must be a no-op")
-      ext.ValidationLedger.compact(s, dir)
-      // r14 (verdict optional #7): the statusSummary rollup leg — its four
-      // aggregates ride every row as broadcast constants so the oracle
-      // re-derives the whole-corpus posture too (previously spec-only)
-      val summary = ext.ValidationLedger.statusSummary(s, dir)
-        .select(col("n_partitions"), col("n_failed_partitions"),
-          col("n_rows").as("sum_rows"), col("n_failures").as("sum_failures"))
-      ext.ValidationLedger.status(s, dir)
-        .select(col("partition").as("part"), col("batch"), col("n_rows"),
-          explode(col("failures")).as(Seq("check_label", "failures")),
-          col("n_failed"), col("passed"))
-        .crossJoin(broadcast(summary))
-        .orderBy("part", "check_label")
-    }),
-    "ledger_invalidate" -> ((s, d) => {
-      // r14: the REVALIDATION path — a partition whose data is rewritten
-      // in place keeps its stale verdict forever under validate-once;
-      // invalidate() forgets it and the next increment (with candidates
-      // naming it — zero discovery) revalidates against the fixed data.
-      // Flow: increment 1 validates a CORRUPTED 5-LOW (negated prices →
-      // every row fails ge(0), pinned in-gate); the partition is then
-      // "rewritten" (the clean orders), invalidated (returns exactly 1
-      // verdict row; a second call 0), and revalidated as batch b2 —
-      // passed now. A final zero-knowledge increment is a no-op. The
-      // oracle re-derives every cell from the CLEAN orders (the corrupt
-      // version never survives into the final ledger) with batch lineage
-      // b2 for the rewritten partition, b1 elsewhere.
-      val orders = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft-ledger-inv").toString
-      val sch = DataFrameSchema(
-        "o_orderkey" -> ColumnSchema(dtype = Some(LongType), unique = true),
-        "o_totalprice" -> ColumnSchema.of(DoubleType, Check.ge(0.0)),
-        "o_orderpriority" -> ColumnSchema.of(StringType,
-          Check.strLength(Some(1), Some(10))))
-      val corrupted = orders.withColumn("o_totalprice",
-        when(col("o_orderpriority") === "5-LOW",
-          -abs(col("o_totalprice")) - 1.0).otherwise(col("o_totalprice")))
-      ext.ValidationLedger.validateIncrement(sch, corrupted,
-        "o_orderpriority", dir, "b1"): Unit
-      val stale = ext.ValidationLedger.status(s, dir)
-        .filter(col("partition") === "5-LOW").select("passed")
-        .collect().map(_.getBoolean(0)).toSeq
-      require(stale == Seq(false),
-        "the corrupted partition must record a failing verdict first")
-      require(ext.ValidationLedger.invalidate(s, dir, Seq("5-LOW")) == 1L,
-        "invalidate must remove exactly the one verdict row")
-      require(ext.ValidationLedger.invalidate(s, dir, Seq("5-LOW")) == 0L,
-        "a second invalidate of the same partition must be a no-op")
-      val reval = ext.ValidationLedger.validateIncrement(sch, orders,
-        "o_orderpriority", dir, "b2", candidates = Some(Seq("5-LOW")))
-      require(reval.select("partition", "passed").collect()
-        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
-          Seq(("5-LOW", true)),
-        "revalidation must cover exactly the rewritten partition, passing")
-      require(ext.ValidationLedger.validateIncrement(sch, orders,
-        "o_orderpriority", dir, "b3").isEmpty,
-        "the ledger must be complete again after revalidation")
-      ext.ValidationLedger.status(s, dir)
-        .select(col("partition").as("part"), col("batch"), col("n_rows"),
-          explode(col("failures")).as(Seq("check_label", "failures")),
-          col("n_failed"), col("passed"))
-        .orderBy("part", "check_label")
-    }),
-    "pipeline_crawl_batch" -> ((s, d) => {
-      // round-10: the STORE-BACKED nightly crawl pipeline end-to-end as
-      // ONE gate — what a 100 TB ingest actually runs per batch:
-      //   quarantined JSONL read → fused validation (drop blanks) →
-      //   fingerprint-store exact scrub → MinHash-store near-dup scrub →
-      //   BM25 + ANN store appends → PSI of the ingested batch's token
-      //   lengths vs a PERSISTED drift profile.
-      // Output = the per-row disposition table (every crawl row's fate)
-      // plus the drift bins, all re-derived by the DuckDB oracle from the
-      // shared parquet alone; the store appends are pinned in-gate by a
-      // serve ≡ one-shot-over-union equality (BM25) and a code-count
-      // equality (ANN).
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
-      def tmp(p: String) =
-        java.nio.file.Files.createTempDirectory(p).toString
-      // nightly stores, built once from the historical corpus
-      val fpDir = tmp("graft-cb-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
-      val mhDir = tmp("graft-cb-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
-      val bmDir = tmp("graft-cb-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
-      def embed(df: org.apache.spark.sql.DataFrame,
-          id: org.apache.spark.sql.Column) = df.select(
-        id.as("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
-      val histEmb = embed(hist, col("doc_id"))
-      val annDir = tmp("graft-cb-ann")
-      ext.AnnStore.create(histEmb, "doc_id", "emb",
-        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
-      val profPath = tmp("graft-cb-prof") + "/profile.json"
-      ext.DriftProfile.fit(
-        hist.select(ext.TextAnalysis.tokenCount(col("text")).cast("double").as("tok_cnt")),
-        numericCols = Seq("tok_cnt"), bins = 5).save(profPath)
-      // the crawl batch lands as JSONL: fresh content, exact re-crawls,
-      // near-dup re-crawls, blank rows, and deterministic corrupt lines
-      val bA = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select((col("doc_id") + 1000000).as("id"), col("text"),
-          (pmod(col("doc_id"), lit(30)) === 1).as("corrupt"))
-      val bB = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
-        .select((col("doc_id") + 2000000).as("id"), col("text"),
-          lit(false).as("corrupt"))
-      val bC = docs.filter(pmod(col("doc_id"), lit(6)) === 2)
-        .select((col("doc_id") + 3000000).as("id"),
-          concat(col("text"), lit(" r10 crawl suffix")).as("text"),
-          lit(false).as("corrupt"))
-      val bD = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
-        .select((col("doc_id") + 4000000).as("id"), lit("   ").as("text"),
-          lit(false).as("corrupt"))
-      val jdir = tmp("graft-cb-json")
-      bA.unionByName(bB).unionByName(bC).unionByName(bD)
-        .select(when(col("corrupt"), concat(lit("{\"id\": "), col("id"),
-            lit(", \"text\": \"broken")))
-          .otherwise(to_json(struct(col("id"), col("text")))).as("value"))
-        .coalesce(1).write.text(s"$jdir/data")
-      // 1. quarantined read + fused validation (blank rows are invalid)
-      val (res, bad) = graft.io.ValidatedIO.readQuarantined(s,
-        DataFrameSchema(
-          "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-          "text" -> ColumnSchema(Some(StringType),
-            Seq(ColumnCheck("text_nonblank", c => length(trim(c)) > 0)),
-            nullable = false)).copy(dropInvalidRows = true),
-        s"$jdir/data", "json")
-      val valid = res.data.select(col("id"), col("text"))
-      val qIds = bad.select(regexp_extract(col("raw_record"),
-        "\"id\":\\s*(\\d+)", 1).cast("long").as("doc_id"))
-      // 2. exact scrub against the fingerprint store (no corpus text read)
-      val afterExact = ext.FingerprintStore.scrub(valid, "text", fpDir)
-      // 3. near-dup scrub against the MinHash store. Eager localCheckpoint
-      // (r15): the takedown leg's compactMinHashStore swaps the store's
-      // dirs (no cooling window on this pre-manifest store), so the scrub
-      // verdict must be pinned before then — it is also re-used by the
-      // appends, the union pins, the ledger and the disposition table
-      val survivors = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
-        "text", mhDir).localCheckpoint(true)
-      // 4. store appends + in-gate consistency pins
-      ext.Retrieval.appendToIndex(survivors, "id", "text", bmDir)
-      ext.AnnStore.append(embed(survivors, col("id")), "doc_id", "emb", annDir)
-      val union = hist.unionByName(
-        survivors.select(col("id").as("doc_id"), col("text")))
-      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"), concat_ws(" ",
-          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
-      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-        .sorted.toSeq
-      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)) ==
-        rows(ext.Retrieval.bm25TopK(union, "doc_id", "text", queries,
-          "query_id", "qtext", k = 5)),
-        "BM25 store after crawl append diverged from one-shot over union")
-      require(ext.AnnStore.codes(s, annDir).count() == union.count(),
-        "ANN store code count != historical + ingested")
-      // 5. drift of the ingested batch vs the PERSISTED profile
-      val np = ext.DriftProfile.load(profPath).numericFor("tok_cnt")
-      val psi = ext.Drift.psiAgainstProfile(
-        survivors.select(ext.TextAnalysis.tokenCount(col("text"))
-          .cast("double").as("tok_cnt")), "tok_cnt", np.edges, np.fracs)
-      // 6. (r13, verdict #3) record the batch verdict in the validation
-      // LEDGER: the historical corpus was ledgered as partition 'hist'
-      // when the stores were built; tonight's increment sees hist+batch
-      // but must validate ONLY the new 'night1' partition (pinned
-      // in-gate), and the corpus-clean rollup rows below are served from
-      // the ledger — the oracle re-derives them from the same parquet
-      val ldir = tmp("graft-cb-ledger")
-      val ledSch = DataFrameSchema(
-        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-        "text" -> ColumnSchema(Some(StringType), Seq(
-          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
-          ColumnCheck("text_short", c => length(c) <= 300)),
-          nullable = false),
-        "ds" -> ColumnSchema.of(StringType))
-      ext.ValidationLedger.validateIncrement(ledSch,
-        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist")
-      // the nightly flow KNOWS tonight's partition — candidates skip the
-      // unseen-value discovery scan (at 100 TB that scan touches every
-      // corpus file; see BASELINE round-13 ledger probe)
-      val nightly = ext.ValidationLedger.validateIncrement(ledSch,
-        hist.withColumn("ds", lit("hist")).unionByName(
-          survivors.select(col("id").as("doc_id"), col("text"))
-            .withColumn("ds", lit("night1"))),
-        "ds", ldir, "night1", candidates = Some(Seq("night1")))
-      require(nightly.select("partition").collect().map(_.getString(0))
-        .toSeq == Seq("night1"),
-        "nightly increment must skip the ledgered historical partition")
-      // 7. (r15, verdict #4) TAKEDOWN leg: a retraction list (historical
-      // docs with doc_id % 30 == 2) arrives with the crawl batch and
-      // flows through ALL FIVE stores in one run — fingerprint retract,
-      // MinHash retract, BM25 deleteDocs, ANN delete, ledger invalidate +
-      // revalidate — then the nightly compactions heal physically. The
-      // oracle re-derives the takedown counters, the per-doc taken_down
-      // rows, the masked-phase re-crawl dispositions, and the post-
-      // takedown ledger rollup from the shared parquet alone.
-      val takedown = hist.filter(pmod(col("doc_id"), lit(30)) === 2)
-      val tIds = takedown.select("doc_id")
-      val nT = tIds.count()
-      require(nT > 0, "precondition: non-empty takedown list")
-      val nFp = ext.FingerprintStore.retract(takedown, "text", fpDir)
-      val nMh = ext.Dedup.retractFromMinHashStore(tIds, "doc_id", mhDir)
-      val nBm = ext.Retrieval.deleteDocs(tIds, "doc_id", bmDir)
-      val nAnn = ext.AnnStore.delete(tIds, "doc_id", annDir)
-      require(nMh == nT && nBm == nT && nAnn == nT,
-        s"id-keyed takedowns must cover the full list: $nMh/$nBm/$nAnn vs $nT")
-      // masked instantly: the BM25 serve stops returning taken-down ids
-      // with zero index bytes rewritten
-      require(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)
-        .join(tIds, Seq("doc_id"), "left_semi").isEmpty,
-        "masked BM25 serve must exclude taken-down ids")
-      // masked phase, exact-scrub side: a RE-CRAWL of the taken-down
-      // texts passes the fingerprint scrub — the retraction masks each
-      // text's fp STORE-WIDE (the store holds fps, not per-doc
-      // refcounts), so even a normalized text shared with a surviving
-      // historical doc is masked and its re-crawl passes (the documented
-      // conservative takedown semantics; the oracle models the same mask)
-      val recrawl = takedown.select((col("doc_id") + 7000000L).as("id"),
-        col("text"))
-      // eager localCheckpoint: the disposition frame materializes only at
-      // the end of the gate, AFTER the healing compactions below — the
-      // masked-phase verdict must be pinned now, not recomputed against
-      // the compacted store
-      val recrawlKept = ext.FingerprintStore.scrub(recrawl, "text", fpDir)
-        .select("id").localCheckpoint(true)
-      val recrawlDup = recrawl.select("id")
-        .join(recrawlKept, Seq("id"), "left_anti")
-      // ledger follow-up (verdict #7): the hist partition's verdict is
-      // stale by construction after the takedown — invalidate and
-      // revalidate against the live hist under batch lineage hist2
-      require(ext.ValidationLedger.invalidate(s, ldir, Seq("hist")) == 1L,
-        "takedown must invalidate the stale historical verdict")
-      val histLive = hist.join(tIds, Seq("doc_id"), "left_anti")
-      ext.ValidationLedger.validateIncrement(ledSch,
-        histLive.withColumn("ds", lit("hist")), "ds", ldir, "hist2",
-        candidates = Some(Seq("hist"))): Unit
-      // heal physically: the nightly compactions are the erasure point —
-      // afterwards the stores are equivalent to builds over the live
-      // corpus and every tombstone is retired
-      ext.Retrieval.compactIndex(s, bmDir)
-      ext.AnnStore.compactCodes(s, annDir)
-      ext.FingerprintStore.compact(s, fpDir)
-      ext.Dedup.compactMinHashStore(s, mhDir)
-      val liveUnion = union.join(tIds, Seq("doc_id"), "left_anti")
-      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)) ==
-        rows(ext.Retrieval.bm25TopK(liveUnion, "doc_id", "text", queries,
-          "query_id", "qtext", k = 5)),
-        "healed BM25 store diverged from one-shot over the live union")
-      require(ext.AnnStore.codes(s, annDir).count() == liveUnion.count(),
-        "healed ANN store must hold exactly the live codes")
-      require(ext.Retrieval.tombstoneCount(s, bmDir) == 0L &&
-          ext.AnnStore.tombstoneCount(s, annDir) == 0L &&
-          ext.FingerprintStore.retractionCount(s, fpDir) == 0L &&
-          ext.Dedup.minhashRetractionCount(s, mhDir) == 0L,
-        "compaction must retire every tombstone")
-      val takedownRows = tIds.select(col("doc_id"),
-          lit("taken_down").as("status"))
-        .unionByName(recrawlKept.select(col("id").as("doc_id"),
-          lit("recrawl_pass").as("status")))
-        .unionByName(recrawlDup.select(col("id").as("doc_id"),
-          lit("recrawl_dup").as("status")))
-        .unionByName(tIds.limit(1).select(lit(-300L).as("doc_id"),
-          lit(s"takedown:ids=$nT,fp=$nFp").as("status")))
-      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
-        when(col("partition") === "hist", -200L).otherwise(-201L)
-          .as("doc_id"),
-        concat(lit("ledger:"), col("partition"),
-          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
-          lit(",passed="), col("passed")).as("status"))
-      // disposition table + drift rows, one frame, fully SQL-re-derivable
-      val invalid = bA.filter(!col("corrupt")).select(col("id"))
-        .unionByName(bB.select(col("id"))).unionByName(bC.select(col("id")))
-        .unionByName(bD.select(col("id")))
-        .join(valid.select("id"), Seq("id"), "left_anti")
-      val exactDropped = valid.select(col("id"))
-        .join(afterExact.select("id"), Seq("id"), "left_anti")
-      val nearDropped = afterExact.select(col("id"))
-        .join(survivors.select("id"), Seq("id"), "left_anti")
-      def disp(ids: org.apache.spark.sql.DataFrame, st: String) =
-        ids.select(col(ids.columns.head).as("doc_id"), lit(st).as("status"))
-      disp(qIds, "quarantined")
-        .unionByName(disp(invalid, "invalid"))
-        .unionByName(disp(exactDropped, "exact_dup"))
-        .unionByName(disp(nearDropped, "near_dup"))
-        .unionByName(disp(survivors.select("id"), "ingested"))
-        .unionByName(psi.select((-(col("bin") + 1)).cast("long").as("doc_id"),
-          concat(lit("drift:"),
-            format_string("%.6f", col("psi_contrib"))).as("status")))
-        .unionByName(psi.limit(1).select(lit(-100L).as("doc_id"),
-          concat(lit("psi_total:"),
-            format_string("%.6f", col("psi_total"))).as("status")))
-        .unionByName(ledgerRows)
-        .unionByName(takedownRows)
-        .orderBy("doc_id")
-    }),
-    "pipeline_resume_batch" -> ((s, d) => {
-      // r16 (r15-verdict #1): the nightly composition's CRASH-RESUME
-      // contract as a gate — attempt 1 stages the survivors and appends
-      // to fingerprint + MinHash + BM25, then "crashes" between the BM25
-      // and ANN appends (the judge's canonical window); attempt 2 re-runs
-      // the WHOLE sequence under the same (tag, batchId). The staged
-      // read-back + per-store marks must make the resume converge:
-      // redelivered appends no-op, the missing ANN append and ledger
-      // increment land once, and the final stores serve exactly as one
-      // uninterrupted run (pinned in-gate by serve ≡ one-shot-over-union
-      // equalities). Output = the disposition table + ledger rollups +
-      // a resume-counters row, all DuckDB-re-derivable; the counters pin
-      // the exactly-once behavior into the hash. The oracle's near-dup
-      // set is EXACT Jaccard while the engine's is MinHash-LSH (64/16
-      // defaults, ~2e-4 per-pair miss at J=0.8) — the same deliberate
-      // channel as pipeline_crawl_batch, deterministic per dataset
-      // (seeded hashes), and verified oracle-match at sf0.001/0.01/0.1.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
-      def tmp(p: String) =
-        java.nio.file.Files.createTempDirectory(p).toString
-      val fpDir = tmp("graft-rb-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
-      val mhDir = tmp("graft-rb-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
-      val bmDir = tmp("graft-rb-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
-      def embed(df: org.apache.spark.sql.DataFrame,
-          id: org.apache.spark.sql.Column) = df.select(
-        id.as("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
-      val histEmb = embed(hist, col("doc_id"))
-      val annDir = tmp("graft-rb-ann")
-      ext.AnnStore.create(histEmb, "doc_id", "emb",
-        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
-      val ldir = tmp("graft-rb-led")
-      val ledSch = DataFrameSchema(
-        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-        "text" -> ColumnSchema(Some(StringType), Seq(
-          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
-          ColumnCheck("text_short", c => length(c) <= 300)),
-          nullable = false),
-        "ds" -> ColumnSchema.of(StringType))
-      ext.ValidationLedger.validateIncrement(ledSch,
-        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist"): Unit
-      // tonight's batch: fresh docs, exact re-crawls, near-dup re-crawls.
-      // Sub-batch ids are offset by (max doc_id + 1) × k — scale-free
-      // (r17 advice: the old +1e6/+2e6/+3e6 offsets collide with each
-      // other and with hist ids once max doc_id ≥ 1e6, i.e. sf ≥ ~1,
-      // fanning out the disposition joins); the oracle mirrors the same
-      // derivation via a scalar subquery
-      val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-        .select((col("doc_id") + idBase).as("id"), col("text"))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 0)
-          .select((col("doc_id") + 2L * idBase).as("id"), col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 2)
-          .select((col("doc_id") + 3L * idBase).as("id"),
-            concat(col("text"), lit(" r16 resume suffix")).as("text")))
-      val sdir = tmp("graft-rb-staged")
-      // the staged artifact carries the FULL disposition (every batch
-      // row's fate), not just the survivors — the scrub verdicts are
-      // computable only BEFORE the appends, so anything the output needs
-      // from them must ride the staged bytes through the crash
-      def stageDisposition() =
-        ext.Pipeline.stageBatch(s, sdir, "night", 1L) {
-          val afterExact = ext.FingerprintStore.scrub(batch, "text", fpDir)
-          val surv = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
-            "text", mhDir)
-          batch
-            .join(afterExact.select(col("id"), lit(true).as("__pe")),
-              Seq("id"), "left")
-            .join(surv.select(col("id"), lit(true).as("__pn")),
-              Seq("id"), "left")
-            .select(col("id"), col("text"),
-              when(col("__pe").isNull, "exact_dup")
-                .when(col("__pn").isNull, "near_dup")
-                .otherwise("ingested").as("stage_status"))
-        }
-      def survivorsOf(staged: org.apache.spark.sql.DataFrame) =
-        staged.filter(col("stage_status") === "ingested")
-          .select(col("id"), col("text"))
-      // --- attempt 1: crash between the BM25 append and the ANN append
-      val surv1 = survivorsOf(stageDisposition())
-      require(ext.FingerprintStore.appendBatch(surv1, "text", fpDir,
-        "night", 1L), "attempt 1: fp append must commit")
-      require(ext.Dedup.appendBatchToMinHashStore(surv1, "id", "text",
-        mhDir, "night", 1L), "attempt 1: minhash append must commit")
-      require(ext.Retrieval.appendBatchToIndex(surv1, "id", "text", bmDir,
-        "night", 1L), "attempt 1: bm25 append must commit")
-      // <crash> — the ANN append and the ledger increment never ran
-      // --- attempt 2: the resume re-runs the whole sequence, same tags.
-      // Eager localCheckpoint: the disposition frame must outlive
-      // retireStaged below (the gate's output materializes only at the
-      // end), and the survivors feed five consumers
-      val staged2 = stageDisposition().localCheckpoint(true)
-      val surv2 = survivorsOf(staged2)
-      require(surv2.count() == surv1.count() && surv2.count() > 0,
-        "resume must read back the staged survivors, not re-derive " +
-          "(a re-scrub against the already-appended stores would drop all)")
-      val fpNoop = !ext.FingerprintStore.appendBatch(surv2, "text", fpDir,
-        "night", 1L)
-      val mhNoop = !ext.Dedup.appendBatchToMinHashStore(surv2, "id", "text",
-        mhDir, "night", 1L)
-      val bmNoop = !ext.Retrieval.appendBatchToIndex(surv2, "id", "text",
-        bmDir, "night", 1L)
-      require(fpNoop && mhNoop && bmNoop,
-        "redelivered appends must no-op at the committed marks")
-      val annDid = ext.AnnStore.appendBatch(embed(surv2, col("id")),
-        "doc_id", "emb", annDir, "night", 1L)
-      require(annDid, "the crashed-off ANN append must land on resume")
-      val nightly = ext.ValidationLedger.validateIncrementBatch(ledSch,
-        hist.withColumn("ds", lit("hist")).unionByName(
-          surv2.select(col("id").as("doc_id"), col("text"))
-            .withColumn("ds", lit("night1"))),
-        "ds", ldir, "night1", "night", 1L,
-        candidates = Some(Seq("night1")))
-      require(nightly.select("partition").collect().map(_.getString(0))
-        .toSeq == Seq("night1"), "resume ledger increment must validate " +
-        "exactly the night1 partition")
-      ext.Pipeline.retireStaged(s, sdir, "night", 1L)
-      // convergence pins: the resumed stores serve exactly as one
-      // uninterrupted run would (≡ a one-shot build over the union)
-      val union = hist.unionByName(
-        surv2.select(col("id").as("doc_id"), col("text")))
-      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"), concat_ws(" ",
-          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
-      // score rounded to 1e-9 (r17 advice): PipelineResumeSpec pins the
-      // same identity at that tolerance — exact Double equality could
-      // flake on a different aggregation/merge order between the index
-      // serve and the direct path
-      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-          math.round(r.getDouble(3) * 1e9)))
-        .sorted.toSeq
-      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)) ==
-        rows(ext.Retrieval.bm25TopK(union, "doc_id", "text", queries,
-          "query_id", "qtext", k = 5)),
-        "resumed BM25 store diverged from one-shot over union")
-      require(ext.AnnStore.codes(s, annDir).count() == union.count(),
-        "resumed ANN store must hold exactly the union's codes (a " +
-          "redelivery double-append would inflate this)")
-      // disposition output (exact_dup / near_dup / ingested re-derived by
-      // the oracle) comes from the STAGED verdict — a post-append re-scrub
-      // would drop every batch text and misreport the fates
-      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
-        when(col("partition") === "hist", -200L).otherwise(-201L)
-          .as("doc_id"),
-        concat(lit("ledger:"), col("partition"),
-          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
-          lit(",passed="), col("passed")).as("status"))
-      staged2.select(col("id").as("doc_id"),
-          col("stage_status").as("status"))
-        .unionByName(ledgerRows)
-        .unionByName(surv2.limit(1).select(lit(-400L).as("doc_id"),
-          concat(lit("resume:noops="),
-            lit(Seq(fpNoop, mhNoop, bmNoop).count(identity)),
-            lit(",appends="), lit(if (annDid) 1 else 0)).as("status")))
-        .orderBy("doc_id")
-    }),
-    "pipeline_resume_takedown" -> ((s, d) => {
-      // r17 (r16-verdict #3): the TAKEDOWN composition's crash-resume as
-      // a gate — the erasure-side sibling of pipeline_resume_batch.
-      // Attempt 1 retracts from fingerprint + MinHash and deletes from
-      // BM25, then "crashes" between the BM25 delete and the ANN delete
-      // (the canonical window); attempt 2 re-runs the WHOLE sequence
-      // under the same (tag, batchId): the three redelivered retracts
-      // no-op at their committed marks, the ANN delete and the ledger
-      // revalidate land once, and the converged stores serve exactly as
-      // one uninterrupted takedown (pinned in-gate: masked BM25 serve ≡
-      // one-shot over the survivors, live ANN codes = survivor count).
-      // Output = the post-takedown RE-CRAWL disposition — the
-      // masked-phase semantics the oracle re-derives from the shared
-      // parquet alone: re-crawls of taken-down texts re-admitted (the
-      // fingerprint store is a SET of normalized texts, retraction is
-      // set difference), surviving texts still exact-dup, near-dups
-      // still caught against surviving IDS only (the MinHash mask is
-      // id-keyed) — plus the post-revalidate ledger rollup and the
-      // resume-counters row. Near-dup channel: exact 3-shingle Jaccard
-      // ≥ 0.8 in the oracle vs MinHash-LSH in the engine, the same
-      // deliberate channel as pipeline_resume_batch; verified
-      // oracle-match at sf0.001/0.01/0.1.
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val hist = docs
-      def tmp(p: String) =
-        java.nio.file.Files.createTempDirectory(p).toString
-      val fpDir = tmp("graft-rt-fp"); ext.FingerprintStore.build(hist, "text", fpDir)
-      val mhDir = tmp("graft-rt-mh"); ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mhDir)
-      val bmDir = tmp("graft-rt-bm"); ext.Retrieval.buildIndex(hist, "doc_id", "text", bmDir)
-      val histEmb = hist.select(col("doc_id"),
-        ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
-      val annDir = tmp("graft-rt-ann")
-      ext.AnnStore.create(histEmb, "doc_id", "emb",
-        ext.Similarity.trainIvf(histEmb, "doc_id", "emb", nCentroids = 8), annDir)
-      val ldir = tmp("graft-rt-led")
-      val ledSch = DataFrameSchema(
-        "doc_id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-        "text" -> ColumnSchema(Some(StringType), Seq(
-          ColumnCheck("text_nonblank", c => length(trim(c)) > 0),
-          ColumnCheck("text_short", c => length(c) <= 300)),
-          nullable = false),
-        "ds" -> ColumnSchema.of(StringType))
-      ext.ValidationLedger.validateIncrement(ledSch,
-        hist.withColumn("ds", lit("hist")), "ds", ldir, "hist"): Unit
-      val tdocs = hist.filter(pmod(col("doc_id"), lit(7)) === 0)
-      val tIds = tdocs.select("doc_id")
-      val nTd = tIds.count()
-      require(nTd > 0, "takedown set must be non-empty")
-      // --- attempt 1: crash between the BM25 delete and the ANN delete
-      require(ext.FingerprintStore.retractBatch(tdocs, "text", fpDir,
-        "td", 1L) > 0L, "attempt 1: fp retract must commit")
-      require(ext.Dedup.retractBatchFromMinHashStore(tIds, "doc_id",
-        mhDir, "td", 1L) == nTd, "attempt 1: minhash retract must commit")
-      require(ext.Retrieval.deleteDocsBatch(tIds, "doc_id", bmDir,
-        "td", 1L) == nTd, "attempt 1: bm25 delete must commit")
-      // <crash> — the ANN delete and the ledger revalidate never ran
-      // --- attempt 2: the resume re-runs the whole sequence, same tags
-      val fpN = ext.FingerprintStore.retractBatch(tdocs, "text", fpDir,
-        "td", 1L)
-      val mhN = ext.Dedup.retractBatchFromMinHashStore(tIds, "doc_id",
-        mhDir, "td", 1L)
-      val bmN = ext.Retrieval.deleteDocsBatch(tIds, "doc_id", bmDir,
-        "td", 1L)
-      require(fpN == 0L && mhN == 0L && bmN == 0L,
-        "redelivered retracts must no-op at the committed marks " +
-          "(tombstones must never double)")
-      val annN = ext.AnnStore.deleteBatch(tIds, "doc_id", annDir, "td", 1L)
-      require(annN == nTd, "the crashed-off ANN delete must land on resume")
-      val survivors = hist.join(tIds, Seq("doc_id"), "left_anti")
-      val reval = ext.ValidationLedger.revalidateBatch(ledSch,
-        survivors.withColumn("ds", lit("hist")), "ds", ldir, "hist2",
-        "td", 1L, Seq("hist"))
-      require(reval.select("partition").collect().map(_.getString(0))
-        .toSeq == Seq("hist"), "resume revalidate must re-verdict " +
-        "exactly the hist partition from the masked data")
-      // convergence pins. BM25 masked phase keeps the FULL corpus stats
-      // by design (mask-then-heal, text_bm25_delete's contract), so the
-      // masked pin is exclusion + tombstone mass; the one-shot identity
-      // holds only AFTER the heal re-derives df/counters from survivors.
-      val queries = hist.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"), concat_ws(" ",
-          slice(ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
-      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-          math.round(r.getDouble(3) * 1e9)))
-        .sorted.toSeq
-      require(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)
-        .join(tIds, Seq("doc_id"), "left_semi").isEmpty,
-        "masked BM25 serve must exclude every tombstoned id")
-      require(ext.Retrieval.tombstoneCount(s, bmDir) == nTd,
-        "BM25 tombstones must equal the takedown set exactly (a " +
-          "redelivered delete would double them)")
-      ext.Retrieval.compactIndex(s, bmDir)
-      require(rows(ext.Retrieval.bm25TopKFromIndex(s, bmDir, queries,
-          "query_id", "qtext", k = 5)) ==
-        rows(ext.Retrieval.bm25TopK(survivors, "doc_id", "text", queries,
-          "query_id", "qtext", k = 5)),
-        "healed BM25 store diverged from one-shot over the survivors")
-      require(ext.AnnStore.codes(s, annDir).count() == survivors.count(),
-        "live ANN codes must equal the survivor count (a redelivered " +
-          "delete would over-mask; a dropped one would under-mask)")
-      // post-takedown re-crawl: taken-down texts, surviving texts, fresh
-      // content — scale-free id offsets, same derivation the oracle uses
-      val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
-      val recrawl = tdocs
-        .select((col("doc_id") + idBase).as("id"), col("text"))
-        .unionByName(hist.filter(pmod(col("doc_id"), lit(7)) === 1)
-          .select((col("doc_id") + 2L * idBase).as("id"), col("text")))
-        .unionByName(hist.filter(pmod(col("doc_id"), lit(7)) === 2)
-          .select((col("doc_id") + 3L * idBase).as("id"),
-            concat(col("text"), lit(" r17 takedown fresh tail")).as("text")))
-      val afterExact = ext.FingerprintStore.scrub(recrawl, "text", fpDir)
-      val afterNear = ext.Dedup.dropExistingNearDupStore(afterExact, "id",
-        "text", mhDir)
-      val disposition = recrawl
-        .join(afterExact.select(col("id"), lit(true).as("__pe")),
-          Seq("id"), "left")
-        .join(afterNear.select(col("id"), lit(true).as("__pn")),
-          Seq("id"), "left")
-        .select(col("id").as("doc_id"),
-          when(col("__pe").isNull, "exact_dup")
-            .when(col("__pn").isNull, "near_dup")
-            .otherwise("ingested").as("status"))
-      val ledgerRows = ext.ValidationLedger.status(s, ldir).select(
-        lit(-200L).as("doc_id"),
-        concat(lit("ledger:"), col("partition"),
-          lit(":rows="), col("n_rows"), lit(",failed="), col("n_failed"),
-          lit(",passed="), col("passed")).as("status"))
-      disposition
-        .unionByName(ledgerRows)
-        .unionByName(tIds.limit(1).select(lit(-400L).as("doc_id"),
-          concat(lit("resume:noops="),
-            lit(Seq(fpN, mhN, bmN).count(_ == 0L)),
-            lit(",landed="), lit((if (annN == nTd) 1 else 0) +
-              1 /* the revalidate, require-pinned above */)).as("status")))
-        .orderBy("doc_id")
-    }),
-    "drift_psi" -> ((s, d) =>
-      // round-5: distribution-drift monitoring — PSI of l_extendedprice
-      // between the full lineitem snapshot (reference) and the returned-
-      // goods slice (current), 10 reference-quantile bins
-      ext.Drift.psi(t(s, d, "lineitem"),
-        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
-        "l_extendedprice", bins = 10)
-        .orderBy("bin")),
-    "drift_psi_multi" -> ((s, d) =>
-      // round-7: fused multi-column drift (verdict r6 #4) — all three
-      // columns' edges in ONE reference aggregation, both sides binned in
-      // ONE union pass: 2 jobs total instead of 3 per column
-      ext.Drift.psiMulti(t(s, d, "lineitem"),
-        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
-        Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 10)
-        .orderBy("column", "bin")),
-    "drift_ks" -> ((s, d) =>
-      // round-7: grid Kolmogorov-Smirnov — max empirical-CDF gap at the
-      // reference's 20-quantile grid; same two-scan plan shape as PSI
-      // (exact KS would need a global sort of both datasets)
-      ext.Drift.ks(t(s, d, "lineitem"),
-        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
-        "l_extendedprice", bins = 20)
-        .orderBy("bin")),
-    "drift_w1" -> ((s, d) =>
-      // round-9: grid Wasserstein-1 — the CDF gap INTEGRATED over the
-      // value axis (earth-mover distance in the column's own units),
-      // completing the drift family next to PSI (divergence) and KS
-      // (max gap); same two-scan quantile-grid plan
-      ext.Drift.wasserstein1(t(s, d, "lineitem"),
-        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
-        "l_extendedprice", bins = 20)
-        .orderBy("bin")),
-    "drift_ks_multi" -> ((s, d) =>
-      // round-7: fused multi-column KS — all three columns' edges in ONE
-      // reference aggregation, both sides binned in ONE union pass (2 jobs
-      // total, the psiMulti fusion), per-column cumulative-gap tail
-      ext.Drift.ksMulti(t(s, d, "lineitem"),
-        t(s, d, "lineitem").filter(col("l_returnflag") === "A"),
-        Seq("l_extendedprice", "l_quantity", "l_discount"), bins = 20)
-        .orderBy("column", "bin")),
-    "drift_psi_windowed" -> ((s, d) => {
-      // round-7: streaming drift — PSI of the event value per event-time
-      // hour window vs the full-table reference profile; the SAME
-      // transformation runs append-mode streaming (one stateful windowed
-      // agg carrying the bin counters; StreamingSpec replays it)
-      val ev = t(s, d, "events")
-      val (edges, fracs) = ext.Drift.referenceNumericProfile(ev, "value", bins = 5)
-      streaming.StreamingValidation.windowedPsi(ev, "ts", "value", edges,
-        fracs, windowDur = "1 hour").orderBy("window_start", "bin")
-    }),
-    "drift_psi_cat_windowed" -> ((s, d) => {
-      // round-8 (r7 verdict #6): streaming CATEGORICAL drift — the
-      // language/domain-mix monitor. PSI of the event_type mix per
-      // event-time hour vs the full-table reference profile (top-2
-      // categories + __other__, so the overflow cell carries real mass);
-      // the SAME transformation runs append-mode streaming (one stateful
-      // windowed agg carrying per-cell counters; StreamingSpec replays it)
-      val ev = t(s, d, "events")
-      val (cells, fracs) =
-        ext.Drift.referenceCategoricalProfile(ev, "event_type", maxCategories = 2)
-      streaming.StreamingValidation.windowedPsiCategorical(ev, "ts",
-        "event_type", cells, fracs, windowDur = "1 hour")
-        .orderBy("window_start", "cell")
-    }),
-    "drift_w1_windowed" -> ((s, d) => {
-      // r12 (verdict #6): streaming Wasserstein-1 — the drift trio's
-      // third face gets its windowed form: W1 of the event value per
-      // event-time hour vs the full-table reference profile; same
-      // one-stateful-agg shape as drift_psi_windowed (the cross-bin
-      // cumsum is unrolled over the bounded bin cells, row-local);
-      // StreamingSpec replays batch ≡ stream
-      val ev = t(s, d, "events")
-      val (edges, fracs) = ext.Drift.referenceNumericProfile(ev, "value", bins = 5)
-      streaming.StreamingValidation.windowedWasserstein1(ev, "ts", "value",
-        edges, fracs, windowDur = "1 hour").orderBy("window_start", "bin")
-    }),
-    "drift_psi_profile" -> ((s, d) => {
-      // round-8: drift-profile PERSISTENCE serve path — fit the reference
-      // profile once, save/load the JSON document, score the batch against
-      // the LOADED profile without re-reading the reference. Same oracle
-      // SQL as drift_psi: exact double round-trip + serve equivalence is
-      // the gate
-      val li = t(s, d, "lineitem")
-      val prof = ext.DriftProfile.fit(li,
-        numericCols = Seq("l_extendedprice"), bins = 10)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
-      ext.Drift.psiAgainstProfile(li.filter(col("l_returnflag") === "A"),
-        "l_extendedprice", n.edges, n.fracs).orderBy("bin")
-    }),
-    "drift_ks_profile" -> ((s, d) => {
-      // round-8: KS served from the persisted profile — fit once (20
-      // bins), save/load the JSON document, score the batch against the
-      // stored CDF; hash-identical to the two-sided drift_ks, so it
-      // shares that oracle
-      val li = t(s, d, "lineitem")
-      val prof = ext.DriftProfile.fit(li,
-        numericCols = Seq("l_extendedprice"), bins = 20)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
-      ext.Drift.ksAgainstProfile(li.filter(col("l_returnflag") === "A"),
-        "l_extendedprice", n.edges, n.fracs).orderBy("bin")
-    }),
-    "drift_psi_cat_profile" -> ((s, d) => {
-      // round-8: categorical sibling of drift_psi_profile (language-mix
-      // monitor served from the stored document)
-      val docs = t(s, d, "documents")
-      val prof = ext.DriftProfile.fit(docs,
-        categoricalCols = Seq("lang"), maxCategories = 3)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val c = ext.DriftProfile.load(path).categoricalFor("lang")
-      ext.Drift.psiCategoricalAgainstProfile(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang",
-        c.cells, c.fracs).orderBy("cell")
-    }),
-    "drift_psi_categorical" -> ((s, d) =>
-      // round-5: categorical drift on language mix — top-3 reference
-      // categories + __other__ bucket (the unbounded-cardinality guard)
-      ext.Drift.psiCategorical(t(s, d, "documents"),
-        t(s, d, "documents").filter(pmod(col("doc_id"), lit(2)) === 0),
-        "lang", maxCategories = 3)
-        .orderBy("cell")),
-    "sample_top_fraction" -> ((s, d) =>
-      // round-5: global quality cut — keep the top 25% of docs by n_chars
-      // (exact interpolated percentile threshold == SQL quantile_cont)
-      ext.Sampling.keepTopFraction(t(s, d, "documents"), "n_chars", 0.25)
-        .select("doc_id").orderBy("doc_id")),
-    "events_sessions" -> ((s, d) =>
-      // round-5: gap-timeout sessionization via native session_window
-      // (one user-keyed shuffle; streaming-compatible shape)
-      ext.Sessions.sessionize(t(s, d, "events"), "user_id", "ts", "value",
-        gap = "30 minutes")
-        .orderBy("user_id", "session_start_us")),
-    "events_sessions_stream" -> ((s, d) =>
-      // round-7: batch ≡ streaming — replay the events table as
-      // micro-batches through sessionize(watermark=...) in APPEND mode;
-      // the emitted union must match the SAME DuckDB oracle as the batch
-      // events_sessions gate
-      streaming.StreamingValidation.sessionizeReplay(
-        t(s, d, "events"), "user_id", "ts", "value", gap = "30 minutes")
-        .orderBy("user_id", "session_start_us")),
-    "stream_quarantine" -> ((s, d) =>
-      // round-7: batch ≡ streaming quarantine — replay lineitem as
-      // micro-batches through quarantineWriter (per-batch codegen'd
-      // predicate split); the tagged union of both sinks must equal the
-      // batch split computed by the SQL oracle
-      streaming.StreamingValidation.quarantineReplay(
-        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"),
-        DataFrameSchema(
-          "l_quantity" -> ColumnSchema(Some(DoubleType), Seq(Check.inRange(5.0, 45.0))),
-          "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05)))))
-        .select("side", "l_orderkey", "l_linenumber", "l_quantity", "l_tax")
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-        // the value columns complete the deterministic sort key
-        .orderBy("side", "l_orderkey", "l_linenumber", "l_quantity", "l_tax")),
-    "stream_dedup" -> ((s, d) =>
-      // round-7: batch ≡ streaming exact dedup — replay events through
-      // dropDuplicatesWithinWatermark keyed on (user_id, event_type) with
-      // the watermark spanning the full event-time range; the emitted key
-      // set must equal SELECT DISTINCT
-      streaming.StreamingValidation.dedupReplay(
-        t(s, d, "events").select("user_id", "event_type", "ts"),
-        Seq("user_id", "event_type"), "ts")
-        .orderBy("user_id", "event_type")),
-    "stream_scrub" -> ((s, d) => {
-      // round-7: batch ≡ streaming incremental-ingest scrub — the SAME
-      // synthetic crawl batch as dedup_incremental_bloom, replayed as
-      // micro-batches against the static corpus's Bloom+fingerprint
-      // filter; the union of kept rows must equal the batch anti-join
-      // (same oracle SQL, doc_id projection)
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
-          .select((col("doc_id") + 1000000).as("doc_id"),
-            concat(col("text"), lit(" graft batch-2 tail")).as("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 2)
-          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
-      streaming.StreamingValidation.scrubReplay(incoming, docs, "text")
-        .select("doc_id").orderBy("doc_id")
-    }),
-    "sample_cap_per_group" -> ((s, d) =>
-      // round-5: domain balancing — ≤ 40 docs per language, chosen by
-      // ascending key hash via the map-side k-heap (no window sort)
-      ext.Sampling.capPerGroup(t(s, d, "documents"), "doc_id", "lang", 40, seed = 7)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    "sample_weighted_wor" -> ((s, d) => {
-      // round-8: Efraimidis–Spirakis weighted sampling without replacement,
-      // weight = token count (longer docs proportionally likelier). The
-      // md5-derived uniform makes the draw engine-portable, so the oracle
-      // recomputes the exact same ln(u)/w top-k in SQL.
-      val withW = t(s, d, "documents").select(col("doc_id").cast("long").as("doc_id"),
-        ext.TextAnalysis.tokenCount(col("text")).cast("double").as("w"))
-      ext.Sampling.weightedSampleWOR(withW, "doc_id", "w", k = 50, seed = 42)
-        .select(col("doc_id"), col("w").cast("long").as("ntok"))
-        .orderBy("doc_id")
-    }),
-    "sample_split" -> ((s, d) =>
-      // weights 0.5/0.25/0.25 — cumulative thresholds exact in binary so
-      // the oracle's literals compare identically
-      ext.Sampling.assignSplits(t(s, d, "documents"), "doc_id",
-        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), seed = 7)
-        .select(col("doc_id"), col("split")).orderBy("doc_id")),
-    "sample_shuffle" -> ((s, d) =>
-      // round-5: deterministic global shuffle — the ORDER ITSELF is the
-      // contract, so the gate emits the first 200 rows in shuffled order
-      ext.Sampling.shuffleByKey(t(s, d, "documents"), "doc_id", seed = 7)
-        .select("doc_id").limit(200)),
-    "sample_mix" -> ((s, d) => {
-      // round-5: corpus mixture — en downsampled to 0.5, de upsampled 2.25×
-      val docs = t(s, d, "documents")
-      ext.Sampling.mixCorpora(Seq(
-        ("en", docs.filter(col("lang") === "en").select("doc_id"), 0.5),
-        ("de", docs.filter(col("lang") === "de").select("doc_id"), 2.25)),
-        "doc_id")
-        .select(col("doc_id"), col("source"), col("copy"))
-        .orderBy("source", "copy", "doc_id")
-    }),
-    "sample_mix_budget" -> ((s, d) => {
-      // round-7: token-budget mixture — "20k tokens, 70% en / 30% de";
-      // per-source rates derive from ONE fused token-total job, then the
-      // one-scan-per-source epoch explode emits floor(rate) full epochs +
-      // a hash-drawn fractional epoch per document
-      val docs = t(s, d, "documents")
-        .withColumn("n_tok", ext.TextAnalysis.tokenCount(col("text")))
-      ext.Sampling.mixToTokenBudget(Seq(
-        ("en", docs.filter(col("lang") === "en").select("doc_id", "n_tok"), 0.7),
-        ("de", docs.filter(col("lang") === "de").select("doc_id", "n_tok"), 0.3)),
-        "doc_id", "n_tok", budget = 20000L)
-        .select(col("doc_id"), col("source"), col("copy"))
-        .orderBy("source", "copy", "doc_id")
-    }),
-    "sample_mix_temperature" -> ((s, d) => {
-      // round-8: temperature-weighted mixing — alpha = 0.5 gives each
-      // language a budget share ∝ sqrt(its token total): the smaller
-      // source is up-weighted above natural proportions but below the
-      // equal-share extreme (the XLM-R/mT5 recipe). Same hash-draw
-      // machinery as sample_mix_budget, so the oracle re-derives every
-      // copy; pow(x, 0.5) is exactly sqrt(x) in both engines.
-      val docs = t(s, d, "documents")
-        .withColumn("n_tok", ext.TextAnalysis.tokenCount(col("text")))
-      ext.Sampling.mixByTemperature(Seq(
-        ("en", docs.filter(col("lang") === "en").select("doc_id", "n_tok")),
-        ("de", docs.filter(col("lang") === "de").select("doc_id", "n_tok"))),
-        "doc_id", "n_tok", budget = 20000L, alpha = 0.5)
-        .select(col("doc_id"), col("source"), col("copy"))
-        .orderBy("source", "copy", "doc_id")
-    }),
-    "pack_greedy" -> ((s, d) => {
-      // round-5: sequence packing into 200-token packs over 8 hash buckets
-      val withTok = t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.tokenCount(col("text")).as("ntok"))
-      ext.Packing.packGreedy(withTok, "doc_id", "ntok", maxTokens = 200,
-        numBuckets = 8, seed = 42).orderBy("doc_id")
-    }),
-    "pack_sequences" -> ((s, d) => {
-      // round-8: concat-and-chunk packing (docs straddle sequence cuts) on
-      // an exact two-pass distributed prefix sum — the oracle recomputes
-      // the prefix sum as one DuckDB window, so any bucketing/offset error
-      // hash-fails
-      val withTok = t(s, d, "documents").select(col("doc_id"),
-        ext.TextAnalysis.tokenCount(col("text")).as("ntok"))
-      ext.Packing.packSequences(withTok, "doc_id", "ntok", seqLen = 512,
-        numBuckets = 8).orderBy("doc_id", "seq_id")
-    }),
-
-    // ---- extensions: similarity search ----
-    "sim_topk_brute" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5).orderBy("query_id", "rank")
-    }),
-    "sim_topk_lsh" -> ((s, d) => {
-      // oracle: golden pin; recall-vs-brute asserted in ExtSpec
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.lshTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, bits = 16, bands = 8)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_lsh_multiprobe" -> ((s, d) => {
-      // oracle: golden pin; multi-probe ≥ single-probe recall asserted in
-      // ExtSpec (probing all Hamming-1 buckets per band widens candidates
-      // on the broadcast query side only — zero extra corpus work)
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.lshTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, bits = 16, bands = 8, multiProbe = true)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivf" -> ((s, d) => {
-      // oracle: golden pin; recall + determinism asserted in ExtSpec
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivf_pruned" -> ((s, d) => {
-      // round-8: the IVF (raw-vector cells) counterpart of the pruned
-      // IVF-PQ serve — partition pruning skips whole files of full-width
-      // embeddings here, not just code bytes. Same pin as sim_topk_ivf.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-part").toString
-      val idx = ext.Similarity.trainIvf(emb, "vec_id", "embedding", nCentroids = 16)
-      ext.Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding",
-        idx, s"$tmp/codes")
-      ext.Similarity.ivfTopKIndexed(s.read.parquet(s"$tmp/codes"),
-        queries, "qid", "qv", idx, k = 5, nProbe = 4, pruneCells = true)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_text_hash_ann" -> ((s, d) => {
-      // round-5: model-free text ANN — feature-hashed token vectors feed
-      // the same brute top-k used for embeddings. Exact-duplicate docs in
-      // the corpus must surface at cosine 1.0. oracle: golden pin; vector
-      // algebra verified in ExtSpec.
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), ext.TextAnalysis.hashVector(col("text"), 64).as("hv"))
-      val queries = docs.filter(col("doc_id") < 5)
-        .select(col("doc_id").as("qid"), col("hv").as("qv"))
-      ext.Similarity.bruteForceTopK(docs, "doc_id", "hv", queries, "qid", "qv", k = 3)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivfpq" -> ((s, d) => {
-      // round-7: IVF coarse quantizer + residual PQ codes — the composed
-      // 100 TB ANN deployment shape (verdict r6 #7). oracle: golden pin;
-      // recall >= standalone PQ asserted in ExtSpec
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, nCentroids = 16, nProbe = 12,
-        m = 8, ksub = 16, refineFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivfpq_persisted" -> ((s, d) => {
-      // round-8: train-once/encode-once/serve-many (r7 verdict #1) — the
-      // quantizers train ONCE, persist as JSON (AnnIndex.save/load), the
-      // corpus codes materialize ONCE to parquet, and the query batch runs
-      // against the stored codes. Must be HASH-IDENTICAL to the one-shot
-      // sim_topk_ivfpq — the oracle is the same golden pin.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-gate").toString
-      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = 16, m = 8, ksub = 16)
-      idx.save(s"$tmp/index.json")
-      val loaded = ext.AnnIndex.load(s"$tmp/index.json")
-      ext.Similarity.encode(emb, "vec_id", "embedding", loaded)
-        .write.mode("overwrite").parquet(s"$tmp/codes.parquet")
-      val codes = s.read.parquet(s"$tmp/codes.parquet")
-      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
-        queries, "qid", "qv", loaded, k = 5, nProbe = 12, refineFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivfpq_pruned" -> ((s, d) => {
-      // round-8: cell-partitioned code storage + partition-pruned serving —
-      // codes write partitionBy(cell); the serve collects the query
-      // batch's probe cells (bounded: |queries|·nProbe ints) and
-      // pre-filters, so parquet PARTITION PRUNING skips every non-probed
-      // cell's files (at deployment params that is ~99.6% of the stored
-      // bytes). Hash-identical to sim_topk_ivfpq — same golden pin;
-      // PartitionFilters asserted in AnnIndexSpec.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-part").toString
-      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = 16, m = 8, ksub = 16)
-      ext.Similarity.encodeAndWritePartitioned(emb, "vec_id", "embedding",
-        idx, s"$tmp/codes")
-      val codes = s.read.parquet(s"$tmp/codes")
-      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
-        queries, "qid", "qv", idx, k = 5, nProbe = 12, refineFactor = 4,
-        pruneCells = true)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_topk_ivfpq_append" -> ((s, d) => {
-      // round-8: INCREMENTAL ingest into the cell-partitioned code store —
-      // encode half the corpus, append the other half against the same
-      // frozen index, serve pruned over the union. Hash-identical to the
-      // one-shot path: appending encode output is pure file addition.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ann-app").toString
-      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = 16, m = 8, ksub = 16)
-      ext.Similarity.encodeAndWritePartitioned(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
-        idx, s"$tmp/codes")
-      ext.Similarity.encodeAndWritePartitioned(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
-        idx, s"$tmp/codes", mode = "append")
-      val codes = s.read.parquet(s"$tmp/codes")
-      ext.Similarity.ivfPqTopKIndexed(codes, emb, "vec_id", "embedding",
-        queries, "qid", "qv", idx, k = 5, nProbe = 12, refineFactor = 4,
-        pruneCells = true)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_encode_stream" -> ((s, d) => {
-      // round-8: streaming encode sink — micro-batch replay through the
-      // stateless encode projection appended to the cell-partitioned
-      // store must be row-identical to the one-shot batch encode
-      val emb = t(s, d, "embeddings")
-      val idx = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = 16, m = 8, ksub = 16)
-      val streamed = ext.Similarity.encodeReplay(emb, "vec_id", "embedding", idx)
-      val batch = ext.Similarity.encode(emb, "vec_id", "embedding", idx)
-      val nDiff = streamed.exceptAll(batch).count() +
-        batch.exceptAll(streamed).count()
-      val nRows = streamed.count()
-      s.range(1).select(lit(nDiff).as("n_diff"), lit(nRows).as("n_rows"))
-    }),
-    "sim_topk_pq" -> ((s, d) => {
-      // round-5: product-quantization ADC + exact re-rank. oracle: golden
-      // pin; recall-vs-brute and compression shape asserted in ExtSpec
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      ext.Similarity.pqTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_ann_recall" -> ((s, d) => {
-      // round-8 (r7 verdict #5): determinism was pinned but recall was not —
-      // a probe-parameter regression (e.g. nProbe default too low) would
-      // pass every golden gate while silently degrading answer quality.
-      // Recall@5 vs bruteForceTopK is computed IN-GATE for each ANN family
-      // at gate params and asserted against a floor; the oracle then pins
-      // the measured values, so any change is visible, not just a collapse.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        df.select("query_id", "corpus_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val brute = pairs(ext.Similarity.bruteForceTopK(
-        emb, "vec_id", "embedding", queries, "qid", "qv", k = 5))
-      // r12 (verdict #2): cells and probes derive from corpus density —
-      // at the sf0.001/sf0.01 gate (500 vectors) autoNCentroids resolves
-      // to the historical 16 and the probe counts to 4/12, keeping every
-      // golden pin; at 10× density both scale together (constant
-      // nProbe/nCentroids coverage), so the quality floors hold instead
-      // of firing on parameters frozen at gate density.
-      val nVec = emb.count()
-      val nc = ext.Similarity.autoNCentroids(nVec)
-      val npIvf = math.max(2, 4 * nc / 16)
-      val npPq = math.max(4, 12 * nc / 16)
-      // the exact-rerank shortlist must stay a constant FRACTION of the
-      // candidates, not a constant count — a fixed k·4 shortlist out of a
-      // 4×-denser candidate pool is where PQ recall actually leaks
-      val rf = math.max(4, (4L * nVec / 500L).toInt)
-      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "ivf" -> ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, nCentroids = nc, nProbe = npIvf),
-        "ivfpq" -> ext.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, nCentroids = nc, nProbe = npPq,
-          m = 8, ksub = 16, refineFactor = rf),
-        "lsh" -> ext.Similarity.lshTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, bits = 16, bands = 8),
-        "pq" -> ext.Similarity.pqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qv", k = 5, m = 8, ksub = 16, refineFactor = rf))
-      // Floors are per-method: the cell-probing families must clear 0.6;
-      // standalone PQ at gate params (m=8, ksub=16, k=5) honestly measures
-      // ~0.5 — its floor documents that, and the golden pin catches ANY
-      // drift either way. (IVF-PQ > PQ is separately asserted in ExtSpec.)
-      val floors = Map("ivf" -> 0.6, "ivfpq" -> 0.6, "lsh" -> 0.6, "pq" -> 0.4)
-      val measured = methods.map { case (name, df) =>
-        val r = (brute intersect pairs(df)).size.toDouble / brute.size
-        require(r >= floors(name),
-          s"ANN recall regression: $name recall@5 $r < ${floors(name)}")
-        (name, math.round(r * 10000).toDouble / 10000.0)
-      }
-      import s.implicits._
-      measured.toDF("method", "recall_at_5").orderBy("method")
-    }),
-    "sim_ann_lifecycle" -> ((s, d) => {
-      // round-9 (r8 verdict #3): index LIFECYCLE — build-time recall
-      // asserts say nothing about a persisted store after corpus drift.
-      // Construct the drifted shape directly: quantizers trained on a
-      // 32-vector sliver, the FULL corpus encoded against them
-      // (production after heavy drift). The recall probe must flag the
-      // degradation; migrate() re-trains on the full corpus, re-encodes
-      // as v2 alongside v1 and atomically flips the pointer; the healed
-      // serve must improve recall AND be hash-identical to the one-shot
-      // golden pin (same trained index by determinism).
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-life").toString
-      // r12 (verdict #2): same corpus-density parameterization as
-      // sim_ann_recall — 16/12 at gate density (pins unchanged), scaled
-      // together at 10× so the heal floor measures quality, not a
-      // frozen parameter. The STALE index keeps nCentroids=16 (it is
-      // deliberately trained on a 32-vector sliver).
-      val nVec = emb.count()
-      val nc = ext.Similarity.autoNCentroids(nVec)
-      val np = math.max(4, 12 * nc / 16)
-      val rf = math.max(4, (4L * nVec / 500L).toInt)
-      val stale = ext.Similarity.trainIvfPq(emb.filter(col("vec_id") < 32),
-        "vec_id", "embedding", nCentroids = 16, m = 8, ksub = 16)
-      ext.AnnStore.create(emb, "vec_id", "embedding", stale, dir)
-      val probeQs = emb.filter(pmod(col("vec_id"), lit(7)) === 3).limit(40)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val rStale = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
-        probeQs, "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
-      val good = ext.Similarity.trainIvfPq(emb, "vec_id", "embedding",
-        nCentroids = nc, m = 8, ksub = 16)
-      require(ext.AnnStore.migrate(emb, "vec_id", "embedding", good, dir) == 2)
-      val rHealed = ext.AnnStore.recallProbe(dir, emb, "vec_id", "embedding",
-        probeQs, "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
-      require(rHealed > rStale && rHealed >= 0.55,
-        f"migration did not heal recall: stale=$rStale%.4f healed=$rHealed%.4f")
-      ext.AnnStore.serve(dir, emb, "vec_id", "embedding", queries,
-        "qid", "qv", k = 5, nProbe = np, refineFactor = rf)
-        .orderBy("query_id", "rank")
-    }),
-    "sim_ann_delete" -> ((s, d) => {
-      // r14: the takedown path (retention policy / right-to-be-forgotten)
-      // — tombstone-delete a deterministic id set from a persisted store,
-      // serve, then compact (the physical-erasure point) and assert the
-      // serve is unchanged and the tombstones retired. The serve probes
-      // ALL cells (nProbe = nCentroids makes IVF exact brute force), so
-      // the oracle is plain SQL over the live subset — a real data-derived
-      // oracle, not a golden pin.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-del").toString
-      val idx = ext.Similarity.trainIvf(emb, "vec_id", "embedding",
-        nCentroids = 16)
-      ext.AnnStore.create(emb, "vec_id", "embedding", idx, dir)
-      val nDel = ext.AnnStore.delete(
-        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
-        "vec_id", dir)
-      require(nDel > 0L, "takedown set empty — gate precondition broken")
-      def serveNow() = ext.AnnStore.serve(dir, emb, "vec_id", "embedding",
-        queries, "qid", "qv", k = 5, nProbe = 16)
-      val masked = serveNow().orderBy("query_id", "rank").collect().toSeq
-      ext.AnnStore.compactCodes(s, dir)
-      require(ext.AnnStore.tombstoneCount(s, dir) == 0L,
-        "compaction must retire the tombstones")
-      val compacted = serveNow()
-      require(compacted.orderBy("query_id", "rank").collect().toSeq == masked,
-        "post-compaction serve must equal the tombstone-masked serve")
-      compacted.orderBy("query_id", "rank")
-    }),
-    "sim_embedding_norm" -> ((s, d) =>
-      t(s, d, "embeddings").select(col("vec_id"),
-        round(ext.Similarity.l2Norm(col("embedding")), 4).as("norm"))
-        .orderBy("vec_id")),
-
-    // ---- extensions: multimodal plumbing (stub decode) ----
-    "mm_meta" -> ((s, d) => {
-      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
-      ext.Multimodal.extractMeta(withBin, "doc_id", "payload").orderBy("id")
-    }),
-    "mm_frames" -> ((s, d) => {
-      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
-      ext.Multimodal.sampleFrameIndices(withBin, "doc_id", "payload", frames = 4)
-        .orderBy("id", "frame_offset")
-    }),
-    "mm_features" -> ((s, d) => {
-      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
-      ext.Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 8)
-        .select(col("id"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
-          round(element_at(col("feature"), 2).cast("double"), 4).as("f1"),
-          round(element_at(col("feature"), 8).cast("double"), 4).as("f7"))
-        .orderBy("id")
-    }),
-    "mm_resize" -> ((s, d) => {
-      val withBin = ext.Multimodal.withBinaryPayload(t(s, d, "documents"), "text", "payload")
-      ext.Multimodal.resizePayload(withBin, "doc_id", "payload", bound = 128)
-        .select("id", "n_bytes", "width", "height").orderBy("id")
-    }),
-
-    // ---- extensions: multimodal with the REAL image codec (javax.imageio)
-    //      over deterministic synthetic PNGs whose decoded properties are
-    //      closed-form in doc_id (so DuckDB pins the codec round trip) ----
-    "mm_image_meta" -> ((s, d) => {
-      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.extractMeta(imgs, "id", "payload", ext.ImageIODecoder)
-        .select("id", "width", "height", "channels", "format").orderBy("id")
-    }),
-    "mm_image_resize" -> ((s, d) => {
-      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.resizePayload(imgs, "id", "payload", 16, ext.ImageIODecoder)
-        .select("id", "width", "height").orderBy("id")
-    }),
-    "mm_image_features" -> ((s, d) => {
-      val imgs = ext.Multimodal.syntheticPngs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.extractFeatures(imgs, "id", "payload", dim = 3,
-          ext.ImageIODecoder)
-        .select(col("id"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("f_r"),
-          round(element_at(col("feature"), 2).cast("double"), 4).as("f_g"),
-          round(element_at(col("feature"), 3).cast("double"), 4).as("f_b"))
-        .orderBy("id")
-    }),
-
-    "mm_audio_meta" -> ((s, d) => {
-      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.extractMeta(wavs, "id", "payload", ext.WavDecoder)
-        .select(col("id"), col("width").as("sample_rate"),
-          col("height").as("n_frames"), col("channels"), col("format"))
-        .orderBy("id")
-    }),
-    "mm_audio_features" -> ((s, d) => {
-      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.extractFeatures(wavs, "id", "payload", dim = 4,
-          ext.WavDecoder)
-        .select(col("id"),
-          round(element_at(col("feature"), 1).cast("double"), 4).as("rms_1"),
-          round(element_at(col("feature"), 4).cast("double"), 4).as("rms_4"))
-        .orderBy("id")
-    }),
-    "mm_audio_resize" -> ((s, d) => {
-      val wavs = ext.Multimodal.syntheticWavs(t(s, d, "documents"), "doc_id")
-      ext.Multimodal.resizePayload(wavs, "id", "payload", 512, ext.WavDecoder)
-        .select(col("id"), col("width").as("sample_rate"),
-          col("height").as("n_frames"))
-        .orderBy("id")
-    }),
-
-    // ---- §2.A custom vectorized check (api/checks.py:21-124) ----
-    "chk_custom_fn" -> ((s, d) =>
-      failCount(s, "custom_name_nonempty", t(s, d, "customer"), "c_name",
-        ColumnCheck("name_nonempty", c => length(c) > 0))),
-
-    // ---- §2.A check modifiers ----
-    "chk_raise_warning" -> ((s, d) => {
-      val res = DataFrameSchema("l_tax" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.le(0.05).copy(raiseWarning = true))))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("raise_warning_failures", res.warnings.map(_.failureCount).sum),
-        ("raise_warning_passed", if (res.passed) 0L else 1L))
-        .toDF("check_name", "failure_count").orderBy("check_name")
-    }),
-    "chk_n_failure_cases" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.inRange(5.0, 45.0).copy(nFailureCases = 7))))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("n_failure_cases_sample",
-        res.errors.headOption.fold(0L)(_.failureCases.size.toLong)))
-        .toDF("check_name", "failure_count")
-    }),
-
-    // ---- §2.B remaining structural operators ----
-    "core_regex_columns" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_(quantity|discount|tax)" -> ColumnSchema(checks = Seq(Check.ge(0.0)), regex = true))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("regex_columns_ge0", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "core_ordered" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val inOrder = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType)),
-        "l_partkey" -> ColumnSchema(Some(LongType)))
-        .copy(ordered = true).validate(li)
-      val outOfOrder = DataFrameSchema(
-        "l_partkey" -> ColumnSchema(Some(LongType)),
-        "l_orderkey" -> ColumnSchema(Some(LongType)))
-        .copy(ordered = true).validate(li)
-      import s.implicits._
-      Seq(("ordered_in_order", inOrder.errors.size.toLong),
-        ("ordered_out_of_order", outOfOrder.errors.size.toLong))
-        .toDF("check_name", "failure_count").orderBy("check_name")
-    }),
-    "core_unique_colnames" -> ((s, d) => {
-      val dup = t(s, d, "lineitem")
-        .select(col("l_tax").as("x"), col("l_quantity").as("x"))
-      val res = DataFrameSchema()
-        .copy(uniqueColumnNames = true).validate(dup)
-      import s.implicits._
-      Seq(("unique_column_names",
-        res.errors.count(_.check == "column_names_are_unique").toLong))
-        .toDF("check_name", "failure_count")
-    }),
-    "core_set_defaults" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "event_id" -> ColumnSchema(Some(LongType)),
-        "value" -> ColumnSchema(Some(DoubleType), default = Some(0.0)))
-        .validate(t(s, d, "events"))
-      res.data.select("event_id", "value").orderBy("event_id", "value")
-    }),
-    "core_parser" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType)),
-        "l_linenumber" -> ColumnSchema(Some(IntegerType)),
-        "l_discount" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05)),
-          parsers = Seq(Parser("clip_le_005", c => least(c, lit(0.05))))))
-        .copy(strict = Strict.Filter)
-        .validate(t(s, d, "lineitem"))
-      res.data.orderBy("l_orderkey", "l_linenumber", "l_discount")
-    }),
-    "core_report_dup_excl" -> ((s, d) => {
-      def dups(mode: ReportDuplicates): Long =
-        DataFrameSchema(
-          "l_orderkey" -> ColumnSchema(Some(LongType)),
-          "l_linenumber" -> ColumnSchema(Some(IntegerType)))
-          .copy(unique = Seq("l_orderkey", "l_linenumber"), reportDuplicates = mode)
-          .validate(t(s, d, "lineitem"))
-          .errors.map(_.failureCount).sum
-      import s.implicits._
-      Seq(("report_duplicates_all", dups(ReportDuplicates.All)),
-        ("report_duplicates_exclude_first", dups(ReportDuplicates.ExcludeFirst)))
-        .toDF("check_name", "failure_count").orderBy("check_name")
-    }),
-    "core_series_schema" -> ((s, d) => {
-      val res = SeriesSchema("c_acctbal",
-        ColumnSchema(Some(DoubleType), Seq(Check.ge(-999.99))))
-        .validate(t(s, d, "customer"))
-      import s.implicits._
-      Seq(("series_ge", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "core_validate_sample" -> ((s, d) => {
-      // sample path: tautological check so the expected count is
-      // deterministic regardless of which rows the sample draws
-      val res = DataFrameSchema(
-        "c_custkey" -> ColumnSchema(Some(LongType),
-          Seq(ColumnCheck("tautology", c => c.isNotNull || c.isNull))))
-        .validateSample(t(s, d, "customer"), fraction = 0.5, seed = 42L)
-      import s.implicits._
-      Seq(("sampled_tautology", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-
-    "core_dtype_nested" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val ok = DataFrameSchema(
-        "embedding" -> ColumnSchema(Some(ArrayType(FloatType)))).validate(emb)
-      val wrong = DataFrameSchema(
-        "embedding" -> ColumnSchema(Some(ArrayType(DoubleType)))).validate(emb)
-      import s.implicits._
-      Seq(("array_dtype_ok", if (ok.passed) 0L else 1L),
-        ("array_dtype_wrong_detected",
-          wrong.errors.count(_.check.startsWith("dtype")).toLong))
-        .toDF("check_name", "failure_count").orderBy("check_name")
-    }),
-    "core_coerce_decimal" -> ((s, d) => {
-      val res = DataFrameSchema(
-        "l_extendedprice" -> ColumnSchema(Some(DecimalType(12, 2)), coerce = true))
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("decimal_coerce_failures", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-
-    "core_uint_widening" -> ((s, d) => {
-      // §1.3: unsigned dtype = widened signed type + ge(0); l_linenumber
-      // declared uint16 → IntegerType + non-negativity
-      val res = DataFrameSchema(
-        "l_linenumber" -> ColumnSchema.uint16())
-        .validate(t(s, d, "lineitem"))
-      import s.implicits._
-      Seq(("uint16_widening", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "chk_mean_stddev" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.meanBetween(20.0, 30.0), Check.stddevBetween(5.0, 25.0))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "mean_stddev_between", res)
-    }),
-    "chk_corr" -> ((s, d) => {
-      // round-9: Pearson-correlation bound check — the fixture's columns
-      // are generated independently (corr ≈ 0 probed at all SFs), so the
-      // wide band passes and the [0.9, 1.0] demand is detected as failing
-      val li = t(s, d, "lineitem")
-      val ok = DataFrameSchema("l_extendedprice" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.corrBetween("l_quantity", -0.5, 0.5)))).validate(li)
-      val bad = DataFrameSchema("l_extendedprice" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.corrBetween("l_partkey", 0.9, 1.0)))).validate(li)
-      import s.implicits._
-      Seq(("corr_in_bounds", if (ok.passed) 0L else 1L),
-          ("corr_out_of_bounds_detected", if (!bad.passed) 0L else 1L))
-        .toDF("check_name", "failure_count").orderBy("check_name")
-    }),
-    "chk_approx_distinct" -> ((s, d) => {
-      // n_name cardinality (25) is deep in HLL sparse mode → exact estimate
-      val res = DataFrameSchema("n_name" -> ColumnSchema(Some(StringType),
-        Seq(Check.approxDistinctBetween(20L, 30L))))
-        .validate(t(s, d, "nation"))
-      aggPassFail(s, "approx_distinct_between", res)
-    }),
-    "chk_quantile" -> ((s, d) => {
-      val res = DataFrameSchema("l_quantity" -> ColumnSchema(Some(DoubleType),
-        Seq(Check.quantileBetween(0.5, 10.0, 40.0))))
-        .validate(t(s, d, "lineitem"))
-      aggPassFail(s, "quantile_between", res)
-    }),
-    "config_depth_schema_only" -> ((s, d) => {
-      // the le(0.0) data check fails on virtually every row, but
-      // SCHEMA_ONLY depth must prune data checks entirely (zero data jobs)
-      val schema = DataFrameSchema(
-        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.0))))
-      val res = graft.backend.Validator.validate(schema, t(s, d, "lineitem"),
-        depth = graft.errors.GraftConfig.SchemaOnly)
-      import s.implicits._
-      Seq(("schema_only_skips_data_checks", if (res.passed) 0L else 1L))
-        .toDF("check_name", "failure_count")
-    }),
-
-    // ---- §2.E schema-transform operators (pure metadata) ----
-    "schema_transform_ops" -> ((s, d) => {
-      val s2 = DataFrameSchema(
-        "a" -> ColumnSchema.of(LongType), "b" -> ColumnSchema.of(StringType),
-        "c" -> ColumnSchema.of(DoubleType))
-        .addColumns("d" -> ColumnSchema.of(IntegerType))
-        .removeColumns("b")
-        .renameColumns(Map("c" -> "c2"))
-        .updateColumn("c2")(_.copy(nullable = false))
-        .selectColumns("a", "c2", "d")
-      import s.implicits._
-      s2.columns.map { case (n, cs) =>
-        (n, graft.io.SchemaIO.dtypeToName(cs.dtype.get), cs.nullable)
-      }.toDF("column", "dtype", "nullable").orderBy("column")
-    }),
-
-    // ---- §2.F JSON IO + model DSL + decorators ----
-    "io_json_roundtrip" -> ((s, d) => {
-      val df = t(s, d, "lineitem")
-      val inferred = InferSchema.infer(df)
-      val back = graft.io.SchemaIO.fromJson(graft.io.SchemaIO.toJson(inferred))
-      val ok = back.validate(df).passed &&
-        graft.io.SchemaIO.toJson(back) == graft.io.SchemaIO.toJson(inferred)
-      import s.implicits._
-      back.columns.map { case (n, c) =>
-        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), if (ok) 0L else 1L)
-      }.toDF("column", "dtype", "failure_count").orderBy("column")
-    }),
-    "io_pandera_yaml" -> ((s, d) => {
-      // cross-compat gate: a VERBATIM reference-format document — minimal
-      // serialization (absent default keys, io/pandas_io.py:190-205), flat
-      // Field-style check keys (io/_flat_checks.py), no column_order — must
-      // parse and drive validation with reference semantics: columns with
-      // no `nullable` key are NON-nullable (the reference constructor
-      // default), absent `required`/`strict`/... take their defaults.
-      val doc =
-        """schema_type: dataframe
-          |columns:
-          |  l_quantity:
-          |    dtype: float64
-          |    nullable: true
-          |    in_range:
-          |      min_value: 1
-          |      max_value: 50
-          |  l_discount:
-          |    dtype: float64
-          |    nullable: true
-          |    greater_than_or_equal_to: 0
-          |  l_returnflag:
-          |    dtype: str
-          |    isin:
-          |    - A
-          |    - N
-          |    - R
-          |  l_orderkey:
-          |    dtype: int64
-          |    greater_than: 0
-          |""".stripMargin
-      val schema = graft.io.SchemaIO.fromYaml(doc)
-      val res = schema.validate(t(s, d, "lineitem"))
-      val byCol = res.errors.groupBy(_.column.getOrElse(""))
-        .view.mapValues(_.map(_.failureCount).sum).toMap
-      import s.implicits._
-      schema.columnNames.sorted
-        .map(n => (n, byCol.getOrElse(n, 0L)))
-        .toDF("col_name", "failure_count").orderBy("col_name")
-    }),
-    "io_pandera_emit" -> ((s, d) => {
-      // round-8 (r7 verdict #3): write-side compat — emit a document in the
-      // reference's OWN minimal+flat dump shape (serialize_schema default,
-      // io/pandas_io.py:190-265), prove it is a fixpoint of our verbatim
-      // parser, and pin every emitted line. The schema exercises flat
-      // scalar checks, multi-stat dicts, list values, strict="filter" and
-      // table-level unique.
-      import graft.schema._
-      import org.apache.spark.sql.types._
-      val schema = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType),
-          Seq(graft.checks.Check.greaterThan(0L)), nullable = false, unique = false),
-        "l_quantity" -> ColumnSchema(Some(DoubleType),
-          Seq(graft.checks.Check.inRange(1.0, 50.0)), nullable = true),
-        "l_returnflag" -> ColumnSchema(Some(StringType),
-          Seq(graft.checks.Check.isin(Seq("A", "N", "R"))), nullable = false))
-        .copy(name = Some("lineitem_contract"), strict = Strict.Filter,
-          unique = Seq("l_orderkey"))
-      val emitted = graft.io.SchemaIO.toPanderaYaml(schema)
-      // the emitted document must load back (verbatim parser) to a schema
-      // that emits the SAME document — a migration-stable fixpoint
-      val back = graft.io.SchemaIO.fromYaml(emitted)
-      require(graft.io.SchemaIO.toPanderaYaml(back) == emitted,
-        "pandera emit is not a parse fixpoint")
-      // and actually drive validation on the real table
-      require(back.validate(t(s, d, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_returnflag")).errors
-        .forall(_.failureCount >= 0), "round-tripped schema failed to run")
-      import s.implicits._
-      emitted.split("\n", -1).toSeq.zipWithIndex
-        .map { case (line, i) => (i.toLong, line) }
-        .toDF("line_no", "line").orderBy("line_no")
-    }),
-    "io_pandera_fixture" -> ((s, d) => {
-      // round-10 (r9 verdict #7): parse the REFERENCE'S OWN canonical
-      // YAML fixture — extracted at run time from the reference test
-      // source (tests/io/test_pandas_io.py YAML_SCHEMA, the full-format
-      // document with every column property explicit, flat Field-style
-      // check keys, an index: section and the version header) — rather
-      // than a hand-adapted copy, and pin the parsed contract: dtypes,
-      // nullability, requiredness, recognized check counts. The only
-      // edits are the two f-string placeholders; the pandas-only index:
-      // section parses away cleanly (documented exclusion — no Spark row
-      // identity).
-      val src = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          "/root/reference/tests/io/test_pandas_io.py")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val m = java.util.regex.Pattern
-        .compile("(?s)YAML_SCHEMA = f\"\"\"(.*?)\"\"\"").matcher(src)
-      require(m.find(), "reference YAML_SCHEMA fixture not found")
-      val doc = m.group(1)
-        .replace("{_PANDERA_VERSION}", "0.0.0")
-        .replace("{_PANDERA_STR_DTYPE}", "str")
-      val schema = graft.io.SchemaIO.fromYaml(doc)
-      require(schema.strict == Strict.Error,
-        "fixture strict: true did not parse to Strict.Error")
-      require(!schema.ordered && !schema.uniqueColumnNames,
-        "fixture schema-level defaults did not parse")
-      import s.implicits._
-      schema.columns.map { case (n, c) =>
-        (n, c.dtype.map(graft.io.SchemaIO.dtypeToName).getOrElse("none"),
-          c.nullable, c.required, c.checks.size.toLong)
-      }.toDF("col_name", "dtype_name", "nullable", "required", "n_checks")
-        .orderBy("col_name")
-    }),
-    "io_pandera_pyspark_fixture" -> ((s, d) => {
-      // round-11 (r10 verdict #7): the REFERENCE'S SECOND serializer —
-      // the pyspark-backend document shape (io/pyspark_sql_io.py:106-180:
-      // `schema_type: pyspark_sql_dataframe` header, flat Field-style
-      // check keys merged into the column map, Spark constructor dtype
-      // spellings "LongType()"). fixtures/orders.pyspark.pandera.yaml was
-      // GENERATED BY the reference's own pyspark_sql_io.to_yaml (and
-      // from_yaml round-trip-verified there — provenance in FIXTURES.md),
-      // so parsing it proves both reference serializers interchange with
-      // this engine. The parsed contract then validates the LIVE orders
-      // table: zero check failures is part of the pinned result.
-      val doc = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("fixtures/orders.pyspark.pandera.yaml")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val schema = graft.io.SchemaIO.fromYaml(doc)
-      require(schema.strict == Strict.Error && !schema.coerce,
-        "pyspark fixture strict/coerce did not parse")
-      require(schema.name.contains("orders_contract"),
-        "pyspark fixture name did not parse")
-      val res = schema.validate(t(s, d, "orders"))
-      require(res.passed, s"orders failed its own contract: ${res.errors}")
-      import s.implicits._
-      (schema.columns.map { case (n, c) =>
-        (n, c.dtype.map(graft.io.SchemaIO.dtypeToName).getOrElse("none"),
-          c.nullable, c.required, c.checks.size.toLong)
-      } :+ (("zz_validation", "errors", false, true,
-        res.errors.map(_.failureCount).sum)))
-        .toDF("col_name", "dtype_name", "nullable", "required", "n_checks")
-        .orderBy("col_name")
-    }),
-    "io_frictionless" -> ((s, d) => {
-      // round-11 (the last §2.F gap — r10 verdict "What's missing" #1):
-      // frictionless table-schema import. The REFERENCE'S OWN
-      // FRICTIONLESS_YAML fixture (tests/io/test_pandas_io.py:1741,
-      // extracted at run time; \\ undoes python string escaping) parses
-      // through fromFrictionlessSchema, the parsed contract is pinned
-      // column-by-column, and the reference's VALID_FRICTIONLESS_DF rows
-      // (same file) must validate clean — zero failures is part of the
-      // pinned result.
-      val src = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          "/root/reference/tests/io/test_pandas_io.py")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val m = java.util.regex.Pattern
-        .compile("(?s)FRICTIONLESS_YAML = yaml\\.safe_load\\(\\s*\"\"\"(.*?)\"\"\"")
-        .matcher(src)
-      require(m.find(), "reference FRICTIONLESS_YAML fixture not found")
-      val schema = graft.io.SchemaIO.fromFrictionlessSchema(
-        m.group(1).replace("\\\\", "\\"))
-      require(schema.strict == Strict.Error && schema.coerce &&
-        schema.unique.isEmpty, "frictionless schema shape did not parse")
-      import s.implicits._
-      val valid = Seq(
-        (10L, 1L, Option("aaa"), Option("123A"), Option("123ABC"), Option("23A"), 1.0, Option(1.0), "20210101"),
-        (11L, 2L, None, Option("456B"), Option("456B"), Option("46B"), 1.0, Option(1.0), "20210102"),
-        (12L, 3L, Option("ccc"), None, None, None, 1.0, None, "20210103"),
-        (13L, 3L, Option("ddd"), Option("789C"), Option("78a9C"), Option("78C"), 2.0, Option(2.0), "20210104"),
-        (14L, 1L, Option("eee"), Option("101D"), Option("1A3F01D"), Option("1D"), 3.0, Option(3.0), "20210105"))
-        .toDF("integer_col", "integer_col_2", "string_col", "string_col_2",
-          "string_col_3", "string_col_4", "float_col", "float_col_2", "date_col")
-      val res = schema.validate(valid)
-      require(res.passed,
-        s"reference VALID_FRICTIONLESS_DF failed: ${res.errors}")
-      (schema.columns.map { case (n, c) =>
-        (n, c.dtype.map(graft.io.SchemaIO.dtypeToName).getOrElse("none"),
-          c.nullable, c.unique, c.checks.size.toLong)
-      } :+ (("zz_validation", "errors", false, false,
-        res.errors.map(_.failureCount).sum)))
-        .toDF("col_name", "dtype_name", "nullable", "unique_flag", "n_checks")
-        .orderBy("col_name")
-    }),
-    "io_csv_quarantine" -> ((s, d) => {
-      // round-8: quarantining CSV source boundary — orders (4-column
-      // projection) round-trips through CSV text; two hand-corrupted lines
-      // (wrong arity / unparseable struct) land in the quarantine frame
-      // RAW, never as silent nulls; the good side revalidates and must
-      // reproduce the original table exactly (key sum + row count are the
-      // cross-engine checks, CSV double round-trip included via the
-      // totalprice sum)
-      val proj = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-csvq").toString
-      proj.coalesce(1).write.mode("overwrite").option("header", "false")
-        .csv(s"$dir/data")
-      // corrupt part file: wrong column count + non-numeric key
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/data/part-corrupt.csv"),
-        "only,three,columns\nnot_a_number,12,O,5.5,extra,fields,here\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val schema = DataFrameSchema(
-        "o_orderkey" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-        "o_custkey" -> ColumnSchema(Some(LongType)),
-        "o_orderstatus" -> ColumnSchema(Some(StringType), nullable = false),
-        "o_totalprice" -> ColumnSchema(Some(DoubleType)))
-      val (res, bad) = graft.io.ValidatedIO.readQuarantined(
-        s, schema, s"$dir/data", "csv")
-      require(res.passed, s"validation failed: ${res.errors}")
-      val agg = res.data.agg(
-        count(lit(1)).as("n_good"),
-        sum("o_orderkey").as("key_sum"),
-        round(sum("o_totalprice"), 3).as("price_sum")).head()
-      import s.implicits._
-      Seq((agg.getLong(0), bad.count(), agg.getLong(1),
-        agg.getDouble(2))).toDF("n_good", "n_bad", "key_sum", "price_sum")
-    }),
-    "io_validated_read" -> ((s, d) => {
-      // validate-on-read source boundary: the l_tax contract has a known
-      // failure count; the reader path goes through ValidatedIO.
-      val schema = DataFrameSchema(
-        "l_orderkey" -> ColumnSchema(Some(LongType), Nil, nullable = false),
-        "l_tax" -> ColumnSchema(Some(DoubleType), Seq(Check.le(0.05))))
-      val res = graft.io.ValidatedIO.read(s, schema, s"$d/lineitem.parquet")
-      import s.implicits._
-      Seq(("io_validated_read", res.errors.map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "model_dsl" -> ((s, d) => {
-      import s.implicits._
-      val ds = t(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity").as[LineitemQty]
-      val res = graft.model.DataFrameModel.of[LineitemQty]
-        .field("l_quantity", Check.inRange(5.0, 45.0))
-        .validate(ds)
-      Seq(("model_in_range",
-        res.errors.filter(_.check.startsWith("in_range")).map(_.failureCount).sum))
-        .toDF("check_name", "failure_count")
-    }),
-    "model_typed" -> ((s, d) => {
-      // round-8 (r7 verdict #4): the full typed Dataset[T] path end-to-end
-      // — encoder-derived schema (dtype AND nullability come from the case
-      // class: primitives non-nullable, Option[_] nullable), builder-
-      // attached field/table checks, Config analog, a checkTypes-decorated
-      // typed function boundary, and a typed result you can .map over.
-      // Output pins the derived (field, dtype, nullable) triples plus the
-      // check outcomes — the whole compile-time-derivation contract.
-      import s.implicits._
-      val ds = t(s, d, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-        .as[OrderRow]
-      val typed = graft.model.DataFrameModel.of[OrderRow]
-        .field("o_orderkey", Check.ge(0L)) // synthetic orders include key 0
-        .field("o_totalprice", Check.gt(0.0))
-        .field("o_orderstatus", Check.isin(Seq("F", "O", "P")))
-        .tableChecks(Check.wide("key_nonneg_or_priceless")(_ =>
-          col("o_orderkey") >= 0 || col("o_totalprice").isNull))
-        .config(name = Some("orders_typed"), strict = Some(graft.schema.Strict.Error))
-      val res = typed.validate(ds)
-      // checkTypes decorator: a typed function whose input contract is the
-      // model — validates, then the body runs on the TYPED carrier (an
-      // exact long sum, stable under any partitioning)
-      val keySum: org.apache.spark.sql.Dataset[OrderRow] => Long =
-        graft.model.Decorators.checkTypes[OrderRow, Long]()(
-          _.map(_.o_orderkey).reduce(_ + _))
-      val derived = typed.schema.columns.map { case (n, c) =>
-        (n, graft.io.SchemaIO.dtypeToName(c.dtype.get), c.nullable, 0L)
-      }
-      val outcomes = Seq(
-        ("__passed__", "bool", true, if (res.passed) 0L else 1L),
-        ("__check_failures__", "int64", false,
-          res.errors.filterNot(_.isWarning).map(_.failureCount).sum),
-        ("__boundary_orderkey_sum__", "int64", false, keySum(ds)))
-      (derived ++ outcomes)
-        .toDF("field", "dtype", "nullable", "failure_count").orderBy("field")
-    }),
-    "model_parser" -> ((s, d) => {
-      // typed-DSL parser hook (@parser analog): clip l_quantity before the
-      // le check; the PARSED data is the query result
-      import s.implicits._
-      val ds = t(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity").as[LineitemQty]
-      val res = graft.model.DataFrameModel.of[LineitemQty]
-        .parser("l_quantity", "clip_le_30")(c => least(c, lit(30.0)))
-        .field("l_quantity", Check.le(30.0))
-        .validate(ds)
-      res.orThrow.toDF().orderBy("l_orderkey", "l_linenumber")
-    }),
-    "decorator_check_io" -> ((s, d) => {
-      val in = DataFrameSchema("l_returnflag" -> ColumnSchema(Some(StringType)))
-      val out = DataFrameSchema(
-        "grp" -> ColumnSchema(Some(StringType)),
-        "n" -> ColumnSchema(Some(LongType), Seq(Check.gt(0L)), nullable = false))
-      val f = graft.model.Decorators.checkIo(in, out)(df =>
-        df.groupBy(col("l_returnflag").as("grp")).agg(count(lit(1)).as("n")))
-      f(t(s, d, "lineitem")).orderBy("grp")
-    }),
-
-    // ---- streaming-shaped event analytics (batch plan; streaming variant
-    //      exercised in StreamingSpec with the same transformation) ----
-    "events_trending" -> ((s, d) =>
-      // round-8: exact heavy hitters per event-time window — "trending
-      // users per day": one windowed Misra-Gries + count aggregation,
-      // then a broadcast-pruned exact recount cut at phi·N_window; the
-      // oracle recomputes the exact per-window cut in SQL. Explicit
-      // null-ts filter on BOTH engines: Spark's window() silently drops
-      // null event times while DuckDB's date_trunc would emit a NULL
-      // window_start group — pin the shared semantics instead of relying
-      // on the data having no null ts (r8 ADVICE).
-      ext.HeavyHitters.frequentItemsByWindow(
-        t(s, d, "events").filter(col("ts").isNotNull), "ts",
-        "user_id", phi = 0.015, windowDur = "1 day")),
-    "events_hourly" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      ev
-        .withColumn("ets", graft.functions.EventTime.eventTime(ev, "ts"))
-        .groupBy(date_format(date_trunc("hour", col("ets")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("total_value"))
-        .orderBy("hour", "event_type")
-    })
-  )
-
-  /** Shared by events_sessions (batch) and events_sessions_stream (replay):
-    * the two gates must answer to one oracle — that IS the batch ≡ streaming
-    * claim. */
-  private val sessionsOracleSql: String =
-    "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events), " +
-      "w AS (SELECT user_id, us, value, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL " +
-      "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
-      "s AS (SELECT user_id, us, value, sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
-      "SELECT user_id, min(us) AS session_start_us, CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us, " +
-      "count(*) AS n_events, round(sum(value), 3) AS total_value " +
-      "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"
-
-  /** One column's worth of the drift_ks_multi oracle: the same DuckDB
-    * pipeline as the drift_ks oracle (20-bin quantile grid, cumulative
-    * CDFs, per-column max gap), CTE-suffixed so three columns can share
-    * one WITH clause, tagged with the column name. */
-  private def ksMultiOracleCol(c: String, i: Int): String = {
-    val s = i.toString
-    // Locale.ROOT: default-locale %.2f under e.g. de_DE emits "0,05" and
-    // breaks the generated DuckDB list literal (r7 ADVICE).
-    val ps = (1 until 20)
-      .map(p => String.format(java.util.Locale.ROOT, "%.2f", Double.box(p * 0.05)))
-      .mkString(", ")
-    s"edges$s AS (SELECT list_transform(quantile_cont($c, [$ps]), e -> round(e, 6)) AS es FROM lineitem), " +
-      s"refb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL), " +
-      s"curb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL AND l_returnflag = 'A'), " +
-      s"refc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb$s) AS rf FROM refb$s GROUP BY bin), " +
-      s"curc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb$s) AS cf FROM curb$s GROUP BY bin), " +
-      s"bins$s AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
-      s"j$s AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins$s LEFT JOIN refc$s USING (bin) LEFT JOIN curc$s USING (bin)), " +
-      s"cum$s AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j$s), " +
-      s"g$s AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM cum$s), " +
-      s"kout$s AS (SELECT '$c' AS \"column\", bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g$s)"
-  }
-
-  /** One column's worth of the drift_psi_multi oracle: the same DuckDB
-    * pipeline as the drift_psi oracle, CTE-suffixed so three columns can
-    * share one WITH clause, tagged with the column name. */
-  private def psiMultiOracleCol(c: String, i: Int): String = {
-    val s = i.toString
-    s"edges$s AS (SELECT list_transform(quantile_cont($c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
-      s"refb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL), " +
-      s"curb$s AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges$s), e -> CASE WHEN $c > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE $c IS NOT NULL AND l_returnflag = 'A'), " +
-      s"refc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb$s) AS ref_frac FROM refb$s GROUP BY bin), " +
-      s"curc$s AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb$s) AS cur_frac FROM curb$s GROUP BY bin), " +
-      s"bins$s AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
-      s"j$s AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-      s"FROM bins$s LEFT JOIN refc$s USING (bin) LEFT JOIN curc$s USING (bin)), " +
-      s"k$s AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j$s), " +
-      s"out$s AS (SELECT '$c' AS \"column\", bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
-      s"(SELECT round(sum(psi_contrib), 6) FROM k$s) AS psi_total FROM k$s)"
-  }
-
-  /** Golden pin for the IVF top-k — shared by `sim_topk_ivf` (one-shot)
-    * and `sim_topk_ivf_pruned` (train + cell-partitioned store +
-    * partition-pruned serve), hash-identical by construction. */
-  private val ivfOracleSql: String =
-    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 234, 4, 0.2777), (2, 309, 5, 0.2523), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 190, 4, 0.2818), (0, 464, 5, 0.2766), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 407, 3, 0.327), (1, 195, 4, 0.3227), (1, 64, 5, 0.3164), (2, 2, 1, 1.0), (2, 145, 2, 0.2635), (2, 418, 3, 0.254), (2, 112, 4, 0.2453), (2, 172, 5, 0.2398), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 192, 5, 0.2908), (4, 4, 1, 1.0), (4, 408, 2, 0.3228), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1511, 4, 0.3288), (0, 144, 5, 0.3243), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1580, 3, 0.3668), (1, 1832, 4, 0.3312), (1, 134, 5, 0.3064), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 1542, 4, 0.3242), (3, 650, 5, 0.3157), (4, 4, 1, 1.0), (4, 1166, 2, 0.3787), (4, 660, 3, 0.3197), (4, 773, 4, 0.3078), (4, 685, 5, 0.3069)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY query_id, \"rank\"")
-
-  /** Golden pin for the IVF-PQ top-k — shared by `sim_topk_ivfpq` (one-shot)
-    * and `sim_topk_ivfpq_persisted` (save/load + materialized codes), which
-    * must be hash-identical by construction. */
-  private val ivfPqOracleSql: String =
-    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-      "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 144, 2, 0.3243), (0, 794, 3, 0.3108), (0, 1033, 4, 0.296), (0, 462, 5, 0.2917), (1, 1, 1, 1.0), (1, 1580, 2, 0.3668), (1, 732, 3, 0.3029), (1, 1594, 4, 0.2969), (1, 85, 5, 0.2564), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 990, 4, 0.3337), (2, 1196, 5, 0.3168), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 1617, 5, 0.3028), (4, 4, 1, 1.0), (4, 995, 2, 0.3589), (4, 913, 3, 0.3195), (4, 773, 4, 0.3078), (4, 685, 5, 0.3069)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-      ") u ORDER BY query_id, \"rank\"")
-
-  /** sim_ann_lifecycle shares the gate-density ivfPq pins (its serve
-    * is hash-identical to the one-shot there) but auto-scales probe
-    * parameters with corpus density, so its sf0.1 branch (nCentroids
-    * 32, nProbe 24, refineFactor 16 at 2000 vectors) is its own. */
-  private val lifecycleOracleSql: String =
-    ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-      "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 4, 0.3005), (0, 212, 5, 0.2814), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 376, 4, 0.3048), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 246, 3, 0.2898), (2, 91, 4, 0.2789), (2, 183, 5, 0.2506), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 98, 2, 0.3398), (4, 143, 3, 0.3297), (4, 62, 4, 0.2886), (4, 100, 5, 0.2601)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-      "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 387, 2, 0.3311), (0, 423, 3, 0.2969), (0, 73, 4, 0.2954), (0, 7, 5, 0.2928), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 3, 0.2635), (2, 188, 4, 0.2633), (2, 197, 5, 0.2331), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 207, 5, 0.2917), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 482, 3, 0.3139), (4, 280, 4, 0.2798), (4, 249, 5, 0.2796)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 1511, 5, 0.3288), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1580, 3, 0.3668), (1, 1832, 4, 0.3312), (1, 173, 5, 0.3109), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 1053, 4, 0.356), (2, 1912, 5, 0.3519), (3, 3, 1, 1.0), (3, 720, 2, 0.3656), (3, 930, 3, 0.3417), (3, 1542, 4, 0.3242), (3, 1567, 5, 0.3113), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 995, 3, 0.3589), (4, 1645, 4, 0.3266), (4, 174, 5, 0.3114)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-      ") u ORDER BY query_id, \"rank\"")
-
-  /** Full BM25 re-derivation in SQL — shared by text_bm25 (one-shot) and
-    * text_bm25_store (persisted postings index, hash-identical serve). */
-  private val bm25OracleSql: String =
-    ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-      "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
-      "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
-      "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
-      "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
-      "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
-      "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
-      "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-      "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
-      "rk AS (SELECT query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
-      "SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM rk WHERE rnk <= 5 ORDER BY query_id, \"rank\"")
-
-  /** text_bm25_delete: both takedown phases re-derived. Masked = scores
-    * computed with FULL-corpus statistics (n_docs/avgdl/df include the
-    * deleted docs), deleted docs excluded from the ranking only; healed =
-    * plain BM25 over the live corpus (post-compaction state). Queries are
-    * doc_id % 100 = 0, never in the doc_id % 5 = 2 takedown set. */
-  private val bm25DeleteOracleSql: String =
-    ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-      "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
-      // masked phase: full-corpus stats, results-only exclusion
-      "dl1 AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
-      "post1 AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
-      "st1 AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl1), " +
-      "dfp1 AS (SELECT token, count(*)::DOUBLE AS df FROM post1 GROUP BY 1), " +
-      "term1 AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp1 ON dfp1.token = qtok.token CROSS JOIN st1), " +
-      "sc1 AS (SELECT query_id, post1.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-      "FROM term1 JOIN post1 ON post1.token = term1.token JOIN dl1 ON dl1.doc_id = post1.doc_id CROSS JOIN st1 " +
-      "WHERE post1.doc_id % 5 != 2 GROUP BY 1, 2), " +
-      "rk1 AS (SELECT 'masked' AS phase, query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc1), " +
-      // healed phase: the live corpus only
-      "tk2 AS (SELECT * FROM tk WHERE doc_id % 5 != 2), " +
-      "dl2 AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk2), " +
-      "post2 AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk2) GROUP BY 1, 2), " +
-      "st2 AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl2), " +
-      "dfp2 AS (SELECT token, count(*)::DOUBLE AS df FROM post2 GROUP BY 1), " +
-      "term2 AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp2 ON dfp2.token = qtok.token CROSS JOIN st2), " +
-      "sc2 AS (SELECT query_id, post2.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-      "FROM term2 JOIN post2 ON post2.token = term2.token JOIN dl2 ON dl2.doc_id = post2.doc_id CROSS JOIN st2 GROUP BY 1, 2), " +
-      "rk2 AS (SELECT 'healed' AS phase, query_id, doc_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc2) " +
-      "SELECT phase, query_id, doc_id, CAST(rnk AS INTEGER) AS \"rank\", score FROM (SELECT * FROM rk1 UNION ALL SELECT * FROM rk2) " +
-      "WHERE rnk <= 5 ORDER BY phase, query_id, \"rank\"")
-
-  /** Shared by join_asof and its streaming enrichment twin (batch ≡
-    * stream by construction — per-row verdicts are pure functions of
-    * (row, static right side)). */
-  private val asofOracle: String =
-    ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, " +
-        "epoch_us(r.ts) AS view_us, round(r.value, 3) AS view_value " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l " +
-        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r " +
-        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id")
-
-  /** Shared by dedup_incremental_store and dedup_store_compacted (r9):
-    * compaction must serve the exact same rows, so both gates pin the
-    * same DuckDB exact cross-Jaccard recomputation. */
-  private val mhStoreOracle: String =
-    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-      "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r8 incremental tail' AS text FROM docs WHERE doc_id % 5 = 0 " +
-      "UNION ALL SELECT doc_id + 2000000, 'fresh graft content ' || doc_id::VARCHAR FROM docs WHERE doc_id % 5 = 3), " +
-      "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
-      "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-      "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs), " +
-      "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-      // inverted shingle index instead of the r13 all-pairs theta-join
-      // (identical at threshold 0.8 > 0: a matching pair shares >= 1
-      // shingle; value-equality spot-verified at sf0.01, seconds at sf0.1)
-      "ea AS (SELECT doc_id, unnest(sh) AS g FROM sa), " +
-      "eb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
-      "sza AS (SELECT doc_id, len(sh) AS n FROM sa), " +
-      "szb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
-      "xi AS (SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i " +
-      "FROM ea JOIN eb ON ea.g = eb.g GROUP BY 1, 2), " +
-      "matched AS (SELECT DISTINCT id_a AS doc_id FROM xi " +
-      "JOIN sza ON sza.doc_id = xi.id_a JOIN szb ON szb.doc_id = xi.id_b " +
-      "WHERE round(i::DOUBLE / (sza.n + szb.n - i), 4) >= 0.8) " +
-      "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id")
-
-  /** Shared by dedup_fp_store and its streaming replay twin (batch ≡
-    * stream by construction — same store, same crawl batch). */
-  private val fpStoreOracle: String =
-    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "b2 AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft fp-store tail' AS text FROM docs WHERE doc_id % 5 = 1), " +
-        "b3 AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 3000000, text || ' graft fp-store tail' FROM docs WHERE doc_id % 5 = 1 " +
-        "UNION ALL SELECT doc_id + 4000000, text || ' fresh crawl content' FROM docs WHERE doc_id % 5 = 2), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM (SELECT text FROM docs UNION ALL SELECT text FROM b2)) " +
-        "SELECT doc_id FROM b3 WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
-        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id")
-
-  /** dedup_fp_retract: membership = normalized text of ALL docs MINUS the
-    * normalized text of the retracted docs (a retraction removes the
-    * FINGERPRINT, so any doc sharing the normalized text is uncovered
-    * with it). The re-crawl keeps exactly the rows whose ntext is not in
-    * the live membership. */
-  private val fpRetractOracle: String =
-    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-      "b AS (SELECT doc_id + 1000000 AS doc_id, text FROM docs), " +
-      "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs), " +
-      "retr AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs WHERE doc_id % 10 = 1), " +
-      "live AS (SELECT ntext FROM seen WHERE ntext NOT IN (SELECT ntext FROM retr)) " +
-      "SELECT doc_id FROM b WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
-      "NOT IN (SELECT ntext FROM live) ORDER BY doc_id")
-
-  /** dedup_store_retract: exact 3-shingle Jaccard >= 0.8 of the re-crawl
-    * batch vs the LIVE corpus only (retracted docs excluded) — the same
-    * inverted-shingle-index derivation as mhStoreOracle. */
-  private val mhRetractOracle: String =
-    ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-      "inc AS (SELECT doc_id + 1000000 AS doc_id, text || ' graft r14 retract tail' AS text FROM docs WHERE doc_id % 5 = 0), " +
-      "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 10 != 0), " +
-      "ta AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inc), " +
-      "sa AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-      "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
-      "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-      "ea AS (SELECT doc_id, unnest(sh) AS g FROM sa), " +
-      "eb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
-      "sza AS (SELECT doc_id, len(sh) AS n FROM sa), " +
-      "szb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
-      "xi AS (SELECT ea.doc_id AS id_a, eb.doc_id AS id_b, count(*) AS i " +
-      "FROM ea JOIN eb ON ea.g = eb.g GROUP BY 1, 2), " +
-      "matched AS (SELECT DISTINCT id_a AS doc_id FROM xi " +
-      "JOIN sza ON sza.doc_id = xi.id_a JOIN szb ON szb.doc_id = xi.id_b " +
-      "WHERE round(i::DOUBLE / (sza.n + szb.n - i), 4) >= 0.8) " +
-      "SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM matched) ORDER BY doc_id")
-
-  /** Shared by drift_psi and its profile-persistence twin (the serve path
-    * is hash-identical to the direct computation by construction). */
-  private val driftKsOracle: String =
-    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
-        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
-        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
-        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
-        "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-        "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
-        "g AS (SELECT bin, rc, cc, abs(rc - cc) AS gap FROM c) " +
-        "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(max(gap) OVER (), 6) AS ks_stat FROM g ORDER BY bin")
-
-  /** drift_w1: the driftKsOracle pipeline + interior-edge-gap widths and
-    * the integrated |CDF gap| (left-endpoint rule), matching
-    * Drift.wasserstein1's grid estimate bin-for-bin. */
-  private val driftW1Oracle: String =
-    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]), e -> round(e, 6)) AS es FROM lineitem), " +
-      "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
-      "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
-      "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS rf FROM refb GROUP BY bin), " +
-      "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cf FROM curb GROUP BY bin), " +
-      "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 20) t(i)), " +
-      "j AS (SELECT bin, coalesce(rf, 0) AS rf, coalesce(cf, 0) AS cf FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-      "c AS (SELECT bin, sum(rf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rc, sum(cf) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cc FROM j), " +
-      "w AS (SELECT bin, rc, cc, abs(rc - cc) AS gap, CASE WHEN bin <= 17 THEN (SELECT es FROM edges)[bin + 2] - (SELECT es FROM edges)[bin + 1] ELSE 0 END AS width FROM c) " +
-      "SELECT bin, round(rc, 6) AS ref_cum, round(cc, 6) AS cur_cum, round(gap, 6) AS gap, round(width, 6) AS width, round(sum(gap * width) OVER (), 4) AS w1_stat FROM w ORDER BY bin")
-
-  private val driftPsiOracle: String =
-    ("WITH edges AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es FROM lineitem), " +
-      "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
-      "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_returnflag = 'A'), " +
-      "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
-      "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
-      "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 10) t(i)), " +
-      "j AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-      "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-      "k AS (SELECT bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
-      "SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
-      "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY bin")
-
-  private val driftPsiCategoricalOracle: String =
-    ("WITH cat AS (SELECT coalesce(lang, '__null__') AS c, doc_id FROM documents), " +
-      "top3 AS (SELECT c AS cell FROM (SELECT c, count(*) AS n FROM cat GROUP BY c ORDER BY n DESC, c LIMIT 3)), " +
-      "refx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat), " +
-      "curx AS (SELECT CASE WHEN c IN (SELECT cell FROM top3) THEN c ELSE '__other__' END AS cell FROM cat WHERE doc_id % 2 = 0), " +
-      "refc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM refx) AS ref_frac FROM refx GROUP BY cell), " +
-      "curc AS (SELECT cell, count(*)::DOUBLE / (SELECT count(*) FROM curx) AS cur_frac FROM curx GROUP BY cell), " +
-      "cells AS (SELECT cell FROM top3 UNION ALL SELECT '__other__'), " +
-      "j AS (SELECT cell, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-      "FROM cells LEFT JOIN refc USING (cell) LEFT JOIN curc USING (cell)), " +
-      "k AS (SELECT cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j) " +
-      "SELECT cell, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac, psi_contrib, " +
-      "(SELECT round(sum(psi_contrib), 6) FROM k) AS psi_total FROM k ORDER BY cell")
-
-  /** Unrolled Morton-interleave SQL mirroring ZOrder.interleave: bit i of
-    * column j lands at position i*n + j. */
-  private def zInterleaveSql(cols: Seq[String], bits: Int): String =
-    (for { (c, j) <- cols.zipWithIndex; i <- 0 until bits }
-      yield s"((($c >> $i) & 1) << ${i * cols.size + j})").mkString(" | ")
-
-  def oracleSql: Map[String, String] = Map(
-    // the reference's own YAML_SCHEMA fixture, parsed live: 7 columns,
-    // dtype mapping per SchemaIO (timedelta64[ns] → day-time interval,
-    // no-dtype column → none), pandera constructor defaults for
-    // nullable/required, and the recognized flat check keys per column
-    "io_pandera_fixture" ->
-      ("SELECT * FROM (VALUES " +
-        "('datetime_column', 'datetime64[ns]', false, true, CAST(2 AS BIGINT)), " +
-        "('float_column', 'float64', false, true, CAST(3 AS BIGINT)), " +
-        "('int_column', 'int64', false, true, CAST(3 AS BIGINT)), " +
-        "('notype_column', 'none', false, true, CAST(1 AS BIGINT)), " +
-        "('optional_props_column', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('str_column', 'str', false, true, CAST(2 AS BIGINT)), " +
-        "('timedelta_column', 'interval day to second', false, true, CAST(2 AS BIGINT))) " +
-        "v(col_name, dtype_name, nullable, required, n_checks) ORDER BY col_name"),
-    "io_frictionless" ->
-      ("SELECT * FROM (VALUES " +
-        "('date_col', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('float_col', 'float64', false, false, CAST(1 AS BIGINT)), " +
-        "('float_col_2', 'float64', true, false, CAST(0 AS BIGINT)), " +
-        "('integer_col', 'int64', false, true, CAST(1 AS BIGINT)), " +
-        "('integer_col_2', 'int64', true, false, CAST(1 AS BIGINT)), " +
-        "('string_col', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('string_col_2', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('string_col_3', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('string_col_4', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('zz_validation', 'errors', false, false, CAST(0 AS BIGINT))) " +
-        "v(col_name, dtype_name, nullable, unique_flag, n_checks) ORDER BY col_name"),
-    "io_pandera_pyspark_fixture" ->
-      ("SELECT * FROM (VALUES " +
-        "('o_custkey', 'int64', false, true, CAST(0 AS BIGINT)), " +
-        "('o_comment', 'str', true, false, CAST(1 AS BIGINT)), " +
-        "('o_orderdate', 'datetime64[ns]', false, true, CAST(0 AS BIGINT)), " +
-        "('o_orderkey', 'int64', false, true, CAST(1 AS BIGINT)), " +
-        "('o_orderpriority', 'str', false, true, CAST(1 AS BIGINT)), " +
-        "('o_orderstatus', 'str', false, true, CAST(1 AS BIGINT)), " +
-        "('o_totalprice', 'float64', false, true, CAST(1 AS BIGINT)), " +
-        "('zz_validation', 'errors', false, true, CAST(0 AS BIGINT))) " +
-        "v(col_name, dtype_name, nullable, required, n_checks) ORDER BY col_name"),
-    "io_csv_quarantine" ->
-      ("SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_good, " +
-        "CAST(2 AS BIGINT) AS n_bad, " +
-        "CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT) AS key_sum, " +
-        "(SELECT round(sum(o_totalprice), 3) FROM orders) AS price_sum"),
-    "model_store_roundtrip" ->
-      ("SELECT * FROM (VALUES ('bpe_merges', 8, true), " +
-        "('classifier_weights', 257, true)) " +
-        "v(artifact, n_items, roundtrip_exact) ORDER BY artifact"),
-    "agg_salted" ->
-      ("SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, " +
-        "CAST(count(*) AS BIGINT) AS n_rows, " +
-        "round(avg(l_extendedprice), 3) AS avg_price, " +
-        "min(l_discount) AS min_disc, max(l_discount) AS max_disc " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // plain join in DuckDB — the salted plan's hot-key replication must
-    // change nothing about the result
-    "join_salted" ->
-      ("SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_items, " +
-        "round(sum(l_quantity), 3) AS sum_qty " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY 1 ORDER BY 1"),
-    // plain RIGHT/FULL joins in DuckDB — the salted composition
-    // (salted core ∪ anti-derived null-extended leg) must change nothing
-    "join_salted_right" ->
-      ("SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(o_orderkey) AS BIGINT) AS n_matched, " +
-        "CAST(sum(floor(coalesce(o_totalprice, 0.0))) AS BIGINT) AS price_sum " +
-        "FROM (SELECT * FROM orders WHERE o_custkey % 3 <> 0) o " +
-        "RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c " +
-        "ON o_custkey = c_custkey " +
-        "GROUP BY 1 ORDER BY 1"),
-    "join_salted_full" ->
-      ("SELECT CASE WHEN c_custkey IS NULL THEN 'order_only' " +
-        "WHEN o_orderkey IS NULL THEN 'customer_only' " +
-        "ELSE 'matched' END AS leg, " +
-        "CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(sum(floor(coalesce(o_totalprice, 0.0))) AS BIGINT) AS price_sum, " +
-        "CAST(sum(floor(coalesce(c_acctbal, 0.0))) AS BIGINT) AS bal_sum " +
-        "FROM (SELECT * FROM orders WHERE o_custkey % 3 <> 0) o " +
-        "FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c " +
-        "ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
-    "events_funnel" ->
-      ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
-        "WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +
-        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
-        "WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id), " +
-        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id " +
-        "WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id) " +
-        "SELECT * FROM (" +
-        "SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s1) AS n_users " +
-        "UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2) " +
-        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) ORDER BY step"),
-    "events_rolling" ->
-      ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, " +
-        "CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
-        "round(sum(value) OVER w, 3) AS sum_1h FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
-        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
-        "ORDER BY event_id"),
-    "join_range" ->
-      ("SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, " +
-        "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us " +
-        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c " +
-        "ON p.user_id = c.user_id AND epoch_us(p.ts) >= epoch_us(c.ts) " +
-        "AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 " +
-        "ORDER BY purchase_id, click_id"),
-    "stream_asof" -> asofOracle,
-    "join_asof" -> asofOracle,
-    // plain join in DuckDB; the Spark side's zero-Exchange co-located plan
-    // must produce the same rows AND report join_shuffle_free = 1
-    "join_bucketed" ->
-      ("SELECT c_mktsegment AS segment, count(*) AS n_orders, " +
-       "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
-       "CAST(1 AS BIGINT) AS join_shuffle_free " +
-       "FROM orders JOIN customer ON o_custkey = c_custkey " +
-       "GROUP BY 1 ORDER BY 1"),
-    "join_interval" ->
-      ("SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS a_user " +
-        "FROM (SELECT event_id, user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'click') a " +
-        "JOIN (SELECT event_id, user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi FROM events WHERE event_type = 'view') b " +
-        "ON a.user_id = b.user_id AND a.lo <= b.hi AND b.lo <= a.hi " +
-        "ORDER BY a_id, b_id"),
-    "stats_distinct_store" ->
-      ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    "er_fuzzy_dedup" ->
-      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
-        "round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS similarity " +
-        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
-        "AND a.c_custkey < b.c_custkey " +
-        "WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.97 " +
-        "ORDER BY id_a, id_b"),
-    "layout_zorder" ->
-      ("WITH r AS (SELECT l_orderkey, l_linenumber, " +
-        "CAST(floor((least(greatest(CAST(l_quantity AS BIGINT), 1), 50) - 1) * 1023 / 49) AS BIGINT) AS r1, " +
-        "CAST(floor((least(greatest(l_partkey, 0), 1048576) - 0) * 1023 / 1048576) AS BIGINT) AS r2, " +
-        "(l_partkey % 1024) AS x, (l_suppkey % 1024) AS y FROM lineitem) " +
-        "SELECT l_orderkey, l_linenumber, " +
-        s"CAST(${zInterleaveSql(Seq("x", "y"), 10)} AS BIGINT) AS zval, " +
-        s"CAST(${zInterleaveSql(Seq("r1", "r2"), 10)} AS BIGINT) AS zrank " +
-        "FROM r ORDER BY l_orderkey, l_linenumber"),
-    // Golden pins for the three approximate operators: the pipelines are
-    // fully deterministic (seeded xxhash64 signatures, seeded k-means,
-    // ties broken by corpus id, k-heap with a total order), so the exact
-    // result at each gate scale is a constant — pinned per SF (probed by
-    // lineitem row count), recall-vs-brute additionally asserted in ExtSpec.
-    "dedup_simhash" ->
-      ("SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS INTEGER) AS hamming FROM (" +
-        "SELECT * FROM (VALUES (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1), (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0), (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0), (387, 457, 3), (474, 498, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (7, 1433, 3), (7, 3918, 3), (7, 4902, 3), (11, 4686, 1), (12, 2339, 3), (12, 4381, 3), (17, 3383, 2), (19, 3587, 3), (22, 4596, 3), (26, 66, 3), (26, 67, 3), (26, 135, 2), (26, 3948, 2), (28, 3006, 3), (36, 1874, 3), (36, 4049, 3), (37, 3162, 2), (38, 2616, 2), (43, 4274, 3), (48, 3900, 1), (48, 4865, 3), (63, 2932, 2), (66, 135, 3), (66, 190, 3), (66, 494, 3), (67, 135, 3), (67, 190, 3), (67, 816, 3), (67, 1626, 3), (67, 2339, 3), (67, 3948, 3), (68, 1356, 3), (71, 3739, 3), (72, 4099, 1), (74, 951, 3), (87, 4037, 3), (98, 954, 2), (110, 3197, 3), (117, 2599, 3), (117, 4667, 3), (118, 1861, 3), (122, 3839, 3), (126, 1282, 1), (127, 550, 3), (128, 2773, 2), (137, 3901, 3), (139, 3540, 3), (141, 492, 3), (141, 1265, 3), (141, 1731, 3), (141, 3288, 3), (141, 4068, 1), (143, 1805, 2), (143, 4596, 3), (160, 1389, 2), (170, 3680, 3), (173, 1432, 3), (175, 3839, 3), (179, 2523, 0), (182, 4013, 2), (190, 3589, 3), (216, 3049, 1), (216, 4285, 3), (221, 4344, 2), (233, 351, 3), (235, 2135, 2), (235, 2423, 3), (239, 574, 3), (243, 1401, 3), (246, 491, 0), (247, 3576, 3), (248, 1273, 2), (254, 630, 3), (254, 3460, 1), (257, 2307, 1), (268, 2542, 0), (282, 443, 2), (292, 2301, 3), (297, 2624, 1), (301, 2567, 3), (306, 3259, 3), (307, 4756, 0), (333, 1749, 3), (339, 2714, 3), (340, 459, 2), (340, 1626, 3), (340, 2880, 3), (353, 2673, 3), (353, 3117, 3), (353, 4093, 3), (364, 404, 3), (373, 1395, 3), (379, 771, 3), (381, 2978, 2), (384, 1682, 2), (393, 3644, 3), (421, 2350, 3), (425, 1071, 1), (455, 933, 2), (455, 4017, 1), (459, 4223, 3), (472, 2689, 1), (475, 1086, 2), (475, 3392, 3), (475, 4381, 3), (479, 4932, 3), (517, 1433, 3), (517, 3733, 3), (517, 4327, 3), (529, 2433, 3), (533, 3081, 3), (540, 630, 1), (553, 971, 3), (553, 2451, 0), (555, 1819, 1), (561, 895, 0), (562, 3875, 3), (570, 4941, 2), (610, 4092, 1), (615, 779, 2), (617, 2333, 2), (624, 4193, 3), (627, 2690, 2), (636, 1854, 3), (644, 1204, 2), (646, 1783, 0), (653, 2320, 2), (669, 1641, 0), (669, 1673, 1), (670, 3378, 1), (684, 1590, 1), (684, 2259, 3), (704, 1402, 3), (706, 1033, 2), (716, 1887, 1), (718, 1519, 3), (718, 1626, 2), (718, 3577, 3), (724, 4259, 2), (729, 1039, 2), (732, 2684, 1), (752, 1405, 3), (779, 2126, 3), (789, 2225, 1), (800, 3828, 2), (803, 1670, 1), (809, 2088, 3), (816, 2339, 2), (816, 2768, 3), (820, 3264, 3), (830, 4719, 0), (837, 3327, 3), (844, 2796, 3), (844, 3888, 3), (862, 1200, 3), (862, 1370, 3), (862, 2834, 3), (862, 3946, 3), (862, 4670, 0), (871, 1357, 3), (874, 4273, 1), (894, 2629, 3), (898, 2796, 3), (900, 4743, 3), (901, 2008, 2), (908, 4155, 1), (928, 4213, 3), (932, 2302, 2), (932, 3875, 3), (932, 4556, 0), (933, 1985, 3), (933, 4017, 3), (938, 2926, 2), (954, 1017, 3), (954, 1321, 3), (954, 1508, 3), (954, 1832, 3), (971, 2451, 3), (983, 3432, 3), (985, 1241, 3), (996, 2305, 0), (1003, 3161, 2), (1009, 2372, 3), (1013, 4541, 3), (1025, 3764, 3), (1041, 4446, 0), (1053, 1882, 2), (1053, 4677, 2), (1054, 1130, 3), (1054, 1754, 3), (1055, 1394, 3), (1062, 2317, 3), (1073, 4937, 3), (1081, 1373, 3), (1086, 1289, 3), (1086, 3929, 2), (1086, 4381, 3), (1090, 3022, 0), (1093, 4015, 3), (1101, 4438, 2), (1102, 3115, 2), (1105, 4327, 3), (1112, 2230, 3), (1113, 1582, 2), (1113, 1701, 3), (1118, 1260, 3), (1118, 2129, 3), (1130, 1432, 3), (1132, 1630, 3), (1154, 3759, 2), (1157, 4322, 3), (1165, 4437, 0), (1166, 4828, 1), (1171, 1427, 2), (1174, 1931, 3), (1177, 3387, 1), (1181, 2173, 3), (1181, 2649, 2), (1186, 3468, 3), (1200, 3946, 2), (1200, 4670, 3), (1205, 1609, 3), (1237, 4246, 0), (1242, 3589, 3), (1265, 3854, 3), (1265, 4068, 2), (1267, 4740, 0), (1277, 1433, 2), (1285, 2766, 0), (1285, 3946, 3), (1290, 3624, 1), (1294, 2192, 3), (1310, 3100, 3), (1316, 1817, 1), (1321, 1585, 2), (1321, 1731, 3), (1321, 2225, 3), (1321, 2567, 3), (1321, 2788, 2), (1321, 3781, 3), (1321, 4609, 3), (1321, 4899, 3), (1324, 1583, 3), (1332, 3216, 3), (1333, 1986, 3), (1340, 2834, 3), (1360, 2428, 0), (1363, 2527, 3), (1363, 3879, 3), (1363, 4245, 2), (1370, 3450, 3), (1370, 4670, 3), (1371, 2427, 3), (1381, 1680, 3), (1390, 4391, 2), (1395, 2328, 1), (1401, 2421, 3), (1401, 4163, 3), (1401, 4591, 3), (1401, 4667, 3), (1415, 2798, 1), (1416, 4812, 3), (1432, 1729, 3), (1433, 1918, 3), (1436, 1456, 3), (1440, 4016, 1), (1443, 2084, 3), (1443, 2565, 3), (1443, 4680, 3), (1445, 4724, 0), (1450, 4542, 0), (1452, 2505, 0), (1458, 3733, 3), (1477, 2521, 1), (1487, 4327, 3), (1519, 1626, 3), (1519, 3464, 3), (1519, 3861, 3), (1535, 3468, 3), (1552, 2223, 3), (1582, 1701, 3), (1582, 4520, 3), (1585, 2567, 3), (1585, 3781, 3), (1590, 2259, 2), (1600, 4650, 1), (1609, 2983, 3), (1609, 4773, 2), (1619, 2875, 0), (1634, 2562, 3), (1641, 1673, 1), (1644, 1874, 3), (1644, 2513, 3), (1644, 4245, 3), (1644, 4792, 3), (1651, 2087, 2), (1658, 1805, 3), (1668, 3243, 3), (1680, 3190, 3), (1688, 4755, 3), (1703, 2534, 3), (1727, 1805, 3), (1731, 2603, 3), (1731, 4609, 2), (1769, 2203, 0), (1772, 3510, 3), (1789, 4483, 3), (1793, 3517, 3), (1824, 1942, 1), (1824, 2221, 0), (1827, 2377, 1), (1834, 3881, 2), (1843, 4795, 2), (1845, 2099, 3), (1858, 2961, 3), (1861, 4634, 3), (1865, 4512, 3), (1874, 2768, 3), (1874, 4049, 2), (1882, 4677, 0), (1897, 3009, 2), (1900, 4153, 0), (1902, 2728, 0), (1905, 3610, 3), (1905, 3870, 2), (1905, 3950, 2), (1910, 1917, 0), (1910, 3562, 0), (1917, 3562, 0), (1918, 2230, 3), (1920, 4942, 1), (1925, 4886, 2), (1935, 3259, 3), (1942, 2221, 1), (1962, 2789, 2), (1970, 2990, 1), (1971, 3956, 3), (1981, 3973, 0), (1988, 2138, 3), (2001, 4376, 3), (2001, 4409, 2), (2004, 2918, 2), (2017, 2265, 3), (2017, 4531, 3), (2018, 3432, 3), (2019, 3038, 1), (2025, 3954, 1), (2057, 4188, 3), (2064, 4003, 2), (2084, 4915, 1), (2089, 4520, 3), (2092, 2578, 3), (2102, 2337, 3), (2106, 3781, 3), (2108, 2612, 1), (2126, 3112, 1), (2135, 4763, 3), (2159, 3269, 1), (2164, 4199, 2), (2173, 4129, 3), (2182, 3447, 2), (2183, 4031, 1), (2225, 3854, 3), (2226, 4225, 2), (2230, 2554, 3), (2241, 2794, 3), (2241, 3954, 3), (2302, 3875, 3), (2302, 4556, 2), (2343, 4030, 3), (2350, 4991, 3), (2361, 2768, 3), (2366, 3166, 2), (2420, 2771, 3), (2423, 3373, 1), (2430, 3212, 3), (2441, 4864, 3), (2460, 3224, 1), (2527, 3879, 2), (2549, 4868, 3), (2567, 3760, 3), (2567, 3854, 3), (2576, 3043, 3), (2583, 3929, 3), (2599, 2789, 3), (2599, 3620, 3), (2624, 3129, 3), (2643, 3956, 2), (2644, 4165, 1), (2672, 2689, 3), (2676, 4317, 0), (2677, 3019, 2), (2677, 3207, 3), (2677, 4181, 3), (2677, 4615, 2), (2681, 2796, 3), (2681, 2797, 3), (2687, 4065, 3), (2700, 3017, 0), (2705, 3015, 0), (2713, 3319, 2), (2714, 4563, 3), (2719, 4189, 1), (2741, 3145, 3), (2741, 4360, 3), (2766, 3946, 3), (2770, 3674, 3), (2783, 3263, 3), (2788, 4082, 3), (2788, 4899, 3), (2797, 3245, 3), (2802, 2824, 3), (2815, 3647, 3), (2821, 3290, 3), (2834, 4670, 3), (2859, 3106, 0), (2862, 3329, 2), (2863, 4095, 2), (2865, 3992, 2), (2900, 3091, 0), (2905, 3577, 3), (2913, 4034, 1), (2935, 3631, 3), (2968, 4954, 0), (2971, 3223, 2), (3003, 4936, 3), (3026, 3848, 3), (3027, 3668, 3), (3050, 3577, 3), (3055, 4751, 3), (3055, 4886, 3), (3062, 3354, 2), (3100, 3722, 3), (3120, 3190, 3), (3143, 4304, 3), (3145, 4181, 3), (3151, 3896, 1), (3152, 4771, 1), (3157, 4044, 2), (3161, 4997, 3), (3163, 3398, 1), (3171, 4634, 3), (3175, 3304, 2), (3207, 4615, 3), (3207, 4908, 3), (3223, 3409, 2), (3259, 3556, 2), (3259, 3956, 3), (3259, 4082, 2), (3266, 3345, 2), (3267, 3735, 2), (3279, 4476, 3), (3288, 3760, 3), (3290, 3450, 3), (3290, 3893, 3), (3296, 4073, 3), (3324, 4190, 3), (3346, 3402, 3), (3362, 3555, 0), (3369, 4356, 2), (3391, 4773, 3), (3398, 3446, 3), (3398, 4157, 3), (3412, 4899, 3), (3422, 4785, 2), (3427, 4969, 1), (3442, 4127, 3), (3446, 4531, 3), (3450, 4049, 3), (3464, 4726, 3), (3497, 3715, 3), (3510, 3678, 3), (3524, 3776, 2), (3532, 3646, 3), (3566, 4666, 3), (3592, 4223, 3), (3593, 4332, 3), (3596, 3968, 3), (3605, 4138, 1), (3610, 4763, 3), (3672, 3801, 3), (3702, 4390, 2), (3733, 4132, 3), (3743, 4492, 1), (3747, 4976, 0), (3751, 4545, 3), (3760, 4068, 3), (3788, 4726, 3), (3801, 4376, 3), (3854, 4068, 3), (3870, 3950, 2), (3875, 4384, 3), (3875, 4556, 3), (3875, 4596, 2), (3885, 4132, 1), (3931, 4388, 3), (3942, 4722, 2), (3946, 4670, 3), (3956, 4327, 3), (3962, 4513, 3), (3977, 4350, 2), (4048, 4181, 3), (4048, 4385, 0), (4057, 4179, 2), (4132, 4327, 3), (4146, 4430, 1), (4157, 4718, 3), (4163, 4484, 3), (4181, 4385, 3), (4269, 4303, 3), (4350, 4591, 3), (4414, 4838, 1), (4431, 4548, 3), (4460, 4487, 3), (4466, 4984, 3), (4483, 4812, 3), (4485, 4832, 2), (4488, 4922, 2), (4546, 4847, 3), (4611, 4795, 3), (4667, 4991, 1), (4703, 4903, 3), (4766, 4915, 3), (4833, 4912, 3), (4899, 4913, 3)) v(id_a, id_b, hamming) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY id_a, id_b"),
-    "text_bpe_train_64" ->
-      ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
-        "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar'), (8, 'm', 'er'), (9, 'a', 't'), (10, 'a', 'n'), (11, 'c', 'an'), (12, 's', 'can'), (13, 'c', 'o'), (14, 'co', 'lu'), (15, 'colu', 'm'), (16, 'colum', 'n'), (17, 'd', 'ow'), (18, 'in', 'dow'), (19, 'w', 'indow'), (20, 'd', 'er'), (21, 'or', 'der'), (22, 'or', 't'), (23, 's', 'ort'), (24, 'par', 't'), (25, 'u', 'p'), (26, 'a', 'g'), (27, 'ag', 'g'), (28, 'a', 'lu'), (29, 'alu', 'e'), (30, 'v', 'alue'), (31, 'in', 'e'), (32, 'l', 'ine'), (33, 'e', 'y'), (34, 'k', 'ey'), (35, 'j', 'o'), (36, 'jo', 'in'), (37, 'g', 'e'), (38, 'mer', 'ge'), (39, 'er', 'y'), (40, 'g', 'r'), (41, 'gr', 'o'), (42, 'gro', 'up'), (43, 'q', 'u'), (44, 'qu', 'ery'), (45, 'c', 't'), (46, 'ct', 'or'), (47, 'e', 'ctor'), (48, 'v', 'ector'), (49, 'a', 's'), (50, 'as', 'h'), (51, 'h', 'ash'), (52, 'l', 'ow'), (53, 's', 'low'), (54, 'a', 'm'), (55, 'e', 'am'), (56, 'r', 'eam'), (57, 'st', 'ream'), (58, 'f', 'i'), (59, 'fi', 'l'), (60, 'fil', 't'), (61, 'filt', 'er'), (62, 'a', 'st'), (63, 'f', 'ast')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'j', 'o'), (11, 'jo', 'in'), (12, 'a', 's'), (13, 'as', 'h'), (14, 'h', 'ash'), (15, 'r', 'ow'), (16, 'at', 'c'), (17, 'atc', 'h'), (18, 'b', 'atch'), (19, 'a', 'n'), (20, 'c', 'an'), (21, 's', 'can'), (22, 'c', 'o'), (23, 'c', 'u'), (24, 'co', 'lu'), (25, 'colu', 'm'), (26, 'colum', 'n'), (27, 'cu', 'st'), (28, 'cust', 'o'), (29, 'custo', 'mer'), (30, 'f', 'i'), (31, 'fi', 'l'), (32, 'fil', 't'), (33, 'filt', 'er'), (34, 'a', 'l'), (35, 'al', 'l'), (36, 'm', 'all'), (37, 's', 'mall'), (38, 'g', 'e'), (39, 'l', 'ow'), (40, 'mer', 'ge'), (41, 's', 'low'), (42, 'c', 't'), (43, 'ct', 'or'), (44, 'd', 'er'), (45, 'e', 'ctor'), (46, 'or', 'der'), (47, 'v', 'ector'), (48, 'in', 'e'), (49, 'l', 'ine'), (50, 'a', 'b'), (51, 'ab', 'l'), (52, 'abl', 'e'), (53, 'at', 'a'), (54, 'd', 'ata'), (55, 't', 'able'), (56, 'u', 'p'), (57, 'a', 'g'), (58, 'ag', 'g'), (59, 'a', 'lu'), (60, 'alu', 'e'), (61, 'v', 'alue'), (62, 'e', 'y'), (63, 'k', 'ey')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'r'), (3, 's', 't'), (4, 'o', 'w'), (5, 't', 'a'), (6, 'l', 'u'), (7, 'm', 'er'), (8, 'a', 'r'), (9, 'p', 'ar'), (10, 'u', 'p'), (11, 'par', 'k'), (12, 's', 'park'), (13, 'd', 'ow'), (14, 'in', 'dow'), (15, 'w', 'indow'), (16, 'g', 'e'), (17, 'mer', 'ge'), (18, 'b', 'l'), (19, 'bl', 'e'), (20, 'ta', 'ble'), (21, 'c', 'o'), (22, 'co', 'lu'), (23, 'colu', 'm'), (24, 'colum', 'n'), (25, 'c', 't'), (26, 'ct', 'or'), (27, 'e', 'ctor'), (28, 'v', 'ector'), (29, 'a', 'm'), (30, 'e', 'am'), (31, 'r', 'eam'), (32, 'st', 'ream'), (33, 'a', 'lu'), (34, 'alu', 'e'), (35, 'v', 'alue'), (36, 'a', 'ta'), (37, 'd', 'ata'), (38, 'a', 'l'), (39, 'al', 'l'), (40, 'm', 'all'), (41, 's', 'mall'), (42, 'j', 'o'), (43, 'jo', 'in'), (44, 'f', 'i'), (45, 'fi', 'l'), (46, 'fil', 't'), (47, 'filt', 'er'), (48, 'b', 'i'), (49, 'bi', 'g'), (50, 'g', 'r'), (51, 'gr', 'o'), (52, 'gro', 'up'), (53, 'a', 's'), (54, 'as', 'h'), (55, 'h', 'ash'), (56, 'c', 'u'), (57, 'cu', 'st'), (58, 'cust', 'o'), (59, 'custo', 'mer'), (60, 'or', 't'), (61, 's', 'ort'), (62, 'd', 'er'), (63, 'or', 'der')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY merge_rank"),
-    "text_bpe_train" ->
-      ("SELECT CAST(merge_rank AS INTEGER) AS merge_rank, CAST(lhs AS VARCHAR) AS lhs, CAST(rhs AS VARCHAR) AS rhs FROM (" +
-        "SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'o', 'r'), (2, 'i', 'n'), (3, 'o', 'w'), (4, 's', 't'), (5, 'l', 'u'), (6, 'a', 'r'), (7, 'p', 'ar')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'w'), (3, 'o', 'r'), (4, 's', 't'), (5, 'm', 'er'), (6, 'a', 't'), (7, 'l', 'u')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 'e', 'r'), (1, 'i', 'n'), (2, 'o', 'r'), (3, 's', 't'), (4, 'o', 'w'), (5, 't', 'a'), (6, 'l', 'u'), (7, 'm', 'er')) v(merge_rank, lhs, rhs) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY merge_rank"),
-    "text_bpe" ->
-      ("SELECT CAST(token AS VARCHAR) AS token, CAST(cnt AS BIGINT) AS cnt FROM (" +
-        "SELECT * FROM (VALUES ('a', 6438), ('e', 5610), ('s', 5610), ('l', 5563), ('t', 4688)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES ('a', 6286), ('l', 5531), ('s', 5481), ('e', 5441), ('o', 4645)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES ('a', 63104), ('e', 54376), ('l', 54345), ('s', 54134), ('m', 45518)) v(token, cnt) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY cnt DESC, token"),
-    "sim_text_hash_ann" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 82, 2, 0.9857), (0, 50, 3, 0.9837), (1, 1, 1, 1.0), (1, 6, 2, 0.8952), (1, 127, 3, 0.8414), (2, 2, 1, 1.0), (2, 450, 2, 0.8923), (2, 5, 3, 0.8852), (3, 3, 1, 1.0), (3, 332, 2, 0.8091), (3, 109, 3, 0.7916), (4, 4, 1, 1.0), (4, 110, 2, 0.7733), (4, 467, 3, 0.7715)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 237, 2, 0.7183), (0, 445, 3, 0.7074), (1, 1, 1, 1.0), (1, 351, 2, 0.8488), (1, 125, 3, 0.8243), (2, 2, 1, 1.0), (2, 269, 2, 0.7941), (2, 379, 3, 0.7812), (3, 3, 1, 1.0), (3, 258, 2, 0.8442), (3, 91, 3, 0.7777), (4, 4, 1, 1.0), (4, 105, 2, 0.8379), (4, 81, 3, 0.8051)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 81, 2, 0.8393), (0, 1310, 3, 0.8322), (1, 1, 1, 1.0), (1, 1264, 2, 0.8322), (1, 4549, 3, 0.7316), (2, 2, 1, 1.0), (2, 2618, 2, 0.8669), (2, 189, 3, 0.8606), (3, 3, 1, 1.0), (3, 2591, 2, 0.865), (3, 35, 3, 0.8105), (4, 4, 1, 1.0), (4, 3140, 2, 0.8568), (4, 636, 3, 0.8474)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY query_id, \"rank\""),
-    "cluster_kmeans" ->
-      ("SELECT CAST(cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n, CAST(centroid_norm AS DOUBLE) AS centroid_norm FROM (" +
-        "SELECT * FROM (VALUES (0, 80, 0.2544), (1, 67, 0.2625), (2, 63, 0.2597), (3, 55, 0.2832), (4, 52, 0.2919), (5, 62, 0.2562), (6, 61, 0.266), (7, 60, 0.2725)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 61, 0.261), (1, 70, 0.2404), (2, 76, 0.2512), (3, 64, 0.2679), (4, 64, 0.2563), (5, 59, 0.2935), (6, 49, 0.2888), (7, 57, 0.2888)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 254, 0.2228), (1, 256, 0.2327), (2, 250, 0.2228), (3, 229, 0.2214), (4, 246, 0.2249), (5, 235, 0.2254), (6, 284, 0.206), (7, 246, 0.2334)) v(cluster, n, centroid_norm) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY cluster"),
-    "dedup_semantic_kmeans" ->
-      ("SELECT CAST(vec_id AS BIGINT) AS vec_id FROM (" +
-        "SELECT * FROM (VALUES (358), (454)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (256), (287), (298), (388)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (52), (138), (369), (391), (402), (587), (594), (646), (801), (863), (867), (983), (991), (1005), (1014), (1133), (1198), (1202), (1290), (1293), (1352), (1370), (1383), (1465), (1488), (1507), (1526), (1529), (1531), (1545), (1555), (1573), (1579), (1582), (1630), (1641), (1704), (1713), (1739), (1755), (1776), (1795), (1809), (1824), (1848), (1866), (1875), (1917), (1932), (1935), (1958), (1988)) v(vec_id) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY vec_id"),
-    "text_classifier_train" ->
-      ("SELECT CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(pos AS INTEGER) AS pos, CAST(weight AS DOUBLE) AS weight, CAST(train_accuracy AS DOUBLE) AS train_accuracy FROM (" +
-        "SELECT * FROM (VALUES (1, 978, -62.682023, 1.0), (2, 1024, -13.851124, 1.0), (3, 254, 4.978852, 1.0), (4, 998, -4.233958, 1.0), (5, 581, 4.073221, 1.0), (6, 705, -3.608663, 1.0), (7, 175, 3.567947, 1.0), (8, 533, 3.561704, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (1, 978, -64.164679, 1.0), (2, 1024, -14.176952, 1.0), (3, 533, 5.529552, 1.0), (4, 693, 4.434215, 1.0), (5, 818, -4.370129, 1.0), (6, 23, -4.187551, 1.0), (7, 456, 4.022876, 1.0), (8, 499, 3.9171, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (1, 978, -66.017776, 1.0), (2, 1024, -13.94833, 1.0), (3, 533, 3.289987, 1.0), (4, 358, 3.269564, 1.0), (5, 998, -3.251086, 1.0), (6, 50, 3.174419, 1.0), (7, 945, -3.157347, 1.0), (8, 175, 3.130062, 1.0)) v(\"rank\", pos, weight, train_accuracy) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY \"rank\""),
-    "sim_ann_recall" ->
-      ("SELECT method, CAST(recall_at_5 AS DOUBLE) AS recall_at_5 FROM (" +
-        "SELECT * FROM (VALUES ('ivf', 0.88), ('ivfpq', 0.76), ('lsh', 0.96), ('pq', 0.48)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.6), ('ivfpq', 0.76), ('lsh', 1.0), ('pq', 0.56)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES ('ivf', 0.64), ('ivfpq', 0.64), ('lsh', 0.96), ('pq', 0.76)) v(method, recall_at_5) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY method"),
-    "sim_topk_ivfpq" -> ivfPqOracleSql,
-    // persisted path is hash-identical to the one-shot by construction —
-    // same golden pin (r8: train-once/encode-once/serve-many)
-    "sim_topk_ivfpq_persisted" -> ivfPqOracleSql,
-    // cell-partitioned + partition-pruned serve: also hash-identical
-    "sim_topk_ivfpq_pruned" -> ivfPqOracleSql,
-    // half-encode + append ingest serves identically to one-shot
-    "sim_topk_ivfpq_append" -> ivfPqOracleSql,
-    // migrated (re-train → re-encode v2 → atomic pointer flip) store
-    // serves hash-identically to the one-shot — same golden pin; the
-    // recall degradation/heal is required in-gate
-    "sim_ann_lifecycle" -> lifecycleOracleSql,
-    "sim_encode_stream" ->
-      "SELECT CAST(0 AS BIGINT) AS n_diff, (SELECT count(*) FROM embeddings) AS n_rows",
-    "sim_topk_pq" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 260, 4, 0.2987), (0, 73, 5, 0.2972), (1, 1, 1, 1.0), (1, 129, 2, 0.3515), (1, 376, 3, 0.3048), (1, 440, 4, 0.2993), (1, 75, 5, 0.29), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 441, 3, 0.254), (2, 309, 4, 0.2523), (2, 488, 5, 0.2386), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 278, 3, 0.2694), (3, 32, 4, 0.2281), (3, 380, 5, 0.219), (4, 4, 1, 1.0), (4, 143, 2, 0.3297), (4, 62, 3, 0.2886), (4, 472, 4, 0.2663), (4, 413, 5, 0.2539)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 423, 2, 0.2969), (0, 73, 3, 0.2954), (0, 7, 4, 0.2928), (0, 190, 5, 0.2818), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 124, 4, 0.3028), (1, 402, 5, 0.2923), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 320, 5, 0.255), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 207, 3, 0.2917), (3, 315, 4, 0.2852), (3, 463, 5, 0.2609), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 257, 4, 0.2724), (4, 384, 5, 0.2404)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1020, 2, 0.376), (0, 1033, 3, 0.296), (0, 1724, 4, 0.2852), (0, 1308, 5, 0.2681), (1, 1, 1, 1.0), (1, 1711, 2, 0.3028), (1, 514, 3, 0.299), (1, 1760, 4, 0.282), (1, 823, 5, 0.2658), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 1701, 2, 0.388), (3, 1617, 3, 0.3028), (3, 777, 4, 0.2984), (3, 100, 5, 0.2962), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 381, 3, 0.3065), (4, 1351, 4, 0.2897), (4, 1579, 5, 0.2609)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY query_id, \"rank\""),
-    "sim_topk_lsh" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 12, 4, 0.311), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 129, 4, 0.3515), (1, 209, 3, 0.3815), (1, 257, 2, 0.3918), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 62, 3, 0.29), (2, 91, 5, 0.2789), (2, 185, 4, 0.2829), (2, 443, 2, 0.3576), (3, 3, 1, 1.0), (3, 84, 4, 0.3197), (3, 205, 3, 0.3366), (3, 212, 5, 0.3197), (3, 223, 2, 0.3409), (4, 4, 1, 1.0), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124), (4, 345, 2, 0.3749)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 334, 3, 0.3627), (0, 365, 2, 0.37), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 27, 3, 0.3482), (1, 195, 5, 0.3227), (1, 386, 2, 0.3715), (1, 407, 4, 0.327), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (2, 450, 3, 0.2663), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 174, 5, 0.3035), (3, 343, 4, 0.3085), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139), (4, 496, 3, 0.3412)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 510, 5, 0.3445), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1175, 3, 0.3703), (1, 1580, 4, 0.3668), (1, 260, 5, 0.3467), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1912, 5, 0.3519), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 859, 5, 0.3628), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 1166, 3, 0.3787), (4, 76, 4, 0.3595), (4, 995, 5, 0.3589)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY query_id, \"rank\""),
-    "sim_topk_lsh_multiprobe" ->
-      ("SELECT CAST(query_id AS BIGINT) AS query_id, CAST(corpus_id AS BIGINT) AS corpus_id, CAST(\"rank\" AS INTEGER) AS \"rank\", CAST(cosine AS DOUBLE) AS cosine FROM (" +
-        "SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 17, 2, 0.3345), (0, 225, 3, 0.3151), (0, 12, 4, 0.311), (0, 483, 5, 0.3005), (1, 1, 1, 1.0), (1, 257, 2, 0.3918), (1, 209, 3, 0.3815), (1, 129, 4, 0.3515), (1, 376, 5, 0.3048), (2, 2, 1, 1.0), (2, 443, 2, 0.3576), (2, 62, 3, 0.29), (2, 246, 4, 0.2898), (2, 185, 5, 0.2829), (3, 3, 1, 1.0), (3, 223, 2, 0.3409), (3, 205, 3, 0.3366), (3, 84, 4, 0.3197), (3, 212, 5, 0.3197), (4, 4, 1, 1.0), (4, 345, 2, 0.3749), (4, 98, 3, 0.3398), (4, 143, 4, 0.3297), (4, 343, 5, 0.3124)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 365, 2, 0.37), (0, 334, 3, 0.3627), (0, 387, 4, 0.3311), (0, 423, 5, 0.2969), (1, 1, 1, 1.0), (1, 386, 2, 0.3715), (1, 27, 3, 0.3482), (1, 407, 4, 0.327), (1, 195, 5, 0.3227), (2, 2, 1, 1.0), (2, 117, 2, 0.3181), (2, 450, 3, 0.2663), (2, 145, 4, 0.2635), (2, 188, 5, 0.2633), (3, 3, 1, 1.0), (3, 130, 2, 0.3999), (3, 149, 3, 0.3299), (3, 343, 4, 0.3085), (3, 174, 5, 0.3035), (4, 4, 1, 1.0), (4, 114, 2, 0.3985), (4, 496, 3, 0.3412), (4, 408, 4, 0.3228), (4, 482, 5, 0.3139)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 510, 5, 0.3445), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1175, 3, 0.3703), (1, 1580, 4, 0.3668), (1, 260, 5, 0.3467), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 337, 4, 0.3574), (2, 1053, 5, 0.356), (3, 3, 1, 1.0), (3, 263, 2, 0.398), (3, 1701, 3, 0.388), (3, 720, 4, 0.3656), (3, 859, 5, 0.3628), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 1166, 3, 0.3787), (4, 76, 4, 0.3595), (4, 995, 5, 0.3589)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY query_id, \"rank\""),
-    "sim_topk_ivf" -> ivfOracleSql,
-    "sim_topk_ivf_pruned" -> ivfOracleSql,
-    "chk_equal_to" ->
-      "SELECT 'equal_to' AS check_name, count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT (l_linestatus = 'F')) AS failure_count FROM lineitem",
-    "chk_not_equal_to" ->
-      "SELECT 'not_equal_to' AS check_name, count(*) FILTER (WHERE l_returnflag IS NOT NULL AND NOT (l_returnflag <> 'N')) AS failure_count FROM lineitem",
-    "chk_greater_than" ->
-      "SELECT 'greater_than' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity > 10.0)) AS failure_count FROM lineitem",
-    "chk_greater_than_or_equal_to" ->
-      "SELECT 'ge' AS check_name, count(*) FILTER (WHERE l_extendedprice IS NOT NULL AND NOT (l_extendedprice >= 0.0)) AS failure_count FROM lineitem",
-    "chk_less_than" ->
-      "SELECT 'less_than' AS check_name, count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount < 0.05)) AS failure_count FROM lineitem",
-    "chk_less_than_or_equal_to" ->
-      "SELECT 'le' AS check_name, count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS failure_count FROM lineitem",
-    "chk_in_range" ->
-      "SELECT 'in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
-    "chk_isin" ->
-      "SELECT 'isin' AS check_name, count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','R')) AS failure_count FROM lineitem",
-    "chk_notin" ->
-      "SELECT 'notin' AS check_name, count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus IN ('P')) AS failure_count FROM orders",
-    "chk_str_matches" ->
-      "SELECT 'str_matches' AS check_name, count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS failure_count FROM orders",
-    "chk_str_contains" ->
-      "SELECT 'str_contains' AS check_name, count(*) FILTER (WHERE p_type IS NOT NULL AND NOT regexp_matches(p_type, 'ECO')) AS failure_count FROM part",
-    "chk_str_startswith" ->
-      "SELECT 'str_startswith' AS check_name, count(*) FILTER (WHERE c_name IS NOT NULL AND NOT starts_with(c_name, 'Customer#')) AS failure_count FROM customer",
-    "chk_str_endswith" ->
-      "SELECT 'str_endswith' AS check_name, count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT ends_with(o_orderpriority, 'URGENT')) AS failure_count FROM orders",
-    "chk_str_length" ->
-      "SELECT 'str_length' AS check_name, count(*) FILTER (WHERE p_name IS NOT NULL AND NOT (length(p_name) >= 5 AND length(p_name) <= 15)) AS failure_count FROM part",
-    "chk_unique_values_eq" ->
-      "SELECT 'unique_values_eq' AS check_name, CAST(CASE WHEN (SELECT count(DISTINCT r_name) FROM region WHERE r_name IN ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST')) = 5 AND (SELECT count(*) FROM region WHERE r_name IS NOT NULL AND r_name NOT IN ('AFRICA','AMERICA','ASIA','EUROPE','MIDDLE EAST')) = 0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
-    "chk_element_wise" ->
-      "SELECT 'element_wise' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity = floor(l_quantity))) AS failure_count FROM lineitem",
-    "core_nullable" ->
-      "SELECT 'not_nullable' AS check_name, count(*) FILTER (WHERE value IS NULL) AS failure_count FROM events",
-    "io_validated_read" ->
-      "SELECT 'io_validated_read' AS check_name, CAST(count(*) FILTER (WHERE l_orderkey IS NULL) + count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS BIGINT) AS failure_count FROM lineitem",
-    "core_field_unique" ->
-      "SELECT 'field_uniqueness' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count",
-    "core_table_unique" ->
-      "SELECT 'multiple_fields_uniqueness' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count",
-    "core_coerce_failures" ->
-      "SELECT 'coerce_dtype' AS check_name, count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND TRY_CAST(o_orderstatus AS INTEGER) IS NULL) AS failure_count FROM orders",
-    "core_coerce_cast" ->
-      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
-    "core_strict_filter" ->
-      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
-    "core_add_missing" ->
-      "SELECT o_orderkey, CAST(1.5 AS DOUBLE) AS o_bonus FROM orders ORDER BY o_orderkey",
-    "core_drop_invalid" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem WHERE (l_quantity IS NULL OR (l_quantity >= 5.0 AND l_quantity <= 45.0)) AND (l_tax IS NULL OR l_tax <= 0.05) ORDER BY l_orderkey, l_linenumber",
-    "core_wide_check" ->
-      "SELECT 'price_ge_qty' AS check_name, count(*) FILTER (WHERE NOT COALESCE(l_extendedprice >= l_quantity, TRUE)) AS failure_count FROM lineitem",
-    "core_groupby_check" ->
-      "SELECT 'mean_qty_by_flag_gt5' AS check_name, CAST(CASE WHEN (SELECT min(m) FROM (SELECT avg(l_quantity) AS m FROM lineitem GROUP BY l_returnflag) t) > 5.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
-    "core_groupby_highcard" ->
-      "SELECT 'lines_per_order_le10' AS check_name, CAST(CASE WHEN (SELECT max(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t) <= 10 THEN 0 ELSE 1 END AS BIGINT) AS failure_count",
-    "chk_isin_large" ->
-      "SELECT 'isin_large_violations' AS check_name, count(*) FILTER (WHERE l_partkey IS NOT NULL AND NOT (l_partkey % 2 = 0 AND l_partkey >= 0 AND l_partkey < 200000)) AS failure_count FROM lineitem",
-    // one-sample t: engine decision (stat>0 and p/2<alpha) coincides with
-    // t >> t_crit on this data (t is in the hundreds); oracle checks the
-    // same decision via the t statistic computed in SQL.
-    "hyp_one_sample_ttest" ->
-      "SELECT 'one_sample_ttest' AS check_name, CAST(CASE WHEN (avg(l_quantity) - 1.0) / (stddev_samp(l_quantity) / sqrt(count(l_quantity))) > 10.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem WHERE l_quantity IS NOT NULL",
-    // two-sample Welch t between identically-distributed groups: decision
-    // Equal(alpha=1e-9) passes iff |t| below ~6.1; data keeps |t| < 3.
-    "hyp_two_sample_ttest" ->
-      "SELECT 'two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
-    // same Welch decision as hyp_two_sample_ttest — the registry gate only
-    // changes HOW the check is constructed (by name, via a YAML round-trip)
-    "hyp_registered_yaml" ->
-      "SELECT 'registered_two_sample_ttest' AS check_name, CAST(CASE WHEN abs((m1 - m2) / sqrt(v1/n1 + v2/n2)) <= 6.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM (SELECT avg(l_quantity) FILTER (WHERE l_linestatus='O') AS m1, var_samp(l_quantity) FILTER (WHERE l_linestatus='O') AS v1, count(*) FILTER (WHERE l_linestatus='O') AS n1, avg(l_quantity) FILTER (WHERE l_linestatus='F') AS m2, var_samp(l_quantity) FILTER (WHERE l_linestatus='F') AS v2, count(*) FILTER (WHERE l_linestatus='F') AS n2 FROM lineitem WHERE l_quantity IS NOT NULL) t",
-    // same Custom(stat < 1000) decision recomputed from the SQL statistic —
-    // the oracle tracks the data's actual fit, so the gate is SF-robust
-    "hyp_chi_square_gof" ->
-      ("SELECT 'chi_square_gof' AS check_name, CAST(CASE WHEN chi2 < 1000.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM " +
-        "(SELECT (oa - n * 0.25) * (oa - n * 0.25) / (n * 0.25) + (onn - n * 0.5) * (onn - n * 0.5) / (n * 0.5) + (orr - n * 0.25) * (orr - n * 0.25) / (n * 0.25) AS chi2 FROM " +
-        "(SELECT CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS oa, " +
-        "CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS onn, " +
-        "CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS orr, " +
-        "CAST(count(*) AS DOUBLE) AS n FROM lineitem WHERE l_returnflag IS NOT NULL) t) s"),
-    // the oracle models the operator's FULL contract including the
-    // documented loud cap: past maxSamplePerGroup=100000 values in a
-    // group, the bounded black-box form refuses and the validator
-    // records the refusal as a check failure — so at sf0.1 (groups of
-    // ~300k) both engines report failure_count=1 FOR THE SAME REASON,
-    // and below the cap both compute the real median decision. This
-    // retires the last deliberate sf0.1 offgate (r15; the r14 artifact
-    // carried it as the one documented non-match).
-    "hyp_custom_grouped" ->
-      ("SELECT 'median_diff_le2' AS check_name, CAST(CASE " +
-        "WHEN (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM lineitem WHERE l_linestatus IN ('O','F') AND l_quantity IS NOT NULL GROUP BY l_linestatus) t) > 100000 THEN 1 " +
-        "WHEN abs((SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'O' AND l_quantity IS NOT NULL) - (SELECT median(l_quantity) FROM lineitem WHERE l_linestatus = 'F' AND l_quantity IS NOT NULL)) <= 2.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count"),
-    // the deterministic sampled variant: the kept set is re-derived from
-    // the same md5(key,seed) bottom-400 draw (ties break on the key's
-    // string form, mirroring the k-heap's (key,value)-struct tiebreak),
-    // then the sampled medians and the decision are recomputed exactly —
-    // both engines see the identical kept multiset of doubles
-    "hyp_custom_grouped_sampled" ->
-      ("WITH k AS (SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v, " +
-        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY " +
-        "('0x' || substr(md5(o_orderkey::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, " +
-        "o_orderkey::VARCHAR) AS rn FROM orders " +
-        "WHERE o_orderstatus IN ('O','F') AND o_totalprice IS NOT NULL), " +
-        "m AS (SELECT median(CASE WHEN grp = 'O' THEN v END) AS mo, " +
-        "median(CASE WHEN grp = 'F' THEN v END) AS mf FROM k WHERE rn <= 400) " +
-        "SELECT 'median_diff_sampled' AS check_name, " +
-        "CAST(CASE WHEN abs(mo - mf) <= 20000.0 THEN 0 ELSE 1 END AS BIGINT) " +
-        "AS failure_count FROM m"),
-    "hyp_group_stats" ->
-      "SELECT l_linestatus AS grp, count(*) AS n, round(avg(l_quantity), 3) AS mean_q FROM lineitem WHERE l_linestatus IN ('O','F') GROUP BY l_linestatus ORDER BY grp",
-    // identical textbook chi-squared-independence formula, cell counts are
-    // exact integers; dv*dv (not pow) on both sides so every per-cell term
-    // is correctly rounded identically
-    "hyp_chi_square" ->
-      ("WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(count(*) AS DOUBLE) AS c FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1, 2), " +
-       "rt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1), " +
-       "ct AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1), " +
-       "tot AS (SELECT sum(c) AS n, CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS DOUBLE) AS dof FROM cells), " +
-       "terms AS (SELECT (coalesce(cells.c, 0) - rt.ra * ct.cb / tot.n) AS dv, rt.ra * ct.cb / tot.n AS e, tot.dof AS dof, tot.n AS n FROM rt CROSS JOIN ct CROSS JOIN tot LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b) " +
-       "SELECT 'chi_square_independence' AS test_name, round(sum(dv * dv / e), 4) AS chi2, any_value(dof) AS dof, any_value(n) AS n FROM terms"),
-    // Mann-Whitney U over the per-distinct-value histogram: counts are
-    // exact integers and midranks exact halves, so U / z are bit-identical
-    // across engines at any summation order (z's divides and sqrt are
-    // correctly rounded on identical inputs)
-    "hyp_mann_whitney" ->
-      ("WITH h AS (SELECT CAST(l_quantity AS DOUBLE) AS v, CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS n1, CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS n2 FROM lineitem WHERE l_linestatus IN ('O','F') AND l_quantity IS NOT NULL GROUP BY 1), " +
-       "r AS (SELECT n1, n2, n1 + n2 AS t, coalesce(sum(n1 + n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM h), " +
-       "s AS (SELECT sum(n1) AS bn1, sum(n2) AS bn2, sum(n1 * (cum + (t + 1) / 2)) AS r1, sum(t * t * t - t) AS t3, sum(t) AS nn FROM r) " +
-       "SELECT 'mann_whitney_u' AS test_name, round(r1 - bn1 * (bn1 + 1) / 2, 4) AS u1, round((r1 - bn1 * (bn1 + 1) / 2 - bn1 * bn2 / 2) / sqrt(bn1 * bn2 / 12 * ((nn + 1) - t3 / (nn * (nn - 1)))), 6) AS z, CAST(bn1 AS BIGINT) AS n1, CAST(bn2 AS BIGINT) AS n2 FROM s"),
-    "hyp_ks_two_sample" ->
-      ("WITH h AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS n1, CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS n2 FROM lineitem WHERE l_returnflag IN ('A','N') AND l_extendedprice IS NOT NULL GROUP BY 1), " +
-       "r AS (SELECT sum(n1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1, sum(n2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, sum(n1) OVER () AS t1, sum(n2) OVER () AS t2 FROM h) " +
-       "SELECT 'ks_two_sample' AS test_name, round(max(abs(c1 / t1 - c2 / t2)), 6) AS d, CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2 FROM r"),
-    "infer_stats" ->
-      ("SELECT * FROM (" +
-        "SELECT 'l_discount' AS \"column\", count(*) FILTER (WHERE l_discount IS NULL) AS nulls, CAST(min(l_discount) AS DOUBLE) AS min_v, CAST(max(l_discount) AS DOUBLE) AS max_v FROM lineitem UNION ALL " +
-        "SELECT 'l_extendedprice', count(*) FILTER (WHERE l_extendedprice IS NULL), CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_linenumber', count(*) FILTER (WHERE l_linenumber IS NULL), CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_orderkey', count(*) FILTER (WHERE l_orderkey IS NULL), CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_partkey', count(*) FILTER (WHERE l_partkey IS NULL), CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_quantity', count(*) FILTER (WHERE l_quantity IS NULL), CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_suppkey', count(*) FILTER (WHERE l_suppkey IS NULL), CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE) FROM lineitem UNION ALL " +
-        "SELECT 'l_tax', count(*) FILTER (WHERE l_tax IS NULL), CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem" +
-        ") u ORDER BY \"column\""),
-    "infer_roundtrip" ->
-      "SELECT 'infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-
-    "io_roundtrip" ->
-      ("SELECT \"column\", dtype, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('l_orderkey','int64',0), ('l_partkey','int64',0), ('l_suppkey','int64',0), " +
-        "('l_linenumber','int32',0), ('l_quantity','float64',0), ('l_extendedprice','float64',0), " +
-        "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
-        "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
-        ") v(\"column\", dtype, fc) ORDER BY \"column\""),
-    "synth_roundtrip" ->
-      "SELECT 'synthesis_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-    // compiled-script schema's failure counts, recomputed from scratch —
-    // semantics identical to the chk_* oracles for the same checks
-    "io_script_roundtrip" ->
-      ("SELECT \"column\", check_name, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('l_orderkey', 'ge', (SELECT count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT (l_orderkey >= 1)) FROM lineitem)), " +
-        "('l_linestatus', 'notin', (SELECT count(*) FILTER (WHERE l_linestatus IS NOT NULL AND l_linestatus IN ('F')) FROM lineitem)), " +
-        "('l_quantity', 'in_range', (SELECT count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) FROM lineitem)), " +
-        "('l_returnflag', 'isin', (SELECT count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','R')) FROM lineitem))" +
-        ") v(\"column\", check_name, fc) ORDER BY \"column\""),
-    "synth_regex_roundtrip" ->
-      "SELECT 'synth_regex_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-    "synth_infer_roundtrip" ->
-      "SELECT 'synth_infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-    "synth_joint_unique" ->
-      "SELECT 'synth_joint_unique' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-
-    // ---- extension oracles ----
-    "text_token_count" ->
-      "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id",
-    "text_quality" ->
-      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) - length(regexp_replace(text, '[^0-9]', '', 'g')) - length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS BIGINT) AS n_punct FROM documents ORDER BY doc_id",
-    "text_scripts" ->
-      ("WITH p AS (SELECT doc_id, " +
-        "length(text) - length(regexp_replace(text, '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS n_latin, " +
-        "length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic, " +
-        "length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS n_cjk, " +
-        "length(text) - length(regexp_replace(text, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic FROM documents) " +
-        "SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin, CAST(n_cyrillic AS BIGINT) AS n_cyrillic, " +
-        "CAST(n_cjk AS BIGINT) AS n_cjk, CAST(n_arabic AS BIGINT) AS n_arabic, " +
-        "CASE WHEN n_latin IS NULL THEN NULL " + // null text → NULL, pinned on BOTH engines
-        "WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none' " +
-        "WHEN n_latin = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'latin' " +
-        "WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cyrillic' " +
-        "WHEN n_cjk = greatest(n_latin, n_cyrillic, n_cjk, n_arabic) THEN 'cjk' " +
-        "ELSE 'arabic' END AS script FROM p ORDER BY doc_id"),
-    "text_bm25" -> bm25OracleSql,
-    // persisted postings index serves hash-identically to the one-shot
-    // scorer by construction (r9) — same oracle
-    "text_bm25_store" -> bm25OracleSql,
-    "text_bm25_stream" -> bm25OracleSql,
-    "text_bm25_delete" -> bm25DeleteOracleSql,
-    "text_rrf" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tk), " +
-        "post AS (SELECT doc_id, token, count(*)::DOUBLE AS tf FROM (SELECT doc_id, unnest(t) AS token FROM tk) GROUP BY 1, 2), " +
-        "st AS (SELECT count(*)::DOUBLE AS n_docs, round(avg(dl), 6) AS avgdl FROM dl), " +
-        "qtok AS (SELECT DISTINCT query_id, token FROM (SELECT doc_id AS query_id, unnest(t[1:3]) AS token FROM tk WHERE doc_id % 100 = 0)), " +
-        "dfp AS (SELECT token, count(*)::DOUBLE AS df FROM post GROUP BY 1), " +
-        "term AS (SELECT query_id, qtok.token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf FROM qtok JOIN dfp ON dfp.token = qtok.token CROSS JOIN st), " +
-        "sc AS (SELECT query_id, post.doc_id, round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score " +
-        "FROM term JOIN post ON post.token = term.token JOIN dl ON dl.doc_id = post.doc_id CROSS JOIN st GROUP BY 1, 2), " +
-        "rk AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc), " +
-        "dt AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(t) AS token FROM tk)), " +
-        "ov AS (SELECT query_id, dt.doc_id, count(*) AS ov FROM dt JOIN qtok ON qtok.token = dt.token GROUP BY 1, 2), " +
-        "ovr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY ov DESC, doc_id) AS rnk FROM ov), " +
-        "u AS (SELECT query_id, doc_id, rnk FROM rk WHERE rnk <= 10 UNION ALL SELECT query_id, doc_id, rnk FROM ovr WHERE rnk <= 10), " +
-        "f AS (SELECT query_id, doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf FROM u GROUP BY 1, 2), " +
-        "fr AS (SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk2 FROM f) " +
-        "SELECT query_id, doc_id, CAST(rnk2 AS INTEGER) AS \"rank\", rrf FROM fr WHERE rnk2 <= 5 ORDER BY query_id, \"rank\""),
-    "text_langid" ->
-      ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "sc AS (SELECT len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de, " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en, " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es, " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr, " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) AS s_zh FROM t), " +
-        "p AS (SELECT CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
-        "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc) g) " +
-        "SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1"),
-    "text_fingerprint" ->
-      "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
-    "text_repetition" ->
-      ("WITH l AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls, " +
-        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents) " +
-        "SELECT doc_id, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_line_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ellipsis_frac, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks), 4) END AS mean_word_len, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS symbol_ratio " +
-        "FROM l ORDER BY doc_id"),
-    "text_top_bigram" ->
-      ("WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
-        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 " +
-        "THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END) AS gram FROM t), " +
-        "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), " +
-        "a AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM gc GROUP BY 1) " +
-        "SELECT d.doc_id, round(coalesce(a.frac, 0.0), 4) AS top_ngram_frac " +
-        "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
-    "text_vocab_topk" ->
-      ("WITH tk AS (SELECT CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
-        "tok AS (SELECT unnest(t) AS token FROM tk) " +
-        "SELECT token, count(*) AS cnt FROM tok GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
-    "text_tfidf" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
-        "tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY doc_id, token), " +
-        "tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM tf GROUP BY doc_id), " +
-        "dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY token), " +
-        "nd AS (SELECT count(*) AS nn FROM documents), " +
-        "sc AS (SELECT tf.doc_id, tf.token, round((CAST(cnt AS DOUBLE) / n) * (ln((nn + 1.0) / (dfc + 1.0)) + 1.0), 6) AS score FROM tf JOIN tot USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd), " +
-        "rk AS (SELECT doc_id, token, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc) " +
-        "SELECT doc_id, rank, token, score FROM rk WHERE rank <= 5 ORDER BY doc_id, rank"),
-    "text_heavy_hitters" ->
-      ("WITH tk AS (SELECT string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
-        "bg AS (SELECT t[i] || ' ' || t[i+1] AS bigram FROM tk, unnest(range(1, len(t))) AS u(i)), " +
-        "tot AS (SELECT count(*) AS n FROM bg), " +
-        "c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram) " +
-        "SELECT bigram, cnt FROM c CROSS JOIN tot WHERE cnt >= 0.0015 * n " +
-        "ORDER BY cnt DESC, bigram"),
-    "text_heavy_hitters_by_lang" ->
-      ("WITH tk AS (SELECT lang, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
-        "bg AS (SELECT lang, t[i] || ' ' || t[i+1] AS bigram FROM tk, unnest(range(1, len(t))) AS u(i)), " +
-        "tot AS (SELECT lang, count(*) AS n FROM bg GROUP BY lang), " +
-        "c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram) " +
-        "SELECT c.lang, bigram, cnt, n AS n_group FROM c JOIN tot USING (lang) " +
-        "WHERE cnt >= 0.002 * n ORDER BY lang, cnt DESC, bigram"),
-    "text_perplexity" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+')) AS token FROM documents WHERE len(trim(text)) > 0), " +
-        "cnts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token), " +
-        "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnts), " +
-        "vocab AS (SELECT token, cnt FROM cnts ORDER BY cnt DESC, token LIMIT 20), " +
-        "sc AS (SELECT tk.doc_id, count(*) AS n, sum(ln((coalesce(v.cnt, 0) + 0.5) / ((SELECT t FROM tot) + 0.5 * 21))) AS s " +
-        "FROM toks tk LEFT JOIN vocab v USING (token) GROUP BY tk.doc_id) " +
-        "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS BIGINT) AS n_tokens, " +
-        "round(-sc.s / sc.n, 4) AS cross_entropy, round(exp(-sc.s / sc.n), 2) AS perplexity " +
-        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"),
-    "text_ccnet_normalize" ->
-      ("SELECT doc_id, regexp_replace(strip_accents(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), " +
-        "'[0-9]', '0', 'g') AS ntext FROM documents ORDER BY doc_id"),
-    "text_kneser_ney" ->
-      ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
-        "toks AS (SELECT unnest(t) AS token FROM docs), " +
-        "vv AS (SELECT count(DISTINCT token) AS v FROM toks), " +
-        "bi0 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM docs WHERE len(t) >= 2), " +
-        "bic AS (SELECT w1, w2, count(*) AS bcnt FROM bi0 GROUP BY w1, w2 HAVING count(*) >= 2), " +
-        "dc AS (SELECT (SELECT count(*) FROM bic) + 0.5 * (v + 1) AS dc FROM vv), " +
-        "ctx AS (SELECT w1, sum(bcnt) AS ctx, count(*) AS nfol FROM bic GROUP BY w1), " +
-        "pre AS (SELECT w2, count(*) AS npre FROM bic GROUP BY w2), " +
-        "allpos AS (SELECT doc_id, NULL AS w1, t[1] AS w2 FROM docs UNION ALL SELECT doc_id, w1, w2 FROM bi0), " +
-        "sc AS (SELECT p.doc_id, CASE " +
-        "WHEN p.w1 IS NULL THEN ln((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc)) " +
-        "WHEN c.ctx IS NOT NULL THEN ln(coalesce((b.bcnt - 0.75) / c.ctx, 0) + 0.75 * c.nfol / c.ctx * ((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc))) " +
-        "ELSE ln((coalesce(pre.npre, 0) + 0.5) / (SELECT dc FROM dc)) END AS s " +
-        "FROM allpos p LEFT JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2 " +
-        "LEFT JOIN ctx c ON p.w1 = c.w1 LEFT JOIN pre ON p.w2 = pre.w2), " +
-        "agg AS (SELECT doc_id, count(*) AS n, sum(s) AS s FROM sc GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, " +
-        "round(-a.s / a.n, 4) AS cross_entropy, round(exp(-a.s / a.n), 2) AS perplexity " +
-        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
-    "text_stupid_backoff" ->
-      ("WITH docs AS (SELECT doc_id, string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t FROM documents WHERE len(trim(text)) > 0), " +
-        "toks AS (SELECT unnest(t) AS token FROM docs), " +
-        "uni AS (SELECT token, count(*) AS ucnt FROM toks GROUP BY token), " +
-        "tot AS (SELECT CAST(coalesce(sum(ucnt), 0) AS DOUBLE) + 0.5 * (count(*) + 1) AS denom FROM uni), " +
-        "bi0 AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM docs WHERE len(t) >= 2), " +
-        "bic AS (SELECT w1, w2, count(*) AS bcnt FROM bi0 GROUP BY w1, w2 HAVING count(*) >= 2), " +
-        "allpos AS (SELECT doc_id, NULL AS w1, t[1] AS w2 FROM docs UNION ALL SELECT doc_id, w1, w2 FROM bi0), " +
-        "sc AS (SELECT p.doc_id, CASE " +
-        "WHEN p.w1 IS NULL THEN ln((coalesce(u2.ucnt, 0) + 0.5) / (SELECT denom FROM tot)) " +
-        "WHEN b.bcnt IS NOT NULL THEN ln(b.bcnt / CAST(u1.ucnt AS DOUBLE)) " +
-        "ELSE ln(0.4 * (coalesce(u2.ucnt, 0) + 0.5) / (SELECT denom FROM tot)) END AS s " +
-        "FROM allpos p LEFT JOIN bic b ON p.w1 = b.w1 AND p.w2 = b.w2 " +
-        "LEFT JOIN uni u1 ON p.w1 = u1.token LEFT JOIN uni u2 ON p.w2 = u2.token), " +
-        "agg AS (SELECT doc_id, count(*) AS n, sum(s) AS s FROM sc GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens, " +
-        "round(-a.s / a.n, 4) AS cross_entropy, round(exp(-a.s / a.n), 2) AS perplexity " +
-        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
-    "text_classifier" ->
-      ("WITH w(token, wt) AS (SELECT * FROM (VALUES ('the', 0.8), ('and', 0.5), ('science', 2.0), ('data', 1.5), ('der', -1.0), ('el', -0.7), ('click', -2.0))), " +
-        "tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS t FROM documents), " +
-        "g AS (SELECT doc_id, unnest(t) AS token FROM tk), " +
-        "sums AS (SELECT g.doc_id, sum(coalesce(w.wt, 0)) AS raw, count(*) AS n FROM g LEFT JOIN w USING (token) GROUP BY g.doc_id) " +
-        "SELECT d.doc_id, round(1.0 / (1.0 + exp(-(coalesce(sums.raw / sums.n, 0.0) - 0.2))), 4) AS clf_score " +
-        "FROM documents d LEFT JOIN sums USING (doc_id) ORDER BY d.doc_id"),
-    "text_chunks" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "p AS (SELECT doc_id, t, len(t) AS n, greatest(len(t) - 31, 1) AS lastfull FROM tk WHERE len(t) > 0), " +
-        "b AS (SELECT doc_id, t, n, CASE WHEN base[-1] + 31 < n THEN list_append(base, lastfull) ELSE base END AS starts " +
-        "FROM (SELECT doc_id, t, n, lastfull, range(1, lastfull + 1, 24) AS base FROM p)), " +
-        "c AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx, CAST(starts[i] AS INTEGER) AS start_tok, " +
-        "t[starts[i]:starts[i] + 31] AS ch " +
-        "FROM b, LATERAL unnest(range(1, len(starts) + 1)) r(i)) " +
-        "SELECT doc_id, chunk_idx, start_tok, CAST(len(ch) AS INTEGER) AS n_chunk_tokens, " +
-        "md5(array_to_string(ch, ' ')) AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx"),
-    "text_url_ops" ->
-      ("WITH u AS (SELECT doc_id, CASE " +
-        "WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id || '/?utm_source=x&b=2&a=1&gclid=g#frag' " +
-        "WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example.co.uk:8080/a//b/?z=9&utm_medium=m&ref=r' " +
-        "ELSE 'https://User:pw@' || source || '.Example.com/x?fbclid=f' END AS url FROM documents), " +
-        "p AS (SELECT doc_id, " +
-        "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme, " +
-        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''), '^[^@]*@', '') AS hostport, " +
-        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS path, " +
-        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS query FROM u), " +
-        "h AS (SELECT doc_id, scheme, path, " +
-        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host, " +
-        "coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port, " +
-        "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
-        "x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&'), '') AS q FROM p), " +
-        "c AS (SELECT doc_id, host AS domain, scheme || '://' || host || " +
-        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END || " +
-        "path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_canon FROM h), " +
-        "d AS (SELECT doc_id, url_canon, domain, string_split(domain, '.') AS ls FROM c) " +
-        "SELECT doc_id, url_canon, domain, " +
-        "CASE WHEN len(ls) >= 3 AND array_to_string(ls[-2:], '.') IN ('co.uk','org.uk','gov.uk','ac.uk','co.jp','com.au','com.br','co.in','com.cn') " +
-        "THEN array_to_string(ls[-3:], '.') ELSE array_to_string(ls[-2:], '.') END AS reg_domain " +
-        "FROM d ORDER BY doc_id"),
-    "text_gopher_filter" ->
-      ("WITH t AS (SELECT doc_id, text, " +
-        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
-        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
-        "s AS (SELECT doc_id, len(toks) AS n, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS sym, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
-        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t) " +
-        "SELECT doc_id, CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
-        "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
-        "AND alpha_frac >= 0.8 AND hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
-        "FROM s ORDER BY doc_id"),
-    "text_c4_clean" ->
-      ("WITH m AS (SELECT doc_id, text || '.' || chr(10) || text || ' extra!' || chr(10) || substr(text, 1, 20) AS multi FROM documents) " +
-        "SELECT doc_id, array_to_string(list_filter(string_split(multi, chr(10)), " +
-        "x -> (ends_with(trim(x), '.') OR ends_with(trim(x), '!') OR ends_with(trim(x), '?') OR ends_with(trim(x), '\"')) " +
-        "AND len(string_split_regex(trim(x), '\\s+')) >= 3), chr(10)) AS clean_text " +
-        "FROM m ORDER BY doc_id"),
-    "text_pii_redact" ->
-      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(coalesce(text, ''), ' contact user', doc_id, '@example.com ip 10.0.', doc_id % 256, '.7 ssn 123-45-6789 tel 555-867-5309') ELSE coalesce(text, '') END AS t FROM documents) " +
-        "SELECT doc_id, " +
-        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
-        "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +
-        "CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn, " +
-        "CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone, " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
-        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'), " +
-        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
-        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted " +
-        "FROM p ORDER BY doc_id"),
-    "dedup_lines" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "ln AS (SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line " +
-        "FROM tk, LATERAL unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) r(i)), " +
-        "nb AS (SELECT * FROM ln WHERE trim(line) <> ''), " +
-        "k AS (SELECT doc_id, pos, line, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM nb) " +
-        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
-    "dedup_decontaminate" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ') ELSE array_to_string(t, ' ') END AS gram " +
-        "FROM tk, LATERAL unnest(range(1, greatest(len(t)-2, 1)+1)) r(i)), " +
-        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
-        "bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)) " +
-        "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
-    "sample_hash" ->
-      ("SELECT doc_id FROM documents " +
-        "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 < 0.25 " +
-        "ORDER BY doc_id"),
-    "sample_stratified" ->
-      ("SELECT doc_id, lang FROM documents " +
-        "WHERE ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 " +
-        "< (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 0.8 ELSE 0.5 END) " +
-        "ORDER BY doc_id"),
-    "schema_diff" ->
-      ("SELECT * FROM (VALUES ('', 'unique_key_changed', 'id', 'id+qty'), " +
-        "('added_flag', 'added', '', 'boolean'), ('old_note', 'removed', 'string', ''), " +
-        "('qty', 'dtype_changed', 'int', 'bigint'), ('qty', 'nullable_changed', 'true', 'false')) " +
-        "v(\"column\", change, from_value, to_value) ORDER BY \"column\", change"),
-    "corpus_diff" ->
-      ("WITH oldsnap AS (SELECT doc_id, text FROM documents), " +
-        "newsnap AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 " +
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0) " +
-        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
-        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
-        "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' ELSE 'changed' END AS status " +
-        "FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id ORDER BY doc_id"),
-    "outlier_mad" ->
-      ("WITH m AS (SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS med FROM orders), " +
-        "d AS (SELECT round(quantile_cont(abs(o_totalprice - (SELECT med FROM m)), 0.5), 6) AS mad FROM orders), " +
-        "b AS (SELECT round(med - 3.0 * 1.4826 * mad, 6) AS lo, round(med + 3.0 * 1.4826 * mad, 6) AS hi FROM m, d) " +
-        "SELECT (SELECT count(*) FROM orders) AS n_total, " +
-        "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
-        "lo, hi FROM b"),
-    "outlier_iqr" ->
-      ("WITH f AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3 FROM orders), " +
-        "b AS (SELECT round(q1 - 1.5 * (q3 - q1), 6) AS lo, round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM f) " +
-        "SELECT (SELECT count(*) FROM orders) AS n_total, " +
-        "CAST((SELECT count(*) FROM orders, b WHERE o_totalprice IS NOT NULL AND (o_totalprice < lo OR o_totalprice > hi)) AS BIGINT) AS n_outliers, " +
-        "lo, hi FROM b"),
-    "ledger_incremental" ->
-      // the committed ledger re-derived cell-by-cell from orders.parquet:
-      // per-partition n_rows + each check slot's failure count (the exact
-      // slot LABELS the engine builds — column:described / column:unique),
-      // n_failed over hard slots, passed = (n_failed = 0). Batch lineage
-      // follows the increments: the two b1 priorities, the rest b2.
-      ("WITH p AS (SELECT o_orderpriority AS part, " +
-        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'b1' ELSE 'b2' END AS batch, " +
-        "CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0.0)) AS BIGINT) AS f_ge, " +
-        "CAST(count(*) FILTER (WHERE NOT (len(o_orderpriority) BETWEEN 1 AND 10)) AS BIGINT) AS f_len, " +
-        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_uni " +
-        "FROM orders GROUP BY 1, 2), " +
-        "x AS (SELECT part, batch, n_rows, 'o_totalprice:greater_than_or_equal_to(0.0)' AS check_label, f_ge AS failures, f_ge + f_len + f_uni AS n_failed FROM p " +
-        "UNION ALL SELECT part, batch, n_rows, 'o_orderpriority:str_length(10, 1)', f_len, f_ge + f_len + f_uni FROM p " +
-        "UNION ALL SELECT part, batch, n_rows, 'o_orderkey:unique', f_uni, f_ge + f_len + f_uni FROM p) " +
-        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_partitions, " +
-        "(SELECT CAST(count(*) FILTER (WHERE f_ge + f_len + f_uni > 0) AS BIGINT) FROM p) AS n_failed_partitions, " +
-        "(SELECT CAST(sum(n_rows) AS BIGINT) FROM p) AS sum_rows, " +
-        "(SELECT CAST(sum(f_ge + f_len + f_uni) AS BIGINT) FROM p) AS sum_failures " +
-        "FROM x ORDER BY part, check_label"),
-    "ledger_invalidate" ->
-      // the post-revalidation ledger re-derived from the CLEAN orders —
-      // the corrupted 5-LOW verdict was invalidated and revalidated, so
-      // no corrupt cell survives; batch lineage marks the rewrite
-      ("WITH p AS (SELECT o_orderpriority AS part, " +
-        "CASE WHEN o_orderpriority = '5-LOW' THEN 'b2' ELSE 'b1' END AS batch, " +
-        "CAST(count(*) AS BIGINT) AS n_rows, " +
-        "CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0.0)) AS BIGINT) AS f_ge, " +
-        "CAST(count(*) FILTER (WHERE NOT (len(o_orderpriority) BETWEEN 1 AND 10)) AS BIGINT) AS f_len, " +
-        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS f_uni " +
-        "FROM orders GROUP BY 1, 2), " +
-        "x AS (SELECT part, batch, n_rows, 'o_totalprice:greater_than_or_equal_to(0.0)' AS check_label, f_ge AS failures, f_ge + f_len + f_uni AS n_failed FROM p " +
-        "UNION ALL SELECT part, batch, n_rows, 'o_orderpriority:str_length(10, 1)', f_len, f_ge + f_len + f_uni FROM p " +
-        "UNION ALL SELECT part, batch, n_rows, 'o_orderkey:unique', f_uni, f_ge + f_len + f_uni FROM p) " +
-        "SELECT part, batch, n_rows, check_label, failures, CAST(n_failed AS BIGINT) AS n_failed, (n_failed = 0) AS passed " +
-        "FROM x ORDER BY part, check_label"),
-    "pipeline_crawl_batch" ->
-      // the full store-backed nightly flow re-derived from the shared
-      // parquet alone: batch construction (fresh/re-crawl/near-dup/blank/
-      // corrupt) → quarantine → blank-drop → exact membership vs the
-      // historical corpus (the fingerprint store's semantics) → exact
-      // 3-shingle Jaccard ≥ 0.8 vs the historical corpus (the MinHash
-      // store's semantics) → token-count PSI of the ingested docs vs the
-      // historical 5-bin profile
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 != 1), " +
-        "ba AS (SELECT doc_id + 1000000 AS id, text, (doc_id % 30 = 1) AS corrupt FROM docs WHERE doc_id % 3 = 1), " +
-        "bb AS (SELECT doc_id + 2000000 AS id, text, false AS corrupt FROM docs WHERE doc_id % 6 = 0), " +
-        "bc AS (SELECT doc_id + 3000000 AS id, text || ' r10 crawl suffix' AS text, false AS corrupt FROM docs WHERE doc_id % 6 = 2), " +
-        "bd AS (SELECT doc_id + 4000000 AS id, '   ' AS text, false AS corrupt FROM docs WHERE doc_id % 6 = 3), " +
-        "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc UNION ALL SELECT * FROM bd), " +
-        "quarantined AS (SELECT id FROM batch WHERE corrupt), " +
-        "parsed AS (SELECT id, text FROM batch WHERE NOT corrupt), " +
-        // NULL text must land in `invalid` on BOTH engines (the Spark
-        // side's nullable=false validation marks it invalid; a bare
-        // len(trim(NULL)) predicate would drop the row from both CTEs)
-        "invalid AS (SELECT id FROM parsed WHERE text IS NULL OR len(trim(text)) = 0), " +
-        "valid AS (SELECT id, text FROM parsed WHERE text IS NOT NULL AND len(trim(text)) > 0), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
-        "exact_dup AS (SELECT id FROM valid WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
-        "surv1 AS (SELECT id, text FROM valid WHERE id NOT IN (SELECT id FROM exact_dup)), " +
-        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
-        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
-        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-        // inverted shingle index instead of the r13 all-pairs theta-join
-        // (identical at threshold 0.8 > 0; sf0.1-tractable)
-        "nea AS (SELECT id, unnest(sh) AS g FROM sa), " +
-        "neb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
-        "nsa AS (SELECT id, len(sh) AS n FROM sa), " +
-        "nsb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
-        "ni AS (SELECT nea.id, neb.doc_id, count(*) AS i " +
-        "FROM nea JOIN neb ON nea.g = neb.g GROUP BY 1, 2), " +
-        "near AS (SELECT DISTINCT ni.id FROM ni " +
-        "JOIN nsa ON nsa.id = ni.id JOIN nsb ON nsb.doc_id = ni.doc_id " +
-        "WHERE round(i::DOUBLE / (nsa.n + nsb.n - i), 4) >= 0.8), " +
-        "ingested AS (SELECT id, text FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
-        "tcr AS (SELECT (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS v FROM hist), " +
-        "tcc AS (SELECT (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS v FROM ingested), " +
-        "edges AS (SELECT list_transform(quantile_cont(v, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM tcr), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN v > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM tcr WHERE v IS NOT NULL), " +
-        "curb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN v > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM tcc WHERE v IS NOT NULL), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
-        "curc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM curb) AS cur_frac FROM curb GROUP BY bin), " +
-        "bins AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)), " +
-        "jj AS (SELECT bin, greatest(coalesce(ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cur_frac, 0), 1e-6) AS cf " +
-        "FROM bins LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)), " +
-        "kk AS (SELECT bin, round((cf - rf) * ln(cf / rf), 6) AS pc FROM jj), " +
-        // r15 takedown leg: historical docs with doc_id % 30 == 2 are
-        // retracted from all five stores mid-pipeline; the ledger's hist
-        // verdict revalidates against the LIVE hist. The re-crawl
-        // dispositions model the fingerprint store's documented contract:
-        // a retraction masks its TEXT fingerprint STORE-WIDE (the store
-        // holds fps, not per-doc refcounts), so the masked live set is
-        // the historical fps MINUS every taken-down text's fp — a
-        // normalized text shared between a taken-down and a surviving
-        // doc is masked too, and its re-crawl passes (at sf0.1 exactly
-        // one such boundary doc exists; modeling liveseen from the
-        // surviving docs alone diverges there — r15 review)
-        "takedown AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 = 2), " +
-        "histlive AS (SELECT doc_id, text FROM hist WHERE doc_id % 30 <> 2), " +
-        "tdseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM takedown), " +
-        "liveseen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM histlive " +
-        "WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) NOT IN (SELECT ntext FROM tdseen)), " +
-        "recrawl AS (SELECT doc_id + 7000000 AS id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM takedown), " +
-        "rc_pass AS (SELECT id FROM recrawl WHERE ntext NOT IN (SELECT ntext FROM liveseen)), " +
-        "rc_dup AS (SELECT id FROM recrawl WHERE ntext IN (SELECT ntext FROM liveseen)), " +
-        // r13: the validation-ledger rollup rows — per-partition n_rows and
-        // hard-failure count under the ledger schema (text_nonblank passes
-        // everywhere by construction, text_short counts len(text) > 300);
-        // hist reads the POST-takedown live partition (r15)
-        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM histlive), " +
-        "ledcur AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM ingested), " +
-        "disp AS (SELECT id AS doc_id, 'quarantined' AS status FROM quarantined " +
-        "UNION ALL SELECT id, 'invalid' FROM invalid " +
-        "UNION ALL SELECT id, 'exact_dup' FROM exact_dup " +
-        "UNION ALL SELECT id, 'near_dup' FROM near " +
-        "UNION ALL SELECT id, 'ingested' FROM ingested " +
-        "UNION ALL SELECT doc_id, 'taken_down' FROM takedown " +
-        "UNION ALL SELECT id, 'recrawl_pass' FROM rc_pass " +
-        "UNION ALL SELECT id, 'recrawl_dup' FROM rc_dup " +
-        "UNION ALL SELECT CAST(-(bin + 1) AS BIGINT), 'drift:' || printf('%.6f', pc) FROM kk " +
-        "UNION ALL SELECT CAST(-100 AS BIGINT), 'psi_total:' || printf('%.6f', (SELECT round(sum(pc), 6) FROM kk)) " +
-        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
-        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
-        "UNION ALL SELECT CAST(-300 AS BIGINT), 'takedown:ids=' || (SELECT count(*) FROM takedown) || ',fp=' || (SELECT count(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) FROM takedown)) " +
-        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
-    "pipeline_resume_batch" ->
-      // r16: the crash-resume gate's converged output re-derived from the
-      // shared parquet alone — batch construction (fresh/exact-recrawl/
-      // near-dup) → exact membership vs the historical corpus (the
-      // fingerprint store's normalized-text semantics) → exact 3-shingle
-      // Jaccard ≥ 0.8 vs the historical corpus (the MinHash store's
-      // semantics) → ledger rollups; the resume-counters row is the
-      // engine-pinned exactly-once invariant (3 redelivered appends
-      // no-opped, 1 crashed-off append landed), emitted as a literal so
-      // any redelivery misbehavior breaks the hash
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "hist AS (SELECT doc_id, text FROM docs WHERE doc_id % 3 != 1), " +
-        "mx AS (SELECT max(doc_id) + 1 AS b FROM docs), " +
-        "ba AS (SELECT doc_id + (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 3 = 1), " +
-        "bb AS (SELECT doc_id + 2 * (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 6 = 0), " +
-        "bc AS (SELECT doc_id + 3 * (SELECT b FROM mx) AS id, text || ' r16 resume suffix' AS text FROM docs WHERE doc_id % 6 = 2), " +
-        "batch AS (SELECT * FROM ba UNION ALL SELECT * FROM bb UNION ALL SELECT * FROM bc), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM hist), " +
-        "exact_dup AS (SELECT id FROM batch WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
-        "surv1 AS (SELECT id, text FROM batch WHERE id NOT IN (SELECT id FROM exact_dup)), " +
-        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
-        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM hist), " +
-        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-        "nea AS (SELECT id, unnest(sh) AS g FROM sa), " +
-        "neb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
-        "nsa AS (SELECT id, len(sh) AS n FROM sa), " +
-        "nsb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
-        "ni AS (SELECT nea.id, neb.doc_id, count(*) AS i " +
-        "FROM nea JOIN neb ON nea.g = neb.g GROUP BY 1, 2), " +
-        "near AS (SELECT DISTINCT ni.id FROM ni " +
-        "JOIN nsa ON nsa.id = ni.id JOIN nsb ON nsb.doc_id = ni.doc_id " +
-        "WHERE round(i::DOUBLE / (nsa.n + nsb.n - i), 4) >= 0.8), " +
-        "ingested AS (SELECT id, text FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
-        "ledhist AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM hist), " +
-        "ledcur AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM ingested), " +
-        "disp AS (SELECT id AS doc_id, 'exact_dup' AS status FROM exact_dup " +
-        "UNION ALL SELECT id, 'near_dup' FROM near " +
-        "UNION ALL SELECT id, 'ingested' FROM ingested " +
-        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledhist " +
-        "UNION ALL SELECT CAST(-201 AS BIGINT), 'ledger:night1:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM ledcur " +
-        "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,appends=1') " +
-        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
-    "pipeline_resume_takedown" ->
-      // r17: the takedown crash-resume gate's converged output re-derived
-      // from the shared parquet alone. The fingerprint store is a SET of
-      // normalized texts, so retraction is set difference (a text shared
-      // by a taken-down and a surviving doc is removed ENTIRELY — its
-      // re-crawl passes the exact scrub and is then caught by the
-      // id-keyed near-dup mask against the surviving copy); the MinHash
-      // mask is id-keyed, so near-dup candidates come from surviving IDS
-      // only. Ledger rollup reflects the post-revalidate verdict over the
-      // survivors; the resume-counters row is the engine-pinned
-      // exactly-once invariant (3 redelivered retracts no-opped, the ANN
-      // delete + ledger revalidate landed once).
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "mx AS (SELECT max(doc_id) + 1 AS b FROM docs), " +
-        "td AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 = 0), " +
-        "sv AS (SELECT doc_id, text FROM docs WHERE doc_id % 7 != 0), " +
-        "ra AS (SELECT doc_id + (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 7 = 0), " +
-        "rb AS (SELECT doc_id + 2 * (SELECT b FROM mx) AS id, text FROM docs WHERE doc_id % 7 = 1), " +
-        "rc AS (SELECT doc_id + 3 * (SELECT b FROM mx) AS id, text || ' r17 takedown fresh tail' AS text FROM docs WHERE doc_id % 7 = 2), " +
-        "batch AS (SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc), " +
-        "seen AS (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs " +
-        "EXCEPT SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) FROM td), " +
-        "exact_dup AS (SELECT id FROM batch WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) IN (SELECT ntext FROM seen)), " +
-        "surv1 AS (SELECT id, text FROM batch WHERE id NOT IN (SELECT id FROM exact_dup)), " +
-        "ta AS (SELECT id, string_split_regex(trim(text), '\\s+') AS toks FROM surv1), " +
-        "sa AS (SELECT id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM ta), " +
-        "tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM sv), " +
-        "sb AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-        "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-        "ELSE [array_to_string(toks, ' ')] END) AS sh FROM tb), " +
-        "nea AS (SELECT id, unnest(sh) AS g FROM sa), " +
-        "neb AS (SELECT doc_id, unnest(sh) AS g FROM sb), " +
-        "nsa AS (SELECT id, len(sh) AS n FROM sa), " +
-        "nsb AS (SELECT doc_id, len(sh) AS n FROM sb), " +
-        "ni AS (SELECT nea.id, neb.doc_id, count(*) AS i " +
-        "FROM nea JOIN neb ON nea.g = neb.g GROUP BY 1, 2), " +
-        "near AS (SELECT DISTINCT ni.id FROM ni " +
-        "JOIN nsa ON nsa.id = ni.id JOIN nsb ON nsb.doc_id = ni.doc_id " +
-        "WHERE round(i::DOUBLE / (nsa.n + nsb.n - i), 4) >= 0.8), " +
-        "ingested AS (SELECT id FROM surv1 WHERE id NOT IN (SELECT id FROM near)), " +
-        "led AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) FILTER (WHERE len(text) > 300) AS BIGINT) AS f FROM sv), " +
-        "disp AS (SELECT id AS doc_id, 'exact_dup' AS status FROM exact_dup " +
-        "UNION ALL SELECT id, 'near_dup' FROM near " +
-        "UNION ALL SELECT id, 'ingested' FROM ingested " +
-        "UNION ALL SELECT CAST(-200 AS BIGINT), 'ledger:hist:rows=' || n || ',failed=' || f || ',passed=' || (f = 0) FROM led " +
-        "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,landed=2') " +
-        "SELECT doc_id, status FROM disp ORDER BY doc_id"),
-    "pipeline_corpus" ->
-      ("WITH t AS (SELECT doc_id, text, " +
-        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
-        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
-        "s AS (SELECT doc_id, len(toks) AS n, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(((len(text) - len(replace(text, '#', ''))) + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE / len(toks), 4) END AS sym, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 4) END AS dup_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
-        "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
-        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
-        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t), " +
-        "g AS (SELECT doc_id FROM s WHERE n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
-        "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
-        "AND alpha_frac >= 0.8 AND hits >= 2), " +
-        "kd AS (SELECT d.doc_id, d.lang, lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g')) AS nt FROM documents d JOIN g USING (doc_id)), " +
-        "fd AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY nt), " +
-        "dd AS (SELECT kd.doc_id, kd.lang FROM kd JOIN fd USING (doc_id)), " +
-        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM dd), " +
-        "c AS (SELECT doc_id, lang FROM r WHERE rn <= 30), " +
-        "h AS (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '11'), 1, 8))::BIGINT / 4294967296.0 AS hh FROM c) " +
-        "SELECT doc_id, lang, CASE WHEN hh < 0.5 THEN 'train' WHEN hh < 0.75 THEN 'val' ELSE 'test' END AS split FROM h ORDER BY doc_id"),
-    "drift_ks" -> driftKsOracle,
-    "drift_w1" -> driftW1Oracle,
-    "drift_psi" -> driftPsiOracle,
-    // profile-persistence serve paths are hash-identical to the direct
-    // two-sided computations by construction — same oracles
-    "drift_psi_profile" -> driftPsiOracle,
-    "drift_ks_profile" -> driftKsOracle,
-    "drift_psi_cat_profile" -> driftPsiCategoricalOracle,
-    "drift_psi_windowed" ->
-      ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
-        "curb AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
-        "curc AS (SELECT window_start, bin, count(*) AS n FROM curb GROUP BY 1, 2), " +
-        "tot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
-        "grid AS (SELECT w.window_start, b.bin FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)) b), " +
-        "j AS (SELECT g.window_start, g.bin, greatest(coalesce(rc.ref_frac, 0), 1e-6) AS rf, greatest(coalesce(cc.n, 0)::DOUBLE / tt.t, 1e-6) AS cf " +
-        "FROM grid g LEFT JOIN refc rc ON rc.bin = g.bin LEFT JOIN curc cc ON cc.window_start = g.window_start AND cc.bin = g.bin JOIN tot tt ON tt.window_start = g.window_start), " +
-        "k AS (SELECT window_start, bin, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j), " +
-        "ptot AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
-        "SELECT k.window_start, k.bin, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, ptot.psi_total " +
-        "FROM k JOIN ptot USING (window_start) ORDER BY window_start, bin"),
-    "drift_w1_windowed" ->
-      ("WITH edges AS (SELECT list_transform(quantile_cont(value, [0.2, 0.4, 0.6, 0.8]), e -> round(e, 6)) AS es FROM events), " +
-        "refb AS (SELECT CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
-        "refc AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM refb) AS ref_frac FROM refb GROUP BY bin), " +
-        "bingrid AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 5) t(i)), " +
-        "refcum AS (SELECT b.bin, sum(coalesce(rc.ref_frac, 0)) OVER (ORDER BY b.bin) AS ref_cum FROM bingrid b LEFT JOIN refc rc ON rc.bin = b.bin), " +
-        "widths AS (SELECT b.bin, CASE WHEN b.bin <= 2 THEN e.es[b.bin + 2] - e.es[b.bin + 1] ELSE 0.0 END AS width FROM bingrid b CROSS JOIN edges e), " +
-        "curb AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, CAST(list_sum(list_transform((SELECT es FROM edges), e -> CASE WHEN value > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin FROM events WHERE value IS NOT NULL), " +
-        "curc AS (SELECT window_start, bin, count(*) AS n FROM curb GROUP BY 1, 2), " +
-        "tot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
-        "grid AS (SELECT w.window_start, b.bin FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN bingrid b), " +
-        "cum AS (SELECT g.window_start, g.bin, sum(coalesce(cc.n, 0)) OVER (PARTITION BY g.window_start ORDER BY g.bin)::DOUBLE / tt.t AS cur_cum " +
-        "FROM grid g LEFT JOIN curc cc ON cc.window_start = g.window_start AND cc.bin = g.bin JOIN tot tt ON tt.window_start = g.window_start), " +
-        "k AS (SELECT c.window_start, c.bin, r.ref_cum, c.cur_cum, abs(r.ref_cum - c.cur_cum) AS gap, w.width FROM cum c JOIN refcum r ON r.bin = c.bin JOIN widths w ON w.bin = c.bin), " +
-        "wtot AS (SELECT window_start, round(sum(gap * width), 4) AS w1_stat FROM k GROUP BY 1) " +
-        "SELECT k.window_start, k.bin, round(k.ref_cum, 6) AS ref_cum, round(k.cur_cum, 6) AS cur_cum, round(k.gap, 6) AS gap, round(k.width, 6) AS width, round(k.gap * k.width, 6) AS w1_contrib, wtot.w1_stat " +
-        "FROM k JOIN wtot USING (window_start) ORDER BY window_start, bin"),
-    "drift_psi_cat_windowed" ->
-      ("WITH cat AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, coalesce(CAST(event_type AS VARCHAR), '__null__') AS cell FROM events), " +
-        "tot0 AS (SELECT count(*) AS t FROM cat), " +
-        "refc AS (SELECT cell, count(*) AS n FROM cat GROUP BY 1), " +
-        "topk AS (SELECT cell FROM refc ORDER BY n DESC, cell LIMIT 2), " +
-        "refp AS (SELECT cell, n::DOUBLE / (SELECT t FROM tot0) AS rf FROM refc WHERE cell IN (SELECT cell FROM topk) " +
-        "UNION ALL SELECT '__other__', coalesce(sum(n), 0)::DOUBLE / (SELECT t FROM tot0) FROM refc WHERE cell NOT IN (SELECT cell FROM topk)), " +
-        "curb AS (SELECT window_start, CASE WHEN cell IN (SELECT cell FROM topk) THEN cell ELSE '__other__' END AS cell FROM cat), " +
-        "curc AS (SELECT window_start, cell, count(*) AS n FROM curb GROUP BY 1, 2), " +
-        "wtot AS (SELECT window_start, sum(n) AS t FROM curc GROUP BY 1), " +
-        "grid AS (SELECT w.window_start, p.cell, p.rf FROM (SELECT DISTINCT window_start FROM curb) w CROSS JOIN refp p), " +
-        "j AS (SELECT g.window_start, g.cell, greatest(g.rf, 1e-6) AS rf, greatest(coalesce(c.n, 0)::DOUBLE / t.t, 1e-6) AS cf " +
-        "FROM grid g LEFT JOIN curc c ON c.window_start = g.window_start AND c.cell = g.cell JOIN wtot t ON t.window_start = g.window_start), " +
-        "k AS (SELECT window_start, cell, rf, cf, round((cf - rf) * ln(cf / rf), 6) AS psi_contrib FROM j), " +
-        "pt AS (SELECT window_start, round(sum(psi_contrib), 6) AS psi_total FROM k GROUP BY 1) " +
-        "SELECT k.window_start, k.cell, round(k.rf, 6) AS ref_frac, round(k.cf, 6) AS cur_frac, k.psi_contrib, pt.psi_total " +
-        "FROM k JOIN pt USING (window_start) ORDER BY window_start, cell"),
-    "drift_ks_multi" ->
-      ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
-        .zipWithIndex.map { case (c, i) => ksMultiOracleCol(c, i) }
-        .mkString(", ") +
-        " SELECT * FROM kout0 UNION ALL SELECT * FROM kout1 UNION ALL SELECT * FROM kout2" +
-        " ORDER BY \"column\", bin"),
-    "drift_psi_multi" ->
-      ("WITH " + Seq("l_extendedprice", "l_quantity", "l_discount")
-        .zipWithIndex.map { case (c, i) => psiMultiOracleCol(c, i) }
-        .mkString(", ") +
-        " SELECT * FROM out0 UNION ALL SELECT * FROM out1 UNION ALL SELECT * FROM out2" +
-        " ORDER BY \"column\", bin"),
-    "drift_psi_categorical" -> driftPsiCategoricalOracle,
-    "sample_top_fraction" ->
-      ("SELECT doc_id FROM documents " +
-        "WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents) " +
-        "ORDER BY doc_id"),
-    "events_sessions" -> sessionsOracleSql,
-    // batch ≡ streaming: the replay gate answers to the SAME oracle
-    "events_sessions_stream" -> sessionsOracleSql,
-    "stream_quarantine" ->
-      ("SELECT CASE WHEN (l_quantity IS NULL OR (l_quantity >= 5.0 AND l_quantity <= 45.0)) " +
-        "AND (l_tax IS NULL OR l_tax <= 0.05) THEN 'valid' ELSE 'quarantined' END AS side, " +
-        "l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem " +
-        "ORDER BY side, l_orderkey, l_linenumber, l_quantity NULLS FIRST, l_tax NULLS FIRST"),
-    "stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
-    "stream_scrub" ->
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 1000000, text || ' graft batch-2 tail' FROM docs WHERE doc_id % 5 = 1 " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 5 = 2), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs) " +
-        "SELECT doc_id FROM inc WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
-        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
-    "sample_cap_per_group" ->
-      ("WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
-        "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id) AS rn FROM documents) " +
-        "SELECT doc_id, lang FROM r WHERE rn <= 40 ORDER BY doc_id"),
-    "sample_weighted_wor" ->
-      ("WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
-        "es AS (SELECT doc_id, ntok, ln((('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT + 0.5) / 4294967296.0) / ntok AS k FROM tk WHERE ntok > 0) " +
-        "SELECT doc_id, CAST(ntok AS BIGINT) AS ntok FROM (SELECT * FROM es ORDER BY k DESC, doc_id LIMIT 50) ORDER BY doc_id"),
-    "sample_split" ->
-      ("WITH b AS (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT / 4294967296.0 AS h FROM documents) " +
-        "SELECT doc_id, CASE WHEN h < 0.5 THEN 'train' WHEN h < 0.75 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id"),
-    "sample_shuffle" ->
-      ("SELECT doc_id FROM documents " +
-        "ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '7'), 1, 8))::BIGINT, doc_id LIMIT 200"),
-    "sample_mix" ->
-      ("WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'), " +
-        "de AS (SELECT doc_id FROM documents WHERE lang = 'de'), " +
-        "parts AS (" +
-        "SELECT doc_id, 'en' AS source, 0 AS copy FROM en " +
-        "WHERE ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < 0.5 " +
-        "UNION ALL SELECT doc_id, 'de', 0 FROM de " +
-        "UNION ALL SELECT doc_id, 'de', 1 FROM de " +
-        "UNION ALL SELECT doc_id, 'de', 2 FROM de " +
-        "WHERE ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < 0.25) " +
-        "SELECT doc_id, source, copy FROM parts ORDER BY source, copy, doc_id"),
-    "sample_mix_budget" ->
-      ("WITH en AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'en'), " +
-        "de AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'de'), " +
-        "r AS (SELECT (20000.0 * (0.7 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM en) AS DOUBLE) AS r_en, " +
-        "(20000.0 * (0.3 / (0.7 + 0.3))) / CAST((SELECT sum(n_tok) FROM de) AS DOUBLE) AS r_de), " +
-        "enp AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'en' AS source FROM en, r, " +
-        "unnest(range(0, CAST(floor(r_en) AS BIGINT) + CASE WHEN ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_en - floor(r_en) THEN 1 ELSE 0 END)) u(i)), " +
-        "dep AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'de' AS source FROM de, r, " +
-        "unnest(range(0, CAST(floor(r_de) AS BIGINT) + CASE WHEN ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_de - floor(r_de) THEN 1 ELSE 0 END)) u(i)) " +
-        "SELECT doc_id, source, copy FROM (SELECT * FROM enp UNION ALL SELECT * FROM dep) " +
-        "ORDER BY source, copy, doc_id"),
-    // identical draw machinery to sample_mix_budget; only the rate
-    // derivation changes — shares ∝ sqrt(per-source token totals)
-    "sample_mix_temperature" ->
-      ("WITH en AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'en'), " +
-        "de AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok FROM documents WHERE lang = 'de'), " +
-        "t AS (SELECT CAST((SELECT sum(n_tok) FROM en) AS DOUBLE) AS ne, CAST((SELECT sum(n_tok) FROM de) AS DOUBLE) AS nd), " +
-        "r AS (SELECT 20000.0 * (sqrt(ne) / (sqrt(ne) + sqrt(nd))) / ne AS r_en, " +
-        "20000.0 * (sqrt(nd) / (sqrt(ne) + sqrt(nd))) / nd AS r_de FROM t), " +
-        "enp AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'en' AS source FROM en, r, " +
-        "unnest(range(0, CAST(floor(r_en) AS BIGINT) + CASE WHEN ('0x' || substr(md5('en' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_en - floor(r_en) THEN 1 ELSE 0 END)) u(i)), " +
-        "dep AS (SELECT doc_id, CAST(i AS INTEGER) AS copy, 'de' AS source FROM de, r, " +
-        "unnest(range(0, CAST(floor(r_de) AS BIGINT) + CASE WHEN ('0x' || substr(md5('de' || chr(1) || doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT / 4294967296.0 < r_de - floor(r_de) THEN 1 ELSE 0 END)) u(i)) " +
-        "SELECT doc_id, source, copy FROM (SELECT * FROM enp UNION ALL SELECT * FROM dep) " +
-        "ORDER BY source, copy, doc_id"),
-    "pack_greedy" ->
-      ("WITH RECURSIVE tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
-        "o AS (SELECT doc_id, ntok, CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(1) || '42'), 1, 8))::BIGINT % 8 AS INTEGER) AS bucket FROM tk), " +
-        "r AS (SELECT doc_id, ntok, bucket, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM o), " +
-        "s AS (SELECT bucket, rn, doc_id, ntok, 0::BIGINT AS pack, 0 AS pos, 0::BIGINT AS poff, ntok::BIGINT AS acc FROM r WHERE rn = 1 " +
-        "UNION ALL SELECT r2.bucket, r2.rn, r2.doc_id, r2.ntok, " +
-        "CASE WHEN s.acc > 200 - r2.ntok THEN s.pack + 1 ELSE s.pack END, " +
-        "CASE WHEN s.acc > 200 - r2.ntok THEN 0 ELSE s.pos + 1 END, " +
-        "CASE WHEN s.acc > 200 - r2.ntok THEN 0::BIGINT ELSE s.acc END, " +
-        "CASE WHEN s.acc > 200 - r2.ntok THEN r2.ntok::BIGINT ELSE s.acc + r2.ntok END " +
-        "FROM s JOIN r r2 ON r2.bucket = s.bucket AND r2.rn = s.rn + 1) " +
-        "SELECT doc_id, bucket, pack, pos AS pack_pos, poff AS pack_offset FROM s ORDER BY doc_id"),
-    "pack_sequences" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok FROM documents), " +
-        "o AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ntok AS BIGINT) AS ntok, CAST(COALESCE(sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM tk WHERE ntok > 0), " +
-        "s AS (SELECT doc_id, ntok, off, unnest(range(off // 512, (off + ntok - 1) // 512 + 1)) AS seq_id FROM o) " +
-        "SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, CAST(greatest(seq_id * 512 - off, 0) AS BIGINT) AS doc_start, CAST(least(ntok, (seq_id + 1) * 512 - off) AS BIGINT) AS doc_end, CAST(greatest(off - seq_id * 512, 0) AS BIGINT) AS seq_start FROM s ORDER BY doc_id, seq_id"),
-    "dedup_exact" ->
-      "SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS n_distinct, CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_dup_rows FROM (SELECT count(*) AS c FROM documents GROUP BY text) t",
-    "dedup_minhash" -> jaccardOracle(0.8),
-    "dedup_minhash_sampled" ->
-      (s"WITH ${jaccardPairCtes("(SELECT * FROM documents WHERE doc_id % 10 = 3) sd")} " +
-        "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8 ORDER BY id_a, id_b"),
-    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
-    "dedup_cluster" -> clusterOracle(0.5),
-    "dedup_cluster_sampled" ->
-      (s"WITH RECURSIVE sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 3), " +
-        s"${componentCtes(0.5, "sdocs")} " +
-        "SELECT d.doc_id AS doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id " +
-        "FROM sdocs d LEFT JOIN comp c ON d.doc_id = c.id ORDER BY d.doc_id"),
-    "dedup_drop_neardup" -> dropNearDupOracle(0.5),
-    "dedup_pipeline" -> pipelineOracle(0.5),
-    "dedup_pipeline_sampled" ->
-      ("WITH RECURSIVE sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 3), " +
-        "r AS (SELECT min(doc_id) AS id FROM (SELECT doc_id, " +
-        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS f FROM sdocs) t0 GROUP BY f), " +
-        "docs2 AS (SELECT d.* FROM sdocs d JOIN r ON d.doc_id = r.id), " +
-        s"${componentCtes(0.5, "docs2")} " +
-        "SELECT doc_id FROM docs2 " +
-        "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"),
-    "dedup_semantic_text" ->
-      ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (" +
-        "SELECT * FROM (VALUES (12), (28), (50), (82), (114), (120), (157), (161), (174), (176), (261), (263), (267), (329), (360), (369), (391), (393), (399), (401), (404), (411), (425), (428), (431), (436), (450), (459), (467), (487), (498)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) < 10000 " +
-        "UNION ALL SELECT * FROM (VALUES (134), (178), (185), (230), (245), (267), (272), (290), (293), (299), (301), (323), (332), (374), (377), (383), (387), (389), (406), (411), (413), (420), (421), (426), (441), (446), (447), (450), (453), (455), (457), (458), (462), (463), (466), (486), (496)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 10000 AND (SELECT count(*) FROM lineitem) < 100000 " +
-        "UNION ALL SELECT * FROM (VALUES (32), (35), (40), (47), (54), (56), (66), (67), (71), (81), (98), (113), (117), (119), (120), (132), (134), (135), (136), (151), (159), (164), (165), (173), (177), (189), (199), (209), (211), (213), (219), (220), (221), (233), (237), (239), (240), (246), (256), (264), (282), (283), (287), (288), (293), (296), (314), (321), (340), (345), (346), (348), (357), (362), (365), (368), (372), (377), (391), (392), (394), (405), (421), (431), (443), (460), (474), (479), (482), (483), (491), (492), (494), (505), (509), (512), (517), (521), (522), (524), (529), (534), (538), (545), (549), (553), (564), (565), (572), (573), (583), (595), (608), (610), (613), (615), (624), (630), (638), (646), (651), (653), (659), (664), (671), (684), (686), (694), (695), (706), (710), (712), (718), (721), (732), (756), (758), (762), (771), (773), (774), (779), (780), (787), (789), (815), (823), (836), (838), (845), (855), (856), (862), (867), (875), (876), (888), (889), (893), (895), (898), (899), (906), (907), (922), (923), (930), (931), (933), (938), (941), (945), (954), (960), (965), (982), (996), (1007), (1013), (1015), (1023), (1026), (1031), (1033), (1035), (1036), (1039), (1041), (1044), (1046), (1051), (1053), (1071), (1072), (1083), (1085), (1093), (1096), (1105), (1113), (1114), (1119), (1128), (1131), (1136), (1137), (1157), (1175), (1186), (1187), (1188), (1192), (1194), (1199), (1200), (1202), (1204), (1206), (1210), (1212), (1238), (1239), (1242), (1253), (1255), (1259), (1267), (1269), (1270), (1273), (1276), (1279), (1282), (1287), (1293), (1299), (1310), (1319), (1320), (1323), (1333), (1338), (1349), (1351), (1353), (1356), (1363), (1369), (1370), (1373), (1375), (1382), (1389), (1394), (1395), (1400), (1401), (1405), (1409), (1413), (1416), (1424), (1427), (1428), (1432), (1434), (1437), (1438), (1440), (1443), (1450), (1452), (1456), (1458), (1489), (1493), (1494), (1498), (1500), (1506), (1508), (1510), (1513), (1519), (1526), (1534), (1538), (1540), (1542), (1553), (1557), (1565), (1568), (1575), (1582), (1583), (1584), (1590), (1592), (1602), (1609), (1610), (1612), (1614), (1618), (1626), (1630), (1633), (1638), (1639), (1641), (1642), (1644), (1645), (1649), (1651), (1658), (1662), (1663), (1665), (1670), (1671), (1673), (1683), (1694), (1702), (1705), (1709), (1717), (1718), (1722), (1727), (1729), (1730), (1731), (1746), (1749), (1764), (1768), (1770), (1772), (1777), (1779), (1783), (1786), (1789), (1805), (1814), (1817), (1819), (1828), (1832), (1834), (1841), (1843), (1845), (1854), (1859), (1882), (1884), (1887), (1893), (1897), (1913), (1915), (1917), (1918), (1925), (1926), (1928), (1929), (1935), (1942), (1943), (1962), (1967), (1970), (1980), (1985), (1986), (1987), (1988), (1992), (1994), (1995), (1997), (1999), (2000), (2008), (2025), (2028), (2043), (2045), (2050), (2052), (2059), (2060), (2063), (2065), (2067), (2068), (2071), (2076), (2083), (2084), (2088), (2091), (2092), (2099), (2100), (2101), (2105), (2106), (2108), (2119), (2126), (2136), (2138), (2141), (2165), (2170), (2172), (2176), (2179), (2182), (2188), (2190), (2192), (2199), (2203), (2213), (2221), (2222), (2223), (2225), (2232), (2234), (2244), (2248), (2250), (2259), (2261), (2265), (2270), (2274), (2289), (2292), (2293), (2295), (2299), (2301), (2302), (2305), (2307), (2309), (2320), (2328), (2333), (2335), (2337), (2339), (2341), (2349), (2350), (2355), (2356), (2359), (2360), (2361), (2363), (2370), (2371), (2374), (2377), (2379), (2389), (2400), (2411), (2418), (2420), (2423), (2425), (2428), (2429), (2434), (2451), (2458), (2463), (2466), (2472), (2474), (2483), (2484), (2486), (2491), (2493), (2503), (2505), (2509), (2513), (2516), (2520), (2521), (2523), (2524), (2528), (2537), (2538), (2542), (2551), (2562), (2563), (2565), (2582), (2587), (2593), (2595), (2598), (2612), (2613), (2618), (2624), (2629), (2631), (2633), (2640), (2641), (2649), (2652), (2661), (2662), (2672), (2677), (2684), (2689), (2690), (2705), (2707), (2728), (2741), (2745), (2766), (2773), (2774), (2777), (2782), (2784), (2789), (2792), (2796), (2798), (2806), (2811), (2816), (2819), (2821), (2824), (2831), (2833), (2841), (2842), (2845), (2853), (2859), (2860), (2868), (2872), (2875), (2887), (2892), (2896), (2897), (2900), (2902), (2903), (2915), (2917), (2918), (2920), (2926), (2929), (2931), (2932), (2934), (2936), (2940), (2946), (2947), (2960), (2972), (2977), (2978), (2983), (2986), (2990), (3006), (3013), (3015), (3017), (3019), (3022), (3033), (3038), (3049), (3052), (3053), (3055), (3065), (3080), (3083), (3091), (3092), (3098), (3101), (3102), (3106), (3111), (3112), (3114), (3115), (3117), (3123), (3125), (3126), (3127), (3145), (3149), (3162), (3163), (3166), (3168), (3197), (3202), (3205), (3208), (3209), (3212), (3215), (3223), (3224), (3229), (3231), (3241), (3243), (3247), (3255), (3258), (3259), (3264), (3269), (3274), (3276), (3277), (3288), (3290), (3291), (3296), (3299), (3300), (3304), (3311), (3319), (3324), (3327), (3328), (3329), (3332), (3341), (3345), (3354), (3357), (3361), (3366), (3367), (3373), (3375), (3377), (3378), (3381), (3383), (3387), (3392), (3393), (3394), (3397), (3398), (3401), (3402), (3403), (3418), (3422), (3429), (3432), (3435), (3438), (3441), (3447), (3450), (3451), (3460), (3465), (3468), (3479), (3481), (3489), (3497), (3502), (3503), (3506), (3511), (3517), (3522), (3523), (3524), (3529), (3544), (3545), (3548), (3552), (3554), (3555), (3556), (3562), (3563), (3569), (3573), (3576), (3584), (3585), (3591), (3593), (3595), (3596), (3602), (3609), (3610), (3613), (3624), (3640), (3644), (3646), (3647), (3655), (3664), (3668), (3670), (3674), (3680), (3687), (3688), (3693), (3701), (3703), (3708), (3715), (3717), (3722), (3724), (3725), (3730), (3731), (3733), (3734), (3735), (3739), (3745), (3753), (3758), (3759), (3760), (3763), (3774), (3776), (3780), (3781), (3792), (3797), (3800), (3802), (3803), (3805), (3810), (3821), (3828), (3829), (3834), (3836), (3839), (3842), (3844), (3848), (3855), (3856), (3857), (3867), (3870), (3872), (3874), (3875), (3879), (3881), (3882), (3886), (3890), (3893), (3896), (3900), (3901), (3903), (3921), (3933), (3936), (3937), (3940), (3947), (3952), (3954), (3955), (3956), (3958), (3972), (3973), (3978), (3979), (3980), (3984), (3989), (3992), (3996), (4001), (4003), (4007), (4010), (4011), (4015), (4016), (4017), (4021), (4030), (4031), (4034), (4035), (4037), (4044), (4046), (4048), (4049), (4052), (4055), (4060), (4061), (4065), (4069), (4073), (4077), (4082), (4091), (4092), (4095), (4098), (4099), (4100), (4103), (4111), (4127), (4129), (4132), (4135), (4138), (4139), (4143), (4146), (4151), (4153), (4155), (4156), (4157), (4160), (4165), (4166), (4168), (4178), (4179), (4180), (4181), (4184), (4189), (4194), (4195), (4196), (4197), (4199), (4200), (4207), (4211), (4213), (4219), (4223), (4225), (4226), (4228), (4230), (4231), (4236), (4241), (4242), (4246), (4251), (4253), (4255), (4259), (4261), (4273), (4274), (4277), (4278), (4290), (4297), (4302), (4303), (4308), (4309), (4317), (4318), (4320), (4321), (4322), (4331), (4335), (4336), (4337), (4343), (4344), (4347), (4351), (4353), (4354), (4356), (4360), (4368), (4371), (4381), (4385), (4388), (4391), (4397), (4402), (4403), (4415), (4416), (4429), (4430), (4436), (4437), (4438), (4445), (4446), (4455), (4459), (4460), (4464), (4466), (4475), (4476), (4483), (4485), (4486), (4487), (4492), (4494), (4496), (4513), (4514), (4523), (4524), (4526), (4528), (4536), (4541), (4542), (4545), (4553), (4556), (4564), (4576), (4588), (4589), (4590), (4591), (4594), (4595), (4596), (4599), (4603), (4607), (4609), (4612), (4613), (4614), (4615), (4621), (4624), (4634), (4645), (4649), (4650), (4653), (4662), (4666), (4667), (4668), (4670), (4672), (4677), (4686), (4691), (4702), (4703), (4706), (4708), (4716), (4717), (4719), (4722), (4723), (4724), (4726), (4729), (4730), (4732), (4740), (4743), (4746), (4749), (4750), (4756), (4758), (4762), (4763), (4764), (4766), (4767), (4768), (4769), (4771), (4773), (4777), (4780), (4784), (4785), (4786), (4789), (4791), (4793), (4794), (4795), (4797), (4800), (4801), (4802), (4805), (4806), (4809), (4812), (4822), (4823), (4824), (4828), (4829), (4830), (4832), (4833), (4834), (4836), (4838), (4840), (4841), (4845), (4846), (4847), (4850), (4864), (4865), (4868), (4874), (4875), (4876), (4886), (4887), (4890), (4901), (4902), (4905), (4908), (4910), (4912), (4913), (4914), (4918), (4921), (4922), (4923), (4935), (4936), (4937), (4938), (4941), (4942), (4943), (4948), (4949), (4954), (4958), (4965), (4969), (4972), (4976), (4977), (4981), (4984), (4990), (4991), (4993)) v(doc_id) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
-        ") u ORDER BY doc_id"),
-    "dedup_incremental_store" -> mhStoreOracle,
-    "dedup_store_compacted" -> mhStoreOracle,
-    "dedup_fp_compacted" -> fpStoreOracle,
-    "stats_distinct_compacted" ->
-      ("SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
-        "FROM events GROUP BY event_type ORDER BY event_type"),
-    "stats_distinct_retract" ->
-      // batch_1 (event_id % 3 = 1) recalled wholesale, then users with
-      // user_id % 7 = 0 taken down inside 'click' via rebuild-from-live
-      ("WITH live AS (SELECT * FROM events WHERE event_id % 3 <> 1), " +
-        "fin AS (SELECT * FROM live WHERE NOT (event_type = 'click' " +
-        "AND user_id % 7 = 0)) " +
-        "SELECT event_type, CAST(count(user_id) AS BIGINT) AS n_rows, " +
-        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct " +
-        "FROM fin GROUP BY event_type ORDER BY event_type"),
-    "stream_scrub_store" -> fpStoreOracle,
-    "dedup_fp_store" -> fpStoreOracle,
-    "dedup_fp_retract" -> fpRetractOracle,
-    "dedup_store_retract" -> mhRetractOracle,
-    "dedup_incremental_bloom" ->
-      ("WITH docs AS (SELECT doc_id, text FROM documents), " +
-        "inc AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0 " +
-        "UNION ALL SELECT doc_id + 1000000, text || ' graft batch-2 tail' FROM docs WHERE doc_id % 5 = 1 " +
-        "UNION ALL SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 5 = 2), " +
-        "seen AS (SELECT DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM docs) " +
-        "SELECT doc_id FROM inc WHERE lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) " +
-        "NOT IN (SELECT ntext FROM seen) ORDER BY doc_id"),
-    "dedup_spans" ->
-      ("WITH tk AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "occ AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS span " +
-        "FROM tk, LATERAL unnest(range(1, len(t) - 8 + 2)) r(i) WHERE len(t) >= 8), " +
-        "dup AS (SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
-        "d AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (span)), " +
-        "w AS (SELECT doc_id, pos, CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -2147483648) + 8 THEN 1 ELSE 0 END AS nw FROM d), " +
-        "isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM w) " +
-        "SELECT doc_id, min(pos) AS start_pos, CAST(max(pos) + 7 AS INTEGER) AS end_pos " +
-        "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_pos"),
-    "dedup_span_rewrite" ->
-      ("WITH tk AS (SELECT doc_id, text, CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents), " +
-        "occ AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS span " +
-        "FROM tk, LATERAL unnest(range(1, len(t) - 8 + 2)) r(i) WHERE len(t) >= 8), " +
-        "dup AS (SELECT span FROM occ GROUP BY span HAVING count(DISTINCT doc_id) >= 2), " +
-        "cut AS (SELECT doc_id, pos FROM (SELECT o.doc_id, o.pos, row_number() OVER (PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn FROM occ o JOIN dup USING (span)) WHERE rn > 1), " +
-        "toks AS (SELECT doc_id, CAST(j AS INTEGER) AS j, t[j] AS tok FROM tk, LATERAL unnest(range(1, len(t) + 1)) u(j)), " +
-        "cov AS (SELECT DISTINCT c.doc_id, CAST(j AS INTEGER) AS j FROM cut c, LATERAL unnest(range(c.pos, c.pos + 8)) u(j)), " +
-        "kept AS (SELECT toks.doc_id, toks.j, toks.tok, cov.j IS NOT NULL AS covered FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.j = cov.j), " +
-        "rm AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS tokens_removed FROM kept WHERE covered GROUP BY doc_id), " +
-        "nt AS (SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS text2 FROM kept WHERE NOT covered GROUP BY doc_id) " +
-        "SELECT d.doc_id, coalesce(rm.tokens_removed, 0) AS tokens_removed, " +
-        "CASE WHEN rm.doc_id IS NOT NULL THEN coalesce(nt.text2, '') ELSE d.text END AS text " +
-        "FROM documents d LEFT JOIN rm USING (doc_id) LEFT JOIN nt USING (doc_id) ORDER BY doc_id"),
-    "dedup_semantic" ->
-      (s"WITH RECURSIVE sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineSql, 4) AS cosine " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), " +
-        "p AS (SELECT id_a, id_b FROM sc WHERE cosine >= 0.45), " +
-        "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
-        "reach(u, v) AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-        "comp AS (SELECT u AS id, least(u, min(v)) AS cid FROM reach GROUP BY u) " +
-        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY vec_id"),
-    "dedup_embedding_cosine" ->
-      ("WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        s"round($cosineSql, 4) AS cosine " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
-        "SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.45 ORDER BY id_a, id_b"),
-    "sim_topk_brute" ->
-      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
-        "sc AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id, " +
-        s"round($cosineSql, 4) AS cosine FROM embeddings a, q b), " +
-        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank FROM sc) " +
-        "SELECT query_id, corpus_id, rank, cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
-    "sim_ann_delete" ->
-      // brute top-k over the LIVE corpus (the takedown set excluded) —
-      // the gate's full-probe IVF serve is exactly this
-      ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5), " +
-        "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 != 3), " +
-        "sc AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id, " +
-        s"round($cosineSql, 4) AS cosine FROM c a, q b), " +
-        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank FROM sc) " +
-        "SELECT query_id, corpus_id, rank, cosine FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
-    "sim_embedding_norm" ->
-      "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm FROM embeddings ORDER BY vec_id",
-    "mm_meta" ->
-      "SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width, CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'stub' AS format FROM documents ORDER BY id",
-    "mm_frames" ->
-      "SELECT doc_id AS id, CAST((f.fi * greatest(octet_length(encode(text)), 1)) // 4 AS BIGINT) AS frame_offset FROM documents CROSS JOIN (SELECT unnest(range(4)) AS fi) f ORDER BY id, frame_offset",
-    "mm_features" ->
-      ("WITH b AS (SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) " +
-        "SELECT id, round(CAST(CAST((n*1)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f0, " +
-        "round(CAST(CAST((n*2)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f1, " +
-        "round(CAST(CAST((n*8)%97 AS REAL)/CAST(97 AS REAL) AS DOUBLE), 4) AS f7 FROM b ORDER BY id"),
-    "mm_resize" ->
-      ("WITH b AS (SELECT doc_id AS id, CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS nb FROM documents) " +
-        "SELECT id, nb AS n_bytes, CAST(64 + nb % 512 AS INTEGER) AS width, " +
-        "CAST(64 + (nb*7) % 512 AS INTEGER) AS height FROM b ORDER BY id"),
-    "mm_image_meta" ->
-      "SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS width, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, 'png' AS format FROM documents ORDER BY id",
-    "mm_audio_meta" ->
-      "SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate, CAST(800 + (doc_id * 3) % 160 AS INTEGER) AS n_frames, CAST(1 AS INTEGER) AS channels, 'wav' AS format FROM documents ORDER BY id",
-    "mm_audio_features" ->
-      ("SELECT doc_id AS id, " +
-        "round(CAST(CAST(((doc_id * 37) % 1000 + 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS rms_1, " +
-        "round(CAST(CAST(((doc_id * 37) % 1000 + 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS rms_4 " +
-        "FROM documents ORDER BY id"),
-    "mm_audio_resize" ->
-      "SELECT doc_id AS id, CAST(8000 AS INTEGER) AS sample_rate, CAST(512 AS INTEGER) AS n_frames FROM documents ORDER BY id",
-    "mm_image_resize" ->
-      ("WITH b AS (SELECT doc_id AS id, CAST(8 + doc_id % 32 AS INTEGER) AS w0, CAST(8 + (doc_id * 3) % 32 AS INTEGER) AS h0 FROM documents) " +
-        "SELECT id, " +
-        "CASE WHEN greatest(w0, h0) <= 16 THEN w0 ELSE greatest(1, CAST(round(w0 * 16.0 / greatest(w0, h0)) AS INTEGER)) END AS width, " +
-        "CASE WHEN greatest(w0, h0) <= 16 THEN h0 ELSE greatest(1, CAST(round(h0 * 16.0 / greatest(w0, h0)) AS INTEGER)) END AS height " +
-        "FROM b ORDER BY id"),
-    "mm_image_features" ->
-      ("SELECT doc_id AS id, " +
-        "round(CAST(CAST((doc_id % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_r, " +
-        "round(CAST(CAST(((doc_id * 7) % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_g, " +
-        "round(CAST(CAST(((doc_id * 13) % 256) / 255.0 AS REAL) AS DOUBLE), 4) AS f_b " +
-        "FROM documents ORDER BY id"),
-    "events_hourly" ->
-      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, round(sum(value), 3) AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type",
-    // exact per-window heavy-hitter cut recomputed in SQL; Spark's tumbling
-    // 1-day window and date_trunc('day') share UTC midnight boundaries
-    "events_trending" ->
-      ("WITH w AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
-        "t AS (SELECT window_start, CAST(sum(cnt) AS BIGINT) AS n_group FROM w GROUP BY 1) " +
-        "SELECT w.window_start, user_id, cnt, n_group FROM w JOIN t USING(window_start) " +
-        "WHERE cnt >= 0.015 * n_group ORDER BY window_start, cnt DESC, user_id"),
-
-    // ---- §2.A custom check / §2.B structural / §2.E / §2.F additions ----
-    "chk_raise_warning" ->
-      ("SELECT * FROM (" +
-        "SELECT 'raise_warning_failures' AS check_name, count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)) AS failure_count FROM lineitem " +
-        "UNION ALL SELECT 'raise_warning_passed', CAST(0 AS BIGINT)" +
-        ") u ORDER BY check_name"),
-    "chk_n_failure_cases" ->
-      "SELECT 'n_failure_cases_sample' AS check_name, least(count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)), 7) AS failure_count FROM lineitem",
-    "hyp_custom_relationship" ->
-      "SELECT 'custom_relationship' AS check_name, CAST(CASE WHEN (avg(l_quantity) - 1.0) / (stddev_samp(l_quantity) / sqrt(count(l_quantity))) > 10.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem WHERE l_quantity IS NOT NULL",
-    "chk_custom_fn" ->
-      "SELECT 'custom_name_nonempty' AS check_name, count(*) FILTER (WHERE c_name IS NOT NULL AND NOT (length(c_name) > 0)) AS failure_count FROM customer",
-    "core_regex_columns" ->
-      ("SELECT 'regex_columns_ge0' AS check_name, (" +
-        "count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 0.0)) + " +
-        "count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0.0)) + " +
-        "count(*) FILTER (WHERE l_tax IS NOT NULL AND NOT (l_tax >= 0.0))" +
-        ") AS failure_count FROM lineitem"),
-    "core_ordered" ->
-      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('ordered_in_order', 0), ('ordered_out_of_order', 2)" +
-        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
-    "core_unique_colnames" ->
-      "SELECT 'unique_column_names' AS check_name, CAST(1 AS BIGINT) AS failure_count",
-    "core_set_defaults" ->
-      "SELECT event_id, coalesce(value, 0.0) AS value FROM events ORDER BY event_id, value",
-    "core_parser" ->
-      "SELECT l_orderkey, l_linenumber, least(l_discount, 0.05) AS l_discount FROM lineitem ORDER BY 1, 2, 3",
-    "core_report_dup_excl" ->
-      ("SELECT * FROM (" +
-        "SELECT 'report_duplicates_all' AS check_name, CAST(COALESCE((SELECT sum(c) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT) AS failure_count " +
-        "UNION ALL " +
-        "SELECT 'report_duplicates_exclude_first', CAST(COALESCE((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t), 0) AS BIGINT)" +
-        ") u ORDER BY check_name"),
-    "core_series_schema" ->
-      "SELECT 'series_ge' AS check_name, count(*) FILTER (WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= -999.99)) AS failure_count FROM customer",
-    "core_validate_sample" ->
-      "SELECT 'sampled_tautology' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-    "core_uint_widening" ->
-      "SELECT 'uint16_widening' AS check_name, count(*) FILTER (WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber >= 0)) AS failure_count FROM lineitem",
-    "chk_mean_stddev" ->
-      "SELECT 'mean_stddev_between' AS check_name, CAST(CASE WHEN avg(l_quantity) BETWEEN 20.0 AND 30.0 AND stddev_samp(l_quantity) BETWEEN 5.0 AND 25.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
-    "chk_approx_distinct" ->
-      "SELECT 'approx_distinct_between' AS check_name, CAST(CASE WHEN count(DISTINCT n_name) BETWEEN 20 AND 30 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM nation",
-    "chk_corr" ->
-      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('corr_in_bounds', (SELECT CASE WHEN corr(l_extendedprice, l_quantity) BETWEEN -0.5 AND 0.5 THEN 0 ELSE 1 END FROM lineitem)), " +
-        "('corr_out_of_bounds_detected', (SELECT CASE WHEN corr(l_extendedprice, l_partkey) BETWEEN 0.9 AND 1.0 THEN 1 ELSE 0 END FROM lineitem))" +
-        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
-    "chk_quantile" ->
-      "SELECT 'quantile_between' AS check_name, CAST(CASE WHEN quantile_disc(l_quantity, 0.5) BETWEEN 10.0 AND 40.0 THEN 0 ELSE 1 END AS BIGINT) AS failure_count FROM lineitem",
-    "config_depth_schema_only" ->
-      "SELECT 'schema_only_skips_data_checks' AS check_name, CAST(0 AS BIGINT) AS failure_count",
-    "core_dtype_nested" ->
-      ("SELECT \"check_name\", CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('array_dtype_ok', 0), ('array_dtype_wrong_detected', 1)" +
-        ") v(\"check_name\", fc) ORDER BY \"check_name\""),
-    "core_coerce_decimal" ->
-      "SELECT 'decimal_coerce_failures' AS check_name, count(*) FILTER (WHERE l_extendedprice IS NOT NULL AND TRY_CAST(l_extendedprice AS DECIMAL(12,2)) IS NULL) AS failure_count FROM lineitem",
-    "schema_transform_ops" ->
-      ("SELECT \"column\", dtype, nullable FROM (VALUES " +
-        "('a', 'int64', true), ('c2', 'float64', false), ('d', 'int32', true)" +
-        ") v(\"column\", dtype, nullable) ORDER BY \"column\""),
-    "io_json_roundtrip" ->
-      ("SELECT \"column\", dtype, CAST(fc AS BIGINT) AS failure_count FROM (VALUES " +
-        "('l_orderkey','int64',0), ('l_partkey','int64',0), ('l_suppkey','int64',0), " +
-        "('l_linenumber','int32',0), ('l_quantity','float64',0), ('l_extendedprice','float64',0), " +
-        "('l_discount','float64',0), ('l_tax','float64',0), ('l_returnflag','str',0), " +
-        "('l_linestatus','str',0), ('l_shipdate','timestamp_ntz',0)" +
-        ") v(\"column\", dtype, fc) ORDER BY \"column\""),
-    "io_pandera_emit" ->
-      ("SELECT CAST(line_no AS BIGINT) AS line_no, CAST(line AS VARCHAR) AS line FROM (VALUES " +
-        "(0, 'schema_type: dataframe'), (1, 'columns:'), (2, '  l_orderkey:'), (3, '    dtype: int64'), (4, '    greater_than: 0'), (5, '  l_quantity:'), (6, '    dtype: float64'), (7, '    nullable: true'), (8, '    in_range:'), (9, '      include_max: true'), (10, '      include_min: true'), (11, '      max_value: 50.0'), (12, '      min_value: 1.0'), (13, '  l_returnflag:'), (14, '    dtype: str'), (15, '    isin:'), (16, '    - A'), (17, '    - N'), (18, '    - R'), (19, 'strict: filter'), (20, 'name: lineitem_contract'), (21, 'unique:'), (22, '- l_orderkey'), (23, 'drop_invalid_rows: false'), (24, '')" +
-        ") v(line_no, line) ORDER BY line_no"),
-    "io_pandera_yaml" ->
-      ("SELECT col_name, CAST(fc AS BIGINT) AS failure_count FROM (" +
-        "SELECT 'l_discount' AS col_name, count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0)) AS fc FROM lineitem UNION ALL " +
-        "SELECT 'l_orderkey', count(*) FILTER (WHERE l_orderkey IS NOT NULL AND NOT (l_orderkey > 0)) + count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem UNION ALL " +
-        "SELECT 'l_quantity', count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50)) FROM lineitem UNION ALL " +
-        "SELECT 'l_returnflag', count(*) FILTER (WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')) + count(*) FILTER (WHERE l_returnflag IS NULL) FROM lineitem" +
-        ") u ORDER BY col_name"),
-    "model_dsl" ->
-      "SELECT 'model_in_range' AS check_name, count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5.0 AND l_quantity <= 45.0)) AS failure_count FROM lineitem",
-    "model_typed" ->
-      ("SELECT field, dtype, nullable, CAST(failure_count AS BIGINT) AS failure_count FROM (" +
-        "SELECT * FROM (VALUES ('__check_failures__', 'int64', false, 0), ('__passed__', 'bool', true, 0), " +
-        "('o_custkey', 'int64', true, 0), ('o_orderkey', 'int64', false, 0), " +
-        "('o_orderstatus', 'str', true, 0), ('o_totalprice', 'float64', true, 0)) v(field, dtype, nullable, failure_count) " +
-        "UNION ALL SELECT '__boundary_orderkey_sum__', 'int64', false, (SELECT sum(o_orderkey) FROM orders)" +
-        ") u ORDER BY field"),
-    "model_parser" ->
-      "SELECT l_orderkey, l_linenumber, least(l_quantity, 30.0) AS l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
-    "decorator_check_io" ->
-      "SELECT l_returnflag AS grp, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY grp"
-  )
-
-  /** Double-precision cosine between embeddings a.embedding / b.embedding
-    * (list_sum folds in list order, matching Spark's aggregate). */
-  private val cosineSql: String =
-    "list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / " +
-      "(sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) * " +
-      "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
-
-  /** Exact word-3-gram Jaccard pairs >= threshold, re-derived in DuckDB via
-    * an inverted shingle index rather than an all-pairs theta-join: explode
-    * shingles, count shared shingles per co-occurring (id_a < id_b) pair,
-    * then jaccard = i / (|A| + |B| - i) (shingle lists are distinct, so the
-    * shared count IS the intersection size). Identical to the brute
-    * all-pairs form for any threshold > 0 — a pair with jaccard > 0 shares
-    * at least one shingle and therefore appears in `inter`; every consumer
-    * filters at >= 0.5. The r13 all-pairs form was value-identical
-    * (verified at sf0.01) but quadratic in the corpus, timing out the
-    * sf0.1 standing verify at 120 s; this form finishes in seconds. */
-  private def jaccardPairCtes(src: String = "documents"): String =
-    s"t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $src), " +
-      "s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 " +
-      "THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
-      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM t), " +
-      "sz AS (SELECT doc_id, len(sh) AS n FROM s), " +
-      "e AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
-      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
-      "FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "j AS (SELECT id_a, id_b, round(i::DOUBLE / (na.n + nb.n - i), 4) AS jaccard " +
-      "FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b)"
-
-  private def jaccardOracle(threshold: Double): String =
-    s"WITH ${jaccardPairCtes()} " +
-      s"SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b"
-
-  /** Connected components over the jaccard pair list via transitive closure
-    * (recursive CTE) + per-node min reachable id — the same min-of-component
-    * labeling clusterPairs converges to. */
-  private def componentCtes(threshold: Double, src: String = "documents"): String =
-    s"${jaccardPairCtes(src)}, " +
-      s"p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $threshold), " +
-      "edges AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
-      "reach(u, v) AS (SELECT u, v FROM edges " +
-      "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-      "comp AS (SELECT u AS id, least(u, min(v)) AS cid FROM reach GROUP BY u)"
-
-  private def clusterOracle(threshold: Double): String =
-    s"WITH RECURSIVE ${componentCtes(threshold)} " +
-      "SELECT d.doc_id AS doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id " +
-      "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id ORDER BY d.doc_id"
-
-  private def dropNearDupOracle(threshold: Double): String =
-    s"WITH RECURSIVE ${componentCtes(threshold)} " +
-      "SELECT doc_id FROM documents " +
-      "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"
-
-  /** Full pipeline oracle: exact collapse on the normalized text (min id
-    * per group), then the jaccard closure over the survivors only. */
-  private def pipelineOracle(threshold: Double): String =
-    "WITH RECURSIVE r AS (SELECT min(doc_id) AS id FROM (SELECT doc_id, " +
-      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS f FROM documents) t0 GROUP BY f), " +
-      "docs2 AS (SELECT d.* FROM documents d JOIN r ON d.doc_id = r.id), " +
-      s"${componentCtes(threshold, "docs2")} " +
-      "SELECT doc_id FROM docs2 " +
-      "WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid) ORDER BY doc_id"
+  def oracleSql: Map[String, String] =
+    GatesChecks.oracleSql ++
+      GatesCore.oracleSql ++
+      GatesHyp.oracleSql ++
+      GatesDedup.oracleSql ++
+      GatesSim.oracleSql ++
+      GatesText.oracleSql ++
+      GatesData.oracleSql ++
+      GatesPipeline.oracleSql
 }
