@@ -90,7 +90,7 @@ object Bench {
     * both contaminated by concurrent machine load and cost a round of
     * reconciliation each (r6 verdict #8); emitting the load alongside every
     * timing makes a contaminated run self-identifying. -1 if unreadable. */
-  private def loadavg(): Double =
+  private[graft] def loadavg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split(" ")(0).toDouble finally src.close()
@@ -133,23 +133,27 @@ object Bench {
   private[graft] def ioCanaryMs(): Double = {
     import java.nio.file.StandardOpenOption._
     val tmp = java.nio.file.Files.createTempFile("graft-bench-io", ".bin")
-    val buf = java.nio.ByteBuffer.allocate(1 << 20)
-    new java.util.Random(0x9e3779b9L).nextBytes(buf.array())
-    val t0 = System.nanoTime()
-    val ch = java.nio.channels.FileChannel.open(tmp, WRITE)
     try {
-      var i = 0
-      while (i < 8) { buf.rewind(); ch.write(buf): Unit; i += 1 }
-      ch.force(true)
-    } finally ch.close()
-    val rch = java.nio.channels.FileChannel.open(tmp, READ)
-    try {
-      val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
-      var n = 1
-      while (n > 0) { rbuf.clear(); n = rch.read(rbuf) }
-    } finally rch.close()
-    java.nio.file.Files.delete(tmp)
-    (System.nanoTime() - t0) / 1e6
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      new java.util.Random(0x9e3779b9L).nextBytes(buf.array())
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(tmp, WRITE)
+      try {
+        var i = 0
+        while (i < 8) { buf.rewind(); ch.write(buf): Unit; i += 1 }
+        ch.force(true)
+      } finally ch.close()
+      val rch = java.nio.channels.FileChannel.open(tmp, READ)
+      try {
+        val rbuf = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 1
+        while (n > 0) { rbuf.clear(); n = rch.read(rbuf) }
+      } finally rch.close()
+      (System.nanoTime() - t0) / 1e6
+    } finally
+      // an EIO/disk-full mid-canary must not strand 8 MB orphans in the
+      // very tmpdir whose pressure is being diagnosed (r17 review)
+      java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
   /** Composite contention-suspicion for the baseline merge (r17 verdict
@@ -203,14 +207,19 @@ object Bench {
     def snap(): MetricsSnap = MetricsSnap(shuffleRead.get, shuffleWrite.get,
       diskSpill.get, memSpill.get, cpuNs.get, runMs.get)
     /** Wait for the async listener bus to drain this listener's task
-      * events: stable for 200 ms, cap 2 s. Untimed wall only. */
+      * events: stable for 60 ms (polled at 15 ms), cap 2 s. Untimed wall
+      * only. The window is deliberately small — quiesce runs TWICE per
+      * section, so a 200 ms window taxed a ~45-section suite ~18 s of
+      * pure sleep (r17 review); the bus drains a completed action's tail
+      * in single-digit ms, and a rare straggler only blurs one section's
+      * MB attribution, never a timing. */
     def quiesce(): Unit = {
       val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
       var last = events.get()
       var stableSince = System.nanoTime()
-      while (System.nanoTime() - stableSince < 200L * 1000 * 1000 &&
+      while (System.nanoTime() - stableSince < 60L * 1000 * 1000 &&
           System.nanoTime() < deadline) {
-        Thread.sleep(20)
+        Thread.sleep(15)
         val now = events.get()
         if (now != last) { last = now; stableSince = System.nanoTime() }
       }

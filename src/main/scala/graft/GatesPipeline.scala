@@ -816,8 +816,10 @@ private[graft] object GatesPipeline {
         .unionByName(tIds.limit(1).select(lit(-400L).as("doc_id"),
           concat(lit("resume:noops="),
             lit(Seq(fpN, mhN, bmN).count(_ == 0L)),
-            lit(",landed="), lit((if (annN == nTd) 1 else 0) +
-              1 /* the revalidate, require-pinned above */)).as("status")))
+            // landed = ANN delete + ledger revalidate, both require-pinned
+            // above, so the literal is honest (r17 review: a conditional
+            // here implied a data-dependence that the requires preclude)
+            lit(",landed="), lit(2)).as("status")))
         .orderBy("doc_id")
     }),
     "events_sessions" -> ((s, d) =>

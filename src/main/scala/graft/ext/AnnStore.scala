@@ -448,6 +448,18 @@ object AnnStore {
   /** Data files the CURRENT manifest lists — the store's live footprint
     * (compaction gates assert on this; raw directory walks also see crash
     * orphans and still-cooling superseded generations). */
+  /** The CURRENT manifest's live code-generation directories — what a
+    * serve's listing actually reads. A raw directory listing is WRONG
+    * after a compaction: superseded generations cool on disk for
+    * `graft.ann.gcGraceMs` but are invisible to readers (r17 review —
+    * the ANN soak's listed-bytes fraction summed over the raw listing
+    * and misrepresented pruning for the whole post-compaction tail). */
+  def liveCodeGenPaths(spark: SparkSession, path: String): Seq[String] = {
+    val v = currentVersion(spark, path)
+    readCodesManifest(spark, path, v).gens
+      .map(g => s"${codesPath(path, v)}/$g")
+  }
+
   def liveCodeFileCount(spark: SparkSession, path: String): Long = {
     val v = currentVersion(spark, path)
     readCodesManifest(spark, path, v).gens

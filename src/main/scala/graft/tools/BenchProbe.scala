@@ -63,16 +63,13 @@ object BenchProbe {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def loadavg(): Double =
-      try {
-        val src = scala.io.Source.fromFile("/proc/loadavg")
-        try src.mkString.split(" ")(0).toDouble finally src.close()
-      } catch { case _: Exception => -1.0 }
 
     (1 to iters).foreach { i =>
       val cpu = Bench.canaryMs()
       val io = Bench.ioCanaryMs()
-      val load = loadavg()
+      // the suite's reader (shared so the probe's number is always
+      // calibrated identically to BENCH_LOCAL.json's)
+      val load = Bench.loadavg()
       metrics.quiesce()
       val m0 = metrics.snap()
       val t0 = System.nanoTime()

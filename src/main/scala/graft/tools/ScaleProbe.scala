@@ -65,6 +65,41 @@ object ScaleProbe {
         expr("translate(text, 'aeiou', rot)").as("text"))
   }
 
+  /** Nearest-nProbe-centroid cell set for a collected query batch — the
+    * same rule AnnStore.serve's partition pruning applies. Shared by the
+    * annserve leg and the ANN soak (r17 review: the two inline copies
+    * had already diverged on the listing side). */
+  private def probedCells(qVecs: Array[Array[Double]],
+      centers: Array[Array[Double]], nProbe: Int): Set[Int] =
+    qVecs.flatMap { v =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var t = 0
+        while (t < v.length) { val d = v(t) - c(t); s += d * d; t += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }.toSet
+
+  /** (probed bytes, total bytes) over the store's LIVE code generations
+    * — manifest-listed via [[graft.ext.AnnStore.liveCodeGenPaths]], so
+    * post-compaction cooling generations (on disk but invisible to
+    * serves) are excluded (r17 review). */
+  private def annListedBytes(spark: SparkSession, dir: String,
+      probed: Set[Int]): (Long, Long) = {
+    val f = graft.ext.StoreFiles.fs(spark, dir)
+    var (kb, tb) = (0L, 0L)
+    for (genPath <- graft.ext.AnnStore.liveCodeGenPaths(spark, dir);
+         part <- f.listStatus(new org.apache.hadoop.fs.Path(genPath));
+         if part.isDirectory) {
+      val nm = part.getPath.getName
+      val bytes = graft.ext.StoreFiles.dataBytesRecursive(spark,
+        part.getPath.toString)
+      tb += bytes
+      if (nm.startsWith("cell=") &&
+          probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
+    }
+    (kb, tb)
+  }
+
   def main(args: Array[String]): Unit = {
     // optional args: leg names to run ("dedup", "pack", "backoff", "er",
     // "joins", "saltedjoin", "saltedjoin_dup", "bm25store", "annserve",
@@ -377,25 +412,8 @@ object ScaleProbe {
         // the probed cell set (same nearest-nProbe-centroids rule the
         // serve applies) → which cell=N partition dirs its listing keeps
         val idx = graft.ext.AnnStore.loadIndex(spark, dir)
-        val probed = qVecs.flatMap { v =>
-          idx.centers.zipWithIndex.map { case (c, i) =>
-            var s = 0.0; var t = 0
-            while (t < v.length) { val d = v(t) - c(t); s += d * d; t += 1 }
-            (s, i)
-          }.sortBy(_._1).take(nProbe).map(_._2)
-        }.toSet
-        val f = graft.ext.StoreFiles.fs(spark, dir)
-        var (kb, tb) = (0L, 0L)
-        val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/v1/codes")
-        for (gen <- f.listStatus(codesRoot); if gen.isDirectory;
-             part <- f.listStatus(gen.getPath); if part.isDirectory) {
-          val nm = part.getPath.getName
-          val bytes = graft.ext.StoreFiles.dataBytesRecursive(
-            spark, part.getPath.toString)
-          tb += bytes
-          if (nm.startsWith("cell=") &&
-              probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
-        }
+        val probed = probedCells(qVecs, idx.centers, nProbe)
+        val (kb, tb) = annListedBytes(spark, dir, probed)
         // r16 (r15-verdict #6): tombstoned serve at every decade — the
         // masked-serve ≈ baseline claim gets its 200k-vector point
         val (tdel, nDel) = time(graft.ext.AnnStore.delete(
@@ -758,29 +776,13 @@ object ScaleProbe {
           .map(_.getSeq[Float](1).toArray.map(_.toDouble))
         val nProbe = 8
         // probed cells are FIXED (same queries, centroids never retrain
-        // in this soak) — compute once, re-list bytes per cycle
+        // in this soak) — compute once, re-list bytes per cycle over the
+        // MANIFEST's live generations (a raw dir listing would count
+        // post-compaction cooling generations serves never read)
         val annIdx = graft.ext.AnnStore.loadIndex(spark, annDir)
-        val probed = qVecs.flatMap { v =>
-          annIdx.centers.zipWithIndex.map { case (c, i) =>
-            var s = 0.0; var t = 0
-            while (t < v.length) { val d = v(t) - c(t); s += d * d; t += 1 }
-            (s, i)
-          }.sortBy(_._1).take(nProbe).map(_._2)
-        }.toSet
+        val probed = probedCells(qVecs, annIdx.centers, nProbe)
         def listedFrac(): Double = {
-          val f = graft.ext.StoreFiles.fs(spark, annDir)
-          val v = graft.ext.AnnStore.currentVersion(spark, annDir)
-          var (kb, tb) = (0L, 0L)
-          val codesRoot = new org.apache.hadoop.fs.Path(s"$annDir/v$v/codes")
-          for (gen <- f.listStatus(codesRoot); if gen.isDirectory;
-               part <- f.listStatus(gen.getPath); if part.isDirectory) {
-            val nm = part.getPath.getName
-            val bytes = graft.ext.StoreFiles.dataBytesRecursive(
-              spark, part.getPath.toString)
-            tb += bytes
-            if (nm.startsWith("cell=") &&
-                probed.contains(nm.stripPrefix("cell=").toInt)) kb += bytes
-          }
+          val (kb, tb) = annListedBytes(spark, annDir, probed)
           if (tb == 0) 0.0 else kb.toDouble / tb
         }
         // appended vectors are negated base vectors under disjoint ids:
