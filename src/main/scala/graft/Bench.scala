@@ -149,10 +149,16 @@ object Bench {
         var n = 1
         while (n > 0) { rbuf.clear(); n = rch.read(rbuf) }
       } finally rch.close()
+      // the unlink is part of the measured scope (a journaled metadata
+      // write on the same filesystem — the r17 clean band of ~26-45 ms
+      // was recorded with it included; r17 second-pass review caught a
+      // refactor silently moving it out)
+      java.nio.file.Files.delete(tmp)
       (System.nanoTime() - t0) / 1e6
     } finally
       // an EIO/disk-full mid-canary must not strand 8 MB orphans in the
-      // very tmpdir whose pressure is being diagnosed (r17 review)
+      // very tmpdir whose pressure is being diagnosed (r17 review);
+      // no-op on the success path (already deleted inside the timing)
       java.nio.file.Files.deleteIfExists(tmp): Unit
   }
 
@@ -207,17 +213,21 @@ object Bench {
     def snap(): MetricsSnap = MetricsSnap(shuffleRead.get, shuffleWrite.get,
       diskSpill.get, memSpill.get, cpuNs.get, runMs.get)
     /** Wait for the async listener bus to drain this listener's task
-      * events: stable for 60 ms (polled at 15 ms), cap 2 s. Untimed wall
-      * only. The window is deliberately small — quiesce runs TWICE per
-      * section, so a 200 ms window taxed a ~45-section suite ~18 s of
-      * pure sleep (r17 review); the bus drains a completed action's tail
-      * in single-digit ms, and a rare straggler only blurs one section's
-      * MB attribution, never a timing. */
+      * events: stable for 100 ms (polled at 15 ms), cap 2 s. Untimed
+      * wall only. The window trades two risks (r17 review + second
+      * pass): it runs TWICE per section, so the original 200 ms window
+      * taxed a ~45-section suite ~18 s of pure sleep; but too small a
+      * window can hand a bus-backlog straggler burst to the NEXT
+      * section's MetricsSnap delta, blurring the bytes-vs-wall
+      * attribution the telemetry exists for. 100 ms halves the sleep tax
+      * while staying well above the bus's normal single-digit-ms drain;
+      * a straggler that outwaits it only blurs one section's MB
+      * attribution, never a timing. */
     def quiesce(): Unit = {
       val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
       var last = events.get()
       var stableSince = System.nanoTime()
-      while (System.nanoTime() - stableSince < 60L * 1000 * 1000 &&
+      while (System.nanoTime() - stableSince < 100L * 1000 * 1000 &&
           System.nanoTime() < deadline) {
         Thread.sleep(15)
         val now = events.get()

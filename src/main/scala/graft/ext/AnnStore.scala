@@ -445,9 +445,6 @@ object AnnStore {
     }
   }
 
-  /** Data files the CURRENT manifest lists — the store's live footprint
-    * (compaction gates assert on this; raw directory walks also see crash
-    * orphans and still-cooling superseded generations). */
   /** The CURRENT manifest's live code-generation directories — what a
     * serve's listing actually reads. A raw directory listing is WRONG
     * after a compaction: superseded generations cool on disk for
@@ -460,12 +457,12 @@ object AnnStore {
       .map(g => s"${codesPath(path, v)}/$g")
   }
 
-  def liveCodeFileCount(spark: SparkSession, path: String): Long = {
-    val v = currentVersion(spark, path)
-    readCodesManifest(spark, path, v).gens
-      .map(g => StoreFiles.dataFileCountRecursive(spark,
-        s"${codesPath(path, v)}/$g").toLong).sum
-  }
+  /** Data files the CURRENT manifest lists — the store's live footprint
+    * (compaction gates assert on this; raw directory walks also see crash
+    * orphans and still-cooling superseded generations). */
+  def liveCodeFileCount(spark: SparkSession, path: String): Long =
+    liveCodeGenPaths(spark, path)
+      .map(p => StoreFiles.dataFileCountRecursive(spark, p).toLong).sum
 
   /** Encode a new batch against the CURRENT (frozen) index and append its
     * codes as one committed generation — the steady-state ingest path.
