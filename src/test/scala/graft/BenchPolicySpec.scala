@@ -110,26 +110,30 @@ class BenchPolicySpec extends AnyFunSuite {
       io = 10, ioMedian = 10, ioFloor = Some(8.0)))
   }
 
-  test("suspectSection: io leg, non-uniform disk contention (>2x run median)") {
+  test("suspectSection: io leg, non-uniform disk contention (>3x run median)") {
     assert(Bench.suspectSection(cpu = 70, cpuMedian = 70,
-      io = 90, ioMedian = 40, ioFloor = None))
+      io = 130, ioMedian = 40, ioFloor = None))
     // under the 20 ms absolute guard: a fast write can't be contention
     // that moves a multi-second section, however skewed the ratio
     assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
-      io = 12, ioMedian = 4, ioFloor = Some(3.0)))
+      io = 15, ioMedian = 4, ioFloor = Some(3.0)))
   }
 
-  test("suspectSection: io leg, UNIFORM disk contention (>3x rolling io floor) — the r16 blind spot") {
+  test("suspectSection: io leg, UNIFORM disk contention (>4x rolling io floor) — the r16 blind spot") {
     // every section's io canary inflated ~equally: the median-relative
-    // test sees nothing (io == ioMedian), the floor leg fires
+    // test sees nothing (io == ioMedian), the floor leg fires (planted
+    // uniform contention measured 8-56x, BASELINE §r17)
     assert(Bench.suspectSection(cpu = 70, cpuMedian = 70,
-      io = 60, ioMedian = 60, ioFloor = Some(12.0)))
+      io = 240, ioMedian = 240, ioFloor = Some(28.0)))
     // no recorded floor (pre-r17 artifact): the leg disables, uniform
     // contention stays undetectable by io — documented residual
     assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
-      io = 60, ioMedian = 60, ioFloor = None))
-    // quiet window: io at the floor, nothing suspect
+      io = 240, ioMedian = 240, ioFloor = None))
+    // quiet window: the r17 close run's worst observed wobble (79.4 ms
+    // against a 28.3 ms median/floor — fsync variance at rest, third-
+    // pass review) must NOT be suspect, or a section born under it
+    // would be refused a floor forever
     assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
-      io = 13, ioMedian = 12, ioFloor = Some(12.0)))
+      io = 79.4, ioMedian = 28.3, ioFloor = Some(28.3)))
   }
 }
