@@ -769,7 +769,11 @@ object ScaleProbe {
         graft.ext.AnnStore.create(embBase, "vec_id", "embedding",
           graft.ext.Similarity.trainIvf(embBase, "vec_id", "embedding",
             graft.ext.Similarity.autoNCentroids(rows)), annDir)
-        val qv = embBase.filter(col("vec_id") < 16)
+        // query count tunable: at small SFs 16 queries × nProbe 8 probe
+        // EVERY cell (frac 1.0 by construction); a narrow batch (e.g. 2)
+        // makes the pruned fraction a real signal across cycles
+        val nQ = sys.env.getOrElse("SPARK_GRAFT_SOAK_ANN_QUERIES", "16").toInt
+        val qv = embBase.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
           .persist()
         val qVecs = qv.collect()
