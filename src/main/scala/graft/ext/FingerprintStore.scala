@@ -419,6 +419,39 @@ object FingerprintStore {
       StoreFiles.dataFileCountRecursive(spark, genPath(path, g)).toLong).sum
   }
 
+  /** Cadence wrapper over [[compact]] (r17 — completes the cadence
+    * family across ALL FOUR crawl-appended stores: the MinHash/BM25/ANN
+    * cadences landed r16, and the fingerprint store takes the same
+    * nightly `appendBatch` and fragments identically). Compacts when the
+    * manifest lists more than `maxGens` generations or `maxLiveFiles`
+    * live data files (the small-files growth face), or — the
+    * erasure-deadline face — when live tombstone ROWS exceed
+    * `maxTombstoneRows` (0 heals on the first call after any takedown;
+    * the default -1 keeps the growth-only policy). Returns true when a
+    * compaction ran. Cost per no-op call: one manifest read, file
+    * listings over the live generations, and footer row counts over the
+    * tombstone generations — zero Spark jobs. A manifest-listed
+    * tombstone generation missing on disk refuses loudly (damaged
+    * store), mirroring the commit path. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxGens: Int = 16, maxLiveFiles: Long = 512,
+      maxTombstoneRows: Long = -1L): Boolean = {
+    val m = readManifest(spark, path)
+    def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
+      spark, genPath(path, g)).toLong).sum
+    def tombRows = m.tombs.map { g =>
+      val r = StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")
+      require(r >= 0L, s"compactIfNeeded: listed tombstone generation " +
+        s"'$g' under $path/tombs is missing on disk — refusing to " +
+        "evaluate the erasure deadline against a damaged store")
+      r
+    }.sum
+    val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||
+      (maxTombstoneRows >= 0L && tombRows > maxTombstoneRows)
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Compact the store after N appends: the accumulated generations
     * rewrite into ONE size-targeted generation (default ~128 MB files)
     * and the Bloom filter rebuilds from the compacted set — membership is

@@ -749,6 +749,55 @@ object ScaleProbe {
         f"serve_last10_med=${med(bmServe.takeRight(10).toSeq)}%.2f")
       }
 
+      // r17: the fingerprint store's soak — the FOURTH crawl-appended
+      // store family (cadence: compactIfNeeded, same thresholds shape as
+      // BM25/ANN): streamed appendBatch every cycle, a retraction every
+      // 10th, cadence check every cycle with maxTombstoneRows=0 so each
+      // threshold compaction also physically erases. Serve = scrub of a
+      // FIXED probe batch (membership constant by construction).
+      val fpCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_FP", "60").toInt
+      if (fpCycles > 0) {
+        val fpDir = java.nio.file.Files
+          .createTempDirectory("graft-soak-fp").toString + "/store"
+        graft.ext.FingerprintStore.build(docs, "text", fpDir)
+        val fpProbe = docs.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" fp probe suffix")).as("text"))
+          .persist()
+        val nProbeRows = fpProbe.count()
+        var fpCompactions = 0
+        val fpServe = collection.mutable.ArrayBuffer.empty[Double]
+        val fpFiles = collection.mutable.ArrayBuffer.empty[Long]
+        for (i <- 1 to fpCycles) {
+          graft.ext.FingerprintStore.appendBatch(batchOf(i), "text",
+            fpDir, "soak", i.toLong): Unit
+          if (i % 10 == 0) {
+            val victim = i - 5
+            graft.ext.FingerprintStore.retractBatch(
+              batchOf(victim).filter(col("doc_id") % 3 === 0),
+              "text", fpDir, "soaktd", i.toLong): Unit
+          }
+          if (graft.ext.FingerprintStore.compactIfNeeded(spark, fpDir,
+              maxGens = 16, maxTombstoneRows = 0L)) fpCompactions += 1
+          val files = graft.ext.FingerprintStore.liveFileCount(spark, fpDir)
+          val (ts, served) = time(graft.ext.FingerprintStore.scrub(
+            fpProbe, "text", fpDir).count())
+          require(served == nProbeRows,
+            s"fp soak probe must stay membership-constant ($served)")
+          fpServe += ts; fpFiles += files
+          if (i % 10 == 0 || i == fpCycles)
+            println(f"PROBE soak_fp cycle=$i files=$files " +
+              f"serve_sec=$ts%.2f served=$served " +
+              f"compactions=$fpCompactions")
+        }
+        println(f"PROBE soak_fp_summary cycles=$fpCycles " +
+          f"files_max=${fpFiles.max} files_last=${fpFiles.last} " +
+          f"compactions=$fpCompactions " +
+          f"serve_first10_med=${med(fpServe.take(10).toSeq)}%.2f " +
+          f"serve_last10_med=${med(fpServe.takeRight(10).toSeq)}%.2f")
+        fpProbe.unpersist(): Unit
+      }
+
       // r17 (r16-verdict #2): the ANN store's soak — completes the soak
       // family across the three crawl-appended stores (MinHash 100
       // cycles, BM25 60, now ANN under `compactCodesIfNeeded`). Streamed

@@ -321,4 +321,58 @@ class FingerprintStoreSpec extends SparkSpec {
     assert(FingerprintStore.scrub(back, "text", dir)
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(40L))
   }
+
+  test("compactIfNeeded: no-op under thresholds, bounds files over them, erasure-deadline face heals tombstones; damaged store refuses (r17)") {
+    val dir = tmp()
+    FingerprintStore.build(corpus, "text", dir)
+    // a freshly-built store is under any sane threshold: no-op
+    assert(!FingerprintStore.compactIfNeeded(spark, dir))
+    // fragment via streamed appends (the nightly shape)
+    (1 to 6).foreach { i =>
+      val b = Seq((1000L + i, s"fp cadence batch $i content"))
+        .toDF("doc_id", "text")
+      FingerprintStore.appendBatch(b, "text", dir, "cad", i.toLong): Unit
+    }
+    val frag = FingerprintStore.liveFileCount(spark, dir)
+    val probe = Seq((50L, "fp cadence batch 3 content"),
+      (51L, "the quick brown fox"), (52L, "never seen text"))
+      .toDF("doc_id", "text")
+    def kept() = FingerprintStore.scrub(probe, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept() == Seq(52L))
+    // growth face: threshold below the fragmented count → compaction
+    // runs, file count drops, membership identical
+    assert(FingerprintStore.compactIfNeeded(spark, dir,
+      maxLiveFiles = frag - 1))
+    assert(FingerprintStore.liveFileCount(spark, dir) < frag)
+    assert(kept() == Seq(52L), "cadence compaction must not change scrubs")
+    // erasure-deadline face: a takedown leaves live tombstone rows;
+    // maxTombstoneRows=0 forces the heal on the next cadence call
+    assert(FingerprintStore.retract(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"),
+      "text", dir) == 1L)
+    assert(FingerprintStore.retractionCount(spark, dir) == 1L)
+    assert(!FingerprintStore.compactIfNeeded(spark, dir,
+      maxTombstoneRows = -1L), "growth-only policy must ignore tombstones")
+    assert(FingerprintStore.compactIfNeeded(spark, dir,
+      maxTombstoneRows = 0L))
+    assert(FingerprintStore.retractionCount(spark, dir) == 0L,
+      "deadline compaction must physically erase and retire tombstones")
+    assert(kept() == Seq(51L, 52L),
+      "a re-crawl of the retracted text must pass after the heal")
+    // damaged store: a manifest-listed tombstone generation missing on
+    // disk must refuse the deadline evaluation, not satisfy it with 0
+    assert(FingerprintStore.retract(
+      Seq((2L, "jumped over the dog")).toDF("doc_id", "text"),
+      "text", dir) == 1L)
+    // delete EVERY tombs/ gen dir (the live one is among them; cooling
+    // leftovers from the earlier heal are not manifest-listed and their
+    // removal is inert)
+    val f = graft.ext.StoreFiles.fs(spark, dir)
+    f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/tombs"))
+      .filter(_.isDirectory).foreach(s => f.delete(s.getPath, true): Unit)
+    val e = intercept[IllegalArgumentException](
+      FingerprintStore.compactIfNeeded(spark, dir, maxTombstoneRows = 0L))
+    assert(e.getMessage.contains("missing on disk"), e.getMessage)
+  }
 }
