@@ -657,20 +657,12 @@ object AnnStore {
       maxTombstoneRows: Long = -1L): Boolean = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)
-    def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
-      spark, s"${codesPath(path, v)}/$g").toLong).sum
-    def tombRows = m.tombs.map { g =>
-      val r = StoreFiles.parquetRowsWritten(spark, s"${tombsPath(path, v)}/$g")
-      // r17 (advice): a manifest-listed tombstone generation missing on
-      // disk must refuse loudly, mirroring commitTombstones — mapping it
-      // to 0 rows would silently satisfy the erasure-deadline policy on a
-      // damaged store.
-      require(r >= 0L, s"compactCodesIfNeeded: listed tombstone " +
-        s"generation '$g' under ${tombsPath(path, v)} is missing on " +
-        "disk — refusing to evaluate the erasure deadline against a " +
-        "damaged store")
-      r
-    }.sum
+    def liveFiles = liveCodeFileCount(spark, path)
+    // r17 (advice): a manifest-listed tombstone generation missing on
+    // disk refuses loudly (shared helper — mapping it to 0 rows would
+    // silently satisfy the erasure-deadline policy on a damaged store)
+    def tombRows = StoreFiles.committedTombstoneRows(spark,
+      tombsPath(path, v), m.tombs, "compactCodesIfNeeded")
     val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||
       (maxTombstoneRows >= 0L && tombRows > maxTombstoneRows)
     if (due) compactCodes(spark, path)

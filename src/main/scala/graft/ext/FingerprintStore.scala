@@ -439,13 +439,8 @@ object FingerprintStore {
     val m = readManifest(spark, path)
     def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
       spark, genPath(path, g)).toLong).sum
-    def tombRows = m.tombs.map { g =>
-      val r = StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")
-      require(r >= 0L, s"compactIfNeeded: listed tombstone generation " +
-        s"'$g' under $path/tombs is missing on disk — refusing to " +
-        "evaluate the erasure deadline against a damaged store")
-      r
-    }.sum
+    def tombRows = StoreFiles.committedTombstoneRows(spark,
+      s"$path/tombs", m.tombs, "compactIfNeeded")
     val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||
       (maxTombstoneRows >= 0L && tombRows > maxTombstoneRows)
     if (due) compact(spark, path)

@@ -82,6 +82,26 @@ object StoreFiles {
   def parquetRowsWritten(spark: SparkSession, genDir: String): Long =
     parquetRowsAndNulls(spark, genDir, "")._1
 
+  /** Footer-summed rows over a manifest's COMMITTED tombstone
+    * generations, refusing loudly when a listed generation is missing on
+    * disk (a damaged store must never satisfy a cap or an
+    * erasure-deadline policy with a silent 0). ONE implementation for
+    * every caller — the tombstone-cap check here, and the
+    * erasure-deadline faces of the store cadences (r17 third-pass
+    * review: three inline copies of this loop had started to drift).
+    * The footer sum can double-count an id retracted in two batches —
+    * an upper bound on distinct ids, which only triggers a deadline
+    * policy EARLIER (cadence-grade accuracy). */
+  def committedTombstoneRows(spark: SparkSession, tombsRoot: String,
+      gens: Seq[String], what: String): Long =
+    gens.map { g =>
+      val r = parquetRowsWritten(spark, s"$tombsRoot/$g")
+      require(r >= 0L, s"$what: committed tombstone generation '$g' " +
+        s"under $tombsRoot is missing on disk — refusing to evaluate " +
+        "the policy against a damaged store")
+      r
+    }.sum
+
   /** [[parquetRowsWritten]] plus the NULL COUNT of one column, both from
     * the parquet footers (r15, verdict #4): the takedown paths must refuse
     * null ids, and the former `filter(isNull).isEmpty` pre-check cost one
@@ -201,13 +221,8 @@ object StoreFiles {
           "nothing (serves anti-join with non-null-safe equality) but " +
           "would count toward the cap and the returned n; filter it out")
       }
-      val live = extraLiveRows + committedGens.map { g =>
-        val r = parquetRowsWritten(spark, s"$tombsRoot/$g")
-        require(r >= 0L, s"$what: committed tombstone generation '$g' " +
-          s"under $tombsRoot is missing on disk — refusing to evaluate " +
-          "the live cap against a damaged store")
-        r
-      }.sum
+      val live = extraLiveRows +
+        committedTombstoneRows(spark, tombsRoot, committedGens, what)
       val cap = spark.conf.getOption(capConfKey).map(_.toLong)
         .getOrElse(10000000L)
       if (live + n > cap) {

@@ -666,33 +666,31 @@ object ScaleProbe {
         .persist()
       probe.count(): Unit
       def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-      def runSoak(name: String, n: Int, cadence: Boolean): Unit = {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-soak-$name").toString + "/mh"
-        graft.ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+      /** ONE soak protocol for all four crawl-appended store families
+        * (r17 third-pass review: the per-store loop copies had begun to
+        * drift). Per cycle: append batch i; every 10th cycle, take down
+        * a third of the batch appended 5 cycles earlier; run the
+        * store's compaction cadence; time the fixed-probe serve. `extra`
+        * appends leg-specific fields to the per-decade line (e.g. the
+        * ANN pruned fraction). */
+      def runStoreSoak(name: String, n: Int,
+          append: Int => Unit, retract: Int => Unit,
+          cadenceCheck: () => Boolean, files: () => Long,
+          serve: () => Long, extra: () => String = () => ""): Unit = {
         var compactions = 0
         val serveS = collection.mutable.ArrayBuffer.empty[Double]
-        val filesS = collection.mutable.ArrayBuffer.empty[Int]
+        val filesS = collection.mutable.ArrayBuffer.empty[Long]
         for (i <- 1 to n) {
-          graft.ext.Dedup.appendBatchToMinHashStore(batchOf(i), "doc_id",
-            "text", dir, "soak", i.toLong): Unit
-          if (i % 10 == 0) {
-            // takedown: a third of the batch appended 5 cycles ago
-            val victim = i - 5
-            graft.ext.Dedup.retractFromMinHashStore(
-              batchOf(victim).filter(col("doc_id") % 3 === 0)
-                .select("doc_id"), "doc_id", dir): Unit
-          }
-          if (cadence &&
-              graft.ext.Dedup.compactMinHashStoreIfNeeded(spark, dir,
-                maxFiles = 64)) compactions += 1
-          val files = graft.ext.Dedup.minhashStoreFileCount(spark, dir)
-          val (ts, pairs) = time(graft.ext.Dedup.minhashPairsAgainstStore(
-            probe, "doc_id", "text", dir).count())
-          serveS += ts; filesS += files
+          append(i)
+          if (i % 10 == 0) retract(i - 5)
+          if (cadenceCheck()) compactions += 1
+          val nf = files()
+          val (ts, served) = time(serve())
+          serveS += ts; filesS += nf
           if (i % 10 == 0 || i == n)
-            println(f"PROBE soak_$name cycle=$i files=$files " +
-              f"serve_sec=$ts%.2f pairs=$pairs compactions=$compactions")
+            println(f"PROBE soak_$name cycle=$i files=$nf " +
+              f"serve_sec=$ts%.2f served=$served${extra()} " +
+              f"compactions=$compactions")
         }
         println(f"PROBE soak_${name}_summary cycles=$n " +
           f"files_max=${filesS.max} files_last=${filesS.last} " +
@@ -700,9 +698,26 @@ object ScaleProbe {
           f"serve_first10_med=${med(serveS.take(10).toSeq)}%.2f " +
           f"serve_last10_med=${med(serveS.takeRight(10).toSeq)}%.2f")
       }
+      def mhSoak(name: String, n: Int, cadence: Boolean): Unit = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-soak-$name").toString + "/mh"
+        graft.ext.Dedup.buildMinHashStore(docs, "doc_id", "text", dir)
+        runStoreSoak(name, n,
+          append = i => graft.ext.Dedup.appendBatchToMinHashStore(
+            batchOf(i), "doc_id", "text", dir, "soak", i.toLong): Unit,
+          retract = v => graft.ext.Dedup.retractFromMinHashStore(
+            batchOf(v).filter(col("doc_id") % 3 === 0).select("doc_id"),
+            "doc_id", dir): Unit,
+          cadenceCheck = () => cadence && graft.ext.Dedup
+            .compactMinHashStoreIfNeeded(spark, dir, maxFiles = 64),
+          files = () =>
+            graft.ext.Dedup.minhashStoreFileCount(spark, dir).toLong,
+          serve = () => graft.ext.Dedup.minhashPairsAgainstStore(
+            probe, "doc_id", "text", dir).count())
+      }
       // each sub-soak is skippable via its env knob (0 = skip)
-      if (cycles > 0) runSoak("cadence", cycles, cadence = true)
-      if (controlCycles > 0) runSoak("control", controlCycles, cadence = false)
+      if (cycles > 0) mhSoak("cadence", cycles, cadence = true)
+      if (controlCycles > 0) mhSoak("control", controlCycles, cadence = false)
 
       // the BM25 store's soak — same cadence contract, different
       // mechanics (manifest generations + compactIndexIfNeeded's
@@ -711,42 +726,27 @@ object ScaleProbe {
       // maxTombstoneRows=0 so each threshold compaction also heals
       val bmCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_BM", "60").toInt
       if (bmCycles > 0) {
-      val bmDir = java.nio.file.Files
-        .createTempDirectory("graft-soak-bm").toString + "/idx"
-      graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", bmDir)
-      val qs = docs.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("qid"), concat_ws(" ",
-          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
-        .persist()
-      qs.count(): Unit
-      var bmCompactions = 0
-      val bmServe = collection.mutable.ArrayBuffer.empty[Double]
-      val bmFiles = collection.mutable.ArrayBuffer.empty[Long]
-      for (i <- 1 to bmCycles) {
-        graft.ext.Retrieval.appendBatchToIndex(batchOf(i), "doc_id",
-          "text", bmDir, "soak", i.toLong): Unit
-        if (i % 10 == 0) {
-          val victim = i - 5
-          graft.ext.Retrieval.deleteDocsBatch(
-            batchOf(victim).filter(col("doc_id") % 3 === 0)
-              .select("doc_id"), "doc_id", bmDir, "soaktd", i.toLong): Unit
-        }
-        if (graft.ext.Retrieval.compactIndexIfNeeded(spark, bmDir,
-            maxGens = 16, maxTombstoneRows = 0L)) bmCompactions += 1
-        val files = graft.ext.Retrieval.liveFileCount(spark, bmDir)
-        val (ts, served) = time(graft.ext.Retrieval.bm25TopKFromIndex(
-          spark, bmDir, qs, "qid", "qtext", k = 5).count())
-        bmServe += ts; bmFiles += files
-        if (i % 10 == 0 || i == bmCycles)
-          println(f"PROBE soak_bm25 cycle=$i files=$files " +
-            f"serve_sec=$ts%.2f served=$served compactions=$bmCompactions")
-      }
-      
-      println(f"PROBE soak_bm25_summary cycles=$bmCycles " +
-        f"files_max=${bmFiles.max} files_last=${bmFiles.last} " +
-        f"compactions=$bmCompactions " +
-        f"serve_first10_med=${med(bmServe.take(10).toSeq)}%.2f " +
-        f"serve_last10_med=${med(bmServe.takeRight(10).toSeq)}%.2f")
+        val bmDir = java.nio.file.Files
+          .createTempDirectory("graft-soak-bm").toString + "/idx"
+        graft.ext.Retrieval.buildIndex(docs, "doc_id", "text", bmDir)
+        val qs = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("qid"), concat_ws(" ",
+            slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3))
+              .as("qtext"))
+          .persist()
+        qs.count(): Unit
+        runStoreSoak("bm25", bmCycles,
+          append = i => graft.ext.Retrieval.appendBatchToIndex(batchOf(i),
+            "doc_id", "text", bmDir, "soak", i.toLong): Unit,
+          retract = v => graft.ext.Retrieval.deleteDocsBatch(
+            batchOf(v).filter(col("doc_id") % 3 === 0).select("doc_id"),
+            "doc_id", bmDir, "soaktd", v.toLong): Unit,
+          cadenceCheck = () => graft.ext.Retrieval.compactIndexIfNeeded(
+            spark, bmDir, maxGens = 16, maxTombstoneRows = 0L),
+          files = () => graft.ext.Retrieval.liveFileCount(spark, bmDir),
+          serve = () => graft.ext.Retrieval.bm25TopKFromIndex(
+            spark, bmDir, qs, "qid", "qtext", k = 5).count())
+        qs.unpersist(): Unit
       }
 
       // r17: the fingerprint store's soak — the FOURTH crawl-appended
@@ -765,36 +765,23 @@ object ScaleProbe {
             concat(col("text"), lit(" fp probe suffix")).as("text"))
           .persist()
         val nProbeRows = fpProbe.count()
-        var fpCompactions = 0
-        val fpServe = collection.mutable.ArrayBuffer.empty[Double]
-        val fpFiles = collection.mutable.ArrayBuffer.empty[Long]
-        for (i <- 1 to fpCycles) {
-          graft.ext.FingerprintStore.appendBatch(batchOf(i), "text",
-            fpDir, "soak", i.toLong): Unit
-          if (i % 10 == 0) {
-            val victim = i - 5
-            graft.ext.FingerprintStore.retractBatch(
-              batchOf(victim).filter(col("doc_id") % 3 === 0),
-              "text", fpDir, "soaktd", i.toLong): Unit
-          }
-          if (graft.ext.FingerprintStore.compactIfNeeded(spark, fpDir,
-              maxGens = 16, maxTombstoneRows = 0L)) fpCompactions += 1
-          val files = graft.ext.FingerprintStore.liveFileCount(spark, fpDir)
-          val (ts, served) = time(graft.ext.FingerprintStore.scrub(
-            fpProbe, "text", fpDir).count())
-          require(served == nProbeRows,
-            s"fp soak probe must stay membership-constant ($served)")
-          fpServe += ts; fpFiles += files
-          if (i % 10 == 0 || i == fpCycles)
-            println(f"PROBE soak_fp cycle=$i files=$files " +
-              f"serve_sec=$ts%.2f served=$served " +
-              f"compactions=$fpCompactions")
-        }
-        println(f"PROBE soak_fp_summary cycles=$fpCycles " +
-          f"files_max=${fpFiles.max} files_last=${fpFiles.last} " +
-          f"compactions=$fpCompactions " +
-          f"serve_first10_med=${med(fpServe.take(10).toSeq)}%.2f " +
-          f"serve_last10_med=${med(fpServe.takeRight(10).toSeq)}%.2f")
+        runStoreSoak("fp", fpCycles,
+          append = i => graft.ext.FingerprintStore.appendBatch(batchOf(i),
+            "text", fpDir, "soak", i.toLong): Unit,
+          retract = v => graft.ext.FingerprintStore.retractBatch(
+            batchOf(v).filter(col("doc_id") % 3 === 0),
+            "text", fpDir, "soaktd", v.toLong): Unit,
+          cadenceCheck = () => graft.ext.FingerprintStore.compactIfNeeded(
+            spark, fpDir, maxGens = 16, maxTombstoneRows = 0L),
+          files = () =>
+            graft.ext.FingerprintStore.liveFileCount(spark, fpDir),
+          serve = () => {
+            val served = graft.ext.FingerprintStore.scrub(
+              fpProbe, "text", fpDir).count()
+            require(served == nProbeRows,
+              s"fp soak probe must stay membership-constant ($served)")
+            served
+          })
         fpProbe.unpersist(): Unit
       }
 
@@ -846,37 +833,24 @@ object ScaleProbe {
           .filter(col("vec_id") % 50 === (i % 50))
           .select((col("vec_id") + i * 10000000L).as("vec_id"),
             transform(col("embedding"), x => -x).as("embedding"))
-        var annCompactions = 0
-        val annServe = collection.mutable.ArrayBuffer.empty[Double]
-        val annFiles = collection.mutable.ArrayBuffer.empty[Long]
-        for (i <- 1 to annCycles) {
-          graft.ext.AnnStore.appendBatch(annBatch(i), "vec_id",
-            "embedding", annDir, "soak", i.toLong): Unit
-          if (i % 10 == 0) {
-            val victim = i - 5
-            graft.ext.AnnStore.deleteBatch(
-              annBatch(victim).filter(col("vec_id") % 3 === 0)
-                .select("vec_id"), "vec_id", annDir, "soaktd",
-              i.toLong): Unit
-          }
-          if (graft.ext.AnnStore.compactCodesIfNeeded(spark, annDir,
-              maxGens = 16, maxTombstoneRows = 0L)) annCompactions += 1
-          val files = graft.ext.AnnStore.liveCodeFileCount(spark, annDir)
-          val (ts, served) = time(graft.ext.AnnStore.serve(annDir,
-            embBase, "vec_id", "embedding", qv, "qid", "qv", k = 10,
-            nProbe = nProbe).count())
-          annServe += ts; annFiles += files
-          if (i % 10 == 0 || i == annCycles)
-            println(f"PROBE soak_ann cycle=$i files=$files " +
-              f"serve_sec=$ts%.2f served=$served " +
-              f"listed_frac=${listedFrac()}%.4f " +
-              f"compactions=$annCompactions")
-        }
-        println(f"PROBE soak_ann_summary cycles=$annCycles " +
-          f"files_max=${annFiles.max} files_last=${annFiles.last} " +
-          f"compactions=$annCompactions " +
-          f"serve_first10_med=${med(annServe.take(10).toSeq)}%.2f " +
-          f"serve_last10_med=${med(annServe.takeRight(10).toSeq)}%.2f")
+        def annLeg(name: String, n: Int, dir: String, cadence: Boolean,
+            extra: () => String): Unit =
+          runStoreSoak(name, n,
+            append = i => graft.ext.AnnStore.appendBatch(annBatch(i),
+              "vec_id", "embedding", dir, "soak", i.toLong): Unit,
+            retract = v => graft.ext.AnnStore.deleteBatch(
+              annBatch(v).filter(col("vec_id") % 3 === 0)
+                .select("vec_id"), "vec_id", dir, "soaktd", v.toLong): Unit,
+            cadenceCheck = () => cadence &&
+              graft.ext.AnnStore.compactCodesIfNeeded(spark, dir,
+                maxGens = 16, maxTombstoneRows = 0L),
+            files = () => graft.ext.AnnStore.liveCodeFileCount(spark, dir),
+            serve = () => graft.ext.AnnStore.serve(dir, embBase, "vec_id",
+              "embedding", qv, "qid", "qv", k = 10,
+              nProbe = nProbe).count(),
+            extra = extra)
+        annLeg("ann", annCycles, annDir, cadence = true,
+          extra = () => f" listed_frac=${listedFrac()}%.4f")
         // no-cadence CONTROL: same cycle shape, compaction never runs —
         // the counterfactual the cadence prevents (files grow without
         // bound; serve drifts with the listing)
@@ -888,29 +862,8 @@ object ScaleProbe {
           graft.ext.AnnStore.create(embBase, "vec_id", "embedding",
             graft.ext.Similarity.trainIvf(embBase, "vec_id", "embedding",
               graft.ext.Similarity.autoNCentroids(rows)), cDir)
-          var files = 0L
-          val ctlServe = collection.mutable.ArrayBuffer.empty[Double]
-          for (i <- 1 to annControl) {
-            graft.ext.AnnStore.appendBatch(annBatch(i), "vec_id",
-              "embedding", cDir, "soak", i.toLong): Unit
-            if (i % 10 == 0)
-              graft.ext.AnnStore.deleteBatch(
-                annBatch(i - 5).filter(col("vec_id") % 3 === 0)
-                  .select("vec_id"), "vec_id", cDir, "soaktd",
-                i.toLong): Unit
-            files = graft.ext.AnnStore.liveCodeFileCount(spark, cDir)
-            val (ts, _) = time(graft.ext.AnnStore.serve(cDir, embBase,
-              "vec_id", "embedding", qv, "qid", "qv", k = 10,
-              nProbe = nProbe).count())
-            ctlServe += ts
-            if (i % 10 == 0 || i == annControl)
-              println(f"PROBE soak_ann_control cycle=$i files=$files " +
-                f"serve_sec=$ts%.2f")
-          }
-          println(f"PROBE soak_ann_control_summary cycles=$annControl " +
-            f"files_last=$files " +
-            f"serve_first10_med=${med(ctlServe.take(10).toSeq)}%.2f " +
-            f"serve_last10_med=${med(ctlServe.takeRight(10).toSeq)}%.2f")
+          annLeg("ann_control", annControl, cDir, cadence = false,
+            extra = () => "")
         }
         qv.unpersist(); embBase.unpersist(): Unit
       }
