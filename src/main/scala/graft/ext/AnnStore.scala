@@ -460,9 +460,20 @@ object AnnStore {
   /** Data files the CURRENT manifest lists — the store's live footprint
     * (compaction gates assert on this; raw directory walks also see crash
     * orphans and still-cooling superseded generations). */
-  def liveCodeFileCount(spark: SparkSession, path: String): Long =
-    liveCodeGenPaths(spark, path)
-      .map(p => StoreFiles.dataFileCountRecursive(spark, p).toLong).sum
+  def liveCodeFileCount(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+    liveCodeFileCount(spark, path, v, readCodesManifest(spark, path, v))
+  }
+
+  /** Snapshot-taking twin: the cadence must count files from the SAME
+    * (version, manifest) read its other legs use — a re-read could mix
+    * two snapshots across a concurrent flip, and costs a second
+    * version-pointer + manifest read per no-op call (r17 fourth-pass
+    * review caught the public-counter call reintroducing both). */
+  private def liveCodeFileCount(spark: SparkSession, path: String,
+      v: Int, m: CodesManifest): Long =
+    m.gens.map(g => StoreFiles.dataFileCountRecursive(spark,
+      s"${codesPath(path, v)}/$g").toLong).sum
 
   /** Encode a new batch against the CURRENT (frozen) index and append its
     * codes as one committed generation — the steady-state ingest path.
@@ -657,7 +668,7 @@ object AnnStore {
       maxTombstoneRows: Long = -1L): Boolean = {
     val v = currentVersion(spark, path)
     val m = readCodesManifest(spark, path, v)
-    def liveFiles = liveCodeFileCount(spark, path)
+    def liveFiles = liveCodeFileCount(spark, path, v, m)
     // r17 (advice): a manifest-listed tombstone generation missing on
     // disk refuses loudly (shared helper — mapping it to 0 rows would
     // silently satisfy the erasure-deadline policy on a damaged store)

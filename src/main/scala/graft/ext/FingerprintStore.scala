@@ -413,11 +413,17 @@ object FingerprintStore {
   /** Data files the CURRENT manifest lists — the store's live footprint
     * (compaction gates assert on this; raw directory walks also see
     * crash orphans and still-cooling superseded generations). */
-  def liveFileCount(spark: SparkSession, path: String): Long = {
-    val m = readManifest(spark, path)
+  def liveFileCount(spark: SparkSession, path: String): Long =
+    liveFileCount(spark, path, readManifest(spark, path))
+
+  /** Snapshot-taking twin — the cadence counts from the SAME manifest
+    * read its other legs use (r17 fourth-pass review: the sibling
+    * cadences had solved the one-read-vs-one-implementation tension in
+    * opposite ways; this shape gives both). */
+  private def liveFileCount(spark: SparkSession, path: String,
+      m: FpManifest): Long =
     m.gens.map(g =>
       StoreFiles.dataFileCountRecursive(spark, genPath(path, g)).toLong).sum
-  }
 
   /** Cadence wrapper over [[compact]] (r17 — completes the cadence
     * family across ALL FOUR crawl-appended stores: the MinHash/BM25/ANN
@@ -437,8 +443,7 @@ object FingerprintStore {
       maxGens: Int = 16, maxLiveFiles: Long = 512,
       maxTombstoneRows: Long = -1L): Boolean = {
     val m = readManifest(spark, path)
-    def liveFiles = m.gens.map(g => StoreFiles.dataFileCountRecursive(
-      spark, genPath(path, g)).toLong).sum
+    def liveFiles = liveFileCount(spark, path, m)
     def tombRows = StoreFiles.committedTombstoneRows(spark,
       s"$path/tombs", m.tombs, "compactIfNeeded")
     val due = m.gens.size > maxGens || liveFiles > maxLiveFiles ||

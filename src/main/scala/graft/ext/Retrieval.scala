@@ -714,13 +714,10 @@ object Retrieval {
       // batches count twice — stats-grade; tombstoneCount() distincts).
       // A lost committed generation refuses loudly (parquetRowsWritten's
       // -1 would silently skew the stat and every policy gating on it —
-      // r14 ADVICE), matching tombstoneFrame's loud-audit idiom.
-      "tombstone_rows" -> m.tombs.map { g =>
-        val r = StoreFiles.parquetRowsWritten(spark, s"$path/tombs/$g")
-        require(r >= 0L,
-          s"BM25 index at $path lost committed tombstone generation $g")
-        r
-      }.sum)
+      // r14 ADVICE); shared refusal implementation (r17 fourth-pass
+      // review: this was the last inline copy).
+      "tombstone_rows" -> StoreFiles.committedTombstoneRows(spark,
+        s"$path/tombs", m.tombs, "indexStats"))
   }
 
   /** Compact when the append-only growth crosses either threshold — the
