@@ -43,10 +43,20 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    // fail FAST on a null id/token count (r17 review: a null reaching
+    // the non-nullable tuple encoder below dies mid-stage with an opaque
+    // executor NPE far from the contract violation; under ANSI a
+    // malformed cast is already loud, this covers the null leg) —
+    // raise_error rides the same codegen'd projection, no extra pass
+    def notNull(c: Column, what: String): Column =
+      when(c.isNull, raise_error(concat(
+        lit(s"packGreedy: $what is null for id="),
+        coalesce(q(idCol).cast("string"), lit("<null>"))))).otherwise(c)
     val keyed = df.select(
         Sampling.hashBucketInt(q(idCol), numBuckets, seed).as("bucket"),
-        q(idCol).cast("long").as("id"),
-        q(tokensCol).cast("long").as("ntok"))
+        notNull(q(idCol).cast("long"), s"$idCol (or not castable to long)")
+          .as("id"),
+        notNull(q(tokensCol).cast("long"), tokensCol).as("ntok"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
     keyed.as[(Int, Long, Long)].mapPartitions { it =>
@@ -122,7 +132,15 @@ object Packing {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val exclusive = perBucket.map(_._1)
       .zip(perBucket.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // ROWS frame, not the orderBy default RANGE (r17 review): under a
+    // violated id-uniqueness contract, RANGE gives every tied id the
+    // cumulative sum INCLUDING all tie rows — overlapping spans and
+    // uncovered stream tokens, silently. ROWS keeps each row's prefix
+    // sum distinct, so duplicate ids still produce a VALID disjoint
+    // packing (their order among themselves is arbitrary); with unique
+    // ids — the documented contract — the two frames are identical.
     val w = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = (if (exclusive.isEmpty) lit(0L)
                else element_at(typedLit(exclusive), col("bucket"))) +
       sum("ntok").over(w) - col("ntok")

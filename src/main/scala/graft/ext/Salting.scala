@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Two-stage salted aggregation — the standard defense when a groupBy key
   * is so skewed that one reducer owns the hot key's entire mass (AQE's
@@ -26,6 +27,32 @@ object Salting {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
+  /** Spark's hash expressions reject MapType anywhere in the input (maps
+    * have no canonical element order), so the deterministic row hashes
+    * below must skip columns carrying one (r17 review: hashing EVERY
+    * column made both salted APIs fail analysis on any table with an
+    * irrelevant map column). Rows that tie because they differ only in
+    * skipped columns are OUTPUT-interchangeable here: equal hashable
+    * columns mean equal aggregate contributions, and in the join the
+    * salt only routes — every salt value meets the full replicated right
+    * side — so a retry-order swap among such ties cannot change the
+    * result multiset. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    val hs = df.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => q(f.name)).toSeq
+    require(hs.nonEmpty,
+      "salted ops need at least one non-map column to hash for the " +
+        "deterministic per-row salt")
+    hs
+  }
+
   /** Supported aggregate spec: output column name → ("sum"|"count"|"min"|
     * "max"|"avg", input column; count ignores it / lit(1)). */
   def saltedAggregate(df: DataFrame, keys: Seq[String],
@@ -39,8 +66,9 @@ object Salting {
       require(ops.contains(op), s"saltedAggregate: unsupported op '$op' for '$out'")
       require(!out.startsWith("__"), "output names may not start with __")
     }
-    require(!df.columns.contains("__rh") && !df.columns.contains("__salt"),
-      "saltedAggregate: __rh/__salt are reserved column names")
+    require(!df.columns.contains("__rh") && !df.columns.contains("__rh2") &&
+      !df.columns.contains("__salt"),
+      "saltedAggregate: __rh/__rh2/__salt are reserved column names")
     // Deterministic ordinal salt (r9): rows first sort WITHIN partitions
     // by a content hash, then take a partition-local ordinal. A plain
     // monotonically_increasing_id over post-shuffle input is a retry
@@ -49,11 +77,18 @@ object Salting {
     // to the same rows while other reducers already consumed the first
     // attempt's buckets (the SPARK-23207 class of bug; Spark's own
     // round-robin repartition fix is this same sort). After the sort the
-    // ordinal is a pure function of partition CONTENT (ties are
-    // identical-content rows, which are interchangeable), so any retry
-    // salts identically. No rand(), no extra shuffle — one in-partition
-    // sort on an 8-byte key.
-    val rowHash = xxhash64(df.columns.map(q).toSeq :+ lit(0x5a17): _*)
+    // ordinal is a pure function of partition CONTENT, so any retry
+    // salts identically. Ties break on a SECOND independent hash (r17
+    // review: "ties are identical-content rows" is false under single-
+    // hash collision, and at ~1e11 rows the birthday bound makes one
+    // same-partition collision plausible — a tie of two DIFFERENT rows
+    // could swap salts across a retry; requiring both 64-bit hashes to
+    // collide makes that astronomically unlikely, and hashable-column
+    // ties are output-interchangeable, see [[containsMap]]). No rand(),
+    // no extra shuffle — one in-partition sort on two 8-byte keys.
+    val hashCols = hashableCols(df)
+    val rowHash = xxhash64(hashCols :+ lit(0x5a17): _*)
+    val rowHash2 = xxhash64(hashCols :+ lit(0x17a5): _*)
     val salt = pmod(xxhash64(col("__rh"), monotonically_increasing_id()),
       lit(saltBuckets.toLong))
     // stage 1: decomposed partials per (keys, salt)
@@ -67,8 +102,8 @@ object Salting {
           count(q(in)).as(s"__c_$out"))
       }
     }
-    val stage1 = df.withColumn("__rh", rowHash)
-      .sortWithinPartitions("__rh")
+    val stage1 = df.withColumn("__rh", rowHash).withColumn("__rh2", rowHash2)
+      .sortWithinPartitions("__rh", "__rh2")
       .withColumn("__salt", salt)
       .groupBy((keys.map(q) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -177,9 +212,9 @@ object Salting {
         s"saltedJoin: unsupported joinType '$other' — inner/left/right/" +
           "full only (semi/anti/cross have no salted form here)")
     }
-    val reserved = Seq("__salt", "__hot", "__rh")
+    val reserved = Seq("__salt", "__hot", "__rh", "__rh2")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
-      "saltedJoin: __salt/__hot/__rh are reserved column names")
+      "saltedJoin: __salt/__hot/__rh/__rh2 are reserved column names")
     val spark = left.sparkSession
     // stabilize: eager localCheckpoint BEFORE the hot-key probe — the
     // probe, the core join and the right/full anti leg below all read the
@@ -209,9 +244,12 @@ object Salting {
     val hotL = spark.createDataFrame(
         java.util.Arrays.asList(hotRows: _*), keySchema)
       .withColumn("__hot", lit(true))
-    val hotR = rightKeys.zip(leftKeys).foldLeft(hotL) {
-      case (df, (rk, lk)) => df.withColumnRenamed(lk, rk)
-    }
+    // select-with-alias, not sequential renames (r17 review: with
+    // crosswise key overlap — leftKeys=Seq("a","b"), rightKeys=
+    // Seq("b","a") — intermediate renames collide and a later rename
+    // hits both columns, corrupting the broadcast frame)
+    val hotR = hotL.select(leftKeys.zip(rightKeys)
+      .map { case (lk, rk) => q(lk).as(rk) } :+ col("__hot"): _*)
     // step 2: deterministic per-row salt for hot left rows — a
     // partition-local ordinal taken AFTER an in-partition sort on the
     // row-content hash. The ordinal is what spreads a hot key whose rows
@@ -223,15 +261,19 @@ object Salting {
     // re-salt rows a reducer already consumed from the first attempt
     // (SPARK-23207 class — duplicated/lost rows on fetch-failure
     // recovery); after the sort the assignment is a pure function of
-    // partition content. Ties are identical rows — interchangeable, so
-    // any tie order yields the same output multiset.
+    // partition content. Ties break on a second independent hash, and
+    // residual double-hash ties are output-interchangeable for the join
+    // (the salt only routes; every salt meets the full replicated right
+    // side) — see [[containsMap]] and the saltedAggregate note.
+    val lHashCols = hashableCols(l)
     val lSalt = when(coalesce(col("__hot"), lit(false)),
       pmod(xxhash64(col("__rh"), monotonically_increasing_id(), lit(0x5a17e)),
         lit(saltFactor.toLong))).otherwise(lit(0L))
     val lSalted = l.join(broadcast(hotL), leftKeys.toSeq, "left")
-      .withColumn("__rh", xxhash64(l.columns.map(q).toSeq: _*))
-      .sortWithinPartitions("__rh")
-      .withColumn("__salt", lSalt).drop("__hot", "__rh")
+      .withColumn("__rh", xxhash64(lHashCols: _*))
+      .withColumn("__rh2", xxhash64(lHashCols :+ lit(0x17a5): _*))
+      .sortWithinPartitions("__rh", "__rh2")
+      .withColumn("__salt", lSalt).drop("__hot", "__rh", "__rh2")
     // step 3: right rows replicate saltFactor ways for hot keys only
     val rSalts = when(coalesce(col("__hot"), lit(false)),
       sequence(lit(0L), lit((saltFactor - 1).toLong)))

@@ -15,6 +15,39 @@ import graft.schema.DataFrameSchema
   */
 object StreamingValidation {
 
+  /** Replay-harness temp hygiene (r17 review: the four replay harnesses
+    * leaked a full table copy + checkpoint per invocation — on a
+    * long-lived host, repeated Verify/Bench runs fill the tmpdir). The
+    * input/checkpoint dirs delete as soon as the query terminates (the
+    * stream is done with them); the OUTPUT dirs must outlive the call —
+    * the returned frame lazily re-reads them on every action — so they
+    * register for deletion at JVM exit instead. */
+  private def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
+  }
+
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach(d =>
+        try deleteRecursively(d) catch { case _: Exception => () })))
+
+  /** Eagerly drop the stream's consumed dirs; the rest of `root` (the
+    * parquet the returned frame reads) goes at JVM exit. */
+  private def retireReplayDirs(root: String, consumed: String*): Unit = {
+    consumed.foreach(d =>
+      try deleteRecursively(d) catch { case _: Exception => () })
+    exitHookInstalled
+    exitDirs.add(root): Unit
+  }
+
   /** Wrap a streaming DataFrame into a validated foreachBatch writer.
     * `onBatch` receives (validatedData, batchId, result) — route clean rows
     * to the sink and the error report to monitoring from there. */
@@ -56,6 +89,11 @@ object StreamingValidation {
     * 8-byte xxhash64 state entry instead — smaller state at the cost of a
     * 2^-64-per-pair collision chance silently dropping a distinct event
     * (probabilistic, not exact — only opt in when the key tuple is large).
+    * The fingerprint hashes the key columns PLUS their null flags (r17
+    * review: Spark's xxhash64 skips null children — the running hash is
+    * unchanged — so (123, null) and (null, 123) would otherwise collide
+    * with probability 1, a systematic class far above the documented
+    * random bound; the null-free flag vector restores the positions).
     * `tsCol` resolves through [[graft.functions.EventTime]] (epoch-nanos
     * long, TIMESTAMP, or TIMESTAMP_NTZ). */
   def dedupStream(
@@ -64,12 +102,17 @@ object StreamingValidation {
       tsCol: String,
       watermark: String,
       fingerprintKeys: Boolean = false): DataFrame = {
+    require(!stream.columns.contains("__ets") &&
+      !stream.columns.contains("__dk"),
+      "dedupStream reserves the __ets/__dk column names (r17 review: a " +
+        "caller column by that name would be silently destroyed)")
     val withTs = stream
       .withColumn("__ets", graft.functions.EventTime.eventTime(stream, tsCol))
       .withWatermark("__ets", watermark)
     if (fingerprintKeys) {
       withTs
-        .withColumn("__dk", xxhash64(keyCols.map(col): _*))
+        .withColumn("__dk", xxhash64(
+          (keyCols.map(col) ++ keyCols.map(c => col(c).isNull)): _*))
         .dropDuplicatesWithinWatermark("__dk")
         .drop("__dk", "__ets")
     } else {
@@ -118,13 +161,18 @@ object StreamingValidation {
       stream: DataFrame,
       textCol: String,
       tsCol: String,
-      watermark: String): DataFrame =
+      watermark: String): DataFrame = {
+    require(!stream.columns.contains("__ets") &&
+      !stream.columns.contains("__sh"),
+      "nearDedupStream reserves the __ets/__sh column names (r17 review: " +
+        "a caller column by that name would be silently destroyed)")
     stream
       .withColumn("__ets", graft.functions.EventTime.eventTime(stream, tsCol))
       .withWatermark("__ets", watermark)
       .withColumn("__sh", graft.ext.Dedup.simhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("__sh")
       .drop("__sh", "__ets")
+  }
 
   /** Batch ≡ streaming proof harness for [[graft.ext.Sessions.sessionize]]:
     * replay a STATIC events table as a file-source micro-batch stream (one
@@ -171,18 +219,31 @@ object StreamingValidation {
     // real events across 8 files → 8+ micro-batches splitting users/sessions
     src.repartition(8).write.parquet(inDir)
     // sentinel files must be LAST in the file source's (modification-time,
-    // path) processing order — stamp them into the future
+    // path) processing order — stamp them into the future. The sentinel
+    // frame is CAST to src's column types (r17 review: a hardcoded
+    // BIGINT/DOUBLE sentinel breaks the parquet reader mid-stream when
+    // the source's user/value columns have any other type), and the
+    // future-stamp must be verified (a filesystem where setLastModified
+    // no-ops would let a sentinel process early and advance the
+    // watermark past every real event — silent truncation).
+    val userT = src.schema("user_id").dataType
+    val valueT = src.schema("value").dataType
     Seq(sentinelUs, sentinelUs + 200L * gapUs)
       .zipWithIndex.foreach { case (us, i) =>
         val sDir = s"$dir/sentinel$i"
         Seq((us, -1L, 0.0)).toDF("us", "user_id", "value")
-          .select(timestamp_micros(col("us")).as("ts"), col("user_id"), col("value"))
+          .select(timestamp_micros(col("us")).as("ts"),
+            col("user_id").cast(userT).as("user_id"),
+            col("value").cast(valueT).as("value"))
           .coalesce(1).write.parquet(sDir)
         new java.io.File(sDir).listFiles().filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
             val dst = new java.io.File(inDir, s"zz_sentinel$i.parquet")
             java.nio.file.Files.move(f.toPath, dst.toPath)
-            dst.setLastModified(System.currentTimeMillis() + (i + 1) * 3600000L)
+            require(dst.setLastModified(
+              System.currentTimeMillis() + (i + 1) * 3600000L),
+              s"sessionizeReplay: future-stamping sentinel $i failed — " +
+                "the file source's mtime order would not put it last")
           }
       }
 
@@ -193,8 +254,13 @@ object StreamingValidation {
     val query = sessions.writeStream.outputMode("append")
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
-    query.awaitTermination()
-    val out = spark.read.parquet(outDir).filter(col("user_id") =!= -1L)
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      retireReplayDirs(dir, inDir, ckDir)
+    }
+    val out = spark.read.parquet(outDir)
+      .filter(col("user_id") =!= lit(-1L).cast(userT))
     require(out.limit(1).count() == 1L,
       "sessionizeReplay: no sessions emitted — sentinel watermark advance failed")
     out
@@ -225,7 +291,11 @@ object StreamingValidation {
       (invalid, _) => invalid.write.mode("append").parquet(qDir)
     }.option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      retireReplayDirs(dir, inDir, s"$dir/ck")
+    }
     spark.read.parquet(vDir).withColumn("side", lit("valid"))
       .unionByName(spark.read.parquet(qDir).withColumn("side", lit("quarantined")))
   }
@@ -256,7 +326,11 @@ object StreamingValidation {
     val query = deduped.writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      retireReplayDirs(dir, inDir, s"$dir/ck")
+    }
     spark.read.parquet(outDir)
   }
 
@@ -283,7 +357,11 @@ object StreamingValidation {
       (kept, _) => kept.write.mode("append").parquet(outDir)
     }.option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      retireReplayDirs(dir, inDir, s"$dir/ck")
+    }
     spark.read.parquet(outDir)
   }
 

@@ -232,6 +232,46 @@ class ExtPropertySpec extends SparkSpec {
     assert(ej.getMessage.contains("unsupported joinType"))
   }
 
+  test("salted ops: map-typed payload columns and crosswise key names (r17 review)") {
+    import graft.ext.Salting
+    // (a) a MapType payload must not break the deterministic row hash
+    // (Spark's hash expressions reject maps — the hash now skips them)
+    val leftM = spark.range(4000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 23).as("lk"),
+      col("id").as("lv"),
+      map(lit("k"), col("id").cast("string")).as("meta"))
+    val rightM = spark.range(40).select((col("id") % 25).as("rk"),
+      concat(lit("p"), col("id")).as("pay"))
+    def normJ(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lk"), col("lv"), col("pay")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(normJ(Salting.saltedJoin(leftM, rightM, Seq("lk"), Seq("rk"),
+        saltFactor = 4, hotKeyThreshold = 100)) ==
+      normJ(leftM.join(rightM, col("lk") === col("rk"), "inner")))
+    val aggs = Seq("n" -> ("count", ""), "sv" -> ("sum", "lv"))
+    assert(Salting.saltedAggregate(leftM, Seq("lk"), aggs, saltBuckets = 8)
+        .orderBy("lk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      leftM.groupBy("lk").agg(count(lit(1)).as("n"), sum("lv").as("sv"))
+        .orderBy("lk").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // (b) crosswise key names: leftKeys=(a,b) joining rightKeys=(b,a) —
+    // the hot-side rename used to collide midway and corrupt the
+    // broadcast frame; select-with-alias is order-safe
+    val l2 = spark.range(2000).select((col("id") % 5).as("a"),
+      lit(7L).as("b"), col("id").as("lv"))
+    val r2 = spark.range(50).select((col("id") % 5).as("b"),
+      (col("id") % 9).as("a"), concat(lit("q"), col("id")).as("pay"))
+    val plainX = l2.join(r2,
+        l2("a") === r2("b") && l2("b") === r2("a"), "inner")
+      .select(l2("lv"), r2("pay")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val saltedX = Salting.saltedJoin(l2, r2, Seq("a", "b"), Seq("b", "a"),
+        saltFactor = 4, hotKeyThreshold = 100)
+      .select(col("lv"), col("pay")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(saltedX == plainX, "crosswise-renamed salted join diverged")
+  }
+
   test("property: salted right/full outer equal the plain joins under skew") {
     import graft.ext.Salting
     // one hot left key (90% of rows); right keys 0..24 include keys with

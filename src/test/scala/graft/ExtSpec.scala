@@ -1824,6 +1824,44 @@ class ExtSpec extends SparkSpec {
       seqLen = L, numBuckets = 4).filter(col("doc_id") === 7L).count() == 0)
   }
 
+  test("packing: duplicate ids still yield a valid disjoint covering; null token counts fail loudly (r17 review)") {
+    // packSequences documents unique ids; under a VIOLATED contract the
+    // old RANGE window frame gave tied ids the same cumulative sum —
+    // overlapping spans and uncovered stream tokens, silently. The ROWS
+    // frame keeps the packing VALID (disjoint spans covering the full
+    // stream), with only the tie order arbitrary.
+    val dup = Seq(5L -> 10L, 5L -> 10L, 6L -> 3L, 7L -> 12L)
+      .toDF("doc_id", "ntok")
+    val spans = graft.ext.Packing.packSequences(dup, "doc_id", "ntok",
+        seqLen = 100L, numBuckets = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(1),
+        r.getLong(4)))
+    // total covered tokens == total ntok, and the per-sequence intervals
+    // [seq_start, seq_start + (doc_end - doc_start)) are pairwise disjoint
+    assert(spans.map(s => s._2 - s._1).sum == 35L,
+      "spans must cover every stream token exactly once")
+    val bySeq = spans.groupBy(_._3)
+    bySeq.foreach { case (_, ss) =>
+      val ivs = ss.map(s => (s._4, s._4 + (s._2 - s._1))).sortBy(_._1)
+      ivs.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(e1 <= s2, s"overlapping spans within a sequence: $ivs")
+        case _ =>
+      }
+    }
+    // packGreedy: a null token count fails with the contract violation,
+    // not an opaque encoder NPE from a non-nullable tuple field
+    val withNull = Seq((1L, java.lang.Long.valueOf(4L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "ntok")
+    val e = intercept[Exception](graft.ext.Packing.packGreedy(
+      withNull, "doc_id", "ntok", maxTokens = 8L).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("packGreedy")),
+      s"want the loud contract message in the cause chain, got: ${chain(e)}")
+  }
+
   test("plans: packSequences and weightedSampleWOR stay distributed (no single-partition stage)") {
     val d = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("doc_id", "ntok")
     // prep cost: the quantile probe + the per-bucket sums — bounded jobs,

@@ -126,6 +126,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fingerprint dedup keeps key tuples whose nulls sit in different positions (r17 review)") {
+    // Spark's xxhash64 SKIPS null children, so (123, null) and (null,
+    // 123) hash identically unless the null positions ride along — the
+    // fixed fingerprint hashes the per-column null flags too. These two
+    // events are DISTINCT keys and must both survive.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.lang.Long, java.lang.Long)]
+    val stream = mem.toDF().toDF("ts", "user_id", "device_id")
+    val deduped = StreamingValidation.dedupStream(
+      stream, Seq("user_id", "device_id"), "ts", watermark = "1 hour",
+      fingerprintKeys = true)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_fp_null_out").start()
+    try {
+      mem.addData((0L, 123L, null), (1000L, null, 123L), (2000L, 123L, null))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, device_id FROM dedup_fp_null_out").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq.sortBy(_.toString)
+      assert(got == Seq((None, Some(123L)), (Some(123L), None)),
+        s"distinct null-position tuples must both survive, got $got")
+    } finally q.stop()
+  }
+
+  test("dedupStream/nearDedupStream refuse reserved internal column names (r17 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("ts", "__ets", "text")
+    intercept[IllegalArgumentException](StreamingValidation.dedupStream(
+      stream, Seq("__ets"), "ts", "1 hour"))
+    intercept[IllegalArgumentException](StreamingValidation.nearDedupStream(
+      stream, "text", "ts", "1 hour"))
+  }
+
   test("streaming near-dedup collapses reordered copies via simhash state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)] // (ts nanos, text)
