@@ -47,17 +47,19 @@ object Drift {
       .select((keyCols ++ Seq("ref_frac", "cur_frac", "psi_contrib", "psi_total"))
         .map(col): _*)
 
-  /** Per-bin detail: (bin, ref_frac, cur_frac, psi_contrib) + the total in
-    * every row (psi_total) — callers gate on `psi_total`, inspect bins to
-    * see WHERE the drift sits. Edges are rounded to 6 decimals before
-    * binning so engines that re-derive the cut agree bit-for-bit on
-    * boundary rows. */
-  /** Batch-side reference profile for
-    * [[graft.streaming.StreamingValidation.windowedPsi]]: the interior
-    * percentile bin edges (6-dp rounded, same convention as [[psi]]) and
-    * the reference bin fractions. Two jobs, run ONCE when a monitor
-    * starts; the profile then rides every micro-batch as plain literals —
-    * no reference scan, no join per trigger. */
+  /** 6-dp HALF_UP edge rounding — the one rounding used by every numeric
+    * grid operator. BigDecimal, not `math.rint(e * 1e6) / 1e6` (r17
+    * review): the rint form silently stops rounding past 2^53/1e6 ≈
+    * 9.0e9 — double integer overflow, and an epoch-micros column sits at
+    * ~1.7e15 — and rint's half-even ties disagree with the half-away
+    * semantics of Spark's round() and DuckDB's ROUND, breaking the
+    * "engines that re-derive the cut agree bit-for-bit" contract exactly
+    * at boundary rows. Non-finite values pass through (percentiles of a
+    * column carrying ±Infinity). */
+  private def round6(e: Double): Double =
+    if (e.isNaN || e.isInfinite) e
+    else BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** One reference aggregation → the interior `bins-1` quantile edges,
     * 6-dp rounded so profiles/oracles reproduce them exactly. Shared by
     * every numeric grid operator (psi/ks/wasserstein1/profile) so a
@@ -71,7 +73,78 @@ object Drift {
       else percentile(q(column), pArr)
     val edgesRow = reference.agg(edgesCol.cast("array<double>")).head()
     require(!edgesRow.isNullAt(0), s"$opName: reference has no non-null '$column'")
-    edgesRow.getSeq[Double](0).map(e => math.rint(e * 1e6) / 1e6)
+    edgesRow.getSeq[Double](0).map(round6)
+  }
+
+  /** Every column's edges in ONE fused reference aggregation — the
+    * multi-column twin of [[quantileEdges]] (r17 review: psiMulti and
+    * ksMulti carried verbatim inline copies of this and of [[multiSide]],
+    * re-opening the drift-apart risk quantileEdges was extracted to
+    * close). */
+  private def multiQuantileEdges(reference: DataFrame, columns: Seq[String],
+      bins: Int, approximate: Boolean, accuracy: Int,
+      opName: String): Seq[(String, Seq[Double])] = {
+    val percentages = (1 until bins).map(_.toDouble / bins)
+    val pArr = array(percentages.map(lit): _*)
+    def edgesCol(c: String) =
+      (if (approximate) percentile_approx(q(c), pArr, lit(accuracy))
+       else percentile(q(c), pArr)).cast("array<double>")
+    val edgesRow = reference.agg(edgesCol(columns.head),
+      columns.tail.map(edgesCol): _*).head()
+    columns.zipWithIndex.map { case (c, i) =>
+      require(!edgesRow.isNullAt(i), s"$opName: reference has no non-null '$c'")
+      c -> edgesRow.getSeq[Double](i).map(round6)
+    }
+  }
+
+  /** Job-2 half shared by [[psiMulti]]/[[ksMulti]]: both sides' (column,
+    * bin) cells counted in ONE pass over `reference UNION ALL current`
+    * (each row explodes to its per-column cells, nulls excluded per
+    * column), returned as a side-selector: `(sideName, fracAlias)` → the
+    * (column, bin, frac) frame for that side. */
+  private def multiSide(reference: DataFrame, current: DataFrame,
+      edgesByCol: Seq[(String, Seq[Double])]): (String, String) => DataFrame = {
+    def cells(df: DataFrame, side: String): DataFrame = {
+      val entries = edgesByCol.map { case (c, edges) =>
+        val bin = edges.foldLeft(lit(0))((acc, e) =>
+          acc + when(q(c) > e, 1).otherwise(0))
+        struct(lit(c).as("column"), bin.as("bin"), q(c).isNotNull.as("ok"))
+      }
+      df.select(lit(side).as("side"), explode(array(entries: _*)).as("e"))
+        .filter(col("e.ok"))
+        .select(col("side"), col("e.column").as("column"), col("e.bin").as("bin"))
+    }
+    val counts = cells(reference, "ref").unionAll(cells(current, "cur"))
+      .groupBy("side", "column", "bin").agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("side", "column")))
+    (s, frac) => counts.filter(col("side") === s)
+      .select(col("column"), col("bin"), col("frac").as(frac))
+  }
+
+  /** Current-side bin fractions against a profile's literal edges, plus
+    * the (bin, ref_frac) literal frame — the shared serve half of
+    * [[psiAgainstProfile]]/[[ksAgainstProfile]] (r17 review: verbatim
+    * duplicated). */
+  private def profileJoin(current: DataFrame, column: String,
+      edges: Seq[Double], refFracs: Seq[Double]): DataFrame = {
+    val bins = refFracs.length
+    require(bins >= 2, s"profile needs >= 2 bins, got $bins")
+    require(edges.length == bins - 1,
+      s"profile inconsistent: ${edges.length} edges for $bins bins")
+    val bin = edges.foldLeft(lit(0))((acc, e) =>
+      acc + when(q(column) > e, 1).otherwise(0))
+    val cur = current.filter(q(column).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("cur_frac", col("n").cast("double") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"), col("cur_frac"))
+    val spark0 = current.sparkSession
+    import spark0.implicits._
+    val allBins = refFracs.zipWithIndex.map { case (f, i) => (i, f) }
+      .toDF("bin", "ref_frac")
+    allBins.join(cur, Seq("bin"), "left")
   }
 
   /** Codegen'd edge-comparison bin assignment for one side: (bin, `frac`)
@@ -87,6 +160,12 @@ object Drift {
       .select(col("bin"), col(frac))
   }
 
+  /** Batch-side reference profile for
+    * [[graft.streaming.StreamingValidation.windowedPsi]]: the interior
+    * percentile bin edges (6-dp rounded, same convention as [[psi]]) and
+    * the reference bin fractions. Two jobs, run ONCE when a monitor
+    * starts; the profile then rides every micro-batch as plain literals —
+    * no reference scan, no join per trigger. */
   def referenceNumericProfile(reference: DataFrame, column: String,
       bins: Int = 10, approximate: Boolean = false,
       accuracy: Int = 10000): (Seq[Double], Seq[Double]) = {
@@ -103,6 +182,11 @@ object Drift {
     (edges, fracs)
   }
 
+  /** Per-bin detail: (bin, ref_frac, cur_frac, psi_contrib) + the total in
+    * every row (psi_total) — callers gate on `psi_total`, inspect bins to
+    * see WHERE the drift sits. Edges are rounded to 6 decimals before
+    * binning so engines that re-derive the cut agree bit-for-bit on
+    * boundary rows. */
   def psi(reference: DataFrame, current: DataFrame, column: String,
       bins: Int = 10, eps: Double = 1e-6,
       approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
@@ -133,42 +217,12 @@ object Drift {
       approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins >= 2, got $bins")
     require(columns.nonEmpty, "psiMulti: no columns given")
-    val percentages = (1 until bins).map(_.toDouble / bins)
-    val pArr = array(percentages.map(lit): _*)
-    // job 1: one fused aggregation → every column's edge array
-    val edgesRow = reference.agg(
-      (if (approximate) percentile_approx(q(columns.head), pArr, lit(accuracy))
-       else percentile(q(columns.head), pArr)).cast("array<double>"),
-      columns.tail.map(c =>
-        (if (approximate) percentile_approx(q(c), pArr, lit(accuracy))
-         else percentile(q(c), pArr)).cast("array<double>")): _*).head()
-    val edgesByCol: Seq[(String, Seq[Double])] = columns.zipWithIndex.map {
-      case (c, i) =>
-        require(!edgesRow.isNullAt(i), s"psiMulti: reference has no non-null '$c'")
-        c -> edgesRow.getSeq[Double](i).map(e => math.rint(e * 1e6) / 1e6)
-    }
-
-    // job 2: one pass over both sides — explode each row into its
-    // (column, bin) cells, count by (side, column, bin)
-    def cells(df: DataFrame, side: String): DataFrame = {
-      val entries = edgesByCol.map { case (c, edges) =>
-        val bin = edges.foldLeft(lit(0))((acc, e) =>
-          acc + when(q(c) > e, 1).otherwise(0))
-        struct(lit(c).as("column"), bin.as("bin"), q(c).isNotNull.as("ok"))
-      }
-      df.select(lit(side).as("side"), explode(array(entries: _*)).as("e"))
-        .filter(col("e.ok"))
-        .select(col("side"), col("e.column").as("column"), col("e.bin").as("bin"))
-    }
-    val counts = cells(reference, "ref").unionAll(cells(current, "cur"))
-      .groupBy("side", "column", "bin").agg(count(lit(1)).as("n"))
-      .withColumn("frac", col("n").cast("double") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("side", "column")))
-    def side(s: String, frac: String): DataFrame =
-      counts.filter(col("side") === s)
-        .select(col("column"), col("bin"), col("frac").as(frac))
-
+    // job 1: one fused aggregation → every column's edge array;
+    // job 2: one union pass counting both sides' (column, bin) cells
+    val edgesByCol =
+      multiQuantileEdges(reference, columns, bins, approximate, accuracy,
+        "psiMulti")
+    val side = multiSide(reference, current, edgesByCol)
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allCells = columns.flatMap(c => (0 until bins).map(b => (c, b)))
@@ -192,12 +246,28 @@ object Drift {
     require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
     val cat = coalesce(q(column).cast("string"), lit("__null__"))
     val counted = reference.groupBy(cat.as("cell")).agg(count(lit(1)).as("n"))
-    // top-K via TakeOrdered — the collect is capped at maxCategories rows
-    // no matter the column's cardinality (the whole point of the cap)
-    val top = counted.orderBy(col("n").desc, col("cell")).limit(maxCategories)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(top.nonEmpty, "referenceCategoricalProfile: reference is empty")
-    val total = reference.count().toDouble
+    // top-K and the grand total in ONE aggregation over the grouped
+    // cells — the k-heap folds map-side, the collect is capped at
+    // maxCategories no matter the column's cardinality. (r17 review: a
+    // separate reference.count() was a second FULL reference scan per
+    // profiled column — the doc said "ONE job" and the code paid two;
+    // counts ride as exact doubles, fine to 2^53.)
+    val row = counted.agg(
+      graft.functions.TopKByScore.of(col("n").cast("double"), col("cell"),
+        maxCategories).as("top"),
+      sum(col("n")).as("total")).head()
+    require(!row.isNullAt(1), "referenceCategoricalProfile: reference is empty")
+    val top = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(1) -> r.getDouble(0))
+    val total = row.getLong(1).toDouble
+    // fail at FIT time, where it is fixable (r17 review: the serve-side
+    // monitors — psiCategoricalAgainstProfile and the windowed monitor —
+    // refuse profiles whose cells contain the overflow sentinel, so a
+    // profile that fit and saved successfully was permanently unusable)
+    require(!top.exists(_._1 == "__other__"),
+      "referenceCategoricalProfile: the reference's top categories " +
+        "include the literal string \"__other__\", which collides with " +
+        "the overflow sentinel cell — rename that value upstream")
     val otherMass = (total - top.map(_._2).sum) / total
     (top.map(_._1).toSeq, top.map(_._2 / total).toSeq :+ otherMass)
   }
@@ -409,37 +479,10 @@ object Drift {
       accuracy: Int = 10000): DataFrame = {
     require(bins >= 2, s"bins >= 2, got $bins")
     require(columns.nonEmpty, "ksMulti: no columns given")
-    val percentages = (1 until bins).map(_.toDouble / bins)
-    val pArr = array(percentages.map(lit): _*)
-    val edgesRow = reference.agg(
-      (if (approximate) percentile_approx(q(columns.head), pArr, lit(accuracy))
-       else percentile(q(columns.head), pArr)).cast("array<double>"),
-      columns.tail.map(c =>
-        (if (approximate) percentile_approx(q(c), pArr, lit(accuracy))
-         else percentile(q(c), pArr)).cast("array<double>")): _*).head()
-    val edgesByCol: Seq[(String, Seq[Double])] = columns.zipWithIndex.map {
-      case (c, i) =>
-        require(!edgesRow.isNullAt(i), s"ksMulti: reference has no non-null '$c'")
-        c -> edgesRow.getSeq[Double](i).map(e => math.rint(e * 1e6) / 1e6)
-    }
-    def cells(df: DataFrame, side: String): DataFrame = {
-      val entries = edgesByCol.map { case (c, edges) =>
-        val bin = edges.foldLeft(lit(0))((acc, e) =>
-          acc + when(q(c) > e, 1).otherwise(0))
-        struct(lit(c).as("column"), bin.as("bin"), q(c).isNotNull.as("ok"))
-      }
-      df.select(lit(side).as("side"), explode(array(entries: _*)).as("e"))
-        .filter(col("e.ok"))
-        .select(col("side"), col("e.column").as("column"), col("e.bin").as("bin"))
-    }
-    val counts = cells(reference, "ref").unionAll(cells(current, "cur"))
-      .groupBy("side", "column", "bin").agg(count(lit(1)).as("n"))
-      .withColumn("frac", col("n").cast("double") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("side", "column")))
-    def side(s: String, frac: String): DataFrame =
-      counts.filter(col("side") === s)
-        .select(col("column"), col("bin"), col("frac").as(frac))
+    val edgesByCol =
+      multiQuantileEdges(reference, columns, bins, approximate, accuracy,
+        "ksMulti")
+    val side = multiSide(reference, current, edgesByCol)
     val spark0 = reference.sparkSession
     import spark0.implicits._
     val allCells = columns.flatMap(c => (0 until bins).map(b => (c, b)))
@@ -461,24 +504,9 @@ object Drift {
     * with the profile's reference — gated hash-identical. */
   def psiAgainstProfile(current: DataFrame, column: String,
       edges: Seq[Double], refFracs: Seq[Double],
-      eps: Double = 1e-6): DataFrame = {
-    val bins = refFracs.length
-    require(bins >= 2, s"profile needs >= 2 bins, got $bins")
-    require(edges.length == bins - 1,
-      s"profile inconsistent: ${edges.length} edges for $bins bins")
-    val bin = edges.foldLeft(lit(0))((acc, e) =>
-      acc + when(q(column) > e, 1).otherwise(0))
-    val cur = current.filter(q(column).isNotNull)
-      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-      .withColumn("cur_frac", col("n").cast("double") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("bin"), col("cur_frac"))
-    val spark0 = current.sparkSession
-    import spark0.implicits._
-    val allBins = refFracs.zipWithIndex.map { case (f, i) => (i, f) }
-      .toDF("bin", "ref_frac")
-    finalizePsi(allBins.join(cur, Seq("bin"), "left"), Seq("bin"), eps)
-  }
+      eps: Double = 1e-6): DataFrame =
+    finalizePsi(profileJoin(current, column, edges, refFracs),
+      Seq("bin"), eps)
 
   /** Grid-KS against a stored profile ([[referenceNumericProfile]] /
     * [[DriftProfile]]) — the KS sibling of [[psiAgainstProfile]]: the
@@ -488,24 +516,8 @@ object Drift {
     * the two-sided [[ks]] on the same reference by construction (the
     * profile's fracs are the same exact count/total doubles `ks` bins). */
   def ksAgainstProfile(current: DataFrame, column: String,
-      edges: Seq[Double], refFracs: Seq[Double]): DataFrame = {
-    val bins = refFracs.length
-    require(bins >= 2, s"profile needs >= 2 bins, got $bins")
-    require(edges.length == bins - 1,
-      s"profile inconsistent: ${edges.length} edges for $bins bins")
-    val bin = edges.foldLeft(lit(0))((acc, e) =>
-      acc + when(q(column) > e, 1).otherwise(0))
-    val cur = current.filter(q(column).isNotNull)
-      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
-      .withColumn("cur_frac", col("n").cast("double") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("bin"), col("cur_frac"))
-    val spark0 = current.sparkSession
-    import spark0.implicits._
-    val allBins = refFracs.zipWithIndex.map { case (f, i) => (i, f) }
-      .toDF("bin", "ref_frac")
-    finalizeKs(allBins.join(cur, Seq("bin"), "left"))
-  }
+      edges: Seq[Double], refFracs: Seq[Double]): DataFrame =
+    finalizeKs(profileJoin(current, column, edges, refFracs))
 
   /** Categorical PSI against a stored profile
     * ([[referenceCategoricalProfile]] / [[DriftProfile]]): `cells` are the

@@ -29,6 +29,15 @@ object RangeJoin {
 
   private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
+  /** Reserved-name guard (r17 review: withColumn silently OVERWRITES, so
+    * a caller column named __bucket/__nbins_* was destroyed in the output
+    * — AsOfJoin requires its reserved names; these joins now do too). */
+  private def requireFreeNames(what: String, dfs: DataFrame*): Unit =
+    dfs.foreach(df => df.columns.foreach(c =>
+      require(c != "__bucket" && !c.startsWith("__nbins_"),
+        s"$what reserves the internal column names __bucket/__nbins_* — " +
+          s"rename input column '$c'")))
+
   /** floorDiv semantics for negative axes: pmod-corrected INTEGER `div` —
     * the double-valued `/` operator would round the numerator to an IEEE
     * double first and mis-bucket axes past 2^53 (epoch nanos, 64-bit
@@ -78,6 +87,7 @@ object RangeJoin {
       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth > 0")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    requireFreeNames("pointInInterval", points, intervals)
     val x = q(xCol).cast("long")
     val pB = points.filter(x.isNotNull)
       .withColumn("__bucket", bucket(x, binWidth))
@@ -113,6 +123,7 @@ object RangeJoin {
       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth > 0")
     require(maxBinsPerInterval >= 1, "maxBinsPerInterval >= 1")
+    requireFreeNames("intervalOverlap", left, right)
     val lB = replicate(left, leftLo, leftHi, binWidth,
       maxBinsPerInterval, "l", "intervalOverlap")
     val rB = replicate(right, rightLo, rightHi, binWidth,

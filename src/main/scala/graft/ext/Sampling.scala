@@ -35,7 +35,17 @@ object Sampling {
     * md5(key + chr(1) + seed) as a long in [0, 2^32). This convention is
     * load-bearing for every DuckDB oracle that re-derives a draw —
     * repo-wide visibility (r14) so callers outside ext (the sampled
-    * grouped hypothesis) reuse it instead of re-inlining the expression. */
+    * grouped hypothesis) reuse it instead of re-inlining the expression.
+    *
+    * NULL keys: concat_ws skips null arguments, so every null key hashes
+    * to ONE constant — under the by-key determinism contract that makes
+    * all null-key rows a single group that keeps/drops/buckets EN BLOC
+    * (exactly like any shared key value). That is the documented
+    * semantics for sampleByKey/assignSplits/mixCorpora (a sampler keyed
+    * on a column with nulls gets all-or-nothing for that slice — pass a
+    * non-null key if per-row draws are wanted); operators whose output
+    * re-attaches by key equality must EXCLUDE null keys instead (null
+    * never `===`-joins — see [[weightedSampleWOR]]). */
   private[graft] def hash32(key: Column, seed: Long): Column =
     conv(substring(md5(concat_ws(Sep, key.cast("string"), lit(seed.toString))),
       1, 8), 16, 10).cast("long")
@@ -194,8 +204,18 @@ object Sampling {
       require(w >= 0, s"source '$n' weight >= 0, got $w") }
     val wsum = sources.map(_._3).sum
     require(wsum > 0, "at least one positive weight")
-    val totals = tokenTotals(sources.map { case (n, df, _) => (n, df) }, tokensCol)
-    val rated = sources.filter(_._3 > 0).map { case (name, df, w) =>
+    // r17 review: duplicate source names silently MERGED their token
+    // totals (each duplicate's rate computed against the combined N —
+    // the realized budget missed the target with no error), and a
+    // weight-0 source still paid a full token scan for a total that was
+    // never used ("dropped" sources must cost nothing)
+    require(sources.map(_._1).distinct.size == sources.size,
+      s"mixToTokenBudget: duplicate source names " +
+        s"(${sources.map(_._1).mkString(", ")}) — totals would merge and " +
+        "every duplicate's rate would be computed against the combined N")
+    val live = sources.filter(_._3 > 0)
+    val totals = tokenTotals(live.map { case (n, df, _) => (n, df) }, tokensCol)
+    val rated = live.map { case (name, df, w) =>
       val n = totals.getOrElse(name, 0L)
       require(n > 0L,
         s"mixToTokenBudget: source '$name' has weight $w but zero tokens")
@@ -239,6 +259,10 @@ object Sampling {
     require(sources.nonEmpty, "at least one source")
     require(budget > 0, s"budget > 0, got $budget")
     require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    require(sources.map(_._1).distinct.size == sources.size,
+      s"mixByTemperature: duplicate source names " +
+        s"(${sources.map(_._1).mkString(", ")}) — totals would merge " +
+        "(r17 review, same hazard as mixToTokenBudget)")
     val totals = tokenTotals(sources, tokensCol)
     sources.foreach { case (name, _) =>
       require(totals.getOrElse(name, 0L) > 0L,
@@ -325,17 +349,22 @@ object Sampling {
     * aggregate — ONE job, no window sort, candidate set ≤ groups·k rows
     * broadcast into the semi join. u derives from the engine-portable md5
     * key hash, so the draw is reproducible anywhere (and in the DuckDB
-    * oracle). Rows with weight ≤ 0 or null never win; with `groupCol`,
-    * an independent k-sample per group (quality-weighted selection per
-    * domain/language — the data-mixing primitive). Keys are assumed
-    * unique per group (duplicates occupy one heap slot). */
+    * oracle). Rows with weight ≤ 0 or null never win, and neither do
+    * NULL-key rows (r17 review: a null key hashes to one shared constant
+    * — [[hash32]]'s concat_ws skips nulls — so null rows used to steal
+    * heap slots they could never convert, the `===` re-attach matches
+    * nothing, and the sample silently came back smaller than k; the same
+    * reasoning as saltedJoin's "null keys never equi-join"); with
+    * `groupCol`, an independent k-sample per group (quality-weighted
+    * selection per domain/language — the data-mixing primitive). Keys
+    * are assumed unique per group (duplicates occupy one heap slot). */
   def weightedSampleWOR(df: DataFrame, keyCol: String, weightCol: String,
       k: Int, seed: Long = 42L, groupCol: Option[String] = None): DataFrame = {
     require(k > 0, "k > 0")
     // u in (0,1): +0.5 keeps ln finite at hash 0 and unbiased overall
     val u = (hash32(q(keyCol), seed).cast("double") + 0.5) / 4294967296.0
     val es = log(u) / q(weightCol).cast("double")
-    val slim = df.filter(q(weightCol) > 0).select(
+    val slim = df.filter(q(weightCol) > 0 && q(keyCol).isNotNull).select(
       groupCol.map(g => q(g)).getOrElse(lit(0)).as("__g"),
       q(keyCol).as("__k"), es.as("__es"))
     val kept = slim.groupBy("__g")

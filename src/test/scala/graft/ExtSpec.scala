@@ -734,6 +734,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("sampling/drift hardening: null WOR keys, duplicate mix names, sentinel-colliding profiles (r17 review)") {
+    // weightedSampleWOR: null-key rows used to steal heap slots they
+    // could never convert (null keys all hash to one constant and never
+    // ===-rejoin) — the sample came back smaller than k. They are now
+    // excluded outright; the full k comes from re-attachable rows.
+    val df = ((1L to 50L).map(i => (java.lang.Long.valueOf(i), 1.0)) ++
+      Seq.fill(3)((null.asInstanceOf[java.lang.Long], 100.0)))
+      .toDF("doc_id", "w")
+    val got = graft.ext.Sampling.weightedSampleWOR(df, "doc_id", "w", k = 5)
+      .collect()
+    assert(got.length == 5 && got.forall(!_.isNullAt(0)),
+      s"want 5 non-null winners, got ${got.length}")
+    // duplicate source names would silently merge token totals and miss
+    // the budget — refuse loudly
+    val a = Seq((1L, 10L)).toDF("doc_id", "ntok")
+    intercept[IllegalArgumentException](graft.ext.Sampling.mixToTokenBudget(
+      Seq(("web", a, 3.0), ("web", a, 1.0)), "doc_id", "ntok", budget = 10L))
+    intercept[IllegalArgumentException](graft.ext.Sampling.mixByTemperature(
+      Seq(("web", a), ("web", a)), "doc_id", "ntok", budget = 10L))
+    // a reference whose top categories include the literal overflow
+    // sentinel must refuse at FIT time (the serve-side monitors reject
+    // such profiles — failing where it is fixable, not after save())
+    val ref = (Seq.fill(5)("__other__") ++ Seq("a", "b")).toDF("c")
+    val e = intercept[IllegalArgumentException](
+      graft.ext.Drift.referenceCategoricalProfile(ref, "c", maxCategories = 3))
+    assert(e.getMessage.contains("__other__"), e.getMessage)
+    // ...and a clean reference still profiles with exact fractions from
+    // the ONE-job total (top-k heap + sum in a single aggregation)
+    val (cells, fracs) = graft.ext.Drift.referenceCategoricalProfile(
+      (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("c"), "c",
+      maxCategories = 2)
+    assert(cells == Seq("x", "y") && fracs == Seq(0.6, 0.3, 0.1))
+  }
+
   test("sampling: mixCorpora edge cases — all-zero rates and missing columns") {
     val web = (0L until 10L).map(i => (i, s"doc $i")).toDF("id", "text")
     val code = (0L until 10L).map(i => (i, s"code $i", "scala"))
