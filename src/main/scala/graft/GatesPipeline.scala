@@ -1152,8 +1152,13 @@ private[graft] object GatesPipeline {
         "UNION ALL SELECT CAST(-400 AS BIGINT), 'resume:noops=3,landed=2') " +
         "SELECT doc_id, status FROM disp ORDER BY doc_id"),
     "pipeline_corpus" ->
+      // r17: the stopword floor counts hits over the NORMALIZED text
+      // (lowercased tokens; zh by per-character occurrences), mirroring
+      // the engine's langHits — the other gopher signals stay raw
       ("WITH t AS (SELECT doc_id, text, " +
         "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt, " +
+        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS ltoks, " +
         "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
         "s AS (SELECT doc_id, len(toks) AS n, " +
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
@@ -1162,11 +1167,12 @@ private[graft] object GatesPipeline {
         "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
         "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
-        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t), " +
+        "greatest(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
+        "(len(nt) - len(replace(nt, '的', ''))) + (len(nt) - len(replace(nt, '是', ''))) + (len(nt) - len(replace(nt, '在', ''))) + (len(nt) - len(replace(nt, '了', ''))) + " +
+        "(len(nt) - len(replace(nt, '和', ''))) + (len(nt) - len(replace(nt, '有', ''))) + (len(nt) - len(replace(nt, '我', ''))) + (len(nt) - len(replace(nt, '不', '')))) AS hits FROM t), " +
         "g AS (SELECT doc_id FROM s WHERE n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
         "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
         "AND alpha_frac >= 0.8 AND hits >= 2), " +

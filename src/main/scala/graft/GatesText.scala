@@ -487,13 +487,18 @@ private[graft] object GatesText {
         "fr AS (SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk2 FROM f) " +
         "SELECT query_id, doc_id, CAST(rnk2 AS INTEGER) AS \"rank\", rrf FROM fr WHERE rnk2 <= 5 ORDER BY query_id, \"rank\""),
     "text_langid" ->
-      ("WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      // r17: hits over the NORMALIZED (lowercased) text, zh by
+      // per-character occurrence count, zero hits everywhere → 'und' —
+      // mirrors the engine's langHits/languageId semantics
+      ("WITH t AS (SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt, " +
+        "string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS toks FROM documents), " +
         "sc AS (SELECT len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de, " +
         "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en, " +
         "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es, " +
         "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr, " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) AS s_zh FROM t), " +
-        "p AS (SELECT CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        "(len(nt) - len(replace(nt, '的', ''))) + (len(nt) - len(replace(nt, '是', ''))) + (len(nt) - len(replace(nt, '在', ''))) + (len(nt) - len(replace(nt, '了', ''))) + " +
+        "(len(nt) - len(replace(nt, '和', ''))) + (len(nt) - len(replace(nt, '有', ''))) + (len(nt) - len(replace(nt, '我', ''))) + (len(nt) - len(replace(nt, '不', ''))) AS s_zh FROM t), " +
+        "p AS (SELECT CASE WHEN m <= 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
         "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc) g) " +
         "SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1"),
     "text_fingerprint" ->
@@ -635,8 +640,13 @@ private[graft] object GatesText {
         "THEN array_to_string(ls[-3:], '.') ELSE array_to_string(ls[-2:], '.') END AS reg_domain " +
         "FROM d ORDER BY doc_id"),
     "text_gopher_filter" ->
+      // r17: the stopword floor counts hits over the NORMALIZED text
+      // (lowercased tokens; zh by per-character occurrences) — the other
+      // gopher signals stay raw-token-based, mirroring the engine
       ("WITH t AS (SELECT doc_id, text, " +
         "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+        "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt, " +
+        "CASE WHEN len(trim(text)) = 0 THEN [] ELSE string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') END AS ltoks, " +
         "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls FROM documents), " +
         "s AS (SELECT doc_id, len(toks) AS n, " +
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks), 4) END AS mean_len, " +
@@ -645,11 +655,12 @@ private[graft] object GatesText {
         "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))::DOUBLE / len(ls), 4) END AS bullet_frac, " +
         "CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::DOUBLE / len(ls), 4) END AS ell_frac, " +
         "CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(toks), 4) END AS alpha_frac, " +
-        "greatest(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
-        "len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我','不'], x)))) AS hits FROM t) " +
+        "greatest(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','in','is','it'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))), " +
+        "len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
+        "(len(nt) - len(replace(nt, '的', ''))) + (len(nt) - len(replace(nt, '是', ''))) + (len(nt) - len(replace(nt, '在', ''))) + (len(nt) - len(replace(nt, '了', ''))) + " +
+        "(len(nt) - len(replace(nt, '和', ''))) + (len(nt) - len(replace(nt, '有', ''))) + (len(nt) - len(replace(nt, '我', ''))) + (len(nt) - len(replace(nt, '不', '')))) AS hits FROM t) " +
         "SELECT doc_id, CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
         "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
         "AND alpha_frac >= 0.8 AND hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep " +

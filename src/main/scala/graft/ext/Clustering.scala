@@ -142,9 +142,15 @@ object Clustering {
   def semanticDedupKMeans(df: DataFrame, idCol: String, embCol: String,
       k: Int, threshold: Double = 0.95, iters: Int = 10, seed: Long = 42L,
       maxClusterPairs: Long = 10000L): DataFrame = {
+    // persist: the assignment scan (full-corpus argmin over k centroids)
+    // feeds FOUR consumers below — shardCounts, the sharded pair build,
+    // and both sides of the vector re-attach join; without it each one
+    // re-ran the scan (r17 review — the same measured trap the LM
+    // scorers' persisted tokenized frame closes, 11.4 s → 3.3 s there)
     val assigned = kMeans(df, idCol, embCol, k, iters, seed)
     val withVec = assigned.join(
       df.select(q(idCol).as(idCol), q(embCol).as("__v")), Seq(idCol))
+      .persist()
     // shard oversized clusters: nshards = ceil(2n/cap) puts the expected
     // shard at cap/2 ids — hash imbalance past 2× expected is negligible
     // at cap ≥ 100s, so shards stay under bucketedPairs' hard cap
@@ -165,6 +171,11 @@ object Clustering {
       .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      // eager and SMALL (bucketedPairs hard-caps the pair volume): the
+      // checkpoint cuts the returned frame's lineage off withVec, so the
+      // persisted input frees here instead of leaking for the session
+      .localCheckpoint(true)
+    withVec.unpersist(): Unit
     Dedup.dropNearDuplicates(df, idCol, pairs)
   }
 }

@@ -118,18 +118,30 @@ object HeavyHitters {
       else math.max(math.ceil(2.0 / phi).toInt, 16)
     require(cap.toDouble + 1.0 > 1.0 / phi,
       s"capacity $cap too small for phi=$phi: heavy hitters could be missed")
+    // internal names collide silently otherwise (r17 review — the sibling
+    // frequentItemsByWindow already guards its __wstart)
+    Seq("__cand", "__n", "__e", "__g", "__i").foreach(r =>
+      require(!df.columns.contains(r),
+        s"frequentItemsByGroup reserves the internal column name '$r'"))
 
     // pass 1: every group's sketch + N_g in one job; stays a DataFrame
     val cand = df.groupBy(q(groupCol))
       .agg(MisraGriesSketch.of(q(column), cap).as("__cand"),
         count(q(column)).as("__n"))
-      .select(q(groupCol), explode(col("__cand")).as("__e"), col("__n"))
-      .select(q(groupCol), col("__e.item").as(column), col("__n"))
+      .select(q(groupCol).as("__g"), explode(col("__cand")).as("__e"),
+        col("__n"))
+      .select(col("__g"), col("__e.item").as("__i"), col("__n"))
 
     // pass 2: candidate-pruned exact recount; the ≤ groups·capacity
     // candidate frame broadcasts, so corpus rows never shuffle unless
-    // they match a candidate
-    df.join(broadcast(cand), Seq(groupCol, column))
+    // they match a candidate. NULL-SAFE on the group key (r17 review:
+    // the using-columns inner join dropped the null group entirely —
+    // pass 1 sketched it, pass 2's equi-join never matched it, and its
+    // heavy hitters silently vanished; null is a legitimate group).
+    // Items stay non-null-safe: count(column) skips nulls, so a null
+    // item is never a candidate.
+    df.join(broadcast(cand),
+        q(groupCol) <=> col("__g") && q(column) === col("__i"))
       .groupBy(q(groupCol), q(column))
       .agg(count(lit(1)).as("cnt"), first(col("__n")).as("n_group"))
       .filter(col("cnt") >= lit(phi) * col("n_group"))

@@ -137,28 +137,37 @@ object Similarity {
       val maxSimTo = Array.fill(n)(0.0)
       val used = Array.fill(n)(false)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
-      while (out.length < math.min(k, n)) {
+      var exhausted = false
+      while (!exhausted && out.length < math.min(k, n)) {
         var best = -1; var bestObj = Double.NegativeInfinity
         var i = 0
         while (i < n) {
           if (!used(i)) {
             val penalty = if (out.isEmpty) 0.0 else maxSimTo(i)
             val obj = lambda * arr(i)._2 - (1.0 - lambda) * penalty
-            // strict >: ties keep the earliest candidate in the
-            // (cosine desc, id asc) order — deterministic
-            if (obj > bestObj) { bestObj = obj; best = i }
+            // strict >, NaN-excluded: ties keep the earliest candidate
+            // in the (cosine desc, id asc) order — deterministic. A NaN
+            // objective (a poisoned embedding's NaN cosine) never
+            // compares greater, so without the guard the loop could end
+            // a round with best = -1 and crash on used(-1) once only
+            // poisoned candidates remain (r17 review) — those rows are
+            // skipped and the result is simply shorter than k.
+            if (!obj.isNaN && obj > bestObj) { bestObj = obj; best = i }
           }
           i += 1
         }
-        used(best) = true
-        out += ((arr(best)._1, out.length + 1, math.rint(bestObj * 1e4) / 1e4))
-        var j = 0
-        while (j < n) {
-          if (!used(j)) {
-            val s = cos(arr(j)._3, arr(best)._3)
-            if (s > maxSimTo(j)) maxSimTo(j) = s
+        if (best < 0) exhausted = true
+        else {
+          used(best) = true
+          out += ((arr(best)._1, out.length + 1, math.rint(bestObj * 1e4) / 1e4))
+          var j = 0
+          while (j < n) {
+            if (!used(j)) {
+              val s = cos(arr(j)._3, arr(best)._3)
+              if (s > maxSimTo(j)) maxSimTo(j) = s
+            }
+            j += 1
           }
-          j += 1
         }
       }
       out.toSeq
@@ -231,7 +240,19 @@ object Similarity {
       else if (trainSampleFraction >= 1.0)
         c.orderBy(xxhash64(col("corpus_id"), lit(seed)), col("corpus_id"))
           .limit(cap)
-      else c.sample(withReplacement = false, trainSampleFraction, seed)
+      else
+        // r17 review: the explicit-fraction sample can exceed the cap by
+        // orders of magnitude, and the shared id-ordered collect below
+        // would then keep only the LOWEST-id (oldest) rows — the exact
+        // oldest-slice skew the >= 1.0 branch documents. Pre-trim to the
+        // cap in seeded-hash order (set selection stays uniform); the
+        // id-ordered collect below then only fixes the SEQUENCE. (The
+        // NaN branch's 1.2× oversample bounds its id-trim bias to ~17%
+        // of a uniform sample — left as is, its set feeds the pinned
+        // recall floors.)
+        c.sample(withReplacement = false, trainSampleFraction, seed)
+          .orderBy(xxhash64(col("corpus_id"), lit(seed)), col("corpus_id"))
+          .limit(cap)
     sampled.select(col("corpus_id"), col("cv").cast("array<double>"))
       .orderBy("corpus_id")
       .limit(cap).collect()
@@ -659,6 +680,12 @@ object Similarity {
       multiProbe: Boolean = false): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
+    // r17 review: bandBits == 64 makes (1L << 64) wrap to 1L (Java shifts
+    // mod 64) so the mask is 0 and EVERY row lands in bucket 0 — the
+    // "LSH" join silently degenerates to the full cross product
+    require(bandBits < 64,
+      s"lshTopK: bits/bands = $bandBits must be < 64 (a 64-bit band has " +
+        "one bucket — no hashing left; use more bands)")
     val mask = (1L << bandBits) - 1
 
     def banded(df: DataFrame, idAlias: String, embAlias: String,

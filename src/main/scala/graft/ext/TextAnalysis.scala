@@ -63,25 +63,58 @@ object TextAnalysis {
     size(filter(toks, t => array_contains(lits, t)))
   }
 
-  /** Ratio of stopword tokens (English list) — classic quality signal. */
+  /** Per-character occurrence count over the normalized text — the zh
+    * signal (r17 review: whitespace tokenization leaves unsegmented
+    * Chinese as ONE token, so token-equality against single-character
+    * stopwords NEVER matched and genuine Chinese scored 0 in every
+    * stopword consumer). Each list entry is one CJK character, so
+    * occurrences = length delta after removing it. */
+  private def cjkHits(n: Column, chars: Seq[String]): Column =
+    chars.map(ch => length(n) -
+      length(regexp_replace(n, java.util.regex.Pattern.quote(ch), "")))
+      .reduce(_ + _)
+
+  /** Per-language stopword hit counts over the NORMALIZED (lowercased,
+    * whitespace-collapsed) text — token equality for the space-delimited
+    * languages, [[cjkHits]] for zh. Normalization matters (r17 review):
+    * raw-case tokens scored an all-caps English document at 0 hits in
+    * every language, failing gopher's stopword floor and mislabeling the
+    * doc, and sentence-initial "The"/"Der"/"El" were systematically
+    * missed. One shared derivation for languageId / stopwordRatio /
+    * gopherKeep so the three signals cannot drift. */
+  private def langHits(c: Column): Seq[(String, Column)] = {
+    val n = normalized(c)
+    val toks = tokens(n)
+    stopwords.map { case (lang, words) =>
+      lang -> (if (lang == "zh") cjkHits(n, words)
+               else stopwordHits(toks, words))
+    }
+  }
+
+  /** Ratio of stopword tokens (English list, case-insensitive) — classic
+    * quality signal. */
   def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
+    val toks = tokens(normalized(c))
     when(size(toks) === 0, lit(0.0))
       .otherwise(stopwordHits(toks, stopwords.toMap.apply("en")).cast("double") /
         size(toks).cast("double"))
   }
 
-  /** Language-ID heuristic: argmax of stopword hits per language;
-    * ties break to the alphabetically-first language (deterministic). */
+  /** Language-ID heuristic: argmax of [[langHits]] per language; ties
+    * break to the alphabetically-first language (deterministic); ZERO
+    * hits in every language returns "und" (r17 review: the old
+    * fallthrough confidently labeled gibberish/numeric text "de" — the
+    * first tie branch at 0 === 0 — making the "und" arm dead code; a
+    * languageIn gate then passed arbitrary noise as German). This stays
+    * the cheap heuristic — [[scriptProfile]] and the trained classifier
+    * (ClassifierTrain) are the robust routing paths. */
   def languageId(c: Column): Column = {
-    val toks = tokens(c)
-    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val scores = langHits(c)
     val best = greatest(scores.map(_._2): _*)
-    // foldRight chains when(...) in alphabetical order, so the FIRST
-    // (alphabetically smallest) language reaching the max wins ties.
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best, lit(lang)).otherwise(acc)
-    }
+    when(best <= 0, lit("und")).otherwise(
+      scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+        when(s === best, lit(lang)).otherwise(acc)
+      })
   }
 
   /** Document fingerprint over whitespace-normalized lowercased text.
@@ -654,7 +687,7 @@ object TextAnalysis {
     val n = size(toks)
     val alphaWordFrac = when(n === 0, lit(0.0)).otherwise(round(
       size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n.cast("double"), 4))
-    val hits = greatest(stopwords.map { case (_, ws) => stopwordHits(toks, ws) }: _*)
+    val hits = greatest(langHits(c).map(_._2): _*)
     n.between(minTokens, maxTokens) &&
       meanWordLength(c).between(minMeanWordLen, maxMeanWordLen) &&
       symbolWordRatio(c) <= maxSymbolRatio &&

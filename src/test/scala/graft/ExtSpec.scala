@@ -34,7 +34,17 @@ class ExtSpec extends SparkSpec {
       ("the cat is in the house and it is big", "en"),
       ("el perro es de la casa y un gato", "es"),
       ("der hund ist nicht das problem und die katze", "de"),
-      ("xyzzy qwerty asdf", "de") // zero hits everywhere → tie → alphabetical first
+      // r17: zero hits everywhere is UNDETERMINED, not confidently "de"
+      // (the old first-tie-at-zero fallthrough labeled gibberish German
+      // and made the "und" arm dead code)
+      ("xyzzy qwerty asdf", "und"),
+      ("12345 67890", "und"),
+      // r17: all-caps/sentence-case text matches via the normalized
+      // (lowercased) tokens — raw-case matching scored this at 0 hits
+      ("THE CAT AND THE DOG IS IN THE HOUSE", "en"),
+      // r17: unsegmented Chinese matches via per-character occurrence
+      // counts — token equality against single-char stopwords never hit
+      ("我是在了和有不的一个测试", "zh")
     ).toDF("text", "expected")
     val got = d.select(TextAnalysis.languageId(col("text")).as("got"), col("expected"))
       .collect()
@@ -766,6 +776,26 @@ class ExtSpec extends SparkSpec {
       (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("c"), "c",
       maxCategories = 2)
     assert(cells == Seq("x", "y") && fracs == Seq(0.6, 0.3, 0.1))
+  }
+
+  test("heavy hitters by group: the null group is a group (r17 review)") {
+    // pass 1 sketches the null group; the old using-columns inner join
+    // then never matched it (null = null is not true) and its heavy
+    // hitters silently vanished — the join is null-safe on the group now
+    val d = (Seq.fill(20)((null.asInstanceOf[String], "hot")) ++
+      Seq(("en", "hot"), ("en", "hot"), ("en", "cold"), (null, "cold")))
+      .toDF("lang", "item")
+    val got = graft.ext.HeavyHitters.frequentItemsByGroup(
+      d, "lang", "item", phi = 0.5)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got.contains((None, "hot", 20L)),
+      s"the null group's heavy hitter must be reported, got $got")
+    assert(got.contains((Some("en"), "hot", 2L)))
+    // reserved internal names refuse
+    intercept[IllegalArgumentException](
+      graft.ext.HeavyHitters.frequentItemsByGroup(
+        d.withColumn("__n", lit(1)), "lang", "item", phi = 0.5))
   }
 
   test("sampling: mixCorpora edge cases — all-zero rates and missing columns") {
