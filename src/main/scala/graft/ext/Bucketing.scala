@@ -54,7 +54,10 @@ object Bucketing {
     require(bucketCols.nonEmpty, "writeBucketed: at least one bucket column")
     require(numBuckets > 0, s"writeBucketed: numBuckets must be > 0, got $numBuckets")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // backtick-escape the identifier (r17 review: a raw interpolation let
+    // a name containing a backtick produce malformed/injectable SQL while
+    // saveAsTable below would have accepted the same name)
+    spark.sql(s"DROP TABLE IF EXISTS `${name.replace("`", "``")}`")
     df.repartition(numBuckets, bucketCols.map(q): _*)
       .write
       .format("parquet")
@@ -78,8 +81,12 @@ object Bucketing {
       "colocatedJoin: leftKeys and rightKeys must pair up")
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
+    // backtick-quoted resolution (r17 review: l(lk) treats a dotted key
+    // name as nested-field access and fails UNRESOLVED_COLUMN on a column
+    // writeBucketed happily bucketed on)
+    def qn(n: String) = "`" + n.replace("`", "``") + "`"
     val cond = leftKeys.zip(rightKeys)
-      .map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+      .map { case (lk, rk) => l(qn(lk)) === r(qn(rk)) }.reduce(_ && _)
     // hint-level suppression (scoped to THIS join, not session config):
     // merge-hint both sides so the planner picks sort-merge over
     // broadcast even when one side is tiny

@@ -103,15 +103,24 @@ object ImageIODecoder extends MediaDecoder {
   }
 
   /** Proportional downscale so max(w, h) <= bound (no-op when already
-    * within), re-encoded as PNG (lossless, deterministic). */
+    * within), re-encoded as PNG (lossless, deterministic). The no-op path
+    * reads only the header (r17 review: the full raster was decoded just
+    * to compare dimensions), and the output preserves the source's alpha
+    * (r17 review: forcing TYPE_INT_RGB composited transparency onto black
+    * and silently changed channels=4 sources to 3 — a semantic change,
+    * not a downscale). */
   def resize(payload: Array[Byte], bound: Int): Array[Byte] = {
+    val m = decodeMeta(payload) // header-only
+    if (math.max(m.width, m.height) <= bound) return payload
     val img = readImage(payload)
     val (w, h) = (img.getWidth, img.getHeight)
-    if (math.max(w, h) <= bound) return payload
     val scale = bound.toDouble / math.max(w, h)
     val nw = math.max(1, math.round(w * scale).toInt)
     val nh = math.max(1, math.round(h * scale).toInt)
-    val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    val outType =
+      if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+      else BufferedImage.TYPE_INT_RGB
+    val out = new BufferedImage(nw, nh, outType)
     val g = out.createGraphics()
     try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
     val bos = new ByteArrayOutputStream()
@@ -210,8 +219,15 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val w = (8 + id % 32).toInt; val h = (8 + (id * 3) % 32).toInt
-          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          // floorMod, not % (r17 review: Scala % preserves sign, so a
+          // negative id produced width 0/negative — BufferedImage throws
+          // — and negative color components; floorMod equals % on the
+          // non-negative ids the closed-form oracles pin)
+          val w = (8 + java.lang.Math.floorMod(id, 32L)).toInt
+          val h = (8 + java.lang.Math.floorMod(id * 3, 32L)).toInt
+          val rgb = ((java.lang.Math.floorMod(id, 256L) << 16) |
+            (java.lang.Math.floorMod(id * 7, 256L) << 8) |
+            java.lang.Math.floorMod(id * 13, 256L)).toInt
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
@@ -243,8 +259,11 @@ object Multimodal {
         val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM LE
         rows.map { r =>
           val id = r.getLong(0)
-          val n = (800 + (id * 3) % 160).toInt
-          val amp = ((id * 37) % 1000 + 100).toInt
+          // floorMod for negative-id safety (r17 review: a negative amp
+          // diverges from the closed-form RMS = amp/32768 the oracle
+          // pins — decoded RMS is |amp|); identical on non-negative ids
+          val n = (800 + java.lang.Math.floorMod(id * 3, 160L)).toInt
+          val amp = (java.lang.Math.floorMod(id * 37, 1000L) + 100).toInt
           val data = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
@@ -274,12 +293,24 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          val (id, payload) = idAndPayload(r, "extractMeta")
           val m = decoder.decodeMeta(payload)
           Row(id, payload.length.toLong, m.width, m.height, m.channels, m.format)
         }
       }(enc)
+  }
+
+  /** Fail-fast null guard at the imperative boundary (r17 review: a null
+    * payload or id NPE'd deep inside mapPartitions with an opaque
+    * executor stack trace — the contract violation should name itself). */
+  private def idAndPayload(r: Row, what: String): (Long, Array[Byte]) = {
+    require(!r.isNullAt(0),
+      s"Multimodal.$what: null id — filter nulls upstream")
+    val id = r.getLong(0)
+    val payload = r.getAs[Array[Byte]](1)
+    require(payload != null,
+      s"Multimodal.$what: null payload for id=$id — filter nulls upstream")
+    (id, payload)
   }
 
   /** Feature extraction partition-wise (the shape an image/audio embedder
@@ -294,7 +325,8 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getLong(0), decoder.features(r.getAs[Array[Byte]](1), dim).toSeq)
+          val (id, payload) = idAndPayload(r, "extractFeatures")
+          Row(id, decoder.features(payload, dim).toSeq)
         }
       }(enc)
   }
@@ -311,10 +343,10 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]](1)
+          val (id, payload) = idAndPayload(r, "resizePayload")
           val resized = decoder.resize(payload, bound)
           val m = decoder.decodeMeta(resized)
-          Row(r.getLong(0), resized, resized.length.toLong,
+          Row(id, resized, resized.length.toLong,
             m.width, m.height, m.channels, m.format)
         }
       }(enc)
@@ -326,6 +358,10 @@ object Multimodal {
     * work distributed and lets AQE rebalance skewed payloads). */
   def sampleFrameIndices(df: DataFrame, idCol: String, payloadCol: String,
                          frames: Int): DataFrame = {
+    // r17 review: frames = 0 silently emitted a DESCENDING two-element
+    // sequence per row and divided by zero — garbage offsets, or an ANSI
+    // cast error far from the cause
+    require(frames >= 1, s"sampleFrameIndices: frames >= 1, got $frames")
     val total = octet_length(col(payloadCol)).cast("long")
     df.select(col(idCol).cast("long").as("id"),
         explode(transform(sequence(lit(0), lit(frames - 1)),

@@ -56,7 +56,12 @@ object ZOrder {
     require(max > min, "boundedRank: max > min")
     require(bits >= 1 && bits <= 31, "boundedRank: bits in [1,31]")
     val scale = (1L << bits) - 1
-    require(BigInt(max - min) * scale < BigInt(Long.MaxValue),
+    // BigInt on EACH side before subtracting (r17 review: BigInt(max -
+    // min) let the Long subtraction itself wrap for ranges wider than
+    // Long.MaxValue, so the guard passed spuriously and the wrapped span
+    // was baked into the division — silent rank degeneration, or an ANSI
+    // ArithmeticException, the exact failures the guard exists to stop)
+    require((BigInt(max) - BigInt(min)) * scale < BigInt(Long.MaxValue),
       "boundedRank: range * 2^bits overflows Long")
     val clamped = greatest(least(c.cast("long"), lit(max)), lit(min))
     floor((clamped - lit(min)) * lit(scale) / lit(max - min)).cast("long")
