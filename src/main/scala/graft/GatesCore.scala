@@ -223,6 +223,51 @@ private[graft] object GatesCore {
         res, extraOk = df.count() == 10000)
     }),
 
+    "synth_nested_roundtrip" -> ((s, d) => {
+      // round-18 (r17 verdict residual #1): nested Array/Map/Struct
+      // synthesis — beyond-reference (the reference's strategies module is
+      // pandas-only, strategies/pandas_strategies.py, and cannot generate
+      // pyspark nested types). The schema pins the generator's documented
+      // container invariants (1 ≤ size ≤ 4; no null elements/keys/values;
+      // map keys distinct per row) with custom checks, plus scalar-domain
+      // bounds on the elements, and the synthesized frame must validate.
+      val schema = DataFrameSchema(
+        "id" -> ColumnSchema(Some(LongType), Seq(Check.ge(0L)),
+          nullable = false, unique = true),
+        "tags" -> ColumnSchema(Some(ArrayType(StringType)), Seq(
+          ColumnCheck("arr_size", c => size(c).between(1, 4)),
+          ColumnCheck("arr_elems_nonnull",
+            c => forall(c, e => e.isNotNull && length(e) > 0))),
+          nullable = false),
+        "scores" -> ColumnSchema(Some(ArrayType(DoubleType)), Seq(
+          ColumnCheck("arr_size", c => size(c).between(1, 4)),
+          ColumnCheck("arr_elems_bounded",
+            c => forall(c, e => e.isNotNull && e >= 0.0 && e <= 1000.0))),
+          nullable = false),
+        "attrs" -> ColumnSchema(Some(MapType(StringType, LongType)), Seq(
+          ColumnCheck("map_size", c => size(c).between(1, 4)),
+          ColumnCheck("map_vals_bounded",
+            c => forall(map_values(c), v => v.isNotNull && v >= 0L && v <= 1000L)),
+          // distinct keys per row: map_from_arrays would have thrown on a
+          // duplicate, but pin it observably too
+          ColumnCheck("map_keys_distinct",
+            c => size(array_distinct(map_keys(c))) === size(c))),
+          nullable = false),
+        "deep" -> ColumnSchema(Some(ArrayType(ArrayType(LongType))), Seq(
+          ColumnCheck("outer_size", c => size(c).between(1, 4)),
+          ColumnCheck("inner_sizes",
+            c => forall(c, a => size(a).between(1, 4)))),
+          nullable = false),
+        "meta" -> ColumnSchema(
+          Some(StructType(Seq(StructField("a", LongType), StructField("b", StringType)))),
+          Seq(ColumnCheck("struct_fields",
+            c => c.getField("a").isNotNull && c.getField("b").isNotNull)),
+          nullable = false))
+      val df = graft.synth.Synthesize.dataFrame(s, schema, 5000, seed = 42)
+      val res = schema.validate(df)
+      aggPassFail(s, "synth_nested_roundtrip", res, extraOk = df.count() == 5000)
+    }),
+
     "synth_joint_unique" -> ((s, d) => {
       // round-4: table-level joint uniqueness honored by synthesis
       // (reference dataframe_strategy, strategies/pandas_strategies.py:1539)
@@ -848,6 +893,8 @@ private[graft] object GatesCore {
       "SELECT 'synth_infer_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
     "synth_joint_unique" ->
       "SELECT 'synth_joint_unique' AS check_name, CAST(0 AS BIGINT) AS failure_count",
+    "synth_nested_roundtrip" ->
+      "SELECT 'synth_nested_roundtrip' AS check_name, CAST(0 AS BIGINT) AS failure_count",
 
     // ---- extension oracles ----
     "schema_diff" ->

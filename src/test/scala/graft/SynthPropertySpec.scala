@@ -271,6 +271,60 @@ class SynthPropertySpec extends SparkSpec {
     assert(e.getMessage.contains("joint domain"))
   }
 
+  test("nested Array/Map/Struct columns synthesize and honor the container invariants (r18)") {
+    import org.apache.spark.sql.functions._
+    val schema = DataFrameSchema(
+      "tags" -> ColumnSchema(Some(ArrayType(StringType)), Nil, nullable = false),
+      "scores" -> ColumnSchema(Some(ArrayType(DoubleType)), Nil, nullable = false),
+      "attrs" -> ColumnSchema(Some(MapType(StringType, LongType)), Nil, nullable = false),
+      "tmap" -> ColumnSchema(Some(MapType(LongType, DoubleType)), Nil, nullable = false),
+      "deep" -> ColumnSchema(Some(ArrayType(ArrayType(LongType))), Nil, nullable = false),
+      "meta" -> ColumnSchema(
+        Some(StructType(Seq(StructField("a", LongType), StructField("b", StringType)))),
+        Nil, nullable = false),
+      "opt" -> ColumnSchema(Some(ArrayType(LongType)), Nil, nullable = true))
+    val df = Synthesize.dataFrame(spark, schema, 2000, seed = 7)
+    assert(schema.validate(df).passed)
+    // documented invariants: 1 ≤ size ≤ 4, no null elements/keys/values,
+    // map keys distinct per row (map_from_arrays would throw otherwise,
+    // but assert the data, not the absence of an exception)
+    val bad = df.filter(
+      !size(col("tags")).between(1, 4) ||
+        exists(col("tags"), e => e.isNull || length(e) === 0) ||
+        !size(col("scores")).between(1, 4) ||
+        exists(col("scores"), e => e.isNull || e < 0.0 || e > 1000.0) ||
+        !size(col("attrs")).between(1, 4) ||
+        size(array_distinct(map_keys(col("attrs")))) =!= size(col("attrs")) ||
+        exists(map_values(col("attrs")), v => v.isNull || v < 0L || v > 1000L) ||
+        !size(col("tmap")).between(1, 4) ||
+        size(array_distinct(map_keys(col("tmap")))) =!= size(col("tmap")) ||
+        !size(col("deep")).between(1, 4) ||
+        exists(col("deep"), a => a.isNull || !size(a).between(1, 4)) ||
+        col("meta").getField("a").isNull || col("meta").getField("b").isNull)
+      .count()
+    assert(bad == 0L)
+    // the nullable container column actually exercises the null sprinkle
+    assert(df.filter(col("opt").isNull).count() > 0)
+    // determinism: the generator is pure in (seed, id). Map columns can't
+    // ride a set operation — compare on entry arrays (map_from_arrays
+    // preserves the build order, itself deterministic in (seed, id)).
+    def comparable(x: org.apache.spark.sql.DataFrame) = x
+      .withColumn("attrs", map_entries(col("attrs")))
+      .withColumn("tmap", map_entries(col("tmap")))
+    val again = Synthesize.dataFrame(spark, schema, 2000, seed = 7)
+    assert(comparable(df).exceptAll(comparable(again)).count() == 0 &&
+      comparable(again).exceptAll(comparable(df)).count() == 0)
+  }
+
+  test("map keys of unsupported dtype fail fast (r18)") {
+    val schema = DataFrameSchema(
+      "m" -> ColumnSchema(Some(MapType(BooleanType, LongType)), Nil, nullable = false))
+    val e = intercept[RuntimeException] {
+      Synthesize.dataFrame(spark, schema, 10, seed = 1).collect()
+    }
+    assert(e.getMessage.contains("map keys"))
+  }
+
   test("unsupported regex constructs fail fast, not silently") {
     val neg = DataFrameSchema("s" -> ColumnSchema(Some(StringType),
       Seq(Check.strMatches("[^a-z]+")), nullable = false))
