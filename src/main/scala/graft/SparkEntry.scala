@@ -47,25 +47,41 @@ object SparkEntry {
     schema.validate(li).data
   }
 
-  /** The full gate registry, split by family (r16-verdict #6) — the
-    * combination is the same 220-entry map the driver has always seen. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GatesChecks.queries ++
-      GatesCore.queries ++
-      GatesHyp.queries ++
-      GatesDedup.queries ++
-      GatesSim.queries ++
-      GatesText.queries ++
-      GatesData.queries ++
-      GatesPipeline.queries
+  /** Concatenate the module maps, refusing duplicate gate names (r17
+    * advice: plain ++ would silently right-bias a name accidentally
+    * defined in two modules — the earlier gate body would vanish from the
+    * registry with every oracle still green). */
+  private def disjoint[V](parts: (String, Map[String, V])*): Map[String, V] = {
+    val dups = parts.flatMap { case (m, kv) => kv.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    require(dups.isEmpty,
+      "duplicate gate name(s) across registry modules: " +
+        dups.toSeq.sortBy(_._1).map { case (k, ms) =>
+          s"$k (${ms.map(_._2).mkString(", ")})" }.mkString("; "))
+    parts.iterator.map(_._2).reduce(_ ++ _)
+  }
 
-  def oracleSql: Map[String, String] =
-    GatesChecks.oracleSql ++
-      GatesCore.oracleSql ++
-      GatesHyp.oracleSql ++
-      GatesDedup.oracleSql ++
-      GatesSim.oracleSql ++
-      GatesText.oracleSql ++
-      GatesData.oracleSql ++
-      GatesPipeline.oracleSql
+  /** The full gate registry, split by family (r16-verdict #6) — the
+    * combination is the same map the driver has always seen. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    disjoint(
+      "GatesChecks" -> GatesChecks.queries,
+      "GatesCore" -> GatesCore.queries,
+      "GatesHyp" -> GatesHyp.queries,
+      "GatesDedup" -> GatesDedup.queries,
+      "GatesSim" -> GatesSim.queries,
+      "GatesText" -> GatesText.queries,
+      "GatesData" -> GatesData.queries,
+      "GatesPipeline" -> GatesPipeline.queries)
+
+  lazy val oracleSql: Map[String, String] =
+    disjoint(
+      "GatesChecks" -> GatesChecks.oracleSql,
+      "GatesCore" -> GatesCore.oracleSql,
+      "GatesHyp" -> GatesHyp.oracleSql,
+      "GatesDedup" -> GatesDedup.oracleSql,
+      "GatesSim" -> GatesSim.oracleSql,
+      "GatesText" -> GatesText.oracleSql,
+      "GatesData" -> GatesData.oracleSql,
+      "GatesPipeline" -> GatesPipeline.oracleSql)
 }

@@ -245,7 +245,15 @@ object Drift {
       maxCategories: Int = 100): (Seq[String], Seq[Double]) = {
     require(maxCategories >= 1, s"maxCategories >= 1, got $maxCategories")
     val cat = coalesce(q(column).cast("string"), lit("__null__"))
-    val counted = reference.groupBy(cat.as("cell")).agg(count(lit(1)).as("n"))
+    // sentinel-collision counters ride the same grouped scan: a REAL
+    // (non-null) string value "__null__" would silently merge with the
+    // null category's mass (r17 advice — the sibling "__other__" check
+    // below only looked at the TOP cells; a literal "__other__" outside
+    // the top-K merged with the overflow mass just as silently)
+    val counted = reference.groupBy(cat.as("cell")).agg(
+      count(lit(1)).as("n"),
+      count(when(q(column).isNotNull &&
+        q(column).cast("string") === "__null__", 1)).as("n_lit_null"))
     // top-K and the grand total in ONE aggregation over the grouped
     // cells — the k-heap folds map-side, the collect is capped at
     // maxCategories no matter the column's cardinality. (r17 review: a
@@ -255,7 +263,10 @@ object Drift {
     val row = counted.agg(
       graft.functions.TopKByScore.of(col("n").cast("double"), col("cell"),
         maxCategories).as("top"),
-      sum(col("n")).as("total")).head()
+      sum(col("n")).as("total"),
+      sum(col("n_lit_null")).as("lit_null"),
+      sum(when(col("cell") === "__other__", col("n")).otherwise(0L))
+        .as("lit_other")).head()
     require(!row.isNullAt(1), "referenceCategoricalProfile: reference is empty")
     val top = row.getSeq[org.apache.spark.sql.Row](0)
       .map(r => r.getString(1) -> r.getDouble(0))
@@ -264,10 +275,14 @@ object Drift {
     // monitors — psiCategoricalAgainstProfile and the windowed monitor —
     // refuse profiles whose cells contain the overflow sentinel, so a
     // profile that fit and saved successfully was permanently unusable)
-    require(!top.exists(_._1 == "__other__"),
-      "referenceCategoricalProfile: the reference's top categories " +
-        "include the literal string \"__other__\", which collides with " +
-        "the overflow sentinel cell — rename that value upstream")
+    require(row.getLong(3) == 0L,
+      "referenceCategoricalProfile: the reference holds the literal " +
+        "string \"__other__\", which collides with the overflow sentinel " +
+        "cell — rename that value upstream")
+    require(row.getLong(2) == 0L,
+      "referenceCategoricalProfile: the reference holds the literal " +
+        "string \"__null__\" as a real (non-null) value, which collides " +
+        "with the null-category sentinel cell — rename that value upstream")
     val otherMass = (total - top.map(_._2).sum) / total
     (top.map(_._1).toSeq, top.map(_._2 / total).toSeq :+ otherMass)
   }

@@ -40,13 +40,35 @@ object StreamingValidation {
         try deleteRecursively(d) catch { case _: Exception => () })))
 
   /** Eagerly drop the stream's consumed dirs; the rest of `root` (the
-    * parquet the returned frame reads) goes at JVM exit. */
-  private def retireReplayDirs(root: String, consumed: String*): Unit = {
+    * parquet the returned frame reads) goes at JVM exit — unless the
+    * caller OWNS the root (passed an `outputRoot`), in which case they
+    * delete it on their own schedule. */
+  private def retireReplayDirs(root: String, callerOwned: Boolean,
+      consumed: String*): Unit = {
     consumed.foreach(d =>
       try deleteRecursively(d) catch { case _: Exception => () })
-    exitHookInstalled
-    exitDirs.add(root): Unit
+    if (!callerOwned) {
+      exitHookInstalled
+      exitDirs.add(root): Unit
+    }
   }
+
+  /** Working root for a replay invocation. Empty `outputRoot` (the
+    * default) → a managed temp dir, deleted at JVM exit. Non-empty → a
+    * fresh dir UNDER `outputRoot`, owned by the caller (r17 advice: a
+    * long-lived session invoking the replay harnesses repeatedly
+    * accumulates one table copy per invocation until exit — an owned root
+    * lets the caller delete each invocation's output as soon as the
+    * returned frame has been consumed; materialize it first, the frame
+    * lazily re-reads the dir on every action). */
+  private def replayRoot(prefix: String, outputRoot: String): String =
+    if (outputRoot.isEmpty)
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    else {
+      val p = java.nio.file.Paths.get(outputRoot)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.createTempDirectory(p, prefix).toString
+    }
 
   /** Wrap a streaming DataFrame into a validated foreachBatch writer.
     * `onBatch` receives (validatedData, batchId, result) — route clean rows
@@ -94,6 +116,14 @@ object StreamingValidation {
     * unchanged — so (123, null) and (null, 123) would otherwise collide
     * with probability 1, a systematic class far above the documented
     * random bound; the null-free flag vector restores the positions).
+    *
+    * STATE-COMPATIBILITY NOTE (r17 advice): that null-flag fix changed
+    * the fingerprint formula, so a `fingerprintKeys = true` query resumed
+    * from a checkpoint written BEFORE the fix will never match its
+    * pre-upgrade state entries — already-seen keys are silently
+    * re-admitted once across the upgrade boundary. Restart such streams
+    * with a fresh checkpoint, or accept up to one watermark window of
+    * possible duplicates after the upgrade. (Raw-key mode is unaffected.)
     * `tsCol` resolves through [[graft.functions.EventTime]] (epoch-nanos
     * long, TIMESTAMP, or TIMESTAMP_NTZ). */
   def dedupStream(
@@ -194,11 +224,12 @@ object StreamingValidation {
     * round-trips through parquet (temp input files, streaming parquet sink),
     * no driver-side row handling. */
   def sessionizeReplay(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String, gap: String = "30 minutes"): DataFrame = {
+      valueCol: String, gap: String = "30 minutes",
+      outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = events.sparkSession
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val dir = replayRoot("graft_replay_", outputRoot)
     val (inDir, outDir, ckDir) = (s"$dir/in", s"$dir/out", s"$dir/ck")
 
     // normalize event time to TimestampType up front so the replayed
@@ -257,7 +288,7 @@ object StreamingValidation {
     try query.awaitTermination()
     finally {
       if (query.isActive) query.stop()
-      retireReplayDirs(dir, inDir, ckDir)
+      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, ckDir)
     }
     val out = spark.read.parquet(outDir)
       .filter(col("user_id") =!= lit(-1L).cast(userT))
@@ -277,10 +308,10 @@ object StreamingValidation {
     * distributed: parquet replay in, per-batch codegen'd filters, parquet
     * sinks out; no driver-side row handling. */
   def quarantineReplay(df: DataFrame, schema: DataFrameSchema,
-      numFiles: Int = 6): DataFrame = {
+      numFiles: Int = 6, outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_quar_").toString
+    val dir = replayRoot("graft_quar_", outputRoot)
     val (inDir, vDir, qDir) = (s"$dir/in", s"$dir/valid", s"$dir/quar")
     df.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(df.schema)
@@ -294,7 +325,7 @@ object StreamingValidation {
     try query.awaitTermination()
     finally {
       if (query.isActive) query.stop()
-      retireReplayDirs(dir, inDir, s"$dir/ck")
+      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
     }
     spark.read.parquet(vDir).withColumn("side", lit("valid"))
       .unionByName(spark.read.parquet(qDir).withColumn("side", lit("quarantined")))
@@ -309,10 +340,10 @@ object StreamingValidation {
     * replay-order-dependent; the key set is not), so the result equals
     * `SELECT DISTINCT keyCols` — the `stream_dedup` gate's oracle. */
   def dedupReplay(events: DataFrame, keyCols: Seq[String], tsCol: String,
-      numFiles: Int = 6): DataFrame = {
+      numFiles: Int = 6, outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = events.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    val dir = replayRoot("graft_dedup_", outputRoot)
     val (inDir, outDir) = (s"$dir/in", s"$dir/out")
     val us = graft.functions.EventTime.eventMicros(events, tsCol)
     val mm = events.agg(min(us), max(us)).head()
@@ -329,7 +360,7 @@ object StreamingValidation {
     try query.awaitTermination()
     finally {
       if (query.isActive) query.stop()
-      retireReplayDirs(dir, inDir, s"$dir/ck")
+      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
     }
     spark.read.parquet(outDir)
   }
@@ -345,10 +376,11 @@ object StreamingValidation {
     * anti-join, which is what the `stream_scrub` gate asserts against the
     * same DuckDB oracle as the batch `dedup_incremental_bloom` gate. */
   def scrubReplay(incoming: DataFrame, corpus: DataFrame, textCol: String,
-      corpusTextCol: String = "", numFiles: Int = 6): DataFrame = {
+      corpusTextCol: String = "", numFiles: Int = 6,
+      outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = incoming.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_scrub_").toString
+    val dir = replayRoot("graft_scrub_", outputRoot)
     val (inDir, outDir) = (s"$dir/in", s"$dir/out")
     incoming.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(incoming.schema)
@@ -360,7 +392,7 @@ object StreamingValidation {
     try query.awaitTermination()
     finally {
       if (query.isActive) query.stop()
-      retireReplayDirs(dir, inDir, s"$dir/ck")
+      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
     }
     spark.read.parquet(outDir)
   }

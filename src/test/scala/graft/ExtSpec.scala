@@ -770,6 +770,23 @@ class ExtSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.ext.Drift.referenceCategoricalProfile(ref, "c", maxCategories = 3))
     assert(e.getMessage.contains("__other__"), e.getMessage)
+    // ...the literal "__other__" must refuse even when it is NOT in the
+    // top cells (r18: the old top-only check let it merge with the
+    // overflow mass silently)
+    val refTail = (Seq.fill(6)("x") ++ Seq.fill(5)("y") ++ Seq("__other__"))
+      .toDF("c")
+    val eTail = intercept[IllegalArgumentException](
+      graft.ext.Drift.referenceCategoricalProfile(refTail, "c", maxCategories = 2))
+    assert(eTail.getMessage.contains("__other__"), eTail.getMessage)
+    // a REAL (non-null) "__null__" value collides with the null-category
+    // sentinel — refuse at fit time (r17 advice); genuine nulls still fit
+    val refLitNull = (Seq("a", "b", "__null__")).toDF("c")
+    val eNull = intercept[IllegalArgumentException](
+      graft.ext.Drift.referenceCategoricalProfile(refLitNull, "c", maxCategories = 3))
+    assert(eNull.getMessage.contains("__null__"), eNull.getMessage)
+    val (nCells, nFracs) = graft.ext.Drift.referenceCategoricalProfile(
+      (Seq("a", "a", "a", null)).toDF("c"), "c", maxCategories = 3)
+    assert(nCells.contains("__null__") && math.abs(nFracs.sum - 1.0) < 1e-9)
     // ...and a clean reference still profiles with exact fractions from
     // the ONE-job total (top-k heap + sum in a single aggregation)
     val (cells, fracs) = graft.ext.Drift.referenceCategoricalProfile(

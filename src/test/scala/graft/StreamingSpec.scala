@@ -444,4 +444,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("replay harnesses honor a caller-owned output root (r17 advice)") {
+    // with outputRoot set, the invocation's dirs land under it and the
+    // caller may delete them eagerly after materializing the result — a
+    // long-lived session no longer accumulates a table copy per call
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_type", "ts").limit(200)
+    val root = java.nio.file.Files.createTempDirectory("graft-owned-root").toString
+    val got = StreamingValidation.dedupReplay(ev, Seq("user_id"), "ts",
+      outputRoot = root).count()
+    assert(got == ev.select("user_id").distinct().count())
+    val children = new java.io.File(root).listFiles()
+    assert(children != null && children.nonEmpty,
+      "the replay working dir must live under the owned root")
+    // eager caller-side cleanup works (result already materialized above)
+    children.foreach(c => assert(deleteRec(c)))
+    assert(new java.io.File(root).listFiles().isEmpty)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root))
+  }
+
+  private def deleteRec(f: java.io.File): Boolean = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
 }
