@@ -136,4 +136,52 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.suspectSection(cpu = 70, cpuMedian = 70,
       io = 79.4, ioMedian = 28.3, ioFloor = Some(28.3)))
   }
+
+  test("suspectLegs names exactly the legs that fired (r18 verdict #2)") {
+    // cpu only
+    assert(Bench.suspectLegs(cpu = 150, cpuMedian = 70,
+      io = 10, ioMedian = 10, ioFloor = Some(8.0)) == Seq("cpu"))
+    // io median only (no floor recorded)
+    assert(Bench.suspectLegs(cpu = 70, cpuMedian = 70,
+      io = 130, ioMedian = 40, ioFloor = None) == Seq("io_median"))
+    // io floor only (uniform contention: io == median)
+    assert(Bench.suspectLegs(cpu = 70, cpuMedian = 70,
+      io = 240, ioMedian = 240, ioFloor = Some(28.0)) == Seq("io_floor"))
+    // both io legs + cpu — the r17 planted-contention shape
+    assert(Bench.suspectLegs(cpu = 200, cpuMedian = 70,
+      io = 400, ioMedian = 50, ioFloor = Some(28.0)) ==
+      Seq("cpu", "io_median", "io_floor"))
+    // clean
+    assert(Bench.suspectLegs(cpu = 70, cpuMedian = 70,
+      io = 30, ioMedian = 28, ioFloor = Some(28.0)).isEmpty)
+    // the 20 ms guard gates BOTH io legs
+    assert(Bench.suspectLegs(cpu = 70, cpuMedian = 70,
+      io = 19, ioMedian = 4, ioFloor = Some(3.0)).isEmpty)
+    // suspectSection is exactly legs.nonEmpty — the two cannot drift
+    for (io <- Seq(10.0, 130.0, 240.0); cpu <- Seq(70.0, 150.0))
+      assert(Bench.suspectSection(cpu, 70, io, 40, Some(28.0)) ==
+        Bench.suspectLegs(cpu, 70, io, 40, Some(28.0)).nonEmpty)
+  }
+
+  test("copyDirForced + deleteDirRec round-trip a nested store dir (r18 verdict #1)") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft-cp-src")
+    Files.createDirectories(src.resolve("gen0/part"))
+    Files.write(src.resolve("gen0/part/a.bin"), Array.fill[Byte](4096)(7))
+    Files.write(src.resolve("manifest.json"), "m1".getBytes("UTF-8"))
+    val dst = Files.createTempDirectory("graft-cp-dst").resolve("copy")
+    Bench.copyDirForced(src, dst)
+    assert(Files.readAllBytes(dst.resolve("gen0/part/a.bin")).toSeq ==
+      Array.fill[Byte](4096)(7).toSeq)
+    assert(new String(Files.readAllBytes(dst.resolve("manifest.json")),
+      "UTF-8") == "m1")
+    // mutating the copy leaves the source untouched (the rerun arena)
+    Files.write(dst.resolve("manifest.json"), "m2".getBytes("UTF-8"))
+    assert(new String(Files.readAllBytes(src.resolve("manifest.json")),
+      "UTF-8") == "m1")
+    Bench.deleteDirRec(dst)
+    assert(!Files.exists(dst) && Files.exists(src.resolve("gen0/part/a.bin")))
+    Bench.deleteDirRec(src)
+    Bench.deleteDirRec(Paths.get(dst.getParent.toString))
+  }
 }
