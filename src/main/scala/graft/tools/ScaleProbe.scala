@@ -111,7 +111,7 @@ object ScaleProbe {
     val only: String => Boolean =
       if (args.isEmpty)
         k => k != "ledgerpieces" && k != "cluster10x" && k != "soak" &&
-          k != "staging"
+          k != "staging" && k != "validate"
       else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -939,6 +939,53 @@ object ScaleProbe {
         }
         println(f"PROBE staging mode=$mode rep=$rep " +
           f"derive_sec=$tStage%.2f total_sec=$tTotal%.2f")
+      }
+    }
+
+    // round-18 (r17 verdict #4): the validation SPINE's own decade — the
+    // one §2-core family without a recorded 100× point. validate_full's
+    // fused pass (the full 20-check lineitem contract incl. the joint-
+    // unique shuffle) over DISK-BACKED parquet at 1×/10×/100× the sf
+    // rows, replicas offsetting l_orderkey so the (l_orderkey,
+    // l_linenumber) key stays genuinely unique and the uniqueness
+    // aggregation pays its honest shuffle. Pins: the Spark JOB count is
+    // FLAT across decades (the fused engine's one-scan + one-uniqueness
+    // plan is row-count-independent — at 100 TB, jobs ∝ checks would be
+    // the scale killer) and the error-kind count is constant (dirty rows
+    // replicate proportionally but the same 3 checks fail). Explicit-only
+    // leg: the 100× replica writes ~GBs of temp parquet.
+    if (only("validate")) {
+      val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCounter.incrementAndGet(): Unit
+        })
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val schema = graft.Bench.lineitemSchema
+      def replicateLi(n: Int): DataFrame =
+        if (n == 1) li
+        else li
+          .select(col("*"), explode(sequence(lit(0), lit(n - 1))).as("rep"))
+          .withColumn("l_orderkey",
+            col("l_orderkey") + col("rep") * 1000000000L)
+          .drop("rep")
+      // warm the fused path's codegen once so decade 1 isn't charged JIT
+      schema.validate(li.limit(1000)): Unit
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-sp-val-$name").toString
+        replicateLi(k).write.mode("overwrite").parquet(dir)
+        val d = spark.read.parquet(dir)
+        val rows = d.count()
+        jobCounter.set(0)
+        val (tv, res) = time(schema.validate(d))
+        val jobs = jobCounter.get()
+        println(f"PROBE validate_$name rows=$rows validate_sec=$tv%.2f " +
+          f"jobs=$jobs error_kinds=${res.errors.size} " +
+          f"failed_rows=${res.errors.map(_.failureCount).sum}")
+        graft.Bench.deleteDirRec(java.nio.file.Paths.get(dir))
       }
     }
     spark.stop()
