@@ -1262,25 +1262,38 @@ object Bench {
     // way) instead of silently regressing to "parsed": null.
     // ONE envelope builder for both stdout variants — only the queries
     // field differs, so the two lines cannot drift
-    def stdoutLine(queriesField: String, canaryField: String): String =
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"io_ms":{"med":${num("%.1f", ioMedian)},"max":${num("%.1f", if (ios.isEmpty) -1.0 else ios.values.max)}},"suspect":$suspectStdout,"reruns":$rerunsStdout,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
-    val compact = stdoutLine(queriesJson("%.2f"), canaryArr)
+    def stdoutLine(queriesField: String, canaryField: String,
+        suspectField: String, rerunsField: String): String =
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$queriesField,"canary_ms":$canaryField,"io_ms":{"med":${num("%.1f", ioMedian)},"max":${num("%.1f", if (ios.isEmpty) -1.0 else ios.values.max)}},"suspect":$suspectField,"reruns":$rerunsField,"load_1m_max":${num("%.2f", loadMax)},"sf":"$sfDir","full_metrics":"BENCH_LOCAL.json"}"""
+    val compact = stdoutLine(queriesJson("%.2f"), canaryArr,
+      suspectStdout, rerunsStdout)
     val canaryMax =
       s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}"""
-    // middle fallback (r15): the per-query map is what gets graded — when
-    // a rerun-heavy run pushes the full compact line over the cap (the
-    // clean r15 local run already sat at the edge with 5 reruns), drop the
-    // canary ARRAY first (degrades to its max; the full per-section map is
-    // in BENCH_LOCAL.json regardless) and keep every section timing.
-    val compactNoCanary = stdoutLine(queriesJson("%.2f"), canaryMax)
+    // fallback chain (r15, widened r18): the per-query map is what gets
+    // graded, so it is the LAST thing sacrificed. Degrade in order:
+    // 1. drop the canary ARRAY (its max survives; the full map is in
+    //    BENCH_LOCAL.json regardless);
+    // 2. shrink suspect + reruns to their counts (names survive in
+    //    BENCH_LOCAL.json) — the r18 validation run showed the full
+    //    56-section line overflowing BOTH r15 stages and regressing to
+    //    the headline, which silently dropped every section timing from
+    //    the driver artifact;
+    // 3. headline (timings + counters only) as the true last resort.
+    val compactNoCanary = stdoutLine(queriesJson("%.2f"), canaryMax,
+      suspectStdout, rerunsStdout)
+    val compactCountsOnly = stdoutLine(queriesJson("%.2f"), canaryMax,
+      s"""{"n_suspect":${suspectFlags.size}}""",
+      s"""{"n_reruns":${reruns.size}}""")
     // last fallback keeps the headline timings AND every counter the
     // driver may gate on — only the per-section maps are dropped
     val headline = stdoutLine(
       s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""",
-      canaryMax)
+      canaryMax, s"""{"n_suspect":${suspectFlags.size}}""",
+      s"""{"n_reruns":${reruns.size}}""")
     println(
       if (compact.length <= 1900) compact
       else if (compactNoCanary.length <= 1900) compactNoCanary
+      else if (compactCountsOnly.length <= 1900) compactCountsOnly
       else headline)
     spark.stop()
   }
