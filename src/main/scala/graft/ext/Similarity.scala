@@ -598,13 +598,8 @@ object Similarity {
     // the replay input and checkpoint are dead once the sink has drained —
     // delete them (about a corpus-copy of disk per call otherwise); only
     // out/ stays, backing the returned DataFrame
-    Seq(s"$dir/in", s"$dir/ck").foreach { p =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    Seq(s"$dir/in", s"$dir/ck").foreach(p =>
+      StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(p)))
     // partition columns come back LAST from a partitioned read — restore
     // the batch-encode column order
     val cols = index.kind match {

@@ -27,6 +27,20 @@ object StoreFiles {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Recursive LOCAL-path delete (java.nio — harness/temp hygiene, not
+    * store data; store-side deletes go through the Hadoop FS above). One
+    * shared copy (r18 review: Bench, StreamingValidation, Similarity and
+    * a spec each grew an identical walk-and-delete). Missing path is a
+    * no-op. */
+  def deleteLocalDirRec(path: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(path)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+    }
+
   /** Visible data files under `dir` (non-recursive; skips _SUCCESS/.crc
     * style hidden entries) — the quantity compaction collapses. */
   def dataFileCount(spark: SparkSession, dir: String): Int = {

@@ -22,16 +22,8 @@ object StreamingValidation {
     * stream is done with them); the OUTPUT dirs must outlive the call —
     * the returned frame lazily re-reads them on every action — so they
     * register for deletion at JVM exit instead. */
-  private def deleteRecursively(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
-      finally walk.close()
-    }
-  }
+  private def deleteRecursively(path: String): Unit =
+    graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(path))
 
   private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private lazy val exitHookInstalled: Unit =

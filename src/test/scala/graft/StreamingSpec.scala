@@ -459,13 +459,9 @@ class StreamingSpec extends SparkSpec {
     assert(children != null && children.nonEmpty,
       "the replay working dir must live under the owned root")
     // eager caller-side cleanup works (result already materialized above)
-    children.foreach(c => assert(deleteRec(c)))
+    children.foreach(c =>
+      graft.ext.StoreFiles.deleteLocalDirRec(c.toPath))
     assert(new java.io.File(root).listFiles().isEmpty)
     java.nio.file.Files.delete(java.nio.file.Paths.get(root))
-  }
-
-  private def deleteRec(f: java.io.File): Boolean = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete()
   }
 }

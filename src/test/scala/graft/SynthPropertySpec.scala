@@ -316,6 +316,40 @@ class SynthPropertySpec extends SparkSpec {
       comparable(again).exceptAll(comparable(df)).count() == 0)
   }
 
+  test("decimal domains clamp to precision instead of overflowing to null (r18 review)") {
+    import org.apache.spark.sql.functions._
+    // the [0,1000) continuous default overflows Decimal(4,2) (max 99.99):
+    // unclamped, a non-ANSI cast nulls ~90% of values — silently for the
+    // bare column, as a map_from_arrays crash for the map keys
+    val schema = DataFrameSchema(
+      "d" -> ColumnSchema(Some(DecimalType(4, 2)), Nil, nullable = false),
+      "arr" -> ColumnSchema(Some(ArrayType(DecimalType(3, 1))), Nil, nullable = false),
+      "m" -> ColumnSchema(Some(MapType(DecimalType(4, 2), LongType)), Nil, nullable = false))
+    val df = Synthesize.dataFrame(spark, schema, 3000, seed = 11)
+    assert(schema.validate(df).passed)
+    assert(df.filter(col("d").isNull ||
+      exists(col("arr"), e => e.isNull) ||
+      size(array_distinct(map_keys(col("m")))) =!= size(col("m"))).count() == 0)
+    // unique decimals denser than the type's quantum must refuse loudly
+    // (rounding would collapse equally-spaced neighbors into duplicates)
+    val dense = DataFrameSchema("u" -> ColumnSchema(Some(DecimalType(4, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("99.99"))), nullable = false, unique = true))
+    val e = intercept[RuntimeException](
+      Synthesize.dataFrame(spark, dense, 20000, seed = 11))
+    assert(e.getMessage.contains("quantum"), e.getMessage)
+  }
+
+  test("binary container elements differ per position (r18 review)") {
+    import org.apache.spark.sql.functions._
+    val schema = DataFrameSchema(
+      "b" -> ColumnSchema(Some(ArrayType(BinaryType)), Nil, nullable = false))
+    val df = Synthesize.dataFrame(spark, schema, 500, seed = 3)
+    assert(df.filter(size(col("b")) >= 2 &&
+      size(array_distinct(col("b"))) === 1).count() == 0,
+      "multi-element binary arrays must not hold identical copies")
+  }
+
   test("map keys of unsupported dtype fail fast (r18)") {
     val schema = DataFrameSchema(
       "m" -> ColumnSchema(Some(MapType(BooleanType, LongType)), Nil, nullable = false))
