@@ -842,11 +842,7 @@ object Retrieval {
     } finally {
       // replay input + checkpoint are dead once the stream drains (or
       // fails — cleanup must not leak a corpus copy on error)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
+      StoreFiles.deleteLocalDirRec(dir)
     }
   }
 

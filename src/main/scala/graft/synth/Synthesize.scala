@@ -212,26 +212,38 @@ object Synthesize {
             // clamp to the representable range and must space values at
             // least one quantum apart or rounding collapses neighbors
             // into duplicates (r18 review).
-            val lo = m.lo.getOrElse(0.0)
-            val hiEff = dt match {
-              case _: DecimalType => Some(clampToDecimal(
-                (lo, m.hi.getOrElse(Double.MaxValue)), dt, name)._2)
-              case _ => m.hi
+            // BOTH bounds clamp for decimals (r18 second-pass review: the
+            // first fix clamped only hi, so a below-range lo still
+            // generated overflow-to-NULL values)
+            val (lo, hiEff) = dt match {
+              case _: DecimalType =>
+                val (l, h) = clampToDecimal(
+                  (m.lo.getOrElse(0.0), m.hi.getOrElse(Double.MaxValue)),
+                  dt, name)
+                (l, Some(h))
+              case _ => (m.lo.getOrElse(0.0), m.hi)
             }
             hiEff match {
               case Some(hi) =>
                 if (hi <= lo) sys.error(
                   s"column '$name': unique needs hi > lo, got [$lo,$hi]")
-                val step = (hi - lo) / count
-                dt match {
-                  case d: DecimalType
-                      if step < math.pow(10, -d.scale.toDouble) =>
-                    sys.error(s"column '$name': $count unique values in " +
-                      s"[$lo,$hi] space closer than ${d.sql}'s quantum — " +
+                // decimals must space at least one quantum apart or
+                // rounding collapses neighbors into duplicates; the
+                // INCLUSIVE domain holds span/quantum + 1 values, so a
+                // full-capacity request widens the step to the quantum
+                // instead of refusing (r18 second-pass review)
+                val step = dt match {
+                  case d: DecimalType =>
+                    val quantum = math.pow(10, -d.scale.toDouble)
+                    val raw = (hi - lo) / count
+                    if (raw >= quantum) raw
+                    else if ((count - 1) * quantum <=
+                        (hi - lo) + quantum * 1e-6) quantum
+                    else sys.error(s"column '$name': $count unique values " +
+                      s"do not fit in [$lo,$hi] at ${d.sql}'s quantum — " +
                       "rounding would collapse neighbors into duplicates")
-                  case _ =>
+                  case _ => (hi - lo) / count
                 }
-                // count distinct equally spaced values in [lo, hi)
                 (lit(lo) + idx.cast("double") * lit(step)).cast(dt)
               case None => (lit(lo) + idx.cast("double")).cast(dt)
             }

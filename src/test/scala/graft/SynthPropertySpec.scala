@@ -338,6 +338,13 @@ class SynthPropertySpec extends SparkSpec {
     val e = intercept[RuntimeException](
       Synthesize.dataFrame(spark, dense, 20000, seed = 11))
     assert(e.getMessage.contains("quantum"), e.getMessage)
+    // ...but a FULL-capacity request (exactly span/quantum + 1 values
+    // exist) is satisfiable and must generate, unique and in range
+    // (r18 second-pass review: the first guard refused it off-by-one)
+    val full = DataFrameSchema("u" -> ColumnSchema(Some(DecimalType(4, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("99.99"))), nullable = false, unique = true))
+    assert(full.validate(Synthesize.dataFrame(spark, full, 10000, seed = 11)).passed)
   }
 
   test("binary container elements differ per position (r18 review)") {
