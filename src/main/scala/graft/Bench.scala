@@ -1051,15 +1051,16 @@ object Bench {
         .coalesce(1).write.text(s"$j/data")
       j
     }
-    // each leg gets a PRIVATE byte-identical copy of the batch, and the
-    // copy dir rides the timedFs state (r18 review findings 1-2):
-    // readQuarantined persists its raw scan in the SQL plan cache keyed
-    // on the input path, so (a) a contention rerun reading the same path
-    // would be served parse-free from the first run's cache and its
-    // min-kept timing would exclude the parse cost, and (b) the 10× leg
-    // reading the 1× leg's path would hit the stale cache entry left by
+    // plan-cache isolation (r18 review findings 1-2): readQuarantined
+    // persists its raw scan in the SQL plan cache keyed on the input
+    // path, so (a) a contention rerun reading the same path would be
+    // served parse-free from the first run's cache and its min-kept
+    // timing would exclude the parse cost, and (b) the 10× leg reading
+    // the 1× leg's path would hit the stale cache entry left by
     // dropNewBlocks' RDD-level unpersist and re-parse per action.
-    // Distinct paths → distinct plans → no cross-leg or cross-rerun reuse.
+    // Isolation is by DISTINCT PATHS: the 1× leg reads crawlJdir itself
+    // (its rerun gets a snapshot path via timedFs state); only the 10×
+    // leg needs this private byte-identical copy.
     def crawlInput(tag: String): String = {
       val j = java.nio.file.Files
         .createTempDirectory(s"graft-bench-cb-json-$tag").toString
@@ -1125,10 +1126,6 @@ object Bench {
     timedFs("pipeline_crawl_batch_10x", Seq(cj10, bm10, ann10))(rm =>
       crawlBody(rm(cj10), fp10, mh10, rm(bm10), rm(ann10), prof10))
     dropNewBlocks(spark, snapCb10)
-    // nothing reads the crawl inputs past this point — drop the two
-    // corpus-sized copies instead of leaving them to /tmp
-    deleteDirRec(java.nio.file.Paths.get(crawlJdir))
-    deleteDirRec(java.nio.file.Paths.get(cj10))
 
     // full schema incl. the temporal column and the joint-unique
     // (l_orderkey, l_linenumber) key — exercised since round 4
@@ -1146,6 +1143,14 @@ object Bench {
     big.count()
     timed("validate_10m_inmem")(lineitemSchema.validate(big))
     big.unpersist()
+
+    // crawl-input cleanup LAST, after the final timed section: the two
+    // corpus-sized recursive unlinks queue async journal writeback, which
+    // would inflate the NEXT section's io canary if any timed section
+    // followed (r18 third-pass review — the same self-inflicted-writeback
+    // class copyDirForced fsyncs to avoid)
+    deleteDirRec(java.nio.file.Paths.get(crawlJdir))
+    deleteDirRec(java.nio.file.Paths.get(cj10))
 
     // Locale.ROOT: default-locale %f emits comma decimals under e.g.
     // de_DE and corrupts the JSON line (same bug class as the r7 ADVICE

@@ -227,24 +227,31 @@ object Synthesize {
               case Some(hi) =>
                 if (hi <= lo) sys.error(
                   s"column '$name': unique needs hi > lo, got [$lo,$hi]")
-                // decimals must space at least one quantum apart or
-                // rounding collapses neighbors into duplicates; the
-                // INCLUSIVE domain holds span/quantum + 1 values, so a
-                // full-capacity request widens the step to the quantum
-                // instead of refusing (r18 second-pass review)
-                val step = dt match {
+                // decimals enumerate on the type's QUANTUM GRID: origin
+                // snapped to the first grid point ≥ lo and step an
+                // integral multiple of the quantum (r18 third-pass
+                // review: any off-grid origin or fractional-quantum step
+                // places values at rounding midpoints, where the
+                // double→decimal HALF_UP cast collapses neighbors into
+                // duplicates — quantum-step spacing alone is NOT enough).
+                // Grid points in [loAligned, hi] = the exact inclusive
+                // capacity, so a full-capacity request generates.
+                dt match {
                   case d: DecimalType =>
                     val quantum = math.pow(10, -d.scale.toDouble)
-                    val raw = (hi - lo) / count
-                    if (raw >= quantum) raw
-                    else if ((count - 1) * quantum <=
-                        (hi - lo) + quantum * 1e-6) quantum
-                    else sys.error(s"column '$name': $count unique values " +
-                      s"do not fit in [$lo,$hi] at ${d.sql}'s quantum — " +
-                      "rounding would collapse neighbors into duplicates")
-                  case _ => (hi - lo) / count
+                    val loA = math.ceil(lo / quantum - 1e-9) * quantum
+                    val slots =
+                      math.floor((hi - loA) / quantum + 1e-9).toLong + 1
+                    if (loA > hi + 1e-9 * quantum || slots < count) sys.error(
+                      s"column '$name': $count unique values do not fit " +
+                        s"in [$lo,$hi] at ${d.sql}'s quantum — the grid " +
+                        s"holds ${math.max(slots, 0L)} value(s)")
+                    val step = (slots / count) * quantum
+                    (lit(loA) + idx.cast("double") * lit(step)).cast(dt)
+                  case _ =>
+                    (lit(lo) + idx.cast("double") * lit((hi - lo) / count))
+                      .cast(dt)
                 }
-                (lit(lo) + idx.cast("double") * lit(step)).cast(dt)
               case None => (lit(lo) + idx.cast("double")).cast(dt)
             }
           case BooleanType =>

@@ -345,6 +345,15 @@ class SynthPropertySpec extends SparkSpec {
       Seq(Check.inRange(java.math.BigDecimal.ZERO,
         new java.math.BigDecimal("99.99"))), nullable = false, unique = true))
     assert(full.validate(Synthesize.dataFrame(spark, full, 10000, seed = 11)).passed)
+    // OFF-GRID bounds at full grid capacity: enumeration must snap to
+    // the quantum grid (r18 third-pass review: an off-grid origin put
+    // every value at a rounding midpoint, where the double→decimal cast
+    // collapsed neighbors into duplicates and overshot hi)
+    val offgrid = DataFrameSchema("u" -> ColumnSchema(Some(DecimalType(4, 2)),
+      Seq(Check.inRange(new java.math.BigDecimal("0.005"),
+        new java.math.BigDecimal("99.985"))), nullable = false, unique = true))
+    assert(offgrid.validate(
+      Synthesize.dataFrame(spark, offgrid, 9998, seed = 11)).passed)
   }
 
   test("binary container elements differ per position (r18 review)") {
