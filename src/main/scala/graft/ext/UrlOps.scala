@@ -65,7 +65,11 @@ object UrlOps {
     val host = domain(url)
     val port = regexp_extract(hostport(url), ":([0-9]+)$", 1)
     val path = regexp_replace(regexp_extract(url, PathRe, 1), "/+$", "")
-    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query is the first '?' BEFORE any '#' — an unanchored extract
+    // would resurrect a "?x=1" living inside the fragment as a query
+    // (r18 hunt: "http://h/p#a?b=1" canonicalized to "http://h/p?b=1"
+    // instead of dropping the fragment whole)
+    val rawQ = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val q = array_join(array_sort(filter(split(rawQ, "&"),
       x => x =!= "" && !x.rlike(TrackingRe))), "&")
     val keepPort = port =!= "" &&
@@ -87,7 +91,12 @@ object UrlOps {
       blocked: Seq[String], inlineThreshold: Int = 256): DataFrame = {
     val rd = registeredDomain(col("`" + urlCol.replace("`", "``") + "`"))
     if (blocked.isEmpty) df
-    else if (blocked.size <= inlineThreshold) df.filter(!rd.isin(blocked: _*))
+    else if (blocked.size <= inlineThreshold)
+      // rd is null exactly when the url value is null; `!isin` on a null
+      // is null and the filter would DROP the row, where the anti-join
+      // path below keeps it (r18 hunt: the two paths diverged at the
+      // threshold). A null url is not blocked — keep it on both paths.
+      df.filter(rd.isNull || !rd.isin(blocked: _*))
     else {
       val spark = df.sparkSession
       import spark.implicits._

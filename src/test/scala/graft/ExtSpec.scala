@@ -2019,8 +2019,10 @@ class ExtSpec extends SparkSpec {
       (2L, "http://sub.example.co.uk:8080/a//b/?z=9&ref=r"),
       (3L, "https://user:pw@Example.com/x?fbclid=f"),
       (4L, "not a url"),
-      (5L, "http://example.com:80/")
+      (5L, "http://example.com:80/"),
+      (6L, "http://h.example.com/p#a?b=1") // '?' INSIDE the fragment
     ).toDF("id", "url")
+      .unionByName(Seq((7L, Option.empty[String])).toDF("id", "url"))
     val got = d.select(col("id"), UrlOps.canonicalize(col("url")).as("c"),
         UrlOps.domain(col("url")).as("dm"), UrlOps.registeredDomain(col("url")).as("rd"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
@@ -2029,11 +2031,17 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == (("https://example.com/x", "example.com", "example.com")))
     assert(got(4L)._1 == null) // no scheme → not a URL
     assert(got(5L) == (("http://example.com", "example.com", "example.com")))
-    // blocklist: inline predicate path and broadcast anti-join path agree
+    // r18 hunt: the fragment drops WHOLE — a '?x=1' inside it must not
+    // resurrect as a query string
+    assert(got(6L)._1 == "http://h.example.com/p")
+    // blocklist: inline predicate path and broadcast anti-join path agree,
+    // INCLUDING on null urls (r18 hunt: `!isin` on a null rd is null and
+    // the inline filter dropped the row where the anti-join kept it)
+    val keep = Set(1L, 3L, 4L, 5L, 6L, 7L)
     val inline = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"))
-    assert(inline.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    assert(inline.select("id").collect().map(_.getLong(0)).toSet == keep)
     val broad = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"), inlineThreshold = 0)
-    assert(broad.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    assert(broad.select("id").collect().map(_.getLong(0)).toSet == keep)
     assert(broad.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "large blocklist must be a broadcast anti-join")
   }
