@@ -625,8 +625,9 @@ private[graft] object GatesText {
         "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme, " +
         "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''), '^[^@]*@', '') AS hostport, " +
         "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS path, " +
-        // first '?' BEFORE any '#', matching the engine (r18 hunt fix)
-        "coalesce(regexp_extract(url, '^[^#]*\\?([^#]*)', 1), '') AS query FROM u), " +
+        // FIRST '?' before any '#' — prefix excludes both, matching the
+        // engine (r18 hunt fix + fourth-pass backtracking correction)
+        "coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '') AS query FROM u), " +
         "h AS (SELECT doc_id, scheme, path, " +
         "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host, " +
         "coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port, " +

@@ -65,11 +65,13 @@ object UrlOps {
     val host = domain(url)
     val port = regexp_extract(hostport(url), ":([0-9]+)$", 1)
     val path = regexp_replace(regexp_extract(url, PathRe, 1), "/+$", "")
-    // the query is the first '?' BEFORE any '#' — an unanchored extract
-    // would resurrect a "?x=1" living inside the fragment as a query
-    // (r18 hunt: "http://h/p#a?b=1" canonicalized to "http://h/p?b=1"
-    // instead of dropping the fragment whole)
-    val rawQ = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // the query starts at the FIRST '?' before any '#': the prefix class
+    // excludes BOTH '#' and '?' — an unanchored extract resurrected a
+    // "?x=1" living inside the fragment (r18 hunt), and a '^[^#]*'
+    // prefix backtracks greedily to the LAST '?' and drops earlier
+    // params like "?next=/page?x=1" (r18 fourth-pass review; '?' is
+    // legal inside an RFC 3986 query)
+    val rawQ = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val q = array_join(array_sort(filter(split(rawQ, "&"),
       x => x =!= "" && !x.rlike(TrackingRe))), "&")
     val keepPort = port =!= "" &&
@@ -90,17 +92,22 @@ object UrlOps {
   def filterBlockedDomains(df: DataFrame, urlCol: String,
       blocked: Seq[String], inlineThreshold: Int = 256): DataFrame = {
     val rd = registeredDomain(col("`" + urlCol.replace("`", "``") + "`"))
-    if (blocked.isEmpty) df
-    else if (blocked.size <= inlineThreshold)
+    // sanitize: a null/empty entry (a blocklist file's blank line) would
+    // turn the inline `isin` three-valued for every non-matching row —
+    // dropping nearly everything — while the anti-join path ignores it
+    // (r18 fourth-pass review); neither is a real domain, so strip both
+    val cleaned = blocked.filterNot(b => b == null || b.isEmpty)
+    if (cleaned.isEmpty) df
+    else if (cleaned.size <= inlineThreshold)
       // rd is null exactly when the url value is null; `!isin` on a null
       // is null and the filter would DROP the row, where the anti-join
       // path below keeps it (r18 hunt: the two paths diverged at the
       // threshold). A null url is not blocked — keep it on both paths.
-      df.filter(rd.isNull || !rd.isin(blocked: _*))
+      df.filter(rd.isNull || !rd.isin(cleaned: _*))
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      df.join(broadcast(blocked.toDF("__blocked_rd")),
+      df.join(broadcast(cleaned.toDF("__blocked_rd")),
         rd === col("__blocked_rd"), "left_anti")
     }
   }

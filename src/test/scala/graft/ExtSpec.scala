@@ -2020,7 +2020,8 @@ class ExtSpec extends SparkSpec {
       (3L, "https://user:pw@Example.com/x?fbclid=f"),
       (4L, "not a url"),
       (5L, "http://example.com:80/"),
-      (6L, "http://h.example.com/p#a?b=1") // '?' INSIDE the fragment
+      (6L, "http://h.example.com/p#a?b=1"), // '?' INSIDE the fragment
+      (8L, "http://h.example.com/p?next=/page?x=1") // '?' INSIDE the query
     ).toDF("id", "url")
       .unionByName(Seq((7L, Option.empty[String])).toDF("id", "url"))
     val got = d.select(col("id"), UrlOps.canonicalize(col("url")).as("c"),
@@ -2034,13 +2035,20 @@ class ExtSpec extends SparkSpec {
     // r18 hunt: the fragment drops WHOLE — a '?x=1' inside it must not
     // resurrect as a query string
     assert(got(6L)._1 == "http://h.example.com/p")
+    // r18 fourth-pass: '?' is legal INSIDE a query (RFC 3986) — the
+    // extraction must anchor to the FIRST '?' (a greedy '[^#]*' prefix
+    // backtracked to the last one and dropped every earlier param)
+    assert(got(8L)._1 == "http://h.example.com/p?next=/page?x=1")
     // blocklist: inline predicate path and broadcast anti-join path agree,
     // INCLUDING on null urls (r18 hunt: `!isin` on a null rd is null and
-    // the inline filter dropped the row where the anti-join kept it)
-    val keep = Set(1L, 3L, 4L, 5L, 6L, 7L)
-    val inline = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"))
+    // the inline filter dropped the row where the anti-join kept it) and
+    // on null/blank blocklist entries (r18 fourth-pass: one null entry
+    // made the inline isin three-valued for EVERY non-matching row)
+    val keep = Set(1L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val blocked = Seq("example.co.uk", null, "")
+    val inline = UrlOps.filterBlockedDomains(d, "url", blocked)
     assert(inline.select("id").collect().map(_.getLong(0)).toSet == keep)
-    val broad = UrlOps.filterBlockedDomains(d, "url", Seq("example.co.uk"), inlineThreshold = 0)
+    val broad = UrlOps.filterBlockedDomains(d, "url", blocked, inlineThreshold = 0)
     assert(broad.select("id").collect().map(_.getLong(0)).toSet == keep)
     assert(broad.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "large blocklist must be a broadcast anti-join")
