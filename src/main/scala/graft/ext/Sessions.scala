@@ -31,6 +31,10 @@ object Sessions {
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, gap: String = "30 minutes",
       watermark: Option[String] = None): DataFrame = {
+    require(!events.columns.contains("__ets"),
+      "sessionize reserves the __ets column name (r18 hunt: the streaming " +
+        "dedup siblings refuse it — r17 review — but a caller column by " +
+        "that name was still silently destroyed here)")
     val withTs = events
       .withColumn("__ets", graft.functions.EventTime.eventTime(events, tsCol))
     watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
