@@ -167,10 +167,14 @@ object AsOfJoin {
     * to the batch [[asOfJoin]] on the same oracle. */
   def enrichReplay(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
-      numFiles: Int = 6): DataFrame = {
+      numFiles: Int = 6, outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = left.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_asof_replay_").toString
+    // replay hygiene via the shared helpers (r18 hunt: this harness
+    // predated the r17 cleanup — it leaked the table copy + checkpoint
+    // + output per invocation and never stopped a failed query)
+    val dir = graft.streaming.StreamingValidation
+      .replayRoot("graft_asof_replay_", outputRoot)
     val (inDir, outDir) = (s"$dir/in", s"$dir/out")
     left.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(left.schema)
@@ -180,7 +184,12 @@ object AsOfJoin {
       enriched.write.mode("append").parquet(outDir)
     }.option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      graft.streaming.StreamingValidation.retireReplayDirs(dir,
+        outputRoot.nonEmpty, inDir, s"$dir/ck")
+    }
     spark.read.parquet(outDir)
   }
 }

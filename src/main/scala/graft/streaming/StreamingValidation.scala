@@ -35,7 +35,7 @@ object StreamingValidation {
     * parquet the returned frame reads) goes at JVM exit — unless the
     * caller OWNS the root (passed an `outputRoot`), in which case they
     * delete it on their own schedule. */
-  private def retireReplayDirs(root: String, callerOwned: Boolean,
+  private[graft] def retireReplayDirs(root: String, callerOwned: Boolean,
       consumed: String*): Unit = {
     consumed.foreach(d =>
       try deleteRecursively(d) catch { case _: Exception => () })
@@ -53,7 +53,7 @@ object StreamingValidation {
     * lets the caller delete each invocation's output as soon as the
     * returned frame has been consumed; materialize it first, the frame
     * lazily re-reads the dir on every action). */
-  private def replayRoot(prefix: String, outputRoot: String): String =
+  private[graft] def replayRoot(prefix: String, outputRoot: String): String =
     if (outputRoot.isEmpty)
       java.nio.file.Files.createTempDirectory(prefix).toString
     else {
