@@ -394,10 +394,14 @@ object FingerprintStore {
     * of (row, store), so the union across ANY micro-batch split equals
     * the batch [[scrub]] — gated against the same oracle. */
   def scrubReplay(incoming: DataFrame, textCol: String, path: String,
-      numFiles: Int = 6): DataFrame = {
+      numFiles: Int = 6, outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = incoming.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_fpstore_replay_").toString
+    // shared replay hygiene (r18 hunt: like AsOfJoin.enrichReplay, this
+    // harness predated the r17 cleanup — table copy + checkpoint +
+    // output leaked per invocation, failed queries never stopped)
+    val dir = graft.streaming.StreamingValidation
+      .replayRoot("graft_fpstore_replay_", outputRoot)
     val (inDir, outDir) = (s"$dir/in", s"$dir/out")
     incoming.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(incoming.schema)
@@ -406,7 +410,12 @@ object FingerprintStore {
       kept.write.mode("append").parquet(outDir)
     }.option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      graft.streaming.StreamingValidation.retireReplayDirs(dir,
+        outputRoot.nonEmpty, inDir, s"$dir/ck")
+    }
     spark.read.parquet(outDir)
   }
 

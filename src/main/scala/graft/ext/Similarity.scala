@@ -594,12 +594,16 @@ object Similarity {
       .trigger(Trigger.AvailableNow()).format("parquet")
     val query = (if (index.kind == "pq") writer else writer.partitionBy("cell"))
       .start(s"$dir/out")
-    query.awaitTermination()
-    // the replay input and checkpoint are dead once the sink has drained —
-    // delete them (about a corpus-copy of disk per call otherwise); only
-    // out/ stays, backing the returned DataFrame
-    Seq(s"$dir/in", s"$dir/ck").foreach(p =>
-      StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(p)))
+    // shared replay hygiene (r18 hunt): input/checkpoint delete eagerly
+    // even when the query FAILS (the old sequential delete was skipped on
+    // an awaitTermination throw), and out/ — which backs the returned
+    // frame — retires at JVM exit instead of leaking per invocation
+    try query.awaitTermination()
+    finally {
+      if (query.isActive) query.stop()
+      graft.streaming.StreamingValidation.retireReplayDirs(dir, false,
+        s"$dir/in", s"$dir/ck")
+    }
     // partition columns come back LAST from a partitioned read — restore
     // the batch-encode column order
     val cols = index.kind match {
