@@ -179,17 +179,13 @@ object AsOfJoin {
     left.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(left.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = enrichWriter(stream, right, keys, leftTs, rightTs,
-        rightValues) { (enriched, _) =>
-      enriched.write.mode("append").parquet(outDir)
-    }.option("checkpointLocation", s"$dir/ck")
-      .trigger(Trigger.AvailableNow()).start()
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      graft.streaming.StreamingValidation.retireReplayDirs(dir,
-        outputRoot.nonEmpty, inDir, s"$dir/ck")
-    }
+    graft.streaming.StreamingValidation.runReplayOn(dir, outputRoot,
+        inDir, s"$dir/ck")(
+      enrichWriter(stream, right, keys, leftTs, rightTs,
+          rightValues) { (enriched, _) =>
+        enriched.write.mode("append").parquet(outDir)
+      }.option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start())
     spark.read.parquet(outDir)
   }
 }

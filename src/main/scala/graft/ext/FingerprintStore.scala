@@ -406,16 +406,12 @@ object FingerprintStore {
     incoming.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(incoming.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = scrubWriter(stream, textCol, path) { (kept, _) =>
-      kept.write.mode("append").parquet(outDir)
-    }.option("checkpointLocation", s"$dir/ck")
-      .trigger(Trigger.AvailableNow()).start()
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      graft.streaming.StreamingValidation.retireReplayDirs(dir,
-        outputRoot.nonEmpty, inDir, s"$dir/ck")
-    }
+    graft.streaming.StreamingValidation.runReplayOn(dir, outputRoot,
+        inDir, s"$dir/ck")(
+      scrubWriter(stream, textCol, path) { (kept, _) =>
+        kept.write.mode("append").parquet(outDir)
+      }.option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start())
     spark.read.parquet(outDir)
   }
 

@@ -838,7 +838,14 @@ object Retrieval {
           streamTag = dir.getFileName.toString)
         .option("checkpointLocation", s"$dir/ck")
         .trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
+      try query.awaitTermination()
+      finally
+        // stop BEFORE the delete (r18 fifth-pass review: deleting the
+        // checkpoint under a still-active query crashes it asynchronously
+        // and can orphan a generation in the real index at `path`);
+        // stop()'s own failure must not mask the original error
+        try if (query.isActive) query.stop()
+        catch { case _: Exception => () }
     } finally {
       // replay input + checkpoint are dead once the stream drains (or
       // fails — cleanup must not leak a corpus copy on error)

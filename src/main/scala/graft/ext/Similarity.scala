@@ -580,10 +580,11 @@ object Similarity {
     * [[encode]] (must be row-identical — micro-batching a stateless
     * projection cannot change it). */
   def encodeReplay(corpus: DataFrame, corpusId: String, corpusEmb: String,
-      index: AnnIndex): DataFrame = {
+      index: AnnIndex, outputRoot: String = ""): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val spark = corpus.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_enc_replay_").toString
+    val dir = graft.streaming.StreamingValidation
+      .replayRoot("graft_enc_replay_", outputRoot)
     val src = corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("cv"))
     src.repartition(8).write.parquet(s"$dir/in")
     val stream = spark.readStream.schema(src.schema)
@@ -592,18 +593,14 @@ object Similarity {
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$dir/ck")
       .trigger(Trigger.AvailableNow()).format("parquet")
-    val query = (if (index.kind == "pq") writer else writer.partitionBy("cell"))
-      .start(s"$dir/out")
-    // shared replay hygiene (r18 hunt): input/checkpoint delete eagerly
-    // even when the query FAILS (the old sequential delete was skipped on
-    // an awaitTermination throw), and out/ — which backs the returned
-    // frame — retires at JVM exit instead of leaking per invocation
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      graft.streaming.StreamingValidation.retireReplayDirs(dir, false,
-        s"$dir/in", s"$dir/ck")
-    }
+    // shared replay hygiene (r18 hunt + fifth pass): input/checkpoint
+    // delete eagerly even when the query fails, out/ — which backs the
+    // returned frame — retires at JVM exit (or under a caller-owned
+    // outputRoot), and a still-active query stops before any delete
+    graft.streaming.StreamingValidation.runReplayOn(dir, outputRoot,
+        s"$dir/in", s"$dir/ck")(
+      (if (index.kind == "pq") writer else writer.partitionBy("cell"))
+        .start(s"$dir/out"))
     // partition columns come back LAST from a partitioned read — restore
     // the batch-encode column order
     val cols = index.kind match {

@@ -62,6 +62,38 @@ object StreamingValidation {
       java.nio.file.Files.createTempDirectory(p, prefix).toString
     }
 
+  /** Reserved-name guard shared by every __ets-stamping transform (r18
+    * fifth-pass review: the guard added to dedupStream/nearDedupStream/
+    * sessionize had not reached the five windowed monitors, which
+    * silently destroyed a caller column named __ets). */
+  private[graft] def requireNoEts(df: DataFrame, fn: String): Unit =
+    require(!df.columns.contains("__ets"),
+      s"$fn reserves the __ets column name (a caller column by that " +
+        "name would be silently destroyed)")
+
+  /** Shared replay skeleton (r18 fifth-pass review: the hygiene
+    * boilerplate was copy-pasted across seven harnesses and two missed
+    * pieces of it). Launches the query (by-name, so a failing `start()`
+    * still cleans up), awaits it, and GUARANTEES in one place: a
+    * still-active query is stopped before any delete (stop()'s own
+    * failure is swallowed — it can neither mask the original error nor
+    * skip cleanup), the consumed dirs retire eagerly, and the root
+    * outlives the call for the returned frame (JVM-exit hook, or
+    * caller-owned via `outputRoot`). */
+  private[graft] def runReplayOn(dir: String, outputRoot: String,
+      consumed: String*)(
+      startQuery: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      query = startQuery
+      query.awaitTermination()
+    } finally {
+      try if (query != null && query.isActive) query.stop()
+      catch { case _: Exception => () }
+      retireReplayDirs(dir, outputRoot.nonEmpty, consumed: _*)
+    }
+  }
+
   /** Wrap a streaming DataFrame into a validated foreachBatch writer.
     * `onBatch` receives (validatedData, batchId, result) — route clean rows
     * to the sink and the error report to monitoring from there. */
@@ -274,14 +306,10 @@ object StreamingValidation {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val sessions = graft.ext.Sessions.sessionize(stream, "user_id", "ts",
       "value", gap, watermark = Some(s"$delayUs microseconds"))
-    val query = sessions.writeStream.outputMode("append")
-      .option("checkpointLocation", ckDir)
-      .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, ckDir)
-    }
+    runReplayOn(dir, outputRoot, inDir, ckDir)(
+      sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).format("parquet").start(outDir))
     val out = spark.read.parquet(outDir)
       .filter(col("user_id") =!= lit(-1L).cast(userT))
     require(out.limit(1).count() == 1L,
@@ -308,17 +336,13 @@ object StreamingValidation {
     df.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = quarantineWriter(stream, schema) {
-      (valid, _) => valid.write.mode("append").parquet(vDir)
-    } {
-      (invalid, _) => invalid.write.mode("append").parquet(qDir)
-    }.option("checkpointLocation", s"$dir/ck")
-      .trigger(Trigger.AvailableNow()).start()
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
-    }
+    runReplayOn(dir, outputRoot, inDir, s"$dir/ck")(
+      quarantineWriter(stream, schema) {
+        (valid, _) => valid.write.mode("append").parquet(vDir)
+      } {
+        (invalid, _) => invalid.write.mode("append").parquet(qDir)
+      }.option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start())
     spark.read.parquet(vDir).withColumn("side", lit("valid"))
       .unionByName(spark.read.parquet(qDir).withColumn("side", lit("quarantined")))
   }
@@ -346,14 +370,10 @@ object StreamingValidation {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val deduped = dedupStream(stream, keyCols, tsCol, s"$delayUs microseconds")
       .select(keyCols.map(col): _*)
-    val query = deduped.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$dir/ck")
-      .trigger(Trigger.AvailableNow()).format("parquet").start(outDir)
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
-    }
+    runReplayOn(dir, outputRoot, inDir, s"$dir/ck")(
+      deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).format("parquet").start(outDir))
     spark.read.parquet(outDir)
   }
 
@@ -377,15 +397,11 @@ object StreamingValidation {
     incoming.repartition(numFiles).write.parquet(inDir)
     val stream = spark.readStream.schema(incoming.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = incrementalScrubWriter(stream, corpus, textCol, corpusTextCol) {
-      (kept, _) => kept.write.mode("append").parquet(outDir)
-    }.option("checkpointLocation", s"$dir/ck")
-      .trigger(Trigger.AvailableNow()).start()
-    try query.awaitTermination()
-    finally {
-      if (query.isActive) query.stop()
-      retireReplayDirs(dir, outputRoot.nonEmpty, inDir, s"$dir/ck")
-    }
+    runReplayOn(dir, outputRoot, inDir, s"$dir/ck")(
+      incrementalScrubWriter(stream, corpus, textCol, corpusTextCol) {
+        (kept, _) => kept.write.mode("append").parquet(outDir)
+      }.option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start())
     spark.read.parquet(outDir)
   }
 
@@ -414,6 +430,7 @@ object StreamingValidation {
       eps: Double = 1e-6): DataFrame = {
     val bins = refEdges.length + 1
     require(refFracs.length == bins, "refFracs must have one entry per bin (edges + 1)")
+    requireNoEts(events, "windowedPsi")
     val withTs = events.withColumn("__ets",
       graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
@@ -473,6 +490,7 @@ object StreamingValidation {
     require(refFracs.length == refCells.length + 1,
       "refFracs must carry one entry per reference cell plus the __other__ mass")
     val cells = refCells :+ "__other__"
+    requireNoEts(events, "windowedPsiCategorical")
     val withTs = events.withColumn("__ets",
       graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
@@ -531,6 +549,7 @@ object StreamingValidation {
     require(bins >= 3, s"bins >= 3, got $bins")
     require(refFracs.length == bins,
       "refFracs must have one entry per bin (edges + 1)")
+    requireNoEts(events, "windowedWasserstein1")
     val withTs = events.withColumn("__ets",
       graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
@@ -602,6 +621,7 @@ object StreamingValidation {
       else math.max(math.ceil(2.0 / phi).toInt, 16)
     require(cap.toDouble + 1.0 > 1.0 / phi,
       s"capacity $cap too small for phi=$phi: heavy hitters could be missed")
+    requireNoEts(events, "windowedHeavyHitters")
     val withTs = events.withColumn("__ets",
       graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
@@ -624,6 +644,7 @@ object StreamingValidation {
   /** Event-time hourly rollup used by SparkEntry's events_hourly in batch
     * mode; in streaming mode add a watermark and run it incrementally. */
   def hourlyRollup(events: DataFrame, tsCol: String, watermark: Option[String]): DataFrame = {
+    requireNoEts(events, "hourlyRollup")
     val withTs = events.withColumn("__ets",
       graft.functions.EventTime.eventTime(events, tsCol))
     val wm = watermark.fold(withTs)(w => withTs.withWatermark("__ets", w))
