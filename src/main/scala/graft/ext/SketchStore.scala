@@ -249,15 +249,41 @@ object SketchStore {
       s"fresh sketches must carry the store's key columns ${keyCols.mkString(", ")}")
     // affected-key set is takedown-scale by contract — broadcast it
     val freshKeys = fresh.select(keyCols.map(q): _*).distinct()
-    val keys = affectedKeys.fold(freshKeys) { ak =>
+    // NULL key groups cannot ride the key equi-join below (null never
+    // equals null there), so a null-keyed affected group's stale store
+    // rows would silently survive the rebuild — the silent-survival
+    // class the affectedKeys parameter exists to close (r18 hunt).
+    // Refuse loudly; coalesce null keys to a sentinel at sketch time.
+    val nullKey = keyCols.map(q(_).isNull).reduce(_ || _)
+    def requireViolationFree(violations: DataFrame): Unit = {
+      // ONE action for every guard (the spec pins rebuildKeys at guard +
+      // rewrite, two SQL executions total — the null-key check must ride
+      // the same collect, not add a pass)
+      val found = violations.distinct().collect().map(_.getString(0)).toSet
+      require(!found.contains("undeclared"),
+        "rebuildKeys: fresh sketches carry key groups not listed in " +
+          "affectedKeys — every rebuilt key must be declared affected")
+      require(!found.contains("null_key"),
+        "rebuildKeys: affected/fresh key groups may not contain NULL key " +
+          "values — the key equi-join cannot match them and their stale " +
+          "store rows would silently survive")
+    }
+    val keys = affectedKeys.fold {
+      requireViolationFree(
+        freshKeys.filter(nullKey).select(lit("null_key").as("__v")))
+      freshKeys
+    } { ak =>
       require(keyCols.forall(ak.columns.contains),
         s"affectedKeys must carry the store's key columns ${keyCols.mkString(", ")}")
       val akDistinct = ak.select(keyCols.map(q): _*).distinct()
       // fresh rows outside the declared affected set would double-count
-      // against the stored rows they failed to displace — refuse loudly
-      require(freshKeys.join(akDistinct, keyCols, "left_anti").isEmpty,
-        "rebuildKeys: fresh sketches carry key groups not listed in " +
-          "affectedKeys — every rebuilt key must be declared affected")
+      // against the stored rows they failed to displace (a null-keyed
+      // FRESH row can never be declared — it lands here too)
+      requireViolationFree(
+        freshKeys.join(akDistinct, keyCols, "left_anti")
+          .select(lit("undeclared").as("__v"))
+          .unionByName(akDistinct.filter(nullKey)
+            .select(lit("null_key").as("__v"))))
       akDistinct
     }
     // The dropped-count rides the rewrite itself (r16, r15-verdict #3):

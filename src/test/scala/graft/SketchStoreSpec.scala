@@ -265,6 +265,15 @@ class SketchStoreSpec extends SparkSpec {
       SketchStore.distinctSketch(live.filter(col("k") === "1"), Seq("k"), "v"),
       dir, "rb2", affectedKeys = Some(Seq("0").toDF("k"))))
     assert(e.getMessage.contains("affectedKeys"))
+    // NULL-keyed affected groups refuse loudly (r18 hunt: the key
+    // equi-join can't match them, so their stale rows would silently
+    // survive the rebuild — the exact silent-survival class affectedKeys
+    // exists to close)
+    val eNull = intercept[Exception](SketchStore.rebuildKeys(
+      SketchStore.distinctSketch(live.filter(col("k") === "1"), Seq("k"), "v"),
+      dir, "rb3",
+      affectedKeys = Some(Seq(Some("1"), Option.empty[String]).toDF("k"))))
+    assert(eNull.getMessage.contains("NULL key"), eNull.getMessage)
   }
 
   test("null values: counted by neither n_rows nor the sketch") {
