@@ -305,6 +305,10 @@ object Bench {
       }
     } catch { case _: Exception => Map.empty }
 
+  /** [[priorIoFloor]] for the probe tools (BenchProbe's suspect-legs
+    * readout must use the same floor the suite's suspicion uses). */
+  def publicIoFloor(): Option[Double] = priorIoFloor()
+
   /** Rolling IO floor (ms) from BENCH_LOCAL.json — the quiet-window
     * device speed the uniform-contention leg of [[suspectSection]]
     * compares against. A host property, not an sf property, so no sf

@@ -64,6 +64,8 @@ object BenchProbe {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+    val cpus0 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ios0 = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to iters).foreach { i =>
       val cpu = Bench.canaryMs()
       val io = Bench.ioCanaryMs()
@@ -84,7 +86,25 @@ object BenchProbe {
         s""""rows":$n,"cpu_canary_ms":${num(cpu)},""" +
         s""""io_canary_ms":${num(io)},"loadavg":${num(load)},""" +
         s""""task_metrics":${d.json}}""")
+      cpus0 += cpu; ios0 += io
     }
+    // r18 (verdict #2 done-check): per-iteration suspect legs against the
+    // rolling BENCH_LOCAL floors — a planted-contention A/B (quiet run vs
+    // a dd-conv=fsync hog beside it) shows the contended iterations
+    // flagged with the leg that fired, using the EXACT predicate the
+    // suite's artifact suspicion uses (Bench.suspectLegs)
+    val ioFloor = Bench.publicIoFloor()
+    def median(vs: Seq[Double]): Double = {
+      val x = vs.sorted; if (x.isEmpty) 0.0 else x(x.size / 2)
+    }
+    val (cm, im) = (median(cpus0.toSeq), median(ios0.toSeq))
+    val legs = cpus0.toSeq.zip(ios0.toSeq).zipWithIndex.map {
+      case ((c, i0), ix) =>
+        s""""${ix + 1}":${Bench.suspectLegs(c, cm, i0, im, ioFloor)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}""" }
+    println(s"""{"suspect_legs":${legs.mkString("{", ",", "}")},""" +
+      s""""cpu_median_ms":${num(cm)},"io_median_ms":${num(im)},""" +
+      s""""io_floor_ms":${ioFloor.map(num).getOrElse("null")}}""")
     spark.stop()
   }
 }
