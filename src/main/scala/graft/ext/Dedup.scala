@@ -56,8 +56,12 @@ object Dedup {
   /** Exact duplicate statistics on a key set: one hash-aggregate pass.
     * Returns a 1-row DataFrame (n_total, n_distinct, n_dup_rows). */
   def exactStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // null flags ride the hash (r18 review: Spark's xxhash64 SKIPS null
+    // children, so ('x', null) and (null, 'x') collided with probability
+    // 1 and the stats disagreed with dropExact's tuple semantics — the
+    // same class fixed in CorpusDiff and the streaming dedup fingerprint)
     val key = if (cols.size == 1) q(cols.head)
-              else xxhash64(cols.map(q): _*)
+              else xxhash64(cols.flatMap(c => Seq(q(c).isNull, q(c))): _*)
     df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
       .agg(
         coalesce(sum(col("c")), lit(0L)).as("n_total"),
@@ -273,54 +277,70 @@ object Dedup {
     // label(u) starts at min(u, min neighbor); every round each node takes
     // the min of its own label and its neighbors' labels.
     //
-    // Convergence: labels only ever DECREASE and the node set is fixed
-    // after init, so the label sum is strictly decreasing while any node
-    // changed — an unchanged sum IS the fixed point. The sum rides the
-    // same action that materializes the round's lazy checkpoint, making
-    // each round exactly ONE job (join + re-aggregate); the earlier
-    // formulation paid a second shuffle per round joining next against
-    // the previous labels for a changed-count. decimal(38,0) keeps the
-    // sum exact for arbitrary 64-bit ids (a Double sum could miss a
-    // ±1 label change in the low bits at web scale).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO)).as("s")).head().getDecimal(0)
+    // Convergence: the count of nodes whose label CHANGED this round,
+    // computed in the same action that materializes the round's lazy
+    // checkpoint (each round stays exactly ONE job). The previous label
+    // rides the union — the `labels` branch carries its own label in an
+    // `old` column, received/shortcut rows carry null, and max(old)
+    // recovers it per id (every id is in `labels`, exactly once). Exact
+    // for ANY id dtype (r18 review: the former decimal(38,0) label-sum
+    // cast CRASHED under ANSI for string ids — and under non-ANSI
+    // silently summed nulls to 0, "converging" after one round with
+    // under-merged clusters — though every caller so far passed longs).
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("lbl"))
       .localCheckpoint(false)
-    var prevSum = labelSum(labels) // materializes the init checkpoint too
+    labels.count(): Unit // materialize the init checkpoint
     var labelIds = checkpointIds(labels)
     var converged = false
     var it = 0
-    while (!converged && it < maxIterations) {
-      val received = edges.join(labels, edges("u") === labels("id"))
-        .select(col("v").as("id"), col("lbl"))
-      // pointer-doubling shortcut (r6 verdict #6): every node also adopts
-      // its LABEL's label — path halving on the label forest, which turns
-      // the worst-case round count from O(diameter) into O(log diameter)
-      // (the large-star/small-star bound; a pathological near-dup chain
-      // previously hit the round cap). Correctness is unchanged: labels
-      // are always node ids of the same component and only decrease, so
-      // the label-sum fixed point still certifies component minima.
-      val l2 = labels.select(col("id").as("lid"), col("lbl").as("lbl2"))
-      val shortcut = labels.join(l2, labels("lbl") === l2("lid"))
-        .select(labels("id").as("id"), col("lbl2").as("lbl"))
-      val next = labels.union(received).union(shortcut)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(false)
-      val s = labelSum(next) // materializes next's checkpoint blocks
-      dropIds(labelIds)      // the previous round is now unreachable
-      labelIds = checkpointIds(next)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      it += 1
+    try {
+      while (!converged && it < maxIterations) {
+        val received = edges.join(labels, edges("u") === labels("id"))
+          .select(col("v").as("id"), col("lbl"))
+        // pointer-doubling shortcut (r6 verdict #6): every node also adopts
+        // its LABEL's label — path halving on the label forest, which turns
+        // the worst-case round count from O(diameter) into O(log diameter)
+        // (the large-star/small-star bound; a pathological near-dup chain
+        // previously hit the round cap). Correctness is unchanged: labels
+        // are always node ids of the same component and only decrease, so
+        // the changed-count fixed point still certifies component minima.
+        val l2 = labels.select(col("id").as("lid"), col("lbl").as("lbl2"))
+        val shortcut = labels.join(l2, labels("lbl") === l2("lid"))
+          .select(labels("id").as("id"), col("lbl2").as("lbl"))
+        val next = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+          .union(received.select(col("id"), col("lbl"),
+            lit(null).cast(received.schema("lbl").dataType).as("old")))
+          .union(shortcut.select(col("id"), col("lbl"),
+            lit(null).cast(received.schema("lbl").dataType).as("old")))
+          .groupBy("id").agg(min("lbl").as("lbl"), max("old").as("old"))
+          .localCheckpoint(false)
+        // materializes next's checkpoint blocks; null-safe so a missing
+        // old (impossible by the invariant above, but belt) counts changed
+        val changed = next.agg(coalesce(
+          sum(when(!(col("lbl") <=> col("old")), 1L)), lit(0L))).head().getLong(0)
+        dropIds(labelIds) // the previous round is now unreachable
+        labelIds = checkpointIds(next)
+        labels = next.select("id", "lbl")
+        converged = changed == 0L
+        it += 1
+      }
+      dropIds(edgeIds) // converged: the edge list has no further reader
+      if (!converged)
+        sys.error(s"clusterPairs: not converged after $maxIterations rounds " +
+          "(component diameter exceeds the cap); raise maxIterations")
+      labels.select(col("id"), col("lbl").as("cluster_id"))
+    } catch {
+      // hygiene on EVERY failure path (r18 review: the non-convergence
+      // error and any mid-loop job failure used to strand the edge and/or
+      // current label checkpoint blocks for the session's lifetime — the
+      // exact pressure this function's block accounting exists to avoid);
+      // dropIds is registry-filtered, so double-dropping is a no-op, and
+      // the RETURNED frame's blocks are only dropped when nothing returns
+      case t: Throwable =>
+        dropIds(edgeIds); dropIds(labelIds)
+        throw t
     }
-    dropIds(edgeIds) // converged: the edge list has no further reader
-    if (!converged)
-      sys.error(s"clusterPairs: not converged after $maxIterations rounds " +
-        "(component diameter exceeds the cap); raise maxIterations")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
   /** Near-duplicate removal end-to-end: given a pair list, keep one
@@ -383,8 +403,18 @@ object Dedup {
     * on (id, pos) — uniform keys — and reassembly is one aggregation by id.
     */
   def dedupLinesAcross(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null ids refuse IN the plan (zero extra jobs — r18 review: a
+    // null-id occurrence won the min(struct) winner election, the (id,
+    // pos) equi-semi-join then matched nobody, and the shared line
+    // silently vanished from EVERY document including the winner; the
+    // takedown siblings refuse null ids loudly, this path corrupted)
+    val idChecked = when(q(idCol).isNull, raise_error(lit(
+        "dedupLinesAcross: null id — a null-keyed document cannot be " +
+          "elected line winner (the (id,pos) semi-join cannot match it) " +
+          "and its shared lines would vanish corpus-wide")))
+      .otherwise(q(idCol))
     val lines = df
-      .select(q(idCol).as("__id"), posexplode(split(q(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(idChecked.as("__id"), posexplode(split(q(textCol), "\n")).as(Seq("__pos", "__line")))
       .filter(length(trim(col("__line"))) > 0)
     val winners = lines
       .groupBy(col("__line").as("__l"))
@@ -540,13 +570,20 @@ object Dedup {
     * banding of the direct incremental path and the persisted store, so
     * "store ≡ direct" holds by construction. */
   private def bandedSide(df: DataFrame, idCol: String, textCol: String,
-      idAlias: String, shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+      idAlias: String, shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    // mirror minhashPairs' loud refusal (r18 review: the incremental side
+    // silently truncated the signature when bands did not divide
+    // numHashes — and banded NOTHING at all for bands > numHashes, so
+    // scrubs dropped zero rows with no error)
+    require(bands >= 1 && numHashes / bands * bands == numHashes,
+      "bands must divide numHashes")
     df.select(q(idCol).as(idAlias), shingles(q(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col(idAlias), col("sh"),
         explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col(idAlias), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
 
   /** Exact-Jaccard verify of (id_new, id_corpus) candidates against
     * (id_new, sh_new) / (id_corpus, sh_corpus) shingle frames. round(_, 4)
@@ -621,12 +658,15 @@ object Dedup {
   private def readMinhashTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
-  private def minhashStoreParams(path: String): (Int, Int, Int) = {
+  private def minhashStoreParams(spark: SparkSession,
+      path: String): (Int, Int, Int) = {
+    // Hadoop-FS read like every other store file (r18 review: java.nio
+    // resolved s3a://... as a local relative path, so the store could
+    // neither be built nor served on any non-local filesystem despite
+    // the object-store framing of the surrounding docs)
     val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = jackson.readValue(
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$path/params.json")),
-        java.nio.charset.StandardCharsets.UTF_8),
+      StoreFiles.readUtf8(spark, s"$path/params.json"),
       classOf[java.util.Map[String, Any]])
     require(String.valueOf(root.get("format")) == "graft-minhash-store",
       s"not a MinHash store: $path")
@@ -640,14 +680,27 @@ object Dedup {
     val spark = docs.sparkSession
     // ids keep their ORIGINAL type (string url keys included) — a cast
     // would null them out and silently empty the store
-    docs.select(q(idCol).as("id"), shingles(q(textCol), shingleK).as("sh"))
-      .write.mode(mode).parquet(s"$path/shingles")
-    // derive band rows from the just-written shingles (no re-shingling; for
-    // append mode, restrict to the new ids). persist: the band rows feed
-    // BOTH the rows write and the count-delta write — without it the
-    // signature+explode pass runs twice.
-    val shp = readMinhashTable(spark, s"$path/shingles")
-      .join(docs.select(q(idCol).as("id")), Seq("id"), "left_semi")
+    val shingled = docs.select(q(idCol).as("id"),
+      shingles(q(textCol), shingleK).as("sh"))
+    // the band-row source differs by mode (r18 review):
+    //  - build (overwrite): write the corpus-scale shingles, then read the
+    //    just-written parquet back — one extra compact-columnar scan
+    //    instead of caching a corpus-sized frame;
+    //  - append: derive from the BATCH's own persisted frame — the former
+    //    readback + left-semi re-read the ENTIRE accumulated shingles
+    //    table per incremental batch (O(store) I/O for a KB-scale
+    //    append; the streamed twin already derives from its own
+    //    generation only). shingles/minhash are deterministic in the
+    //    text, so the persisted frame and the written parquet agree.
+    val shp =
+      if (mode == "append") {
+        val cached = shingled.persist()
+        cached.write.mode(mode).parquet(s"$path/shingles")
+        cached
+      } else {
+        shingled.write.mode(mode).parquet(s"$path/shingles")
+        readMinhashTable(spark, s"$path/shingles")
+      }
     val rows = shp
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"),
@@ -658,7 +711,10 @@ object Dedup {
       rows.write.mode(mode).parquet(s"$path/rows")
       rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .write.mode(mode).parquet(s"$path/bucket_counts")
-    } finally rows.unpersist()
+    } finally {
+      rows.unpersist()
+      if (mode == "append") shp.unpersist(): Unit
+    }
   }
 
   /** Build a persisted MinHash store from a corpus (one corpus scan plus
@@ -670,15 +726,14 @@ object Dedup {
     minhashStoreWrite(corpus, idCol, textCol, path, shingleK, numHashes,
       bands, "overwrite")
     val json = s"""{"format":"graft-minhash-store","shingle_k":$shingleK,"num_hashes":$numHashes,"bands":$bands}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/params.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    StoreFiles.writeUtf8Atomic(corpus.sparkSession, s"$path/params.json", json)
   }
 
   /** Append a new batch to an existing store — pure file additions under
     * the store's frozen parameters; ids must be new. */
   def appendToMinHashStore(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    val (k, h, b) = minhashStoreParams(path)
+    val (k, h, b) = minhashStoreParams(batch.sparkSession, path)
     minhashStoreWrite(batch, idCol, textCol, path, k, h, b, "append")
   }
 
@@ -746,7 +801,7 @@ object Dedup {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     val spark = batch.sparkSession
-    val (shingleK, numHashes, bands) = minhashStoreParams(path)
+    val (shingleK, numHashes, bands) = minhashStoreParams(spark, path)
     if (minhashMark(spark, path, streamTag).exists(batchId <= _))
       return false
     val gen = s"$streamTag-b$batchId"
@@ -859,7 +914,7 @@ object Dedup {
     StoreFiles.requireStreamTag(streamTag)
     require(batchId >= 0, s"batchId >= 0, got $batchId")
     val spark = ids.sparkSession
-    minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
+    minhashStoreParams(spark, path): Unit // sentinel: refuse non-store dirs
     if (minhashMark(spark, path, streamTag).exists(batchId <= _)) 0L
     else {
       val gen = s"$streamTag-b$batchId"
@@ -898,7 +953,7 @@ object Dedup {
   private def commitMinhashRetraction(ids: DataFrame, idCol: String,
       path: String, stream: Option[(String, Long)]): Long = {
     val spark = ids.sparkSession
-    minhashStoreParams(path): Unit // sentinel: refuse non-store dirs
+    minhashStoreParams(spark, path): Unit // sentinel: refuse non-store dirs
     // this store is pre-manifest (plain dirs + swap compaction), so
     // commitTombstones' stage→rename flip IS the publish — readers list
     // tombs/ directly — and publish() is a no-op (the streamed caller
@@ -930,7 +985,7 @@ object Dedup {
       textCol: String, path: String, threshold: Double = 0.8,
       maxBucketSize: Long = 10000L): DataFrame = {
     val spark = incoming.sparkSession
-    val (shingleK, numHashes, bands) = minhashStoreParams(path)
+    val (shingleK, numHashes, bands) = minhashStoreParams(spark, path)
     val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
     // the bounded set is the OVER-cap buckets (rare by design: skew/
     // boilerplate keys) — broadcast those and anti-join; the under-cap set
@@ -994,7 +1049,7 @@ object Dedup {
     * restores it. Re-running compact always completes the job. */
   def compactMinHashStore(spark: SparkSession, path: String,
       targetFiles: Int = 0): Unit = {
-    minhashStoreParams(path) // sentinel: refuse non-store directories
+    minhashStoreParams(spark, path) // sentinel: refuse non-store directories
     Seq("bucket_counts", "rows", "shingles")
       .foreach(d => StoreFiles.healDir(spark, s"$path/$d"))
     def target(dir: String): Int =

@@ -130,6 +130,56 @@ class ExtSpec extends SparkSpec {
     assert(comp.size == 13 && comp.values.forall(_ == 0L))
   }
 
+  test("dedup: clusterPairs handles STRING ids — multi-round chains converge (r18 review)") {
+    // the former decimal(38,0) label-sum convergence check crashed under
+    // ANSI for non-numeric ids (and under non-ANSI silently "converged"
+    // after one round, under-merging chains) — string URL keys are an
+    // advertised id type on the store paths. Chain c-e, e-d, d-a needs
+    // >1 round for c to receive label a.
+    val pairs = Seq(("c", "e"), ("e", "d"), ("d", "a"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a" -> "a", "c" -> "a", "d" -> "a", "e" -> "a",
+      "x" -> "x", "y" -> "x"), s"got $comp")
+    // non-integer numeric ids: 5.2 vs 4.8 must not collapse via rounding
+    val dp = Seq((5.2, 9.9), (4.8, 9.9)).toDF("id_a", "id_b")
+    val dcomp = Dedup.clusterPairs(dp).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(dcomp == Map(5.2 -> 4.8, 4.8 -> 4.8, 9.9 -> 4.8), s"got $dcomp")
+  }
+
+  test("dedup: exactStats keys agree with dropExact on transposed-null tuples (r18 review)") {
+    // xxhash64 skips null children, so ('x', null) and (null, 'x') used
+    // to collide — stats claimed a duplicate dropDuplicates would never
+    // remove; the null flags now anchor column positions
+    val df = Seq((Some("x"), Option.empty[String]),
+      (Option.empty[String], Some("x")), (Some("x"), Some("x")))
+      .toDF("a", "b")
+    val st = Dedup.exactStats(df, Seq("a", "b")).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((3L, 3L, 0L)),
+      s"3 distinct tuples, got $st")
+    assert(Dedup.dropExact(df, Seq("a", "b")).count() == 3L)
+  }
+
+  test("dedup: dedupLinesAcross refuses null ids instead of vanishing shared lines (r18 review)") {
+    val bad = Seq((Some(1L), "shared line\nown line"),
+      (Option.empty[Long], "shared line\nother own")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Dedup.dedupLinesAcross(bad, "doc_id", "text").collect())
+    assert(e.getMessage.contains("null id"), e.getMessage)
+  }
+
+  test("dedup: incremental paths refuse bands not dividing numHashes (r18 review)") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // bands > numHashes used to band NOTHING (empty slices, one giant
+    // bucket, dropped by the cap) — scrubs then dropped zero rows silently
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashPairsAgainst(docs, docs, "doc_id", "text",
+        numHashes = 8, bands = 16))
+    assert(e.getMessage.contains("divide"), e.getMessage)
+  }
+
   test("dedup: clusterPairs frees every intermediate checkpoint's blocks") {
     // r14 verdict #2: each round localCheckpoints its label table; before
     // r15 every round's blocks stayed resident until the caller's session
