@@ -134,14 +134,26 @@ object Dedup {
     * arrays shuffled — only for documents that appear in a candidate pair,
     * O(candidates) instead of O(corpus). At web scale candidates are a tiny
     * fraction of the corpus, and AQE broadcast-joins the id set. */
-  private def verifyJaccard(base: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Candidate-pruned value re-attach shared by the three verify stages
+    * (r18 review: the union → semi-prune → double-join shape was
+    * hand-copied in verifyJaccard / simhashPairs / embeddingCosinePairs):
+    * prune `base` (id, valueCol) to ids appearing in `candidates`
+    * (id_a, id_b) via one semi join, then attach the value to both sides
+    * as `aName`/`bName` — O(candidates), never O(corpus); AQE
+    * broadcast-joins the id set. */
+  private def attachPrunedPair(base: DataFrame, candidates: DataFrame,
+      valueCol: String, aName: String, bName: String): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val verifyBase = base.join(candIds, Seq("id"), "left_semi")
+    val pruned = base.join(candIds, Seq("id"), "left_semi")
     candidates
-      .join(verifyBase.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(verifyBase.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(pruned.select(col("id").as("id_a"), col(valueCol).as(aName)), "id_a")
+      .join(pruned.select(col("id").as("id_b"), col(valueCol).as(bName)), "id_b")
+  }
+
+  private def verifyJaccard(base: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    attachPrunedPair(base, candidates, "sh", "sh_a", "sh_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
@@ -173,13 +185,8 @@ object Dedup {
       .select(col("id"), col("c.cid").as("cid"), col("c.ck").as("ck"))
     val candidates = bucketedPairs(chunked, Seq("cid", "ck"), "id", maxBucketSize)
     // exact-hamming verify: re-attach the 8-byte fingerprints, pruned to
-    // candidate ids first (same O(candidates) shape as verifyJaccard)
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val fp = base.join(candIds, Seq("id"), "left_semi")
-    candidates
-      .join(fp.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(fp.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // candidate ids first (the shared attachPrunedPair shape)
+    attachPrunedPair(base, candidates, "sh", "sh_a", "sh_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -1295,12 +1302,7 @@ object Dedup {
                 .bitwiseAND(lit(mask)).as("bucket")))).as("bk"))
           .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
         val cand = bucketedPairs(sigd, Seq("band", "bucket"), "id", maxBucketSize)
-        val candIds = cand.select(col("id_a").as("id"))
-          .union(cand.select(col("id_b").as("id"))).distinct()
-        val vecs = base.join(candIds, Seq("id"), "left_semi")
-        cand
-          .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-          .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        attachPrunedPair(base, cand, "v", "va", "vb")
       } else {
         base.as("a").crossJoin(base.as("b"))
           .filter(col("a.id") < col("b.id"))
