@@ -71,6 +71,11 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("N"), avg(col("dl")).as("avgdl"))
       .head()
     val nDocs = stats.getDouble(0)
+    // loud refusal, matching the store twin's empty-index require (r18
+    // review: an empty or all-NULL-text corpus surfaced as an opaque NPE
+    // on the null avg)
+    require(nDocs > 0 && !stats.isNullAt(1),
+      "bm25TopK: empty corpus, or every document's text is NULL")
     // avgdl rounded to 6 decimals before it enters any score: avg() is
     // summation-order sensitive in its last ulps, and the score pins to a
     // cross-engine oracle that must feed the identical constant
@@ -128,15 +133,11 @@ object Retrieval {
     // corpus scans
     val dfd = postings.groupBy("token")
       .agg(count(lit(1)).cast("double").as("df"))
-    val idf = log(((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0)
-    val qTerm = qPairs.join(dfd, Seq("token")).select(
-      col("query_id"), col("token"), idf.as("idf"))
-    val contrib = col("idf") * col("tf") * (lit(k1) + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    rankTail(postings
-      .join(broadcast(qTerm), Seq("token"))
-      .groupBy("query_id", "doc_id")
-      .agg(round(sum(contrib), 4).as("score")), k)
+    // the scoring tail IS scoreAndRank (r18 review: it was a verbatim
+    // inline copy — the one-shot ≡ store hash-identity gate depends on
+    // the two expressions never diverging, so share the code, not a
+    // comment claiming it is shared)
+    scoreAndRank(postings, qPairs, dfd, nDocs, avgdl, k, k1, b)
   }
 
   // ============ persisted BM25 postings index (round 9, v2 in round 10) ==
@@ -257,10 +258,24 @@ object Retrieval {
     * orphans and the one-compaction grace window of superseded gens). */
   def liveFileCount(spark: SparkSession, path: String): Long = {
     val m = readManifest(spark, path)
-    (m.gens.map(g => StoreFiles.dataFileCountRecursive(spark, s"$path/dlen/$g").toLong) ++
+    (m.gens.map(g => requireGenFiles(spark, path, "dlen", g)) ++
       m.pgens.flatMap(g => Seq(
-        StoreFiles.dataFileCountRecursive(spark, s"$path/postings/$g").toLong,
-        StoreFiles.dataFileCountRecursive(spark, s"$path/dfd/$g").toLong))).sum
+        requireGenFiles(spark, path, "postings", g),
+        requireGenFiles(spark, path, "dfd", g)))).sum
+  }
+
+  /** File count of a manifest-committed generation, refusing loudly when
+    * the directory is missing on disk (r18 review: missing-path counted
+    * as 0, so footprint stats silently SHRANK on external damage and the
+    * compaction cadence under-triggered — the tombstone_rows stat in the
+    * same map already refuses for the identical damage). */
+  private def requireGenFiles(spark: SparkSession, path: String,
+      side: String, g: String): Long = {
+    val p = s"$path/$side/$g"
+    require(StoreFiles.fs(spark, path).exists(new Path(p)),
+      s"manifest-committed generation missing on disk: $p — the store " +
+        "was externally damaged; restore the generation or rebuild")
+    StoreFiles.dataFileCountRecursive(spark, p).toLong
   }
 
   /** Write one generation (the unit of both build and append): postings +
@@ -414,9 +429,15 @@ object Retrieval {
       if (marks ne m0.marks) writeManifest(spark, path, m0.copy(marks = marks))
       return false
     }
-    writeManifest(spark, path, BmManifest(m0.nDocs + n, m0.nDl + nDl,
-      m0.sumDl + sd, m0.nBuckets, m0.gens :+ gen,
-      if (hasP) m0.pgens :+ gen else m0.pgens, marks))
+    // m0.copy, NOT a positional BmManifest(...) (r18 review: the fresh
+    // constructor silently defaulted cooling/tombs/tombCooling to empty —
+    // an append between deleteDocs and the healing compaction RESURRECTED
+    // every masked document, lost the takedown ids forever at the next
+    // sweep, and erased the cooling ledger out from under in-flight
+    // serves; the sibling AnnStore append already used copy)
+    writeManifest(spark, path, m0.copy(nDocs = m0.nDocs + n,
+      nDl = m0.nDl + nDl, sumDl = m0.sumDl + sd, gens = m0.gens :+ gen,
+      pgens = if (hasP) m0.pgens :+ gen else m0.pgens, marks = marks))
     true
   }
 
@@ -609,46 +630,38 @@ object Retrieval {
       if (StoreFiles.parquetRowsWritten(spark, s"$path/postings/$gen") <= 0L) {
         f.delete(new Path(s"$path/postings/$gen"), true)
         hasP = false
-      } else if (tomb.isEmpty) {
-        // dfd: collapse first (vocabulary-sized — cheap to write twice),
-        // measure the SNAPSHOT, then lay it out to the measured target
-        readSide(spark, path, "dfd", m.pgens)
-          .groupBy("tbucket", "token").agg(sum("df").as("df"))
-          .write.mode("overwrite")
+      } else {
+        // dfd: write the collapsed/healed frame to a SNAPSHOT first
+        // (vocabulary-sized — cheap to write twice), measure it, then lay
+        // it out to the measured target (one shared tail — r18 review:
+        // the two branches had hand-copied it and could drift)
+        def publishDfd(src: DataFrame): Unit = {
+          src.write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy("tbucket").parquet(snap)
-        val dfdTarget =
-          if (targetFiles > 0) targetFiles
-          else StoreFiles.targetFileCount(
-            StoreFiles.dataBytesRecursive(spark, snap))
-        spark.read.parquet(snap)
-          .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
-          .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("tbucket")
-          .parquet(s"$path/dfd/$gen")
-        f.delete(new Path(snap), true)
-      } else {
-        // healing path: df from the scrubbed postings, exactly as
-        // writeGen derives a fresh generation's deltas from its written
-        // postings — column-pruned read of the files just written
-        val healed = spark.read.parquet(s"$path/postings/$gen")
-          .groupBy("tbucket", "token")
-          .agg(count(lit(1)).cast("double").as("df"))
-        healed.write.mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("tbucket").parquet(snap)
-        val dfdTarget =
-          if (targetFiles > 0) targetFiles
-          else StoreFiles.targetFileCount(
-            StoreFiles.dataBytesRecursive(spark, snap))
-        spark.read.parquet(snap)
-          .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
-          .write.mode("overwrite")
-            .option("partitionOverwriteMode", "static")
-            .partitionBy("tbucket")
-          .parquet(s"$path/dfd/$gen")
-        f.delete(new Path(snap), true)
+          val dfdTarget =
+            if (targetFiles > 0) targetFiles
+            else StoreFiles.targetFileCount(
+              StoreFiles.dataBytesRecursive(spark, snap))
+          spark.read.parquet(snap)
+            .repartitionByRange(dfdTarget, col("tbucket"), col("token"))
+            .write.mode("overwrite")
+              .option("partitionOverwriteMode", "static")
+              .partitionBy("tbucket")
+            .parquet(s"$path/dfd/$gen")
+          f.delete(new Path(snap), true): Unit
+        }
+        if (tomb.isEmpty)
+          publishDfd(readSide(spark, path, "dfd", m.pgens)
+            .groupBy("tbucket", "token").agg(sum("df").as("df")))
+        else
+          // healing path: df from the scrubbed postings, exactly as
+          // writeGen derives a fresh generation's deltas from its
+          // written postings — column-pruned read of the files just
+          // written
+          publishDfd(spark.read.parquet(s"$path/postings/$gen")
+            .groupBy("tbucket", "token")
+            .agg(count(lit(1)).cast("double").as("df")))
       }
     }
     scrub(readSide(spark, path, "dlen", m.gens))

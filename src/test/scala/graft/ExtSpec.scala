@@ -1296,6 +1296,25 @@ class ExtSpec extends SparkSpec {
     assert(masked == expectMasked,
       "masked serve must equal the full-stats ranking minus deleted docs")
 
+    // APPEND-DURING-MASK window (r18 review): an append BETWEEN the
+    // delete and the healing compaction must keep the tombstones — the
+    // old positional-manifest write silently defaulted tombs to empty,
+    // RESURRECTING every masked doc and losing the takedown ids forever
+    // at the next sweep
+    Retrieval.appendToIndex(doomed.select(
+      (col("doc_id") + 9000000L).as("doc_id"),
+      concat(col("text"), lit(" r18 mask-window append")).as("text")),
+      "doc_id", "text", dir)
+    assert(Retrieval.tombstoneCount(spark, dir) == n,
+      "an append must not drop the takedown tombstones")
+    assert(!serve().exists(r => doomedIds.contains(r._2)),
+      "masked docs must STAY masked across an append")
+    // undo the window append's effect on the healed-phase expectation by
+    // deleting the appended ids too (exercises delete-after-append)
+    assert(Retrieval.deleteDocs(doomed.select(
+      (col("doc_id") + 9000000L).as("doc_id")), "doc_id", dir) ==
+      doomedIds.size.toLong)
+
     // HEALED phase: compaction scrubs postings/dlen, recomputes df and
     // the counters, retires the tombstones — equivalent to an index
     // built without the deleted docs
