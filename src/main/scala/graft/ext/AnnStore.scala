@@ -127,7 +127,8 @@ object AnnStore {
       s"""{"format":"graft-ann-store","current":$v}""")
 
   private def writeVersion(corpus: DataFrame, idCol: String, embCol: String,
-      index: AnnIndex, path: String, v: Int): Unit = {
+      index: AnnIndex, path: String, v: Int,
+      marks: Map[String, Long] = Map.empty): Unit = {
     val spark = corpus.sparkSession
     StoreFiles.writeUtf8Atomic(spark, indexPath(path, v), index.toJson)
     val gen = "g0"
@@ -136,7 +137,7 @@ object AnnStore {
     val wrote = StoreFiles.dataFileCountRecursive(spark,
       s"${codesPath(path, v)}/$gen") > 0
     writeCodesManifest(spark, path, v, CodesManifest(
-      if (wrote) Seq(gen) else Nil, Map.empty, Map.empty))
+      if (wrote) Seq(gen) else Nil, marks, Map.empty))
   }
 
   /** One-time upgrade of a pre-manifest store layout (flat
@@ -296,8 +297,10 @@ object AnnStore {
   }
 
   def loadIndex(spark: SparkSession, path: String): AnnIndex =
-    AnnIndex.fromJson(StoreFiles.readUtf8(spark,
-      indexPath(path, currentVersion(spark, path))))
+    loadIndex(spark, path, currentVersion(spark, path))
+
+  private def loadIndex(spark: SparkSession, path: String, v: Int): AnnIndex =
+    AnnIndex.fromJson(StoreFiles.readUtf8(spark, indexPath(path, v)))
 
   /** The live codes: the union of the current version's COMMITTED
     * generations (orphans from crashed appends are invisible — the
@@ -306,8 +309,10 @@ object AnnStore {
     * scan's PartitionFilters, so the pruned serves keep their file-level
     * skipping across any append history — the tombstone anti-join sits
     * ABOVE the scan and does not disturb that pruning. */
-  def codes(spark: SparkSession, path: String): DataFrame = {
-    val v = currentVersion(spark, path)
+  def codes(spark: SparkSession, path: String): DataFrame =
+    codes(spark, path, currentVersion(spark, path))
+
+  private def codes(spark: SparkSession, path: String, v: Int): DataFrame = {
     val m = readCodesManifest(spark, path, v)
     require(m.gens.nonEmpty, s"ANN store at $path v$v has no codes")
     // loud serve-time audit: every committed generation must exist
@@ -558,10 +563,23 @@ object AnnStore {
   def serve(path: String, corpus: DataFrame, corpusId: String,
       corpusEmb: String, queries: DataFrame, queryId: String,
       queryEmb: String, k: Int, nProbe: Int = 8,
-      refineFactor: Int = 4): DataFrame = {
+      refineFactor: Int = 4): DataFrame =
+    // ONE pointer read pins the whole serve (r18 review: loadIndex and
+    // codes each re-resolved the pointer, so a migrate() flip between
+    // the two reads paired one version's quantizers with the OTHER
+    // version's codes — silently wrong neighbors, despite the documented
+    // "a reader mid-migration sees the old store in full, never a mix")
+    servePinned(path, currentVersion(corpus.sparkSession, path), corpus,
+      corpusId, corpusEmb, queries, queryId, queryEmb, k, nProbe,
+      refineFactor)
+
+  private def servePinned(path: String, v: Int, corpus: DataFrame,
+      corpusId: String, corpusEmb: String, queries: DataFrame,
+      queryId: String, queryEmb: String, k: Int, nProbe: Int,
+      refineFactor: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val index = loadIndex(spark, path)
-    val enc = codes(spark, path)
+    val index = loadIndex(spark, path, v)
+    val enc = codes(spark, path, v)
     index.kind match {
       case "ivf" => Similarity.ivfTopKIndexed(enc, queries, queryId,
         queryEmb, index, k, nProbe, pruneCells = true)
@@ -582,24 +600,33 @@ object AnnStore {
       corpusEmb: String, sampleQueries: DataFrame, queryId: String,
       queryEmb: String, k: Int, nProbe: Int = 8,
       refineFactor: Int = 4): Double = {
-    val ann = serve(path, corpus, corpusId, corpusEmb, sampleQueries,
-        queryId, queryEmb, k, nProbe, refineFactor)
+    // ONE (version, manifest) snapshot pins BOTH sides of the probe
+    // (r18 review: the ANN serve and the brute-force tombstone filter
+    // each re-read the pointer/manifest, so a concurrent delete() or
+    // migrate() flip between them ranked DIFFERENT live sets — skewing
+    // the recall number that gates the re-train alert)
+    val spark = corpus.sparkSession
+    val v = currentVersion(spark, path)
+    val m = readCodesManifest(spark, path, v)
+    val ann = servePinned(path, v, corpus, corpusId, corpusEmb,
+        sampleQueries, queryId, queryEmb, k, nProbe, refineFactor)
       .select("query_id", "corpus_id")
     // the brute-force side must rank the same LIVE set the store serves —
     // an un-filtered corpus would count tombstoned ids as recall misses
-    val spark = corpus.sparkSession
-    val v = currentVersion(spark, path)
-    val liveCorpus = tombstoneFrame(spark, path, v,
-        readCodesManifest(spark, path, v)).fold(corpus) { t =>
+    val liveCorpus = tombstoneFrame(spark, path, v, m).fold(corpus) { t =>
       corpus.join(broadcast(t.withColumnRenamed("corpus_id", corpusId)),
         Seq(corpusId), "left_anti") }
+    // both sides are ≤ |sample|·k rows by contract — collect each ONCE
+    // and intersect on the driver (r18 review: the former join + count
+    // pair re-ran the brute-force corpus scan for the second action,
+    // doubling the probe's dominant cost)
     val exact = Similarity.bruteForceTopK(liveCorpus, corpusId, corpusEmb,
         sampleQueries, queryId, queryEmb, k)
-      .select("query_id", "corpus_id")
-    // both sides are ≤ |sample|·k rows; the intersection join is tiny
-    val hit = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi").count()
-    val total = exact.count()
-    if (total == 0L) 1.0 else hit.toDouble / total
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.get(0), r.get(1)))
+    val annSet = ann.collect().map(r => (r.get(0), r.get(1))).toSet
+    val total = exact.length
+    if (total == 0) 1.0 else exact.count(annSet.contains).toDouble / total
   }
 
   /** Streaming ingest with recall monitoring ON BY DEFAULT in the
@@ -778,7 +805,13 @@ object AnnStore {
       corpus.join(broadcast(t.withColumnRenamed("corpus_id", idCol)),
         Seq(idCol), "left_anti") }
     val next = cur + 1
-    writeVersion(liveCorpus, idCol, embCol, newIndex, path, next)
+    // stream marks CARRY into the new version (r18 review: a fresh empty
+    // marks map let a foreachBatch re-delivery straddling the migration
+    // re-commit an already-ingested batch into v_next — duplicate codes,
+    // duplicate top-k candidates; the corpus handed to migrate already
+    // contains those rows, so the replay must keep no-opping)
+    writeVersion(liveCorpus, idCol, embCol, newIndex, path, next,
+      marks = readCodesManifest(spark, path, cur).marks)
     writePointer(spark, path, next)
     next
   }
