@@ -70,7 +70,11 @@ object Validator {
 
     // strict="filter": drop extra columns (pyspark container.py:329)
     if (schema.strict == Strict.Filter)
-      work = work.select(resolvedNames.filter(dfCols.contains).map(q): _*)
+      // distinct: an explicit declaration overlapping a regex declaration
+      // resolves the same dataframe column twice, and a duplicate select
+      // would poison every later reference with AMBIGUOUS_REFERENCE (r18
+      // review)
+      work = work.select(resolvedNames.filter(dfCols.contains).distinct.map(q): _*)
 
     // add_missing_columns (pandas container.py:418)
     if (schema.addMissingColumns) {
@@ -82,20 +86,40 @@ object Validator {
             case None if cs.nullable =>
               work = work.withColumn(dn, lit(null).cast(dt))
             case None =>
-              errs += SchemaError("DataFrameSchema", Some(dn), "add_missing_columns",
-                ADD_MISSING_COLUMN_NO_DEFAULT, SCHEMA, 1L, Seq(dn),
-                s"column '$dn' is missing, non-nullable and has no default")
+              // SCHEMA-category, so it honors the validation-depth knob
+              // like its INVALID_CHECK_INPUT_TYPE sibling (r18 review)
+              if (doSchema)
+                errs += SchemaError("DataFrameSchema", Some(dn), "add_missing_columns",
+                  ADD_MISSING_COLUMN_NO_DEFAULT, SCHEMA, 1L, Seq(dn),
+                  s"column '$dn' is missing, non-nullable and has no default")
           }
       }
     }
 
+    // df-level parsers run BEFORE the presence snapshot (r18 review: a
+    // DataFrameParser that creates a declared column used to leave every
+    // check on it silently skipped, and one that dropped a column crashed
+    // later — parser output IS the frame the rest of the stage sees)
+    schema.parsers.foreach(p => work = p.transform(work))
     val workCols = work.columns.toSeq
     val present = resolved.filter { case (dn, _) => workCols.contains(dn) }
-
-    // df-level then column-level parsers (backends/pandas/container.py:81)
-    schema.parsers.foreach(p => work = p.transform(work))
     present.foreach { case (dn, (_, cs)) =>
       cs.parsers.foreach(p => work = work.withColumn(dn, p.transform(q(dn))))
+    }
+
+    // set_defaults BEFORE coercion (container.py:86-90 runs
+    // add_missing_columns → strict_filter → set_defaults → coerce_dtype;
+    // r18 review: the former coerce-then-default order let an
+    // un-coercible value fall through to the default SILENTLY — the
+    // coercion-failure condition tests the post-default column, which a
+    // default makes never-null). The default casts to the column's
+    // CURRENT dtype; a later coercion then casts it with everything else
+    // (an un-coercible default is counted as a coercion failure — loud).
+    present.foreach { case (dn, (_, cs)) =>
+      cs.default.foreach { d =>
+        work = work.withColumn(dn,
+          coalesce(q(dn), lit(d).cast(work.schema(dn).dataType)))
+      }
     }
 
     // coercion via try_cast semantics (SURVEY §7 hard part (a): the
@@ -105,18 +129,15 @@ object Validator {
       case (dn, (_, cs)) if (cs.coerce || schema.coerce) && cs.dtype.isDefined &&
         work.schema(dn).dataType != cs.dtype.get => (dn, cs.dtype.get)
     }
-    coerced.foreach { case (dn, dt) =>
+    // one transform per resolved column (r18 review: overlapping
+    // declarations listed a column twice and the second pass overwrote
+    // the __graft_orig__ snapshot with the already-coerced value, zeroing
+    // the failure count; when two declarations request different target
+    // dtypes the FIRST wins)
+    coerced.distinctBy(_._1).foreach { case (dn, dt) =>
       work = work
         .withColumn(OrigPrefix + dn, q(dn))
         .withColumn(dn, expr(s"try_cast(`${dn.replace("`", "``")}` AS ${dt.sql})"))
-    }
-
-    // set_defaults (container.py:626): fill nulls with the column default
-    present.foreach { case (dn, (_, cs)) =>
-      cs.default.foreach { d =>
-        val dt = cs.dtype.getOrElse(work.schema(dn).dataType)
-        work = work.withColumn(dn, coalesce(q(dn), lit(d).cast(dt)))
-      }
     }
 
     // check/dtype input restrictions (reference:
@@ -166,7 +187,11 @@ object Validator {
             SERIES_CONTAINS_NULLS, DATA, n, cases,
             s"non-nullable column '$dn' contains $n null(s)"),
           Check.DefaultNFailureCases, c.isNotNull)
-      if (coerced.exists(_._1 == dn)) {
+      if (cs.dtype.isDefined && coerced.exists(_._1 == dn)) {
+        // the dtype guard keeps a dtype-less declaration overlapping a
+        // coerced column (regex + explicit) from crashing on .get (r18
+        // review); the declaration that REQUESTED the coercion carries
+        // the pending
         val orig = q(OrigPrefix + dn)
         val dt = cs.dtype.get
         pendings += Pending(s"co${di}__$dn", orig.isNotNull && c.isNull,
@@ -178,12 +203,18 @@ object Validator {
       }
       cs.checks.zipWithIndex.filterNot(ci => incompatible((di, ci._2))).foreach {
         case (cc: ColumnCheck, i) =>
+          // warning checks report but never fail a row: excluded from the
+          // pass-predicate (r18 review: drop_invalid_rows and the
+          // streaming quarantine silently removed rows that only failed
+          // an advisory check, contradicting ValidationResult.passed /
+          // CheckSlot.isWarning semantics)
           pendings += Pending(s"ck${di}_${i}__$dn", cc.failCond(c), c.cast("string"),
             (n, cases) => SchemaError("Column", Some(dn), cc.described,
               DATAFRAME_CHECK, DATA, n, cases,
               s"column '$dn' failed check ${cc.described}: $n failure(s)",
               isWarning = cc.raiseWarning),
-            cc.nFailureCases, !cc.failCond(c))
+            cc.nFailureCases,
+            if (cc.raiseWarning) lit(true) else !cc.failCond(c))
         case (wc: WideCheck, i) =>
           pendings += Pending(s"wk${di}_${i}__$dn", wc.failCond(checkDf),
             c.cast("string"),
@@ -191,7 +222,8 @@ object Validator {
               DATAFRAME_CHECK, DATA, n, cases,
               s"column '$dn' failed check ${wc.described}: $n failure(s)",
               isWarning = wc.raiseWarning),
-            wc.nFailureCases, !wc.failCond(checkDf))
+            wc.nFailureCases,
+            if (wc.raiseWarning) lit(true) else !wc.failCond(checkDf))
         case (ac: AggregateCheck, _) => aggChecks += (Some(dn) -> ac)
       }
     }
@@ -204,7 +236,8 @@ object Validator {
             DATAFRAME_CHECK, DATA, n, cases,
             s"dataframe failed check ${wc.described}: $n failure(s)",
             isWarning = wc.raiseWarning),
-          wc.nFailureCases, !wc.failCond(checkDf))
+          wc.nFailureCases,
+          if (wc.raiseWarning) lit(true) else !wc.failCond(checkDf))
       case (ac: AggregateCheck, _) => aggChecks += (None -> ac)
       case (cc: ColumnCheck, _) =>
         sys.error(s"table-level checks must be WideCheck/AggregateCheck, got column check '${cc.name}'")
@@ -310,7 +343,9 @@ object Validator {
       }
       // ordered (errors.py:145 COLUMN_NOT_ORDERED)
       if (schema.ordered) {
-        val expected = resolvedNames.filter(dfCols.contains)
+        // distinct: a regex declaration overlapping an explicit one lists
+        // the column twice and misaligns the zip (r18 review)
+        val expected = resolvedNames.filter(dfCols.contains).distinct
         val actual = dfCols.filter(expected.contains)
         expected.zip(actual).collect { case (e, a) if e != a => e }.foreach { c =>
           errs += SchemaError("DataFrameSchema", Some(c), "column_ordered",
@@ -476,6 +511,13 @@ object Validator {
         agg.getSeq[String](agg.fieldIndex("cases")).toSeq)
     }
 
+    // Null semantics are deliberately asymmetric and oracle-pinned:
+    // per-COLUMN uniqueness exempts nulls (a nullable unique id column
+    // tolerates many unfilled rows — the not_nullable check owns that
+    // complaint), while TABLE-level keys below count null-containing
+    // tuples as ordinary values (a composite business key with a null
+    // part is still one key; pandas' duplicated() treats NaN==NaN the
+    // same way).
     uniqueCols.foreach { c =>
       val grouped = df.filter(q(c).isNotNull).groupBy(q(c)).count()
         .filter(col("count") > 1L)
@@ -489,6 +531,18 @@ object Validator {
     }
 
     if (schema.unique.nonEmpty) {
+      // missing key columns refuse as an accumulated error, not a mid-
+      // validate AnalysisException that loses the whole report (r18
+      // review; schema.unique may name columns the schema never declared)
+      val missing = schema.unique.filterNot(df.columns.contains)
+      if (missing.nonEmpty) {
+        errs += SchemaError("DataFrameSchema", None,
+          s"multiple_fields_uniqueness(${schema.unique.mkString(",")})",
+          COLUMN_NOT_IN_DATAFRAME, SCHEMA, 1L, missing,
+          s"table-level unique columns missing from dataframe: " +
+            missing.mkString(", "))
+        return
+      }
       val cols = schema.unique.map(q)
       val grouped = df.groupBy(cols: _*).count().filter(col("count") > 1L)
       val (dups, keys, cases) = dupStats(grouped,

@@ -468,4 +468,83 @@ class ValidatorSpec extends SparkSpec {
     assert(res.reportJson.contains("\"DATA\""))
     assert(res.reportJson.contains("DATAFRAME_CHECK"))
   }
+
+  test("defaults apply BEFORE coercion: un-coercible values are counted, not defaulted (r18 review)") {
+    import spark.implicits._
+    // reference order (backends/pandas/container.py:86-90): set_defaults
+    // then coerce_dtype — the old coerce-first order let "abc" fall
+    // through to the default silently (the failure condition tested the
+    // post-default, never-null column)
+    val d = Seq(Some("abc"), Some("7"), Option.empty[String]).toDF("age")
+    val schema = DataFrameSchema("age" -> ColumnSchema(
+      Some(IntegerType), Nil, coerce = true, default = Some(0)))
+    val res = schema.validate(d)
+    val coErr = res.errors.find(_.check.startsWith("coerce_dtype"))
+    assert(coErr.exists(_.failureCount == 1L),
+      s"'abc' must count as a coercion failure, got ${res.errors}")
+    // the ORIGINAL null takes the default; "abc" coerces to null (try_cast)
+    val vals = res.data.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+    assert(vals == Set(None, Some(7), Some(0)),
+      s"null→default 0, '7'→7, 'abc'→null; got $vals")
+  }
+
+  test("warning-only checks never drop or quarantine rows (r18 review)") {
+    import spark.implicits._
+    val d = Seq((1L, 5.0), (2L, 500.0)).toDF("id", "v")
+    val schema = DataFrameSchema(
+      "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+      "v" -> ColumnSchema(Some(DoubleType),
+        Seq(Check.inRange(0.0, 100.0).copy(raiseWarning = true))))
+      .copy(dropInvalidRows = true)
+    val res = schema.validate(d)
+    assert(res.data.count() == 2L,
+      "an advisory failure must not remove rows under dropInvalidRows")
+    assert(res.passed, "warnings do not fail validation")
+    // the warning is still REPORTED on the non-dropping path (the
+    // dropInvalidRows path skips row-error bookkeeping by design)
+    val reported = schema.copy(dropInvalidRows = false).validate(d)
+    assert(reported.passed && reported.errors.exists(_.isWarning),
+      "the advisory failure reports as a warning without failing")
+    val (valid, invalid) = graft.backend.Validator.splitByRowChecks(
+      schema.copy(dropInvalidRows = false), d)
+    assert(valid.count() == 2L && invalid.count() == 0L,
+      "the quarantine split must not route advisory failures to invalid")
+  }
+
+  test("a DataFrameParser-created column is validated (r18 review)") {
+    import spark.implicits._
+    val d = Seq(("  x  ", 1L), ("", 2L)).toDF("raw", "id")
+    val schema = new DataFrameSchema(
+      columns = Seq(
+        "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "norm" -> ColumnSchema(Some(StringType),
+          Seq(graft.checks.ColumnCheck("nonblank",
+            c => org.apache.spark.sql.functions.length(c) > 0)),
+          nullable = false)),
+      parsers = Seq(graft.schema.DataFrameParser("derive_norm",
+        df0 => df0.withColumn("norm",
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("raw"))))))
+    val res = graft.backend.Validator.validate(schema, d)
+    // the parser created 'norm'; the blank row must FAIL its check — the
+    // old presence snapshot (taken before parsers) skipped it silently
+    assert(res.errors.exists(e =>
+      e.column.contains("norm") && e.failureCount == 1L),
+      s"parser-created column must be checked, got ${res.errors}")
+  }
+
+  test("table-level unique on a missing column accumulates, not crashes (r18 review)") {
+    import spark.implicits._
+    val d = Seq((1L, "a")).toDF("id", "x")
+    val schema = new DataFrameSchema(
+      columns = Seq("id" -> ColumnSchema(Some(LongType))),
+      unique = Seq("id", "region"))
+    val res = graft.backend.Validator.validate(schema, d)
+    assert(!res.passed)
+    assert(res.errors.exists(e =>
+      e.check.startsWith("multiple_fields_uniqueness") &&
+        e.message.contains("region")),
+      s"missing unique key column must be an accumulated error, got ${res.errors}")
+  }
 }
