@@ -50,19 +50,30 @@ object Hypothesis {
   def twoSampleT(n1: Long, m1: Double, v1: Double,
                  n2: Long, m2: Double, v2: Double,
                  equalVar: Boolean): TestResult = {
+    // se == 0 (both samples constant): identical means are infinitely
+    // consistent (t=0, p=1 — two byte-identical constant samples must
+    // satisfy Equal, the same invariant mannWhitneyU's sigma=0 branch
+    // pins), different means infinitely inconsistent (t=±Inf, p=0);
+    // the former 0/0 = NaN failed Equal on identical data (r18 review)
+    def res(se: Double, dof: Double): TestResult =
+      if (se == 0.0) {
+        val t = if (m1 == m2) 0.0
+          else if (m1 > m2) Double.PositiveInfinity
+          else Double.NegativeInfinity
+        TestResult(t, if (m1 == m2) 1.0 else 0.0, dof)
+      } else {
+        val t = (m1 - m2) / se
+        TestResult(t, tPValue(t, dof), dof)
+      }
     if (equalVar) {
       val dof = (n1 + n2 - 2).toDouble
       val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / dof
-      val se = math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
-      val t = (m1 - m2) / se
-      TestResult(t, tPValue(t, dof), dof)
+      res(math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2)), dof)
     } else {
       val a = v1 / n1; val b = v2 / n2
-      val se = math.sqrt(a + b)
-      val t = (m1 - m2) / se
       val dof = math.pow(a + b, 2) /
         (math.pow(a, 2) / (n1 - 1) + math.pow(b, 2) / (n2 - 1))
-      TestResult(t, tPValue(t, dof), dof)
+      res(math.sqrt(a + b), dof)
     }
   }
 
@@ -89,8 +100,17 @@ object Hypothesis {
                var_samp(col(c)).as("v"))
           .collect()
         val byGroup = rows.map(r =>
-          String.valueOf(r.get(0)) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+          String.valueOf(r.get(0)) -> ((r.getLong(1), r.getDouble(2),
+            // var_samp over a single row is NULL — surface as a clean
+            // failed outcome below, not an NPE (r18 review)
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
         (byGroup.get(sample1), byGroup.get(sample2)) match {
+          case (Some((n1, _, v1)), Some((n2, _, v2)))
+              if v1.isNaN || v2.isNaN =>
+            AggOutcome(passed = false,
+              s"group(s) with fewer than 2 rows (variance undefined): " +
+                Seq(sample1 -> v1, sample2 -> v2)
+                  .collect { case (g, v) if v.isNaN => g }.mkString(","))
           case (Some((n1, m1, v1)), Some((n2, m2, v2))) =>
             val res = twoSampleT(n1, m1, v1, n2, m2, v2, equalVar)
             AggOutcome(decide(relationship, res.stat, res.pvalue, alpha),
@@ -340,6 +360,22 @@ object Hypothesis {
         st("alpha").toString.toDouble,
         st.get("max_cells").map(_.toString.toDouble.toInt).getOrElse(100000))
     }
+    register("chi_square_gof") { st =>
+      // `expected` survives serialization as a nested map (jackson emits
+      // java maps; a Scala map arrives from in-process round trips)
+      val exp: Map[String, Double] = st("expected") match {
+        case m: scala.collection.Map[_, _] =>
+          m.map { case (k, v) => String.valueOf(k) -> v.toString.toDouble }.toMap
+        case m: java.util.Map[_, _] =>
+          import scala.jdk.CollectionConverters._
+          m.asScala.map { case (k, v) =>
+            String.valueOf(k) -> v.toString.toDouble }.toMap
+        case other => sys.error(s"chi_square_gof: bad 'expected' stats: $other")
+      }
+      chiSquareGof(exp,
+        relationshipFromString(st("relationship").toString),
+        st("alpha").toString.toDouble)
+    }
     register("ks_two_sample") { st =>
       ksTwoSample(
         st("groupby").toString, st("sample1").toString, st("sample2").toString,
@@ -353,6 +389,26 @@ object Hypothesis {
   def chiSquarePValue(stat: Double, degFreedom: Double): Double = {
     if (degFreedom <= 0 || stat.isNaN) return Double.NaN
     1.0 - new ChiSquaredDistribution(degFreedom).cumulativeProbability(stat)
+  }
+
+  /** Per-distinct-value histogram `(v, n1, n2)` shared by the MW/KS
+    * driver and plan forms (r18 review: the shape was hand-copied four
+    * times). Values that pass isNotNull but cast to a NULL double (a
+    * non-numeric string under try-cast semantics) are EXCLUDED here —
+    * they used to NPE the driver forms and silently bias the plan forms'
+    * totals (the null bucket dropped from the cumsums but not from
+    * t1/t2). */
+  private def valueHistogram(df: DataFrame, valueCol: String,
+      groupbyCol: String, sample1: String, sample2: String): DataFrame = {
+    // try_cast, not cast: under ANSI a malformed string would throw out
+    // of the aggregation; under non-ANSI a plain cast nulls silently —
+    // try_cast gives the tolerate-and-exclude semantics on both
+    val v = expr(s"try_cast(`${valueCol.replace("`", "``")}` AS double)")
+    df.filter(col(groupbyCol).isin(sample1, sample2) &&
+        col(valueCol).isNotNull && v.isNotNull)
+      .groupBy(v.as("v"))
+      .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
+           sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
   }
 
   /** Chi-squared test of independence between the schema column and
@@ -421,6 +477,9 @@ object Hypothesis {
         val c = colOpt.getOrElse(sys.error("chi_square_gof needs a column"))
         require(math.abs(expected.values.sum - 1.0) < 1e-6,
           s"chi_square_gof: expected proportions sum to ${expected.values.sum}, not 1")
+        require(expected.values.forall(_ > 0),
+          "chi_square_gof: every expected proportion must be > 0 (a zero " +
+            "cell makes the statistic Inf/NaN — drop the category instead)")
         // limit caps the collect at |expected| + a few unknowns for the
         // error message — a high-cardinality column errors instead of
         // OOMing the driver (mirrors chiSquareIndependence's maxCells and
@@ -473,11 +532,7 @@ object Hypothesis {
       "mann_whitney_u",
       (df, colOpt) => {
         val c = colOpt.getOrElse(sys.error("mann_whitney_u needs a column"))
-        val rows = df
-          .filter(col(groupbyCol).isin(sample1, sample2) && col(c).isNotNull)
-          .groupBy(col(c).cast("double").as("v"))
-          .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
-               sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+        val rows = valueHistogram(df, c, groupbyCol, sample1, sample2)
           .limit(maxDistinct + 1)
           .collect()
         if (rows.length > maxDistinct)
@@ -643,11 +698,7 @@ object Hypothesis {
     * Returns one row `(u1, z, n1, n2)` rounded for cross-engine matching. */
   def mannWhitneyStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
       sample1: String, sample2: String): DataFrame = {
-    val hist = df
-      .filter(col(groupbyCol).isin(sample1, sample2) && col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("v"))
-      .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
-           sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+    val hist = valueHistogram(df, valueCol, groupbyCol, sample1, sample2)
     val ranked = histPrefixSums(hist)
       .withColumn("t", col("n1") + col("n2"))
       // strictly-preceding total = inclusive cumsum minus own row — exact,
@@ -664,10 +715,17 @@ object Hypothesis {
       .withColumn("SIG", sqrt(col("N1") * col("N2") / 12.0
         * ((col("NN") + 1) - col("T3") / (col("NN") * (col("NN") - 1)))))
       .select(
-        round(col("R1") - col("N1") * (col("N1") + 1) / 2, 4).as("u1"),
-        when(col("SIG") === 0.0, lit(0.0)).otherwise(
-          round((col("R1") - col("N1") * (col("N1") + 1) / 2
-            - col("N1") * col("N2") / 2) / col("SIG"), 6)).as("z"),
+        // an ABSENT group must surface as NULL u1/z, mirroring
+        // ksTwoSampleStatDF and the driver form's failed outcome — the
+        // former plan read z=0 for a misspelled group label, identical
+        // to the all-tied degenerate "no evidence" answer (r18 review)
+        when(col("N1") === 0 || col("N2") === 0, lit(null))
+          .otherwise(round(col("R1") - col("N1") * (col("N1") + 1) / 2, 4))
+          .as("u1"),
+        when(col("N1") === 0 || col("N2") === 0, lit(null))
+          .when(col("SIG") === 0.0, lit(0.0)).otherwise(
+            round((col("R1") - col("N1") * (col("N1") + 1) / 2
+              - col("N1") * col("N2") / 2) / col("SIG"), 6)).as("z"),
         col("N1").cast("long").as("n1"), col("N2").cast("long").as("n2"))
   }
 
@@ -714,11 +772,7 @@ object Hypothesis {
       "ks_two_sample",
       (df, colOpt) => {
         val c = colOpt.getOrElse(sys.error("ks_two_sample needs a column"))
-        val rows = df
-          .filter(col(groupbyCol).isin(sample1, sample2) && col(c).isNotNull)
-          .groupBy(col(c).cast("double").as("v"))
-          .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
-               sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+        val rows = valueHistogram(df, c, groupbyCol, sample1, sample2)
           .limit(maxDistinct + 1)
           .collect()
         if (rows.length > maxDistinct)
@@ -755,11 +809,7 @@ object Hypothesis {
     * `(d, n1, n2)`, D rounded to 6 decimals for cross-engine matching. */
   def ksTwoSampleStatDF(df: DataFrame, valueCol: String, groupbyCol: String,
       sample1: String, sample2: String): DataFrame = {
-    val hist = df
-      .filter(col(groupbyCol).isin(sample1, sample2) && col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("v"))
-      .agg(sum(when(col(groupbyCol) === sample1, 1.0).otherwise(0.0)).as("n1"),
-           sum(when(col(groupbyCol) === sample2, 1.0).otherwise(0.0)).as("n2"))
+    val hist = valueHistogram(df, valueCol, groupbyCol, sample1, sample2)
     histPrefixSums(hist)
       .agg(
         // an absent group (t=0) must surface as a NULL d, mirroring the
@@ -785,11 +835,28 @@ object Hypothesis {
         val r = df.filter(col(c).isNotNull)
           .agg(count(col(c)).as("n"), avg(col(c)).as("m"),
                stddev_samp(col(c)).as("s")).head()
-        val n = r.getLong(0); val m = r.getDouble(1); val s = r.getDouble(2)
-        val t = (m - popmean) / (s / math.sqrt(n.toDouble))
-        val p = tPValue(t, (n - 1).toDouble)
-        AggOutcome(decide(relationship, t, p, alpha),
-          f"t=$t%.6f p=$p%.6f n=$n mean=$m%.6f popmean=$popmean")
+        val n = r.getLong(0)
+        // empty / single-row columns surface as clean failed outcomes,
+        // not NPEs on the NULL avg/stddev (r18 review); an all-constant
+        // column gets the same degenerate treatment as twoSampleT
+        if (n < 2)
+          AggOutcome(passed = false,
+            s"one_sample_ttest needs >= 2 non-null rows, got $n")
+        else {
+          val m = r.getDouble(1); val s = r.getDouble(2)
+          val (t, p) =
+            if (s == 0.0) {
+              val t0 = if (m == popmean) 0.0
+                else if (m > popmean) Double.PositiveInfinity
+                else Double.NegativeInfinity
+              (t0, if (m == popmean) 1.0 else 0.0)
+            } else {
+              val t0 = (m - popmean) / (s / math.sqrt(n.toDouble))
+              (t0, tPValue(t0, (n - 1).toDouble))
+            }
+          AggOutcome(decide(relationship, t, p, alpha),
+            f"t=$t%.6f p=$p%.6f n=$n mean=$m%.6f popmean=$popmean")
+        }
       },
       Map("popmean" -> popmean, "relationship" -> relationship.toString,
           "alpha" -> alpha))

@@ -260,6 +260,77 @@ class HypothesisStatsSpec extends SparkSpec {
     assert(ps == ps.sorted.reverse)
   }
 
+  test("t-tests: degenerate and starved inputs answer cleanly (r18 review)") {
+    import graft.hypothesis.Hypothesis._
+    // two identical constant samples satisfy Equal (t=0, p=1), mirroring
+    // mann-whitney's sigma=0 branch — the former 0/0=NaN failed Equal
+    val const = (Seq.fill(10)(("a", 5.0)) ++ Seq.fill(10)(("b", 5.0)))
+      .toDF("g", "v")
+    val eq = twoSampleTtest("g", "a", "b", relationship = Equal)
+      .eval(const, Some("v"))
+    assert(eq.passed, eq.observed)
+    // two DIFFERENT constants reject Equal with infinite evidence
+    val diff = (Seq.fill(10)(("a", 5.0)) ++ Seq.fill(10)(("b", 7.0)))
+      .toDF("g", "v")
+    assert(!twoSampleTtest("g", "a", "b", relationship = Equal)
+      .eval(diff, Some("v")).passed)
+    // a single-row group is a clean failed outcome, not an NPE
+    val single = (Seq(("a", 1.0)) ++ Seq.fill(10)(("b", 2.0))).toDF("g", "v")
+    val starved = twoSampleTtest("g", "a", "b").eval(single, Some("v"))
+    assert(!starved.passed && starved.observed.contains("fewer than 2"))
+    // one-sample: empty and single-row columns answer cleanly too
+    val empty = Seq.empty[Double].toDF("v")
+    val e1 = oneSampleTtest(0.0).eval(empty, Some("v"))
+    assert(!e1.passed && e1.observed.contains(">= 2"))
+    // all-constant one-sample column: matches popmean → Equal passes
+    val c1 = Seq.fill(5)(3.0).toDF("v")
+    assert(oneSampleTtest(3.0, relationship = Equal).eval(c1, Some("v")).passed)
+    assert(!oneSampleTtest(4.0, relationship = Equal).eval(c1, Some("v")).passed)
+  }
+
+  test("mann-whitney statDF: an absent group surfaces as NULL, not z=0 (r18 review)") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Hypothesis.mannWhitneyStatDF(d, "v", "g", "a", "MISSPELLED").head()
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "absent group must yield NULL u1/z — z=0 reads as 'no difference'")
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("non-numeric values are excluded from the rank/KS histograms, not NPEs (r18 review)") {
+    val d = Seq(("a", "1.0"), ("a", "2.0"), ("a", "abc"),
+      ("b", "2.0"), ("b", "3.0")).toDF("g", "v")
+    // driver forms used to NPE on the cast-null row; plan forms silently
+    // biased the totals — now the row is excluded on all four paths
+    val mw = Hypothesis.mannWhitneyU("g", "a", "b").eval(d, Some("v"))
+    assert(mw.observed.contains("n1=2"), mw.observed)
+    val ks = Hypothesis.ksTwoSample("g", "a", "b").eval(d, Some("v"))
+    assert(ks.observed.contains("n1=2"), ks.observed)
+    val kd = Hypothesis.ksTwoSampleStatDF(d, "v", "g", "a", "b").head()
+    assert(kd.getLong(1) == 2L && kd.getLong(2) == 2L)
+  }
+
+  test("chi-square GoF: registry round trip and zero-proportion refusal (r18 review)") {
+    val d = (Seq.fill(25)("A") ++ Seq.fill(25)("B") ++ Seq.fill(50)("C"))
+      .toDF("cat")
+    val stats = Map[String, Any](
+      "expected" -> Map("A" -> 0.25, "B" -> 0.25, "C" -> 0.5),
+      "relationship" -> "Equal", "alpha" -> 0.01)
+    assert(Hypothesis.registry.contains("chi_square_gof"),
+      "fully-data-parameterized builtin must be registry-buildable")
+    val rebuilt = Hypothesis.registry("chi_square_gof", stats)
+    assert(rebuilt.eval(d, Some("cat")).passed)
+    // java-map statistics (the jackson deserialization shape) build too
+    val jm = new java.util.HashMap[String, Object]()
+    jm.put("A", Double.box(0.25)); jm.put("B", Double.box(0.25))
+    jm.put("C", Double.box(0.5))
+    assert(Hypothesis.registry("chi_square_gof",
+      Map("expected" -> jm, "relationship" -> "Equal", "alpha" -> 0.01))
+      .eval(d, Some("cat")).passed)
+    val zero = intercept[Exception](Hypothesis.chiSquareGof(
+      Map("A" -> 0.0, "B" -> 0.5, "C" -> 0.5)).eval(d, Some("cat")))
+    assert(zero.getMessage.contains("> 0"), zero.getMessage)
+  }
+
   test("corr bound check: wide band passes, impossible band fails, constant column is an explicit failure") {
     import graft.checks.Check
     val df = (1 to 200).map(i => (i.toDouble, i * 2.0 + (i % 7), 5.0))
