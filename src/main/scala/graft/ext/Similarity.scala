@@ -59,7 +59,12 @@ object Similarity {
     * the bounded k-heap aggregate; rank = 1-based position in the
     * (cosine desc, corpus_id asc) order. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    // a NaN score would rank FIRST for every query (Double.compare places
+    // NaN above all reals in the k-heap), so one poisoned corpus
+    // embedding would take rank 1 everywhere and evict a true neighbor —
+    // skip such rows (r18 review; CosineSim already defines zero-norm as
+    // 0.0, so NaN can only arrive from NaN vector components upstream)
+    scored.filter(!isnan(col("cosine"))).groupBy("query_id")
       .agg(graft.functions.TopKByScore.of(col("cosine"), col("corpus_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), col("col.item").as("corpus_id"),
@@ -107,9 +112,13 @@ object Similarity {
     require(oversample >= 1, s"oversample >= 1, got $oversample")
     val cand = bruteForceTopK(corpus, corpusId, corpusEmb,
       queries, queryId, queryEmb, k * oversample)
-    val withVec = cand.join(
-      corpus.select(q(corpusId).as("corpus_id"), q(corpusEmb).as("__cv")),
-      Seq("corpus_id"))
+    // broadcast the bounded candidate list into the corpus re-fetch (r18
+    // review: a post-aggregation frame has no size stats, so the planner
+    // could shuffle the full-width corpus embeddings — the sibling
+    // pqTopKIndexed re-fetch already broadcasts its shortlist)
+    val withVec = corpus
+      .select(q(corpusId).as("corpus_id"), q(corpusEmb).as("__cv"))
+      .join(broadcast(cand), Seq("corpus_id"))
     mmrRerank(withVec, k, lambda)
   }
 
@@ -118,25 +127,30 @@ object Similarity {
     * (query_id, corpus_id, rank, mmr_score rounded to 4). */
   def mmrRerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
-    val selectMmr = udf { cands: Seq[org.apache.spark.sql.Row] =>
-      // sort first: collect_list order is partitioning-dependent
-      val arr = cands.map(r => (r.getLong(0), r.getDouble(1),
-          r.getSeq[Float](2).toArray))
-        .sortBy(t => (-t._2, t._1)).toArray
-      def cos(a: Array[Float], b: Array[Float]): Double = {
+    // the UDF selects INDICES into the plan-sorted candidate array, so it
+    // never touches the id — ids keep their original dtype (r18 review:
+    // the former cast('long')/getSeq[Float] form NPE'd on string ids and
+    // ClassCastException'd on array<double> embeddings, both supported
+    // everywhere else in this file); vectors arrive cast to array<double>
+    val selectMmr = udf { (rel: Seq[Double], vecs: Seq[Seq[Double]]) =>
+      val arr = vecs.map(_.toArray).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length && i < b.length) {
-          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-          nb += b(i).toDouble * b(i); i += 1
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
         }
         if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
       }
       val n = arr.length
       // maxSimTo(i) = max cosine from candidate i to anything selected so
-      // far, updated incrementally — O(n·k) cosine evals total
-      val maxSimTo = Array.fill(n)(0.0)
+      // far — initialized to -inf, NOT 0 (r18 review: the 0 floor clamped
+      // a negative max-cosine penalty, so anti-correlated candidates were
+      // under-rewarded and the pick order deviated from the documented
+      // objective); it is only read once out.nonEmpty, by which time the
+      // post-pick loop has set a real value for every candidate
+      val maxSimTo = Array.fill(n)(Double.NegativeInfinity)
       val used = Array.fill(n)(false)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
       var exhausted = false
       while (!exhausted && out.length < math.min(k, n)) {
         var best = -1; var bestObj = Double.NegativeInfinity
@@ -144,7 +158,7 @@ object Similarity {
         while (i < n) {
           if (!used(i)) {
             val penalty = if (out.isEmpty) 0.0 else maxSimTo(i)
-            val obj = lambda * arr(i)._2 - (1.0 - lambda) * penalty
+            val obj = lambda * rel(i) - (1.0 - lambda) * penalty
             // strict >, NaN-excluded: ties keep the earliest candidate
             // in the (cosine desc, id asc) order — deterministic. A NaN
             // objective (a poisoned embedding's NaN cosine) never
@@ -159,11 +173,11 @@ object Similarity {
         if (best < 0) exhausted = true
         else {
           used(best) = true
-          out += ((arr(best)._1, out.length + 1, math.rint(bestObj * 1e4) / 1e4))
+          out += ((best, out.length + 1, math.rint(bestObj * 1e4) / 1e4))
           var j = 0
           while (j < n) {
             if (!used(j)) {
-              val s = cos(arr(j)._3, arr(best)._3)
+              val s = cos(arr(j), arr(best))
               if (s > maxSimTo(j)) maxSimTo(j) = s
             }
             j += 1
@@ -172,12 +186,22 @@ object Similarity {
       }
       out.toSeq
     }
+    // sort IN THE PLAN (sort_array over a struct whose leading fields are
+    // (-cosine, id) gives the deterministic (cosine desc, id asc) order
+    // at any partitioning), then select by index and read the id back out
+    // of the sorted array — the id never enters the UDF
     candidates
       .groupBy("query_id")
-      .agg(collect_list(struct(col("corpus_id").cast("long"),
-        col("cosine").cast("double"), col("__cv"))).as("cands"))
-      .select(col("query_id"), explode(selectMmr(col("cands"))).as("s"))
-      .select(col("query_id"), col("s._1").as("corpus_id"),
+      .agg(sort_array(collect_list(struct(
+        (-col("cosine").cast("double")).as("negc"),
+        col("corpus_id").as("id"),
+        col("__cv").cast("array<double>").as("v")))).as("cands"))
+      .select(col("query_id"), col("cands"),
+        explode(selectMmr(
+          transform(col("cands"), c => -c.getField("negc")),
+          col("cands.v"))).as("s"))
+      .select(col("query_id"),
+        element_at(col("cands"), col("s._1") + 1).getField("id").as("corpus_id"),
         col("s._2").as("rank"), col("s._3").as("mmr_score"))
   }
 
@@ -229,14 +253,28 @@ object Similarity {
       trainSampleFraction: Double, seed: Long): Array[Array[Double]] = {
     require(trainSampleFraction.isNaN || trainSampleFraction > 0,
       s"trainSampleFraction must be NaN (auto) or > 0, got $trainSampleFraction")
-    val cap = math.max(numCentroids * MaxPointsPerCentroid, 4096)
+    // HARD row bound (r18 review: nc·256 reaches 16.7M rows at the 65536
+    // auto ceiling — an unguarded tens-of-GB collect plus an intractable
+    // driver k-means). The knob raises it on fat drivers; below ~64
+    // points/centroid cell quality degrades gracefully for IVF (the
+    // in-store recall probe is the backstop).
+    val maxRows = c.sparkSession.conf
+      .getOption("graft.ann.maxTrainRows").map(_.toInt).getOrElse(1 << 20)
+    val cap = math.min(
+      math.max(numCentroids * MaxPointsPerCentroid, 4096), maxRows)
+    require(numCentroids <= cap,
+      s"nCentroids=$numCentroids exceeds the training-row budget $cap — " +
+        "raise graft.ann.maxTrainRows or lower nCentroids")
     val sampled =
-      if (trainSampleFraction.isNaN) {
-        val total = c.count()
-        if (total <= cap) c
-        else c.sample(withReplacement = false,
-          math.min(1.0, cap.toDouble * 1.2 / total), seed)
-      }
+      if (trainSampleFraction.isNaN)
+        // seeded-hash bottom-k, NOT sample(): Bernoulli sampling is
+        // evaluated per-partition, so the trained centroids — and every
+        // downstream pinned neighbor — would change with the corpus's
+        // partitioning (r18 review); TakeOrderedAndProject is layout-
+        // independent, and this also drops the extra count() the old
+        // total<=cap probe paid (a full corpus scan at 100 TB)
+        c.orderBy(xxhash64(col("corpus_id"), lit(seed)), col("corpus_id"))
+          .limit(cap)
       else if (trainSampleFraction >= 1.0)
         c.orderBy(xxhash64(col("corpus_id"), lit(seed)), col("corpus_id"))
           .limit(cap)
@@ -427,23 +465,32 @@ object Similarity {
     // same collected-probe pruning as ivfPqTopKIndexed — for the IVF store
     // it matters MORE: cells hold raw vectors, so partition pruning skips
     // whole files of full-width embeddings, not just code bytes
-    val (scanSide, probeSide) =
-      if (!pruneCells) (encoded, probes)
-      else {
-        // bounded BY CONSTRUCTION at ≤ |queries|·nProbe rows, and the
-        // collect enforces it (an oversized query batch fails loudly)
-        val rows = StoreFiles.collectBounded(probes, "ANN probe table",
-          "graft.ann.maxProbeRows", 1 << 18)
-        val cellIdx = probes.schema.fieldIndex("cell")
-        val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
-        val local = encoded.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), probes.schema)
-        (encoded.filter(col("cell").isin(cells: _*)), local)
-      }
+    val (scanSide, probeSide) = prunedScanAndProbe(encoded, probes, pruneCells)
     val cand = scanSide.join(broadcast(probeSide), Seq("cell"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
     rankTopK(cand.select("query_id", "corpus_id", "cosine"), k)
   }
+
+  /** The pruneCells (scanSide, probeSide) derivation shared by the IVF
+    * and IVF-PQ serves (r18 review: it was copy-pasted verbatim): one
+    * bounded collect of the probe table yields BOTH the pushed-down cell
+    * filter (parquet partition pruning skips non-probed cells' files)
+    * and the broadcast probe side, so the probe aggregation never runs
+    * twice. */
+  private def prunedScanAndProbe(encoded: DataFrame, probes: DataFrame,
+      pruneCells: Boolean): (DataFrame, DataFrame) =
+    if (!pruneCells) (encoded, probes)
+    else {
+      // bounded BY CONSTRUCTION at ≤ |queries|·nProbe rows, and the
+      // collect enforces it (an oversized query batch fails loudly)
+      val rows = StoreFiles.collectBounded(probes, "ANN probe table",
+        "graft.ann.maxProbeRows", 1 << 18)
+      val cellIdx = probes.schema.fieldIndex("cell")
+      val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
+      val local = encoded.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), probes.schema)
+      (encoded.filter(col("cell").isin(cells: _*)), local)
+    }
 
   /** PQ serve: ADC scan over the stored codes (m `element_at` lookups per
     * (corpus row, query) into the query's broadcast distance table), k-heap
@@ -524,19 +571,7 @@ object Similarity {
     // broadcast side). For the pruned serve, collect it ONCE and derive
     // BOTH the pushed-down cell filter and the broadcast side from the
     // same rows, so the probe aggregation never runs twice.
-    val (scanSide, probeSide) =
-      if (!pruneCells) (encoded, probes)
-      else {
-        // rows carry the per-query ADC distance table, so the row budget
-        // is the binding one — enforced, not conventional
-        val rows = StoreFiles.collectBounded(probes, "ANN probe table",
-          "graft.ann.maxProbeRows", 1 << 18)
-        val cellIdx = probes.schema.fieldIndex("cell")
-        val cells = rows.map(r => Int.box(r.getInt(cellIdx))).distinct.toSeq
-        val local = encoded.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), probes.schema)
-        (encoded.filter(col("cell").isin(cells: _*)), local)
-      }
+    val (scanSide, probeSide) = prunedScanAndProbe(encoded, probes, pruneCells)
     val shortlist = scanSide.join(broadcast(probeSide), Seq("cell"))
       .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
       .groupBy("query_id")
@@ -608,7 +643,13 @@ object Similarity {
       case "pq"    => Seq("corpus_id", "codes")
       case _       => Seq("corpus_id", "cell", "codes")
     }
-    spark.read.parquet(s"$dir/out").select(cols.map(col): _*)
+    // an EMPTY corpus writes no sink files and the parquet read would
+    // fail schema inference — return the batch path's empty frame so
+    // replay ≡ batch holds on the degenerate input too (r18 review)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out")))
+      encode(corpus.limit(0), corpusId, corpusEmb, index)
+        .select(cols.map(col): _*)
+    else spark.read.parquet(s"$dir/out").select(cols.map(col): _*)
   }
 
   // ===================== one-shot compositions ============================
@@ -674,6 +715,9 @@ object Similarity {
       queries: DataFrame, queryId: String, queryEmb: String,
       k: Int, bits: Int = 16, bands: Int = 4,
       multiProbe: Boolean = false): DataFrame = {
+    require(bands >= 1, s"lshTopK: bands >= 1, got $bands (0 divides " +
+      "nothing; a negative value passes the modulo check and silently " +
+      "produces garbage buckets — r18 review)")
     require(bits % bands == 0, "bands must divide bits")
     val bandBits = bits / bands
     // r17 review: bandBits == 64 makes (1L << 64) wrap to 1L (Java shifts

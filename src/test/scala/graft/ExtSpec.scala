@@ -291,6 +291,59 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("similarity: MMR supports string ids + double vectors; anti-correlated penalty is negative (r18 review)") {
+    import spark.implicits._
+    // string ids and array<double> vectors crashed the old long/float
+    // hard-coded UDF; ids now never enter the UDF (index selection)
+    val corpus = Seq(
+      ("docA", Seq(1.0, 0.0)), ("docB", Seq(0.9, 0.1)),
+      ("docC", Seq(-0.95, 0.05)), ("docD", Seq(0.8, 0.2))
+    ).toDF("id", "emb")
+    val qs = Seq(("q1", Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got = Similarity.mmrTopK(corpus, "id", "emb", qs, "qid", "qv",
+      k = 2, lambda = 0.5, oversample = 4).collect()
+      .map(r => (r.getInt(2), r.getString(1))).sorted.toSeq
+    // rank1 = docA (relevance 1.0). For rank 2 the true objective rewards
+    // docC's NEGATIVE max-cosine to the selected set
+    // (0.5·cos(q,C) − 0.5·(−0.95) ≈ 0.0) over docB
+    // (0.5·0.994 − 0.5·0.994 ≈ 0) vs docD... compute exactly: the pick
+    // must be the candidate maximizing λ·rel − (1−λ)·maxSim — the old
+    // 0-clamped penalty picked by pure relevance instead
+    assert(got.head == ((1, "docA")), s"got $got")
+    val cosQ = (v: Seq[Double]) => {
+      val d = v.head * 1.0 + v(1) * 0.0
+      d / math.sqrt(v.map(x => x * x).sum)
+    }
+    val simToA = Map(
+      "docB" -> (0.9 * 1.0 + 0.1 * 0.0) / math.sqrt(0.82),
+      "docC" -> (-0.95 * 1.0 + 0.05 * 0.0) / math.sqrt(0.905),
+      "docD" -> (0.8 * 1.0 + 0.2 * 0.0) / math.sqrt(0.68))
+    val objs = Seq("docB", "docC", "docD").map { id =>
+      val rel = math.rint(cosQ(Map(
+        "docB" -> Seq(0.9, 0.1), "docC" -> Seq(-0.95, 0.05),
+        "docD" -> Seq(0.8, 0.2))(id)) * 1e4) / 1e4
+      id -> (0.5 * rel - 0.5 * simToA(id))
+    }
+    val expected2 = objs.maxBy(_._2)._1
+    assert(got(1)._2 == expected2,
+      s"rank2 must maximize the UNclamped objective: got ${got(1)._2}, " +
+        s"want $expected2 (objs=$objs)")
+  }
+
+  test("similarity: a NaN corpus embedding never outranks real neighbors (r18 review)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (666L, Seq(Double.NaN, 1.0))).toDF("id", "emb")
+    val qs = Seq((0L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got = Similarity.bruteForceTopK(corpus, "id", "emb",
+      qs, "qid", "qv", k = 2).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(!got.contains(666L),
+      s"the poisoned row ranked (old behavior: rank 1 everywhere): $got")
+    assert(got == Seq(1L, 2L))
+  }
+
   test("similarity: LSH top-k recall >= 0.6 vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
