@@ -325,6 +325,13 @@ object Bench {
       }
     } catch { case _: Exception => None }
 
+  /** Upper median (hoisted to the object in r19 — the extra-rerun suspect
+    * check needs it at section time, before the artifact-time locals). */
+  private[graft] def median(vs: Iterable[Double]): Double = {
+    val s = vs.toSeq.sorted
+    if (s.isEmpty) 0.0 else s(s.size / 2)
+  }
+
   /** GC-storm predicate, shared by the rerun trigger and the baseline
     * merge's suspect marking so the two policies cannot drift (r15): >25%
     * of the section's wall spent collecting AND >200 ms absolute (so
@@ -347,6 +354,30 @@ object Bench {
       (t > 2 * p && t - p > 1.0) ||
         (gcStorm(gcMs, t) && t > 1.3 * p && t - p > 1.0)
     }
+
+  /** Extra-rerun decision under SUSTAINED contention (r19 verdict #2,
+    * pure — spec-covered in BenchPolicySpec): after the standard single
+    * rerun, the section may rerun again — bounded at `maxExtra` (2)
+    * additional attempts, each preceded by a quiesce wait — when the
+    * KEPT (min) reading both still fires the contention-suspect
+    * predicate AND sits >2× its rolling floor. Rationale: r18's
+    * dedup_cluster_10x measured 50.1 s, rerun once into an equally
+    * contended window (26.7 s, still 3.3× its 8.08 s floor) and the
+    * artifact could only confess; a short quiesce + one or two more
+    * attempts converges to a clean reading whenever the host spike is
+    * transient. A non-suspect kept reading never re-fires (a reproduced
+    * honest regression must stay measurable), and the >2× floor guard
+    * keeps mild wobble from burning rerun time. */
+  def shouldRerunAgain(kept: Double, floor: Option[Double],
+      keptSuspect: Boolean, extrasSoFar: Int, maxExtra: Int = 2): Boolean =
+    extrasSoFar < maxExtra && keptSuspect &&
+      floor.exists(p => kept > 2 * p && kept - p > 1.0)
+
+  /** Stdout-line selection (r19 verdict #1, pure — spec-covered): first
+    * candidate within the driver's tail cap, last as the final resort.
+    * Candidates are ordered by degradation priority by the caller. */
+  def pickStdout(candidates: Seq[String], cap: Int = 1900): String =
+    candidates.find(_.length <= cap).getOrElse(candidates.last)
 
   /** Rolling-baseline update (r14 verdict #1): the `baseline` map written
     * back to BENCH_LOCAL.json is the element-wise MIN of the prior baseline
@@ -521,6 +552,9 @@ object Bench {
     canaryMs(); canaryMs(); canaryMs(): Unit
     ioCanaryMs(); ioCanaryMs(): Unit
     val prior = priorTimes(sfDir)
+    // hoisted (r19): the extra-rerun suspect check inside timedImpl needs
+    // the rolling io floor at section time, not only at artifact time
+    val ioFloorPrior = priorIoFloor()
     // Auto-rerun protocol (r13 verdict #1): a section measuring >2× its
     // rolling BENCH_LOCAL value AND >1 s over it reruns ONCE and the min
     // is kept — a host-contention spike (the only mechanism that produced
@@ -548,26 +582,57 @@ object Bench {
       heaps += name -> heapPeakMb()
       secMetrics.quiesce()
       taskMetrics += name -> (secMetrics.snap() - m0)
+      // bounded quiesce before an EXTRA rerun (r19 verdict #2): sleep in
+      // 1 s steps until a probe io canary stops firing the io suspect
+      // legs (same thresholds via suspectLegs, cpu leg neutralized) or
+      // ~6 s elapse — converge out of a transient host spike instead of
+      // rerunning straight back into it. Untimed wall only.
+      def quiesceWait(): Unit = {
+        var i = 0
+        var quiet = false
+        while (i < 6 && !quiet) {
+          Thread.sleep(1000)
+          quiet = suspectLegs(0.0, 1.0, ioCanaryMs(),
+            median(ios.values), ioFloorPrior).isEmpty
+          i += 1
+        }
+      }
       rerunThunk match {
         case Some(rf) if shouldRerun(t, prior.get(name), gcs(name)) =>
           // telemetry must describe the KEPT run: re-read the canary/load
-          // before the rerun and swap all of it in if the rerun wins, or
-          // the artifact would pair a clean min-time with the discarded
-          // run's GC storm / contention readings (r14 review finding)
-          val c2 = canaryMs(); val i2 = ioCanaryMs(); val l2 = loadavg()
-          val g1 = gcMillis()
-          resetHeapPeaks()
-          val m2 = secMetrics.snap()
-          val (t2, a2) = time(rf())
-          reruns += name -> Seq(t, t2)
-          secMetrics.quiesce()
-          if (t2 < t) {
-            t = t2; a = a2
-            canaries(name) = c2; ios(name) = i2; loads(name) = l2
-            gcs(name) = gcMillis() - g1
-            heaps(name) = heapPeakMb()
-            taskMetrics(name) = secMetrics.snap() - m2
+          // before each rerun and swap all of it in if that rerun wins,
+          // or the artifact would pair a clean min-time with a discarded
+          // run's GC storm / contention readings (r14 review finding).
+          // r19 verdict #2: up to 2 EXTRA reruns (3 total runs) when the
+          // kept reading is still contention-suspect and >2× its floor —
+          // see [[shouldRerunAgain]]; each extra attempt waits for the
+          // io canary to quiet first.
+          var all = Seq(t)
+          var extras = 0
+          var continue = true
+          while (continue) {
+            val c2 = canaryMs(); val i2 = ioCanaryMs(); val l2 = loadavg()
+            val g1 = gcMillis()
+            resetHeapPeaks()
+            val m2 = secMetrics.snap()
+            val (t2, a2) = time(rf())
+            all = all :+ t2
+            secMetrics.quiesce()
+            if (t2 < t) {
+              t = t2; a = a2
+              canaries(name) = c2; ios(name) = i2; loads(name) = l2
+              gcs(name) = gcMillis() - g1
+              heaps(name) = heapPeakMb()
+              taskMetrics(name) = secMetrics.snap() - m2
+            }
+            val keptSuspect = suspectSection(canaries(name),
+              median(canaries.values), ios(name), median(ios.values),
+              ioFloorPrior)
+            continue = shouldRerunAgain(t, prior.get(name), keptSuspect,
+              extras)
+            if (continue) { extras += 1; quiesceWait() }
           }
+          reruns += name -> all
         case _ =>
       }
       results += name -> t
@@ -588,6 +653,22 @@ object Bench {
     // later sections read (so their inputs, and floors, stay comparable).
     // Existing dirs snapshot by forced copy (untimed); non-path entries
     // (catalog table names) map to a `_rr`-suffixed name, dropped after.
+    // KNOWN BIAS (r19 ADVICE, documented by design): the rerun executes
+    // against a just-written fully page-cached snapshot, and against
+    // read-only input stores whose file pages and plan-cache entries the
+    // first run warmed — so the rerun can read systematically FASTER
+    // than an honest cold measurement, and min-keep plus min-merge can
+    // ratchet a store section's floor slightly below what a clean cold
+    // run achieves. This is accepted: (a) the bias direction only makes
+    // the rerun TRIGGERS more sensitive (a too-low floor causes extra
+    // reruns, never a missed regression or a wrong kept value — the
+    // kept min is a real measured run); (b) the first run of every
+    // session measures the honest cold path and is what the floor
+    // protects; (c) equalizing cache state would need a page-cache drop
+    // (distorts every later section) or fadvise (not reachable from the
+    // JVM). Readers comparing a rerun-kept value against a cold floor
+    // should expect up to ~10-20% warm-read advantage on read-heavy
+    // store sections.
     def timedFs[A](name: String, state: Seq[String])(
         f: (String => String) => A): A = {
       if (prior.get(name).isEmpty)
@@ -1201,16 +1282,11 @@ object Bench {
     // the floor at all (no floor → no rerun trigger → unprotected
     // forever), a strictly worse failure than one round of a too-high
     // floor that min-merges away.
-    def median(vs: Iterable[Double]): Double = {
-      val s = vs.toSeq.sorted
-      if (s.isEmpty) 0.0 else s(s.size / 2)
-    }
     val canaryMedian = median(canaries.values)
     // r17: the io canary closes (most of) the uniform-contention blind
     // spot — see [[suspectSection]]. The CPU-median limitation note above
     // still applies to the CPU leg alone.
     val ioMedian = median(ios.values)
-    val ioFloorPrior = priorIoFloor()
     val suspect: String => Boolean = k =>
       suspectSection(canaries.getOrElse(k, 0.0), canaryMedian,
         ios.getOrElse(k, 0.0), ioMedian, ioFloorPrior)
@@ -1225,14 +1301,22 @@ object Bench {
         ios.getOrElse(k, 0.0), ioMedian, ioFloorPrior) ++
         (if (gcStorm(gcs.getOrElse(k, 0L), results(k))) Seq("gc") else Nil))
     }.filter(_._2.nonEmpty)
+    // r19 verdict #2: each suspect entry prints its rolling floor beside
+    // the fired legs (the kept timing already sits in `queries`), so a
+    // reader of the driver artifact alone can compute the contention
+    // ratio without BENCH_LOCAL.json
     def suspectEntries(fs: Seq[(String, Seq[String])]): Seq[String] =
       fs.map { case (k, legs) =>
-        s""""$k":${legs.map("\"" + _ + "\"").mkString("[", ",", "]")}""" }
+        val fl = prior.get(k)
+          .map(p => s""","floor":${num("%.2f", p)}""").getOrElse("")
+        s""""$k":{"legs":${legs.map("\"" + _ + "\"").mkString("[", ",", "]")}$fl}""" }
     val suspectJson = suspectEntries(suspectFlags).mkString("{", ",", "}")
-    // stdout carries at most 6 suspect entries plus the count (same cap
-    // rationale as the reruns field: the driver keeps ~2000 stdout chars)
-    val suspectStdout = (suspectEntries(suspectFlags.take(6)) ++
-      Seq(s""""n_suspect":${suspectFlags.size}""")).mkString("{", ",", "}")
+    // stdout bounded suspect map: k named entries plus the count; the
+    // fallback chain below shrinks k adaptively to fit the driver's cap
+    def suspectStdoutK(k: Int): String =
+      (suspectEntries(suspectFlags.take(k)) ++
+        Seq(s""""n_suspect":${suspectFlags.size}""")).mkString("{", ",", "}")
+    val suspectStdout = suspectStdoutK(6)
     // the io floor min-merges on the run's MEDIAN (one number per run —
     // robust to a single noisy section), so contended runs can't raise it
     // and the first quiet run seeds it honestly
@@ -1298,18 +1382,25 @@ object Bench {
       suspectStdout, rerunsStdout)
     val canaryMax =
       s"""{"max":${num("%.1f", if (canaries.isEmpty) -1.0 else canaries.values.max)}}"""
-    // fallback chain (r15, widened r18): the per-query map is what gets
-    // graded, so it is the LAST thing sacrificed. Degrade in order:
+    // fallback chain (r15, widened r18, reordered r19 verdict #1): the
+    // per-query map is what gets graded, so it is the LAST thing
+    // sacrificed; the bounded suspect NAME map outranks both the canary
+    // array and the rerun names — BENCH_r18.json carried {"n_suspect":8}
+    // while the names sat only in the unshipped BENCH_LOCAL.json,
+    // because the only stages between "all names" and "counts only"
+    // still carried the rerun names and overflowed. Degrade in order:
     // 1. drop the canary ARRAY (its max survives; the full map is in
     //    BENCH_LOCAL.json regardless);
-    // 2. shrink suspect + reruns to their counts (names survive in
-    //    BENCH_LOCAL.json) — the r18 validation run showed the full
-    //    56-section line overflowing BOTH r15 stages and regressing to
-    //    the headline, which silently dropped every section timing from
-    //    the driver artifact;
-    // 3. headline (timings + counters only) as the true last resort.
+    // 2. drop rerun names to a count, keep k suspect names for the
+    //    LARGEST k ≤ 6 that fits (adaptive: at 56+ sections a fixed 6
+    //    can still overflow);
+    // 3. counts only;
+    // 4. headline (timings + counters only) as the true last resort.
     val compactNoCanary = stdoutLine(queriesJson("%.2f"), canaryMax,
       suspectStdout, rerunsStdout)
+    val suspectNameStages = (6 to 1 by -1).map(k =>
+      stdoutLine(queriesJson("%.2f"), canaryMax, suspectStdoutK(k),
+        s"""{"n_reruns":${reruns.size}}"""))
     val compactCountsOnly = stdoutLine(queriesJson("%.2f"), canaryMax,
       s"""{"n_suspect":${suspectFlags.size}}""",
       s"""{"n_reruns":${reruns.size}}""")
@@ -1319,11 +1410,9 @@ object Bench {
       s"""{"validate_full":${num("%.2f", results.getOrElse("validate_full", -1.0))},"validate_ref_style":${num("%.2f", results.getOrElse("validate_ref_style", -1.0))},"n_sections":${results.size},"validate_full_jobs":$fullJobs,"validate_full_errors":$nErrors,"dedup_pairs":$nPairs,"dedup_pairs_10x":$nPairs10}""",
       canaryMax, s"""{"n_suspect":${suspectFlags.size}}""",
       s"""{"n_reruns":${reruns.size}}""")
-    println(
-      if (compact.length <= 1900) compact
-      else if (compactNoCanary.length <= 1900) compactNoCanary
-      else if (compactCountsOnly.length <= 1900) compactCountsOnly
-      else headline)
+    println(pickStdout(
+      Seq(compact, compactNoCanary) ++ suspectNameStages ++
+        Seq(compactCountsOnly, headline)))
     spark.stop()
   }
 }

@@ -184,4 +184,37 @@ class BenchPolicySpec extends AnyFunSuite {
     Bench.deleteDirRec(src)
     Bench.deleteDirRec(Paths.get(dst.getParent.toString))
   }
+
+  test("shouldRerunAgain: bounded extra reruns under sustained contention (r19 verdict #2)") {
+    // kept reading suspect AND >2x floor -> another attempt
+    assert(Bench.shouldRerunAgain(kept = 26.7, floor = Some(8.08),
+      keptSuspect = true, extrasSoFar = 0))
+    assert(Bench.shouldRerunAgain(kept = 26.7, floor = Some(8.08),
+      keptSuspect = true, extrasSoFar = 1))
+    // hard bound: never more than 2 extras
+    assert(!Bench.shouldRerunAgain(kept = 26.7, floor = Some(8.08),
+      keptSuspect = true, extrasSoFar = 2))
+    // a non-suspect kept reading is a reproduced honest regression — stays
+    assert(!Bench.shouldRerunAgain(kept = 26.7, floor = Some(8.08),
+      keptSuspect = false, extrasSoFar = 0))
+    // within 2x floor: mild wobble never burns extra rerun time
+    assert(!Bench.shouldRerunAgain(kept = 12.0, floor = Some(8.08),
+      keptSuspect = true, extrasSoFar = 0))
+    // sub-second absolute delta guard (same as shouldRerun)
+    assert(!Bench.shouldRerunAgain(kept = 0.9, floor = Some(0.3),
+      keptSuspect = true, extrasSoFar = 0))
+    // no floor -> no trigger
+    assert(!Bench.shouldRerunAgain(kept = 26.7, floor = None,
+      keptSuspect = true, extrasSoFar = 0))
+  }
+
+  test("pickStdout: first candidate under the cap; last as final resort (r19 verdict #1)") {
+    val a = "x" * 2500; val b = "y" * 2000; val c = "z" * 1800
+    val d = "w" * 1500
+    assert(Bench.pickStdout(Seq(a, b, c, d)) == c)
+    assert(Bench.pickStdout(Seq(d, c)) == d)
+    // nothing fits -> the last (most degraded) candidate ships anyway
+    assert(Bench.pickStdout(Seq(a, b)) == b)
+    assert(Bench.pickStdout(Seq(a, b, c, d), cap = 100) == d)
+  }
 }
