@@ -238,16 +238,46 @@ object Synthesize {
                 // capacity, so a full-capacity request generates.
                 dt match {
                   case d: DecimalType =>
-                    val quantum = math.pow(10, -d.scale.toDouble)
-                    val loA = math.ceil(lo / quantum - 1e-9) * quantum
-                    val slots =
-                      math.floor((hi - loA) / quantum + 1e-9).toLong + 1
-                    if (loA > hi + 1e-9 * quantum || slots < count) sys.error(
+                    // exact integer-quanta arithmetic (r19 ADVICE): the
+                    // former Double loA/slots/step lost exactness for
+                    // scale >~15 or unscaled bounds past 2^53, silently
+                    // admitting duplicates or out-of-range values
+                    // despite the 1e-9 epsilons. Origin/capacity/step
+                    // are BigInt quanta; generation stays in the
+                    // decimal domain end-to-end under a type-precision
+                    // guard, so no grid point ever rounds through a
+                    // double.
+                    import java.math.{BigDecimal => JBD, RoundingMode}
+                    val loQ = BigInt(JBD.valueOf(lo).movePointRight(d.scale)
+                      .setScale(0, RoundingMode.CEILING).toBigIntegerExact)
+                    val hiQ = BigInt(JBD.valueOf(hi).movePointRight(d.scale)
+                      .setScale(0, RoundingMode.FLOOR).toBigIntegerExact)
+                    val slots = hiQ - loQ + 1
+                    if (slots < count) sys.error(
                       s"column '$name': $count unique values do not fit " +
                         s"in [$lo,$hi] at ${d.sql}'s quantum — the grid " +
-                        s"holds ${math.max(slots, 0L)} value(s)")
-                    val step = (slots / count) * quantum
-                    (lit(loA) + idx.cast("double") * lit(step)).cast(dt)
+                        s"holds ${slots.max(BigInt(0))} value(s)")
+                    val stepQ = slots / count
+                    val loA = new JBD(loQ.bigInteger, d.scale)
+                    val step = new JBD(stepQ.bigInteger, d.scale)
+                    val idxDigits = String.valueOf(math.max(count - 1, 1)).length
+                    // Spark's decimal type rules: product precision is
+                    // p1+p2+1 (scale unchanged at s2=d.scale since idx
+                    // has scale 0), sum adds one more digit — if that
+                    // ever crossed 38, Spark would silently REDUCE the
+                    // scale and the grid exactness; refuse instead
+                    // (unreachable for any type that itself fits in 38
+                    // digits, kept as a safety net)
+                    val typePrec = math.max(
+                      idxDigits + math.max(step.precision, d.scale) + 1,
+                      math.max(loA.precision, d.scale)) + 1
+                    if (typePrec > 38) sys.error(
+                      s"column '$name': exact unique-decimal enumeration " +
+                        s"needs intermediate precision $typePrec > 38 — " +
+                        "narrow the range or lower the row count")
+                    (lit(loA) +
+                      idx.cast(DecimalType(math.min(idxDigits + 1, 38), 0)) *
+                        lit(step)).cast(dt)
                   case _ =>
                     (lit(lo) + idx.cast("double") * lit((hi - lo) / count))
                       .cast(dt)
@@ -473,7 +503,21 @@ object Synthesize {
         (u01(seed, salt + 3) * (hi - maxContainer - 1) + lit(i.toDouble))
           .cast(d)
       case kt @ (DateType | TimestampType | TimestampNTZType | _: NumericType) =>
-        val (lo, hi) = domainDefaults(Merged(), kt)
+        val (dlo, dhi) = domainDefaults(Merged(), kt)
+        // clamp to the key dtype's representable range, mirroring the
+        // decimal branch (r19 ADVICE: the [0,1000) numeric default cast
+        // base+ordinal values out of Byte/Short range — wrapping under
+        // non-ANSI casts, crashing under ANSI), and refuse when the
+        // clamped span cannot hold maxContainer ordinal-spaced keys
+        val (tlo, thi) = kt match {
+          case ByteType  => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
+          case ShortType => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
+          case _         => (Double.MinValue, Double.MaxValue)
+        }
+        val lo = math.max(dlo, tlo); val hi = math.min(dhi, thi)
+        if (hi - lo < maxContainer + 1) sys.error(
+          s"column '$name': map keys of dtype ${kt.sql} cannot hold " +
+            s"$maxContainer distinct ordinal-spaced entries")
         // base in [lo, hi - maxContainer], ordinal offset keeps keys distinct
         val base = lit(math.ceil(lo).toLong) +
           floor(u01(seed, salt + 3) *

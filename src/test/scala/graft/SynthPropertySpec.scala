@@ -356,6 +356,46 @@ class SynthPropertySpec extends SparkSpec {
       Synthesize.dataFrame(spark, offgrid, 9998, seed = 11)).passed)
   }
 
+  test("wide-precision unique decimals enumerate exactly (r19 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // slots = 1e18+1 quanta — past 2^53, where the former Double grid
+    // arithmetic lost exactness and could admit duplicates or
+    // out-of-range values despite its epsilons; BigInt quanta are exact
+    val wide = DataFrameSchema("u" -> ColumnSchema(Some(DecimalType(30, 15)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("1000"))), nullable = false, unique = true))
+    val df = Synthesize.dataFrame(spark, wide, 5000, seed = 13)
+    assert(wide.validate(df).passed)
+    assert(df.select(countDistinct(col("u"))).head.getLong(0) == 5000L)
+    assert(df.filter(col("u") < lit(java.math.BigDecimal.ZERO) ||
+      col("u") > lit(new java.math.BigDecimal("1000"))).count() == 0)
+    // negative off-grid lo at high scale: origin snaps UP onto the grid
+    val neg = DataFrameSchema("u" -> ColumnSchema(Some(DecimalType(25, 12)),
+      Seq(Check.inRange(new java.math.BigDecimal("-5.0000000000005"),
+        new java.math.BigDecimal("5"))), nullable = false, unique = true))
+    val ndf = Synthesize.dataFrame(spark, neg, 2000, seed = 13)
+    assert(neg.validate(ndf).passed)
+    assert(ndf.select(countDistinct(col("u"))).head.getLong(0) == 2000L)
+  }
+
+  test("narrow integral map keys clamp to the dtype range (r19 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // the [0,1000) numeric default cast base+ordinal out of Byte range —
+    // wrapping under non-ANSI casts (duplicate/negative keys), crashing
+    // under ANSI; the clamp keeps every key representable and distinct
+    val schema = DataFrameSchema(
+      "mb" -> ColumnSchema(Some(MapType(ByteType, LongType)), Nil, nullable = false),
+      "ms" -> ColumnSchema(Some(MapType(ShortType, LongType)), Nil, nullable = false))
+    val df = Synthesize.dataFrame(spark, schema, 3000, seed = 17)
+    assert(schema.validate(df).passed)
+    val bad = df.filter(
+      size(array_distinct(map_keys(col("mb")))) =!= size(col("mb")) ||
+      size(array_distinct(map_keys(col("ms")))) =!= size(col("ms")) ||
+      exists(map_keys(col("mb")), k => k.isNull) ||
+      exists(map_keys(col("ms")), k => k.isNull)).count()
+    assert(bad == 0L)
+  }
+
   test("binary container elements differ per position (r18 review)") {
     import org.apache.spark.sql.functions._
     val schema = DataFrameSchema(
