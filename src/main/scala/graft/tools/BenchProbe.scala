@@ -52,12 +52,42 @@ object BenchProbe {
         val pairs = graft.ext.Dedup.minhashPairs(docs10, "doc_id", "text",
           3, 64, 16, 0.8)
         graft.ext.Dedup.clusterPairs(pairs).count()
+      case "simbrute" =>
+        // the suite's sim_topk_brute body verbatim (r19 drift chase)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", 5).count()
+      case "simbrute_nofilter" =>
+        // A/B arm: the same plan minus the r18 NaN rank guard
+        // (rankTopK's isnan filter) — attributes the sim_topk_brute
+        // floor drift to the guard or to the host
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val c = emb.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("cv"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val scored = c.crossJoin(broadcast(qs)).withColumn("cosine",
+          round(graft.ext.Similarity.cosine(col("cv"), col("qv")), 4))
+        scored.select("query_id", "corpus_id", "cosine")
+          .groupBy("query_id")
+          .agg(graft.functions.TopKByScore.of(col("cosine"),
+            col("corpus_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk"))).count()
       case other => sys.error(s"unknown section '$other' " +
-        "(minhash10x | cluster10x)")
+        "(minhash10x | cluster10x | simbrute | simbrute_nofilter)")
     }
     // JIT/codegen warmup on a tiny slice, exactly as the suite does
     graft.ext.Dedup.minhashPairs(docs.limit(200), "doc_id", "text",
       3, 64, 16, 0.8).count(): Unit
+    if (section.startsWith("simbrute")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5).count(): Unit
+    }
     Bench.canaryMs(); Bench.canaryMs(): Unit
     Bench.ioCanaryMs(); Bench.ioCanaryMs(): Unit
 
