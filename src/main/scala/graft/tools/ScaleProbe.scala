@@ -111,7 +111,7 @@ object ScaleProbe {
     val only: String => Boolean =
       if (args.isEmpty)
         k => k != "ledgerpieces" && k != "cluster10x" && k != "soak" &&
-          k != "staging" && k != "validate"
+          k != "staging" && k != "validate" && k != "pipeline"
       else args.toSet.contains
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -940,6 +940,111 @@ object ScaleProbe {
         println(f"PROBE staging mode=$mode rep=$rep " +
           f"derive_sec=$tStage%.2f total_sec=$tTotal%.2f")
       }
+    }
+
+    // r19 (r18-verdict #4): the composed nightly-crawl pipeline's own
+    // store decade — the per-leg curves exist (bm25store, annserve, the
+    // dedup stores), but the COMPOSITION (the pipeline_crawl_batch gate
+    // + bench section) only had 1×/10× trend points. This measures the
+    // end-to-end recurring batch against stores built from 1×/10×/100×
+    // historical corpora. The batch is the SAME in all three legs (built
+    // from the 1× corpus, the bench gate's shape: fresh + exact
+    // re-crawls + near-dup re-crawls + blanks + corrupt lines), so the
+    // pin is BATCH-DOMINATED wall: the exact scrub (bloom prefilter),
+    // near-dup scrub (banded LSH bucket join), BM25/ANN appends
+    // (token-bucket / cell layouts) and the PSI profile serve must stay
+    // near-flat while the stores grow 100×. Replica texts are
+    // vowel-permuted, so the batch's duplicate structure against the
+    // store is decade-invariant — the per-leg bad/survivor/psi counts
+    // pin that invariance. Explicit-only leg (the 100× store builds
+    // write ~GBs of temp data).
+    if (only("pipeline")) {
+      import graft.schema.{ColumnSchema, DataFrameSchema}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val crawlSchema = DataFrameSchema(
+        "id" -> ColumnSchema(Some(LongType), Nil, nullable = false),
+        "text" -> ColumnSchema(Some(StringType),
+          Seq(graft.checks.ColumnCheck("text_nonblank",
+            c => length(trim(c)) > 0)), nullable = false))
+        .copy(dropInvalidRows = true)
+      val docsT = docs.select("doc_id", "text")
+      val jdir0 = {
+        val bA = docsT.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select((col("doc_id") + 1000000).as("id"), col("text"),
+            (pmod(col("doc_id"), lit(30)) === 1).as("corrupt"))
+        val bB = docsT.filter(pmod(col("doc_id"), lit(6)) === 0)
+          .select((col("doc_id") + 2000000).as("id"), col("text"),
+            lit(false).as("corrupt"))
+        val bC = docsT.filter(pmod(col("doc_id"), lit(6)) === 2)
+          .select((col("doc_id") + 3000000).as("id"),
+            concat(col("text"), lit(" r19 probe suffix")).as("text"),
+            lit(false).as("corrupt"))
+        val bD = docsT.filter(pmod(col("doc_id"), lit(6)) === 3)
+          .select((col("doc_id") + 4000000).as("id"), lit("   ").as("text"),
+            lit(false).as("corrupt"))
+        val j = java.nio.file.Files
+          .createTempDirectory("graft-sp-pipe-json").toString
+        bA.unionByName(bB).unionByName(bC).unionByName(bD)
+          .select(when(col("corrupt"), concat(lit("{\"id\": "), col("id"),
+              lit(", \"text\": \"broken")))
+            .otherwise(to_json(struct(col("id"), col("text")))).as("value"))
+          .coalesce(1).write.text(s"$j/data")
+        j
+      }
+      def embed(df: DataFrame, id: org.apache.spark.sql.Column) = df.select(
+        id.as("doc_id"),
+        graft.ext.TextAnalysis.hashVector(col("text"), 64).as("emb"))
+      for ((name, k) <- Seq(("1x", 1), ("10x", 10), ("100x", 100))) {
+        val hist = if (k == 1) docsT else replicate(docsT, k)
+        val histRows = hist.count()
+        def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+        val fp = tmp(s"graft-sp-pipe-fp-$name")
+        graft.ext.FingerprintStore.build(hist, "text", fp)
+        val mh = tmp(s"graft-sp-pipe-mh-$name")
+        graft.ext.Dedup.buildMinHashStore(hist, "doc_id", "text", mh)
+        val bm = tmp(s"graft-sp-pipe-bm-$name")
+        graft.ext.Retrieval.buildIndex(hist, "doc_id", "text", bm)
+        val he = embed(hist, col("doc_id"))
+        val ann = tmp(s"graft-sp-pipe-ann-$name")
+        graft.ext.AnnStore.create(he, "doc_id", "emb",
+          graft.ext.Similarity.trainIvf(he, "doc_id", "emb",
+            nCentroids = 8), ann)
+        val prof = tmp(s"graft-sp-pipe-prof-$name") + "/profile.json"
+        graft.ext.DriftProfile.fit(
+          hist.select(graft.ext.TextAnalysis.tokenCount(col("text"))
+            .cast("double").as("tok_cnt")),
+          numericCols = Seq("tok_cnt"), bins = 5).save(prof)
+        // plan-cache isolation (the r18 lesson): each leg reads a
+        // private byte-identical copy of the batch — readQuarantined
+        // persists its raw scan keyed on the input PATH
+        val j = tmp(s"graft-sp-pipe-in-$name")
+        graft.Bench.copyDirForced(java.nio.file.Paths.get(s"$jdir0/data"),
+          java.nio.file.Paths.get(s"$j/data"))
+        val (t, counts) = time {
+          val (res, bad) = graft.io.ValidatedIO.readQuarantined(spark,
+            crawlSchema, s"$j/data", "json")
+          val valid = res.data.select(col("id"), col("text"))
+          val afterExact = graft.ext.FingerprintStore.scrub(valid, "text", fp)
+          val survivors = graft.ext.Dedup.dropExistingNearDupStore(
+            afterExact, "id", "text", mh).localCheckpoint(true)
+          graft.ext.Retrieval.appendToIndex(survivors, "id", "text", bm)
+          graft.ext.AnnStore.append(embed(survivors, col("id")),
+            "doc_id", "emb", ann)
+          val np = graft.ext.DriftProfile.load(prof).numericFor("tok_cnt")
+          val psiRows = graft.ext.Drift.psiAgainstProfile(
+            survivors.select(graft.ext.TextAnalysis.tokenCount(col("text"))
+              .cast("double").as("tok_cnt")),
+            "tok_cnt", np.edges, np.fracs).count()
+          (bad.count(), survivors.count(), psiRows)
+        }
+        println(f"PROBE pipeline_$name hist_rows=$histRows wall_sec=$t%.2f " +
+          f"bad=${counts._1} survivors=${counts._2} psi_rows=${counts._3}")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        Seq(fp, mh, bm, ann, j).foreach(d =>
+          graft.Bench.deleteDirRec(java.nio.file.Paths.get(d)))
+      }
+      graft.Bench.deleteDirRec(java.nio.file.Paths.get(jdir0))
     }
 
     // round-18 (r17 verdict #4): the validation SPINE's own decade — the
