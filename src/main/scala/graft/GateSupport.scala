@@ -117,6 +117,29 @@ private[graft] object GateSupport {
         "UNION ALL SELECT * FROM (VALUES (0, 0, 1, 1.0), (0, 1204, 2, 0.4065), (0, 291, 3, 0.3919), (0, 1020, 4, 0.376), (0, 1511, 5, 0.3288), (1, 1, 1, 1.0), (1, 1950, 2, 0.3861), (1, 1580, 3, 0.3668), (1, 1832, 4, 0.3312), (1, 173, 5, 0.3109), (2, 2, 1, 1.0), (2, 1303, 2, 0.394), (2, 953, 3, 0.3691), (2, 1053, 4, 0.356), (2, 1912, 5, 0.3519), (3, 3, 1, 1.0), (3, 720, 2, 0.3656), (3, 930, 3, 0.3417), (3, 1542, 4, 0.3242), (3, 1567, 5, 0.3113), (4, 4, 1, 1.0), (4, 524, 2, 0.4191), (4, 995, 3, 0.3589), (4, 1645, 4, 0.3266), (4, 174, 5, 0.3114)) v(query_id, corpus_id, \"rank\", cosine) WHERE (SELECT count(*) FROM lineitem) >= 100000" +
       ") u ORDER BY query_id, \"rank\"")
 
+  /** Save → load round-trip through a fresh temp JSON path — the
+    * persistence leg shared by the three `*_profile` drift gates
+    * (r19 hunt: three verbatim temp-path blocks were drift-prone). */
+  private[graft] def roundTripProfile(
+      prof: graft.ext.DriftProfile): graft.ext.DriftProfile = {
+    val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
+      .resolve("profile.json").toString
+    prof.save(path)
+    graft.ext.DriftProfile.load(path)
+  }
+
+  /** The shared BM25-family query batch: every 100th document queries
+    * with its own first three tokens. ONE definition for all five
+    * BM25-family gates (text_bm25, _store, _stream, _delete, text_rrf —
+    * r19 hunt: five verbatim copies were a desync hazard), kept in
+    * lock-step with the oracles' shared `qtok` CTE below
+    * (`WHERE doc_id % 100 = 0`, `unnest(t[1:3])`). */
+  private[graft] def bm25QueryBatch(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 3)).as("qtext"))
+
   /** Full BM25 re-derivation in SQL — shared by text_bm25 (one-shot) and
     * text_bm25_store (persisted postings index, hash-identical serve). */
   private[graft] val bm25OracleSql: String =

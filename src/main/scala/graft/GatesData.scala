@@ -30,11 +30,19 @@ private[graft] object GatesData {
       // round-8: two-stage salted aggregation — the skewed-groupBy-key
       // defense (hot key spreads over 32 salt buckets in stage 1, tiny
       // partials re-merge in stage 2). Must equal the plain GROUP BY.
-      ext.Salting.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
+      // r19 hunt: avg runs over floor()ed prices — integral doubles sum
+      // exactly at any addition order (the file's join_salted_right
+      // discipline), so the salted two-stage partial-sum merge order
+      // can never move the compared avg across a rounding boundary
+      // (l_quantity/l_discount are already integral / exact-decimal).
+      ext.Salting.saltedAggregate(
+        t(s, d, "lineitem")
+          .withColumn("l_price_int", floor(col("l_extendedprice"))),
+        Seq("l_returnflag"),
         Seq(
           "sum_qty" -> ("sum", "l_quantity"),
           "n_rows" -> ("count", ""),
-          "avg_price" -> ("avg", "l_extendedprice"),
+          "avg_price" -> ("avg", "l_price_int"),
           "min_disc" -> ("min", "l_discount"),
           "max_disc" -> ("max", "l_discount")))
         .select(col("l_returnflag"), round(col("sum_qty"), 3).as("sum_qty"),
@@ -314,10 +322,7 @@ private[graft] object GatesData {
       val li = t(s, d, "lineitem")
       val prof = ext.DriftProfile.fit(li,
         numericCols = Seq("l_extendedprice"), bins = 10)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
+      val n = roundTripProfile(prof).numericFor("l_extendedprice")
       ext.Drift.psiAgainstProfile(li.filter(col("l_returnflag") === "A"),
         "l_extendedprice", n.edges, n.fracs).orderBy("bin")
     }),
@@ -329,10 +334,7 @@ private[graft] object GatesData {
       val li = t(s, d, "lineitem")
       val prof = ext.DriftProfile.fit(li,
         numericCols = Seq("l_extendedprice"), bins = 20)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val n = ext.DriftProfile.load(path).numericFor("l_extendedprice")
+      val n = roundTripProfile(prof).numericFor("l_extendedprice")
       ext.Drift.ksAgainstProfile(li.filter(col("l_returnflag") === "A"),
         "l_extendedprice", n.edges, n.fracs).orderBy("bin")
     }),
@@ -342,10 +344,7 @@ private[graft] object GatesData {
       val docs = t(s, d, "documents")
       val prof = ext.DriftProfile.fit(docs,
         categoricalCols = Seq("lang"), maxCategories = 3)
-      val path = java.nio.file.Files.createTempDirectory("graft-driftprof")
-        .resolve("profile.json").toString
-      prof.save(path)
-      val c = ext.DriftProfile.load(path).categoricalFor("lang")
+      val c = roundTripProfile(prof).categoricalFor("lang")
       ext.Drift.psiCategoricalAgainstProfile(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang",
         c.cells, c.fracs).orderBy("cell")
@@ -435,7 +434,7 @@ private[graft] object GatesData {
     "agg_salted" ->
       ("SELECT l_returnflag, round(sum(l_quantity), 3) AS sum_qty, " +
         "CAST(count(*) AS BIGINT) AS n_rows, " +
-        "round(avg(l_extendedprice), 3) AS avg_price, " +
+        "round(avg(floor(l_extendedprice)), 3) AS avg_price, " +
         "min(l_discount) AS min_disc, max(l_discount) AS max_disc " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     // plain join in DuckDB — the salted plan's hot-key replication must

@@ -44,10 +44,7 @@ private[graft] object GatesText {
       // the one-shot bm25TopK (same oracle as text_bm25). In-gate
       // requires pin pre/post-compaction serve equality + file collapse.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val queries = bm25QueryBatch(docs)
       val dir = java.nio.file.Files.createTempDirectory("graft-bm25-store").toString
       ext.Retrieval.buildIndex(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", dir)
@@ -66,12 +63,18 @@ private[graft] object GatesText {
       ext.Retrieval.compactIndex(s, dir)
       require(files() < filesBefore,
         s"BM25 index compaction did not collapse files: $filesBefore -> ${files()}")
+      // collect the post-compaction serve ONCE and return it as a local
+      // relation (r19 hunt: returning the lazy `after` re-executed the
+      // full store serve when the harness collected it — the sibling
+      // text_bm25_delete's createDataFrame pattern)
       val after = serve()
-      require(after.collect()
+      val afterRows = after.collect()
+      require(afterRows
         .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3)))
         .sorted.toSeq == before,
         "compacted BM25 index serve diverged")
-      after.orderBy("query_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(afterRows: _*), after.schema)
+        .orderBy("query_id", "rank")
     }),
     "text_bm25_delete" -> ((s, d) => {
       // r14: takedown for the BM25 store (the lexical sibling of
@@ -83,10 +86,7 @@ private[graft] object GatesText {
       // exactly SQL-derivable (masked = full-stats ranking minus deleted
       // docs; healed = plain BM25 over the live corpus).
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val queries = bm25QueryBatch(docs)
       val dir = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
       ext.Retrieval.buildIndex(docs, "doc_id", "text", dir)
       val nDel = ext.Retrieval.deleteDocs(
@@ -96,14 +96,15 @@ private[graft] object GatesText {
       def serve() = ext.Retrieval.bm25TopKFromIndex(s, dir, queries,
         "query_id", "qtext", k = 5)
       // materialize the masked phase BEFORE compaction mutates the store
-      val healedSchema = serve().withColumn("phase", lit("x")).schema
-      val maskedRows = serve().withColumn("phase", lit("masked"))
-        .collect()
+      // (r19 hunt: the former code built a third serve() plan solely to
+      // read its schema — the masked frame's own schema is identical)
+      val masked = serve().withColumn("phase", lit("masked"))
+      val maskedRows = masked.collect()
       ext.Retrieval.compactIndex(s, dir)
       require(ext.Retrieval.tombstoneCount(s, dir) == 0L,
         "compaction must retire the tombstones")
       val healed = serve().withColumn("phase", lit("healed"))
-      s.createDataFrame(java.util.Arrays.asList(maskedRows: _*), healedSchema)
+      s.createDataFrame(java.util.Arrays.asList(maskedRows: _*), masked.schema)
         .unionByName(healed)
         .orderBy("phase", "query_id", "rank")
     }),
@@ -116,10 +117,7 @@ private[graft] object GatesText {
       // never split across batches, so the streamed store serves
       // hash-identically to a one-shot build — same full-SQL oracle.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val queries = bm25QueryBatch(docs)
       val dir = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toString
       ext.Retrieval.buildIndex(docs.limit(0), "doc_id", "text", dir)
       ext.Retrieval.indexReplay(docs, "doc_id", "text", dir, numFiles = 5)
@@ -133,10 +131,7 @@ private[graft] object GatesText {
       // query batch (rank-only combination, no score calibration); the
       // oracle re-derives BOTH rankings and the fusion in SQL
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toksQ = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toksQ, 1, 3)).as("qtext"))
+      val queries = bm25QueryBatch(docs)
       val bm = ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
         "query_id", "qtext", k = 10)
       val qt = queries.select(col("query_id"),
@@ -169,10 +164,7 @@ private[graft] object GatesText {
       // document's first three tokens; the oracle re-derives the FULL
       // scorer (postings, df, Lucene idf, length norm, top-5 cut) in SQL
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val toks = ext.TextAnalysis.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(toks, 1, 3)).as("qtext"))
+      val queries = bm25QueryBatch(docs)
       ext.Retrieval.bm25TopK(docs, "doc_id", "text", queries,
           "query_id", "qtext", k = 5)
         .orderBy("query_id", "rank")
@@ -498,7 +490,10 @@ private[graft] object GatesText {
         "len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr, " +
         "(len(nt) - len(replace(nt, '的', ''))) + (len(nt) - len(replace(nt, '是', ''))) + (len(nt) - len(replace(nt, '在', ''))) + (len(nt) - len(replace(nt, '了', ''))) + " +
         "(len(nt) - len(replace(nt, '和', ''))) + (len(nt) - len(replace(nt, '有', ''))) + (len(nt) - len(replace(nt, '我', ''))) + (len(nt) - len(replace(nt, '不', ''))) AS s_zh FROM t), " +
-        "p AS (SELECT CASE WHEN m <= 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
+        // null text → 'und', pinned on BOTH engines (r19 hunt: the
+        // engine's languageId folds NULL hits to its 'und' base, but a
+        // NULL m here fell through every WHEN to ELSE 'zh')
+        "p AS (SELECT CASE WHEN m IS NULL THEN 'und' WHEN m <= 0 THEN 'und' WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS lang_pred " +
         "FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc) g) " +
         "SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1"),
     "text_fingerprint" ->
@@ -663,7 +658,11 @@ private[graft] object GatesText {
         "len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))), " +
         "(len(nt) - len(replace(nt, '的', ''))) + (len(nt) - len(replace(nt, '是', ''))) + (len(nt) - len(replace(nt, '在', ''))) + (len(nt) - len(replace(nt, '了', ''))) + " +
         "(len(nt) - len(replace(nt, '和', ''))) + (len(nt) - len(replace(nt, '有', ''))) + (len(nt) - len(replace(nt, '我', ''))) + (len(nt) - len(replace(nt, '不', '')))) AS hits FROM t) " +
-        "SELECT doc_id, CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
+        // null text → NULL keep, pinned on BOTH engines (r19 hunt: the
+        // engine's gopherKeep conjunction is NULL on null text, but the
+        // former ELSE 0 here silently mapped it to 0 — a latent
+        // cross-engine divergence the fixtures' no-null texts masked)
+        "SELECT doc_id, CAST(CASE WHEN n IS NULL THEN NULL WHEN n BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0 " +
         "AND sym <= 0.1 AND dup_frac <= 0.3 AND bullet_frac <= 0.9 AND ell_frac <= 0.3 " +
         "AND alpha_frac >= 0.8 AND hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
         "FROM s ORDER BY doc_id"),
