@@ -68,8 +68,18 @@ object ImageIODecoder extends MediaDecoder {
   def decodeMeta(payload: Array[Byte]): MediaMeta = withReader(payload) { r =>
     val w = r.getWidth(0); val h = r.getHeight(0)
     val fmt = r.getFormatName.toLowerCase
+    // prefer header-level sources for the band count: raw type, then
+    // the first legal destination type — the former r.read(0) fallback
+    // decoded the ENTIRE raster just to count bands, defeating resize's
+    // header-only no-op check and double-decoding on the scale path
+    // (r19 hunt; full decode kept only as the last resort)
     val channels = Option(r.getRawImageType(0))
       .map(_.getNumComponents)
+      .orElse {
+        val it = r.getImageTypes(0)
+        if (it != null && it.hasNext) Some(it.next().getNumComponents)
+        else None
+      }
       .getOrElse(r.read(0).getRaster.getNumBands)
     MediaMeta(w, h, channels, fmt)
   }
@@ -99,7 +109,12 @@ object ImageIODecoder extends MediaDecoder {
       y += 1
     }
     val n = img.getWidth.toLong * img.getHeight
-    Array.tabulate(dim)(j => (sums(j % bands) / n / 255.0).toFloat)
+    // normalize by each band's true sample range — the former /255
+    // pushed 16-bit sources to ~257x outside the documented [0,1]
+    // contract (r19 hunt)
+    val maxVal = Array.tabulate(bands)(b =>
+      math.pow(2, raster.getSampleModel.getSampleSize(b)) - 1.0)
+    Array.tabulate(dim)(j => (sums(j % bands) / n / maxVal(j % bands)).toFloat)
   }
 
   /** Proportional downscale so max(w, h) <= bound (no-op when already
@@ -117,8 +132,14 @@ object ImageIODecoder extends MediaDecoder {
     val scale = bound.toDouble / math.max(w, h)
     val nw = math.max(1, math.round(w * scale).toInt)
     val nh = math.max(1, math.round(h * scale).toInt)
+    // derive the output type from the SOURCE color model: alpha is
+    // preserved (r17) and a grayscale source stays 1-channel gray —
+    // forcing TYPE_INT_RGB silently changed channels 1 -> 3, the same
+    // semantic-change class the r17 alpha fix documents (r19 hunt)
     val outType =
       if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+      else if (img.getColorModel.getColorSpace.getType ==
+          java.awt.color.ColorSpace.TYPE_GRAY) BufferedImage.TYPE_BYTE_GRAY
       else BufferedImage.TYPE_INT_RGB
     val out = new BufferedImage(nw, nh, outType)
     val g = out.createGraphics()
@@ -192,6 +213,9 @@ object WavDecoder extends MediaDecoder {
 
 object Multimodal {
 
+  private def q(n: String): org.apache.spark.sql.Column =
+    col("`" + n.replace("`", "``") + "`")
+
   /** Metadata emitted per decoded payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
@@ -215,7 +239,7 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    df.select(col(idCol).cast("long").as("id"))
+    df.select(q(idCol).cast("long").as("id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -254,7 +278,7 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    df.select(col(idCol).cast("long").as("id"))
+    df.select(q(idCol).cast("long").as("id"))
       .mapPartitions { rows =>
         val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM LE
         rows.map { r =>
@@ -290,7 +314,7 @@ object Multimodal {
     val out = StructType(Seq(
       StructField("id", LongType, nullable = false)) ++ metaSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(out)
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+    df.select(q(idCol).cast("long").as("id"), q(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (id, payload) = idAndPayload(r, "extractMeta")
@@ -318,11 +342,15 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       dim: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    // r19 hunt: dim = 0 reached WavDecoder.features' sumSq(-1) as an
+    // opaque executor ArrayIndexOutOfBoundsException — same failure
+    // class as sampleFrameIndices' r17 frames guard
+    require(dim >= 1, s"extractFeatures: dim >= 1, got $dim")
     val out = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+    df.select(q(idCol).cast("long").as("id"), q(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (id, payload) = idAndPayload(r, "extractFeatures")
@@ -340,7 +368,7 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)) ++ metaSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(out)
-    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+    df.select(q(idCol).cast("long").as("id"), q(payloadCol).as("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (id, payload) = idAndPayload(r, "resizePayload")
@@ -362,8 +390,20 @@ object Multimodal {
     // sequence per row and divided by zero — garbage offsets, or an ANSI
     // cast error far from the cause
     require(frames >= 1, s"sampleFrameIndices: frames >= 1, got $frames")
-    val total = octet_length(col(payloadCol)).cast("long")
-    df.select(col(idCol).cast("long").as("id"),
+    // fail-fast null guard in the PLAN (r19 hunt: every other Multimodal
+    // op rejects null id/payload by name at the imperative boundary, but
+    // this declarative op silently fabricated `frames` offset-0 rows per
+    // null payload — raise_error keeps the fail-fast contract codegen'd)
+    val rawId = q(idCol); val rawPayload = q(payloadCol)
+    val id = when(rawId.isNull, raise_error(lit(
+        "Multimodal.sampleFrameIndices: null id — filter nulls upstream"))
+        .cast("long"))
+      .otherwise(rawId.cast("long"))
+    val total = when(rawPayload.isNull, raise_error(lit(
+        "Multimodal.sampleFrameIndices: null payload — filter nulls upstream"))
+        .cast("long"))
+      .otherwise(octet_length(rawPayload).cast("long"))
+    df.select(id.as("id"),
         explode(transform(sequence(lit(0), lit(frames - 1)),
           i => floor((i * greatest(total, lit(1L))) / frames).cast("long"))).as("frame_offset"))
   }

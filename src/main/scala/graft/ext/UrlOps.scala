@@ -38,13 +38,22 @@ object UrlOps {
     "co.in", "com.cn")
 
   private def hostport(url: Column): Column =
-    regexp_replace(regexp_extract(url, HostRe, 1), "^[^@]*@", "")
+    // the host begins after the LAST '@' in the authority (WHATWG/RFC
+    // 3986 — userinfo may itself contain '@'); the former lazy
+    // "^[^@]*@" stripped only to the FIRST one, so a crafted
+    // "http://a@b@evil.com/" yielded host "b@evil.com" and bypassed
+    // domain blocklists (r19 hunt)
+    regexp_replace(regexp_extract(url, HostRe, 1), "^.*@", "")
 
-  /** Lowercased registrable host: userinfo, port and leading `www.`
-    * removed. */
+  /** Lowercased registrable host: userinfo, port, leading `www.` and any
+    * trailing dot (FQDN form — `example.com.` ≡ `example.com`, and the
+    * dangling dot would otherwise break the suffix-table match AND
+    * blocklist equality; r19 hunt) removed. */
   def domain(url: Column): Column =
-    regexp_replace(lower(regexp_replace(hostport(url), ":[0-9]+$", "")),
-      "^www\\.", "")
+    regexp_replace(
+      regexp_replace(lower(regexp_replace(hostport(url), ":[0-9]+$", "")),
+        "^www\\.", ""),
+      "\\.+$", "")
 
   /** eTLD+1 of [[domain]] under the [[MultiPartTlds]] suffix table:
     * `a.b.example.co.uk` → `example.co.uk`, `a.example.com` →
@@ -74,13 +83,19 @@ object UrlOps {
     val rawQ = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val q = array_join(array_sort(filter(split(rawQ, "&"),
       x => x =!= "" && !x.rlike(TrackingRe))), "&")
+    // numeric comparison + numeric re-render: a zero-padded default port
+    // (":080") failed the former STRING compare and survived, and a
+    // padded non-default port kept its padding — both produced
+    // non-canonical duplicates that URL dedup missed (r19 hunt)
+    val portNum = port.cast("int")
     val keepPort = port =!= "" &&
-      !(scheme === "http" && port === "80") &&
-      !(scheme === "https" && port === "443")
+      !(scheme === "http" && portNum === 80) &&
+      !(scheme === "https" && portNum === 443)
     when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(
         scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        when(keepPort, concat(lit(":"), portNum.cast("string")))
+          .otherwise(lit("")),
         path,
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
@@ -95,8 +110,13 @@ object UrlOps {
     // sanitize: a null/empty entry (a blocklist file's blank line) would
     // turn the inline `isin` three-valued for every non-matching row —
     // dropping nearly everything — while the anti-join path ignores it
-    // (r18 fourth-pass review); neither is a real domain, so strip both
+    // (r18 fourth-pass review); neither is a real domain, so strip both.
+    // Entries then normalize to the registeredDomain output form —
+    // lowercase, no leading www., no trailing dot (r19 hunt: a
+    // "Doubleclick.NET" entry silently never matched on either path)
     val cleaned = blocked.filterNot(b => b == null || b.isEmpty)
+      .map(_.toLowerCase.stripPrefix("www.").replaceAll("\\.+$", ""))
+      .filterNot(_.isEmpty)
     if (cleaned.isEmpty) df
     else if (cleaned.size <= inlineThreshold)
       // rd is null exactly when the url value is null; `!isin` on a null

@@ -2176,6 +2176,81 @@ class ExtSpec extends SparkSpec {
       "large blocklist must be a broadcast anti-join")
   }
 
+  test("url: host after LAST '@', FQDN trailing dot, padded ports, blocklist normalization (r19 hunt)") {
+    import graft.ext.UrlOps
+    val d = Seq(
+      (1L, "http://a@b@evil.com/"),        // userinfo containing '@'
+      (2L, "http://example.com./x"),        // FQDN trailing dot
+      (3L, "http://example.com:080/"),      // zero-padded default port
+      (4L, "https://example.com:0443/y"),   // zero-padded default https port
+      (5L, "http://example.com:08080/z")    // zero-padded NON-default port
+    ).toDF("id", "url")
+    val got = d.select(col("id"), UrlOps.canonicalize(col("url")).as("c"),
+        UrlOps.domain(col("url")).as("dm"),
+        UrlOps.registeredDomain(col("url")).as("rd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    // the host begins after the LAST '@' — the lazy strip left
+    // "b@evil.com" and a crafted extra '@' bypassed the blocklist
+    assert(got(1L) == (("http://evil.com", "evil.com", "evil.com")))
+    // "example.com." ≡ "example.com": the dangling dot broke both the
+    // suffix match and blocklist equality
+    assert(got(2L) == (("http://example.com/x", "example.com", "example.com")))
+    // ports compare and re-render numerically
+    assert(got(3L)._1 == "http://example.com")
+    assert(got(4L)._1 == "https://example.com/y")
+    assert(got(5L)._1 == "http://example.com:8080/z")
+    // blocklist entries normalize to the registeredDomain form on both
+    // paths (case, leading www., trailing dot)
+    val blocked = Seq("EVIL.com.", "www.Example.COM")
+    for (thr <- Seq(256, 0)) {
+      val kept = UrlOps.filterBlockedDomains(d, "url", blocked,
+        inlineThreshold = thr).select("id").collect().map(_.getLong(0)).toSet
+      assert(kept.isEmpty, s"threshold $thr kept $kept")
+    }
+  }
+
+  test("multimodal: grayscale resize stays gray, 16-bit features in [0,1], dim/null guards (r19 hunt)") {
+    import graft.ext.{ImageIODecoder, Multimodal}
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 8-bit grayscale source larger than the bound: the resized payload
+    // must stay 1-channel (the former TYPE_INT_RGB forced 3)
+    val gray = new BufferedImage(64, 32, BufferedImage.TYPE_BYTE_GRAY)
+    gray.getRaster.setSample(0, 0, 0, 200)
+    val resized = ImageIODecoder.resize(png(gray), 16)
+    assert(ImageIODecoder.decodeMeta(resized).channels == 1,
+      "grayscale source must stay 1-channel through resize")
+    // 16-bit grayscale: features normalize by the true sample range
+    val deep = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      deep.getRaster.setSample(x, y, 0, 60000)
+    val f = ImageIODecoder.features(png(deep), 4)
+    assert(f.forall(v => v >= 0f && v <= 1f),
+      s"16-bit features must stay in [0,1], got ${f.toSeq}")
+    assert(f(0) > 0.8f, "near-max samples should normalize near 1")
+    // dim guard fails fast on the driver, not as an executor AIOOBE
+    val docs = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.extractFeatures(docs, "id", "payload", dim = 0))
+    assert(e.getMessage.contains("dim >= 1"))
+    // sampleFrameIndices fails fast by name on null payload rows
+    val withNull = Seq((1L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+      .unionByName(Seq(2L).toDF("id")
+        .withColumn("payload", lit(null).cast("binary")))
+    val err = intercept[Exception](
+      Multimodal.sampleFrameIndices(withNull, "id", "payload", 2).collect())
+    assert(err.getMessage != null &&
+      err.getMessage.contains("null payload") ||
+      String.valueOf(err.getCause).contains("null payload"))
+  }
+
   test("dedup: duplicated spans and collapsed ranges semantics") {
     import graft.ext.Dedup
     // docs 1/2 share tokens 1..5 ("a b c d e"); doc 3 disjoint; doc 4 repeats
