@@ -74,41 +74,90 @@ object Synthesize {
     }
   }
 
-  /** Smallest representable step for strict (gt/lt, exclusive in_range)
-    * bounds. Integer-valued domains (ints, epoch-day dates, epoch-micro
-    * timestamps) step by 1 — a 1e-6 nudge would vanish in the double ulp
-    * at epoch-micro magnitude (~0.25 at 1.6e15). */
-  private def strictEps(dt: DataType): Double = dt match {
-    case DoubleType | FloatType | _: DecimalType => 1e-6
-    case _                                       => 1.0
+  /** Smallest representable step past a strict (gt/lt, exclusive
+    * in_range) bound AT that bound's magnitude. Integer-valued domains
+    * (ints, epoch-day dates, epoch-micro timestamps) step by 1; decimals
+    * step by their quantum (r19 hunt: a flat 1e-6 vanished in the
+    * HALF_UP cast, so gt(5) on Decimal(10,2) admitted 5.00); floats and
+    * doubles step by at least two ulps at the bound (1e-6 vanished past
+    * float 2^20 / double 2^43). */
+  private def strictEps(dt: DataType, at: Double): Double = dt match {
+    case d: DecimalType => math.pow(10, -d.scale.toDouble)
+    case FloatType      => math.max(1e-6, 2.0 * math.ulp(at.toFloat))
+    case DoubleType     => math.max(1e-6, 2.0 * math.ulp(at))
+    case _              => 1.0
   }
 
+  /** Fold the column's checks into one constraint set by INTERSECTION
+    * (r19 hunt: the former last-wins fold let a later looser bound
+    * overwrite a tighter earlier one — e.g. gt(50) then between(0,100)
+    * generated uniform [0,100] and ~half the rows failed gt(50),
+    * breaking the synthesize-then-validate invariant). Bounds take
+    * max-lo/min-hi, isin intersects, str_length takes the tightest pair;
+    * duplicated regex/prefix/suffix constraints that cannot be merged
+    * (an extending prefix/suffix is) refuse loudly. */
   private def mergeConstraints(checks: Seq[Check], dt: DataType): Merged =
     checks.foldLeft(Merged()) {
       case (m, c: ColumnCheck) =>
         val st = c.statistics
-        def d(k: String): Double = boundToDouble(st(k), dt)
-        val eps = strictEps(dt)
+        def d(k: String): Double = {
+          if (dt == StringType) sys.error(
+            "ordering bounds (gt/ge/lt/le/in_range) on string columns " +
+              "are not supported by synthesis (r19 hunt: they formerly " +
+              "crashed on non-numeric bounds and were silently ignored " +
+              "for numeric-string ones)")
+          boundToDouble(st(k), dt)
+        }
+        def mergeLo(v: Double) = Some(m.lo.fold(v)(math.max(_, v)))
+        def mergeHi(v: Double) = Some(m.hi.fold(v)(math.min(_, v)))
+        def mergeEq(s2: String, old: Option[String], v: String,
+            extendsOk: (String, String) => Boolean): Option[String] =
+          old match {
+            case Some(o) if extendsOk(o, v) => Some(o)
+            case Some(o) if extendsOk(v, o) => Some(v)
+            case Some(o) if o != v => sys.error(
+              s"cannot merge two $s2 constraints ('$o' vs '$v')")
+            case _ => Some(v)
+          }
         c.name match {
-          case "equal_to" => m.copy(eq = Some(st("value")))
+          case "equal_to" =>
+            val v = st("value")
+            m.eq.filter(e => String.valueOf(e) != String.valueOf(v))
+              .foreach(e => sys.error(s"conflicting equal_to constraints: $e vs $v"))
+            m.copy(eq = Some(v))
           case "not_equal_to" => m.copy(notin = m.notin :+ st("value"))
-          case "greater_than" => m.copy(lo = Some(d("min_value") + eps))
-          case "greater_than_or_equal_to" => m.copy(lo = Some(d("min_value")))
-          case "less_than" => m.copy(hi = Some(d("max_value") - eps))
-          case "less_than_or_equal_to" => m.copy(hi = Some(d("max_value")))
+          case "greater_than" =>
+            val b = d("min_value"); m.copy(lo = mergeLo(b + strictEps(dt, b)))
+          case "greater_than_or_equal_to" => m.copy(lo = mergeLo(d("min_value")))
+          case "less_than" =>
+            val b = d("max_value"); m.copy(hi = mergeHi(b - strictEps(dt, b)))
+          case "less_than_or_equal_to" => m.copy(hi = mergeHi(d("max_value")))
           case "in_range" =>
-            val lo = d("min_value") + (if (st("include_min") == false) eps else 0)
-            val hi = d("max_value") - (if (st("include_max") == false) eps else 0)
-            m.copy(lo = Some(lo), hi = Some(hi))
-          case "isin" => m.copy(isin = Some(st("allowed_values").asInstanceOf[Seq[Any]]))
+            val bl = d("min_value"); val bh = d("max_value")
+            val lo = bl + (if (st("include_min") == false) strictEps(dt, bl) else 0)
+            val hi = bh - (if (st("include_max") == false) strictEps(dt, bh) else 0)
+            m.copy(lo = mergeLo(lo), hi = mergeHi(hi))
+          case "isin" =>
+            val vs = st("allowed_values").asInstanceOf[Seq[Any]]
+            m.copy(isin = Some(m.isin.fold(vs) { prev =>
+              val keep = vs.map(String.valueOf(_)).toSet
+              prev.filter(p => keep.contains(String.valueOf(p)))
+            }))
           case "notin" => m.copy(notin = m.notin ++ st("forbidden_values").asInstanceOf[Seq[Any]])
-          case "str_matches" => m.copy(regexStart = Some(st("pattern").toString))
-          case "str_contains" => m.copy(regexContain = Some(st("pattern").toString))
-          case "str_startswith" => m.copy(prefix = Some(st("string").toString))
-          case "str_endswith" => m.copy(suffix = Some(st("string").toString))
-          case "str_length" => m.copy(
-            lenMin = Option(st.getOrElse("min_value", null)).map(_.toString.toDouble.toInt),
-            lenMax = Option(st.getOrElse("max_value", null)).map(_.toString.toDouble.toInt))
+          case "str_matches" => m.copy(regexStart =
+            mergeEq("str_matches", m.regexStart, st("pattern").toString, (_, _) => false))
+          case "str_contains" => m.copy(regexContain =
+            mergeEq("str_contains", m.regexContain, st("pattern").toString, (_, _) => false))
+          case "str_startswith" => m.copy(prefix =
+            mergeEq("str_startswith", m.prefix, st("string").toString, _.startsWith(_)))
+          case "str_endswith" => m.copy(suffix =
+            mergeEq("str_endswith", m.suffix, st("string").toString, _.endsWith(_)))
+          case "str_length" =>
+            val mn = Option(st.getOrElse("min_value", null)).map(_.toString.toDouble.toInt)
+            val mx = Option(st.getOrElse("max_value", null)).map(_.toString.toDouble.toInt)
+            m.copy(
+              lenMin = (m.lenMin.toSeq ++ mn.toSeq).maxOption,
+              lenMax = (m.lenMax.toSeq ++ mx.toSeq).minOption)
           case _ => m // non-constraining check (aggregate/hypothesis): ignored
         }
       case (m, _) => m
@@ -275,14 +324,56 @@ object Synthesize {
                       s"column '$name': exact unique-decimal enumeration " +
                         s"needs intermediate precision $typePrec > 38 — " +
                         "narrow the range or lower the row count")
-                    (lit(loA) +
+                    val grid = (lit(loA) +
                       idx.cast(DecimalType(math.min(idxDigits + 1, 38), 0)) *
                         lit(step)).cast(dt)
+                    // ne/notin: a forbidden value on the quantum grid
+                    // bumps ONE quantum right — off-grid (grid points
+                    // are >= 2 quanta apart when stepQ >= 2), still
+                    // unique and within hi (slots >= count*stepQ leaves
+                    // stepQ-1 quanta of headroom past the last point);
+                    // full-capacity grids have no room and refuse
+                    // (r19 hunt: notin was ignored entirely)
+                    if (m.notin.isEmpty) grid
+                    else {
+                      if (stepQ < 2) sys.error(
+                        s"column '$name': unique ${d.sql} enumeration " +
+                          "cannot avoid ne/notin at full grid capacity")
+                      val bump = lit(new JBD(java.math.BigInteger.ONE, d.scale))
+                      m.notin.foldLeft(grid)((c, a) =>
+                        when(c === lit(a), (c + bump).cast(dt)).otherwise(c))
+                    }
                   case _ =>
-                    (lit(lo) + idx.cast("double") * lit((hi - lo) / count))
-                      .cast(dt)
+                    val step = (hi - lo) / count
+                    // float-representability guard (r19 hunt: a step
+                    // below the float ulp collapsed neighbors into
+                    // duplicates after the cast, silently breaking
+                    // unique — the decimal grid's quantum refusal has
+                    // no float analog without this)
+                    if (dt == FloatType) {
+                      val u = math.ulp(math.max(math.abs(lo),
+                        math.abs(hi)).toFloat).toDouble
+                      if (step < 2 * u) sys.error(
+                        s"column '$name': $count unique float values in " +
+                          s"[$lo,$hi] collapse below float precision")
+                    }
+                    val base0 = lit(lo) + idx.cast("double") * lit(step)
+                    // ne/notin: a forbidden value on the arithmetic grid
+                    // bumps half a step right — off-grid, still unique,
+                    // within hi (r19 hunt: the continuous enumeration
+                    // ignored notin entirely)
+                    m.notin.foldLeft(base0)((c, a) =>
+                      when(c.cast(dt) === lit(a).cast(dt), c + lit(step / 2))
+                        .otherwise(c)).cast(dt)
                 }
-              case None => (lit(lo) + idx.cast("double")).cast(dt)
+              case None =>
+                if (dt == FloatType && math.abs(lo) + count > (1L << 24))
+                  sys.error(s"column '$name': $count unique float values " +
+                    s"from $lo exceed float integer precision (2^24)")
+                val base0 = lit(lo) + idx.cast("double")
+                m.notin.foldLeft(base0)((c, a) =>
+                  when(c.cast(dt) === lit(a).cast(dt), c + lit(0.5))
+                    .otherwise(c)).cast(dt)
             }
           case BooleanType =>
             val legal = Seq(true, false).filterNot(b => avoidStr.contains(b.toString))
@@ -292,10 +383,17 @@ object Synthesize {
             else element_at(array(legal.map(lit): _*), (pmod(idx, lit(2L)) + 1).cast("int"))
           case DateType | TimestampType | TimestampNTZType | _: NumericType =>
             val (dlo, _) = domainDefaults(m, dt)
-            val l = math.ceil(m.lo.getOrElse(if (m.hi.isDefined) dlo else 0.0)).toLong
+            val rawLo = m.lo.getOrElse(if (m.hi.isDefined) dlo else 0.0)
+            // clamp to the dtype's representable range and run the
+            // capacity check against it even when no hi bound was given
+            // (r19 hunt: a unique ByteType column with count > 256
+            // silently wrapped into duplicates)
+            val (clampLo, clampHi) = clampToIntegral(
+              (rawLo, m.hi.getOrElse(Double.PositiveInfinity)), dt, name)
+            val l = math.ceil(clampLo).toLong
             val avoids = integerAvoids(m, dt).distinct.filter(_ >= l).sorted
-            m.hi.foreach { hi =>
-              val h = math.floor(hi).toLong
+            if (!clampHi.isInfinite) {
+              val h = math.floor(clampHi).toLong
               if (l + count - 1 + avoids.count(_ <= h) > h) sys.error(
                 s"column '$name': cannot synthesize $count unique values in [$l,$h] " +
                   s"avoiding ${avoids.size} value(s) (span ${h - l + 1})")
@@ -305,15 +403,32 @@ object Synthesize {
               when(v >= lit(a), v + 1L).otherwise(v))
             renderIntegral(v, dt)
           case StringType =>
-            val v = concat(lit(m.prefix.getOrElse("")), lit("u"), idx.cast("string"),
-              lit(m.suffix.getOrElse("")))
+            // r19 hunt: enumeration cannot honor regex constraints —
+            // refuse loudly instead of silently emitting "u0","u1",…
+            if (m.regexStart.isDefined || m.regexContain.isDefined) sys.error(
+              s"column '$name': unique string enumeration cannot honor " +
+                "str_matches/str_contains")
+            val prefix = m.prefix.getOrElse("")
+            val suffix = m.suffix.getOrElse("")
+            val idxDigits = String.valueOf(math.max(count - 1, 0)).length
             m.lenMax.foreach { mx =>
-              val need = m.prefix.getOrElse("").length + 1 +
-                String.valueOf(math.max(count - 1, 0)).length + m.suffix.getOrElse("").length
+              val need = math.max(
+                prefix.length + 1 + idxDigits + suffix.length,
+                m.lenMin.getOrElse(0))
               if (need > mx) sys.error(
                 s"column '$name': unique strings need length $need > max_length $mx")
             }
-            v
+            val core = concat(lit(prefix), lit("u"), idx.cast("string"))
+            // pad BEFORE the suffix so str_endswith survives (r19 hunt:
+            // lenMin was ignored entirely); digits stop at the first pad
+            // char, so padded values stay pairwise distinct
+            m.lenMin match {
+              case Some(mn) if mn > 0 =>
+                concat(rpad(core,
+                  math.max(mn - suffix.length, prefix.length + 1), "x"),
+                  lit(suffix))
+              case _ => concat(core, lit(suffix))
+            }
           case other => sys.error(
             s"column '$name': cannot enumerate distinct values for dtype ${other.sql}")
         }
@@ -349,16 +464,31 @@ object Synthesize {
           case DoubleType | FloatType | _: DecimalType =>
             val (lo, hi) = clampToDecimal(domainDefaults(m, dt), dt, name)
             val v = (lit(lo) + u01(seed, salt) * lit(math.max(hi - lo, 0.0)))
-            // ne/notin on a continuous domain: nudge exact hits off the
-            // forbidden point, staying inside [lo, hi]
-            val eps = math.max((hi - lo) * 1e-9, 1e-9)
+            // ne/notin on a continuous domain: nudge draws that would
+            // ROUND INTO the forbidden value after the cast (r19 hunt:
+            // comparing the pre-cast double only caught the measure-zero
+            // exact hit — a decimal draw of 7.496 sailed through and
+            // cast to the forbidden 7.50). The nudge is one output
+            // quantum (decimal scale step / 2 float ulps / relative
+            // eps), downward at the hi edge.
+            val step = dt match {
+              case dd: DecimalType => math.pow(10, -dd.scale.toDouble)
+              case FloatType => math.max(1e-9,
+                2.0 * math.ulp(math.max(math.abs(lo), math.abs(hi)).toFloat))
+              case _ => math.max((hi - lo) * 1e-9, 1e-9)
+            }
             val avoided = m.notin.foldLeft(v)((c, a) =>
-              when(c === lit(a), least(lit(hi), c + lit(eps))).otherwise(c))
+              when(c.cast(dt) === lit(a).cast(dt),
+                when(c + lit(step) <= lit(hi), c + lit(step))
+                  .otherwise(c - lit(step)))
+                .otherwise(c))
             avoided.cast(dt)
           case DateType | TimestampType | TimestampNTZType | _: NumericType =>
             // integer-valued domains (ints; dates in epoch days; timestamps
-            // in epoch micros) share the exact avoid-shift construction
-            val (lo, hi) = domainDefaults(m, dt)
+            // in epoch micros) share the exact avoid-shift construction;
+            // clamped to the dtype's representable range (r19 hunt: the
+            // [0,1000) default wrapped ByteType under non-ANSI casts)
+            val (lo, hi) = clampToIntegral(domainDefaults(m, dt), dt, name)
             renderIntegral(
               intAvoiding(lo, hi, integerAvoids(m, dt), seed, salt, name), dt)
           case BooleanType =>
@@ -382,7 +512,14 @@ object Synthesize {
                 if (suffix.nonEmpty)
                   concat(substring(padded, 1, mx - suffix.length), lit(suffix))
                 else substring(padded, 1, mx)
-              case (Some(mn), None) => rpad(raw, mn.max(1), "x")
+              case (Some(mn), None) =>
+                // pad BEFORE the suffix so str_endswith survives
+                // (r19 hunt: rpad after the suffix destroyed it)
+                if (suffix.nonEmpty)
+                  concat(rpad(concat(lit(prefix), body),
+                    math.max(mn - suffix.length, prefix.length + 1), "x"),
+                    lit(suffix))
+                else rpad(raw, mn.max(1), "x")
               case _ => raw
             }
             // ne/notin on free strings: re-draw with an independent salt on
@@ -430,6 +567,32 @@ object Synthesize {
     if (cs.nullable && cs.default.isEmpty)
       when(u01(seed, salt + 7919) < 0.03, lit(null).cast(dt)).otherwise(base)
     else base
+  }
+
+  /** Representable [min, max] of a fixed-width integral dtype, in the
+    * generation unit (r19 hunt: narrow columns wrapped under non-ANSI
+    * casts — the map-key clamp earlier this round covered only nestedMap).
+    * Long's bounds are nudged one ulp inward so the Double round trip
+    * cannot exceed them. Temporal types pass through (their generation
+    * units are epoch days/micros, already bounded by domainDefaults). */
+  private def integralRange(dt: DataType): Option[(Double, Double)] = dt match {
+    case ByteType    => Some((Byte.MinValue.toDouble, Byte.MaxValue.toDouble))
+    case ShortType   => Some((Short.MinValue.toDouble, Short.MaxValue.toDouble))
+    case IntegerType => Some((Int.MinValue.toDouble, Int.MaxValue.toDouble))
+    case LongType    => Some((-9.223372036854775e18, 9.223372036854775e18))
+    case _           => None
+  }
+
+  private def clampToIntegral(domain: (Double, Double), dt: DataType,
+      name: String): (Double, Double) = integralRange(dt) match {
+    case Some((tl, th)) =>
+      val lo = math.max(domain._1, tl)
+      val hi = math.min(domain._2, th)
+      if (hi < lo) sys.error(
+        s"column '$name': bounds [${domain._1},${domain._2}] lie outside " +
+          s"what ${dt.sql} can represent")
+      (lo, hi)
+    case None => domain
   }
 
   /** Clamp a continuous generation domain to what a DecimalType can
@@ -560,15 +723,20 @@ object Synthesize {
       var out: String = null
       while (out == null && attempt < 64) {
         val rnd = new java.util.Random(mix(seed, salt * 131 + attempt, id))
-        val s = prefix +
+        val body = prefix +
           startAst.map(RegexGen.sample(_, rnd)).getOrElse("") +
-          containAst.map(RegexGen.sample(_, rnd)).getOrElse("") +
-          suffix
-        val padded = if (s.length < lenMin) s + "x" * (lenMin - s.length) else s
+          containAst.map(RegexGen.sample(_, rnd)).getOrElse("")
+        // pad BEFORE the suffix so str_endswith survives (r19 hunt:
+        // padding after it destroyed the suffix and the acceptance
+        // check never re-verified endsWith)
+        val need = lenMin - suffix.length
+        val padded = (if (body.length < need)
+          body + "x" * (need - body.length) else body) + suffix
         val ok = lenMaxOpt.forall(padded.length <= _) &&
           !avoid.contains(padded) &&
           startRe.forall(_.pattern.matcher(padded).lookingAt()) &&
-          containRe.forall(_.findFirstIn(padded).isDefined)
+          containRe.forall(_.findFirstIn(padded).isDefined) &&
+          padded.endsWith(suffix)
         if (ok) out = padded
         attempt += 1
       }

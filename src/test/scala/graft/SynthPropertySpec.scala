@@ -396,6 +396,128 @@ class SynthPropertySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("constraint merging is intersection, not last-wins (r19 hunt)") {
+    import org.apache.spark.sql.functions._
+    // gt(50) then between(0,100): the former fold overwrote lo=51 with
+    // lo=0 and ~half the rows failed gt(50)
+    val sch = DataFrameSchema("v" -> ColumnSchema(Some(LongType),
+      Seq(Check.greaterThan(50L), Check.inRange(0L, 100L)), nullable = false))
+    val df = Synthesize.dataFrame(spark, sch, 2000, seed = 5)
+    assert(sch.validate(df).passed)
+    assert(df.filter(col("v") <= 50 || col("v") > 100).count() == 0)
+    // two isin intersect; disjoint sets refuse at generation
+    val both = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.isin(Seq("a", "b", "c")), Check.isin(Seq("b", "c", "d"))),
+      nullable = false))
+    val d2 = Synthesize.dataFrame(spark, both, 500, seed = 5)
+    assert(both.validate(d2).passed)
+    assert(d2.select("v").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("b", "c")))
+    // two str_length: tightest pair wins
+    val len = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.strLength(Some(3), None), Check.strLength(Some(6), Some(20))),
+      nullable = false))
+    assert(len.validate(Synthesize.dataFrame(spark, len, 500, seed = 5)).passed)
+    // conflicting duplicate regexes refuse loudly
+    val e = intercept[RuntimeException](Synthesize.dataFrame(spark,
+      DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+        Seq(Check.strMatches("[a-z]{3}"), Check.strMatches("[0-9]{3}")),
+        nullable = false)), 10, seed = 5))
+    assert(e.getMessage.contains("str_matches"))
+    // ordering bounds on strings refuse instead of crashing/ignoring
+    val e2 = intercept[RuntimeException](Synthesize.dataFrame(spark,
+      DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+        Seq(Check.greaterThan("m")), nullable = false)), 10, seed = 5))
+    assert(e2.getMessage.contains("string columns"))
+  }
+
+  test("narrow integral domains clamp; unique enumeration refuses overflow (r19 hunt)") {
+    import org.apache.spark.sql.functions._
+    // ByteType default domain [0,1000) formerly wrapped under the cast
+    val sch = DataFrameSchema(
+      "b" -> ColumnSchema(Some(ByteType), Seq(Check.ge(0.toByte)), nullable = false),
+      "s" -> ColumnSchema(Some(ShortType), Nil, nullable = false))
+    val df = Synthesize.dataFrame(spark, sch, 3000, seed = 9)
+    assert(sch.validate(df).passed)
+    assert(df.filter(col("b") < 0).count() == 0)
+    // unique ByteType with count > 256 refuses instead of silently
+    // wrapping into duplicates
+    val e = intercept[RuntimeException](Synthesize.dataFrame(spark,
+      DataFrameSchema("b" -> ColumnSchema(Some(ByteType), Nil,
+        nullable = false, unique = true)), 300, seed = 9))
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    // unique FloatType below float precision refuses
+    val e2 = intercept[RuntimeException](Synthesize.dataFrame(spark,
+      DataFrameSchema("f" -> ColumnSchema(Some(FloatType),
+        Seq(Check.inRange(0.0f, 1.0f)), nullable = false, unique = true)),
+      50000000L.toInt, seed = 9))
+    assert(e2.getMessage.contains("float"), e2.getMessage)
+  }
+
+  test("strict decimal bounds honor the quantum; notin respected everywhere (r19 hunt)") {
+    import org.apache.spark.sql.functions._
+    // gt(5) on Decimal(10,2): the flat 1e-6 eps vanished in HALF_UP and
+    // admitted exactly 5.00
+    val strict = DataFrameSchema("d" -> ColumnSchema(Some(DecimalType(10, 2)),
+      Seq(Check.greaterThan(new java.math.BigDecimal("5")),
+        Check.le(new java.math.BigDecimal("9"))), nullable = false))
+    val df = Synthesize.dataFrame(spark, strict, 3000, seed = 21)
+    assert(strict.validate(df).passed)
+    assert(df.filter(col("d") <= lit(new java.math.BigDecimal("5"))).count() == 0)
+    // unique double, no bounds, ne(0.0): row id 0 formerly emitted 0.0
+    val uq = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      Seq(Check.notEqualTo(0.0)), nullable = false, unique = true))
+    val d2 = Synthesize.dataFrame(spark, uq, 1000, seed = 21)
+    assert(uq.validate(d2).passed)
+    assert(d2.filter(col("v") === 0.0).count() == 0)
+    assert(d2.select(countDistinct(col("v"))).head.getLong(0) == 1000L)
+    // unique bounded double with a forbidden grid value
+    val ub = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      Seq(Check.inRange(0.0, 100.0), Check.notEqualTo(0.0)),
+      nullable = false, unique = true))
+    val d3 = Synthesize.dataFrame(spark, ub, 1000, seed = 21)
+    assert(ub.validate(d3).passed)
+    assert(d3.select(countDistinct(col("v"))).head.getLong(0) == 1000L)
+    // continuous decimal draws that ROUND into a forbidden value nudge off
+    val cont = DataFrameSchema("d" -> ColumnSchema(Some(DecimalType(6, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("10")),
+        Check.notEqualTo(new java.math.BigDecimal("7.50"))), nullable = false))
+    val d4 = Synthesize.dataFrame(spark, cont, 20000, seed = 21)
+    assert(cont.validate(d4).passed)
+    assert(d4.filter(col("d") === lit(new java.math.BigDecimal("7.50"))).count() == 0)
+  }
+
+  test("string length padding preserves suffixes everywhere (r19 hunt)") {
+    import org.apache.spark.sql.functions._
+    // plain generator, lenMin only + endswith: pad went AFTER the suffix
+    val plain = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.strEndswith("end"), Check.strLength(Some(15), None)),
+      nullable = false))
+    val df = Synthesize.dataFrame(spark, plain, 1000, seed = 31)
+    assert(plain.validate(df).passed)
+    assert(df.filter(!col("v").endsWith("end") || length(col("v")) < 15).count() == 0)
+    // regex generator with lenMin + endswith
+    val rx = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.strMatches("[a-z]{3}"), Check.strEndswith("end"),
+        Check.strLength(Some(20), None)), nullable = false))
+    val d2 = Synthesize.dataFrame(spark, rx, 500, seed = 31)
+    assert(rx.validate(d2).passed)
+    // unique enumeration honors lenMin and keeps the suffix + uniqueness
+    val uq = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.strEndswith("end"), Check.strLength(Some(12), None)),
+      nullable = false, unique = true))
+    val d3 = Synthesize.dataFrame(spark, uq, 2000, seed = 31)
+    assert(uq.validate(d3).passed)
+    assert(d3.select(countDistinct(col("v"))).head.getLong(0) == 2000L)
+    // unique + regex refuses loudly instead of emitting "u0","u1",...
+    val e = intercept[RuntimeException](Synthesize.dataFrame(spark,
+      DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+        Seq(Check.strMatches("[a-z]{5}")), nullable = false, unique = true)),
+      10, seed = 31))
+    assert(e.getMessage.contains("unique string enumeration"))
+  }
+
   test("binary container elements differ per position (r18 review)") {
     import org.apache.spark.sql.functions._
     val schema = DataFrameSchema(
