@@ -15,8 +15,22 @@ import org.apache.spark.sql.functions._
   *     --jars target/scala-2.13/<graft>.jar \
   *     --conf spark.sql.extensions=graft.functions.GraftSparkExtensions \
   *     --conf spark.sql.legacy.parquet.nanosAsLong=true
-  *   java -cp <graft>.jar:/opt/spark/jars/connect-repl/spark-connect-client-jvm_*.jar:<scala-library...> \
+  *   # client classpath = graft jar + spark-connect-client-jvm + the
+  *   # static NON-ENGINE classic jars graft's type references pull in
+  *   # (scala-library/reflect, spark-common-utils{,-java}, spark-sql-api,
+  *   # spark-unsafe + icu4j [StringType -> CollationFactory], spark-core
+  *   # [SparkConf], json4s, antlr4-runtime, jackson, kryo+minlog+
+  *   # objenesis+reflectasm, log4j+slf4j) and the Arrow module opens:
+  *   java --add-opens=java.base/java.nio=ALL-UNNAMED \
+  *        --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  *     -cp <graft>.jar:connect-repl/spark-connect-client-jvm_*.jar:<above> \
   *     graft.tools.ConnectSmoke sc://localhost:15002 /root/testdata/sf0.001
+  *
+  * Measured r19 (this sandbox, Spark 4.1.2): 13/13 compatible legs OK —
+  * incl. all three server-registered `graft_*` SQL-native legs — and
+  * exactly the two expected-fail legs fail with NoClassDefFoundError on
+  * `catalyst.expressions.Expression`, confirming the classic-only
+  * boundary is the Column⇄Expression bridge and nothing else.
   *
   * The client JVM classpath deliberately has NO classic Spark jars: the
   * unified `org.apache.spark.sql.SparkSession` companion then resolves the
@@ -40,10 +54,30 @@ object ConnectSmoke {
         println(s"CONNECT_SMOKE $name FAIL ${e.getClass.getSimpleName}: ${msg.take(160)}")
     }
 
+  /** Build a Connect session by reflecting DIRECTLY on the connect
+    * companion. The unified `SparkSession.builder()` resolves its
+    * implementation via a scala-reflect runtime-mirror companion lookup
+    * that throws "Cannot find a SparkSession implementation" on this
+    * distribution's client-only classpath even though the connect
+    * companion itself loads fine (verified: `Class.forName(
+    * "org.apache.spark.sql.connect.SparkSession$").getField("MODULE$")`
+    * succeeds on the same classpath). Classic-compiled code cannot name
+    * `connect.SparkSession` at compile time, so the three calls go
+    * through java.lang.reflect; everything after this returns to the
+    * unified compile-time API. */
+  private def connectSession(url: String): SparkSession = {
+    val cls = Class.forName("org.apache.spark.sql.connect.SparkSession$")
+    val companion = cls.getField("MODULE$").get(null)
+    val b = companion.getClass.getMethod("builder").invoke(companion)
+    b.getClass.getMethod("remote", classOf[String]).invoke(b, url)
+    b.getClass.getMethod("getOrCreate").invoke(b)
+      .asInstanceOf[SparkSession]
+  }
+
   def main(args: Array[String]): Unit = {
     val url = args.headOption.getOrElse("sc://localhost:15002")
     val sf = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder().remote(url).getOrCreate()
+    val spark = connectSession(url)
     println(s"CONNECT_SMOKE session ${spark.getClass.getName} version ${spark.version}")
 
     def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
