@@ -567,7 +567,8 @@ object Bench {
     // `rerunThunk = None` disables the rerun (timedFs with no prior floor:
     // shouldRerun can't fire, so the snapshot copies are skipped).
     def timedImpl[A](name: String, first: () => A,
-        rerunThunk: Option[() => A]): A = {
+        rerunThunk: Option[() => A],
+        rerunReset: Option[() => Unit] = None): A = {
       canaries += name -> canaryMs()
       ios += name -> ioCanaryMs()
       loads += name -> loadavg()
@@ -603,14 +604,24 @@ object Bench {
           // before each rerun and swap all of it in if that rerun wins,
           // or the artifact would pair a clean min-time with a discarded
           // run's GC storm / contention readings (r14 review finding).
-          // r19 verdict #2: up to 2 EXTRA reruns (3 total runs) when the
-          // kept reading is still contention-suspect and >2× its floor —
-          // see [[shouldRerunAgain]]; each extra attempt waits for the
-          // io canary to quiet first.
+          // r19 verdict #2: up to 2 EXTRA reruns — 4 total runs counting
+          // the first measurement and the standard rerun — when the kept
+          // reading is still contention-suspect and >2× its floor (see
+          // [[shouldRerunAgain]]); each extra attempt waits for the io
+          // canary to quiet first. NOTE: the cpu/io-MEDIAN suspect legs
+          // see only the sections measured so far, so the first sections
+          // of a run are carried by the file-backed io_floor leg alone —
+          // the artifact-time suspect map (full-run medians) is the
+          // authoritative marking.
           var all = Seq(t)
           var extras = 0
           var continue = true
           while (continue) {
+            // restore pristine pre-state before EVERY rerun (r19 review:
+            // extra reruns would otherwise mutate the already-mutated
+            // snapshot — a second compaction is a near no-op and its
+            // bogus fast time would min-merge into the floor). Untimed.
+            rerunReset.foreach(_())
             val c2 = canaryMs(); val i2 = ioCanaryMs(); val l2 = loadavg()
             val g1 = gcMillis()
             resetHeapPeaks()
@@ -675,25 +686,51 @@ object Bench {
         // no rolling floor → shouldRerun can never fire → skip the copies
         timedImpl(name, () => f(identity), None)
       else {
+        // TWO copies per path entry (r19 review): `snapRoot` holds the
+        // PRISTINE pre-state masters (taken before the first run mutates
+        // the live store and never touched again); `workRoot` holds the
+        // working copies the rerun body mutates. Every rerun — the
+        // standard one AND the r19 extra attempts — first re-materializes
+        // the working copies from the masters (untimed, forced), so no
+        // rerun ever measures a second mutation of an already-mutated
+        // snapshot; `_rr` catalog tables are likewise dropped per reset.
         val snapRoot =
           java.nio.file.Files.createTempDirectory("graft-bench-rr")
+        val workRoot =
+          java.nio.file.Files.createTempDirectory("graft-bench-rr-work")
         try {
-          val mapping: Map[String, String] =
-            state.zipWithIndex.map { case (s, i) =>
-              if (s.startsWith("/")) {
+          val masters: Map[String, java.nio.file.Path] =
+            state.zipWithIndex.collect {
+              case (s, i) if s.startsWith("/") =>
                 val dst = snapRoot.resolve(s"d$i")
                 val p = java.nio.file.Paths.get(s)
                 if (java.nio.file.Files.isDirectory(p)) copyDirForced(p, dst)
-                s -> dst.toString
-              } else s -> (s + "_rr")
+                s -> dst
             }.toMap
+          val mapping: Map[String, String] =
+            state.zipWithIndex.map { case (s, i) =>
+              if (s.startsWith("/")) s -> workRoot.resolve(s"d$i").toString
+              else s -> (s + "_rr")
+            }.toMap
+          def reset(): Unit = {
+            masters.foreach { case (s, m) =>
+              val w = java.nio.file.Paths.get(mapping(s))
+              if (java.nio.file.Files.exists(w)) deleteDirRec(w)
+              if (java.nio.file.Files.isDirectory(m)) copyDirForced(m, w)
+            }
+            state.filterNot(_.startsWith("/")).foreach { tn =>
+              spark.sql(
+                s"DROP TABLE IF EXISTS `${(tn + "_rr").replace("`", "``")}`")
+            }
+          }
           val remap: String => String = s => mapping.getOrElse(s, s)
-          try timedImpl(name, () => f(identity), Some(() => f(remap)))
+          try timedImpl(name, () => f(identity), Some(() => f(remap)),
+            Some(() => reset()))
           finally state.filterNot(_.startsWith("/")).foreach { tn =>
             spark.sql(
               s"DROP TABLE IF EXISTS `${(tn + "_rr").replace("`", "``")}`")
           }
-        } finally deleteDirRec(snapRoot)
+        } finally { deleteDirRec(snapRoot); deleteDirRec(workRoot) }
       }
     }
 

@@ -618,14 +618,18 @@ private[graft] object GatesText {
         "ELSE 'https://User:pw@' || source || '.Example.com/x?fbclid=f' END AS url FROM documents), " +
         "p AS (SELECT doc_id, " +
         "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme, " +
-        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''), '^[^@]*@', '') AS hostport, " +
+        // host begins after the LAST '@' in the authority (r19 hunt —
+        // matches the engine's greedy strip)
+        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''), '^.*@', '') AS hostport, " +
         "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS path, " +
         // FIRST '?' before any '#' — prefix excludes both, matching the
         // engine (r18 hunt fix + fourth-pass backtracking correction)
         "coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '') AS query FROM u), " +
         "h AS (SELECT doc_id, scheme, path, " +
-        "regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', '') AS host, " +
-        "coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port, " +
+        // trailing FQDN dot stripped + port compared over leading-zero-
+        // normalized digits (r19 hunt — matches the engine)
+        "regexp_replace(regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\\.', ''), '\\.+$', '') AS host, " +
+        "regexp_replace(coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), ''), '^0+([0-9])', '\\1') AS port, " +
         "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
         "x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&'), '') AS q FROM p), " +
         "c AS (SELECT doc_id, host AS domain, scheme || '://' || host || " +

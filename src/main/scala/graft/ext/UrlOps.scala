@@ -83,19 +83,22 @@ object UrlOps {
     val rawQ = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val q = array_join(array_sort(filter(split(rawQ, "&"),
       x => x =!= "" && !x.rlike(TrackingRe))), "&")
-    // numeric comparison + numeric re-render: a zero-padded default port
-    // (":080") failed the former STRING compare and survived, and a
-    // padded non-default port kept its padding — both produced
-    // non-canonical duplicates that URL dedup missed (r19 hunt)
-    val portNum = port.cast("int")
-    val keepPort = port =!= "" &&
-      !(scheme === "http" && portNum === 80) &&
-      !(scheme === "https" && portNum === 443)
+    // leading-zero-normalized compare + re-render: a zero-padded default
+    // port (":080") failed the former raw STRING compare and survived,
+    // and a padded non-default port kept its padding — both produced
+    // non-canonical duplicates that URL dedup missed (r19 hunt). The
+    // normalization is pure string regex, NOT a cast: an absurd
+    // 12-digit port would crash a cast under ANSI (this function's
+    // contract is null/passthrough, never crash on dirty crawl data)
+    // and silently drop under non-ANSI (r19 review)
+    val portNorm = regexp_replace(port, "^0+([0-9])", "$1")
+    val keepPort = portNorm =!= "" &&
+      !(scheme === "http" && portNorm === "80") &&
+      !(scheme === "https" && portNorm === "443")
     when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(
         scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), portNum.cast("string")))
-          .otherwise(lit("")),
+        when(keepPort, concat(lit(":"), portNorm)).otherwise(lit("")),
         path,
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }

@@ -96,6 +96,18 @@ object Synthesize {
     * max-lo/min-hi, isin intersects, str_length takes the tightest pair;
     * duplicated regex/prefix/suffix constraints that cannot be merged
     * (an extending prefix/suffix is) refuse loudly. */
+  /** Forbidden-value coercion for the enumeration paths (r19 review):
+    * a notin literal as a Double, None when non-numeric. */
+  private def notinAsDouble(a: Any): Option[Double] =
+    scala.util.Try(String.valueOf(a).toDouble).toOption
+
+  /** Does the generated double `x` equal forbidden `f` AFTER the output
+    * cast? (float rounding can collide values whose doubles differ). */
+  private def castEqD(dt: DataType, x: Double, f: Double): Boolean = dt match {
+    case FloatType => x.toFloat == f.toFloat
+    case _         => x == f
+  }
+
   private def mergeConstraints(checks: Seq[Check], dt: DataType): Merged =
     checks.foldLeft(Merged()) {
       case (m, c: ColumnCheck) =>
@@ -306,10 +318,41 @@ object Synthesize {
                       s"column '$name': $count unique values do not fit " +
                         s"in [$lo,$hi] at ${d.sql}'s quantum — the grid " +
                         s"holds ${slots.max(BigInt(0))} value(s)")
-                    val stepQ = slots / count
+                    // ne/notin on the quantum grid (r19 second-pass
+                    // review: the first fix bumped colliding points one
+                    // quantum right, but a bump can chain into another
+                    // forbidden value or land on the NEXT grid point —
+                    // the integral path's exact index-shift is
+                    // chain-free). Forbidden values exactly on the
+                    // quantum (others can never equal a generated
+                    // decimal) reserve grid slots: step divides by
+                    // (count + nForbidden) and the row index shifts past
+                    // each forbidden grid index.
+                    val forbQ: Seq[BigInt] = m.notin.flatMap { a =>
+                      scala.util.Try {
+                        BigInt(new JBD(String.valueOf(a))
+                          .movePointRight(d.scale)
+                          .setScale(0, RoundingMode.UNNECESSARY)
+                          .toBigIntegerExact)
+                      }.toOption
+                    }.filter(q0 => q0 >= loQ && q0 <= hiQ).distinct.sorted
+                    val stepQ = slots / (count + forbQ.size)
+                    if (stepQ < 1) sys.error(
+                      s"column '$name': $count unique values do not fit " +
+                        s"in [$lo,$hi] at ${d.sql}'s quantum avoiding " +
+                        s"${forbQ.size} forbidden value(s)")
+                    val badIdx: Seq[Long] = forbQ.flatMap { q0 =>
+                      val off = q0 - loQ
+                      if (off % stepQ == 0) {
+                        val j = off / stepQ
+                        if (j >= 0 && j < count + forbQ.size) Some(j.toLong)
+                        else None
+                      } else None
+                    }.sorted
                     val loA = new JBD(loQ.bigInteger, d.scale)
                     val step = new JBD(stepQ.bigInteger, d.scale)
-                    val idxDigits = String.valueOf(math.max(count - 1, 1)).length
+                    val idxDigits = String.valueOf(
+                      math.max(count - 1 + badIdx.size, 1)).length
                     // Spark's decimal type rules: product precision is
                     // p1+p2+1 (scale unchanged at s2=d.scale since idx
                     // has scale 0), sum adds one more digit — if that
@@ -324,27 +367,14 @@ object Synthesize {
                       s"column '$name': exact unique-decimal enumeration " +
                         s"needs intermediate precision $typePrec > 38 — " +
                         "narrow the range or lower the row count")
-                    val grid = (lit(loA) +
-                      idx.cast(DecimalType(math.min(idxDigits + 1, 38), 0)) *
+                    val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
+                      when(v >= lit(j), v + 1L).otherwise(v))
+                    (lit(loA) +
+                      shifted.cast(DecimalType(math.min(idxDigits + 1, 38), 0)) *
                         lit(step)).cast(dt)
-                    // ne/notin: a forbidden value on the quantum grid
-                    // bumps ONE quantum right — off-grid (grid points
-                    // are >= 2 quanta apart when stepQ >= 2), still
-                    // unique and within hi (slots >= count*stepQ leaves
-                    // stepQ-1 quanta of headroom past the last point);
-                    // full-capacity grids have no room and refuse
-                    // (r19 hunt: notin was ignored entirely)
-                    if (m.notin.isEmpty) grid
-                    else {
-                      if (stepQ < 2) sys.error(
-                        s"column '$name': unique ${d.sql} enumeration " +
-                          "cannot avoid ne/notin at full grid capacity")
-                      val bump = lit(new JBD(java.math.BigInteger.ONE, d.scale))
-                      m.notin.foldLeft(grid)((c, a) =>
-                        when(c === lit(a), (c + bump).cast(dt)).otherwise(c))
-                    }
                   case _ =>
-                    val step = (hi - lo) / count
+                    val nf = m.notin.size
+                    val step = (hi - lo) / (count + nf)
                     // float-representability guard (r19 hunt: a step
                     // below the float ulp collapsed neighbors into
                     // duplicates after the cast, silently breaking
@@ -357,23 +387,36 @@ object Synthesize {
                         s"column '$name': $count unique float values in " +
                           s"[$lo,$hi] collapse below float precision")
                     }
-                    val base0 = lit(lo) + idx.cast("double") * lit(step)
-                    // ne/notin: a forbidden value on the arithmetic grid
-                    // bumps half a step right — off-grid, still unique,
-                    // within hi (r19 hunt: the continuous enumeration
-                    // ignored notin entirely)
-                    m.notin.foldLeft(base0)((c, a) =>
-                      when(c.cast(dt) === lit(a).cast(dt), c + lit(step / 2))
-                        .otherwise(c)).cast(dt)
+                    // ne/notin by exact index-shift (r19 second-pass
+                    // review: a half-step bump could chain into another
+                    // forbidden value or the next grid point): forbidden
+                    // values reserve grid slots, the index shifts past
+                    // any grid index whose CAST value equals one
+                    val badIdx = m.notin.flatMap(notinAsDouble).flatMap { f =>
+                      val i0 = math.round((f - lo) / step)
+                      (i0 - 2 to i0 + 2).find(i => i >= 0 &&
+                        i < count + nf &&
+                        castEqD(dt, lo + i.toDouble * step, f))
+                    }.distinct.sorted
+                    val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
+                      when(v >= lit(j), v + 1L).otherwise(v))
+                    (lit(lo) + shifted.cast("double") * lit(step)).cast(dt)
                 }
               case None =>
-                if (dt == FloatType && math.abs(lo) + count > (1L << 24))
+                val nf = m.notin.size
+                if (dt == FloatType && math.abs(lo) + count + nf > (1L << 24))
                   sys.error(s"column '$name': $count unique float values " +
                     s"from $lo exceed float integer precision (2^24)")
-                val base0 = lit(lo) + idx.cast("double")
-                m.notin.foldLeft(base0)((c, a) =>
-                  when(c.cast(dt) === lit(a).cast(dt), c + lit(0.5))
-                    .otherwise(c)).cast(dt)
+                // same exact index-shift as the bounded branch, with an
+                // implicit unit step (r19 second-pass review)
+                val badIdx = m.notin.flatMap(notinAsDouble).flatMap { f =>
+                  val i0 = math.round(f - lo)
+                  (i0 - 2 to i0 + 2).find(i => i >= 0 && i < count + nf &&
+                    castEqD(dt, lo + i.toDouble, f))
+                }.distinct.sorted
+                val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
+                  when(v >= lit(j), v + 1L).otherwise(v))
+                (lit(lo) + shifted.cast("double")).cast(dt)
             }
           case BooleanType =>
             val legal = Seq(true, false).filterNot(b => avoidStr.contains(b.toString))
@@ -421,11 +464,17 @@ object Synthesize {
             val core = concat(lit(prefix), lit("u"), idx.cast("string"))
             // pad BEFORE the suffix so str_endswith survives (r19 hunt:
             // lenMin was ignored entirely); digits stop at the first pad
-            // char, so padded values stay pairwise distinct
+            // char, so padded values stay pairwise distinct. The pad
+            // target is floored at the WIDEST core (prefix + 'u' +
+            // idxDigits) — rpad TRUNCATES longer inputs, which would
+            // collapse distinct index suffixes into duplicates
+            // (r19 second-pass review: "u10".."u19" all rpad(2)-ed to
+            // "u1")
             m.lenMin match {
               case Some(mn) if mn > 0 =>
                 concat(rpad(core,
-                  math.max(mn - suffix.length, prefix.length + 1), "x"),
+                  math.max(mn - suffix.length, prefix.length + 1 + idxDigits),
+                  "x"),
                   lit(suffix))
               case _ => concat(core, lit(suffix))
             }
@@ -477,11 +526,16 @@ object Synthesize {
                 2.0 * math.ulp(math.max(math.abs(lo), math.abs(hi)).toFloat))
               case _ => math.max((hi - lo) * 1e-9, 1e-9)
             }
-            val avoided = m.notin.foldLeft(v)((c, a) =>
-              when(c.cast(dt) === lit(a).cast(dt),
-                when(c + lit(step) <= lit(hi), c + lit(step))
-                  .otherwise(c - lit(step)))
-                .otherwise(c))
+            // nf passes escape CHAINS (r19 second-pass review: with
+            // notin [7.51, 7.50] a 7.50-rounding draw nudged to 7.51
+            // AFTER the 7.51 fold had already run); each pass resolves
+            // one chain link, and a chain is at most nf long
+            val avoided = (1 to m.notin.size).foldLeft(v)((c0, _) =>
+              m.notin.foldLeft(c0)((c, a) =>
+                when(c.cast(dt) === lit(a).cast(dt),
+                  when(c + lit(step) <= lit(hi), c + lit(step))
+                    .otherwise(c - lit(step)))
+                  .otherwise(c)))
             avoided.cast(dt)
           case DateType | TimestampType | TimestampNTZType | _: NumericType =>
             // integer-valued domains (ints; dates in epoch days; timestamps
@@ -666,18 +720,11 @@ object Synthesize {
         (u01(seed, salt + 3) * (hi - maxContainer - 1) + lit(i.toDouble))
           .cast(d)
       case kt @ (DateType | TimestampType | TimestampNTZType | _: NumericType) =>
-        val (dlo, dhi) = domainDefaults(Merged(), kt)
-        // clamp to the key dtype's representable range, mirroring the
-        // decimal branch (r19 ADVICE: the [0,1000) numeric default cast
-        // base+ordinal values out of Byte/Short range — wrapping under
-        // non-ANSI casts, crashing under ANSI), and refuse when the
-        // clamped span cannot hold maxContainer ordinal-spaced keys
-        val (tlo, thi) = kt match {
-          case ByteType  => (Byte.MinValue.toDouble, Byte.MaxValue.toDouble)
-          case ShortType => (Short.MinValue.toDouble, Short.MaxValue.toDouble)
-          case _         => (Double.MinValue, Double.MaxValue)
-        }
-        val lo = math.max(dlo, tlo); val hi = math.min(dhi, thi)
+        // clamp to the key dtype's representable range via the shared
+        // helper (r19 ADVICE + second-pass review: the first fix inlined
+        // a Byte/Short-only copy of the range table), and refuse when
+        // the clamped span cannot hold maxContainer ordinal-spaced keys
+        val (lo, hi) = clampToIntegral(domainDefaults(Merged(), kt), kt, name)
         if (hi - lo < maxContainer + 1) sys.error(
           s"column '$name': map keys of dtype ${kt.sql} cannot hold " +
             s"$maxContainer distinct ordinal-spaced entries")

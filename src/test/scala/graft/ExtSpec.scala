@@ -2196,10 +2196,16 @@ class ExtSpec extends SparkSpec {
     // "example.com." ≡ "example.com": the dangling dot broke both the
     // suffix match and blocklist equality
     assert(got(2L) == (("http://example.com/x", "example.com", "example.com")))
-    // ports compare and re-render numerically
+    // ports compare and re-render over leading-zero-normalized digits
     assert(got(3L)._1 == "http://example.com")
     assert(got(4L)._1 == "https://example.com/y")
     assert(got(5L)._1 == "http://example.com:8080/z")
+    // an absurd over-int port must neither crash (ANSI) nor drop
+    // (non-ANSI) — pure string normalization, no cast (r19 review)
+    val big = Seq((9L, "http://x.com:99999999999/p")).toDF("id", "url")
+      .select(graft.ext.UrlOps.canonicalize(col("url")).as("c"))
+      .head.getString(0)
+    assert(big == "http://x.com:99999999999/p", big)
     // blocklist entries normalize to the registeredDomain form on both
     // paths (case, leading www., trailing dot)
     val blocked = Seq("EVIL.com.", "www.Example.COM")

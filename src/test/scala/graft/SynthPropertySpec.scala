@@ -518,6 +518,45 @@ class SynthPropertySpec extends SparkSpec {
     assert(e.getMessage.contains("unique string enumeration"))
   }
 
+  test("enumeration avoid-shift is chain-free; short lenMin never truncates cores (r19 review)") {
+    import org.apache.spark.sql.functions._
+    // adjacent forbidden decimals a quantum apart on the grid: the
+    // former one-quantum bump chained 0.02 -> 0.03 (forbidden) -> 0.04
+    // (the next grid point, a duplicate); the index-shift is exact
+    val dec = DataFrameSchema("d" -> ColumnSchema(Some(DecimalType(10, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("1.10")),
+        Check.notin(Seq(new java.math.BigDecimal("0.02"),
+          new java.math.BigDecimal("0.03")))),
+      nullable = false, unique = true))
+    val df = Synthesize.dataFrame(spark, dec, 50, seed = 41)
+    assert(dec.validate(df).passed)
+    assert(df.select(countDistinct(col("d"))).head.getLong(0) == 50L)
+    // random-draw chain with reversed notin order: a 7.50-rounding draw
+    // must not come to rest on 7.51 (whose fold had already run)
+    val cont = DataFrameSchema("d" -> ColumnSchema(Some(DecimalType(6, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("10")),
+        Check.notin(Seq(new java.math.BigDecimal("7.51"),
+          new java.math.BigDecimal("7.50")))), nullable = false))
+    val d2 = Synthesize.dataFrame(spark, cont, 30000, seed = 41)
+    assert(cont.validate(d2).passed)
+    // unique bounded doubles with two forbidden grid values stay unique
+    val ud = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      Seq(Check.inRange(0.0, 100.0),
+        Check.notin(Seq(0.0, 0.1))), nullable = false, unique = true))
+    val d3 = Synthesize.dataFrame(spark, ud, 1000, seed = 41)
+    assert(ud.validate(d3).passed)
+    assert(d3.select(countDistinct(col("v"))).head.getLong(0) == 1000L)
+    // lenMin SMALLER than the widest core: rpad must never truncate
+    // "u10".."u99" down to colliding stubs
+    val short = DataFrameSchema("v" -> ColumnSchema(Some(StringType),
+      Seq(Check.strLength(Some(2), None)), nullable = false, unique = true))
+    val d4 = Synthesize.dataFrame(spark, short, 100, seed = 41)
+    assert(short.validate(d4).passed)
+    assert(d4.select(countDistinct(col("v"))).head.getLong(0) == 100L)
+  }
+
   test("binary container elements differ per position (r18 review)") {
     import org.apache.spark.sql.functions._
     val schema = DataFrameSchema(
