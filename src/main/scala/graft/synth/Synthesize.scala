@@ -108,6 +108,31 @@ object Synthesize {
     case _         => x == f
   }
 
+  /** Driver-side mirror of `cast(dt)` on a double: the value that lands in
+    * the column (decimal HALF_UP at the type's scale — Spark's
+    * Decimal.set rounding — float via toFloat, doubles unchanged). */
+  private def castD(dt: DataType, x: Double): Double = dt match {
+    case d: DecimalType => java.math.BigDecimal.valueOf(x)
+      .setScale(d.scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    case FloatType => x.toFloat.toDouble
+    case _ => x
+  }
+
+  /** `base` shifted past each forbidden value/slot (sorted ascending) as
+    * ONE flat indicator sum: out = base + #{m : sorted(m) − m ≤ base} —
+    * provably the value of the sequential fold
+    * `sorted.foldLeft(base)((v, a) => when(v >= a, v + 1).otherwise(v))`
+    * (each prior shift lowers the m-th threshold by exactly m). The fold
+    * form referenced the accumulated column 3× per level, so its
+    * expression tree grew 3^n with the forbidden count — the same blowup
+    * class that OOM'd the continuous notin path at nf = 3 (r19
+    * green-tree fix); the sum references `base` once per term. */
+  private def shiftPastSorted(base: Column, sorted: Seq[Long]): Column =
+    if (sorted.isEmpty) base
+    else sorted.zipWithIndex.map { case (a, m) =>
+      (base >= lit(a - m)).cast("long")
+    }.reduceLeft(_ + _) + base
+
   private def mergeConstraints(checks: Seq[Check], dt: DataType): Merged =
     checks.foldLeft(Merged()) {
       case (m, c: ColumnCheck) =>
@@ -233,7 +258,7 @@ object Synthesize {
     if (count <= 0)
       sys.error(s"column '$name': ne/notin leave no legal integers in [$l,$h]")
     val idx = lit(l) + floor(u01(seed, salt) * lit(count.toDouble)).cast("long")
-    inRange.foldLeft(idx)((v, a) => when(v >= lit(a), v + 1L).otherwise(v))
+    shiftPastSorted(idx, inRange)
   }
 
   /** Forbidden values that can collide with an integer-domain generator:
@@ -367,8 +392,7 @@ object Synthesize {
                       s"column '$name': exact unique-decimal enumeration " +
                         s"needs intermediate precision $typePrec > 38 — " +
                         "narrow the range or lower the row count")
-                    val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
-                      when(v >= lit(j), v + 1L).otherwise(v))
+                    val shifted = shiftPastSorted(idx.cast("long"), badIdx)
                     (lit(loA) +
                       shifted.cast(DecimalType(math.min(idxDigits + 1, 38), 0)) *
                         lit(step)).cast(dt)
@@ -398,8 +422,7 @@ object Synthesize {
                         i < count + nf &&
                         castEqD(dt, lo + i.toDouble * step, f))
                     }.distinct.sorted
-                    val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
-                      when(v >= lit(j), v + 1L).otherwise(v))
+                    val shifted = shiftPastSorted(idx.cast("long"), badIdx)
                     (lit(lo) + shifted.cast("double") * lit(step)).cast(dt)
                 }
               case None =>
@@ -414,8 +437,7 @@ object Synthesize {
                   (i0 - 2 to i0 + 2).find(i => i >= 0 && i < count + nf &&
                     castEqD(dt, lo + i.toDouble, f))
                 }.distinct.sorted
-                val shifted = badIdx.foldLeft(idx.cast("long"))((v, j) =>
-                  when(v >= lit(j), v + 1L).otherwise(v))
+                val shifted = shiftPastSorted(idx.cast("long"), badIdx)
                 (lit(lo) + shifted.cast("double")).cast(dt)
             }
           case BooleanType =>
@@ -442,9 +464,7 @@ object Synthesize {
                   s"avoiding ${avoids.size} value(s) (span ${h - l + 1})")
             }
             // sequential indices shifted past forbidden values (still unique)
-            val v = avoids.foldLeft(lit(l) + idx)((v, a) =>
-              when(v >= lit(a), v + 1L).otherwise(v))
-            renderIntegral(v, dt)
+            renderIntegral(shiftPastSorted(lit(l) + idx, avoids), dt)
           case StringType =>
             // r19 hunt: enumeration cannot honor regex constraints —
             // refuse loudly instead of silently emitting "u0","u1",…
@@ -526,16 +546,44 @@ object Synthesize {
                 2.0 * math.ulp(math.max(math.abs(lo), math.abs(hi)).toFloat))
               case _ => math.max((hi - lo) * 1e-9, 1e-9)
             }
-            // nf passes escape CHAINS (r19 second-pass review: with
-            // notin [7.51, 7.50] a 7.50-rounding draw nudged to 7.51
-            // AFTER the 7.51 fold had already run); each pass resolves
-            // one chain link, and a chain is at most nf long
-            val avoided = (1 to m.notin.size).foldLeft(v)((c0, _) =>
-              m.notin.foldLeft(c0)((c, a) =>
-                when(c.cast(dt) === lit(a).cast(dt),
-                  when(c + lit(step) <= lit(hi), c + lit(step))
-                    .otherwise(c - lit(step)))
-                  .otherwise(c)))
+            // chain ESCAPES are resolved driver-side on the output grid
+            // (r19 green-tree fix: the former nf-pass nested fold
+            // referenced the accumulated column ~5× per level, so its
+            // expression tree grew 5^(nf²) — three forbidden values
+            // already OOM'd an 8 GB driver converting the ColumnNodes).
+            // A draw lands on grid point g = cast(v); for each forbidden
+            // grid point the first LEGAL grid point walking up (down at
+            // the hi edge / when the up-run is itself forbidden) is a
+            // CONSTANT, so one flat CaseWhen with per-branch constant
+            // deltas replaces the passes — linear size, and unlike the
+            // fold it also escapes adjacent-forbidden runs at the hi
+            // edge (the fold's down-nudge bounced back up forever).
+            val forbCast = m.notin.flatMap(notinAsDouble)
+              .map(castD(dt, _)).distinct
+            def isForb(x: Double) = forbCast.exists(f => castEqD(dt, x, f))
+            val kMax = forbCast.size + 1
+            val avoided =
+              if (forbCast.isEmpty) v
+              else {
+                val g = v.cast(dt)
+                forbCast.sorted.map { a =>
+                  val delta = (1 to kMax)
+                    .find { k =>
+                      val x = castD(dt, a + k * step)
+                      !isForb(x) && x <= hi
+                    }
+                    .map(_ * step)
+                    .orElse((1 to kMax).find { k =>
+                      val x = castD(dt, a - k * step)
+                      !isForb(x) && x >= lo
+                    }.map(-_ * step))
+                    .getOrElse(step) // saturated grid: best-effort, the
+                                     // validate round-trip reports it
+                  (a, delta)
+                }.foldLeft(v) { case (acc, (a, delta)) =>
+                  when(g === lit(a).cast(dt), v + lit(delta)).otherwise(acc)
+                }
+              }
             avoided.cast(dt)
           case DateType | TimestampType | TimestampNTZType | _: NumericType =>
             // integer-valued domains (ints; dates in epoch days; timestamps
