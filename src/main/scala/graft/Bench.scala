@@ -70,7 +70,22 @@ object Bench {
   def replicate10(docs: DataFrame): DataFrame = {
     val rotations = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
       "aeuio", "eiaou", "iouea", "ouaie", "uaeoi")
-    docs
+    // r19 input-skew fix (guide §2.5): the sf documents table is ONE
+    // parquet file of ONE row group — an unsplittable scan — so the 10×
+    // explode and all downstream narrow work (tokenize, shingles, MinHash
+    // signatures) fused into ONE task: wall ≈ total executor CPU for
+    // every docs10-scan-bound section (r18 task_metrics:
+    // heavy_hitters_10x 7.7 s wall / 7.3 CPU-s, dedup_minhash_10x 12.0 /
+    // 24.4 at 2×). Spread BEFORE the explode by the deterministic id
+    // (never round-robin — SPARK-38388), width = defaultParallelism so
+    // the driver's lower-core scaling runs adapt; the exchange moves the
+    // 1× corpus (0.6 MB at sf0.1) and sits IN every timed plan. The 1×
+    // `docs`/`li` reads deliberately stay unspread: their compute per
+    // byte is too small to amortize the exchange (measured: validate_full
+    // 2.3→3.0 s, text_bpe 0.75→1.03 s, store appends 12.4→13.1 s when
+    // they were spread — the appends additionally fragmented each 0.6 MB
+    // batch into 32-file generations).
+    Bench.spreadInput(docs, "doc_id")
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(rotations.size - 1))).as("rep"))
       .select((col("doc_id") * 16 + col("rep")).as("doc_id"),
@@ -79,6 +94,12 @@ object Bench {
             when(col("rep") === r, translate(col("text"), "aeiou", rot)).otherwise(acc)
         }.as("text"))
   }
+
+  /** Shared by the suite and the probe/plan tools so isolated probes
+    * measure the SAME input plan the suite times (the replicate10
+    * contract). See the scaladoc at the `def li`/`def docs` call sites. */
+  private[graft] def spreadInput(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
@@ -504,6 +525,11 @@ object Bench {
     val secMetrics = new SectionMetrics
     spark.sparkContext.addSparkListener(secMetrics)
 
+    // Input parallelism: the 10× corpus spreads inside [[replicate10]]
+    // (see its scaladoc — the unsplittable single-file scan serialized
+    // every docs10 section's narrow work onto one core); the 1× reads
+    // stay unspread because their compute per byte cannot amortize the
+    // exchange (measured regressions noted there).
     def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -1007,7 +1033,12 @@ object Bench {
     // the full customer table (sf0.1: ~15k names, ~4.5M codegen'd
     // Jaro-Winkler evaluations inside the blocks; the cross product is
     // never materialized)
-    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    // spread like docs/li (guide §2.5): the blocked Jaro-Winkler compare
+    // runs on the broadcast join's PROBE side, i.e. fused into this scan —
+    // single-file input serialized ~4.5M native JW evaluations onto one
+    // core (r18: 7.7 s wall ≈ 7.3 CPU-s)
+    val cust = spreadInput(spark.read.parquet(s"$sfDir/customer.parquet"),
+      "c_custkey")
     timed("er_fuzzy_dedup")(
       ext.EntityResolution.fuzzyDedup(cust, "c_custkey", "c_name",
         col("c_nationkey"), threshold = 0.97).count())

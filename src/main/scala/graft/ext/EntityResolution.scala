@@ -43,7 +43,14 @@ object EntityResolution {
   def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
       leftBlock: Column, rightBlock: Column, threshold: Double,
-      maxBlockPairs: Long = 1000000L): DataFrame = {
+      maxBlockPairs: Long = 1000000L): DataFrame =
+    fuzzyJoinImpl(left, leftId, leftText, right, rightId, rightText,
+      leftBlock, rightBlock, threshold, maxBlockPairs, pairPre = None)
+
+  private def fuzzyJoinImpl(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      leftBlock: Column, rightBlock: Column, threshold: Double,
+      maxBlockPairs: Long, pairPre: Option[Column]): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0, "threshold in [0,1]")
     require(maxBlockPairs >= 1, "maxBlockPairs >= 1")
     val l = left.select(q(leftId).as("left_id"), q(leftText).as("__lt"),
@@ -60,8 +67,15 @@ object EntityResolution {
       .filter(col("__ln") <=
         call_function("div", lit(maxBlockPairs), greatest(col("__rn"), lit(1L))))
       .select("__blk")
-    l.join(broadcast(ok), "__blk")
-      .join(r, "__blk")
+    val pairs = l.join(broadcast(ok), "__blk").join(r, "__blk")
+    // the CHEAP pair predicate (fuzzyDedup's id_a < id_b) filters BEFORE
+    // the similarity projection, so Catalyst's filter merge puts it FIRST
+    // in the join condition and the codegen'd Jaro-Winkler never runs on
+    // pairs it rejects — for the self-join that is half the pair space
+    // (r19 optimization, guide §1.2 "don't compute things you throw
+    // away": the former post-hoc filter left the plan evaluating
+    // `jw >= t AND id_a < id_b` in that order)
+    pairPre.fold(pairs)(pairs.filter)
       .select(col("left_id"), col("right_id"),
         round(jaroWinkler(col("__lt"), col("__rt")), 6).as("similarity"))
       .filter(col("similarity") >= threshold)
@@ -71,9 +85,9 @@ object EntityResolution {
   def fuzzyDedup(df: DataFrame, idCol: String, textCol: String,
       block: Column, threshold: Double,
       maxBlockPairs: Long = 1000000L): DataFrame =
-    fuzzyJoin(df, idCol, textCol, df, idCol, textCol, block, block, threshold,
-        maxBlockPairs)
-      .filter(col("left_id") < col("right_id"))
+    fuzzyJoinImpl(df, idCol, textCol, df, idCol, textCol, block, block,
+        threshold, maxBlockPairs,
+        pairPre = Some(col("left_id") < col("right_id")))
       .select(col("left_id").as("id_a"), col("right_id").as("id_b"),
         col("similarity"))
 }

@@ -29,10 +29,13 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
 
+    // inputs exactly as the suite reads them (r19: replicate10 spreads
+    // the 10x corpus itself; customer spreads — see Bench — li/docs not)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val docs10 = Bench.replicate10(docs)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val cust = Bench.spreadInput(
+      spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
     def dump(name: String, df: => DataFrame): Unit = {
