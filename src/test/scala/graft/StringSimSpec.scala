@@ -93,4 +93,23 @@ class StringSimSpec extends SparkSpec {
     } yield (ia, ib, s)).sorted
     assert(got.toSeq == want.toSeq)
   }
+
+  test("fuzzy dedup: id predicate precedes the similarity in the join " +
+      "condition (r19 optimization)") {
+    // the cheap id_a < id_b test must sit BEFORE the Jaro-Winkler call in
+    // the join condition, so half the pair space never evaluates the
+    // expensive similarity; the plan's condition string is the evidence
+    val names = Seq((1L, "anna meyer"), (2L, "anna mayer"),
+      (4L, "bob stone"), (5L, "bob stein")).toDF("id", "name")
+    val blk = EntityResolution.prefixBlock(col("name"), 1)
+    val plan = EntityResolution.fuzzyDedup(names, "id", "name", blk, 0.85)
+      .queryExecution.executedPlan.toString
+    // the join-condition line is the one holding BOTH the id comparison
+    // and the similarity call (the Project above it has no " < ")
+    val cond = plan.linesIterator
+      .find(l => l.contains("graft_jaro_winkler") && l.contains(" < "))
+      .getOrElse(fail(s"no combined join condition in plan:\n$plan"))
+    assert(cond.indexOf(" < ") < cond.indexOf("graft_jaro_winkler"),
+      s"id comparison must precede jaro_winkler in: $cond")
+  }
 }

@@ -557,6 +557,34 @@ class SynthPropertySpec extends SparkSpec {
     assert(d4.select(countDistinct(col("v"))).head.getLong(0) == 100L)
   }
 
+  test("continuous notin stays linear in forbidden count (r19 green-tree " +
+      "fix: 3 values OOM'd an 8 GB driver under the nested-fold form)") {
+    import org.apache.spark.sql.functions._
+    // the exact shape that aborted the suite: double in_range + Long-typed
+    // notin values, here with SIX forbidden values (the old construction's
+    // tree grew ~5^(nf²) — nf=6 would be ~5^36 nodes; linear is instant)
+    val sch = DataFrameSchema("v" -> ColumnSchema(Some(DoubleType),
+      Seq(Check.inRange(675.0, 1065.0),
+        Check.notin(Seq(676L, 678L, 700L, 800L, 900L, 1064L))),
+      nullable = false))
+    val df = Synthesize.dataFrame(spark, sch, 2000, seed = 5)
+    assert(sch.validate(df).passed)
+    assert(df.filter(col("v").isin(676.0, 678.0, 700.0, 800.0, 900.0,
+      1064.0)).count() == 0)
+    // adjacent forbidden decimals: the driver-side grid walk escapes the
+    // whole run in one hop (the old fold bounced forever at the hi edge)
+    val dec = DataFrameSchema("d" -> ColumnSchema(Some(DecimalType(6, 2)),
+      Seq(Check.inRange(java.math.BigDecimal.ZERO,
+        new java.math.BigDecimal("10")),
+        Check.notin(Seq(new java.math.BigDecimal("9.98"),
+          new java.math.BigDecimal("9.99"),
+          new java.math.BigDecimal("10.00")))), nullable = false))
+    val d2 = Synthesize.dataFrame(spark, dec, 30000, seed = 5)
+    assert(dec.validate(d2).passed)
+    assert(d2.filter(col("d") >= lit(new java.math.BigDecimal("9.98")))
+      .count() == 0)
+  }
+
   test("binary container elements differ per position (r18 review)") {
     import org.apache.spark.sql.functions._
     val schema = DataFrameSchema(
