@@ -303,22 +303,30 @@ object Dedup {
     var it = 0
     try {
       while (!converged && it < maxIterations) {
-        val received = edges.join(labels, edges("u") === labels("id"))
-          .select(col("v").as("id"), col("lbl"))
-        // pointer-doubling shortcut (r6 verdict #6): every node also adopts
-        // its LABEL's label — path halving on the label forest, which turns
+        // pointer-doubling shortcut (r6 verdict #6) FUSED into the
+        // neighbor join (r19 optimization): every node also adopts its
+        // LABEL's label — path halving on the label forest, which turns
         // the worst-case round count from O(diameter) into O(log diameter)
         // (the large-star/small-star bound; a pathological near-dup chain
-        // previously hit the round cap). Correctness is unchanged: labels
-        // are always node ids of the same component and only decrease, so
-        // the changed-count fixed point still certifies component minima.
-        val l2 = labels.select(col("id").as("lid"), col("lbl").as("lbl2"))
-        val shortcut = labels.join(l2, labels("lbl") === l2("lid"))
-          .select(labels("id").as("id"), col("lbl2").as("lbl"))
+        // previously hit the round cap). The shortcut is exactly neighbor
+        // propagation over the label-forest edges (lbl(id) → id), so
+        // unioning those per-round pointer edges into the join's probe
+        // side delivers lbl(lbl(id)) to id through the SAME join — one
+        // broadcast/join stage per round instead of the former two
+        // (received + a second labels⋈labels join), with an identical
+        // union-of-candidates set feeding the min. Correctness is
+        // unchanged: labels are always node ids of the same component and
+        // only decrease, so the changed-count fixed point still certifies
+        // component minima.
+        val edges2 = edges
+          .union(labels.select(col("lbl").as("u"), col("id").as("v")))
+        // fresh aliases on the probe side: edges2 embeds a projection of
+        // `labels`, so joining `labels` directly is an ambiguous self-join
+        val lab = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
+        val received = edges2.join(lab, col("u") === col("__jid"))
+          .select(col("v").as("id"), col("__jlbl").as("lbl"))
         val next = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
           .union(received.select(col("id"), col("lbl"),
-            lit(null).cast(received.schema("lbl").dataType).as("old")))
-          .union(shortcut.select(col("id"), col("lbl"),
             lit(null).cast(received.schema("lbl").dataType).as("old")))
           .groupBy("id").agg(min("lbl").as("lbl"), max("old").as("old"))
           .localCheckpoint(false)

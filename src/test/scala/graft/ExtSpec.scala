@@ -130,6 +130,19 @@ class ExtSpec extends SparkSpec {
     assert(comp.size == 13 && comp.values.forall(_ == 0L))
   }
 
+  test("dedup: clusterPairs keeps the pointer-doubling round bound after " +
+      "the fused-join rewrite (r19 optimization)") {
+    // a 128-node path has diameter 128: plain min-label propagation needs
+    // ~128 rounds, pointer doubling O(log n). The r19 rewrite fuses the
+    // shortcut into the neighbor join (one join per round); a tight
+    // maxIterations budget of 16 only converges if the label-forest
+    // edges really ride that join.
+    val path = (0L until 128L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.clusterPairs(path, maxIterations = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 129 && comp.values.forall(_ == 0L))
+  }
+
   test("dedup: clusterPairs handles STRING ids — multi-round chains converge (r18 review)") {
     // the former decimal(38,0) label-sum convergence check crashed under
     // ANSI for non-numeric ids (and under non-ANSI silently "converged"
