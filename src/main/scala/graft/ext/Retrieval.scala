@@ -309,32 +309,42 @@ object Retrieval {
       // overwrite, not errorifexists: the target is either fresh or an
       // ORPHAN from a crashed attempt at this same generation (manifest
       // never listed it) — retries must reclaim it
-      base
-        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-          explode(col("toks")).as("token"))
-        .withColumn("tbucket", bucketOf(col("token"), nBuckets))
-        .groupBy("tbucket", "token", "doc_id", "dl")
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .repartitionByRange(width, col("tbucket"), col("token"))
-        .write.mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("tbucket")
-        .parquet(s"$path/postings/$gen")
-      // a zero-token batch writes no files: lengths-only generation
-      val hasPostings = StoreFiles.dataFileCountRecursive(spark,
-        s"$path/postings/$gen") > 0
-      if (!hasPostings)
-        StoreFiles.fs(spark, path).delete(new Path(s"$path/postings/$gen"), true)
-      else
-        spark.read.parquet(s"$path/postings/$gen")
-          .groupBy("tbucket", "token")
-          .agg(count(lit(1)).cast("double").as("df"))
-          .repartition(nBuckets, col("tbucket"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "static")
-          .partitionBy("tbucket")
-          .parquet(s"$path/dfd/$gen")
-      dlen.write.mode("overwrite").parquet(s"$path/dlen/$gen")
+      // r20 (r19 verdict #1b): the dlen write is INDEPENDENT of the
+      // postings → dfd chain (dfd must derive from the WRITTEN postings,
+      // so that pair stays ordered) — overlap it (guide §2.6) so a
+      // per-batch append pays two job latencies instead of three; the
+      // crash window is unchanged (generation dirs stay invisible until
+      // the caller's manifest flip, whatever order they land in).
+      @volatile var hasPostings = false
+      StoreFiles.runConcurrently(Seq(
+        () => {
+          base
+            .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+              explode(col("toks")).as("token"))
+            .withColumn("tbucket", bucketOf(col("token"), nBuckets))
+            .groupBy("tbucket", "token", "doc_id", "dl")
+            .agg(count(lit(1)).cast("double").as("tf"))
+            .repartitionByRange(width, col("tbucket"), col("token"))
+            .write.mode("overwrite")
+              .option("partitionOverwriteMode", "static")
+              .partitionBy("tbucket")
+            .parquet(s"$path/postings/$gen")
+          // a zero-token batch writes no files: lengths-only generation
+          hasPostings = StoreFiles.dataFileCountRecursive(spark,
+            s"$path/postings/$gen") > 0
+          if (!hasPostings)
+            StoreFiles.fs(spark, path).delete(new Path(s"$path/postings/$gen"), true)
+          else
+            spark.read.parquet(s"$path/postings/$gen")
+              .groupBy("tbucket", "token")
+              .agg(count(lit(1)).cast("double").as("df"))
+              .repartition(nBuckets, col("tbucket"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "static")
+              .partitionBy("tbucket")
+              .parquet(s"$path/dfd/$gen")
+        },
+        () => dlen.write.mode("overwrite").parquet(s"$path/dlen/$gen")))
       (n, nDl, sd, hasPostings)
     } finally dlen.unpersist()
   }

@@ -511,18 +511,25 @@ object Similarity {
     val bookLits = (0 until m).map(j => typedlit(index.codebooks(j).map(_.toSeq).toSeq))
     val table = concat((0 until m).map(j =>
       sqDistToEach(subSlice(col("qv"), j), bookLits(j))): _*)
-    val qTables = qs.select(col("query_id"), table.as("tbl"))
+    // qv RIDES the broadcast distance tables and the shortlist aggregate
+    // (first() per query — query ids are unique by the serve contract,
+    // the same invariant probeCells already relies on), so the exact
+    // re-rank below needs no second query-side broadcast join: one fewer
+    // Spark job and one fewer query-frame scan per serve call (r19
+    // verdict #3 — the serve was scheduler-bound: ~0.17 s executor CPU
+    // against ~1 s wall over 8 jobs; R20Probe sim).
+    val qTables = qs.select(col("query_id"), col("qv"), table.as("tbl"))
     val adc = (0 until m).map(j =>
       element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
       .reduce(_ + _)
     val shortlist = encoded.crossJoin(broadcast(qTables))
-      .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
+      .select(col("query_id"), col("qv"), col("corpus_id"), (-adc).as("negadc"))
       .groupBy("query_id")
-      .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
-        k * refineFactor).as("tk"))
-      .select(col("query_id"), explode(col("tk.item")).as("corpus_id"))
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
+          k * refineFactor).as("tk"))
+      .select(col("query_id"), col("qv"), explode(col("tk.item")).as("corpus_id"))
     val rescored = c.join(broadcast(shortlist), Seq("corpus_id"))
-      .join(broadcast(qs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
     rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
   }
@@ -561,9 +568,12 @@ object Similarity {
       (x, y) => x.cast("double") - y)
     val table = concat((0 until m).map(j =>
       sqDistToEach(subSlice(col("qres"), j), bookLits(j))): _*)
+    // qv rides the (bounded, broadcast) probe table and the shortlist
+    // aggregate — the exact re-rank then needs no second query-side
+    // broadcast join (see pqTopKIndexed; same serve-job-count rationale)
     val probes = probeCells(qs, index.centers, nProbe)
       .withColumn("qres", qres)
-      .select(col("query_id"), col("cell"), table.as("tbl"))
+      .select(col("query_id"), col("qv"), col("cell"), table.as("tbl"))
     val adc = (0 until m).map(j =>
       element_at(col("tbl"), element_at(col("codes"), j + 1) + lit(j * ksub) + 1))
       .reduce(_ + _)
@@ -573,13 +583,13 @@ object Similarity {
     // same rows, so the probe aggregation never runs twice.
     val (scanSide, probeSide) = prunedScanAndProbe(encoded, probes, pruneCells)
     val shortlist = scanSide.join(broadcast(probeSide), Seq("cell"))
-      .select(col("query_id"), col("corpus_id"), (-adc).as("negadc"))
+      .select(col("query_id"), col("qv"), col("corpus_id"), (-adc).as("negadc"))
       .groupBy("query_id")
-      .agg(graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
-        k * refineFactor).as("tk"))
-      .select(col("query_id"), explode(col("tk.item")).as("corpus_id"))
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore.of(col("negadc"), col("corpus_id"),
+          k * refineFactor).as("tk"))
+      .select(col("query_id"), col("qv"), explode(col("tk.item")).as("corpus_id"))
     val rescored = c.join(broadcast(shortlist), Seq("corpus_id"))
-      .join(broadcast(qs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
     rankTopK(rescored.select("query_id", "corpus_id", "cosine"), k)
   }

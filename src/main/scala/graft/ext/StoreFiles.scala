@@ -27,6 +27,37 @@ object StoreFiles {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run INDEPENDENT Spark actions concurrently and wait for all of them
+    * (guide §2.6: actions are only sequential because the driver calls
+    * them sequentially — overlapping lets one job's tasks back-fill the
+    * scheduling/commit tail of another). Used by the store append paths,
+    * whose per-batch cost is dominated by 3-5 sequential small jobs'
+    * fixed scheduling + commit latency, not executor work (r19 verdict
+    * #1b; jobs-per-append evidence in tools/R20Probe). Runs the caller's
+    * thread directly for 0/1 tasks. Failure semantics match the
+    * sequential form: the first failure propagates after every submitted
+    * task has finished (a mode=append batch that fails mid-write leaves
+    * the same partial-files window either way). */
+  def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+      var firstFailure: Option[Throwable] = None
+      futs.foreach { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty)
+              firstFailure = Some(Option(e.getCause).getOrElse(e))
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally pool.shutdown()
+  }
+
   /** Recursive LOCAL-path delete (java.nio — harness/temp hygiene, not
     * store data; store-side deletes go through the Hadoop FS above). One
     * shared copy (r18 review: Bench, StreamingValidation, Similarity and

@@ -127,11 +127,18 @@ object Synthesize {
     * expression tree grew 3^n with the forbidden count — the same blowup
     * class that OOM'd the continuous notin path at nf = 3 (r19
     * green-tree fix); the sum references `base` once per term. */
-  private def shiftPastSorted(base: Column, sorted: Seq[Long]): Column =
-    if (sorted.isEmpty) base
-    else sorted.zipWithIndex.map { case (a, m) =>
+  private def shiftPastSorted(base: Column, sorted: Seq[Long]): Column = {
+    // normalize defensively (r19 ADVICE): the indicator-sum identity
+    // holds only for STRICTLY INCREASING thresholds — all current call
+    // sites comply (distinct.sorted is then the identity), but a future
+    // caller passing duplicates or unsorted values would silently
+    // miscompute instead of failing
+    val s = sorted.distinct.sorted
+    if (s.isEmpty) base
+    else s.zipWithIndex.map { case (a, m) =>
       (base >= lit(a - m)).cast("long")
     }.reduceLeft(_ + _) + base
+  }
 
   private def mergeConstraints(checks: Seq[Check], dt: DataType): Merged =
     checks.foldLeft(Merged()) {

@@ -1019,6 +1019,32 @@ class ExtSpec extends SparkSpec {
     assert(sGot == sWant && sGot.nonEmpty)
   }
 
+  test("dedup: MinHash store build bounds each table's file count (r20 — wide-input builds must not fragment)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" store spec tail")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhbound").toString
+    // a 16-partition input (the bench's r19 spread shape) would land 16
+    // sub-MB files per table without the build-time bound; with it, a
+    // KB-scale store's tables collapse to the compaction target
+    Dedup.buildMinHashStore(docs.repartition(16, col("doc_id")),
+      "doc_id", "text", s"$tmp/wide")
+    Seq("shingles", "rows", "bucket_counts").foreach { t =>
+      val files = graft.ext.StoreFiles.dataFileCountRecursive(spark, s"$tmp/wide/$t")
+      assert(files <= 2, s"$t landed $files files — the build-time " +
+        "file-count bound did not fire on a fragmented write")
+    }
+    // and the bounded store serves identically to the direct path
+    val direct = Dedup.minhashPairsAgainst(incoming, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val stored = Dedup.minhashPairsAgainstStore(incoming, "doc_id", "text",
+      s"$tmp/wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stored == direct && direct.nonEmpty)
+  }
+
   test("dedup: MinHash store retraction — retracted docs stop matching instantly, compaction erases and heals counts") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

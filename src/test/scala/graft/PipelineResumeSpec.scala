@@ -523,6 +523,43 @@ class PipelineResumeSpec extends SparkSpec {
       "compacted streamed store must serve identically to a fresh build")
   }
 
+  test("minhash streamed append, asymmetric crash window: rows visible + counts missing resumes counts ONLY (r20 staging overlap)") {
+    // r20 overlaps the rows/bucket_counts STAGE writes but publishes in
+    // the fixed rows → counts order; this pins the resume behavior of
+    // the one crash window that order guarantees can exist (rows
+    // published, counts not) — the resume must re-publish ONLY counts
+    // and must not touch the visible rows generation.
+    val dir = tmp()
+    Dedup.buildMinHashStore(hist, "doc_id", "text", dir,
+      shingleK = 3, numHashes = 16, bands = 4)
+    val b = mkDocs(5000L, 5015L)
+    assert(Dedup.appendBatchToMinHashStore(b, "doc_id", "text", dir,
+      "s9", 0L))
+    val f = StoreFiles.fs(spark, dir)
+    val rowsGen = new org.apache.hadoop.fs.Path(s"$dir/rows/s9-b0")
+    val rowsModBefore = f.getFileStatus(rowsGen).getModificationTime
+    // simulate the crash: counts generation never published, mark not
+    // advanced
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket_counts/s9-b0"), true)
+    StoreFiles.writeUtf8Atomic(spark, s"$dir/marks-s9.json",
+      """{"format":"graft-minhash-marks","marks":{}}""")
+    assert(Dedup.appendBatchToMinHashStore(b, "doc_id", "text", dir,
+      "s9", 0L))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket_counts/s9-b0")),
+      "resume must publish the missing counts generation")
+    assert(f.getFileStatus(rowsGen).getModificationTime == rowsModBefore,
+      "resume must not re-publish the already-visible rows generation")
+    // the healed store serves identically to a one-shot build
+    val oneShot = tmp()
+    Dedup.buildMinHashStore(hist.unionByName(b), "doc_id", "text",
+      oneShot, shingleK = 3, numHashes = 16, bands = 4)
+    val probe = mkDocs(5000L, 5020L)
+    def pairs(p: String) = Dedup.minhashPairsAgainstStore(
+      probe, "doc_id", "text", p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(dir) == pairs(oneShot))
+  }
+
   test("streamed staging lifecycle end-to-end: stage → append → retire-previous-at-batch-start through a real file-source stream (r17)") {
     import org.apache.spark.sql.streaming.Trigger
     val n = buildStores()

@@ -109,7 +109,12 @@ class StringSimSpec extends SparkSpec {
     val cond = plan.linesIterator
       .find(l => l.contains("graft_jaro_winkler") && l.contains(" < "))
       .getOrElse(fail(s"no combined join condition in plan:\n$plan"))
-    assert(cond.indexOf(" < ") < cond.indexOf("graft_jaro_winkler"),
+    // anchor the match to the id columns (r19 ADVICE: a bare " < " can
+    // hit an unrelated token in the condition line)
+    val idCmp = """left_id#\S+ < right_id#\S+""".r
+    val m = idCmp.findFirstMatchIn(cond)
+      .getOrElse(fail(s"no left_id < right_id comparison in: $cond"))
+    assert(m.start < cond.indexOf("graft_jaro_winkler"),
       s"id comparison must precede jaro_winkler in: $cond")
   }
 }
