@@ -1082,12 +1082,30 @@ object Dedup {
     val spark = incoming.sparkSession
     val (shingleK, numHashes, bands) = minhashStoreParams(spark, path)
     val cap = math.toIntExact(math.min(maxBucketSize, (Int.MaxValue - 2).toLong))
+    val banded =
+      bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)
+        .select(col("id_new"), col("band"), col("bucket"))
+    // r20 (guide §3.2 / §2.3): only buckets the BATCH probes can ever
+    // generate candidates — a bucket absent from `probed` cannot match
+    // the (band, bucket) equi-join below, whatever its cap status — so
+    // the cap decision's two aggregations (the count-delta sum and, in
+    // the retraction window, the retracted-membership count) are
+    // semi-join-pruned to the batch's distinct bucket keys BEFORE they
+    // aggregate. Without the pruning every scrub re-aggregated the FULL
+    // bucket_counts table — distinct-bucket-sized ≈ bands × |corpus
+    // docs|, corpus-scale at 100 TB — to decide caps for buckets the
+    // batch never probes. AQE broadcasts the probed key set when the
+    // batch is small (the scrub contract's common case) and degrades to
+    // a partitioned semi join — no worse than the old full aggregation —
+    // when it is not.
+    val probed = banded.select("band", "bucket").distinct()
     // the bounded set is the OVER-cap buckets (rare by design: skew/
     // boilerplate keys) — broadcast those and anti-join; the under-cap set
     // is ~bands·|corpus| for a mostly-unique corpus and must never be a
     // broadcast side
     val tomb = minhashTombstones(spark, path)
     val counts = readMinhashTable(spark, s"$path/bucket_counts")
+      .join(probed, Seq("band", "bucket"), "left_semi")
       .groupBy("band", "bucket").agg(sum("n").as("n"))
     val overCap = tomb match {
       case None => counts.filter(col("n") > cap).select("band", "bucket")
@@ -1102,6 +1120,7 @@ object Dedup {
         // serve ≡ direct row-identity the spec asserts holds even when a
         // bucket straddles the cap)
         val retracted = readMinhashTable(spark, s"$path/rows")
+          .join(probed, Seq("band", "bucket"), "left_semi")
           .join(broadcast(t), Seq("id"), "left_semi")
           .groupBy("band", "bucket").agg(count(lit(1)).as("rn"))
         counts.join(retracted, Seq("band", "bucket"), "left")
@@ -1112,9 +1131,7 @@ object Dedup {
       .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
     val corpusRows = tomb.fold(corpusRows0) { t =>
       corpusRows0.join(broadcast(t), Seq("id"), "left_anti") }
-    val cand =
-      bandedSide(incoming, idCol, textCol, "id_new", shingleK, numHashes, bands)
-        .select(col("id_new"), col("band"), col("bucket"))
+    val cand = banded
         .join(corpusRows, Seq("band", "bucket"))
         .select(col("id_new"), col("id").as("id_corpus"))
         .dropDuplicates("id_new", "id_corpus")
@@ -1179,13 +1196,22 @@ object Dedup {
     // 2-3. band rows and shingles: pure file-count rewrites. coalesce is
     //    right here — no aggregation to starve, and the task count
     //    (bytes/128 MB) scales with store size, so big stores keep their
-    //    read parallelism
-    Seq(s"$path/rows", s"$path/shingles").foreach { dir =>
-      scrub(readMinhashTable(spark, dir))
-        .coalesce(target(dir)).write.mode("overwrite")
-        .parquet(dir + ".compacting")
-      StoreFiles.swapDir(spark, dir + ".compacting", dir)
-    }
+    //    read parallelism. r20: the two rewrite+swap chains touch
+    //    DISJOINT directories (each reads and swaps only its own), so
+    //    they overlap (guide §2.6); the counts snapshot above must stay
+    //    sequential — in the retraction branch it reads rows/, which the
+    //    rows swap would delete mid-scan. Crash windows are unchanged:
+    //    the swaps were already order-independent ("a crash BETWEEN
+    //    swaps leaves a mixed but correct store"), any chain that dies
+    //    inside its swap leaves that one dir missing for healDir, and
+    //    tombs still clear LAST.
+    StoreFiles.runConcurrently(Seq(s"$path/rows", s"$path/shingles")
+      .map(dir => () => {
+        scrub(readMinhashTable(spark, dir))
+          .coalesce(target(dir)).write.mode("overwrite")
+          .parquet(dir + ".compacting")
+        StoreFiles.swapDir(spark, dir + ".compacting", dir)
+      }))
     // retractions are now physical — retire the tombstones (last, so any
     // crash above leaves them still masking)
     if (tomb.nonEmpty)

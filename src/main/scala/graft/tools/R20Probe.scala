@@ -15,7 +15,7 @@ import graft.Bench
   * fix moves job counts and wall, never shuffle bytes).
   *
   * Usage: runMain graft.tools.R20Probe <section> [iters] [sfDir]
-  * Sections: store | sim | kn | cluster1x
+  * Sections: store | scrub | compactonly | sim | kn | cluster1x
   * Prints one JSON line per measurement; never touches BENCH_LOCAL.json.
   */
 object R20Probe {
@@ -108,6 +108,43 @@ object R20Probe {
           graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(d))
         }
 
+      // steady-state scrub serve against one prebuilt fragmented store
+      // (build + 8 appends OUTSIDE the timing): isolates the serve's
+      // jobs/bytes/wall from the lifecycle variance the `store` section
+      // carries — the r20b pre-filter A/B harness
+      case "scrub" =>
+        val docs10 = Bench.replicate10(docs)
+        val d = tmp("graft-r20-scrubonly")
+        graft.ext.Dedup.buildMinHashStore(docs10, "doc_id", "text", d)
+        for (i <- 0 until 8) {
+          val b = docs.select(
+            (col("doc_id") + lit(20000000L + i * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" r9 crawl batch $i")).as("text"))
+          graft.ext.Dedup.appendToMinHashStore(b, "doc_id", "text", d)
+        }
+        for (_ <- 1 to iters)
+          timedJobs("scrub_fragmented")(
+            graft.ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", d).count())
+        graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(d))
+
+      // per-iteration fresh fragmented store (untimed), timed compact —
+      // the r20b rows∥shingles rewrite-overlap A/B harness
+      case "compactonly" =>
+        val docs10 = Bench.replicate10(docs)
+        for (r <- 1 to iters) {
+          val d = tmp(s"graft-r20-compactonly$r")
+          graft.ext.Dedup.buildMinHashStore(docs10, "doc_id", "text", d)
+          for (i <- 0 until 8) {
+            val b = docs.select(
+              (col("doc_id") + lit(20000000L + i * 1000000L)).as("doc_id"),
+              concat(col("text"), lit(s" r9 crawl batch $i")).as("text"))
+            graft.ext.Dedup.appendToMinHashStore(b, "doc_id", "text", d)
+          }
+          timedJobs("compact")(
+            graft.ext.Dedup.compactMinHashStore(spark, d))
+          graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(d))
+        }
+
       case "sim" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         emb.count(): Unit
@@ -156,7 +193,7 @@ object R20Probe {
         }
 
       case other => sys.error(s"unknown section '$other' " +
-        "(store | sim | kn | cluster1x)")
+        "(store | scrub | compactonly | sim | kn | cluster1x)")
     }
     spark.stop()
   }
