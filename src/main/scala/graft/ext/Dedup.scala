@@ -849,10 +849,13 @@ object Dedup {
     *
     *  - a visible generation dir is COMPLETE by construction (the rename
     *    is the publish), so a resume skips it and fills in only the
-    *    missing tables — band rows and count deltas re-derive
+    *    missing tables — on resume, band rows and count deltas re-derive
     *    DETERMINISTICALLY from the batch's persisted shingles generation,
     *    never from the caller's frame (which a retry may rebuild
-    *    differently);
+    *    differently); a fresh attempt derives all three tables from ONE
+    *    pinned (localCheckpoint) shingle frame, which is equivalent —
+    *    the pinned blocks ARE what the shingles write writes, and losing
+    *    them fails loudly into this same resume (r20b);
     *  - every crash window is correct-at-worst-superset for serves:
     *    shingles-without-rows are inert (no band rows → no candidates);
     *    rows-without-counts UNDERCOUNT a bucket, which only disables the
@@ -875,45 +878,56 @@ object Dedup {
     if (minhashMark(spark, path, streamTag).exists(batchId <= _))
       return false
     val gen = s"$streamTag-b$batchId"
-    // publish one table's generation via the shared stage→rename flip:
-    // skip when already visible (a crashed attempt that got past this
-    // table's flip — complete by construction)
-    def publishGen(df: => DataFrame, table: String): Unit = {
-      StoreFiles.publishDirOnce(spark, s"$path/$table/.stage-$gen",
-        s"$path/$table/$gen")(
-        stage => df.write.mode("overwrite").parquet(stage)): Unit
-    }
-    publishGen(batch.select(q(idCol).as("id"),
-      shingles(q(textCol), shingleK).as("sh")), "shingles")
-    // rows + counts derive from the PERSISTED shingles generation (resume
-    // must not trust the caller's frame); persist: one signature+explode
-    // pass feeds both writes, as the build path does
-    val rows = spark.read.parquet(s"$path/shingles/$gen")
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"),
-        explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
-        col("id"))
-      .persist()
+    val f = StoreFiles.fs(spark, path)
+    def visible(t: String): Boolean =
+      f.exists(new org.apache.hadoop.fs.Path(s"$path/$t/$gen"))
+    // r20b (r19 verdict #1b, second cut): ONE staging wave for all three
+    // tables instead of two (shingles first, then rows+counts re-derived
+    // from the written generation). The crash contract requires rows and
+    // counts to agree bit-for-bit with the VISIBLE shingles generation
+    // and never to re-trust the caller's frame, so the band-row source
+    // depends on the attempt:
+    //  - FRESH attempt (no shingles generation yet): the shingle frame
+    //    is pinned with a lazy localCheckpoint — all three staging jobs
+    //    read the SAME materialized blocks, and a lost block FAILS the
+    //    job loudly (checkpoint blocks are not recomputable) instead of
+    //    silently recomputing from a possibly nondeterministic caller
+    //    frame. Deterministic-or-loud; the loud path's retry lands in
+    //    this function's own resume branch.
+    //  - RESUME (shingles generation visible): the source is the
+    //    written generation, exactly as before — only the missing
+    //    tables stage and publish.
+    // Stage dirs are hidden, so the wider overlap stays invisible to
+    // readers (guide §2.6). The PUBLISH renames keep the fixed
+    // shingles → rows → bucket_counts order the crash contract
+    // requires: counts-without-rows would overcount a bucket and
+    // wrongly enable the oversized-bucket skip, rows-without-shingles
+    // would emit candidates whose Jaccard verify finds no shingle set —
+    // the kept order's windows are the documented
+    // correct-at-worst-superset ones, unchanged.
+    val shVisible = visible("shingles")
+    val src =
+      if (shVisible) spark.read.parquet(s"$path/shingles/$gen")
+      else batch.select(q(idCol).as("id"),
+        shingles(q(textCol), shingleK).as("sh")).localCheckpoint(false)
     try {
-      // r20 (r19 verdict #1b): STAGE the rows and bucket_counts writes
-      // concurrently — hidden `.stage-*` dirs are invisible to readers,
-      // so the overlap is free (guide §2.6) and both jobs share the one
-      // persisted band-rows pass — then PUBLISH (rename) in the fixed
-      // rows → bucket_counts order the crash contract requires: a
-      // visible counts generation without its rows would OVERCOUNT a
-      // bucket and wrongly enable the oversized-bucket skip, where
-      // rows-without-counts only undercounts (the documented
-      // correct-at-worst-superset window). A table whose generation is
-      // already visible (crash resume) is neither staged nor
-      // re-published — exactly publishDirOnce's skip.
-      val f = StoreFiles.fs(spark, path)
+      val rows = src
+        .withColumn("sig", minhashSignature(col("sh"), numHashes))
+        .select(col("id"),
+          explode(bandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+          col("id"))
+      // a table whose generation is already visible (crash resume) is
+      // neither staged nor re-published — publishDirOnce's skip, kept.
+      // rows and counts each evaluate the signature+explode from the
+      // pinned/parquet source independently (KB-scale per batch);
+      // determinism holds because the source cannot diverge.
       val toStage = Seq(
+        "shingles" -> (() => src),
         "rows" -> (() => rows),
         "bucket_counts" -> (() => rows.groupBy("band", "bucket")
           .agg(count(lit(1)).as("n"))))
-        .filterNot { case (t, _) =>
-          f.exists(new org.apache.hadoop.fs.Path(s"$path/$t/$gen")) }
+        .filterNot { case (t, _) => visible(t) }
       StoreFiles.runConcurrently(toStage.map { case (t, df) =>
         () => df().write.mode("overwrite").parquet(s"$path/$t/.stage-$gen")
       })
@@ -924,11 +938,26 @@ object Dedup {
           s"appendBatchToMinHashStore: rename $path/$t/.stage-$gen -> " +
             s"$path/$t/$gen failed")
       }
-    } finally rows.unpersist(): Unit
+    } finally if (!shVisible) dropCheckpointBlocks(src)
     // per-tag file: this stream is its only writer, no other tag's mark
     // rides in it
     writeMinhashMark(spark, path, streamTag, batchId)
     true
+  }
+
+  /** Free a localCheckpoint's persisted blocks once its last reader is
+    * done — the registry-filtered unpersist clusterPairs uses, shared by
+    * the streamed append's pinned shingle frame. Reads the RDD ids from
+    * the frame's OWN plan (never by diffing the context-global persisted
+    * set, which would race concurrent jobs); an unexpected plan shape
+    * yields no ids and degrades to the context cleaner. */
+  private def dropCheckpointBlocks(df: DataFrame): Unit = {
+    val ids = df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    df.sparkSession.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
   }
 
   /** foreachBatch writer wrapping [[appendBatchToMinHashStore]] — the

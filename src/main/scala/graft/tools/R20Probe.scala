@@ -15,7 +15,7 @@ import graft.Bench
   * fix moves job counts and wall, never shuffle bytes).
   *
   * Usage: runMain graft.tools.R20Probe <section> [iters] [sfDir]
-  * Sections: store | scrub | compactonly | sim | kn | cluster1x
+  * Sections: store | scrub | streamappend | compactonly | sim | kn | cluster1x
   * Prints one JSON line per measurement; never touches BENCH_LOCAL.json.
   */
 object R20Probe {
@@ -127,6 +127,23 @@ object R20Probe {
             graft.ext.Dedup.dropExistingNearDupStore(docs, "doc_id", "text", d).count())
         graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(d))
 
+      // `iters` individually-timed streamed appends against one prebuilt
+      // store — the r20b one-wave staging A/B harness (drop the first
+      // couple of cold readings, compare medians)
+      case "streamappend" =>
+        val docs10 = Bench.replicate10(docs)
+        val d = tmp("graft-r20-sappend")
+        graft.ext.Dedup.buildMinHashStore(docs10, "doc_id", "text", d)
+        for (i <- 0 until iters) {
+          val b = docs.select(
+            (col("doc_id") + lit(40000000L + i * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" r16 stream batch $i")).as("text"))
+          timedJobs("stream_append")(
+            graft.ext.Dedup.appendBatchToMinHashStore(b, "doc_id", "text",
+              d, "bench", i.toLong))
+        }
+        graft.ext.StoreFiles.deleteLocalDirRec(java.nio.file.Paths.get(d))
+
       // per-iteration fresh fragmented store (untimed), timed compact —
       // the r20b rows∥shingles rewrite-overlap A/B harness
       case "compactonly" =>
@@ -193,7 +210,7 @@ object R20Probe {
         }
 
       case other => sys.error(s"unknown section '$other' " +
-        "(store | scrub | compactonly | sim | kn | cluster1x)")
+        "(store | scrub | streamappend | compactonly | sim | kn | cluster1x)")
     }
     spark.stop()
   }
